@@ -1,0 +1,21 @@
+"""llm_food_spark — PySpark-native main-content extraction engine.
+
+A from-scratch reimplementation of the capabilities of
+``altaidevorg/llm-food`` (reference: /root/reference, MIT) as an idiomatic
+Spark batch pipeline over Common-Crawl-style page tables:
+
+- pure-Python HTML boilerplate stripping + markdown serialization
+  (reference behavior site: llm_food/app.py:252-259, delegated there to
+  trafilatura; re-derived here from readability-style text/link-density
+  scoring — no third-party extractor),
+- pure-Python PDF content-stream parsing + layout reconstruction
+  (reference: llm_food/pdf_utils.py:71-75, delegated there to pdf_oxide),
+- deterministic chunkers (reference: llm_food/app.py:406-430, chonkie),
+- vectorized Arrow/pandas UDFs only — no row-at-a-time Python UDFs,
+- per-partition lineage + idempotent resume (replaces the reference's
+  DuckDB job-state tables, llm_food/app.py:156-208),
+- training-data-pipeline operators: dedup (exact/minhash/simhash/jaccard),
+  embedding similarity search, text quality stats, language id.
+"""
+
+__version__ = "0.1.0"

@@ -1,0 +1,6 @@
+"""Pure-Python document functions (no Spark imports).
+
+Everything in this subpackage is a deterministic function of its input
+bytes/strings so the pandas-UDF layer in ``llm_food_spark.operators`` can
+call it per Arrow batch and distribution cannot change results.
+"""

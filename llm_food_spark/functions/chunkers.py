@@ -1,0 +1,162 @@
+"""Deterministic text chunkers: token / sentence / recursive.
+
+From-scratch analogues of the reference's chonkie-backed strategies
+(/root/reference/llm_food/app.py:406-430, dispatch table 413-417; defaults
+token/512/128 from models.py:9-11). Semantics re-derived, not copied:
+
+- tokens are ``\\S+`` runs; chunk text is the original-text slice from the
+  first to the last token of the window (whitespace inside preserved),
+- token strategy: sliding window, stride = chunk_size - chunk_overlap,
+- sentence strategy: split at ``(?<=[.!?])\\s+``, greedy packing up to
+  chunk_size tokens, overlap = trailing sentences worth <= chunk_overlap
+  tokens,
+- recursive strategy: paragraph → line → sentence → token hierarchy,
+  NO overlap parameter — mirroring the reference omitting it
+  (llm_food/app.py:419-420),
+- parameter validation identical to models.py:27-36
+  (size > 0, overlap >= 0, overlap < size).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import List, Tuple
+
+_TOKEN_RE = re.compile(r"\S+")
+_SENT_RE = re.compile(r"(?<=[.!?])\s+")
+
+DEFAULT_CHUNK_STRATEGY = "token"
+DEFAULT_CHUNK_SIZE = 512
+DEFAULT_CHUNK_OVERLAP = 128
+
+
+def validate_chunk_params(strategy: str, chunk_size: int, chunk_overlap: int) -> None:
+    """Raise ValueError on invalid params (parity: models.py:27-36 plus the
+    Field constraints gt=0 / ge=0)."""
+    if strategy not in ("token", "sentence", "recursive"):
+        raise ValueError("unknown chunk strategy %r" % strategy)
+    if chunk_size <= 0:
+        raise ValueError("chunk_size (%d) must be > 0" % chunk_size)
+    if chunk_overlap < 0:
+        raise ValueError("chunk_overlap (%d) must be >= 0" % chunk_overlap)
+    if strategy != "recursive" and chunk_overlap >= chunk_size:
+        raise ValueError(
+            "chunk_overlap (%d) must be less than chunk_size (%d)"
+            % (chunk_overlap, chunk_size)
+        )
+
+
+def _token_spans(text: str) -> List[Tuple[int, int]]:
+    return [m.span() for m in _TOKEN_RE.finditer(text)]
+
+
+def count_tokens(text: str) -> int:
+    return len(_TOKEN_RE.findall(text))
+
+
+def chunk_token(text: str, chunk_size: int, chunk_overlap: int) -> List[str]:
+    spans = _token_spans(text)
+    if not spans:
+        return []
+    stride = chunk_size - chunk_overlap
+    out: List[str] = []
+    start = 0
+    n = len(spans)
+    while start < n:
+        end = min(start + chunk_size, n)
+        out.append(text[spans[start][0] : spans[end - 1][1]])
+        if end == n:
+            break
+        start += stride
+    return out
+
+
+def chunk_sentence(text: str, chunk_size: int, chunk_overlap: int) -> List[str]:
+    sentences = [s for s in _SENT_RE.split(text) if s.strip()]
+    if not sentences:
+        return []
+    counts = [count_tokens(s) for s in sentences]
+    out: List[str] = []
+    i = 0
+    n = len(sentences)
+    while i < n:
+        j = i
+        total = 0
+        while j < n and (j == i or total + counts[j] <= chunk_size):
+            total += counts[j]
+            j += 1
+        out.append(" ".join(sentences[i:j]))
+        if j >= n:
+            break
+        # overlap: step back over trailing sentences totalling <= overlap tokens
+        back = j
+        otot = 0
+        while back > i + 1 and otot + counts[back - 1] <= chunk_overlap:
+            otot += counts[back - 1]
+            back -= 1
+        i = back
+    return out
+
+
+_RECURSIVE_SEPARATORS = ["\n\n", "\n", _SENT_RE, " "]
+
+
+def chunk_recursive(text: str, chunk_size: int) -> List[str]:
+    """Hierarchical splitter: try coarser separators first, pack greedily."""
+
+    def split_by(t: str, sep) -> List[str]:
+        if isinstance(sep, str):
+            parts = t.split(sep)
+        else:
+            parts = sep.split(t)
+        return [p for p in parts if p.strip()]
+
+    def recurse(t: str, level: int) -> List[str]:
+        if count_tokens(t) <= chunk_size:
+            return [t.strip()] if t.strip() else []
+        if level >= len(_RECURSIVE_SEPARATORS):
+            # token fallback: hard windows with no overlap
+            return chunk_token(t, chunk_size, 0)
+        parts = split_by(t, _RECURSIVE_SEPARATORS[level])
+        if len(parts) <= 1:
+            return recurse(t, level + 1)
+        joiner = _RECURSIVE_SEPARATORS[level] if isinstance(
+            _RECURSIVE_SEPARATORS[level], str
+        ) else " "
+        out: List[str] = []
+        acc: List[str] = []
+        acc_tokens = 0
+        for part in parts:
+            ptok = count_tokens(part)
+            if ptok > chunk_size:
+                if acc:
+                    out.append(joiner.join(acc).strip())
+                    acc, acc_tokens = [], 0
+                out.extend(recurse(part, level + 1))
+            elif acc_tokens + ptok <= chunk_size:
+                acc.append(part)
+                acc_tokens += ptok
+            else:
+                out.append(joiner.join(acc).strip())
+                acc, acc_tokens = [part], ptok
+        if acc:
+            out.append(joiner.join(acc).strip())
+        return [c for c in out if c]
+
+    return recurse(text, 0)
+
+
+def chunk_text(
+    text: str,
+    strategy: str = DEFAULT_CHUNK_STRATEGY,
+    chunk_size: int = DEFAULT_CHUNK_SIZE,
+    chunk_overlap: int = DEFAULT_CHUNK_OVERLAP,
+) -> List[str]:
+    """Dispatch mirroring llm_food/app.py:413-420 (recursive takes no
+    overlap)."""
+    validate_chunk_params(strategy, chunk_size, chunk_overlap)
+    if strategy == "token":
+        return chunk_token(text, chunk_size, chunk_overlap)
+    if strategy == "sentence":
+        return chunk_sentence(text, chunk_size, chunk_overlap)
+    return chunk_recursive(text, chunk_size)

@@ -1,0 +1,106 @@
+"""Per-document extraction dispatch: sniff → route → extract → assemble.
+
+Single-process analogue of the reference's `_process_file_content`
+(/root/reference/llm_food/app.py:354-379) + the auto PDF routing
+(/root/reference/llm_food/app.py:333-351) + the record-and-continue error
+semantics (sentinel strings at llm_food/app.py:221,228,248,258 and the batch
+status handling at llm_food/app.py:915-935). Differences by design
+(north_rule): no Gemini/OCR — scanned PDFs take the raw-text fallback and are
+flagged ``scanned_lowconf``; errors become status/error columns, never
+exceptions.
+
+The same function drives the Spark operator (one call per row inside an
+Arrow batch) and the golden-fixture tests, so distribution cannot change
+results.
+"""
+
+from __future__ import annotations
+
+from typing import List, NamedTuple, Optional
+
+from .html_extract import extract_html_markdown
+from .ooxml import extract_docx_texts, extract_pptx_texts
+from .pdf_classify import is_text_based_pdf
+from .pdf_parser import PdfDocument, PdfError
+from .rtf import extract_rtf_texts
+from .sniff import sniff_content_type
+
+PAGE_SEPARATOR = "\n\n---\n\n"  # parity: llm_food/app.py:938, 1256-1258
+
+STATUS_OK = "completed"
+STATUS_FAILED = "failed"
+STATUS_OVERSIZE = "oversize"
+STATUS_SCANNED = "scanned_lowconf"
+STATUS_UNSUPPORTED = "unsupported"
+
+
+class ExtractResult(NamedTuple):
+    content_type: str
+    texts: List[str]
+    markdown: str
+    n_sections: int
+    status: str
+    error_message: Optional[str]
+
+
+def _ok(ctype: str, texts: List[str], status: str = STATUS_OK) -> ExtractResult:
+    md = PAGE_SEPARATOR.join(texts)
+    return ExtractResult(ctype, texts, md, len(texts), status, None)
+
+
+def _fail(ctype: str, msg: str) -> ExtractResult:
+    return ExtractResult(ctype, [], "", 0, STATUS_FAILED, msg[:500])
+
+
+def extract_document(
+    content: bytes,
+    max_bytes: Optional[int] = None,
+) -> ExtractResult:
+    """Extract one payload. Never raises."""
+    if content is None or len(content) == 0:
+        # reference: empty content -> 400 (llm_food/app.py:485-486)
+        return _fail("empty", "Empty payload")
+    if max_bytes is not None and len(content) > max_bytes:
+        # reference: 413 reject (llm_food/app.py:386-391); batch semantics keep the row
+        return ExtractResult(
+            "oversize", [], "", 0, STATUS_OVERSIZE,
+            "payload %d bytes exceeds limit %d" % (len(content), max_bytes),
+        )
+    ctype = sniff_content_type(content)
+    try:
+        if ctype == "html":
+            return _ok("html", [extract_html_markdown(content)])
+        if ctype == "pdf":
+            return _extract_pdf(content)
+        if ctype == "rtf":
+            return _ok("rtf", extract_rtf_texts(content))
+        if ctype == "docx":
+            return _ok("docx", extract_docx_texts(content))
+        if ctype == "pptx":
+            return _ok("pptx", extract_pptx_texts(content))
+        return ExtractResult(
+            ctype, [], "", 0, STATUS_UNSUPPORTED,
+            "Unsupported file type encountered",  # llm_food/app.py:379
+        )
+    except Exception as e:  # record-and-continue: llm_food/app.py:915-935
+        return _fail(ctype, "Error processing %s: %s" % (ctype.upper(), e))
+
+
+def _extract_pdf(content: bytes) -> ExtractResult:
+    """Auto routing parity with llm_food/app.py:333-351: classify; text-based
+    → layout markdown; scanned (or classification failure) → fallback. The
+    reference's fallback is Gemini OCR; per north_rule ours is raw per-page
+    text flagged scanned_lowconf."""
+    try:
+        doc = PdfDocument(content)
+    except PdfError as e:
+        return _fail("pdf", "Error processing PDF: %s" % e)
+    try:
+        is_text = is_text_based_pdf(doc)
+    except Exception:
+        is_text = False  # detection failure ⇒ scanned (llm_food/app.py:342-344)
+    if is_text:
+        texts = [doc.to_markdown(i, detect_headings=True) for i in range(doc.page_count())]
+        return _ok("pdf", texts)
+    texts = [doc.extract_text(i) for i in range(doc.page_count())]
+    return _ok("pdf", texts, status=STATUS_SCANNED)

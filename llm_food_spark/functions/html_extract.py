@@ -1,0 +1,139 @@
+"""Main-content extraction: boilerplate stripping over the element tree.
+
+From-scratch replacement for the reference's ``trafilatura.extract(html,
+output_format="markdown")`` call (reference: llm_food/app.py:252-259 and the
+inline URL path at llm_food/app.py:490-491). Strategy is readability-style:
+
+1. drop non-content elements by tag (script/style/nav/aside/header/footer…),
+2. drop elements whose class/id matches a negative boilerplate pattern,
+3. drop link-farm containers by link density (anchor chars / text chars),
+4. pick the main container (<article> with most text, else <main>, else body),
+5. serialize to the frozen markdown dialect.
+
+Decode semantics match the reference exactly: ``bytes.decode("utf-8",
+errors="ignore")`` (llm_food/app.py:255) and an empty extraction returns
+``""`` — never None (llm_food/app.py:257,491).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Tuple
+
+from .html_parser import Element, Text, parse_html
+from .markdown import serialize
+
+# tags that never carry main content
+_DROP_TAGS = frozenset(
+    "script style noscript template iframe svg canvas object embed form "
+    "button input select option textarea nav aside header footer menu "
+    "dialog".split()
+)
+
+# readability-style negative class/id signal
+_NEG_PATTERN = re.compile(
+    r"(?:^|[\s_-])(nav|navbar|menu|footer|header|banner|cookie|consent|gdpr|"
+    r"advert\w*|ads?|sponsor\w*|promo\w*|share|sharing|social|sidebar|widget|"
+    r"breadcrumbs?|pagination|pager|comments?|related|recommend\w*|popup|"
+    r"modal|overlay|subscribe|newsletter|signup|login|masthead|skyscraper|"
+    r"outbrain|taboola)(?:$|[\s_-])",
+    re.IGNORECASE,
+)
+
+# containers eligible for link-density pruning
+_CONTAINER_TAGS = frozenset("div section ul ol dl table span p".split())
+
+_PROTECTED = frozenset(("body", "html", "main", "article", "#document"))
+
+
+def _text_stats(node: Element) -> Tuple[int, int, int]:
+    """Return (text_chars, link_text_chars, n_links) for the subtree."""
+    text_len = 0
+    link_len = 0
+    n_links = 0
+    stack = [(node, False)]
+    while stack:
+        cur, in_link = stack.pop()
+        if isinstance(cur, Text):
+            stripped = cur.data.strip()
+            text_len += len(stripped)
+            if in_link:
+                link_len += len(stripped)
+            continue
+        is_link = in_link or cur.tag == "a"
+        if cur.tag == "a":
+            n_links += 1
+        for c in cur.children:
+            stack.append((c, is_link))
+    return text_len, link_len, n_links
+
+
+def _is_negative(node: Element) -> bool:
+    if node.tag in _PROTECTED:
+        return False
+    blob = (node.classes + " " + node.elem_id).strip()
+    return bool(blob) and bool(_NEG_PATTERN.search(blob))
+
+
+def _prune(node: Element) -> None:
+    """In-place removal of boilerplate children (recursive, deterministic)."""
+    kept = []
+    for child in node.children:
+        if isinstance(child, Text):
+            kept.append(child)
+            continue
+        if child.tag in _DROP_TAGS:
+            continue
+        if _is_negative(child):
+            continue
+        if child.tag in _CONTAINER_TAGS:
+            text_len, link_len, n_links = _text_stats(child)
+            if text_len > 0:
+                density = link_len / text_len
+                # link farms: many links and mostly anchor text
+                if (n_links >= 3 and density > 0.55) or (
+                    n_links >= 2 and density > 0.9
+                ):
+                    continue
+        _prune(child)
+        kept.append(child)
+    node.children = kept
+
+
+def _pick_main(root: Element) -> Element:
+    articles = [n for n in root.iter() if n.tag == "article"]
+    if articles:
+        # the article with the most text wins; ties by document order
+        best = None
+        best_len = -1
+        for a in articles:
+            tlen = _text_stats(a)[0]
+            if tlen > best_len:
+                best, best_len = a, tlen
+        return best
+    for tag in ("main", "body"):
+        for n in root.iter():
+            if n.tag == tag:
+                return n
+    return root
+
+
+def extract_html_markdown(content: bytes) -> str:
+    """bytes → main-content markdown ('' when nothing survives pruning).
+
+    Mirrors the reference contract of llm_food/app.py:252-259: utf-8
+    ignore-errors decode, empty-not-None result, exceptions surface to the
+    caller (the operator layer converts them to status rows, the analogue
+    of the sentinel strings at llm_food/app.py:258).
+    """
+    text = content.decode("utf-8", errors="ignore")
+    root = parse_html(text)
+    main = _pick_main(root)
+    _prune(main)
+    return serialize(main)
+
+
+def extract_html_texts(content: bytes) -> list:
+    """List-of-sections contract of the reference extractor: a singleton
+    list for HTML (llm_food/app.py:252-259)."""
+    return [extract_html_markdown(content)]

@@ -1,0 +1,237 @@
+"""Tolerant HTML tokenizer + element-tree builder (pure Python, stdlib only).
+
+From-scratch analogue of the DOM stage the reference delegates to
+``trafilatura.extract`` (reference: llm_food/app.py:252-259). Handles
+unclosed tags, stray end tags, raw-text elements (script/style), comments,
+doctypes and CDATA deterministically — malformed input never raises.
+"""
+
+from __future__ import annotations
+
+import html as _htmlmod
+import re
+from typing import Dict, List, Optional, Union
+
+VOID_ELEMENTS = frozenset(
+    "area base br col embed hr img input link meta param source track wbr".split()
+)
+
+RAW_TEXT_ELEMENTS = frozenset("script style textarea title".split())
+
+MAX_DEPTH = 240  # nesting cap: deeper elements attach flat (see parse_html)
+
+# Opening any of these implicitly closes an open <p>.
+_P_CLOSERS = frozenset(
+    "address article aside blockquote details dialog dd div dl dt fieldset "
+    "figcaption figure footer form h1 h2 h3 h4 h5 h6 header hgroup hr main "
+    "menu nav ol p pre section table ul".split()
+)
+
+# inline formatting tags an implicit close may scan through
+_INLINE_SKIP = frozenset(
+    "a b i u s em strong span code small sub sup mark font kbd samp tt "
+    "abbr cite q time var del ins".split()
+)
+
+# tag -> (targets closed implicitly, scope boundaries that stop the scan).
+# boundaries=None means "only scan through inline tags" (the <p> rule).
+_IMPLICIT_CLOSE = {
+    "li": (frozenset(["li"]), frozenset(["ul", "ol"])),
+    "dt": (frozenset(["dt", "dd"]), frozenset(["dl"])),
+    "dd": (frozenset(["dt", "dd"]), frozenset(["dl"])),
+    "tr": (frozenset(["tr"]), frozenset(["table", "thead", "tbody", "tfoot"])),
+    "td": (frozenset(["td", "th"]), frozenset(["tr", "table"])),
+    "th": (frozenset(["td", "th"]), frozenset(["tr", "table"])),
+    "option": (frozenset(["option"]), frozenset(["select"])),
+    "thead": (frozenset(["thead", "tbody", "tfoot"]), frozenset(["table"])),
+    "tbody": (frozenset(["thead", "tbody", "tfoot"]), frozenset(["table"])),
+    "tfoot": (frozenset(["thead", "tbody", "tfoot"]), frozenset(["table"])),
+}
+
+_TAG_RE = re.compile(
+    r"<(/?)([a-zA-Z][a-zA-Z0-9:_-]*)"  # slash, name
+    r"((?:[^>\"']|\"[^\"]*\"|'[^']*')*?)"  # attrs (quote-aware)
+    r"(/?)>",
+    re.DOTALL,
+)
+_ATTR_RE = re.compile(
+    r"([a-zA-Z_:][-a-zA-Z0-9_:.]*)"
+    r"(?:\s*=\s*(\"[^\"]*\"|'[^']*'|[^\s\"'=<>`]+))?"
+)
+_COMMENT_RE = re.compile(r"<!--.*?-->", re.DOTALL)
+_DECL_RE = re.compile(r"<![^>]*>", re.DOTALL)
+_PI_RE = re.compile(r"<\?.*?\?>", re.DOTALL)
+
+
+class Text:
+    __slots__ = ("data",)
+
+    def __init__(self, data: str) -> None:
+        self.data = data
+
+
+class Element:
+    __slots__ = ("tag", "attrs", "children", "parent")
+
+    def __init__(self, tag: str, attrs: Optional[Dict[str, str]] = None) -> None:
+        self.tag = tag
+        self.attrs: Dict[str, str] = attrs or {}
+        self.children: List[Union["Element", Text]] = []
+        self.parent: Optional["Element"] = None
+
+    def append(self, node: Union["Element", Text]) -> None:
+        if isinstance(node, Element):
+            node.parent = self
+        self.children.append(node)
+
+    # -- convenience ---------------------------------------------------
+    def iter(self):
+        """Pre-order traversal over Element descendants (incl. self)."""
+        stack = [self]
+        while stack:
+            node = stack.pop()
+            yield node
+            stack.extend(
+                c for c in reversed(node.children) if isinstance(c, Element)
+            )
+
+    def text_content(self) -> str:
+        parts: List[str] = []
+        stack: List[Union[Element, Text]] = [self]
+        while stack:
+            node = stack.pop()
+            if isinstance(node, Text):
+                parts.append(node.data)
+            else:
+                stack.extend(reversed(node.children))
+        return "".join(parts)
+
+    @property
+    def classes(self) -> str:
+        return self.attrs.get("class", "")
+
+    @property
+    def elem_id(self) -> str:
+        return self.attrs.get("id", "")
+
+
+def _parse_attrs(raw: str) -> Dict[str, str]:
+    attrs: Dict[str, str] = {}
+    for m in _ATTR_RE.finditer(raw):
+        name = m.group(1).lower()
+        val = m.group(2)
+        if val is None:
+            val = ""
+        elif val[:1] in ("'", '"'):
+            val = val[1:-1]
+        if name not in attrs:  # first occurrence wins, deterministically
+            attrs[name] = _htmlmod.unescape(val)
+    return attrs
+
+
+def _implicit_close(stack: List["Element"], targets, boundaries) -> None:
+    """Close the nearest open element in *targets*, scanning from the top of
+    the stack but stopping at scope *boundaries* (or, when boundaries is
+    None, at the first non-inline element — the <p> auto-close rule)."""
+    for i in range(len(stack) - 1, 0, -1):
+        tag = stack[i].tag
+        if tag in targets:
+            del stack[i:]
+            return
+        if boundaries is None:
+            if tag not in _INLINE_SKIP:
+                return
+        elif tag in boundaries:
+            return
+
+
+def parse_html(source: str) -> Element:
+    """Parse *source* into a tree rooted at a synthetic <#document> element.
+
+    Never raises on malformed markup: unknown constructs are skipped, stray
+    end tags ignored, unclosed elements closed at EOF.
+    """
+    root = Element("#document")
+    stack: List[Element] = [root]
+    pos = 0
+    n = len(source)
+
+    def emit_text(chunk: str) -> None:
+        if chunk:
+            stack[-1].append(Text(_htmlmod.unescape(chunk)))
+
+    while pos < n:
+        lt = source.find("<", pos)
+        if lt == -1:
+            emit_text(source[pos:])
+            break
+        if lt > pos:
+            emit_text(source[pos:lt])
+        nxt = source[lt : lt + 2]
+        if nxt == "<!":
+            if source.startswith("<!--", lt):
+                m = _COMMENT_RE.match(source, lt)
+                pos = m.end() if m else n  # unterminated comment swallows rest
+                continue
+            m = _DECL_RE.match(source, lt)
+            pos = m.end() if m else lt + 2
+            continue
+        if nxt == "<?":
+            m = _PI_RE.match(source, lt)
+            pos = m.end() if m else lt + 2
+            continue
+        m = _TAG_RE.match(source, lt)
+        if not m:
+            emit_text("<")
+            pos = lt + 1
+            continue
+        closing, name, rawattrs, selfclose = m.groups()
+        name = name.lower()
+        pos = m.end()
+
+        if closing:
+            # pop to the matching open element; ignore stray end tags
+            for i in range(len(stack) - 1, 0, -1):
+                if stack[i].tag == name:
+                    del stack[i:]
+                    break
+            continue
+
+        # implicit closes (scope-aware: never pop past a boundary element)
+        if name in _P_CLOSERS:
+            _implicit_close(stack, frozenset(["p"]), None)
+        rule = _IMPLICIT_CLOSE.get(name)
+        if rule:
+            _implicit_close(stack, rule[0], rule[1])
+
+        elem = Element(name, _parse_attrs(rawattrs))
+        stack[-1].append(elem)
+
+        if name in RAW_TEXT_ELEMENTS and not selfclose:
+            end_re = re.compile(r"</%s\s*>" % re.escape(name), re.IGNORECASE)
+            em = end_re.search(source, pos)
+            if em:
+                elem.append(Text(source[pos : em.start()]))
+                pos = em.end()
+            else:
+                elem.append(Text(source[pos:]))
+                pos = n
+            continue
+
+        if not selfclose and name not in VOID_ELEMENTS and len(stack) < MAX_DEPTH:
+            # beyond MAX_DEPTH, elements attach flat instead of nesting, so
+            # adversarially deep pages stay within recursion limits downstream
+            stack.append(elem)
+
+    return root
+
+
+def find_first(root: Element, tag: str) -> Optional[Element]:
+    for node in root.iter():
+        if node.tag == tag:
+            return node
+    return None
+
+
+def find_all(root: Element, tag: str) -> List[Element]:
+    return [node for node in root.iter() if node.tag == tag]

@@ -1,0 +1,223 @@
+"""Deterministic element-tree → Markdown serializer.
+
+Shared by the HTML extractor (reference behavior site: trafilatura call at
+llm_food/app.py:252-259) and the DOCX branch (llm_food/app.py:215-222,
+mammoth+markdownify there). The dialect is OURS — frozen by the golden
+fixtures in fixtures/golden/ — and is stable under any partitioning:
+no dict-order or float formatting enters the output.
+
+Spec:
+- blocks joined by a blank line ("\n\n"); final output ``.strip()``-ed
+- h1..h6 -> "#"*n + " " + inline
+- p -> inline; <br> inside inline -> newline
+- ul -> "- item" lines; ol -> "1. item" (real ordinals); nesting indents 2sp
+- table -> pipe table, first row is header, "---" separator row
+- pre -> fenced code block; blockquote -> "> " prefixed lines; hr -> "---"
+- inline: **bold** *italic* `code` [text](href); images dropped
+- whitespace runs collapse to a single space outside <pre>
+"""
+
+from __future__ import annotations
+
+import re
+from typing import List, Union
+
+from .html_parser import Element, Text
+
+_WS_RE = re.compile(r"[ \t\r\n\f\v]+")
+
+_HEADINGS = {"h1": 1, "h2": 2, "h3": 3, "h4": 4, "h5": 5, "h6": 6}
+_SKIP = frozenset(
+    "script style noscript template iframe svg canvas object embed "
+    "img picture video audio source track map area input button select "
+    "option textarea label meta link base".split()
+)
+_BLOCKISH = frozenset(
+    "p div section article main body header footer nav aside blockquote "
+    "pre table ul ol dl li dt dd h1 h2 h3 h4 h5 h6 hr figure figcaption "
+    "address fieldset form tr td th thead tbody tfoot caption details "
+    "summary".split()
+)
+
+
+def _collapse(s: str) -> str:
+    return _WS_RE.sub(" ", s)
+
+
+def _inline(node: Union[Element, Text]) -> str:
+    """Render a node in inline context."""
+    if isinstance(node, Text):
+        return _collapse(node.data)
+    tag = node.tag
+    if tag in _SKIP:
+        return ""
+    if tag == "br":
+        return "\n"
+    inner = "".join(_inline(c) for c in node.children)
+    if tag in ("b", "strong"):
+        core = inner.strip()
+        return " **%s** " % core if core else ""
+    if tag in ("i", "em"):
+        core = inner.strip()
+        return " *%s* " % core if core else ""
+    if tag in ("code", "kbd", "samp", "tt"):
+        core = inner.strip()
+        return " `%s` " % core if core else ""
+    if tag == "a":
+        href = node.attrs.get("href", "")
+        text = inner.strip()
+        if not text:
+            return ""
+        if not href or href.startswith(("javascript:", "#")):
+            return text
+        return "[%s](%s)" % (text, href)
+    return inner
+
+
+_PUNCT_FIX_RE = re.compile(r" +([,.;:!?)\]])")
+_OPEN_FIX_RE = re.compile(r"([(\[]) +")
+
+
+def _tidy_inline(s: str) -> str:
+    """Normalize spaces introduced around inline markup; keep \n from <br>."""
+    lines = []
+    for ln in s.split("\n"):
+        ln = _WS_RE.sub(" ", ln).strip()
+        ln = _PUNCT_FIX_RE.sub(r"\1", ln)
+        ln = _OPEN_FIX_RE.sub(r"\1", ln)
+        lines.append(ln)
+    out = "\n".join(lines)
+    # drop leading/trailing blank lines but keep interior breaks
+    return out.strip("\n").strip() if "\n" not in out else out.strip()
+
+
+def _render_list(node: Element, depth: int, ordered: bool) -> str:
+    lines: List[str] = []
+    idx = 0
+    for child in node.children:
+        if not isinstance(child, Element) or child.tag != "li":
+            continue
+        idx += 1
+        marker = ("%d. " % idx) if ordered else "- "
+        sublists: List[str] = []
+        inline_parts: List[str] = []
+        for sub in child.children:
+            if isinstance(sub, Element) and sub.tag in ("ul", "ol"):
+                sublists.append(
+                    _render_list(sub, depth + 1, sub.tag == "ol")
+                )
+            elif isinstance(sub, Element) and sub.tag == "p":
+                inline_parts.append(_inline(sub))
+            else:
+                inline_parts.append(_inline(sub))
+        head = _tidy_inline("".join(inline_parts)).replace("\n", " ")
+        if head or sublists:
+            lines.append("  " * depth + marker + head)
+            lines.extend(s for s in sublists if s)
+    return "\n".join(lines)
+
+
+def _render_table(node: Element) -> str:
+    rows: List[List[str]] = []
+    for tr in (n for n in node.iter() if n.tag == "tr"):
+        cells = [
+            _tidy_inline(_inline(c)).replace("\n", " ").replace("|", "\\|")
+            for c in tr.children
+            if isinstance(c, Element) and c.tag in ("td", "th")
+        ]
+        if cells:
+            rows.append(cells)
+    if not rows:
+        return ""
+    width = max(len(r) for r in rows)
+    for r in rows:
+        r.extend([""] * (width - len(r)))
+    out = ["| " + " | ".join(rows[0]) + " |"]
+    out.append("| " + " | ".join(["---"] * width) + " |")
+    for r in rows[1:]:
+        out.append("| " + " | ".join(r) + " |")
+    return "\n".join(out)
+
+
+def _blocks(node: Element, out: List[str]) -> None:
+    """Walk *node*'s children, appending finished markdown blocks to *out*."""
+    pending: List[str] = []
+
+    def flush() -> None:
+        if pending:
+            text = _tidy_inline("".join(pending))
+            if text:
+                out.append(text)
+            pending.clear()
+
+    for child in node.children:
+        if isinstance(child, Text):
+            pending.append(_collapse(child.data))
+            continue
+        tag = child.tag
+        if tag in _SKIP:
+            continue
+        if tag in _HEADINGS:
+            flush()
+            text = _tidy_inline(_inline_children(child)).replace("\n", " ")
+            if text:
+                out.append("#" * _HEADINGS[tag] + " " + text)
+        elif tag == "p":
+            flush()
+            text = _tidy_inline(_inline_children(child))
+            if text:
+                out.append(text)
+        elif tag in ("ul", "ol"):
+            flush()
+            block = _render_list(child, 0, tag == "ol")
+            if block:
+                out.append(block)
+        elif tag == "table":
+            flush()
+            block = _render_table(child)
+            if block:
+                out.append(block)
+        elif tag == "pre":
+            flush()
+            raw = child.text_content().strip("\n")
+            out.append("```\n%s\n```" % raw.rstrip())
+        elif tag == "blockquote":
+            flush()
+            inner: List[str] = []
+            _blocks(child, inner)
+            if inner:
+                quoted = "\n\n".join(inner)
+                out.append(
+                    "\n".join("> " + ln if ln else ">" for ln in quoted.split("\n"))
+                )
+        elif tag == "hr":
+            flush()
+            out.append("---")
+        elif tag in ("dt",):
+            flush()
+            text = _tidy_inline(_inline_children(child))
+            if text:
+                out.append("**%s**" % text)
+        elif tag in ("dd",):
+            flush()
+            text = _tidy_inline(_inline_children(child))
+            if text:
+                out.append(text)
+        elif tag in _BLOCKISH:
+            flush()
+            _blocks(child, out)
+        else:
+            # inline element at block level (a, span, b, ...)
+            pending.append(_inline(child))
+    flush()
+
+
+def _inline_children(node: Element) -> str:
+    return "".join(_inline(c) for c in node.children)
+
+
+def serialize(root: Element) -> str:
+    """Serialize an element tree to the frozen markdown dialect."""
+    out: List[str] = []
+    _blocks(root, out)
+    return "\n\n".join(out).strip()

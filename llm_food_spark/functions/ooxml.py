@@ -1,0 +1,87 @@
+"""DOCX and PPTX extraction via stdlib zipfile + ElementTree (from scratch).
+
+Reference behavior being re-derived:
+- DOCX: mammoth HTML conversion + markdownify
+  (/root/reference/llm_food/app.py:215-222) — here: parse
+  word/document.xml directly, map paragraph styles (Heading1..6, lists)
+  and run formatting (bold/italic) to the same frozen markdown dialect.
+- PPTX: python-pptx shape-text join per slide
+  (/root/reference/llm_food/app.py:232-249) — here: parse
+  ppt/slides/slideN.xml, join <a:t> text per paragraph with "\\n" per
+  slide, drop empty slides, all-empty → [""].
+"""
+
+from __future__ import annotations
+
+import re
+import zipfile
+import xml.etree.ElementTree as ET
+from io import BytesIO
+from typing import List
+
+_W = "{http://schemas.openxmlformats.org/wordprocessingml/2006/main}"
+_A = "{http://schemas.openxmlformats.org/drawingml/2006/main}"
+
+_HEADING_RE = re.compile(r"^[Hh]eading(\d)$")
+
+
+def extract_docx_texts(content: bytes) -> List[str]:
+    """DOCX → singleton markdown list (contract of llm_food/app.py:215-222)."""
+    with zipfile.ZipFile(BytesIO(content)) as zf:
+        xml_bytes = zf.read("word/document.xml")
+    root = ET.fromstring(xml_bytes)
+    blocks: List[str] = []
+    for para in root.iter(_W + "p"):
+        style = ""
+        ppr = para.find(_W + "pPr")
+        if ppr is not None:
+            pstyle = ppr.find(_W + "pStyle")
+            if pstyle is not None:
+                style = pstyle.get(_W + "val", "")
+        parts: List[str] = []
+        for run in para.iter(_W + "r"):
+            rpr = run.find(_W + "rPr")
+            bold = italic = False
+            if rpr is not None:
+                bold = rpr.find(_W + "b") is not None
+                italic = rpr.find(_W + "i") is not None
+            text = "".join(t.text or "" for t in run.iter(_W + "t"))
+            text += "\n" * len(list(run.iter(_W + "br")))
+            if not text:
+                continue
+            if bold:
+                text = "**%s**" % text
+            elif italic:
+                text = "*%s*" % text
+            parts.append(text)
+        line = "".join(parts).strip()
+        if not line:
+            continue
+        m = _HEADING_RE.match(style)
+        if m:
+            line = "#" * min(int(m.group(1)), 6) + " " + line
+        elif style in ("ListParagraph", "ListBullet"):
+            line = "- " + line
+        blocks.append(line)
+    return ["\n\n".join(blocks).strip()]
+
+
+def extract_pptx_texts(content: bytes) -> List[str]:
+    """PPTX → one text per non-empty slide, or [""] (llm_food/app.py:232-249)."""
+    with zipfile.ZipFile(BytesIO(content)) as zf:
+        slide_names = sorted(
+            (n for n in zf.namelist() if re.fullmatch(r"ppt/slides/slide\d+\.xml", n)),
+            key=lambda n: int(re.search(r"(\d+)\.xml$", n).group(1)),
+        )
+        slide_texts: List[str] = []
+        for name in slide_names:
+            root = ET.fromstring(zf.read(name))
+            # one line per paragraph (<a:p>), mirroring shape.text semantics
+            para_texts: List[str] = []
+            for p in root.iter(_A + "p"):
+                txt = "".join(t.text or "" for t in p.iter(_A + "t"))
+                para_texts.append(txt)
+            text_on_slide = "\n".join(t for t in para_texts if t)
+            if text_on_slide:
+                slide_texts.append(text_on_slide)
+    return slide_texts if slide_texts else [""]

@@ -1,0 +1,62 @@
+"""PDF text-vs-scanned classifier — arithmetic identical to the reference.
+
+Parity sites (/root/reference/llm_food/pdf_utils.py):
+- sample size  = clamp(ceil(sqrt(pages)), min, max)      (pdf_utils.py:16-30)
+- indices      = [int(i * pages/sample) for i in range(sample)]  (33-38)
+- page is texty when len(text.split()) >= word_threshold        (63-65)
+- doc is text-based when texty_pages >= sampled * text_ratio    (68)
+- 0 pages -> False                                              (51-52)
+
+Defaults mirror /root/reference/llm_food/config.py:56-69:
+PDF_SAMPLE_MIN=2, PDF_SAMPLE_MAX=20, PDF_WORD_THRESHOLD=75, PDF_TEXT_RATIO=0.7.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import List
+
+from .pdf_parser import PdfDocument
+
+PDF_SAMPLE_MIN = 2
+PDF_SAMPLE_MAX = 20
+PDF_WORD_THRESHOLD = 75
+PDF_TEXT_RATIO = 0.7
+
+
+def calculate_sample_size(
+    total_pages: int,
+    min_sample: int = PDF_SAMPLE_MIN,
+    max_sample: int = PDF_SAMPLE_MAX,
+) -> int:
+    if total_pages <= min_sample:
+        return total_pages
+    sample = max(min_sample, math.ceil(math.sqrt(total_pages)))
+    return min(sample, max_sample)
+
+
+def get_sample_page_indices(total_pages: int, sample_size: int) -> List[int]:
+    if sample_size >= total_pages:
+        return list(range(total_pages))
+    step = total_pages / sample_size
+    return [int(i * step) for i in range(sample_size)]
+
+
+def is_text_based_pdf(
+    doc: PdfDocument,
+    word_threshold: int = PDF_WORD_THRESHOLD,
+    text_ratio: float = PDF_TEXT_RATIO,
+    min_sample: int = PDF_SAMPLE_MIN,
+    max_sample: int = PDF_SAMPLE_MAX,
+) -> bool:
+    total_pages = doc.page_count()
+    if total_pages == 0:
+        return False
+    sample_size = calculate_sample_size(total_pages, min_sample, max_sample)
+    indices = get_sample_page_indices(total_pages, sample_size)
+    text_page_count = 0
+    for idx in indices:
+        text = doc.extract_text(idx)
+        if len(text.split()) >= word_threshold:
+            text_page_count += 1
+    return text_page_count >= len(indices) * text_ratio

@@ -1,0 +1,533 @@
+"""From-scratch PDF text extraction + layout reconstruction (pure Python).
+
+Replaces the reference's pdf_oxide backend (/root/reference/llm_food/
+pdf_utils.py:48-49,71-75: ``PdfDocument(path)``, ``page_count()``,
+``extract_text(i)``, ``to_markdown(i, detect_headings=True)``) with a
+stdlib-only implementation:
+
+- object-level parser (dicts, arrays, strings, names, refs, streams),
+  xref-independent: objects are discovered by scanning ``N G obj`` markers,
+  which also survives mildly corrupt xref tables;
+- FlateDecode via zlib;
+- content-stream interpreter for the text operators
+  BT/ET, Tf, Td, TD, TL, Tm, T*, Tj, TJ, ', " — producing glyph runs
+  with (x, y, size);
+- layout reconstruction: line clustering by y, column detection by x-gap,
+  block clustering by leading, reading order (left column first, top-down),
+  heading detection by font-size rank — serialized to markdown.
+
+Malformed input raises ``PdfError``; the operator layer converts that into
+``status='failed'`` rows (the analogue of the reference's sentinel strings,
+/root/reference/llm_food/app.py:271-276).
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+from typing import Any, Dict, List, Optional, Tuple
+
+
+class PdfError(ValueError):
+    pass
+
+
+class Ref:
+    __slots__ = ("num",)
+
+    def __init__(self, num: int) -> None:
+        self.num = num
+
+
+class Stream:
+    __slots__ = ("dict", "raw")
+
+    def __init__(self, d: Dict[str, Any], raw: bytes) -> None:
+        self.dict = d
+        self.raw = raw
+
+    def data(self) -> bytes:
+        filt = self.dict.get("Filter")
+        if filt is None:
+            return self.raw
+        filters = filt if isinstance(filt, list) else [filt]
+        out = self.raw
+        for f in filters:
+            if f == "FlateDecode":
+                try:
+                    out = zlib.decompress(out)
+                except zlib.error as e:
+                    raise PdfError("bad FlateDecode stream: %s" % e)
+            else:
+                raise PdfError("unsupported filter %r" % f)
+        return out
+
+
+_WS = b"\x00\t\n\x0c\r "
+_DELIM = b"()<>[]{}/%"
+_NUM_RE = re.compile(rb"[+-]?(?:\d+\.?\d*|\.\d+)")
+_OBJ_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b")
+
+
+class _Lexer:
+    """Token reader over PDF object syntax."""
+
+    def __init__(self, data: bytes, pos: int = 0) -> None:
+        self.data = data
+        self.pos = pos
+
+    def _skip_ws(self) -> None:
+        d, n = self.data, len(self.data)
+        while self.pos < n:
+            c = self.data[self.pos : self.pos + 1]
+            if c in (b"\x00", b"\t", b"\n", b"\x0c", b"\r", b" "):
+                self.pos += 1
+            elif c == b"%":  # comment to EOL
+                nl = d.find(b"\n", self.pos)
+                self.pos = n if nl == -1 else nl + 1
+            else:
+                return
+
+    def parse_object(self) -> Any:
+        self._skip_ws()
+        d = self.data
+        if self.pos >= len(d):
+            raise PdfError("unexpected EOF")
+        c = d[self.pos : self.pos + 1]
+        if c == b"<":
+            if d[self.pos : self.pos + 2] == b"<<":
+                return self._parse_dict_or_stream()
+            return self._parse_hex_string()
+        if c == b"(":
+            return self._parse_literal_string()
+        if c == b"[":
+            self.pos += 1
+            arr: List[Any] = []
+            while True:
+                self._skip_ws()
+                if d[self.pos : self.pos + 1] == b"]":
+                    self.pos += 1
+                    return arr
+                arr.append(self.parse_object())
+        if c == b"/":
+            return self._parse_name()
+        if c in b"+-.0123456789":
+            return self._parse_number_or_ref()
+        m = re.match(rb"true|false|null", d[self.pos :])
+        if m:
+            tok = m.group(0)
+            self.pos += len(tok)
+            return {b"true": True, b"false": False, b"null": None}[tok]
+        raise PdfError("bad token at %d: %r" % (self.pos, d[self.pos : self.pos + 8]))
+
+    def _parse_name(self) -> str:
+        self.pos += 1
+        start = self.pos
+        d = self.data
+        while self.pos < len(d):
+            ch = d[self.pos]
+            if ch in _WS or bytes([ch]) in b"()<>[]{}/%":
+                break
+            self.pos += 1
+        raw = d[start : self.pos]
+        # #xx escapes
+        if b"#" in raw:
+            raw = re.sub(rb"#([0-9A-Fa-f]{2})", lambda m: bytes([int(m.group(1), 16)]), raw)
+        return raw.decode("latin-1")
+
+    def _parse_number_or_ref(self) -> Any:
+        d = self.data
+        m = _NUM_RE.match(d, self.pos)
+        if not m:
+            raise PdfError("bad number at %d" % self.pos)
+        tok = m.group(0)
+        self.pos = m.end()
+        if b"." in tok:
+            return float(tok)
+        # reference lookahead: <int> <int> R
+        save = self.pos
+        m2 = re.match(rb"\s+(\d+)\s+R\b", d[self.pos :])
+        if m2:
+            self.pos += m2.end()
+            return Ref(int(tok))
+        self.pos = save
+        return int(tok)
+
+    def _parse_literal_string(self) -> bytes:
+        d = self.data
+        self.pos += 1
+        out = bytearray()
+        depth = 1
+        while self.pos < len(d):
+            ch = d[self.pos : self.pos + 1]
+            self.pos += 1
+            if ch == b"\\":
+                esc = d[self.pos : self.pos + 1]
+                self.pos += 1
+                mapping = {b"n": b"\n", b"r": b"\r", b"t": b"\t", b"b": b"\b",
+                           b"f": b"\x0c", b"(": b"(", b")": b")", b"\\": b"\\"}
+                if esc in mapping:
+                    out += mapping[esc]
+                elif esc.isdigit():  # octal up to 3 digits
+                    oct_digits = esc
+                    while len(oct_digits) < 3 and d[self.pos : self.pos + 1].isdigit():
+                        oct_digits += d[self.pos : self.pos + 1]
+                        self.pos += 1
+                    out.append(int(oct_digits, 8) & 0xFF)
+                elif esc in (b"\n", b"\r"):  # line continuation
+                    pass
+                else:
+                    out += esc
+            elif ch == b"(":
+                depth += 1
+                out += ch
+            elif ch == b")":
+                depth -= 1
+                if depth == 0:
+                    return bytes(out)
+                out += ch
+            else:
+                out += ch
+        raise PdfError("unterminated string")
+
+    def _parse_hex_string(self) -> bytes:
+        end = self.data.find(b">", self.pos)
+        if end == -1:
+            raise PdfError("unterminated hex string")
+        hexs = re.sub(rb"\s", b"", self.data[self.pos + 1 : end])
+        self.pos = end + 1
+        if len(hexs) % 2:
+            hexs += b"0"
+        return bytes.fromhex(hexs.decode("ascii"))
+
+    def _parse_dict_or_stream(self) -> Any:
+        d = self.data
+        self.pos += 2
+        obj: Dict[str, Any] = {}
+        while True:
+            self._skip_ws()
+            if d[self.pos : self.pos + 2] == b">>":
+                self.pos += 2
+                break
+            if d[self.pos : self.pos + 1] != b"/":
+                raise PdfError("dict key must be a name at %d" % self.pos)
+            key = self._parse_name()
+            obj[key] = self.parse_object()
+        # stream?
+        save = self.pos
+        self._skip_ws()
+        if d[self.pos : self.pos + 6] == b"stream":
+            self.pos += 6
+            if d[self.pos : self.pos + 2] == b"\r\n":
+                self.pos += 2
+            elif d[self.pos : self.pos + 1] in (b"\n", b"\r"):
+                self.pos += 1
+            length = obj.get("Length")
+            if isinstance(length, int):
+                raw = d[self.pos : self.pos + length]
+                endpos = d.find(b"endstream", self.pos + length)
+            else:  # length indirect/broken: search
+                endpos = d.find(b"endstream", self.pos)
+                raw = d[self.pos : endpos].rstrip(b"\r\n") if endpos != -1 else b""
+            if endpos == -1:
+                raise PdfError("unterminated stream")
+            self.pos = endpos + len(b"endstream")
+            return Stream(obj, raw)
+        self.pos = save
+        return obj
+
+
+class PdfDocument:
+    """Parsed PDF with page-level text access (API mirrors the surface the
+    reference uses from pdf_oxide: page_count/extract_text/to_markdown)."""
+
+    def __init__(self, data: bytes) -> None:
+        if not data.startswith(b"%PDF-"):
+            raise PdfError("missing %PDF- header")
+        self.objects: Dict[int, Any] = {}
+        for m in _OBJ_RE.finditer(data):
+            num = int(m.group(1))
+            lex = _Lexer(data, m.end())
+            try:
+                self.objects[num] = lex.parse_object()
+            except PdfError:
+                continue  # tolerate one bad object; pages referencing it fail later
+        if not self.objects:
+            raise PdfError("no objects found")
+        self.pages: List[Dict[str, Any]] = self._collect_pages(data)
+
+    # -- structure -----------------------------------------------------
+    def resolve(self, obj: Any) -> Any:
+        seen = 0
+        while isinstance(obj, Ref):
+            obj = self.objects.get(obj.num)
+            seen += 1
+            if seen > 32:
+                raise PdfError("reference cycle")
+        return obj
+
+    def _collect_pages(self, data: bytes) -> List[Dict[str, Any]]:
+        root = None
+        tpos = data.rfind(b"trailer")
+        if tpos != -1:
+            try:
+                trailer = _Lexer(data, tpos + len(b"trailer")).parse_object()
+                root = self.resolve(trailer.get("Root"))
+            except PdfError:
+                root = None
+        if root is None:  # fall back: find the catalog by type
+            for obj in self.objects.values():
+                if isinstance(obj, dict) and obj.get("Type") == "Catalog":
+                    root = obj
+                    break
+        if not isinstance(root, dict):
+            raise PdfError("no document catalog")
+        pages_root = self.resolve(root.get("Pages"))
+        out: List[Dict[str, Any]] = []
+
+        def walk(node: Any) -> None:
+            node = self.resolve(node)
+            if not isinstance(node, dict):
+                return
+            if node.get("Type") == "Page":
+                out.append(node)
+            else:
+                for kid in self.resolve(node.get("Kids")) or []:
+                    walk(kid)
+
+        walk(pages_root)
+        if not out:
+            raise PdfError("no pages")
+        return out
+
+    def page_count(self) -> int:
+        return len(self.pages)
+
+    def _content_bytes(self, page: Dict[str, Any]) -> bytes:
+        contents = self.resolve(page.get("Contents"))
+        if contents is None:
+            return b""
+        if isinstance(contents, list):
+            parts = []
+            for c in contents:
+                c = self.resolve(c)
+                if isinstance(c, Stream):
+                    parts.append(c.data())
+            return b"\n".join(parts)
+        if isinstance(contents, Stream):
+            return contents.data()
+        return b""
+
+    # -- text extraction -----------------------------------------------
+    def page_runs(self, index: int) -> List[Tuple[float, float, float, str]]:
+        """Glyph runs (x, y, size, text) for one page, via the text-op
+        state machine."""
+        content = self._content_bytes(self.pages[index])
+        return _interpret_text_ops(content)
+
+    def extract_text(self, index: int) -> str:
+        """Plain text in reading order (for the classifier word counts —
+        parity with pdf_oxide's extract_text usage at pdf_utils.py:64)."""
+        lines = _cluster_lines(self.page_runs(index))
+        ordered = _reading_order(lines)
+        return "\n".join(ln.text for ln in ordered)
+
+    def to_markdown(self, index: int, detect_headings: bool = True) -> str:
+        """Markdown for one page: blocks in reading order, headings by
+        font-size rank (parity surface: pdf_utils.py:75)."""
+        lines = _cluster_lines(self.page_runs(index))
+        if not lines:
+            return ""
+        ordered = _reading_order(lines)
+        blocks = _cluster_blocks(ordered)
+        heading_levels = _heading_levels([ln for ln in ordered], detect_headings)
+        out: List[str] = []
+        for block in blocks:
+            sizes = [ln.size for ln in block]
+            bsize = max(sizes)
+            level = heading_levels.get(_size_key(bsize))
+            text = " ".join(ln.text for ln in block).strip()
+            if not text:
+                continue
+            if level is not None and len(block) <= 2:
+                out.append("#" * level + " " + text)
+            else:
+                out.append(text)
+        return "\n\n".join(out)
+
+
+class _Line:
+    __slots__ = ("x", "y", "size", "text")
+
+    def __init__(self, x: float, y: float, size: float, text: str) -> None:
+        self.x = x
+        self.y = y
+        self.size = size
+        self.text = text
+
+
+def _interpret_text_ops(content: bytes) -> List[Tuple[float, float, float, str]]:
+    """Minimal text-op interpreter. Tracks the text line matrix translation
+    (x, y) and font size; emits one run per show-text operator."""
+    runs: List[Tuple[float, float, float, str]] = []
+    lex = _Lexer(content)
+    stack: List[Any] = []
+    size = 12.0
+    scale = 1.0
+    leading = 0.0
+    x = y = 0.0
+    n = len(content)
+    op_re = re.compile(rb"[A-Za-z'\"*]{1,3}")
+
+    def show(sval: Any) -> None:
+        if isinstance(sval, bytes):
+            txt = sval.decode("latin-1")
+            if txt:
+                runs.append((x, y, size * scale, txt))
+
+    while True:
+        lex._skip_ws()
+        if lex.pos >= n:
+            break
+        c = content[lex.pos : lex.pos + 1]
+        if c in b"/([<+-.0123456789" or c == b"<":
+            try:
+                stack.append(lex.parse_object())
+            except PdfError:
+                lex.pos += 1
+            continue
+        m = op_re.match(content, lex.pos)
+        if not m:
+            lex.pos += 1
+            continue
+        op = m.group(0)
+        lex.pos = m.end()
+        try:
+            if op == b"Tf" and len(stack) >= 2:
+                size = float(stack[-1])
+            elif op == b"Td" and len(stack) >= 2:
+                x += float(stack[-2]) * scale
+                y += float(stack[-1]) * scale
+            elif op == b"TD" and len(stack) >= 2:
+                leading = -float(stack[-1])
+                x += float(stack[-2]) * scale
+                y += float(stack[-1]) * scale
+            elif op == b"Tm" and len(stack) >= 6:
+                a = float(stack[-6])
+                x = float(stack[-2])
+                y = float(stack[-1])
+                scale = abs(a) if a else 1.0
+            elif op == b"TL" and stack:
+                leading = float(stack[-1])
+            elif op == b"T*":
+                y -= (leading if leading else size * 1.2) * scale
+            elif op == b"Tj" and stack:
+                show(stack[-1])
+            elif op == b"'" and stack:
+                y -= (leading if leading else size * 1.2) * scale
+                show(stack[-1])
+            elif op == b'"' and stack:
+                y -= (leading if leading else size * 1.2) * scale
+                show(stack[-1])
+            elif op == b"TJ" and stack and isinstance(stack[-1], list):
+                parts: List[str] = []
+                for item in stack[-1]:
+                    if isinstance(item, bytes):
+                        parts.append(item.decode("latin-1"))
+                    elif isinstance(item, (int, float)):
+                        # big negative displacement = inter-word gap
+                        if -item / 1000.0 * size > size * 0.30:
+                            parts.append(" ")
+                txt = "".join(parts)
+                if txt:
+                    runs.append((x, y, size * scale, txt))
+            elif op == b"BT":
+                x = y = 0.0
+            # ET and all non-text ops: ignore
+        except (TypeError, ValueError):
+            pass
+        # operands always precede their operator and are consumed by it
+        stack.clear()
+    return runs
+
+
+def _cluster_lines(runs: List[Tuple[float, float, float, str]]) -> List[_Line]:
+    """Group runs that share a baseline (|dy| <= 2pt) into lines; within a
+    line, order by x and join with spaces on visible gaps."""
+    if not runs:
+        return []
+    by_y = sorted(runs, key=lambda r: (-r[1], r[0]))
+    lines: List[_Line] = []
+    cur: List[Tuple[float, float, float, str]] = [by_y[0]]
+    for r in by_y[1:]:
+        if abs(r[1] - cur[-1][1]) <= 2.0:
+            cur.append(r)
+        else:
+            lines.append(_merge_line(cur))
+            cur = [r]
+    lines.append(_merge_line(cur))
+    return lines
+
+
+def _merge_line(runs: List[Tuple[float, float, float, str]]) -> _Line:
+    runs = sorted(runs, key=lambda r: r[0])
+    text = runs[0][3]
+    for prev, nxt in zip(runs, runs[1:]):
+        # without glyph widths, any x-advance to a new run implies a gap
+        sep = "" if nxt[0] - prev[0] <= 0.01 else " "
+        joined_prev_end = text.endswith(" ")
+        text += ("" if joined_prev_end else sep) + nxt[3]
+    return _Line(runs[0][0], runs[0][1], max(r[2] for r in runs), text)
+
+
+def _reading_order(lines: List[_Line]) -> List[_Line]:
+    """Column-aware ordering: if line x-starts split into 2 clusters with a
+    >=90pt gutter, read the left column fully before the right."""
+    if len(lines) < 4:
+        return sorted(lines, key=lambda l: (-l.y, l.x))
+    xs = sorted(set(round(l.x, 1) for l in lines))
+    best_gap, split = 0.0, None
+    for a, b in zip(xs, xs[1:]):
+        if b - a > best_gap:
+            best_gap, split = b - a, (a + b) / 2.0
+    if split is not None and best_gap >= 90.0:
+        left = [l for l in lines if l.x < split]
+        right = [l for l in lines if l.x >= split]
+        if len(left) >= 2 and len(right) >= 2:
+            key = lambda l: (-l.y, l.x)
+            return sorted(left, key=key) + sorted(right, key=key)
+    return sorted(lines, key=lambda l: (-l.y, l.x))
+
+
+def _cluster_blocks(ordered: List[_Line]) -> List[List[_Line]]:
+    """Split consecutive lines into blocks on vertical gaps > 1.6x the
+    running leading (or on column jumps, where y increases)."""
+    if not ordered:
+        return []
+    blocks: List[List[_Line]] = [[ordered[0]]]
+    for prev, nxt in zip(ordered, ordered[1:]):
+        gap = prev.y - nxt.y
+        lead = max(prev.size, nxt.size) * 1.45
+        if gap < 0 or gap > 1.6 * lead or prev.size != nxt.size:
+            blocks.append([nxt])
+        else:
+            blocks[-1].append(nxt)
+    return blocks
+
+
+def _size_key(size: float) -> int:
+    return int(round(size * 10))
+
+
+def _heading_levels(lines: List[_Line], detect: bool) -> Dict[int, int]:
+    """Map font-size keys to heading levels: body size = modal size; any
+    distinct size > 1.15x body becomes a heading, largest = h1."""
+    if not detect or not lines:
+        return {}
+    counts: Dict[int, int] = {}
+    for ln in lines:
+        k = _size_key(ln.size)
+        counts[k] = counts.get(k, 0) + len(ln.text)
+    body = max(sorted(counts), key=lambda k: counts[k])
+    heads = sorted((k for k in counts if k > body * 1.15), reverse=True)
+    return {k: min(i + 1, 6) for i, k in enumerate(heads)}

@@ -1,0 +1,123 @@
+"""Minimal deterministic PDF writer for fixture generation.
+
+Produces well-formed classic-xref PDF 1.4 files: catalog → page tree →
+per-page FlateDecode (or raw) content streams using BT/ET, Tf, Td, TD, Tm,
+T*, Tj and TJ text operators over a single Type1 Helvetica font. This fixes
+the dialect the from-scratch parser (pdf_parser.py) must handle first
+(reference capability being replaced: pdf_oxide's to_markdown,
+/root/reference/llm_food/pdf_utils.py:71-75).
+
+All byte offsets are computed, so xref tables are valid; output is a pure
+function of the input spec (no timestamps, no ids).
+"""
+
+from __future__ import annotations
+
+import zlib
+from typing import List, Sequence, Tuple
+
+# A text run: (x, y, font_size, text). y grows upward (PDF user space).
+Run = Tuple[float, float, float, str]
+
+PAGE_WIDTH = 612
+PAGE_HEIGHT = 792
+
+
+def _esc(s: str) -> str:
+    return s.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
+
+
+def _fmt(v: float) -> str:
+    out = ("%.2f" % v).rstrip("0").rstrip(".")
+    return out if out else "0"
+
+
+def content_stream(runs: Sequence[Run], use_tj_array: bool = False) -> bytes:
+    """Serialize runs into a content stream. Each run positions with Tm
+    (absolute) so layout is explicit; ``use_tj_array`` exercises the TJ
+    operator with kerning numbers instead of plain Tj."""
+    parts: List[str] = ["BT"]
+    cur_size = None
+    for x, y, size, text in runs:
+        if size != cur_size:
+            parts.append("/F1 %s Tf" % _fmt(size))
+            cur_size = size
+        parts.append("1 0 0 1 %s %s Tm" % (_fmt(x), _fmt(y)))
+        if use_tj_array and " " in text:
+            words = text.split(" ")
+            arr = " ".join(
+                "(%s)%s" % (_esc(w + (" " if i < len(words) - 1 else "")), " -10" if i < len(words) - 1 else "")
+                for i, w in enumerate(words)
+            )
+            parts.append("[%s] TJ" % arr)
+        else:
+            parts.append("(%s) Tj" % _esc(text))
+    parts.append("ET")
+    return "\n".join(parts).encode("latin-1", errors="replace")
+
+
+def build_pdf(
+    pages: Sequence[Sequence[Run]],
+    compress: bool = True,
+    use_tj_array: bool = False,
+    no_text_pages: Sequence[int] = (),
+) -> bytes:
+    """Build a complete PDF. ``no_text_pages`` lists page indices emitted
+    with an empty content stream (the "scanned page" stub of FIXTURES.md §4)."""
+    objects: List[bytes] = []  # 1-indexed by position+1
+
+    n_pages = len(pages)
+    # object numbering: 1 catalog, 2 pages, 3 font, then per page i:
+    #   page obj = 4 + 2*i, content obj = 5 + 2*i
+    kids = " ".join("%d 0 R" % (4 + 2 * i) for i in range(n_pages))
+    objects.append(b"<< /Type /Catalog /Pages 2 0 R >>")
+    objects.append(
+        ("<< /Type /Pages /Kids [%s] /Count %d >>" % (kids, n_pages)).encode()
+    )
+    objects.append(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+
+    for i, runs in enumerate(pages):
+        page_dict = (
+            "<< /Type /Page /Parent 2 0 R /MediaBox [0 0 %d %d] "
+            "/Resources << /Font << /F1 3 0 R >> >> /Contents %d 0 R >>"
+            % (PAGE_WIDTH, PAGE_HEIGHT, 5 + 2 * i)
+        ).encode()
+        objects.append(page_dict)
+        raw = b"" if i in no_text_pages else content_stream(runs, use_tj_array)
+        if compress:
+            data = zlib.compress(raw, 9)
+            stream_dict = b"<< /Length %d /Filter /FlateDecode >>" % len(data)
+        else:
+            data = raw
+            stream_dict = b"<< /Length %d >>" % len(data)
+        objects.append(stream_dict + b"\nstream\n" + data + b"\nendstream")
+
+    out = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
+    offsets = [0]  # object 0 is the free head
+    for num, body in enumerate(objects, start=1):
+        offsets.append(len(out))
+        out += b"%d 0 obj\n" % num
+        out += body
+        out += b"\nendobj\n"
+    xref_pos = len(out)
+    out += b"xref\n0 %d\n" % (len(objects) + 1)
+    out += b"0000000000 65535 f \n"
+    for off in offsets[1:]:
+        out += b"%010d 00000 n \n" % off
+    out += (
+        b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+        % (len(objects) + 1, xref_pos)
+    )
+    return bytes(out)
+
+
+def paragraph_runs(
+    x: float,
+    y_top: float,
+    size: float,
+    lines: Sequence[str],
+    leading: float = None,
+) -> List[Run]:
+    """Lay a paragraph out as one run per line with constant leading."""
+    lead = leading if leading is not None else size * 1.3
+    return [(x, y_top - i * lead, size, ln) for i, ln in enumerate(lines)]

@@ -1,0 +1,108 @@
+"""RTF → plain text (from scratch, stdlib only).
+
+Replaces the reference's striprtf call (/root/reference/llm_food/app.py:
+225-229: ``rtf_to_text(bytes.decode("utf-8", errors="ignore"))``). Same
+contract: control words stripped, no formatting kept, ``\\par``/``\\line``
+become newlines, skippable destinations (fonttbl, colortbl, …) dropped,
+``\\'hh`` hex and ``\\uN`` unicode escapes decoded.
+"""
+
+from __future__ import annotations
+
+import re
+
+_SKIP_DESTINATIONS = frozenset(
+    "fonttbl colortbl stylesheet info pict object header footer footerf "
+    "headerf footnote annotation xe tc field fldinst themedata colorschememapping "
+    "datastore latentstyles listtable listoverridetable rsidtbl generator "
+    "mmathPr wgrffmtfilter".split()
+)
+
+_CONTROL_RE = re.compile(
+    r"\\([a-z]{1,32})(-?\d{1,10})? ?"  # control word + optional param
+    r"|\\'([0-9a-fA-F]{2})"  # hex escape
+    r"|\\([^a-z])"  # control symbol
+    r"|([{}])"  # group delimiters
+    r"|[\r\n]+"  # raw newlines are ignored in RTF
+)
+
+_SPECIAL_WORDS = {
+    "par": "\n",
+    "line": "\n",
+    "row": "\n",
+    "sect": "\n",
+    "page": "\n",
+    "tab": "\t",
+    "cell": " ",
+    "emdash": "\u2014",
+    "endash": "\u2013",
+    "lquote": "\u2018",
+    "rquote": "\u2019",
+    "ldblquote": "\u201c",
+    "rdblquote": "\u201d",
+    "bullet": "\u2022",
+    "emspace": " ",
+    "enspace": " ",
+    "~": "\u00a0",
+}
+
+
+def rtf_to_text(rtf: str) -> str:
+    """Strip RTF control structure, returning the document text."""
+    out = []
+    # stack entries: ignorable flag per group
+    stack = []
+    ignorable = False
+    ucskip = 1  # bytes to skip after \uN
+    pending_skip = 0
+    pos = 0
+    for m in _CONTROL_RE.finditer(rtf):
+        if m.start() > pos and not ignorable:
+            chunk = rtf[pos : m.start()]
+            if pending_skip:
+                chunk = chunk[pending_skip:]
+                pending_skip = 0
+            out.append(chunk)
+        pos = m.end()
+        word, param, hexb, symbol, brace = m.groups()
+        if brace == "{":
+            stack.append((ignorable, ucskip))
+        elif brace == "}":
+            if stack:
+                ignorable, ucskip = stack.pop()
+        elif symbol is not None:
+            if symbol == "*":
+                ignorable = True  # \* marks an ignorable destination
+            elif not ignorable:
+                out.append(_SPECIAL_WORDS.get(symbol, symbol if symbol in "\\{}" else ""))
+        elif hexb is not None:
+            if not ignorable:
+                if pending_skip:
+                    pending_skip -= 1
+                else:
+                    out.append(bytes([int(hexb, 16)]).decode("cp1252", errors="ignore"))
+        elif word is not None:
+            if word in _SKIP_DESTINATIONS:
+                ignorable = True
+            elif word == "uc":
+                ucskip = int(param or 1)
+            elif word == "u":
+                if not ignorable:
+                    code = int(param or 0)
+                    if code < 0:
+                        code += 65536
+                    out.append(chr(code))
+                    pending_skip = ucskip
+            elif not ignorable:
+                out.append(_SPECIAL_WORDS.get(word, ""))
+    if pos < len(rtf) and not ignorable:
+        out.append(rtf[pos:])
+    text = "".join(out)
+    # the final } often leaves trailing whitespace
+    return text.strip()
+
+
+def extract_rtf_texts(content: bytes) -> list:
+    """Reference contract (llm_food/app.py:225-229): utf-8 ignore decode,
+    singleton list."""
+    return [rtf_to_text(content.decode("utf-8", errors="ignore"))]

@@ -1,0 +1,47 @@
+"""Content-type detection by magic bytes.
+
+The reference dispatches on the uploaded filename's extension
+(/root/reference/llm_food/app.py:354-379, whitelist config.py:47). A pages
+table carries no filename, so the Spark engine detects the payload type from
+leading bytes; the set of recognized types matches the reference whitelist
+(.pdf .docx .pptx .rtf .html/.htm).
+"""
+
+from __future__ import annotations
+
+import zipfile
+from io import BytesIO
+
+
+def sniff_content_type(content: bytes) -> str:
+    """Return one of: pdf, docx, pptx, zip, rtf, html, empty, unknown."""
+    if not content:
+        return "empty"
+    if content.startswith(b"%PDF-"):
+        return "pdf"
+    if content.startswith(b"{\\rtf"):
+        return "rtf"
+    if content.startswith(b"PK\x03\x04"):
+        # OOXML containers distinguish by member names
+        try:
+            with zipfile.ZipFile(BytesIO(content)) as zf:
+                names = zf.namelist()
+        except Exception:
+            return "zip"
+        if any(n.startswith("word/") for n in names):
+            return "docx"
+        if any(n.startswith("ppt/") for n in names):
+            return "pptx"
+        return "zip"
+    head = content[:2048].lstrip()
+    low = head[:256].lower()
+    if low.startswith((b"<!doctype html", b"<html")) or b"<html" in low:
+        return "html"
+    if head.startswith(b"<") or b"</" in head or b"<p" in low or b"<div" in low:
+        return "html"
+    # text-looking payloads default to html (CC pages are overwhelmingly html)
+    try:
+        content[:1024].decode("utf-8")
+        return "html"
+    except UnicodeDecodeError:
+        return "unknown"

@@ -1,0 +1,1 @@
+"""Input sources: synthetic pages-table generation and testdata loaders."""

@@ -1,0 +1,217 @@
+"""Deterministic fixture corpus + synthetic pages-table generator.
+
+Implements FIXTURES.md §1/§3/§4/§5: seeded (seed=42), pure Python, no
+external data or network (the reference fetches real URLs,
+/root/reference/llm_food/app.py:468-497 — here the corpus is synthesized).
+
+Table shape is the authoritative input_hint:
+    (url string, warc_ts timestamp, html binary, text string, lang string)
+with Zipf-skewed hosts so a few sites dominate — exercising the salting /
+skew handling the north_rule requires.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import random
+from typing import Dict, List, Tuple
+
+from ..functions.pdf_writer import build_pdf, paragraph_runs
+
+EPOCH = _dt.datetime(2026, 1, 1, 0, 0, 0)  # fixed epoch, no wall clock
+LANGS = ("en", "de", "tr")
+
+_VOCAB = (
+    "the data spark query table scan filter join merge sort hash group agg "
+    "window stream batch row column value key part order line customer small "
+    "big fast slow vector index page text word token chunk shard block store "
+    "read write plan cost stage task node shuffle spill cache flush commit"
+).split()
+
+
+def _filler(rng: random.Random, n_words: int) -> str:
+    return " ".join(rng.choice(_VOCAB) for _ in range(n_words))
+
+
+def _sentences(rng: random.Random, n: int, words_per: int = 12) -> List[str]:
+    out = []
+    for _ in range(n):
+        s = _filler(rng, words_per)
+        out.append(s[0].upper() + s[1:] + ".")
+    return out
+
+
+# ---------------------------------------------------------------------------
+# §3 HTML fixture families
+# ---------------------------------------------------------------------------
+
+_ARTICLE_BODY = """<h1>Deterministic Extraction</h1>
+<p>Main content paragraph one with enough words to look like an article body
+and not like boilerplate at all.</p>
+<h2>Methods</h2>
+<p>Paragraph two discusses the <b>bold method</b> and the <i>italic method</i>
+in measured detail.</p>
+<p>Paragraph three closes the argument with a <a href="https://ref.example/cite">citation link</a>.</p>"""
+
+_BOILERPLATE_WRAP = """<nav class="main-nav"><a href="/">Home</a> <a href="/about">About</a> <a href="/blog">Blog</a> <a href="/contact">Contact</a></nav>
+<header><div class="site-logo">ExampleSite</div><div class="tagline">filler tagline</div></header>
+<div class="cookie-consent">This site uses cookies. <a href="#accept">Accept</a> <a href="#reject">Reject</a></div>
+<aside class="sidebar"><h3>Popular</h3><a href="/p1">Post one</a> <a href="/p2">Post two</a> <a href="/p3">Post three</a></aside>
+{body}
+<div class="social-share"><a href="#tw">Tweet</a> <a href="#fb">Share</a> <a href="#li">Post</a></div>
+<footer>Copyright 2026 ExampleSite. <a href="/privacy">Privacy</a> <a href="/terms">Terms</a></footer>"""
+
+
+def html_fixture_families() -> Dict[str, bytes]:
+    fam: Dict[str, bytes] = {}
+
+    def page(body: str) -> bytes:
+        return (
+            "<!DOCTYPE html><html><head><title>t</title>"
+            '<meta charset="utf-8"><style>.x{color:red}</style></head>'
+            "<body>%s</body></html>" % body
+        ).encode("utf-8")
+
+    fam["article_plain"] = page("<article>%s</article>" % _ARTICLE_BODY)
+    fam["article_boilerplate"] = page(
+        _BOILERPLATE_WRAP.format(body="<article>%s</article>" % _ARTICLE_BODY)
+    )
+    fam["article_links"] = page(
+        "<article><h1>Linky</h1>"
+        '<p>Inline <a href="https://a.example/x">kept link</a> inside prose '
+        "with plenty of surrounding words so density stays low.</p>"
+        '<div class="linkfarm-like"><a href="/1">one</a> <a href="/2">two</a> '
+        '<a href="/3">three</a> <a href="/4">four</a></div>'
+        "</article>"
+    )
+    fam["lists_tables"] = page(
+        "<article><h1>Structures</h1>"
+        "<ul><li>alpha</li><li>beta<ul><li>beta one</li><li>beta two</li></ul></li><li>gamma</li></ul>"
+        "<ol><li>first</li><li>second</li></ol>"
+        "<table><tr><th>k</th><th>v</th></tr><tr><td>a</td><td>1</td></tr>"
+        "<tr><td>b</td><td>2</td></tr></table></article>"
+    )
+    fam["inline_markup"] = page(
+        "<article><h1>Spans</h1><p>Mix of <strong>strong</strong>, <em>em</em>, "
+        "<code>code()</code>, <b>b</b> and <i>i</i> in one paragraph.</p>"
+        "<pre>raw   block\n  keeps spacing</pre>"
+        "<blockquote><p>quoted wisdom</p></blockquote></article>"
+    )
+    fam["scripts_styles"] = page(
+        "<article><h1>Clean</h1><script>var x = '<p>not content</p>';</script>"
+        "<p>Visible one.</p><style>p{display:none}</style>"
+        "<!-- a comment --><noscript>enable js</noscript>"
+        "<p>Visible two.</p></article>"
+    )
+    fam["malformed_tags"] = page(
+        "<article><h1>Broken</h1><p>first open paragraph"
+        "<p>second paragraph</div> stray close"
+        "<ul><li>unclosed item<li>second item</ul>"
+        "<p>tail paragraph</article>"
+    )
+    fam["encoding_edge"] = (
+        "<!DOCTYPE html><html><body><article><h1>Ünïcode — ✓</h1>"
+        "<p>Multibyte çağrı ğüneş with emoji 🚀 and dash —.</p></article>"
+        "</body></html>"
+    ).encode("utf-8") + b"\xff\xfe<p>trailing latin1 bytes</p>"
+    fam["empty_extract"] = page(
+        '<nav><a href="/a">a</a> <a href="/b">b</a> <a href="/c">c</a></nav>'
+        '<footer><a href="/p">privacy</a></footer>'
+    )
+    return fam
+
+
+# ---------------------------------------------------------------------------
+# §4 PDF fixture families
+# ---------------------------------------------------------------------------
+
+def _body_lines(rng: random.Random, n_lines: int, words_per: int = 11) -> List[str]:
+    return [_filler(rng, words_per) for _ in range(n_lines)]
+
+
+def pdf_fixture_families() -> Dict[str, bytes]:
+    fam: Dict[str, bytes] = {}
+    rng = random.Random(42)
+
+    def texty_page(title: str, rng: random.Random, title_size: float = 20.0):
+        runs = [(72.0, 720.0, title_size, title)]
+        runs += paragraph_runs(72.0, 690.0, 11.0, _body_lines(rng, 9))
+        runs += paragraph_runs(72.0, 540.0, 11.0, _body_lines(rng, 9))
+        return runs
+
+    fam["pdf_text_1p"] = build_pdf([texty_page("Single Page Title", rng)])
+    fam["pdf_text_multipage"] = build_pdf(
+        [texty_page("Page %d Heading" % (i + 1), rng) for i in range(5)]
+    )
+    # two columns: left x=60, right x=320 (gutter > 90pt)
+    left = paragraph_runs(60.0, 700.0, 10.0, _body_lines(rng, 12, 6))
+    right = paragraph_runs(320.0, 700.0, 10.0, _body_lines(rng, 12, 6))
+    fam["pdf_two_column"] = build_pdf([left + right])
+    # sparse: 3 pages under 75 words each
+    sparse_page = [(72.0, 720.0, 14.0, "tiny page")] + paragraph_runs(
+        72.0, 690.0, 11.0, _body_lines(rng, 2, 5)
+    )
+    fam["pdf_sparse"] = build_pdf([sparse_page] * 3)
+    fam["pdf_scanned_stub"] = build_pdf(
+        [[(0.0, 0.0, 1.0, "")]] * 3, no_text_pages=(0, 1, 2)
+    )
+    fam["pdf_37p"] = build_pdf(
+        [texty_page("Chapter %d" % (i + 1), rng) for i in range(37)],
+        use_tj_array=True,
+    )
+    return fam
+
+
+# ---------------------------------------------------------------------------
+# §5 error fixtures
+# ---------------------------------------------------------------------------
+
+def error_fixture_families() -> Dict[str, bytes]:
+    return {
+        "truncated_pdf": b"%PDF-1.4\ngarbage without any object structure",
+        "empty_payload": b"",
+    }
+
+
+# ---------------------------------------------------------------------------
+# §1 synthetic pages table
+# ---------------------------------------------------------------------------
+
+def generate_pages(
+    n_docs: int,
+    pct_pdf: float = 0.10,
+    pct_malformed: float = 0.03,
+    seed: int = 42,
+    n_sites: int = 500,
+) -> List[Tuple[str, _dt.datetime, bytes, str, str]]:
+    """Rows (url, warc_ts, html, text, lang). Hosts are Zipf-skewed:
+    site_id ~ floor(pareto) so site0000 dominates — the skew the salting
+    strategy must absorb."""
+    rng = random.Random(seed)
+    html_fams = list(html_fixture_families().items())
+    rows: List[Tuple[str, _dt.datetime, bytes, str, str]] = []
+    for i in range(n_docs):
+        site_id = min(int(rng.paretovariate(1.1)) - 1, n_sites - 1)
+        url = "https://site%04d.example/p/%08d" % (site_id, i)
+        ts = EPOCH + _dt.timedelta(seconds=i % 2592000)
+        lang = LANGS[i % len(LANGS)]
+        r = rng.random()
+        if r < pct_malformed:
+            payload = b"%PDF-1.4\n" + _filler(rng, 20).encode() if rng.random() < 0.5 else b""
+        elif r < pct_malformed + pct_pdf:
+            prng = random.Random(seed * 1_000_003 + i)
+            runs = [(72.0, 720.0, 20.0, "Doc %d Title" % i)]
+            runs += paragraph_runs(72.0, 690.0, 11.0, _body_lines(prng, 10))
+            payload = build_pdf([runs])
+        else:
+            name, template = html_fams[i % len(html_fams)]
+            extra = "<p>%s</p>" % _filler(rng, 40 + (i % 160))
+            payload = template.replace(
+                b"</article>", extra.encode() + b"</article>"
+            ) if b"</article>" in template else template + extra.encode()
+        rows.append((url, ts, payload, "", lang))
+    return rows
+
+
+def pages_schema_ddl() -> str:
+    return "url string, warc_ts timestamp, html binary, text string, lang string"

@@ -1,0 +1,118 @@
+"""Chunker window math, validation parity, and golden tests (FIXTURES.md §6)."""
+
+import json
+from pathlib import Path
+
+import pytest
+
+from llm_food_spark.functions.chunkers import (
+    chunk_recursive,
+    chunk_sentence,
+    chunk_text,
+    chunk_token,
+    count_tokens,
+    validate_chunk_params,
+)
+
+GOLDEN = Path(__file__).resolve().parent.parent / "fixtures" / "golden"
+
+
+def _golden_chunks():
+    return json.loads((GOLDEN / "chunks.json").read_text(encoding="utf-8"))
+
+
+def _base_text():
+    return (GOLDEN / "article_plain.md").read_text(encoding="utf-8")
+
+
+@pytest.mark.parametrize("case", sorted(_golden_chunks()))
+def test_golden_chunks(case):
+    golden = _golden_chunks()[case]
+    parts = case.split("_")
+    strategy = parts[0]
+    size = int(parts[1])
+    overlap = int(parts[2]) if len(parts) > 2 else 0
+    assert chunk_text(_base_text(), strategy, size, overlap) == golden
+
+
+# -- validation: parity with models.py:27-36 + Field constraints ------------
+
+@pytest.mark.parametrize(
+    "strategy,size,overlap",
+    [("token", 0, 0), ("token", -5, 0), ("token", 10, -1),
+     ("token", 10, 10), ("token", 10, 11), ("sentence", 8, 8),
+     ("bogus", 10, 2)],
+)
+def test_invalid_params_raise(strategy, size, overlap):
+    with pytest.raises(ValueError):
+        validate_chunk_params(strategy, size, overlap)
+
+
+def test_recursive_ignores_overlap():
+    # llm_food/app.py:419-420 omits overlap for recursive: overlap >= size ok
+    validate_chunk_params("recursive", 10, 10)
+    text = "word " * 100
+    assert chunk_text(text, "recursive", 10, 9999) == chunk_recursive(text, 10)
+
+
+# -- window math -------------------------------------------------------------
+
+def test_token_window_stride():
+    text = " ".join("t%02d" % i for i in range(20))
+    chunks = chunk_token(text, 8, 3)  # stride 5
+    assert chunks[0].split() == ["t%02d" % i for i in range(8)]
+    assert chunks[1].split() == ["t%02d" % i for i in range(5, 13)]
+    # last chunk ends exactly at the final token
+    assert chunks[-1].split()[-1] == "t19"
+
+
+def test_token_chunks_cover_all_tokens_in_order():
+    text = " ".join(str(i) for i in range(997))
+    chunks = chunk_token(text, 64, 16)
+    seen = [tok for c in chunks for tok in c.split()]
+    # with overlap, dedupe consecutive repeats by position arithmetic
+    assert seen[0] == "0" and seen[-1] == "996"
+    flat = set(seen)
+    assert flat == {str(i) for i in range(997)}
+
+
+def test_token_preserves_interior_whitespace():
+    text = "a  b\t\tc\nd"
+    assert chunk_token(text, 10, 0) == [text]
+
+
+def test_empty_text():
+    assert chunk_token("", 8, 2) == []
+    assert chunk_sentence("", 8, 2) == []
+    assert chunk_recursive("", 8) == []
+    assert chunk_token("   ", 8, 2) == []
+
+
+def test_sentence_packing_and_overlap():
+    sents = ["Alpha one two. ", "Beta three four. ", "Gamma five six. ",
+             "Delta seven eight."]
+    text = "".join(sents)
+    chunks = chunk_sentence(text, 6, 3)
+    # each sentence is 3 tokens; size 6 packs 2 sentences, overlap 3 backs up 1
+    assert chunks[0] == "Alpha one two. Beta three four."
+    assert chunks[1].startswith("Beta three four.")
+
+
+def test_sentence_single_giant_sentence_still_emitted():
+    text = "word " * 50  # no sentence boundary
+    chunks = chunk_sentence(text.strip(), 8, 2)
+    assert len(chunks) == 1  # one sentence, emitted whole (greedy >= 1 rule)
+
+
+def test_recursive_respects_paragraphs():
+    text = "para one words here.\n\npara two words here.\n\npara three words here."
+    chunks = chunk_recursive(text, 8)
+    assert chunks == ["para one words here.\n\npara two words here.",
+                      "para three words here."]
+
+
+def test_recursive_splits_oversized_paragraph():
+    text = ("x " * 30).strip() + "\n\n" + ("y " * 5).strip()
+    chunks = chunk_recursive(text, 10)
+    assert all(count_tokens(c) <= 10 for c in chunks)
+    assert "y" in chunks[-1]

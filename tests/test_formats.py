@@ -1,0 +1,111 @@
+"""RTF / DOCX / PPTX extraction and content-type sniffing tests.
+
+Fixture payloads are built inline with stdlib zipfile (the engine must parse
+OOXML containers it did not author, so these are assembled by hand here, not
+via the production writer path)."""
+
+import zipfile
+from io import BytesIO
+
+from llm_food_spark.functions.dispatch import extract_document
+from llm_food_spark.functions.ooxml import extract_docx_texts, extract_pptx_texts
+from llm_food_spark.functions.rtf import rtf_to_text
+from llm_food_spark.functions.sniff import sniff_content_type
+
+
+def _docx(paragraphs) -> bytes:
+    w = "http://schemas.openxmlformats.org/wordprocessingml/2006/main"
+    body = []
+    for style, runs in paragraphs:
+        ppr = '<w:pPr><w:pStyle w:val="%s"/></w:pPr>' % style if style else ""
+        rxml = "".join(
+            "<w:r>%s<w:t xml:space=\"preserve\">%s</w:t></w:r>"
+            % ("<w:rPr><w:b/></w:rPr>" if bold else "", text)
+            for text, bold in runs
+        )
+        body.append("<w:p>%s%s</w:p>" % (ppr, rxml))
+    doc = (
+        '<?xml version="1.0"?><w:document xmlns:w="%s"><w:body>%s</w:body>'
+        "</w:document>" % (w, "".join(body))
+    )
+    buf = BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("[Content_Types].xml", "<Types/>")
+        zf.writestr("word/document.xml", doc)
+    return buf.getvalue()
+
+
+def _pptx(slides) -> bytes:
+    a = "http://schemas.openxmlformats.org/drawingml/2006/main"
+    buf = BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("[Content_Types].xml", "<Types/>")
+        for i, paras in enumerate(slides, start=1):
+            body = "".join(
+                '<a:p><a:r><a:t>%s</a:t></a:r></a:p>' % t for t in paras
+            )
+            zf.writestr(
+                "ppt/slides/slide%d.xml" % i,
+                '<?xml version="1.0"?><p:sld xmlns:a="%s" '
+                'xmlns:p="http://schemas.openxmlformats.org/presentationml/2006/main">'
+                "%s</p:sld>" % (a, body),
+            )
+    return buf.getvalue()
+
+
+def test_rtf_basic():
+    rtf = (r"{\rtf1\ansi{\fonttbl{\f0 Arial;}}"
+           r"\f0\fs24 Hello \b bold\b0  world.\par Second line.\par}")
+    assert rtf_to_text(rtf) == "Hello bold world.\nSecond line."
+
+
+def test_rtf_escapes():
+    rtf = "{\\rtf1 caf\\'e9 and \\u8212? dash \\{brace\\}}"
+    assert rtf_to_text(rtf) == "café and — dash {brace}"
+
+
+def test_rtf_via_dispatch():
+    r = extract_document(b"{\\rtf1 plain text here\\par}")
+    assert r.content_type == "rtf"
+    assert r.texts == ["plain text here"]
+    assert r.status == "completed"
+
+
+def test_docx_headings_bold_lists():
+    payload = _docx([
+        ("Heading1", [("Title Text", False)]),
+        ("", [("Body with ", False), ("bold", True), (" inside.", False)]),
+        ("ListParagraph", [("item one", False)]),
+    ])
+    assert sniff_content_type(payload) == "docx"
+    texts = extract_docx_texts(payload)
+    assert texts == ["# Title Text\n\nBody with **bold** inside.\n\n- item one"]
+
+
+def test_pptx_per_slide_empty_dropped():
+    payload = _pptx([["slide one line a", "slide one line b"], [], ["slide three"]])
+    assert sniff_content_type(payload) == "pptx"
+    texts = extract_pptx_texts(payload)
+    # parity llm_food/app.py:232-249: empty slides dropped
+    assert texts == ["slide one line a\nslide one line b", "slide three"]
+
+
+def test_pptx_all_empty_returns_singleton_empty():
+    assert extract_pptx_texts(_pptx([[], []])) == [""]
+
+
+def test_sniff_types():
+    assert sniff_content_type(b"%PDF-1.7 x") == "pdf"
+    assert sniff_content_type(b"{\\rtf1 x}") == "rtf"
+    assert sniff_content_type(b"") == "empty"
+    assert sniff_content_type(b"<!DOCTYPE html><html></html>") == "html"
+    assert sniff_content_type(b"<div>hi</div>") == "html"
+    assert sniff_content_type(b"plain words") == "html"
+    assert sniff_content_type(b"\x89PNG\r\n\x1a\n....") == "unknown"
+
+
+def test_dispatch_multipage_assembly_separator():
+    # parity: '\n\n---\n\n' join, llm_food/app.py:938
+    r = extract_document(_pptx([["a"], ["b"]]))
+    assert r.markdown == "a\n\n---\n\nb"
+    assert r.n_sections == 2

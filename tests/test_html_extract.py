@@ -1,0 +1,86 @@
+"""Golden-file + unit tests for the HTML extraction engine (FIXTURES.md §3)."""
+
+from pathlib import Path
+
+import pytest
+
+from llm_food_spark.functions.dispatch import extract_document
+from llm_food_spark.functions.html_extract import extract_html_markdown
+from llm_food_spark.functions.html_parser import parse_html, find_first
+from llm_food_spark.sources.fixtures import html_fixture_families
+
+GOLDEN = Path(__file__).resolve().parent.parent / "fixtures" / "golden"
+FAMILIES = html_fixture_families()
+
+
+@pytest.mark.parametrize("name", sorted(FAMILIES))
+def test_golden_byte_identical(name):
+    got = extract_document(FAMILIES[name]).markdown
+    frozen = (GOLDEN / ("%s.md" % name)).read_text(encoding="utf-8")
+    assert got == frozen
+
+
+def test_boilerplate_stripped_to_same_bytes():
+    # the north_rule invariant: wrapping the article in nav/header/footer/
+    # cookie/social boilerplate must not change a byte of the extraction
+    plain = extract_document(FAMILIES["article_plain"]).markdown
+    wrapped = extract_document(FAMILIES["article_boilerplate"]).markdown
+    assert plain == wrapped
+    assert "cookie" not in wrapped.lower()
+    assert "Copyright" not in wrapped
+
+
+def test_empty_extract_is_empty_string_not_none():
+    # parity: llm_food/app.py:257,491 (None -> "")
+    r = extract_document(FAMILIES["empty_extract"])
+    assert r.markdown == ""
+    assert r.texts == [""]
+    assert r.status == "completed"
+
+
+def test_linkfarm_dropped_inline_link_kept():
+    md = extract_document(FAMILIES["article_links"]).markdown
+    assert "[kept link](https://a.example/x)" in md
+    assert "four" not in md
+
+
+def test_scripts_styles_comments_skipped():
+    md = extract_document(FAMILIES["scripts_styles"]).markdown
+    assert "not content" not in md
+    assert "enable js" not in md
+    assert "Visible one." in md and "Visible two." in md
+
+
+def test_decode_utf8_ignore_errors():
+    # parity: llm_food/app.py:255 — invalid bytes are dropped, not replaced
+    md = extract_document(FAMILIES["encoding_edge"]).markdown
+    assert "Ünïcode" in md and "🚀" in md
+    assert "�" not in md
+
+
+def test_determinism_100_runs():
+    payload = FAMILIES["article_boilerplate"]
+    results = {extract_html_markdown(payload) for _ in range(100)}
+    assert len(results) == 1
+
+
+def test_parser_tolerates_garbage():
+    for bad in (b"<", b"<<<>>>", b"<p", b"</",
+                b"<!-- unterminated", b"<a href='x", b"\x00\x01\x02<p>x</p>"):
+        extract_html_markdown(bad)  # must not raise
+
+
+def test_parser_scope_nested_lists():
+    root = parse_html("<ul><li>a<ul><li>b</li></ul></li><li>c</li></ul>")
+    outer = find_first(root, "ul")
+    items = [c for c in outer.children if getattr(c, "tag", None) == "li"]
+    assert len(items) == 2  # 'b' stays nested, 'c' is a sibling of 'a'
+
+
+def test_table_header_cells_not_closing_row():
+    md = extract_html_markdown(
+        b"<article><table><tr><th>A</th><th>B</th></tr>"
+        b"<tr><td>1</td><td>2</td></tr></table></article>"
+    )
+    assert md.splitlines()[0] == "| A | B |"
+    assert "| 1 | 2 |" in md

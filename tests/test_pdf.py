@@ -1,0 +1,121 @@
+"""PDF parser, classifier-arithmetic parity, and golden tests (FIXTURES.md §4/§5)."""
+
+from pathlib import Path
+
+import pytest
+
+from llm_food_spark.functions.dispatch import extract_document, STATUS_SCANNED
+from llm_food_spark.functions.pdf_classify import (
+    calculate_sample_size,
+    get_sample_page_indices,
+    is_text_based_pdf,
+)
+from llm_food_spark.functions.pdf_parser import PdfDocument, PdfError
+from llm_food_spark.functions.pdf_writer import build_pdf, paragraph_runs
+from llm_food_spark.sources.fixtures import (
+    error_fixture_families,
+    pdf_fixture_families,
+)
+
+GOLDEN = Path(__file__).resolve().parent.parent / "fixtures" / "golden"
+FAMILIES = pdf_fixture_families()
+
+
+@pytest.mark.parametrize("name", sorted(FAMILIES))
+def test_golden_byte_identical(name):
+    got = extract_document(FAMILIES[name]).markdown
+    frozen = (GOLDEN / ("%s.pdf.md" % name)).read_text(encoding="utf-8")
+    assert got == frozen
+
+
+# -- classifier arithmetic: exact parity with llm_food/pdf_utils.py:16-38 ----
+
+@pytest.mark.parametrize(
+    "pages,expected",
+    [(0, 0), (1, 1), (2, 2), (3, 2), (4, 2), (5, 3), (9, 3), (10, 4),
+     (16, 4), (37, 7), (100, 10), (400, 20), (1000, 20)],
+)
+def test_sample_size_clamp(pages, expected):
+    assert calculate_sample_size(pages, 2, 20) == expected
+
+
+def test_sample_indices_even_spacing_37p():
+    # FIXTURES.md §4: 37 pages, sqrt -> 7 samples, indices int(i*37/7)
+    idx = get_sample_page_indices(37, 7)
+    assert idx == [int(i * 37 / 7) for i in range(7)]
+    assert idx == [0, 5, 10, 15, 21, 26, 31]
+
+
+def test_sample_indices_all_when_small():
+    assert get_sample_page_indices(3, 5) == [0, 1, 2]
+
+
+def test_classifier_thresholds():
+    # >=75 words on >=70% of sampled pages => text-based
+    texty = paragraph_runs(72, 720, 11, ["w" + " w" * 79] * 1)  # 80 words
+    sparse = paragraph_runs(72, 720, 11, ["few words only"])
+    doc_texty = PdfDocument(build_pdf([texty, texty, texty]))
+    doc_mixed = PdfDocument(build_pdf([texty, sparse, sparse]))
+    doc_2of3 = PdfDocument(build_pdf([texty, texty, sparse]))
+    assert is_text_based_pdf(doc_texty) is True
+    assert is_text_based_pdf(doc_mixed) is False
+    # 3 pages -> sample 2 (indices 0 and 1, both texty) -> 2 >= 2*0.7
+    assert is_text_based_pdf(doc_2of3) is True
+
+
+def test_scanned_stub_routes_to_fallback():
+    r = extract_document(FAMILIES["pdf_scanned_stub"])
+    assert r.status == STATUS_SCANNED
+    assert r.n_sections == 3
+
+
+def test_two_column_reading_order():
+    md = extract_document(FAMILIES["pdf_two_column"]).markdown
+    # left column text (first generated words) must precede right column's
+    left_first = md.split()[0]
+    doc = PdfDocument(FAMILIES["pdf_two_column"])
+    runs = doc.page_runs(0)
+    left_runs = sorted((r for r in runs if r[0] < 200), key=lambda r: -r[1])
+    right_runs = sorted((r for r in runs if r[0] >= 200), key=lambda r: -r[1])
+    assert left_first == left_runs[0][3].split()[0]
+    # last word of markdown comes from the right column
+    assert md.split()[-1] == right_runs[-1][3].split()[-1]
+
+
+def test_multipage_separator_and_order():
+    r = extract_document(FAMILIES["pdf_text_multipage"])
+    assert r.n_sections == 5
+    parts = r.markdown.split("\n\n---\n\n")
+    assert len(parts) == 5
+    for i, part in enumerate(parts):
+        assert part.startswith("# Page %d Heading" % (i + 1))
+
+
+def test_error_fixtures_become_failed_rows():
+    for name, payload in error_fixture_families().items():
+        r = extract_document(payload)
+        assert r.status == "failed", name
+        assert r.error_message
+        assert r.markdown == ""
+
+
+def test_oversize_gate():
+    payload = pdf_fixture_families()["pdf_text_1p"]
+    r = extract_document(payload, max_bytes=100)
+    assert r.status == "oversize"
+    assert "exceeds limit" in r.error_message
+
+
+def test_malformed_pdf_raises_pdferror_directly():
+    with pytest.raises(PdfError):
+        PdfDocument(b"%PDF-1.4\nnot a real pdf")
+
+
+def test_uncompressed_and_tj_paths_match_compressed():
+    runs = [(72.0, 720.0, 18.0, "Title Here")] + paragraph_runs(
+        72.0, 690.0, 11.0, ["alpha beta gamma delta", "epsilon zeta eta theta"]
+    )
+    a = PdfDocument(build_pdf([runs], compress=True)).to_markdown(0)
+    b = PdfDocument(build_pdf([runs], compress=False)).to_markdown(0)
+    c = PdfDocument(build_pdf([runs], compress=True, use_tj_array=True)).to_markdown(0)
+    assert a == b == c

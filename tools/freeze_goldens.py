@@ -1,0 +1,65 @@
+"""Freeze the golden corpus (FIXTURES.md §7: produced once by the
+single-process extractor, hand-reviewed, then frozen).
+
+Run: python tools/freeze_goldens.py [--check]
+--check verifies the current extractor still reproduces the frozen bytes.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from llm_food_spark.functions.chunkers import chunk_text
+from llm_food_spark.functions.dispatch import extract_document
+from llm_food_spark.sources.fixtures import (
+    html_fixture_families,
+    pdf_fixture_families,
+)
+
+GOLDEN = Path(__file__).resolve().parent.parent / "fixtures" / "golden"
+
+
+def corpus() -> dict:
+    out = {}
+    for name, payload in html_fixture_families().items():
+        out["%s.md" % name] = extract_document(payload).markdown
+    for name, payload in pdf_fixture_families().items():
+        out["%s.pdf.md" % name] = extract_document(payload).markdown
+    # chunker goldens over the article_plain markdown (FIXTURES.md §6)
+    base = out["article_plain.md"]
+    chunk_cases = {
+        "token_512_128": chunk_text(base, "token", 512, 128),
+        "token_64_16": chunk_text(base, "token", 64, 16),
+        "token_8_2": chunk_text(base, "token", 8, 2),
+        "sentence_128_32": chunk_text(base, "sentence", 128, 32),
+        "sentence_12_4": chunk_text(base, "sentence", 12, 4),
+        "recursive_128": chunk_text(base, "recursive", 128, 0),
+        "recursive_12": chunk_text(base, "recursive", 12, 0),
+    }
+    out["chunks.json"] = json.dumps(chunk_cases, indent=1, ensure_ascii=False)
+    return out
+
+
+def main() -> int:
+    check = "--check" in sys.argv
+    GOLDEN.mkdir(parents=True, exist_ok=True)
+    ok = True
+    for fname, text in corpus().items():
+        path = GOLDEN / fname
+        if check:
+            frozen = path.read_text(encoding="utf-8")
+            if frozen != text:
+                print("MISMATCH: %s" % fname)
+                ok = False
+        else:
+            path.write_text(text, encoding="utf-8")
+            print("wrote %s (%d bytes)" % (fname, len(text.encode())))
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
