@@ -1,0 +1,2 @@
+"""Spark operators: vectorized Arrow-UDF wrappers over the pure functions,
+plus relational/dedup/similarity operators expressed with DataFrame builtins."""

@@ -1,0 +1,109 @@
+"""The extraction operator: pages → results, as one mapInPandas pass.
+
+Spark-first design notes (SURVEY §2d, §4.2):
+
+- ``content_hash`` and ``bytes_in`` are computed JVM-side (``F.sha2``,
+  ``F.length``) — builtins, no UDF (parity: hashlib.sha256 at
+  /root/reference/llm_food/app.py:456,488).
+- the per-document transform (sniff → route → parse → markdown) cannot be
+  expressed with builtins, so it runs in ONE ``mapInPandas`` pass: a single
+  JVM↔Python Arrow exchange per batch, html dropped from the output so the
+  shuffle-free downstream never carries payload bytes.
+- partitioning: ``partition_id = pmod(xxhash64(url), P)`` — deterministic
+  (a function of data, not of runtime), so lineage/resume and dynamic
+  partition overwrite are idempotent. Zipf-skewed hosts spread uniformly
+  because the hash mixes the full url, not the host.
+- errors become status rows inside the batch loop (record-and-continue,
+  parity: llm_food/app.py:915-935); a task never fails on a bad document.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Optional
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F, types as T
+
+from ..functions.dispatch import extract_document
+
+RESULT_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("warc_ts", T.TimestampType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("content_hash", T.StringType()),
+        T.StructField("bytes_in", T.LongType()),
+        T.StructField("partition_id", T.IntegerType()),
+        T.StructField("content_type", T.StringType()),
+        T.StructField("texts", T.ArrayType(T.StringType())),
+        T.StructField("markdown", T.StringType()),
+        T.StructField("n_sections", T.IntegerType()),
+        T.StructField("status", T.StringType()),
+        T.StructField("error_message", T.StringType()),
+    ]
+)
+
+
+def _extract_batches(max_bytes: Optional[int]):
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "content_type": [],
+                "texts": [],
+                "markdown": [],
+                "n_sections": [],
+                "status": [],
+                "error_message": [],
+            }
+            for payload in pdf["html"]:
+                content = bytes(payload) if payload is not None else b""
+                r = extract_document(content, max_bytes=max_bytes)
+                out["content_type"].append(r.content_type)
+                out["texts"].append(r.texts)
+                out["markdown"].append(r.markdown)
+                out["n_sections"].append(r.n_sections)
+                out["status"].append(r.status)
+                out["error_message"].append(r.error_message)
+            res = pdf[
+                ["url", "warc_ts", "lang", "content_hash", "bytes_in", "partition_id"]
+            ].copy()
+            for k, v in out.items():
+                res[k] = v
+            yield res
+
+    return fn
+
+
+def with_partition_id(df: DataFrame, n_partitions: int) -> DataFrame:
+    """Deterministic salted partition key over the url (north_rule skew
+    handling: Zipf hosts spread because the full url is hashed)."""
+    return df.withColumn(
+        "partition_id",
+        F.pmod(F.xxhash64(F.col("url")), F.lit(n_partitions)).cast("int"),
+    )
+
+
+def extract_pages(
+    pages: DataFrame,
+    n_partitions: Optional[int] = None,
+    max_bytes: Optional[int] = None,
+    repartition: bool = True,
+) -> DataFrame:
+    """pages(url, warc_ts, html, text, lang) → results (RESULT_SCHEMA).
+
+    One shuffle (the salted repartition that balances payload work), one
+    Arrow exchange (the mapInPandas), no other stage boundaries.
+    """
+    spark = pages.sparkSession
+    if n_partitions is None:
+        n_partitions = spark.sparkContext.defaultParallelism * 4
+
+    df = (
+        pages.select("url", "warc_ts", "html", "lang")
+        .withColumn("content_hash", F.sha2(F.col("html"), 256))
+        .withColumn("bytes_in", F.length(F.col("html")).cast("long"))
+    )
+    df = with_partition_id(df, n_partitions)
+    if repartition:
+        df = df.repartition(n_partitions, "partition_id")
+    return df.mapInPandas(_extract_batches(max_bytes), schema=RESULT_SCHEMA)

@@ -1,0 +1,1 @@
+"""End-to-end plans: extraction pipeline with lineage + idempotent resume."""

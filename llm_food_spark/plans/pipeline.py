@@ -1,0 +1,179 @@
+"""Resumable extraction pipeline: results + per-partition lineage.
+
+Replaces the reference's three DuckDB state tables and incremental counters
+(/root/reference/llm_food/app.py:156-208, counter updates 969-997, job
+finalization 1322-1364) with a commit protocol over columnar storage:
+
+1. pages are assigned a DETERMINISTIC ``partition_id = pmod(xxhash64(url), P)``
+2. resume: partitions already committed in the lineage table are removed via
+   a broadcast anti-join before any payload is read (column pruning: the
+   scan for resume only reads ``url``);
+3. results are written partitioned by ``partition_id`` with dynamic partition
+   overwrite — re-running a partition REPLACES it (idempotent);
+4. lineage rows (run_id, partition_id, doc_count, ok/failed counts, bytes_in,
+   checksum) are derived from the written results and appended LAST — a
+   partition is committed iff its lineage row exists, so a crash between (3)
+   and (4) just re-runs that partition.
+
+The lineage checksum is an order-independent 64-bit mix
+(``bit_xor(xxhash64(url || content_hash))``) so it is stable under any row order
+and computable without a per-partition sort at 10^12-row scale. (FIXTURES.md
+originally sketched sha256-over-sorted-pairs; the xor-of-hashes form has the
+same invariance with no sort — documented swap.)
+
+Iceberg note: the target DDL is an Iceberg table (input_hint); the runtime
+jar is not in this sandbox, so storage is parquet + this explicit commit
+protocol, which reproduces the snapshot-commit semantics the plan needs
+(SURVEY §7 step 7 documents the swap). All writer/reader call sites are
+isolated here, so pointing them at Iceberg is a format-string change.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..operators.extract import extract_pages, with_partition_id
+
+LINEAGE_STATUS_COMMITTED = "committed"
+
+
+def results_path(output_dir: str) -> str:
+    return os.path.join(output_dir, "results")
+
+
+def lineage_path(output_dir: str) -> str:
+    return os.path.join(output_dir, "lineage")
+
+
+def read_lineage(spark: SparkSession, output_dir: str) -> Optional[DataFrame]:
+    path = lineage_path(output_dir)
+    # cheap existence probe for local paths avoids a noisy JVM-side
+    # FileNotFound stack in the logs; scheme'd paths (s3://, hdfs://) fall
+    # through to the reader's own handling
+    if "://" not in path and not os.path.exists(path):
+        return None
+    try:
+        return spark.read.parquet(path)
+    except Exception:
+        return None
+
+
+def committed_partitions(spark: SparkSession, output_dir: str) -> Optional[DataFrame]:
+    lin = read_lineage(spark, output_dir)
+    if lin is None:
+        return None
+    return (
+        lin.where(F.col("status") == LINEAGE_STATUS_COMMITTED)
+        .select("partition_id")
+        .distinct()
+    )
+
+
+def _lineage_from_results(results: DataFrame, run_id: str) -> DataFrame:
+    return (
+        results.groupBy("partition_id")
+        .agg(
+            F.count(F.lit(1)).alias("doc_count"),
+            F.sum((F.col("status") == "completed").cast("long")).alias("ok_count"),
+            F.sum((F.col("status") == "failed").cast("long")).alias("failed_count"),
+            F.sum("bytes_in").alias("bytes_in"),
+            F.bit_xor(
+                F.xxhash64(F.concat_ws("\x1f", F.col("url"), F.col("content_hash")))
+            ).alias("checksum"),
+        )
+        .withColumn("run_id", F.lit(run_id))
+        .withColumn("status", F.lit(LINEAGE_STATUS_COMMITTED))
+        .withColumn("committed_at", F.current_timestamp())
+    )
+
+
+def run_extraction(
+    spark: SparkSession,
+    pages: DataFrame,
+    output_dir: str,
+    n_partitions: Optional[int] = None,
+    max_bytes: Optional[int] = None,
+    run_id: Optional[str] = None,
+    resume: bool = True,
+) -> dict:
+    """Execute (or resume) the extraction job. Returns run metrics."""
+    run_id = run_id or uuid.uuid4().hex[:16]
+    if n_partitions is None:
+        n_partitions = spark.sparkContext.defaultParallelism * 4
+
+    todo = pages
+    n_skipped = 0
+    if resume:
+        committed = committed_partitions(spark, output_dir)
+        if committed is not None:
+            # broadcast anti-join on the small committed-partition set;
+            # reads only `url` from the pages scan before the payload stage
+            todo = with_partition_id(pages, n_partitions).join(
+                F.broadcast(committed), "partition_id", "left_anti"
+            ).drop("partition_id")
+            n_skipped = committed.count()
+
+    results = extract_pages(todo, n_partitions=n_partitions, max_bytes=max_bytes)
+    results.write.mode("overwrite").partitionBy("partition_id").parquet(
+        results_path(output_dir)
+    )
+
+    # lineage derives from the durably written bytes, then commits by append
+    written = spark.read.parquet(results_path(output_dir)).select(
+        "url", "content_hash", "status", "bytes_in", "partition_id"
+    )
+    if resume and n_skipped:
+        done = committed_partitions(spark, output_dir)
+        written = written.join(F.broadcast(done), "partition_id", "left_anti")
+    lineage = _lineage_from_results(written, run_id)
+    lineage.write.mode("append").parquet(lineage_path(output_dir))
+
+    stats = (
+        spark.read.parquet(lineage_path(output_dir))
+        .where(F.col("run_id") == run_id)
+        .agg(
+            F.coalesce(F.sum("doc_count"), F.lit(0)).alias("docs"),
+            F.coalesce(F.sum("ok_count"), F.lit(0)).alias("ok"),
+            F.coalesce(F.sum("failed_count"), F.lit(0)).alias("failed"),
+            F.coalesce(F.sum("bytes_in"), F.lit(0)).alias("bytes_in"),
+            F.count(F.lit(1)).alias("partitions"),
+        )
+        .collect()[0]
+    )
+    return {
+        "run_id": run_id,
+        "docs": stats["docs"],
+        "ok": stats["ok"],
+        "failed": stats["failed"],
+        "bytes_in": stats["bytes_in"],
+        "partitions_done": stats["partitions"],
+        "partitions_skipped": n_skipped,
+    }
+
+
+def job_status(spark: SparkSession, output_dir: str) -> DataFrame:
+    """The reference's finalization predicate as a VIEW, not mutable state
+    (parity: processed+failed >= total → completed/completed_with_errors,
+    /root/reference/llm_food/app.py:1351-1364)."""
+    lin = read_lineage(spark, output_dir)
+    if lin is None:
+        raise FileNotFoundError("no lineage at %s" % output_dir)
+    return (
+        lin.groupBy("run_id")
+        .agg(
+            F.sum("doc_count").alias("total"),
+            F.sum("ok_count").alias("processed"),
+            F.sum("failed_count").alias("failed"),
+            F.max("committed_at").alias("last_updated_at"),
+        )
+        .withColumn(
+            "status",
+            F.when(F.col("failed") == 0, F.lit("completed")).otherwise(
+                F.lit("completed_with_errors")
+            ),
+        )
+    )

@@ -1,0 +1,57 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Tuned for the extraction workload (large binary payloads through Arrow to
+Python workers): AQE on, shuffle partitions ~ cores (local) — on a real
+cluster raise spark.sql.shuffle.partitions to O(2-3x total cores) and let
+AQE coalesce — and a small Arrow batch size so one batch of multi-KB html
+payloads stays ~constant bytes (SURVEY §4.2).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# html payloads are KBs; 256 rows/batch ~ a few MB per Arrow batch
+ARROW_BATCH_ROWS = 256
+
+
+def get_spark(
+    app_name: str = "llm_food_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    cpus = os.cpu_count() or 4
+    master = master or os.environ.get("SPARK_GRAFT_MASTER") or "local[%d]" % cpus
+    if shuffle_partitions is None:
+        # local[N] → N; cluster master → leave for AQE to coalesce from 2x
+        n = master[6:-1] if master.startswith("local[") else ""
+        shuffle_partitions = (
+            cpus if n in ("", "*") else max(int(n), 1)
+        ) if master.startswith("local") else 2 * cpus
+
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config(
+            "spark.sql.execution.arrow.maxRecordsPerBatch", str(ARROW_BATCH_ROWS)
+        )
+        .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        .config("spark.sql.parquet.compression.codec", "zstd")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
+    )
+    if extra_conf:
+        for k, v in extra_conf.items():
+            builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,31 @@
+"""Pages-table construction helpers (synthetic corpus → DataFrame/parquet)."""
+
+from __future__ import annotations
+
+from typing import List, Tuple
+
+from pyspark.sql import DataFrame, SparkSession, types as T
+
+PAGES_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("warc_ts", T.TimestampType(), False),
+        T.StructField("html", T.BinaryType(), True),
+        T.StructField("text", T.StringType(), True),
+        T.StructField("lang", T.StringType(), True),
+    ]
+)
+
+
+def pages_to_df(spark: SparkSession, rows: List[Tuple]) -> DataFrame:
+    return spark.createDataFrame(rows, schema=PAGES_SCHEMA)
+
+
+def write_pages_parquet(
+    spark: SparkSession, rows: List[Tuple], path: str, n_files: int = 8
+) -> None:
+    pages_to_df(spark, rows).repartition(n_files).write.mode("overwrite").parquet(path)
+
+
+def read_pages(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.schema(PAGES_SCHEMA).parquet(path)

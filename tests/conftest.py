@@ -1,0 +1,11 @@
+import pytest
+
+
+@pytest.fixture(scope="session")
+def spark():
+    from llm_food_spark.session import get_spark
+
+    s = get_spark("tests", master="local[4]", shuffle_partitions=4,
+                  extra_conf={"spark.driver.memory": "8g"})
+    yield s
+    s.stop()

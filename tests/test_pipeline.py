@@ -1,0 +1,149 @@
+"""Spark E2E: golden parity, distribution invariance, resume idempotence
+(FIXTURES.md §7 protocol; SURVEY §5 items 1, 3, 4, 5)."""
+
+from pathlib import Path
+
+import pytest
+from pyspark.sql import functions as F
+
+from llm_food_spark.operators.extract import extract_pages
+from llm_food_spark.plans.pipeline import (
+    job_status,
+    read_lineage,
+    run_extraction,
+)
+from llm_food_spark.sources.fixtures import (
+    EPOCH,
+    generate_pages,
+    html_fixture_families,
+    pdf_fixture_families,
+)
+from llm_food_spark.sources.pages import pages_to_df
+
+GOLDEN = Path(__file__).resolve().parent.parent / "fixtures" / "golden"
+
+
+def _fixture_rows():
+    rows = []
+    for name, payload in sorted(html_fixture_families().items()):
+        rows.append(("https://fx.example/html/%s" % name, EPOCH, payload, "", "en"))
+    for name, payload in sorted(pdf_fixture_families().items()):
+        rows.append(("https://fx.example/pdf/%s" % name, EPOCH, payload, "", "en"))
+    return rows
+
+
+def test_spark_golden_byte_identical(spark):
+    """The north_rule invariant: per-url extracted text via the Spark
+    pipeline is byte-identical to the frozen goldens."""
+    df = pages_to_df(spark, _fixture_rows())
+    got = {
+        r["url"]: r["markdown"]
+        for r in extract_pages(df, n_partitions=8).collect()
+    }
+    for name in html_fixture_families():
+        frozen = (GOLDEN / ("%s.md" % name)).read_text(encoding="utf-8")
+        assert got["https://fx.example/html/%s" % name] == frozen, name
+    for name in pdf_fixture_families():
+        frozen = (GOLDEN / ("%s.pdf.md" % name)).read_text(encoding="utf-8")
+        assert got["https://fx.example/pdf/%s" % name] == frozen, name
+
+
+@pytest.mark.parametrize("parts", [1, 8, 32])
+def test_distribution_invariance(spark, parts, request):
+    """Same input at 1/8/32 partitions ⇒ identical results (SURVEY §5.3)."""
+    rows = generate_pages(120)
+    df = pages_to_df(spark, rows)
+    res = (
+        extract_pages(df, n_partitions=parts)
+        .select("url", "content_hash", "markdown", "status")
+        .orderBy("url")
+        .collect()
+    )
+    key = [(r["url"], r["content_hash"], r["markdown"], r["status"]) for r in res]
+    cache = request.config.cache
+    baseline = cache.get("dist_invariance_baseline", None)
+    if baseline is None:
+        cache.set("dist_invariance_baseline", [list(k) for k in key])
+    else:
+        assert [list(k) for k in key] == baseline
+
+
+def test_error_rows_never_fail_tasks(spark):
+    rows = [
+        ("https://e.example/empty", EPOCH, b"", "", "en"),
+        ("https://e.example/badpdf", EPOCH, b"%PDF-1.4\njunk", "", "en"),
+        ("https://e.example/ok", EPOCH, b"<article><p>fine text</p></article>", "", "en"),
+    ]
+    out = {r["url"]: r for r in extract_pages(pages_to_df(spark, rows)).collect()}
+    assert out["https://e.example/empty"]["status"] == "failed"
+    assert out["https://e.example/badpdf"]["status"] == "failed"
+    assert out["https://e.example/badpdf"]["error_message"]
+    assert out["https://e.example/ok"]["status"] == "completed"
+    assert out["https://e.example/ok"]["markdown"] == "fine text"
+
+
+def test_oversize_rows_kept_with_status(spark):
+    rows = [("https://o.example/big", EPOCH, b"<p>" + b"x" * 4096 + b"</p>", "", "en")]
+    out = extract_pages(pages_to_df(spark, rows), max_bytes=1024).collect()
+    assert out[0]["status"] == "oversize"
+
+
+def test_content_hash_matches_jvm_sha2(spark):
+    # T12 parity: F.sha2(html,256) == hashlib.sha256(payload).hexdigest()
+    import hashlib
+
+    rows = _fixture_rows()[:4]
+    out = extract_pages(pages_to_df(spark, rows), n_partitions=2).collect()
+    expected = {
+        "https://fx.example/html/%s" % n: hashlib.sha256(p).hexdigest()
+        for n, p in list(sorted(html_fixture_families().items()))[:4]
+    }
+    for r in out:
+        assert r["content_hash"] == expected[r["url"]]
+
+
+def test_run_and_resume_idempotent(spark, tmp_path):
+    """Partial commit → rerun → no duplicate urls, counts consistent
+    (SURVEY §5.4; reference finalization analogue app.py:1322-1364)."""
+    out_dir = str(tmp_path / "job")
+    rows = generate_pages(200)
+    pages = pages_to_df(spark, rows)
+
+    m1 = run_extraction(spark, pages, out_dir, n_partitions=16, run_id="run1")
+    assert m1["docs"] == 200
+    assert m1["partitions_skipped"] == 0
+
+    # simulate partial state: drop lineage for half the partitions
+    lin = read_lineage(spark, out_dir)
+    kept = lin.where(F.col("partition_id") < 8)
+    dropped_n = lin.where(F.col("partition_id") >= 8).count()
+    assert dropped_n > 0
+    kept_rows = kept.collect()
+    import shutil
+
+    shutil.rmtree(out_dir + "/lineage")
+    spark.createDataFrame(kept_rows, schema=lin.schema).write.parquet(
+        out_dir + "/lineage"
+    )
+
+    m2 = run_extraction(spark, pages, out_dir, n_partitions=16, run_id="run2")
+    assert m2["partitions_skipped"] == 8
+    assert m2["partitions_done"] == dropped_n
+
+    results = spark.read.parquet(out_dir + "/results")
+    assert results.count() == 200
+    assert results.select("url").distinct().count() == 200  # no duplicates
+    status = {r["run_id"]: r for r in job_status(spark, out_dir).collect()}
+    total = sum(r["total"] for r in status.values())
+    assert total == 200
+
+
+def test_rerun_everything_committed_is_noop(spark, tmp_path):
+    out_dir = str(tmp_path / "job2")
+    rows = generate_pages(60)
+    pages = pages_to_df(spark, rows)
+    run_extraction(spark, pages, out_dir, n_partitions=8, run_id="a")
+    m = run_extraction(spark, pages, out_dir, n_partitions=8, run_id="b")
+    assert m["docs"] == 0
+    assert m["partitions_skipped"] == 8
+    assert spark.read.parquet(out_dir + "/results").count() == 60
