@@ -1,0 +1,128 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline extraction throughput + operator queries.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": <sf>, "docs_per_sec": ...}
+
+Env:
+  SPARK_GRAFT_SF_DIR  (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS    (default 32)      → master local[N]
+  BENCH_DOCS          (override corpus size)
+
+The headline measures the full pipeline — read parquet pages → salted
+repartition → Arrow extraction → write results parquet — over a synthesized
+Common-Crawl-style corpus scaled by sf (cached under /tmp between runs).
+Operator queries run against $SPARK_GRAFT_SF_DIR and are forced with a noop
+write (no driver collect in the timed path).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import shutil
+import sys
+import time
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+BENCH_QUERIES = [
+    "join_agg",
+    "topk_per_group",
+    "token_count",
+    "quality",
+    "chunk_token",
+    "minhash_lsh",
+    "simhash",
+    "cosine_topk",
+    "ann_lsh",
+]
+
+
+def ensure_corpus(spark, n_docs: int, path: str) -> None:
+    marker = os.path.join(path, "_DONE_%d" % n_docs)
+    if os.path.exists(marker):
+        return
+    from llm_food_spark.sources.fixtures import generate_pages
+    from llm_food_spark.sources.pages import write_pages_parquet_fast
+
+    log("generating %d-doc corpus at %s" % (n_docs, path))
+    shutil.rmtree(path, ignore_errors=True)
+    rows = generate_pages(n_docs)
+    write_pages_parquet_fast(rows, path)
+    open(marker, "w").close()
+
+
+def force(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    m = re.search(r"sf([\d.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else 0.1
+    n_docs = int(os.environ.get("BENCH_DOCS", str(max(int(2_000_000 * sf), 4000))))
+
+    from llm_food_spark.operators.extract import extract_pages
+    from llm_food_spark.session import get_spark
+
+    import __spark_entry__ as entrymod
+
+    spark = get_spark("bench", master="local[%d]" % cpus,
+                      shuffle_partitions=cpus)
+    corpus_path = "/tmp/spark_graft_bench_pages_sf%s" % sf
+    ensure_corpus(spark, n_docs, corpus_path)
+
+    timings = {}
+
+    # warm the Python workers (fork + module imports) outside the timed
+    # region: steady-state throughput is what scales to a long-lived job
+    warm = spark.range(cpus * 4).repartition(cpus)
+    warm.mapInPandas(lambda it: it, schema="id long").write.format(
+        "noop"
+    ).mode("overwrite").save()
+
+    # headline: end-to-end extraction (read → repartition → extract → write)
+    pages = spark.read.parquet(corpus_path)
+    out_path = "/tmp/spark_graft_bench_results"
+    shutil.rmtree(out_path, ignore_errors=True)
+    t0 = time.time()
+    res = extract_pages(pages, n_partitions=cpus * 4)
+    res.write.mode("overwrite").parquet(out_path)
+    t_extract = time.time() - t0
+    timings["extract_pipeline"] = round(t_extract, 3)
+    docs_per_sec = round(n_docs / t_extract, 1)
+    log("extraction: %d docs in %.1fs = %.0f docs/sec on local[%d]"
+        % (n_docs, t_extract, docs_per_sec, cpus))
+
+    qs = entrymod.queries()
+    for name in BENCH_QUERIES:
+        t0 = time.time()
+        force(qs[name](spark, sf_dir))
+        timings[name] = round(time.time() - t0, 3)
+        log("%-16s %6.2fs" % (name, timings[name]))
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "extraction+operator suite wall time (headline: docs/sec "
+                  "over %d synthesized CC-style pages on local[%d])"
+                  % (n_docs, cpus),
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "docs_per_sec": docs_per_sec,
+        "n_docs": n_docs,
+        "cpus": cpus,
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,68 @@
+"""Pure-Python text statistics used by the UDF layer.
+
+Document fingerprinting: winnowed rolling-hash (Rabin-Karp style polynomial
+over word-token hashes, window-minimum selection a la winnowing) — a
+deterministic locality-sensitive digest for near-dup triage. No reference
+analogue (llm-food has no corpus-level ops); standard published technique.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+from typing import List
+
+_TOKEN_RE = re.compile(r"\S+")
+
+_B = 1_000_003  # polynomial base
+_M = (1 << 61) - 1  # Mersenne modulus
+
+
+def _word_hash(word: str) -> int:
+    return int.from_bytes(
+        hashlib.blake2b(word.encode("utf-8"), digest_size=8).digest(), "big"
+    )
+
+
+def rolling_fingerprint(text: str, k: int = 5, window: int = 4) -> List[int]:
+    """Winnowing fingerprint: k-gram rolling hashes over word tokens, then
+    the minimum of each sliding window of hashes (deduplicated, ordered).
+    Empty/short text → single hash of what's there (or empty list)."""
+    words = [w.lower() for w in _TOKEN_RE.findall(text)]
+    if not words:
+        return []
+    hashes = [_word_hash(w) for w in words]
+    if len(hashes) < k:
+        acc = 0
+        for h in hashes:
+            acc = (acc * _B + h) % _M
+        return [acc]
+    grams = []
+    # rolling polynomial over k-grams
+    pow_k = pow(_B, k - 1, _M)
+    acc = 0
+    for h in hashes[:k]:
+        acc = (acc * _B + h) % _M
+    grams.append(acc)
+    for i in range(k, len(hashes)):
+        acc = ((acc - hashes[i - k] * pow_k) * _B + hashes[i]) % _M
+        grams.append(acc)
+    if len(grams) <= window:
+        return [min(grams)]
+    out: List[int] = []
+    prev = -1
+    for i in range(len(grams) - window + 1):
+        m = min(grams[i : i + window])
+        if m != prev:
+            out.append(m)
+            prev = m
+    return out
+
+
+def fingerprint_digest(text: str, k: int = 5, window: int = 4) -> int:
+    """Single 63-bit digest of the winnowed fingerprint set (order-free xor),
+    suitable for an equality-join dedup key."""
+    acc = 0
+    for h in rolling_fingerprint(text, k, window):
+        acc ^= h
+    return acc & ((1 << 63) - 1)

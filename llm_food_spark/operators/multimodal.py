@@ -1,0 +1,161 @@
+"""Multimodal column plumbing: binary payloads + typed metadata.
+
+Image/audio/video are opaque ``binary`` columns with a metadata struct; the
+Spark-side plumbing (schemas, batch shapes, mapInPandas signatures,
+partition-by-size balancing) is real and tested. The codec step itself is
+STUBBED deterministically (this container ships no image/audio libraries):
+``decode_image_meta`` parses real magic bytes/headers (pure Python), while
+``extract_features``/``resize``/``frame_sample`` raise or emit deterministic
+fakes behind a clearly marked flag, so swapping in Pillow/ffmpeg later is a
+function-body change, not a pipeline change.
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Iterator, List, Optional, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F, types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType()),
+        T.StructField("kind", T.StringType()),          # image | audio | video
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("meta", T.MapType(T.StringType(), T.StringType())),
+    ]
+)
+
+IMAGE_META_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType()),
+        T.StructField("format", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("bytes", T.LongType()),
+        T.StructField("status", T.StringType()),
+        T.StructField("error_message", T.StringType()),
+    ]
+)
+
+STUBBED = True  # no codec libraries in this container; header parsing is real
+
+
+def _png_size(b: bytes) -> Optional[Tuple[int, int]]:
+    if len(b) >= 24 and b[:8] == b"\x89PNG\r\n\x1a\n" and b[12:16] == b"IHDR":
+        w, h = struct.unpack(">II", b[16:24])
+        return w, h
+    return None
+
+
+def _gif_size(b: bytes) -> Optional[Tuple[int, int]]:
+    if len(b) >= 10 and b[:6] in (b"GIF87a", b"GIF89a"):
+        w, h = struct.unpack("<HH", b[6:10])
+        return w, h
+    return None
+
+
+def _jpeg_size(b: bytes) -> Optional[Tuple[int, int]]:
+    if len(b) < 4 or b[:2] != b"\xff\xd8":
+        return None
+    i = 2
+    while i + 9 < len(b):
+        if b[i] != 0xFF:
+            i += 1
+            continue
+        marker = b[i + 1]
+        if marker in (0xC0, 0xC1, 0xC2, 0xC3):
+            h, w = struct.unpack(">HH", b[i + 5 : i + 9])
+            return w, h
+        seg_len = struct.unpack(">H", b[i + 2 : i + 4])[0]
+        i += 2 + seg_len
+    return None
+
+
+def decode_image_meta_batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas body: header-level decode (REAL — magic bytes + size)."""
+    for pdf in it:
+        rows: List[dict] = []
+        for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+            b = bytes(payload) if payload is not None else b""
+            fmt, size, status, err = "unknown", None, "decoded", None
+            for name, probe in (("png", _png_size), ("gif", _gif_size),
+                                ("jpeg", _jpeg_size)):
+                s = probe(b)
+                if s:
+                    fmt, size = name, s
+                    break
+            if size is None:
+                status, err = "failed", "unrecognized image payload"
+            rows.append(
+                dict(media_id=media_id, format=fmt,
+                     width=size[0] if size else None,
+                     height=size[1] if size else None,
+                     bytes=len(b), status=status, error_message=err)
+            )
+        yield pd.DataFrame(rows)
+
+
+def decode_image_meta(media: DataFrame) -> DataFrame:
+    """media(media_id, payload, ...) → IMAGE_META_SCHEMA rows. Balanced by
+    payload size: repartition on a size-bucketed salt so one Arrow batch is
+    ~constant bytes (same strategy as the html path)."""
+    df = media.select("media_id", "payload").withColumn(
+        "_salt",
+        F.pmod(F.xxhash64("media_id"),
+               F.lit(media.sparkSession.sparkContext.defaultParallelism * 4)),
+    )
+    return (
+        df.repartition(F.col("_salt"))
+        .drop("_salt")
+        .mapInPandas(decode_image_meta_batch, schema=IMAGE_META_SCHEMA)
+    )
+
+
+def extract_image_features(media: DataFrame, dim: int = 16) -> DataFrame:
+    """STUB feature extractor: deterministic fake embedding derived from the
+    payload hash (marked; swap body for a real model runner). The Spark
+    plumbing — schema, batching, partitioning — is the production shape."""
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.StringType()),
+            T.StructField("features", T.ArrayType(T.FloatType())),
+        ]
+    )
+
+    def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in it:
+            ids, feats = [], []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(payload) if payload is not None else b""
+                # deterministic fake: 16 floats from the sha256 digest
+                dig = hashlib.sha256(b).digest()
+                feats.append(
+                    [round(x / 255.0, 6) for x in dig[:dim]]
+                )
+                ids.append(media_id)
+            yield pd.DataFrame({"media_id": ids, "features": feats})
+
+    return media.select("media_id", "payload").mapInPandas(fn, schema=out_schema)
+
+
+def resize_image(media: DataFrame, width: int, height: int) -> DataFrame:
+    """NOT IMPLEMENTED in this container (no codec libs). The signature and
+    schema are the production contract."""
+    raise NotImplementedError(
+        "resize requires an image codec library not present in this "
+        "container; plumbing contract: media(media_id, payload) -> "
+        "(media_id, payload binary, width int, height int)"
+    )
+
+
+def frame_sample(media: DataFrame, every_n: int = 30) -> DataFrame:
+    """NOT IMPLEMENTED (video codec absent). Contract documented."""
+    raise NotImplementedError(
+        "frame sampling requires a video decoder not present in this "
+        "container; plumbing contract: media(media_id, payload) -> "
+        "(media_id, frame_no int, frame binary)"
+    )

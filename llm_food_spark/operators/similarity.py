@@ -1,0 +1,219 @@
+"""Embedding similarity search: brute-force cosine top-k + LSH-bucketed ANN.
+
+No reference analogue (llm-food has no embedding surface); these are the
+similarity operators a training-data pipeline needs (task brief). Dot
+products and norms are built-in Catalyst lambda expressions
+(zip_with/aggregate) — JVM-side, codegen'd; the only Python is the optional
+hyperplane signature UDF in the ANN variant (numpy matmul per Arrow batch).
+
+Scale shapes:
+- brute_force_topk: queries are broadcast (small side); candidates stream —
+  one pass, no shuffle except the final per-query top-k aggregation.
+- lsh_ann_topk: random-hyperplane signatures bucket candidates; the join is
+  an equi-join on (band, bucket) instead of a cross join — the 100TB path.
+  Recall is tunable via bands (multi-probe union).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window, functions as F, types as T
+
+from .util import ensure_min_partitions
+
+DIM = 64  # embeddings.parquet dimension (TESTDATA)
+
+
+def dot(a: Column, b: Column) -> Column:
+    # cast BEFORE multiplying: float*float then cast loses the low bits and
+    # breaks value-parity with engines that compute in double (oracle check)
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    d = norm(a) * norm(b)
+    return F.when(d > 0, dot(a, b) / d).otherwise(F.lit(0.0))
+
+
+def brute_force_topk(
+    candidates: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 4,
+) -> DataFrame:
+    """(query_id, rank, vec_id, score): exact top-k by cosine. Scores are
+    rounded BEFORE ranking (ties broken by candidate id) so rankings are
+    reproducible across engines/float orders."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    c = ensure_min_partitions(candidates).select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cv")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .withColumn("score", F.round(cosine(F.col("qv"), F.col("cv")), round_dp))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", "score")
+    )
+
+
+def _hyperplanes(dim: int, nbits: int, seed: int = 7) -> np.ndarray:
+    rng = np.random.RandomState(seed)  # fixed-seed: signatures are stable
+    return rng.standard_normal((dim, nbits)).astype(np.float64)
+
+
+def hyperplane_signature_udf(dim: int = DIM, nbits: int = 16, seed: int = 7):
+    planes = _hyperplanes(dim, nbits, seed)
+    weights = (1 << np.arange(nbits, dtype=np.uint64))
+
+    @F.pandas_udf(T.LongType())
+    def sig(vecs: pd.Series) -> pd.Series:
+        mat = np.array(
+            [np.asarray(v, dtype=np.float64) if v is not None else np.zeros(dim)
+             for v in vecs]
+        )
+        if mat.size == 0:
+            return pd.Series([], dtype="int64")
+        bits = (mat @ planes) > 0
+        out = (bits.astype(np.uint64) * weights).sum(axis=1).astype(np.int64)
+        return pd.Series(out)
+
+    return sig
+
+
+def lsh_ann_topk(
+    candidates: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nbits: int = 16,
+    bands: int = 4,
+    round_dp: int = 4,
+) -> DataFrame:
+    """Approximate top-k: random-hyperplane signature split into ``bands``
+    blocks; query and candidate must share >=1 block value to be scored.
+    Equi-join on (band, block) replaces the cross join — the scale path."""
+    sig = hyperplane_signature_udf(dim=DIM, nbits=nbits)
+    bits_per = nbits // bands
+    mask = (1 << bits_per) - 1
+
+    def banded(df: DataFrame, role: str) -> DataFrame:
+        s = df.select(
+            F.col(id_col).alias("%s_id" % role),
+            F.col(vec_col).alias("%s_v" % role),
+            sig(F.col(vec_col)).alias("_sig"),
+        )
+        return s.select(
+            "%s_id" % role,
+            "%s_v" % role,
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            F.shiftrightunsigned(F.col("_sig"), bits_per * b)
+                            .bitwiseAND(F.lit(mask))
+                            .alias("block"),
+                        )
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("bb"),
+        ).select("%s_id" % role, "%s_v" % role, "bb.band", "bb.block")
+
+    qb = banded(queries, "q")
+    cb = banded(ensure_min_partitions(candidates), "c")
+    pairs = (
+        qb.join(cb, ["band", "block"])
+        .where(F.col("c_id") != F.col("q_id"))
+        .dropDuplicates(["q_id", "c_id"])
+        .withColumn("score", F.round(cosine(F.col("q_v"), F.col("c_v")), round_dp))
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("score").desc(), F.col("c_id").asc()
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("q_id").alias("query_id"), "rank",
+            F.col("c_id").alias("vec_id"), "score",
+        )
+    )
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    nbits: int = 16,
+    bands: int = 4,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, score >= t) via
+    the same banded hyperplane blocking."""
+    sig = hyperplane_signature_udf(dim=DIM, nbits=nbits)
+    bits_per = nbits // bands
+    mask = (1 << bits_per) - 1
+    s = ensure_min_partitions(df).select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
+        sig(F.col(vec_col)).alias("_sig"),
+    )
+    banded = s.select(
+        "id",
+        "v",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftrightunsigned(F.col("_sig"), bits_per * b)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("block"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "v", "bb.band", "bb.block")
+    a = banded.select(F.col("id").alias("id_a"), F.col("v").alias("va"),
+                      "band", "block")
+    b = banded.select(F.col("id").alias("id_b"), F.col("v").alias("vb"),
+                      "band", "block")
+    return (
+        a.join(b, ["band", "block"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("score", F.round(cosine(F.col("va"), F.col("vb")), round_dp))
+        .where(F.col("score") >= threshold)
+        .select("id_a", "id_b", "score")
+    )

@@ -1,0 +1,117 @@
+"""Text-analysis operators over a documents table — JVM-side expressions.
+
+Everything here compiles to built-in Catalyst expressions (whole-stage
+codegen, no Python workers): token counting, quality scoring, language id,
+and content hashing. Each function returns Column(s) so callers compose them
+into selects; each has an exact ANSI-SQL twin in __spark_entry__.oracle_sql.
+
+These operators extend the reference surface toward a training-data pipeline
+(no analogue in llm-food, which processes one upload at a time); thresholds
+are deterministic constants, not learned.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+# small deterministic marker sets (function words) for language id
+LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "with"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "mit", "ein"],
+    "tr": ["ve", "bir", "bu", "için", "ile", "olarak", "daha", "çok"],
+    "fr": ["le", "la", "les", "et", "est", "dans", "pour", "que"],
+}
+
+STOPWORDS_EN = (
+    "the a an and or of to in is are was were be been it this that "
+    "with as for on at by from not"
+).split()
+
+
+def words_col(text: Column) -> Column:
+    """Lowercased alpha word array (split on non-letters)."""
+    return F.filter(
+        F.split(F.lower(text), "[^a-zA-Z]+"), lambda w: w != F.lit("")
+    )
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count (the chunkers' token definition)."""
+    return F.size(
+        F.filter(F.split(text, r"\s+"), lambda t: t != F.lit(""))
+    ).cast("int")
+
+
+def punct_ratio(text: Column) -> Column:
+    """Punctuation chars / total chars (0.0 for empty text)."""
+    stripped = F.regexp_replace(text, r"[^\p{Punct}]", "")
+    return F.when(F.length(text) > 0,
+                  F.length(stripped).cast("double") / F.length(text)
+                  ).otherwise(F.lit(0.0))
+
+
+# longest-first so 'an' wins over 'a' in every regex engine
+_STOPWORD_PATTERN = r"\b(?:%s)\b" % "|".join(
+    sorted(STOPWORDS_EN, key=len, reverse=True)
+)
+
+
+def word_count(text: Column) -> Column:
+    """Letter-run word count (flat regexp — no array ops, cheap codegen)."""
+    return F.regexp_count(text, F.lit("[a-zA-Z]+"))
+
+
+def stopword_ratio(text: Column) -> Column:
+    """EN stopword occurrences / letter-run words (0.0 for empty).
+    \\b is ASCII-word-boundary in both Java and RE2, so the oracle twin
+    (DuckDB regexp_extract_all) counts identically."""
+    n_words = word_count(text)
+    hits = F.regexp_count(F.lower(text), F.lit(_STOPWORD_PATTERN))
+    return F.when(n_words > 0, hits.cast("double") / n_words).otherwise(F.lit(0.0))
+
+
+def quality_score(text: Column) -> Column:
+    """Deterministic [0,1] quality heuristic: length band + low punctuation
+    + reasonable mean word length. Flat regexp primitives only (the earlier
+    array-lambda form cost >10s of whole-stage-codegen compile per query
+    shape). Rounded to 6dp for oracle comparison."""
+    n_words = word_count(text)
+    letters = F.length(F.regexp_replace(text, "[^a-zA-Z]", ""))
+    mean_len = F.when(n_words > 0, letters.cast("double") / n_words).otherwise(
+        F.lit(0.0)
+    )
+    length_component = F.least(n_words.cast("double") / F.lit(100.0), F.lit(1.0))
+    punct_component = F.lit(1.0) - F.least(punct_ratio(text) * 5.0, F.lit(1.0))
+    wordlen_component = F.when(
+        (mean_len >= 3.0) & (mean_len <= 10.0), F.lit(1.0)
+    ).otherwise(F.lit(0.5))
+    score = (
+        length_component * 0.4 + punct_component * 0.3 + wordlen_component * 0.3
+    )
+    return F.when(n_words == 0, F.lit(0.0)).otherwise(F.round(score, 6))
+
+
+def lang_id(text: Column) -> Column:
+    """Marker-word language guess: argmax of per-language hit counts with a
+    deterministic tie-break (marker order), 'und' when no marker hits."""
+    words = words_col(text)
+    hit_cols = []
+    def _hits(marker_arr):
+        # single-param lambda: F.filter treats 2-param lambdas as (elem, idx)
+        return F.size(F.filter(words, lambda w: F.array_contains(marker_arr, w)))
+
+    for code, markers in LANG_MARKERS.items():
+        hit_cols.append((code, _hits(F.array(*[F.lit(x) for x in markers]))))
+    best = F.lit("und")
+    best_hits = F.lit(0)
+    # iterate in fixed order; strict > keeps the earlier language on ties
+    for code, hits in hit_cols:
+        take = hits > best_hits
+        best = F.when(take, F.lit(code)).otherwise(best)
+        best_hits = F.when(take, hits).otherwise(best_hits)
+    return best
+
+
+def content_hash(col: Column) -> Column:
+    """sha256 hex digest (parity: llm_food/app.py:456,488)."""
+    return F.sha2(col, 256)

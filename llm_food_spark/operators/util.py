@@ -1,0 +1,21 @@
+"""Shared operator utilities."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def ensure_min_partitions(df: DataFrame, min_parts: int | None = None) -> DataFrame:
+    """Repartition ONLY when the input is under-parallelized (e.g. a small
+    single-file parquet scan → 1 task, which serializes every CPU-heavy
+    per-row operator). Well-partitioned inputs — the 100 TB case — pass
+    through untouched: no gratuitous full-corpus shuffle."""
+    spark = df.sparkSession
+    target = min_parts or spark.sparkContext.defaultParallelism
+    try:
+        current = df.rdd.getNumPartitions()
+    except Exception:
+        return df
+    if current < target:
+        return df.repartition(target)
+    return df

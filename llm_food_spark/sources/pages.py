@@ -27,5 +27,38 @@ def write_pages_parquet(
     pages_to_df(spark, rows).repartition(n_files).write.mode("overwrite").parquet(path)
 
 
+def write_pages_parquet_fast(rows: List[Tuple], path: str,
+                             rows_per_group: int = 4096,
+                             n_files: int = 32) -> None:
+    """Driver-side pyarrow writer for large synthetic corpora: ~50x faster
+    than shipping rows through createDataFrame. Multiple files (not one):
+    a single parquet file under maxPartitionBytes reads as ONE Spark task,
+    serializing the whole scan stage."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(path, exist_ok=True)
+    schema = pa.schema([
+        ("url", pa.string()),
+        ("warc_ts", pa.timestamp("us")),
+        ("html", pa.binary()),
+        ("text", pa.string()),
+        ("lang", pa.string()),
+    ])
+    n = len(rows)
+    per = max(1, (n + n_files - 1) // n_files)
+    for i in range(0, max(n, 1), per):
+        shard = rows[i : i + per]
+        cols = list(zip(*shard)) if shard else [[], [], [], [], []]
+        table = pa.Table.from_arrays(
+            [pa.array(c, type=f.type) for c, f in zip(cols, schema)],
+            schema=schema,
+        )
+        pq.write_table(table, os.path.join(path, "part-%05d.parquet" % (i // per)),
+                       row_group_size=rows_per_group, compression="zstd")
+
+
 def read_pages(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.schema(PAGES_SCHEMA).parquet(path)

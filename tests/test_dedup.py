@@ -1,0 +1,105 @@
+"""Dedup operator tests: planted duplicates must be found; ground-truth
+Jaccard recall for the LSH path."""
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from llm_food_spark.operators.dedup import (
+    dedup_exact,
+    exact_duplicates,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+
+VOCAB = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+         "lam mu nu xi omicron pi rho sigma tau upsilon").split()
+
+
+def _doc(rng, n=60):
+    return " ".join(rng.choice(VOCAB) for _ in range(n))
+
+
+def _mutate(rng, text, frac):
+    words = text.split()
+    k = max(1, int(len(words) * frac))
+    for _ in range(k):
+        words[rng.randrange(len(words))] = rng.choice(VOCAB)
+    return " ".join(words)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rng = random.Random(7)
+    rows = []
+    for i in range(40):
+        rows.append((i, _doc(rng), "en"))
+    # planted exact dups: 100+i duplicates text of doc i (i<5)
+    for i in range(5):
+        rows.append((100 + i, rows[i][1], "en"))
+    # planted near dups: 200+i is a 5% mutation of doc i (i in 5..10)
+    for i in range(5, 10):
+        rows.append((200 + i, _mutate(rng, rows[i][1], 0.05), "en"))
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def test_exact_duplicates_found(docs):
+    groups = {r["keeper_id"]: r["n_dups"] for r in exact_duplicates(docs).collect()}
+    assert groups == {0: 2, 1: 2, 2: 2, 3: 2, 4: 2}
+
+
+def test_dedup_exact_keeps_min_id(docs):
+    kept = dedup_exact(docs)
+    assert kept.count() == 45  # 50 rows - 5 exact dups
+    kept_ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
+    assert {100, 101, 102, 103, 104}.isdisjoint(kept_ids)
+    assert {0, 1, 2, 3, 4}.issubset(kept_ids)
+
+
+def test_minhash_lsh_finds_planted_neardups(docs):
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"]
+             for r in minhash_lsh_pairs(docs, threshold=0.5).collect()}
+    # exact dups must appear with jaccard 1.0
+    for i in range(5):
+        assert pairs.get((i, 100 + i)) == 1.0
+    # 5% mutations must appear (their word-shingle jaccard >> 0.5)
+    for i in range(5, 10):
+        assert (i, 200 + i) in pairs, "missing near-dup %d" % i
+        assert pairs[(i, 200 + i)] >= 0.5
+
+
+def test_minhash_estimate_tracks_true_jaccard(docs):
+    rows = minhash_lsh_pairs(docs, threshold=0.3).collect()
+    for r in rows:
+        assert abs(r["est_jaccard"] - r["jaccard"]) < 0.3, r
+
+
+def test_lsh_no_false_positives_vs_bruteforce(spark, docs):
+    """Every pair LSH verifies is also found by the exact quadratic path."""
+    brute = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_pairs(docs, n=3, block_col=None,
+                                     threshold=0.5).collect()
+    }
+    lsh = {(r["id_a"], r["id_b"])
+           for r in minhash_lsh_pairs(docs, threshold=0.5).collect()}
+    assert lsh <= brute
+    # and recall of the planted pairs is total
+    planted = {(i, 100 + i) for i in range(5)} | {(i, 200 + i) for i in range(5, 10)}
+    assert planted <= lsh
+
+
+def test_simhash_exact_dup_distance_zero(docs):
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+             for r in simhash_pairs(docs, max_hamming=3).collect()}
+    for i in range(5):
+        assert pairs.get((i, 100 + i)) == 0
+
+
+def test_ngram_jaccard_blocked_by_lang(spark):
+    rows = [(1, "common words here", "en"), (2, "common words here", "de")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    assert ngram_jaccard_pairs(df, n=1, threshold=0.5).count() == 0
+    assert ngram_jaccard_pairs(df, n=1, block_col=None, threshold=0.5).count() == 1

@@ -1,0 +1,90 @@
+"""Similarity-search tests: brute-force exactness vs numpy, ANN recall."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F, types as T
+
+from llm_food_spark.operators.similarity import (
+    brute_force_topk,
+    embedding_neardup_pairs,
+    lsh_ann_topk,
+)
+
+DIM = 64
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rng = np.random.RandomState(3)
+    base = rng.standard_normal((80, DIM)).astype(np.float32)
+    # plant near-dups: 100+i ≈ i with small noise
+    rows = [(int(i), [float(x) for x in base[i]]) for i in range(80)]
+    for i in range(5):
+        noisy = base[i] + 0.01 * rng.standard_normal(DIM).astype(np.float32)
+        rows.append((100 + i, [float(x) for x in noisy]))
+    schema = T.StructType([
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.FloatType())),
+    ])
+    return spark.createDataFrame(rows, schema), rows
+
+
+def _numpy_topk(rows, query_ids, k):
+    ids = np.array([r[0] for r in rows])
+    mat = np.array([r[1] for r in rows], dtype=np.float64)
+    mat_n = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    out = {}
+    for qid in query_ids:
+        qi = int(np.where(ids == qid)[0][0])
+        scores = np.round(mat_n @ mat_n[qi], 4)
+        order = sorted(
+            ((s, i) for s, i in zip(scores, ids) if i != qid),
+            key=lambda t: (-t[0], t[1]),
+        )
+        out[qid] = [(int(i), float(s)) for s, i in order[:k]]
+    return out
+
+
+def test_brute_force_matches_numpy(vectors):
+    df, rows = vectors
+    queries = df.where(F.col("vec_id") < 3)
+    got = brute_force_topk(df, queries, k=5).collect()
+    expected = _numpy_topk(rows, [0, 1, 2], 5)
+    by_q = {}
+    for r in sorted(got, key=lambda r: (r["query_id"], r["rank"])):
+        by_q.setdefault(r["query_id"], []).append((r["vec_id"], r["score"]))
+    for qid in (0, 1, 2):
+        assert by_q[qid] == [(i, pytest.approx(s, abs=2e-4))
+                             for i, s in expected[qid]]
+
+
+def test_planted_neighbor_is_rank1(vectors):
+    df, _ = vectors
+    queries = df.where(F.col("vec_id") < 5)
+    got = brute_force_topk(df, queries, k=1).collect()
+    for r in got:
+        assert r["vec_id"] == 100 + r["query_id"]
+        assert r["score"] > 0.99
+
+
+def test_lsh_ann_recall_at_least_half_of_exact(vectors):
+    df, rows = vectors
+    queries = df.where(F.col("vec_id") < 10)
+    exact = brute_force_topk(df, queries, k=3).collect()
+    ann = lsh_ann_topk(df, queries, k=3, nbits=16, bands=4).collect()
+    exact_set = {(r["query_id"], r["vec_id"]) for r in exact}
+    ann_set = {(r["query_id"], r["vec_id"]) for r in ann}
+    recall = len(exact_set & ann_set) / len(exact_set)
+    assert recall >= 0.5, recall
+    # planted twins share almost every hyperplane bucket: always recalled
+    for i in range(5):
+        assert (i, 100 + i) in ann_set
+
+
+def test_embedding_neardup_pairs_finds_planted(vectors):
+    df, _ = vectors
+    pairs = {(r["id_a"], r["id_b"]): r["score"]
+             for r in embedding_neardup_pairs(df, threshold=0.95).collect()}
+    for i in range(5):
+        assert (i, 100 + i) in pairs
+        assert pairs[(i, 100 + i)] > 0.99

@@ -1,0 +1,150 @@
+"""Text-analysis operator tests (JVM expressions + fingerprint + chunk op +
+multimodal plumbing)."""
+
+import struct
+import zlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from llm_food_spark.functions.text_stats import (
+    fingerprint_digest,
+    rolling_fingerprint,
+)
+from llm_food_spark.operators.chunk import chunk_table
+from llm_food_spark.operators.multimodal import (
+    decode_image_meta,
+    extract_image_features,
+)
+from llm_food_spark.operators.textops import (
+    lang_id,
+    punct_ratio,
+    quality_score,
+    stopword_ratio,
+    token_count,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog and that is it"),
+        (2, "der hund und die katze das ist nicht ein problem mit der zeit"),
+        (3, "bu bir deneme ve bunun için daha çok kelime ile devam ediyor"),
+        (4, ""),
+        (5, "!!! ??? ... ###"),
+        (6, "word " * 200),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_token_count(spark, docs):
+    got = {r["doc_id"]: r["n"] for r in
+           docs.select("doc_id", token_count(F.col("text")).alias("n")).collect()}
+    assert got[1] == 13
+    assert got[4] == 0
+    assert got[6] == 200
+
+
+def test_lang_id_markers(spark, docs):
+    got = {r["doc_id"]: r["lang"] for r in
+           docs.select("doc_id", lang_id(F.col("text")).alias("lang")).collect()}
+    assert got[1] == "en"
+    assert got[2] == "de"
+    assert got[3] == "tr"
+    assert got[4] == "und"
+    assert got[5] == "und"
+
+
+def test_ratios_and_quality_bounds(spark, docs):
+    rows = docs.select(
+        "doc_id",
+        punct_ratio(F.col("text")).alias("p"),
+        stopword_ratio(F.col("text")).alias("s"),
+        quality_score(F.col("text")).alias("q"),
+    ).collect()
+    for r in rows:
+        assert 0.0 <= r["p"] <= 1.0
+        assert 0.0 <= r["s"] <= 1.0
+        assert 0.0 <= r["q"] <= 1.0
+    by_id = {r["doc_id"]: r for r in rows}
+    assert by_id[5]["p"] > 0.5        # punctuation soup
+    assert by_id[1]["s"] > 0.2        # English stopwords present
+    assert by_id[4]["q"] == 0.0       # empty text scores zero
+    assert by_id[6]["q"] > by_id[5]["q"]
+
+
+# -- fingerprint -------------------------------------------------------------
+
+def test_fingerprint_deterministic_and_shift_invariant():
+    text = "the quick brown fox jumps over the lazy dog " * 5
+    assert rolling_fingerprint(text) == rolling_fingerprint(text)
+    # winnowed fingerprints of overlapping texts share most hashes
+    a = set(rolling_fingerprint(text))
+    b = set(rolling_fingerprint("PREFIX " + text))
+    assert len(a & b) / len(a) > 0.7
+
+
+def test_fingerprint_digest_distinguishes():
+    assert fingerprint_digest("one text here") != fingerprint_digest("another text")
+    assert fingerprint_digest("") == 0
+
+
+# -- chunk operator ----------------------------------------------------------
+
+def test_chunk_table_explodes_with_ids(spark):
+    df = spark.createDataFrame(
+        [("u1", " ".join("t%d" % i for i in range(20))), ("u2", "")],
+        "url string, markdown string",
+    )
+    out = chunk_table(df, strategy="token", chunk_size=8, chunk_overlap=2).collect()
+    by_url = {}
+    for r in out:
+        by_url.setdefault(r["url"], []).append(r)
+    u1 = sorted(by_url["u1"], key=lambda r: r["chunk_id"])
+    assert [r["chunk_id"] for r in u1] == list(range(len(u1)))
+    assert u1[0]["chunk"].split()[0] == "t0"
+    assert u1[-1]["chunk"].split()[-1] == "t19"
+    # empty text yields a null chunk row (posexplode_outer keeps the key)
+    assert by_url["u2"][0]["chunk"] is None
+
+
+def test_chunk_table_validates_params(spark):
+    df = spark.createDataFrame([("u", "x")], "url string, markdown string")
+    with pytest.raises(ValueError):
+        chunk_table(df, chunk_size=8, chunk_overlap=8)
+
+
+# -- multimodal plumbing -----------------------------------------------------
+
+def _png(w, h):
+    ihdr = struct.pack(">II", w, h) + b"\x08\x02\x00\x00\x00"
+    chunk = b"IHDR" + ihdr
+    return (b"\x89PNG\r\n\x1a\n" + struct.pack(">I", len(ihdr)) + chunk
+            + struct.pack(">I", zlib.crc32(chunk)))
+
+
+def test_decode_image_meta(spark):
+    rows = [
+        ("a", "image", _png(640, 480), None),
+        ("b", "image", b"GIF89a" + struct.pack("<HH", 10, 20) + b"\x00" * 10, None),
+        ("c", "image", b"not an image", None),
+    ]
+    df = spark.createDataFrame(
+        rows, "media_id string, kind string, payload binary, meta map<string,string>"
+    )
+    got = {r["media_id"]: r for r in decode_image_meta(df).collect()}
+    assert (got["a"]["format"], got["a"]["width"], got["a"]["height"]) == ("png", 640, 480)
+    assert (got["b"]["format"], got["b"]["width"], got["b"]["height"]) == ("gif", 10, 20)
+    assert got["c"]["status"] == "failed"
+
+
+def test_extract_image_features_deterministic(spark):
+    df = spark.createDataFrame(
+        [("a", b"payload-1"), ("b", b"payload-2")], "media_id string, payload binary"
+    )
+    f1 = {r["media_id"]: r["features"] for r in extract_image_features(df).collect()}
+    f2 = {r["media_id"]: r["features"] for r in extract_image_features(df).collect()}
+    assert f1 == f2
+    assert len(f1["a"]) == 16
+    assert f1["a"] != f1["b"]

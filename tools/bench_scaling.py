@@ -1,0 +1,133 @@
+"""Two-level parallelism scaling benchmark (north_rule evidence).
+
+Runs the SAME extraction job on the SAME corpus at local[N] and local[4N]
+(sandbox proxy for N vs 4N executors — no real cluster here), reports
+docs/sec at both and the scaling efficiency
+
+    eff = (docs/sec @ 4N) / (4 x docs/sec @ N)
+
+and rewrites BENCH/BASELINE.md. Each measurement is a fresh spark-submit-
+style subprocess (own JVM) so the parallelism level is honest; workers are
+warmed and the best of ``--reps`` timed runs is kept (steady-state).
+
+Run: python tools/bench_scaling.py [--low 8] [--high 32] [--docs 200000]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+
+MEASURE_SNIPPET = r"""
+import json, shutil, sys, time
+sys.path.insert(0, "%(repo)s")
+from llm_food_spark.session import get_spark
+from llm_food_spark.operators.extract import extract_pages
+
+cpus = %(cpus)d
+spark = get_spark("scale-bench", master="local[%(cpus)d]", shuffle_partitions=cpus)
+# warm python workers
+spark.range(cpus * 4).repartition(cpus).mapInPandas(
+    lambda it: it, schema="id long").write.format("noop").mode("overwrite").save()
+pages = spark.read.parquet("%(corpus)s")
+best = None
+for rep in range(%(reps)d):
+    t0 = time.time()
+    extract_pages(pages, n_partitions=cpus * 4).write.format("noop").mode(
+        "overwrite").save()
+    dt = time.time() - t0
+    best = dt if best is None or dt < best else best
+print(json.dumps({"cpus": cpus, "sec": best}))
+"""
+
+
+def measure(cpus: int, corpus: str, reps: int) -> dict:
+    code = MEASURE_SNIPPET % {
+        "repo": str(REPO), "cpus": cpus, "corpus": corpus, "reps": reps,
+    }
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True,
+        cwd=str(REPO), timeout=1800,
+    )
+    if out.returncode != 0:
+        raise RuntimeError(out.stderr[-2000:])
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--low", type=int, default=8)
+    ap.add_argument("--high", type=int, default=32)
+    ap.add_argument("--docs", type=int, default=200_000)
+    ap.add_argument("--reps", type=int, default=2)
+    args = ap.parse_args()
+
+    corpus = "/tmp/spark_graft_scale_pages_%d" % args.docs
+    marker = os.path.join(corpus, "_DONE")
+    if not os.path.exists(marker):
+        sys.path.insert(0, str(REPO))
+        from llm_food_spark.sources.fixtures import generate_pages
+        from llm_food_spark.sources.pages import write_pages_parquet_fast
+
+        print("generating %d docs..." % args.docs, file=sys.stderr)
+        write_pages_parquet_fast(generate_pages(args.docs), corpus)
+        open(marker, "w").close()
+
+    lo = measure(args.low, corpus, args.reps)
+    hi = measure(args.high, corpus, args.reps)
+    tput_lo = args.docs / lo["sec"]
+    tput_hi = args.docs / hi["sec"]
+    ratio = args.high / args.low
+    eff = (tput_hi / tput_lo) / ratio
+    result = {
+        "n_docs": args.docs,
+        "low": {"cpus": args.low, "sec": round(lo["sec"], 2),
+                "docs_per_sec": round(tput_lo, 1)},
+        "high": {"cpus": args.high, "sec": round(hi["sec"], 2),
+                 "docs_per_sec": round(tput_hi, 1)},
+        "scaling_efficiency": round(eff, 3),
+        "target": 0.8,
+        "pass": eff >= 0.8,
+    }
+    print(json.dumps(result))
+
+    import multiprocessing
+    md = REPO / "BENCH" / "BASELINE.md"
+    md.parent.mkdir(exist_ok=True)
+    md.write_text(f"""# BENCH/BASELINE — measured numbers (this sandbox)
+
+Hardware: {multiprocessing.cpu_count()} CPUs, single node, pyspark 4.1.2
+(local mode; cluster-size scaling evidenced via `local[N]` vs `local[4N]`
+per the driver's sandbox rule).
+
+Workload: end-to-end extraction pipeline — read parquet pages →
+`pmod(xxhash64(url), P)` salted repartition → one mapInPandas Arrow pass
+(sniff → HTML/PDF/RTF/OOXML parse → markdown) → noop sink. Corpus:
+{args.docs} synthesized Common-Crawl-style pages (Zipf-skewed hosts,
+~10% PDF, ~3% malformed), identical input at both parallelism levels.
+Best of {args.reps} steady-state runs (workers warmed).
+
+| parallelism | wall sec | docs/sec |
+|---|---|---|
+| local[{args.low}] | {result['low']['sec']} | {result['low']['docs_per_sec']} |
+| local[{args.high}] | {result['high']['sec']} | {result['high']['docs_per_sec']} |
+
+**Scaling efficiency ({args.low}→{args.high} cores):
+{result['scaling_efficiency']}** (target ≥ 0.8 → {'PASS' if result['pass'] else 'FAIL'})
+
+efficiency = (docs/sec @ {args.high}) / ({ratio:.0f} × docs/sec @ {args.low})
+
+Reproduce: `python tools/bench_scaling.py --low {args.low} --high {args.high} --docs {args.docs}`
+""")
+    print("wrote %s" % md, file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

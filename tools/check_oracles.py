@@ -1,0 +1,116 @@
+"""Local replica of the driver's correctness gate: run every queries() entry
+via Spark AND its oracle_sql() twin via DuckDB at sf0.01; compare row count,
+column names, and an order-insensitive value hash.
+
+Run: python tools/check_oracles.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import duckdb
+
+TABLES = ("region nation customer supplier part orders lineitem events "
+          "documents embeddings").split()
+
+
+def _norm(v) -> str:
+    import datetime
+    import math
+
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return repr(round(v, 9))
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(_norm(x) for x in v) + "]"
+    return str(v)
+
+
+def value_hash(cols, rows) -> str:
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    lines = sorted(
+        "\x1f".join(_norm(r[i]) for i in order) for r in rows
+    )
+    h = hashlib.sha256()
+    for ln in lines:
+        h.update(ln.encode("utf-8", "replace"))
+        h.update(b"\n")
+    return h.hexdigest()[:16]
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 and "/" in sys.argv[1] else "/root/testdata/sf0.01"
+    only = [a for a in sys.argv[1:] if "/" not in a]
+
+    import __spark_entry__ as entrymod
+    from llm_food_spark.session import get_spark
+
+    spark = get_spark("oracle-check")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql("CREATE VIEW %s AS SELECT * FROM '%s/%s.parquet'" % (t, sf_dir, t))
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    missing = set(oracles) - set(qs)
+    if missing:
+        print("oracle keys without queries: %s" % missing)
+        return 1
+
+    failures = 0
+    for name, fn in qs.items():
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        cols = df.columns
+        rows = [tuple(r) for r in df.collect()]
+        spark_s = time.time() - t0
+        if name not in oracles:
+            print("%-18s rows-only: %6d rows  %5.1fs  (no oracle)" % (name, len(rows), spark_s))
+            if len(rows) == 0 and name not in ("dedup_exact",):
+                print("  !! zero rows from a rows-only query")
+            continue
+        t0 = time.time()
+        rel = con.sql(oracles[name])
+        ocols = [c for c in rel.columns]
+        orows = rel.fetchall()
+        duck_s = time.time() - t0
+        ok_cols = sorted(cols) == sorted(ocols)
+        ok_count = len(rows) == len(orows)
+        h_s = value_hash(cols, rows)
+        h_d = value_hash(ocols, orows)
+        ok_hash = h_s == h_d
+        status = "OK " if (ok_cols and ok_count and ok_hash) else "FAIL"
+        print("%-18s %s rows %6d/%6d cols:%s hash:%s  spark %4.1fs duck %4.1fs"
+              % (name, status, len(rows), len(orows),
+                 "=" if ok_cols else "DIFF", "=" if ok_hash else "DIFF",
+                 spark_s, duck_s))
+        if status == "FAIL":
+            failures += 1
+            if not ok_cols:
+                print("   spark cols: %s\n   duck  cols: %s" % (cols, ocols))
+            if ok_cols and not ok_hash and rows and orows:
+                srt = sorted(range(len(cols)), key=lambda i: cols[i])
+                s_set = {tuple(_norm(r[i]) for i in srt) for r in rows}
+                d_srt = sorted(range(len(ocols)), key=lambda i: ocols[i])
+                d_set = {tuple(_norm(r[i]) for i in d_srt) for r in orows}
+                only_s = list(s_set - d_set)[:3]
+                only_d = list(d_set - s_set)[:3]
+                print("   only-spark: %s" % only_s)
+                print("   only-duck : %s" % only_d)
+    print("failures: %d" % failures)
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
