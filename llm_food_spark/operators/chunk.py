@@ -27,6 +27,32 @@ from ..functions.chunkers import (
 )
 
 
+def extract_and_chunk(
+    pages: DataFrame,
+    strategy: str = DEFAULT_CHUNK_STRATEGY,
+    chunk_size: int = DEFAULT_CHUNK_SIZE,
+    chunk_overlap: int = DEFAULT_CHUNK_OVERLAP,
+    n_partitions: int = None,
+    max_bytes: int = None,
+) -> DataFrame:
+    """Fused convert→chunk pipeline (reference /be endpoint,
+    llm_food/app.py:523-542: convert file, join texts with '\\n', chunk).
+
+    Composes the extraction operator with the chunker in one plan — no
+    materialization between stages; Catalyst pipelines the chunk UDF
+    directly after the extraction pass."""
+    from .extract import extract_pages
+
+    results = extract_pages(pages, n_partitions=n_partitions,
+                            max_bytes=max_bytes)
+    joined = results.where(F.col("status").isin("completed", "scanned_lowconf")).select(
+        "url", F.concat_ws("\n", F.col("texts")).alias("_text")
+    )
+    return chunk_table(joined, text_col="_text", key_col="url",
+                       strategy=strategy, chunk_size=chunk_size,
+                       chunk_overlap=chunk_overlap)
+
+
 def chunk_table(
     df: DataFrame,
     text_col: str = "markdown",

@@ -1,0 +1,77 @@
+"""File-directory sources and export sinks.
+
+- ``read_binary_dir``: the Spark analogue of the reference CLI's recursive
+  glob scan (llm_food/cli.py:167-178, ``input_path.rglob(f"*{ext}")``):
+  ``binaryFile`` format with a path-glob filter, yielding rows shaped like
+  the pages table (url = file path).
+- ``export_markdown``: the analogue of the CLI's --save-dir writer
+  (llm_food/cli.py:310-371, one .md per document). For small result sets it
+  writes real per-document .md files from executors; the default export is
+  a partitioned parquet/jsonl of (url, markdown) — one-file-per-doc at
+  10^12 scale is a filesystem DoS, so that form is opt-in and capped.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+SUPPORTED_GLOB = "*.{pdf,docx,pptx,rtf,html,htm}"
+
+
+def read_binary_dir(
+    spark: SparkSession,
+    input_dir: str,
+    glob: str = SUPPORTED_GLOB,
+    recursive: bool = True,
+) -> DataFrame:
+    """Directory of raw documents → pages-shaped DataFrame
+    (url, warc_ts, html, text, lang)."""
+    df = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", glob)
+        .option("recursiveFileLookup", str(recursive).lower())
+        .load(input_dir)
+    )
+    return df.select(
+        F.col("path").alias("url"),
+        F.col("modificationTime").alias("warc_ts"),
+        F.col("content").alias("html"),
+        F.lit("").alias("text"),
+        F.lit("").alias("lang"),
+    )
+
+
+def export_markdown(
+    results: DataFrame,
+    output_dir: str,
+    as_files: bool = False,
+    max_files: int = 100_000,
+) -> int:
+    """Export (url, markdown) pairs. Default: jsonl dataset (scales).
+    ``as_files=True``: one <sha1(url)>.md per document, written from
+    executors via foreachPartition, capped at ``max_files``."""
+    pairs = results.select("url", "markdown").where(F.col("markdown") != "")
+    if not as_files:
+        pairs.write.mode("overwrite").json(output_dir)
+        return -1
+    n = pairs.count()
+    if n > max_files:
+        raise ValueError(
+            "refusing to write %d individual files (> %d cap); "
+            "use the dataset export" % (n, max_files)
+        )
+    os.makedirs(output_dir, exist_ok=True)
+
+    def write_partition(rows) -> None:
+        import hashlib
+
+        for row in rows:
+            name = hashlib.sha1(row["url"].encode("utf-8")).hexdigest() + ".md"
+            with open(os.path.join(output_dir, name), "w", encoding="utf-8") as f:
+                f.write(row["markdown"])
+
+    pairs.foreachPartition(write_partition)
+    return n

@@ -1,0 +1,3 @@
+"""Structured Streaming surface (forward-looking; the reference has no
+streaming endpoints — SURVEY §1.4 scopes this as a sink-compatible variant
+of the batch pipeline)."""

@@ -1,0 +1,90 @@
+"""Streaming ingest: continuously extract newly arriving page files.
+
+The reference is purely request/response (llm_food/app.py:449-883); this
+module is the Spark-native continuous variant: ``readStream`` over a pages
+directory → the SAME extraction operator → ``foreachBatch`` writing results
++ lineage through the batch commit protocol, so batch and streaming outputs
+are indistinguishable and resume/idempotence semantics carry over.
+
+Local testing uses trigger(availableNow=True) to drain deterministically.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators.extract import RESULT_SCHEMA, extract_pages
+from ..plans import pipeline as batch
+from ..sources.pages import PAGES_SCHEMA
+
+
+def stream_pages(spark: SparkSession, input_dir: str,
+                 max_files_per_trigger: Optional[int] = None) -> DataFrame:
+    reader = (
+        spark.readStream.schema(PAGES_SCHEMA).format("parquet")
+    )
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.load(input_dir)
+
+
+def run_streaming_extraction(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    n_partitions: Optional[int] = None,
+    max_bytes: Optional[int] = None,
+    available_now: bool = True,
+):
+    """Start (and, with available_now, drain) the streaming extraction.
+
+    Each micro-batch runs the batch extraction operator and commits through
+    the same results+lineage protocol (run_id = epoch id), so a crashed
+    stream resumes exactly like a crashed batch job: the checkpoint replays
+    the epoch and dynamic partition overwrite makes the rewrite idempotent.
+    """
+    if n_partitions is None:
+        n_partitions = spark.sparkContext.defaultParallelism * 4
+
+    pages_stream = stream_pages(spark, input_dir)
+
+    def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        # results are keyed by (run_id=epoch, partition_id): epochs never
+        # share overwrite partitions (a bare partition_id key would let a
+        # later epoch's dynamic overwrite wipe earlier epochs' rows), and an
+        # at-least-once replay of the same epoch replaces exactly its own
+        # output — idempotent.
+        from pyspark.sql import functions as F
+
+        run_id = "epoch-%d" % epoch_id
+        sess = batch_df.sparkSession
+        results = extract_pages(batch_df, n_partitions=n_partitions,
+                                max_bytes=max_bytes)
+        results.withColumn("run_id", F.lit(run_id)).write.mode(
+            "overwrite"
+        ).partitionBy("run_id", "partition_id").parquet(
+            batch.results_path(output_dir)
+        )
+        written = (
+            sess.read.parquet(batch.results_path(output_dir))
+            .where(F.col("run_id") == run_id)
+            .select("url", "content_hash", "status", "bytes_in", "partition_id")
+        )
+        lineage = batch._lineage_from_results(written, run_id).drop("run_id")
+        lineage.withColumn("run_id", F.lit(run_id)).write.mode(
+            "overwrite"
+        ).partitionBy("run_id").parquet(batch.lineage_path(output_dir))
+
+    writer = (
+        pages_stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+        return q
+    return writer.start()

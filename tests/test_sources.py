@@ -1,0 +1,81 @@
+"""binaryFile directory source, markdown export sink, fused extract+chunk."""
+
+import json
+import os
+from pathlib import Path
+
+import pytest
+from pyspark.sql import functions as F
+
+from llm_food_spark.operators.chunk import extract_and_chunk
+from llm_food_spark.operators.extract import extract_pages
+from llm_food_spark.sources.files import export_markdown, read_binary_dir
+from llm_food_spark.sources.fixtures import (
+    EPOCH,
+    html_fixture_families,
+    pdf_fixture_families,
+)
+from llm_food_spark.sources.pages import pages_to_df
+
+
+def test_read_binary_dir_glob_and_extract(spark, tmp_path):
+    # the CLI rglob analogue (llm_food/cli.py:167-178)
+    d = tmp_path / "docs" / "nested"
+    d.mkdir(parents=True)
+    (d / "a.html").write_bytes(html_fixture_families()["article_plain"])
+    (d / "b.pdf").write_bytes(pdf_fixture_families()["pdf_text_1p"])
+    (d / "ignored.txt").write_bytes(b"nope")
+
+    pages = read_binary_dir(spark, str(tmp_path / "docs"))
+    assert pages.columns == ["url", "warc_ts", "html", "text", "lang"]
+    rows = pages.collect()
+    assert len(rows) == 2
+    out = extract_pages(pages, n_partitions=2).collect()
+    assert {r["content_type"] for r in out} == {"html", "pdf"}
+    assert all(r["status"] == "completed" for r in out)
+
+
+def test_export_markdown_dataset_and_files(spark, tmp_path):
+    rows = [
+        ("https://x/1", EPOCH, html_fixture_families()["article_plain"], "", "en"),
+        ("https://x/2", EPOCH, html_fixture_families()["lists_tables"], "", "en"),
+    ]
+    results = extract_pages(pages_to_df(spark, rows), n_partitions=2)
+
+    ds_dir = str(tmp_path / "ds")
+    export_markdown(results, ds_dir, as_files=False)
+    back = spark.read.json(ds_dir)
+    assert back.count() == 2
+    assert set(back.columns) == {"url", "markdown"}
+
+    f_dir = str(tmp_path / "files")
+    n = export_markdown(results, f_dir, as_files=True)
+    assert n == 2
+    md_files = list(Path(f_dir).glob("*.md"))
+    assert len(md_files) == 2
+    golden = (Path(__file__).resolve().parent.parent / "fixtures" / "golden"
+              / "article_plain.md").read_text(encoding="utf-8")
+    contents = {p.read_text(encoding="utf-8") for p in md_files}
+    assert golden in contents
+
+
+def test_export_markdown_file_cap(spark, tmp_path):
+    rows = [("u%d" % i, EPOCH, b"<p>text %d</p>" % i, "", "en") for i in range(5)]
+    results = extract_pages(pages_to_df(spark, rows), n_partitions=2)
+    with pytest.raises(ValueError):
+        export_markdown(results, str(tmp_path / "x"), as_files=True, max_files=3)
+
+
+def test_extract_and_chunk_fused(spark):
+    # T18: /be endpoint semantics (llm_food/app.py:523-542)
+    long_html = ("<article><p>" + "word " * 200 + "</p></article>").encode()
+    rows = [("https://f/1", EPOCH, long_html, "", "en"),
+            ("https://f/2", EPOCH, b"", "", "en")]  # failed rows excluded
+    chunks = extract_and_chunk(pages_to_df(spark, rows), strategy="token",
+                               chunk_size=64, chunk_overlap=16,
+                               n_partitions=2).collect()
+    urls = {r["url"] for r in chunks}
+    assert urls == {"https://f/1"}
+    by_id = sorted(chunks, key=lambda r: r["chunk_id"])
+    assert len(by_id) >= 3
+    assert all(r["strategy"] == "token" and r["chunk_size"] == 64 for r in by_id)

@@ -1,0 +1,65 @@
+"""Streaming ingest: drain a directory with availableNow, verify results
+match the batch pipeline byte-for-byte."""
+
+from pyspark.sql import functions as F
+
+from llm_food_spark.sources.fixtures import generate_pages
+from llm_food_spark.sources.pages import pages_to_df
+from llm_food_spark.streaming.ingest import run_streaming_extraction
+
+
+def test_streaming_matches_batch(spark, tmp_path):
+    rows = generate_pages(80)
+    in_dir = str(tmp_path / "incoming")
+    pages_to_df(spark, rows).repartition(4).write.parquet(in_dir)
+
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    run_streaming_extraction(spark, in_dir, out_dir, ckpt,
+                             n_partitions=8, available_now=True)
+
+    got = spark.read.parquet(out_dir + "/results")
+    assert got.count() == 80
+    assert got.select("url").distinct().count() == 80
+
+    # byte-parity with the batch operator
+    from llm_food_spark.operators.extract import extract_pages
+
+    batch = {
+        r["url"]: r["markdown"]
+        for r in extract_pages(pages_to_df(spark, rows), n_partitions=8).collect()
+    }
+    stream = {r["url"]: r["markdown"] for r in got.collect()}
+    assert stream == batch
+
+    lin = spark.read.parquet(out_dir + "/lineage")
+    assert lin.where(F.col("run_id").startswith("epoch-")).count() > 0
+
+
+def test_streaming_second_epoch_accumulates(spark, tmp_path):
+    """A later epoch must not wipe earlier epochs (results are keyed by
+    (run_id, partition_id), not bare partition_id)."""
+    in_dir = str(tmp_path / "incoming")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    pages_to_df(spark, generate_pages(60)).repartition(2).write.mode(
+        "overwrite").parquet(in_dir)
+    run_streaming_extraction(spark, in_dir, out_dir, ckpt, n_partitions=8)
+    assert spark.read.parquet(out_dir + "/results").count() == 60
+
+    pages_to_df(spark, generate_pages(40, seed=99)).repartition(1).write.mode(
+        "append").parquet(in_dir)
+    run_streaming_extraction(spark, in_dir, out_dir, ckpt, n_partitions=8)
+    res = spark.read.parquet(out_dir + "/results")
+    assert res.count() == 100
+    # urls may legitimately repeat across epochs (re-crawl semantics);
+    # expected distinct = union of the two generated url sets
+    expected = len({r[0] for r in generate_pages(60)}
+                   | {r[0] for r in generate_pages(40, seed=99)})
+    assert res.select("url").distinct().count() == expected
+    # lineage: one committed set per epoch, counts add up
+    lin = spark.read.parquet(out_dir + "/lineage")
+    per_epoch = {r["run_id"]: r["docs"] for r in
+                 lin.groupBy("run_id").agg(F.sum("doc_count").alias("docs")).collect()}
+    assert sum(per_epoch.values()) == 100 and len(per_epoch) == 2

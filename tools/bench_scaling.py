@@ -64,7 +64,7 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--low", type=int, default=8)
     ap.add_argument("--high", type=int, default=32)
-    ap.add_argument("--docs", type=int, default=200_000)
+    ap.add_argument("--docs", type=int, default=800_000)
     ap.add_argument("--reps", type=int, default=2)
     args = ap.parse_args()
 
