@@ -124,10 +124,12 @@ def minhash_lsh_pairs(
         word_shingles(F.col(text_col), shingle_n).alias("shingles"),
     ).withColumn("sig", minhash_signature(F.col("shingles"), num_hashes))
 
+    # NARROW band rows: (id, band_id, band_hash) only. The bucket join must
+    # not shuffle shingle/signature arrays x bands — at corpus scale that
+    # multiplies shuffle bytes by an order of magnitude. Arrays are joined
+    # back AFTER candidate pairs are known (few rows).
     banded = base.select(
         "id",
-        "shingles",
-        "sig",
         F.explode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
@@ -147,7 +149,7 @@ def minhash_lsh_pairs(
                 ),
             )
         ).alias("band"),
-    ).select("id", "shingles", "sig", "band.band_id", "band.band_hash")
+    ).select("id", "band.band_id", "band.band_hash")
 
     # guardrail: cap degenerate buckets before the join blows up
     bucket_w = Window.partitionBy("band_id", "band_hash")
@@ -155,25 +157,26 @@ def minhash_lsh_pairs(
         F.col("_bw") <= max_bucket
     )
 
-    left = banded.select(
-        F.col("id").alias("id_a"),
-        F.col("shingles").alias("sh_a"),
-        F.col("sig").alias("sig_a"),
-        "band_id",
-        "band_hash",
-    )
-    right = banded.select(
-        F.col("id").alias("id_b"),
-        F.col("shingles").alias("sh_b"),
-        F.col("sig").alias("sig_b"),
-        "band_id",
-        "band_hash",
-    )
-    pairs = (
+    left = banded.select(F.col("id").alias("id_a"), "band_id", "band_hash")
+    right = banded.select(F.col("id").alias("id_b"), "band_id", "band_hash")
+    candidate_ids = (
         left.join(right, ["band_id", "band_hash"])
         .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sh_a", "sh_b", "sig_a", "sig_b")
-        .dropDuplicates(["id_a", "id_b"])
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    pairs = (
+        candidate_ids.join(
+            base.select(F.col("id").alias("id_a"),
+                        F.col("shingles").alias("sh_a"),
+                        F.col("sig").alias("sig_a")),
+            "id_a",
+        ).join(
+            base.select(F.col("id").alias("id_b"),
+                        F.col("shingles").alias("sh_b"),
+                        F.col("sig").alias("sig_b")),
+            "id_b",
+        )
     )
     est = F.round(
         F.size(

@@ -62,18 +62,26 @@ def read_lineage(spark: SparkSession, output_dir: str) -> Optional[DataFrame]:
         return None
 
 
-def committed_partitions(spark: SparkSession, output_dir: str) -> Optional[DataFrame]:
+def committed_partitions(
+    spark: SparkSession, output_dir: str, n_partitions: Optional[int] = None
+) -> Optional[DataFrame]:
+    """Committed partition ids — only those committed under the SAME
+    partition count. partition_id = pmod(xxhash64(url), P) is a function of
+    P, so lineage rows written with a different P must not mask work (they
+    would skip the wrong urls). Changing P mid-job therefore reprocesses
+    everything — correct, if wasteful; the lineage row records P to make
+    that decision explicit."""
     lin = read_lineage(spark, output_dir)
     if lin is None:
         return None
-    return (
-        lin.where(F.col("status") == LINEAGE_STATUS_COMMITTED)
-        .select("partition_id")
-        .distinct()
-    )
+    committed = lin.where(F.col("status") == LINEAGE_STATUS_COMMITTED)
+    if n_partitions is not None and "n_partitions" in lin.columns:
+        committed = committed.where(F.col("n_partitions") == n_partitions)
+    return committed.select("partition_id").distinct()
 
 
-def _lineage_from_results(results: DataFrame, run_id: str) -> DataFrame:
+def _lineage_from_results(results: DataFrame, run_id: str,
+                          n_partitions: Optional[int] = None) -> DataFrame:
     return (
         results.groupBy("partition_id")
         .agg(
@@ -88,6 +96,7 @@ def _lineage_from_results(results: DataFrame, run_id: str) -> DataFrame:
         .withColumn("run_id", F.lit(run_id))
         .withColumn("status", F.lit(LINEAGE_STATUS_COMMITTED))
         .withColumn("committed_at", F.current_timestamp())
+        .withColumn("n_partitions", F.lit(n_partitions).cast("int"))
     )
 
 
@@ -108,7 +117,7 @@ def run_extraction(
     todo = pages
     n_skipped = 0
     if resume:
-        committed = committed_partitions(spark, output_dir)
+        committed = committed_partitions(spark, output_dir, n_partitions)
         if committed is not None:
             # broadcast anti-join on the small committed-partition set;
             # reads only `url` from the pages scan before the payload stage
@@ -127,9 +136,9 @@ def run_extraction(
         "url", "content_hash", "status", "bytes_in", "partition_id"
     )
     if resume and n_skipped:
-        done = committed_partitions(spark, output_dir)
+        done = committed_partitions(spark, output_dir, n_partitions)
         written = written.join(F.broadcast(done), "partition_id", "left_anti")
-    lineage = _lineage_from_results(written, run_id)
+    lineage = _lineage_from_results(written, run_id, n_partitions)
     lineage.write.mode("append").parquet(lineage_path(output_dir))
 
     stats = (

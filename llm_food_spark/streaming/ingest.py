@@ -73,7 +73,9 @@ def run_streaming_extraction(
             .where(F.col("run_id") == run_id)
             .select("url", "content_hash", "status", "bytes_in", "partition_id")
         )
-        lineage = batch._lineage_from_results(written, run_id).drop("run_id")
+        lineage = batch._lineage_from_results(
+            written, run_id, n_partitions
+        ).drop("run_id")
         lineage.withColumn("run_id", F.lit(run_id)).write.mode(
             "overwrite"
         ).partitionBy("run_id").parquet(batch.lineage_path(output_dir))

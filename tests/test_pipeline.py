@@ -147,3 +147,35 @@ def test_rerun_everything_committed_is_noop(spark, tmp_path):
     assert m["docs"] == 0
     assert m["partitions_skipped"] == 8
     assert spark.read.parquet(out_dir + "/results").count() == 60
+
+
+def test_resume_with_changed_partition_count_reprocesses_all(spark, tmp_path):
+    """partition_id is a function of P; committed lineage under a different
+    P must NOT mask work (it would skip the wrong urls)."""
+    out_dir = str(tmp_path / "jobP")
+    pages = pages_to_df(spark, generate_pages(80))
+    run_extraction(spark, pages, out_dir, n_partitions=8, run_id="p8")
+    m = run_extraction(spark, pages, out_dir, n_partitions=16, run_id="p16")
+    assert m["partitions_skipped"] == 0      # nothing masked by the P=8 rows
+    assert m["docs"] == 80                   # full reprocess
+    res = spark.read.parquet(out_dir + "/results")
+    assert res.select("url").distinct().count() == 80
+
+
+def test_salted_partitioning_balances_zipf_skew(spark):
+    """site0000 holds ~50% of pages; the url-hash salt must still spread
+    rows near-uniformly over partitions (north_rule skew handling)."""
+    from llm_food_spark.operators.extract import with_partition_id
+
+    pages = pages_to_df(spark, generate_pages(2000))
+    counts = [
+        r["n"]
+        for r in with_partition_id(pages, 32)
+        .groupBy("partition_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    ]
+    assert len(counts) == 32
+    mean = sum(counts) / len(counts)
+    assert max(counts) < 1.5 * mean          # no partition dominated by a host
+    assert min(counts) > 0.5 * mean

@@ -68,6 +68,9 @@ def main() -> int:
         print("oracle keys without queries: %s" % missing)
         return 1
 
+    if only:
+        qs = {k: v for k, v in qs.items() if k in only}
+
     failures = 0
     for name, fn in qs.items():
         t0 = time.time()
