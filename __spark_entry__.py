@@ -336,6 +336,35 @@ def q_fingerprint(spark, sf_dir):
     )
 
 
+def q_extract_chunk(spark, sf_dir):
+    # T18: fused convert→chunk pipeline (/be endpoint, llm_food/app.py:523-542)
+    from llm_food_spark.operators.chunk import extract_and_chunk
+
+    pages = _synth_pages(spark, 200)
+    return extract_and_chunk(pages, strategy="token", chunk_size=128,
+                             chunk_overlap=32, n_partitions=8)
+
+
+def q_extract_pdf(spark, sf_dir):
+    # T5/T6/T10: PDF classify + layout markdown only
+    from llm_food_spark.operators.extract import extract_pages
+
+    pages = _synth_pages(spark, 400)
+    return (
+        extract_pages(pages, n_partitions=8)
+        .where(F.col("content_type") == "pdf")
+        .select("url", "content_hash", "n_sections", "status", "markdown")
+    )
+
+
+def q_embedding_neardup(spark, sf_dir):
+    from llm_food_spark.operators.similarity import embedding_neardup_pairs
+
+    return embedding_neardup_pairs(
+        _t(spark, sf_dir, "embeddings"), threshold=0.30
+    )
+
+
 def q_image_meta(spark, sf_dir):
     # multimodal plumbing: synthesized binary payloads → typed metadata
     import struct as _s
@@ -391,6 +420,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": q_ann_lsh,
         "fingerprint": q_fingerprint,
         "image_meta": q_image_meta,
+        "extract_chunk": q_extract_chunk,
+        "extract_pdf": q_extract_pdf,
+        "embedding_neardup": q_embedding_neardup,
     }
 
 

@@ -125,7 +125,7 @@ def _parse_attrs(raw: str) -> Dict[str, str]:
         elif val[:1] in ("'", '"'):
             val = val[1:-1]
         if name not in attrs:  # first occurrence wins, deterministically
-            attrs[name] = _htmlmod.unescape(val)
+            attrs[name] = _htmlmod.unescape(val) if "&" in val else val
     return attrs
 
 
@@ -158,7 +158,9 @@ def parse_html(source: str) -> Element:
 
     def emit_text(chunk: str) -> None:
         if chunk:
-            stack[-1].append(Text(_htmlmod.unescape(chunk)))
+            if "&" in chunk:  # fast path: unescape only when entities exist
+                chunk = _htmlmod.unescape(chunk)
+            stack[-1].append(Text(chunk))
 
     while pos < n:
         lt = source.find("<", pos)

@@ -321,9 +321,16 @@ class PdfDocument:
     # -- text extraction -----------------------------------------------
     def page_runs(self, index: int) -> List[Tuple[float, float, float, str]]:
         """Glyph runs (x, y, size, text) for one page, via the text-op
-        state machine."""
-        content = self._content_bytes(self.pages[index])
-        return _interpret_text_ops(content)
+        state machine. Memoized: the classifier samples pages with
+        extract_text and to_markdown then re-reads them — interpreting the
+        content stream once halves the per-PDF cost."""
+        cache = getattr(self, "_runs_cache", None)
+        if cache is None:
+            cache = self._runs_cache = {}
+        if index not in cache:
+            content = self._content_bytes(self.pages[index])
+            cache[index] = _interpret_text_ops(content)
+        return cache[index]
 
     def extract_text(self, index: int) -> str:
         """Plain text in reading order (for the classifier word counts —

@@ -1,0 +1,105 @@
+"""Property-based tests (SURVEY §5.6): random DOM trees and chunker
+coverage invariants. Pure-Python (no Spark session needed)."""
+
+import re
+import string
+
+from hypothesis import given, settings, strategies as st
+
+from llm_food_spark.functions.chunkers import (
+    chunk_recursive,
+    chunk_sentence,
+    chunk_token,
+    count_tokens,
+)
+from llm_food_spark.functions.html_extract import extract_html_markdown
+from llm_food_spark.functions.html_parser import parse_html
+
+# words without markdown metacharacters, so serializer punctuation-tidying
+# cannot alter them
+_WORD = st.text(alphabet=string.ascii_lowercase, min_size=1, max_size=10)
+
+_CONTENT_TAGS = ["p", "div", "section", "span", "h2", "li"]
+
+
+@st.composite
+def dom_tree(draw, depth=0):
+    """Random (possibly malformed-ish) HTML with known visible words."""
+    if depth >= 3:
+        words = draw(st.lists(_WORD, min_size=1, max_size=6))
+        return " ".join(words), set(words)
+    n_children = draw(st.integers(min_value=1, max_value=3))
+    html_parts, words = [], set()
+    for _ in range(n_children):
+        if draw(st.booleans()):
+            text, w = draw(dom_tree(depth + 1))
+        else:
+            ws = draw(st.lists(_WORD, min_size=1, max_size=6))
+            text, w = " ".join(ws), set(ws)
+        tag = draw(st.sampled_from(_CONTENT_TAGS))
+        html_parts.append("<%s>%s</%s>" % (tag, text, tag))
+        words |= w
+    # separate siblings: adjacent inline elements legitimately concatenate
+    # without whitespace in HTML ("<span>a</span><span>a</span>" → "aa"),
+    # which is outside this property's word model
+    return " ".join(html_parts), words
+
+
+@given(dom_tree())
+@settings(max_examples=60, deadline=None)
+def test_extracted_words_subset_of_visible_words(tree):
+    html, words = tree
+    md = extract_html_markdown(("<article>%s</article>" % html).encode())
+    out_words = set(re.findall(r"[a-z]+", md))
+    # extraction must never invent words (boilerplate pruning may drop some)
+    assert out_words <= words
+
+
+@given(st.binary(max_size=2048))
+@settings(max_examples=120, deadline=None)
+def test_parser_never_raises_on_arbitrary_bytes(payload):
+    extract_html_markdown(payload)  # tolerant by contract
+
+
+@given(st.text(max_size=800))
+@settings(max_examples=80, deadline=None)
+def test_parse_html_total_function(text):
+    parse_html(text)
+
+
+@given(
+    st.lists(_WORD, min_size=0, max_size=300),
+    st.integers(min_value=1, max_value=64),
+    st.integers(min_value=0, max_value=63),
+)
+@settings(max_examples=80, deadline=None)
+def test_token_chunks_cover_exactly(words, size, overlap):
+    if overlap >= size:
+        overlap = size - 1
+    text = " ".join(words)
+    chunks = chunk_token(text, size, overlap)
+    if not words:
+        assert chunks == []
+        return
+    # every chunk respects the window size
+    assert all(count_tokens(c) <= size for c in chunks)
+    # window starts advance by the stride and each chunk is the exact
+    # token slice of the input at its window position
+    stride = size - overlap
+    for i, c in enumerate(chunks):
+        toks = c.split()
+        start = i * stride
+        assert toks == words[start : start + len(toks)]
+    # the final chunk ends at the final token
+    assert chunks[-1].split()[-1] == words[-1]
+
+
+@given(st.text(alphabet=string.ascii_lowercase + " .!?\n", max_size=600),
+       st.integers(min_value=2, max_value=64))
+@settings(max_examples=80, deadline=None)
+def test_sentence_and_recursive_preserve_all_words(text, size):
+    words = text.split()
+    for chunks in (chunk_sentence(text, size, 0), chunk_recursive(text, size)):
+        out = [w for c in chunks for w in c.split()]
+        # no overlap configured → exact multiset coverage in order
+        assert out == words
