@@ -58,6 +58,14 @@ class Stream:
                     out = zlib.decompress(out)
                 except zlib.error as e:
                     raise PdfError("bad FlateDecode stream: %s" % e)
+            elif f == "ASCIIHexDecode":
+                hexs = re.sub(rb"[\s>]", b"", out)
+                if len(hexs) % 2:
+                    hexs += b"0"
+                try:
+                    out = bytes.fromhex(hexs.decode("ascii"))
+                except ValueError as e:
+                    raise PdfError("bad ASCIIHexDecode stream: %s" % e)
             else:
                 raise PdfError("unsupported filter %r" % f)
         return out
@@ -254,7 +262,35 @@ class PdfDocument:
                 continue  # tolerate one bad object; pages referencing it fail later
         if not self.objects:
             raise PdfError("no objects found")
+        self._expand_object_streams()
         self.pages: List[Dict[str, Any]] = self._collect_pages(data)
+
+    def _expand_object_streams(self) -> None:
+        """Modern PDFs (1.5+) pack non-stream objects into compressed
+        /ObjStm streams; the top-level scanner cannot see those, so expand
+        them: the stream data is N (objnum, offset) pairs followed by the
+        serialized objects at First+offset."""
+        for stream in [o for o in self.objects.values()
+                       if isinstance(o, Stream) and o.dict.get("Type") == "ObjStm"]:
+            try:
+                data = stream.data()
+                n = int(self.resolve(stream.dict.get("N")) or 0)
+                first = int(self.resolve(stream.dict.get("First")) or 0)
+                header = _Lexer(data[:first])
+                pairs = []
+                for _ in range(n):
+                    num = header.parse_object()
+                    off = header.parse_object()
+                    pairs.append((int(num), int(off)))
+                for num, off in pairs:
+                    if num in self.objects:  # top-level definitions win
+                        continue
+                    try:
+                        self.objects[num] = _Lexer(data, first + off).parse_object()
+                    except PdfError:
+                        continue
+            except (PdfError, TypeError, ValueError):
+                continue  # a bad ObjStm degrades, never aborts the document
 
     # -- structure -----------------------------------------------------
     def resolve(self, obj: Any) -> Any:

@@ -119,3 +119,60 @@ def test_uncompressed_and_tj_paths_match_compressed():
     b = PdfDocument(build_pdf([runs], compress=False)).to_markdown(0)
     c = PdfDocument(build_pdf([runs], compress=True, use_tj_array=True)).to_markdown(0)
     assert a == b == c
+
+
+def test_objstm_objects_are_expanded():
+    """PDF 1.5 object streams: catalog/pages/page dicts live inside a
+    compressed /ObjStm; only the content stream is top-level."""
+    import zlib as _z
+
+    content = b"BT /F1 12 Tf 1 0 0 1 72 720 Tm (objstm text works) Tj ET"
+    # objects 1..4 packed into the ObjStm (object 5); content = object 6
+    packed = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        3: (b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            b"/Resources << /Font << /F1 4 0 R >> >> /Contents 6 0 R >>"),
+        4: b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+    }
+    header, body, off = [], [], 0
+    for num, obj in packed.items():
+        header.append(b"%d %d" % (num, off))
+        body.append(obj)
+        off += len(obj) + 1
+    header_b = b" ".join(header) + b" "
+    stm_data = header_b + b" ".join(body)
+    stm_z = _z.compress(stm_data)
+
+    out = bytearray(b"%PDF-1.5\n")
+    offsets = {}
+    offsets[5] = len(out)
+    out += b"5 0 obj\n<< /Type /ObjStm /N 4 /First %d /Length %d /Filter /FlateDecode >>\nstream\n" % (
+        len(header_b), len(stm_z))
+    out += stm_z + b"\nendstream\nendobj\n"
+    offsets[6] = len(out)
+    out += b"6 0 obj\n<< /Length %d >>\nstream\n" % len(content)
+    out += content + b"\nendstream\nendobj\n"
+    out += b"trailer\n<< /Root 1 0 R >>\n%%EOF\n"
+
+    doc = PdfDocument(bytes(out))
+    assert doc.page_count() == 1
+    assert doc.extract_text(0) == "objstm text works"
+
+
+def test_asciihex_filter():
+    import binascii
+
+    content = b"BT /F1 12 Tf 1 0 0 1 72 720 Tm (hex filtered) Tj ET"
+    hexed = binascii.hexlify(content) + b">"
+    stm = b"4 0 obj\n<< /Length %d /Filter /ASCIIHexDecode >>\nstream\n" % len(hexed)
+    pdf = (
+        b"%PDF-1.4\n"
+        b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+        b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
+        b"3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\nendobj\n"
+        + stm + hexed + b"\nendstream\nendobj\n"
+        b"trailer\n<< /Root 1 0 R >>\n%%EOF\n"
+    )
+    doc = PdfDocument(pdf)
+    assert doc.extract_text(0) == "hex filtered"
