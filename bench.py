@@ -90,6 +90,9 @@ def main() -> int:
 
     # headline: end-to-end extraction (read → repartition → extract → write)
     pages = spark.read.parquet(corpus_path)
+    from pyspark.sql import functions as F
+
+    corpus_bytes = pages.agg(F.sum(F.length("html"))).collect()[0][0]
     out_path = "/tmp/spark_graft_bench_results"
     shutil.rmtree(out_path, ignore_errors=True)
     t0 = time.time()
@@ -98,8 +101,24 @@ def main() -> int:
     t_extract = time.time() - t0
     timings["extract_pipeline"] = round(t_extract, 3)
     docs_per_sec = round(n_docs / t_extract, 1)
-    log("extraction: %d docs in %.1fs = %.0f docs/sec on local[%d]"
-        % (n_docs, t_extract, docs_per_sec, cpus))
+    mb_per_sec = round(corpus_bytes / 1e6 / t_extract, 1)
+    log("extraction: %d docs (%.0f MB) in %.1fs = %.0f docs/sec, %.1f MB/s "
+        "on local[%d]" % (n_docs, corpus_bytes / 1e6, t_extract, docs_per_sec,
+                          mb_per_sec, cpus))
+
+    # corpus-scale near-dup: MinHash LSH over the just-extracted markdown
+    # (deterministic quarter-sample keeps the bench round under budget)
+    from llm_food_spark.operators.dedup import minhash_lsh_pairs
+
+    results = spark.read.parquet(out_path).select(
+        F.xxhash64("url").alias("doc_id"), F.col("markdown").alias("text")
+    ).where((F.length("text") > 0) & (F.pmod(F.xxhash64("doc_id"), F.lit(4)) == 0))
+    n_mh = results.count()
+    t0 = time.time()
+    n_pairs = minhash_lsh_pairs(results, threshold=0.5).count()
+    timings["minhash_corpus"] = round(time.time() - t0, 3)
+    log("minhash over %d extracted docs: %d pairs, %.1fs"
+        % (n_mh, n_pairs, timings["minhash_corpus"]))
 
     qs = entrymod.queries()
     for name in BENCH_QUERIES:
@@ -118,6 +137,7 @@ def main() -> int:
         "queries": timings,
         "sf": sf,
         "docs_per_sec": docs_per_sec,
+        "mb_per_sec": mb_per_sec,
         "n_docs": n_docs,
         "cpus": cpus,
     }))

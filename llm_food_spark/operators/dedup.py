@@ -83,17 +83,70 @@ def word_shingles(text: Column, n: int = 3) -> Column:
 
 
 def minhash_signature(shingles: Column, num_hashes: int = 64) -> Column:
-    """k independent min-hashes: xxhash64(shingle, seed_i) — seed mixing via
-    the extra literal column; array_min per seed. Pure Catalyst."""
-    # one nested expression over sequence(seeds) instead of num_hashes
-    # copies of the transform: keeps the generated code small (the unrolled
-    # form took >10s of codegen compile per query shape)
+    """k independent min-hashes as a pure-Catalyst expression
+    (xxhash64(shingle, seed) folded over sequence(seeds)).
+
+    NOTE: higher-order functions evaluate INTERPRETED (~1µs/element), so
+    this form costs ~10-30ms/doc at 64 hashes — fine for small frames,
+    wrong for a corpus. ``minhash_signature_udf`` below is the hot path
+    (vectorized numpy affine min-hash, ~0.3ms/doc); both feed the same
+    banding/verification plan."""
     return F.transform(
         F.sequence(F.lit(0), F.lit(num_hashes - 1)),
         lambda seed: F.array_min(
             F.transform(shingles, lambda s: F.xxhash64(s, seed))
         ),
     )
+
+
+def _py_word_shingles(text: str, n: int) -> list:
+    """Exact Python mirror of word_shingles (must stay in lockstep so the
+    UDF signature hashes the same sets the JVM verification joins on)."""
+    import re as _re
+
+    words = [w for w in _re.split(r"[^a-z0-9]+", (text or "").lower()) if w]
+    if len(words) >= n:
+        seen = {}
+        for i in range(len(words) - n + 1):
+            seen.setdefault(" ".join(words[i : i + n]), None)
+        return list(seen)
+    return [" ".join(words)]
+
+
+def minhash_signature_udf(num_hashes: int = 64, shingle_n: int = 3,
+                          seed: int = 1234567):
+    """Vectorized minhash signatures: blake2b 64-bit shingle hashes, then
+    the affine family sig_k = min_x (a_k * x + b_k) over uint64 wraparound
+    (multiply-shift), all numpy per Arrow batch."""
+    import hashlib
+
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    a = (rng.randint(1, 1 << 31, size=num_hashes, dtype=np.uint64) * 2 + 1)
+    b = rng.randint(0, 1 << 62, size=num_hashes, dtype=np.uint64)
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def sig(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            sh = _py_word_shingles(t, shingle_n)
+            if not sh or sh == [""]:
+                out.append([0] * num_hashes)
+                continue
+            x = np.frombuffer(
+                b"".join(
+                    hashlib.blake2b(s.encode("utf-8"), digest_size=8).digest()
+                    for s in sh
+                ),
+                dtype=np.uint64,
+            )
+            with np.errstate(over="ignore"):
+                mins = (a[:, None] * x[None, :] + b[:, None]).min(axis=1)
+            out.append(mins.astype(np.int64).tolist())
+        return pd.Series(out)
+
+    return sig
 
 
 def jaccard(a: Column, b: Column) -> Column:
@@ -119,10 +172,20 @@ def minhash_lsh_pairs(
     """
     rows_per_band = num_hashes // bands
     df = ensure_min_partitions(df)
+    sig_udf = minhash_signature_udf(num_hashes, shingle_n)
+    # the narrow signature frame appears in three plan branches (banding +
+    # both estimate join-backs); persist it so the Arrow UDF runs ONCE per
+    # row — ~0.5 KB/row, bounded. (At petabyte scale: write it as a table.)
     base = df.select(
         F.col(id_col).alias("id"),
-        word_shingles(F.col(text_col), shingle_n).alias("shingles"),
-    ).withColumn("sig", minhash_signature(F.col("shingles"), num_hashes))
+        sig_udf(F.col(text_col)).alias("sig"),
+    ).persist()
+    # texts join back only for the few estimate-filtered survivors; exact
+    # jaccard is a vectorized pair UDF (the JVM word_shingles expression is
+    # an interpreted higher-order function — ~0.3ms/doc, 50s+ per corpus
+    # pass — so it stays out of the hot path)
+    text_frame = df.select(F.col(id_col).alias("id"),
+                           F.col(text_col).alias("t"))
 
     # NARROW band rows: (id, band_id, band_hash) only. The bucket join must
     # not shuffle shingle/signature arrays x bands — at corpus scale that
@@ -165,16 +228,13 @@ def minhash_lsh_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
+    # stage 1: cheap signature-estimate filter (sig arrays only, persisted)
     pairs = (
         candidate_ids.join(
-            base.select(F.col("id").alias("id_a"),
-                        F.col("shingles").alias("sh_a"),
-                        F.col("sig").alias("sig_a")),
+            base.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a")),
             "id_a",
         ).join(
-            base.select(F.col("id").alias("id_b"),
-                        F.col("shingles").alias("sh_b"),
-                        F.col("sig").alias("sig_b")),
+            base.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b")),
             "id_b",
         )
     )
@@ -189,13 +249,86 @@ def minhash_lsh_pairs(
         / F.lit(num_hashes),
         6,
     )
-    pairs = pairs.withColumn("est_jaccard", est)
-    if verify:
-        pairs = pairs.withColumn(
-            "jaccard", F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 6)
-        ).where(F.col("jaccard") >= threshold)
-    return pairs.select(
-        "id_a", "id_b", "est_jaccard", *(["jaccard"] if verify else [])
+    pairs = pairs.withColumn("est_jaccard", est).drop("sig_a", "sig_b")
+    if not verify:
+        return pairs.select("id_a", "id_b", "est_jaccard")
+    # with k hashes, std(est) ≈ sqrt(j(1-j)/k) ≤ 0.5/sqrt(k); a 3σ margin
+    # below the threshold keeps recall while skipping exact verification
+    # for clearly-unrelated candidates
+    margin = 1.5 / (num_hashes ** 0.5)
+    pairs = pairs.where(F.col("est_jaccard") >= threshold - margin)
+    # stage 2: exact Jaccard on the survivors only (vectorized pair UDF)
+    jac = _pair_jaccard_udf(shingle_n)
+    pairs = (
+        pairs.join(
+            text_frame.select(F.col("id").alias("id_a"),
+                              F.col("t").alias("t_a")), "id_a"
+        ).join(
+            text_frame.select(F.col("id").alias("id_b"),
+                              F.col("t").alias("t_b")), "id_b"
+        )
+        .withColumn("jaccard", jac(F.col("t_a"), F.col("t_b")))
+        .where(F.col("jaccard") >= threshold)
+    )
+    return pairs.select("id_a", "id_b", "est_jaccard", "jaccard")
+
+
+def _pair_jaccard_udf(shingle_n: int):
+    @F.pandas_udf(T.DoubleType())
+    def jac(ta: pd.Series, tb: pd.Series) -> pd.Series:
+        out = []
+        for x, y in zip(ta, tb):
+            sa = set(_py_word_shingles(x, shingle_n))
+            sb = set(_py_word_shingles(y, shingle_n))
+            union = len(sa | sb)
+            out.append(round(len(sa & sb) / union, 6) if union else 0.0)
+        return pd.Series(out)
+
+    return jac
+
+
+def minhash_lsh_pairs_ml(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    num_hash_tables: int = 16,
+    threshold: float = 0.5,
+    num_features: int = 1 << 20,
+) -> DataFrame:
+    """MLlib-backed MinHash LSH — the corpus-scale path.
+
+    The pure-Catalyst variant above has exact, dependency-free semantics but
+    evaluates its higher-order functions interpreted (~1µs/element): at
+    64 hashes x hundreds of shingles that is ~10-30 ms/doc. MLlib's
+    MinHashLSH runs the same banding scheme in compiled JVM code over
+    hashed binary term vectors (~100x faster) and its
+    ``approxSimilarityJoin`` computes EXACT Jaccard on the candidate pairs,
+    so the output contract matches: (id_a, id_b, jaccard >= threshold).
+    Term hashing into ``num_features`` buckets can collide (2^20 default
+    keeps that negligible)."""
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    sets = ensure_min_partitions(df).select(
+        F.col(id_col).alias("id"),
+        word_shingles(F.col(text_col), shingle_n).alias("sh"),
+    ).where(F.size("sh") > 0)
+    tf = HashingTF(inputCol="sh", outputCol="features",
+                   numFeatures=num_features, binary=True)
+    feat = tf.transform(sets).select("id", "features")
+    mh = MinHashLSH(inputCol="features", outputCol="hashes",
+                    numHashTables=num_hash_tables, seed=42)
+    model = mh.fit(feat)
+    joined = model.approxSimilarityJoin(
+        feat, feat, 1.0 - threshold, distCol="jaccard_dist"
+    )
+    return (
+        joined.where(F.col("datasetA.id") < F.col("datasetB.id"))
+        .select(
+            F.col("datasetA.id").alias("id_a"),
+            F.col("datasetB.id").alias("id_b"),
+            F.round(1.0 - F.col("jaccard_dist"), 6).alias("jaccard"),
+        )
     )
 
 
