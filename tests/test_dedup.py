@@ -103,3 +103,14 @@ def test_ngram_jaccard_blocked_by_lang(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
     assert ngram_jaccard_pairs(df, n=1, threshold=0.5).count() == 0
     assert ngram_jaccard_pairs(df, n=1, block_col=None, threshold=0.5).count() == 1
+
+
+def test_minhash_ml_variant_finds_planted(docs):
+    from llm_food_spark.operators.dedup import minhash_lsh_pairs_ml
+
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"]
+             for r in minhash_lsh_pairs_ml(docs, threshold=0.5).collect()}
+    for i in range(5):  # exact dups
+        assert pairs.get((i, 100 + i)) == 1.0
+    for i in range(5, 10):  # 5% mutations
+        assert (i, 200 + i) in pairs

@@ -25,12 +25,13 @@ from pathlib import Path
 REPO = Path(__file__).resolve().parent.parent
 
 MEASURE_SNIPPET = r"""
-import json, shutil, sys, time
+import json, os, shutil, sys, time
 sys.path.insert(0, "%(repo)s")
 from llm_food_spark.session import get_spark
 from llm_food_spark.operators.extract import extract_pages
 
 cpus = %(cpus)d
+quiet = %(quiet).2f
 spark = get_spark("scale-bench", master="local[%(cpus)d]", shuffle_partitions=cpus)
 # warm python workers
 spark.range(cpus * 4).repartition(cpus).mapInPandas(
@@ -38,22 +39,31 @@ spark.range(cpus * 4).repartition(cpus).mapInPandas(
 pages = spark.read.parquet("%(corpus)s")
 best = None
 for rep in range(%(reps)d):
+    if quiet > 0:
+        # this host has noisy external tenants; start each rep in a quiet
+        # window so the measurement reflects the code, not the neighbors
+        for _ in range(240):
+            if os.getloadavg()[0] < quiet:
+                break
+            time.sleep(5)
     t0 = time.time()
     extract_pages(pages, n_partitions=cpus * 4).write.format("noop").mode(
         "overwrite").save()
     dt = time.time() - t0
     best = dt if best is None or dt < best else best
+    print(json.dumps({"rep": rep, "sec": dt}), file=sys.stderr)
 print(json.dumps({"cpus": cpus, "sec": best}))
 """
 
 
-def measure(cpus: int, corpus: str, reps: int) -> dict:
+def measure(cpus: int, corpus: str, reps: int, quiet: float = 0.0) -> dict:
     code = MEASURE_SNIPPET % {
         "repo": str(REPO), "cpus": cpus, "corpus": corpus, "reps": reps,
+        "quiet": quiet,
     }
     out = subprocess.run(
         [sys.executable, "-c", code], capture_output=True, text=True,
-        cwd=str(REPO), timeout=1800,
+        cwd=str(REPO), timeout=3600,
     )
     if out.returncode != 0:
         raise RuntimeError(out.stderr[-2000:])
@@ -66,6 +76,8 @@ def main() -> int:
     ap.add_argument("--high", type=int, default=32)
     ap.add_argument("--docs", type=int, default=800_000)
     ap.add_argument("--reps", type=int, default=2)
+    ap.add_argument("--quiet-load", type=float, default=0.0,
+                    help="wait for 1-min loadavg below this before each rep")
     args = ap.parse_args()
 
     corpus = "/tmp/spark_graft_scale_pages_%d" % args.docs
@@ -79,8 +91,8 @@ def main() -> int:
         write_pages_parquet_fast(generate_pages(args.docs), corpus)
         open(marker, "w").close()
 
-    lo = measure(args.low, corpus, args.reps)
-    hi = measure(args.high, corpus, args.reps)
+    lo = measure(args.low, corpus, args.reps, args.quiet_load)
+    hi = measure(args.high, corpus, args.reps, args.quiet_load)
     tput_lo = args.docs / lo["sec"]
     tput_hi = args.docs / hi["sec"]
     ratio = args.high / args.low
