@@ -71,17 +71,14 @@ class Text:
 
 
 class Element:
-    __slots__ = ("tag", "attrs", "children", "parent")
+    __slots__ = ("tag", "attrs", "children")
 
     def __init__(self, tag: str, attrs: Optional[Dict[str, str]] = None) -> None:
         self.tag = tag
         self.attrs: Dict[str, str] = attrs or {}
         self.children: List[Union["Element", Text]] = []
-        self.parent: Optional["Element"] = None
 
     def append(self, node: Union["Element", Text]) -> None:
-        if isinstance(node, Element):
-            node.parent = self
         self.children.append(node)
 
     # -- convenience ---------------------------------------------------
@@ -115,7 +112,11 @@ class Element:
         return self.attrs.get("id", "")
 
 
+
+
 def _parse_attrs(raw: str) -> Dict[str, str]:
+    if not raw or raw.isspace():
+        return {}
     attrs: Dict[str, str] = {}
     for m in _ATTR_RE.finditer(raw):
         name = m.group(1).lower()
