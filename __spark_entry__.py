@@ -365,6 +365,18 @@ def q_embedding_neardup(spark, sf_dir):
     )
 
 
+def q_training_prep(spark, sf_dir):
+    # the composite plan: extract → quality gate → exact+near dedup → chunk
+    from llm_food_spark.plans.prep import prepare_training_data
+
+    chunks, _ = prepare_training_data(
+        _synth_pages(spark, 300), min_quality=0.2, min_tokens=8,
+        chunk_strategy="token", chunk_size=128, chunk_overlap=32,
+        n_partitions=8, collect_stats=False,
+    )
+    return chunks
+
+
 def q_image_meta(spark, sf_dir):
     # multimodal plumbing: synthesized binary payloads → typed metadata
     import struct as _s
@@ -423,6 +435,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_chunk": q_extract_chunk,
         "extract_pdf": q_extract_pdf,
         "embedding_neardup": q_embedding_neardup,
+        "training_prep": q_training_prep,
     }
 
 

@@ -1,0 +1,91 @@
+"""Training-data preparation plan: the end-to-end composite.
+
+pages → extract (markdown) → quality gate → exact dedup → near-dup dedup
+(MinHash LSH) → chunk → chunks dataset. This is the pipeline a user of the
+reference would actually be running the pieces for; here it is one
+declarative plan:
+
+- the quality gate and exact dedup are pure Catalyst (filters + window),
+- near-dup removal keeps each duplicate-cluster's min-url doc via a
+  left_anti join on the LSH pair set,
+- chunking explodes last, so dropped documents never reach the chunker.
+
+Every stage emits counters (a small triggered aggregation) so the run
+returns an auditable funnel, mirroring the lineage philosophy of
+plans/pipeline.py.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from ..operators.chunk import chunk_table
+from ..operators.dedup import minhash_lsh_pairs
+from ..operators.extract import extract_pages
+from ..operators.textops import quality_score, token_count
+
+
+def prepare_training_data(
+    pages: DataFrame,
+    min_quality: float = 0.3,
+    min_tokens: int = 8,
+    neardup_threshold: float = 0.85,
+    chunk_strategy: str = "token",
+    chunk_size: int = 512,
+    chunk_overlap: int = 128,
+    n_partitions: Optional[int] = None,
+    max_bytes: Optional[int] = None,
+    collect_stats: bool = True,
+):
+    """Returns (chunks_df, stats_dict). stats is None unless collect_stats."""
+    results = extract_pages(pages, n_partitions=n_partitions,
+                            max_bytes=max_bytes)
+    docs = results.where(F.col("status") == "completed").select(
+        "url", "content_hash", "markdown"
+    )
+
+    # quality gate (JVM regexp primitives)
+    gated = docs.where(
+        (token_count(F.col("markdown")) >= min_tokens)
+        & (quality_score(F.col("markdown")) >= min_quality)
+    )
+
+    # exact dedup: keep min url per content hash
+    w = Window.partitionBy("content_hash").orderBy("url")
+    exact = (
+        gated.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+    # near-dup dedup: drop the greater url of every verified LSH pair.
+    # (Cluster-transitive survivors: dropping every pair's max keeps at
+    # least the cluster minimum; a doc that pairs with a smaller survivor
+    # is removed — the standard greedy policy.)
+    pairs = minhash_lsh_pairs(
+        exact.select(F.col("url").alias("doc_id"),
+                     F.col("markdown").alias("text")),
+        threshold=neardup_threshold,
+    )
+    losers = pairs.select(F.col("id_b").alias("url")).distinct()
+    unique = exact.join(losers, "url", "left_anti")
+
+    chunks = chunk_table(
+        unique, text_col="markdown", key_col="url",
+        strategy=chunk_strategy, chunk_size=chunk_size,
+        chunk_overlap=chunk_overlap,
+    ).where(F.col("chunk").isNotNull())
+
+    stats = None
+    if collect_stats:
+        stats = {
+            "input_pages": pages.count(),
+            "extracted": docs.count(),
+            "quality_pass": gated.count(),
+            "after_exact_dedup": exact.count(),
+            "after_neardup": unique.count(),
+            "chunks": chunks.count(),
+        }
+    return chunks, stats

@@ -118,6 +118,37 @@ def html_fixture_families() -> Dict[str, bytes]:
         '<nav><a href="/a">a</a> <a href="/b">b</a> <a href="/c">c</a></nav>'
         '<footer><a href="/p">privacy</a></footer>'
     )
+    fam["definition_list"] = page(
+        "<article><h1>Terms</h1><dl>"
+        "<dt>latency</dt><dd>time to first byte</dd>"
+        "<dt>throughput</dt><dd>bytes per second</dd></dl></article>"
+    )
+    fam["nested_quotes"] = page(
+        "<article><h1>Quotes</h1><blockquote><p>outer wisdom</p>"
+        "<blockquote><p>inner wisdom</p></blockquote>"
+        "<p>outer again</p></blockquote></article>"
+    )
+    fam["figure_media"] = page(
+        "<article><h1>Media</h1><p>before figure</p>"
+        '<figure><img src="/x.png" alt="chart"><figcaption>the caption'
+        "</figcaption></figure><p>after figure</p>"
+        '<video src="/v.mp4"></video><audio src="/a.mp3"></audio></article>'
+    )
+    fam["line_breaks"] = page(
+        "<article><h1>Breaks</h1><p>line one<br>line two<br/>line three</p>"
+        "<p>normal paragraph</p></article>"
+    )
+    fam["heading_ladder"] = page(
+        "<article><h1>One</h1><p>a</p><h2>Two</h2><p>b</p><h3>Three</h3>"
+        "<p>c</p><h4>Four</h4><p>d</p><h5>Five</h5><p>e</p><h6>Six</h6>"
+        "<p>f</p></article>"
+    )
+    fam["main_fallback"] = page(
+        # no <article>: <main> must be picked over body boilerplate
+        '<nav><a href="/1">one</a> <a href="/2">two</a> <a href="/3">three</a></nav>'
+        "<main><h1>Main Pick</h1><p>main body text here</p></main>"
+        "<footer>foot</footer>"
+    )
     return fam
 
 

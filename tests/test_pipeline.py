@@ -48,24 +48,26 @@ def test_spark_golden_byte_identical(spark):
         assert got["https://fx.example/pdf/%s" % name] == frozen, name
 
 
-@pytest.mark.parametrize("parts", [1, 8, 32])
-def test_distribution_invariance(spark, parts, request):
-    """Same input at 1/8/32 partitions ⇒ identical results (SURVEY §5.3)."""
+def test_distribution_invariance(spark):
+    """Same input at 1/8/32 partitions ⇒ identical results (SURVEY §5.3).
+    All three runs compared within one test so corpus changes can never
+    stale a cached baseline."""
     rows = generate_pages(120)
     df = pages_to_df(spark, rows)
-    res = (
-        extract_pages(df, n_partitions=parts)
-        .select("url", "content_hash", "markdown", "status")
-        .orderBy("url")
-        .collect()
-    )
-    key = [(r["url"], r["content_hash"], r["markdown"], r["status"]) for r in res]
-    cache = request.config.cache
-    baseline = cache.get("dist_invariance_baseline", None)
-    if baseline is None:
-        cache.set("dist_invariance_baseline", [list(k) for k in key])
-    else:
-        assert [list(k) for k in key] == baseline
+
+    def run(parts):
+        res = (
+            extract_pages(df, n_partitions=parts)
+            .select("url", "content_hash", "markdown", "status")
+            .orderBy("url")
+            .collect()
+        )
+        return [(r["url"], r["content_hash"], r["markdown"], r["status"])
+                for r in res]
+
+    base = run(1)
+    assert run(8) == base
+    assert run(32) == base
 
 
 def test_error_rows_never_fail_tasks(spark):

@@ -1,0 +1,53 @@
+"""End-to-end training-data prep plan: funnel semantics over a corpus with
+planted junk, exact dups and near dups."""
+
+from llm_food_spark.plans.prep import prepare_training_data
+from llm_food_spark.sources.fixtures import EPOCH, generate_pages
+from llm_food_spark.sources.pages import pages_to_df
+
+
+def _page(url, body):
+    html = ("<article><h1>T</h1><p>%s</p></article>" % body).encode()
+    return (url, EPOCH, html, "", "en")
+
+
+def test_prep_funnel(spark):
+    base = ("alpha bravo charlie delta echo foxtrot golf hotel india "
+            "juliet kilo lima mike november oscar papa quebec romeo "
+            "sierra tango uniform victor whiskey xray yankee zulu ") * 4
+    rows = list(generate_pages(60))
+    rows.append(_page("https://p/good1", base))
+    rows.append(_page("https://p/good2", base.replace("alpha", "omega")))
+    # exact dup of good1 (greater url loses)
+    rows.append(_page("https://p/good1-copy", base))
+    # near dup of good1: tiny mutation
+    rows.append(_page("https://p/good1-near", base + " tail word"))
+    # junk: too short
+    rows.append(_page("https://p/short", "tiny"))
+    # junk: empty payload
+    rows.append(("https://p/broken", EPOCH, b"", "", "en"))
+
+    chunks, stats = prepare_training_data(
+        pages_to_df(spark, rows),
+        min_quality=0.2,
+        min_tokens=8,
+        neardup_threshold=0.8,
+        chunk_strategy="token",
+        chunk_size=64,
+        chunk_overlap=16,
+        n_partitions=8,
+    )
+    urls = {r["url"] for r in chunks.select("url").distinct().collect()}
+
+    assert "https://p/good1" in urls
+    assert "https://p/good2" in urls              # distinct content survives
+    assert "https://p/good1-copy" not in urls     # exact dup removed
+    assert "https://p/good1-near" not in urls     # near dup removed
+    assert "https://p/short" not in urls          # quality gate
+    assert "https://p/broken" not in urls         # failed extraction
+
+    assert stats["input_pages"] == 66
+    assert stats["extracted"] <= 65               # broken page failed
+    assert stats["after_exact_dedup"] == stats["quality_pass"] - 1
+    assert stats["after_neardup"] <= stats["after_exact_dedup"] - 1
+    assert stats["chunks"] >= stats["after_neardup"]  # >=1 chunk per doc
