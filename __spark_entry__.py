@@ -300,6 +300,22 @@ def q_chunk_token(spark, sf_dir):
                        strategy="token", chunk_size=64, chunk_overlap=16)
 
 
+def q_chunk_sentence(spark, sf_dir):
+    from llm_food_spark.operators.chunk import chunk_table
+
+    d = _t(spark, sf_dir, "documents")
+    return chunk_table(d, text_col="text", key_col="doc_id",
+                       strategy="sentence", chunk_size=64, chunk_overlap=16)
+
+
+def q_chunk_recursive(spark, sf_dir):
+    from llm_food_spark.operators.chunk import chunk_table
+
+    d = _t(spark, sf_dir, "documents")
+    return chunk_table(d, text_col="text", key_col="doc_id",
+                       strategy="recursive", chunk_size=64, chunk_overlap=0)
+
+
 def q_minhash_lsh(spark, sf_dir):
     from llm_food_spark.operators.dedup import minhash_lsh_pairs
 
@@ -427,6 +443,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_html": q_extract_html,
         "extract_errors": q_extract_errors,
         "chunk_token": q_chunk_token,
+        "chunk_sentence": q_chunk_sentence,
+        "chunk_recursive": q_chunk_recursive,
         "minhash_lsh": q_minhash_lsh,
         "simhash": q_simhash,
         "ann_lsh": q_ann_lsh,
