@@ -27,19 +27,30 @@ def get_spark(
     shuffle_partitions: int | None = None,
     extra_conf: dict | None = None,
 ) -> SparkSession:
+    """``master="inherit"`` builds the session WITHOUT setting a master, so
+    the one supplied by ``spark-submit --master ...`` wins (the north_rule
+    launch path, see ``tools/extract_job.py``); shuffle partitions are then
+    sized from the live ``defaultParallelism``."""
     cpus = os.cpu_count() or 4
-    master = master or os.environ.get("SPARK_GRAFT_MASTER") or "local[%d]" % cpus
-    if shuffle_partitions is None:
-        # local[N] → N; cluster master → leave for AQE to coalesce from 2x
-        n = master[6:-1] if master.startswith("local[") else ""
-        shuffle_partitions = (
-            cpus if n in ("", "*") else max(int(n), 1)
-        ) if master.startswith("local") else 2 * cpus
+    inherit = master == "inherit"
+    if not inherit:
+        master = master or os.environ.get("SPARK_GRAFT_MASTER") or "local[%d]" % cpus
+        if shuffle_partitions is None:
+            # local[N] → N; cluster master → leave for AQE to coalesce from 2x
+            n = master[6:-1] if master.startswith("local[") else ""
+            shuffle_partitions = (
+                cpus if n in ("", "*") else max(int(n), 1)
+            ) if master.startswith("local") else 2 * cpus
 
+    builder = SparkSession.builder.appName(app_name)
+    if not inherit:
+        builder = builder.master(master)
+    if shuffle_partitions is not None:
+        builder = builder.config(
+            "spark.sql.shuffle.partitions", str(shuffle_partitions)
+        )
     builder = (
-        SparkSession.builder.master(master)
-        .appName(app_name)
-        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        builder
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
@@ -57,5 +68,11 @@ def get_spark(
         for k, v in extra_conf.items():
             builder = builder.config(k, v)
     spark = builder.getOrCreate()
+    if inherit and shuffle_partitions is None:
+        # runtime-settable: size to the cores spark-submit actually granted
+        spark.conf.set(
+            "spark.sql.shuffle.partitions",
+            str(spark.sparkContext.defaultParallelism),
+        )
     spark.sparkContext.setLogLevel("WARN")
     return spark

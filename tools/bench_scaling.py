@@ -6,11 +6,18 @@ docs/sec at both and the scaling efficiency
 
     eff = (docs/sec @ 4N) / (4 x docs/sec @ N)
 
-and rewrites BENCH/BASELINE.md. Each measurement is a fresh spark-submit-
-style subprocess (own JVM) so the parallelism level is honest; workers are
-warmed and the best of ``--reps`` timed runs is kept (steady-state).
+Each measurement is a REAL ``spark-submit --py-files`` launch (the exact
+invocation the north_rule names): the package is zipped, shipped via
+--py-files, and ``tools/extract_job.py`` runs with the master supplied on
+the spark-submit command line. Workers are warmed and the best of
+``--reps`` timed runs per level is kept (steady-state).
 
-Run: python tools/bench_scaling.py [--low 8] [--high 32] [--docs 200000]
+Results are appended to BENCH/campaign.jsonl (one JSON line per campaign);
+the curated analysis lives in BENCH/BASELINE.md — update it by hand when a
+campaign supersedes the recorded numbers.
+
+Run: python tools/bench_scaling.py [--low 8] [--high 32] [--docs 800000]
+     [--reps 4] [--quiet-load 3.0]
 """
 
 from __future__ import annotations
@@ -18,55 +25,55 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import shutil
 import subprocess
 import sys
+import time
+import zipfile
 from pathlib import Path
 
 REPO = Path(__file__).resolve().parent.parent
+PYFILES_ZIP = "/tmp/llm_food_spark_pyfiles.zip"
 
-MEASURE_SNIPPET = r"""
-import json, os, shutil, sys, time
-sys.path.insert(0, "%(repo)s")
-from llm_food_spark.session import get_spark
-from llm_food_spark.operators.extract import extract_pages
 
-cpus = %(cpus)d
-quiet = %(quiet).2f
-spark = get_spark("scale-bench", master="local[%(cpus)d]", shuffle_partitions=cpus)
-# warm python workers
-spark.range(cpus * 4).repartition(cpus).mapInPandas(
-    lambda it: it, schema="id long").write.format("noop").mode("overwrite").save()
-pages = spark.read.parquet("%(corpus)s")
-best = None
-for rep in range(%(reps)d):
-    if quiet > 0:
-        # this host has noisy external tenants; start each rep in a quiet
-        # window so the measurement reflects the code, not the neighbors
-        for _ in range(240):
-            if os.getloadavg()[0] < quiet:
-                break
-            time.sleep(5)
-    t0 = time.time()
-    extract_pages(pages, n_partitions=cpus * 4).write.format("noop").mode(
-        "overwrite").save()
-    dt = time.time() - t0
-    best = dt if best is None or dt < best else best
-    print(json.dumps({"rep": rep, "sec": dt}), file=sys.stderr)
-print(json.dumps({"cpus": cpus, "sec": best}))
-"""
+def build_pyfiles_zip(dest: str = PYFILES_ZIP) -> str:
+    src = REPO / "llm_food_spark"
+    with zipfile.ZipFile(dest, "w", zipfile.ZIP_DEFLATED) as z:
+        for p in sorted(src.rglob("*.py")):
+            z.write(p, "llm_food_spark/%s" % p.relative_to(src))
+    return dest
+
+
+def find_spark_submit() -> str:
+    exe = shutil.which("spark-submit")
+    if exe:
+        return exe
+    import pyspark
+
+    cand = Path(pyspark.__file__).parent / "bin" / "spark-submit"
+    if cand.exists():
+        return str(cand)
+    raise FileNotFoundError("spark-submit not found (PATH or pyspark/bin)")
 
 
 def measure(cpus: int, corpus: str, reps: int, quiet: float = 0.0) -> dict:
-    code = MEASURE_SNIPPET % {
-        "repo": str(REPO), "cpus": cpus, "corpus": corpus, "reps": reps,
-        "quiet": quiet,
-    }
-    out = subprocess.run(
-        [sys.executable, "-c", code], capture_output=True, text=True,
-        cwd=str(REPO), timeout=3600,
-    )
+    cmd = [
+        find_spark_submit(),
+        "--master", "local[%d]" % cpus,
+        "--conf", "spark.driver.memory=%s"
+        % os.environ.get("SPARK_DRIVER_MEM", "24g"),
+        "--py-files", build_pyfiles_zip(),
+        str(REPO / "tools" / "extract_job.py"),
+        "--input", corpus,
+        "--bench", "--reps", str(reps), "--quiet-load", str(quiet),
+    ]
+    env = dict(os.environ, PYSPARK_PYTHON=sys.executable,
+               PYSPARK_DRIVER_PYTHON=sys.executable)
+    out = subprocess.run(cmd, capture_output=True, text=True, env=env,
+                         cwd=str(REPO), timeout=3600)
     if out.returncode != 0:
         raise RuntimeError(out.stderr[-2000:])
+    # last stdout line is the job's JSON summary (logs go to stderr)
     return json.loads(out.stdout.strip().splitlines()[-1])
 
 
@@ -93,51 +100,28 @@ def main() -> int:
 
     lo = measure(args.low, corpus, args.reps, args.quiet_load)
     hi = measure(args.high, corpus, args.reps, args.quiet_load)
-    tput_lo = args.docs / lo["sec"]
-    tput_hi = args.docs / hi["sec"]
     ratio = args.high / args.low
-    eff = (tput_hi / tput_lo) / ratio
+    eff = (hi["docs_per_sec"] / lo["docs_per_sec"]) / ratio
     result = {
+        "ts": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        "launcher": "spark-submit --py-files",
         "n_docs": args.docs,
-        "low": {"cpus": args.low, "sec": round(lo["sec"], 2),
-                "docs_per_sec": round(tput_lo, 1)},
-        "high": {"cpus": args.high, "sec": round(hi["sec"], 2),
-                 "docs_per_sec": round(tput_hi, 1)},
+        "reps": args.reps,
+        "quiet_load": args.quiet_load,
+        "low": lo,
+        "high": hi,
         "scaling_efficiency": round(eff, 3),
         "target": 0.8,
         "pass": eff >= 0.8,
     }
     print(json.dumps(result))
 
-    import multiprocessing
-    md = REPO / "BENCH" / "BASELINE.md"
-    md.parent.mkdir(exist_ok=True)
-    md.write_text(f"""# BENCH/BASELINE — measured numbers (this sandbox)
-
-Hardware: {multiprocessing.cpu_count()} CPUs, single node, pyspark 4.1.2
-(local mode; cluster-size scaling evidenced via `local[N]` vs `local[4N]`
-per the driver's sandbox rule).
-
-Workload: end-to-end extraction pipeline — read parquet pages →
-`pmod(xxhash64(url), P)` salted repartition → one mapInPandas Arrow pass
-(sniff → HTML/PDF/RTF/OOXML parse → markdown) → noop sink. Corpus:
-{args.docs} synthesized Common-Crawl-style pages (Zipf-skewed hosts,
-~10% PDF, ~3% malformed), identical input at both parallelism levels.
-Best of {args.reps} steady-state runs (workers warmed).
-
-| parallelism | wall sec | docs/sec |
-|---|---|---|
-| local[{args.low}] | {result['low']['sec']} | {result['low']['docs_per_sec']} |
-| local[{args.high}] | {result['high']['sec']} | {result['high']['docs_per_sec']} |
-
-**Scaling efficiency ({args.low}→{args.high} cores):
-{result['scaling_efficiency']}** (target ≥ 0.8 → {'PASS' if result['pass'] else 'FAIL'})
-
-efficiency = (docs/sec @ {args.high}) / ({ratio:.0f} × docs/sec @ {args.low})
-
-Reproduce: `python tools/bench_scaling.py --low {args.low} --high {args.high} --docs {args.docs}`
-""")
-    print("wrote %s" % md, file=sys.stderr)
+    log = REPO / "BENCH" / "campaign.jsonl"
+    log.parent.mkdir(exist_ok=True)
+    with open(log, "a") as f:
+        f.write(json.dumps(result) + "\n")
+    print("appended to %s — curate BENCH/BASELINE.md by hand" % log,
+          file=sys.stderr)
     return 0
 
 

@@ -1,0 +1,99 @@
+"""spark-submit entrypoint for the extraction pipeline.
+
+This is the north_rule launch path — the job ships as a ``--py-files`` zip
+and the cluster manager (here ``--master local[N]``, on a real cluster YARN/
+K8s with N executors) supplies the parallelism:
+
+    spark-submit --master local[32] \
+        --py-files /tmp/llm_food_spark_pyfiles.zip \
+        tools/extract_job.py --input /path/pages --output /path/out
+
+Two modes, one JSON line on stdout either way:
+
+* production (``--output DIR``): full resumable pipeline — salted
+  repartition → Arrow extraction → results parquet partitioned by
+  partition_id → per-partition lineage commit (see plans/pipeline.py).
+* bench (``--bench``): timed steady-state reps of the same plan into a
+  noop sink (no durable output); used by tools/bench_scaling.py to measure
+  docs/sec at two parallelism levels.
+
+The session is built with ``master="inherit"`` so ``--master`` from
+spark-submit is authoritative; nothing here hard-codes a core count.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True, help="pages parquet directory")
+    ap.add_argument("--output", help="output dir (results/ + lineage/)")
+    ap.add_argument("--partitions", type=int, default=None,
+                    help="salt buckets P (default: 4 x defaultParallelism)")
+    ap.add_argument("--max-bytes", type=int, default=None)
+    ap.add_argument("--run-id", default=None)
+    ap.add_argument("--no-resume", action="store_true")
+    ap.add_argument("--bench", action="store_true",
+                    help="timed noop-sink reps instead of durable output")
+    ap.add_argument("--reps", type=int, default=2)
+    ap.add_argument("--quiet-load", type=float, default=0.0,
+                    help="wait for 1-min loadavg below this before each rep")
+    args = ap.parse_args()
+    if not args.bench and not args.output:
+        ap.error("--output is required unless --bench")
+
+    from llm_food_spark.session import get_spark
+    from llm_food_spark.operators.extract import extract_pages
+    from llm_food_spark.plans.pipeline import run_extraction
+
+    spark = get_spark("extract-job", master="inherit")
+    cpus = spark.sparkContext.defaultParallelism
+    pages = spark.read.parquet(args.input)
+    n_partitions = args.partitions or cpus * 4
+
+    if args.bench:
+        # warm python workers so the first timed rep is steady-state
+        spark.range(cpus * 4).repartition(cpus).mapInPandas(
+            lambda it: it, schema="id long"
+        ).write.format("noop").mode("overwrite").save()
+        n_docs = pages.count()
+        best = None
+        for rep in range(args.reps):
+            if args.quiet_load > 0:
+                # noisy-neighbor host: start each rep in a quiet window so
+                # the measurement reflects the code, not the tenants
+                for _ in range(240):
+                    if os.getloadavg()[0] < args.quiet_load:
+                        break
+                    time.sleep(5)
+            t0 = time.time()
+            extract_pages(pages, n_partitions=n_partitions).write.format(
+                "noop"
+            ).mode("overwrite").save()
+            dt = time.time() - t0
+            best = dt if best is None or dt < best else best
+            print(json.dumps({"rep": rep, "sec": round(dt, 3)}),
+                  file=sys.stderr)
+        out = {"mode": "bench", "cpus": cpus, "n_docs": n_docs,
+               "sec": round(best, 3),
+               "docs_per_sec": round(n_docs / best, 1)}
+    else:
+        metrics = run_extraction(
+            spark, pages, args.output,
+            n_partitions=n_partitions, max_bytes=args.max_bytes,
+            run_id=args.run_id, resume=not args.no_resume,
+        )
+        out = {"mode": "run", "cpus": cpus, **metrics}
+
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
