@@ -335,6 +335,14 @@ def q_ann_lsh(spark, sf_dir):
     return lsh_ann_topk(emb, emb.where(F.col("vec_id") < 5), k=3)
 
 
+def q_ann_ivf(spark, sf_dir):
+    from llm_food_spark.operators.similarity import ivf_ann_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return ivf_ann_topk(emb, emb.where(F.col("vec_id") < 5), k=3,
+                        n_clusters=16, nprobe=4)
+
+
 def q_fingerprint(spark, sf_dir):
     from pyspark.sql import types as T
     import pandas as pd
@@ -448,6 +456,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh": q_minhash_lsh,
         "simhash": q_simhash,
         "ann_lsh": q_ann_lsh,
+        "ann_ivf": q_ann_ivf,
         "fingerprint": q_fingerprint,
         "image_meta": q_image_meta,
         "extract_chunk": q_extract_chunk,

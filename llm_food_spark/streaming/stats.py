@@ -1,0 +1,43 @@
+"""Streaming ingest statistics: watermarked event-time windowed aggregation.
+
+The reference exposes job progress via polled counter rows
+(/root/reference/llm_food/app.py:545-585, 969-997); the Spark-native
+continuous analogue is an event-time windowed aggregate over the pages
+stream — counts/bytes per (window, lang) with a watermark bounding state
+for late WARC captures. At 10^12-doc scale the state store only holds
+open windows (watermark evicts closed ones), and the aggregation is a
+standard partial→final hash agg per micro-batch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def ingest_stats(
+    pages_stream: DataFrame,
+    window_duration: str = "1 hour",
+    watermark_delay: str = "2 hours",
+) -> DataFrame:
+    """(window, lang) → pages, bytes_in, hosts over event time ``warc_ts``.
+
+    ``watermark_delay`` is how late a capture may arrive and still be
+    counted; older rows are dropped and their windows finalized (state is
+    bounded — the requirement for an unbounded crawl stream).
+    """
+    return (
+        pages_stream.withWatermark("warc_ts", watermark_delay)
+        .groupBy(F.window("warc_ts", window_duration).alias("win"), "lang")
+        .agg(
+            F.count(F.lit(1)).alias("pages"),
+            F.sum(F.length("html").cast("long")).alias("bytes_in"),
+            F.approx_count_distinct(
+                F.regexp_extract("url", r"https?://([^/]+)/", 1)
+            ).alias("hosts_approx"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "lang", "pages", "bytes_in", "hosts_approx",
+        )
+    )

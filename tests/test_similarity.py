@@ -7,6 +7,8 @@ from pyspark.sql import functions as F, types as T
 from llm_food_spark.operators.similarity import (
     brute_force_topk,
     embedding_neardup_pairs,
+    ivf_ann_topk,
+    ivf_train_centroids,
     lsh_ann_topk,
 )
 
@@ -79,6 +81,42 @@ def test_lsh_ann_recall_at_least_half_of_exact(vectors):
     # planted twins share almost every hyperplane bucket: always recalled
     for i in range(5):
         assert (i, 100 + i) in ann_set
+
+
+def test_ivf_full_probe_equals_brute_force(vectors):
+    # nprobe == n_clusters degenerates to exact search: same rounding and
+    # tie-break as brute_force_topk, so results must be identical
+    df, _ = vectors
+    queries = df.where(F.col("vec_id") < 5)
+    exact = sorted(
+        tuple(r) for r in brute_force_topk(df, queries, k=3).collect()
+    )
+    ivf = sorted(
+        tuple(r)
+        for r in ivf_ann_topk(df, queries, k=3, n_clusters=8, nprobe=8,
+                              iters=2).collect()
+    )
+    assert ivf == exact
+
+
+def test_ivf_partial_probe_recalls_planted_twin(vectors):
+    df, _ = vectors
+    queries = df.where(F.col("vec_id") < 5)
+    got = ivf_ann_topk(df, queries, k=3, n_clusters=8, nprobe=2,
+                       iters=3).collect()
+    pairs = {(r["query_id"], r["vec_id"]) for r in got}
+    # a twin at cosine ~0.9999 shares its query's nearest centroid
+    for i in range(5):
+        assert (i, 100 + i) in pairs
+
+
+def test_ivf_centroids_deterministic_and_normalized(vectors):
+    df, _ = vectors
+    c1 = ivf_train_centroids(df, n_clusters=6, iters=2)
+    c2 = ivf_train_centroids(df, n_clusters=6, iters=2)
+    assert np.array_equal(c1, c2)
+    assert c1.shape == (6, DIM)
+    assert np.allclose(np.linalg.norm(c1, axis=1), 1.0)
 
 
 def test_embedding_neardup_pairs_finds_planted(vectors):

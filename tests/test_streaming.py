@@ -36,6 +36,39 @@ def test_streaming_matches_batch(spark, tmp_path):
     assert lin.where(F.col("run_id").startswith("epoch-")).count() > 0
 
 
+def test_ingest_stats_windowed_agg_matches_batch(spark, tmp_path):
+    """Watermarked event-time windowed agg over the stream must equal the
+    same aggregation computed statically (drained with availableNow)."""
+    from llm_food_spark.streaming.ingest import stream_pages
+    from llm_food_spark.streaming.stats import ingest_stats
+
+    rows = generate_pages(120)
+    in_dir = str(tmp_path / "incoming")
+    pages_to_df(spark, rows).repartition(3).write.parquet(in_dir)
+
+    q = (
+        ingest_stats(stream_pages(spark, in_dir), window_duration="1 hour",
+                     watermark_delay="2 hours")
+        .writeStream.format("memory").queryName("ingest_stats_t")
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["window_start"], r["window_end"], r["lang"]):
+            (r["pages"], r["bytes_in"], r["hosts_approx"])
+        for r in spark.sql("select * from ingest_stats_t").collect()
+    }
+
+    # batch twin: identical expressions over the static frame (watermark is
+    # a no-op on bounded data)
+    exp = {
+        (r["window_start"], r["window_end"], r["lang"]):
+            (r["pages"], r["bytes_in"], r["hosts_approx"])
+        for r in ingest_stats(spark.read.parquet(in_dir)).collect()
+    }
+    assert got == exp and len(got) > 0
+
+
 def test_streaming_second_epoch_accumulates(spark, tmp_path):
     """A later epoch must not wipe earlier epochs (results are keyed by
     (run_id, partition_id), not bare partition_id)."""
