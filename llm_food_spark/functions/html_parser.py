@@ -59,6 +59,10 @@ _ATTR_RE = re.compile(
     r"(?:\s*=\s*(\"[^\"]*\"|'[^']*'|[^\s\"'=<>`]+))?"
 )
 _COMMENT_RE = re.compile(r"<!--.*?-->", re.DOTALL)
+_P_TARGET = frozenset(["p"])
+_RAW_END_RES = {
+    t: re.compile(r"</%s\s*>" % t, re.IGNORECASE) for t in RAW_TEXT_ELEMENTS
+}
 _DECL_RE = re.compile(r"<![^>]*>", re.DOTALL)
 _PI_RE = re.compile(r"<\?.*?\?>", re.DOTALL)
 
@@ -89,7 +93,7 @@ class Element:
             node = stack.pop()
             yield node
             stack.extend(
-                c for c in reversed(node.children) if isinstance(c, Element)
+                [c for c in reversed(node.children) if isinstance(c, Element)]
             )
 
     def text_content(self) -> str:
@@ -202,7 +206,7 @@ def parse_html(source: str) -> Element:
 
         # implicit closes (scope-aware: never pop past a boundary element)
         if name in _P_CLOSERS:
-            _implicit_close(stack, frozenset(["p"]), None)
+            _implicit_close(stack, _P_TARGET, None)
         rule = _IMPLICIT_CLOSE.get(name)
         if rule:
             _implicit_close(stack, rule[0], rule[1])
@@ -211,8 +215,7 @@ def parse_html(source: str) -> Element:
         stack[-1].append(elem)
 
         if name in RAW_TEXT_ELEMENTS and not selfclose:
-            end_re = re.compile(r"</%s\s*>" % re.escape(name), re.IGNORECASE)
-            em = end_re.search(source, pos)
+            em = _RAW_END_RES[name].search(source, pos)
             if em:
                 elem.append(Text(source[pos : em.start()]))
                 pos = em.end()
