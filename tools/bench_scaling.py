@@ -100,6 +100,15 @@ def main() -> int:
 
     lo = measure(args.low, corpus, args.reps, args.quiet_load)
     hi = measure(args.high, corpus, args.reps, args.quiet_load)
+
+    # hardware ceiling control: an embarrassingly parallel pure-Python loop
+    # measured under the same conditions — efficiency below 1.0 HERE is the
+    # host's (all-core clocks / hypervisor caps / neighbors), not the plan's
+    sys.path.insert(0, str(REPO / "tools"))
+    from cpu_scaling_probe import probe
+
+    hw = probe(args.low, args.high, reps=args.reps)
+
     ratio = args.high / args.low
     eff = (hi["docs_per_sec"] / lo["docs_per_sec"]) / ratio
     result = {
@@ -111,6 +120,9 @@ def main() -> int:
         "low": lo,
         "high": hi,
         "scaling_efficiency": round(eff, 3),
+        "hw_probe": hw,
+        "normalized_efficiency": round(min(eff / hw["hw_efficiency"], 1.0), 3)
+        if hw["hw_efficiency"] > 0 else None,
         "target": 0.8,
         "pass": eff >= 0.8,
     }

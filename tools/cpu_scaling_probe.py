@@ -1,0 +1,54 @@
+"""Hardware scaling-ceiling probe: how much per-core throughput does THIS
+host retain when going from N to 4N busy cores?
+
+A pure-Python integer loop in independent processes — no Spark, no shared
+memory, no I/O — is embarrassingly parallel, so any efficiency below 1.0
+measured here is the machine's own ceiling (all-core frequency scaling,
+hypervisor CPU capping, noisy neighbors), not a property of any pipeline.
+Campaign results are normalized against this to separate "the plan doesn't
+scale" from "the host doesn't".
+
+Run standalone: python tools/cpu_scaling_probe.py [low] [high]
+"""
+
+from __future__ import annotations
+
+import multiprocessing as mp
+import sys
+import time
+
+
+def _burn(n: int) -> int:
+    s = 0
+    for i in range(n):
+        s += i * i
+    return s
+
+
+def measure_ops(procs: int, per_proc: int = 8_000_000, waves: int = 4) -> float:
+    """ops/sec with ``procs`` busy processes (waves x procs tasks)."""
+    with mp.Pool(procs) as pool:
+        t0 = time.time()
+        pool.map(_burn, [per_proc] * procs * waves)
+        dt = time.time() - t0
+    return per_proc * procs * waves / dt
+
+
+def probe(low: int, high: int, reps: int = 2) -> dict:
+    """Best-of-``reps`` hardware scaling efficiency from low to high procs."""
+    best_lo = max(measure_ops(low) for _ in range(reps))
+    best_hi = max(measure_ops(high) for _ in range(reps))
+    ratio = high / low
+    return {
+        "low_ops_per_sec": round(best_lo),
+        "high_ops_per_sec": round(best_hi),
+        "hw_efficiency": round((best_hi / best_lo) / ratio, 3),
+    }
+
+
+if __name__ == "__main__":
+    lo = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    hi = int(sys.argv[2]) if len(sys.argv) > 2 else 32
+    import json
+
+    print(json.dumps({"low": lo, "high": hi, **probe(lo, hi)}))

@@ -41,6 +41,9 @@ def main() -> int:
     ap.add_argument("--no-resume", action="store_true")
     ap.add_argument("--bench", action="store_true",
                     help="timed noop-sink reps instead of durable output")
+    ap.add_argument("--no-repartition", action="store_true",
+                    help="bench-only experiment: skip the salted exchange "
+                         "to isolate its cost (production always shuffles)")
     ap.add_argument("--reps", type=int, default=2)
     ap.add_argument("--quiet-load", type=float, default=0.0,
                     help="wait for 1-min loadavg below this before each rep")
@@ -73,9 +76,10 @@ def main() -> int:
                         break
                     time.sleep(5)
             t0 = time.time()
-            extract_pages(pages, n_partitions=n_partitions).write.format(
-                "noop"
-            ).mode("overwrite").save()
+            extract_pages(
+                pages, n_partitions=n_partitions,
+                repartition=not args.no_repartition,
+            ).write.format("noop").mode("overwrite").save()
             dt = time.time() - t0
             best = dt if best is None or dt < best else best
             print(json.dumps({"rep": rep, "sec": round(dt, 3)}),
