@@ -75,6 +75,8 @@ _WS = b"\x00\t\n\x0c\r "
 _DELIM = b"()<>[]{}/%"
 _NUM_RE = re.compile(rb"[+-]?(?:\d+\.?\d*|\.\d+)")
 _OBJ_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b")
+_KW_RE = re.compile(rb"true|false|null")
+_REF_RE = re.compile(rb"\s+(\d+)\s+R\b")
 
 
 class _Lexer:
@@ -85,30 +87,34 @@ class _Lexer:
         self.pos = pos
 
     def _skip_ws(self) -> None:
+        # int indexing + a local cursor: this runs once per token and was
+        # the hottest PDF function under profile (byte-slice per char)
         d, n = self.data, len(self.data)
-        while self.pos < n:
-            c = self.data[self.pos : self.pos + 1]
-            if c in (b"\x00", b"\t", b"\n", b"\x0c", b"\r", b" "):
-                self.pos += 1
-            elif c == b"%":  # comment to EOL
-                nl = d.find(b"\n", self.pos)
-                self.pos = n if nl == -1 else nl + 1
+        pos = self.pos
+        while pos < n:
+            c = d[pos]
+            if c in _WS:
+                pos += 1
+            elif c == 0x25:  # %  comment to EOL
+                nl = d.find(b"\n", pos)
+                pos = n if nl == -1 else nl + 1
             else:
-                return
+                break
+        self.pos = pos
 
     def parse_object(self) -> Any:
         self._skip_ws()
         d = self.data
         if self.pos >= len(d):
             raise PdfError("unexpected EOF")
-        c = d[self.pos : self.pos + 1]
-        if c == b"<":
+        c = d[self.pos]
+        if c == 0x3C:  # <
             if d[self.pos : self.pos + 2] == b"<<":
                 return self._parse_dict_or_stream()
             return self._parse_hex_string()
-        if c == b"(":
+        if c == 0x28:  # (
             return self._parse_literal_string()
-        if c == b"[":
+        if c == 0x5B:  # [
             self.pos += 1
             arr: List[Any] = []
             while True:
@@ -117,11 +123,11 @@ class _Lexer:
                     self.pos += 1
                     return arr
                 arr.append(self.parse_object())
-        if c == b"/":
+        if c == 0x2F:  # /
             return self._parse_name()
         if c in b"+-.0123456789":
             return self._parse_number_or_ref()
-        m = re.match(rb"true|false|null", d[self.pos :])
+        m = _KW_RE.match(d, self.pos)  # pos-anchored: never slice the tail
         if m:
             tok = m.group(0)
             self.pos += len(tok)
@@ -134,7 +140,7 @@ class _Lexer:
         d = self.data
         while self.pos < len(d):
             ch = d[self.pos]
-            if ch in _WS or bytes([ch]) in b"()<>[]{}/%":
+            if ch in _WS or ch in _DELIM:
                 break
             self.pos += 1
         raw = d[start : self.pos]
@@ -152,18 +158,23 @@ class _Lexer:
         self.pos = m.end()
         if b"." in tok:
             return float(tok)
-        # reference lookahead: <int> <int> R
-        save = self.pos
-        m2 = re.match(rb"\s+(\d+)\s+R\b", d[self.pos :])
+        # reference lookahead: <int> <int> R (pos-anchored, no tail slice)
+        m2 = _REF_RE.match(d, self.pos)
         if m2:
-            self.pos += m2.end()
+            self.pos = m2.end()
             return Ref(int(tok))
-        self.pos = save
         return int(tok)
 
     def _parse_literal_string(self) -> bytes:
         d = self.data
         self.pos += 1
+        # fast path: unescaped, unnested string — one find + one slice
+        end = d.find(b")", self.pos)
+        if end != -1:
+            seg = d[self.pos : end]
+            if b"\\" not in seg and b"(" not in seg:
+                self.pos = end + 1
+                return seg
         out = bytearray()
         depth = 1
         while self.pos < len(d):
@@ -432,8 +443,8 @@ def _interpret_text_ops(content: bytes) -> List[Tuple[float, float, float, str]]
         lex._skip_ws()
         if lex.pos >= n:
             break
-        c = content[lex.pos : lex.pos + 1]
-        if c in b"/([<+-.0123456789" or c == b"<":
+        c = content[lex.pos]
+        if c in b"/([<+-.0123456789":
             try:
                 stack.append(lex.parse_object())
             except PdfError:

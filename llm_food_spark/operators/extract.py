@@ -88,11 +88,26 @@ def extract_pages(
     n_partitions: Optional[int] = None,
     max_bytes: Optional[int] = None,
     repartition: bool = True,
+    partition_mode: str = "hash",
 ) -> DataFrame:
     """pages(url, warc_ts, html, text, lang) → results (RESULT_SCHEMA).
 
     One shuffle (the salted repartition that balances payload work), one
     Arrow exchange (the mapInPandas), no other stage boundaries.
+
+    ``partition_mode``:
+
+    - ``"hash"`` (default): hash-repartition on the salted partition_id —
+      maximum balance, batches mix timestamps.
+    - ``"range_ts"``: ``repartitionByRange(warc_ts, partition_id)`` — the
+      north_rule's time-range layout: tasks stay time-local (so an output
+      table partitioned by warc_ts day/hour writes few files per task and
+      Iceberg min/max pruning stays tight) while the url-hash salt spreads
+      a single hot timestamp range across tasks. Balance relies on range
+      sampling; skewed ranges are AQE-split at runtime.
+
+    Results are identical under either mode (and under no repartition at
+    all) — partition_id is a function of the data.
     """
     spark = pages.sparkSession
     if n_partitions is None:
@@ -105,5 +120,10 @@ def extract_pages(
     )
     df = with_partition_id(df, n_partitions)
     if repartition:
-        df = df.repartition(n_partitions, "partition_id")
+        if partition_mode == "range_ts":
+            df = df.repartitionByRange(n_partitions, "warc_ts", "partition_id")
+        elif partition_mode == "hash":
+            df = df.repartition(n_partitions, "partition_id")
+        else:
+            raise ValueError("partition_mode must be 'hash' or 'range_ts'")
     return df.mapInPandas(_extract_batches(max_bytes), schema=RESULT_SCHEMA)

@@ -70,6 +70,41 @@ def test_distribution_invariance(spark):
     assert run(32) == base
 
 
+def test_partition_mode_invariance(spark):
+    """hash / range_ts / no-repartition layouts ⇒ identical results; the
+    range_ts mode must keep each task time-local (north_rule layout)."""
+    rows = generate_pages(150)
+    df = pages_to_df(spark, rows)
+
+    def run(**kw):
+        res = (
+            extract_pages(df, n_partitions=8, **kw)
+            .select("url", "content_hash", "markdown", "status")
+            .orderBy("url")
+            .collect()
+        )
+        return [tuple(r) for r in res]
+
+    base = run(partition_mode="hash")
+    assert run(partition_mode="range_ts") == base
+    assert run(repartition=False) == base
+
+    # time-locality: with ts as the leading range key, each task's ts span
+    # is a fraction of the corpus span (hash mode would cover ~all of it)
+    from pyspark.sql import functions as F
+
+    ranged = extract_pages(df, n_partitions=8, partition_mode="range_ts")
+    spans = (
+        ranged.withColumn("pid", F.spark_partition_id())
+        .groupBy("pid")
+        .agg((F.unix_timestamp(F.max("warc_ts"))
+              - F.unix_timestamp(F.min("warc_ts"))).alias("span"))
+        .collect()
+    )
+    full = max(r[1] for r in rows) - min(r[1] for r in rows)
+    assert all(r["span"] <= full.total_seconds() / 2 for r in spans)
+
+
 def test_error_rows_never_fail_tasks(spark):
     rows = [
         ("https://e.example/empty", EPOCH, b"", "", "en"),
