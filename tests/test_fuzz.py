@@ -1,0 +1,72 @@
+"""Deterministic mutation fuzzing: hostile byte streams must become status
+rows, never exceptions (the scale contract — one bad document cannot kill a
+task; reference analogue: sentinel handling, llm_food/app.py:915-935)."""
+
+import random
+
+from llm_food_spark.functions.dispatch import extract_document
+from llm_food_spark.sources.fixtures import (
+    generate_pages,
+    html_fixture_families,
+    pdf_fixture_families,
+)
+
+_STATUSES = {"completed", "failed", "oversize", "scanned_lowconf", "unsupported"}
+
+
+def _seeds():
+    seeds = [bytes(t) for t in html_fixture_families().values()]
+    seeds += [bytes(t) for t in pdf_fixture_families().values()]
+    seeds += [r[2] for r in generate_pages(30)]
+    return seeds
+
+
+def _mutations(payload: bytes, rng: random.Random):
+    n = len(payload)
+    if n == 0:
+        return [payload]
+    cut = rng.randrange(n)
+    flip_at = rng.randrange(n)
+    flipped = bytearray(payload)
+    flipped[flip_at] ^= 0xFF
+    ins_at = rng.randrange(n)
+    return [
+        payload[:cut],                                   # truncation
+        bytes(flipped),                                  # bit flip
+        payload[cut:] + payload[:cut],                   # rotation
+        payload[:ins_at] + b"\x00\xff<(" + payload[ins_at:],  # splice
+        payload * 2 if n < 4096 else payload[: n // 2] * 2,   # duplication
+    ]
+
+
+def test_mutated_payloads_never_raise():
+    rng = random.Random(1234)
+    checked = 0
+    for seed in _seeds():
+        for mut in _mutations(seed, rng):
+            r = extract_document(mut)
+            assert r.status in _STATUSES, r.status
+            assert isinstance(r.markdown, str)
+            assert r.n_sections == len(r.texts)
+            if r.status == "failed":
+                assert r.error_message
+            checked += 1
+    assert checked >= 200
+
+
+def test_pathological_structures_never_raise():
+    probes = [
+        b"<" * 10000,
+        b"<div " + b"a" * 100000 + b">x</div>",
+        b"<table>" + b"<tr><td>" * 3000,
+        b"(" * 5000,
+        b"%PDF-1.4\n" + b"1 0 obj\n<<" * 2000,
+        b"%PDF-1.4\n1 0 obj\n<</Length 99999>>\nstream\n\xff\xfe",
+        b"{\\rtf1" + b"{" * 8000,
+        b"PK\x03\x04" + bytes(range(256)) * 8,
+        "<p>𝔘𝔫𝔦𝔠𝔬𝔡𝔢 &amp; entities &#x1F600;</p>".encode(),
+    ]
+    for p in probes:
+        r = extract_document(p)
+        assert r.status in _STATUSES
+        assert isinstance(r.markdown, str)
