@@ -381,6 +381,18 @@ def q_extract_pdf(spark, sf_dir):
     )
 
 
+def q_extract_office(spark, sf_dir):
+    # T2/T3/T4 dispatch branches (DOCX/PPTX/RTF) through the Spark operator
+    from llm_food_spark.operators.extract import extract_pages
+    from llm_food_spark.sources.fixtures import office_fixture_rows
+    from llm_food_spark.sources.pages import pages_to_df
+
+    pages = pages_to_df(spark, office_fixture_rows(120))
+    return extract_pages(pages, n_partitions=8).select(
+        "url", "content_type", "n_sections", "status", "markdown"
+    )
+
+
 def q_embedding_neardup(spark, sf_dir):
     from llm_food_spark.operators.similarity import embedding_neardup_pairs
 
@@ -461,6 +473,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_meta": q_image_meta,
         "extract_chunk": q_extract_chunk,
         "extract_pdf": q_extract_pdf,
+        "extract_office": q_extract_office,
         "embedding_neardup": q_embedding_neardup,
         "training_prep": q_training_prep,
     }

@@ -194,6 +194,91 @@ def pdf_fixture_families() -> Dict[str, bytes]:
 
 
 # ---------------------------------------------------------------------------
+# §4b office-format fixtures (DOCX / PPTX / RTF payload table)
+# ---------------------------------------------------------------------------
+
+def _docx_bytes(paragraphs) -> bytes:
+    """Minimal WordprocessingML container: [(style|None, [(text, bold)])]."""
+    import zipfile
+    from io import BytesIO
+
+    w = "http://schemas.openxmlformats.org/wordprocessingml/2006/main"
+    body = []
+    for style, runs in paragraphs:
+        ppr = '<w:pPr><w:pStyle w:val="%s"/></w:pPr>' % style if style else ""
+        rxml = "".join(
+            '<w:r>%s<w:t xml:space="preserve">%s</w:t></w:r>'
+            % ("<w:rPr><w:b/></w:rPr>" if bold else "", text)
+            for text, bold in runs
+        )
+        body.append("<w:p>%s%s</w:p>" % (ppr, rxml))
+    doc = (
+        '<?xml version="1.0"?><w:document xmlns:w="%s"><w:body>%s</w:body>'
+        "</w:document>" % (w, "".join(body))
+    )
+    buf = BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("[Content_Types].xml", "<Types/>")
+        zf.writestr("word/document.xml", doc)
+    return buf.getvalue()
+
+
+def _pptx_bytes(slides) -> bytes:
+    """Minimal PresentationML container: [[paragraph, ...] per slide]."""
+    import zipfile
+    from io import BytesIO
+
+    a = "http://schemas.openxmlformats.org/drawingml/2006/main"
+    buf = BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("[Content_Types].xml", "<Types/>")
+        for i, paras in enumerate(slides, start=1):
+            body = "".join("<a:p><a:r><a:t>%s</a:t></a:r></a:p>" % t
+                           for t in paras)
+            zf.writestr(
+                "ppt/slides/slide%d.xml" % i,
+                '<?xml version="1.0"?><p:sld xmlns:a="%s" '
+                'xmlns:p="http://schemas.openxmlformats.org/'
+                'presentationml/2006/main">%s</p:sld>' % (a, body),
+            )
+    return buf.getvalue()
+
+
+def _rtf_bytes(lines) -> bytes:
+    return ("{\\rtf1\\ansi " + "\\par ".join(lines) + "}").encode("ascii")
+
+
+def office_fixture_rows(
+    n_docs: int = 120, seed: int = 7
+) -> List[Tuple[str, _dt.datetime, bytes, str, str]]:
+    """Deterministic pages-table rows whose payloads are DOCX/PPTX/RTF —
+    exercises the T2/T3/T4 dispatch branches through the Spark operator."""
+    rng = random.Random(seed)
+    rows = []
+    for i in range(n_docs):
+        kind = ("docx", "pptx", "rtf")[i % 3]
+        if kind == "docx":
+            payload = _docx_bytes([
+                ("Heading1", [("Doc %d Title" % i, False)]),
+                (None, [(_filler(rng, 12), False), (" key point", True)]),
+                (None, [(_filler(rng, 18), False)]),
+            ])
+        elif kind == "pptx":
+            payload = _pptx_bytes([
+                ["Slide one for %d" % i, _filler(rng, 8)],
+                [_filler(rng, 10)],
+            ])
+        else:
+            payload = _rtf_bytes(
+                ["RTF doc %d" % i, _filler(rng, 14), _filler(rng, 14)]
+            )
+        url = "https://files.example/%s/%06d.%s" % (kind, i, kind)
+        ts = EPOCH + _dt.timedelta(seconds=i)
+        rows.append((url, ts, payload, "", "en"))
+    return rows
+
+
+# ---------------------------------------------------------------------------
 # §5 error fixtures
 # ---------------------------------------------------------------------------
 

@@ -53,6 +53,23 @@ def _pptx(slides) -> bytes:
     return buf.getvalue()
 
 
+def test_office_fixture_rows_extract_clean():
+    """The generated DOCX/PPTX/RTF pages-table rows all dispatch to the
+    right branch and extract without error (library-level; the Spark-level
+    twin is the extract_office driver query)."""
+    from llm_food_spark.sources.fixtures import office_fixture_rows
+
+    rows = office_fixture_rows(30)
+    kinds = set()
+    for url, _, payload, _, _ in rows:
+        r = extract_document(payload)
+        kinds.add(r.content_type)
+        assert r.status == "completed", (url, r.error_message)
+        assert r.markdown.strip()
+        assert url.endswith(r.content_type)
+    assert kinds == {"docx", "pptx", "rtf"}
+
+
 def test_rtf_basic():
     rtf = (r"{\rtf1\ansi{\fonttbl{\f0 Arial;}}"
            r"\f0\fs24 Hello \b bold\b0  world.\par Second line.\par}")
