@@ -608,6 +608,37 @@ def oracle_sql() -> dict[str, str]:
                          ELSE 1 + CEIL((n - 64) / 48.0) END)::BIGINT AS n_chunks
             FROM t WHERE n > 0
         """.format(toks=_WSTOKS),
+        # chunk window arithmetic + content. The testdata documents are
+        # single-space separated (verified), so array_to_string(slice, ' ')
+        # equals the Spark chunker's original-text slice; the
+        # whitespace-preservation semantics are covered by pytest goldens.
+        "chunk_token": """
+            WITH t AS (
+              SELECT doc_id, {toks} AS toks FROM documents
+            ), w AS (
+              SELECT doc_id, toks, len(toks) AS n,
+                     CASE WHEN len(toks) = 0 THEN 0
+                          WHEN len(toks) <= 64 THEN 1
+                          ELSE 1 + CEIL((len(toks) - 64) / 48.0)::INT
+                     END AS n_chunks
+              FROM t
+            )
+            , e AS (
+              SELECT doc_id, toks, n,
+                     unnest(range(0, greatest(n_chunks, 1))) AS i
+              FROM w
+            )
+            SELECT doc_id AS url,
+                   CASE WHEN n = 0 THEN NULL ELSE i::INT END AS chunk_id,
+                   CASE WHEN n = 0 THEN NULL
+                        ELSE array_to_string(
+                               toks[i * 48 + 1 : least(i * 48 + 64, n)], ' ')
+                   END AS chunk,
+                   'token' AS strategy,
+                   64 AS chunk_size,
+                   16 AS chunk_overlap
+            FROM e
+        """.format(toks=_WSTOKS),
         "dedup_exact": """
             SELECT sha256(text) AS content_hash,
                    COUNT(*)::BIGINT AS n_dups,
