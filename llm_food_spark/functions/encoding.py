@@ -1,0 +1,162 @@
+"""Charset detection + decode for web payloads.
+
+The reference decodes every HTML payload as utf-8 with errors ignored
+(/root/reference/llm_food/app.py:255) and leans on trafilatura's internal
+charset handling for the rest. A web-scale corpus is ~5-10% non-UTF-8
+(windows-1252, gb*, shift_jis, iso-8859-*, utf-16 …), so this engine
+detects the charset before decoding — a deliberate, documented extension
+of the reference contract. Detection is pure byte inspection, fully
+deterministic, and ordered by reliability:
+
+1. **BOM** (utf-8-sig / utf-16 / utf-32, 32 checked before 16);
+2. **NUL-pattern** utf-16 without BOM (ASCII-heavy pages alternate
+   ``ch 00`` / ``00 ch``);
+3. **declared label** — ``<meta charset=…>``, ``<meta http-equiv
+   Content-Type content="…charset=…">`` or an XML ``encoding="…"``
+   declaration in the first 4 KiB, normalized through the WHATWG-style
+   alias table below (iso-8859-1 family ⇒ windows-1252, gb2312 ⇒
+   gb18030, …);
+4. **utf-8 validation** — strict decode succeeds ⇒ utf-8;
+5. **fallback heuristic** — if the bytes are *mostly* valid utf-8 (few
+   bytes would be dropped relative to the high-byte count) keep the
+   reference's utf-8/ignore semantics, else decode as windows-1252 (the
+   WHATWG default for unlabeled legacy content).
+
+All decodes use ``errors="ignore"`` — the frozen golden dialect never
+contains U+FFFD — and a leading BOM character is always stripped.
+"""
+
+from __future__ import annotations
+
+import codecs
+import re
+from typing import Optional, Tuple
+
+# order matters: utf-32 BOMs contain utf-16 BOMs as a prefix
+_BOMS = (
+    (codecs.BOM_UTF32_LE, "utf-32-le"),
+    (codecs.BOM_UTF32_BE, "utf-32-be"),
+    (codecs.BOM_UTF16_LE, "utf-16-le"),
+    (codecs.BOM_UTF16_BE, "utf-16-be"),
+    (codecs.BOM_UTF8, "utf-8"),
+)
+
+# <meta charset="...">, <meta ... content="text/html; charset=...">, or
+# <?xml version="1.0" encoding="..."?> — one pattern covers all three
+_DECLARED_RE = re.compile(
+    rb"""(?:charset|encoding)\s*=\s*["']?\s*([A-Za-z0-9_][A-Za-z0-9_.:+-]*)""",
+    re.IGNORECASE,
+)
+
+# WHATWG-style label normalization for the labels that actually occur at
+# web scale; anything else goes through codecs.lookup unchanged
+_LABEL_ALIASES = {
+    "iso-8859-1": "cp1252",
+    "iso8859-1": "cp1252",
+    "latin-1": "cp1252",
+    "latin1": "cp1252",
+    "l1": "cp1252",
+    "us-ascii": "cp1252",
+    "ascii": "cp1252",
+    "ansi": "cp1252",
+    "windows-1252": "cp1252",
+    "win-1252": "cp1252",
+    "cp-1252": "cp1252",
+    "gb2312": "gb18030",
+    "gb-2312": "gb18030",
+    "gbk": "gb18030",
+    "csgb2312": "gb18030",
+    "shift-jis": "shift_jis",
+    "shiftjis": "shift_jis",
+    "sjis": "shift_jis",
+    "x-sjis": "shift_jis",
+    "ms-kanji": "shift_jis",
+    "euc-kr": "cp949",
+    "ks-c-5601-1987": "cp949",
+    "utf8": "utf-8",
+    "utf-8": "utf-8",
+    "unicode-1-1-utf-8": "utf-8",
+    "utf-16": "utf-16",
+    "utf16": "utf-16",
+    "unicode": "utf-16",
+}
+
+_SNIFF_LIMIT = 4096
+
+
+def normalize_label(label: str) -> Optional[str]:
+    """Charset label → canonical Python codec name, or None if unknown."""
+    key = label.strip().strip("\"';,").lower()
+    key = _LABEL_ALIASES.get(key, key)
+    try:
+        return codecs.lookup(key).name
+    except (LookupError, ValueError):
+        return None
+
+
+def _nul_pattern_utf16(head: bytes) -> Optional[str]:
+    """BOM-less utf-16 detection: ASCII-heavy utf-16 text has NULs in
+    every other byte, a pattern no single- or multi-byte legacy encoding
+    produces."""
+    if len(head) < 8:
+        return None
+    even_nul = head[0::2].count(0)
+    odd_nul = head[1::2].count(0)
+    half = len(head) // 2
+    if odd_nul > 0.55 * half and even_nul < 0.05 * half:
+        return "utf-16-le"
+    if even_nul > 0.55 * half and odd_nul < 0.05 * half:
+        return "utf-16-be"
+    return None
+
+
+def detect_encoding(content: bytes) -> Tuple[str, str]:
+    """Return (codec_name, source) where source is one of
+    ``bom / nul-pattern / declared / utf-8 / fallback-utf-8 /
+    fallback-cp1252``."""
+    for bom, name in _BOMS:
+        if content.startswith(bom):
+            return name, "bom"
+    head = content[:_SNIFF_LIMIT]
+    nul = _nul_pattern_utf16(head[:1024])
+    if nul is not None:
+        return nul, "nul-pattern"
+    m = _DECLARED_RE.search(head)
+    if m is not None:
+        name = normalize_label(m.group(1).decode("ascii", "ignore"))
+        # a utf-16/32 label inside ASCII-readable bytes is a lie (the tag
+        # itself would be NUL-interleaved) — fall through to validation
+        if name is not None and not name.startswith(("utf-16", "utf-32")):
+            if name == "utf-8":
+                # mislabeled "utf-8" legacy bytes are common; validate
+                try:
+                    content.decode("utf-8")
+                    return "utf-8", "declared"
+                except UnicodeDecodeError:
+                    pass  # heuristic below decides
+            else:
+                return name, "declared"
+    try:
+        content.decode("utf-8")
+        return "utf-8", "utf-8"
+    except UnicodeDecodeError:
+        pass
+    # mostly-valid utf-8 with a few stray bytes keeps reference semantics
+    # (utf-8/ignore, llm_food/app.py:255); genuinely legacy bytes → cp1252
+    high = sum(1 for b in head if b >= 0x80)
+    if high:
+        dropped = len(head) - len(head.decode("utf-8", "ignore").encode("utf-8"))
+        if dropped / high <= 0.5:
+            return "utf-8", "fallback-utf-8"
+    return "cp1252", "fallback-cp1252"
+
+
+def decode_html(content: bytes) -> str:
+    """bytes → str via detected charset; BOM stripped, errors ignored."""
+    name, _source = detect_encoding(content)
+    if name == "utf-8" and content.startswith(codecs.BOM_UTF8):
+        content = content[len(codecs.BOM_UTF8):]
+    text = content.decode(name, errors="ignore")
+    if text.startswith("\ufeff"):
+        text = text[1:]
+    return text

@@ -10,9 +10,11 @@ inline URL path at llm_food/app.py:490-491). Strategy is readability-style:
 4. pick the main container (<article> with most text, else <main>, else body),
 5. serialize to the frozen markdown dialect.
 
-Decode semantics match the reference exactly: ``bytes.decode("utf-8",
-errors="ignore")`` (llm_food/app.py:255) and an empty extraction returns
-``""`` — never None (llm_food/app.py:257,491).
+Decode semantics extend the reference (``bytes.decode("utf-8",
+errors="ignore")``, llm_food/app.py:255) with charset detection for
+non-UTF-8 web pages — see ``encoding.decode_html``; mostly-UTF-8 payloads
+still take the reference's utf-8/ignore path, and an empty extraction
+returns ``""`` — never None (llm_food/app.py:257,491).
 """
 
 from __future__ import annotations
@@ -20,6 +22,7 @@ from __future__ import annotations
 import re
 from typing import Tuple
 
+from .encoding import decode_html
 from .html_parser import Element, Text, parse_html
 from .markdown import serialize
 
@@ -121,12 +124,13 @@ def _pick_main(root: Element) -> Element:
 def extract_html_markdown(content: bytes) -> str:
     """bytes → main-content markdown ('' when nothing survives pruning).
 
-    Mirrors the reference contract of llm_food/app.py:252-259: utf-8
-    ignore-errors decode, empty-not-None result, exceptions surface to the
-    caller (the operator layer converts them to status rows, the analogue
-    of the sentinel strings at llm_food/app.py:258).
+    Mirrors the reference contract of llm_food/app.py:252-259 — empty-not-
+    None result, exceptions surface to the caller (the operator layer
+    converts them to status rows, the analogue of the sentinel strings at
+    llm_food/app.py:258) — with charset-detected decode instead of the
+    reference's blanket utf-8/ignore (see `encoding.py`).
     """
-    text = content.decode("utf-8", errors="ignore")
+    text = decode_html(content)
     root = parse_html(text)
     main = _pick_main(root)
     _prune(main)

@@ -33,15 +33,33 @@ def sniff_content_type(content: bytes) -> str:
         if any(n.startswith("ppt/") for n in names):
             return "pptx"
         return "zip"
-    head = content[:2048].lstrip()
+    head = content[:2048]
+    if head[:4] in (b"\xff\xfe\x00\x00", b"\x00\x00\xfe\xff") or head[:2] in (
+        b"\xff\xfe", b"\xfe\xff"
+    ):
+        # utf-16/32 BOM: re-sniff in text space (markers are NUL-interleaved
+        # in the raw bytes, so the ascii checks below would miss them)
+        from .encoding import decode_html
+
+        text = decode_html(content[:2048]).lstrip().lower()
+        if text.startswith(("<!doctype html", "<html", "<")) or "<p" in text or "<div" in text:
+            return "html"
+        return "html" if text.strip() else "unknown"
+    head = head.lstrip()
     low = head[:256].lower()
     if low.startswith((b"<!doctype html", b"<html")) or b"<html" in low:
         return "html"
     if head.startswith(b"<") or b"</" in head or b"<p" in low or b"<div" in low:
         return "html"
-    # text-looking payloads default to html (CC pages are overwhelmingly html)
     try:
+        # text-looking payloads default to html (CC pages are overwhelmingly html)
         content[:1024].decode("utf-8")
         return "html"
     except UnicodeDecodeError:
-        return "unknown"
+        pass
+    # legacy single-byte text (cp1252 etc): printable + tag markers ⇒ html;
+    # payloads dense in control bytes are binary → unknown
+    ctrl = sum(1 for b in head[:1024] if b < 9 or 13 < b < 32)
+    if ctrl <= len(head[:1024]) // 100 and (b"<" in head or len(head) > 0):
+        return "html"
+    return "unknown"

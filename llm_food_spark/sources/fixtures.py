@@ -114,6 +114,30 @@ def html_fixture_families() -> Dict[str, bytes]:
         "<p>Multibyte çağrı ğüneş with emoji 🚀 and dash —.</p></article>"
         "</body></html>"
     ).encode("utf-8") + b"\xff\xfe<p>trailing latin1 bytes</p>"
+    # non-UTF-8 charsets (real-web coverage; decode path in functions/encoding.py)
+    fam["encoding_cp1252"] = (
+        '<!DOCTYPE html><html><head><meta http-equiv="Content-Type" '
+        'content="text/html; charset=iso-8859-1"></head><body><article>'
+        "<h1>Café Prices — Smart “Quotes”</h1>"
+        "<p>Résumé of naïve détails, priced at €5 "
+        "• bullet … ellipsis.</p></article></body></html>"
+    ).encode("cp1252")
+    fam["encoding_utf16"] = (
+        "\ufeff<!DOCTYPE html><html><body><article><h1>UTF-16 Página</h1>"
+        "<p>Wide-encoded body with ümläuts and 日本語 "
+        "text that must survive the BOM decode.</p></article></body></html>"
+    ).encode("utf-16-le")
+    fam["encoding_gb18030"] = (
+        '<html><head><meta charset="gb2312"></head><body><article>'
+        "<h1>中文页面</h1>"
+        "<p>这是一个测试段落，"
+        "包含中文标点。</p></article></body></html>"
+    ).encode("gb18030")
+    fam["encoding_legacy_nolabel"] = (
+        "<html><body><article><h1>Unlabeled legacy</h1>"
+        "<p>Plain prose with “curly quotes” and an em—dash, "
+        "no charset declaration anywhere.</p></article></body></html>"
+    ).encode("cp1252")
     fam["empty_extract"] = page(
         '<nav><a href="/a">a</a> <a href="/b">b</a> <a href="/c">c</a></nav>'
         '<footer><a href="/p">privacy</a></footer>'

@@ -1,0 +1,137 @@
+"""Charset detection / decode tests (functions/encoding.py).
+
+The reference decodes utf-8/ignore only (llm_food/app.py:255); the web-scale
+extension detects BOMs, declared labels, NUL-pattern utf-16, and falls back
+per the WHATWG default. Goldens for the end-to-end families live in
+fixtures/golden/encoding_*.md.
+"""
+
+import codecs
+
+from llm_food_spark.functions.dispatch import extract_document
+from llm_food_spark.functions.encoding import (
+    decode_html,
+    detect_encoding,
+    normalize_label,
+)
+from llm_food_spark.functions.sniff import sniff_content_type
+
+
+def test_bom_detection_priority():
+    assert detect_encoding(codecs.BOM_UTF32_LE + b"x\x00\x00\x00") == ("utf-32-le", "bom")
+    assert detect_encoding(codecs.BOM_UTF16_LE + b"x\x00") == ("utf-16-le", "bom")
+    assert detect_encoding(codecs.BOM_UTF16_BE + b"\x00x") == ("utf-16-be", "bom")
+    assert detect_encoding(codecs.BOM_UTF8 + b"hi") == ("utf-8", "bom")
+
+
+def test_bom_stripped_from_text():
+    assert decode_html(codecs.BOM_UTF8 + "héllo".encode("utf-8")) == "héllo"
+    assert decode_html("﻿wide".encode("utf-16-le")) == "wide"
+    assert decode_html("﻿wide".encode("utf-16-be")) == "wide"
+
+
+def test_declared_meta_charset_labels():
+    for label, codec in (
+        ("iso-8859-1", "cp1252"),
+        ("Windows-1252", "cp1252"),
+        ("GB2312", "gb18030"),
+        ("Shift_JIS", "shift_jis"),
+        ("EUC-KR", "cp949"),
+    ):
+        page = ('<html><head><meta charset="%s"></head>' % label).encode("ascii")
+        name, source = detect_encoding(page + b"<body>x</body></html>")
+        assert (name, source) == (codec, "declared"), label
+
+
+def test_http_equiv_content_type_form():
+    page = (
+        b'<meta http-equiv="Content-Type" '
+        b'content="text/html; charset=iso-8859-1">caf\xe9'
+    )
+    assert detect_encoding(page) == ("cp1252", "declared")
+    assert "café" in decode_html(page)
+
+
+def test_xml_declaration_encoding():
+    page = '<?xml version="1.0" encoding="ISO-8859-1"?><html/>'.encode("ascii")
+    assert detect_encoding(page) == ("cp1252", "declared")
+
+
+def test_mislabeled_utf8_with_legacy_bytes_falls_back():
+    # declared utf-8 but bytes are cp1252 curly quotes → heuristic decides
+    page = b'<meta charset="utf-8"><p>\x93quoted\x94 \x97 dash</p>'
+    name, source = detect_encoding(page)
+    assert name == "cp1252" and source == "fallback-cp1252"
+    assert "“quoted”" in decode_html(page)
+
+
+def test_valid_utf8_no_declaration():
+    page = "<p>ünïcode ✓</p>".encode("utf-8")
+    assert detect_encoding(page) == ("utf-8", "utf-8")
+
+
+def test_mostly_utf8_keeps_reference_ignore_semantics():
+    # parity with llm_food/app.py:255: a few stray bytes in an otherwise
+    # valid utf-8 page are dropped, not reinterpreted as cp1252 mojibake
+    page = "<p>çok 🚀 güzel</p>".encode("utf-8") + b"\xff\xfe"
+    name, source = detect_encoding(page)
+    assert (name, source) == ("utf-8", "fallback-utf-8")
+    assert "\xff" not in decode_html(page) and "🚀" in decode_html(page)
+
+
+def test_nul_pattern_utf16_without_bom():
+    raw = "<html><body><p>ascii heavy page body</p></body></html>".encode("utf-16-le")
+    assert detect_encoding(raw) == ("utf-16-le", "nul-pattern")
+    assert "ascii heavy" in decode_html(raw)
+    raw_be = "<html><body><p>ascii heavy page body</p></body></html>".encode("utf-16-be")
+    assert detect_encoding(raw_be) == ("utf-16-be", "nul-pattern")
+
+
+def test_utf16_label_in_ascii_bytes_is_ignored():
+    # a readable ascii tag claiming utf-16 is lying; bytes win
+    page = b'<meta charset="utf-16"><p>plain ascii</p>'
+    name, _ = detect_encoding(page)
+    assert name == "utf-8"
+
+
+def test_unknown_label_falls_through():
+    page = b'<meta charset="x-no-such-charset"><p>plain</p>'
+    assert detect_encoding(page)[0] == "utf-8"
+    assert normalize_label("x-no-such-charset") is None
+
+
+def test_sniff_utf16_html_payload():
+    raw = "﻿<!DOCTYPE html><html><body><p>hello</p></body></html>".encode("utf-16-le")
+    assert sniff_content_type(raw) == "html"
+    r = extract_document(raw)
+    assert r.content_type == "html" and r.status == "completed"
+    assert "hello" in r.markdown
+
+
+def test_sniff_legacy_single_byte_html():
+    # cp1252 page whose early bytes contain no tags is still text → html
+    page = (" " * 300 + "<p>café body “quoted” text</p>").encode("cp1252")
+    assert sniff_content_type(page) == "html"
+
+
+def test_sniff_binary_garbage_stays_unknown():
+    blob = bytes(range(256)) * 8
+    assert sniff_content_type(blob) == "unknown"
+
+
+def test_gb18030_end_to_end():
+    page = ('<html><head><meta charset="gbk"></head><body><article>'
+            "<h1>标题</h1><p>正文内容。</p></article></body></html>").encode("gb18030")
+    r = extract_document(page)
+    assert r.status == "completed"
+    assert "标题" in r.markdown and "正文内容。" in r.markdown
+
+
+def test_decode_deterministic():
+    payloads = [
+        b'<meta charset="iso-8859-1">caf\xe9',
+        "﻿wide page".encode("utf-16-le"),
+        "plain utf8 ✓".encode("utf-8"),
+    ]
+    for p in payloads:
+        assert {decode_html(p) for _ in range(50)} == {decode_html(p)}
