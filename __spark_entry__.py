@@ -413,6 +413,28 @@ def q_training_prep(spark, sf_dir):
     return chunks
 
 
+def q_gopher_quality(spark, sf_dir):
+    """Gopher/C4 line-shape quality signals (operators/quality.py) — all
+    native Catalyst, oracle-checked value-for-value. The documents corpus is
+    single-line prose, so a deterministic newline after every 6th word gives
+    the line signals real structure (same regex both engines)."""
+    from llm_food_spark.operators.quality import gopher_line_cols
+
+    d = _t_par(spark, sf_dir, "documents")
+    lined = F.regexp_replace(F.col("text"), r"((?:\S+ ){6})", "$1\n")
+    cols = gopher_line_cols(lined)
+    return d.select("doc_id", *[c.alias(k) for k, c in cols.items()])
+
+
+def q_repetition(spark, sf_dir):
+    """Gopher n-gram repetition fractions (vectorized Arrow pass; the
+    within-row n-gram counting is not reasonably SQL-expressible without a
+    corpus-wide explode+shuffle, so the gate is tests/test_text_quality.py)."""
+    from llm_food_spark.operators.quality import repetition_table
+
+    return repetition_table(_t_par(spark, sf_dir, "documents"))
+
+
 def q_image_meta(spark, sf_dir):
     # multimodal plumbing: synthesized binary payloads → typed metadata
     import struct as _s
@@ -454,6 +476,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality": q_quality,
         "lang_id": q_lang_id,
         "chunk_counts": q_chunk_counts,
+        "gopher_quality": q_gopher_quality,
         # dedup / similarity
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard": q_ngram_jaccard,
@@ -470,6 +493,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
         "fingerprint": q_fingerprint,
+        "repetition": q_repetition,
         "image_meta": q_image_meta,
         "extract_chunk": q_extract_chunk,
         "extract_pdf": q_extract_pdf,
@@ -601,6 +625,40 @@ def oracle_sql() -> dict[str, str]:
             FROM w
         """.replace("{stop_pat}", _STOPWORD_PATTERN_SQL),
         "lang_id": _lang_id_sql(),
+        # line-shape parity notes: regexes shared verbatim with
+        # operators/quality.py (Java and RE2 agree on (?m) anchors); the
+        # every-6th-word newline injection mirrors q_gopher_quality.
+        "gopher_quality": r"""
+            WITH s AS (
+              SELECT doc_id,
+                     regexp_replace(text, '((?:\S+ ){6})', '\1' || chr(10), 'g') AS text
+              FROM documents
+            ), st AS (
+              SELECT doc_id, text,
+                     regexp_replace(text, '(?m)^[ \t]+|[ \t]+$', '', 'g') AS stx
+              FROM s
+            ), l AS (
+              SELECT doc_id, text, stx,
+                     list_filter(string_split(stx, chr(10)), x -> x <> '') AS lines,
+                     list_filter(string_split_regex(stx, chr(10)||chr(10)||'+'), x -> x <> '') AS paras,
+                     len(regexp_extract_all(text, '\S+')) AS n_tokens
+              FROM st
+            )
+            SELECT doc_id,
+              len(lines)::INT AS n_lines,
+              len(paras)::INT AS n_paras,
+              ROUND(CASE WHEN len(lines)>0 THEN (len(lines)-len(list_distinct(lines)))::DOUBLE/len(lines) ELSE 0.0 END, 6) AS dup_line_frac,
+              ROUND(CASE WHEN length(array_to_string(lines,''))>0 THEN (length(array_to_string(lines,''))-length(array_to_string(list_distinct(lines),'')))::DOUBLE/length(array_to_string(lines,'')) ELSE 0.0 END, 6) AS dup_line_char_frac,
+              ROUND(CASE WHEN len(paras)>0 THEN (len(paras)-len(list_distinct(paras)))::DOUBLE/len(paras) ELSE 0.0 END, 6) AS dup_para_frac,
+              ROUND(CASE WHEN length(array_to_string(paras,''))>0 THEN (length(array_to_string(paras,''))-length(array_to_string(list_distinct(paras),'')))::DOUBLE/length(array_to_string(paras,'')) ELSE 0.0 END, 6) AS dup_para_char_frac,
+              ROUND(CASE WHEN len(lines)>0 THEN len(regexp_extract_all(stx, '(?m)[.!?"'']$'))::DOUBLE/len(lines) ELSE 0.0 END, 6) AS term_punct_line_frac,
+              ROUND(CASE WHEN len(lines)>0 THEN len(regexp_extract_all(stx, '(?m)^[-*•]'))::DOUBLE/len(lines) ELSE 0.0 END, 6) AS bullet_line_frac,
+              ROUND(CASE WHEN len(lines)>0 THEN len(regexp_extract_all(stx, '(?m)(?:\.\.\.|…)$'))::DOUBLE/len(lines) ELSE 0.0 END, 6) AS ellipsis_line_frac,
+              ROUND(CASE WHEN len(lines)>0 THEN (len(lines)-len(regexp_extract_all(stx, '(?m)^[^A-Za-z' || chr(10) || ']*(?:[A-Za-z]+[^A-Za-z' || chr(10) || ']+){2}[A-Za-z]')))::DOUBLE/len(lines) ELSE 0.0 END, 6) AS short_line_frac,
+              ROUND(CASE WHEN n_tokens>0 THEN len(regexp_extract_all(text, '\S*[A-Za-z]\S*'))::DOUBLE/n_tokens ELSE 0.0 END, 6) AS alpha_word_frac,
+              ROUND(CASE WHEN n_tokens>0 THEN (len(regexp_extract_all(text, '#'))+len(regexp_extract_all(text, '\.\.\.|…')))::DOUBLE/n_tokens ELSE 0.0 END, 6) AS symbol_word_ratio
+            FROM l
+        """,
         "chunk_counts": """
             WITH t AS (SELECT doc_id, len({toks}) AS n FROM documents)
             SELECT doc_id,

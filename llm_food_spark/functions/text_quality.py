@@ -1,0 +1,94 @@
+"""N-gram repetition signals (Gopher-style) — pure Python, no Spark imports.
+
+Implements the repetition measures from the published Gopher dataset rules
+(Rae et al. 2021, "Scaling Language Models", table A1 — public paper) used
+by large-scale training-data pipelines to drop boilerplate-heavy and
+looping documents:
+
+- ``top n-gram char fraction`` (n = 2, 3, 4): fraction of characters
+  contained in the occurrences of the single most frequent word n-gram;
+- ``duplicated n-gram char fraction`` (n = 5, 8, 10): fraction of
+  characters covered by any n-gram that occurs more than once.
+
+These are per-document computations (no corpus state, no shuffle at any
+scale). Within-document semantics, deterministic:
+
+- tokens = whitespace-split words, lowercased;
+- a gram's char weight = sum of its words' lengths + (n-1) joining spaces;
+- ``top`` fraction denominator = len(" ".join(words)); ties on count break
+  to the lexicographically smallest gram;
+- ``dup`` fraction marks *word indices* covered by duplicated grams (all
+  occurrences) and weighs them by word length only, denominator =
+  sum of word lengths — overlap never double-counts;
+- fewer than n words (or n+1 for dup: a gram that fits once cannot
+  repeat) → 0.0.
+
+No analogue in the reference (llm-food converts one upload at a time);
+this extends the engine toward the training-data brief. The Spark wrapper
+(operators/quality.py) runs this once per row inside an Arrow batch.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+from typing import Dict, List, Sequence, Tuple
+
+TOP_NS = (2, 3, 4)
+DUP_NS = (5, 8, 10)
+
+SIGNAL_NAMES = tuple(
+    ["top_%dgram_frac" % n for n in TOP_NS] + ["dup_%dgram_frac" % n for n in DUP_NS]
+)
+
+
+def _grams(words: Sequence[str], n: int) -> List[Tuple[str, ...]]:
+    return [tuple(words[i : i + n]) for i in range(len(words) - n + 1)]
+
+
+def top_ngram_char_fraction(words: Sequence[str], n: int) -> float:
+    """Chars inside occurrences of the most frequent n-gram / total chars."""
+    if len(words) < n:
+        return 0.0
+    total = sum(len(w) for w in words) + max(0, len(words) - 1)
+    if total == 0:
+        return 0.0
+    counts = Counter(_grams(words, n))
+    # max count, ties to lexicographically smallest gram (deterministic)
+    best_gram, best_count = min(
+        counts.items(), key=lambda kv: (-kv[1], kv[0])
+    )
+    gram_chars = sum(len(w) for w in best_gram) + (n - 1)
+    return min(1.0, best_count * gram_chars / total)
+
+
+def duplicated_ngram_char_fraction(words: Sequence[str], n: int) -> float:
+    """Chars of word positions covered by any n-gram occurring >1 times,
+    over total word chars. Coverage is positional — overlapping duplicated
+    grams never double-count a word."""
+    if len(words) < n + 1:
+        return 0.0
+    total = sum(len(w) for w in words)
+    if total == 0:
+        return 0.0
+    counts = Counter(_grams(words, n))
+    covered = bytearray(len(words))
+    for i, g in enumerate(_grams(words, n)):
+        if counts[g] > 1:
+            for j in range(i, i + n):
+                covered[j] = 1
+    hit = sum(len(w) for w, c in zip(words, covered) if c)
+    return hit / total
+
+
+def repetition_signals(text: str) -> Dict[str, float]:
+    """All signals for one document; keys = SIGNAL_NAMES, values in [0,1],
+    rounded to 6dp for stable cross-engine comparison."""
+    words = text.lower().split()
+    out: Dict[str, float] = {}
+    for n in TOP_NS:
+        out["top_%dgram_frac" % n] = round(top_ngram_char_fraction(words, n), 6)
+    for n in DUP_NS:
+        out["dup_%dgram_frac" % n] = round(
+            duplicated_ngram_char_fraction(words, n), 6
+        )
+    return out

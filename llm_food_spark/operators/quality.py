@@ -1,0 +1,111 @@
+"""Document-quality operators: Gopher/C4-style line signals + repetition.
+
+Two tiers, matching how the published training-data pipelines (Gopher,
+Rae et al. 2021; C4, Raffel et al. 2020 — public papers) gate web text:
+
+1. ``gopher_line_cols`` — line/word-shape signals that compile entirely to
+   native Catalyst expressions (flat regexp counts with ``(?m)``, array
+   ops with no lambda HOFs): whole-stage codegen, zero Python, and an
+   exact DuckDB oracle twin. Per-document math only — no shuffle at any
+   corpus size.
+2. ``with_repetition_signals`` — Gopher n-gram repetition fractions
+   (functions/text_quality.py) as ONE vectorized Arrow pass returning a
+   struct; per-row state only, so the operator scales linearly and never
+   shuffles.
+
+No analogue in the reference (llm-food has no corpus-level quality
+surface); part of the training-data brief. Thresholding is left to the
+caller (e.g. plans/prep.py) — these operators *measure*.
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, functions as F, types as T
+
+from ..functions.text_quality import SIGNAL_NAMES, repetition_signals
+
+# regexes shared verbatim with the DuckDB oracle (__spark_entry__.oracle_sql):
+# Java and RE2 agree on (?m), ^/$ line anchors, and these character classes.
+_EDGE_WS = r"(?m)^[ \t]+|[ \t]+$"
+_TERM_PUNCT_LINE = "(?m)[.!?\"']$"
+_BULLET_LINE = "(?m)^[-*•]"
+_ELLIPSIS_LINE = "(?m)(?:\\.\\.\\.|…)$"
+# a line containing >= 3 letter-runs ([^A-Za-z\n] keeps the match on one line)
+_LONG_LINE = r"(?m)^[^A-Za-z\n]*(?:[A-Za-z]+[^A-Za-z\n]+){2}[A-Za-z]"
+
+
+def _frac(num: Column, den: Column) -> Column:
+    return F.round(
+        F.when(den > 0, num.cast("double") / den).otherwise(F.lit(0.0)), 6
+    )
+
+
+def gopher_line_cols(text: Column) -> Dict[str, Column]:
+    """Named quality columns for one text column. All-native Catalyst —
+    callers splat into a select. Lines are edge-trimmed and blank-dropped;
+    paragraphs split on blank lines."""
+    stripped = F.regexp_replace(text, _EDGE_WS, "")
+    lines = F.array_remove(F.split(stripped, "\n"), "")
+    paras = F.array_remove(F.split(stripped, "\n\n+"), "")
+    n_lines = F.size(lines)
+    n_paras = F.size(paras)
+    line_chars = F.length(F.concat_ws("", lines))
+    para_chars = F.length(F.concat_ws("", paras))
+    dist_line_chars = F.length(F.concat_ws("", F.array_distinct(lines)))
+    dist_para_chars = F.length(F.concat_ws("", F.array_distinct(paras)))
+    n_tokens = F.regexp_count(text, F.lit(r"\S+"))
+    return {
+        "n_lines": n_lines.cast("int"),
+        "n_paras": n_paras.cast("int"),
+        "dup_line_frac": _frac(n_lines - F.size(F.array_distinct(lines)), n_lines),
+        "dup_line_char_frac": _frac(line_chars - dist_line_chars, line_chars),
+        "dup_para_frac": _frac(n_paras - F.size(F.array_distinct(paras)), n_paras),
+        "dup_para_char_frac": _frac(para_chars - dist_para_chars, para_chars),
+        "term_punct_line_frac": _frac(
+            F.regexp_count(stripped, F.lit(_TERM_PUNCT_LINE)), n_lines
+        ),
+        "bullet_line_frac": _frac(
+            F.regexp_count(stripped, F.lit(_BULLET_LINE)), n_lines
+        ),
+        "ellipsis_line_frac": _frac(
+            F.regexp_count(stripped, F.lit(_ELLIPSIS_LINE)), n_lines
+        ),
+        "short_line_frac": _frac(
+            n_lines - F.regexp_count(stripped, F.lit(_LONG_LINE)), n_lines
+        ),
+        "alpha_word_frac": _frac(
+            F.regexp_count(text, F.lit(r"\S*[A-Za-z]\S*")), n_tokens
+        ),
+        "symbol_word_ratio": _frac(
+            F.regexp_count(text, F.lit("#"))
+            + F.regexp_count(text, F.lit("\\.\\.\\.|…")),
+            n_tokens,
+        ),
+    }
+
+
+_REP_SCHEMA = T.StructType(
+    [T.StructField(name, T.DoubleType()) for name in SIGNAL_NAMES]
+)
+
+
+@F.pandas_udf(_REP_SCHEMA)
+def _repetition_udf(texts: pd.Series) -> pd.DataFrame:
+    rows = [repetition_signals(t if isinstance(t, str) else "") for t in texts]
+    return pd.DataFrame(rows, columns=list(SIGNAL_NAMES))
+
+
+def with_repetition_signals(
+    df: DataFrame, text_col: str = "text", struct_col: str = "rep"
+) -> DataFrame:
+    """Append the Gopher repetition struct (one Arrow pass, per-row state)."""
+    return df.withColumn(struct_col, _repetition_udf(F.col(text_col)))
+
+
+def repetition_table(df: DataFrame, text_col: str = "text", key_col: str = "doc_id") -> DataFrame:
+    """(key, *SIGNAL_NAMES) — the flattened driver-query shape."""
+    rep = with_repetition_signals(df, text_col=text_col)
+    return rep.select(key_col, *["rep.%s" % n for n in SIGNAL_NAMES])

@@ -1,0 +1,177 @@
+"""Gopher/C4 quality + repetition signal tests (functions/text_quality.py,
+operators/quality.py). Hand-computed expectations; DuckDB parity for the
+line signals runs in tools/check_oracles.py via the gopher_quality query."""
+
+import duckdb
+import pytest
+
+from llm_food_spark.functions.text_quality import (
+    SIGNAL_NAMES,
+    duplicated_ngram_char_fraction,
+    repetition_signals,
+    top_ngram_char_fraction,
+)
+
+
+def test_top_2gram_hand_computed():
+    words = "a b a b".split()
+    # grams: (a,b) (b,a) (a,b) → top count 2, gram chars 3, total chars 7
+    assert top_ngram_char_fraction(words, 2) == pytest.approx(6 / 7)
+
+
+def test_top_ngram_tie_breaks_lexicographic_deterministic():
+    words = "z y z y a b a b".split()  # (z,y) and (a,b) both occur twice
+    # tie → lexicographically smallest gram (a,b); chars 3, count 2, total 15
+    assert top_ngram_char_fraction(words, 2) == pytest.approx(6 / 15)
+
+
+def test_dup_5gram_full_repeat_covers_everything():
+    words = ("one two three four five " * 2).split()
+    assert duplicated_ngram_char_fraction(words, 5) == 1.0
+
+
+def test_dup_ngram_all_unique_is_zero():
+    words = "every word here occurs exactly once in this sentence".split()
+    for n in (5, 8):
+        assert duplicated_ngram_char_fraction(words, n) == 0.0
+
+
+def test_dup_ngram_no_double_count_on_overlap():
+    # 'a a a a a a' : every 5-gram identical → covered=all, frac exactly 1.0
+    words = ["a"] * 6
+    assert duplicated_ngram_char_fraction(words, 5) == 1.0
+
+
+def test_short_and_empty_texts():
+    assert repetition_signals("") == {k: 0.0 for k in SIGNAL_NAMES}
+    assert repetition_signals("one two")["dup_5gram_frac"] == 0.0
+    assert repetition_signals("one two")["top_2gram_frac"] > 0.0
+
+
+def test_signals_bounded_and_deterministic():
+    text = "spark rows " * 50 + "tail words differ here"
+    s1, s2 = repetition_signals(text), repetition_signals(text)
+    assert s1 == s2
+    for v in s1.values():
+        assert 0.0 <= v <= 1.0
+    assert s1["top_2gram_frac"] > 0.8  # dominated by the repeated bigram
+    assert s1["dup_5gram_frac"] > 0.8
+
+
+GOPHER_TEXT = (
+    "Line one ends.\n"
+    "Line one ends.\n"
+    "- bullet item\n"
+    "Trailing dots...\n"
+    "short ab\n"
+    "\n"
+    "Para two here okay."
+)
+
+
+def _expected_gopher():
+    # 6 non-blank lines, one exact duplicate ("Line one ends.")
+    lines = [l for l in [s.strip(" \t") for s in GOPHER_TEXT.split("\n")] if l]
+    n = len(lines)
+    dup_chars = sum(map(len, lines)) - sum(map(len, dict.fromkeys(lines)))
+    return {
+        "n_lines": n,
+        "dup_line_frac": round((n - len(set(lines))) / n, 6),
+        "dup_line_char_frac": round(dup_chars / sum(map(len, lines)), 6),
+        "term_punct_line_frac": round(4 / n, 6),  # ., ., ..., .
+        "bullet_line_frac": round(1 / n, 6),
+        "ellipsis_line_frac": round(1 / n, 6),
+        # "- bullet item", "Trailing dots...", "short ab" have <3 letter-runs
+        "short_line_frac": round(3 / n, 6),
+    }
+
+
+def test_gopher_line_cols_spark(spark):
+    from pyspark.sql import functions as F
+
+    from llm_food_spark.operators.quality import gopher_line_cols
+
+    df = spark.createDataFrame([(GOPHER_TEXT,)], "text string")
+    cols = gopher_line_cols(F.col("text"))
+    row = df.select(*[c.alias(k) for k, c in cols.items()]).first().asDict()
+    exp = _expected_gopher()
+    for k, v in exp.items():
+        assert row[k] == pytest.approx(v), (k, row)
+    assert row["n_paras"] == 2
+    assert row["dup_para_frac"] == 0.0
+    assert 0.9 <= row["alpha_word_frac"] <= 1.0
+
+
+def test_gopher_line_cols_duckdb_parity(spark):
+    """The oracle formulation must agree value-for-value on hostile line
+    shapes (tabs, blank runs, unicode bullets) — the same SQL text used in
+    __spark_entry__.oracle_sql."""
+    from pyspark.sql import functions as F
+
+    from llm_food_spark.operators.quality import gopher_line_cols
+
+    texts = [
+        GOPHER_TEXT,
+        "",
+        "one line only no punct",
+        "• uni bullet\n\t tabbed line.\nsame\nsame\nsame\n\n\n\nnext para…",
+        "a. b! c? d\" e'\n#tag ... and … more #",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "id int, text string")
+    cols = gopher_line_cols(F.col("text"))
+    got = {
+        r["id"]: r.asDict()
+        for r in df.select("id", *[c.alias(k) for k, c in cols.items()]).collect()
+    }
+
+    import pandas as pd
+
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame({"id": range(len(texts)), "text": texts}))
+    sql = """
+    WITH s AS (
+      SELECT id, text,
+             regexp_replace(text, '(?m)^[ \t]+|[ \t]+$', '', 'g') AS st
+      FROM t
+    ), l AS (
+      SELECT id, text, st,
+             list_filter(string_split(st, chr(10)), x -> x <> '') AS lines,
+             list_filter(string_split_regex(st, chr(10)||chr(10)||'+'), x -> x <> '') AS paras,
+             len(regexp_extract_all(text, '\\S+')) AS n_tokens
+      FROM s
+    )
+    SELECT id, len(lines)::INT AS n_lines, len(paras)::INT AS n_paras,
+      ROUND(CASE WHEN len(lines)>0 THEN (len(lines)-len(list_distinct(lines)))::DOUBLE/len(lines) ELSE 0.0 END, 6) AS dup_line_frac,
+      ROUND(CASE WHEN length(array_to_string(lines,''))>0 THEN (length(array_to_string(lines,''))-length(array_to_string(list_distinct(lines),'')))::DOUBLE/length(array_to_string(lines,'')) ELSE 0.0 END, 6) AS dup_line_char_frac,
+      ROUND(CASE WHEN len(paras)>0 THEN (len(paras)-len(list_distinct(paras)))::DOUBLE/len(paras) ELSE 0.0 END, 6) AS dup_para_frac,
+      ROUND(CASE WHEN length(array_to_string(paras,''))>0 THEN (length(array_to_string(paras,''))-length(array_to_string(list_distinct(paras),'')))::DOUBLE/length(array_to_string(paras,'')) ELSE 0.0 END, 6) AS dup_para_char_frac,
+      ROUND(CASE WHEN len(lines)>0 THEN len(regexp_extract_all(st, '(?m)[.!?"'']$'))::DOUBLE/len(lines) ELSE 0.0 END, 6) AS term_punct_line_frac,
+      ROUND(CASE WHEN len(lines)>0 THEN len(regexp_extract_all(st, '(?m)^[-*•]'))::DOUBLE/len(lines) ELSE 0.0 END, 6) AS bullet_line_frac,
+      ROUND(CASE WHEN len(lines)>0 THEN len(regexp_extract_all(st, '(?m)(?:\\.\\.\\.|…)$'))::DOUBLE/len(lines) ELSE 0.0 END, 6) AS ellipsis_line_frac,
+      ROUND(CASE WHEN len(lines)>0 THEN (len(lines)-len(regexp_extract_all(st, '(?m)^[^A-Za-z\n]*(?:[A-Za-z]+[^A-Za-z\n]+){2}[A-Za-z]')))::DOUBLE/len(lines) ELSE 0.0 END, 6) AS short_line_frac,
+      ROUND(CASE WHEN n_tokens>0 THEN len(regexp_extract_all(text, '\\S*[A-Za-z]\\S*'))::DOUBLE/n_tokens ELSE 0.0 END, 6) AS alpha_word_frac,
+      ROUND(CASE WHEN n_tokens>0 THEN (len(regexp_extract_all(text, '#'))+len(regexp_extract_all(text, '\\.\\.\\.|…')))::DOUBLE/n_tokens ELSE 0.0 END, 6) AS symbol_word_ratio
+    FROM l
+    """
+    for row in con.execute(sql).fetchall():
+        cols_out = [d[0] for d in con.description]
+        d = dict(zip(cols_out, row))
+        i = d.pop("id")
+        for k, v in d.items():
+            assert got[i][k] == pytest.approx(v), (i, k, got[i][k], v)
+
+
+def test_repetition_table_spark(spark):
+    from llm_food_spark.operators.quality import repetition_table
+
+    rows = [
+        (0, "spark rows " * 30),
+        (1, "all distinct words here make zero duplicated five grams"),
+        (2, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in repetition_table(df).collect()}
+    for i, text in rows:
+        exp = repetition_signals(text)
+        for k, v in exp.items():
+            assert got[i][k] == pytest.approx(v), (i, k)
