@@ -413,6 +413,46 @@ def q_training_prep(spark, sf_dir):
     return chunks
 
 
+def _messy_urls(spark, sf_dir):
+    """Deterministic messy urls built from orders keys — the testdata tables
+    carry no url column, so both engines construct the identical url string
+    (4 variants exercising case, userinfo, default/kept ports, tracking
+    params, fragments, empty paths) and canonicalize it."""
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    k = (F.col("o_custkey") % 40).cast("string")
+    okey = F.col("o_orderkey").cast("string")
+    m = F.col("o_orderkey") % 4
+    url = (
+        F.when(m == 0, F.concat(F.lit("https://www.Site"), k,
+                                F.lit(".Example.COM/p/"), okey,
+                                F.lit("?b=2&a=1&utm_campaign=x#sec")))
+        .when(m == 1, F.concat(F.lit("HTTP://Site"), k,
+                               F.lit(".Example.CO.UK:80/Item/"), okey))
+        .when(m == 2, F.concat(F.lit("https://user@site"), k,
+                               F.lit(".example.com:8443/"), okey,
+                               F.lit("?gclid=1")))
+        .otherwise(F.concat(F.lit("http://site"), k, F.lit(".example.net")))
+    )
+    return o.withColumn("url", url)
+
+
+def q_url_canon(spark, sf_dir):
+    """URL canonicalization + host/eTLD+1 (operators/urlops.py), oracle-
+    checked value-for-value over 4 messy variants per row."""
+    from llm_food_spark.operators.urlops import with_url_parts
+
+    return with_url_parts(_messy_urls(spark, sf_dir)).select(
+        "o_orderkey", "url", "host", "registrable_domain", "canonical_url"
+    )
+
+
+def q_host_stats(spark, sf_dir):
+    """Per-host corpus audit aggregation over the same constructed urls."""
+    from llm_food_spark.operators.urlops import host_stats
+
+    return host_stats(_messy_urls(spark, sf_dir))
+
+
 def q_gopher_quality(spark, sf_dir):
     """Gopher/C4 line-shape quality signals (operators/quality.py) — all
     native Catalyst, oracle-checked value-for-value. The documents corpus is
@@ -477,6 +517,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "chunk_counts": q_chunk_counts,
         "gopher_quality": q_gopher_quality,
+        "url_canon": q_url_canon,
+        "host_stats": q_host_stats,
         # dedup / similarity
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard": q_ngram_jaccard,
@@ -544,6 +586,62 @@ def _lang_id_sql() -> str:
       END AS lang_guess
     FROM documents
     """.format(**hits)
+
+
+_TRACKING_RE_SQL = "^(utm_[^=]*|fbclid|gclid|msclkid|mc_eid|igshid|ref_src|spm)(=.*)?$"
+_SUFFIX_LIST_SQL = ("['co.uk','org.uk','ac.uk','gov.uk','com.au','net.au',"
+                    "'org.au','co.jp','ne.jp','or.jp','com.br','com.mx',"
+                    "'co.in','co.kr','com.cn','com.tr','com.ar','co.za','com.sg']")
+
+_URL_CANON_SQL = r"""
+    WITH u AS (
+      SELECT o_orderkey,
+        CASE o_orderkey % 4
+          WHEN 0 THEN 'https://www.Site' || CAST(o_custkey % 40 AS VARCHAR)
+                      || '.Example.COM/p/' || CAST(o_orderkey AS VARCHAR)
+                      || '?b=2&a=1&utm_campaign=x#sec'
+          WHEN 1 THEN 'HTTP://Site' || CAST(o_custkey % 40 AS VARCHAR)
+                      || '.Example.CO.UK:80/Item/' || CAST(o_orderkey AS VARCHAR)
+          WHEN 2 THEN 'https://user@site' || CAST(o_custkey % 40 AS VARCHAR)
+                      || '.example.com:8443/' || CAST(o_orderkey AS VARCHAR)
+                      || '?gclid=1'
+          ELSE 'http://site' || CAST(o_custkey % 40 AS VARCHAR) || '.example.net'
+        END AS url
+      FROM orders
+    ), p AS (
+      SELECT o_orderkey, url,
+        lower(regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) AS scheme,
+        regexp_replace(regexp_replace(
+          lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1)),
+          '^[^@]*@', ''), ':[0-9]+$', '') AS host,
+        regexp_extract(regexp_replace(
+          lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1)),
+          '^[^@]*@', ''), ':([0-9]+)$', 1) AS port,
+        regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path,
+        array_to_string(list_sort(list_filter(
+          list_filter(string_split(regexp_extract(url, '\?([^#]*)', 1), '&'),
+                      x -> x <> ''),
+          x -> NOT regexp_matches(x, '{tracking}'))), '&') AS q
+      FROM u
+    ), d AS (
+      SELECT *, string_split(host, '.') AS labels, len(string_split(host, '.')) AS n
+      FROM p
+    )
+    SELECT o_orderkey, url, host,
+      CASE WHEN n <= 2 THEN host
+           WHEN list_contains({suffixes},
+                              array_to_string(labels[n-1:n], '.'))
+             THEN array_to_string(labels[n-2:n], '.')
+           ELSE array_to_string(labels[n-1:n], '.')
+      END AS registrable_domain,
+      scheme || '://' || host
+        || CASE WHEN port <> '' AND NOT ((scheme = 'http' AND port = '80')
+                                         OR (scheme = 'https' AND port = '443'))
+                THEN ':' || port ELSE '' END
+        || CASE WHEN path = '' THEN '/' ELSE path END
+        || CASE WHEN q <> '' THEN '?' || q ELSE '' END AS canonical_url
+    FROM d
+""".replace("{tracking}", _TRACKING_RE_SQL).replace("{suffixes}", _SUFFIX_LIST_SQL)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -625,6 +723,17 @@ def oracle_sql() -> dict[str, str]:
             FROM w
         """.replace("{stop_pat}", _STOPWORD_PATTERN_SQL),
         "lang_id": _lang_id_sql(),
+        # url construction + canonicalization mirror _messy_urls /
+        # operators/urlops.py expression-for-expression (RE2 and Java agree
+        # on every pattern; list_sort and array_sort both sort codepoints)
+        "url_canon": _URL_CANON_SQL,
+        "host_stats": """
+            WITH c AS (%s)
+            SELECT host, registrable_domain,
+                   COUNT(*)::BIGINT AS n_urls,
+                   COUNT(DISTINCT canonical_url)::BIGINT AS n_canonical
+            FROM c GROUP BY host, registrable_domain
+        """ % _URL_CANON_SQL,
         # line-shape parity notes: regexes shared verbatim with
         # operators/quality.py (Java and RE2 agree on (?m) anchors); the
         # every-6th-word newline injection mirrors q_gopher_quality.

@@ -1,0 +1,121 @@
+"""URL operators: host extraction, registrable domain, canonicalization.
+
+A Common-Crawl-scale pipeline keys dedup, skew handling, and per-site
+quality decisions on the url column (the pages-table primary key per the
+input_hint). The reference touches urls only trivially
+(`os.path.basename(url)`, /root/reference/llm_food/app.py:493); these
+operators extend the surface for corpus work:
+
+- ``host_col`` / ``registrable_domain_col`` — pure regex/array Catalyst
+  expressions (no UDFs, no shuffle);
+- ``canonicalize_url_col`` — deterministic normal form: scheme+host
+  lowercased, userinfo stripped, default ports dropped, fragment dropped,
+  tracking params (utm_*, fbclid, gclid, …) removed, remaining query
+  params sorted codepoint-wise, empty path → "/". Two urls that differ
+  only in these dimensions canonicalize to the same string, making exact
+  url-dedup meaningful at corpus scale.
+- ``host_stats`` — per-host aggregation (doc counts) for skew audits.
+
+The registrable-domain rule is last-2-labels, or last-3 when the trailing
+pair is a common two-level public suffix — a compact deterministic subset
+of the public-suffix list (full PSL parity is out of scope; the list is
+frozen here so results never drift).
+
+Every expression has an exact DuckDB twin in __spark_entry__.oracle_sql
+("url_canon"); the per-element query-param filter is a lambda HOF over a
+handful of elements per row — interpreted, but bounded by the url length,
+never corpus-shaped (CLAUDE.md HOF rule).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+_SCHEME_RE = "^([a-zA-Z][a-zA-Z0-9+.-]*)://"
+_AUTH_RE = "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)"
+_PATH_RE = "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)"
+_QUERY_RE = r"\?([^#]*)"
+
+# tracking params dropped by canonicalization (param name match, pre-'=')
+TRACKING_PARAM_RE = (
+    "^(utm_[^=]*|fbclid|gclid|msclkid|mc_eid|igshid|ref_src|spm)(=.*)?$"
+)
+
+# frozen two-level public-suffix subset (see module docstring)
+TWO_LEVEL_SUFFIXES = (
+    "co.uk org.uk ac.uk gov.uk com.au net.au org.au co.jp ne.jp or.jp "
+    "com.br com.mx co.in co.kr com.cn com.tr com.ar co.za com.sg"
+).split()
+
+
+def host_col(url: Column) -> Column:
+    """Lowercased host: authority minus userinfo and port ('' if no match)."""
+    auth = F.lower(F.regexp_extract(url, _AUTH_RE, 1))
+    no_user = F.regexp_replace(auth, "^[^@]*@", "")
+    return F.regexp_replace(no_user, ":[0-9]+$", "")
+
+
+def registrable_domain_col(host: Column) -> Column:
+    """eTLD+1 approximation over the frozen suffix subset."""
+    labels = F.split(host, r"\.")
+    n = F.size(labels)
+    last2 = F.concat_ws(".", F.slice(labels, n - 1, 2))
+    last3 = F.concat_ws(".", F.slice(labels, n - 2, 3))
+    return (
+        F.when(n <= 2, host)
+        .when(last2.isin(*TWO_LEVEL_SUFFIXES), last3)
+        .otherwise(last2)
+    )
+
+
+def canonicalize_url_col(url: Column) -> Column:
+    """Deterministic canonical form (see module docstring)."""
+    scheme = F.lower(F.regexp_extract(url, _SCHEME_RE, 1))
+    host = host_col(url)
+    port = F.regexp_extract(
+        F.regexp_replace(F.lower(F.regexp_extract(url, _AUTH_RE, 1)), "^[^@]*@", ""),
+        ":([0-9]+)$",
+        1,
+    )
+    keep_port = (port != "") & ~(
+        ((scheme == "http") & (port == "80"))
+        | ((scheme == "https") & (port == "443"))
+    )
+    path = F.regexp_extract(url, _PATH_RE, 1)
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    params = F.array_remove(
+        F.split(F.regexp_extract(url, _QUERY_RE, 1), "&"), ""
+    )
+    kept = F.array_sort(
+        F.filter(params, lambda p: ~p.rlike(TRACKING_PARAM_RE))
+    )
+    query = F.concat_ws("&", kept)
+    return F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        F.when(keep_port, F.concat(F.lit(":"), port)).otherwise(F.lit("")),
+        path,
+        F.when(query != "", F.concat(F.lit("?"), query)).otherwise(F.lit("")),
+    )
+
+
+def with_url_parts(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """Append host / registrable_domain / canonical_url columns."""
+    host = host_col(F.col(url_col))
+    return (
+        df.withColumn("host", host)
+        .withColumn("registrable_domain", registrable_domain_col(host))
+        .withColumn("canonical_url", canonicalize_url_col(F.col(url_col)))
+    )
+
+
+def host_stats(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """Per-host corpus audit: url counts + canonical-dedup counts. One
+    partial+final hash aggregation (map-side combine); at skew, AQE splits
+    the hot hash partitions."""
+    parts = with_url_parts(df, url_col)
+    return parts.groupBy("host", "registrable_domain").agg(
+        F.count(F.lit(1)).alias("n_urls"),
+        F.countDistinct("canonical_url").alias("n_canonical"),
+    )

@@ -1,0 +1,96 @@
+"""URL operator tests (operators/urlops.py): canonicalization cases, domain
+rules, host stats. Oracle parity for the driver queries runs in
+tools/check_oracles.py (url_canon / host_stats)."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+
+CASES = [
+    # (raw, canonical, host, registrable_domain)
+    ("https://www.Example.COM/Path/X?b=2&a=1&utm_source=nl#frag",
+     "https://www.example.com/Path/X?a=1&b=2",
+     "www.example.com", "example.com"),
+    ("HTTP://Site.Example.CO.UK:80/item",
+     "http://site.example.co.uk/item",
+     "site.example.co.uk", "example.co.uk"),
+    ("https://user:pw@host.example.net:8443/a?gclid=1&fbclid=2",
+     "https://host.example.net:8443/a",
+     "host.example.net", "example.net"),
+    ("http://example.org",
+     "http://example.org/",
+     "example.org", "example.org"),
+    ("https://a.b.example.com:443/?z=1&y=2&spm=x",
+     "https://a.b.example.com/?y=2&z=1",
+     "a.b.example.com", "example.com"),
+    ("http://localhost:8080/x",
+     "http://localhost:8080/x",
+     "localhost", "localhost"),
+]
+
+
+@pytest.fixture(scope="module")
+def url_df(spark):
+    from llm_food_spark.operators.urlops import with_url_parts
+
+    df = spark.createDataFrame([(i, c[0]) for i, c in enumerate(CASES)],
+                               "id int, url string")
+    rows = with_url_parts(df).collect()
+    return {r["id"]: r for r in rows}
+
+
+def test_canonical_forms(url_df):
+    for i, (raw, canon, _, _) in enumerate(CASES):
+        assert url_df[i]["canonical_url"] == canon, raw
+
+
+def test_hosts(url_df):
+    for i, (raw, _, host, _) in enumerate(CASES):
+        assert url_df[i]["host"] == host, raw
+
+
+def test_registrable_domains(url_df):
+    for i, (raw, _, _, dom) in enumerate(CASES):
+        assert url_df[i]["registrable_domain"] == dom, raw
+
+
+def test_canonicalization_idempotent(spark):
+    from llm_food_spark.operators.urlops import canonicalize_url_col
+
+    df = spark.createDataFrame([(c[1],) for c in CASES], "url string")
+    out = df.select(canonicalize_url_col(F.col("url")).alias("c")).collect()
+    for row, case in zip(out, CASES):
+        assert row["c"] == case[1]
+
+
+def test_tracking_variants_collapse_to_one_canonical(spark):
+    from llm_food_spark.operators.urlops import with_url_parts
+
+    variants = [
+        "https://shop.example.com/p/1?color=red",
+        "https://Shop.Example.com/p/1?color=red&utm_source=tw",
+        "https://shop.example.com:443/p/1?utm_campaign=x&color=red#top",
+    ]
+    df = spark.createDataFrame([(v,) for v in variants], "url string")
+    out = with_url_parts(df).select("canonical_url").distinct().collect()
+    assert len(out) == 1
+    assert out[0]["canonical_url"] == "https://shop.example.com/p/1?color=red"
+
+
+def test_host_stats_counts(spark):
+    from llm_food_spark.operators.urlops import host_stats
+
+    urls = [
+        "https://a.example.com/1?utm_source=x",
+        "https://A.example.com/1",          # same canonical as above
+        "https://a.example.com/2",
+        "https://b.example.co.uk/1",
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    got = {r["host"]: r for r in host_stats(df).collect()}
+    assert got["a.example.com"]["n_urls"] == 3
+    assert got["a.example.com"]["n_canonical"] == 2
+    assert got["a.example.com"]["registrable_domain"] == "example.com"
+    assert got["b.example.co.uk"]["n_urls"] == 1
+    assert got["b.example.co.uk"]["registrable_domain"] == "example.co.uk"
