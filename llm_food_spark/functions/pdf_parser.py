@@ -8,7 +8,10 @@ stdlib-only implementation:
 - object-level parser (dicts, arrays, strings, names, refs, streams),
   xref-independent: objects are discovered by scanning ``N G obj`` markers,
   which also survives mildly corrupt xref tables;
-- FlateDecode via zlib;
+- stream filters: FlateDecode (zlib), LZWDecode, ASCIIHexDecode,
+  ASCII85Decode, RunLengthDecode, filter chains, and DecodeParms
+  predictors (PNG 10-15, TIFF 2) — the filter set real-world text PDFs
+  use (image-only filters like DCT/JBIG2/CCITT carry no text);
 - content-stream interpreter for the text operators
   BT/ET, Tf, Td, TD, TL, Tm, T*, Tj, TJ, ', " — producing glyph runs
   with (x, y, size);
@@ -39,6 +42,169 @@ class Ref:
         self.num = num
 
 
+def _a85_decode(data: bytes) -> bytes:
+    """ASCII85Decode (PDF 32000 §7.4.3): whitespace ignored, ``z`` = four
+    zero bytes, ``~>`` terminates, trailing partial group padded with 'u'."""
+    end = data.find(b"~>")
+    if end != -1:
+        data = data[:end]
+    out = bytearray()
+    group: List[int] = []
+    for b in data:
+        if b in _WS:
+            continue
+        if b == 0x7A:  # 'z'
+            if group:
+                raise PdfError("ASCII85: z inside group")
+            out += b"\x00\x00\x00\x00"
+            continue
+        if not 0x21 <= b <= 0x75:
+            raise PdfError("ASCII85: bad char %r" % b)
+        group.append(b - 0x21)
+        if len(group) == 5:
+            n = 0
+            for g in group:
+                n = n * 85 + g
+            out += n.to_bytes(4, "big")
+            group = []
+    if group:
+        if len(group) == 1:
+            raise PdfError("ASCII85: lone trailing char")
+        k = len(group)
+        group += [0x75 - 0x21] * (5 - k)
+        n = 0
+        for g in group:
+            n = n * 85 + g
+        out += n.to_bytes(4, "big")[: k - 1]
+    return bytes(out)
+
+
+def _rle_decode(data: bytes) -> bytes:
+    """RunLengthDecode (PDF 32000 §7.4.5)."""
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n:
+        length = data[i]
+        i += 1
+        if length == 128:  # EOD
+            break
+        if length < 128:
+            chunk = data[i : i + length + 1]
+            if len(chunk) != length + 1:
+                raise PdfError("RunLength: truncated literal run")
+            out += chunk
+            i += length + 1
+        else:
+            if i >= n:
+                raise PdfError("RunLength: truncated repeat run")
+            out += bytes([data[i]]) * (257 - length)
+            i += 1
+    return bytes(out)
+
+
+def _lzw_decode(data: bytes, early: int = 1) -> bytes:
+    """LZWDecode (PDF 32000 §7.4.4): 9→12-bit variable codes, Clear=256,
+    EOD=257, EarlyChange per DecodeParms (default 1)."""
+    table: List[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
+    out = bytearray()
+    width = 9
+    prev: Optional[bytes] = None
+    bitbuf = 0
+    bits = 0
+    for byte in data:
+        bitbuf = (bitbuf << 8) | byte
+        bits += 8
+        while bits >= width:
+            code = (bitbuf >> (bits - width)) & ((1 << width) - 1)
+            bits -= width
+            if code == 256:
+                del table[258:]
+                width = 9
+                prev = None
+                continue
+            if code == 257:
+                return bytes(out)
+            if prev is None:
+                if code >= len(table):
+                    raise PdfError("LZW: bad first code %d" % code)
+                entry = table[code]
+            else:
+                if code < len(table):
+                    entry = table[code]
+                elif code == len(table):
+                    entry = prev + prev[:1]
+                else:
+                    raise PdfError("LZW: code %d out of range" % code)
+                table.append(prev + entry[:1])
+                if width < 12 and len(table) >= (1 << width) - early:
+                    width += 1
+            out += entry
+            prev = entry
+    return bytes(out)
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def _apply_predictor(data: bytes, parms: Dict[str, Any]) -> bytes:
+    """Predictor post-pass for Flate/LZW (PDF 32000 §7.4.4.4): PNG
+    predictors 10-15 (per-row filter byte) and TIFF predictor 2 (8-bit)."""
+    pred = parms.get("Predictor", 1)
+    if not isinstance(pred, int) or pred <= 1:
+        return data
+    colors = parms.get("Colors", 1)
+    bpc = parms.get("BitsPerComponent", 8)
+    columns = parms.get("Columns", 1)
+    rowlen = (colors * bpc * columns + 7) // 8
+    bpp = max(1, (colors * bpc + 7) // 8)
+    if pred == 2:
+        if bpc != 8:
+            raise PdfError("TIFF predictor: only 8-bit supported")
+        out = bytearray(data)
+        for r in range(0, len(out) - rowlen + 1, rowlen):
+            for i in range(r + bpp, r + rowlen):
+                out[i] = (out[i] + out[i - bpp]) & 0xFF
+        return bytes(out)
+    if pred < 10:
+        raise PdfError("unsupported predictor %d" % pred)
+    out = bytearray()
+    prev = bytearray(rowlen)
+    pos = 0
+    n = len(data)
+    while pos + 1 <= n:
+        ft = data[pos]
+        row = bytearray(data[pos + 1 : pos + 1 + rowlen])
+        pos += 1 + rowlen
+        if len(row) < rowlen:
+            row += bytes(rowlen - len(row))
+        if ft == 1:  # Sub
+            for i in range(bpp, rowlen):
+                row[i] = (row[i] + row[i - bpp]) & 0xFF
+        elif ft == 2:  # Up
+            for i in range(rowlen):
+                row[i] = (row[i] + prev[i]) & 0xFF
+        elif ft == 3:  # Average
+            for i in range(rowlen):
+                left = row[i - bpp] if i >= bpp else 0
+                row[i] = (row[i] + ((left + prev[i]) >> 1)) & 0xFF
+        elif ft == 4:  # Paeth
+            for i in range(rowlen):
+                left = row[i - bpp] if i >= bpp else 0
+                ul = prev[i - bpp] if i >= bpp else 0
+                row[i] = (row[i] + _paeth(left, prev[i], ul)) & 0xFF
+        elif ft != 0:
+            raise PdfError("bad PNG filter type %d" % ft)
+        out += row
+        prev = row
+    return bytes(out)
+
+
 class Stream:
     __slots__ = ("dict", "raw")
 
@@ -51,14 +217,21 @@ class Stream:
         if filt is None:
             return self.raw
         filters = filt if isinstance(filt, list) else [filt]
+        parms = self.dict.get("DecodeParms", self.dict.get("DP"))
+        parms_list = parms if isinstance(parms, list) else [parms] * len(filters)
         out = self.raw
-        for f in filters:
-            if f == "FlateDecode":
+        for f, pm in zip(filters, parms_list):
+            pm = pm if isinstance(pm, dict) else {}
+            if f == "FlateDecode" or f == "Fl":
                 try:
                     out = zlib.decompress(out)
                 except zlib.error as e:
                     raise PdfError("bad FlateDecode stream: %s" % e)
-            elif f == "ASCIIHexDecode":
+                out = _apply_predictor(out, pm)
+            elif f == "LZWDecode" or f == "LZW":
+                out = _lzw_decode(out, early=pm.get("EarlyChange", 1))
+                out = _apply_predictor(out, pm)
+            elif f == "ASCIIHexDecode" or f == "AHx":
                 hexs = re.sub(rb"[\s>]", b"", out)
                 if len(hexs) % 2:
                     hexs += b"0"
@@ -66,6 +239,10 @@ class Stream:
                     out = bytes.fromhex(hexs.decode("ascii"))
                 except ValueError as e:
                     raise PdfError("bad ASCIIHexDecode stream: %s" % e)
+            elif f == "ASCII85Decode" or f == "A85":
+                out = _a85_decode(out)
+            elif f == "RunLengthDecode" or f == "RL":
+                out = _rle_decode(out)
             else:
                 raise PdfError("unsupported filter %r" % f)
         return out

@@ -56,14 +56,139 @@ def content_stream(runs: Sequence[Run], use_tj_array: bool = False) -> bytes:
     return "\n".join(parts).encode("latin-1", errors="replace")
 
 
+def a85_encode(data: bytes) -> bytes:
+    """ASCII85 encoder (inverse of pdf_parser._a85_decode)."""
+    out = bytearray()
+    for i in range(0, len(data), 4):
+        chunk = data[i : i + 4]
+        k = len(chunk)
+        n = int.from_bytes(chunk + b"\x00" * (4 - k), "big")
+        if n == 0 and k == 4:
+            out += b"z"
+            continue
+        digits = []
+        for _ in range(5):
+            digits.append(n % 85)
+            n //= 85
+        out += bytes(d + 0x21 for d in reversed(digits))[: k + 1]
+    return bytes(out) + b"~>"
+
+
+def rle_encode(data: bytes) -> bytes:
+    """RunLength encoder: literal chunks only (valid, not compact — repeat
+    runs are covered by a dedicated decoder test)."""
+    out = bytearray()
+    for i in range(0, len(data), 128):
+        chunk = data[i : i + 128]
+        out.append(len(chunk) - 1)
+        out += chunk
+    out.append(128)  # EOD
+    return bytes(out)
+
+
+def lzw_encode(data: bytes, early: int = 1) -> bytes:
+    """PDF LZW encoder, width timing mirrored with pdf_parser._lzw_decode
+    (widen when the table size reaches 2^width - EarlyChange)."""
+    table = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    width = 9
+    bitbuf = 0
+    bits = 0
+    out = bytearray()
+
+    def emit(code: int) -> None:
+        nonlocal bitbuf, bits
+        bitbuf = (bitbuf << width) | code
+        bits += width
+        while bits >= 8:
+            out.append((bitbuf >> (bits - 8)) & 0xFF)
+            bits -= 8
+
+    emit(256)  # initial clear
+    w = b""
+    for ch in data:
+        wc = w + bytes([ch])
+        if wc in table:
+            w = wc
+            continue
+        emit(table[w])
+        if next_code <= 4094:
+            table[wc] = next_code
+            next_code += 1
+            # the decoder's table lags one entry behind (KwKwK deferral),
+            # so the encoder widens one code later than the decoder's
+            # `next_code >= 2^width - early` rule
+            if width < 12 and next_code >= (1 << width) - early + 1:
+                width += 1
+        else:  # table full: clear and restart
+            emit(256)
+            table = {bytes([i]): i for i in range(256)}
+            next_code = 258
+            width = 9
+        w = bytes([ch])
+    if w:
+        emit(table[w])
+    emit(257)  # EOD
+    if bits:
+        out.append((bitbuf << (8 - bits)) & 0xFF)
+    return bytes(out)
+
+
+def png_up_predict(data: bytes, columns: int) -> bytes:
+    """Apply the PNG Up filter (type 2) over fixed-width rows, zero-padding
+    the tail row — inverse of pdf_parser._apply_predictor for Predictor 12."""
+    if len(data) % columns:
+        data = data + b"\x00" * (columns - len(data) % columns)
+    out = bytearray()
+    prev = bytes(columns)
+    for r in range(0, len(data), columns):
+        row = data[r : r + columns]
+        out.append(2)
+        out += bytes((row[i] - prev[i]) & 0xFF for i in range(columns))
+        prev = row
+    return bytes(out)
+
+
+def encode_stream(raw: bytes, stream_filter: str) -> Tuple[bytes, str]:
+    """(payload, dict-fragment) for a named filter pipeline."""
+    if stream_filter == "raw":
+        return raw, ""
+    if stream_filter == "flate":
+        return zlib.compress(raw, 9), " /Filter /FlateDecode"
+    if stream_filter == "lzw":
+        return lzw_encode(raw), " /Filter /LZWDecode"
+    if stream_filter == "a85":
+        return a85_encode(raw), " /Filter /ASCII85Decode"
+    if stream_filter == "rle":
+        return rle_encode(raw), " /Filter /RunLengthDecode"
+    if stream_filter == "a85+flate":
+        # decode order: ASCII85 first, then Flate
+        return (
+            a85_encode(zlib.compress(raw, 9)),
+            " /Filter [/ASCII85Decode /FlateDecode]",
+        )
+    if stream_filter == "flate-pred":
+        cols = 64
+        return (
+            zlib.compress(png_up_predict(raw, cols), 9),
+            " /Filter /FlateDecode /DecodeParms << /Predictor 12 /Columns %d >>" % cols,
+        )
+    raise ValueError("unknown stream_filter %r" % stream_filter)
+
+
 def build_pdf(
     pages: Sequence[Sequence[Run]],
     compress: bool = True,
     use_tj_array: bool = False,
     no_text_pages: Sequence[int] = (),
+    stream_filter: str = None,
 ) -> bytes:
     """Build a complete PDF. ``no_text_pages`` lists page indices emitted
-    with an empty content stream (the "scanned page" stub of FIXTURES.md §4)."""
+    with an empty content stream (the "scanned page" stub of FIXTURES.md §4).
+    ``stream_filter`` selects the content-stream encoding (see
+    ``encode_stream``); default keeps the legacy ``compress`` semantics."""
+    if stream_filter is None:
+        stream_filter = "flate" if compress else "raw"
     objects: List[bytes] = []  # 1-indexed by position+1
 
     n_pages = len(pages)
@@ -84,12 +209,8 @@ def build_pdf(
         ).encode()
         objects.append(page_dict)
         raw = b"" if i in no_text_pages else content_stream(runs, use_tj_array)
-        if compress:
-            data = zlib.compress(raw, 9)
-            stream_dict = b"<< /Length %d /Filter /FlateDecode >>" % len(data)
-        else:
-            data = raw
-            stream_dict = b"<< /Length %d >>" % len(data)
+        data, filter_frag = encode_stream(raw, stream_filter)
+        stream_dict = b"<< /Length %d%s >>" % (len(data), filter_frag.encode())
         objects.append(stream_dict + b"\nstream\n" + data + b"\nendstream")
 
     out = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")

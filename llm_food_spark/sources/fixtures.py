@@ -214,6 +214,16 @@ def pdf_fixture_families() -> Dict[str, bytes]:
         [texty_page("Chapter %d" % (i + 1), rng) for i in range(37)],
         use_tj_array=True,
     )
+    # real-world stream encodings (decoders in pdf_parser.py); same dialect
+    fam["pdf_lzw"] = build_pdf(
+        [texty_page("LZW Encoded Title", rng)], stream_filter="lzw"
+    )
+    fam["pdf_a85_chain"] = build_pdf(
+        [texty_page("Chained Filters Title", rng)], stream_filter="a85+flate"
+    )
+    fam["pdf_predictor"] = build_pdf(
+        [texty_page("Predictor Title", rng)], stream_filter="flate-pred"
+    )
     return fam
 
 
@@ -342,7 +352,9 @@ def generate_pages(
             prng = random.Random(seed * 1_000_003 + i)
             runs = [(72.0, 720.0, 20.0, "Doc %d Title" % i)]
             runs += paragraph_runs(72.0, 690.0, 11.0, _body_lines(prng, 10))
-            payload = build_pdf([runs])
+            # web-realistic filter mix: mostly Flate, tail of legacy encodings
+            sfilter = ("flate", "flate", "flate", "lzw", "a85+flate", "rle")[i % 6]
+            payload = build_pdf([runs], stream_filter=sfilter)
         else:
             name, template = html_fams[i % len(html_fams)]
             extra = "<p>%s</p>" % _filler(rng, 40 + (i % 160))

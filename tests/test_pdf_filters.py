@@ -1,0 +1,115 @@
+"""PDF stream-filter tests: spec vectors, encoder/decoder round-trips, and
+end-to-end markdown identity across every content-stream encoding."""
+
+import zlib
+
+import pytest
+
+from llm_food_spark.functions.dispatch import extract_document
+from llm_food_spark.functions.pdf_parser import (
+    PdfError,
+    Stream,
+    _a85_decode,
+    _apply_predictor,
+    _lzw_decode,
+    _rle_decode,
+)
+from llm_food_spark.functions.pdf_writer import (
+    a85_encode,
+    build_pdf,
+    lzw_encode,
+    paragraph_runs,
+    png_up_predict,
+    rle_encode,
+)
+
+PAYLOAD = b"the quick brown fox jumps over the lazy dog " * 40 + b"\x00\xff\x80tail"
+
+
+def test_lzw_spec_vector():
+    # PDF 32000-1:2008 §7.4.4.2 example: 45 45 45 45 45 65 45 45 45 66
+    encoded = bytes.fromhex("800B6050220C0C8501")
+    assert _lzw_decode(encoded) == bytes([45, 45, 45, 45, 45, 65, 45, 45, 45, 66])
+
+
+def test_lzw_round_trip():
+    for data in (b"", b"a", PAYLOAD, bytes(range(256)) * 20):
+        assert _lzw_decode(lzw_encode(data)) == data
+
+
+def test_lzw_width_growth_round_trip():
+    # >511 distinct table entries forces 9->10->11 bit widths
+    data = bytes((i * 7 + (i >> 8)) & 0xFF for i in range(20000))
+    assert _lzw_decode(lzw_encode(data)) == data
+
+
+def test_a85_spec_cases():
+    assert _a85_decode(b"~>") == b""
+    assert _a85_decode(b"z~>") == b"\x00\x00\x00\x00"
+    # 'sure.' canonical vector: F)YQ)
+    assert a85_encode(b"sure.").startswith(b"F*2M7")
+    assert _a85_decode(a85_encode(b"sure.")) == b"sure."
+
+
+def test_a85_round_trip_with_whitespace():
+    enc = a85_encode(PAYLOAD)
+    spaced = b"\n".join(enc[i : i + 60] for i in range(0, len(enc), 60))
+    assert _a85_decode(spaced) == PAYLOAD
+
+
+def test_rle_repeat_and_literal_runs():
+    # literal 'ab', repeat 'c' x5, EOD
+    assert _rle_decode(b"\x01ab\xfcc\x80") == b"ab" + b"c" * 5
+    assert _rle_decode(rle_encode(PAYLOAD)) == PAYLOAD
+
+
+def test_png_predictors_all_filter_types():
+    cols = 8
+    data = bytes((i * 31) & 0xFF for i in range(cols * 6))
+    up = png_up_predict(data, cols)
+    assert _apply_predictor(up, {"Predictor": 12, "Columns": cols}) == data
+    # hand-build one row per filter type over known bytes
+    prev = bytes(4)
+    raw_row = b"\x05\x09\x11\x21"
+    sub = bytes([1, 5, 4, 8, 16])          # row[i] - row[i-1]
+    assert _apply_predictor(sub, {"Predictor": 10, "Columns": 4}) == raw_row
+    avg = bytearray([3])
+    cur = []
+    for i, b in enumerate(raw_row):
+        left = cur[i - 1] if i else 0
+        cur.append(b)
+        avg.append((b - ((left + prev[i]) >> 1)) & 0xFF)
+    assert _apply_predictor(bytes(avg), {"Predictor": 15, "Columns": 4}) == raw_row
+
+
+def test_tiff_predictor_2():
+    raw = b"\x01\x02\x03\x04"
+    # encoded as deltas: 1, 1, 1, 1
+    assert _apply_predictor(b"\x01\x01\x01\x01", {"Predictor": 2, "Columns": 4}) == raw
+
+
+def test_stream_filter_chain_and_abbreviations():
+    payload = b"BT (x) Tj ET"
+    enc = a85_encode(zlib.compress(payload))
+    s = Stream({"Filter": ["A85", "Fl"], "Length": len(enc)}, enc)
+    assert s.data() == payload
+
+
+def test_unknown_filter_raises_pdferror():
+    s = Stream({"Filter": "DCTDecode"}, b"\xff\xd8")
+    with pytest.raises(PdfError):
+        s.data()
+
+
+@pytest.mark.parametrize(
+    "sfilter", ["raw", "flate", "lzw", "a85", "rle", "a85+flate", "flate-pred"]
+)
+def test_end_to_end_markdown_identical_across_filters(sfilter):
+    runs = [(72.0, 720.0, 20.0, "Filter Title")] + paragraph_runs(
+        72.0, 690.0, 11.0, ["alpha beta gamma delta epsilon zeta eta theta"] * 10
+    )
+    baseline = extract_document(build_pdf([runs, runs], stream_filter="flate"))
+    other = extract_document(build_pdf([runs, runs], stream_filter=sfilter))
+    assert baseline.status == "completed"
+    assert other.markdown == baseline.markdown
+    assert other.status == baseline.status
