@@ -15,6 +15,10 @@ stdlib-only implementation:
 - content-stream interpreter for the text operators
   BT/ET, Tf, Td, TD, TL, Tm, T*, Tj, TJ, ', " — producing glyph runs
   with (x, y, size);
+- font-aware string decoding: ToUnicode CMaps (bfchar/bfrange, 1- and
+  2-byte codespaces), /Encoding /Differences via an AGL subset +
+  uniXXXX names, WinAnsiEncoding, Type0/Identity-H; fonts without any
+  of these keep the latin-1 fast path;
 - layout reconstruction: line clustering by y, column detection by x-gap,
   block clustering by leading, reading order (left column first, top-down),
   heading detection by font-size rank — serialized to markdown.
@@ -419,10 +423,16 @@ class _Lexer:
             elif d[self.pos : self.pos + 1] in (b"\n", b"\r"):
                 self.pos += 1
             length = obj.get("Length")
-            if isinstance(length, int):
+            endpos = -1
+            raw = b""
+            if isinstance(length, int) and length >= 0:
                 raw = d[self.pos : self.pos + length]
                 endpos = d.find(b"endstream", self.pos + length)
-            else:  # length indirect/broken: search
+                # trust the declared Length only if endstream follows it
+                # (± EOL bytes) — real-world Lengths are frequently wrong
+                if endpos == -1 or d[self.pos + length : endpos].strip(b"\r\n ") != b"":
+                    endpos = -1
+            if endpos == -1:  # length indirect/missing/wrong: search
                 endpos = d.find(b"endstream", self.pos)
                 raw = d[self.pos : endpos].rstrip(b"\r\n") if endpos != -1 else b""
             if endpos == -1:
@@ -431,6 +441,181 @@ class _Lexer:
             return Stream(obj, raw)
         self.pos = save
         return obj
+
+
+# ---------------------------------------------------------------------------
+# font-aware string decoding: ToUnicode CMaps, /Differences, WinAnsi
+# ---------------------------------------------------------------------------
+
+def _winansi_table() -> List[str]:
+    """WinAnsiEncoding ≈ cp1252; the five undefined cp1252 positions fall
+    back to their latin-1 codepoints (deterministic, never U+FFFD)."""
+    out = []
+    for i in range(256):
+        try:
+            out.append(bytes([i]).decode("cp1252"))
+        except UnicodeDecodeError:
+            out.append(chr(i))
+    return out
+
+
+_WINANSI = _winansi_table()
+
+# compact Adobe-Glyph-List subset: the names real subset fonts use in
+# /Differences arrays (full AGL is ~4k entries; unknown names → U+FFFD)
+_GLYPH_NAMES: Dict[str, str] = {}
+for _ch in "abcdefghijklmnopqrstuvwxyz":
+    _GLYPH_NAMES[_ch] = _ch
+    _GLYPH_NAMES[_ch.upper()] = _ch.upper()
+_GLYPH_NAMES.update(
+    zip("zero one two three four five six seven eight nine".split(),
+        "0123456789")
+)
+_GLYPH_NAMES.update({
+    "space": " ", "exclam": "!", "quotedbl": '"', "numbersign": "#",
+    "dollar": "$", "percent": "%", "ampersand": "&", "quotesingle": "'",
+    "parenleft": "(", "parenright": ")", "asterisk": "*", "plus": "+",
+    "comma": ",", "hyphen": "-", "period": ".", "slash": "/", "colon": ":",
+    "semicolon": ";", "less": "<", "equal": "=", "greater": ">",
+    "question": "?", "at": "@", "bracketleft": "[", "backslash": "\\",
+    "bracketright": "]", "asciicircum": "^", "underscore": "_",
+    "grave": "`", "braceleft": "{", "bar": "|", "braceright": "}",
+    "asciitilde": "~",
+    "quoteleft": "‘", "quoteright": "’", "quotedblleft": "“",
+    "quotedblright": "”", "endash": "–", "emdash": "—", "bullet": "•",
+    "ellipsis": "…", "fi": "ﬁ", "fl": "ﬂ", "dagger": "†", "daggerdbl": "‡",
+    "guillemotleft": "«", "guillemotright": "»", "Euro": "€",
+    "sterling": "£", "yen": "¥", "cent": "¢", "degree": "°",
+    "plusminus": "±", "multiply": "×", "divide": "÷", "copyright": "©",
+    "registered": "®", "trademark": "™", "section": "§", "paragraph": "¶",
+    "micro": "µ", "germandbls": "ß",
+    "eacute": "é", "egrave": "è", "ecircumflex": "ê", "agrave": "à",
+    "aacute": "á", "acircumflex": "â", "adieresis": "ä", "ccedilla": "ç",
+    "odieresis": "ö", "oacute": "ó", "ograve": "ò", "udieresis": "ü",
+    "uacute": "ú", "ugrave": "ù", "ntilde": "ñ", "iacute": "í",
+    "igrave": "ì", "idieresis": "ï",
+    "alpha": "α", "beta": "β", "gamma": "γ", "delta": "δ",
+    "epsilon": "ε", "lambda": "λ", "mu": "μ", "pi": "π", "sigma": "σ",
+    "omega": "ω",
+})
+
+_UNI_NAME_RE = re.compile(r"^uni([0-9A-Fa-f]{4})$")
+_U_NAME_RE = re.compile(r"^u([0-9A-Fa-f]{4,6})$")
+
+
+def _glyph_to_char(name: str) -> str:
+    hit = _GLYPH_NAMES.get(name)
+    if hit is not None:
+        return hit
+    m = _UNI_NAME_RE.match(name) or _U_NAME_RE.match(name)
+    if m:
+        try:
+            return chr(int(m.group(1), 16))
+        except ValueError:
+            return "�"
+    if len(name) == 1:
+        return name
+    return "�"
+
+
+_HEXSTR_RE = re.compile(rb"<([0-9A-Fa-f\s]*)>")
+_BFCHAR_RE = re.compile(rb"beginbfchar(.*?)endbfchar", re.S)
+_BFRANGE_RE = re.compile(rb"beginbfrange(.*?)endbfrange", re.S)
+_CODESPACE_RE = re.compile(rb"begincodespacerange(.*?)endcodespacerange", re.S)
+
+
+def _hex_bytes(tok: bytes) -> bytes:
+    h = re.sub(rb"\s", b"", tok)
+    if len(h) % 2:
+        h += b"0"
+    return bytes.fromhex(h.decode("ascii"))
+
+
+def _utf16be(b: bytes) -> str:
+    try:
+        return b.decode("utf-16-be")
+    except UnicodeDecodeError:
+        return "�"
+
+
+def _parse_tounicode_cmap(data: bytes) -> Tuple[Dict[int, str], Optional[int]]:
+    """(code → text, code byte width) from a ToUnicode CMap stream
+    (PDF 32000 §9.10.3). Width comes from the codespace range; bfchar /
+    bfrange entries fill the map (array-form bfrange included)."""
+    width: Optional[int] = None
+    for m in _CODESPACE_RE.finditer(data):
+        toks = _HEXSTR_RE.findall(m.group(1))
+        if toks:
+            width = max(1, len(re.sub(rb"\s", b"", toks[0])) // 2)
+            break
+    cmap: Dict[int, str] = {}
+    for m in _BFCHAR_RE.finditer(data):
+        toks = _HEXSTR_RE.findall(m.group(1))
+        for i in range(0, len(toks) - 1, 2):
+            src = int.from_bytes(_hex_bytes(toks[i]), "big")
+            cmap[src] = _utf16be(_hex_bytes(toks[i + 1]))
+    for m in _BFRANGE_RE.finditer(data):
+        body = m.group(1)
+        pos = 0
+        while True:
+            mm = re.compile(
+                rb"<([0-9A-Fa-f\s]*)>\s*<([0-9A-Fa-f\s]*)>\s*(\[|<)"
+            ).search(body, pos)
+            if not mm:
+                break
+            lo = int.from_bytes(_hex_bytes(mm.group(1)), "big")
+            hi = int.from_bytes(_hex_bytes(mm.group(2)), "big")
+            if mm.group(3) == b"[":
+                end = body.find(b"]", mm.end())
+                arr = _HEXSTR_RE.findall(body[mm.end() : end if end != -1 else None])
+                for off, tok in enumerate(arr):
+                    if lo + off <= hi:
+                        cmap[lo + off] = _utf16be(_hex_bytes(tok))
+                pos = (end + 1) if end != -1 else len(body)
+            else:
+                dm = _HEXSTR_RE.match(body, mm.end() - 1)
+                if not dm:
+                    pos = mm.end()
+                    continue
+                dst = _hex_bytes(dm.group(1))
+                base = int.from_bytes(dst, "big")
+                span = min(hi - lo, 65535)
+                for off in range(span + 1):
+                    cmap[lo + off] = _utf16be(
+                        (base + off).to_bytes(max(2, len(dst)), "big")
+                    )
+                pos = dm.end()
+    return cmap, width
+
+
+class _FontDecoder:
+    """Per-font string-to-text decoder: ToUnicode CMap (1- or 2-byte codes),
+    single-byte table (Differences/WinAnsi), or latin-1 passthrough."""
+
+    __slots__ = ("width", "cmap", "table")
+
+    def __init__(
+        self,
+        width: int = 1,
+        cmap: Optional[Dict[int, str]] = None,
+        table: Optional[List[str]] = None,
+    ) -> None:
+        self.width = width
+        self.cmap = cmap
+        self.table = table
+
+    def decode(self, raw: bytes) -> str:
+        if self.cmap is not None:
+            w = self.width
+            get = self.cmap.get
+            return "".join(
+                get(int.from_bytes(raw[i : i + w], "big"), "�")
+                for i in range(0, len(raw) - (len(raw) % w), w)
+            )
+        if self.table is not None:
+            t = self.table
+            return "".join(t[b] for b in raw)
+        return raw.decode("latin-1")
 
 
 class PdfDocument:
@@ -552,9 +737,79 @@ class PdfDocument:
         if cache is None:
             cache = self._runs_cache = {}
         if index not in cache:
-            content = self._content_bytes(self.pages[index])
-            cache[index] = _interpret_text_ops(content)
+            page = self.pages[index]
+            content = self._content_bytes(page)
+            cache[index] = _interpret_text_ops(content, self._page_fonts(page))
         return cache[index]
+
+    def _page_fonts(self, page: Dict[str, Any]) -> Optional[Dict[str, _FontDecoder]]:
+        """Resource-name → decoder for fonts that need one (ToUnicode /
+        Differences / WinAnsi / Type0). Fonts with plain latin-1 semantics
+        map to None so the interpreter keeps its fast path. Decoders are
+        memoized per font object across pages."""
+        try:
+            res = self.resolve(page.get("Resources")) or {}
+            fdict = self.resolve(res.get("Font"))
+        except PdfError:
+            return None
+        if not isinstance(fdict, dict):
+            return None
+        cache = getattr(self, "_font_cache", None)
+        if cache is None:
+            cache = self._font_cache = {}
+        out: Dict[str, _FontDecoder] = {}
+        for name, ref in fdict.items():
+            key = ref.num if isinstance(ref, Ref) else id(ref)
+            if key not in cache:
+                cache[key] = self._build_font_decoder(ref)
+            dec = cache[key]
+            if dec is not None:
+                out[name] = dec
+        return out or None
+
+    def _build_font_decoder(self, ref: Any) -> Optional[_FontDecoder]:
+        try:
+            font = self.resolve(ref)
+        except PdfError:
+            return None
+        if not isinstance(font, dict):
+            return None
+        subtype = font.get("Subtype")
+        try:
+            tu = self.resolve(font.get("ToUnicode"))
+        except PdfError:
+            tu = None
+        if isinstance(tu, Stream):
+            try:
+                cmap, width = _parse_tounicode_cmap(tu.data())
+            except PdfError:
+                cmap, width = {}, None
+            if width is None:
+                width = 2 if subtype == "Type0" else 1
+            return _FontDecoder(width, cmap, None)
+        try:
+            enc = self.resolve(font.get("Encoding"))
+        except PdfError:
+            enc = None
+        if isinstance(enc, dict) and enc.get("Differences") is not None:
+            table = list(_WINANSI)
+            code = 0
+            diffs = self.resolve(enc.get("Differences")) or []
+            for item in diffs:
+                if isinstance(item, (int, float)):
+                    code = int(item)
+                elif isinstance(item, str) and 0 <= code <= 255:
+                    table[code] = _glyph_to_char(item)
+                    code += 1
+            return _FontDecoder(1, None, table)
+        if enc == "WinAnsiEncoding":
+            return _FontDecoder(1, None, _WINANSI)
+        if subtype == "Type0":
+            # Identity-H without ToUnicode: codes are font-internal glyph
+            # ids, unmappable without the font program — emit replacement
+            # chars so word geometry survives for the classifier
+            return _FontDecoder(2, {}, None)
+        return None  # latin-1 fast path
 
     def extract_text(self, index: int) -> str:
         """Plain text in reading order (for the classifier word counts —
@@ -597,9 +852,14 @@ class _Line:
         self.text = text
 
 
-def _interpret_text_ops(content: bytes) -> List[Tuple[float, float, float, str]]:
+def _interpret_text_ops(
+    content: bytes,
+    fonts: Optional[Dict[str, "_FontDecoder"]] = None,
+) -> List[Tuple[float, float, float, str]]:
     """Minimal text-op interpreter. Tracks the text line matrix translation
-    (x, y) and font size; emits one run per show-text operator."""
+    (x, y) and font size; emits one run per show-text operator. ``fonts``
+    maps resource names to decoders for non-latin-1 fonts (Tf switches the
+    active decoder); absent entries keep the latin-1 fast path."""
     runs: List[Tuple[float, float, float, str]] = []
     lex = _Lexer(content)
     stack: List[Any] = []
@@ -609,10 +869,11 @@ def _interpret_text_ops(content: bytes) -> List[Tuple[float, float, float, str]]
     x = y = 0.0
     n = len(content)
     op_re = re.compile(rb"[A-Za-z'\"*]{1,3}")
+    decoder: Optional[_FontDecoder] = None
 
     def show(sval: Any) -> None:
         if isinstance(sval, bytes):
-            txt = sval.decode("latin-1")
+            txt = decoder.decode(sval) if decoder else sval.decode("latin-1")
             if txt:
                 runs.append((x, y, size * scale, txt))
 
@@ -636,6 +897,8 @@ def _interpret_text_ops(content: bytes) -> List[Tuple[float, float, float, str]]
         try:
             if op == b"Tf" and len(stack) >= 2:
                 size = float(stack[-1])
+                if fonts is not None and isinstance(stack[-2], str):
+                    decoder = fonts.get(stack[-2])
             elif op == b"Td" and len(stack) >= 2:
                 x += float(stack[-2]) * scale
                 y += float(stack[-1]) * scale
@@ -664,7 +927,10 @@ def _interpret_text_ops(content: bytes) -> List[Tuple[float, float, float, str]]
                 parts: List[str] = []
                 for item in stack[-1]:
                     if isinstance(item, bytes):
-                        parts.append(item.decode("latin-1"))
+                        parts.append(
+                            decoder.decode(item) if decoder
+                            else item.decode("latin-1")
+                        )
                     elif isinstance(item, (int, float)):
                         # big negative displacement = inter-word gap
                         if -item / 1000.0 * size > size * 0.30:

@@ -1,0 +1,156 @@
+"""Font-aware PDF string decoding: ToUnicode CMaps (bfchar/bfrange, both
+forms), /Differences encodings, WinAnsiEncoding, Type0 two-byte codes.
+PDFs are hand-assembled (the parser is xref-independent, so objects just
+need `N 0 obj` markers and a trailer)."""
+
+from llm_food_spark.functions.dispatch import extract_document
+from llm_food_spark.functions.pdf_parser import (
+    PdfDocument,
+    _glyph_to_char,
+    _parse_tounicode_cmap,
+)
+
+
+def mini_pdf(objects):
+    out = bytearray(b"%PDF-1.5\n")
+    for i, body in enumerate(objects, 1):
+        out += b"%d 0 obj\n" % i + body + b"\nendobj\n"
+    out += b"trailer\n<< /Size %d /Root 1 0 R >>\n%%EOF\n" % (len(objects) + 1)
+    return bytes(out)
+
+
+def skeleton(font_obj, extra_objs=(), content=b"BT /F1 12 Tf 72 720 Td (AB) Tj ET"):
+    """catalog(1) pages(2) page(3) font(4) [extras 5..] content(last)."""
+    n_content = 5 + len(extra_objs)
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Resources << /Font << /F1 4 0 R >> >> /Contents %d 0 R >>" % n_content,
+        font_obj,
+        *extra_objs,
+        b"<< /Length %d >>\nstream\n" % len(content) + content + b"\nendstream",
+    ]
+    return mini_pdf(objs)
+
+
+TOUNICODE_CMAP = b"""/CIDInit /ProcSet findresource begin
+begincmap
+1 begincodespacerange
+<0000> <FFFF>
+endcodespacerange
+3 beginbfchar
+<0001> <0048>
+<0002> <0069>
+<0003> <0021>
+endbfchar
+1 beginbfrange
+<0010> <0013> <0041>
+endbfrange
+1 beginbfrange
+<0020> <0022> [<00570058> <0059> <005A>]
+endbfrange
+endcmap
+"""
+
+
+def _tounicode_pdf(content):
+    stream = (b"<< /Length %d >>\nstream\n" % len(TOUNICODE_CMAP)
+              + TOUNICODE_CMAP + b"\nendstream")
+    font = (b"<< /Type /Font /Subtype /Type0 /BaseFont /Sub+CID "
+            b"/Encoding /Identity-H /ToUnicode 5 0 R >>")
+    return skeleton(font, extra_objs=(stream,), content=content)
+
+
+def test_cmap_parse_units():
+    cmap, width = _parse_tounicode_cmap(TOUNICODE_CMAP)
+    assert width == 2
+    assert cmap[1] == "H" and cmap[2] == "i" and cmap[3] == "!"
+    assert [cmap[0x10 + i] for i in range(4)] == ["A", "B", "C", "D"]
+    assert cmap[0x20] == "WX" and cmap[0x21] == "Y" and cmap[0x22] == "Z"
+
+
+def test_type0_tounicode_end_to_end():
+    pdf = _tounicode_pdf(b"BT /F1 12 Tf 72 720 Td <000100020003> Tj ET")
+    doc = PdfDocument(pdf)
+    assert doc.extract_text(0) == "Hi!"
+
+
+def test_type0_tounicode_tj_array():
+    pdf = _tounicode_pdf(
+        b"BT /F1 12 Tf 72 720 Td [<00010002> -400 <0003>] TJ ET"
+    )
+    assert PdfDocument(pdf).extract_text(0) == "Hi !"
+
+
+def test_bfrange_codes_decode():
+    pdf = _tounicode_pdf(b"BT /F1 12 Tf 72 720 Td <0010001100120013> Tj ET")
+    assert PdfDocument(pdf).extract_text(0) == "ABCD"
+
+
+def test_differences_encoding():
+    font = (b"<< /Type /Font /Subtype /Type1 /BaseFont /Custom "
+            b"/Encoding << /Differences [65 /alpha /beta 199 /uni0424] >> >>")
+    pdf = skeleton(font, content=b"BT /F1 12 Tf 72 720 Td (ABC \xc7) Tj ET")
+    # A->alpha, B->beta, C untouched (WinAnsi base), 0xC7 -> uni0424
+    assert PdfDocument(pdf).extract_text(0) == "αβC Ф"
+
+
+def test_winansi_encoding_name():
+    font = (b"<< /Type /Font /Subtype /TrueType /BaseFont /Arial "
+            b"/Encoding /WinAnsiEncoding >>")
+    pdf = skeleton(font, content=b"BT /F1 12 Tf 72 720 Td (\x93q\x94 \x97) Tj ET")
+    assert PdfDocument(pdf).extract_text(0) == "“q” —"
+
+
+def test_type0_without_tounicode_keeps_geometry():
+    font = (b"<< /Type /Font /Subtype /Type0 /BaseFont /Sub+X "
+            b"/Encoding /Identity-H >>")
+    pdf = skeleton(font, content=b"BT /F1 12 Tf 72 720 Td <0041004200430044> Tj ET")
+    txt = PdfDocument(pdf).extract_text(0)
+    assert txt == "�" * 4  # unmappable but present
+
+
+def test_latin1_fast_path_unchanged():
+    font = b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
+    pdf = skeleton(font, content=b"BT /F1 12 Tf 72 720 Td (plain text) Tj ET")
+    assert PdfDocument(pdf).extract_text(0) == "plain text"
+
+
+def test_wrong_stream_length_recovers():
+    # declared /Length larger than the actual stream: parser must fall
+    # back to scanning for endstream instead of dropping the object
+    font = b"<< /Type /Font /Encoding << /Differences [65 /emdash] >> >>"
+    content = b"BT /F1 9 Tf 72 720 Td (ABC) Tj ET"
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /Resources << /Font << /F1 4 0 R >> "
+        b">> /Contents 5 0 R >>",
+        font,
+        b"<< /Length %d >>\nstream\n" % (len(content) + 40) + content + b"\nendstream",
+    ]
+    doc = PdfDocument(mini_pdf(objs))
+    assert doc.extract_text(0) == "—BC"
+
+
+def test_glyph_name_fallbacks():
+    assert _glyph_to_char("emdash") == "—"
+    assert _glyph_to_char("uni20AC") == "€"
+    assert _glyph_to_char("u1F600") == "😀"
+    assert _glyph_to_char("nosuchglyphname") == "�"
+
+
+def test_extract_document_with_tounicode_pdf():
+    # many mapped runs so the classifier sees a text-based page
+    runs = []
+    yy = 720
+    for _ in range(40):
+        runs.append(b"1 0 0 1 72 %d Tm <00010002> Tj <0003> Tj" % yy)
+        yy -= 14
+    content = b"BT /F1 12 Tf " + b" ".join(runs) + b" ET"
+    pdf = _tounicode_pdf(content)
+    r = extract_document(pdf)
+    assert r.content_type == "pdf"
+    assert "Hi" in r.markdown
+    assert "�" not in r.markdown
