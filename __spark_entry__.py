@@ -453,6 +453,24 @@ def q_host_stats(spark, sf_dir):
     return host_stats(_messy_urls(spark, sf_dir))
 
 
+def q_pii_redact(spark, sf_dir):
+    """PII scrub (operators/redact.py): the documents corpus carries no
+    PII, so both engines append identical synthetic contact strings keyed
+    on doc_id, then count + redact."""
+    from llm_food_spark.operators.redact import redact_cols
+
+    d = _t_par(spark, sf_dir, "documents")
+    seeded = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), F.col("doc_id").cast("string"),
+        F.lit("@mail.example.org or +1 (415) 555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" host 10.0."), (F.col("doc_id") % 256).cast("string"), F.lit(".1"),
+    )
+    cols = redact_cols(seeded)
+    return d.select("doc_id", *[c.alias(k) for k, c in cols.items()])
+
+
 def q_gopher_quality(spark, sf_dir):
     """Gopher/C4 line-shape quality signals (operators/quality.py) — all
     native Catalyst, oracle-checked value-for-value. The documents corpus is
@@ -517,6 +535,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "chunk_counts": q_chunk_counts,
         "gopher_quality": q_gopher_quality,
+        "pii_redact": q_pii_redact,
         "url_canon": q_url_canon,
         "host_stats": q_host_stats,
         # dedup / similarity
@@ -586,6 +605,27 @@ def _lang_id_sql() -> str:
       END AS lang_guess
     FROM documents
     """.format(**hits)
+
+
+def _pii_redact_sql() -> str:
+    from llm_food_spark.operators.redact import ORDER, TOKENS
+
+    seed = ("text || ' contact user' || CAST(doc_id AS VARCHAR)"
+            " || '@mail.example.org or +1 (415) 555-'"
+            " || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+            " || ' host 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.1'")
+    counts = ",\n".join(
+        "len(regexp_extract_all(t, '%s'))::INT AS n_%s" % (TOKENS[k][1], k)
+        for k in ORDER
+    )
+    redacted = "t"
+    for k in ORDER:
+        token, pat = TOKENS[k]
+        redacted = "regexp_replace(%s, '%s', '%s', 'g')" % (redacted, pat, token)
+    return """
+        WITH s AS (SELECT doc_id, %s AS t FROM documents)
+        SELECT doc_id, %s, %s AS redacted FROM s
+    """ % (seed, counts, redacted)
 
 
 _TRACKING_RE_SQL = "^(utm_[^=]*|fbclid|gclid|msclkid|mc_eid|igshid|ref_src|spm)(=.*)?$"
@@ -723,6 +763,9 @@ def oracle_sql() -> dict[str, str]:
             FROM w
         """.replace("{stop_pat}", _STOPWORD_PATTERN_SQL),
         "lang_id": _lang_id_sql(),
+        # patterns imported from operators/redact.py at oracle-build time
+        # (one source of truth; Java and RE2 agree on all four classes)
+        "pii_redact": _pii_redact_sql(),
         # url construction + canonicalization mirror _messy_urls /
         # operators/urlops.py expression-for-expression (RE2 and Java agree
         # on every pattern; list_sort and array_sort both sort codepoints)

@@ -1,0 +1,61 @@
+"""PII redaction operator — pure Catalyst regexp passes.
+
+Training-data pipelines scrub contact PII before corpus release (the C4 and
+RefinedWeb pipelines both do regex-level scrubbing — public papers). No
+analogue in the reference. Four conservative, deterministic pattern
+classes, chosen so Java (Spark) and RE2 (DuckDB oracle) match identically:
+no lookarounds, no backrefs, ASCII word boundaries only.
+
+Counts are computed BEFORE replacement from the same patterns, so
+``n_* == 0 ⟺ text unchanged``. Everything is per-row regexp work inside
+whole-stage codegen — no Python, no shuffle at any corpus size.
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+from pyspark.sql import Column, functions as F
+
+# ordered: emails first (an email contains digits-and-dots that could
+# otherwise partially match the phone pattern)
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+# phones: optional +CC, optional (area), 3-4 digit groups with -/./space
+PHONE_RE = r"\+?(?:[0-9]{1,3}[ .-])?\(?[0-9]{3}\)?[ .-][0-9]{3}[ .-][0-9]{4}"
+IPV4_RE = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+SSN_RE = r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b"
+
+TOKENS = {
+    "email": ("<EMAIL>", EMAIL_RE),
+    "phone": ("<PHONE>", PHONE_RE),
+    "ipv4": ("<IP>", IPV4_RE),
+    "ssn": ("<SSN>", SSN_RE),
+}
+
+# replacement order matters: SSN before phone would be shadowed the other
+# way around (a phone pattern never matches NNN-NN-NNNN: group two is 3-4
+# digits), email first, ipv4 before phone (dotted quads contain no
+# [ .-]-separated 4-digit tail, but order is frozen for determinism anyway)
+ORDER = ("email", "ssn", "ipv4", "phone")
+
+
+def pii_counts(text: Column) -> Dict[str, Column]:
+    return {
+        "n_%s" % k: F.regexp_count(text, F.lit(TOKENS[k][1])).cast("int")
+        for k in ORDER
+    }
+
+
+def redact_pii(text: Column) -> Column:
+    out = text
+    for k in ORDER:
+        token, pat = TOKENS[k]
+        out = F.regexp_replace(out, pat, token)
+    return out
+
+
+def redact_cols(text: Column) -> Dict[str, Column]:
+    """counts + redacted text, splattable into a select."""
+    cols = pii_counts(text)
+    cols["redacted"] = redact_pii(text)
+    return cols

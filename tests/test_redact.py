@@ -1,0 +1,50 @@
+"""PII redaction tests (operators/redact.py). Oracle parity runs in
+tools/check_oracles.py (pii_redact query)."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+
+CASES = [
+    ("mail me at john.doe+spam@sub.example.co.uk today",
+     "mail me at <EMAIL> today", {"n_email": 1}),
+    ("call +1 (415) 555-2671 or 415.555.2671",
+     "call <PHONE> or <PHONE>", {"n_phone": 2}),
+    ("server at 192.168.001.1 went down", "server at <IP> went down",
+     {"n_ipv4": 1}),
+    ("ssn 078-05-1120 leaked", "ssn <SSN> leaked", {"n_ssn": 1}),
+    ("clean text with version 1.2 and year 2026 stays put",
+     "clean text with version 1.2 and year 2026 stays put", {}),
+    ("a@b.io 10.0.0.1 078-05-1120 555-123-4567",
+     "<EMAIL> <IP> <SSN> <PHONE>",
+     {"n_email": 1, "n_ipv4": 1, "n_ssn": 1, "n_phone": 1}),
+]
+
+
+@pytest.fixture(scope="module")
+def redacted(spark):
+    from llm_food_spark.operators.redact import redact_cols
+
+    df = spark.createDataFrame([(i, c[0]) for i, c in enumerate(CASES)],
+                               "id int, text string")
+    cols = redact_cols(F.col("text"))
+    return {r["id"]: r.asDict()
+            for r in df.select("id", *[c.alias(k) for k, c in cols.items()]).collect()}
+
+
+def test_redacted_text(redacted):
+    for i, (raw, want, _) in enumerate(CASES):
+        assert redacted[i]["redacted"] == want, raw
+
+
+def test_counts(redacted):
+    for i, (_, _, counts) in enumerate(CASES):
+        for key in ("n_email", "n_phone", "n_ipv4", "n_ssn"):
+            assert redacted[i][key] == counts.get(key, 0), (i, key)
+
+
+def test_zero_counts_means_unchanged(redacted):
+    for i, (raw, _, counts) in enumerate(CASES):
+        if not counts:
+            assert redacted[i]["redacted"] == raw
