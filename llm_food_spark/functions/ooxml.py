@@ -25,44 +25,97 @@ _A = "{http://schemas.openxmlformats.org/drawingml/2006/main}"
 _HEADING_RE = re.compile(r"^[Hh]eading(\d)$")
 
 
+def _para_inline(para: ET.Element) -> str:
+    """Run-level inline markdown for one w:p (bold/italic, soft breaks)."""
+    parts: List[str] = []
+    for run in para.iter(_W + "r"):
+        rpr = run.find(_W + "rPr")
+        bold = italic = False
+        if rpr is not None:
+            bold = rpr.find(_W + "b") is not None
+            italic = rpr.find(_W + "i") is not None
+        text = "".join(t.text or "" for t in run.iter(_W + "t"))
+        text += "\n" * len(list(run.iter(_W + "br")))
+        if not text:
+            continue
+        if bold:
+            text = "**%s**" % text
+        elif italic:
+            text = "*%s*" % text
+        parts.append(text)
+    return "".join(parts).strip()
+
+
+def _para_block(para: ET.Element) -> str:
+    """One w:p → a markdown block line ('' when empty)."""
+    style = ""
+    has_num = False
+    ppr = para.find(_W + "pPr")
+    if ppr is not None:
+        pstyle = ppr.find(_W + "pStyle")
+        if pstyle is not None:
+            style = pstyle.get(_W + "val", "")
+        has_num = ppr.find(_W + "numPr") is not None
+    line = _para_inline(para)
+    if not line:
+        return ""
+    m = _HEADING_RE.match(style)
+    if m:
+        return "#" * min(int(m.group(1)), 6) + " " + line
+    if has_num or style in ("ListParagraph", "ListBullet", "ListNumber"):
+        # numbering.xml indirection not resolved; every numPr level renders
+        # as a bullet (mammoth's fallback for undefined numbering behaves
+        # the same way)
+        return "- " + line
+    return line
+
+
+def _table_block(tbl: ET.Element) -> str:
+    """w:tbl → pipe table in the frozen dialect (header + --- separator);
+    cell text = its paragraphs joined by a space."""
+    rows: List[List[str]] = []
+    for tr in tbl.findall(_W + "tr"):
+        cells = []
+        for tc in tr.findall(_W + "tc"):
+            cells.append(" ".join(
+                t for t in (_para_inline(p) for p in tc.iter(_W + "p")) if t
+            ))
+        if cells:
+            rows.append(cells)
+    if not rows:
+        return ""
+    out = ["| " + " | ".join(r) + " |" for r in rows]
+    out.insert(1, "| " + " | ".join("---" for _ in rows[0]) + " |")
+    return "\n".join(out)
+
+
+def _walk_blocks(node: ET.Element, blocks: List[str]) -> None:
+    """Document-order walk: w:p and w:tbl are emitted; other containers
+    (w:sdt, sections…) recurse so no text is lost, and table-nested
+    paragraphs are never double-emitted."""
+    for child in node:
+        if child.tag == _W + "p":
+            line = _para_block(child)
+            if line:
+                blocks.append(line)
+        elif child.tag == _W + "tbl":
+            tb = _table_block(child)
+            if tb:
+                blocks.append(tb)
+        else:
+            _walk_blocks(child, blocks)
+
+
 def extract_docx_texts(content: bytes) -> List[str]:
-    """DOCX → singleton markdown list (contract of llm_food/app.py:215-222)."""
+    """DOCX → singleton markdown list (contract of llm_food/app.py:215-222);
+    heading/list styles, run formatting, and pipe tables share the frozen
+    dialect of markdown.py."""
     with zipfile.ZipFile(BytesIO(content)) as zf:
         xml_bytes = zf.read("word/document.xml")
     root = ET.fromstring(xml_bytes)
+    body = root.find(_W + "body")
     blocks: List[str] = []
-    for para in root.iter(_W + "p"):
-        style = ""
-        ppr = para.find(_W + "pPr")
-        if ppr is not None:
-            pstyle = ppr.find(_W + "pStyle")
-            if pstyle is not None:
-                style = pstyle.get(_W + "val", "")
-        parts: List[str] = []
-        for run in para.iter(_W + "r"):
-            rpr = run.find(_W + "rPr")
-            bold = italic = False
-            if rpr is not None:
-                bold = rpr.find(_W + "b") is not None
-                italic = rpr.find(_W + "i") is not None
-            text = "".join(t.text or "" for t in run.iter(_W + "t"))
-            text += "\n" * len(list(run.iter(_W + "br")))
-            if not text:
-                continue
-            if bold:
-                text = "**%s**" % text
-            elif italic:
-                text = "*%s*" % text
-            parts.append(text)
-        line = "".join(parts).strip()
-        if not line:
-            continue
-        m = _HEADING_RE.match(style)
-        if m:
-            line = "#" * min(int(m.group(1)), 6) + " " + line
-        elif style in ("ListParagraph", "ListBullet"):
-            line = "- " + line
-        blocks.append(line)
+    _walk_blocks(body if body is not None else root, blocks)
     return ["\n\n".join(blocks).strip()]
 
 

@@ -99,6 +99,58 @@ def test_docx_headings_bold_lists():
     assert texts == ["# Title Text\n\nBody with **bold** inside.\n\n- item one"]
 
 
+def _docx_xml(body_xml: str) -> bytes:
+    import zipfile
+    from io import BytesIO
+
+    w = "http://schemas.openxmlformats.org/wordprocessingml/2006/main"
+    buf = BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("[Content_Types].xml", "<Types/>")
+        zf.writestr(
+            "word/document.xml",
+            '<?xml version="1.0"?><w:document xmlns:w="%s"><w:body>%s'
+            "</w:body></w:document>" % (w, body_xml),
+        )
+    return buf.getvalue()
+
+
+def test_docx_tables_render_pipe_dialect():
+    body = (
+        "<w:p><w:r><w:t>before</w:t></w:r></w:p>"
+        "<w:tbl>"
+        "<w:tr><w:tc><w:p><w:r><w:t>k</w:t></w:r></w:p></w:tc>"
+        "<w:tc><w:p><w:r><w:t>v</w:t></w:r></w:p></w:tc></w:tr>"
+        "<w:tr><w:tc><w:p><w:r><w:t>a</w:t></w:r></w:p></w:tc>"
+        "<w:tc><w:p><w:r><w:t>1</w:t></w:r></w:p>"
+        "<w:p><w:r><w:t>extra</w:t></w:r></w:p></w:tc></w:tr>"
+        "</w:tbl>"
+        "<w:p><w:r><w:t>after</w:t></w:r></w:p>"
+    )
+    texts = extract_docx_texts(_docx_xml(body))
+    assert texts == [
+        "before\n\n| k | v |\n| --- | --- |\n| a | 1 extra |\n\nafter"
+    ]
+
+
+def test_docx_numpr_renders_bullets_no_double_emit():
+    w = '<w:pPr><w:numPr><w:ilvl w:val="0"/></w:numPr></w:pPr>'
+    body = (
+        "<w:p>%s<w:r><w:t>numbered one</w:t></w:r></w:p>"
+        "<w:p>%s<w:r><w:t>numbered two</w:t></w:r></w:p>" % (w, w)
+    )
+    texts = extract_docx_texts(_docx_xml(body))
+    assert texts == ["- numbered one\n\n- numbered two"]
+
+
+def test_docx_sdt_content_not_lost():
+    body = (
+        "<w:sdt><w:sdtContent><w:p><w:r><w:t>inside sdt</w:t></w:r></w:p>"
+        "</w:sdtContent></w:sdt>"
+    )
+    assert extract_docx_texts(_docx_xml(body)) == ["inside sdt"]
+
+
 def test_pptx_per_slide_empty_dropped():
     payload = _pptx([["slide one line a", "slide one line b"], [], ["slide three"]])
     assert sniff_content_type(payload) == "pptx"
