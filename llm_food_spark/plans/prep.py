@@ -1,13 +1,17 @@
 """Training-data preparation plan: the end-to-end composite.
 
 pages → extract (markdown) → quality gate → exact dedup → near-dup dedup
-(MinHash LSH) → chunk → chunks dataset. This is the pipeline a user of the
-reference would actually be running the pieces for; here it is one
-declarative plan:
+(MinHash LSH) → PII scrub → chunk → chunks dataset. This is the pipeline a
+user of the reference would actually be running the pieces for; here it is
+one declarative plan:
 
-- the quality gate and exact dedup are pure Catalyst (filters + window),
-- near-dup removal keeps each duplicate-cluster's min-url doc via a
-  left_anti join on the LSH pair set,
+- the quality gate is pure Catalyst: token/score floors plus optional
+  Gopher repetition ceilings (dup-line and top-2-gram fractions — the
+  published rules looping/boilerplate docs fail),
+- exact dedup is a window; near-dup removal keeps each duplicate-cluster's
+  min-url doc via a left_anti join on the LSH pair set,
+- PII scrubbing (redact.py) runs after dedup so dropped docs are never
+  scanned, and before chunking so every emitted chunk is clean,
 - chunking explodes last, so dropped documents never reach the chunker.
 
 Every stage emits counters (a small triggered aggregation) so the run
@@ -24,6 +28,8 @@ from pyspark.sql import DataFrame, Window, functions as F
 from ..operators.chunk import chunk_table
 from ..operators.dedup import minhash_lsh_pairs
 from ..operators.extract import extract_pages
+from ..operators.quality import gopher_line_cols
+from ..operators.redact import redact_pii
 from ..operators.textops import quality_score, token_count
 
 
@@ -31,6 +37,9 @@ def prepare_training_data(
     pages: DataFrame,
     min_quality: float = 0.3,
     min_tokens: int = 8,
+    max_dup_line_frac: Optional[float] = 0.3,
+    max_top2gram_frac: Optional[float] = None,
+    redact: bool = True,
     neardup_threshold: float = 0.85,
     chunk_strategy: str = "token",
     chunk_size: int = 512,
@@ -46,11 +55,21 @@ def prepare_training_data(
         "url", "content_hash", "markdown"
     )
 
-    # quality gate (JVM regexp primitives)
-    gated = docs.where(
-        (token_count(F.col("markdown")) >= min_tokens)
-        & (quality_score(F.col("markdown")) >= min_quality)
+    # quality gate (JVM regexp primitives + optional Gopher ceilings)
+    cond = (token_count(F.col("markdown")) >= min_tokens) & (
+        quality_score(F.col("markdown")) >= min_quality
     )
+    if max_dup_line_frac is not None:
+        cond = cond & (
+            gopher_line_cols(F.col("markdown"))["dup_line_frac"]
+            <= max_dup_line_frac
+        )
+    if max_top2gram_frac is not None:
+        from ..operators.quality import with_repetition_signals  # Arrow pass
+
+        docs = with_repetition_signals(docs, text_col="markdown")
+        cond = cond & (F.col("rep.top_2gram_frac") <= max_top2gram_frac)
+    gated = docs.where(cond).select("url", "content_hash", "markdown")
 
     # exact dedup: keep min url per content hash
     w = Window.partitionBy("content_hash").orderBy("url")
@@ -71,6 +90,9 @@ def prepare_training_data(
     )
     losers = pairs.select(F.col("id_b").alias("url")).distinct()
     unique = exact.join(losers, "url", "left_anti")
+
+    if redact:
+        unique = unique.withColumn("markdown", redact_pii(F.col("markdown")))
 
     chunks = chunk_table(
         unique, text_col="markdown", key_col="url",

@@ -26,6 +26,13 @@ def test_prep_funnel(spark):
     rows.append(_page("https://p/short", "tiny"))
     # junk: empty payload
     rows.append(("https://p/broken", EPOCH, b"", "", "en"))
+    # junk: looping boilerplate — same line repeated (Gopher dup-line gate)
+    rows.append(_page("https://p/loop",
+                      "</p><p>".join(["click here to continue reading now"] * 30)))
+    # survivor carrying PII that must be scrubbed before chunking
+    # (reversed word order: distinct shingles, so it is NOT a near-dup)
+    rows.append(_page("https://p/pii", " ".join(reversed(base.split()))
+                      + " contact me at leak@corp.example.com ok"))
 
     chunks, stats = prepare_training_data(
         pages_to_df(spark, rows),
@@ -45,9 +52,16 @@ def test_prep_funnel(spark):
     assert "https://p/good1-near" not in urls     # near dup removed
     assert "https://p/short" not in urls          # quality gate
     assert "https://p/broken" not in urls         # failed extraction
+    assert "https://p/loop" not in urls           # Gopher dup-line ceiling
+    assert "https://p/pii" in urls                # survives, scrubbed:
+    pii_chunks = " ".join(
+        r["chunk"] for r in chunks.where(chunks.url == "https://p/pii").collect()
+    )
+    assert "leak@corp.example.com" not in pii_chunks
+    assert "<EMAIL>" in pii_chunks
 
-    assert stats["input_pages"] == 66
-    assert stats["extracted"] <= 65               # broken page failed
+    assert stats["input_pages"] == 68
+    assert stats["extracted"] <= 67               # broken page failed
     assert stats["after_exact_dedup"] == stats["quality_pass"] - 1
     assert stats["after_neardup"] <= stats["after_exact_dedup"] - 1
     assert stats["chunks"] >= stats["after_neardup"]  # >=1 chunk per doc
