@@ -71,6 +71,39 @@ def _text_stats(node: Element) -> Tuple[int, int, int]:
     return text_len, link_len, n_links
 
 
+def _compute_stats(root: Element) -> dict:
+    """One bottom-up pass: ``id(node) → (text_chars, link_chars, n_links)``
+    for every Element in the subtree. Equivalent to calling ``_text_stats``
+    per node, but O(n) total instead of O(n·depth) — the per-container
+    recomputation showed up as ~7% of HTML extraction under profile. Stats
+    are of the ORIGINAL tree (pruning decisions deliberately use pre-pruned
+    subtree stats, same as the per-call form they replace)."""
+    pre = [root]
+    visit = [root]
+    while visit:
+        n = visit.pop()
+        for c in n.children:
+            if c.__class__ is not Text:
+                pre.append(c)
+                visit.append(c)
+    sm: dict = {}
+    for n in reversed(pre):  # children always after parents in pre-order
+        tl = ll = nl = 0
+        for c in n.children:
+            if c.__class__ is Text:
+                tl += len(c.data.strip())
+            else:
+                ctl, cll, cnl = sm[id(c)]
+                tl += ctl
+                ll += cll
+                nl += cnl
+        if n.tag == "a":
+            ll = tl  # all text under an anchor is link text
+            nl += 1
+        sm[id(n)] = (tl, ll, nl)
+    return sm
+
+
 def _is_negative(node: Element) -> bool:
     if node.tag in _PROTECTED:
         return False
@@ -78,8 +111,9 @@ def _is_negative(node: Element) -> bool:
     return bool(blob) and bool(_NEG_PATTERN.search(blob))
 
 
-def _prune(node: Element) -> None:
-    """In-place removal of boilerplate children (recursive, deterministic)."""
+def _prune(node: Element, sm: dict) -> None:
+    """In-place removal of boilerplate children (recursive, deterministic).
+    ``sm`` holds original-tree subtree stats from ``_compute_stats``."""
     kept = []
     for child in node.children:
         if isinstance(child, Text):
@@ -90,7 +124,7 @@ def _prune(node: Element) -> None:
         if _is_negative(child):
             continue
         if child.tag in _CONTAINER_TAGS:
-            text_len, link_len, n_links = _text_stats(child)
+            text_len, link_len, n_links = sm[id(child)]
             if text_len > 0:
                 density = link_len / text_len
                 # link farms: many links and mostly anchor text
@@ -98,26 +132,47 @@ def _prune(node: Element) -> None:
                     n_links >= 2 and density > 0.9
                 ):
                     continue
-        _prune(child)
+        _prune(child, sm)
         kept.append(child)
     node.children = kept
 
 
-def _pick_main(root: Element) -> Element:
-    articles = [n for n in root.iter() if n.tag == "article"]
+def _pick_main(root: Element, sm: dict) -> Element:
+    # one stack pass collecting candidates (generator-free: this ran on
+    # every document and cost ~10% of HTML extraction under profile)
+    articles = []
+    first_main = None
+    first_body = None
+    stack = [root]
+    while stack:
+        node = stack.pop()
+        tag = node.tag
+        if tag == "article":
+            articles.append(node)
+        elif tag == "main":
+            if first_main is None:
+                first_main = node
+        elif tag == "body":
+            if first_body is None:
+                first_body = node
+        children = node.children
+        for i in range(len(children) - 1, -1, -1):
+            c = children[i]
+            if c.__class__ is not Text:
+                stack.append(c)
     if articles:
         # the article with the most text wins; ties by document order
         best = None
         best_len = -1
         for a in articles:
-            tlen = _text_stats(a)[0]
+            tlen = sm[id(a)][0]
             if tlen > best_len:
                 best, best_len = a, tlen
         return best
-    for tag in ("main", "body"):
-        for n in root.iter():
-            if n.tag == tag:
-                return n
+    if first_main is not None:
+        return first_main
+    if first_body is not None:
+        return first_body
     return root
 
 
@@ -132,8 +187,9 @@ def extract_html_markdown(content: bytes) -> str:
     """
     text = decode_html(content)
     root = parse_html(text)
-    main = _pick_main(root)
-    _prune(main)
+    sm = _compute_stats(root)
+    main = _pick_main(root, sm)
+    _prune(main, sm)
     return serialize(main)
 
 
