@@ -39,6 +39,23 @@ IMAGE_META_SCHEMA = T.StructType(
     ]
 )
 
+# unified image/audio/video metadata (header-level decode, REAL pure Python)
+MEDIA_META_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType()),
+        T.StructField("kind", T.StringType()),          # image | audio | video
+        T.StructField("format", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("bytes", T.LongType()),
+        T.StructField("status", T.StringType()),
+        T.StructField("error_message", T.StringType()),
+    ]
+)
+
 STUBBED = True  # no codec libraries in this container; header parsing is real
 
 
@@ -71,6 +88,193 @@ def _jpeg_size(b: bytes) -> Optional[Tuple[int, int]]:
         seg_len = struct.unpack(">H", b[i + 2 : i + 4])[0]
         i += 2 + seg_len
     return None
+
+
+def _wav_meta(b: bytes) -> Optional[dict]:
+    """RIFF/WAVE chunk walk: fmt (channels, sample rate, byte rate) + data
+    size -> exact duration for PCM payloads."""
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return None
+    meta: dict = {"format": "wav", "kind": "audio"}
+    byte_rate = data_size = None
+    i = 12
+    while i + 8 <= len(b):
+        cid, clen = b[i : i + 4], struct.unpack("<I", b[i + 4 : i + 8])[0]
+        if cid == b"fmt " and i + 24 <= len(b):
+            ch, sr, br = struct.unpack("<HII", b[i + 10 : i + 20])
+            meta["channels"], meta["sample_rate"] = ch, sr
+            byte_rate = br
+        elif cid == b"data":
+            data_size = clen
+        i += 8 + clen + (clen & 1)
+    if byte_rate and data_size is not None:
+        meta["duration_ms"] = data_size * 1000 // byte_rate
+    return meta if "sample_rate" in meta else None
+
+
+_MP3_BITRATE_V1L3 = [0, 32, 40, 48, 56, 64, 80, 96, 112, 128,
+                     160, 192, 224, 256, 320, 0]  # kbps, MPEG1 Layer III
+_MP3_RATES = {3: [44100, 48000, 32000], 2: [22050, 24000, 16000],
+              0: [11025, 12000, 8000]}  # by version bits
+
+
+def _mp3_meta(b: bytes) -> Optional[dict]:
+    """First frame header after an optional ID3v2 tag; CBR duration
+    estimate from (payload bits / bitrate), the standard header-only way."""
+    i = 0
+    if b[:3] == b"ID3" and len(b) >= 10:
+        ss = b[6:10]  # syncsafe u28
+        i = 10 + ((ss[0] << 21) | (ss[1] << 14) | (ss[2] << 7) | ss[3])
+    if i + 4 > len(b) or b[i] != 0xFF or (b[i + 1] & 0xE0) != 0xE0:
+        return None
+    version = (b[i + 1] >> 3) & 0x3          # 3=MPEG1, 2=MPEG2, 0=MPEG2.5
+    layer = (b[i + 1] >> 1) & 0x3            # 1=III
+    if version == 1 or layer == 0:
+        return None
+    br_idx, sr_idx = b[i + 2] >> 4, (b[i + 2] >> 2) & 0x3
+    if sr_idx == 3 or br_idx in (0, 15):
+        return None
+    rate = _MP3_RATES[version][sr_idx]
+    meta = {"format": "mp3", "kind": "audio", "sample_rate": rate,
+            "channels": 1 if (b[i + 3] >> 6) == 3 else 2}
+    if version == 3 and layer == 1:  # MPEG1 Layer III: exact table
+        kbps = _MP3_BITRATE_V1L3[br_idx]
+        if kbps:
+            meta["duration_ms"] = (len(b) - i) * 8 // kbps
+    return meta
+
+
+def _flac_meta(b: bytes) -> Optional[dict]:
+    """fLaC STREAMINFO: sample rate (20 bits), channels (3+1), total
+    samples (36 bits) -> exact duration."""
+    if len(b) < 8 + 34 or b[:4] != b"fLaC" or (b[4] & 0x7F) != 0:
+        return None
+    s = b[8:42]
+    sr = (s[10] << 12) | (s[11] << 4) | (s[12] >> 4)
+    ch = ((s[12] >> 1) & 0x7) + 1
+    total = ((s[13] & 0xF) << 32) | struct.unpack(">I", s[14:18])[0]
+    if not sr:
+        return None
+    meta = {"format": "flac", "kind": "audio", "sample_rate": sr,
+            "channels": ch}
+    if total:
+        meta["duration_ms"] = total * 1000 // sr
+    return meta
+
+
+def _mp4_meta(b: bytes) -> Optional[dict]:
+    """ISO-BMFF box walk: ftyp brand -> format; moov/mvhd -> duration;
+    first moov/trak/tkhd with nonzero size -> width/height (16.16 fixed)."""
+    if len(b) < 12 or b[4:8] != b"ftyp":
+        return None
+    brand = b[8:12].decode("latin-1").strip()
+    audio_only = brand == "M4A"
+    meta = {"format": "m4a" if audio_only else "mp4",
+            "kind": "audio" if audio_only else "video"}
+
+    def walk(lo: int, hi: int, depth: int) -> None:
+        i = lo
+        while i + 8 <= hi and depth < 6:
+            size = struct.unpack(">I", b[i : i + 4])[0]
+            box = b[i + 4 : i + 8]
+            if size < 8 or i + size > hi:
+                return
+            body = i + 8
+            if box == b"mvhd" and "duration_ms" not in meta:
+                v = b[body]
+                if v == 1 and body + 28 <= hi:
+                    ts = struct.unpack(">I", b[body + 20 : body + 24])[0]
+                    dur = struct.unpack(">Q", b[body + 24 : body + 32])[0]
+                else:
+                    ts, dur = struct.unpack(">II", b[body + 12 : body + 20])
+                if ts:
+                    meta["duration_ms"] = dur * 1000 // ts
+            elif box == b"tkhd" and "width" not in meta:
+                end = i + size
+                w, h = struct.unpack(">II", b[end - 8 : end])
+                if w and h:
+                    meta["width"], meta["height"] = w >> 16, h >> 16
+            elif box in (b"moov", b"trak"):
+                walk(body, i + size, depth + 1)
+            i += size
+
+    walk(0, len(b), 0)
+    return meta
+
+
+def _ebml_meta(b: bytes) -> Optional[dict]:
+    """EBML magic -> webm/mkv by DocType string (header-level detect)."""
+    if b[:4] != b"\x1a\x45\xdf\xa3":
+        return None
+    head = b[: min(len(b), 64)]
+    fmt = "webm" if b"webm" in head else ("mkv" if b"matroska" in head else "ebml")
+    return {"format": fmt, "kind": "video"}
+
+
+def _ogg_meta(b: bytes) -> Optional[dict]:
+    """OggS capture + Vorbis identification header (channels, rate);
+    duration needs the last page granule, out of header-only scope."""
+    if b[:4] != b"OggS":
+        return None
+    meta = {"format": "ogg", "kind": "audio"}
+    j = b.find(b"\x01vorbis")
+    if j >= 0 and j + 16 <= len(b):
+        meta["channels"] = b[j + 11]
+        meta["sample_rate"] = struct.unpack("<I", b[j + 12 : j + 16])[0]
+    return meta
+
+
+_AV_PROBES = (_wav_meta, _flac_meta, _mp4_meta, _ebml_meta, _ogg_meta, _mp3_meta)
+
+
+def decode_media_meta_batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas body for the unified decode: image probes first, then
+    audio/video header parsers; unrecognized payloads become failed ROWS
+    (record-and-continue, same error semantics as the extraction path)."""
+    for pdf in it:
+        rows: List[dict] = []
+        for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+            b = bytes(payload) if payload is not None else b""
+            row = dict(media_id=media_id, kind=None, format=None, width=None,
+                       height=None, channels=None, sample_rate=None,
+                       duration_ms=None, bytes=len(b), status="decoded",
+                       error_message=None)
+            for name, probe in (("png", _png_size), ("gif", _gif_size),
+                                ("jpeg", _jpeg_size)):
+                s = probe(b)
+                if s:
+                    row.update(kind="image", format=name,
+                               width=s[0], height=s[1])
+                    break
+            else:
+                for av in _AV_PROBES:
+                    try:
+                        m = av(b)
+                    except (struct.error, IndexError):
+                        m = None
+                    if m:
+                        row.update(m)
+                        break
+                else:
+                    row.update(status="failed",
+                               error_message="unrecognized media payload")
+            rows.append(row)
+        yield pd.DataFrame(rows)
+
+
+def decode_media_meta(media: DataFrame) -> DataFrame:
+    """media(media_id, payload, ...) -> MEDIA_META_SCHEMA rows, size-salted
+    like the image path so one Arrow batch is ~constant bytes."""
+    df = media.select("media_id", "payload").withColumn(
+        "_salt",
+        F.pmod(F.xxhash64("media_id"),
+               F.lit(media.sparkSession.sparkContext.defaultParallelism * 4)),
+    )
+    return (
+        df.repartition(F.col("_salt"))
+        .drop("_salt")
+        .mapInPandas(decode_media_meta_batch, schema=MEDIA_META_SCHEMA)
+    )
 
 
 def decode_image_meta_batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

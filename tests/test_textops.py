@@ -14,6 +14,7 @@ from llm_food_spark.functions.text_stats import (
 from llm_food_spark.operators.chunk import chunk_table
 from llm_food_spark.operators.multimodal import (
     decode_image_meta,
+    decode_media_meta,
     extract_image_features,
 )
 from llm_food_spark.operators.textops import (
@@ -137,6 +138,76 @@ def test_decode_image_meta(spark):
     assert (got["a"]["format"], got["a"]["width"], got["a"]["height"]) == ("png", 640, 480)
     assert (got["b"]["format"], got["b"]["width"], got["b"]["height"]) == ("gif", 10, 20)
     assert got["c"]["status"] == "failed"
+
+
+def _wav(channels=2, rate=44100, seconds=3):
+    byte_rate = rate * channels * 2
+    data = b"\x00" * 64  # header-level decode only reads sizes, not samples
+    fmt = struct.pack("<HHIIHH", 1, channels, rate, byte_rate, channels * 2, 16)
+    data_size = byte_rate * seconds
+    body = (b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", data_size) + data)
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+
+def _mp3(frames_bytes=16000):
+    # MPEG1 Layer III, 128 kbps, 44100 Hz, stereo
+    hdr = bytes([0xFF, 0xFB, 0x90, 0x00])
+    return hdr + b"\x00" * (frames_bytes - 4)
+
+
+def _flac(rate=48000, channels=2, total=96000):
+    info = bytearray(34)
+    info[10] = (rate >> 12) & 0xFF
+    info[11] = (rate >> 4) & 0xFF
+    info[12] = ((rate & 0xF) << 4) | ((channels - 1) << 1)
+    info[13] = (total >> 32) & 0xF
+    info[14:18] = struct.pack(">I", total & 0xFFFFFFFF)
+    return b"fLaC" + bytes([0x80]) + b"\x00\x00\x22" + bytes(info)
+
+
+def _mp4(dur_ms=5000, w=1280, h=720):
+    def box(name, payload):
+        return struct.pack(">I", 8 + len(payload)) + name + payload
+
+    mvhd = (b"\x00" + b"\x00" * 11 + struct.pack(">II", 1000, dur_ms)
+            + b"\x00" * 80)
+    tkhd = (b"\x00" + b"\x00" * 71
+            + struct.pack(">II", w << 16, h << 16))
+    moov = box(b"moov", box(b"mvhd", mvhd) + box(b"trak", box(b"tkhd", tkhd)))
+    return box(b"ftyp", b"isom" + b"\x00" * 8) + moov
+
+
+def test_decode_media_meta_all_kinds(spark):
+    rows = [
+        ("img", _png(320, 240)),
+        ("wav", _wav(channels=1, rate=16000, seconds=2)),
+        ("mp3", _mp3(16000)),
+        ("flac", _flac()),
+        ("mp4", _mp4()),
+        ("webm", b"\x1a\x45\xdf\xa3" + b"B\x82\x84webm" + b"\x00" * 16),
+        ("bad", b"\x00\x01\x02 junk payload"),
+    ]
+    df = spark.createDataFrame(rows, "media_id string, payload binary")
+    got = {r["media_id"]: r for r in decode_media_meta(df).collect()}
+
+    assert (got["img"]["kind"], got["img"]["format"],
+            got["img"]["width"], got["img"]["height"]) == ("image", "png", 320, 240)
+    w = got["wav"]
+    assert (w["kind"], w["format"], w["channels"], w["sample_rate"],
+            w["duration_ms"]) == ("audio", "wav", 1, 16000, 2000)
+    m = got["mp3"]
+    assert (m["kind"], m["format"], m["sample_rate"]) == ("audio", "mp3", 44100)
+    assert m["duration_ms"] == 16000 * 8 // 128  # CBR estimate at 128 kbps
+    f = got["flac"]
+    assert (f["format"], f["sample_rate"], f["channels"],
+            f["duration_ms"]) == ("flac", 48000, 2, 2000)
+    v = got["mp4"]
+    assert (v["kind"], v["format"], v["duration_ms"],
+            v["width"], v["height"]) == ("video", "mp4", 5000, 1280, 720)
+    assert got["webm"]["format"] == "webm"
+    assert got["bad"]["status"] == "failed"
+    assert all(r["status"] == "decoded" for k, r in got.items() if k != "bad")
 
 
 def test_extract_image_features_deterministic(spark):
