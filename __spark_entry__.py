@@ -517,6 +517,55 @@ def q_image_meta(spark, sf_dir):
     return decode_image_meta(spark.createDataFrame(rows, schema))
 
 
+def q_media_meta(spark, sf_dir):
+    """Unified image/audio/video header decode over synthesized payloads
+    (WAV/FLAC/MP4/MP3/WebM/PNG + junk) — multimodal plumbing, rows-only."""
+    import struct as _s
+    import zlib as _z
+    from llm_food_spark.operators.multimodal import decode_media_meta
+
+    def png(w, h):
+        ihdr = _s.pack(">II", w, h) + b"\x08\x02\x00\x00\x00"
+        chunk = b"IHDR" + ihdr
+        return (b"\x89PNG\r\n\x1a\n" + _s.pack(">I", len(ihdr)) + chunk
+                + _s.pack(">I", _z.crc32(chunk)))
+
+    def wav(rate, seconds):
+        byte_rate = rate * 2  # mono s16
+        fmt = _s.pack("<HHIIHH", 1, 1, rate, byte_rate, 2, 16)
+        body = (b"fmt " + _s.pack("<I", len(fmt)) + fmt
+                + b"data" + _s.pack("<I", byte_rate * seconds) + b"\x00" * 32)
+        return b"RIFF" + _s.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+    def flac(rate, total):
+        info = bytearray(34)
+        info[10] = (rate >> 12) & 0xFF
+        info[11] = (rate >> 4) & 0xFF
+        info[12] = ((rate & 0xF) << 4) | (1 << 1)  # stereo
+        info[14:18] = _s.pack(">I", total & 0xFFFFFFFF)
+        return b"fLaC\x80\x00\x00\x22" + bytes(info)
+
+    def mp4(dur_ms, w, h):
+        def box(name, payload):
+            return _s.pack(">I", 8 + len(payload)) + name + payload
+        mvhd = b"\x00" * 12 + _s.pack(">II", 1000, dur_ms) + b"\x00" * 80
+        tkhd = b"\x00" * 72 + _s.pack(">II", w << 16, h << 16)
+        moov = box(b"moov", box(b"mvhd", mvhd) + box(b"trak", box(b"tkhd", tkhd)))
+        return box(b"ftyp", b"isom" + b"\x00" * 8) + moov
+
+    rows = []
+    for i in range(16):
+        rows.append(("png%02d" % i, png(64 + i, 48 + i)))
+        rows.append(("wav%02d" % i, wav(8000 * (1 + i % 3), 1 + i)))
+        rows.append(("flc%02d" % i, flac(44100, 44100 * (1 + i))))
+        rows.append(("mp4%02d" % i, mp4(1000 * (1 + i), 640 + i, 360 + i)))
+    rows.append(("mp3", bytes([0xFF, 0xFB, 0x90, 0x00]) + b"\x00" * 3996))
+    rows.append(("ebm", b"\x1a\x45\xdf\xa3B\x82\x84webm" + b"\x00" * 16))
+    rows.append(("bad", b"\x00junk"))
+    df = spark.createDataFrame(rows, "media_id string, payload binary")
+    return decode_media_meta(df).orderBy("media_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # relational (SURVEY §2b)
@@ -556,6 +605,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "repetition": q_repetition,
         "image_meta": q_image_meta,
+        "media_meta": q_media_meta,
         "extract_chunk": q_extract_chunk,
         "extract_pdf": q_extract_pdf,
         "extract_office": q_extract_office,
