@@ -566,6 +566,49 @@ def q_media_meta(spark, sf_dir):
     return decode_media_meta(df).orderBy("media_id")
 
 
+def q_media_frames(spark, sf_dir):
+    """REAL video frame sampling over synthesized Y4M + animated GIF
+    payloads (pure-Python decoders; no codec libs) — rows-only."""
+    from llm_food_spark.functions.media import make_gif
+    from llm_food_spark.operators.multimodal import frame_sample
+
+    rows = []
+    for i in range(8):
+        w, h, n = 4 + i, 2 + i, 6 + i
+        fsize = w * h * 3 // 2
+        frames = [bytes([(i + j) % 251] * fsize) for j in range(n)]
+        y4m = (b"YUV4MPEG2 W%d H%d F25:1 C420\n" % (w, h)
+               + b"".join(b"FRAME\n" + f for f in frames))
+        rows.append(("y4m%02d" % i, y4m))
+        palette = bytes([(k * 37 + i) % 256 for k in range(12)])
+        fidx = [bytes((i + j + p) % 4 for p in range(w * h))
+                for j in range(4)]
+        rows.append(("gif%02d" % i,
+                     make_gif(fidx, w, h, palette, [40] * 4)))
+    rows.append(("bad", b"not video"))
+    df = spark.createDataFrame(rows, "media_id string, payload binary")
+    return frame_sample(df, every_n=2).orderBy("media_id", "frame_no")
+
+
+def q_audio_chunk(spark, sf_dir):
+    """REAL PCM WAV chunking over synthesized payloads — rows-only."""
+    import struct as _s
+    from llm_food_spark.operators.multimodal import audio_chunk
+
+    rows = []
+    for i in range(8):
+        sr = 8000 * (1 + i % 3)
+        data = bytes((i + j) % 256 for j in range(sr * 2 * (2 + i % 4)))
+        fmt = _s.pack("<HHIIHH", 1, 1, sr, sr * 2, 2, 16)
+        body = (b"fmt " + _s.pack("<I", 16) + fmt
+                + b"data" + _s.pack("<I", len(data)) + data)
+        rows.append(("wav%02d" % i,
+                     b"RIFF" + _s.pack("<I", 4 + len(body)) + b"WAVE" + body))
+    rows.append(("bad", b"not audio"))
+    df = spark.createDataFrame(rows, "media_id string, payload binary")
+    return audio_chunk(df, chunk_ms=500).orderBy("media_id", "chunk_no")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # relational (SURVEY §2b)
@@ -606,6 +649,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition": q_repetition,
         "image_meta": q_image_meta,
         "media_meta": q_media_meta,
+        "media_frames": q_media_frames,
+        "audio_chunk": q_audio_chunk,
         "extract_chunk": q_extract_chunk,
         "extract_pdf": q_extract_pdf,
         "extract_office": q_extract_office,

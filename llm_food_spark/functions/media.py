@@ -1,0 +1,325 @@
+"""Pure-Python media decoding: GIF frames (LZW), Y4M frames, WAV PCM chunks.
+
+Real decoders, stdlib only — the compressed-image/video formats this
+container CAN decode without codec libraries. `operators/multimodal.py`
+wraps these in vectorized Arrow passes; this module stays Spark-free per
+repo convention.
+
+Reference parity note: the reference (llm-food) has no media pipeline at
+all — these operators come from the task brief's training-data-pipeline
+requirements (multimodal columns: decode / frame-sample / chunk).
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import List, Optional, Tuple
+
+# ---------------------------------------------------------------------------
+# GIF (87a/89a): global/local palettes, variable-width LZW, interlace
+# ---------------------------------------------------------------------------
+
+
+def _gif_lzw(data: bytes, min_code: int, npix: int) -> Optional[bytearray]:
+    """GIF variable-width LZW decode to at most npix palette indices."""
+    clear = 1 << min_code
+    end = clear + 1
+    width = min_code + 1
+    dict_base = [bytes([i]) for i in range(clear)] + [b"", b""]
+    table = list(dict_base)
+    out = bytearray()
+    prev: Optional[bytes] = None
+    acc = bits = 0
+    for byte in data:
+        acc |= byte << bits
+        bits += 8
+        while bits >= width:
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            bits -= width
+            if code == clear:
+                table = list(dict_base)
+                width = min_code + 1
+                prev = None
+                continue
+            if code == end:
+                return out[:npix]
+            if code < len(table):
+                entry = table[code]
+            elif prev is not None and code == len(table):
+                entry = prev + prev[:1]  # the KwKwK case
+            else:
+                return None  # corrupt stream
+            out += entry
+            if prev is not None:
+                table.append(prev + entry[:1])
+                if len(table) == (1 << width) and width < 12:
+                    width += 1
+            prev = entry
+            if len(out) >= npix:
+                return out[:npix]
+    return out[:npix] if out else None
+
+
+def _deinterlace(idx: bytearray, w: int, h: int) -> bytearray:
+    out = bytearray(len(idx))
+    src = 0
+    for start, step in ((0, 8), (4, 8), (2, 4), (1, 2)):
+        for y in range(start, h, step):
+            out[y * w : (y + 1) * w] = idx[src : src + w]
+            src += w
+    return out
+
+
+def gif_frames(
+    b: bytes, max_frames: int = 64
+) -> Optional[List[Tuple[int, int, int, int, bytes]]]:
+    """Decode an (animated) GIF: [(frame_no, delay_ms, W, H, rgb24_bytes)].
+
+    Frames are composited draw-on-previous onto the logical screen;
+    transparent pixels keep the underlying value (exact browser disposal
+    semantics are out of scope for feature extraction). None if not a GIF
+    or the stream is corrupt.
+    """
+    if len(b) < 13 or b[:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    W, H = struct.unpack("<HH", b[6:10])
+    if not W or not H:
+        return None
+    flags = b[10]
+    i = 13
+    gpal = None
+    if flags & 0x80:
+        n = 2 << (flags & 7)
+        gpal = b[i : i + 3 * n]
+        i += 3 * n
+    bg = bytes(gpal[3 * b[11] : 3 * b[11] + 3]) if gpal else b"\x00\x00\x00"
+    if len(bg) < 3:
+        bg = b"\x00\x00\x00"
+    screen = bytearray(bg * (W * H))
+    frames: List[Tuple[int, int, int, int, bytes]] = []
+    delay_ms, transparent = 0, -1
+    while i < len(b) and len(frames) < max_frames:
+        block = b[i]
+        if block == 0x3B:  # trailer
+            break
+        if block == 0x21:  # extension: walk sub-blocks
+            if i + 2 > len(b):
+                break
+            label = b[i + 1]
+            i += 2
+            subs = []
+            while i < len(b) and b[i]:
+                size = b[i]
+                subs.append(b[i + 1 : i + 1 + size])
+                i += 1 + size
+            i += 1
+            if label == 0xF9 and subs and len(subs[0]) >= 4:
+                gflags = subs[0][0]
+                delay_ms = struct.unpack("<H", subs[0][1:3])[0] * 10
+                transparent = subs[0][3] if gflags & 1 else -1
+        elif block == 0x2C:  # image descriptor
+            if i + 10 > len(b):
+                break
+            x, y, w, h = struct.unpack("<HHHH", b[i + 1 : i + 9])
+            lflags = b[i + 9]
+            i += 10
+            pal = gpal
+            if lflags & 0x80:
+                n = 2 << (lflags & 7)
+                pal = b[i : i + 3 * n]
+                i += 3 * n
+            if pal is None or i >= len(b):
+                return None
+            min_code = b[i]
+            i += 1
+            data = bytearray()
+            while i < len(b) and b[i]:
+                size = b[i]
+                data += b[i + 1 : i + 1 + size]
+                i += 1 + size
+            i += 1
+            if not 2 <= min_code <= 11:
+                return None
+            idx = _gif_lzw(bytes(data), min_code, w * h)
+            if idx is None or len(idx) < w * h:
+                return None
+            if lflags & 0x40:
+                idx = _deinterlace(idx, w, h)
+            for row in range(h):
+                if y + row >= H:
+                    break
+                base = ((y + row) * W + x) * 3
+                for col in range(min(w, W - x)):
+                    p = idx[row * w + col]
+                    if p == transparent:
+                        continue
+                    screen[base + col * 3 : base + col * 3 + 3] = \
+                        pal[3 * p : 3 * p + 3]
+            frames.append((len(frames), delay_ms, W, H, bytes(screen)))
+            delay_ms, transparent = 0, -1
+        else:
+            break
+    return frames or None
+
+
+def make_gif(frames_idx: List[bytes], w: int, h: int,
+             palette: bytes, delays_ms: List[int]) -> bytes:
+    """Deterministic GIF89a builder (fixture generator for tests/queries):
+    global palette, one graphic-control + image block per frame. The LZW
+    payload emits literal codes with conservative clear codes — valid for
+    any conformant decoder."""
+    n = max(2, len(palette) // 3)
+    size_field = max(1, (n - 1).bit_length()) - 1
+    pal = palette + b"\x00" * ((2 << size_field) * 3 - len(palette))
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", w, h)
+    out += bytes([0x80 | size_field, 0, 0])
+    out += pal
+    min_code = max(2, size_field + 1)
+    clear = 1 << min_code
+    end = clear + 1
+    for idx, delay in zip(frames_idx, delays_ms):
+        out += bytes([0x21, 0xF9, 4, 0]) + struct.pack("<H", delay // 10) \
+            + bytes([0, 0])
+        out += bytes([0x2C]) + struct.pack("<HHHH", 0, 0, w, h) + bytes([0])
+        out += bytes([min_code])
+
+        data = bytearray()
+        acc = bits = 0
+        width = min_code + 1
+        table_size = end + 1
+
+        def put(code):
+            nonlocal acc, bits
+            acc |= code << bits
+            bits += width
+            while bits >= 8:
+                data.append(acc & 0xFF)
+                acc >>= 8
+                bits -= 8
+
+        put(clear)
+        for p in idx:
+            put(p)
+            table_size += 1  # decoder grows one entry per literal code
+            if table_size == (1 << width) - 1:
+                put(clear)
+                table_size = end + 1
+        put(end)
+        if bits:
+            data.append(acc & 0xFF)
+
+        j = 0
+        while j < len(data):
+            chunk = data[j : j + 255]
+            out += bytes([len(chunk)]) + chunk
+            j += 255
+        out += b"\x00"
+    out += b"\x3B"
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# Y4M (YUV4MPEG2): uncompressed video stream
+# ---------------------------------------------------------------------------
+
+
+def y4m_frames(
+    b: bytes,
+) -> Optional[List[Tuple[int, int, int, int, bytes]]]:
+    """Parse an uncompressed YUV4MPEG2 stream: [(frame_no, pts_ms, width,
+    height, plane_bytes)]. Header tokens: W H F<num>:<den> C<fmt>."""
+    if not b.startswith(b"YUV4MPEG2"):
+        return None
+    nl = b.find(b"\n")
+    if nl < 0:
+        return None
+    w = h = 0
+    fnum, fden = 30, 1
+    cfmt = "420"
+    for tok in b[9:nl].split():
+        t = tok.decode("latin-1", "replace")
+        if t[0] == "W":
+            w = int(t[1:])
+        elif t[0] == "H":
+            h = int(t[1:])
+        elif t[0] == "F":
+            num, _, den = t[1:].partition(":")
+            fnum, fden = int(num), int(den or 1)
+        elif t[0] == "C":
+            cfmt = t[1:]
+    if w <= 0 or h <= 0 or fnum <= 0:
+        return None
+    if cfmt.startswith("420"):
+        fsize = w * h * 3 // 2
+    elif cfmt.startswith("422"):
+        fsize = w * h * 2
+    elif cfmt.startswith("444"):
+        fsize = w * h * 3
+    elif cfmt.startswith("mono"):
+        fsize = w * h
+    else:
+        return None
+    out = []
+    i, frame_no = nl + 1, 0
+    while i < len(b):
+        if not b.startswith(b"FRAME", i):
+            break
+        fnl = b.find(b"\n", i)
+        if fnl < 0 or fnl + 1 + fsize > len(b):
+            break
+        pts_ms = frame_no * 1000 * fden // fnum
+        out.append((frame_no, pts_ms, w, h, b[fnl + 1 : fnl + 1 + fsize]))
+        i = fnl + 1 + fsize
+        frame_no += 1
+    return out or None
+
+
+# ---------------------------------------------------------------------------
+# WAV PCM chunking
+# ---------------------------------------------------------------------------
+
+
+def wav_pcm_chunks(
+    b: bytes, chunk_ms: int
+) -> Optional[List[Tuple[int, int, int, bytes]]]:
+    """Slice a PCM WAV into fixed-duration windows, each re-emitted as a
+    standalone valid WAV: [(chunk_no, start_ms, dur_ms, wav_bytes)].
+    None for non-WAV / non-PCM payloads."""
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return None
+    fmt_raw = data = None
+    i = 12
+    while i + 8 <= len(b):
+        cid = b[i : i + 4]
+        clen = struct.unpack("<I", b[i + 4 : i + 8])[0]
+        body = b[i + 8 : i + 8 + clen]
+        if cid == b"fmt ":
+            fmt_raw = body
+        elif cid == b"data":
+            data = body
+        i += 8 + clen + (clen & 1)
+    if fmt_raw is None or data is None or len(fmt_raw) < 16:
+        return None
+    audio_fmt, ch, sr, byte_rate, block_align, bits = struct.unpack(
+        "<HHIIHH", fmt_raw[:16])
+    if audio_fmt != 1 or not sr or not block_align:  # PCM only
+        return None
+    frames_per_chunk = max(1, sr * chunk_ms // 1000)
+    step = frames_per_chunk * block_align
+    out = []
+    pos = chunk_no = 0
+    n = len(data) - len(data) % block_align
+    while pos < n:
+        piece = data[pos : pos + min(step, n - pos)]
+        hdr = (b"fmt " + struct.pack("<I", 16) + fmt_raw[:16]
+               + b"data" + struct.pack("<I", len(piece)))
+        wav = (b"RIFF" + struct.pack("<I", 4 + len(hdr) + len(piece))
+               + b"WAVE" + hdr + piece)
+        start_ms = pos // block_align * 1000 // sr
+        dur_ms = len(piece) // block_align * 1000 // sr
+        out.append((chunk_no, start_ms, dur_ms, wav))
+        pos += step
+        chunk_no += 1
+    return out

@@ -2,12 +2,14 @@
 
 Image/audio/video are opaque ``binary`` columns with a metadata struct; the
 Spark-side plumbing (schemas, batch shapes, mapInPandas signatures,
-partition-by-size balancing) is real and tested. The codec step itself is
-STUBBED deterministically (this container ships no image/audio libraries):
-``decode_image_meta`` parses real magic bytes/headers (pure Python), while
-``extract_features``/``resize``/``frame_sample`` raise or emit deterministic
-fakes behind a clearly marked flag, so swapping in Pillow/ffmpeg later is a
-function-body change, not a pipeline change.
+partition-by-size balancing) is real and tested. What this container CAN
+decode without codec libraries is decoded for REAL, pure Python/numpy:
+header metadata for PNG/GIF/JPEG/BMP/WAV/MP3/FLAC/Ogg/MP4/WebM, BMP
+nearest-neighbor resize, animated-GIF frame decode (LZW), uncompressed Y4M
+frame sampling, PCM WAV chunking. Only the compressed-codec steps
+(JPEG/PNG pixels, MP4/WebM frames, MP3 samples) are STUBBED behind a
+clearly-marked flag, so swapping in Pillow/ffmpeg later is a function-body
+change, not a pipeline change.
 """
 
 from __future__ import annotations
@@ -17,6 +19,12 @@ from typing import Iterator, List, Optional, Tuple
 
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F, types as T
+
+from llm_food_spark.functions.media import (
+    gif_frames,
+    wav_pcm_chunks,
+    y4m_frames,
+)
 
 MEDIA_SCHEMA = T.StructType(
     [
@@ -70,6 +78,14 @@ def _gif_size(b: bytes) -> Optional[Tuple[int, int]]:
     if len(b) >= 10 and b[:6] in (b"GIF87a", b"GIF89a"):
         w, h = struct.unpack("<HH", b[6:10])
         return w, h
+    return None
+
+
+def _bmp_size(b: bytes) -> Optional[Tuple[int, int]]:
+    if len(b) >= 26 and b[:2] == b"BM":
+        w, h = struct.unpack("<ii", b[18:26])
+        if w > 0:
+            return w, abs(h)  # negative height = top-down row order
     return None
 
 
@@ -240,7 +256,7 @@ def decode_media_meta_batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame
                        duration_ms=None, bytes=len(b), status="decoded",
                        error_message=None)
             for name, probe in (("png", _png_size), ("gif", _gif_size),
-                                ("jpeg", _jpeg_size)):
+                                ("jpeg", _jpeg_size), ("bmp", _bmp_size)):
                 s = probe(b)
                 if s:
                     row.update(kind="image", format=name,
@@ -265,16 +281,8 @@ def decode_media_meta_batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame
 def decode_media_meta(media: DataFrame) -> DataFrame:
     """media(media_id, payload, ...) -> MEDIA_META_SCHEMA rows, size-salted
     like the image path so one Arrow batch is ~constant bytes."""
-    df = media.select("media_id", "payload").withColumn(
-        "_salt",
-        F.pmod(F.xxhash64("media_id"),
-               F.lit(media.sparkSession.sparkContext.defaultParallelism * 4)),
-    )
-    return (
-        df.repartition(F.col("_salt"))
-        .drop("_salt")
-        .mapInPandas(decode_media_meta_batch, schema=MEDIA_META_SCHEMA)
-    )
+    return _size_salted(media).mapInPandas(
+        decode_media_meta_batch, schema=MEDIA_META_SCHEMA)
 
 
 def decode_image_meta_batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -285,7 +293,7 @@ def decode_image_meta_batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame
             b = bytes(payload) if payload is not None else b""
             fmt, size, status, err = "unknown", None, "decoded", None
             for name, probe in (("png", _png_size), ("gif", _gif_size),
-                                ("jpeg", _jpeg_size)):
+                                ("jpeg", _jpeg_size), ("bmp", _bmp_size)):
                 s = probe(b)
                 if s:
                     fmt, size = name, s
@@ -305,16 +313,8 @@ def decode_image_meta(media: DataFrame) -> DataFrame:
     """media(media_id, payload, ...) → IMAGE_META_SCHEMA rows. Balanced by
     payload size: repartition on a size-bucketed salt so one Arrow batch is
     ~constant bytes (same strategy as the html path)."""
-    df = media.select("media_id", "payload").withColumn(
-        "_salt",
-        F.pmod(F.xxhash64("media_id"),
-               F.lit(media.sparkSession.sparkContext.defaultParallelism * 4)),
-    )
-    return (
-        df.repartition(F.col("_salt"))
-        .drop("_salt")
-        .mapInPandas(decode_image_meta_batch, schema=IMAGE_META_SCHEMA)
-    )
+    return _size_salted(media).mapInPandas(
+        decode_image_meta_batch, schema=IMAGE_META_SCHEMA)
 
 
 def extract_image_features(media: DataFrame, dim: int = 16) -> DataFrame:
@@ -346,20 +346,248 @@ def extract_image_features(media: DataFrame, dim: int = 16) -> DataFrame:
     return media.select("media_id", "payload").mapInPandas(fn, schema=out_schema)
 
 
-def resize_image(media: DataFrame, width: int, height: int) -> DataFrame:
-    """NOT IMPLEMENTED in this container (no codec libs). The signature and
-    schema are the production contract."""
-    raise NotImplementedError(
-        "resize requires an image codec library not present in this "
-        "container; plumbing contract: media(media_id, payload) -> "
-        "(media_id, payload binary, width int, height int)"
+def _size_salted(media: DataFrame) -> DataFrame:
+    """(media_id, payload) repartitioned on a hash salt so one Arrow batch
+    is ~constant bytes (same strategy as the extraction path)."""
+    df = media.select("media_id", "payload").withColumn(
+        "_salt",
+        F.pmod(F.xxhash64("media_id"),
+               F.lit(media.sparkSession.sparkContext.defaultParallelism * 4)),
     )
+    return df.repartition(F.col("_salt")).drop("_salt")
 
 
-def frame_sample(media: DataFrame, every_n: int = 30) -> DataFrame:
-    """NOT IMPLEMENTED (video codec absent). Contract documented."""
-    raise NotImplementedError(
-        "frame sampling requires a video decoder not present in this "
-        "container; plumbing contract: media(media_id, payload) -> "
-        "(media_id, frame_no int, frame binary)"
-    )
+def _bmp_decode(b: bytes):
+    """24bpp uncompressed BMP -> HxWx3 uint8 (BGR order as stored)."""
+    import numpy as np
+
+    if len(b) < 54 or b[:2] != b"BM":
+        return None
+    offset = struct.unpack("<I", b[10:14])[0]
+    hdr_size = struct.unpack("<I", b[14:18])[0]
+    w, h = struct.unpack("<ii", b[18:26])
+    _planes, bpp = struct.unpack("<HH", b[26:30])
+    compression = struct.unpack("<I", b[30:34])[0]
+    if hdr_size < 40 or bpp != 24 or compression != 0 or w <= 0 or h == 0:
+        return None
+    top_down = h < 0
+    h = abs(h)
+    stride = (w * 3 + 3) & ~3
+    if offset + stride * h > len(b):
+        return None
+    arr = np.frombuffer(b, np.uint8, stride * h, offset)
+    arr = arr.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+    return arr if top_down else arr[::-1]
+
+
+def _bmp_encode(arr) -> bytes:
+    """HxWx3 uint8 -> 24bpp bottom-up uncompressed BMP."""
+    import numpy as np
+
+    h, w, _ = arr.shape
+    stride = (w * 3 + 3) & ~3
+    rows = np.zeros((h, stride), np.uint8)
+    rows[:, : w * 3] = arr[::-1].reshape(h, w * 3)
+    data = rows.tobytes()
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data),
+                       2835, 2835, 0, 0)
+    head = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(data), 0, 0, 14 + 40)
+    return head + info + data
+
+
+def _resize_nearest(arr, width: int, height: int):
+    import numpy as np
+
+    h, w, _ = arr.shape
+    yi = (np.arange(height) * h) // height
+    xi = (np.arange(width) * w) // width
+    return arr[yi][:, xi]
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("format", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("status", T.StringType()),
+        T.StructField("error_message", T.StringType()),
+    ]
+)
+
+
+def resize_image(media: DataFrame, width: int, height: int,
+                 allow_stub: bool = False) -> DataFrame:
+    """media(media_id, payload) -> resized payloads.
+
+    REAL for uncompressed 24bpp BMP (numpy nearest-neighbor, re-encoded as
+    BMP). Compressed formats (PNG/JPEG/GIF) need codec libs this container
+    lacks: with allow_stub they produce deterministic fake payloads marked
+    status='stubbed' (plumbing testable end-to-end), otherwise failed ROWS
+    (record-and-continue; tasks never die on bad media).
+    """
+    if width <= 0 or height <= 0:
+        raise ValueError("resize dimensions must be positive")
+
+    def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in it:
+            rows: List[dict] = []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(payload) if payload is not None else b""
+                row = dict(media_id=media_id, payload=None, format=None,
+                           width=None, height=None, status="failed",
+                           error_message=None)
+                arr = _bmp_decode(b)
+                if arr is not None:
+                    out = _bmp_encode(_resize_nearest(arr, width, height))
+                    row.update(payload=out, format="bmp", width=width,
+                               height=height, status="resized")
+                else:
+                    fmt = next((n for n, p in (("png", _png_size),
+                                               ("gif", _gif_size),
+                                               ("jpeg", _jpeg_size))
+                                if p(b)), None)
+                    if fmt and allow_stub:
+                        dig = hashlib.sha256(
+                            b + b"%dx%d" % (width, height)).digest()
+                        row.update(payload=dig * 4, format=fmt, width=width,
+                                   height=height, status="stubbed")
+                    elif fmt:
+                        row.update(format=fmt, error_message=
+                                   "no %s codec in this container" % fmt)
+                    else:
+                        row.update(error_message="unrecognized image payload")
+                rows.append(row)
+            yield pd.DataFrame(rows)
+
+    return _size_salted(media).mapInPandas(fn, schema=RESIZED_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType()),
+        T.StructField("frame_no", T.IntegerType()),
+        T.StructField("pts_ms", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("frame", T.BinaryType()),
+        T.StructField("status", T.StringType()),
+        T.StructField("error_message", T.StringType()),
+    ]
+)
+
+
+def frame_sample(media: DataFrame, every_n: int = 30,
+                 allow_stub: bool = False) -> DataFrame:
+    """media(media_id, payload) -> every_n-th frame as raw pixel bytes.
+
+    REAL for two formats this container can decode without codec libs:
+    uncompressed YUV4MPEG2 streams (header parse + plane slicing, exact pts
+    from the F<num>:<den> rate) and animated GIF (pure-Python LZW decode,
+    RGB24 frames, pts from cumulative graphic-control delays). Compressed
+    containers (MP4/WebM) lack a decoder here: allow_stub emits one
+    deterministic fake frame sized from container metadata, else a failed
+    row (record-and-continue).
+    """
+    if every_n <= 0:
+        raise ValueError("every_n must be positive")
+
+    def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in it:
+            rows: List[dict] = []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(payload) if payload is not None else b""
+                frames = y4m_frames(b)
+                if frames is not None:
+                    for no, pts, w, h, fr in frames:
+                        if no % every_n == 0:
+                            rows.append(dict(
+                                media_id=media_id, frame_no=no, pts_ms=pts,
+                                width=w, height=h, frame=fr,
+                                status="sampled", error_message=None))
+                    continue
+                gif = gif_frames(b)
+                if gif is not None:
+                    pts = 0
+                    for no, delay_ms, w, h, rgb in gif:
+                        if no % every_n == 0:
+                            rows.append(dict(
+                                media_id=media_id, frame_no=no, pts_ms=pts,
+                                width=w, height=h, frame=rgb,
+                                status="sampled", error_message=None))
+                        pts += delay_ms
+                    continue
+                meta = None
+                for av in (_mp4_meta, _ebml_meta):
+                    try:
+                        meta = av(b)
+                    except (struct.error, IndexError):
+                        meta = None
+                    if meta:
+                        break
+                if meta and meta.get("kind") == "video" and allow_stub:
+                    dig = hashlib.sha256(b).digest()
+                    rows.append(dict(
+                        media_id=media_id, frame_no=0, pts_ms=0,
+                        width=meta.get("width"), height=meta.get("height"),
+                        frame=dig, status="stubbed", error_message=None))
+                else:
+                    rows.append(dict(
+                        media_id=media_id, frame_no=None, pts_ms=None,
+                        width=None, height=None, frame=None, status="failed",
+                        error_message="no decoder for this container"
+                        if meta else "unrecognized video payload"))
+            yield pd.DataFrame(rows)
+
+    return _size_salted(media).mapInPandas(fn, schema=FRAME_SCHEMA)
+
+
+AUDIO_CHUNK_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType()),
+        T.StructField("chunk_no", T.IntegerType()),
+        T.StructField("start_ms", T.LongType()),
+        T.StructField("dur_ms", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("status", T.StringType()),
+        T.StructField("error_message", T.StringType()),
+    ]
+)
+
+
+def audio_chunk(media: DataFrame, chunk_ms: int = 10_000) -> DataFrame:
+    """media(media_id, payload) -> fixed-duration audio windows.
+
+    REAL for PCM WAV: the data chunk is sliced on sample-frame boundaries
+    and each window re-emitted as a standalone valid WAV (the audio
+    analogue of the token chunker). Compressed audio (MP3/FLAC/Ogg) cannot
+    be sliced without a decoder -> failed rows, record-and-continue.
+    """
+    if chunk_ms <= 0:
+        raise ValueError("chunk_ms must be positive")
+
+    def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows: List[dict] = []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(payload) if payload is not None else b""
+                chunks = wav_pcm_chunks(b, chunk_ms)
+                if chunks:
+                    for no, start, dur, wav in chunks:
+                        rows.append(dict(
+                            media_id=media_id, chunk_no=no, start_ms=start,
+                            dur_ms=dur, payload=wav, status="chunked",
+                            error_message=None))
+                else:
+                    rows.append(dict(
+                        media_id=media_id, chunk_no=None, start_ms=None,
+                        dur_ms=None, payload=None, status="failed",
+                        error_message="not an uncompressed PCM WAV"))
+            yield pd.DataFrame(rows)
+
+    return _size_salted(media).mapInPandas(fn, schema=AUDIO_CHUNK_SCHEMA)

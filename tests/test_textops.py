@@ -219,3 +219,117 @@ def test_extract_image_features_deterministic(spark):
     assert f1 == f2
     assert len(f1["a"]) == 16
     assert f1["a"] != f1["b"]
+
+
+def test_resize_bmp_real(spark):
+    """BMP resize is REAL: numpy nearest-neighbor, valid BMP back out."""
+    import numpy as np
+
+    from llm_food_spark.operators.multimodal import (
+        _bmp_decode,
+        _bmp_encode,
+        resize_image,
+    )
+
+    arr = np.arange(8 * 6 * 3, dtype=np.uint8).reshape(6, 8, 3)
+    rows = [("bmp", _bmp_encode(arr)),
+            ("png", _png(10, 10)),
+            ("bad", b"junk")]
+    df = spark.createDataFrame(rows, "media_id string, payload binary")
+    got = {r["media_id"]: r for r in resize_image(df, 4, 3).collect()}
+
+    r = got["bmp"]
+    assert (r["status"], r["format"], r["width"], r["height"]) == \
+        ("resized", "bmp", 4, 3)
+    back = _bmp_decode(bytes(r["payload"]))
+    want = arr[(np.arange(3) * 6) // 3][:, (np.arange(4) * 8) // 4]
+    assert (back == want).all()
+
+    assert got["png"]["status"] == "failed"          # no codec, no stub
+    assert "codec" in got["png"]["error_message"]
+    assert got["bad"]["status"] == "failed"
+
+    # stub path: deterministic fake payload, marked
+    stub = {r["media_id"]: r
+            for r in resize_image(df, 4, 3, allow_stub=True).collect()}["png"]
+    assert stub["status"] == "stubbed" and stub["payload"] is not None
+
+
+def test_frame_sample_y4m_real(spark):
+    """Y4M frame sampling is REAL: header parse + plane slice + exact pts."""
+    from llm_food_spark.operators.multimodal import frame_sample
+
+    w, h, n = 4, 2, 10
+    fsize = w * h * 3 // 2
+    frames = [bytes([i] * fsize) for i in range(n)]
+    y4m = (b"YUV4MPEG2 W4 H2 F25:1 Ip A1:1 C420jpeg\n"
+           + b"".join(b"FRAME\n" + f for f in frames))
+    rows = [("vid", y4m), ("mp4", _mp4()), ("bad", b"nope")]
+    df = spark.createDataFrame(rows, "media_id string, payload binary")
+
+    out = frame_sample(df, every_n=3).collect()
+    vid = sorted([r for r in out if r["media_id"] == "vid"],
+                 key=lambda r: r["frame_no"])
+    assert [r["frame_no"] for r in vid] == [0, 3, 6, 9]
+    assert [r["pts_ms"] for r in vid] == [0, 120, 240, 360]
+    assert all((r["width"], r["height"]) == (4, 2) for r in vid)
+    assert bytes(vid[2]["frame"]) == frames[6]
+
+    by_id = {r["media_id"]: r for r in out if r["media_id"] != "vid"}
+    assert by_id["mp4"]["status"] == "failed"        # container, no decoder
+    assert "no decoder" in by_id["mp4"]["error_message"]
+    assert by_id["bad"]["status"] == "failed"
+
+    stubbed = [r for r in frame_sample(df, every_n=3,
+                                       allow_stub=True).collect()
+               if r["media_id"] == "mp4"]
+    assert len(stubbed) == 1 and stubbed[0]["status"] == "stubbed"
+    assert (stubbed[0]["width"], stubbed[0]["height"]) == (1280, 720)
+
+
+def test_frame_sample_gif_real(spark):
+    """Animated GIF frames decode for real: pure-Python LZW + palette."""
+    from llm_food_spark.functions.media import gif_frames, make_gif
+    from llm_food_spark.operators.multimodal import frame_sample
+
+    palette = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 9, 9, 9])
+    fidx = [bytes([(i + j) % 4 for j in range(20)]) for i in range(6)]
+    gif = make_gif(fidx, 5, 4, palette, [40] * 6)
+    df = spark.createDataFrame([("g", gif)], "media_id string, payload binary")
+
+    out = sorted(frame_sample(df, every_n=2).collect(),
+                 key=lambda r: r["frame_no"])
+    assert [r["frame_no"] for r in out] == [0, 2, 4]
+    assert [r["pts_ms"] for r in out] == [0, 80, 160]  # cumulative delays
+    want = gif_frames(gif)
+    assert bytes(out[1]["frame"]) == want[2][4]
+    assert all(r["status"] == "sampled" for r in out)
+
+
+def test_audio_chunk_wav_real(spark):
+    """PCM WAV chunking: every chunk is itself a valid WAV, exact timing."""
+    from llm_food_spark.operators.multimodal import audio_chunk
+
+    sr = 8000
+    data = bytes(i % 256 for i in range(sr * 3 * 2))  # 3 s mono s16
+    fmt = struct.pack("<HHIIHH", 1, 1, sr, sr * 2, 2, 16)
+    body = (b"fmt " + struct.pack("<I", 16) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+    full_wav = b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+    chunks_in = [("wav", full_wav),
+                 ("mp3", _mp3(4000)),
+                 ("bad", b"zzz")]
+    df = spark.createDataFrame(chunks_in, "media_id string, payload binary")
+    out = audio_chunk(df, chunk_ms=1000).collect()
+
+    wavs = sorted([r for r in out if r["media_id"] == "wav"],
+                  key=lambda r: r["chunk_no"])
+    assert [r["chunk_no"] for r in wavs] == [0, 1, 2]
+    assert [r["start_ms"] for r in wavs] == [0, 1000, 2000]
+    assert all(r["dur_ms"] == 1000 and r["status"] == "chunked" for r in wavs)
+    assert bytes(wavs[0]["payload"])[:4] == b"RIFF"
+
+    rest = {r["media_id"]: r for r in out if r["media_id"] != "wav"}
+    assert rest["mp3"]["status"] == "failed"   # compressed: no decoder
+    assert rest["bad"]["status"] == "failed"
