@@ -96,3 +96,54 @@ def test_streaming_second_epoch_accumulates(spark, tmp_path):
     per_epoch = {r["run_id"]: r["docs"] for r in
                  lin.groupBy("run_id").agg(F.sum("doc_count").alias("docs")).collect()}
     assert sum(per_epoch.values()) == 100 and len(per_epoch) == 2
+
+
+def test_first_seen_stream_stateful_dedup(spark, tmp_path):
+    """applyInPandasWithState dedup: in-batch dups collapse, and state
+    persists across separate drains of the same checkpoint — a page
+    re-crawled in a later micro-batch is suppressed."""
+    from llm_food_spark.streaming.dedup import first_seen_stream
+    from llm_food_spark.streaming.ingest import stream_pages
+
+    in_dir = str(tmp_path / "incoming")
+    ckpt = str(tmp_path / "ckpt")
+    out_dir = str(tmp_path / "first_seen")
+
+    rows_a = generate_pages(40)
+    # plant an in-batch duplicate: same html, different url
+    dup = rows_a[0]
+    rows_a.append(("https://dup.example/copy", dup[1], dup[2], dup[3], dup[4]))
+    pages_to_df(spark, rows_a).repartition(2).write.mode("append").parquet(in_dir)
+
+    def drain():
+        # file sink: the one built-in sink that restarts from a checkpoint
+        # (memory sink refuses recovery), so two drains exercise restored
+        # state rather than one long-lived query
+        q = (
+            first_seen_stream(stream_pages(spark, in_dir), n_buckets=8)
+            .writeStream.format("parquet").option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+        return spark.read.parquet(out_dir).collect()
+
+    got_a = drain()
+    hashes_a = [r["content_hash"] for r in got_a]
+    assert len(hashes_a) == len(set(hashes_a))  # no dup hash emitted
+    assert len(got_a) == 40  # 41 rows, 1 planted dup collapsed
+
+    # second wave: one exact re-crawl of a batch-A page + 10 new pages
+    rows_b = generate_pages(60)[50:]  # 10 pages unseen in wave A
+    recrawl = rows_a[5]
+    rows_b.append(("https://recrawl.example/again", recrawl[1], recrawl[2],
+                   recrawl[3], recrawl[4]))
+    pages_to_df(spark, rows_b).repartition(2).write.mode("append").parquet(in_dir)
+
+    got_all = drain()
+    got_b = [r for r in got_all
+             if r["url"] not in {x["url"] for x in got_a}]
+    urls_b = {r["url"] for r in got_b}
+    assert len(got_b) == 10  # re-crawl suppressed by restored state
+    assert "https://recrawl.example/again" not in urls_b
+    assert not ({r["content_hash"] for r in got_b} & set(hashes_a))
