@@ -56,7 +56,8 @@ def find_spark_submit() -> str:
     raise FileNotFoundError("spark-submit not found (PATH or pyspark/bin)")
 
 
-def measure(cpus: int, corpus: str, reps: int, quiet: float = 0.0) -> dict:
+def measure(cpus: int, corpus: str, reps: int, quiet: float = 0.0,
+            partitions: int = 0) -> dict:
     cmd = [
         find_spark_submit(),
         "--master", "local[%d]" % cpus,
@@ -67,6 +68,8 @@ def measure(cpus: int, corpus: str, reps: int, quiet: float = 0.0) -> dict:
         "--input", corpus,
         "--bench", "--reps", str(reps), "--quiet-load", str(quiet),
     ]
+    if partitions:
+        cmd += ["--partitions", str(partitions)]
     env = dict(os.environ, PYSPARK_PYTHON=sys.executable,
                PYSPARK_DRIVER_PYTHON=sys.executable)
     out = subprocess.run(cmd, capture_output=True, text=True, env=env,
@@ -85,7 +88,15 @@ def main() -> int:
     ap.add_argument("--reps", type=int, default=2)
     ap.add_argument("--quiet-load", type=float, default=0.0,
                     help="wait for 1-min loadavg below this before each rep")
+    ap.add_argument("--partitions", type=int, default=None,
+                    help="salt buckets P, IDENTICAL at both levels "
+                         "(default 4 x --high). Partitioning is a property "
+                         "of the data, not the cluster: letting each level "
+                         "default to 4 x its own cores gives the low level "
+                         "4x-bigger tasks and under-charges it for per-task "
+                         "overhead, understating scaling efficiency.")
     args = ap.parse_args()
+    partitions = args.partitions or args.high * 4
 
     corpus = "/tmp/spark_graft_scale_pages_%d" % args.docs
     marker = os.path.join(corpus, "_DONE")
@@ -98,8 +109,8 @@ def main() -> int:
         write_pages_parquet_fast(generate_pages(args.docs), corpus)
         open(marker, "w").close()
 
-    lo = measure(args.low, corpus, args.reps, args.quiet_load)
-    hi = measure(args.high, corpus, args.reps, args.quiet_load)
+    lo = measure(args.low, corpus, args.reps, args.quiet_load, partitions)
+    hi = measure(args.high, corpus, args.reps, args.quiet_load, partitions)
 
     # hardware ceiling control: an embarrassingly parallel pure-Python loop
     # measured under the same conditions — efficiency below 1.0 HERE is the
@@ -117,6 +128,7 @@ def main() -> int:
         "n_docs": args.docs,
         "reps": args.reps,
         "quiet_load": args.quiet_load,
+        "partitions": partitions,
         "low": lo,
         "high": hi,
         "scaling_efficiency": round(eff, 3),
