@@ -1,0 +1,71 @@
+"""Wait for a clean host window, then run one scaling campaign.
+
+The host shares hardware with external tenants; campaigns launched in
+degraded windows (pure-CPU 2->8 control below ~0.95) measure the
+neighbors, not the plan. This watcher probes periodically and fires
+``bench_scaling.py`` exactly once, the first time the window is clean
+AND nothing else is running locally.
+
+Run: python tools/campaign_watcher.py [--threshold 0.95] [--max-hours 4]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+FLAG = "/tmp/spark_graft_campaign_running"
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--threshold", type=float, default=0.95)
+    ap.add_argument("--max-hours", type=float, default=4.0)
+    ap.add_argument("--interval", type=int, default=900)
+    ap.add_argument("--low", type=int, default=2)
+    ap.add_argument("--high", type=int, default=8)
+    ap.add_argument("--docs", type=int, default=3_200_000)
+    args = ap.parse_args()
+
+    sys.path.insert(0, str(REPO / "tools"))
+    from cpu_scaling_probe import probe
+
+    deadline = time.time() + args.max_hours * 3600
+    while time.time() < deadline:
+        load1 = os.getloadavg()[0]
+        if load1 > 1.0:
+            print(json.dumps({"t": time.strftime("%H:%M:%S"),
+                              "skip": "load", "load1": round(load1, 2)}),
+                  flush=True)
+            time.sleep(args.interval)
+            continue
+        hw = probe(args.low, args.high, reps=1)
+        print(json.dumps({"t": time.strftime("%H:%M:%S"), **hw}), flush=True)
+        if hw["hw_efficiency"] >= args.threshold:
+            open(FLAG, "w").close()
+            try:
+                r = subprocess.run(
+                    [sys.executable, str(REPO / "tools" / "bench_scaling.py"),
+                     "--low", str(args.low), "--high", str(args.high),
+                     "--docs", str(args.docs), "--reps", "2",
+                     "--quiet-load", "2.0"],
+                    cwd=str(REPO), capture_output=True, text=True,
+                    timeout=7200)
+                print(r.stdout.strip().splitlines()[-1] if r.stdout else
+                      r.stderr[-500:], flush=True)
+            finally:
+                os.unlink(FLAG)
+            return 0
+        time.sleep(args.interval)
+    print("no clean window before deadline", flush=True)
+    return 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
