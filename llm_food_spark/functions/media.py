@@ -238,17 +238,20 @@ def y4m_frames(
     w = h = 0
     fnum, fden = 30, 1
     cfmt = "420"
-    for tok in b[9:nl].split():
-        t = tok.decode("latin-1", "replace")
-        if t[0] == "W":
-            w = int(t[1:])
-        elif t[0] == "H":
-            h = int(t[1:])
-        elif t[0] == "F":
-            num, _, den = t[1:].partition(":")
-            fnum, fden = int(num), int(den or 1)
-        elif t[0] == "C":
-            cfmt = t[1:]
+    try:
+        for tok in b[9:nl].split():
+            t = tok.decode("latin-1", "replace")
+            if t[0] == "W":
+                w = int(t[1:])
+            elif t[0] == "H":
+                h = int(t[1:])
+            elif t[0] == "F":
+                num, _, den = t[1:].partition(":")
+                fnum, fden = int(num), int(den or 1)
+            elif t[0] == "C":
+                cfmt = t[1:]
+    except ValueError:  # mangled header numbers -> not a decodable stream
+        return None
     if w <= 0 or h <= 0 or fnum <= 0:
         return None
     if cfmt.startswith("420"):

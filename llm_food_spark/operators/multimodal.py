@@ -440,7 +440,10 @@ def resize_image(media: DataFrame, width: int, height: int,
                 row = dict(media_id=media_id, payload=None, format=None,
                            width=None, height=None, status="failed",
                            error_message=None)
-                arr = _bmp_decode(b)
+                try:
+                    arr = _bmp_decode(b)
+                except (struct.error, IndexError, ValueError):
+                    arr = None
                 if arr is not None:
                     out = _bmp_encode(_resize_nearest(arr, width, height))
                     row.update(payload=out, format="bmp", width=width,
@@ -502,7 +505,10 @@ def frame_sample(media: DataFrame, every_n: int = 30,
             rows: List[dict] = []
             for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
                 b = bytes(payload) if payload is not None else b""
-                frames = y4m_frames(b)
+                try:
+                    frames = y4m_frames(b)
+                except (struct.error, IndexError, ValueError):
+                    frames = None
                 if frames is not None:
                     for no, pts, w, h, fr in frames:
                         if no % every_n == 0:
@@ -511,7 +517,10 @@ def frame_sample(media: DataFrame, every_n: int = 30,
                                 width=w, height=h, frame=fr,
                                 status="sampled", error_message=None))
                     continue
-                gif = gif_frames(b)
+                try:
+                    gif = gif_frames(b)
+                except (struct.error, IndexError, ValueError):
+                    gif = None
                 if gif is not None:
                     pts = 0
                     for no, delay_ms, w, h, rgb in gif:
@@ -576,7 +585,10 @@ def audio_chunk(media: DataFrame, chunk_ms: int = 10_000) -> DataFrame:
             rows: List[dict] = []
             for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
                 b = bytes(payload) if payload is not None else b""
-                chunks = wav_pcm_chunks(b, chunk_ms)
+                try:
+                    chunks = wav_pcm_chunks(b, chunk_ms)
+                except (struct.error, IndexError, ValueError):
+                    chunks = None
                 if chunks:
                     for no, start, dur, wav in chunks:
                         rows.append(dict(

@@ -70,3 +70,80 @@ def test_pathological_structures_never_raise():
         r = extract_document(p)
         assert r.status in _STATUSES
         assert isinstance(r.markdown, str)
+
+
+def test_media_decoders_never_raise_on_mutations():
+    """The pure-Python media decoders (GIF LZW, Y4M, WAV chunker, BMP,
+    MP4/EBML walkers) get the same contract as extraction: hostile bytes
+    return None/empty, never raise, never hang."""
+    import struct
+
+    from llm_food_spark.functions.media import (
+        gif_frames,
+        make_gif,
+        wav_pcm_chunks,
+        y4m_frames,
+    )
+    from llm_food_spark.operators.multimodal import (
+        _bmp_decode,
+        _ebml_meta,
+        _flac_meta,
+        _mp3_meta,
+        _mp4_meta,
+        _ogg_meta,
+        _wav_meta,
+    )
+
+    palette = bytes(range(12))
+    gif = make_gif([bytes([p % 4 for p in range(24)])] * 3, 6, 4,
+                   palette, [30, 30, 30])
+    fsize = 6 * 4 * 3 // 2
+    y4m = b"YUV4MPEG2 W6 H4 F30:1 C420\n" + b"".join(
+        b"FRAME\n" + bytes([i] * fsize) for i in range(3))
+    sr = 8000
+    data = bytes(i % 256 for i in range(sr * 2))
+    fmt = struct.pack("<HHIIHH", 1, 1, sr, sr * 2, 2, 16)
+    body = (b"fmt " + struct.pack("<I", 16) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+    wav = b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+    decoders = [
+        gif_frames,
+        y4m_frames,
+        lambda b: wav_pcm_chunks(b, 250),
+        _bmp_decode,
+        _mp4_meta,
+        _ebml_meta,
+        _flac_meta,
+        _ogg_meta,
+        _wav_meta,
+        _mp3_meta,
+    ]
+
+    rng = random.Random(99)
+    checked = 0
+    for seed in (gif, y4m, wav, b"", b"\x00" * 64):
+        for mut in _mutations(seed, rng) + [seed]:
+            for dec in decoders:
+                try:
+                    out = dec(bytes(mut))
+                except (struct.error, IndexError):
+                    # unpacks on truncated buffers; the operator layer
+                    # (frame_sample/audio_chunk/decode_media_meta) wraps
+                    # these into failed rows — ValueError and anything
+                    # else must never escape, nor an unbounded loop
+                    out = None
+                assert out is None or isinstance(out, (list, dict)) or \
+                    hasattr(out, "shape")
+                checked += 1
+    assert checked >= 250
+
+    # cross-seed splices: a GIF header grafted onto other payloads walks
+    # the block loop on garbage — still no exception, still bounded
+    for a, c in ((gif, y4m), (y4m, wav), (wav, gif)):
+        spliced = a[: len(a) // 2] + c[len(c) // 2:]
+        for dec in decoders:
+            try:
+                dec(spliced)
+            except (struct.error, IndexError):
+                pass
