@@ -333,3 +333,37 @@ def test_audio_chunk_wav_real(spark):
     rest = {r["media_id"]: r for r in out if r["media_id"] != "wav"}
     assert rest["mp3"]["status"] == "failed"   # compressed: no decoder
     assert rest["bad"]["status"] == "failed"
+
+
+def test_media_ops_distribution_invariance(spark):
+    """Same media rows at 1 / 4 / 16 input partitions ⇒ identical decoded
+    rows (the Spark-specific risk the pure functions never see)."""
+    from llm_food_spark.operators.multimodal import (
+        audio_chunk,
+        decode_media_meta,
+        frame_sample,
+    )
+    from llm_food_spark.functions.media import make_gif
+
+    palette = bytes(range(12))
+    rows = [("g%02d" % i,
+             make_gif([bytes([(i + j) % 4 for j in range(20)])] * 3,
+                      5, 4, palette, [40] * 3))
+            for i in range(12)]
+    rows += [("w%02d" % i, _wav(channels=1, rate=8000, seconds=1 + i % 3))
+             for i in range(12)]
+    rows.append(("bad", b"junk"))
+
+    def snap(n_parts):
+        df = spark.createDataFrame(rows, "media_id string, payload binary") \
+            .repartition(n_parts)
+        meta = sorted(map(tuple, decode_media_meta(df).collect()))
+        frames = sorted((r["media_id"], r["frame_no"], bytes(r["frame"] or b""))
+                        for r in frame_sample(df, every_n=2).collect())
+        chunks = sorted((r["media_id"], r["chunk_no"], r["start_ms"],
+                         r["status"]) for r in audio_chunk(df, 500).collect())
+        return meta, frames, chunks
+
+    base = snap(1)
+    assert snap(4) == base
+    assert snap(16) == base
