@@ -194,6 +194,13 @@ def q_token_count(spark, sf_dir):
     return d.select("doc_id", token_count(F.col("text")).alias("n_tokens"))
 
 
+def q_token_count_bpe(spark, sf_dir):
+    from llm_food_spark.operators.textops import token_count_bpe
+
+    d = _t_par(spark, sf_dir, "documents")
+    return d.select("doc_id", token_count_bpe(F.col("text")).alias("n_bpe"))
+
+
 def q_quality(spark, sf_dir):
     from llm_food_spark.operators.textops import punct_ratio, quality_score, stopword_ratio
 
@@ -623,6 +630,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # document transforms + text analysis
         "content_hash": q_content_hash,
         "token_count": q_token_count,
+        "token_count_bpe": q_token_count_bpe,
         "quality": q_quality,
         "lang_id": q_lang_id,
         "chunk_counts": q_chunk_counts,
@@ -832,6 +840,11 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "token_count": "SELECT doc_id, len(%s)::INT AS n_tokens FROM documents" % _WSTOKS,
+        "token_count_bpe": (
+            "SELECT doc_id, len(regexp_extract_all(text, "
+            "'''(?:[sdmt]|ll|ve|re)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+'"
+            "))::INT AS n_bpe FROM documents"
+        ),
         "quality": r"""
             WITH w AS (
               SELECT doc_id,

@@ -42,6 +42,24 @@ def token_count(text: Column) -> Column:
     ).cast("int")
 
 
+# GPT-2-style pre-tokenizer segments: contraction suffixes, letter runs,
+# digit runs, punctuation runs (each with an optional leading space),
+# residual whitespace. The upstream pattern's \s+(?!\S) lookahead is
+# dropped so the same regex runs on both Java (Spark) and RE2 (DuckDB
+# oracle) engines; both count identical segments.
+BPE_SEGMENT_PATTERN = (
+    r"'(?:[sdmt]|ll|ve|re)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+)
+
+
+def token_count_bpe(text: Column) -> Column:
+    """BPE-ish token count: one JVM regex scan (regexp_count), no UDF —
+    the cheap upper-bound estimator for LLM token budgets (a real BPE
+    merges within these segments, so segment count >= BPE token count
+    while tracking it closely)."""
+    return F.regexp_count(text, F.lit(BPE_SEGMENT_PATTERN)).cast("int")
+
+
 def punct_ratio(text: Column) -> Column:
     """Punctuation chars / total chars (0.0 for empty text).
     regexp_count does one scan with no replacement-string allocation

@@ -367,3 +367,21 @@ def test_media_ops_distribution_invariance(spark):
     base = snap(1)
     assert snap(4) == base
     assert snap(16) == base
+
+
+def test_token_count_bpe(spark):
+    from llm_food_spark.operators.textops import token_count_bpe
+
+    rows = [(1, "hello world"),          # 2 letter-runs
+            (2, "it's 42 items!"),       # it + 's + ' 42' + ' items' + '!'
+            (3, ""),
+            (4, "  spaced   out  ")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["n"] for r in
+           df.select("doc_id",
+                     token_count_bpe(F.col("text")).alias("n")).collect()}
+    assert got[1] == 2
+    assert got[2] == 5
+    assert got[3] == 0
+    # "  spaced   out  ": ' ' + ' spaced' + '  ' + ' out' + '  '
+    assert got[4] == 5
