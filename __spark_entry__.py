@@ -717,14 +717,18 @@ def _pii_redact_sql() -> str:
             " || '@mail.example.org or +1 (415) 555-'"
             " || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
             " || ' host 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.1'")
-    counts = ",\n".join(
-        "len(regexp_extract_all(t, '%s'))::INT AS n_%s" % (TOKENS[k][1], k)
-        for k in ORDER
-    )
-    redacted = "t"
+    # progressive counts: n_k counts pattern k on the text with earlier
+    # classes already replaced (mirrors operators/redact.py pii_counts)
+    count_exprs = []
+    cur = "t"
     for k in ORDER:
         token, pat = TOKENS[k]
-        redacted = "regexp_replace(%s, '%s', '%s', 'g')" % (redacted, pat, token)
+        count_exprs.append(
+            "len(regexp_extract_all(%s, '%s'))::INT AS n_%s" % (cur, pat, k)
+        )
+        cur = "regexp_replace(%s, '%s', '%s', 'g')" % (cur, pat, token)
+    counts = ",\n".join(count_exprs)
+    redacted = cur
     return """
         WITH s AS (SELECT doc_id, %s AS t FROM documents)
         SELECT doc_id, %s, %s AS redacted FROM s

@@ -202,6 +202,10 @@ class Stream:
         filters = filt if isinstance(filt, list) else [filt]
         parms = self.dict.get("DecodeParms", self.dict.get("DP"))
         parms_list = parms if isinstance(parms, list) else [parms] * len(filters)
+        if len(parms_list) < len(filters):
+            # a short DecodeParms array must not truncate the filter chain
+            # (zip would silently skip trailing filters and return garbage)
+            parms_list = list(parms_list) + [None] * (len(filters) - len(parms_list))
         out = self.raw
         for f, pm in zip(filters, parms_list):
             pm = pm if isinstance(pm, dict) else {}

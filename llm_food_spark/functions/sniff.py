@@ -58,8 +58,9 @@ def sniff_content_type(content: bytes) -> str:
     except UnicodeDecodeError:
         pass
     # legacy single-byte text (cp1252 etc): printable + tag markers ⇒ html;
-    # payloads dense in control bytes are binary → unknown
+    # payloads dense in control bytes — or with no tag marker at all (e.g.
+    # pure high-byte binary that happens to dodge the control check) → unknown
     ctrl = sum(1 for b in head[:1024] if b < 9 or 13 < b < 32)
-    if ctrl <= len(head[:1024]) // 100 and (b"<" in head or len(head) > 0):
+    if ctrl <= len(head[:1024]) // 100 and b"<" in head:
         return "html"
     return "unknown"

@@ -198,7 +198,7 @@ def _mp4_meta(b: bytes) -> Optional[dict]:
             body = i + 8
             if box == b"mvhd" and "duration_ms" not in meta:
                 v = b[body]
-                if v == 1 and body + 28 <= hi:
+                if v == 1 and body + 32 <= hi:
                     ts = struct.unpack(">I", b[body + 20 : body + 24])[0]
                     dur = struct.unpack(">Q", b[body + 24 : body + 32])[0]
                 else:

@@ -6,9 +6,13 @@ analogue in the reference. Four conservative, deterministic pattern
 classes, chosen so Java (Spark) and RE2 (DuckDB oracle) match identically:
 no lookarounds, no backrefs, ASCII word boundaries only.
 
-Counts are computed BEFORE replacement from the same patterns, so
-``n_* == 0 ⟺ text unchanged``. Everything is per-row regexp work inside
-whole-stage codegen — no Python, no shuffle at any corpus size.
+Counts are *progressive*: ``n_k`` counts pattern k on the text with all
+earlier classes already replaced, so each count equals the number of
+tokens actually emitted for that class and ``sum(n_*) == 0 ⟺ text
+unchanged`` (a phone-shaped substring inside an email local part is
+swallowed by <EMAIL> and correctly NOT counted as a phone). Everything is
+per-row regexp work inside whole-stage codegen — no Python, no shuffle at
+any corpus size.
 """
 
 from __future__ import annotations
@@ -40,10 +44,15 @@ ORDER = ("email", "ssn", "ipv4", "phone")
 
 
 def pii_counts(text: Column) -> Dict[str, Column]:
-    return {
-        "n_%s" % k: F.regexp_count(text, F.lit(TOKENS[k][1])).cast("int")
-        for k in ORDER
-    }
+    """n_k = matches of pattern k on the text AFTER earlier classes were
+    replaced — exactly the matches redact_pii substitutes for class k."""
+    out: Dict[str, Column] = {}
+    cur = text
+    for k in ORDER:
+        token, pat = TOKENS[k]
+        out["n_%s" % k] = F.regexp_count(cur, F.lit(pat)).cast("int")
+        cur = F.regexp_replace(cur, pat, token)
+    return out
 
 
 def redact_pii(text: Column) -> Column:

@@ -8,13 +8,18 @@ emitted (append mode). A re-crawled or mirrored page arriving in ANY later
 micro-batch is suppressed — state lives in the state store and survives
 restarts via the checkpoint.
 
-Scale notes (10^12 docs): the bucket salt spreads state uniformly across
-``n_buckets`` keys so no single task holds the corpus; state size is bounded
-by the distinct-hash count per bucket — with the RocksDB state store
-(``spark.sql.streaming.stateStore.providerClass``) that is disk-backed, not
-heap. The reference has no streaming surface at all (request/response only,
-llm_food/app.py); this operator comes from the task brief's stateful-
-streaming requirement.
+Scale notes — honest bounds: each bucket's state is ONE array-typed row
+holding every hash seen in that bucket, and every micro-batch that adds a
+hash deserializes, re-sorts, and rewrites the whole array — O(bucket state)
+per update. With D distinct docs the per-bucket array is ~64·D/n_buckets
+bytes, so the practical ceiling is D/n_buckets ≲ 10^6 (a few tens of MB per
+rewrite) — i.e. ~10^9-10^10 docs at the default ``n_buckets=4096``, NOT
+10^12. For larger streams raise ``n_buckets`` (state scales per-key; RocksDB
+keeps it off-heap) or replace the exact set with a sharded bloom filter —
+the exact-array formulation is kept here because it is deterministic and
+byte-auditable. The reference has no streaming surface at all
+(request/response only, llm_food/app.py); this operator comes from the task
+brief's stateful-streaming requirement.
 """
 
 from __future__ import annotations
@@ -38,7 +43,7 @@ _STATE_SCHEMA = T.StructType(
 )
 
 
-def first_seen_stream(pages_stream: DataFrame, n_buckets: int = 256) -> DataFrame:
+def first_seen_stream(pages_stream: DataFrame, n_buckets: int = 4096) -> DataFrame:
     """pages stream -> first occurrence of each distinct html payload.
 
     Exact dedup with cross-micro-batch memory: emits (url, warc_ts,

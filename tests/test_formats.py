@@ -178,3 +178,11 @@ def test_dispatch_multipage_assembly_separator():
     r = extract_document(_pptx([["a"], ["b"]]))
     assert r.markdown == "a\n\n---\n\nb"
     assert r.n_sections == 2
+
+
+def test_sniff_control_free_binary_without_tag_marker_is_unknown():
+    # 500 bytes of 0x80: no control bytes, not utf-8, no '<' anywhere —
+    # must NOT sniff as html (the legacy-text fallback requires a tag marker)
+    assert sniff_content_type(b"\x80" * 500) == "unknown"
+    # legacy cp1252 text WITH markup still sniffs html
+    assert sniff_content_type(b"<p>caf\xe9</p>") == "html"

@@ -113,3 +113,16 @@ def test_end_to_end_markdown_identical_across_filters(sfilter):
     assert baseline.status == "completed"
     assert other.markdown == baseline.markdown
     assert other.status == baseline.status
+
+
+def test_short_decodeparms_array_does_not_truncate_filter_chain():
+    # DecodeParms shorter than Filter: trailing filters must still run
+    # (a bare zip would silently skip FlateDecode and return zlib bytes)
+    payload = b"BT (y) Tj ET"
+    enc = a85_encode(zlib.compress(payload))
+    s = Stream(
+        {"Filter": ["ASCII85Decode", "FlateDecode"],
+         "DecodeParms": [None], "Length": len(enc)},
+        enc,
+    )
+    assert s.data() == payload

@@ -48,3 +48,22 @@ def test_zero_counts_means_unchanged(redacted):
     for i, (raw, _, counts) in enumerate(CASES):
         if not counts:
             assert redacted[i]["redacted"] == raw
+
+
+def test_progressive_counts_phone_inside_email_local_part(spark):
+    # 555-123-4567@example.com: the email pattern swallows the phone-shaped
+    # local part; progressive counting must report n_phone=0 (no <PHONE>
+    # token is emitted), not n_phone=1 counted on the original text
+    from llm_food_spark.operators.redact import redact_cols
+
+    df = spark.createDataFrame(
+        [(0, "reach 555-123-4567@example.com for details")], "id int, text string")
+    cols = redact_cols(F.col("text"))
+    row = df.select(*[c.alias(k) for k, c in cols.items()]).collect()[0]
+    assert row["redacted"] == "reach <EMAIL> for details"
+    assert row["n_email"] == 1
+    assert row["n_phone"] == 0
+    # every class count equals the number of its tokens in the output
+    for k, tok in (("n_email", "<EMAIL>"), ("n_phone", "<PHONE>"),
+                   ("n_ipv4", "<IP>"), ("n_ssn", "<SSN>")):
+        assert row[k] == row["redacted"].count(tok)

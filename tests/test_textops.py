@@ -385,3 +385,28 @@ def test_token_count_bpe(spark):
     assert got[3] == 0
     # "  spaced   out  ": ' ' + ' spaced' + '  ' + ' out' + '  '
     assert got[4] == 5
+
+
+def test_mp4_truncated_v1_mvhd_still_parses():
+    # v1 mvhd with only 28 body bytes (no room for the 64-bit duration):
+    # must degrade to metadata-without-duration, not struct.error->unrecognized
+    from llm_food_spark.operators.multimodal import _mp4_meta
+
+    def box(name, payload):
+        return struct.pack(">I", 8 + len(payload)) + name + payload
+
+    mvhd_v1_trunc = b"\x01" + b"\x00" * 27  # version=1, zero body
+    blob = (box(b"ftyp", b"isom" + b"\x00" * 8)
+            + box(b"moov", box(b"mvhd", mvhd_v1_trunc)))
+    meta = _mp4_meta(blob)
+    assert meta is not None and meta["format"] == "mp4"
+    assert "duration_ms" not in meta
+
+    # intact v1 mvhd: 64-bit duration parsed
+    mvhd_v1 = (b"\x01" + b"\x00" * 3 + b"\x00" * 16
+               + struct.pack(">I", 1000) + struct.pack(">Q", 7000)
+               + b"\x00" * 76)
+    blob2 = (box(b"ftyp", b"isom" + b"\x00" * 8)
+             + box(b"moov", box(b"mvhd", mvhd_v1)))
+    meta2 = _mp4_meta(blob2)
+    assert meta2["duration_ms"] == 7000
