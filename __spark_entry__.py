@@ -239,9 +239,19 @@ def q_chunk_counts(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 def q_dedup_exact(spark, sf_dir):
+    """Exact-dup groups. The documents corpus has no byte-identical texts,
+    so both engines union in a deterministic mirror of every 7th doc
+    (doc_id + 1_000_000, same text) — the oracle row then exercises the
+    group-and-keep logic on real duplicate mass instead of passing
+    vacuously on zero rows."""
     from llm_food_spark.operators.dedup import exact_duplicates
 
-    return exact_duplicates(_t(spark, sf_dir, "documents"))
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    mirror = (
+        d.where(F.col("doc_id") % 7 == 0)
+        .select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+    )
+    return exact_duplicates(d.unionByName(mirror))
 
 
 def q_ngram_jaccard(spark, sf_dir):
@@ -962,10 +972,16 @@ def oracle_sql() -> dict[str, str]:
             FROM e
         """.format(toks=_WSTOKS),
         "dedup_exact": """
+            WITH u AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 1000000 AS doc_id, text FROM documents
+              WHERE doc_id % 7 = 0
+            )
             SELECT sha256(text) AS content_hash,
                    COUNT(*)::BIGINT AS n_dups,
                    MIN(doc_id) AS keeper_id
-            FROM documents GROUP BY sha256(text) HAVING COUNT(*) > 1
+            FROM u GROUP BY sha256(text) HAVING COUNT(*) > 1
         """,
         "ngram_jaccard": """
             WITH s AS (

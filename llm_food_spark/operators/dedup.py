@@ -371,12 +371,31 @@ def simhash_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 3,
+    max_bucket: int = 256,
+    sig_col: Optional[str] = None,
 ) -> DataFrame:
     """Near-dup pairs with Hamming(simhash) <= k, found via pigeonhole
     banding: k+1 blocks of 16 bits — any pair within distance k shares at
-    least one exact block. Verification is JVM bit_count(xor)."""
-    sigs = ensure_min_partitions(df).select(
-        F.col(id_col).alias("id"), simhash64(F.col(text_col)).alias("sim"))
+    least one exact block. Verification is JVM bit_count(xor).
+
+    ``max_bucket`` caps degenerate blocks (same guardrail as
+    minhash_lsh_pairs): a web corpus has millions of empty/boilerplate docs
+    sharing sim=0 blocks, and one such block value makes the self-join
+    quadratic. Blocks wider than the cap are dropped — exact-duplicate
+    clusters that wide belong to exact dedup, not simhash. Note the cap
+    cannot lose a pair entirely unless ALL k+1 of its shared blocks are
+    degenerate (each block is an independent pigeonhole).
+
+    ``sig_col`` supplies a precomputed 64-bit signature column instead of
+    hashing ``text_col`` — the banding/verification plan is then fully
+    SQL-expressible and oracle-checked (see __spark_entry__ simhash_seeded).
+    """
+    if sig_col is not None:
+        sigs = df.select(F.col(id_col).alias("id"),
+                         F.col(sig_col).cast("long").alias("sim"))
+    else:
+        sigs = ensure_min_partitions(df).select(
+            F.col(id_col).alias("id"), simhash64(F.col(text_col)).alias("sim"))
     blocks = 4  # 64/16; guarantees recall for max_hamming <= 3
     banded = sigs.select(
         "id",
@@ -395,6 +414,11 @@ def simhash_pairs(
             )
         ).alias("blk"),
     ).select("id", "sim", "blk.block_id", "blk.block_val")
+    # guardrail: cap degenerate blocks before the self-join blows up
+    bucket_w = Window.partitionBy("block_id", "block_val")
+    banded = banded.withColumn("_bw", F.count(F.lit(1)).over(bucket_w)).where(
+        F.col("_bw") <= max_bucket
+    ).drop("_bw")
     left = banded.select(F.col("id").alias("id_a"), F.col("sim").alias("sim_a"),
                          "block_id", "block_val")
     right = banded.select(F.col("id").alias("id_b"), F.col("sim").alias("sim_b"),
@@ -412,6 +436,39 @@ def simhash_pairs(
     )
 
 
+def simhash_dropped_blocks(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_bucket: int = 256,
+) -> DataFrame:
+    """Audit report for the ``max_bucket`` guardrail: (block_id, block_val,
+    n_docs) for every block simhash_pairs would drop. Run alongside the
+    pair query so capped mass is visible, never silent."""
+    sigs = ensure_min_partitions(df).select(
+        F.col(id_col).alias("id"), simhash64(F.col(text_col)).alias("sim"))
+    banded = sigs.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("block_id"),
+                        F.shiftrightunsigned(F.col("sim"), 16 * b)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("block_val"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("blk"),
+    ).select("blk.block_id", "blk.block_val")
+    return (
+        banded.groupBy("block_id", "block_val")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .where(F.col("n_docs") > max_bucket)
+    )
+
+
 # ---------------------------------------------------------------------------
 # exact n-gram Jaccard within a blocking key
 # ---------------------------------------------------------------------------
@@ -423,10 +480,19 @@ def ngram_jaccard_pairs(
     block_col: Optional[str] = "lang",
     n: int = 1,
     threshold: float = 0.6,
+    max_block: Optional[int] = 10_000,
 ) -> DataFrame:
     """Exact word-n-gram Jaccard pairs above threshold, blocked on
     ``block_col`` to bound the quadratic join (SQL-expressible twin in the
-    oracle: DuckDB list_intersect/list functions)."""
+    oracle: DuckDB list_intersect/list functions).
+
+    SCALE WARNING: this operator is quadratic WITHIN a block — it is the
+    exact, oracle-checkable form for test-scale corpora and for
+    high-cardinality blocking keys (host, minhash band prefix). Low-
+    cardinality keys like ``lang`` over a web corpus are an all-pairs join
+    in disguise; use ``minhash_lsh_pairs`` there. ``max_block`` is the
+    guardrail: blocks wider than the cap are dropped entirely (route those
+    corpora to MinHash); pass None to disable for a verified-small input."""
     sets = ensure_min_partitions(df).select(
         F.col(id_col).alias("id"),
         (F.col(block_col) if block_col else F.lit("all")).alias("blk"),
@@ -435,6 +501,11 @@ def ngram_jaccard_pairs(
             else F.array_distinct(words_array(F.col(text_col)))
         ).alias("toks"),
     )
+    if max_block is not None:
+        block_w = Window.partitionBy("blk")
+        sets = sets.withColumn("_bw", F.count(F.lit(1)).over(block_w)).where(
+            F.col("_bw") <= max_block
+        ).drop("_bw")
     a = sets.select(F.col("id").alias("id_a"), F.col("blk"),
                     F.col("toks").alias("toks_a"))
     b = sets.select(F.col("id").alias("id_b"), F.col("blk"),

@@ -125,20 +125,26 @@ def lsh_ann_topk(
 ) -> DataFrame:
     """Approximate top-k: random-hyperplane signature split into ``bands``
     blocks; query and candidate must share >=1 block value to be scored.
-    Equi-join on (band, block) replaces the cross join — the scale path."""
+    Equi-join on (band, block) replaces the cross join — the scale path.
+
+    Shuffle shape: the banded frames carry (id, band, block) ONLY — never
+    the embedding. Shipping vectors through the explode would multiply
+    shuffle bytes by dim*8*bands per row (the anti-pattern minhash_lsh_pairs
+    documents); vectors are joined back for the distinct candidate id-pairs
+    only, after the bucket join."""
     sig = hyperplane_signature_udf(dim=DIM, nbits=nbits)
     bits_per = nbits // bands
     mask = (1 << bits_per) - 1
 
     def banded(df: DataFrame, role: str) -> DataFrame:
+        # NARROW: the vector feeds the signature UDF but is NOT projected
+        # past the explode — band rows are (id, band, block) ints only
         s = df.select(
             F.col(id_col).alias("%s_id" % role),
-            F.col(vec_col).alias("%s_v" % role),
             sig(F.col(vec_col)).alias("_sig"),
         )
         return s.select(
             "%s_id" % role,
-            "%s_v" % role,
             F.explode(
                 F.array(
                     *[
@@ -152,14 +158,21 @@ def lsh_ann_topk(
                     ]
                 )
             ).alias("bb"),
-        ).select("%s_id" % role, "%s_v" % role, "bb.band", "bb.block")
+        ).select("%s_id" % role, "bb.band", "bb.block")
 
     qb = banded(queries, "q")
     cb = banded(ensure_min_partitions(candidates), "c")
-    pairs = (
+    candidate_ids = (
         qb.join(cb, ["band", "block"])
         .where(F.col("c_id") != F.col("q_id"))
-        .dropDuplicates(["q_id", "c_id"])
+        .select("q_id", "c_id")
+        .distinct()
+    )
+    qv = queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_v"))
+    cv = candidates.select(F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_v"))
+    pairs = (
+        candidate_ids.join(F.broadcast(qv), "q_id")
+        .join(cv, "c_id")
         .withColumn("score", F.round(cosine(F.col("q_v"), F.col("c_v")), round_dp))
     )
     w = Window.partitionBy("q_id").orderBy(
@@ -345,19 +358,28 @@ def embedding_neardup_pairs(
     nbits: int = 16,
     bands: int = 4,
     round_dp: int = 6,
+    max_bucket: int = 4096,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, score >= t) via
-    the same banded hyperplane blocking."""
+    the same banded hyperplane blocking.
+
+    Shuffle shape (mirrors lsh_ann_topk): band rows are (id, band, block)
+    ints only — vectors join back for distinct candidate pairs, never ride
+    the explode. ``max_bucket`` caps degenerate buckets (all-zero or
+    boilerplate-identical embeddings) before the self-join goes quadratic.
+    Tuning note: the nbits=16/bands=4 default gives 4-bit blocks — fine at
+    test scale; a web-scale corpus wants nbits >= 64 with >= 16-bit blocks
+    so bucket width stays sub-linear in corpus size."""
     sig = hyperplane_signature_udf(dim=DIM, nbits=nbits)
     bits_per = nbits // bands
     mask = (1 << bits_per) - 1
-    s = ensure_min_partitions(df).select(
-        F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
+    base = ensure_min_partitions(df)
+    s = base.select(
+        F.col(id_col).alias("id"),
         sig(F.col(vec_col)).alias("_sig"),
     )
     banded = s.select(
         "id",
-        "v",
         F.explode(
             F.array(
                 *[
@@ -371,15 +393,24 @@ def embedding_neardup_pairs(
                 ]
             )
         ).alias("bb"),
-    ).select("id", "v", "bb.band", "bb.block")
-    a = banded.select(F.col("id").alias("id_a"), F.col("v").alias("va"),
-                      "band", "block")
-    b = banded.select(F.col("id").alias("id_b"), F.col("v").alias("vb"),
-                      "band", "block")
-    return (
+    ).select("id", "bb.band", "bb.block")
+    bucket_w = Window.partitionBy("band", "block")
+    banded = banded.withColumn("_bw", F.count(F.lit(1)).over(bucket_w)).where(
+        F.col("_bw") <= max_bucket
+    ).drop("_bw")
+    a = banded.select(F.col("id").alias("id_a"), "band", "block")
+    b = banded.select(F.col("id").alias("id_b"), "band", "block")
+    candidate_ids = (
         a.join(b, ["band", "block"])
         .where(F.col("id_a") < F.col("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    va = base.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    vb = base.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        candidate_ids.join(va, "id_a")
+        .join(vb, "id_b")
         .withColumn("score", F.round(cosine(F.col("va"), F.col("vb")), round_dp))
         .where(F.col("score") >= threshold)
         .select("id_a", "id_b", "score")

@@ -48,9 +48,21 @@ def prepare_training_data(
     max_bytes: Optional[int] = None,
     collect_stats: bool = True,
 ):
-    """Returns (chunks_df, stats_dict). stats is None unless collect_stats."""
+    """Returns (chunks_df, stats_dict). stats is None unless collect_stats.
+
+    With ``collect_stats=True`` the extraction output and the post-dedup
+    frame are persisted so the six funnel counters scan the cache instead of
+    re-running extraction + dedup per counter (extraction executes exactly
+    once — tests/test_prep.py asserts this with a partition-execution
+    probe). The frames stay cached for the caller's subsequent actions on
+    the returned chunks; call ``chunks.unpersist()`` / let the session GC
+    reclaim them when done."""
     results = extract_pages(pages, n_partitions=n_partitions,
                             max_bytes=max_bytes)
+    if collect_stats:
+        # cache the expensive boundary ONCE: every counter below and the
+        # final chunk pass read this, not a fresh extraction
+        results = results.persist()
     docs = results.where(F.col("status") == "completed").select(
         "url", "content_hash", "markdown"
     )
@@ -94,6 +106,11 @@ def prepare_training_data(
     if redact:
         unique = unique.withColumn("markdown", redact_pii(F.col("markdown")))
 
+    if collect_stats:
+        # the near-dup anti-join (a full MinHash pass) feeds both the
+        # "after_neardup" counter and the chunk pass — cache it too
+        unique = unique.persist()
+
     chunks = chunk_table(
         unique, text_col="markdown", key_col="url",
         strategy=chunk_strategy, chunk_size=chunk_size,
@@ -102,6 +119,8 @@ def prepare_training_data(
 
     stats = None
     if collect_stats:
+        # every count below the persist boundaries re-scans cached rows;
+        # extraction and MinHash each execute exactly once
         stats = {
             "input_pages": pages.count(),
             "extracted": docs.count(),

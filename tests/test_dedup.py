@@ -114,3 +114,40 @@ def test_minhash_ml_variant_finds_planted(docs):
         assert pairs.get((i, 100 + i)) == 1.0
     for i in range(5, 10):  # 5% mutations
         assert (i, 200 + i) in pairs
+
+
+def test_simhash_degenerate_corpus_capped(spark):
+    # 2000 identical boilerplate docs: every 16-bit block is degenerate.
+    # Without the max_bucket cap the self-join is 2000^2/2 rows per block;
+    # with it the blocks are dropped, reported, and the query stays linear.
+    from llm_food_spark.operators.dedup import simhash_dropped_blocks
+
+    rows = [(i, "click here to continue") for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = simhash_pairs(df, max_hamming=3, max_bucket=64)
+    assert pairs.count() == 0  # degenerate mass belongs to exact dedup
+    report = simhash_dropped_blocks(df, max_bucket=64)
+    dropped = report.collect()
+    assert len(dropped) == 4  # all four blocks over cap
+    assert all(r["n_docs"] == 2000 for r in dropped)
+    # a small genuine cluster alongside the boilerplate survives the cap
+    rows += [(10_000, "alpha bravo charlie delta echo foxtrot golf hotel"),
+             (10_001, "alpha bravo charlie delta echo foxtrot golf hotel")]
+    df2 = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r["id_a"], r["id_b"])
+           for r in simhash_pairs(df2, max_hamming=3, max_bucket=64).collect()}
+    assert (10_000, 10_001) in got
+
+
+def test_ngram_jaccard_block_cap(spark):
+    # one block spanning the whole corpus: the cap must drop it (routing
+    # such corpora to minhash), max_block=None restores exact behavior
+    rows = [(i, "all", "common words shared by every document %d" % (i % 3))
+            for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    capped = ngram_jaccard_pairs(df, block_col="lang", threshold=0.5,
+                                 max_block=100)
+    assert capped.count() == 0
+    uncapped = ngram_jaccard_pairs(df, block_col="lang", threshold=0.99,
+                                   max_block=None)
+    assert uncapped.count() > 0  # i%3 groups are word-identical

@@ -65,3 +65,41 @@ def test_prep_funnel(spark):
     assert stats["after_exact_dedup"] == stats["quality_pass"] - 1
     assert stats["after_neardup"] <= stats["after_exact_dedup"] - 1
     assert stats["chunks"] >= stats["after_neardup"]  # >=1 chunk per doc
+
+
+def test_prep_stats_runs_extraction_once(spark, tmp_path):
+    """collect_stats=True must not re-run extraction per counter: a marker
+    file lands in tmp_path every time a pages partition is (re)computed, so
+    with 4 partitions exactly 4 markers means one extraction pass."""
+    import os
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    probe_dir = str(tmp_path)
+
+    def probed(it):
+        import pandas as _pd  # noqa: F401
+        marked = False
+        for pdf in it:
+            if not marked and len(pdf):
+                with open(os.path.join(probe_dir, uuid.uuid4().hex), "w"):
+                    pass
+                marked = True
+            yield pdf
+
+    pages = pages_to_df(spark, list(generate_pages(40))).repartition(4)
+    pages = pages.mapInPandas(probed, pages.schema)
+
+    chunks, stats = prepare_training_data(
+        pages, min_quality=0.0, min_tokens=1, neardup_threshold=0.9,
+        chunk_strategy="token", chunk_size=64, chunk_overlap=16,
+        n_partitions=None, collect_stats=True,
+    )
+    assert stats is not None and stats["extracted"] > 0
+    n_markers = len(os.listdir(probe_dir))
+    # one pass fills the cache; every counter afterwards reads it.
+    # (input_pages.count() scans pages pre-extraction: allow that one extra
+    # materialization of the probed frame, nothing more)
+    assert n_markers <= 8, "extraction ran %d times over 4 partitions" % (
+        n_markers // 4)
