@@ -345,6 +345,23 @@ def q_simhash(spark, sf_dir):
     return simhash_pairs(_t(spark, sf_dir, "documents"), max_hamming=10)
 
 
+def q_simhash_seeded(spark, sf_dir):
+    """The simhash pair-finding PLAN (pigeonhole banding + bucket cap +
+    bit_count verification) under a hard DuckDB oracle: both engines derive
+    the same 64-bit signature from doc_id arithmetic — 50 signature groups
+    sharing blocks 1-3 exactly, with up-to-4 noise bits in block 0 — so the
+    banding join, the degenerate-bucket cap, and the Hamming filter are all
+    value-checked. The signature UDF itself stays gated by pytest ground
+    truth (tests/test_dedup.py); this query isolates the Spark plan."""
+    from llm_food_spark.operators.dedup import simhash_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    sim = ((F.col("doc_id") % 50) * 1111111111) * 65536 + (F.col("doc_id") % 16)
+    sigs = d.select("doc_id", sim.alias("sim"))
+    return simhash_pairs(sigs, id_col="doc_id", sig_col="sim",
+                         max_hamming=3, max_bucket=256)
+
+
 def q_ann_lsh(spark, sf_dir):
     from llm_food_spark.operators.similarity import lsh_ann_topk
 
@@ -604,7 +621,15 @@ def q_media_frames(spark, sf_dir):
                      make_gif(fidx, w, h, palette, [40] * 4)))
     rows.append(("bad", b"not video"))
     df = spark.createDataFrame(rows, "media_id string, payload binary")
-    return frame_sample(df, every_n=2).orderBy("media_id", "frame_no")
+    # driver-facing projection: hash the raw frame bytes (binary columns
+    # round-trip differently through Spark collect vs DuckDB fetch; the
+    # sha256 pins the exact pixel bytes without shipping them)
+    return frame_sample(df, every_n=2).select(
+        "media_id", "frame_no", "pts_ms", "width", "height",
+        F.sha2(F.col("frame"), 256).alias("frame_sha256"),
+        F.length(F.col("frame")).alias("frame_bytes"),
+        "status", "error_message",
+    ).orderBy("media_id", "frame_no")
 
 
 def q_audio_chunk(spark, sf_dir):
@@ -623,7 +648,13 @@ def q_audio_chunk(spark, sf_dir):
                      b"RIFF" + _s.pack("<I", 4 + len(body)) + b"WAVE" + body))
     rows.append(("bad", b"not audio"))
     df = spark.createDataFrame(rows, "media_id string, payload binary")
-    return audio_chunk(df, chunk_ms=500).orderBy("media_id", "chunk_no")
+    # hash the PCM chunk bytes (see q_media_frames note)
+    return audio_chunk(df, chunk_ms=500).select(
+        "media_id", "chunk_no", "start_ms", "dur_ms",
+        F.sha2(F.col("payload"), 256).alias("payload_sha256"),
+        F.length(F.col("payload")).alias("payload_bytes"),
+        "status", "error_message",
+    ).orderBy("media_id", "chunk_no")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -661,6 +692,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_recursive": q_chunk_recursive,
         "minhash_lsh": q_minhash_lsh,
         "simhash": q_simhash,
+        "simhash_seeded": q_simhash_seeded,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
         "fingerprint": q_fingerprint,
@@ -799,6 +831,165 @@ _URL_CANON_SQL = r"""
         || CASE WHEN q <> '' THEN '?' || q ELSE '' END AS canonical_url
     FROM d
 """.replace("{tracking}", _TRACKING_RE_SQL).replace("{suffixes}", _SUFFIX_LIST_SQL)
+
+
+_SIMHASH_SEEDED_SQL = """
+    WITH sigs AS (
+      SELECT doc_id AS id,
+             ((doc_id % 50) * 1111111111) * 65536 + (doc_id % 16) AS sim
+      FROM documents
+    ), banded AS (
+      SELECT id, sim, b.block_id, (sim >> (16 * b.block_id)) & 65535 AS block_val
+      FROM sigs, (VALUES (0), (1), (2), (3)) AS b(block_id)
+    ), capped AS (
+      SELECT id, sim, block_id, block_val FROM (
+        SELECT *, count(*) OVER (PARTITION BY block_id, block_val) AS bw
+        FROM banded
+      ) WHERE bw <= 256
+    )
+    SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+           CAST(bit_count(xor(a.sim, b.sim)) AS INT) AS hamming
+    FROM capped a JOIN capped b USING (block_id, block_val)
+    WHERE a.id < b.id AND bit_count(xor(a.sim, b.sim)) <= 3
+"""
+
+
+def _chunk_sentence_sql() -> str:
+    """Recursive-CTE twin of functions/chunkers.py chunk_sentence: the
+    lookbehind split ``(?<=[.!?])\\s+`` is rewritten RE2-safely as a marker
+    substitution; greedy packing and the trailing-sentence overlap step are
+    prefix-sum window math inside the recursion (j = furthest sentence with
+    window total <= 64; next i = earliest back-step whose trailing total
+    <= 16)."""
+    return r"""
+    WITH RECURSIVE base AS (
+      SELECT doc_id,
+             list_filter(
+               string_split(
+                 regexp_replace(text, '([.!?])\s+', '\1' || chr(30), 'g'),
+                 chr(30)),
+               s -> regexp_matches(s, '\S')) AS sents
+      FROM documents
+    ), pre AS (
+      SELECT doc_id, sents, n,
+             list_transform(range(0, n + 1),
+                            k -> coalesce(list_sum(cnts[1:k]), 0)) AS prefix
+      FROM (
+        SELECT doc_id, sents, len(sents) AS n,
+               list_transform(sents,
+                              s -> len(regexp_extract_all(s, '\S+'))) AS cnts
+        FROM base WHERE len(sents) > 0
+      )
+    ), rec AS (
+      SELECT doc_id, sents, n, prefix, 0 AS cid, 0 AS i,
+             greatest(1, len(list_filter(range(1, n + 1),
+                      jj -> prefix[jj + 1] - prefix[1] <= 64))) AS j
+      FROM pre
+      UNION ALL
+      SELECT doc_id, sents, n, prefix, cid + 1, nexti,
+             greatest(nexti + 1,
+               nexti + len(list_filter(range(nexti + 1, n + 1),
+                        jj -> prefix[jj + 1] - prefix[nexti + 1] <= 64))) AS j
+      FROM (
+        SELECT doc_id, sents, n, prefix, cid, j,
+               greatest(i + 1,
+                 j + 1 - len(list_filter(range(i + 1, j + 1),
+                          b -> prefix[j + 1] - prefix[b + 1] <= 16))) AS nexti
+        FROM rec WHERE j < n
+      )
+    )
+    SELECT doc_id AS url, CAST(cid AS INT) AS chunk_id,
+           array_to_string(sents[i + 1 : j], ' ') AS chunk,
+           'sentence' AS strategy, 64 AS chunk_size, 16 AS chunk_overlap
+    FROM rec
+    UNION ALL
+    SELECT doc_id AS url, NULL, NULL, 'sentence', 64, 16
+    FROM base WHERE len(sents) = 0
+"""
+
+
+def _repetition_sql() -> str:
+    """DuckDB twin of functions/text_quality.py: per-doc word n-grams via
+    list_transform(range(...)); top-n = most frequent gram's char mass over
+    the joined length (ties break to the lexicographically smallest gram —
+    words carry no whitespace, so joined-string order == tuple order); dup-n
+    = positional coverage via a windowed max over gram-start dup flags."""
+    parts = []
+    sel = ["d.doc_id"]
+    for n in (2, 3, 4):
+        parts.append("""
+    g{n} AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(words) - {n} + 2),
+                    i -> array_to_string(words[i:i + {m}], ' '))) AS g
+      FROM w WHERE len(words) >= {n}
+    ),
+    top{n} AS (
+      -- round_even: the Python side rounds with banker's rounding, and
+      -- these fractions are dyadic rationals that land exactly on .5
+      SELECT doc_id, round_even(least(1.0, c * length(g) / total), 6) AS v
+      FROM (
+        SELECT gc.doc_id, gc.g, gc.c, w.total_join AS total,
+               row_number() OVER (PARTITION BY gc.doc_id
+                                  ORDER BY gc.c DESC, gc.g ASC) AS rn
+        FROM (SELECT doc_id, g, count(*) AS c FROM g{n} GROUP BY doc_id, g) gc
+        JOIN w USING (doc_id)
+      ) WHERE rn = 1 AND total > 0
+    )""".format(n=n, m=n - 1))
+        sel.append("coalesce(top%d.v, 0.0) AS top_%dgram_frac" % (n, n))
+    for n in (5, 8, 10):
+        parts.append("""
+    gp{n} AS (
+      SELECT doc_id,
+             unnest(range(1, len(words) - {n} + 2)) AS i,
+             unnest(list_transform(range(1, len(words) - {n} + 2),
+                    i -> array_to_string(words[i:i + {m}], ' '))) AS g
+      FROM w WHERE len(words) >= {n}
+    ),
+    gf{n} AS (
+      SELECT a.doc_id, a.i, (cnt.c > 1) AS dup
+      FROM gp{n} a
+      JOIN (SELECT doc_id, g, count(*) AS c FROM gp{n} GROUP BY doc_id, g) cnt
+        USING (doc_id, g)
+    ),
+    cov{n} AS (
+      SELECT wp.doc_id, wp.wl,
+             max(CASE WHEN coalesce(f.dup, false) THEN 1 ELSE 0 END)
+               OVER (PARTITION BY wp.doc_id ORDER BY wp.j
+                     ROWS BETWEEN {pre} PRECEDING AND CURRENT ROW) AS c
+      FROM wp LEFT JOIN gf{n} f ON f.doc_id = wp.doc_id AND f.i = wp.j
+    ),
+    dup{n} AS (
+      SELECT doc_id,
+             round_even(sum(CASE WHEN c = 1 THEN wl ELSE 0 END) / sum(wl), 6) AS v
+      FROM cov{n} GROUP BY doc_id
+    )""".format(n=n, m=n - 1, pre=n - 1))
+        sel.append("coalesce(dup%d.v, 0.0) AS dup_%dgram_frac" % (n, n))
+    joins = "\n".join(
+        "    LEFT JOIN top%d ON top%d.doc_id = d.doc_id" % (n, n)
+        for n in (2, 3, 4)
+    ) + "\n" + "\n".join(
+        "    LEFT JOIN dup%d ON dup%d.doc_id = d.doc_id" % (n, n)
+        for n in (5, 8, 10)
+    )
+    return r"""
+    WITH w AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '\s+'),
+                         x -> x <> '') AS words,
+             length(array_to_string(
+               list_filter(regexp_split_to_array(lower(text), '\s+'),
+                           x -> x <> ''), ' ')) AS total_join
+      FROM documents
+    ),
+    wp AS (
+      SELECT doc_id, unnest(range(1, len(words) + 1)) AS j,
+             unnest(list_transform(words, x -> length(x))) AS wl
+      FROM w WHERE len(words) > 0
+    ),""" + ",".join(parts) + """
+    SELECT """ + ",\n           ".join(sel) + """
+    FROM documents d
+""" + joins
 
 
 def oracle_sql() -> dict[str, str]:
@@ -999,6 +1190,13 @@ def oracle_sql() -> dict[str, str]:
             WHERE len(list_intersect(a.toks, b.toks))::DOUBLE
                   / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.12
         """.format(w=_WORDS),
+        # simhash pair-finding plan under a hard oracle (seeded arithmetic
+        # signatures — see q_simhash_seeded)
+        "simhash_seeded": _SIMHASH_SEEDED_SQL,
+        # sentence chunker: recursive-CTE greedy packing twin
+        "chunk_sentence": _chunk_sentence_sql(),
+        # Gopher n-gram repetition fractions: list-function twin
+        "repetition": _repetition_sql(),
         "cosine_topk": """
             SELECT query_id, rank, vec_id, score FROM (
               SELECT q.vec_id AS query_id, c.vec_id AS vec_id,

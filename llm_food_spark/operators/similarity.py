@@ -238,11 +238,14 @@ def ivf_train_centroids(
         )
         for _ in range(iters):
             assign = ivf_assign_udf(cents, dim=dim)
+            # decimal sums: exact + associative, so the centroid update is
+            # bit-identical regardless of partial-aggregation order — the
+            # whole IVF pipeline (and its frozen golden) stays deterministic
             sums = (
                 base.select(assign(F.col("v")).alias("cluster"),
                             F.posexplode(F.col("v")).alias("pos", "x"))
                 .groupBy("cluster", "pos")
-                .agg(F.sum(F.col("x").cast("double")).alias("s"),
+                .agg(F.sum(F.col("x").cast("decimal(28,10)")).alias("s"),
                      F.count(F.lit(1)).alias("n"))
                 .collect()
             )
@@ -250,7 +253,7 @@ def ivf_train_centroids(
             acc = np.zeros((len(cents), dim))
             cnt = np.zeros(len(cents))
             for r in sums:
-                acc[r["cluster"], r["pos"]] += r["s"]
+                acc[r["cluster"], r["pos"]] += float(r["s"])
                 cnt[r["cluster"]] = r["n"]
             nonempty = cnt > 0
             new[nonempty] = acc[nonempty] / cnt[nonempty, None]
