@@ -992,7 +992,32 @@ def _repetition_sql() -> str:
 """ + joins
 
 
+def _golden_parquet_oracles() -> dict[str, str]:
+    """Golden-parquet oracles for the non-SQL-expressible queries (pure-
+    Python parsers / hash families / k-means): the frozen parquet under
+    fixtures/query_golden/sf0.01/ is produced by tools/freeze_query_goldens
+    from the query itself, so this row pins run-over-run byte-stability of
+    the full pipeline — the SEMANTIC gate for these operators is the pytest
+    suite (extraction goldens vs hand-built fixtures, planted-duplicate
+    recall vs brute force, numpy parity, decoder fuzz). Pinned to the
+    driver's correctness scale (sf0.01, TESTDATA.md); re-freeze only for a
+    deliberate behavior change, stated in the commit message."""
+    import pathlib
+
+    gdir = pathlib.Path(__file__).resolve().parent / "fixtures" / "query_golden" / "sf0.01"
+    out = {}
+    for p in sorted(gdir.glob("*.parquet")):
+        out[p.stem] = "SELECT * FROM read_parquet('%s')" % p
+    return out
+
+
 def oracle_sql() -> dict[str, str]:
+    out = _golden_parquet_oracles()
+    out.update(_handwritten_oracles())
+    return out
+
+
+def _handwritten_oracles() -> dict[str, str]:
     return {
         "point_lookup": """
             SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus

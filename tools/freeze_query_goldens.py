@@ -1,0 +1,132 @@
+"""Freeze driver-query outputs as golden parquet oracles.
+
+For queries whose semantics are NOT SQL-expressible (pure-Python parsers,
+hash families, k-means), the DuckDB oracle becomes ``SELECT * FROM
+read_parquet(golden)``: the frozen parquet is produced by THIS tool from the
+query itself, so the driver's rows+schema+hash gate pins byte-stability of
+the full pipeline run-over-run. The semantic ground truth for these
+operators lives in the pytest suite (extraction goldens, planted-duplicate
+recall, numpy parity, decoder fuzz) — the parquet golden converts that
+already-tested behavior into a hard CORRECTNESS row the driver can see,
+and catches any unintended drift (seed changes, plan changes, float
+nondeterminism) immediately.
+
+Goldens are pinned to the driver's correctness scale (sf0.01) — the only
+scale the driver compares at (TESTDATA.md).
+
+Usage:
+  python tools/freeze_query_goldens.py            # (re)freeze all
+  python tools/freeze_query_goldens.py --check    # recompute + compare
+  python tools/freeze_query_goldens.py --check extract_html ann_ivf
+"""
+
+from __future__ import annotations
+
+import shutil
+import sys
+import tempfile
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+SF_DIR = "/root/testdata/sf0.01"
+GOLDEN_DIR = REPO / "fixtures" / "query_golden" / "sf0.01"
+
+# every rows-only query whose output is deterministic end-to-end
+GOLDEN_QUERIES = [
+    "extract_html",
+    "extract_errors",
+    "extract_pdf",
+    "extract_office",
+    "extract_chunk",
+    "chunk_recursive",
+    "minhash_lsh",
+    "simhash",
+    "ann_lsh",
+    "ann_ivf",
+    "fingerprint",
+    "image_meta",
+    "media_meta",
+    "media_frames",
+    "audio_chunk",
+    "embedding_neardup",
+    "training_prep",
+]
+
+
+def golden_path(name: str) -> Path:
+    return GOLDEN_DIR / ("%s.parquet" % name)
+
+
+def freeze(names) -> None:
+    import __spark_entry__ as entrymod
+    from llm_food_spark.session import get_spark
+
+    spark = get_spark("freeze-query-goldens")
+    qs = entrymod.queries()
+    GOLDEN_DIR.mkdir(parents=True, exist_ok=True)
+    for name in names:
+        df = qs[name](spark, SF_DIR)
+        with tempfile.TemporaryDirectory() as tmp:
+            out = Path(tmp) / "g"
+            # Spark writes preserve the exact logical types (nullable ints
+            # stay ints — a pandas hop would float them)
+            df.coalesce(1).write.mode("overwrite").parquet(str(out))
+            part = next(out.glob("part-*.parquet"))
+            shutil.move(str(part), golden_path(name))
+        print("froze %-18s -> %s" % (name, golden_path(name).name))
+
+
+def check(names) -> int:
+    import duckdb
+
+    import __spark_entry__ as entrymod
+    from llm_food_spark.session import get_spark
+    from tools.check_oracles import value_hash
+
+    spark = get_spark("check-query-goldens")
+    qs = entrymod.queries()
+    con = duckdb.connect()
+    failures = 0
+    for name in names:
+        p = golden_path(name)
+        if not p.exists():
+            print("%-18s MISSING golden (run without --check to freeze)" % name)
+            failures += 1
+            continue
+        df = qs[name](spark, SF_DIR)
+        cols = df.columns
+        rows = [tuple(r) for r in df.collect()]
+        rel = con.sql("SELECT * FROM read_parquet('%s')" % p)
+        ocols = list(rel.columns)
+        orows = rel.fetchall()
+        ok = (
+            sorted(cols) == sorted(ocols)
+            and len(rows) == len(orows)
+            and value_hash(cols, rows) == value_hash(ocols, orows)
+        )
+        print("%-18s %s  %6d/%6d rows" % (name, "OK " if ok else "DRIFT",
+                                          len(rows), len(orows)))
+        if not ok:
+            failures += 1
+    print("failures: %d" % failures)
+    return failures
+
+
+def main() -> int:
+    args = sys.argv[1:]
+    do_check = "--check" in args
+    names = [a for a in args if not a.startswith("--")] or GOLDEN_QUERIES
+    unknown = set(names) - set(GOLDEN_QUERIES)
+    if unknown:
+        print("not golden queries: %s" % sorted(unknown))
+        return 1
+    if do_check:
+        return 1 if check(names) else 0
+    freeze(names)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
