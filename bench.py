@@ -141,6 +141,9 @@ def main() -> int:
         F.xxhash64("url").alias("doc_id"), F.col("markdown").alias("text")
     ).where((F.length("text") > 0) & (F.pmod(F.xxhash64("doc_id"), F.lit(4)) == 0))
     n_mh = results.count()
+    # one untimed warm pass (signature-UDF import + codegen), then best-of —
+    # steady-state, consistent with the operator queries below
+    n_pairs = minhash_lsh_pairs(results, threshold=0.5).count()
     best = None
     for _ in range(max(reps, 1)):
         t0 = time.time()
@@ -159,7 +162,10 @@ def main() -> int:
     for name in BENCH_QUERIES:
         force(qs[name](spark, sf_dir))
         best = None
-        for _ in range(max(reps, 1)):
+        # cheap queries (all <= ~3s steady-state) get an extra rep: round-1
+        # recorded 8.8s for a 0.7s query out of a single noisy-neighbor
+        # window, and best-of-3 is the cheapest effective filter
+        for _ in range(max(reps + 1, 1)):
             t0 = time.time()
             force(qs[name](spark, sf_dir))
             t = time.time() - t0

@@ -296,17 +296,18 @@ def minhash_lsh_pairs_ml(
     threshold: float = 0.5,
     num_features: int = 1 << 20,
 ) -> DataFrame:
-    """MLlib-backed MinHash LSH — the corpus-scale path.
+    """MLlib-backed MinHash LSH — NOT the corpus path; measured and demoted.
 
-    The pure-Catalyst variant above has exact, dependency-free semantics but
-    evaluates its higher-order functions interpreted (~1µs/element): at
-    64 hashes x hundreds of shingles that is ~10-30 ms/doc. MLlib's
-    MinHashLSH runs the same banding scheme in compiled JVM code over
-    hashed binary term vectors (~100x faster) and its
-    ``approxSimilarityJoin`` computes EXACT Jaccard on the candidate pairs,
-    so the output contract matches: (id_a, id_b, jaccard >= threshold).
-    Term hashing into ``num_features`` buckets can collide (2^20 default
-    keeps that negligible)."""
+    Head-to-head at sf0.1 (50k extracted docs, local[32], round 2):
+    ``minhash_lsh_pairs`` finishes in ~4s warm; this variant did not finish
+    in 7 MINUTES. Root cause: MLlib's MinHashLSH treats every hash table as
+    a band of width 1, so a candidate pair forms when ANY single min-hash
+    collides — P(candidate) = 1-(1-j)^tables, which pulls in near-quadratic
+    candidate mass from low-similarity pairs (j=0.05 already collides with
+    ~56% probability at 16 tables) and then computes exact Jaccard on all
+    of it. The banded operator above (16 bands x 4 rows) has an S-curve at
+    ~0.5 and a bucket cap; keep it for corpora, keep this only as an API
+    cross-check at small scale (tests/test_dedup.py)."""
     from pyspark.ml.feature import HashingTF, MinHashLSH
 
     sets = ensure_min_partitions(df).select(

@@ -1,0 +1,112 @@
+"""URL fetch source (SURVEY T19) — batch analogue of the reference's
+/convert endpoint (/root/reference/llm_food/app.py:468-497: httpx GET,
+raise_for_status, empty-content rejection, sha256 hash, basename-or-url
+filename fallback).
+
+Spark shape: one ``mapInPandas`` pass per url partition with an INJECTABLE
+fetcher callable — the default resolves ``file://`` and ``data:`` URLs only
+(this environment has no network; a deployment passes a real HTTP fetcher).
+Error semantics are record-and-continue (T21): where the reference turns a
+fetch problem into an HTTP 4xx response for its single url, a batch
+pipeline over millions of urls records (url, status, error_message) rows
+and keeps going. Status values mirror the reference's distinctions:
+
+- ``fetched``          — content retrieved, non-empty
+- ``error_request``    — transport-level failure (httpx.RequestError twin)
+- ``error_status:<n>`` — non-2xx response (HTTPStatusError twin)
+- ``empty``            — fetched but zero bytes ("Fetched content is empty.")
+
+Out of the extraction hot path by design: the pages table already carries
+html (SURVEY §1); this operator exists for fresh-url ingestion, feeding its
+``fetched`` rows into ``operators.extract.extract_pages``.
+"""
+
+from __future__ import annotations
+
+import base64
+import hashlib
+import os
+from typing import Callable, Iterator, Optional, Tuple
+from urllib.parse import unquote, urlparse
+
+import pandas as pd
+from pyspark.sql import DataFrame, types as T
+
+FETCH_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("filename", T.StringType()),
+        T.StructField("status", T.StringType()),
+        T.StructField("content", T.BinaryType()),
+        T.StructField("content_hash", T.StringType()),
+        T.StructField("error_message", T.StringType()),
+    ]
+)
+
+# fetcher contract: url -> (http_status:int, body:bytes); raise on
+# transport-level failure
+Fetcher = Callable[[str], Tuple[int, bytes]]
+
+
+def local_fetcher(url: str) -> Tuple[int, bytes]:
+    """Default fetcher for network-less environments: file:// paths and
+    data: URLs (base64 or percent-encoded). A missing file maps to 404 so
+    the status-error path is exercised the same way HTTP would."""
+    parsed = urlparse(url)
+    if parsed.scheme == "file":
+        path = unquote(parsed.path)
+        if not os.path.isfile(path):
+            return 404, b""
+        with open(path, "rb") as f:
+            return 200, f.read()
+    if parsed.scheme == "data":
+        # data:[<mediatype>][;base64],<payload>
+        head, _, payload = url.partition(",")
+        if not _:
+            raise ValueError("malformed data URL")
+        if head.endswith(";base64"):
+            return 200, base64.b64decode(payload)
+        return 200, unquote(payload).encode("utf-8")
+    raise ValueError("unsupported scheme %r (inject a fetcher)" % parsed.scheme)
+
+
+def _filename_for(url: str) -> str:
+    """basename fallback — parity: app.py:493 ``os.path.basename(url) or
+    url`` (the reference applies basename to the RAW url string)."""
+    return os.path.basename(url) or url
+
+
+def fetch_urls(
+    urls: DataFrame,
+    url_col: str = "url",
+    fetcher: Optional[Fetcher] = None,
+) -> DataFrame:
+    """(url) -> (url, filename, status, content, content_hash,
+    error_message); one fetch per row, vectorized per Arrow batch."""
+    fetch = fetcher or local_fetcher
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for url in pdf[url_col]:
+                fname = _filename_for(url)
+                try:
+                    code, body = fetch(url)
+                except Exception as e:  # transport twin of RequestError
+                    out.append((url, fname, "error_request", None, None,
+                                "%s: %s" % (type(e).__name__, e)))
+                    continue
+                if not 200 <= code < 300:
+                    out.append((url, fname, "error_status:%d" % code, None,
+                                None, "Error fetching URL: status %d" % code))
+                    continue
+                if not body:
+                    out.append((url, fname, "empty", None, None,
+                                "Fetched content is empty."))
+                    continue
+                out.append((url, fname, "fetched", body,
+                            hashlib.sha256(body).hexdigest(), None))
+            yield pd.DataFrame(
+                out, columns=[f.name for f in FETCH_SCHEMA.fields])
+
+    return urls.mapInPandas(run, schema=FETCH_SCHEMA)

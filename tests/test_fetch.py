@@ -1,0 +1,81 @@
+"""URL fetch source (T19): status mapping, basename fallback, hash, and
+the pipe into extraction."""
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from llm_food_spark.sources.fetch import fetch_urls, local_fetcher
+
+
+def test_fetch_urls_status_matrix(spark, tmp_path):
+    p = tmp_path / "page.html"
+    html = b"<html><body><article><h1>T</h1><p>hello fetch</p></article></body></html>"
+    p.write_bytes(html)
+    empty = tmp_path / "empty.bin"
+    empty.write_bytes(b"")
+
+    rows = [
+        ("file://%s" % p,),
+        ("file://%s/missing.html" % tmp_path,),
+        ("file://%s" % empty,),
+        ("data:text/plain;base64,%s" % __import__("base64").b64encode(b"hi").decode(),),
+        ("data:text/plain,hello%20world",),
+        ("gopher://nope",),
+        ("data:broken-no-comma",),
+    ]
+    df = spark.createDataFrame(rows, "url string")
+    got = {r["url"]: r for r in fetch_urls(df).collect()}
+
+    ok = got["file://%s" % p]
+    assert ok["status"] == "fetched"
+    assert bytes(ok["content"]) == html
+    assert ok["content_hash"] == hashlib.sha256(html).hexdigest()
+    assert ok["filename"] == "page.html"
+
+    assert got["file://%s/missing.html" % tmp_path]["status"] == "error_status:404"
+    assert got["file://%s" % empty]["status"] == "empty"
+    assert bytes(got[rows[3][0]]["content"]) == b"hi"
+    assert bytes(got[rows[4][0]]["content"]) == b"hello world"
+    assert got["gopher://nope"]["status"] == "error_request"
+    assert got["data:broken-no-comma"]["status"] == "error_request"
+
+
+def test_fetch_filename_fallback():
+    # parity: os.path.basename(url) or url (app.py:493)
+    from llm_food_spark.sources.fetch import _filename_for
+
+    assert _filename_for("https://x.example/a/b/doc.pdf") == "doc.pdf"
+    assert _filename_for("https://x.example/") == "https://x.example/"
+
+
+def test_fetch_feeds_extraction(spark, tmp_path):
+    from llm_food_spark.operators.extract import extract_pages
+
+    p = tmp_path / "art.html"
+    p.write_bytes(b"<html><body><article><h1>Title</h1>"
+                  b"<p>body text here</p></article></body></html>")
+    urls = spark.createDataFrame([("file://%s" % p,)], "url string")
+    fetched = fetch_urls(urls).where(F.col("status") == "fetched")
+    pages = fetched.select(
+        "url", F.lit(None).cast("timestamp").alias("warc_ts"),
+        F.col("content").alias("html"),
+        F.lit("").alias("text"), F.lit("en").alias("lang"),
+    )
+    res = extract_pages(pages, n_partitions=1).collect()
+    assert len(res) == 1 and res[0]["status"] == "completed"
+    assert "Title" in res[0]["markdown"]
+
+
+def test_injected_fetcher(spark):
+    def canned(url):
+        if url.endswith("/503"):
+            return 503, b""
+        return 200, b"<p>ok</p>"
+
+    df = spark.createDataFrame([("https://a/x",), ("https://a/503",)],
+                               "url string")
+    got = {r["url"]: r["status"]
+           for r in fetch_urls(df, fetcher=canned).collect()}
+    assert got == {"https://a/x": "fetched",
+                   "https://a/503": "error_status:503"}
