@@ -90,3 +90,84 @@ def first_seen_stream(pages_stream: DataFrame, n_buckets: int = 4096) -> DataFra
         "append",
         GroupStateTimeout.NoTimeout,
     )
+
+
+_BLOOM_STATE_SCHEMA = T.StructType(
+    [T.StructField("bits", T.BinaryType())]
+)
+
+
+def first_seen_stream_bloom(
+    pages_stream: DataFrame,
+    n_buckets: int = 4096,
+    bits_per_bucket: int = 1 << 23,
+    n_hashes: int = 7,
+) -> DataFrame:
+    """Approximate first-seen dedup for corpus scales where the exact
+    per-bucket hash array above is too large: each bucket's state is a
+    FIXED-SIZE bloom filter (``bits_per_bucket`` bits), so a state rewrite
+    is O(bits/8) bytes regardless of how many documents the stream has
+    seen. The trade is a bounded false-positive rate — a novel document can
+    be wrongly suppressed, never the reverse — standard for crawl dedup at
+    10^12 scale.
+
+    Sizing: fp ≈ (1 - e^(-k·n/m))^k with k=``n_hashes``, n docs per bucket,
+    m=``bits_per_bucket``. Defaults (4096 buckets × 1 MiB = 4 GiB total
+    state) hold fp < 1% up to ~2.4 billion stream documents; for 10^12 docs
+    raise ``n_buckets`` to ~10^5-10^6 (state is per-key in RocksDB — it
+    scales horizontally with executors, only the per-rewrite cost is fixed).
+
+    Bit positions use double hashing (Kirsch-Mitzenmacher) over two 64-bit
+    halves of the sha256 content hash — deterministic, no RNG state."""
+    import numpy as np  # noqa: F401  (imported for the worker closure)
+
+    hashed = pages_stream.select(
+        "url",
+        "warc_ts",
+        F.sha2(F.col("html"), 256).alias("content_hash"),
+    ).withColumn(
+        "bucket",
+        F.pmod(F.xxhash64("content_hash"), F.lit(n_buckets)).cast("int"),
+    )
+
+    nbytes = bits_per_bucket // 8
+
+    def fn(
+        key: Tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        if state.exists:
+            arr = np.frombuffer(state.get[0], dtype=np.uint8).copy()
+        else:
+            arr = np.zeros(nbytes, dtype=np.uint8)
+        changed = False
+        for pdf in pdfs:
+            mask = []
+            for h in pdf["content_hash"]:
+                h1 = int(h[:16], 16)
+                h2 = int(h[16:32], 16) | 1  # odd → all m residues reachable
+                pos = [(h1 + i * h2) % bits_per_bucket for i in range(n_hashes)]
+                present = all((arr[p >> 3] >> (p & 7)) & 1 for p in pos)
+                if present:
+                    mask.append(False)
+                else:
+                    for p in pos:
+                        arr[p >> 3] |= 1 << (p & 7)
+                    changed = True
+                    mask.append(True)
+            out = pdf.loc[mask, ["url", "warc_ts", "content_hash"]]
+            if len(out):
+                yield out
+        if changed:
+            state.update((arr.tobytes(),))
+
+    return hashed.groupBy("bucket").applyInPandasWithState(
+        fn,
+        FIRST_SEEN_SCHEMA,
+        _BLOOM_STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )

@@ -147,3 +147,47 @@ def test_first_seen_stream_stateful_dedup(spark, tmp_path):
     assert len(got_b) == 10  # re-crawl suppressed by restored state
     assert "https://recrawl.example/again" not in urls_b
     assert not ({r["content_hash"] for r in got_b} & set(hashes_a))
+
+
+def test_first_seen_stream_bloom_dedup(spark, tmp_path):
+    """Bloom-backed first-seen dedup: same contract as the exact operator
+    (in-batch dups collapse, state survives checkpoint restarts) with
+    fixed-size per-bucket state; fp is negligible at this filter size."""
+    from llm_food_spark.streaming.dedup import first_seen_stream_bloom
+    from llm_food_spark.streaming.ingest import stream_pages
+
+    in_dir = str(tmp_path / "incoming")
+    ckpt = str(tmp_path / "ckpt")
+    out_dir = str(tmp_path / "first_seen")
+
+    rows_a = generate_pages(40)
+    dup = rows_a[0]
+    rows_a.append(("https://dup.example/copy", dup[1], dup[2], dup[3], dup[4]))
+    pages_to_df(spark, rows_a).repartition(2).write.mode("append").parquet(in_dir)
+
+    def drain():
+        q = (
+            first_seen_stream_bloom(stream_pages(spark, in_dir), n_buckets=8,
+                                    bits_per_bucket=1 << 16)
+            .writeStream.format("parquet").option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+        return spark.read.parquet(out_dir).collect()
+
+    got_a = drain()
+    hashes_a = [r["content_hash"] for r in got_a]
+    assert len(hashes_a) == len(set(hashes_a))
+    assert len(got_a) == 40  # planted in-batch dup collapsed
+
+    rows_b = generate_pages(60)[50:]
+    recrawl = rows_a[5]
+    rows_b.append(("https://recrawl.example/again", recrawl[1], recrawl[2],
+                   recrawl[3], recrawl[4]))
+    pages_to_df(spark, rows_b).repartition(2).write.mode("append").parquet(in_dir)
+
+    got_all = drain()
+    got_b = [r for r in got_all if r["url"] not in {x["url"] for x in got_a}]
+    assert len(got_b) == 10
+    assert "https://recrawl.example/again" not in {r["url"] for r in got_b}
