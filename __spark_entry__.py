@@ -3,10 +3,14 @@
 ``entry(spark)`` runs the flagship extraction pipeline over the synthesized
 pages table (input_hint shape) at sf0.001 scale. ``queries()`` exposes every
 implemented operator from SURVEY.md §2 plus the training-data operators
-(dedup / similarity / text analysis); ``oracle_sql()`` provides the DuckDB
-twin for each SQL-expressible query. Extraction/chunker/MinHash/SimHash/LSH
-queries are non-SQL-expressible (pure-Python parsers / hash families) —
-their correctness gate is the golden-fixture + ground-truth pytest suite.
+(dedup / similarity / text analysis); ``oracle_sql()`` provides a DuckDB
+oracle for EVERY query (round 2): hand-written SQL twins where the
+semantics are SQL-expressible (including a recursive-CTE sentence chunker,
+list-function Gopher repetition, and a seeded-signature simhash plan
+check), golden-parquet oracles (tools/freeze_query_goldens.py) for the
+pure-Python parser / hash-family / k-means queries — those pin
+run-over-run byte stability, with semantic ground truth in the pytest
+suite (hand-built fixtures, planted-duplicate recall, numpy parity, fuzz).
 """
 
 from __future__ import annotations
