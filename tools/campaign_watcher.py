@@ -54,6 +54,8 @@ def main() -> int:
                     [sys.executable, str(REPO / "tools" / "bench_scaling.py"),
                      "--low", str(args.low), "--high", str(args.high),
                      "--docs", str(args.docs), "--reps", "2",
+                     "--high-reps", "5",  # short high phase is the repeat
+                     # tenant-burst casualty; extra reps are cheap
                      "--quiet-load", "2.0"],
                     cwd=str(REPO), capture_output=True, text=True,
                     timeout=7200)
