@@ -266,6 +266,23 @@ def q_ngram_jaccard(spark, sf_dir):
     )
 
 
+def q_split_assign(spark, sf_dir):
+    """Deterministic leakage-safe train/val/test split + 10% mixing sample
+    flag (operators/split.py), via the portable MINSTD bucket so the DuckDB
+    oracle checks the assignment value-for-value; production uses the
+    xxhash64 bucket (same plan shape, better mixing)."""
+    from llm_food_spark.operators.split import assign_split, bucket_minstd
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    out = assign_split(d, "doc_id",
+                       {"train": 0.9, "val": 0.05, "test": 0.05},
+                       bucket_fn=bucket_minstd)
+    return out.withColumn(
+        "in_sample",
+        (bucket_minstd(F.col("doc_id")) < F.lit(100_000)).cast("int"),
+    )
+
+
 def q_cosine_topk(spark, sf_dir):
     from llm_food_spark.operators.similarity import brute_force_topk
 
@@ -686,6 +703,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # dedup / similarity
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard": q_ngram_jaccard,
+        "split_assign": q_split_assign,
         "cosine_topk": q_cosine_topk,
         "cosine_pairs": q_cosine_pairs,
         # non-SQL-expressible (rows-only)
@@ -1222,6 +1240,21 @@ def _handwritten_oracles() -> dict[str, str]:
         # simhash pair-finding plan under a hard oracle (seeded arithmetic
         # signatures — see q_simhash_seeded)
         "simhash_seeded": _SIMHASH_SEEDED_SQL,
+        # MINSTD bucket split: (id*48271) % (2^31-1) % 1e6; cumulative cuts
+        # at 900000 / 950000 mirror assign_split's rounded ranges
+        "split_assign": """
+            WITH b AS (
+              SELECT doc_id,
+                     ((doc_id % 2147483647) * 48271) % 2147483647 % 1000000 AS bk
+              FROM documents
+            )
+            SELECT doc_id,
+                   CASE WHEN bk < 900000 THEN 'train'
+                        WHEN bk < 950000 THEN 'val'
+                        ELSE 'test' END AS split,
+                   CAST(bk < 100000 AS INT) AS in_sample
+            FROM b
+        """,
         # sentence chunker: recursive-CTE greedy packing twin
         "chunk_sentence": _chunk_sentence_sql(),
         # Gopher n-gram repetition fractions: list-function twin

@@ -1,0 +1,95 @@
+"""Deterministic corpus splitting / sampling — training-data plumbing.
+
+Every large-scale training pipeline needs leakage-safe dataset carving:
+train/val/test splits keyed on a stable document identity (url or doc_id,
+NEVER random per-row state, so re-runs and resumes land every row in the
+same split), and deterministic down-sampling for corpus mixing. No
+reference analogue (llm-food converts one upload at a time); part of the
+training-data brief.
+
+All pure Catalyst column arithmetic — a map with zero shuffle at any
+corpus size, safe under AQE re-planning and partition reshuffles because
+the bucket is a function of the data.
+
+Two hash families:
+
+- ``bucket_xxhash`` (default): ``pmod(xxhash64(id), n)`` — the production
+  form (well-mixed for any id type).
+- ``bucket_minstd``: one MINSTD LCG round ``(id * 48271) % (2^31-1)`` —
+  weaker mixing (fine for split assignment, equidistributed over
+  sequential ids) but expressible identically in any SQL engine, which is
+  what the DuckDB oracle checks value-for-value.
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+MINSTD_MOD = 2_147_483_647  # 2^31 - 1 (prime)
+MINSTD_MUL = 48_271
+
+
+def bucket_xxhash(id_col: Column, n_buckets: int = 1_000_000) -> Column:
+    """Production bucket: pmod(xxhash64(id), n)."""
+    return F.pmod(F.xxhash64(id_col), F.lit(n_buckets))
+
+
+def bucket_minstd(id_col: Column, n_buckets: int = 1_000_000) -> Column:
+    """Portable bucket: (id * 48271) % (2^31-1) % n — identical arithmetic
+    in Spark and any SQL oracle engine (no overflow: |id % mod| * 48271
+    < 2^63)."""
+    return ((id_col % MINSTD_MOD) * MINSTD_MUL) % MINSTD_MOD % n_buckets
+
+
+def assign_split(
+    df: DataFrame,
+    id_col: str,
+    weights: Dict[str, float],
+    bucket_fn=bucket_xxhash,
+    n_buckets: int = 1_000_000,
+    split_col: str = "split",
+) -> DataFrame:
+    """Add a ``split`` column assigning each row to one named split with
+    probability proportional to its weight, deterministically in ``id_col``.
+
+    Assignment is by cumulative bucket ranges in the given dict order, so
+    the same (id, weights) always yields the same split — rows never leak
+    across splits between runs, and a document's chunks all follow their
+    document when ``id_col`` is the document key."""
+    if not weights:
+        raise ValueError("weights must be non-empty")
+    total = float(sum(weights.values()))
+    if total <= 0:
+        raise ValueError("weights must sum to a positive value")
+    b = bucket_fn(F.col(id_col), n_buckets)
+    expr = None
+    acc = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        acc += weights[name] / total
+        cut = int(round(acc * n_buckets))
+        cond = b < F.lit(cut)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(
+            cond, F.lit(name)
+        )
+    last = F.lit(names[-1])
+    expr = last if expr is None else expr.otherwise(last)
+    return df.withColumn(split_col, expr)
+
+
+def hash_sample(
+    df: DataFrame,
+    id_col: str,
+    fraction: float,
+    bucket_fn=bucket_xxhash,
+    n_buckets: int = 1_000_000,
+) -> DataFrame:
+    """Deterministic ``fraction`` sample keyed on ``id_col`` — the corpus-
+    mixing primitive (sample each source at its mixing rate, union the
+    results). Returns the FILTERED DataFrame."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError("fraction must be in [0, 1]")
+    cut = int(round(fraction * n_buckets))
+    return df.where(bucket_fn(F.col(id_col), n_buckets) < F.lit(cut))

@@ -1,0 +1,75 @@
+"""Deterministic split/sample operators (operators/split.py)."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from llm_food_spark.operators.split import (
+    assign_split,
+    bucket_minstd,
+    bucket_xxhash,
+    hash_sample,
+)
+
+
+@pytest.fixture(scope="module")
+def ids(spark):
+    return spark.range(0, 20_000).withColumnRenamed("id", "doc_id")
+
+
+def test_assign_split_deterministic_and_partition_invariant(ids, spark):
+    w = {"train": 0.9, "val": 0.05, "test": 0.05}
+    a = {r["doc_id"]: r["split"]
+         for r in assign_split(ids, "doc_id", w).collect()}
+    b = {r["doc_id"]: r["split"]
+         for r in assign_split(ids.repartition(7), "doc_id", w).collect()}
+    assert a == b
+    # proportions within 2% absolute of the weights
+    n = len(a)
+    from collections import Counter
+
+    frac = {k: v / n for k, v in Counter(a.values()).items()}
+    assert abs(frac["train"] - 0.9) < 0.02
+    assert abs(frac["val"] - 0.05) < 0.02
+    assert abs(frac["test"] - 0.05) < 0.02
+
+
+def test_assign_split_exhaustive_and_exclusive(ids):
+    out = assign_split(ids, "doc_id", {"a": 1, "b": 1})
+    assert out.where(~F.col("split").isin("a", "b")).count() == 0
+    assert out.count() == 20_000
+
+
+def test_hash_sample_fraction_and_subset_stability(ids):
+    s10 = {r["doc_id"] for r in hash_sample(ids, "doc_id", 0.1).collect()}
+    s20 = {r["doc_id"] for r in hash_sample(ids, "doc_id", 0.2).collect()}
+    assert abs(len(s10) / 20_000 - 0.1) < 0.02
+    # nested samples: raising the rate only ADDS rows (stable mixing)
+    assert s10 <= s20
+
+
+def test_minstd_bucket_matches_python(ids):
+    got = {r["doc_id"]: r["bk"] for r in ids.select(
+        "doc_id", bucket_minstd(F.col("doc_id")).alias("bk")).limit(100).collect()}
+    for i, bk in got.items():
+        assert bk == ((i % 2147483647) * 48271) % 2147483647 % 1_000_000
+
+
+def test_bucket_xxhash_split_leakage_safe(spark):
+    # chunks follow their parent document: same id -> same split
+    rows = [(i // 4,) for i in range(400)]  # 4 "chunks" per doc
+    df = spark.createDataFrame(rows, "doc_id long")
+    out = assign_split(df, "doc_id", {"train": 0.8, "test": 0.2},
+                       bucket_fn=bucket_xxhash)
+    per_doc = out.groupBy("doc_id").agg(
+        F.countDistinct("split").alias("n")).collect()
+    assert all(r["n"] == 1 for r in per_doc)
+
+
+def test_split_validation():
+    import pyspark.sql  # noqa: F401
+
+    with pytest.raises(ValueError):
+        assign_split(None, "doc_id", {})
+    with pytest.raises(ValueError):
+        assign_split(None, "doc_id", {"a": 0.0})
