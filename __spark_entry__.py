@@ -266,6 +266,27 @@ def q_ngram_jaccard(spark, sf_dir):
     )
 
 
+def q_fetch(spark, sf_dir):
+    """URL fetch source (T19) under a hard oracle: both engines construct
+    the same data: URL per document (base64 of the text), the Spark side
+    actually FETCHES it through sources/fetch.py (scheme dispatch, status
+    mapping, sha256, basename-or-url filename fallback), and DuckDB
+    recomputes the expected outputs from the same construction."""
+    from llm_food_spark.sources.fetch import fetch_urls
+
+    d = _t(spark, sf_dir, "documents")
+    # F.base64 emits MIME-chunked output (\r\n every 76 chars); strip to
+    # RFC-4648 form so both engines build byte-identical urls
+    urls = d.select(
+        F.concat(F.lit("data:text/plain;base64,"),
+                 F.regexp_replace(F.base64(F.col("text").cast("binary")),
+                                  "[\\r\\n]", "")).alias("url")
+    )
+    return fetch_urls(urls).select(
+        "url", "filename", "status", "content_hash", "error_message"
+    )
+
+
 def q_split_assign(spark, sf_dir):
     """Deterministic leakage-safe train/val/test split + 10% mixing sample
     flag (operators/split.py), via the portable MINSTD bucket so the DuckDB
@@ -704,6 +725,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard": q_ngram_jaccard,
         "split_assign": q_split_assign,
+        "fetch": q_fetch,
         "cosine_topk": q_cosine_topk,
         "cosine_pairs": q_cosine_pairs,
         # non-SQL-expressible (rows-only)
@@ -1240,6 +1262,24 @@ def _handwritten_oracles() -> dict[str, str]:
         # simhash pair-finding plan under a hard oracle (seeded arithmetic
         # signatures — see q_simhash_seeded)
         "simhash_seeded": _SIMHASH_SEEDED_SQL,
+        # data: URL fetch: url/base64 construction shared with q_fetch;
+        # filename = after-last-slash (os.path.basename twin), whole url
+        # when the base64 payload ends with '/'
+        "fetch": """
+            WITH u AS (
+              SELECT 'data:text/plain;base64,' || to_base64(encode(text)) AS url,
+                     sha256(text) AS content_hash
+              FROM documents
+            )
+            SELECT url,
+                   CASE WHEN regexp_extract(url, '([^/]*)$', 1) = ''
+                        THEN url ELSE regexp_extract(url, '([^/]*)$', 1)
+                   END AS filename,
+                   'fetched' AS status,
+                   content_hash,
+                   CAST(NULL AS VARCHAR) AS error_message
+            FROM u
+        """,
         # MINSTD bucket split: (id*48271) % (2^31-1) % 1e6; cumulative cuts
         # at 900000 / 950000 mirror assign_split's rounded ranges
         "split_assign": """
