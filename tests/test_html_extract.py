@@ -84,3 +84,22 @@ def test_table_header_cells_not_closing_row():
     )
     assert md.splitlines()[0] == "| A | B |"
     assert "| 1 | 2 |" in md
+
+
+def test_serializer_table_pipe_escaping_and_details():
+    from llm_food_spark.functions.html_extract import extract_html_markdown
+
+    md = extract_html_markdown(
+        b"<html><body><article><h1>Escapes</h1>"
+        b"<table><tr><th>expr</th><th>result</th></tr>"
+        b"<tr><td>a | b</td><td>or</td></tr>"
+        b"<tr><td>c|d|e</td><td><code>pipe()</code></td></tr></table>"
+        b"</article></body></html>")
+    assert "| a \\| b | or |" in md
+    assert "| c\\|d\\|e | `pipe()` |" in md
+    # details/summary render as plain blocks (disclosure text is content)
+    md2 = extract_html_markdown(
+        b"<html><body><article><p>intro</p>"
+        b"<details><summary>click to expand</summary>"
+        b"<p>hidden body</p></details><p>after</p></article></body></html>")
+    assert md2 == "intro\n\nclick to expand\n\nhidden body\n\nafter"
