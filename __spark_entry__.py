@@ -1244,13 +1244,18 @@ def _handwritten_oracles() -> dict[str, str]:
             FROM u GROUP BY sha256(text) HAVING COUNT(*) > 1
         """,
         "ngram_jaccard": """
-            WITH s AS (
+            WITH s0 AS (
               SELECT doc_id, lang,
                      CASE WHEN len({w}) >= 3 THEN
                        list_distinct(list_transform(range(1, len({w}) - 1),
                                      i -> array_to_string({w}[i:i+2], ' ')))
-                     ELSE [array_to_string({w}, ' ')] END AS toks
+                     ELSE [array_to_string({w}, ' ')] END AS toks,
+                     COUNT(*) OVER (PARTITION BY lang) AS _bw
               FROM documents
+            ), s AS (
+              -- mirror the operator's max_block=10000 guardrail: blocks wider
+              -- than the cap are dropped on BOTH sides (semantic identity)
+              SELECT doc_id, lang, toks FROM s0 WHERE _bw <= 10000
             )
             SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                    ROUND(len(list_intersect(a.toks, b.toks))::DOUBLE
@@ -1280,12 +1285,14 @@ def _handwritten_oracles() -> dict[str, str]:
                    CAST(NULL AS VARCHAR) AS error_message
             FROM u
         """,
-        # MINSTD bucket split: (id*48271) % (2^31-1) % 1e6; cumulative cuts
-        # at 900000 / 950000 mirror assign_split's rounded ranges
+        # MINSTD bucket split over a nonnegative residue (negative ids, e.g.
+        # xxhash64-derived, must not all land below the first cut); cumulative
+        # cuts at 900000 / 950000 mirror assign_split's rounded ranges
         "split_assign": """
             WITH b AS (
               SELECT doc_id,
-                     ((doc_id % 2147483647) * 48271) % 2147483647 % 1000000 AS bk
+                     ((doc_id % 2147483647 + 2147483647) % 2147483647 * 48271)
+                       % 2147483647 % 1000000 AS bk
               FROM documents
             )
             SELECT doc_id,

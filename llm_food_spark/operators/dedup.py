@@ -155,6 +155,30 @@ def jaccard(a: Column, b: Column) -> Column:
     return F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0))
 
 
+# Signature frames persisted by minhash_lsh_pairs, released on the NEXT call
+# (call → consume → call is the supported pattern) or explicitly via
+# release_persisted(). Without this, every call pinned another ~0.5 KB/row
+# frame in executor storage for the session's lifetime — a long-lived
+# session calling the operator per-corpus-slice accumulated unboundedly.
+_PERSISTED_BASES: list = []
+
+
+def release_persisted() -> int:
+    """Unpersist every signature frame pinned by earlier minhash_lsh_pairs
+    calls. Returns the number released. Safe to call any time AFTER the
+    previous call's result has been consumed (collected/written); a pinned
+    frame is only needed while its own returned DataFrame is executing."""
+    n = 0
+    while _PERSISTED_BASES:
+        frame = _PERSISTED_BASES.pop()
+        try:
+            frame.unpersist()
+            n += 1
+        except Exception:
+            pass  # session already stopped — nothing to release
+    return n
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -176,10 +200,15 @@ def minhash_lsh_pairs(
     # the narrow signature frame appears in three plan branches (banding +
     # both estimate join-backs); persist it so the Arrow UDF runs ONCE per
     # row — ~0.5 KB/row, bounded. (At petabyte scale: write it as a table.)
+    # Lifecycle: the frame from the PREVIOUS call is released here, and this
+    # call's frame is registered for release by the next call or by an
+    # explicit release_persisted() — storage is bounded at one frame.
+    release_persisted()
     base = df.select(
         F.col(id_col).alias("id"),
         sig_udf(F.col(text_col)).alias("sig"),
     ).persist()
+    _PERSISTED_BASES.append(base)
     # texts join back only for the few estimate-filtered survivors; exact
     # jaccard is a vectorized pair UDF (the JVM word_shingles expression is
     # an interpreted higher-order function — ~0.3ms/doc, 50s+ per corpus

@@ -37,10 +37,17 @@ def bucket_xxhash(id_col: Column, n_buckets: int = 1_000_000) -> Column:
 
 
 def bucket_minstd(id_col: Column, n_buckets: int = 1_000_000) -> Column:
-    """Portable bucket: (id * 48271) % (2^31-1) % n — identical arithmetic
-    in Spark and any SQL oracle engine (no overflow: |id % mod| * 48271
-    < 2^63)."""
-    return ((id_col % MINSTD_MOD) * MINSTD_MUL) % MINSTD_MOD % n_buckets
+    """Portable bucket: one MINSTD LCG round over a NONNEGATIVE residue —
+    identical arithmetic in Spark and any SQL oracle engine.
+
+    ``%`` keeps the dividend's sign in both Spark and ANSI SQL, so a raw
+    ``(id % mod)`` yields negative residues for negative ids (e.g.
+    xxhash64-derived doc_ids) and every such row would land below the first
+    split cut. The double-mod ``(id % mod + mod) % mod`` forces the residue
+    into [0, mod), after which the multiply stays below 2^47 (no int64
+    overflow) and the final buckets are uniform over [0, n_buckets)."""
+    nonneg = (id_col % MINSTD_MOD + MINSTD_MOD) % MINSTD_MOD
+    return (nonneg * MINSTD_MUL) % MINSTD_MOD % n_buckets
 
 
 def assign_split(

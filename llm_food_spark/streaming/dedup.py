@@ -50,6 +50,13 @@ def first_seen_stream(pages_stream: DataFrame, n_buckets: int = 4096) -> DataFra
     content_hash) for documents whose sha256(html) has not been seen before
     in the stream's lifetime; duplicates inside one micro-batch keep one
     arbitrary representative (matching the batch dedup_exact contract).
+
+    CHECKPOINT CONTRACT: ``n_buckets`` is part of the state KEY, so it is
+    frozen for the lifetime of a checkpoint. Restarting an existing
+    checkpointed query with a different value silently routes already-seen
+    hashes to different buckets and re-emits duplicates. Pick the value at
+    stream creation and never change it across restarts; a new value
+    requires a new checkpoint directory (full state rebuild).
     """
 
     hashed = pages_stream.select(

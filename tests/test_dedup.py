@@ -139,6 +139,26 @@ def test_simhash_degenerate_corpus_capped(spark):
     assert (10_000, 10_001) in got
 
 
+def test_minhash_persist_does_not_accumulate(spark, docs):
+    # repeated calls (bench loops, long-lived per-corpus-slice sessions)
+    # must not pin an ever-growing set of signature frames in executor
+    # storage: each call releases its predecessor's persist.
+    from llm_food_spark.operators.dedup import release_persisted
+
+    release_persisted()
+
+    def n_cached():
+        return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+    baseline = n_cached()
+    for _ in range(3):
+        minhash_lsh_pairs(docs, threshold=0.5).count()
+    assert n_cached() <= baseline + 1  # at most THIS call's frame
+    released = release_persisted()
+    assert released == 1
+    assert n_cached() == baseline
+
+
 def test_ngram_jaccard_block_cap(spark):
     # one block spanning the whole corpus: the cap must drop it (routing
     # such corpora to minhash), max_block=None restores exact behavior

@@ -52,7 +52,29 @@ def test_minstd_bucket_matches_python(ids):
     got = {r["doc_id"]: r["bk"] for r in ids.select(
         "doc_id", bucket_minstd(F.col("doc_id")).alias("bk")).limit(100).collect()}
     for i, bk in got.items():
-        assert bk == ((i % 2147483647) * 48271) % 2147483647 % 1_000_000
+        assert bk == ((i % 2147483647 + 2147483647) % 2147483647
+                      * 48271) % 2147483647 % 1_000_000
+
+
+def test_minstd_negative_ids_uniform(spark):
+    # xxhash64-derived doc_ids are signed: ~half are NEGATIVE. The raw-%
+    # form sent every negative id below the first cut (all 'train', always
+    # sampled); the nonnegative-residue form must spread them like any id.
+    neg = spark.range(0, 20_000).select(
+        (F.col("id") * -1 - 1).alias("doc_id"))
+    out = assign_split(neg, "doc_id", {"train": 0.5, "test": 0.5},
+                       bucket_fn=bucket_minstd)
+    from collections import Counter
+
+    frac = Counter(r["split"] for r in out.collect())
+    assert abs(frac["train"] / 20_000 - 0.5) < 0.02
+    assert abs(frac["test"] / 20_000 - 0.5) < 0.02
+    # buckets themselves are nonnegative and in range
+    bk = neg.select(bucket_minstd(F.col("doc_id")).alias("bk"))
+    assert bk.where((F.col("bk") < 0) | (F.col("bk") >= 1_000_000)).count() == 0
+    # sampling no longer force-includes negative ids: 10% stays ~10%
+    n = hash_sample(neg, "doc_id", 0.1, bucket_fn=bucket_minstd).count()
+    assert abs(n / 20_000 - 0.1) < 0.02
 
 
 def test_bucket_xxhash_split_leakage_safe(spark):
