@@ -404,11 +404,55 @@ def q_simhash_seeded(spark, sf_dir):
                          max_hamming=3, max_bucket=256)
 
 
+def q_minhash_lsh_seeded(spark, sf_dir):
+    """The minhash LSH pair-finding PLAN (band slicing + degenerate-bucket
+    cap + signature-estimate) under a hard DuckDB oracle — the
+    simhash_seeded pattern applied to minhash. Both engines derive the same
+    8-hash signature from doc_id arithmetic: 40 signature groups whose
+    members agree everywhere except the first (doc_id % 3) positions, so
+    band 0 sub-partitions each group while bands 1-3 collide group-wide;
+    max_bucket=12 drops exactly the 13-member groups' wide bands (the
+    pigeonhole then recovers only their identical-signature pairs through
+    band 0). The signature UDF itself stays gated by pytest ground truth
+    (tests/test_dedup.py recall-vs-brute); this query isolates the plan."""
+    from llm_food_spark.operators.dedup import minhash_lsh_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(7)),
+        lambda k: (F.col("doc_id") % 40) * 1000
+        + F.when(k < F.col("doc_id") % 3, F.col("doc_id")).otherwise(F.lit(0)),
+    )
+    sigs = d.select("doc_id", sig.alias("sig"))
+    return minhash_lsh_pairs(
+        sigs, id_col="doc_id", sig_col="sig", num_hashes=8, bands=4,
+        max_bucket=12, verify=False,
+    )
+
+
 def q_ann_lsh(spark, sf_dir):
     from llm_food_spark.operators.similarity import lsh_ann_topk
 
     emb = _t(spark, sf_dir, "embeddings")
     return lsh_ann_topk(emb, emb.where(F.col("vec_id") < 5), k=3)
+
+
+def q_ann_lsh_seeded(spark, sf_dir):
+    """The LSH-ANN PLAN (signature banding + block equi-join + exact rerank
+    + top-k) under a hard DuckDB oracle: axis-aligned hyperplanes make bit j
+    of the signature simply (embedding[j] > 0), so the oracle recomputes
+    blocks, the candidate join, and the cosine rerank in SQL. The Gaussian
+    signature UDF stays gated by pytest recall tests; this isolates the
+    Spark plan value-for-value."""
+    import numpy as np
+
+    from llm_food_spark.operators.similarity import DIM, lsh_ann_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return lsh_ann_topk(
+        emb, emb.where(F.col("vec_id") < 5), k=3, nbits=16, bands=4,
+        planes=np.eye(DIM)[:, :16],
+    )
 
 
 def q_ann_ivf(spark, sf_dir):
@@ -417,6 +461,25 @@ def q_ann_ivf(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     return ivf_ann_topk(emb, emb.where(F.col("vec_id") < 5), k=3,
                         n_clusters=16, nprobe=4)
+
+
+def q_ann_ivf_seeded(spark, sf_dir):
+    """The IVF PLAN (posting-list assignment + nprobe probing + in-list
+    exact rerank) under a hard DuckDB oracle: with one-hot basis centroids,
+    cluster assignment is argmax over the first 16 embedding components
+    (ties to the lowest index — np.argmax / stable argsort semantics), so
+    DuckDB recomputes assignment, probes, and the cosine top-k exactly.
+    The k-means trainer stays gated by pytest (determinism + recall);
+    this isolates the query-time plan."""
+    import numpy as np
+
+    from llm_food_spark.operators.similarity import DIM, ivf_ann_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return ivf_ann_topk(
+        emb, emb.where(F.col("vec_id") < 5), k=3, n_clusters=16, nprobe=4,
+        centroids=np.eye(DIM)[:16],
+    )
 
 
 def q_fingerprint(spark, sf_dir):
@@ -466,6 +529,50 @@ def q_extract_office(spark, sf_dir):
     pages = pages_to_df(spark, office_fixture_rows(120))
     return extract_pages(pages, n_partitions=8).select(
         "url", "content_type", "n_sections", "status", "markdown"
+    )
+
+
+def q_extract_invariants(spark, sf_dir):
+    """Semantic invariants of the extraction pipeline under a hard constant
+    oracle: the Spark side computes violation counters over the REAL
+    extraction output (joined back to the input pages by url) and the
+    oracle pins their required values — all zeros plus the structural
+    row count. This carries actual semantics into the driver signal for the
+    golden-parquet extraction family: record-and-continue never drops or
+    duplicates a row, content_hash stays aligned with its url through the
+    salted shuffle and the Arrow pass, markdown is exactly the
+    PAGE_SEPARATOR assembly of texts, n_sections == len(texts), the status
+    vocabulary is closed, error_message presence matches status, and
+    partition_id is the documented pmod(xxhash64(url), P)."""
+    from llm_food_spark.functions.dispatch import PAGE_SEPARATOR
+    from llm_food_spark.operators.extract import extract_pages
+
+    pages = _synth_pages(spark, 300)
+    out = extract_pages(pages, n_partitions=8)
+    inp = pages.select("url", F.sha2(F.col("html"), 256).alias("h_in"))
+    j = out.join(inp, "url", "full_outer")
+    ok_statuses = ("completed", "scanned_lowconf")
+    all_statuses = ok_statuses + ("failed", "oversize", "unsupported")
+
+    def n_bad(cond):
+        return F.sum(cond.cast("long"))
+
+    return j.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("url").alias("n_urls"),
+        n_bad(F.col("status").isNull() | F.col("h_in").isNull()).alias("bad_join"),
+        n_bad(~F.col("status").isin(*all_statuses)).alias("bad_status"),
+        n_bad(F.col("n_sections") != F.size("texts")).alias("bad_sections"),
+        n_bad(F.col("markdown") != F.array_join("texts", PAGE_SEPARATOR)).alias("bad_assembly"),
+        n_bad(F.col("content_hash") != F.col("h_in")).alias("bad_hash"),
+        n_bad(
+            F.col("partition_id")
+            != F.pmod(F.xxhash64(F.col("url")), F.lit(8)).cast("int")
+        ).alias("bad_partition"),
+        n_bad(
+            (F.col("status").isin(*ok_statuses) & F.col("error_message").isNotNull())
+            | (~F.col("status").isin(*ok_statuses) & F.col("error_message").isNull())
+        ).alias("bad_error"),
     )
 
 
@@ -735,10 +842,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_sentence": q_chunk_sentence,
         "chunk_recursive": q_chunk_recursive,
         "minhash_lsh": q_minhash_lsh,
+        "minhash_lsh_seeded": q_minhash_lsh_seeded,
         "simhash": q_simhash,
         "simhash_seeded": q_simhash_seeded,
         "ann_lsh": q_ann_lsh,
+        "ann_lsh_seeded": q_ann_lsh_seeded,
         "ann_ivf": q_ann_ivf,
+        "ann_ivf_seeded": q_ann_ivf_seeded,
+        "extract_invariants": q_extract_invariants,
         "fingerprint": q_fingerprint,
         "repetition": q_repetition,
         "image_meta": q_image_meta,
@@ -876,6 +987,117 @@ _URL_CANON_SQL = r"""
     FROM d
 """.replace("{tracking}", _TRACKING_RE_SQL).replace("{suffixes}", _SUFFIX_LIST_SQL)
 
+
+_MINHASH_SEEDED_SQL = """
+    WITH sigs AS (
+      SELECT doc_id AS id,
+             list_transform(range(0, 8),
+               k -> (doc_id % 40) * 1000
+                    + CASE WHEN k < doc_id % 3 THEN doc_id ELSE 0 END) AS sig
+      FROM documents
+    ), banded AS (
+      -- the operator's band key is xxhash64(comma-joined slice, band_id);
+      -- grouping by the slice STRING itself is collision-free-equivalent
+      SELECT id, b.band_id,
+             array_to_string(list_transform(
+               sig[2 * b.band_id + 1 : 2 * b.band_id + 2],
+               x -> CAST(x AS VARCHAR)), ',') AS bh
+      FROM sigs, (VALUES (0), (1), (2), (3)) AS b(band_id)
+    ), capped AS (
+      SELECT id, band_id, bh FROM (
+        SELECT *, count(*) OVER (PARTITION BY band_id, bh) AS bw FROM banded
+      ) WHERE bw <= 12
+    ), cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM capped a JOIN capped b USING (band_id, bh)
+      WHERE a.id < b.id
+    )
+    SELECT c.id_a, c.id_b,
+           ROUND(len(list_filter(range(1, 9),
+                                 k -> sa.sig[k] = sb.sig[k]))::DOUBLE / 8,
+                 6) AS est_jaccard
+    FROM cand c
+    JOIN sigs sa ON sa.id = c.id_a
+    JOIN sigs sb ON sb.id = c.id_b
+"""
+
+_ANN_LSH_SEEDED_SQL = """
+    WITH sig AS (
+      SELECT e.vec_id, b.band,
+             list_sum(list_transform(range(0, 4),
+               t -> CASE WHEN e.embedding[b.band * 4 + t + 1] > 0
+                         THEN 1 << t ELSE 0 END)) AS block
+      FROM embeddings e, (VALUES (0), (1), (2), (3)) AS b(band)
+    ), cand AS (
+      SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS c_id
+      FROM sig q JOIN sig c USING (band, block)
+      WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id
+    ), scored AS (
+      SELECT cand.q_id AS query_id, cand.c_id AS vec_id,
+             ROUND(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                          CAST(c.embedding AS DOUBLE[])),
+                   4) AS score
+      FROM cand
+      JOIN embeddings q ON q.vec_id = cand.q_id
+      JOIN embeddings c ON c.vec_id = cand.c_id
+    )
+    SELECT query_id, rank, vec_id, score FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, vec_id ASC) AS rank
+      FROM scored
+    ) WHERE rank <= 3
+"""
+
+_ANN_IVF_SEEDED_SQL = """
+    WITH ranked AS (
+      -- cosine vs one-hot centroid j is embedding[j+1]/|v|: rank clusters
+      -- by the raw component, ties to the lowest index (np.argmax/stable
+      -- argsort semantics)
+      SELECT e.vec_id, g.j AS cluster,
+             ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                ORDER BY e.embedding[g.j + 1] DESC,
+                                         g.j ASC) AS rn
+      FROM embeddings e, (SELECT unnest(range(0, 16)) AS j) g
+    ), assign AS (
+      SELECT vec_id, cluster FROM ranked WHERE rn = 1
+    ), probes AS (
+      SELECT vec_id AS q_id, cluster FROM ranked
+      WHERE rn <= 4 AND vec_id < 5
+    ), cand AS (
+      SELECT DISTINCT p.q_id, a.vec_id AS c_id
+      FROM probes p JOIN assign a USING (cluster)
+      WHERE a.vec_id <> p.q_id
+    ), scored AS (
+      SELECT cand.q_id AS query_id, cand.c_id AS vec_id,
+             ROUND(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                          CAST(c.embedding AS DOUBLE[])),
+                   4) AS score
+      FROM cand
+      JOIN embeddings q ON q.vec_id = cand.q_id
+      JOIN embeddings c ON c.vec_id = cand.c_id
+    )
+    SELECT query_id, rank, vec_id, score FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, vec_id ASC) AS rank
+      FROM scored
+    ) WHERE rank <= 3
+"""
+
+# the Spark side computes these counters over the real extraction output;
+# the oracle pins the invariant values (structural row count + zero
+# violations). A pipeline bug (dropped/duplicated rows, hash-url
+# misalignment through the Arrow pass, broken assembly) breaks the match.
+_EXTRACT_INVARIANTS_SQL = """
+    SELECT CAST(300 AS BIGINT) AS n_rows,
+           CAST(300 AS BIGINT) AS n_urls,
+           CAST(0 AS BIGINT) AS bad_join,
+           CAST(0 AS BIGINT) AS bad_status,
+           CAST(0 AS BIGINT) AS bad_sections,
+           CAST(0 AS BIGINT) AS bad_assembly,
+           CAST(0 AS BIGINT) AS bad_hash,
+           CAST(0 AS BIGINT) AS bad_partition,
+           CAST(0 AS BIGINT) AS bad_error
+"""
 
 _SIMHASH_SEEDED_SQL = """
     WITH sigs AS (
@@ -1267,6 +1489,17 @@ def _handwritten_oracles() -> dict[str, str]:
         # simhash pair-finding plan under a hard oracle (seeded arithmetic
         # signatures — see q_simhash_seeded)
         "simhash_seeded": _SIMHASH_SEEDED_SQL,
+        # minhash banding/cap/estimate plan under a hard oracle (seeded
+        # arithmetic signatures — see q_minhash_lsh_seeded)
+        "minhash_lsh_seeded": _MINHASH_SEEDED_SQL,
+        # LSH-ANN plan with axis-aligned hyperplanes (see q_ann_lsh_seeded)
+        "ann_lsh_seeded": _ANN_LSH_SEEDED_SQL,
+        # IVF probe/posting-list plan with one-hot centroids
+        # (see q_ann_ivf_seeded)
+        "ann_ivf_seeded": _ANN_IVF_SEEDED_SQL,
+        # extraction-pipeline invariants pinned to constants
+        # (see q_extract_invariants)
+        "extract_invariants": _EXTRACT_INVARIANTS_SQL,
         # data: URL fetch: url/base64 construction shared with q_fetch;
         # filename = after-last-slash (os.path.basename twin), whole url
         # when the base64 payload ends with '/'

@@ -189,14 +189,22 @@ def minhash_lsh_pairs(
     threshold: float = 0.5,
     max_bucket: int = 64,
     verify: bool = True,
+    sig_col: Optional[str] = None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs (id_a < id_b, est_jaccard[, jaccard]).
 
     bands=16 × rows=4 over 64 hashes → S-curve threshold ≈ (1/16)^(1/4) ≈ 0.5.
+
+    ``sig_col`` supplies a precomputed array<long> signature column instead
+    of hashing ``text_col`` — the banding/cap/estimate PLAN is then fully
+    SQL-expressible and oracle-checked (see __spark_entry__
+    minhash_lsh_seeded, the simhash_seeded pattern); requires
+    ``verify=False`` since there is no text to exact-verify against.
     """
+    if sig_col is not None and verify:
+        raise ValueError("sig_col requires verify=False (no text column)")
     rows_per_band = num_hashes // bands
     df = ensure_min_partitions(df)
-    sig_udf = minhash_signature_udf(num_hashes, shingle_n)
     # the narrow signature frame appears in three plan branches (banding +
     # both estimate join-backs); persist it so the Arrow UDF runs ONCE per
     # row — ~0.5 KB/row, bounded. (At petabyte scale: write it as a table.)
@@ -204,17 +212,22 @@ def minhash_lsh_pairs(
     # call's frame is registered for release by the next call or by an
     # explicit release_persisted() — storage is bounded at one frame.
     release_persisted()
-    base = df.select(
-        F.col(id_col).alias("id"),
-        sig_udf(F.col(text_col)).alias("sig"),
-    ).persist()
+    if sig_col is not None:
+        base = df.select(F.col(id_col).alias("id"),
+                         F.col(sig_col).alias("sig")).persist()
+    else:
+        sig_udf = minhash_signature_udf(num_hashes, shingle_n)
+        base = df.select(
+            F.col(id_col).alias("id"),
+            sig_udf(F.col(text_col)).alias("sig"),
+        ).persist()
     _PERSISTED_BASES.append(base)
     # texts join back only for the few estimate-filtered survivors; exact
     # jaccard is a vectorized pair UDF (the JVM word_shingles expression is
     # an interpreted higher-order function — ~0.3ms/doc, 50s+ per corpus
     # pass — so it stays out of the hot path)
     text_frame = df.select(F.col(id_col).alias("id"),
-                           F.col(text_col).alias("t"))
+                           F.col(text_col).alias("t")) if verify else None
 
     # NARROW band rows: (id, band_id, band_hash) only. The bucket join must
     # not shuffle shingle/signature arrays x bands — at corpus scale that

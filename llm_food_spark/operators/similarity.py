@@ -94,8 +94,32 @@ def _hyperplanes(dim: int, nbits: int, seed: int = 7) -> np.ndarray:
     return rng.standard_normal((dim, nbits)).astype(np.float64)
 
 
-def hyperplane_signature_udf(dim: int = DIM, nbits: int = 16, seed: int = 7):
-    planes = _hyperplanes(dim, nbits, seed)
+def _auto_nbits(n: int, bands: int, target_bucket: int = 64,
+                min_bits: int = 4, max_bits: int = 16) -> int:
+    """Signature width so the EXPECTED bucket stays ~``target_bucket`` wide:
+    bits-per-block = ceil(log2(n / target)), clamped to [4, 16] per block.
+    n=500 → 16 bits total (test scale, unchanged); n=1e9 → 4*16=64 bits —
+    bucket width stays sub-linear in corpus size instead of every bucket
+    blowing past the cap and silently dropping the whole corpus."""
+    import math
+
+    bits = min_bits
+    if n > target_bucket:
+        bits = max(min_bits, min(max_bits,
+                                 math.ceil(math.log2(n / target_bucket))))
+    return bits * bands
+
+
+def hyperplane_signature_udf(dim: int = DIM, nbits: int = 16, seed: int = 7,
+                             planes: Optional[np.ndarray] = None):
+    """bit j of the signature = (vec · plane_j) > 0. ``planes`` overrides
+    the seeded Gaussian matrix (dim x nbits); axis-aligned planes
+    (np.eye(dim)[:, :nbits]) make the signature SQL-expressible — the
+    ann_lsh_seeded oracle uses that to value-check the banding plan."""
+    if planes is None:
+        planes = _hyperplanes(dim, nbits, seed)
+    planes = np.asarray(planes, dtype=np.float64)
+    assert planes.shape == (dim, nbits), "planes must be dim x nbits"
     weights = (1 << np.arange(nbits, dtype=np.uint64))
 
     @F.pandas_udf(T.LongType())
@@ -119,9 +143,10 @@ def lsh_ann_topk(
     k: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    nbits: int = 16,
+    nbits: Optional[int] = None,
     bands: int = 4,
     round_dp: int = 4,
+    planes: Optional[np.ndarray] = None,
 ) -> DataFrame:
     """Approximate top-k: random-hyperplane signature split into ``bands``
     blocks; query and candidate must share >=1 block value to be scored.
@@ -131,8 +156,14 @@ def lsh_ann_topk(
     the embedding. Shipping vectors through the explode would multiply
     shuffle bytes by dim*8*bands per row (the anti-pattern minhash_lsh_pairs
     documents); vectors are joined back for the distinct candidate id-pairs
-    only, after the bucket join."""
-    sig = hyperplane_signature_udf(dim=DIM, nbits=nbits)
+    only, after the bucket join.
+
+    ``nbits=None`` (default) auto-sizes the signature from a cheap candidate
+    count so expected bucket width stays ~64 at ANY corpus size (one extra
+    count job; pass nbits explicitly to skip it)."""
+    if nbits is None:
+        nbits = _auto_nbits(candidates.count(), bands)
+    sig = hyperplane_signature_udf(dim=DIM, nbits=nbits, planes=planes)
     bits_per = nbits // bands
     mask = (1 << bits_per) - 1
 
@@ -358,10 +389,11 @@ def embedding_neardup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
-    nbits: int = 16,
+    nbits: Optional[int] = None,
     bands: int = 4,
     round_dp: int = 6,
     max_bucket: int = 4096,
+    planes: Optional[np.ndarray] = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, score >= t) via
     the same banded hyperplane blocking.
@@ -369,11 +401,14 @@ def embedding_neardup_pairs(
     Shuffle shape (mirrors lsh_ann_topk): band rows are (id, band, block)
     ints only — vectors join back for distinct candidate pairs, never ride
     the explode. ``max_bucket`` caps degenerate buckets (all-zero or
-    boilerplate-identical embeddings) before the self-join goes quadratic.
-    Tuning note: the nbits=16/bands=4 default gives 4-bit blocks — fine at
-    test scale; a web-scale corpus wants nbits >= 64 with >= 16-bit blocks
-    so bucket width stays sub-linear in corpus size."""
-    sig = hyperplane_signature_udf(dim=DIM, nbits=nbits)
+    boilerplate-identical embeddings) before the self-join goes quadratic;
+    run ``neardup_dropped_buckets`` alongside so capped mass is visible,
+    never silent. ``nbits=None`` auto-sizes the signature from a cheap
+    count (see ``_auto_nbits``) so buckets stay ~64 wide — and the cap a
+    rare guardrail, not the common path — at any corpus size."""
+    if nbits is None:
+        nbits = _auto_nbits(df.count(), bands)
+    sig = hyperplane_signature_udf(dim=DIM, nbits=nbits, planes=planes)
     bits_per = nbits // bands
     mask = (1 << bits_per) - 1
     base = ensure_min_partitions(df)
@@ -417,4 +452,46 @@ def embedding_neardup_pairs(
         .withColumn("score", F.round(cosine(F.col("va"), F.col("vb")), round_dp))
         .where(F.col("score") >= threshold)
         .select("id_a", "id_b", "score")
+    )
+
+
+def neardup_dropped_buckets(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nbits: Optional[int] = None,
+    bands: int = 4,
+    max_bucket: int = 4096,
+    planes: Optional[np.ndarray] = None,
+) -> DataFrame:
+    """Audit report for embedding_neardup_pairs' ``max_bucket`` guardrail:
+    (band, block, n_vecs) for every bucket the pair query would drop — the
+    same no-silent-caps counterpart simhash_dropped_blocks provides. Run it
+    alongside the pair query with IDENTICAL nbits/bands/planes; nonzero rows
+    mean recall loss that should be routed to a wider signature."""
+    if nbits is None:
+        nbits = _auto_nbits(df.count(), bands)
+    sig = hyperplane_signature_udf(dim=DIM, nbits=nbits, planes=planes)
+    bits_per = nbits // bands
+    mask = (1 << bits_per) - 1
+    s = ensure_min_partitions(df).select(sig(F.col(vec_col)).alias("_sig"))
+    banded = s.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftrightunsigned(F.col("_sig"), bits_per * b)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("block"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("bb.band", "bb.block")
+    return (
+        banded.groupBy("band", "block")
+        .agg(F.count(F.lit(1)).alias("n_vecs"))
+        .where(F.col("n_vecs") > max_bucket)
     )
