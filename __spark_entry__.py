@@ -781,6 +781,80 @@ def q_media_frames(spark, sf_dir):
     ).orderBy("media_id", "frame_no")
 
 
+def q_image_resize(spark, sf_dir):
+    """REAL image resize under a hard analytic oracle: PNG fixtures carry
+    formula pixels (r,g,b closed-form in x,y,image) encoded through ALL
+    FIVE PNG row filters, BMP and paletted-GIF fixtures carry the same
+    closed forms; the Spark side runs decode → nearest-neighbor resize →
+    re-encode, then decodes its own output and sums the pixel bytes. The
+    DuckDB twin computes the expected sums analytically from the
+    nearest-neighbor index map — any error in the unfilter, resize
+    arithmetic, or re-encode shifts the sum and mismatches."""
+    import numpy as np
+    from pyspark.sql import types as T
+    from llm_food_spark.functions.media import make_gif, make_png, png_decode
+    from llm_food_spark.operators.multimodal import (
+        _bmp_decode,
+        _bmp_encode,
+        resize_image,
+    )
+
+    rows = []
+    for i in range(12):
+        w, h = 20 + i, 14 + i
+        rgb = bytes(
+            v
+            for y in range(h)
+            for x in range(w)
+            for v in ((x * 7 + y * 11 + i) % 256,
+                      (x * 13 + y * 3 + 2 * i) % 256,
+                      (x * 5 + y * 17 + 3 * i) % 256)
+        )
+        rows.append(("png%02d" % i,
+                     make_png(rgb, w, h,
+                              row_filters=[(j + i) % 5 for j in range(5)])))
+    for i in range(4):
+        w, h = 20 + i, 14 + i
+        arr = np.zeros((h, w, 3), dtype=np.uint8)
+        for y in range(h):
+            for x in range(w):
+                arr[y, x] = ((x * 7 + y * 11 + i) % 256,
+                             (x * 13 + y * 3 + 2 * i) % 256,
+                             (x * 5 + y * 17 + 3 * i) % 256)
+        rows.append(("bmp%02d" % i, _bmp_encode(arr)))
+    for i in range(2):
+        w, h = 20 + i, 14 + i
+        pal = bytes((k * 37 + i * 5) % 256 for k in range(12))
+        idx = bytes(p % 4 for p in range(w * h))
+        rows.append(("gif%02d" % i, make_gif([idx], w, h, pal, [50])))
+    rows.append(("bad", b"nonsense"))
+    df = spark.createDataFrame(rows, "media_id string, payload binary")
+    out = resize_image(df, 32, 24)
+
+    def _pix_sum(payloads):
+        import pandas as pd
+
+        res = []
+        for p in payloads:
+            if p is None:
+                res.append(None)
+                continue
+            b = bytes(p)
+            d = png_decode(b)
+            if d is not None:
+                res.append(int(np.frombuffer(d[2], np.uint8).sum(dtype=np.int64)))
+                continue
+            arr = _bmp_decode(b)
+            res.append(int(arr.sum(dtype=np.int64)) if arr is not None else None)
+        return pd.Series(res, dtype="object")
+
+    ps = F.pandas_udf(_pix_sum, T.LongType())
+    return out.select(
+        "media_id", "format", "width", "height", "status", "error_message",
+        ps(F.col("payload")).alias("pix_sum"),
+    )
+
+
 def q_audio_chunk(spark, sf_dir):
     """REAL PCM WAV chunking over synthesized payloads — rows-only."""
     import struct as _s
@@ -853,6 +927,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "repetition": q_repetition,
         "image_meta": q_image_meta,
+        "image_resize": q_image_resize,
         "media_meta": q_media_meta,
         "media_frames": q_media_frames,
         "audio_chunk": q_audio_chunk,
@@ -1097,6 +1172,44 @@ _EXTRACT_INVARIANTS_SQL = """
            CAST(0 AS BIGINT) AS bad_hash,
            CAST(0 AS BIGINT) AS bad_partition,
            CAST(0 AS BIGINT) AS bad_error
+"""
+
+# analytic resize oracle: pix_sum of the nearest-neighbor-resized image is
+# a closed-form double sum over the 32x24 target grid (sx=(X*w)//32,
+# sy=(Y*h)//24, channel formulas mod 256); see q_image_resize
+_IMAGE_RESIZE_SQL = """
+    WITH imgs AS (
+      SELECT 'png' || lpad(CAST(i AS VARCHAR), 2, '0') AS media_id,
+             'png' AS format, i, 20 + i AS w, 14 + i AS h, 'rgb' AS kind
+      FROM (SELECT unnest(range(0, 12)) AS i)
+      UNION ALL
+      SELECT 'bmp' || lpad(CAST(i AS VARCHAR), 2, '0'),
+             'bmp', i, 20 + i, 14 + i, 'rgb'
+      FROM (SELECT unnest(range(0, 4)) AS i)
+      UNION ALL
+      SELECT 'gif' || lpad(CAST(i AS VARCHAR), 2, '0'),
+             'gif', i, 20 + i, 14 + i, 'pal'
+      FROM (SELECT unnest(range(0, 2)) AS i)
+    ), sums AS (
+      SELECT media_id, format,
+             CAST(list_sum(list_transform(range(0, 768), p ->
+               CASE WHEN kind = 'rgb' THEN
+                   (((p % 32) * w // 32) * 7 + ((p // 32) * h // 24) * 11 + i) % 256
+                 + (((p % 32) * w // 32) * 13 + ((p // 32) * h // 24) * 3 + 2 * i) % 256
+                 + (((p % 32) * w // 32) * 5 + ((p // 32) * h // 24) * 17 + 3 * i) % 256
+               ELSE
+                   ((3 * ((((p // 32) * h // 24) * w + (p % 32) * w // 32) % 4) + 0) * 37 + i * 5) % 256
+                 + ((3 * ((((p // 32) * h // 24) * w + (p % 32) * w // 32) % 4) + 1) * 37 + i * 5) % 256
+                 + ((3 * ((((p // 32) * h // 24) * w + (p % 32) * w // 32) % 4) + 2) * 37 + i * 5) % 256
+               END)) AS BIGINT) AS pix_sum
+      FROM imgs
+    )
+    SELECT media_id, format, CAST(32 AS INT) AS width, CAST(24 AS INT) AS height,
+           'resized' AS status, CAST(NULL AS VARCHAR) AS error_message, pix_sum
+    FROM sums
+    UNION ALL
+    SELECT 'bad', CAST(NULL AS VARCHAR), CAST(NULL AS INT), CAST(NULL AS INT),
+           'failed', 'unrecognized image payload', CAST(NULL AS BIGINT)
 """
 
 _SIMHASH_SEEDED_SQL = """
@@ -1500,6 +1613,9 @@ def _handwritten_oracles() -> dict[str, str]:
         # extraction-pipeline invariants pinned to constants
         # (see q_extract_invariants)
         "extract_invariants": _EXTRACT_INVARIANTS_SQL,
+        # PNG/BMP/GIF decode->resize->re-encode under an analytic pixel-sum
+        # oracle (see q_image_resize)
+        "image_resize": _IMAGE_RESIZE_SQL,
         # data: URL fetch: url/base64 construction shared with q_fetch;
         # filename = after-last-slash (os.path.basename twin), whole url
         # when the base64 payload ends with '/'

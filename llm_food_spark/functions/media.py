@@ -1,4 +1,5 @@
-"""Pure-Python media decoding: GIF frames (LZW), Y4M frames, WAV PCM chunks.
+"""Pure-Python media decoding: PNG pixels (zlib + unfiltering), GIF frames
+(LZW), Y4M frames, WAV PCM chunks.
 
 Real decoders, stdlib only — the compressed-image/video formats this
 container CAN decode without codec libraries. `operators/multimodal.py`
@@ -13,7 +14,169 @@ requirements (multimodal columns: decode / frame-sample / chunk).
 from __future__ import annotations
 
 import struct
+import zlib
 from typing import List, Optional, Tuple
+
+# ---------------------------------------------------------------------------
+# PNG: zlib inflate + per-row unfiltering -> RGB24 (no codec lib needed)
+# ---------------------------------------------------------------------------
+
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}  # color type -> samples/px
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def png_decode(b: bytes) -> Optional[Tuple[int, int, bytes]]:
+    """Decode a PNG to (width, height, rgb24_bytes). Pure stdlib+numpy:
+    chunk walk -> zlib inflate -> per-row unfilter (None/Sub/Up/Average/
+    Paeth; the same predictor family the PDF parser implements for Flate
+    streams) -> channel normalization to RGB24 (palette lookup, alpha
+    dropped, gray replicated).
+
+    Supported: 8-bit depth, color types 0/2/3/4/6, non-interlaced — the
+    overwhelmingly common web shapes. Returns None for anything else
+    (interlaced/16-bit/corrupt), which the operators surface as failed
+    ROWS, never task errors. Filters None/Sub/Up are numpy row lanes;
+    Average/Paeth are sequential by definition (recon feeds back within
+    the row) and run as Python loops."""
+    import numpy as np
+
+    if len(b) < 8 or b[:8] != b"\x89PNG\r\n\x1a\n":
+        return None
+    i = 8
+    w = h = bit_depth = color = interlace = None
+    plte = b""
+    idat = bytearray()
+    while i + 8 <= len(b):
+        (clen,) = struct.unpack(">I", b[i : i + 4])
+        tag = b[i + 4 : i + 8]
+        body = b[i + 8 : i + 8 + clen]
+        if len(body) < clen:
+            return None
+        if tag == b"IHDR":
+            if clen < 13:
+                return None
+            w, h = struct.unpack(">II", body[:8])
+            bit_depth, color, _comp, _filt, interlace = body[8:13]
+        elif tag == b"PLTE":
+            plte = bytes(body)
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+        i += 12 + clen  # len + tag + body + crc
+    if (
+        not w or not h or bit_depth != 8 or interlace != 0
+        or color not in _PNG_CHANNELS or not idat
+        or (color == 3 and not plte)
+    ):
+        return None
+    bpp = _PNG_CHANNELS[color]
+    stride = w * bpp
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error:
+        return None
+    if len(raw) < h * (stride + 1):
+        return None
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    pos = 0
+    for y in range(h):
+        f = raw[pos]
+        row = np.frombuffer(raw, np.uint8, stride, pos + 1).copy()
+        pos += 1 + stride
+        if f == 0:
+            pass
+        elif f == 1:  # Sub: per-lane modular prefix sum
+            lanes = row.reshape(w, bpp)
+            np.cumsum(lanes, axis=0, dtype=np.uint8, out=lanes)
+        elif f == 2:  # Up
+            row += prev
+        elif f == 3:  # Average (sequential: recon[x-bpp] feeds back)
+            rl = bytearray(row.tobytes())
+            pv = prev
+            for x in range(stride):
+                left = rl[x - bpp] if x >= bpp else 0
+                rl[x] = (rl[x] + ((left + int(pv[x])) >> 1)) & 0xFF
+            row = np.frombuffer(bytes(rl), np.uint8).copy()
+        elif f == 4:  # Paeth (sequential)
+            rl = bytearray(row.tobytes())
+            pv = prev
+            for x in range(stride):
+                a = rl[x - bpp] if x >= bpp else 0
+                c = int(pv[x - bpp]) if x >= bpp else 0
+                rl[x] = (rl[x] + _paeth(a, int(pv[x]), c)) & 0xFF
+            row = np.frombuffer(bytes(rl), np.uint8).copy()
+        else:
+            return None
+        rows[y] = row
+        prev = rows[y]
+    px = rows.reshape(h, w, bpp)
+    if color == 2:
+        rgb = px
+    elif color == 6:
+        rgb = px[:, :, :3]
+    elif color == 0:
+        rgb = np.repeat(px, 3, axis=2)
+    elif color == 4:
+        rgb = np.repeat(px[:, :, :1], 3, axis=2)
+    else:  # palette
+        pal = np.frombuffer(plte.ljust(768, b"\x00"), np.uint8).reshape(256, 3)
+        rgb = pal[px[:, :, 0]]
+    return w, h, rgb.astype(np.uint8).tobytes()
+
+
+def make_png(rgb: bytes, w: int, h: int,
+             row_filters: Optional[List[int]] = None) -> bytes:
+    """Deterministic PNG encoder (RGB24, 8-bit, non-interlaced) — fixture
+    generator and the re-encode half of the resize path. ``row_filters``
+    selects the per-row filter (0-4; default all 0) by applying the forward
+    filter transform, so fixtures can exercise every unfilter branch."""
+    if len(rgb) != w * h * 3:
+        raise ValueError("rgb must be w*h*3 bytes")
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (struct.pack(">I", len(body)) + tag + body
+                + struct.pack(">I", zlib.crc32(tag + body)))
+
+    bpp = 3
+    stride = w * bpp
+    raw = bytearray()
+    prev = bytes(stride)
+    for y in range(h):
+        cur = rgb[y * stride : (y + 1) * stride]
+        f = row_filters[y % len(row_filters)] if row_filters else 0
+        if f == 0:
+            enc = cur
+        elif f == 1:
+            enc = bytes((cur[x] - (cur[x - bpp] if x >= bpp else 0)) & 0xFF
+                        for x in range(stride))
+        elif f == 2:
+            enc = bytes((cur[x] - prev[x]) & 0xFF for x in range(stride))
+        elif f == 3:
+            enc = bytes((cur[x] - (((cur[x - bpp] if x >= bpp else 0)
+                                    + prev[x]) >> 1)) & 0xFF
+                        for x in range(stride))
+        elif f == 4:
+            enc = bytes((cur[x] - _paeth(cur[x - bpp] if x >= bpp else 0,
+                                         prev[x],
+                                         prev[x - bpp] if x >= bpp else 0))
+                        & 0xFF for x in range(stride))
+        else:
+            raise ValueError("filter must be 0-4")
+        raw += bytes([f]) + enc
+        prev = cur
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(raw), 9))
+            + chunk(b"IEND", b""))
 
 # ---------------------------------------------------------------------------
 # GIF (87a/89a): global/local palettes, variable-width LZW, interlace

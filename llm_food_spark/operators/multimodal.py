@@ -4,10 +4,11 @@ Image/audio/video are opaque ``binary`` columns with a metadata struct; the
 Spark-side plumbing (schemas, batch shapes, mapInPandas signatures,
 partition-by-size balancing) is real and tested. What this container CAN
 decode without codec libraries is decoded for REAL, pure Python/numpy:
-header metadata for PNG/GIF/JPEG/BMP/WAV/MP3/FLAC/Ogg/MP4/WebM, BMP
-nearest-neighbor resize, animated-GIF frame decode (LZW), uncompressed Y4M
-frame sampling, PCM WAV chunking. Only the compressed-codec steps
-(JPEG/PNG pixels, MP4/WebM frames, MP3 samples) are STUBBED behind a
+header metadata for PNG/GIF/JPEG/BMP/WAV/MP3/FLAC/Ogg/MP4/WebM, PNG pixel
+decode (zlib inflate + unfilter) and resize, BMP nearest-neighbor resize,
+animated-GIF frame decode (LZW) and resize, uncompressed Y4M frame
+sampling, PCM WAV chunking. Only the remaining compressed-codec steps
+(JPEG pixels, MP4/WebM frames, MP3 samples) are STUBBED behind a
 clearly-marked flag, so swapping in Pillow/ffmpeg later is a function-body
 change, not a pipeline change.
 """
@@ -422,8 +423,11 @@ def resize_image(media: DataFrame, width: int, height: int,
     """media(media_id, payload) -> resized payloads.
 
     REAL for uncompressed 24bpp BMP (numpy nearest-neighbor, re-encoded as
-    BMP). Compressed formats (PNG/JPEG/GIF) need codec libs this container
-    lacks: with allow_stub they produce deterministic fake payloads marked
+    BMP) and for PNG (pure-Python zlib inflate + unfilter decode in
+    functions/media.py, nearest-neighbor resize, deterministic filter-0
+    re-encode). GIF stills route through the same RGB24 resize via the LZW
+    frame decoder and come back as PNG. Only JPEG still needs a codec lib:
+    with allow_stub it produces deterministic fake payloads marked
     status='stubbed' (plumbing testable end-to-end), otherwise failed ROWS
     (record-and-continue; tasks never die on bad media).
     """
@@ -432,6 +436,10 @@ def resize_image(media: DataFrame, width: int, height: int,
 
     def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
+
+        import numpy as np
+
+        from llm_food_spark.functions.media import make_png, png_decode
 
         for pdf in it:
             rows: List[dict] = []
@@ -444,9 +452,36 @@ def resize_image(media: DataFrame, width: int, height: int,
                     arr = _bmp_decode(b)
                 except (struct.error, IndexError, ValueError):
                     arr = None
+                rgb_src = None  # (fmt, HxWx3 array) for the RGB24 path
+                if arr is None:
+                    try:
+                        png = png_decode(b)
+                    except (struct.error, IndexError, ValueError):
+                        png = None
+                    if png is not None:
+                        w0, h0, rgb = png
+                        rgb_src = ("png",
+                                   np.frombuffer(rgb, np.uint8)
+                                   .reshape(h0, w0, 3))
+                    else:
+                        try:
+                            gif = gif_frames(b, max_frames=1)
+                        except (struct.error, IndexError, ValueError):
+                            gif = None
+                        if gif:
+                            _no, _delay, w0, h0, rgb = gif[0]
+                            rgb_src = ("gif",
+                                       np.frombuffer(rgb, np.uint8)
+                                       .reshape(h0, w0, 3))
                 if arr is not None:
                     out = _bmp_encode(_resize_nearest(arr, width, height))
                     row.update(payload=out, format="bmp", width=width,
+                               height=height, status="resized")
+                elif rgb_src is not None:
+                    fmt, src = rgb_src
+                    resized = _resize_nearest(src, width, height)
+                    out = make_png(resized.tobytes(), width, height)
+                    row.update(payload=out, format=fmt, width=width,
                                height=height, status="resized")
                 else:
                     fmt = next((n for n, p in (("png", _png_size),
@@ -458,9 +493,12 @@ def resize_image(media: DataFrame, width: int, height: int,
                             b + b"%dx%d" % (width, height)).digest()
                         row.update(payload=dig * 4, format=fmt, width=width,
                                    height=height, status="stubbed")
-                    elif fmt:
+                    elif fmt == "jpeg":
                         row.update(format=fmt, error_message=
-                                   "no %s codec in this container" % fmt)
+                                   "no jpeg codec in this container")
+                    elif fmt:  # png/gif that the real decoder rejected
+                        row.update(format=fmt, error_message=
+                                   "corrupt or unsupported %s payload" % fmt)
                     else:
                         row.update(error_message="unrecognized image payload")
                 rows.append(row)

@@ -186,3 +186,52 @@ def test_sniff_control_free_binary_without_tag_marker_is_unknown():
     assert sniff_content_type(b"\x80" * 500) == "unknown"
     # legacy cp1252 text WITH markup still sniffs html
     assert sniff_content_type(b"<p>caf\xe9</p>") == "html"
+
+
+def test_png_roundtrip_all_filters_and_color_types():
+    """png_decode is a REAL decoder: encode/decode round-trips byte-exactly
+    for every filter type, and gray/palette/alpha variants normalize to
+    RGB24 per the PNG spec."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from llm_food_spark.functions.media import make_png, png_decode
+
+    rng = np.random.RandomState(3)
+    for (w, h) in [(1, 1), (5, 3), (20, 14), (33, 7)]:
+        rgb = rng.randint(0, 256, size=w * h * 3, dtype=np.uint8).tobytes()
+        for filters in [None, [1], [2], [3], [4], [0, 1, 2, 3, 4]]:
+            got = png_decode(make_png(rgb, w, h, row_filters=filters))
+            assert got == (w, h, rgb), (w, h, filters)
+
+    def chunk(tag, body):
+        return (struct.pack(">I", len(body)) + tag + body
+                + struct.pack(">I", zlib.crc32(tag + body)))
+
+    def png(color, w, h, raw, plte=b""):
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+        mid = chunk(b"PLTE", plte) if plte else b""
+        return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr) + mid
+                + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+
+    # grayscale replicates to RGB
+    assert png_decode(png(0, 2, 1, b"\x00\x10\x20")) == \
+        (2, 1, b"\x10\x10\x10\x20\x20\x20")
+    # RGBA drops alpha
+    assert png_decode(png(6, 1, 2, b"\x00\x01\x02\x03\xff"
+                          b"\x00\x04\x05\x06\x80")) == \
+        (1, 2, b"\x01\x02\x03\x04\x05\x06")
+    # palette indexes PLTE
+    assert png_decode(png(3, 2, 1, b"\x00\x01\x00",
+                          plte=bytes([10, 20, 30, 40, 50, 60]))) == \
+        (2, 1, bytes([40, 50, 60, 10, 20, 30]))
+    # corrupt / unsupported -> None, never an exception
+    assert png_decode(b"\x89PNG\r\n\x1a\nxxxx") is None
+    assert png_decode(make_png(b"\x00" * 12, 2, 2)[:30]) is None
+    interlaced = png(2, 2, 2, b"\x00" * 14)
+    interlaced = interlaced.replace(
+        struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0),
+        struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 1))
+    assert png_decode(interlaced) is None

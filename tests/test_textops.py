@@ -233,7 +233,7 @@ def test_resize_bmp_real(spark):
 
     arr = np.arange(8 * 6 * 3, dtype=np.uint8).reshape(6, 8, 3)
     rows = [("bmp", _bmp_encode(arr)),
-            ("png", _png(10, 10)),
+            ("png", _png(10, 10)),  # header-only: decoder must reject it
             ("bad", b"junk")]
     df = spark.createDataFrame(rows, "media_id string, payload binary")
     got = {r["media_id"]: r for r in resize_image(df, 4, 3).collect()}
@@ -245,14 +245,54 @@ def test_resize_bmp_real(spark):
     want = arr[(np.arange(3) * 6) // 3][:, (np.arange(4) * 8) // 4]
     assert (back == want).all()
 
-    assert got["png"]["status"] == "failed"          # no codec, no stub
-    assert "codec" in got["png"]["error_message"]
+    assert got["png"]["status"] == "failed"          # truncated, no stub
+    assert "corrupt or unsupported" in got["png"]["error_message"]
     assert got["bad"]["status"] == "failed"
 
     # stub path: deterministic fake payload, marked
     stub = {r["media_id"]: r
             for r in resize_image(df, 4, 3, allow_stub=True).collect()}["png"]
     assert stub["status"] == "stubbed" and stub["payload"] is not None
+
+
+def test_resize_png_real(spark):
+    """PNG resize is REAL: zlib+unfilter decode (all 5 filters), numpy
+    nearest-neighbor, valid PNG back out; GIF stills ride the same path."""
+    import numpy as np
+
+    from llm_food_spark.functions.media import make_gif, make_png, png_decode
+    from llm_food_spark.operators.multimodal import resize_image
+
+    rng = np.random.RandomState(11)
+    rgb = rng.randint(0, 256, size=10 * 6 * 3, dtype=np.uint8)
+    src = rgb.reshape(6, 10, 3)
+    pal = bytes(range(12))
+    gif_idx = bytes((p % 4) for p in range(10 * 6))
+    rows = [("png", make_png(rgb.tobytes(), 10, 6, row_filters=[0, 1, 2, 3, 4])),
+            ("gif", make_gif([gif_idx], 10, 6, pal, [40])),
+            ("jpg", b"\xff\xd8\xff\xc0\x00\x11\x08\x00\x10\x00\x20"
+                    b"\x03\x01\x11\x00\x02\x11\x01\x03\x11\x01\xff\xd9")]
+    df = spark.createDataFrame(rows, "media_id string, payload binary")
+    got = {r["media_id"]: r for r in resize_image(df, 5, 3).collect()}
+
+    p = got["png"]
+    assert (p["status"], p["format"], p["width"], p["height"]) == \
+        ("resized", "png", 5, 3)
+    w2, h2, dec = png_decode(bytes(p["payload"]))
+    want = src[(np.arange(3) * 6) // 3][:, (np.arange(5) * 10) // 5]
+    assert (w2, h2) == (5, 3)
+    assert dec == want.tobytes()
+
+    g = got["gif"]
+    assert (g["status"], g["format"]) == ("resized", "gif")
+    w2, h2, dec = png_decode(bytes(g["payload"]))  # gif comes back as PNG
+    gif_rgb = np.array([pal[3 * (p % 4) + c] for p in range(60)
+                        for c in range(3)], dtype=np.uint8).reshape(6, 10, 3)
+    want = gif_rgb[(np.arange(3) * 6) // 3][:, (np.arange(5) * 10) // 5]
+    assert dec == want.tobytes()
+
+    assert got["jpg"]["status"] == "failed"
+    assert "no jpeg codec" in got["jpg"]["error_message"]
 
 
 def test_frame_sample_y4m_real(spark):
