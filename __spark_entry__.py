@@ -375,6 +375,28 @@ def q_chunk_recursive(spark, sf_dir):
                        strategy="recursive", chunk_size=64, chunk_overlap=0)
 
 
+def q_chunk_recursive_tokens(spark, sf_dir):
+    """Semantic twin for the recursive chunker: token CONSERVATION. The
+    hierarchical splitter drops separators and whitespace-only parts but
+    never a token, so per-doc sum(tokens(chunk)) must equal tokens(text)
+    exactly — DuckDB computes the right side independently; the oversized
+    counter additionally pins the <=chunk_size guarantee (verified 0
+    violations over the corpus + hostile shapes before freezing)."""
+    from llm_food_spark.operators.chunk import chunk_table
+    from llm_food_spark.operators.textops import token_count
+
+    d = _t(spark, sf_dir, "documents")
+    chunks = chunk_table(d, text_col="text", key_col="doc_id",
+                         strategy="recursive", chunk_size=64, chunk_overlap=0)
+    tc = token_count(F.col("chunk"))
+    return (
+        chunks.where(F.col("chunk").isNotNull())
+        .groupBy(F.col("url").alias("doc_id"))
+        .agg(F.sum(tc).alias("n_tokens"),
+             F.sum((tc > 64).cast("long")).alias("oversized_chunks"))
+    )
+
+
 def q_minhash_lsh(spark, sf_dir):
     from llm_food_spark.operators.dedup import minhash_lsh_pairs
 
@@ -915,6 +937,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_token": q_chunk_token,
         "chunk_sentence": q_chunk_sentence,
         "chunk_recursive": q_chunk_recursive,
+        "chunk_recursive_tokens": q_chunk_recursive_tokens,
         "minhash_lsh": q_minhash_lsh,
         "minhash_lsh_seeded": q_minhash_lsh_seeded,
         "simhash": q_simhash,
@@ -1172,6 +1195,56 @@ _EXTRACT_INVARIANTS_SQL = """
            CAST(0 AS BIGINT) AS bad_hash,
            CAST(0 AS BIGINT) AS bad_partition,
            CAST(0 AS BIGINT) AS bad_error
+"""
+
+# image_meta / media_meta: the fixture parameters are closed-form in the
+# row index, so the ENTIRE decoder output (dims, rates, durations, byte
+# counts, status vocabulary) is a hand-written constant table — a full
+# semantic oracle replacing the former golden-parquet stability check.
+_IMAGE_META_SQL = """
+    SELECT 'm' || lpad(CAST(i AS VARCHAR), 4, '0') AS media_id,
+           'png' AS format, CAST(64 + i AS INT) AS width,
+           CAST(48 + i AS INT) AS height, CAST(33 AS BIGINT) AS bytes,
+           'decoded' AS status, CAST(NULL AS VARCHAR) AS error_message
+    FROM (SELECT unnest(range(0, 64)) AS i)
+    UNION ALL
+    SELECT 'bad', 'unknown', CAST(NULL AS INT), CAST(NULL AS INT),
+           CAST(12 AS BIGINT), 'failed', 'unrecognized image payload'
+"""
+
+_MEDIA_META_SQL = """
+    WITH i16 AS (SELECT unnest(range(0, 16)) AS i)
+    SELECT 'png' || lpad(CAST(i AS VARCHAR), 2, '0') AS media_id,
+           'image' AS kind, 'png' AS format,
+           CAST(64 + i AS INT) AS width, CAST(48 + i AS INT) AS height,
+           CAST(NULL AS INT) AS channels, CAST(NULL AS INT) AS sample_rate,
+           CAST(NULL AS BIGINT) AS duration_ms, CAST(33 AS BIGINT) AS bytes,
+           'decoded' AS status, CAST(NULL AS VARCHAR) AS error_message
+    FROM i16
+    UNION ALL
+    SELECT 'wav' || lpad(CAST(i AS VARCHAR), 2, '0'), 'audio', 'wav',
+           NULL, NULL, 1, CAST(8000 * (1 + i % 3) AS INT),
+           CAST((1 + i) * 1000 AS BIGINT), 76, 'decoded', NULL
+    FROM i16
+    UNION ALL
+    SELECT 'flc' || lpad(CAST(i AS VARCHAR), 2, '0'), 'audio', 'flac',
+           NULL, NULL, 2, 44100, CAST((1 + i) * 1000 AS BIGINT), 42,
+           'decoded', NULL
+    FROM i16
+    UNION ALL
+    SELECT 'mp4' || lpad(CAST(i AS VARCHAR), 2, '0'), 'video', 'mp4',
+           CAST(640 + i AS INT), CAST(360 + i AS INT), NULL, NULL,
+           CAST((1 + i) * 1000 AS BIGINT), 232, 'decoded', NULL
+    FROM i16
+    UNION ALL
+    SELECT 'mp3', 'audio', 'mp3', NULL, NULL, 2, 44100, 250, 4000,
+           'decoded', NULL
+    UNION ALL
+    SELECT 'ebm', 'video', 'webm', NULL, NULL, NULL, NULL, NULL, 27,
+           'decoded', NULL
+    UNION ALL
+    SELECT 'bad', NULL, NULL, NULL, NULL, NULL, NULL, NULL, 5, 'failed',
+           'unrecognized media payload'
 """
 
 # analytic resize oracle: pix_sum of the nearest-neighbor-resized image is
@@ -1616,6 +1689,15 @@ def _handwritten_oracles() -> dict[str, str]:
         # PNG/BMP/GIF decode->resize->re-encode under an analytic pixel-sum
         # oracle (see q_image_resize)
         "image_resize": _IMAGE_RESIZE_SQL,
+        # full constant-table decoder oracles (closed-form fixture params)
+        "image_meta": _IMAGE_META_SQL,
+        "media_meta": _MEDIA_META_SQL,
+        # recursive-chunker token conservation (see q_chunk_recursive_tokens)
+        "chunk_recursive_tokens": """
+            SELECT doc_id, CAST(len({toks}) AS BIGINT) AS n_tokens,
+                   CAST(0 AS BIGINT) AS oversized_chunks
+            FROM documents WHERE len({toks}) > 0
+        """.format(toks=_WSTOKS),
         # data: URL fetch: url/base64 construction shared with q_fetch;
         # filename = after-last-slash (os.path.basename twin), whole url
         # when the base64 payload ends with '/'
