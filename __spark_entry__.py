@@ -606,6 +606,22 @@ def q_embedding_neardup(spark, sf_dir):
     )
 
 
+def q_embedding_neardup_seeded(spark, sf_dir):
+    """The embedding near-dup PLAN (banding + the max_bucket cap + the
+    threshold rerank) under a hard DuckDB oracle via axis-aligned planes
+    (bit j = embedding[j] > 0). max_bucket=40 is chosen so the cap is
+    ACTIVE on this corpus — the oracle value-checks which buckets get
+    dropped, not just the happy path."""
+    import numpy as np
+
+    from llm_food_spark.operators.similarity import DIM, embedding_neardup_pairs
+
+    return embedding_neardup_pairs(
+        _t(spark, sf_dir, "embeddings"), threshold=0.30, nbits=16, bands=4,
+        max_bucket=40, planes=np.eye(DIM)[:, :16],
+    )
+
+
 def q_training_prep(spark, sf_dir):
     # the composite plan: extract → quality gate → exact+near dedup → chunk
     from llm_food_spark.plans.prep import prepare_training_data
@@ -958,6 +974,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_pdf": q_extract_pdf,
         "extract_office": q_extract_office,
         "embedding_neardup": q_embedding_neardup,
+        "embedding_neardup_seeded": q_embedding_neardup_seeded,
         "training_prep": q_training_prep,
     }
 
@@ -1144,6 +1161,33 @@ _ANN_LSH_SEEDED_SQL = """
                                    ORDER BY score DESC, vec_id ASC) AS rank
       FROM scored
     ) WHERE rank <= 3
+"""
+
+_NEARDUP_SEEDED_SQL = """
+    WITH sig AS (
+      SELECT e.vec_id AS id, b.band,
+             list_sum(list_transform(range(0, 4),
+               t -> CASE WHEN e.embedding[b.band * 4 + t + 1] > 0
+                         THEN 1 << t ELSE 0 END)) AS block
+      FROM embeddings e, (VALUES (0), (1), (2), (3)) AS b(band)
+    ), capped AS (
+      SELECT id, band, block FROM (
+        SELECT *, count(*) OVER (PARTITION BY band, block) AS bw FROM sig
+      ) WHERE bw <= 40
+    ), cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM capped a JOIN capped b USING (band, block)
+      WHERE a.id < b.id
+    ), scored AS (
+      SELECT c.id_a, c.id_b,
+             ROUND(list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
+                                          CAST(y.embedding AS DOUBLE[])),
+                   6) AS score
+      FROM cand c
+      JOIN embeddings x ON x.vec_id = c.id_a
+      JOIN embeddings y ON y.vec_id = c.id_b
+    )
+    SELECT id_a, id_b, score FROM scored WHERE score >= 0.30
 """
 
 _ANN_IVF_SEEDED_SQL = """
@@ -1680,6 +1724,9 @@ def _handwritten_oracles() -> dict[str, str]:
         "minhash_lsh_seeded": _MINHASH_SEEDED_SQL,
         # LSH-ANN plan with axis-aligned hyperplanes (see q_ann_lsh_seeded)
         "ann_lsh_seeded": _ANN_LSH_SEEDED_SQL,
+        # embedding near-dup plan incl. ACTIVE bucket cap
+        # (see q_embedding_neardup_seeded)
+        "embedding_neardup_seeded": _NEARDUP_SEEDED_SQL,
         # IVF probe/posting-list plan with one-hot centroids
         # (see q_ann_ivf_seeded)
         "ann_ivf_seeded": _ANN_IVF_SEEDED_SQL,
