@@ -126,3 +126,18 @@ def test_embedding_neardup_pairs_finds_planted(vectors):
     for i in range(5):
         assert (i, 100 + i) in pairs
         assert pairs[(i, 100 + i)] > 0.99
+
+
+def test_auto_nbits_scale_schedule():
+    """Signature width grows with corpus size so expected bucket width
+    stays ~target: unchanged at test scale (16 bits at n=500), 4-bit
+    blocks never narrower, 16-bit blocks at web scale."""
+    from llm_food_spark.operators.similarity import _auto_nbits
+
+    assert _auto_nbits(0, 4) == 16
+    assert _auto_nbits(500, 4) == 16          # test scale: unchanged
+    assert _auto_nbits(5_000, 4) == 28
+    assert _auto_nbits(1_000_000, 4) == 56
+    assert _auto_nbits(10 ** 9, 4) == 64      # clamped at 16-bit blocks
+    assert _auto_nbits(10 ** 12, 4) == 64     # clamp holds at any scale
+    assert all(_auto_nbits(n, 4) % 4 == 0 for n in (1, 10, 10**6, 10**12))
