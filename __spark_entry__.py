@@ -266,6 +266,50 @@ def q_ngram_jaccard(spark, sf_dir):
     )
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Pairs -> connected components -> canonical keeper, over the whole
+    corpus: the last step of the dedup funnel (one representative per
+    near-dup component, Lee et al. 2022). Pairs come from ngram_jaccard
+    (already oracle-checked); the DuckDB twin recomputes the transitive
+    closure with a recursive CTE and the keeper window, so the iterative
+    min-label-propagation plan is value-checked end to end."""
+    from llm_food_spark.operators.cluster import dedup_clusters
+    from llm_food_spark.operators.dedup import ngram_jaccard_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, n=3, block_col="lang", threshold=0.12)
+    return dedup_clusters(d, pairs, id_col="doc_id", text_col="text")
+
+
+def q_dedup_clusters_seeded(spark, sf_dir):
+    """The connected-components PLAN under a hard oracle on a seeded edge
+    set built from doc_id arithmetic: per-decade chains (i, i+1 when
+    i%10<6), decade-bridging links (i, i+3 when i%10=7), and one long
+    10-hop spine (i, i+10 for i%10=5 in [200,300)) that fuses ten decades
+    into a single ~100-node component — multi-hop merging and the
+    pointer-jumping convergence path are all exercised, and DuckDB's
+    recursive closure must agree label-for-label."""
+    from llm_food_spark.operators.cluster import connected_components
+
+    ids = _t(spark, sf_dir, "documents").select(F.col("doc_id").alias("id"))
+    i = F.col("id")
+    e0 = (
+        ids.where(i % 10 < 6).select(i.alias("id_a"), (i + 1).alias("id_b"))
+        .unionAll(
+            ids.where(i % 10 == 7).select(i.alias("id_a"), (i + 3).alias("id_b"))
+        )
+        .unionAll(
+            ids.where((i % 10 == 5) & (i >= 200) & (i < 300)).select(
+                i.alias("id_a"), (i + 10).alias("id_b")
+            )
+        )
+    )
+    # keep only edges whose endpoint exists in the table (the oracle joins
+    # against ids for the same guard)
+    edges = e0.join(ids.select(F.col("id").alias("id_b")), "id_b", "left_semi")
+    return connected_components(edges)
+
+
 def q_fetch(spark, sf_dir):
     """URL fetch source (T19) under a hard oracle: both engines construct
     the same data: URL per document (base64 of the text), the Spark side
@@ -943,6 +987,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # dedup / similarity
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard": q_ngram_jaccard,
+        "dedup_clusters": q_dedup_clusters,
+        "dedup_clusters_seeded": q_dedup_clusters_seeded,
         "split_assign": q_split_assign,
         "fetch": q_fetch,
         "cosine_topk": q_cosine_topk,
@@ -1101,6 +1147,78 @@ _URL_CANON_SQL = r"""
         || CASE WHEN q <> '' THEN '?' || q ELSE '' END AS canonical_url
     FROM d
 """.replace("{tracking}", _TRACKING_RE_SQL).replace("{suffixes}", _SUFFIX_LIST_SQL)
+
+
+_NGRAM_PAIRS_SQL = """
+    WITH s0 AS (
+      SELECT doc_id, lang,
+             CASE WHEN len({w}) >= 3 THEN
+               list_distinct(list_transform(range(1, len({w}) - 1),
+                             i -> array_to_string({w}[i:i+2], ' ')))
+             ELSE [array_to_string({w}, ' ')] END AS toks,
+             COUNT(*) OVER (PARTITION BY lang) AS _bw
+      FROM documents
+    ), s AS (
+      -- mirror the operator's max_block=10000 guardrail: blocks wider
+      -- than the cap are dropped on BOTH sides (semantic identity)
+      SELECT doc_id, lang, toks FROM s0 WHERE _bw <= 10000
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           ROUND(len(list_intersect(a.toks, b.toks))::DOUBLE
+                 / len(list_distinct(list_concat(a.toks, b.toks))), 6) AS jaccard
+    FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.toks, b.toks))::DOUBLE
+          / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.12
+""".format(w=_WORDS)
+
+# pairs -> undirected transitive closure -> min-id component labels -> keeper
+# window. The recursive closure is the independent twin of the operator's
+# iterative min-label-propagation loop (operators/cluster.py).
+_DEDUP_CLUSTERS_SQL = """
+    WITH RECURSIVE pairs AS ({pairs}),
+    e0 AS (SELECT id_a AS u, id_b AS v FROM pairs),
+    edges AS (SELECT u, v FROM e0 UNION SELECT v AS u, u AS v FROM e0),
+    reach AS (
+      SELECT u AS id, u AS label FROM edges
+      UNION
+      SELECT e.v AS id, r.label FROM reach r JOIN edges e ON e.u = r.id
+    ),
+    comp AS (SELECT id, MIN(label) AS cluster_id FROM reach GROUP BY id),
+    fullc AS (
+      SELECT d.doc_id AS id,
+             COALESCE(c.cluster_id, d.doc_id) AS cluster_id, d.text
+      FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+    )
+    SELECT id, cluster_id,
+           COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+           ROW_NUMBER() OVER (PARTITION BY cluster_id
+                              ORDER BY LENGTH(text) DESC, id) = 1 AS keep
+    FROM fullc
+""".format(pairs=_NGRAM_PAIRS_SQL)
+
+# seeded arithmetic edge set (chains + decade bridges + one 10-hop spine);
+# see q_dedup_clusters_seeded for the construction rationale
+_CLUSTER_SEEDED_SQL = """
+    WITH RECURSIVE ids AS (SELECT doc_id AS id FROM documents),
+    e0 AS (
+      SELECT a.id AS u, a.id + 1 AS v FROM ids a
+      JOIN ids b ON b.id = a.id + 1 WHERE a.id % 10 < 6
+      UNION ALL
+      SELECT a.id AS u, a.id + 3 AS v FROM ids a
+      JOIN ids b ON b.id = a.id + 3 WHERE a.id % 10 = 7
+      UNION ALL
+      SELECT a.id AS u, a.id + 10 AS v FROM ids a
+      JOIN ids b ON b.id = a.id + 10
+      WHERE a.id % 10 = 5 AND a.id >= 200 AND a.id < 300
+    ),
+    edges AS (SELECT u, v FROM e0 UNION SELECT v AS u, u AS v FROM e0),
+    reach AS (
+      SELECT u AS id, u AS label FROM edges
+      UNION
+      SELECT e.v AS id, r.label FROM reach r JOIN edges e ON e.u = r.id
+    )
+    SELECT id, MIN(label) AS cluster_id FROM reach GROUP BY id
+"""
 
 
 _MINHASH_SEEDED_SQL = """
@@ -1695,27 +1813,12 @@ def _handwritten_oracles() -> dict[str, str]:
                    MIN(doc_id) AS keeper_id
             FROM u GROUP BY sha256(text) HAVING COUNT(*) > 1
         """,
-        "ngram_jaccard": """
-            WITH s0 AS (
-              SELECT doc_id, lang,
-                     CASE WHEN len({w}) >= 3 THEN
-                       list_distinct(list_transform(range(1, len({w}) - 1),
-                                     i -> array_to_string({w}[i:i+2], ' ')))
-                     ELSE [array_to_string({w}, ' ')] END AS toks,
-                     COUNT(*) OVER (PARTITION BY lang) AS _bw
-              FROM documents
-            ), s AS (
-              -- mirror the operator's max_block=10000 guardrail: blocks wider
-              -- than the cap are dropped on BOTH sides (semantic identity)
-              SELECT doc_id, lang, toks FROM s0 WHERE _bw <= 10000
-            )
-            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-                   ROUND(len(list_intersect(a.toks, b.toks))::DOUBLE
-                         / len(list_distinct(list_concat(a.toks, b.toks))), 6) AS jaccard
-            FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id < b.doc_id
-            WHERE len(list_intersect(a.toks, b.toks))::DOUBLE
-                  / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.12
-        """.format(w=_WORDS),
+        "ngram_jaccard": _NGRAM_PAIRS_SQL,
+        # pairs -> transitive closure -> keeper window (see q_dedup_clusters)
+        "dedup_clusters": _DEDUP_CLUSTERS_SQL,
+        # connected-components plan on seeded arithmetic edges
+        # (see q_dedup_clusters_seeded)
+        "dedup_clusters_seeded": _CLUSTER_SEEDED_SQL,
         # simhash pair-finding plan under a hard oracle (seeded arithmetic
         # signatures — see q_simhash_seeded)
         "simhash_seeded": _SIMHASH_SEEDED_SQL,

@@ -1,0 +1,240 @@
+"""Near-duplicate cluster resolution — pairs -> components -> keepers.
+
+``minhash_lsh_pairs`` / ``simhash_pairs`` / ``ngram_jaccard_pairs`` emit
+EDGES ``(id_a, id_b)``. A production dedup funnel needs one more step:
+the transitive closure of those edges (a~b and b~c put {a,b,c} in ONE
+duplicate cluster even though (a,c) was never emitted) and a
+deterministic choice of a single representative per cluster. The
+reference has no dedup surface at all (llm-food converts one upload at
+a time, /root/reference/llm_food/app.py); this operator is the standard
+last step of a web-scale dedup pipeline — keep one document per
+connected component of near-duplicate pairs.
+
+Spark-first design: iterative MIN-LABEL PROPAGATION over the edge list
+with POINTER JUMPING (label <- label-of-label each round), so the round
+count is O(log diameter) rather than O(diameter); each round is two
+shuffle joins over narrow two-long ``(id, label)`` frames.
+
+Lineage is CUT EVERY ROUND with an eager ``localCheckpoint``: the round
+body references ``stepped`` twice and ``labels`` twice, so without a cut
+the logical plan (a tree, not a DAG — reused sub-frames are copied)
+quadruples per round and Catalyst analysis goes exponential. Measured at
+sf0.01 before the cut: rounds took 5.0s / 6.5s / 11.0s / 88.8s; with the
+cut every round is flat. ``localCheckpoint`` also persists the rows
+(MEMORY_AND_DISK), so the checkpoint doubles as the round cache; the
+previous round's checkpoint storage is freed deterministically by
+unpersisting its JVM-side RDD id — executor storage holds at most two
+label frames at any time, and ``release_persisted()`` returns the
+session to zero pinned RDDs (the minhash persist-leak lesson).
+
+Scale notes (10^12 docs): the edge list is orders of magnitude smaller
+than the corpus — only LSH-candidate pairs survive banding — and
+near-dup components are near-cliques (diameter 2-4), so the loop
+converges in 2-3 rounds of narrow shuffles over a tiny fraction of
+corpus bytes. The final corpus-wide ``attach_clusters`` join is a
+left join of the full corpus against the (small) label frame, which
+Spark broadcasts whenever it fits; ``keep`` selection is one window
+over ``cluster_id`` — clusters are small, so no skew.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
+
+# Frames/RDDs pinned by connected_components, released on the NEXT call or
+# explicitly — the minhash_lsh_pairs lifecycle pattern (dedup.py).
+_PERSISTED: list = []  # DataFrames pinned via .persist()
+_CHECKPOINT_IDS: list = []  # JVM RDD ids pinned via localCheckpoint
+
+
+def _persistent_ids(sc) -> set:
+    return set(sc._jsc.getPersistentRDDs().keySet().toArray())
+
+
+def _free_checkpoint_ids(sc, ids) -> None:
+    """Deterministically unpersist localCheckpoint storage. DataFrame
+    .unpersist() only clears CacheManager entries, never checkpoint RDDs —
+    those are otherwise freed only asynchronously by the ContextCleaner on
+    GC, which leaks across a long session exactly like the round-2 minhash
+    persist bug."""
+    jmap = sc._jsc.getPersistentRDDs()
+    for rid in ids:
+        rdd = jmap.get(rid)
+        if rdd is not None:
+            rdd.unpersist()
+
+
+def _cut(df: DataFrame, sc) -> DataFrame:
+    """Eager localCheckpoint + record the new persistent RDD id(s)."""
+    before = _persistent_ids(sc)
+    out = df.localCheckpoint(eager=True)
+    _CHECKPOINT_IDS.extend(_persistent_ids(sc) - before)
+    return out
+
+
+def release_persisted() -> int:
+    """Release everything pinned by earlier connected_components calls.
+    Safe any time after the previous call's result has been consumed."""
+    n = 0
+    while _PERSISTED:
+        frame = _PERSISTED.pop()
+        try:
+            frame.unpersist()
+            n += 1
+        except Exception:
+            pass  # session already stopped
+    if _CHECKPOINT_IDS:
+        ids, _CHECKPOINT_IDS[:] = list(_CHECKPOINT_IDS), []
+        try:
+            from pyspark.sql import SparkSession
+
+            spark = SparkSession.getActiveSession()
+            if spark is not None:
+                _free_checkpoint_ids(spark.sparkContext, ids)
+                n += len(ids)
+        except Exception:
+            pass
+    return n
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Resolve an undirected edge list into components: ``(id, cluster_id)``
+    for every id that appears in ``pairs``, where ``cluster_id`` is the
+    MINIMUM id in the component (deterministic, partition-invariant).
+
+    Algorithm: min-label propagation with pointer jumping. Each round,
+    (1) every node takes the min label among itself and its neighbors,
+    then (2) every node takes its label's label (path halving). Rounds
+    until no label changes; raises if ``max_iter`` rounds don't converge
+    (pointer jumping makes that ~2^max_iter path length — unreachable).
+
+    Only ids present in ``pairs`` are returned; singletons are handled by
+    ``attach_clusters``'s left join. The returned frame is checkpointed
+    (released on the next call or via ``release_persisted()``).
+    """
+    sc = pairs.sparkSession.sparkContext
+    e = pairs.select(
+        F.col(id_a).cast("long").alias("u"), F.col(id_b).cast("long").alias("v")
+    )
+    release_persisted()
+    edges = (
+        e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .distinct()
+        .persist()
+    )
+    _PERSISTED.append(edges)
+    labels = _cut(
+        edges.select(F.col("u").alias("id"), F.col("u").alias("label")).distinct(),
+        sc,
+    )
+
+    for _ in range(max_iter):
+        # (1) min over neighborhood: a node's new label is the min of its own
+        # and every neighbor's current label
+        prop = (
+            edges.join(labels.withColumnRenamed("id", "u"), "u")
+            .groupBy(F.col("v").alias("id"))
+            .agg(F.min("label").alias("nlabel"))
+        )
+        stepped = labels.join(prop, "id", "left").select(
+            "id",
+            F.least(F.col("label"), F.coalesce("nlabel", "label")).alias("label"),
+            F.col("label").alias("prev"),
+        )
+        # (2) pointer jump: label <- min(label, label-of-label). Every label
+        # value is itself a node id (labels are mins over node ids), so the
+        # inner self-join matches every row.
+        jumped = (
+            stepped.alias("a")
+            .join(
+                stepped.select(
+                    F.col("id").alias("label"), F.col("label").alias("plabel")
+                ).alias("b"),
+                "label",
+            )
+            .select(
+                "id",
+                F.least(F.col("label"), F.col("plabel")).alias("label"),
+                "prev",
+            )
+        )
+        prev_ids, _CHECKPOINT_IDS[:] = list(_CHECKPOINT_IDS), []
+        pinned = _cut(jumped, sc)  # materializes + truncates the plan
+        changed = pinned.where(F.col("label") != F.col("prev")).count()
+        _free_checkpoint_ids(sc, prev_ids)  # previous round's label frame
+        labels = pinned.select("id", "label")
+        if changed == 0:
+            return labels.select("id", F.col("label").alias("cluster_id"))
+    raise RuntimeError(
+        "connected_components did not converge in %d rounds" % max_iter
+    )
+
+
+def attach_clusters(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    cluster_col: str = "cluster_id",
+    max_iter: int = 25,
+    broadcast_labels: bool = False,
+) -> DataFrame:
+    """Add ``cluster_id`` to every row of ``df``: the component min-id for
+    rows that appear in ``pairs``, the row's own id for singletons. The
+    label frame is usually tiny relative to the corpus (candidate pairs
+    only) and AQE converts the join to broadcast at runtime when it fits;
+    ``broadcast_labels=True`` forces the hint when the caller KNOWS the
+    frame is small (forcing it on a high-dup-rate 10^12-doc corpus would
+    collect billions of label rows onto the driver)."""
+    comp = connected_components(pairs, id_a=id_a, id_b=id_b, max_iter=max_iter)
+    comp = comp.withColumnRenamed("id", id_col)
+    if broadcast_labels:
+        comp = F.broadcast(comp)
+    return df.join(comp, id_col, "left").withColumn(
+        cluster_col,
+        F.coalesce(F.col("cluster_id"), F.col(id_col).cast("long")),
+    )
+
+
+def dedup_clusters(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: Optional[str] = "text",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Full cluster report: ``(id, cluster_id, cluster_size, keep)`` over
+    the WHOLE corpus (singletons are size-1 clusters of themselves).
+
+    ``keep`` marks the canonical representative — longest ``text_col``
+    first, ties to the smallest id (the Lee et al. 2022 convention of
+    keeping one member per near-dup component, with a deterministic
+    tiebreak so re-runs keep the same document). Pass ``text_col=None``
+    to pick by smallest id alone."""
+    clustered = attach_clusters(
+        df, pairs, id_col=id_col, id_a=id_a, id_b=id_b, max_iter=max_iter
+    )
+    if text_col is not None:
+        order = [F.length(F.col(text_col)).desc(), F.col(id_col).asc()]
+    else:
+        order = [F.col(id_col).asc()]
+    w = Window.partitionBy("cluster_id").orderBy(*order)
+    return clustered.select(
+        F.col(id_col).cast("long").alias("id"),
+        "cluster_id",
+        F.count(F.lit(1)).over(Window.partitionBy("cluster_id")).alias(
+            "cluster_size"
+        ),
+        (F.row_number().over(w) == 1).alias("keep"),
+    )

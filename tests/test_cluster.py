@@ -1,0 +1,106 @@
+"""Connected-components / dedup-cluster resolution (operators/cluster.py).
+
+The reference has no dedup surface (llm-food converts one upload at a
+time, /root/reference/llm_food/app.py); this is the standard last step
+of a web-scale dedup funnel — transitive closure of candidate pairs,
+one canonical keeper per component.
+"""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from llm_food_spark.operators.cluster import (
+    attach_clusters,
+    connected_components,
+    dedup_clusters,
+    release_persisted,
+)
+
+
+def _pairs(spark, edges):
+    return spark.createDataFrame(edges, "id_a long, id_b long")
+
+
+def _labels(df):
+    return {r["id"]: r["cluster_id"] for r in df.collect()}
+
+
+def test_chain_collapses_to_min_id(spark):
+    # 1-2-3-4-5 chain: every node labeled 1 even though (1,5) never appears
+    got = _labels(connected_components(_pairs(spark, [(i, i + 1) for i in range(1, 5)])))
+    assert got == {i: 1 for i in range(1, 6)}
+    release_persisted()
+
+
+def test_disjoint_components_stay_apart(spark):
+    got = _labels(
+        connected_components(_pairs(spark, [(1, 2), (2, 3), (10, 11), (20, 21)]))
+    )
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+    release_persisted()
+
+
+def test_long_path_converges_by_pointer_jumping(spark):
+    # a 64-node path needs ~log2(64) pointer-jumping rounds, far under the
+    # naive 64-round propagation bound — max_iter=12 only passes if the
+    # label-of-label jump actually halves path lengths
+    n = 64
+    got = _labels(
+        connected_components(_pairs(spark, [(i, i + 1) for i in range(n)]), max_iter=12)
+    )
+    assert set(got.values()) == {0}
+    assert len(got) == n + 1
+    release_persisted()
+
+
+def test_direction_and_duplicates_ignored(spark):
+    # reversed + duplicate edges must not change the result
+    got = _labels(
+        connected_components(_pairs(spark, [(5, 3), (3, 5), (3, 1), (5, 3)]))
+    )
+    assert got == {1: 1, 3: 1, 5: 1}
+    release_persisted()
+
+
+def test_attach_clusters_labels_singletons_with_own_id(spark):
+    df = spark.createDataFrame(
+        [(i, "t%d" % i) for i in range(1, 7)], "doc_id long, text string"
+    )
+    out = attach_clusters(df, _pairs(spark, [(1, 2), (4, 5)]), id_col="doc_id")
+    got = {r["doc_id"]: r["cluster_id"] for r in out.collect()}
+    assert got == {1: 1, 2: 1, 3: 3, 4: 4, 5: 4, 6: 6}
+    release_persisted()
+
+
+def test_dedup_clusters_keeper_longest_text_then_min_id(spark):
+    df = spark.createDataFrame(
+        [(1, "aa"), (2, "aaaa"), (3, "aaaa"), (4, "x")],
+        "doc_id long, text string",
+    )
+    out = dedup_clusters(df, _pairs(spark, [(1, 2), (2, 3)])).collect()
+    rows = {r["id"]: r for r in out}
+    # longest text wins; tie (2 vs 3) goes to the smaller id
+    assert [rows[i]["keep"] for i in (1, 2, 3)] == [False, True, False]
+    assert all(rows[i]["cluster_size"] == 3 for i in (1, 2, 3))
+    assert rows[4]["keep"] and rows[4]["cluster_size"] == 1
+    # exactly one keeper per cluster
+    assert sum(r["keep"] for r in out) == 2
+    release_persisted()
+
+
+def test_persisted_frames_released_between_calls(spark):
+    sc = spark.sparkContext
+    connected_components(_pairs(spark, [(1, 2)])).collect()
+    n_after_first = sc._jsc.getPersistentRDDs().size()
+    # a second call releases the first call's frames before pinning its own
+    connected_components(_pairs(spark, [(3, 4)])).collect()
+    assert sc._jsc.getPersistentRDDs().size() <= n_after_first
+    release_persisted()
+    assert sc._jsc.getPersistentRDDs().size() == 0
+
+
+def test_nonconvergence_raises(spark):
+    with pytest.raises(RuntimeError):
+        connected_components(_pairs(spark, [(i, i + 1) for i in range(20)]), max_iter=1)
+    release_persisted()
