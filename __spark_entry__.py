@@ -565,6 +565,40 @@ def q_fingerprint(spark, sf_dir):
     )
 
 
+def q_fingerprint_seeded(spark, sf_dir):
+    """The winnowing PLAN (k-gram rolling polynomial mod 2^61-1, sliding
+    window-min, consecutive-duplicate suppression) under a hard DuckDB
+    oracle: both engines derive the same variable-length integer hash
+    sequence from doc_id arithmetic (lengths 5..30, so the single-window
+    short-gram branch and the full winnowing branch are both exercised)
+    and the oracle recomputes the polynomial with HUGEINT intermediates.
+    The blake2b word-hash front end stays gated by pytest; this query
+    isolates the winnowing core + Spark plumbing."""
+    import pandas as pd
+    from llm_food_spark.functions.text_stats import winnow
+
+    M = (1 << 61) - 1
+
+    def _fps(it):
+        for pdf in it:
+            ids, fps = [], []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                length = 5 + did % 26
+                h = [(did * 1000003 + i * 2654435761) % M
+                     for i in range(1, length + 1)]
+                for fp in winnow(h):
+                    ids.append(did)
+                    fps.append(fp)
+            yield pd.DataFrame({"id": ids, "fp": fps})
+
+    return (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id")
+        .mapInPandas(_fps, "id long, fp long")
+    )
+
+
 def q_extract_chunk(spark, sf_dir):
     # T18: fused convert→chunk pipeline (/be endpoint, llm_food/app.py:523-542)
     from llm_food_spark.operators.chunk import extract_and_chunk
@@ -1010,6 +1044,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_seeded": q_ann_ivf_seeded,
         "extract_invariants": q_extract_invariants,
         "fingerprint": q_fingerprint,
+        "fingerprint_seeded": q_fingerprint_seeded,
         "repetition": q_repetition,
         "image_meta": q_image_meta,
         "image_resize": q_image_resize,
@@ -1218,6 +1253,47 @@ _CLUSTER_SEEDED_SQL = """
       SELECT e.v AS id, r.label FROM reach r JOIN edges e ON e.u = r.id
     )
     SELECT id, MIN(label) AS cluster_id FROM reach GROUP BY id
+"""
+
+
+# seeded winnowing-plan oracle (see q_fingerprint_seeded): same arithmetic
+# hash sequences, k-gram polynomial recomputed with HUGEINT intermediate
+# mods (gram-wise direct form ≡ the operator's rolling recurrence mod M),
+# window-min via inclusive list slices, consecutive-dup suppression via an
+# indexed list_filter.
+_FINGERPRINT_SEEDED_SQL = """
+    WITH params AS (
+      SELECT doc_id AS id, 5 + (doc_id % 26) AS L FROM documents
+    ),
+    seq AS (
+      SELECT id,
+             list_transform(range(1, L + 1),
+               i -> (id::HUGEINT * 1000003 + i::HUGEINT * 2654435761)
+                    % 2305843009213693951) AS h
+      FROM params
+    ),
+    grams AS (
+      SELECT id,
+             list_transform(range(1, len(h) - 3),
+               j -> (((((((h[j] * 1000003 + h[j+1]) % 2305843009213693951)
+                     * 1000003 + h[j+2]) % 2305843009213693951)
+                     * 1000003 + h[j+3]) % 2305843009213693951)
+                     * 1000003 + h[j+4]) % 2305843009213693951) AS g
+      FROM seq
+    ),
+    mins AS (
+      SELECT id,
+             CASE WHEN len(g) <= 4 THEN [list_min(g)]
+                  ELSE list_transform(range(1, len(g) - 2),
+                                      j -> list_min(g[j:j+3]))
+             END AS m
+      FROM grams
+    ),
+    fps AS (
+      SELECT id, list_filter(m, (x, j) -> j = 1 OR m[j - 1] <> x) AS f
+      FROM mins
+    )
+    SELECT id, CAST(unnest(f) AS BIGINT) AS fp FROM fps
 """
 
 
@@ -1822,6 +1898,9 @@ def _handwritten_oracles() -> dict[str, str]:
         # simhash pair-finding plan under a hard oracle (seeded arithmetic
         # signatures — see q_simhash_seeded)
         "simhash_seeded": _SIMHASH_SEEDED_SQL,
+        # winnowing fingerprint plan on seeded arithmetic hash sequences
+        # (see q_fingerprint_seeded)
+        "fingerprint_seeded": _FINGERPRINT_SEEDED_SQL,
         # minhash banding/cap/estimate plan under a hard oracle (seeded
         # arithmetic signatures — see q_minhash_lsh_seeded)
         "minhash_lsh_seeded": _MINHASH_SEEDED_SQL,

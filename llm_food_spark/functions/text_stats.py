@@ -24,14 +24,15 @@ def _word_hash(word: str) -> int:
     )
 
 
-def rolling_fingerprint(text: str, k: int = 5, window: int = 4) -> List[int]:
-    """Winnowing fingerprint: k-gram rolling hashes over word tokens, then
-    the minimum of each sliding window of hashes (deduplicated, ordered).
-    Empty/short text → single hash of what's there (or empty list)."""
-    words = [w.lower() for w in _TOKEN_RE.findall(text)]
-    if not words:
+def winnow(hashes: List[int], k: int = 5, window: int = 4) -> List[int]:
+    """Winnowing core over an arbitrary integer hash sequence: k-gram
+    rolling polynomial (base ``_B`` mod ``_M``), then the minimum of each
+    sliding window of grams with consecutive-duplicate suppression. Split
+    out from ``rolling_fingerprint`` so the plan can be value-checked on
+    seeded integer sequences by an engine that cannot reproduce blake2b
+    word hashes (the ``fingerprint_seeded`` DuckDB oracle)."""
+    if not hashes:
         return []
-    hashes = [_word_hash(w) for w in words]
     if len(hashes) < k:
         acc = 0
         for h in hashes:
@@ -57,6 +58,14 @@ def rolling_fingerprint(text: str, k: int = 5, window: int = 4) -> List[int]:
             out.append(m)
             prev = m
     return out
+
+
+def rolling_fingerprint(text: str, k: int = 5, window: int = 4) -> List[int]:
+    """Winnowing fingerprint: k-gram rolling hashes over word tokens, then
+    the minimum of each sliding window of hashes (deduplicated, ordered).
+    Empty/short text → single hash of what's there (or empty list)."""
+    words = [w.lower() for w in _TOKEN_RE.findall(text)]
+    return winnow([_word_hash(w) for w in words], k, window)
 
 
 def fingerprint_digest(text: str, k: int = 5, window: int = 4) -> int:
