@@ -198,6 +198,19 @@ def q_token_count(spark, sf_dir):
     return d.select("doc_id", token_count(F.col("text")).alias("n_tokens"))
 
 
+def q_term_stats(spark, sf_dir):
+    """Corpus vocabulary statistics (term -> total occurrences + containing-
+    document count), min_df-filtered, deterministic top-k — the vocab /
+    stopword-list / blocklist building block of a training-data pipeline.
+    Hard oracle: DuckDB recomputes tf/df from the same tokenizer."""
+    from llm_food_spark.operators.textops import term_stats
+
+    return term_stats(
+        _t(spark, sf_dir, "documents"), id_col="doc_id", text_col="text",
+        min_df=2, top_k=100,
+    )
+
+
 def q_token_count_bpe(spark, sf_dir):
     from llm_food_spark.operators.textops import token_count_bpe
 
@@ -1010,6 +1023,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # document transforms + text analysis
         "content_hash": q_content_hash,
         "token_count": q_token_count,
+        "term_stats": q_term_stats,
         "token_count_bpe": q_token_count_bpe,
         "quality": q_quality,
         "lang_id": q_lang_id,
@@ -1760,6 +1774,19 @@ def _handwritten_oracles() -> dict[str, str]:
             FROM documents
         """,
         "token_count": "SELECT doc_id, len(%s)::INT AS n_tokens FROM documents" % _WSTOKS,
+        # corpus vocabulary: tf/df from the same [^a-z0-9]+ tokenizer; the
+        # (tf DESC, term) order is total (term is unique) so the top-k cut
+        # is deterministic on both engines (see q_term_stats)
+        "term_stats": """
+            WITH toks AS (
+              SELECT doc_id, unnest({w}) AS term FROM documents
+            ), per_doc AS (
+              SELECT doc_id, term, COUNT(*) AS n FROM toks GROUP BY doc_id, term
+            )
+            SELECT term, SUM(n)::BIGINT AS tf, COUNT(*)::BIGINT AS df
+            FROM per_doc GROUP BY term HAVING COUNT(*) >= 2
+            ORDER BY tf DESC, term LIMIT 100
+        """.format(w=_WORDS),
         "token_count_bpe": (
             "SELECT doc_id, len(regexp_extract_all(text, "
             "'''(?:[sdmt]|ll|ve|re)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+'"

@@ -135,3 +135,37 @@ def lang_id(text: Column) -> Column:
 def content_hash(col: Column) -> Column:
     """sha256 hex digest (parity: llm_food/app.py:456,488)."""
     return F.sha2(col, 256)
+
+
+def term_stats(df, id_col: str = "doc_id", text_col: str = "text",
+               min_df: int = 1, top_k: int | None = None):
+    """Corpus vocabulary statistics: per-term total frequency (tf) and
+    containing-document count (df) over the [^a-z0-9]+ tokenizer, with an
+    optional min_df floor and deterministic top-k cut (tf DESC, term ASC —
+    total order because term is unique per row).
+
+    The vocab / stopword-list / blocklist building block of a training-data
+    pipeline (no analogue in llm-food). Scale shape: explode -> two
+    hash aggregations, both with map-side partial combine. The first
+    groups on (doc_id, term), so duplicate tokens within a document
+    collapse BEFORE the exchange (a document's tokens are co-located in
+    its scan partition); the second exchange carries only narrow
+    (term, n) rows, one per distinct (doc, term) pair. The top-k cut is
+    TakeOrderedAndProject (per-partition heaps, no global sort). No
+    Python workers anywhere.
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.split(F.lower(F.col(text_col)), "[^a-z0-9]+")
+        ).alias("term"),
+    ).where(F.col("term") != "")
+    per_doc = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("n"))
+    out = per_doc.groupBy("term").agg(
+        F.sum("n").alias("tf"), F.count(F.lit(1)).alias("df")
+    )
+    if min_df > 1:
+        out = out.where(F.col("df") >= F.lit(min_df))
+    if top_k is not None:
+        out = out.orderBy(F.col("tf").desc(), "term").limit(top_k)
+    return out

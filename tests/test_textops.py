@@ -450,3 +450,28 @@ def test_mp4_truncated_v1_mvhd_still_parses():
              + box(b"moov", box(b"mvhd", mvhd_v1)))
     meta2 = _mp4_meta(blob2)
     assert meta2["duration_ms"] == 7000
+
+
+def test_term_stats_tf_df_and_topk(spark):
+    from llm_food_spark.operators.textops import term_stats
+
+    d = spark.createDataFrame(
+        [(1, "a b a c"), (2, "a c c"), (3, "b! b,b"), (4, "")],
+        "doc_id long, text string",
+    )
+    got = {r["term"]: (r["tf"], r["df"]) for r in term_stats(d).collect()}
+    assert got == {"a": (3, 2), "b": (4, 2), "c": (3, 2)}
+    # min_df filters; top_k is deterministic (tf desc, term asc on the tie)
+    top = term_stats(d, min_df=2, top_k=2).collect()
+    assert [(r["term"], r["tf"]) for r in top] == [("b", 4), ("a", 3)]
+
+
+def test_term_stats_tokenizer_case_and_punct(spark):
+    from llm_food_spark.operators.textops import term_stats
+
+    d = spark.createDataFrame(
+        [(1, "Foo-BAR foo2;bar"), (2, "!!! ...")], "doc_id long, text string"
+    )
+    got = {r["term"]: (r["tf"], r["df"]) for r in term_stats(d).collect()}
+    # lowercased, split on non-alphanumerics, digits kept, empties dropped
+    assert got == {"foo": (1, 1), "bar": (2, 1), "foo2": (1, 1)}
