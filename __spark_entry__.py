@@ -211,6 +211,43 @@ def q_term_stats(spark, sf_dir):
     )
 
 
+def q_tfidf_topk(spark, sf_dir):
+    """Per-doc top-3 keywords by linear tf-idf (tf * (N+1)/(df+1) — log-free
+    so the rank ordering is exact IEEE arithmetic on both engines; see
+    operators/textops.tfidf_topk). Hard oracle: DuckDB recomputes the whole
+    tf/df/score/rank pipeline from the same tokenizer."""
+    from llm_food_spark.operators.textops import tfidf_topk
+
+    return tfidf_topk(
+        _t(spark, sf_dir, "documents"), k=3, id_col="doc_id", text_col="text"
+    )
+
+
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (GPT-3-style 13-gram overlap). The
+    'benchmark' is seeded deterministically from the corpus itself: docs
+    with doc_id % 7 == 0 contribute a (13 + doc_id % 9)-token slice
+    starting at token 4 — a synthetic eval set quoting web text, giving
+    1..9 expected distinct-shingle hits per source doc (fewer when the doc
+    is shorter than the slice). Hard oracle: DuckDB re-derives the slices
+    and joins on shingle STRINGS, so the hash-join plan is checked against
+    an independent string-join semantics."""
+    from llm_food_spark.operators.decontam import decontaminate
+
+    d = _t(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), "[^a-z0-9]+"),
+        lambda x: x != F.lit(""),
+    )
+    width = (F.col("doc_id") % 9 + 13).cast("int")
+    bench = d.where(F.col("doc_id") % 7 == 0).select(
+        F.col("doc_id").alias("bench_id"),
+        F.array_join(F.slice(toks, F.lit(4), width), " ").alias("text"),
+    )
+    return decontaminate(d, bench, n=13, id_col="doc_id", text_col="text",
+                         bench_text_col="text")
+
+
 def q_token_count_bpe(spark, sf_dir):
     from llm_food_spark.operators.textops import token_count_bpe
 
@@ -1024,6 +1061,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "content_hash": q_content_hash,
         "token_count": q_token_count,
         "term_stats": q_term_stats,
+        "tfidf_topk": q_tfidf_topk,
+        "decontaminate": q_decontaminate,
         "token_count_bpe": q_token_count_bpe,
         "quality": q_quality,
         "lang_id": q_lang_id,
@@ -1786,6 +1825,60 @@ def _handwritten_oracles() -> dict[str, str]:
             SELECT term, SUM(n)::BIGINT AS tf, COUNT(*)::BIGINT AS df
             FROM per_doc GROUP BY term HAVING COUNT(*) >= 2
             ORDER BY tf DESC, term LIMIT 100
+        """.format(w=_WORDS),
+        # per-doc tf-idf keywords: score tf*(N+1)/(df+1) is exact IEEE
+        # (one promote, one multiply, one divide), so rank order matches
+        # Spark bit-for-bit; term is the unique total tie-break
+        "tfidf_topk": """
+            WITH toks AS (
+              SELECT doc_id, unnest({w}) AS term FROM documents
+            ), per_doc AS (
+              SELECT doc_id, term, COUNT(*)::BIGINT AS tf
+              FROM toks GROUP BY doc_id, term
+            ), vocab AS (
+              SELECT term, COUNT(*)::BIGINT AS df FROM per_doc GROUP BY term
+            ), nd AS (
+              SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents
+            ), scored AS (
+              SELECT doc_id, term, tf, df,
+                     tf * (n_docs + 1.0) / (df + 1.0) AS score
+              FROM per_doc JOIN vocab USING (term) CROSS JOIN nd
+            )
+            SELECT doc_id,
+                   row_number() OVER (
+                     PARTITION BY doc_id ORDER BY score DESC, term
+                   )::INT AS rank,
+                   term, tf, df
+            FROM scored
+            QUALIFY rank <= 3
+        """.format(w=_WORDS),
+        # decontamination twin: re-derives the seeded benchmark slices and
+        # joins on shingle STRINGS — independent of the operator's 64-bit
+        # hash-join plan (collisions would surface as a hash mismatch).
+        # DuckDB list slicing l[a:b] is 1-based inclusive; the Spark side
+        # is slice(toks, 4, w). Docs shorter than the slice clamp on both.
+        "decontaminate": """
+            WITH t AS (
+              SELECT doc_id, {w} AS toks FROM documents
+            ), b AS (
+              SELECT toks[4 : 3 + (13 + doc_id % 9)::INT] AS btoks
+              FROM t WHERE doc_id % 7 = 0
+            ), bg AS (
+              SELECT DISTINCT unnest(list_transform(
+                range(1, greatest(len(btoks) - 12, 0) + 1),
+                i -> array_to_string(btoks[i : i + 12], ' '))) AS ng
+              FROM b
+            ), cg AS (
+              SELECT doc_id, unnest(list_transform(
+                range(1, greatest(len(toks) - 12, 0) + 1),
+                i -> array_to_string(toks[i : i + 12], ' '))) AS ng
+              FROM t
+            ), cd AS (
+              SELECT DISTINCT doc_id, ng FROM cg
+            )
+            SELECT doc_id, COUNT(*)::BIGINT AS n_hits
+            FROM cd JOIN bg USING (ng)
+            GROUP BY doc_id
         """.format(w=_WORDS),
         "token_count_bpe": (
             "SELECT doc_id, len(regexp_extract_all(text, "

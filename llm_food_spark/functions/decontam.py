@@ -1,0 +1,44 @@
+"""Benchmark decontamination primitives — pure Python, no Spark imports.
+
+A training corpus must not contain eval-benchmark text: the standard
+guard (GPT-3 appendix C, PaLM §8 style) flags any training document that
+shares a word n-gram (n≈13) with any benchmark document. These helpers
+tokenize and hash the shingles; the Spark operator joins on the 64-bit
+hashes so shuffles never carry shingle strings.
+
+No analogue in llm-food (which processes one upload at a time); this
+extends the surface toward the training-data pipeline the engine feeds.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+from typing import List
+
+# the corpus tokenizer: lowercase, split on non-alphanumerics
+# (identical to term_stats / the _WORDS DuckDB twin in __spark_entry__)
+_TOKEN_RE = re.compile(r"[^a-z0-9]+")
+
+
+def tokenize(text: str) -> List[str]:
+    return [t for t in _TOKEN_RE.split((text or "").lower()) if t]
+
+
+def ngram_hash(ngram_text: str) -> int:
+    """Signed-int64 blake2b of a space-joined shingle. Tokens are
+    [a-z0-9]+ so the space join is collision-free at the string level;
+    64-bit hash collisions are ~N²/2⁶⁵ — negligible and deterministic."""
+    d = hashlib.blake2b(ngram_text.encode("utf-8"), digest_size=8).digest()
+    return int.from_bytes(d, "big", signed=True)
+
+
+def ngram_hashes(text: str, n: int) -> List[int]:
+    """Distinct hashes of all word n-grams of ``text`` (sorted so the
+    per-document row order is deterministic)."""
+    toks = tokenize(text)
+    out = {
+        ngram_hash(" ".join(toks[i : i + n]))
+        for i in range(len(toks) - n + 1)
+    }
+    return sorted(out)

@@ -1,0 +1,102 @@
+"""Benchmark decontamination: flag / drop corpus docs sharing an n-gram
+with an eval set.
+
+Spark shape: both sides shingle in a vectorized Arrow pass
+(``functions.decontam.ngram_hashes`` — per-doc DISTINCT happens inside
+the Python set, so the exploded frame carries one row per distinct
+(doc, shingle)), then the contamination test is a single equi-join on a
+64-bit shingle hash. The benchmark side is an eval set — small by
+definition — so its distinct hash frame is broadcast: at corpus scale
+the only exchange over corpus-sized data is the final per-doc count,
+and the rows it carries are narrow ``(long, long)``. No shingle strings
+ever leave the Python worker.
+
+No analogue in llm-food; part of the training-data pipeline surface.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F, types as T
+
+from .util import ensure_min_partitions
+from ..functions.decontam import ngram_hashes
+
+DEFAULT_NGRAM = 13  # the GPT-3 appendix-C overlap window
+
+
+def ngram_hash_rows(
+    df: DataFrame,
+    n: int = DEFAULT_NGRAM,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, text) -> one (doc_id, ng) row per DISTINCT word n-gram."""
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def grams(texts: pd.Series) -> pd.Series:
+        return texts.map(lambda t: ngram_hashes(t, n))
+
+    return (
+        ensure_min_partitions(df)
+        .select(F.col(id_col).alias("doc_id"), grams(F.col(text_col)).alias("_ng"))
+        .select("doc_id", F.explode("_ng").alias("ng"))
+    )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = DEFAULT_NGRAM,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str = None,
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """-> (doc_id, n_hits): corpus docs sharing >=1 word n-gram with any
+    benchmark doc; n_hits counts the DISTINCT contaminated n-grams.
+
+    ``broadcast_benchmark=True`` (default) hints the benchmark hash set
+    into a broadcast join — correct whenever the eval set's distinct
+    n-gram count fits driver memory (every real benchmark does). Flip it
+    off only for pathological benchmark sizes; the join then shuffles on
+    ``ng``, which is still a narrow-row exchange.
+    """
+    btext = bench_text_col or text_col
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def bench_grams(texts: pd.Series) -> pd.Series:
+        return texts.map(lambda t: ngram_hashes(t, n))
+
+    bench = (
+        benchmark.select(F.explode(bench_grams(F.col(btext))).alias("ng"))
+        .distinct()
+    )
+    if broadcast_benchmark:
+        bench = F.broadcast(bench)
+    corp = ngram_hash_rows(corpus, n=n, id_col=id_col, text_col=text_col)
+    # corp is distinct per (doc, ng) by construction, so count(*) is the
+    # distinct contaminated-shingle count
+    return (
+        corp.join(bench, "ng")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+
+
+def drop_contaminated(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = DEFAULT_NGRAM,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str = None,
+) -> DataFrame:
+    """Corpus minus contaminated docs (left anti on the flagged ids)."""
+    flagged = decontaminate(
+        corpus, benchmark, n=n, id_col=id_col, text_col=text_col,
+        bench_text_col=bench_text_col,
+    ).select(F.col("doc_id").alias("__flagged_id"))
+    return corpus.join(
+        flagged, corpus[id_col] == flagged["__flagged_id"], "left_anti"
+    )

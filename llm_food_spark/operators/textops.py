@@ -169,3 +169,55 @@ def term_stats(df, id_col: str = "doc_id", text_col: str = "text",
     if top_k is not None:
         out = out.orderBy(F.col("tf").desc(), "term").limit(top_k)
     return out
+
+
+def tfidf_topk(df, k: int = 5, id_col: str = "doc_id",
+               text_col: str = "text", min_df: int = 1):
+    """Per-document top-k salient terms by tf-idf — the keyword /
+    topic-tagging building block (no analogue in llm-food).
+
+    Score is the LINEAR idf variant ``tf * (N + 1) / (df + 1)``,
+    deliberately log-free: every operation (int->double promotion,
+    one multiply, one divide) is exactly-rounded IEEE-754, so the
+    ranking is bit-identical across Spark's JVM and the DuckDB oracle —
+    a libm ``ln`` is only faithfully rounded and can flip a rank at a
+    tie. The score is monotone in classic tf-idf for fixed df, and the
+    output carries (tf, df) so callers can re-weight. Output:
+    (doc_id, rank, term, tf, df), rank 1..k ordered by score DESC with
+    the unique ``term`` as total tie-break.
+
+    Scale shape: the two vocabulary aggregations are map-side combined
+    (see ``term_stats``); the tf<->df join shuffles narrow (term, tf/df)
+    rows; N arrives via a broadcast 1-row frame (no driver collect, no
+    plan-freeze of the count); the rank is one window over ``doc_id``
+    — the only corpus-keyed exchange, and per-doc groups are bounded by
+    document length so there is no skew.
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.split(F.lower(F.col(text_col)), "[^a-z0-9]+")
+        ).alias("term"),
+    ).where(F.col("term") != "")
+    per_doc = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    vocab = per_doc.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    if min_df > 1:
+        vocab = vocab.where(F.col("df") >= F.lit(min_df))
+    n_docs = df.select(F.count_distinct(F.col(id_col)).alias("n_docs"))
+    scored = (
+        per_doc.join(vocab, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            F.col("tf") * (F.col("n_docs") + F.lit(1.0))
+            / (F.col("df") + F.lit(1.0)),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "term")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= F.lit(k))
+        .select("doc_id", "rank", "term", "tf", "df")
+    )

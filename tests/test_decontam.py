@@ -1,0 +1,73 @@
+"""Benchmark decontamination: pure-function semantics + operator plan."""
+
+from llm_food_spark.functions.decontam import ngram_hash, ngram_hashes, tokenize
+
+
+def test_tokenize_matches_corpus_tokenizer():
+    assert tokenize("Foo-BAR foo2;bar") == ["foo", "bar", "foo2", "bar"]
+    assert tokenize("") == []
+    assert tokenize(None) == []
+
+
+def test_ngram_hashes_distinct_and_windowed():
+    # 5 tokens, n=3 -> 3 windows; repeated window collapses to one hash
+    hs = ngram_hashes("a b c a b c a", 5)  # windows: abcab bcabc cabca
+    assert len(hs) == 3
+    rep = ngram_hashes("a b a b a b", 3)  # aba bab aba bab -> 2 distinct
+    assert len(rep) == 2
+    assert ngram_hashes("a b", 3) == []  # shorter than n
+    # deterministic, sorted
+    assert hs == sorted(hs) == ngram_hashes("a b c a b c a", 5)
+    assert ngram_hash("a b c") in ngram_hashes("x a b c y", 3)
+
+
+def test_decontaminate_flags_quoting_docs(spark):
+    from llm_food_spark.operators.decontam import (
+        decontaminate, drop_contaminated)
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog tonight"),
+            (2, "completely unrelated text with no overlap whatsoever here"),
+            (3, "prefix words then quick brown fox jumps over more text"),
+        ],
+        "doc_id long, text string",
+    )
+    # benchmark quotes a 5-token span of doc 1 (also inside doc 3)
+    bench = spark.createDataFrame(
+        [(100, "quick brown fox jumps over")], "bench_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r["n_hits"]
+        for r in decontaminate(corpus, bench, n=5).collect()
+    }
+    assert got == {1: 1, 3: 1}
+    kept = sorted(
+        r["doc_id"] for r in drop_contaminated(corpus, bench, n=5).collect()
+    )
+    assert kept == [2]
+
+
+def test_decontaminate_counts_distinct_shingles(spark):
+    from llm_food_spark.operators.decontam import decontaminate
+
+    corpus = spark.createDataFrame(
+        [(1, "a b c d e f")], "doc_id long, text string"
+    )
+    bench = spark.createDataFrame(
+        [(9, "a b c d e")], "bench_id long, text string"
+    )
+    # bench has 3 trigrams (abc bcd cde), all inside doc 1 (which also has def)
+    [row] = decontaminate(corpus, bench, n=3).collect()
+    assert (row["doc_id"], row["n_hits"]) == (1, 3)
+
+
+def test_decontaminate_broadcasts_benchmark(spark):
+    from llm_food_spark.operators.decontam import decontaminate
+
+    corpus = spark.createDataFrame(
+        [(1, "a b c d e f")], "doc_id long, text string"
+    )
+    bench = spark.createDataFrame([(9, "a b c")], "bench_id long, text string")
+    plan = decontaminate(corpus, bench, n=3)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan

@@ -475,3 +475,36 @@ def test_term_stats_tokenizer_case_and_punct(spark):
     got = {r["term"]: (r["tf"], r["df"]) for r in term_stats(d).collect()}
     # lowercased, split on non-alphanumerics, digits kept, empties dropped
     assert got == {"foo": (1, 1), "bar": (2, 1), "foo2": (1, 1)}
+
+
+def test_tfidf_topk_ranks_rare_terms_first(spark):
+    from llm_food_spark.operators.textops import tfidf_topk
+
+    # 'common' appears in every doc (df=3), each doc has one rare term
+    d = spark.createDataFrame(
+        [
+            (1, "common rare1 common"),
+            (2, "common rare2"),
+            (3, "common rare3 rare3"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = tfidf_topk(d, k=1).collect()
+    got = {r["doc_id"]: (r["term"], r["rank"], r["tf"], r["df"]) for r in rows}
+    # N=3: rare (tf=1,df=1) scores 1*4/2=2.0 or (tf=2) 4.0;
+    # common in doc1 scores 2*4/4=2.0 -> tie broken by term asc: 'common'
+    assert got[1] == ("common", 1, 2, 3)
+    assert got[2] == ("rare2", 1, 1, 1)
+    assert got[3] == ("rare3", 1, 2, 1)
+
+
+def test_tfidf_topk_k_and_min_df(spark):
+    from llm_food_spark.operators.textops import tfidf_topk
+
+    d = spark.createDataFrame(
+        [(1, "a a b c"), (2, "a d")], "doc_id long, text string"
+    )
+    rows = tfidf_topk(d, k=2, min_df=2).collect()
+    # min_df=2 keeps only 'a'; ranks never exceed the vocab
+    assert [(r["doc_id"], r["term"], r["rank"]) for r in sorted(
+        rows, key=lambda r: r["doc_id"])] == [(1, "a", 1), (2, "a", 1)]
