@@ -248,6 +248,31 @@ def q_decontaminate(spark, sf_dir):
                          bench_text_col="text")
 
 
+def q_cap_per_group(spark, sf_dir):
+    """Corpus balancing: keep at most 25 docs per lang, preferring the
+    longest (n_chars DESC, doc_id tie-break). Compiles to partial-mode
+    WindowGroupLimit before the exchange, so a pathological group ships
+    O(n x map_tasks) rows. Hard oracle: DuckDB row_number twin."""
+    from llm_food_spark.operators.split import cap_per_group
+
+    return cap_per_group(
+        _t(spark, sf_dir, "documents"), group_col="lang", n=25,
+        order_col="n_chars", descending=True, id_col="doc_id",
+    )
+
+
+def q_corpus_mixture(spark, sf_dir):
+    """Per-lang mixture report (doc/token/char totals, mean length, token
+    share) — the sampling-rate inputs for corpus mixing. Hard oracle:
+    DuckDB recomputes totals and the two IEEE divides exactly."""
+    from llm_food_spark.operators.textops import corpus_mixture
+
+    return corpus_mixture(
+        _t(spark, sf_dir, "documents"), group_col="lang",
+        text_col="text", chars_col="n_chars",
+    )
+
+
 def q_token_count_bpe(spark, sf_dir):
     from llm_food_spark.operators.textops import token_count_bpe
 
@@ -1063,6 +1088,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_stats": q_term_stats,
         "tfidf_topk": q_tfidf_topk,
         "decontaminate": q_decontaminate,
+        "cap_per_group": q_cap_per_group,
+        "corpus_mixture": q_corpus_mixture,
         "token_count_bpe": q_token_count_bpe,
         "quality": q_quality,
         "lang_id": q_lang_id,
@@ -1880,6 +1907,30 @@ def _handwritten_oracles() -> dict[str, str]:
             FROM cd JOIN bg USING (ng)
             GROUP BY doc_id
         """.format(w=_WORDS),
+        # per-group cap: same rank + tie-break; DuckDB QUALIFY twin
+        "cap_per_group": """
+            SELECT doc_id, text, lang, source, n_chars
+            FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY lang ORDER BY n_chars DESC, doc_id
+              ) AS _rk FROM documents
+            ) WHERE _rk <= 25
+        """,
+        # mixture report: integer totals + two exactly-rounded IEEE
+        # divides ('/' is float division on both engines)
+        "corpus_mixture": """
+            WITH per AS (
+              SELECT lang,
+                     COUNT(*)::BIGINT AS n_docs,
+                     SUM(len({ws}))::BIGINT AS n_tokens,
+                     SUM(n_chars)::BIGINT AS n_chars
+              FROM documents GROUP BY lang
+            ), tot AS (SELECT SUM(n_tokens) AS _tot FROM per)
+            SELECT lang, n_docs, n_tokens, n_chars,
+                   n_chars / n_docs AS mean_chars,
+                   n_tokens / _tot AS token_share
+            FROM per CROSS JOIN tot
+        """.format(ws=_WSTOKS),
         "token_count_bpe": (
             "SELECT doc_id, len(regexp_extract_all(text, "
             "'''(?:[sdmt]|ll|ve|re)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+'"

@@ -100,3 +100,45 @@ def hash_sample(
         raise ValueError("fraction must be in [0, 1]")
     cut = int(round(fraction * n_buckets))
     return df.where(bucket_fn(F.col(id_col), n_buckets) < F.lit(cut))
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_col: str,
+    n: int,
+    order_col: str = None,
+    descending: bool = True,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep at most ``n`` rows per group — the corpus-balancing primitive
+    (cap documents per host / per domain / per language so no single
+    source dominates the mixture).
+
+    Deterministic: rows are ranked by ``order_col`` (DESC by default —
+    'keep the n best'; e.g. a quality score) with the unique ``id_col``
+    as total tie-break, so re-runs keep the same rows regardless of
+    partitioning. With ``order_col=None`` ranks by ``id_col`` alone
+    (keep the n smallest ids).
+
+    Scale shape: the ``row_number() <= n`` filter compiles to
+    WindowGroupLimit in Partial mode BEFORE the exchange — every map
+    task forwards at most n rows per group it sees, so a pathological
+    group (one host with 10^9 docs) ships O(n x map_tasks) rows, not the
+    whole group, and the final per-group sort is over a capped set. No
+    skew salt needed.
+    """
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    from pyspark.sql import Window
+
+    order = []
+    if order_col is not None:
+        c = F.col(order_col)
+        order.append(c.desc() if descending else c.asc())
+    order.append(F.col(id_col).asc())
+    w = Window.partitionBy(group_col).orderBy(*order)
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= F.lit(n))
+        .drop("_rk")
+    )

@@ -221,3 +221,35 @@ def tfidf_topk(df, k: int = 5, id_col: str = "doc_id",
         .where(F.col("rank") <= F.lit(k))
         .select("doc_id", "rank", "term", "tf", "df")
     )
+
+
+def corpus_mixture(df, group_col: str = "lang", text_col: str = "text",
+                   chars_col: str = None):
+    """Per-group corpus mixture report: document count, whitespace-token
+    total, char total, mean doc length, and each group's share of the
+    corpus token budget — the numbers that set per-source sampling rates
+    when mixing training data (pair with ``split.hash_sample``).
+
+    Scale shape: one map-side-combined hash aggregation over the corpus
+    (rows out = number of groups), then the global token total arrives
+    via a broadcast 1-row frame — no driver collect, no second corpus
+    pass. mean_chars and token_share are single IEEE divides, so the
+    DuckDB twin is hash-exact without rounding.
+    """
+    chars = (F.col(chars_col) if chars_col
+             else F.length(F.col(text_col)).cast("long"))
+    per = df.groupBy(F.col(group_col).alias("grp")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count(F.col(text_col)).cast("long")).alias("n_tokens"),
+        F.sum(chars).alias("n_chars"),
+    )
+    total = per.select(F.sum("n_tokens").alias("_tot"))
+    return (
+        per.crossJoin(F.broadcast(total))
+        .select(
+            F.col("grp").alias(group_col),
+            "n_docs", "n_tokens", "n_chars",
+            (F.col("n_chars") / F.col("n_docs")).alias("mean_chars"),
+            (F.col("n_tokens") / F.col("_tot")).alias("token_share"),
+        )
+    )

@@ -95,3 +95,43 @@ def test_split_validation():
         assign_split(None, "doc_id", {})
     with pytest.raises(ValueError):
         assign_split(None, "doc_id", {"a": 0.0})
+
+
+def test_cap_per_group_keeps_best_n(spark):
+    from llm_food_spark.operators.split import cap_per_group
+
+    rows = [(i, "g%d" % (i % 2), float(i)) for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, grp string, score double")
+    out = cap_per_group(df, "grp", 2, order_col="score", id_col="doc_id")
+    got = sorted((r["grp"], r["doc_id"]) for r in out.collect())
+    # g0 holds even ids (score=id, desc -> 8, 6); g1 odds -> 9, 7
+    assert got == [("g0", 6), ("g0", 8), ("g1", 7), ("g1", 9)]
+    assert out.columns == df.columns  # helper column dropped
+
+
+def test_cap_per_group_deterministic_tiebreak_and_validation(spark):
+    import pytest
+    from llm_food_spark.operators.split import cap_per_group
+
+    df = spark.createDataFrame(
+        [(3, "g", 1.0), (1, "g", 1.0), (2, "g", 1.0)],
+        "doc_id long, grp string, score double",
+    )
+    out = cap_per_group(df, "grp", 2, order_col="score").collect()
+    assert sorted(r["doc_id"] for r in out) == [1, 2]  # id asc on score tie
+    # order_col=None ranks by id alone
+    out2 = cap_per_group(df, "grp", 1).collect()
+    assert [r["doc_id"] for r in out2] == [1]
+    with pytest.raises(ValueError):
+        cap_per_group(df, "grp", 0)
+
+
+def test_cap_per_group_compiles_to_window_group_limit(spark):
+    from llm_food_spark.operators.split import cap_per_group
+
+    df = spark.createDataFrame(
+        [(1, "g", 1.0)], "doc_id long, grp string, score double"
+    )
+    plan = cap_per_group(df, "grp", 5, order_col="score") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan

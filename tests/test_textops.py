@@ -508,3 +508,17 @@ def test_tfidf_topk_k_and_min_df(spark):
     # min_df=2 keeps only 'a'; ranks never exceed the vocab
     assert [(r["doc_id"], r["term"], r["rank"]) for r in sorted(
         rows, key=lambda r: r["doc_id"])] == [(1, "a", 1), (2, "a", 1)]
+
+
+def test_corpus_mixture_totals_and_shares(spark):
+    from llm_food_spark.operators.textops import corpus_mixture
+
+    d = spark.createDataFrame(
+        [(1, "a b c", "en"), (2, "d e", "en"), (3, "x y z w q", "de")],
+        "doc_id long, text string, lang string",
+    )
+    got = {r["lang"]: r for r in corpus_mixture(d, "lang").collect()}
+    assert (got["en"]["n_docs"], got["en"]["n_tokens"]) == (2, 5)
+    assert (got["de"]["n_docs"], got["de"]["n_tokens"]) == (1, 5)
+    assert got["en"]["token_share"] == 0.5 and got["de"]["token_share"] == 0.5
+    assert got["en"]["n_chars"] == 8 and got["en"]["mean_chars"] == 4.0
