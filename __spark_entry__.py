@@ -273,6 +273,27 @@ def q_corpus_mixture(spark, sf_dir):
     )
 
 
+# hostile suffix exercising every clean_text step: combining accent (NFC),
+# tab/space runs, CRLF + bare CR, control + DEL chars, zero-width space,
+# >2 blank lines, trailing whitespace. Raw chars embedded so the identical
+# bytes reach both engines.
+_MESSY_SUFFIX = " a\u0301\tb  c\r\nd\re\x01\x7fg\u200bzw\n\n\n\n\nf  "
+
+
+def q_clean_text(spark, sf_dir):
+    """Unicode NFC + control-strip + whitespace canonicalization over
+    deterministically-dirtied corpus text (every doc gets _MESSY_SUFFIX so
+    each pipeline step is exercised on every row). Hard oracle: DuckDB
+    nfc_normalize + the same RE2-compatible regexp chain."""
+    from llm_food_spark.operators.textops import clean_text
+
+    d = _t(spark, sf_dir, "documents")
+    messy = d.select(
+        "doc_id", F.concat(F.col("text"), F.lit(_MESSY_SUFFIX)).alias("text")
+    )
+    return clean_text(messy).select("doc_id", "clean")
+
+
 def q_token_count_bpe(spark, sf_dir):
     from llm_food_spark.operators.textops import token_count_bpe
 
@@ -1090,6 +1111,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "cap_per_group": q_cap_per_group,
         "corpus_mixture": q_corpus_mixture,
+        "clean_text": q_clean_text,
         "token_count_bpe": q_token_count_bpe,
         "quality": q_quality,
         "lang_id": q_lang_id,
@@ -1931,6 +1953,26 @@ def _handwritten_oracles() -> dict[str, str]:
                    n_tokens / _tot AS token_share
             FROM per CROSS JOIN tot
         """.format(ws=_WSTOKS),
+        # clean_text twin: nfc_normalize (utf8proc) agrees byte-for-byte
+        # with the operator's unicodedata NFC pass; the regexp chain is
+        # the identical RE2/Java-portable sequence, raw suffix/newline
+        # bytes interpolated so both engines see the same characters
+        "clean_text": """
+            WITH m AS (
+              SELECT doc_id, nfc_normalize(text || '%s') AS c FROM documents
+            )
+            SELECT doc_id,
+              regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+              regexp_replace(regexp_replace(
+                c,
+                '\\r\\n?', '%s', 'g'),
+                '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F\\x{200B}-\\x{200D}\\x{FEFF}]', '', 'g'),
+                '[ \\t]+', ' ', 'g'),
+                ' ?\\n ?', '%s', 'g'),
+                '\\n{3,}', '%s%s', 'g'),
+                '^\\s+|\\s+$', '', 'g') AS clean
+            FROM m
+        """ % (_MESSY_SUFFIX, "\n", "\n", "\n", "\n"),
         "token_count_bpe": (
             "SELECT doc_id, len(regexp_extract_all(text, "
             "'''(?:[sdmt]|ll|ve|re)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+'"

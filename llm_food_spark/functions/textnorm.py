@@ -1,0 +1,28 @@
+"""Unicode text normalization — pure Python, no Spark imports.
+
+Web-corpus cleanup step: NFC composition so byte-level dedup/hashing
+sees one canonical form of visually-identical text (combining accents,
+compatibility clones survive — NFC, not NFKC, so no semantic lossiness).
+The regexp cleanup half of the pipeline lives JVM-side in
+``operators.textops.clean_text``; only the NFC pass needs Python.
+
+Parity: DuckDB's ``nfc_normalize`` (utf8proc) and CPython's
+``unicodedata.normalize('NFC', ...)`` implement the same Unicode
+algorithm and agree byte-for-byte (checked over combining sequences,
+ligatures, Hangul, fullwidth forms in tests) — that agreement is what
+makes the hard SQL oracle possible.
+"""
+
+from __future__ import annotations
+
+import unicodedata
+
+
+def nfc(text: str) -> str:
+    """NFC-compose ``text``; the is_normalized fast path skips the copy
+    for the (overwhelmingly common) already-composed web text."""
+    if text is None:
+        return None
+    if unicodedata.is_normalized("NFC", text):
+        return text
+    return unicodedata.normalize("NFC", text)

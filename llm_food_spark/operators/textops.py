@@ -4,6 +4,8 @@ Everything here compiles to built-in Catalyst expressions (whole-stage
 codegen, no Python workers): token counting, quality scoring, language id,
 and content hashing. Each function returns Column(s) so callers compose them
 into selects; each has an exact ANSI-SQL twin in __spark_entry__.oracle_sql.
+The sole exception is clean_text's Unicode-NFC step, which needs one Arrow
+pass (with an is_normalized fast path); its regexp chain stays JVM-side.
 
 These operators extend the reference surface toward a training-data pipeline
 (no analogue in llm-food, which processes one upload at a time); thresholds
@@ -12,7 +14,8 @@ are deterministic constants, not learned.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, functions as F
+import pandas as pd
+from pyspark.sql import Column, functions as F, types as T
 
 # small deterministic marker sets (function words) for language id
 LANG_MARKERS = {
@@ -221,6 +224,45 @@ def tfidf_topk(df, k: int = 5, id_col: str = "doc_id",
         .where(F.col("rank") <= F.lit(k))
         .select("doc_id", "rank", "term", "tf", "df")
     )
+
+
+# control chars (keeping \t \n), DEL, zero-width chars, BOM — identical
+# semantics in Java regex (Spark) and RE2 (DuckDB oracle): character
+# classes + \x{...} escapes only, no lookaround
+CONTROL_CLASS = r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F\x{200B}-\x{200D}\x{FEFF}]"
+
+
+def clean_text(df, text_col: str = "text", out_col: str = "clean"):
+    """Corpus text normalization: Unicode NFC + control-char strip +
+    whitespace canonicalization — the standard pre-dedup cleanup pass
+    (byte-level hashing and shingling must see one canonical form).
+
+    Fixed pipeline (order is load-bearing and mirrored in the oracle):
+    NFC compose -> CRLF/CR -> LF -> drop control/zero-width chars ->
+    collapse space/tab runs to one space -> trim around newlines ->
+    cap blank runs at one empty line -> trim ends.
+
+    Scale shape: the NFC step is one Arrow pass with an is_normalized
+    fast path (web text is overwhelmingly already composed, so the
+    common case is a pointer-compare, not a recompose); everything else
+    is flat JVM ``regexp_replace`` inside whole-stage codegen. Per-row,
+    zero shuffle at any corpus size.
+    """
+    from ..functions.textnorm import nfc
+
+    @F.pandas_udf(T.StringType())
+    def nfc_udf(texts: pd.Series) -> pd.Series:
+        return texts.map(nfc, na_action="ignore")
+
+    c = nfc_udf(F.col(text_col))
+    c = F.regexp_replace(c, r"\r\n?", "\n")
+    c = F.regexp_replace(c, CONTROL_CLASS, "")
+    c = F.regexp_replace(c, r"[ \t]+", " ")
+    c = F.regexp_replace(c, r" ?\n ?", "\n")
+    c = F.regexp_replace(c, r"\n{3,}", "\n\n")
+    # full whitespace trim (F.trim strips spaces only; \s is the same
+    # class in Java and RE2)
+    return df.withColumn(out_col, F.regexp_replace(c, r"^\s+|\s+$", ""))
 
 
 def corpus_mixture(df, group_col: str = "lang", text_col: str = "text",

@@ -522,3 +522,35 @@ def test_corpus_mixture_totals_and_shares(spark):
     assert (got["de"]["n_docs"], got["de"]["n_tokens"]) == (1, 5)
     assert got["en"]["token_share"] == 0.5 and got["de"]["token_share"] == 0.5
     assert got["en"]["n_chars"] == 8 and got["en"]["mean_chars"] == 4.0
+
+
+def test_clean_text_pipeline(spark):
+    from llm_food_spark.operators.textops import clean_text
+
+    rows = [
+        (1, "café time"),                    # NFC composes é
+        (2, "a\tb  c\r\nd\re"),                    # tabs/runs/CRLF/CR
+        (3, "x\x01\x7f​y"),                   # control/DEL/zero-width
+        (4, "p  \n  q\n\n\n\n\nr"),                # line trim + blank cap
+        (5, "  padded  "),
+        (6, None),
+        (7, ""),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["clean"] for r in clean_text(d).collect()}
+    assert got[1] == "café time" and "́" not in got[1]
+    assert got[2] == "a b c\nd\ne"
+    assert got[3] == "xy"
+    assert got[4] == "p\nq\n\nr"
+    assert got[5] == "padded"
+    assert got[6] is None
+    assert got[7] == ""
+
+
+def test_nfc_fast_path_identity():
+    from llm_food_spark.functions.textnorm import nfc
+
+    s = "already composed café"
+    assert nfc(s) is s          # is_normalized short-circuit, no copy
+    assert nfc("café") == "café"
+    assert nfc(None) is None
