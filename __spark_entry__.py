@@ -294,6 +294,34 @@ def q_clean_text(spark, sf_dir):
     return clean_text(messy).select("doc_id", "clean")
 
 
+_BOILER_A = "subscribe to our newsletter for updates"
+_BOILER_B = "copyright 2026 example site all rights reserved"
+
+
+def q_dedup_paragraphs(spark, sf_dir):
+    """Corpus-wide boilerplate-paragraph removal (C4/RefinedWeb repetition
+    guard) over deterministically-seeded boilerplate: docs with
+    doc_id%3==0 / %5==0 get a newsletter / copyright paragraph appended
+    (concat_ws skips the null branches identically on both engines). The
+    seeded paragraphs repeat across >=100 docs and are dropped; each
+    doc's unique body survives. Hard oracle: DuckDB re-derives the
+    paragraph frequency and reassembly joining on paragraph STRINGS —
+    independent of the operator's xxhash64 membership join."""
+    from llm_food_spark.operators.dedup import dedup_paragraphs
+
+    d = _t(spark, sf_dir, "documents")
+    seeded = d.select(
+        "doc_id",
+        F.concat_ws(
+            "\n\n",
+            F.col("text"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit(_BOILER_A)),
+            F.when(F.col("doc_id") % 5 == 0, F.lit(_BOILER_B)),
+        ).alias("text"),
+    )
+    return dedup_paragraphs(seeded, min_df=2)
+
+
 def q_token_count_bpe(spark, sf_dir):
     from llm_food_spark.operators.textops import token_count_bpe
 
@@ -1112,6 +1140,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cap_per_group": q_cap_per_group,
         "corpus_mixture": q_corpus_mixture,
         "clean_text": q_clean_text,
+        "dedup_paragraphs": q_dedup_paragraphs,
         "token_count_bpe": q_token_count_bpe,
         "quality": q_quality,
         "lang_id": q_lang_id,
@@ -1953,6 +1982,34 @@ def _handwritten_oracles() -> dict[str, str]:
                    n_tokens / _tot AS token_share
             FROM per CROSS JOIN tot
         """.format(ws=_WSTOKS),
+        # paragraph-dedup twin: distinct-doc frequency + reassembly joined
+        # on paragraph STRINGS (operator joins on xxhash64); string_agg
+        # ORDER BY idx mirrors the array_sort reassembly
+        "dedup_paragraphs": """
+            WITH seeded AS (
+              SELECT doc_id, concat_ws('{s}', text,
+                CASE WHEN doc_id % 3 = 0 THEN '{ba}' END,
+                CASE WHEN doc_id % 5 = 0 THEN '{bb}' END) AS text
+              FROM documents
+            ), t AS (
+              SELECT doc_id, string_split(text, '{s}') AS paras FROM seeded
+            ), p AS (
+              SELECT doc_id, unnest(range(1, len(paras) + 1)) AS idx,
+                     unnest(paras) AS para
+              FROM t
+            ), b AS (
+              SELECT para FROM (
+                SELECT DISTINCT doc_id, para FROM p
+                WHERE length(trim(para)) >= 1
+              ) GROUP BY para HAVING COUNT(*) >= 2
+            ), kept AS (
+              SELECT doc_id, idx, para
+              FROM p LEFT JOIN (SELECT para, TRUE AS dup FROM b) f USING (para)
+              WHERE dup IS NULL OR length(trim(para)) < 1
+            )
+            SELECT doc_id, string_agg(para, '{s}' ORDER BY idx) AS clean
+            FROM kept GROUP BY doc_id
+        """.format(s="\n\n", ba=_BOILER_A, bb=_BOILER_B),
         # clean_text twin: nfc_normalize (utf8proc) agrees byte-for-byte
         # with the operator's unicodedata NFC pass; the regexp chain is
         # the identical RE2/Java-portable sequence, raw suffix/newline

@@ -560,3 +560,64 @@ def ngram_jaccard_pairs(
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def dedup_paragraphs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_df: int = 2,
+    min_chars: int = 1,
+    sep: str = "\n\n",
+) -> DataFrame:
+    """Corpus-wide boilerplate-paragraph removal (the C4/RefinedWeb
+    repetition guard): drop every paragraph that occurs in >= ``min_df``
+    DISTINCT documents, reassemble each document from its surviving
+    paragraphs in original order. -> (doc_id, clean); a document whose
+    every paragraph is boilerplate disappears from the output (and a
+    null text never explodes, so it disappears too — both mirrored by
+    the oracle twin).
+
+    Only paragraphs with >= ``min_chars`` non-space-trimmed characters
+    participate in frequency counting (shorter ones always survive);
+    within-document repeats don't count toward min_df (distinct-doc
+    semantics: boilerplate means CROSS-document repetition).
+
+    Scale shape: the frequency count shuffles narrow (xxhash64, doc_id)
+    rows with map-side distinct; the membership join is on the 8-byte
+    hash (the boilerplate frame is df-filtered and usually tiny — AQE
+    broadcasts it); reassembly is ONE corpus-sized exchange on doc_id
+    (unavoidable for exact reassembly) with order restored by
+    array_sort over (idx, para) structs, so the result is deterministic
+    under any partitioning. The DuckDB oracle joins on paragraph
+    STRINGS — independent of the hash-join plan.
+    """
+    paras = ensure_min_partitions(df).select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("idx", "para"),
+    ).withColumn("_h", F.xxhash64("para")).withColumn(
+        "_eligible", F.length(F.trim(F.col("para"))) >= F.lit(min_chars)
+    )
+    boiler = (
+        paras.where("_eligible")
+        .select("doc_id", "_h").distinct()
+        .groupBy("_h").agg(F.count(F.lit(1)).alias("_docs"))
+        .where(F.col("_docs") >= F.lit(min_df))
+        .select("_h", F.lit(True).alias("_dup"))
+    )
+    kept = (
+        paras.join(boiler, "_h", "left")
+        .where(~(F.col("_dup").isNotNull() & F.col("_eligible")))
+    )
+    return (
+        kept.groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("idx", "para"))),
+                    lambda x: x["para"],
+                ),
+                sep,
+            ).alias("clean")
+        )
+    )

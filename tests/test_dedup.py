@@ -171,3 +171,62 @@ def test_ngram_jaccard_block_cap(spark):
     uncapped = ngram_jaccard_pairs(df, block_col="lang", threshold=0.99,
                                    max_block=None)
     assert uncapped.count() > 0  # i%3 groups are word-identical
+
+
+def test_dedup_paragraphs_drops_cross_doc_boilerplate(spark):
+    from llm_food_spark.operators.dedup import dedup_paragraphs
+
+    rows = [
+        (1, "unique body one\n\nSUBSCRIBE NOW\n\ntail one"),
+        (2, "unique body two\n\nSUBSCRIBE NOW"),
+        (3, "solo document with no boilerplate"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["clean"] for r in dedup_paragraphs(d).collect()}
+    assert got[1] == "unique body one\n\ntail one"  # order preserved
+    assert got[2] == "unique body two"
+    assert got[3] == "solo document with no boilerplate"
+
+
+def test_dedup_paragraphs_distinct_doc_semantics(spark):
+    from llm_food_spark.operators.dedup import dedup_paragraphs
+
+    # 'rep' repeats WITHIN doc 1 only -> not boilerplate (min_df counts docs)
+    d = spark.createDataFrame(
+        [(1, "rep\n\nmid\n\nrep"), (2, "other")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r["clean"] for r in dedup_paragraphs(d).collect()}
+    assert got[1] == "rep\n\nmid\n\nrep"
+    # min_df=3: a 2-doc repeat survives
+    d2 = spark.createDataFrame(
+        [(1, "shared"), (2, "shared"), (3, "x")], "doc_id long, text string"
+    )
+    got2 = {r["doc_id"]: r["clean"]
+            for r in dedup_paragraphs(d2, min_df=3).collect()}
+    assert got2[1] == "shared" and got2[2] == "shared"
+
+
+def test_dedup_paragraphs_all_boiler_doc_disappears(spark):
+    from llm_food_spark.operators.dedup import dedup_paragraphs
+
+    d = spark.createDataFrame(
+        [(1, "AD"), (2, "AD"), (3, "AD\n\nreal content")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["clean"] for r in dedup_paragraphs(d).collect()}
+    assert set(got) == {3}
+    assert got[3] == "real content"
+
+
+def test_dedup_paragraphs_min_chars_exempts_short(spark):
+    from llm_food_spark.operators.dedup import dedup_paragraphs
+
+    # one-char separator paragraphs repeat everywhere but are exempt
+    d = spark.createDataFrame(
+        [(1, "alpha\n\n-\n\nbeta"), (2, "gamma\n\n-\n\ndelta")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["clean"]
+           for r in dedup_paragraphs(d, min_chars=2).collect()}
+    assert got[1] == "alpha\n\n-\n\nbeta"
+    assert got[2] == "gamma\n\n-\n\ndelta"
