@@ -322,6 +322,29 @@ def q_dedup_paragraphs(spark, sf_dir):
     return dedup_paragraphs(seeded, min_df=2)
 
 
+def q_web_prep(spark, sf_dir):
+    """Composite web-corpus prep (clean -> paragraph dedup -> token gate ->
+    MINSTD split) over text dirtied with BOTH the messy suffix and the
+    seeded boilerplate paragraphs, so every stage transforms every row and
+    the stages interact (the suffix's blank-run collapse CREATES the
+    universal 'f' paragraph that the dedup stage then removes). Hard
+    oracle: one chained DuckDB twin of all four proven stage twins."""
+    from llm_food_spark.operators.split import bucket_minstd
+    from llm_food_spark.plans.webprep import web_prep
+
+    d = _t(spark, sf_dir, "documents")
+    seeded = d.select(
+        "doc_id",
+        F.concat_ws(
+            "\n\n",
+            F.concat(F.col("text"), F.lit(_MESSY_SUFFIX)),
+            F.when(F.col("doc_id") % 3 == 0, F.lit(_BOILER_A)),
+            F.when(F.col("doc_id") % 5 == 0, F.lit(_BOILER_B)),
+        ).alias("text"),
+    )
+    return web_prep(seeded, min_tokens=5, bucket_fn=bucket_minstd)
+
+
 def q_token_count_bpe(spark, sf_dir):
     from llm_food_spark.operators.textops import token_count_bpe
 
@@ -1141,6 +1164,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_mixture": q_corpus_mixture,
         "clean_text": q_clean_text,
         "dedup_paragraphs": q_dedup_paragraphs,
+        "web_prep": q_web_prep,
         "token_count_bpe": q_token_count_bpe,
         "quality": q_quality,
         "lang_id": q_lang_id,
@@ -2010,6 +2034,67 @@ def _handwritten_oracles() -> dict[str, str]:
             SELECT doc_id, string_agg(para, '{s}' ORDER BY idx) AS clean
             FROM kept GROUP BY doc_id
         """.format(s="\n\n", ba=_BOILER_A, bb=_BOILER_B),
+        # web_prep twin: the four proven stage twins chained in one query
+        # (seed -> clean chain -> paragraph dedup -> token gate -> MINSTD
+        # split). Braces in regex quantifiers/escapes are doubled for
+        # .format; {nl}/{s}/{sfx} interpolate raw newline/separator/suffix
+        # bytes so both engines see identical characters.
+        "web_prep": """
+            WITH seeded AS (
+              SELECT doc_id, concat_ws('{s}', text || '{sfx}',
+                CASE WHEN doc_id % 3 = 0 THEN '{ba}' END,
+                CASE WHEN doc_id % 5 = 0 THEN '{bb}' END) AS raw
+              FROM documents
+            ), cleaned AS (
+              SELECT doc_id,
+                regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+                regexp_replace(regexp_replace(
+                  nfc_normalize(raw),
+                  '\\r\\n?', '{nl}', 'g'),
+                  '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F\\x{{200B}}-\\x{{200D}}\\x{{FEFF}}]', '', 'g'),
+                  '[ \\t]+', ' ', 'g'),
+                  ' ?\\n ?', '{nl}', 'g'),
+                  '\\n{{3,}}', '{nl}{nl}', 'g'),
+                  '^\\s+|\\s+$', '', 'g') AS text
+              FROM seeded
+            ), t AS (
+              SELECT doc_id, string_split(text, '{s}') AS paras FROM cleaned
+            ), p AS (
+              SELECT doc_id, unnest(range(1, len(paras) + 1)) AS idx,
+                     unnest(paras) AS para
+              FROM t
+            ), b AS (
+              SELECT para FROM (
+                SELECT DISTINCT doc_id, para FROM p
+                WHERE length(trim(para)) >= 1
+              ) GROUP BY para HAVING COUNT(*) >= 2
+            ), kept AS (
+              SELECT doc_id, idx, para
+              FROM p LEFT JOIN (SELECT para, TRUE AS dup FROM b) f USING (para)
+              WHERE dup IS NULL OR length(trim(para)) < 1
+            ), re AS (
+              SELECT doc_id, string_agg(para, '{s}' ORDER BY idx) AS clean
+              FROM kept GROUP BY doc_id
+            ), tok AS (
+              SELECT doc_id, clean,
+                     len(list_filter(regexp_split_to_array(clean, '\\s+'),
+                                     x -> x <> ''))::INT AS n_tokens
+              FROM re
+            ), gated AS (
+              SELECT * FROM tok WHERE n_tokens >= 5
+            ), bk AS (
+              SELECT *, ((doc_id % 2147483647 + 2147483647) % 2147483647
+                         * 48271) % 2147483647 % 1000000 AS bk
+              FROM gated
+            )
+            SELECT doc_id,
+                   CASE WHEN bk < 900000 THEN 'train'
+                        WHEN bk < 950000 THEN 'val'
+                        ELSE 'test' END AS split,
+                   n_tokens, clean
+            FROM bk
+        """.format(s="\n\n", nl="\n", sfx=_MESSY_SUFFIX,
+                   ba=_BOILER_A, bb=_BOILER_B),
         # clean_text twin: nfc_normalize (utf8proc) agrees byte-for-byte
         # with the operator's unicodedata NFC pass; the regexp chain is
         # the identical RE2/Java-portable sequence, raw suffix/newline

@@ -591,13 +591,24 @@ def dedup_paragraphs(
     array_sort over (idx, para) structs, so the result is deterministic
     under any partitioning. The DuckDB oracle joins on paragraph
     STRINGS — independent of the hash-join plan.
+
+    The exploded frame feeds BOTH the frequency branch and the
+    membership branch; Spark plans are trees, so without a
+    materialization cut the whole upstream pipeline (including any
+    Python stage like clean_text's NFC pass) would execute twice. The
+    frame is therefore persisted and registered in the same
+    release-on-next-call registry the minhash operator uses
+    (``release_persisted()``); executor storage is bounded at one
+    exploded frame between calls.
     """
+    release_persisted()
     paras = ensure_min_partitions(df).select(
         F.col(id_col).alias("doc_id"),
         F.posexplode(F.split(F.col(text_col), sep)).alias("idx", "para"),
     ).withColumn("_h", F.xxhash64("para")).withColumn(
         "_eligible", F.length(F.trim(F.col("para"))) >= F.lit(min_chars)
-    )
+    ).persist()
+    _PERSISTED_BASES.append(paras)
     boiler = (
         paras.where("_eligible")
         .select("doc_id", "_h").distinct()

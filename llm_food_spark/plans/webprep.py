@@ -1,0 +1,54 @@
+"""End-to-end web-corpus preparation: normalize -> de-boilerplate ->
+length-gate -> leakage-safe split.
+
+The composite counterpart of plans/prep.py for raw web TEXT (prep.py
+starts from binary pages and runs extraction + near-dup; this plan
+starts from a text corpus and runs the text-side cleanup stack). Every
+stage is individually hard-oracled (clean_text, dedup_paragraphs,
+token_count, split_assign), and the composite itself carries a single
+chained hand-written DuckDB twin in __spark_entry__ — the whole
+pipeline is verified end to end, not just per stage.
+
+Scale shape (one linear plan, no driver materialization): clean_text is
+per-row (one Arrow NFC pass + JVM regexps, zero shuffle); paragraph
+dedup contributes the narrow hash-frequency exchange + one doc-keyed
+reassembly exchange; the token gate and split assignment are pure
+column arithmetic fused into the reassembly output — Catalyst pipelines
+all of it into the minimum set of stages.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..operators.dedup import dedup_paragraphs
+from ..operators.split import assign_split, bucket_xxhash
+from ..operators.textops import clean_text, token_count
+
+
+def web_prep(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_df: int = 2,
+    min_tokens: int = 5,
+    weights: dict = None,
+    bucket_fn=bucket_xxhash,
+) -> DataFrame:
+    """-> (doc_id, split, n_tokens, clean): cleaned, de-boilerplated,
+    length-gated corpus with a deterministic train/val/test assignment.
+    Documents reduced to nothing (all-boilerplate or under the token
+    gate) are dropped."""
+    weights = weights or {"train": 0.9, "val": 0.05, "test": 0.05}
+    base = df.select(F.col(id_col).alias("doc_id"),
+                     F.col(text_col).alias("text"))
+    cleaned = clean_text(base, text_col="text", out_col="clean")
+    decl = dedup_paragraphs(
+        cleaned.select("doc_id", F.col("clean").alias("text")), min_df=min_df
+    )
+    gated = decl.withColumn(
+        "n_tokens", token_count(F.col("clean"))
+    ).where(F.col("n_tokens") >= F.lit(min_tokens))
+    return assign_split(gated, "doc_id", weights, bucket_fn=bucket_fn).select(
+        "doc_id", "split", "n_tokens", "clean"
+    )

@@ -1,0 +1,38 @@
+"""Composite web_prep plan: stage interaction + gate + split determinism."""
+
+
+def test_web_prep_funnel(spark):
+    from llm_food_spark.plans.webprep import web_prep
+
+    rows = [
+        (1, "the first unique document body with several words\n\nAD BLOCK"),
+        (2, "another unique body with plenty of words here\n\nAD BLOCK"),
+        (3, "tiny\n\nAD BLOCK"),                       # gated out (<5 tokens)
+        (4, "  messy\twhitespace   doc with more than five words \r\nok"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in web_prep(d, min_tokens=5).collect()}
+
+    assert set(out) == {1, 2, 4}                       # doc 3 under the gate
+    assert "AD BLOCK" not in out[1]["clean"]           # boilerplate dropped
+    assert "AD BLOCK" not in out[2]["clean"]
+    assert out[4]["clean"] == (
+        "messy whitespace doc with more than five words\nok"
+    )
+    assert out[4]["n_tokens"] == 9
+    for r in out.values():
+        assert r["split"] in ("train", "val", "test")
+
+
+def test_web_prep_split_deterministic(spark):
+    from llm_food_spark.plans.webprep import web_prep
+
+    d = spark.createDataFrame(
+        [(i, "document body %d with enough tokens to pass" % i)
+         for i in range(50)],
+        "doc_id long, text string",
+    )
+    a = {r["doc_id"]: r["split"] for r in web_prep(d).collect()}
+    b = {r["doc_id"]: r["split"]
+         for r in web_prep(d.repartition(7)).collect()}
+    assert a == b                                      # partition-invariant
