@@ -230,3 +230,29 @@ def test_dedup_paragraphs_min_chars_exempts_short(spark):
            for r in dedup_paragraphs(d, min_chars=2).collect()}
     assert got[1] == "alpha\n\n-\n\nbeta"
     assert got[2] == "gamma\n\n-\n\ndelta"
+
+
+def test_dedup_paragraphs_line_level(spark):
+    from llm_food_spark.operators.dedup import dedup_paragraphs
+
+    # sep="\n" gives C4-style LINE dedup across the corpus
+    d = spark.createDataFrame(
+        [(1, "keep me\ncookie banner\nmore body"),
+         (2, "other text\ncookie banner")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["clean"]
+           for r in dedup_paragraphs(d, sep="\n").collect()}
+    assert got[1] == "keep me\nmore body"
+    assert got[2] == "other text"
+
+
+def test_dedup_paragraphs_partition_invariant(spark):
+    from llm_food_spark.operators.dedup import dedup_paragraphs
+
+    rows = [(i, "body %d\n\nSHARED FOOTER" % i) for i in range(20)]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    a = {r["doc_id"]: r["clean"] for r in dedup_paragraphs(d).collect()}
+    b = {r["doc_id"]: r["clean"]
+         for r in dedup_paragraphs(d.repartition(7)).collect()}
+    assert a == b and all("SHARED" not in v for v in a.values())

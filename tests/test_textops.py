@@ -554,3 +554,21 @@ def test_nfc_fast_path_identity():
     assert nfc(s) is s          # is_normalized short-circuit, no copy
     assert nfc("café") == "café"
     assert nfc(None) is None
+
+
+def test_clean_text_idempotent(spark):
+    from llm_food_spark.operators.textops import clean_text
+
+    rows = [(i, s) for i, s in enumerate([
+        "plain text",
+        "á composed\r\nnow\t\tdone  ",
+        "x\n\n\n\n\ny  z\x01",
+        " lead and trail ",
+        "", None,
+    ])]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    once = clean_text(d).select("doc_id", F.col("clean").alias("text"))
+    twice = clean_text(once)
+    got = {r["doc_id"]: (r["text"], r["clean"]) for r in twice.collect()}
+    for doc_id, (first, second) in got.items():
+        assert first == second, doc_id  # clean(clean(x)) == clean(x)
