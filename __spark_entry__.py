@@ -345,6 +345,35 @@ def q_web_prep(spark, sf_dir):
     return web_prep(seeded, min_tokens=5, bucket_fn=bucket_minstd)
 
 
+# 30-token constant runs planted on overlapping doc subsets: with
+# window=20 every in-run window duplicates across its subset, the
+# globally-first (min doc_id, pos) occurrence is kept, all others strip
+_RUN_A = " ".join("za%d" % i for i in range(30))
+_RUN_B = " ".join("zb%d" % i for i in range(30))
+
+
+def q_dedup_substrings(spark, sf_dir):
+    """Exact duplicated-substring removal (Lee et al. 2021 ExactSubstr,
+    fixed 20-token window) over corpus text with planted 30-token runs
+    (doc_id%11 -> run A, doc_id%7 -> run B; %77 docs carry both, so
+    run-spanning windows also duplicate). Hard oracle: DuckDB recomputes
+    windows/winner/coverage/reassembly joining on window STRINGS —
+    independent of the operator's polynomial hash join."""
+    from llm_food_spark.operators.dedup import dedup_substrings
+
+    d = _t(spark, sf_dir, "documents")
+    seeded = d.select(
+        "doc_id",
+        F.concat_ws(
+            " ",
+            F.col("text"),
+            F.when(F.col("doc_id") % 11 == 0, F.lit(_RUN_A)),
+            F.when(F.col("doc_id") % 7 == 0, F.lit(_RUN_B)),
+        ).alias("text"),
+    )
+    return dedup_substrings(seeded, window=20)
+
+
 def q_token_count_bpe(spark, sf_dir):
     from llm_food_spark.operators.textops import token_count_bpe
 
@@ -1164,6 +1193,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_mixture": q_corpus_mixture,
         "clean_text": q_clean_text,
         "dedup_paragraphs": q_dedup_paragraphs,
+        "dedup_substrings": q_dedup_substrings,
         "web_prep": q_web_prep,
         "token_count_bpe": q_token_count_bpe,
         "quality": q_quality,
@@ -2034,6 +2064,59 @@ def _handwritten_oracles() -> dict[str, str]:
             SELECT doc_id, string_agg(para, '{s}' ORDER BY idx) AS clean
             FROM kept GROUP BY doc_id
         """.format(s="\n\n", ba=_BOILER_A, bb=_BOILER_B),
+        # exact-substring dedup twin: windows/winner/coverage on window
+        # STRINGS (operator joins 64-bit polynomial hashes). DuckDB is
+        # 1-based and Spark 0-based on positions — internal only, the
+        # output carries no positions. Coverage is a bounded range join
+        # (each flagged start covers exactly `window` token positions).
+        "dedup_substrings": """
+            WITH seeded AS (
+              SELECT doc_id, concat_ws(' ', text,
+                CASE WHEN doc_id % 11 = 0 THEN '{ra}' END,
+                CASE WHEN doc_id % 7 = 0 THEN '{rb}' END) AS text
+              FROM documents
+            ), t AS (
+              SELECT doc_id, {ws} AS toks FROM seeded
+            ), w AS (
+              SELECT doc_id,
+                     unnest(range(1, greatest(len(toks) - {lm1}, 0) + 1)) AS pos,
+                     unnest(list_transform(
+                       range(1, greatest(len(toks) - {lm1}, 0) + 1),
+                       i -> array_to_string(toks[i : i + {lm1}], ' '))) AS wstr
+              FROM t
+            ), winner AS (
+              SELECT wstr, min(struct_pack(d := doc_id, p := pos)) AS wn
+              FROM w GROUP BY wstr HAVING COUNT(*) >= 2
+            ), flagged AS (
+              SELECT w.doc_id, w.pos
+              FROM w JOIN winner USING (wstr)
+              WHERE NOT (w.doc_id = struct_extract(wn, 'd')
+                         AND w.pos = struct_extract(wn, 'p'))
+            ), tk AS (
+              SELECT doc_id, unnest(range(1, len(toks) + 1)) AS tp,
+                     unnest(toks) AS tok
+              FROM t
+            ), cov AS (
+              SELECT DISTINCT tk.doc_id, tk.tp
+              FROM tk JOIN flagged f
+                ON tk.doc_id = f.doc_id
+               AND tk.tp >= f.pos AND tk.tp < f.pos + {L}
+            ), kept AS (
+              SELECT tk.doc_id, tk.tp, tk.tok
+              FROM tk LEFT JOIN cov
+                ON tk.doc_id = cov.doc_id AND tk.tp = cov.tp
+              WHERE cov.tp IS NULL
+            ), agg AS (
+              SELECT doc_id,
+                     string_agg(tok, ' ' ORDER BY tp) AS clean,
+                     COUNT(*) AS n_kept
+              FROM kept GROUP BY doc_id
+            )
+            SELECT t.doc_id,
+                   coalesce(agg.clean, '') AS clean,
+                   (len(t.toks) - coalesce(agg.n_kept, 0))::INT AS n_removed
+            FROM t LEFT JOIN agg ON t.doc_id = agg.doc_id
+        """.format(ra=_RUN_A, rb=_RUN_B, ws=_WSTOKS, L=20, lm1=19),
         # web_prep twin: the four proven stage twins chained in one query
         # (seed -> clean chain -> paragraph dedup -> token gate -> MINSTD
         # split). Braces in regex quantifiers/escapes are doubled for

@@ -77,6 +77,42 @@ def ngram_hashes(text: str, n: int) -> List[int]:
     return sorted(out)
 
 
+_WS_RE = re.compile(r"\s+")
+
+
+def ws_tokenize(text: str) -> List[str]:
+    """Whitespace tokens, case/punctuation preserved — the substring-dedup
+    tokenizer (reassembly must keep the text verbatim modulo whitespace
+    canonicalization, unlike the lowercased decontamination tokenizer)."""
+    return [t for t in _WS_RE.split(text or "") if t]
+
+
+def window_hashes_batch(texts, window: int) -> List[np.ndarray]:
+    """Per-POSITION window hashes (int64 array, index = 0-based token
+    position of the window start; NOT deduplicated — position identity is
+    the point). Same memoized-token + Horner construction as
+    ngram_hashes_batch, over the verbatim whitespace tokenizer."""
+    base = np.uint64(_POLY_BASE)
+    memo: dict = {}
+    out = []
+    for t in texts:
+        toks = ws_tokenize(t)
+        L = len(toks)
+        if L < window:
+            out.append(np.empty(0, dtype=np.int64))
+            continue
+        ids = np.fromiter(
+            (memo[tok] if tok in memo else memo.setdefault(tok, token_hash(tok))
+             for tok in toks),
+            dtype=np.uint64, count=L,
+        )
+        acc = np.zeros(L - window + 1, dtype=np.uint64)
+        for k in range(window):
+            acc = acc * base + ids[k : L - window + 1 + k]
+        out.append(acc.view(np.int64))
+    return out
+
+
 def ngram_hashes_batch(texts, n: int) -> List[np.ndarray]:
     """Vectorized batch form: one int64 array of distinct (sorted) shingle
     hashes per input text. Token blake2b values are memoized across the

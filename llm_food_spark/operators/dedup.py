@@ -632,3 +632,90 @@ def dedup_paragraphs(
             ).alias("clean")
         )
     )
+
+
+def dedup_substrings(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 50,
+) -> DataFrame:
+    """Exact duplicated-substring removal (the fixed-window form of Lee
+    et al. 2021 "Deduplicating Training Data Makes Language Models
+    Better" / ExactSubstr): every ``window``-token span that occurs more
+    than once in the corpus is removed from every position EXCEPT the
+    globally-first occurrence (min (doc_id, pos) — deterministic under
+    any partitioning). -> (doc_id, clean, n_removed); ``clean`` is the
+    surviving tokens rejoined with single spaces (whitespace is
+    canonicalized — the same lossiness C4 accepts), ``n_removed`` the
+    dropped-token count. Docs shorter than ``window`` pass through
+    (canonicalized, n_removed=0).
+
+    Spark shape instead of the paper's suffix array (which is
+    single-node): per-position window hashes from one Arrow pass (token
+    blake2b memo + numpy Horner — see functions/decontam.py), exploded
+    to narrow (doc_id, pos, h) rows. One hash-keyed exchange finds
+    duplicated windows and their lexicographic winner; flagged
+    positions group back per doc (narrow longs), and a second Arrow
+    pass paints the covered intervals and rebuilds the text. The
+    exploded window frame feeds both the frequency and the flag branch,
+    so it is persisted into the release-on-next-call registry (plans
+    are trees — without the cut the Arrow pass would run twice).
+    """
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def win_hashes(texts: pd.Series) -> pd.Series:
+        from ..functions.decontam import window_hashes_batch
+        return pd.Series(window_hashes_batch(texts.tolist(), window),
+                         index=texts.index)
+
+    @F.pandas_udf(T.StringType())
+    def rebuild(texts: pd.Series, starts: pd.Series) -> pd.Series:
+        import numpy as np
+
+        from ..functions.decontam import ws_tokenize
+
+        def go(t, st):
+            toks = ws_tokenize(t)
+            if st is None or len(st) == 0:
+                return " ".join(toks)
+            covered = np.zeros(len(toks), dtype=bool)
+            for s in st:
+                covered[s : s + window] = True
+            return " ".join(tok for tok, c in zip(toks, covered) if not c)
+
+        return pd.Series([go(t, s) for t, s in zip(texts, starts)],
+                         index=texts.index)
+
+    release_persisted()
+    base = ensure_min_partitions(df).select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+    )
+    wins = base.select(
+        "doc_id", F.posexplode(win_hashes(F.col("text"))).alias("pos", "h")
+    ).persist()
+    _PERSISTED_BASES.append(wins)
+    winner = wins.groupBy("h").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.min(F.struct("doc_id", "pos")).alias("_w"),
+    ).where(F.col("_n") >= 2).select(
+        "h", F.col("_w.doc_id").alias("_wdoc"), F.col("_w.pos").alias("_wpos")
+    )
+    flagged = (
+        wins.join(winner, "h")
+        .where(~((F.col("doc_id") == F.col("_wdoc"))
+                 & (F.col("pos") == F.col("_wpos"))))
+        .groupBy("doc_id")
+        .agg(F.collect_list("pos").alias("_starts"))
+    )
+    from .textops import token_count
+
+    return (
+        base.join(flagged, "doc_id", "left")
+        .withColumn("clean", rebuild(F.col("text"), F.col("_starts")))
+        .select(
+            "doc_id", "clean",
+            (token_count(F.col("text")) - token_count(F.col("clean")))
+            .cast("int").alias("n_removed"),
+        )
+    )

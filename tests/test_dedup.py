@@ -256,3 +256,53 @@ def test_dedup_paragraphs_partition_invariant(spark):
     b = {r["doc_id"]: r["clean"]
          for r in dedup_paragraphs(d.repartition(7)).collect()}
     assert a == b and all("SHARED" not in v for v in a.values())
+
+
+def test_dedup_substrings_keeps_first_occurrence(spark):
+    from llm_food_spark.operators.dedup import dedup_substrings
+
+    run = " ".join("dup%d" % i for i in range(6))   # 6-token duplicated run
+    rows = [
+        (1, "alpha beta %s gamma delta" % run),     # first occurrence -> kept
+        (2, "eins zwei %s drei vier" % run),        # stripped
+        (3, "totally unrelated text body here"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in dedup_substrings(d, window=4).collect()}
+    assert got[1]["clean"] == "alpha beta %s gamma delta" % run
+    assert got[1]["n_removed"] == 0
+    assert got[2]["clean"] == "eins zwei drei vier"
+    assert got[2]["n_removed"] == 6
+    assert got[3]["clean"] == "totally unrelated text body here"
+
+
+def test_dedup_substrings_within_doc_and_short_docs(spark):
+    from llm_food_spark.operators.dedup import dedup_substrings
+
+    run = "a b c d"
+    d = spark.createDataFrame(
+        [(1, "%s x y z %s" % (run, run)),  # same run twice WITHIN one doc
+         (2, "tiny")],                      # shorter than the window
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in dedup_substrings(d, window=4).collect()}
+    # first occurrence (pos 0) wins; the second is stripped
+    assert got[1]["clean"] == "a b c d x y z"
+    assert got[1]["n_removed"] == 4
+    assert got[2]["clean"] == "tiny" and got[2]["n_removed"] == 0
+
+
+def test_dedup_substrings_partition_invariant(spark):
+    from llm_food_spark.operators.dedup import dedup_substrings
+
+    run = " ".join("r%d" % i for i in range(8))
+    rows = [(i, "body %d %s tail %d" % (i, run, i)) for i in range(12)]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    a = {r["doc_id"]: (r["clean"], r["n_removed"])
+         for r in dedup_substrings(d, window=5).collect()}
+    b = {r["doc_id"]: (r["clean"], r["n_removed"])
+         for r in dedup_substrings(d.repartition(5), window=5).collect()}
+    assert a == b
+    # exactly one doc keeps the run (the min doc_id)
+    keepers = [k for k, (c, n) in a.items() if "r0" in c]
+    assert keepers == [0]
