@@ -374,6 +374,21 @@ def q_dedup_substrings(spark, sf_dir):
     return dedup_substrings(seeded, window=20)
 
 
+def q_pack_sequences(spark, sf_dir):
+    """GPT-style packing layout: hash docs into 8 token streams (portable
+    MINSTD bucket), concatenate in doc_id order, locate each doc's first
+    token on the 256-token sequence grid. Hard oracle: DuckDB window
+    cumsum with the identical bucket arithmetic — all integer ops."""
+    from llm_food_spark.operators.split import bucket_minstd, pack_sequences
+    from llm_food_spark.operators.textops import token_count
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", token_count(F.col("text")).alias("n_tokens")
+    )
+    return pack_sequences(d, seq_len=256, n_streams=8,
+                          bucket_fn=bucket_minstd)
+
+
 def q_token_count_bpe(spark, sf_dir):
     from llm_food_spark.operators.textops import token_count_bpe
 
@@ -1195,6 +1210,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_paragraphs": q_dedup_paragraphs,
         "dedup_substrings": q_dedup_substrings,
         "web_prep": q_web_prep,
+        "pack_sequences": q_pack_sequences,
         "token_count_bpe": q_token_count_bpe,
         "quality": q_quality,
         "lang_id": q_lang_id,
@@ -2064,6 +2080,31 @@ def _handwritten_oracles() -> dict[str, str]:
             SELECT doc_id, string_agg(para, '{s}' ORDER BY idx) AS clean
             FROM kept GROUP BY doc_id
         """.format(s="\n\n", ba=_BOILER_A, bb=_BOILER_B),
+        # packing twin: identical MINSTD bucket + window cumsum; '//' is
+        # DuckDB integer division (Spark side divides exact doubles far
+        # below 2^53 and truncates — identical for nonnegative ints)
+        "pack_sequences": """
+            WITH d AS (
+              SELECT doc_id, len({ws})::BIGINT AS n_tokens FROM documents
+            ), s AS (
+              SELECT doc_id, n_tokens,
+                     (((doc_id % 2147483647 + 2147483647) % 2147483647
+                       * 48271) % 2147483647 % 8)::INT AS stream
+              FROM d
+            ), c AS (
+              SELECT doc_id, stream, n_tokens,
+                     coalesce(SUM(n_tokens) OVER (
+                       PARTITION BY stream ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                     ), 0) AS cum
+              FROM s
+            )
+            SELECT doc_id, stream,
+                   (cum // 256)::BIGINT AS seq_id,
+                   (cum % 256)::BIGINT AS offset,
+                   n_tokens
+            FROM c
+        """.format(ws=_WSTOKS),
         # exact-substring dedup twin: windows/winner/coverage on window
         # STRINGS (operator joins 64-bit polynomial hashes). DuckDB is
         # 1-based and Spark 0-based on positions — internal only, the

@@ -142,3 +142,55 @@ def cap_per_group(
         .where(F.col("_rk") <= F.lit(n))
         .drop("_rk")
     )
+
+
+def pack_sequences(
+    df: DataFrame,
+    seq_len: int,
+    tokens_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    n_streams: int = 1024,
+    bucket_fn=bucket_xxhash,
+) -> DataFrame:
+    """GPT-style sequence packing layout: documents are concatenated into
+    token streams (docs may straddle sequence boundaries — the classic
+    packing that wastes zero tokens) and each stream is cut into
+    training sequences of ``seq_len`` tokens. Returns the PLACEMENT of
+    every document: (doc_id, stream, seq_id, offset, n_tokens) — seq_id/
+    offset locate the document's first token inside its stream's
+    sequence grid, so a writer can materialize shards independently per
+    stream.
+
+    Deterministic and leakage-free: a document's stream is a hash of
+    its id (``bucket_fn``, same family as the split/sample operators)
+    and the order within a stream is doc_id — placement is a pure
+    function of (id, token count), invariant under partitioning, rerun,
+    and resume. ``n_streams`` sets shard parallelism (a property of the
+    corpus size, like the extraction salt P).
+
+    Scale shape: one exchange on ``stream`` + a per-stream running sum
+    (window cumsum) — the sequential prefix-sum recurrence that makes
+    packing look single-node is confined inside each stream partition,
+    and streams are balanced by construction (hash of id). All integer
+    Catalyst arithmetic, exactly mirrored by the SQL oracle.
+    """
+    if seq_len < 1:
+        raise ValueError("seq_len must be >= 1")
+    from pyspark.sql import Window
+
+    out = df.withColumn(
+        "stream", bucket_fn(F.col(id_col), n_streams).cast("int")
+    )
+    w = (
+        Window.partitionBy("stream")
+        .orderBy(F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = F.coalesce(F.sum(F.col(tokens_col)).over(w), F.lit(0))
+    return out.select(
+        F.col(id_col).alias("doc_id"),
+        "stream",
+        (cum / F.lit(seq_len)).cast("bigint").alias("seq_id"),
+        (cum % F.lit(seq_len)).cast("bigint").alias("offset"),
+        F.col(tokens_col).cast("bigint").alias("n_tokens"),
+    )

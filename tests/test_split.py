@@ -135,3 +135,35 @@ def test_cap_per_group_compiles_to_window_group_limit(spark):
     plan = cap_per_group(df, "grp", 5, order_col="score") \
         ._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan
+
+
+def test_pack_sequences_layout(spark):
+    from llm_food_spark.operators.split import pack_sequences
+
+    # single stream -> pure cumsum layout; docs straddle boundaries
+    d = spark.createDataFrame(
+        [(1, 100), (2, 100), (3, 100)], "doc_id long, n_tokens long"
+    )
+    got = {r["doc_id"]: (r["seq_id"], r["offset"]) for r in pack_sequences(
+        d, seq_len=128, n_streams=1, bucket_fn=lambda c, n: F.lit(0)
+    ).collect()}
+    # stream: doc1 @0, doc2 @100 (straddles seq 0->1), doc3 @200
+    assert got == {1: (0, 0), 2: (0, 100), 3: (1, 72)}
+
+
+def test_pack_sequences_deterministic_and_validated(spark):
+    import pytest
+    from llm_food_spark.operators.split import pack_sequences
+
+    d = spark.createDataFrame(
+        [(i, (i * 7) % 50 + 1) for i in range(40)],
+        "doc_id long, n_tokens long",
+    )
+    a = sorted(map(tuple, pack_sequences(d, 64, n_streams=4).collect()))
+    b = sorted(map(tuple, pack_sequences(
+        d.repartition(7), 64, n_streams=4).collect()))
+    assert a == b                       # placement is partition-invariant
+    streams = {r[1] for r in a}
+    assert streams <= set(range(4)) and len(streams) > 1
+    with pytest.raises(ValueError):
+        pack_sequences(d, 0)
