@@ -77,13 +77,19 @@ def ngram_hashes(text: str, n: int) -> List[int]:
     return sorted(out)
 
 
-_WS_RE = re.compile(r"\s+")
+# the ASCII whitespace class — EXACTLY what Java \s (Spark token_count)
+# and RE2 \s (the DuckDB twins) match. Python's \s is Unicode-wide
+# (NBSP, ideographic space, ...), which would make the rebuilt text
+# tokenize LONGER than the input under token_count and drive n_removed
+# negative on hostile unicode (caught by the fuzz sweep).
+_WS_RE = re.compile(r"[ \t\n\x0b\f\r]+")
 
 
 def ws_tokenize(text: str) -> List[str]:
-    """Whitespace tokens, case/punctuation preserved — the substring-dedup
-    tokenizer (reassembly must keep the text verbatim modulo whitespace
-    canonicalization, unlike the lowercased decontamination tokenizer)."""
+    """ASCII-whitespace tokens, case/punctuation preserved — the
+    substring-dedup tokenizer (reassembly must keep the text verbatim
+    modulo whitespace canonicalization, unlike the lowercased
+    decontamination tokenizer)."""
     return [t for t in _WS_RE.split(text or "") if t]
 
 

@@ -147,3 +147,56 @@ def test_media_decoders_never_raise_on_mutations():
                 dec(spliced)
             except (struct.error, IndexError):
                 pass
+
+
+def test_text_operators_never_raise_on_hostile_text(spark):
+    """Hostile unicode/structure sweep through the round-3 text operators:
+    no exceptions, and clean_text stays idempotent on every survivor."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from llm_food_spark.functions.decontam import (ngram_hashes,
+                                                   window_hashes_batch,
+                                                   ws_tokenize)
+    from llm_food_spark.functions.textnorm import nfc
+
+    rng = random.Random(20260817)
+    seeds = [
+        "", " ", "\n" * 100, "\t\r\x00\x1f\x7f", "a" * 10000,
+        "word " * 500, "́́́", "\ud800surrogate-adjacent",
+        "z​" * 200, "né é ﬁ ﬂ Å ａｂ 中文 🎉🎉",
+        "\r\n".join("line%d" % i for i in range(50)),
+        ("tok%d " % 7) * 300,
+    ]
+    pool = []
+    for s in seeds:
+        pool.append(s)
+        chars = list(s)
+        rng.shuffle(chars)
+        pool.append("".join(chars[: len(chars) // 2 + 1]))
+        pool.append((s + "\n\n" + s)[: 2000])
+    # pure-python layers never raise and stay deterministic
+    for t in pool:
+        assert nfc(t) == nfc(t)
+        assert ws_tokenize(t) == ws_tokenize(t)
+        assert ngram_hashes(t, 3) == ngram_hashes(t, 3)
+        [w] = window_hashes_batch([t], 5)
+        assert list(w) == list(window_hashes_batch([t], 5)[0])
+
+    from llm_food_spark.operators.dedup import dedup_substrings
+    from llm_food_spark.operators.textops import clean_text
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(pool)], "doc_id long, text string"
+    )
+    once = clean_text(df).select("doc_id", F.col("clean").alias("text"))
+    twice = {r["doc_id"]: (r["text"], r["clean"])
+             for r in clean_text(once).collect()}
+    assert len(twice) == len(pool)
+    for doc_id, (a, b) in twice.items():
+        assert a == b, doc_id
+    # substring dedup over the hostile pool completes with sane counts
+    out = dedup_substrings(df, window=5).collect()
+    assert len(out) == len(pool)
+    assert all(r["n_removed"] >= 0 for r in out)
