@@ -383,10 +383,41 @@ def q_pack_sequences(spark, sf_dir):
     from llm_food_spark.operators.textops import token_count
 
     d = _t(spark, sf_dir, "documents").select(
-        "doc_id", token_count(F.col("text")).alias("n_tokens")
+        "doc_id", token_count(F.col("text")).cast("long").alias("n_tokens")
     )
     return pack_sequences(d, seq_len=256, n_streams=8,
                           bucket_fn=bucket_minstd)
+
+
+def q_web_prep_full(spark, sf_dir):
+    """The FULL prep funnel in one plan: clean -> paragraph dedup -> token
+    gate -> eval-set decontamination (13-gram drop, bench = token slices
+    of docs with doc_id%13==0) -> MINSTD split -> per-split GPT packing
+    (seq_len=128, 4 streams). Hard oracle: ONE DuckDB query chaining six
+    proven stage twins — clean chain, paragraph frequency/reassembly,
+    token gate, string-shingle anti-join, split CASE, windowed cumsum."""
+    from llm_food_spark.operators.split import bucket_minstd
+    from llm_food_spark.plans.webprep import web_prep
+
+    d = _t(spark, sf_dir, "documents")
+    seeded = d.select(
+        "doc_id",
+        F.concat_ws(
+            "\n\n",
+            F.concat(F.col("text"), F.lit(_MESSY_SUFFIX)),
+            F.when(F.col("doc_id") % 3 == 0, F.lit(_BOILER_A)),
+            F.when(F.col("doc_id") % 5 == 0, F.lit(_BOILER_B)),
+        ).alias("text"),
+    )
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), "[^a-z0-9]+"),
+        lambda x: x != F.lit(""),
+    )
+    bench = d.where(F.col("doc_id") % 13 == 0).select(
+        F.array_join(F.slice(toks, F.lit(3), F.lit(16)), " ").alias("text")
+    )
+    return web_prep(seeded, min_tokens=5, bucket_fn=bucket_minstd,
+                    benchmark=bench, ngram=13, seq_len=128, n_streams=4)
 
 
 def q_token_count_bpe(spark, sf_dir):
@@ -1210,6 +1241,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_paragraphs": q_dedup_paragraphs,
         "dedup_substrings": q_dedup_substrings,
         "web_prep": q_web_prep,
+        "web_prep_full": q_web_prep_full,
         "pack_sequences": q_pack_sequences,
         "token_count_bpe": q_token_count_bpe,
         "quality": q_quality,
@@ -2105,6 +2137,104 @@ def _handwritten_oracles() -> dict[str, str]:
                    n_tokens
             FROM c
         """.format(ws=_WSTOKS),
+        # web_prep_full twin: SIX proven stage twins in one query — clean
+        # chain, paragraph dedup, token gate, string-shingle decontam
+        # anti-join, MINSTD split, per-(split,stream) packing cumsum.
+        # Non-ASCII lowercasing differences are moot: the decontam
+        # tokenizer keeps only [a-z0-9] runs, so every non-ASCII char is
+        # a separator on all three engines.
+        "web_prep_full": """
+            WITH seeded AS (
+              SELECT doc_id, concat_ws('{s}', text || '{sfx}',
+                CASE WHEN doc_id % 3 = 0 THEN '{ba}' END,
+                CASE WHEN doc_id % 5 = 0 THEN '{bb}' END) AS raw
+              FROM documents
+            ), cleaned AS (
+              SELECT doc_id,
+                regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+                regexp_replace(regexp_replace(
+                  nfc_normalize(raw),
+                  '\\r\\n?', '{nl}', 'g'),
+                  '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F\\x{{200B}}-\\x{{200D}}\\x{{FEFF}}]', '', 'g'),
+                  '[ \\t]+', ' ', 'g'),
+                  ' ?\\n ?', '{nl}', 'g'),
+                  '\\n{{3,}}', '{nl}{nl}', 'g'),
+                  '^\\s+|\\s+$', '', 'g') AS text
+              FROM seeded
+            ), t AS (
+              SELECT doc_id, string_split(text, '{s}') AS paras FROM cleaned
+            ), p AS (
+              SELECT doc_id, unnest(range(1, len(paras) + 1)) AS idx,
+                     unnest(paras) AS para
+              FROM t
+            ), pb AS (
+              SELECT para FROM (
+                SELECT DISTINCT doc_id, para FROM p
+                WHERE length(trim(para)) >= 1
+              ) GROUP BY para HAVING COUNT(*) >= 2
+            ), pkept AS (
+              SELECT doc_id, idx, para
+              FROM p LEFT JOIN (SELECT para, TRUE AS dup FROM pb) f USING (para)
+              WHERE dup IS NULL OR length(trim(para)) < 1
+            ), re AS (
+              SELECT doc_id, string_agg(para, '{s}' ORDER BY idx) AS clean
+              FROM pkept GROUP BY doc_id
+            ), gated AS (
+              SELECT * FROM (
+                SELECT doc_id, clean,
+                       len(list_filter(regexp_split_to_array(clean, '\\s+'),
+                                       x -> x <> ''))::BIGINT AS n_tokens
+                FROM re
+              ) WHERE n_tokens >= 5
+            ), bsl AS (
+              SELECT list_filter(regexp_split_to_array(lower(text),
+                       '[^a-z0-9]+'), x -> x <> '')[3 : 18] AS st
+              FROM documents WHERE doc_id % 13 = 0
+            ), bg0 AS (
+              SELECT unnest(list_transform(
+                range(1, greatest(len(st) - 12, 0) + 1),
+                i -> array_to_string(st[i : i + 12], ' '))) AS ng
+              FROM bsl
+            ), bg AS (SELECT DISTINCT ng FROM bg0
+            ), ctoks AS (
+              SELECT doc_id, list_filter(regexp_split_to_array(lower(clean),
+                       '[^a-z0-9]+'), x -> x <> '') AS ct
+              FROM gated
+            ), cg0 AS (
+              SELECT doc_id, unnest(list_transform(
+                range(1, greatest(len(ct) - 12, 0) + 1),
+                i -> array_to_string(ct[i : i + 12], ' '))) AS ng
+              FROM ctoks
+            ), flag AS (
+              SELECT DISTINCT cg0.doc_id FROM cg0 JOIN bg USING (ng)
+            ), dec AS (
+              SELECT g.* FROM gated g
+              LEFT JOIN flag ON g.doc_id = flag.doc_id
+              WHERE flag.doc_id IS NULL
+            ), sp AS (
+              SELECT doc_id, n_tokens, clean,
+                     CASE WHEN ((doc_id % 2147483647 + 2147483647)
+                            % 2147483647 * 48271) % 2147483647 % 1000000
+                            < 900000 THEN 'train'
+                          WHEN ((doc_id % 2147483647 + 2147483647)
+                            % 2147483647 * 48271) % 2147483647 % 1000000
+                            < 950000 THEN 'val'
+                          ELSE 'test' END AS split,
+                     (((doc_id % 2147483647 + 2147483647) % 2147483647
+                       * 48271) % 2147483647 % 4)::INT AS stream
+              FROM dec
+            ), pc AS (
+              SELECT *, coalesce(SUM(n_tokens) OVER (
+                PARTITION BY split, stream ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+              FROM sp
+            )
+            SELECT doc_id, split, n_tokens, clean, stream,
+                   (cum // 128)::BIGINT AS seq_id,
+                   (cum % 128)::BIGINT AS offset
+            FROM pc
+        """.format(s="\n\n", nl="\n", sfx=_MESSY_SUFFIX,
+                   ba=_BOILER_A, bb=_BOILER_B),
         # exact-substring dedup twin: windows/winner/coverage on window
         # STRINGS (operator joins 64-bit polynomial hashes). DuckDB is
         # 1-based and Spark 0-based on positions — internal only, the

@@ -151,6 +151,7 @@ def pack_sequences(
     id_col: str = "doc_id",
     n_streams: int = 1024,
     bucket_fn=bucket_xxhash,
+    extra_partition_cols=(),
 ) -> DataFrame:
     """GPT-style sequence packing layout: documents are concatenated into
     token streams (docs may straddle sequence boundaries — the classic
@@ -166,7 +167,10 @@ def pack_sequences(
     and the order within a stream is doc_id — placement is a pure
     function of (id, token count), invariant under partitioning, rerun,
     and resume. ``n_streams`` sets shard parallelism (a property of the
-    corpus size, like the extraction salt P).
+    corpus size, like the extraction salt P). ``extra_partition_cols``
+    scopes streams further (e.g. ("split",) so train/val/test pack into
+    disjoint stream grids). Input columns pass through; stream/seq_id/
+    offset are appended.
 
     Scale shape: one exchange on ``stream`` + a per-stream running sum
     (window cumsum) — the sequential prefix-sum recurrence that makes
@@ -182,15 +186,11 @@ def pack_sequences(
         "stream", bucket_fn(F.col(id_col), n_streams).cast("int")
     )
     w = (
-        Window.partitionBy("stream")
+        Window.partitionBy(*extra_partition_cols, "stream")
         .orderBy(F.col(id_col))
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     cum = F.coalesce(F.sum(F.col(tokens_col)).over(w), F.lit(0))
-    return out.select(
-        F.col(id_col).alias("doc_id"),
-        "stream",
-        (cum / F.lit(seq_len)).cast("bigint").alias("seq_id"),
-        (cum % F.lit(seq_len)).cast("bigint").alias("offset"),
-        F.col(tokens_col).cast("bigint").alias("n_tokens"),
-    )
+    return out.withColumn(
+        "seq_id", (cum / F.lit(seq_len)).cast("bigint")
+    ).withColumn("offset", (cum % F.lit(seq_len)).cast("bigint"))

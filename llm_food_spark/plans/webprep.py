@@ -34,11 +34,22 @@ def web_prep(
     min_tokens: int = 5,
     weights: dict = None,
     bucket_fn=bucket_xxhash,
+    benchmark: DataFrame = None,
+    ngram: int = 13,
+    seq_len: int = None,
+    n_streams: int = 1024,
 ) -> DataFrame:
-    """-> (doc_id, split, n_tokens, clean): cleaned, de-boilerplated,
-    length-gated corpus with a deterministic train/val/test assignment.
-    Documents reduced to nothing (all-boilerplate or under the token
-    gate) are dropped."""
+    """-> (doc_id, split, n_tokens, clean [, stream, seq_id, offset]):
+    cleaned, de-boilerplated, length-gated corpus with a deterministic
+    train/val/test assignment. Documents reduced to nothing
+    (all-boilerplate or under the token gate) are dropped.
+
+    Optional stages: pass ``benchmark`` (a text frame) to drop documents
+    sharing an ``ngram``-token span with the eval set (decontaminate's
+    broadcast hash join, applied AFTER cleanup so normalized text is
+    compared); pass ``seq_len`` to append the GPT-style packing placement
+    (streams scoped per split so train/val/test pack into disjoint
+    grids)."""
     weights = weights or {"train": 0.9, "val": 0.05, "test": 0.05}
     base = df.select(F.col(id_col).alias("doc_id"),
                      F.col(text_col).alias("text"))
@@ -47,8 +58,24 @@ def web_prep(
         cleaned.select("doc_id", F.col("clean").alias("text")), min_df=min_df
     )
     gated = decl.withColumn(
-        "n_tokens", token_count(F.col("clean"))
+        "n_tokens", token_count(F.col("clean")).cast("long")
     ).where(F.col("n_tokens") >= F.lit(min_tokens))
-    return assign_split(gated, "doc_id", weights, bucket_fn=bucket_fn).select(
+    if benchmark is not None:
+        from ..operators.decontam import drop_contaminated
+
+        gated = drop_contaminated(
+            gated, benchmark, n=ngram, id_col="doc_id", text_col="clean",
+            bench_text_col="text",
+        )
+    out = assign_split(gated, "doc_id", weights, bucket_fn=bucket_fn).select(
         "doc_id", "split", "n_tokens", "clean"
     )
+    if seq_len is not None:
+        from ..operators.split import pack_sequences
+
+        out = pack_sequences(
+            out, seq_len, tokens_col="n_tokens", id_col="doc_id",
+            n_streams=n_streams, bucket_fn=bucket_fn,
+            extra_partition_cols=("split",),
+        )
+    return out

@@ -163,7 +163,8 @@ def test_pack_sequences_deterministic_and_validated(spark):
     b = sorted(map(tuple, pack_sequences(
         d.repartition(7), 64, n_streams=4).collect()))
     assert a == b                       # placement is partition-invariant
-    streams = {r[1] for r in a}
+    streams = {r["stream"] for r in pack_sequences(
+        d, 64, n_streams=4).collect()}
     assert streams <= set(range(4)) and len(streams) > 1
     with pytest.raises(ValueError):
         pack_sequences(d, 0)

@@ -36,3 +36,26 @@ def test_web_prep_split_deterministic(spark):
     b = {r["doc_id"]: r["split"]
          for r in web_prep(d.repartition(7)).collect()}
     assert a == b                                      # partition-invariant
+
+
+def test_web_prep_full_options(spark):
+    from llm_food_spark.plans.webprep import web_prep
+
+    rows = [
+        (i, "document body %d with plenty of words to pass the gate easily"
+            % i) for i in range(30)
+    ]
+    # doc 7 quotes a 6-token span that the benchmark contains
+    rows[7] = (7, "document body 7 " + "q1 q2 q3 q4 q5 q6" + " tail words here")
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    bench = spark.createDataFrame(
+        [("q1 q2 q3 q4 q5 q6",)], "text string"
+    )
+    out = web_prep(d, min_tokens=3, benchmark=bench, ngram=6,
+                   seq_len=16, n_streams=2).collect()
+    ids = {r["doc_id"] for r in out}
+    assert 7 not in ids and len(ids) == 29          # contaminated doc dropped
+    cols = set(out[0].asDict())
+    assert {"split", "stream", "seq_id", "offset", "n_tokens"} <= cols
+    # packing grid is consistent: offset < seq_len, streams scoped per split
+    assert all(0 <= r["offset"] < 16 for r in out)
