@@ -1298,7 +1298,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ---------------------------------------------------------------------------
 
 _WORDS = "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')"
-_WSTOKS = r"list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')"
+# explicit ASCII whitespace class: Java \s == [ \t\n\x0B\f\r] but RE2 \s
+# EXCLUDES \x0B (VT) — spelling the class out keeps all three engines
+# (Spark/Java, DuckDB/RE2, the Python ws_tokenize) byte-identical
+_WS_CLASS = r"[ \t\n\x0B\f\r]+"
+_WSTOKS = ("list_filter(regexp_split_to_array(text, '%s'), x -> x <> '')"
+           % _WS_CLASS)
 _ALPHA = "list_filter(regexp_split_to_array(lower(text), '[^a-zA-Z]+'), x -> x <> '')"
 
 _STOPWORDS = ("the a an and or of to in is are was were be been it this that "
@@ -2182,7 +2187,7 @@ def _handwritten_oracles() -> dict[str, str]:
             ), gated AS (
               SELECT * FROM (
                 SELECT doc_id, clean,
-                       len(list_filter(regexp_split_to_array(clean, '\\s+'),
+                       len(list_filter(regexp_split_to_array(clean, '[ \t\n\x0B\f\r]+'),
                                        x -> x <> ''))::BIGINT AS n_tokens
                 FROM re
               ) WHERE n_tokens >= 5
@@ -2331,7 +2336,7 @@ def _handwritten_oracles() -> dict[str, str]:
               FROM kept GROUP BY doc_id
             ), tok AS (
               SELECT doc_id, clean,
-                     len(list_filter(regexp_split_to_array(clean, '\\s+'),
+                     len(list_filter(regexp_split_to_array(clean, '[ \t\n\x0B\f\r]+'),
                                      x -> x <> ''))::INT AS n_tokens
               FROM re
             ), gated AS (

@@ -78,10 +78,12 @@ def ngram_hashes(text: str, n: int) -> List[int]:
 
 
 # the ASCII whitespace class — EXACTLY what Java \s (Spark token_count)
-# and RE2 \s (the DuckDB twins) match. Python's \s is Unicode-wide
-# (NBSP, ideographic space, ...), which would make the rebuilt text
-# tokenize LONGER than the input under token_count and drive n_removed
-# negative on hostile unicode (caught by the fuzz sweep).
+# matches; the DuckDB twins spell the same class out explicitly
+# (__spark_entry__._WS_CLASS) because RE2's \s EXCLUDES \x0B. Python's
+# \s is Unicode-wide (NBSP, ideographic space, ...), which would make
+# the rebuilt text tokenize LONGER than the input under token_count and
+# drive n_removed negative on hostile unicode (caught by the fuzz
+# sweep).
 _WS_RE = re.compile(r"[ \t\n\x0b\f\r]+")
 
 
@@ -93,42 +95,16 @@ def ws_tokenize(text: str) -> List[str]:
     return [t for t in _WS_RE.split(text or "") if t]
 
 
-def window_hashes_batch(texts, window: int) -> List[np.ndarray]:
-    """Per-POSITION window hashes (int64 array, index = 0-based token
-    position of the window start; NOT deduplicated — position identity is
-    the point). Same memoized-token + Horner construction as
-    ngram_hashes_batch, over the verbatim whitespace tokenizer."""
+def _horner_batch(texts, n: int, tokenizer, dedup: bool) -> List[np.ndarray]:
+    """Shared vectorized kernel: per-text int64 window hashes via memoized
+    token blake2b + n Horner steps over uint64 sliding windows. One
+    implementation keeps decontamination and substring dedup in lockstep;
+    ``dedup`` chooses distinct-sorted (set semantics) vs per-position."""
     base = np.uint64(_POLY_BASE)
     memo: dict = {}
     out = []
     for t in texts:
-        toks = ws_tokenize(t)
-        L = len(toks)
-        if L < window:
-            out.append(np.empty(0, dtype=np.int64))
-            continue
-        ids = np.fromiter(
-            (memo[tok] if tok in memo else memo.setdefault(tok, token_hash(tok))
-             for tok in toks),
-            dtype=np.uint64, count=L,
-        )
-        acc = np.zeros(L - window + 1, dtype=np.uint64)
-        for k in range(window):
-            acc = acc * base + ids[k : L - window + 1 + k]
-        out.append(acc.view(np.int64))
-    return out
-
-
-def ngram_hashes_batch(texts, n: int) -> List[np.ndarray]:
-    """Vectorized batch form: one int64 array of distinct (sorted) shingle
-    hashes per input text. Token blake2b values are memoized across the
-    whole batch (web-corpus vocabulary is tiny relative to token count);
-    the window combine is n Horner steps over uint64 vectors."""
-    base = np.uint64(_POLY_BASE)
-    memo: dict = {}
-    out = []
-    for t in texts:
-        toks = tokenize(t)
+        toks = tokenizer(t)
         L = len(toks)
         if L < n:
             out.append(np.empty(0, dtype=np.int64))
@@ -141,5 +117,21 @@ def ngram_hashes_batch(texts, n: int) -> List[np.ndarray]:
         acc = np.zeros(L - n + 1, dtype=np.uint64)
         for k in range(n):
             acc = acc * base + ids[k : L - n + 1 + k]
-        out.append(np.unique(acc.view(np.int64)))
+        signed = acc.view(np.int64)
+        out.append(np.unique(signed) if dedup else signed)
     return out
+
+
+def window_hashes_batch(texts, window: int) -> List[np.ndarray]:
+    """Per-POSITION window hashes (int64 array, index = 0-based token
+    position of the window start; NOT deduplicated — position identity is
+    the point), over the verbatim whitespace tokenizer."""
+    return _horner_batch(texts, window, ws_tokenize, dedup=False)
+
+
+def ngram_hashes_batch(texts, n: int) -> List[np.ndarray]:
+    """Vectorized batch form: one int64 array of distinct (sorted) shingle
+    hashes per input text, over the lowercased corpus tokenizer. Token
+    blake2b values are memoized across the whole batch (web-corpus
+    vocabulary is tiny relative to token count)."""
+    return _horner_batch(texts, n, tokenize, dedup=True)

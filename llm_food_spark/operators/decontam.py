@@ -64,16 +64,12 @@ def decontaminate(
     ``ng``, which is still a narrow-row exchange.
     """
     btext = bench_text_col or text_col
-
-    @F.pandas_udf(T.ArrayType(T.LongType()))
-    def bench_grams(texts: pd.Series) -> pd.Series:
-        return pd.Series(ngram_hashes_batch(texts.tolist(), n),
-                         index=texts.index)
-
-    bench = (
-        benchmark.select(F.explode(bench_grams(F.col(btext))).alias("ng"))
-        .distinct()
-    )
+    # the same hashing path as the corpus side (one UDF to keep in
+    # lockstep); the synthetic row id is discarded after the explode
+    bench = ngram_hash_rows(
+        benchmark.withColumn("_bid", F.monotonically_increasing_id()),
+        n=n, id_col="_bid", text_col=btext,
+    ).select("ng").distinct()
     if broadcast_benchmark:
         bench = F.broadcast(bench)
     corp = ngram_hash_rows(corpus, n=n, id_col=id_col, text_col=text_col)

@@ -620,14 +620,16 @@ def dedup_paragraphs(
         paras.join(boiler, "_h", "left")
         .where(~(F.col("_dup").isNotNull() & F.col("_eligible")))
     )
+    # .getField("para") over the sorted struct array is a flat
+    # GetArrayStructFields extraction — no interpreted HOF lambda in the
+    # corpus-sized reassembly aggregate
     return (
         kept.groupBy("doc_id")
         .agg(
             F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("idx", "para"))),
-                    lambda x: x["para"],
-                ),
+                F.array_sort(
+                    F.collect_list(F.struct("idx", "para"))
+                ).getField("para"),
                 sep,
             ).alias("clean")
         )
@@ -649,7 +651,8 @@ def dedup_substrings(
     surviving tokens rejoined with single spaces (whitespace is
     canonicalized — the same lossiness C4 accepts), ``n_removed`` the
     dropped-token count. Docs shorter than ``window`` pass through
-    (canonicalized, n_removed=0).
+    (canonicalized, n_removed=0); a NULL text stays NULL with
+    n_removed=0.
 
     Spark shape instead of the paper's suffix array (which is
     single-node): per-position window hashes from one Arrow pass (token
@@ -676,6 +679,8 @@ def dedup_substrings(
         from ..functions.decontam import ws_tokenize
 
         def go(t, st):
+            if t is None:
+                return None  # null text stays null (n_removed coalesces to 0)
             toks = ws_tokenize(t)
             if st is None or len(st) == 0:
                 return " ".join(toks)
@@ -715,7 +720,8 @@ def dedup_substrings(
         .withColumn("clean", rebuild(F.col("text"), F.col("_starts")))
         .select(
             "doc_id", "clean",
-            (token_count(F.col("text")) - token_count(F.col("clean")))
+            (F.coalesce(token_count(F.col("text")), F.lit(0))
+             - F.coalesce(token_count(F.col("clean")), F.lit(0)))
             .cast("int").alias("n_removed"),
         )
     )

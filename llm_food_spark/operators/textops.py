@@ -17,6 +17,8 @@ from __future__ import annotations
 import pandas as pd
 from pyspark.sql import Column, functions as F, types as T
 
+from .util import ensure_min_partitions
+
 # small deterministic marker sets (function words) for language id
 LANG_MARKERS = {
     "en": ["the", "and", "of", "to", "in", "is", "that", "with"],
@@ -157,7 +159,7 @@ def term_stats(df, id_col: str = "doc_id", text_col: str = "text",
     TakeOrderedAndProject (per-partition heaps, no global sort). No
     Python workers anywhere.
     """
-    toks = df.select(
+    toks = ensure_min_partitions(df).select(
         F.col(id_col).alias("doc_id"),
         F.explode(
             F.split(F.lower(F.col(text_col)), "[^a-z0-9]+")
@@ -198,7 +200,7 @@ def tfidf_topk(df, k: int = 5, id_col: str = "doc_id",
     """
     from pyspark.sql import Window
 
-    toks = df.select(
+    toks = ensure_min_partitions(df).select(
         F.col(id_col).alias("doc_id"),
         F.explode(
             F.split(F.lower(F.col(text_col)), "[^a-z0-9]+")
@@ -254,6 +256,7 @@ def clean_text(df, text_col: str = "text", out_col: str = "clean"):
     def nfc_udf(texts: pd.Series) -> pd.Series:
         return texts.map(nfc, na_action="ignore")
 
+    df = ensure_min_partitions(df)
     c = nfc_udf(F.col(text_col))
     c = F.regexp_replace(c, r"\r\n?", "\n")
     c = F.regexp_replace(c, CONTROL_CLASS, "")
@@ -280,7 +283,7 @@ def corpus_mixture(df, group_col: str = "lang", text_col: str = "text",
     """
     chars = (F.col(chars_col) if chars_col
              else F.length(F.col(text_col)).cast("long"))
-    per = df.groupBy(F.col(group_col).alias("grp")).agg(
+    per = ensure_min_partitions(df).groupBy(F.col(group_col).alias("grp")).agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(token_count(F.col(text_col)).cast("long")).alias("n_tokens"),
         F.sum(chars).alias("n_chars"),

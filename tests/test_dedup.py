@@ -306,3 +306,14 @@ def test_dedup_substrings_partition_invariant(spark):
     # exactly one doc keeps the run (the min doc_id)
     keepers = [k for k, (c, n) in a.items() if "r0" in c]
     assert keepers == [0]
+
+
+def test_dedup_substrings_null_text(spark):
+    from llm_food_spark.operators.dedup import dedup_substrings
+
+    d = spark.createDataFrame(
+        [(1, None), (2, "real body with words")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r for r in dedup_substrings(d, window=3).collect()}
+    assert got[1]["clean"] is None and got[1]["n_removed"] == 0
+    assert got[2]["clean"] == "real body with words"
