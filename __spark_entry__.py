@@ -553,6 +553,68 @@ def q_fetch(spark, sf_dir):
     )
 
 
+def q_warc_roundtrip(spark, sf_dir):
+    """WARC crawl-archive source (sources/warc.py) under a hard oracle.
+
+    The Spark side serializes every document into Common-Crawl-layout WARC
+    bytes — member-per-record gzip, one warcinfo header per archive,
+    chunked transfer-encoding for even doc_ids, text/plain content-type
+    for doc_id%7==0, HTTP 404 for doc_id%11==0 — then parses them back
+    with the SAME parser that serves read_warc and emits per-record facts.
+    DuckDB recomputes url / date / status / content-type / payload sha+len
+    directly from the documents table, so a parser bug anywhere (gzip
+    member walk, WARC header split, Content-Length framing, HTTP header
+    parse, de-chunking) breaks the value hash. 16 archives via one
+    exchange on the bucket key — the real source needs zero shuffle
+    (binaryFile = one task per crawl file)."""
+    import hashlib as _hl
+    from datetime import datetime, timedelta
+
+    import pandas as pd
+
+    out_schema = ("url string, warc_date string, http_status int, "
+                  "content_type string, payload_sha string, payload_len long")
+
+    def build_and_parse(pdf: pd.DataFrame) -> pd.DataFrame:
+        from llm_food_spark.functions.warc import (
+            build_http_response, build_record, build_warc, parse_warc,
+            warcinfo_record)
+
+        epoch = datetime(2025, 1, 1)
+        pdf = pdf.sort_values("doc_id")
+        recs = [warcinfo_record("bucket-%d.warc.gz" % int(pdf["bucket"].iloc[0]))]
+        for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+            i = int(doc_id)
+            payload = (text or "").encode("utf-8")
+            http = build_http_response(
+                payload,
+                http_status=404 if i % 11 == 0 else 200,
+                content_type=("text/plain" if i % 7 == 0
+                              else "text/html; charset=UTF-8"),
+                chunked=(i % 2 == 0),
+            )
+            date = (epoch + timedelta(seconds=i % 86400)).strftime(
+                "%Y-%m-%dT%H:%M:%SZ")
+            recs.append(build_record("response", http,
+                                     url="http://crawl.test/%d" % i,
+                                     date=date))
+        rows = []
+        for r in parse_warc(build_warc(recs, gzip_members=True)):
+            if r["record_type"] != "response" or r["status"] != "ok":
+                continue
+            rows.append((r["url"], r["warc_date"], r["http_status"],
+                         r["content_type"],
+                         _hl.sha256(r["payload"]).hexdigest(),
+                         len(r["payload"])))
+        return pd.DataFrame(rows, columns=[
+            "url", "warc_date", "http_status", "content_type",
+            "payload_sha", "payload_len"])
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "text", (F.col("doc_id") % 16).alias("bucket"))
+    return d.groupBy("bucket").applyInPandas(build_and_parse, out_schema)
+
+
 def q_split_assign(spark, sf_dir):
     """Deterministic leakage-safe train/val/test split + 10% mixing sample
     flag (operators/split.py), via the portable MINSTD bucket so the DuckDB
@@ -1258,6 +1320,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters_seeded": q_dedup_clusters_seeded,
         "split_assign": q_split_assign,
         "fetch": q_fetch,
+        "warc_roundtrip": q_warc_roundtrip,
         "cosine_topk": q_cosine_topk,
         "cosine_pairs": q_cosine_pairs,
         # non-SQL-expressible (rows-only)
@@ -2558,6 +2621,24 @@ def _handwritten_oracles() -> dict[str, str]:
                    content_hash,
                    CAST(NULL AS VARCHAR) AS error_message
             FROM u
+        """,
+        # WARC round trip: DuckDB recomputes the per-record facts straight
+        # from documents; the Spark side must recover them through gzip
+        # member walk + WARC/HTTP parsing (functions/warc.py). strlen =
+        # byte length (ascii corpus; the parser hashes raw payload bytes)
+        "warc_roundtrip": """
+            SELECT 'http://crawl.test/' || doc_id AS url,
+                   strftime(TIMESTAMP '2025-01-01'
+                            + to_seconds(doc_id % 86400),
+                            '%Y-%m-%dT%H:%M:%SZ') AS warc_date,
+                   CAST(CASE WHEN doc_id % 11 = 0 THEN 404 ELSE 200 END
+                        AS INT) AS http_status,
+                   CASE WHEN doc_id % 7 = 0 THEN 'text/plain'
+                        ELSE 'text/html; charset=UTF-8'
+                   END AS content_type,
+                   sha256(text) AS payload_sha,
+                   CAST(strlen(text) AS BIGINT) AS payload_len
+            FROM documents
         """,
         # MINSTD bucket split over a nonnegative residue (negative ids, e.g.
         # xxhash64-derived, must not all land below the first cut); cumulative

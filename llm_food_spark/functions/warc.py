@@ -1,0 +1,291 @@
+"""WARC/1.0 reader + writer — Common-Crawl-style ingestion, pure stdlib.
+
+The north-star input is "an Iceberg table of Common-Crawl-style web pages";
+upstream of that table sits the crawl archive itself: WARC files (ISO
+28500), the format Common Crawl publishes. This module is the front door —
+it parses WARC bytes into (url, warc_ts, payload) records that feed
+``sources.pages.PAGES_SCHEMA`` and the extraction pipeline. The reference
+has no crawl ingestion (it accepts one HTTP upload at a time,
+/root/reference/llm_food/app.py /convert); this closes that gap for batch
+pipelines. Format knowledge is public: ISO 28500 / the WARC 1.0 spec and
+Common Crawl's published layout (member-per-record gzip).
+
+Pure Python, no Spark imports (package convention). Spark wrappers live in
+``sources/warc.py``.
+
+Writer determinism: gzip members are compressed with ``mtime=0`` and
+records carry content-derived ids, so identical logical records always
+produce identical bytes — the property every golden/oracle check in this
+repo is built on.
+
+Parser error semantics are record-and-continue (SURVEY T21): a malformed
+record becomes a ``status='error_*'`` dict and the scan resyncs at the
+next ``WARC/`` magic; hostile bytes never raise.
+"""
+
+from __future__ import annotations
+
+import gzip
+import hashlib
+import zlib
+from typing import Dict, Iterator, List, Optional, Tuple
+
+WARC_VERSION = b"WARC/1.0"
+_CRLF = b"\r\n"
+_HDR_END = b"\r\n\r\n"
+_GZIP_MAGIC = b"\x1f\x8b"
+
+_HTTP_STATUS_TEXT = {200: "OK", 301: "Moved Permanently", 404: "Not Found",
+                     403: "Forbidden", 500: "Internal Server Error",
+                     503: "Service Unavailable"}
+
+
+# ---------------------------------------------------------------------------
+# writer
+# ---------------------------------------------------------------------------
+
+def build_http_response(
+    payload: bytes,
+    http_status: int = 200,
+    content_type: str = "text/html; charset=UTF-8",
+    chunked: bool = False,
+) -> bytes:
+    """Serialize an HTTP/1.1 response block (status line + headers + body).
+
+    ``chunked=True`` emits the body in Transfer-Encoding: chunked framing
+    (two chunks when the payload is long enough) — crawl archives store
+    raw wire responses, so a parser that cannot de-chunk silently corrupts
+    payloads; the round-trip oracle exercises this path.
+    """
+    reason = _HTTP_STATUS_TEXT.get(http_status, "Unknown")
+    lines = [b"HTTP/1.1 %d %s" % (http_status, reason.encode("ascii"))]
+    lines.append(b"Content-Type: " + content_type.encode("ascii"))
+    if chunked:
+        lines.append(b"Transfer-Encoding: chunked")
+        cut = len(payload) // 2
+        body = b""
+        for part in (payload[:cut], payload[cut:]):
+            if part:
+                body += b"%x\r\n" % len(part) + part + _CRLF
+        body += b"0\r\n\r\n"
+    else:
+        lines.append(b"Content-Length: %d" % len(payload))
+        body = payload
+    return _CRLF.join(lines) + _HDR_END + body
+
+
+def build_record(
+    record_type: str,
+    block: bytes,
+    url: Optional[str] = None,
+    date: str = "2025-01-01T00:00:00Z",
+    warc_content_type: Optional[str] = None,
+) -> bytes:
+    """Serialize one WARC record (headers + block + record separator)."""
+    if warc_content_type is None:
+        warc_content_type = (
+            "application/http; msgtype=response"
+            if record_type in ("response", "request")
+            else "application/warc-fields"
+        )
+    rid = hashlib.sha256(
+        (record_type + (url or "") + date).encode("utf-8") + block[:64]
+    ).hexdigest()
+    headers = [
+        WARC_VERSION,
+        b"WARC-Type: " + record_type.encode("ascii"),
+        b"WARC-Record-ID: <urn:sha256:" + rid.encode("ascii") + b">",
+        b"WARC-Date: " + date.encode("ascii"),
+    ]
+    if url is not None:
+        headers.append(b"WARC-Target-URI: " + url.encode("utf-8"))
+    headers.append(b"Content-Type: " + warc_content_type.encode("ascii"))
+    headers.append(b"Content-Length: %d" % len(block))
+    return _CRLF.join(headers) + _HDR_END + block + _HDR_END
+
+
+def build_warc(records: List[bytes], gzip_members: bool = True) -> bytes:
+    """Concatenate serialized records into a WARC file body.
+
+    ``gzip_members=True`` (Common Crawl layout) compresses each record as
+    its own gzip member with ``mtime=0`` — deterministic bytes, and a
+    reader can skip to any member boundary without inflating the rest.
+    """
+    if gzip_members:
+        return b"".join(gzip.compress(r, mtime=0) for r in records)
+    return b"".join(records)
+
+
+def warcinfo_record(filename: str, date: str = "2025-01-01T00:00:00Z") -> bytes:
+    """A minimal warcinfo header record (first record of a crawl file)."""
+    fields = ("software: llm_food_spark\r\nformat: WARC File Format 1.0\r\n"
+              "filename: %s\r\n" % filename).encode("utf-8")
+    return build_record("warcinfo", fields, url=None, date=date,
+                        warc_content_type="application/warc-fields")
+
+
+# ---------------------------------------------------------------------------
+# parser
+# ---------------------------------------------------------------------------
+
+def _iter_gzip_members(b: bytes) -> Iterator[bytes]:
+    """Inflate a concatenated-gzip-member stream one member at a time.
+
+    zlib-only (wbits=47 accepts the gzip wrapper); ``unused_data`` hands
+    back the remainder so memory holds one inflated member, not the file.
+    """
+    rest = b
+    while rest[:2] == _GZIP_MAGIC:
+        d = zlib.decompressobj(wbits=47)
+        try:
+            out = d.decompress(rest)
+            while not d.eof and not d.unused_data:
+                tail = d.decompress(b"")
+                if not tail:
+                    break
+                out += tail
+        except zlib.error:
+            yield rest  # corrupt member: surface raw for error capture
+            return
+        yield out
+        if not d.eof:
+            return  # truncated final member — out already yielded
+        rest = d.unused_data
+
+
+def _dechunk(body: bytes) -> Optional[bytes]:
+    """Decode Transfer-Encoding: chunked framing; None if malformed."""
+    out = []
+    pos = 0
+    while True:
+        nl = body.find(_CRLF, pos)
+        if nl < 0:
+            return None
+        size_tok = body[pos:nl].split(b";")[0].strip()
+        try:
+            size = int(size_tok, 16)
+        except ValueError:
+            return None
+        pos = nl + 2
+        if size == 0:
+            return b"".join(out)
+        chunk = body[pos : pos + size]
+        if len(chunk) < size:
+            return None
+        out.append(chunk)
+        pos += size + 2  # skip chunk CRLF
+
+
+def _parse_http(block: bytes) -> Tuple[Optional[int], Optional[str], bytes]:
+    """Split an application/http block into (status, content_type, payload)."""
+    sep = block.find(_HDR_END)
+    if sep < 0:
+        return None, None, block
+    head, payload = block[:sep], block[sep + 4 :]
+    lines = head.split(_CRLF)
+    status: Optional[int] = None
+    ctype: Optional[str] = None
+    chunked = False
+    first = lines[0].split(None, 2)
+    if len(first) >= 2 and first[0][:5] == b"HTTP/":
+        try:
+            status = int(first[1])
+        except ValueError:
+            status = None
+    for ln in lines[1:]:
+        k, _, v = ln.partition(b":")
+        key = k.strip().lower()
+        if key == b"content-type":
+            ctype = v.strip().decode("latin-1")
+        elif key == b"transfer-encoding" and b"chunked" in v.lower():
+            chunked = True
+    if chunked:
+        dechunked = _dechunk(payload)
+        if dechunked is None:
+            return status, ctype, payload  # keep raw; caller flags nothing —
+            # a corrupt chunk stream still yields bytes, never an exception
+        payload = dechunked
+    return status, ctype, payload
+
+
+def _error(msg: str) -> Dict:
+    return {
+        "record_type": None, "url": None, "warc_date": None,
+        "http_status": None, "content_type": None, "payload": None,
+        "status": "error_malformed", "error_message": msg,
+    }
+
+
+def _parse_one(buf: bytes, pos: int) -> Tuple[Optional[Dict], int]:
+    """Parse one record at ``pos``; return (record-or-None, next_pos).
+
+    On malformed input returns an error record and resyncs at the next
+    ``WARC/`` magic so one bad record cannot poison the rest of the file.
+    """
+    n = len(buf)
+    if pos >= n:
+        return None, n
+    if buf[pos : pos + 5] != b"WARC/":
+        nxt = buf.find(b"WARC/", pos + 1)
+        return _error("no WARC magic at offset %d" % pos), (
+            nxt if nxt > 0 else n)
+    hdr_end = buf.find(_HDR_END, pos)
+    if hdr_end < 0:
+        return _error("truncated record header"), n
+    fields: Dict[str, str] = {}
+    for ln in buf[pos:hdr_end].split(_CRLF)[1:]:
+        k, _, v = ln.partition(b":")
+        fields[k.strip().lower().decode("latin-1")] = v.strip().decode(
+            "utf-8", "replace")
+    try:
+        length = int(fields.get("content-length", ""))
+    except ValueError:
+        nxt = buf.find(b"WARC/", hdr_end)
+        return _error("missing/invalid Content-Length"), (
+            nxt if nxt > 0 else n)
+    block_start = hdr_end + 4
+    block = buf[block_start : block_start + length]
+    next_pos = block_start + length
+    # tolerate a missing/partial record separator (truncated tail)
+    if buf[next_pos : next_pos + 4] == _HDR_END:
+        next_pos += 4
+    rec_type = fields.get("warc-type", "unknown")
+    rec: Dict = {
+        "record_type": rec_type,
+        "url": fields.get("warc-target-uri"),
+        "warc_date": fields.get("warc-date"),
+        "http_status": None,
+        "content_type": fields.get("content-type"),
+        "payload": block,
+        "status": "ok" if len(block) == length else "error_truncated",
+        "error_message": None if len(block) == length
+        else "block truncated: %d of %d bytes" % (len(block), length),
+    }
+    if (fields.get("content-type", "").startswith("application/http")
+            and rec["status"] == "ok"):
+        status, ctype, payload = _parse_http(block)
+        rec["http_status"] = status
+        rec["content_type"] = ctype
+        rec["payload"] = payload
+    return rec, next_pos
+
+
+def parse_warc(b: bytes) -> List[Dict]:
+    """Parse WARC bytes (gzip-member or plain) into record dicts.
+
+    Keys: record_type, url, warc_date, http_status, content_type,
+    payload (bytes), status ('ok' | 'error_malformed' | 'error_truncated'),
+    error_message. Never raises on hostile bytes.
+    """
+    out: List[Dict] = []
+    if b[:2] == _GZIP_MAGIC:
+        streams: Iterator[bytes] = _iter_gzip_members(b)
+    else:
+        streams = iter((b,))
+    for stream in streams:
+        pos = 0
+        while pos < len(stream):
+            rec, pos = _parse_one(stream, pos)
+            if rec is not None:
+                out.append(rec)
+    return out

@@ -1,0 +1,104 @@
+"""WARC crawl-archive source — Spark wrapper over ``functions.warc``.
+
+Reads Common-Crawl-style ``.warc`` / ``.warc.gz`` files into the record
+schema below, and projects HTTP responses onto the pages table
+(``sources.pages.PAGES_SCHEMA``) that feeds extraction. The reference has
+no crawl ingestion (one upload per request, /root/reference/llm_food/app.py
+/convert); this is the batch front door.
+
+Scale shape: ``binaryFile`` gives one row (one task) per archive file —
+exactly the Common Crawl unit of parallelism (~1 GB .warc.gz each, ~80k
+files per monthly crawl; a 1000-executor cluster schedules them file-per-
+task with no shuffle). Per task, gzip members are inflated ONE AT A TIME
+(zlib ``unused_data`` hand-off) and parsed rows are yielded in bounded
+Arrow batches, so executor memory holds the compressed file plus one
+record, never the inflated archive. The one non-scalable shape is a
+SINGLE giant uncompressed .warc — that is not the published crawl layout,
+and the docstring of ``read_warc`` is the contract.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, List
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+from llm_food_spark.functions.warc import parse_warc
+
+WARC_RECORD_SCHEMA = T.StructType(
+    [
+        T.StructField("warc_file", T.StringType()),
+        T.StructField("record_type", T.StringType()),
+        T.StructField("url", T.StringType()),
+        T.StructField("warc_date", T.StringType()),
+        T.StructField("http_status", T.IntegerType()),
+        T.StructField("content_type", T.StringType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("status", T.StringType()),
+        T.StructField("error_message", T.StringType()),
+    ]
+)
+
+_COLS = [f.name for f in WARC_RECORD_SCHEMA.fields]
+
+
+def parse_warc_records(files: DataFrame, rows_per_batch: int = 1024) -> DataFrame:
+    """(path, content) -> one row per WARC record, record-and-continue.
+
+    ``rows_per_batch`` bounds the Arrow batch yielded per chunk so a
+    million-record archive never materializes as one pandas frame.
+    """
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            for path, blob in zip(pdf["path"], pdf["content"]):
+                rows: List[tuple] = []
+                for rec in parse_warc(bytes(blob) if blob is not None else b""):
+                    rows.append((
+                        path, rec["record_type"], rec["url"],
+                        rec["warc_date"], rec["http_status"],
+                        rec["content_type"], rec["payload"],
+                        rec["status"], rec["error_message"],
+                    ))
+                    if len(rows) >= rows_per_batch:
+                        yield pd.DataFrame(rows, columns=_COLS)
+                        rows = []
+                if rows:
+                    yield pd.DataFrame(rows, columns=_COLS)
+
+    return files.select("path", "content").mapInPandas(
+        run, schema=WARC_RECORD_SCHEMA)
+
+
+def read_warc(spark: SparkSession, path: str) -> DataFrame:
+    """Read .warc/.warc.gz files under ``path`` into WARC_RECORD_SCHEMA.
+
+    Parallelism = number of archive files (binaryFile is one row per
+    file); the crawl's own sharding is the partitioning, no shuffle.
+    """
+    files = spark.read.format("binaryFile").load(path)
+    return parse_warc_records(files)
+
+
+def warc_pages(records: DataFrame) -> DataFrame:
+    """Project parsed records onto the pages table: HTTP 200 responses
+    become (url, warc_ts, html, text=NULL, lang=NULL) rows ready for
+    ``operators.extract.extract_pages``. Non-response records (warcinfo,
+    request, metadata) and error statuses are filtered here — they remain
+    queryable in the record frame for audit."""
+    return (
+        records
+        .where((F.col("record_type") == "response")
+               & (F.col("status") == "ok")
+               & (F.col("http_status") == 200))
+        .select(
+            F.col("url"),
+            F.to_timestamp(
+                F.col("warc_date"), "yyyy-MM-dd'T'HH:mm:ss'Z'"
+            ).alias("warc_ts"),
+            F.col("payload").alias("html"),
+            F.lit(None).cast("string").alias("text"),
+            F.lit(None).cast("string").alias("lang"),
+        )
+    )

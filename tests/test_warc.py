@@ -1,0 +1,170 @@
+"""WARC source: pure-Python round trip, Spark read path, hostile bytes."""
+
+import gzip
+import random
+
+import pytest
+
+from llm_food_spark.functions.warc import (
+    build_http_response,
+    build_record,
+    build_warc,
+    parse_warc,
+    warcinfo_record,
+)
+
+
+def _archive(n=6, gzip_members=True):
+    recs = [warcinfo_record("t.warc.gz")]
+    payloads = {}
+    for i in range(n):
+        payload = ("doc %d body " % i * (i + 1)).encode()
+        payloads["http://t/%d" % i] = payload
+        http = build_http_response(
+            payload,
+            http_status=404 if i == 3 else 200,
+            content_type="text/plain" if i == 2 else "text/html; charset=UTF-8",
+            chunked=(i % 2 == 0),
+        )
+        recs.append(build_record("response", http, url="http://t/%d" % i,
+                                 date="2025-01-01T00:00:%02dZ" % i))
+    return build_warc(recs, gzip_members=gzip_members), payloads
+
+
+@pytest.mark.parametrize("gz", [True, False])
+def test_roundtrip_payload_bytes(gz):
+    blob, payloads = _archive(gzip_members=gz)
+    recs = parse_warc(blob)
+    assert recs[0]["record_type"] == "warcinfo"
+    responses = [r for r in recs if r["record_type"] == "response"]
+    assert len(responses) == len(payloads)
+    for r in responses:
+        assert r["status"] == "ok"
+        assert r["payload"] == payloads[r["url"]]
+    # http metadata recovered through the HTTP header split
+    by_url = {r["url"]: r for r in responses}
+    assert by_url["http://t/3"]["http_status"] == 404
+    assert by_url["http://t/2"]["content_type"] == "text/plain"
+    assert by_url["http://t/0"]["warc_date"] == "2025-01-01T00:00:00Z"
+
+
+def test_build_warc_deterministic():
+    a, _ = _archive()
+    b, _ = _archive()
+    assert a == b  # gzip mtime pinned to 0
+
+
+def test_dechunk_empty_and_large():
+    for payload in (b"", b"x", b"y" * 100_000):
+        http = build_http_response(payload, chunked=True)
+        rec = build_record("response", http, url="u", date="2025-01-01T00:00:00Z")
+        got = parse_warc(build_warc([rec]))[0]
+        assert got["payload"] == payload and got["status"] == "ok"
+
+
+def test_truncated_tail_is_error_not_exception():
+    blob, _ = _archive(gzip_members=False)
+    recs = parse_warc(blob[: len(blob) - 30])
+    assert any(r["status"].startswith("error") or r["status"] == "ok"
+               for r in recs)
+    # earlier records still parse clean
+    assert recs[0]["record_type"] == "warcinfo"
+    assert recs[1]["status"] == "ok"
+
+
+def test_resync_after_garbage_between_records():
+    blob, payloads = _archive(gzip_members=False)
+    first_end = blob.find(b"WARC/", 5)
+    dirty = blob[:first_end] + b"\x00garbage\x00" + blob[first_end:]
+    recs = parse_warc(dirty)
+    responses = [r for r in recs if r["record_type"] == "response"
+                 and r["status"] == "ok"]
+    assert len(responses) == len(payloads)  # all recovered past the garbage
+
+
+def test_fuzz_never_raises():
+    blob, _ = _archive()
+    rnd = random.Random(11)
+    for trial in range(500):
+        bb = bytearray(blob)
+        op = trial % 4
+        if op == 0:
+            bb = bb[: rnd.randrange(len(bb))]
+        elif op == 1:
+            bb[rnd.randrange(len(bb))] ^= 1 << rnd.randrange(8)
+        elif op == 2:
+            bb = bb[rnd.randrange(len(bb)):]
+        else:
+            i, j = sorted(rnd.randrange(len(bb)) for _ in range(2))
+            del bb[i:j]
+        parse_warc(bytes(bb))  # record-and-continue: must not raise
+
+
+def test_read_warc_and_pages_projection(spark, tmp_path):
+    from llm_food_spark.sources.warc import read_warc, warc_pages
+
+    htmls = {}
+    for f in range(3):
+        recs = [warcinfo_record("f%d.warc.gz" % f)]
+        for i in range(4):
+            url = "http://site%d.test/p%d" % (f, i)
+            html = ("<html><body><p>file %d doc %d</p></body></html>"
+                    % (f, i)).encode()
+            htmls[url] = html
+            recs.append(build_record(
+                "response",
+                build_http_response(html, chunked=(i % 2 == 0)),
+                url=url, date="2025-01-01T01:%02d:%02dZ" % (f, i)))
+        (tmp_path / ("f%d.warc.gz" % f)).write_bytes(build_warc(recs))
+
+    records = read_warc(spark, str(tmp_path) + "/*.warc.gz")
+    rows = records.collect()
+    assert sum(r.record_type == "warcinfo" for r in rows) == 3
+    assert sum(r.record_type == "response" for r in rows) == 12
+    assert all(r.status == "ok" for r in rows)
+    # parallelism = one input row per archive file, no shuffle
+    assert records.rdd.getNumPartitions() >= 1
+
+    pages = warc_pages(records)
+    got = {r.url: r for r in pages.collect()}
+    assert set(got) == set(htmls)
+    for url, html in htmls.items():
+        assert bytes(got[url].html) == html
+        assert got[url].warc_ts is not None
+
+    # the projection feeds extraction end-to-end
+    from llm_food_spark.operators.extract import extract_pages
+
+    res = {r.url: r for r in extract_pages(pages, n_partitions=4).collect()}
+    assert res["http://site0.test/p0"].status == "completed"
+    assert "file 0 doc 0" in res["http://site0.test/p0"].markdown
+
+
+def test_non_response_records_filtered_from_pages(spark, tmp_path):
+    from llm_food_spark.sources.warc import read_warc, warc_pages
+
+    req = build_record(
+        "request",
+        b"GET / HTTP/1.1\r\nHost: t\r\n\r\n",
+        url="http://t/only-request", date="2025-01-01T00:00:00Z",
+        warc_content_type="application/http; msgtype=request")
+    resp404 = build_record(
+        "response", build_http_response(b"gone", http_status=404),
+        url="http://t/gone", date="2025-01-01T00:00:00Z")
+    ok = build_record(
+        "response", build_http_response(b"<p>ok</p>"),
+        url="http://t/ok", date="2025-01-01T00:00:00Z")
+    (tmp_path / "m.warc.gz").write_bytes(build_warc([req, resp404, ok]))
+    pages = warc_pages(read_warc(spark, str(tmp_path / "m.warc.gz")))
+    assert [r.url for r in pages.collect()] == ["http://t/ok"]
+
+
+def test_corrupt_gzip_member_is_contained(spark, tmp_path):
+    ok = build_record(
+        "response", build_http_response(b"<p>fine</p>"),
+        url="http://t/fine", date="2025-01-01T00:00:00Z")
+    good = gzip.compress(ok, mtime=0)
+    corrupt = good[:10] + b"\x00\x00\x00\x00" + good[14:]
+    recs = parse_warc(good + corrupt)
+    assert recs[0]["status"] == "ok" and recs[0]["url"] == "http://t/fine"
+    assert all(r["status"] != "ok" for r in recs[1:])  # corruption surfaced
