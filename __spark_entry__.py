@@ -615,6 +615,20 @@ def q_warc_roundtrip(spark, sf_dir):
     return d.groupBy("bucket").applyInPandas(build_and_parse, out_schema)
 
 
+def q_lm_perplexity(spark, sf_dir):
+    """CCNet-style bigram-LM perplexity (operators/lm_score.py): train an
+    interpolated bigram model over the corpus with two groupBy counts,
+    score every document via broadcast model joins. Hard oracle: DuckDB
+    retrains the identical model (same add-one unigram, same c12/c1
+    bigram, same 0.7/0.3 interpolation as IEEE doubles) and recomputes
+    each document's logprob and perplexity to 4dp."""
+    from llm_food_spark.operators.lm_score import perplexity, train_bigram_lm
+
+    d = _t(spark, sf_dir, "documents")
+    lm = train_bigram_lm(d)
+    return perplexity(d, lm, broadcast_model=True)
+
+
 def q_split_assign(spark, sf_dir):
     """Deterministic leakage-safe train/val/test split + 10% mixing sample
     flag (operators/split.py), via the portable MINSTD bucket so the DuckDB
@@ -1321,6 +1335,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_assign": q_split_assign,
         "fetch": q_fetch,
         "warc_roundtrip": q_warc_roundtrip,
+        "lm_perplexity": q_lm_perplexity,
         "cosine_topk": q_cosine_topk,
         "cosine_pairs": q_cosine_pairs,
         # non-SQL-expressible (rows-only)
@@ -2639,6 +2654,51 @@ def _handwritten_oracles() -> dict[str, str]:
                    sha256(text) AS payload_sha,
                    CAST(strlen(text) AS BIGINT) AS payload_len
             FROM documents
+        """,
+        # bigram-LM perplexity: DuckDB retrains the identical model.
+        # Float parity is engineered, not lucky: every constant is cast to
+        # DOUBLE (DuckDB parses 0.7 as DECIMAL), the back-off weight is
+        # written 1.0 - 0.7 to reproduce Python's 0.30000000000000004, and
+        # term order in the interpolation matches lm_score.py exactly;
+        # 4dp rounding absorbs sum-order and libm-ulp differences
+        "lm_perplexity": """
+            WITH toks AS (
+              SELECT doc_id,
+                     string_split(trim(regexp_replace(lower(text),
+                       '[^a-z]+', ' ', 'g')), ' ') AS l
+              FROM documents
+            ), tok AS (
+              SELECT doc_id, i - 1 AS pos, l[i] AS w2,
+                     CASE WHEN i = 1 THEN '' ELSE l[i-1] END AS w1
+              FROM toks, LATERAL (SELECT unnest(range(1, len(l) + 1)) AS i) u
+              WHERE l[1] <> ''
+            ), uni AS (
+              SELECT w2 AS w, COUNT(*)::BIGINT AS c FROM tok GROUP BY 1
+            ), tot AS (
+              SELECT SUM(c)::BIGINT AS n, COUNT(*)::BIGINT AS v FROM uni
+            ), ug AS (
+              SELECT w, (c + 1) / ((n + v + 1)::DOUBLE) AS p1
+              FROM uni CROSS JOIN tot
+            ), bg AS (
+              SELECT w1, w2, COUNT(*)::BIGINT AS c12
+              FROM tok WHERE pos > 0 GROUP BY 1, 2
+            ), bgp AS (
+              SELECT b.w1, b.w2, b.c12 / u.c::DOUBLE AS p2
+              FROM bg b JOIN uni u ON u.w = b.w1
+            ), scored AS (
+              SELECT t.doc_id,
+                     CASE WHEN t.pos = 0 THEN ug.p1
+                          ELSE 0.7::DOUBLE * coalesce(bgp.p2, 0.0::DOUBLE)
+                               + (1.0::DOUBLE - 0.7::DOUBLE) * ug.p1
+                     END AS p
+              FROM tok t
+              JOIN ug ON ug.w = t.w2
+              LEFT JOIN bgp ON bgp.w1 = t.w1 AND bgp.w2 = t.w2
+            )
+            SELECT doc_id, COUNT(*)::BIGINT AS n_tokens,
+                   round(SUM(ln(p)), 4) AS logprob,
+                   round(exp(-SUM(ln(p)) / COUNT(*)), 4) AS ppl
+            FROM scored GROUP BY doc_id
         """,
         # MINSTD bucket split over a nonnegative residue (negative ids, e.g.
         # xxhash64-derived, must not all land below the first cut); cumulative

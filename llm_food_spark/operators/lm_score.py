@@ -1,0 +1,162 @@
+"""N-gram language-model perplexity scoring — CCNet-style quality signal.
+
+The public CCNet pipeline (Wenzek et al. 2020) buckets Common-Crawl text by
+the perplexity of a language model trained on a clean corpus: low-ppl ≈
+Wikipedia-like, high-ppl ≈ gibberish/boilerplate. The reference has no
+quality model at all (it converts one upload at a time); at 100 TB a
+trainable, distributed quality score is a first-class pipeline stage. This
+module trains an interpolated bigram LM with Spark aggregations and scores
+documents with joins — no external model artifacts, no Python in the hot
+path beyond flat Catalyst expressions.
+
+Model
+-----
+- tokens: lowercased alpha words via FLAT regexp ops (regexp_replace →
+  trim → split; no interpreted higher-order lambdas, per repo convention)
+- unigram: p1(w) = (c(w) + 1) / (N + V + 1) — add-one over the train
+  vocabulary; the +1 in the denominator reserves mass for OOV tokens,
+  which score p1 = 1 / (N + V + 1)
+- bigram:  p2(w2|w1) = c(w1 w2) / c(w1), interpolated as
+  p = LAMBDA * p2 + (1 - LAMBDA) * p1  (Jelinek-Mercer, LAMBDA = 0.7)
+- first token of a document scores p1; log-prob is the sum of ln p and
+  perplexity = exp(-logprob / n_tokens)
+
+Scale shape
+-----------
+Training is two groupBy counts (map-side partial agg; bigram keys are the
+big shuffle, ~|corpus| narrow rows in, |model| rows out). Scoring explodes
+one zipped (prev, word) array per document — a NARROW explode, no window,
+no per-doc shuffle — then two left joins against the model keyed on token
+strings. Model-side rows are unique per key, so the join skew of hot
+stopword keys is probe-side only (AQE skew split handles it; when the
+model fits the broadcast threshold both joins become BroadcastHashJoin —
+``broadcast_model=True`` forces it, the right call for any model that fits
+in executor memory, e.g. the 10^5-vocab Wikipedia-style LM CCNet uses).
+The two scalars (N, V) are a documented one-row collect at train time,
+like the IVF centroid updates (operators/similarity.py).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+LAMBDA = 0.7  # bigram weight; 1-LAMBDA backs off to the smoothed unigram
+
+
+def alpha_tokens(text: Column) -> Column:
+    """Lowercased alpha-word array via flat regexp primitives only.
+
+    ``regexp_replace → trim → split(' ')`` yields no empty tokens for any
+    input except the fully-non-alpha document, which becomes [''] and is
+    handled by the n_tokens > 0 gate downstream. Identical arithmetic in
+    DuckDB: string_split(trim(regexp_replace(lower(text),'[^a-z]+',' ','g')),' ').
+    """
+    return F.split(
+        F.trim(F.regexp_replace(F.lower(text), "[^a-z]+", " ")), " "
+    )
+
+
+class BigramLM(NamedTuple):
+    """A trained model: two key→probability frames plus the OOV floor."""
+
+    unigrams: DataFrame  # (w, p1)
+    bigrams: DataFrame   # (w1, w2, p2)
+    oov_p1: float        # 1 / (N + V + 1)
+    n_tokens: int
+    vocab: int
+
+
+def _tokens(docs: DataFrame, text_col: str) -> DataFrame:
+    toks = alpha_tokens(F.col(text_col))
+    return (
+        docs.select(toks.alias("l"))
+        .select(F.explode("l").alias("w"))
+        .where(F.col("w") != "")
+    )
+
+
+def _bigram_pairs(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(doc_id, pos, w1, w2) — one narrow posexplode, no window shuffle.
+
+    w1 is '' at pos 0 (document start); '' never appears as a real token
+    (the tokenizer strips it), so it cannot collide with a model key.
+    """
+    toks = alpha_tokens(F.col(text_col))
+    d = docs.select(F.col(id_col).alias("doc_id"), toks.alias("l")).where(
+        F.col("l")[0] != ""  # all-non-alpha docs tokenize to ['']
+    )
+    prev = F.concat(F.array(F.lit("")), F.slice("l", 1, F.size("l") - 1))
+    zipped = F.arrays_zip(prev.alias("w1"), F.col("l").alias("w2"))
+    return d.select(
+        "doc_id", F.posexplode(zipped).alias("pos", "pair")
+    ).select("doc_id", "pos", F.col("pair.w1").alias("w1"),
+             F.col("pair.w2").alias("w2"))
+
+
+def train_bigram_lm(train: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id") -> BigramLM:
+    """Count-based training: two groupBy aggregations over the train corpus.
+
+    The N/V totals are a single-row collect (two longs) — the same
+    documented exception as the IVF centroid update; everything else stays
+    distributed."""
+    tok = _tokens(train, text_col)
+    uni_counts = tok.groupBy("w").agg(F.count("*").alias("c"))
+    totals = uni_counts.agg(
+        F.sum("c").alias("n"), F.count("*").alias("v")).collect()[0]
+    n, v = int(totals["n"] or 0), int(totals["v"] or 0)
+    denom = float(n + v + 1)
+    unigrams = uni_counts.select(
+        "w", ((F.col("c") + F.lit(1)) / F.lit(denom)).alias("p1"))
+    pairs = _bigram_pairs(train, id_col, text_col).where(F.col("pos") > 0)
+    bg_counts = pairs.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    bigrams = (
+        bg_counts.join(uni_counts.select(F.col("w").alias("w1"),
+                                         F.col("c").alias("c1")), "w1")
+        .select("w1", "w2", (F.col("c12") / F.col("c1")).alias("p2"))
+    )
+    return BigramLM(unigrams, bigrams, 1.0 / denom, n, v)
+
+
+def perplexity(
+    docs: DataFrame,
+    lm: BigramLM,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast_model: bool = False,
+    ndigits: int = 4,
+) -> DataFrame:
+    """Score documents: (doc_id, n_tokens, logprob, ppl).
+
+    Documents with zero alpha tokens are excluded (no probability mass to
+    score). ``broadcast_model=True`` hints both model joins broadcast —
+    use whenever the model fits in executor memory."""
+    uni = lm.unigrams
+    bg = lm.bigrams
+    if broadcast_model:
+        uni, bg = F.broadcast(uni), F.broadcast(bg)
+    tok = _bigram_pairs(docs, id_col, text_col)
+    scored = (
+        tok.join(uni.select(F.col("w").alias("w2"), "p1"), "w2", "left")
+        .join(bg, ["w1", "w2"], "left")
+        .select(
+            "doc_id",
+            F.when(
+                F.col("pos") == 0,
+                F.coalesce("p1", F.lit(lm.oov_p1)),
+            ).otherwise(
+                F.lit(LAMBDA) * F.coalesce("p2", F.lit(0.0))
+                + F.lit(1.0 - LAMBDA)
+                * F.coalesce("p1", F.lit(lm.oov_p1))
+            ).alias("p"),
+        )
+    )
+    lp = F.sum(F.log("p"))
+    nt = F.count("*")
+    return scored.groupBy("doc_id").agg(
+        nt.cast("long").alias("n_tokens"),
+        F.round(lp, ndigits).alias("logprob"),
+        F.round(F.exp(-lp / nt), ndigits).alias("ppl"),
+    )

@@ -1,0 +1,84 @@
+"""Bigram-LM perplexity: hand-computed parity, OOV, plan shape."""
+
+import math
+
+import pytest
+
+from llm_food_spark.operators.lm_score import (
+    LAMBDA,
+    perplexity,
+    train_bigram_lm,
+)
+
+
+@pytest.fixture(scope="module")
+def tiny_lm(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b a"), (2, "b b"), (3, "!!! 123"), (4, None)],
+        "doc_id long, text string",
+    )
+    return docs, train_bigram_lm(docs)
+
+
+def test_model_counts(tiny_lm):
+    _, lm = tiny_lm
+    assert (lm.n_tokens, lm.vocab) == (5, 2)
+    assert lm.oov_p1 == 1.0 / 8.0
+    uni = {r.w: r.p1 for r in lm.unigrams.collect()}
+    assert uni == {"a": 3 / 8, "b": 4 / 8}
+    bg = {(r.w1, r.w2): r.p2 for r in lm.bigrams.collect()}
+    assert bg == {("a", "b"): 1 / 2, ("b", "a"): 1 / 3, ("b", "b"): 1 / 3}
+
+
+def test_hand_computed_perplexity(tiny_lm):
+    docs, lm = tiny_lm
+    rows = {r.doc_id: r for r in perplexity(docs, lm).collect()}
+    # docs 3 (no alpha tokens) and 4 (null) are excluded, not scored as 0
+    assert set(rows) == {1, 2}
+    lp1 = (math.log(3 / 8) + math.log(LAMBDA * (1 / 2) + (1 - LAMBDA) * (4 / 8))
+           + math.log(LAMBDA * (1 / 3) + (1 - LAMBDA) * (3 / 8)))
+    assert rows[1].n_tokens == 3
+    assert rows[1].logprob == round(lp1, 4)
+    assert rows[1].ppl == round(math.exp(-lp1 / 3), 4)
+
+
+def test_oov_scoring(spark, tiny_lm):
+    _, lm = tiny_lm
+    unseen = spark.createDataFrame([(9, "zzz a")], "doc_id long, text string")
+    r = perplexity(unseen, lm).collect()[0]
+    # pos0 'zzz' OOV -> 1/8; pos1 (zzz,a): no bigram, unigram backoff only
+    lp = math.log(1 / 8) + math.log(LAMBDA * 0 + (1 - LAMBDA) * (3 / 8))
+    assert r.logprob == round(lp, 4)
+
+
+def test_repetitive_text_scores_lower_ppl(spark):
+    """The quality-signal property CCNet relies on: text made of the
+    model's frequent patterns scores lower perplexity than shuffled
+    gibberish over rare tokens."""
+    train = spark.createDataFrame(
+        [(i, "the cat sat on the mat and the dog ran") for i in range(20)]
+        + [(100 + i, "qzv xkj wpf %d" % i) for i in range(3)],
+        "doc_id long, text string",
+    )
+    lm = train_bigram_lm(train)
+    probe = spark.createDataFrame(
+        [(1, "the cat sat on the mat"), (2, "xkj qzv wpf")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.ppl for r in perplexity(probe, lm).collect()}
+    assert got[1] < got[2]
+
+
+def test_broadcast_plan(tiny_lm):
+    docs, lm = tiny_lm
+    plan = perplexity(docs, lm, broadcast_model=True)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_single_token_doc(spark, tiny_lm):
+    _, lm = tiny_lm
+    one = spark.createDataFrame([(5, "b")], "doc_id long, text string")
+    r = perplexity(one, lm).collect()[0]
+    assert r.n_tokens == 1
+    assert r.logprob == round(math.log(4 / 8), 4)
