@@ -1050,6 +1050,27 @@ def q_host_stats(spark, sf_dir):
     return host_stats(_messy_urls(spark, sf_dir))
 
 
+def q_url_filter(spark, sf_dir):
+    """UT1-style URL blocklist screen (operators/urlops.py::filter_urls):
+    every 5th synthetic site's HOST plus one REGISTRABLE DOMAIN
+    ('example.net') form the blocklist (broadcast membership joins), and a
+    path keyword rule flags the rest. Hard oracle: DuckDB rebuilds the
+    same blocklist from the same url construction and reapplies the
+    domain→path precedence."""
+    from llm_food_spark.operators.urlops import filter_urls, host_col
+
+    u = _messy_urls(spark, sf_dir)
+    hosts = (
+        u.where((F.col("o_custkey") % 40) % 5 == 0)
+        .select(host_col(F.col("url")).alias("entry"))
+        .distinct()
+    )
+    blocked = hosts.union(
+        spark.createDataFrame([("example.net",)], "entry string"))
+    return filter_urls(u, blocked, blocked_path_re="(?i)/(p|item)/").select(
+        "o_orderkey", "url", "block_reason")
+
+
 def q_pii_redact(spark, sf_dir):
     """PII scrub (operators/redact.py): the documents corpus carries no
     PII, so both engines append identical synthetic contact strings keyed
@@ -1326,6 +1347,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_quality": q_gopher_quality,
         "pii_redact": q_pii_redact,
         "url_canon": q_url_canon,
+        "url_filter": q_url_filter,
         "host_stats": q_host_stats,
         # dedup / similarity
         "dedup_exact": q_dedup_exact,
@@ -1498,6 +1520,56 @@ _URL_CANON_SQL = r"""
         || CASE WHEN q <> '' THEN '?' || q ELSE '' END AS canonical_url
     FROM d
 """.replace("{tracking}", _TRACKING_RE_SQL).replace("{suffixes}", _SUFFIX_LIST_SQL)
+
+
+# blocklist screen twin: same url construction as _URL_CANON_SQL with the
+# site index k carried through, blocklist rebuilt as every-5th-site hosts
+# plus the 'example.net' registrable domain, domain→path precedence
+_URL_FILTER_SQL = r"""
+    WITH u AS (
+      SELECT o_orderkey, o_custkey % 40 AS k,
+        CASE o_orderkey % 4
+          WHEN 0 THEN 'https://www.Site' || CAST(o_custkey % 40 AS VARCHAR)
+                      || '.Example.COM/p/' || CAST(o_orderkey AS VARCHAR)
+                      || '?b=2&a=1&utm_campaign=x#sec'
+          WHEN 1 THEN 'HTTP://Site' || CAST(o_custkey % 40 AS VARCHAR)
+                      || '.Example.CO.UK:80/Item/' || CAST(o_orderkey AS VARCHAR)
+          WHEN 2 THEN 'https://user@site' || CAST(o_custkey % 40 AS VARCHAR)
+                      || '.example.com:8443/' || CAST(o_orderkey AS VARCHAR)
+                      || '?gclid=1'
+          ELSE 'http://site' || CAST(o_custkey % 40 AS VARCHAR) || '.example.net'
+        END AS url
+      FROM orders
+    ), p AS (
+      SELECT o_orderkey, k, url,
+        regexp_replace(regexp_replace(
+          lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1)),
+          '^[^@]*@', ''), ':[0-9]+$', '') AS host
+      FROM u
+    ), d AS (
+      SELECT *, string_split(host, '.') AS labels,
+             len(string_split(host, '.')) AS n
+      FROM p
+    ), r AS (
+      SELECT o_orderkey, k, url, host,
+        CASE WHEN n <= 2 THEN host
+             WHEN list_contains({suffixes},
+                                array_to_string(labels[n-1:n], '.'))
+               THEN array_to_string(labels[n-2:n], '.')
+             ELSE array_to_string(labels[n-1:n], '.')
+        END AS regdom
+      FROM d
+    ), bl AS (
+      SELECT DISTINCT host AS entry FROM r WHERE k % 5 = 0
+      UNION SELECT 'example.net'
+    )
+    SELECT o_orderkey, url,
+      CASE WHEN host IN (SELECT entry FROM bl)
+                OR regdom IN (SELECT entry FROM bl) THEN 'domain'
+           WHEN regexp_matches(url, '(?i)/(p|item)/') THEN 'path'
+           ELSE NULL END AS block_reason
+    FROM r
+""".replace("{suffixes}", _SUFFIX_LIST_SQL)
 
 
 _NGRAM_PAIRS_SQL = """
@@ -2490,6 +2562,7 @@ def _handwritten_oracles() -> dict[str, str]:
         # operators/urlops.py expression-for-expression (RE2 and Java agree
         # on every pattern; list_sort and array_sort both sort codepoints)
         "url_canon": _URL_CANON_SQL,
+        "url_filter": _URL_FILTER_SQL,
         "host_stats": """
             WITH c AS (%s)
             SELECT host, registrable_domain,

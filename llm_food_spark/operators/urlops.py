@@ -110,6 +110,69 @@ def with_url_parts(df: DataFrame, url_col: str = "url") -> DataFrame:
     )
 
 
+# UT1/RefinedWeb-style URL keyword screen (public-practice default; callers
+# pass their own). Scanned over the WHOLE url string, as the public
+# blocklist pipelines do.
+DEFAULT_BLOCKED_PATH_RE = "(?i)/(casino|poker|gambling|xxx|escort|warez)([/?#.]|$)"
+
+
+def filter_urls(
+    df: DataFrame,
+    blocked: DataFrame = None,
+    blocked_path_re: str = DEFAULT_BLOCKED_PATH_RE,
+    url_col: str = "url",
+    keep: bool = False,
+    reason_col: str = "block_reason",
+) -> DataFrame:
+    """URL-level corpus screening — the UT1-blocklist stage of the public
+    web pipelines (RefinedWeb §3.1, CCNet): drop documents whose url hits
+    a curated domain blocklist or a path keyword rule BEFORE paying for
+    extraction.
+
+    ``blocked`` is a one-string-column DataFrame of blocklist entries; a
+    url is domain-blocked when its HOST or its REGISTRABLE DOMAIN equals
+    an entry (the public lists mix both granularities). ``blocked_path_re``
+    flags by keyword over the whole url. Precedence: 'domain' then 'path'
+    (domain evidence is the stronger curation signal).
+
+    keep=False annotates every row with ``block_reason``
+    ('domain' | 'path' | NULL); keep=True returns only clean rows, column
+    dropped.
+
+    Scale shape: the blocklist (UT1 ≈ 4M entries ≈ tens of MB) is
+    BROADCAST — both membership probes are map-side BroadcastHashJoins,
+    zero shuffle on the corpus at any size; the keyword rule is one flat
+    JVM rlike. The operator runs on the url column only, so Parquet scans
+    prune every payload column (PushedFilters/ReadSchema audit: PLANS.md).
+    """
+    host = host_col(F.col(url_col))
+    out = df.withColumn("_host", host).withColumn(
+        "_dom", registrable_domain_col(host))
+    if blocked is not None:
+        bl = blocked.select(
+            F.col(blocked.columns[0]).alias("_entry")).distinct()
+        bl = F.broadcast(bl)
+        out = (
+            out.join(bl.withColumnRenamed("_entry", "_bhost"),
+                     out["_host"] == F.col("_bhost"), "left")
+            .join(bl.withColumnRenamed("_entry", "_bdom"),
+                  out["_dom"] == F.col("_bdom"), "left")
+        )
+    else:
+        out = out.withColumn("_bhost", F.lit(None).cast("string"))
+        out = out.withColumn("_bdom", F.lit(None).cast("string"))
+    reason = (
+        F.when(F.col("_bhost").isNotNull() | F.col("_bdom").isNotNull(),
+               F.lit("domain"))
+        .when(F.col(url_col).rlike(blocked_path_re), F.lit("path"))
+    )
+    out = out.withColumn(reason_col, reason).drop(
+        "_host", "_dom", "_bhost", "_bdom")
+    if keep:
+        return out.where(F.col(reason_col).isNull()).drop(reason_col)
+    return out
+
+
 def host_stats(df: DataFrame, url_col: str = "url") -> DataFrame:
     """Per-host corpus audit: url counts + canonical-dedup counts. One
     partial+final hash aggregation (map-side combine); at skew, AQE splits

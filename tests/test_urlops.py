@@ -94,3 +94,58 @@ def test_host_stats_counts(spark):
     assert got["a.example.com"]["registrable_domain"] == "example.com"
     assert got["b.example.co.uk"]["n_urls"] == 1
     assert got["b.example.co.uk"]["registrable_domain"] == "example.co.uk"
+
+
+def test_filter_urls_domain_host_and_regdom(spark):
+    from llm_food_spark.operators.urlops import filter_urls
+
+    urls = [
+        "https://bad.example.com/ok",        # host match
+        "https://sub.blocked.net/page",      # registrable-domain match
+        "https://good.example.com/casino/x", # path keyword
+        "https://good.example.com/fine",     # clean
+        "https://good.example.com/pokerface",# 'poker' not a path segment
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    bl = spark.createDataFrame(
+        [("bad.example.com",), ("blocked.net",)], "entry string")
+    got = {r.url: r.block_reason for r in filter_urls(df, bl).collect()}
+    assert got["https://bad.example.com/ok"] == "domain"
+    assert got["https://sub.blocked.net/page"] == "domain"
+    assert got["https://good.example.com/casino/x"] == "path"
+    assert got["https://good.example.com/fine"] is None
+    assert got["https://good.example.com/pokerface"] is None
+
+
+def test_filter_urls_domain_precedence_and_keep(spark):
+    from llm_food_spark.operators.urlops import filter_urls
+
+    df = spark.createDataFrame(
+        [("https://bad.example.com/casino/x",), ("https://ok.net/a",)],
+        "url string")
+    bl = spark.createDataFrame([("bad.example.com",)], "entry string")
+    rows = filter_urls(df, bl).collect()
+    assert {r.url: r.block_reason for r in rows}[
+        "https://bad.example.com/casino/x"] == "domain"  # domain wins
+    kept = filter_urls(df, bl, keep=True)
+    assert [r.url for r in kept.collect()] == ["https://ok.net/a"]
+    assert "block_reason" not in kept.columns
+
+
+def test_filter_urls_broadcast_plan(spark):
+    from llm_food_spark.operators.urlops import filter_urls
+
+    df = spark.createDataFrame([("https://a.com/x",)], "url string")
+    bl = spark.createDataFrame([("a.com",)], "entry string")
+    plan = filter_urls(df, bl)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+
+
+def test_filter_urls_no_blocklist(spark):
+    from llm_food_spark.operators.urlops import filter_urls
+
+    df = spark.createDataFrame(
+        [("https://x.com/warez/d",), ("https://x.com/a",)], "url string")
+    got = {r.url: r.block_reason for r in filter_urls(df).collect()}
+    assert got["https://x.com/warez/d"] == "path"
+    assert got["https://x.com/a"] is None
