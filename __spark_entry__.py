@@ -615,6 +615,32 @@ def q_warc_roundtrip(spark, sf_dir):
     return d.groupBy("bucket").applyInPandas(build_and_parse, out_schema)
 
 
+# batch search probes for q_bm25_search — fixed literals shared verbatim
+# with the SQL twin (incl. a repeated term and a zero-hit term)
+_BM25_QUERIES = [
+    (0, "spark table scan"),
+    (1, "fast slow value"),
+    (2, "window batch order"),
+    (3, "agg key row"),
+    (4, "data column value table"),
+    (5, "scan scan fast"),
+    (6, "nosuchtermanywhere"),
+    (7, "spark"),
+]
+
+
+def q_bm25_search(spark, sf_dir):
+    """Okapi BM25 batch search (operators/search.py): inverted index from
+    one token explode + three groupBys, query terms broadcast against
+    postings, per-query top-10 with deterministic rounded-score ranking.
+    Hard oracle: DuckDB rebuilds the identical index and ranking."""
+    from llm_food_spark.operators.search import bm25_search
+
+    d = _t(spark, sf_dir, "documents")
+    qs = spark.createDataFrame(_BM25_QUERIES, "query_id long, query string")
+    return bm25_search(d, qs, k=10)
+
+
 def q_lm_perplexity(spark, sf_dir):
     """CCNet-style bigram-LM perplexity (operators/lm_score.py): train an
     interpolated bigram model over the corpus with two groupBy counts,
@@ -1358,6 +1384,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fetch": q_fetch,
         "warc_roundtrip": q_warc_roundtrip,
         "lm_perplexity": q_lm_perplexity,
+        "bm25_search": q_bm25_search,
         "cosine_topk": q_cosine_topk,
         "cosine_pairs": q_cosine_pairs,
         # non-SQL-expressible (rows-only)
@@ -1520,6 +1547,61 @@ _URL_CANON_SQL = r"""
         || CASE WHEN q <> '' THEN '?' || q ELSE '' END AS canonical_url
     FROM d
 """.replace("{tracking}", _TRACKING_RE_SQL).replace("{suffixes}", _SUFFIX_LIST_SQL)
+
+
+# BM25 twin: identical tokenizer, index aggregations, Okapi constants
+# (every literal cast to DOUBLE; 2.2 written as 1.2+1.0 to reproduce the
+# Python-computed lit), rounded-score-then-rank determinism
+_BM25_SQL = """
+    WITH toks AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text),
+               '[^a-z]+', ' ', 'g')), ' ') AS l
+      FROM documents
+    ), terms AS (
+      SELECT doc_id, unnest(l) AS w FROM toks
+    ), postings AS (
+      SELECT doc_id, w, COUNT(*)::BIGINT AS tf
+      FROM terms WHERE w <> '' GROUP BY 1, 2
+    ), doclen AS (
+      SELECT doc_id, SUM(tf)::BIGINT AS dl FROM postings GROUP BY 1
+    ), docfreq AS (
+      SELECT w, COUNT(*)::BIGINT AS df FROM postings GROUP BY 1
+    ), tot AS (
+      SELECT COUNT(*)::BIGINT AS n_docs,
+             SUM(dl) / COUNT(*) AS avgdl
+      FROM doclen
+    ), q(query_id, query) AS (VALUES {values}
+    ), qterms AS (
+      SELECT query_id,
+             unnest(string_split(trim(regexp_replace(lower(query),
+               '[^a-z]+', ' ', 'g')), ' ')) AS w
+      FROM q
+    ), scored AS (
+      SELECT query_id, p.doc_id,
+             ln(1.0::DOUBLE + (n_docs - df + 0.5::DOUBLE)
+                              / (df + 0.5::DOUBLE))
+             * (tf * (1.2::DOUBLE + 1.0::DOUBLE))
+               / (tf + 1.2::DOUBLE
+                       * ((1.0::DOUBLE - 0.75::DOUBLE)
+                          + 0.75::DOUBLE * dl / avgdl)) AS s
+      FROM qterms t
+      JOIN postings p USING (w)
+      JOIN doclen d ON d.doc_id = p.doc_id
+      JOIN docfreq f ON f.w = p.w
+      CROSS JOIN tot
+      WHERE t.w <> ''
+    ), agg AS (
+      SELECT query_id, doc_id, round(SUM(s), 6) AS score
+      FROM scored GROUP BY 1, 2
+    )
+    SELECT query_id, doc_id, score, rank FROM (
+      SELECT *, row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY score DESC, doc_id ASC)::INT AS rank
+      FROM agg)
+    WHERE rank <= 10
+"""
 
 
 # blocklist screen twin: same url construction as _URL_CANON_SQL with the
@@ -2728,6 +2810,8 @@ def _handwritten_oracles() -> dict[str, str]:
                    CAST(strlen(text) AS BIGINT) AS payload_len
             FROM documents
         """,
+        "bm25_search": _BM25_SQL.format(values=", ".join(
+            "(%d, '%s')" % q for q in _BM25_QUERIES)),
         # bigram-LM perplexity: DuckDB retrains the identical model.
         # Float parity is engineered, not lucky: every constant is cast to
         # DOUBLE (DuckDB parses 0.7 as DECIMAL), the back-off weight is

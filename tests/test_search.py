@@ -1,0 +1,77 @@
+"""BM25 search: hand-computed parity, ranking, plan shape."""
+
+import math
+
+import pytest
+
+from llm_food_spark.operators.search import B, K1, bm25_search, build_bm25_index
+
+
+def _bm25(tf, df, dl, n_docs, avgdl):
+    idf = math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+    return idf * (tf * (K1 + 1.0)) / (tf + K1 * ((1.0 - B) + B * dl / avgdl))
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return spark.createDataFrame(
+        [(1, "a a b"), (2, "a c"), (3, "c c c")],
+        "doc_id long, text string",
+    )
+
+
+def test_hand_computed_scores(spark, corpus):
+    qs = spark.createDataFrame([(0, "a")], "query_id long, query string")
+    got = {r.doc_id: r for r in bm25_search(corpus, qs, k=10).collect()}
+    avgdl = 8 / 3
+    assert got[1].score == round(_bm25(2, 2, 3, 3, avgdl), 6)
+    assert got[2].score == round(_bm25(1, 2, 2, 3, avgdl), 6)
+    assert 3 not in got
+    assert got[1].rank == 1 and got[2].rank == 2  # tf 2 beats tf 1
+
+
+def test_multi_term_sum_and_repeats(spark, corpus):
+    qs = spark.createDataFrame(
+        [(0, "a c"), (1, "c c")], "query_id long, query string")
+    rows = bm25_search(corpus, qs, k=10).collect()
+    avgdl = 8 / 3
+    q0 = {r.doc_id: r.score for r in rows if r.query_id == 0}
+    # doc 2 matches both terms: scores add
+    assert q0[2] == round(_bm25(1, 2, 2, 3, avgdl)
+                          + _bm25(1, 2, 2, 3, avgdl), 6)
+    # a repeated query term weights the term once per occurrence
+    q1 = {r.doc_id: r.score for r in rows if r.query_id == 1}
+    assert q1[3] == round(2 * _bm25(3, 2, 3, 3, avgdl), 6)
+
+
+def test_zero_hit_query_returns_nothing(spark, corpus):
+    qs = spark.createDataFrame([(0, "zzz")], "query_id long, query string")
+    assert bm25_search(corpus, qs).count() == 0
+
+
+def test_top_k_cut_and_tiebreak(spark):
+    docs = spark.createDataFrame(
+        [(i, "x y") for i in range(30)], "doc_id long, text string")
+    qs = spark.createDataFrame([(0, "x")], "query_id long, query string")
+    rows = bm25_search(docs, qs, k=5).orderBy("rank").collect()
+    # all 30 docs tie exactly -> doc_id ascending breaks, k cuts at 5
+    assert [r.doc_id for r in rows] == [0, 1, 2, 3, 4]
+    assert [r.rank for r in rows] == [1, 2, 3, 4, 5]
+
+
+def test_prebuilt_index_reuse(spark, corpus):
+    idx = build_bm25_index(corpus).persist()
+    try:
+        qs = spark.createDataFrame([(0, "a")], "query_id long, query string")
+        a = bm25_search(corpus, qs, index=idx).collect()
+        b = bm25_search(corpus, qs).collect()
+        assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    finally:
+        idx.unpersist()
+
+
+def test_window_group_limit_plan(spark, corpus):
+    qs = spark.createDataFrame([(0, "a")], "query_id long, query string")
+    plan = bm25_search(corpus, qs, k=3)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "WindowGroupLimit" in plan  # top-k capped before the exchange
