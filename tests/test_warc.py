@@ -168,3 +168,51 @@ def test_corrupt_gzip_member_is_contained(spark, tmp_path):
     recs = parse_warc(good + corrupt)
     assert recs[0]["status"] == "ok" and recs[0]["url"] == "http://t/fine"
     assert all(r["status"] != "ok" for r in recs[1:])  # corruption surfaced
+
+
+def test_streaming_warc_ingest(spark, tmp_path):
+    """Archives arriving in a directory stream through the same parser and
+    feed extraction per micro-batch; a second drain picks up only new
+    files (checkpointed, exactly-once per archive)."""
+    from llm_food_spark.streaming.warc import stream_warc_pages
+
+    in_dir = tmp_path / "incoming"
+    in_dir.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+
+    def write_archive(name, n):
+        recs = []
+        for i in range(n):
+            url = "http://stream.test/%s/%d" % (name, i)
+            recs.append(build_record(
+                "response",
+                build_http_response(b"<p>" + name.encode() + b"</p>"),
+                url=url, date="2025-01-01T00:00:00Z"))
+        (in_dir / ("%s.warc.gz" % name)).write_bytes(build_warc(recs))
+
+    write_archive("a", 3)
+    write_archive("b", 2)
+
+    seen = []
+
+    def drain():
+        from llm_food_spark.operators.extract import extract_pages
+
+        q = (
+            stream_warc_pages(spark, str(in_dir))
+            .writeStream.format("noop")
+            .foreachBatch(lambda df, eid: seen.extend(
+                r.url for r in extract_pages(df, n_partitions=2).where(
+                    "status = 'completed'").collect()))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    drain()
+    assert len(seen) == 5
+    write_archive("c", 4)
+    drain()
+    assert len(seen) == 9  # only the new archive was re-processed
+    assert sum(u.startswith("http://stream.test/c/") for u in seen) == 4
