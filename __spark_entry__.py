@@ -615,6 +615,50 @@ def q_warc_roundtrip(spark, sf_dir):
     return d.groupBy("bucket").applyInPandas(build_and_parse, out_schema)
 
 
+def q_outlinks(spark, sf_dir):
+    """Web-graph front end (operators/links.py): seeded HTML (one absolute
+    link per doc, a root-relative nofollow link for doc_id%3==0, a
+    protocol-relative link for doc_id%5==0) goes through the REAL DOM
+    parser + urljoin resolution; DuckDB recomputes the expected edge rows
+    (href, resolved target, anchor, rel) arithmetically."""
+    from llm_food_spark.operators.links import extract_outlinks
+
+    d = _t_par(spark, sf_dir, "documents")
+    i = F.col("doc_id").cast("string")
+    k = (F.col("doc_id") % 40).cast("string")
+    base = F.concat(F.lit("https://site"), k,
+                    F.lit(".example.com/dir/page"), i)
+    html = F.concat(
+        F.lit('<html><body><p>x</p><a href="https://ext'),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit('.example.org/p">anchor '), i, F.lit("</a>"),
+        F.when(F.col("doc_id") % 3 == 0,
+               F.concat(F.lit('<a href="/rel/'), i,
+                        F.lit('" rel="nofollow">two</a>'))
+               ).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 5 == 0,
+               F.lit('<a href="//cdn.example.net/lib.js">cdn</a>')
+               ).otherwise(F.lit("")),
+        F.lit("</body></html>"),
+    )
+    return extract_outlinks(d.select(base.alias("url"), html.alias("html")))
+
+
+def q_pagerank_seeded(spark, sf_dir):
+    """Distributed PageRank (operators/graph.py) on a seeded 50-node
+    arithmetic graph, 3 power iterations. Hard oracle: DuckDB unrolls the
+    identical three iterations (same damped formula, same IEEE constants,
+    same no-dangling-redistribution contract) and matches ranks to 6dp."""
+    from llm_food_spark.operators.graph import pagerank
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    e = d.select(
+        (F.col("doc_id") % 50).alias("src"),
+        ((F.col("doc_id") * 7 + 3) % 50).alias("dst"),
+    ).distinct()
+    return pagerank(e, iterations=3)
+
+
 # batch search probes for q_bm25_search — fixed literals shared verbatim
 # with the SQL twin (incl. a repeated term and a zero-hit term)
 _BM25_QUERIES = [
@@ -1385,6 +1429,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_roundtrip": q_warc_roundtrip,
         "lm_perplexity": q_lm_perplexity,
         "bm25_search": q_bm25_search,
+        "outlinks": q_outlinks,
+        "pagerank_seeded": q_pagerank_seeded,
         "cosine_topk": q_cosine_topk,
         "cosine_pairs": q_cosine_pairs,
         # non-SQL-expressible (rows-only)
@@ -1547,6 +1593,70 @@ _URL_CANON_SQL = r"""
         || CASE WHEN q <> '' THEN '?' || q ELSE '' END AS canonical_url
     FROM d
 """.replace("{tracking}", _TRACKING_RE_SQL).replace("{suffixes}", _SUFFIX_LIST_SQL)
+
+
+# outlinks twin: the DOM-parse + urljoin path must land exactly on the
+# arithmetic reconstruction (document order within a doc is not needed —
+# the driver hash is order-insensitive)
+_OUTLINKS_SQL = """
+    WITH b AS (
+      SELECT doc_id,
+             'https://site' || (doc_id % 40) || '.example.com/dir/page'
+               || doc_id AS url
+      FROM documents
+    )
+    SELECT url,
+           'https://ext' || (doc_id % 7) || '.example.org/p' AS href,
+           'https://ext' || (doc_id % 7) || '.example.org/p' AS target,
+           'anchor ' || doc_id AS anchor, '' AS rel
+    FROM b
+    UNION ALL
+    SELECT url, '/rel/' || doc_id,
+           'https://site' || (doc_id % 40) || '.example.com/rel/' || doc_id,
+           'two', 'nofollow'
+    FROM b WHERE doc_id % 3 = 0
+    UNION ALL
+    SELECT url, '//cdn.example.net/lib.js',
+           'https://cdn.example.net/lib.js', 'cdn', ''
+    FROM b WHERE doc_id % 5 = 0
+"""
+
+
+# PageRank twin: three unrolled damped power iterations. IEEE parity:
+# (1-d) written as (1.0 - 0.85) to reproduce Python's 0.15000000000000002,
+# every constant cast to DOUBLE, update-term order identical to graph.py
+_PAGERANK_ITER = """
+    , c{i} AS (
+      SELECT e.dst, SUM(r{p}.rank * 1.0::DOUBLE / outw.ow) AS s
+      FROM e JOIN r{p} ON r{p}.node = e.src
+             JOIN outw ON outw.src = e.src
+      GROUP BY e.dst
+    ), r{i} AS (
+      SELECT node,
+             (1.0::DOUBLE - 0.85::DOUBLE) / n
+             + 0.85::DOUBLE * coalesce(c{i}.s, 0.0::DOUBLE) AS rank
+      FROM nodes CROSS JOIN tot LEFT JOIN c{i} ON c{i}.dst = nodes.node
+    )
+"""
+
+_PAGERANK_SQL = (
+    """
+    WITH e AS (
+      SELECT DISTINCT doc_id % 50 AS src, (doc_id * 7 + 3) % 50 AS dst
+      FROM documents
+    ), nodes AS (
+      SELECT src AS node FROM e UNION SELECT dst FROM e
+    ), tot AS (
+      SELECT COUNT(*)::BIGINT AS n FROM nodes
+    ), outw AS (
+      SELECT src, SUM(1.0::DOUBLE) AS ow FROM e GROUP BY 1
+    ), r0 AS (
+      SELECT node, 1.0::DOUBLE / n AS rank FROM nodes CROSS JOIN tot
+    )
+    """
+    + "".join(_PAGERANK_ITER.format(i=i, p=i - 1) for i in (1, 2, 3))
+    + "SELECT node, round(rank, 6) AS rank FROM r3"
+)
 
 
 # BM25 twin: identical tokenizer, index aggregations, Okapi constants
@@ -2810,6 +2920,8 @@ def _handwritten_oracles() -> dict[str, str]:
                    CAST(strlen(text) AS BIGINT) AS payload_len
             FROM documents
         """,
+        "outlinks": _OUTLINKS_SQL,
+        "pagerank_seeded": _PAGERANK_SQL,
         "bm25_search": _BM25_SQL.format(values=", ".join(
             "(%d, '%s')" % q for q in _BM25_QUERIES)),
         # bigram-LM perplexity: DuckDB retrains the identical model.

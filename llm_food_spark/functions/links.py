@@ -1,0 +1,56 @@
+"""Outlink extraction from HTML — the web-graph front end.
+
+Common Crawl's secondary product is the web graph (host/domain link
+graphs); a web-scale engine needs (src, target, anchor) extraction to
+build it. Reuses the repo's own DOM parser (functions/html_parser.py, the
+same tree the markdown serializer walks — reference parity cites live
+there); no reference analogue (llm-food never looks at links beyond
+serializing <a> to markdown, /root/reference/llm_food: no graph code).
+
+Pure Python, no Spark imports. URL resolution is stdlib
+``urllib.parse.urljoin`` (RFC 3986), deterministic.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import List, Tuple
+
+from urllib.parse import urljoin
+
+from llm_food_spark.functions.html_parser import Element, find_all, parse_html
+
+# schemes that are never graph edges
+_SKIP_PREFIXES = ("javascript:", "mailto:", "tel:", "data:", "#")
+
+_WS = re.compile(r"\s+")
+
+
+def _clean_anchor(s: str) -> str:
+    return _WS.sub(" ", s).strip()
+
+
+def extract_links(html_text: str, base_url: str) -> List[Tuple[str, str, str, str]]:
+    """(href_raw, target, anchor, rel) per <a> element, document order.
+
+    ``target`` is the href resolved against ``base_url`` (absolute,
+    protocol-relative, root-relative, and relative forms all via urljoin);
+    fragment-only / javascript / mailto / tel / data links are dropped.
+    ``rel`` is the raw rel attribute ('' when absent) so callers can
+    exclude nofollow edges from ranking. Never raises: the DOM parser is
+    the same error-tolerant one extraction uses."""
+    root = parse_html(html_text)
+    out: List[Tuple[str, str, str, str]] = []
+    for a in find_all(root, "a"):
+        if not isinstance(a, Element):
+            continue
+        href = (a.attrs.get("href") or "").strip()
+        if not href or href.lower().startswith(_SKIP_PREFIXES):
+            continue
+        try:
+            target = urljoin(base_url, href)
+        except ValueError:
+            continue
+        out.append((href, target, _clean_anchor(a.text_content()),
+                    (a.attrs.get("rel") or "").strip().lower()))
+    return out

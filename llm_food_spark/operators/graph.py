@@ -1,0 +1,96 @@
+"""Distributed PageRank — power iteration over an edge DataFrame.
+
+The canonical web-scale Spark workload: rank hosts/pages of the crawl
+graph (operators/links.host_graph). Classic damped formula per iteration:
+
+    rank(v) = (1-d)/N + d * Σ_{(u,v) ∈ E} rank(u) * w(u,v) / outw(u)
+
+with ``outw(u) = Σ w(u,·)`` (unweighted: out-degree). Dangling-node mass
+(nodes with no outlinks) is NOT redistributed — the common simplification
+(ranks then sum to < 1); the docstring is the contract and the oracle
+mirrors it exactly.
+
+Scale shape
+-----------
+Each iteration is one join (edges ⋈ ranks on src — narrow rank rows
+against the static edge list) + one map-side-combining groupBy(dst) + one
+left join back to the node set. Edges, out-weights, and nodes are
+localCheckpoint-ed ONCE up front (they never change; re-reading the
+lineage every round would re-scan the corpus); the rank frame is
+checkpoint-cut EVERY round, exactly the cluster.py lesson — without the
+cut the logical plan doubles per iteration and Catalyst analysis goes
+exponential. Previous-round checkpoint storage is freed deterministically
+(the round-2 minhash persist-leak lesson); ``release_persisted`` from
+operators/cluster.py clears whatever the final result still pins.
+
+The only scalar crossing the driver is N (node count) — same documented
+exception as the IVF centroids and the LM totals.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from llm_food_spark.operators.cluster import (  # shared checkpoint discipline
+    _cut,
+    _free_checkpoint_ids,
+    _persistent_ids,
+)
+
+DAMPING = 0.85
+
+
+def pagerank(
+    edges: DataFrame,
+    iterations: int = 10,
+    d: float = DAMPING,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str = None,
+    ndigits: int = 6,
+) -> DataFrame:
+    """(node, rank) for every node appearing as src or dst.
+
+    ``weight_col`` weights each edge's contribution (host graphs pass
+    n_links); None treats every row as weight 1 — pre-aggregate duplicate
+    edges yourself if multi-edges should not stack."""
+    if iterations < 1:
+        raise ValueError("iterations must be >= 1")
+    sc = edges.sparkSession.sparkContext
+    w = (F.col(weight_col).cast("double") if weight_col
+         else F.lit(1.0))
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst"),
+        w.alias("w"))
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    outw = e.groupBy("src").agg(F.sum("w").alias("ow"))
+    # static frames: checkpoint once (persisted + lineage cut)
+    e = _cut(e, sc)
+    nodes = _cut(nodes, sc)
+    outw = _cut(outw, sc)
+    n = nodes.count()  # the one driver scalar (documented)
+    ranks = nodes.select("node", (F.lit(1.0) / F.lit(float(n))).alias("rank"))
+    prev_ids: set = set()
+    for _ in range(iterations):
+        contribs = (
+            e.join(ranks, e["src"] == ranks["node"])
+            .join(outw, "src")
+            .groupBy("dst")
+            .agg(F.sum(F.col("rank") * F.col("w") / F.col("ow")).alias("s"))
+        )
+        ranks = nodes.join(
+            contribs, nodes["node"] == contribs["dst"], "left"
+        ).select(
+            "node",
+            (F.lit((1.0 - d)) / F.lit(float(n))
+             + F.lit(d) * F.coalesce("s", F.lit(0.0))).alias("rank"),
+        )
+        before = _persistent_ids(sc)
+        ranks = _cut(ranks, sc)
+        _free_checkpoint_ids(sc, prev_ids)  # previous round's rank frame
+        prev_ids = _persistent_ids(sc) - before
+    return ranks.select("node", F.round("rank", ndigits).alias("rank"))

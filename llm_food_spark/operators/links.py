@@ -1,0 +1,88 @@
+"""Outlink table + host link graph — Spark wrappers over functions/links.
+
+``extract_outlinks`` is one Arrow pass over (url, html) pages (the same
+vectorized shape as extraction); ``host_graph`` reduces the edge list to
+(src_host, dst_host, n_links) with the urlops host expression — the
+Common-Crawl-style web graph that feeds ``operators/graph.pagerank``.
+
+Scale shape: outlink extraction is embarrassingly parallel (CPU-heavy per
+row → ``ensure_min_partitions`` guard per repo convention); the host
+graph is one map-side-combining groupBy over narrow (src_host, dst_host)
+string pairs — hub hosts are hot keys, which a hash aggregation absorbs
+in the partial stage (each map task emits one row per distinct pair it
+sees, not one per link).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F, types as T
+
+from llm_food_spark.operators.util import ensure_min_partitions
+from llm_food_spark.operators.urlops import host_col
+
+OUTLINKS_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("href", T.StringType()),
+        T.StructField("target", T.StringType()),
+        T.StructField("anchor", T.StringType()),
+        T.StructField("rel", T.StringType()),
+    ]
+)
+
+_COLS = [f.name for f in OUTLINKS_SCHEMA.fields]
+
+
+def extract_outlinks(
+    pages: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """(url, href, target, anchor, rel) — one row per <a> edge.
+
+    ``html_col`` may be binary (decoded with the extraction pipeline's
+    charset detection, functions/encoding.py) or string."""
+    is_binary = dict(pages.dtypes)[html_col] == "binary"
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from llm_food_spark.functions.encoding import decode_html
+        from llm_food_spark.functions.links import extract_links
+
+        for pdf in it:
+            rows = []
+            for url, payload in zip(pdf[url_col], pdf[html_col]):
+                if payload is None:
+                    continue
+                text = (decode_html(bytes(payload)) if is_binary
+                        else str(payload))
+                for href, target, anchor, rel in extract_links(text, url):
+                    rows.append((url, href, target, anchor, rel))
+            yield pd.DataFrame(rows, columns=_COLS)
+
+    return ensure_min_partitions(
+        pages.select(url_col, html_col)
+    ).mapInPandas(run, schema=OUTLINKS_SCHEMA)
+
+
+def host_graph(
+    outlinks: DataFrame,
+    include_nofollow: bool = False,
+    drop_self: bool = True,
+) -> DataFrame:
+    """(src_host, dst_host, n_links) — the host-level web graph.
+
+    nofollow edges are excluded by default (the ranking convention);
+    ``drop_self`` removes intra-host edges (navigation chrome), the usual
+    graph-construction choice."""
+    e = outlinks.select(
+        host_col(F.col("url")).alias("src_host"),
+        host_col(F.col("target")).alias("dst_host"),
+        F.col("rel"),
+    ).where((F.col("src_host") != "") & (F.col("dst_host") != ""))
+    if not include_nofollow:
+        e = e.where(~F.col("rel").rlike(r"(^|\s)nofollow(\s|$)"))
+    if drop_self:
+        e = e.where(F.col("src_host") != F.col("dst_host"))
+    return e.groupBy("src_host", "dst_host").agg(
+        F.count(F.lit(1)).alias("n_links"))

@@ -1,0 +1,127 @@
+"""Outlink extraction, host graph, PageRank: hand-computed + plan/storage."""
+
+import pytest
+
+from llm_food_spark.functions.links import extract_links
+
+
+def test_extract_links_resolution_forms():
+    html = (
+        '<html><body>'
+        '<a href="https://abs.example.org/x">A</a>'
+        '<a href="/root/y">B</a>'
+        '<a href="//cdn.example.net/z">C</a>'
+        '<a href="sib.html">D</a>'
+        '<a href="../up.html">E</a>'
+        '<a href="#frag">skip</a>'
+        '<a href="mailto:a@b">skip</a>'
+        '<a href="javascript:void(0)">skip</a>'
+        '<a href="">skip</a>'
+        "</body></html>"
+    )
+    got = extract_links(html, "https://host.example.com/dir/sub/page.html")
+    targets = [t for _, t, _, _ in got]
+    assert targets == [
+        "https://abs.example.org/x",
+        "https://host.example.com/root/y",
+        "https://cdn.example.net/z",
+        "https://host.example.com/dir/sub/sib.html",
+        "https://host.example.com/dir/up.html",
+    ]
+
+
+def test_extract_links_anchor_and_rel():
+    html = '<a href="/x" rel="NoFollow External">  spaced\n anchor </a>'
+    [(href, _, anchor, rel)] = extract_links(html, "https://h.com/")
+    assert anchor == "spaced anchor"
+    assert rel == "nofollow external"
+
+
+def test_extract_links_never_raises_on_hostile():
+    for bad in ("<a href=", "<a<b><a href='&&&'>x", "\x00" * 50,
+                "<a href='http://[bad'>x</a>"):
+        extract_links(bad, "https://h.com/")  # must not raise
+
+
+def test_host_graph_filters(spark):
+    from llm_food_spark.operators.links import extract_outlinks, host_graph
+
+    pages = spark.createDataFrame([
+        ("https://a.com/p",
+         '<a href="https://b.com/1">x</a>'
+         '<a href="https://b.com/2">y</a>'
+         '<a href="https://a.com/self">self</a>'
+         '<a href="https://c.com/n" rel="nofollow">n</a>'),
+    ], "url string, html string")
+    ol = extract_outlinks(pages)
+    g = {(r.src_host, r.dst_host): r.n_links for r in host_graph(ol).collect()}
+    assert g == {("a.com", "b.com"): 2}
+    g2 = {(r.src_host, r.dst_host): r.n_links
+          for r in host_graph(ol, include_nofollow=True,
+                              drop_self=False).collect()}
+    assert g2 == {("a.com", "b.com"): 2, ("a.com", "a.com"): 1,
+                  ("a.com", "c.com"): 1}
+
+
+def test_outlinks_binary_html(spark):
+    from llm_food_spark.operators.links import extract_outlinks
+
+    pages = spark.createDataFrame(
+        [("https://a.com/p", '<a href="/x">bé</a>'.encode("utf-8"))],
+        "url string, html binary")
+    [r] = extract_outlinks(pages).collect()
+    assert r.target == "https://a.com/x" and r.anchor == "bé"
+
+
+def test_pagerank_cycle_uniform(spark):
+    from llm_food_spark.operators.graph import pagerank
+
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a")], "src string, dst string")
+    ranks = {r.node: r.rank for r in pagerank(e, iterations=7).collect()}
+    assert all(v == round(1 / 3, 6) for v in ranks.values())
+
+
+def test_pagerank_star_hand_computed(spark):
+    from llm_food_spark.operators.graph import pagerank
+
+    e = spark.createDataFrame(
+        [("a", "b"), ("c", "b")], "src string, dst string")
+    r1 = {r.node: r.rank for r in pagerank(e, iterations=1).collect()}
+    # N=3, init 1/3: b = 0.15/3 + 0.85*(1/3 + 1/3); a=c get no inlinks
+    assert r1["b"] == round(0.15 / 3 + 0.85 * (2 / 3), 6)
+    assert r1["a"] == r1["c"] == round(0.15 / 3, 6)
+    # dangling contract: b's mass is NOT redistributed next round
+    r2 = {r.node: r.rank for r in pagerank(e, iterations=2).collect()}
+    assert r2["b"] == round(0.05 + 0.85 * (2 * 0.05), 6)
+
+
+def test_pagerank_weighted(spark):
+    from llm_food_spark.operators.graph import pagerank
+
+    e = spark.createDataFrame(
+        [("a", "b", 3), ("a", "c", 1)], "src string, dst string, w long")
+    r = {x.node: x.rank for x in pagerank(
+        e, iterations=1, weight_col="w").collect()}
+    assert r["b"] == round(0.05 + 0.85 * (1 / 3) * (3 / 4), 6)
+    assert r["c"] == round(0.05 + 0.85 * (1 / 3) * (1 / 4), 6)
+
+
+def test_pagerank_checkpoint_storage_bounded(spark):
+    from llm_food_spark.operators.cluster import release_persisted
+    from llm_food_spark.operators.graph import pagerank
+
+    sc = spark.sparkContext
+    release_persisted()
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "a"), ("b", "c"), ("c", "a")],
+        "src string, dst string")
+    pagerank(e, iterations=6).collect()
+    # statics (edges, nodes, outw) + at most one live rank frame remain
+    pinned_after_first = len(sc._jsc.getPersistentRDDs().keySet().toArray())
+    pagerank(e, iterations=6).collect()
+    pinned_after_second = len(sc._jsc.getPersistentRDDs().keySet().toArray())
+    # repeated calls must not accumulate per-iteration rank frames
+    assert pinned_after_second <= pinned_after_first + 4
+    release_persisted()
+    assert len(sc._jsc.getPersistentRDDs().keySet().toArray()) == 0
