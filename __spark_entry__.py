@@ -659,6 +659,29 @@ def q_pagerank_seeded(spark, sf_dir):
     return pagerank(e, iterations=3)
 
 
+def q_snapshot_diff(spark, sf_dir):
+    """Crawl-snapshot CDC (operators/snapshot.py): two snapshots seeded
+    from documents (doc_id%11==3 absent from OLD → added; doc_id%13==5
+    absent from NEW → removed; doc_id%7==0 re-hashed in NEW → changed),
+    one narrow full-outer join. Hard oracle: DuckDB reconstructs both
+    snapshots and the CASE ladder."""
+    from llm_food_spark.operators.snapshot import snapshot_diff
+
+    d = _t(spark, sf_dir, "documents")
+    url = F.concat(F.lit("http://crawl.test/"), F.col("doc_id"))
+    old = d.where(F.col("doc_id") % 11 != 3).select(
+        url.alias("url"), F.sha2(F.col("text").cast("binary"), 256).alias(
+            "content_hash"))
+    new = d.where(F.col("doc_id") % 13 != 5).select(
+        url.alias("url"),
+        F.sha2(
+            F.when(F.col("doc_id") % 7 == 0,
+                   F.concat(F.col("text"), F.lit(" v2")))
+            .otherwise(F.col("text")).cast("binary"), 256
+        ).alias("content_hash"))
+    return snapshot_diff(old, new)
+
+
 # batch search probes for q_bm25_search — fixed literals shared verbatim
 # with the SQL twin (incl. a repeated term and a zero-hit term)
 _BM25_QUERIES = [
@@ -1430,6 +1453,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_perplexity": q_lm_perplexity,
         "bm25_search": q_bm25_search,
         "outlinks": q_outlinks,
+        "snapshot_diff": q_snapshot_diff,
         "pagerank_seeded": q_pagerank_seeded,
         "cosine_topk": q_cosine_topk,
         "cosine_pairs": q_cosine_pairs,
@@ -2921,6 +2945,26 @@ def _handwritten_oracles() -> dict[str, str]:
             FROM documents
         """,
         "outlinks": _OUTLINKS_SQL,
+        # snapshot CDC twin: both snapshots reconstructed, full outer join,
+        # identical CASE ladder (added/removed/changed/unchanged)
+        "snapshot_diff": """
+            WITH o AS (
+              SELECT 'http://crawl.test/' || doc_id AS url,
+                     sha256(text) AS old_hash
+              FROM documents WHERE doc_id % 11 <> 3
+            ), n AS (
+              SELECT 'http://crawl.test/' || doc_id AS url,
+                     sha256(CASE WHEN doc_id % 7 = 0 THEN text || ' v2'
+                                 ELSE text END) AS new_hash
+              FROM documents WHERE doc_id % 13 <> 5
+            )
+            SELECT coalesce(o.url, n.url) AS url, old_hash, new_hash,
+                   CASE WHEN old_hash IS NULL THEN 'added'
+                        WHEN new_hash IS NULL THEN 'removed'
+                        WHEN old_hash = new_hash THEN 'unchanged'
+                        ELSE 'changed' END AS change
+            FROM o FULL OUTER JOIN n ON o.url = n.url
+        """,
         "pagerank_seeded": _PAGERANK_SQL,
         "bm25_search": _BM25_SQL.format(values=", ".join(
             "(%d, '%s')" % q for q in _BM25_QUERIES)),

@@ -1,0 +1,51 @@
+"""Crawl-snapshot diff — CDC between two corpus snapshots.
+
+Common Crawl republishes monthly; an incremental pipeline wants to
+re-extract only what changed. Given two snapshots keyed by url with a
+content fingerprint (the extraction pipeline's ``content_hash``), emit one
+row per url with its change status — the input to "extract only
+added+changed" incremental runs (the batch analogue of the streaming
+first-seen dedup, streaming/dedup.py). The reference reprocesses every
+upload unconditionally; no analogue.
+
+Scale shape: ONE full-outer sort-merge join on the url key — the minimal
+shuffle for a keyed diff; both sides are narrow (url, hash) projections so
+the exchange never carries payloads. Downstream, ``changed_only`` is the
+semi-join feeding re-extraction. With both snapshots stored bucketed by
+url-hash (the pipeline's own ingest layout, Iceberg bucket(P, url)), even
+this exchange disappears — bucketed scan-aligned join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_col: str = "url",
+    hash_col: str = "content_hash",
+) -> DataFrame:
+    """(key, old_hash, new_hash, change) with change ∈
+    'added' | 'removed' | 'changed' | 'unchanged'."""
+    o = old.select(F.col(key_col).alias("k"),
+                   F.col(hash_col).alias("old_hash"))
+    n = new.select(F.col(key_col).alias("k"),
+                   F.col(hash_col).alias("new_hash"))
+    j = o.join(n, "k", "full_outer")
+    change = (
+        F.when(F.col("old_hash").isNull(), F.lit("added"))
+        .when(F.col("new_hash").isNull(), F.lit("removed"))
+        .when(F.col("old_hash") == F.col("new_hash"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return j.select(F.col("k").alias(key_col), "old_hash", "new_hash",
+                    change.alias("change"))
+
+
+def needs_extraction(
+    diff: DataFrame, key_col: str = "url"
+) -> DataFrame:
+    """Keys requiring (re-)extraction: added + changed rows."""
+    return diff.where(F.col("change").isin("added", "changed")).select(key_col)

@@ -1,0 +1,38 @@
+"""Snapshot CDC: four change classes, incremental-extraction feed."""
+
+
+def test_snapshot_diff_classes(spark):
+    from llm_food_spark.operators.snapshot import needs_extraction, snapshot_diff
+
+    old = spark.createDataFrame(
+        [("u1", "h1"), ("u2", "h2"), ("u3", "h3")],
+        "url string, content_hash string")
+    new = spark.createDataFrame(
+        [("u1", "h1"), ("u2", "h2x"), ("u4", "h4")],
+        "url string, content_hash string")
+    diff = snapshot_diff(old, new)
+    got = {r.url: r.change for r in diff.collect()}
+    assert got == {"u1": "unchanged", "u2": "changed",
+                   "u3": "removed", "u4": "added"}
+    todo = sorted(r.url for r in needs_extraction(diff).collect())
+    assert todo == ["u2", "u4"]
+
+
+def test_snapshot_diff_payload_never_joins(spark):
+    from llm_food_spark.operators.snapshot import snapshot_diff
+
+    old = spark.createDataFrame(
+        [("u1", "h1", b"X" * 100)],
+        "url string, content_hash string, html binary")
+    new = spark.createDataFrame(
+        [("u1", "h1", b"Y" * 100)],
+        "url string, content_hash string, html binary")
+    diff = snapshot_diff(old, new)
+    assert set(diff.columns) == {"url", "old_hash", "new_hash", "change"}
+    # the exchange carries only (url, hash): payload columns pruned pre-join
+    # (the source scan itself still lists html — it's an in-memory RDD)
+    plan = diff._jdf.queryExecution().executedPlan().toString()
+    join_and_shuffle = [ln for ln in plan.splitlines()
+                        if "Exchange" in ln or "Join" in ln]
+    assert join_and_shuffle and all("html" not in ln
+                                    for ln in join_and_shuffle)
