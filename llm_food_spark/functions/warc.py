@@ -166,6 +166,8 @@ def _dechunk(body: bytes) -> Optional[bytes]:
             size = int(size_tok, 16)
         except ValueError:
             return None
+        if size < 0:  # '-f' parses; a negative size would walk backwards
+            return None
         pos = nl + 2
         if size == 0:
             return b"".join(out)
@@ -240,6 +242,8 @@ def _parse_one(buf: bytes, pos: int) -> Tuple[Optional[Dict], int]:
     try:
         length = int(fields.get("content-length", ""))
     except ValueError:
+        length = -1
+    if length < 0:  # missing, unparsable, or negative: never walk backwards
         nxt = buf.find(b"WARC/", hdr_end)
         return _error("missing/invalid Content-Length"), (
             nxt if nxt > 0 else n)

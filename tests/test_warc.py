@@ -216,3 +216,26 @@ def test_streaming_warc_ingest(spark, tmp_path):
     drain()
     assert len(seen) == 9  # only the new archive was re-processed
     assert sum(u.startswith("http://stream.test/c/") for u in seen) == 4
+
+
+def test_negative_content_length_terminates():
+    """A negative Content-Length must resync forward, never loop."""
+    rec = (b"WARC/1.0\r\nWARC-Type: response\r\n"
+           b"Content-Type: application/warc-fields\r\n"
+           b"Content-Length: -5\r\n\r\npayload\r\n\r\n")
+    ok = build_record("response", build_http_response(b"x"),
+                      url="http://t/ok", date="2025-01-01T00:00:00Z")
+    recs = parse_warc(rec + ok)
+    assert any(r["status"] == "error_malformed" for r in recs)
+    assert any(r["url"] == "http://t/ok" and r["status"] == "ok"
+               for r in recs)
+
+
+def test_negative_chunk_size_terminates():
+    http = (b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+            b"Transfer-Encoding: chunked\r\n\r\n-f\r\nxx\r\n0\r\n\r\n")
+    rec = build_record("response", http, url="http://t/c",
+                       date="2025-01-01T00:00:00Z")
+    [r] = parse_warc(build_warc([rec]))
+    # malformed chunk stream: raw body kept, never an exception/hang
+    assert r["status"] == "ok" and r["payload"] is not None
