@@ -112,16 +112,22 @@ def test_pagerank_checkpoint_storage_bounded(spark):
     from llm_food_spark.operators.graph import pagerank
 
     sc = spark.sparkContext
+
+    def pinned():
+        return len(sc._jsc.getPersistentRDDs().keySet().toArray())
+
+    # delta-based: other suites may legitimately hold persisted frames
     release_persisted()
+    baseline = pinned()
     e = spark.createDataFrame(
         [("a", "b"), ("b", "a"), ("b", "c"), ("c", "a")],
         "src string, dst string")
     pagerank(e, iterations=6).collect()
     # statics (edges, nodes, outw) + at most one live rank frame remain
-    pinned_after_first = len(sc._jsc.getPersistentRDDs().keySet().toArray())
+    after_first = pinned()
     pagerank(e, iterations=6).collect()
-    pinned_after_second = len(sc._jsc.getPersistentRDDs().keySet().toArray())
+    after_second = pinned()
     # repeated calls must not accumulate per-iteration rank frames
-    assert pinned_after_second <= pinned_after_first + 4
+    assert after_second - after_first <= 4
     release_persisted()
-    assert len(sc._jsc.getPersistentRDDs().keySet().toArray()) == 0
+    assert pinned() <= baseline
