@@ -659,6 +659,69 @@ def q_pagerank_seeded(spark, sf_dir):
     return pagerank(e, iterations=3)
 
 
+def q_cc_prep(spark, sf_dir):
+    """The full Common-Crawl funnel (plans/ccprep.py) under a chained hard
+    oracle, THROUGH the real WARC parser and the real extraction pipeline:
+    documents become chunked-encoded WARC archives (16 gzip files built +
+    re-parsed by functions/warc.py), urls ending in 7 are screened out
+    pre-extraction, doc_id%13==0 payloads are binary garbage (error rows
+    dropped at the completed-gate), doc_id%9==0 docs share one boilerplate
+    body (exact dedup keeps the smallest url), and survivors get the
+    MINSTD split. DuckDB reconstructs every stage arithmetically — any
+    divergence in gzip walk, de-chunking, DOM parse, markdown
+    serialization, sha256, keeper election, or bucket math breaks the
+    hash."""
+    import pandas as pd
+
+    from llm_food_spark.plans.ccprep import cc_prep
+    from llm_food_spark.operators.split import bucket_minstd
+    from llm_food_spark.sources.warc import parse_warc_records, warc_pages
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "text", (F.col("doc_id") % 16).alias("bucket"))
+
+    def build_archive(pdf: pd.DataFrame) -> pd.DataFrame:
+        from datetime import datetime, timedelta
+
+        from llm_food_spark.functions.warc import (
+            build_http_response, build_record, build_warc, warcinfo_record)
+
+        epoch = datetime(2025, 1, 1)
+        pdf = pdf.sort_values("doc_id")
+        bucket = int(pdf["bucket"].iloc[0])
+        recs = [warcinfo_record("cc-%02d.warc.gz" % bucket)]
+        for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+            i = int(doc_id)
+            if i % 13 == 0:
+                payload = b"\x00\x01binarygarbage\xff"
+            else:
+                body = ("duplicate boilerplate page body" if i % 9 == 0
+                        else (text or ""))
+                payload = ("<html><body><p>%s</p></body></html>"
+                           % body).encode("utf-8")
+            recs.append(build_record(
+                "response",
+                build_http_response(payload, chunked=(i % 2 == 0)),
+                url="http://crawl.test/%d" % i,
+                date=(epoch + timedelta(seconds=i % 86400)).strftime(
+                    "%Y-%m-%dT%H:%M:%SZ")))
+        return pd.DataFrame(
+            [("mem://cc-%02d.warc.gz" % bucket,
+              build_warc(recs, gzip_members=True))],
+            columns=["path", "content"])
+
+    archives = d.groupBy("bucket").applyInPandas(
+        build_archive, "path string, content binary")
+    pages = warc_pages(parse_warc_records(archives))
+    return cc_prep(
+        pages,
+        blocked_path_re="/[0-9]*7$",
+        id_expr=F.regexp_extract("url", "([0-9]+)$", 1).cast("long"),
+        bucket_fn=bucket_minstd,
+        n_partitions=8,
+    )
+
+
 def q_snapshot_diff(spark, sf_dir):
     """Crawl-snapshot CDC (operators/snapshot.py): two snapshots seeded
     from documents (doc_id%11==3 absent from OLD → added; doc_id%13==5
@@ -1454,6 +1517,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_search": q_bm25_search,
         "outlinks": q_outlinks,
         "snapshot_diff": q_snapshot_diff,
+        "cc_prep": q_cc_prep,
         "pagerank_seeded": q_pagerank_seeded,
         "cosine_topk": q_cosine_topk,
         "cosine_pairs": q_cosine_pairs,
@@ -2945,6 +3009,43 @@ def _handwritten_oracles() -> dict[str, str]:
             FROM documents
         """,
         "outlinks": _OUTLINKS_SQL,
+        # cc_prep chained twin: seed -> screen(%10==7 out) -> garbage-gate
+        # (%13==0 out) -> boilerplate replace (%9==0) -> markdown == <p>
+        # body (verified extraction property) -> sha256 of the html string
+        # (ascii => identical bytes) -> keeper by min url per hash ->
+        # MINSTD split over the id parsed back from the url
+        "cc_prep": """
+            WITH d AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 9 = 0
+                          THEN 'duplicate boilerplate page body'
+                          ELSE text END AS t
+              FROM documents
+              WHERE doc_id % 13 <> 0 AND doc_id % 10 <> 7
+            ), h AS (
+              SELECT doc_id, 'http://crawl.test/' || doc_id AS url,
+                     '<html><body><p>' || t || '</p></body></html>' AS html,
+                     t
+              FROM d
+            ), x AS (
+              SELECT url, sha256(html) AS content_hash, t AS markdown, doc_id
+              FROM h
+            ), k AS (
+              SELECT * FROM x
+              QUALIFY row_number() OVER (
+                PARTITION BY content_hash ORDER BY url) = 1
+            ), b AS (
+              SELECT *,
+                     ((doc_id % 2147483647 + 2147483647) % 2147483647
+                      * 48271) % 2147483647 % 1000000 AS bk
+              FROM k
+            )
+            SELECT url, content_hash, markdown,
+                   CASE WHEN bk < 900000 THEN 'train'
+                        WHEN bk < 950000 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM b
+        """,
         # snapshot CDC twin: both snapshots reconstructed, full outer join,
         # identical CASE ladder (added/removed/changed/unchanged)
         "snapshot_diff": """

@@ -1,0 +1,77 @@
+"""cc_prep — the full Common-Crawl funnel as one composed plan.
+
+WARC pages table → URL blocklist screen → markdown extraction → exact
+content dedup → leakage-safe split: the whole journey from crawl archive
+to training-ready corpus, each stage the production operator, one plan,
+no intermediate materialization. This is the composite the README's
+"switching from llm-food" user actually runs at 10^12 docs; the driver
+query feeds it WARC bytes built and re-parsed through functions/warc.py
+so the SQL oracle checks every stage *through the real extraction path*.
+
+Stage order is the cost order: the url screen (broadcast membership +
+one rlike on the url column only) runs BEFORE extraction so blocked
+documents never pay the Arrow pass; dedup runs on the extraction's own
+content_hash (no second content scan); the split is pure column
+arithmetic on the surviving rows.
+
+Scale shape per stage is documented at each operator (PLANS.md); the
+composition adds exactly one new exchange — the dedup's hash-partition
+on content_hash — beyond extraction's salted repartition.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+from llm_food_spark.operators.extract import extract_pages
+from llm_food_spark.operators.split import assign_split, bucket_xxhash
+from llm_food_spark.operators.urlops import (
+    DEFAULT_BLOCKED_PATH_RE,
+    filter_urls,
+)
+
+
+def cc_prep(
+    pages: DataFrame,
+    blocked: Optional[DataFrame] = None,
+    blocked_path_re: str = DEFAULT_BLOCKED_PATH_RE,
+    weights: Optional[Dict[str, float]] = None,
+    id_expr: Optional[Column] = None,
+    bucket_fn=bucket_xxhash,
+    n_partitions: Optional[int] = None,
+    max_bytes: Optional[int] = None,
+) -> DataFrame:
+    """pages (url, warc_ts, html, text, lang) →
+    (url, content_hash, markdown, split).
+
+    - screen: drop urls hitting ``blocked`` (host/registrable-domain
+      membership) or ``blocked_path_re`` — before extraction runs.
+    - extract: the full pipeline; only status='completed' rows with
+      non-empty markdown survive (error/oversize rows are dropped here —
+      audit them from ``extract_pages`` directly when needed).
+    - dedup: one keeper per content_hash, smallest url wins
+      (deterministic under any partitioning).
+    - split: ``assign_split`` on ``id_expr`` (default xxhash64(url);
+      pass a parsed stable id + ``bucket_minstd`` for an SQL-portable
+      assignment).
+    """
+    weights = weights or {"train": 0.9, "val": 0.05, "test": 0.05}
+    kept = filter_urls(pages, blocked=blocked,
+                       blocked_path_re=blocked_path_re, keep=True)
+    results = extract_pages(kept, n_partitions=n_partitions,
+                            max_bytes=max_bytes)
+    good = results.where(
+        (F.col("status") == "completed") & (F.col("markdown") != "")
+    ).select("url", "content_hash", "markdown")
+    w = Window.partitionBy("content_hash").orderBy(F.col("url").asc())
+    deduped = (
+        good.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") == 1)
+        .drop("_rk")
+    )
+    base = deduped.withColumn(
+        "_id", id_expr if id_expr is not None else F.xxhash64("url"))
+    out = assign_split(base, "_id", weights, bucket_fn=bucket_fn)
+    return out.drop("_id")

@@ -1,0 +1,52 @@
+"""cc_prep funnel: stage semantics through real WARC + extraction."""
+
+
+def _pages(spark):
+    from llm_food_spark.functions.warc import (
+        build_http_response, build_record, build_warc)
+    from llm_food_spark.sources.warc import parse_warc_records, warc_pages
+
+    recs = []
+    def add(i, payload):
+        recs.append(build_record(
+            "response", build_http_response(payload, chunked=(i % 2 == 0)),
+            url="http://t.example/%d" % i, date="2025-01-01T00:00:00Z"))
+    add(1, b"<html><body><p>unique one</p></body></html>")
+    add(2, b"<html><body><p>shared body</p></body></html>")
+    add(3, b"<html><body><p>shared body</p></body></html>")   # dup of 2
+    add(7, b"<html><body><p>blocked by path</p></body></html>")
+    add(4, b"\x00\x01garbage\xff")                             # extraction fails
+    blob = build_warc(recs)
+    files = spark.createDataFrame([("mem://a.warc.gz", blob)],
+                                  "path string, content binary")
+    return warc_pages(parse_warc_records(files))
+
+
+def test_cc_prep_stages(spark):
+    from pyspark.sql import functions as F
+    from llm_food_spark.plans.ccprep import cc_prep
+
+    out = cc_prep(
+        _pages(spark),
+        blocked_path_re="/7$",
+        id_expr=F.regexp_extract("url", "([0-9]+)$", 1).cast("long"),
+        n_partitions=2,
+    ).collect()
+    urls = sorted(r.url for r in out)
+    # 7 screened pre-extraction, 4 failed extraction, 3 deduped into 2
+    assert urls == ["http://t.example/1", "http://t.example/2"]
+    row = {r.url: r for r in out}
+    assert row["http://t.example/2"].markdown == "shared body"
+    assert all(r.split in ("train", "val", "test") for r in out)
+
+
+def test_cc_prep_split_deterministic(spark):
+    from pyspark.sql import functions as F
+    from llm_food_spark.plans.ccprep import cc_prep
+
+    a = {r.url: r.split for r in cc_prep(
+        _pages(spark), blocked_path_re="/7$", n_partitions=2).collect()}
+    b = {r.url: r.split for r in cc_prep(
+        _pages(spark).repartition(5), blocked_path_re="/7$",
+        n_partitions=3).collect()}
+    assert a == b  # invariant under partitioning and P
