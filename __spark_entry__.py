@@ -785,6 +785,31 @@ def q_lm_perplexity(spark, sf_dir):
     return perplexity(d, lm, broadcast_model=True)
 
 
+def q_quality_classifier(spark, sf_dir):
+    """fastText/CCNet-style trained quality classifier
+    (operators/classify.py): multinomial Naive Bayes trained with one
+    conditional-count groupBy over a deterministically-labeled train
+    subset (doc_id%3<>0; label by doc_id parity), scoring every document
+    through one broadcast weights join. Hard oracle: DuckDB retrains the
+    identical model (same add-one smoothing, same ln-ratio weights as
+    IEEE doubles) and recomputes each document's log-odds score and
+    prediction to 4dp."""
+    from llm_food_spark.operators.classify import (
+        quality_score_nb,
+        train_quality_nb,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    labeled = d.withColumn(
+        "label",
+        F.when(F.col("doc_id") % 2 == 0, F.lit("good")).otherwise(
+            F.lit("bad")
+        ),
+    )
+    model = train_quality_nb(labeled.where(F.col("doc_id") % 3 != 0))
+    return quality_score_nb(d, model, broadcast_model=True)
+
+
 def q_split_assign(spark, sf_dir):
     """Deterministic leakage-safe train/val/test split + 10% mixing sample
     flag (operators/split.py), via the portable MINSTD bucket so the DuckDB
@@ -1514,6 +1539,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fetch": q_fetch,
         "warc_roundtrip": q_warc_roundtrip,
         "lm_perplexity": q_lm_perplexity,
+        "quality_classifier": q_quality_classifier,
         "bm25_search": q_bm25_search,
         "outlinks": q_outlinks,
         "snapshot_diff": q_snapshot_diff,
@@ -3113,6 +3139,58 @@ def _handwritten_oracles() -> dict[str, str]:
                    round(SUM(ln(p)), 4) AS logprob,
                    round(exp(-SUM(ln(p)) / COUNT(*)), 4) AS ppl
             FROM scored GROUP BY doc_id
+        """,
+        # Naive-Bayes quality classifier: DuckDB retrains the identical
+        # model. Same parity engineering as lm_perplexity: every division
+        # denominator cast to DOUBLE, ln-ratio weights computed per token
+        # exactly as classify.py writes them, pred decided on the ROUNDED
+        # score in both engines so the boundary is ulp-stable.
+        "quality_classifier": """
+            WITH toks AS (
+              SELECT doc_id,
+                     string_split(trim(regexp_replace(lower(text),
+                       '[^a-z]+', ' ', 'g')), ' ') AS l
+              FROM documents
+            ), tok AS (
+              SELECT doc_id, l[i] AS w
+              FROM toks, LATERAL (SELECT unnest(range(1, len(l) + 1)) AS i) u
+              WHERE l[i] <> ''
+            ), tr AS (
+              SELECT w, CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS is_pos
+              FROM tok WHERE doc_id % 3 <> 0
+            ), cnt AS (
+              SELECT w, SUM(is_pos)::BIGINT AS c_pos,
+                     SUM(1 - is_pos)::BIGINT AS c_neg
+              FROM tr GROUP BY w
+            ), tot AS (
+              SELECT SUM(c_pos)::BIGINT AS n_pos,
+                     SUM(c_neg)::BIGINT AS n_neg, COUNT(*)::BIGINT AS v
+              FROM cnt
+            ), pri AS (
+              SELECT SUM(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS d_pos,
+                     SUM(CASE WHEN doc_id % 2 <> 0 THEN 1 ELSE 0 END) AS d_neg
+              FROM documents WHERE doc_id % 3 <> 0
+            ), wts AS (
+              SELECT w,
+                     ln((c_pos + 1) / ((n_pos + v)::DOUBLE))
+                       - ln((c_neg + 1) / ((n_neg + v)::DOUBLE)) AS wt
+              FROM cnt CROSS JOIN tot
+            ), scored AS (
+              SELECT t.doc_id,
+                     coalesce(wts.wt,
+                       ln(1.0::DOUBLE / ((n_pos + v)::DOUBLE))
+                         - ln(1.0::DOUBLE / ((n_neg + v)::DOUBLE))) AS wt
+              FROM tok t
+              LEFT JOIN wts ON wts.w = t.w
+              CROSS JOIN tot
+            )
+            SELECT doc_id, COUNT(*)::BIGINT AS n_tokens,
+                   round(ln(d_pos / (d_neg::DOUBLE)) + SUM(wt), 4) AS score,
+                   CASE WHEN round(ln(d_pos / (d_neg::DOUBLE)) + SUM(wt), 4)
+                             >= 0
+                        THEN 'good' ELSE 'bad' END AS pred
+            FROM scored CROSS JOIN pri
+            GROUP BY doc_id, d_pos, d_neg
         """,
         # MINSTD bucket split over a nonnegative residue (negative ids, e.g.
         # xxhash64-derived, must not all land below the first cut); cumulative

@@ -1,0 +1,159 @@
+"""Trained quality classifier — fastText/CCNet-style model-based filtering.
+
+The public CCNet / RefinedWeb / GPT-3 pipelines all carry a TRAINED quality
+model next to the heuristic signals: a linear bag-of-words classifier
+(fastText in CCNet, logistic regression over hashed features in GPT-3's
+WebText filter) scoring "reference-corpus-like" vs "crawl-like". The
+reference (llm-food) has no quality model at all — it converts one upload
+at a time (`/root/reference/llm_food/app.py`, single-request conversion
+service); at 100 TB a trainable, distributed classifier is a first-class
+pipeline stage, so this module provides one the way `lm_score.py` provides
+the CCNet perplexity signal.
+
+Model
+-----
+Multinomial Naive Bayes with add-one smoothing — the closed-form member of
+the linear bag-of-words family (fastText without the learned embedding; a
+log-linear model whose weights are count ratios, so training is EXACTLY two
+distributed aggregations and every number is independently recomputable by
+an external engine, which is what makes the hard DuckDB oracle possible):
+
+- tokens: lowercased alpha words (``lm_score.alpha_tokens`` — flat regexp
+  primitives, identical arithmetic in DuckDB)
+- per-token weight  w(t) = ln((c_pos(t)+1)/(N_pos+V)) - ln((c_neg(t)+1)/(N_neg+V))
+- OOV weight (token unseen in training) uses c=0 in both classes
+- bias = ln(docs_pos / docs_neg)  (class prior log-odds)
+- score(doc) = bias + Σ_occurrences w(t); pred = pos iff round(score,4) >= 0
+
+The prediction is taken on the ROUNDED score so the decision boundary is
+cross-engine stable (both engines agree on the 4dp value; an unrounded
+boundary could flip on a last-ulp sum-order difference).
+
+Scale shape
+-----------
+Training: one narrow explode + ONE map-side-combined groupBy(token) with
+conditional counts (no pivot, no second shuffle); class totals and vocab
+size are a single-row collect (four longs — same documented exception as
+the IVF centroid update and the LM's N/V). Scoring: one narrow explode +
+one left join against the weights frame keyed on token (broadcast when the
+model fits — any real vocabulary does) + one groupBy(doc). Hot stopword
+keys skew the probe side only (model keys are unique); AQE handles it when
+the join does shuffle. Nothing in the hot path is Python.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import NamedTuple
+
+from pyspark.sql import DataFrame, functions as F
+
+from llm_food_spark.operators.lm_score import alpha_tokens
+
+
+class NBModel(NamedTuple):
+    """A trained classifier: one token→weight frame plus three scalars."""
+
+    weights: DataFrame  # (w, wt) — wt = log-odds contribution per occurrence
+    bias: float         # ln(docs_pos / docs_neg)
+    oov_wt: float       # weight of a token unseen in training
+    pos_label: str
+    neg_label: str
+
+
+def _tokens(docs: DataFrame, id_col: str, text_col: str,
+            *extra_cols: str) -> DataFrame:
+    """(doc_id, *extra, w) — one narrow explode; '' (all-non-alpha docs)
+    filtered so it can never become a model key or a scored occurrence."""
+    toks = alpha_tokens(F.col(text_col))
+    cols = [F.col(id_col).alias("doc_id"), *extra_cols]
+    return (
+        docs.select(*cols, F.explode(toks).alias("w"))
+        .where(F.col("w") != "")
+    )
+
+
+def train_quality_nb(
+    train: DataFrame,
+    label_col: str = "label",
+    pos_label: str = "good",
+    neg_label: str = "bad",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> NBModel:
+    """Train from a labeled frame. Rows whose label is neither pos nor neg
+    are ignored. Raises if either class has zero documents (the prior and
+    the smoothing denominators would be degenerate)."""
+    lab = train.where(F.col(label_col).isin(pos_label, neg_label))
+    is_pos = (F.col(label_col) == pos_label).cast("long")
+
+    tok = _tokens(lab, id_col, text_col, label_col)
+    counts = tok.groupBy("w").agg(
+        F.sum(is_pos).alias("c_pos"),
+        F.sum(1 - is_pos).alias("c_neg"),
+    )
+    tot = counts.agg(
+        F.sum("c_pos").alias("n_pos"),
+        F.sum("c_neg").alias("n_neg"),
+        F.count("*").alias("v"),
+    ).collect()[0]
+    n_pos, n_neg = int(tot["n_pos"] or 0), int(tot["n_neg"] or 0)
+    v = int(tot["v"] or 0)
+
+    docs_per = dict(
+        lab.groupBy(label_col).count().collect()
+    )  # at most two rows
+    d_pos = int(docs_per.get(pos_label, 0))
+    d_neg = int(docs_per.get(neg_label, 0))
+    if d_pos == 0 or d_neg == 0:
+        raise ValueError(
+            "train_quality_nb needs at least one document of each class; "
+            "got %d %r / %d %r" % (d_pos, pos_label, d_neg, neg_label)
+        )
+
+    denom_pos = float(n_pos + v)
+    denom_neg = float(n_neg + v)
+    weights = counts.select(
+        "w",
+        (
+            F.log((F.col("c_pos") + F.lit(1)) / F.lit(denom_pos))
+            - F.log((F.col("c_neg") + F.lit(1)) / F.lit(denom_neg))
+        ).alias("wt"),
+    )
+    return NBModel(
+        weights=weights,
+        bias=math.log(d_pos / d_neg),
+        oov_wt=math.log(1.0 / denom_pos) - math.log(1.0 / denom_neg),
+        pos_label=pos_label,
+        neg_label=neg_label,
+    )
+
+
+def quality_score_nb(
+    docs: DataFrame,
+    model: NBModel,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast_model: bool = True,
+    ndigits: int = 4,
+) -> DataFrame:
+    """Score documents: (doc_id, n_tokens, score, pred).
+
+    Documents with zero alpha tokens are excluded (nothing to score —
+    same contract as ``lm_score.perplexity``). ``score`` is the rounded
+    log-odds; ``pred`` is decided on the rounded value."""
+    wts = model.weights
+    if broadcast_model:
+        wts = F.broadcast(wts)
+    tok = _tokens(docs, id_col, text_col)
+    scored = tok.join(wts, "w", "left").select(
+        "doc_id", F.coalesce("wt", F.lit(model.oov_wt)).alias("wt")
+    )
+    score = F.round(F.lit(model.bias) + F.sum("wt"), ndigits)
+    return scored.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        score.alias("score"),
+        F.when(score >= 0, F.lit(model.pos_label))
+        .otherwise(F.lit(model.neg_label))
+        .alias("pred"),
+    )

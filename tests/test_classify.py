@@ -1,0 +1,124 @@
+"""Naive-Bayes quality classifier: hand-computed parity, OOV, separation,
+plan shape."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from llm_food_spark.operators.classify import (
+    quality_score_nb,
+    train_quality_nb,
+)
+
+
+@pytest.fixture(scope="module")
+def tiny_nb(spark):
+    # good: {a:3, b:1} over 2 docs; bad: {c:2, b:1} over 1 doc; V=3
+    train = spark.createDataFrame(
+        [
+            (1, "a b a", "good"),
+            (2, "a", "good"),
+            (3, "c c b", "bad"),
+            (4, "zzz", "unlabeled"),  # ignored: label outside {good,bad}
+        ],
+        "doc_id long, text string, label string",
+    )
+    return train, train_quality_nb(train)
+
+
+def _hand_weights():
+    # N_pos=4, N_neg=3, V=3 -> denom_pos=7, denom_neg=6
+    w = {
+        "a": math.log(4 / 7) - math.log(1 / 6),
+        "b": math.log(2 / 7) - math.log(2 / 6),
+        "c": math.log(1 / 7) - math.log(3 / 6),
+    }
+    oov = math.log(1 / 7) - math.log(1 / 6)
+    bias = math.log(2 / 1)
+    return w, oov, bias
+
+
+def test_model_weights_hand_computed(tiny_nb):
+    _, model = tiny_nb
+    w, oov, bias = _hand_weights()
+    got = {r.w: r.wt for r in model.weights.collect()}
+    assert set(got) == set(w)
+    for t in w:
+        assert got[t] == pytest.approx(w[t], abs=1e-12)
+    assert model.oov_wt == pytest.approx(oov, abs=1e-12)
+    assert model.bias == pytest.approx(bias, abs=1e-12)
+
+
+def test_hand_computed_scores_and_preds(tiny_nb):
+    train, model = tiny_nb
+    w, oov, bias = _hand_weights()
+    rows = {r.doc_id: r for r in quality_score_nb(train, model).collect()}
+    assert set(rows) == {1, 2, 3, 4}
+    s1 = bias + 2 * w["a"] + w["b"]
+    assert rows[1].n_tokens == 3
+    assert rows[1].score == round(s1, 4)
+    assert rows[1].pred == "good"
+    s3 = bias + 2 * w["c"] + w["b"]
+    assert rows[3].score == round(s3, 4)
+    assert rows[3].pred == "bad"
+    # doc 4: single OOV token
+    assert rows[4].score == round(bias + oov, 4)
+
+
+def test_empty_and_null_docs_excluded(spark, tiny_nb):
+    _, model = tiny_nb
+    docs = spark.createDataFrame(
+        [(9, "!!! 123"), (10, None), (11, "a")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id for r in quality_score_nb(docs, model).collect()}
+    assert got == {11}
+
+
+def test_single_class_training_raises(spark):
+    train = spark.createDataFrame(
+        [(1, "a", "good")], "doc_id long, text string, label string"
+    )
+    with pytest.raises(ValueError):
+        train_quality_nb(train)
+
+
+def test_separation_property(spark):
+    """The property the pipeline relies on: docs drawn from the positive
+    vocabulary score positive, crawl-junk drawn from the negative
+    vocabulary scores negative — including unseen mixtures."""
+    train = spark.createDataFrame(
+        [(i, "the quick brown fox jumps over the lazy dog", "good")
+         for i in range(10)]
+        + [(100 + i, "click here buy now free casino winner", "bad")
+           for i in range(10)],
+        "doc_id long, text string, label string",
+    )
+    model = train_quality_nb(train)
+    score_me = spark.createDataFrame(
+        [(1, "the brown dog jumps"), (2, "free casino click now"),
+         (3, "quick fox casino")],  # 2-vs-1 mixture leans good
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r.pred for r in
+            quality_score_nb(score_me, model).collect()}
+    assert rows == {1: "good", 2: "bad", 3: "good"}
+
+
+def test_broadcast_plan(spark, tiny_nb):
+    train, model = tiny_nb
+    plan = quality_score_nb(
+        train, model, broadcast_model=True
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_score_is_deterministic_across_partitionings(spark, tiny_nb):
+    train, model = tiny_nb
+    a = quality_score_nb(train, model).orderBy("doc_id").collect()
+    b = quality_score_nb(
+        train.repartition(7), model
+    ).orderBy("doc_id").collect()
+    assert a == b
