@@ -785,6 +785,49 @@ def q_lm_perplexity(spark, sf_dir):
     return perplexity(d, lm, broadcast_model=True)
 
 
+def q_robots_screen(spark, sf_dir):
+    """RFC 9309 robots.txt screen (operators/robots.py): per-host robots
+    texts are synthesized deterministically from orders keys (four policy
+    shapes: wildcard Allow override + trailing-$ anchor, specific-agent
+    group skipped + tie precedence, empty Disallow, stacked User-agent
+    lines + query-string rule), parsed with Catalyst windows into rules,
+    and every url gets a longest-match verdict. Hard oracle: DuckDB
+    rebuilds the same robots texts, re-derives the group windows, regex
+    translation, and precedence in SQL, and must reach the identical
+    verdict + winning rule per url."""
+    from llm_food_spark.operators.robots import parse_robots, robots_verdict
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    k = (F.col("o_custkey") % 40).cast("string")
+    okey = F.col("o_orderkey").cast("string")
+    pages = o.select(
+        F.concat(
+            F.lit("https://site"), k, F.lit(".example.com/sec"),
+            (F.col("o_orderkey") % 7).cast("string"),
+            F.lit("/page"), okey,
+            F.when(F.col("o_orderkey") % 5 == 0,
+                   F.lit("?session=1&x=2")).otherwise(F.lit("")),
+        ).alias("url")
+    )
+    hosts = o.select((F.col("o_custkey") % 40).alias("knum")).distinct()
+    robots = hosts.select(
+        F.concat(F.lit("site"), F.col("knum").cast("string"),
+                 F.lit(".example.com")).alias("host"),
+        F.when(F.col("knum") % 4 == 0, F.lit(
+            "User-agent: *\nDisallow: /sec1/\nAllow: /sec1/page1*\n"
+            "Disallow: /sec2/page*1$\n# audit note\n"))
+        .when(F.col("knum") % 4 == 1, F.lit(
+            "User-agent: otherbot\nDisallow: /\n\n"
+            "User-agent: *\nAllow: /sec3/\nDisallow: /sec3/*7\nDisallow:\n"))
+        .when(F.col("knum") % 4 == 2, F.lit("User-agent: *\nDisallow:\n"))
+        .otherwise(F.lit(
+            "User-agent: otherbot\nUser-agent: *\nDisallow: /sec0/\n"
+            "Disallow: /*session=*\n"))
+        .alias("robots"),
+    )
+    return robots_verdict(pages, parse_robots(robots))
+
+
 def q_quality_classifier(spark, sf_dir):
     """fastText/CCNet-style trained quality classifier
     (operators/classify.py): multinomial Naive Bayes trained with one
@@ -1540,6 +1583,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_roundtrip": q_warc_roundtrip,
         "lm_perplexity": q_lm_perplexity,
         "quality_classifier": q_quality_classifier,
+        "robots_screen": q_robots_screen,
         "bm25_search": q_bm25_search,
         "outlinks": q_outlinks,
         "snapshot_diff": q_snapshot_diff,
@@ -3139,6 +3183,80 @@ def _handwritten_oracles() -> dict[str, str]:
                    round(SUM(ln(p)), 4) AS logprob,
                    round(exp(-SUM(ln(p)) / COUNT(*)), 4) AS ppl
             FROM scored GROUP BY doc_id
+        """,
+        # RFC 9309 robots screen: DuckDB rebuilds the same per-host robots
+        # texts, re-derives the User-agent group windows (lag + running
+        # sum), translates each pattern to a regex with the identical
+        # escape/wildcard/anchor arithmetic, and reapplies longest-match /
+        # allow-wins-ties precedence.
+        "robots_screen": r"""
+            WITH hosts AS (
+              SELECT DISTINCT o_custkey % 40 AS k FROM orders
+            ), rob AS (
+              SELECT 'site' || k || '.example.com' AS host,
+                     CASE k % 4
+                       WHEN 0 THEN E'User-agent: *\nDisallow: /sec1/\nAllow: /sec1/page1*\nDisallow: /sec2/page*1$\n# audit note\n'
+                       WHEN 1 THEN E'User-agent: otherbot\nDisallow: /\n\nUser-agent: *\nAllow: /sec3/\nDisallow: /sec3/*7\nDisallow:\n'
+                       WHEN 2 THEN E'User-agent: *\nDisallow:\n'
+                       ELSE E'User-agent: otherbot\nUser-agent: *\nDisallow: /sec0/\nDisallow: /*session=*\n'
+                     END AS robots
+              FROM hosts
+            ), lines AS (
+              SELECT host, i - 1 AS pos, l[i] AS raw
+              FROM (SELECT host, string_split_regex(robots, '\r?\n') AS l FROM rob),
+                   LATERAL (SELECT unnest(range(1, len(l) + 1)) AS i) u
+            ), parsed AS (
+              SELECT host, pos,
+                     lower(regexp_extract(trim(regexp_replace(raw, '#.*', '')),
+                           '^([A-Za-z-]+)\s*:', 1)) AS directive,
+                     trim(regexp_extract(trim(regexp_replace(raw, '#.*', '')),
+                           '^[A-Za-z-]+\s*:\s*(.*)$', 1)) AS value
+              FROM lines
+            ), grp AS (
+              SELECT *, SUM(CASE WHEN is_ua AND NOT coalesce(prev_ua, FALSE)
+                                 THEN 1 ELSE 0 END)
+                        OVER (PARTITION BY host ORDER BY pos) AS g
+              FROM (SELECT *, directive = 'user-agent' AS is_ua,
+                           lag(directive = 'user-agent')
+                             OVER (PARTITION BY host ORDER BY pos) AS prev_ua
+                    FROM parsed)
+            ), rules AS (
+              SELECT host, value AS prefix,
+                     '^' || replace(regexp_replace(
+                         CASE WHEN value LIKE '%$'
+                              THEN substr(value, 1, len(value) - 1) ELSE value END,
+                         '([.+?(){}^$|\[\]\\])', '\\\0', 'g'), '*', '.*')
+                         || CASE WHEN value LIKE '%$' THEN '$' ELSE '' END AS rx,
+                     directive = 'allow' AS allow,
+                     len(value) AS plen
+              FROM (SELECT *, MAX(CASE WHEN is_ua AND value = '*' THEN 1 ELSE 0 END)
+                           OVER (PARTITION BY host, g) AS applies
+                    FROM grp)
+              WHERE directive IN ('allow', 'disallow') AND applies = 1 AND value <> ''
+            ), pages AS (
+              SELECT 'https://site' || (o_custkey % 40) || '.example.com/sec'
+                       || (o_orderkey % 7) || '/page' || o_orderkey
+                       || CASE WHEN o_orderkey % 5 = 0 THEN '?session=1&x=2' ELSE '' END
+                       AS url,
+                     'site' || (o_custkey % 40) || '.example.com' AS host,
+                     '/sec' || (o_orderkey % 7) || '/page' || o_orderkey
+                       || CASE WHEN o_orderkey % 5 = 0 THEN '?session=1&x=2' ELSE '' END
+                       AS target
+              FROM orders
+            ), matches AS (
+              SELECT p.url, r.prefix, r.allow, r.plen
+              FROM pages p JOIN rules r ON r.host = p.host
+              WHERE regexp_matches(p.target, r.rx)
+            ), winner AS (
+              SELECT url, prefix, allow, row_number() OVER (
+                       PARTITION BY url
+                       ORDER BY plen DESC, allow DESC, prefix DESC) AS rn
+              FROM matches
+            )
+            SELECT p.url, coalesce(w.allow, TRUE) AS allowed, w.prefix AS rule,
+                   w.allow AS rule_is_allow
+            FROM pages p LEFT JOIN (SELECT * FROM winner WHERE rn = 1) w
+              ON w.url = p.url
         """,
         # Naive-Bayes quality classifier: DuckDB retrains the identical
         # model. Same parity engineering as lm_perplexity: every division

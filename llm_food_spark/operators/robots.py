@@ -1,0 +1,195 @@
+"""robots.txt crawl-policy screen — RFC 9309 Robots Exclusion Protocol.
+
+A Common-Crawl-style corpus records each host's robots.txt next to its
+pages; a training pipeline that honors crawl policy must re-screen URLs
+against those rules (policies change between crawl and corpus build, and
+derived corpora routinely re-apply REP — e.g. the C4/CCNet lineage honors
+robots at re-collection time). The reference (llm-food) fetches user-given
+URLs with no policy screen at all (`/root/reference/llm_food/app.py`,
+URL-list ingestion); at 100 TB this screen is a first-class stage next to
+the UT1 blocklist (`urlops.filter_urls`).
+
+Semantics (RFC 9309 subset)
+---------------------------
+- Groups: consecutive ``User-agent:`` lines form one group header; the
+  group's rules apply to us iff any of those lines names ``*`` (we screen
+  for the generic crawler). A later UA line after rules starts a NEW group.
+- Rules: ``Allow:`` / ``Disallow:`` path patterns. ``*`` matches any char
+  run anywhere; a TRAILING ``$`` anchors the end of the url; every other
+  character is literal. An EMPTY pattern is no rule (``Disallow:`` alone
+  means allow-all, per the RFC).
+- Decision per url: among matching rules, the LONGEST pattern (octet
+  length, wildcards counted — the RFC's most-specific rule) wins; Allow
+  beats Disallow on length ties. No matching rule (or no ``*`` group, or
+  no robots row for the host) ⇒ allowed.
+- Match target: path plus ``?query`` when present (the component REP
+  patterns are written against), '' path normalized to '/'.
+- Comments (``#…``), blank lines, unknown directives, and CRLF endings are
+  tolerated per the RFC's parseability requirements.
+
+Scale shape
+-----------
+Everything is flat Catalyst — no Python, no UDFs. Parsing windows are
+keyed on ``host`` (a robots file is ~10²-10³ lines, so per-host window
+state is trivial and the parse never wide-shuffles). The verdict path
+projects pages to (url, host, target) BEFORE the broadcast rules join —
+page payloads never ride the multiplication — and the per-url winner
+reduction is a map-side-combinable max(struct) over ONLY the matching
+rule rows. ``filter_robots`` re-attaches the verdict with one url-keyed
+join; with pages and verdict bucketed by url-hash at ingest (the
+extraction pipeline's layout) that exchange disappears.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+from llm_food_spark.operators.urlops import _PATH_RE, _QUERY_RE, host_col
+
+
+def _pattern_regex(pattern: Column) -> Column:
+    """Translate a REP path pattern to an anchored regex.
+
+    Identical arithmetic in DuckDB (RE2): escape regex metacharacters,
+    then ``*`` → ``.*``; a trailing ``$`` (detected BEFORE escaping)
+    becomes the end anchor. A non-trailing ``$`` is literal."""
+    anchored = pattern.endswith("$")
+    body = F.when(
+        anchored, F.substring(pattern, 1, F.length(pattern) - 1)
+    ).otherwise(pattern)
+    esc = F.regexp_replace(body, r"([.\\+?(){}\[\]^$|])", r"\\$1")
+    esc = F.regexp_replace(esc, r"\*", ".*")
+    return F.concat(
+        F.lit("^"), esc, F.when(anchored, F.lit("$")).otherwise(F.lit(""))
+    )
+
+
+def parse_robots(
+    robots: DataFrame,
+    host_col_name: str = "host",
+    robots_col: str = "robots",
+) -> DataFrame:
+    """robots.txt texts → rule rows (host, prefix, rx, allow, plen).
+
+    ``prefix`` is the raw pattern (audit column), ``rx`` the compiled
+    regex, ``plen`` the RFC specificity (pattern octet length). Hosts
+    whose robots has no applicable group (or only empty patterns) emit
+    zero rows — absence of rules IS the allow-all verdict downstream."""
+    lines = robots.select(
+        F.col(host_col_name).alias("host"),
+        F.posexplode(F.split(F.col(robots_col), "\r?\n")).alias(
+            "pos", "raw"
+        ),
+    )
+    clean = F.trim(F.regexp_replace(F.col("raw"), "#.*", ""))
+    directive = F.lower(F.regexp_extract(clean, r"^([A-Za-z-]+)\s*:", 1))
+    value = F.trim(F.regexp_extract(clean, r"^[A-Za-z-]+\s*:\s*(.*)$", 1))
+    parsed = lines.select(
+        "host",
+        "pos",
+        directive.alias("directive"),
+        value.alias("value"),
+    )
+
+    seq = Window.partitionBy("host").orderBy("pos")
+    is_ua = F.col("directive") == "user-agent"
+    new_group = is_ua & ~F.lag(is_ua, 1, False).over(seq)
+    grouped = parsed.withColumn(
+        "grp",
+        F.sum(new_group.cast("int")).over(
+            seq.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    applies = F.max(
+        F.when(is_ua & (F.col("value") == "*"), 1).otherwise(0)
+    ).over(Window.partitionBy("host", "grp"))
+    rules = (
+        grouped.withColumn("applies", applies)
+        .where(
+            F.col("directive").isin("allow", "disallow")
+            & (F.col("applies") == 1)
+            & (F.col("value") != "")
+        )
+        .select(
+            "host",
+            F.col("value").alias("prefix"),
+            _pattern_regex(F.col("value")).alias("rx"),
+            (F.col("directive") == "allow").alias("allow"),
+            F.length("value").alias("plen"),
+        )
+    )
+    return rules
+
+
+def _match_target(url: Column) -> Column:
+    """path?query — the component REP patterns are written against."""
+    path = F.regexp_extract(url, _PATH_RE, 1)
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    query = F.regexp_extract(url, _QUERY_RE, 1)
+    return F.when(
+        query != "", F.concat(path, F.lit("?"), query)
+    ).otherwise(path)
+
+
+def robots_verdict(
+    pages: DataFrame, rules: DataFrame, url_col: str = "url"
+) -> DataFrame:
+    """Per-url verdict: (url, allowed, rule, rule_is_allow).
+
+    ``rule`` is the winning pattern (NULL when no rule matched); ties on
+    specificity break allow-first then pattern-descending, so the audit
+    column is deterministic across partitionings and engines."""
+    target = (
+        pages.select(
+            F.col(url_col).alias("url"),
+            host_col(F.col(url_col)).alias("host"),
+            _match_target(F.col(url_col)).alias("target"),
+        )
+    )
+    joined = target.join(F.broadcast(rules), "host", "inner").where(
+        F.regexp_like(F.col("target"), F.col("rx"))
+    )
+    win = F.max(
+        F.struct(
+            F.col("plen"),
+            F.col("allow").cast("int").alias("allow_i"),
+            F.col("prefix"),
+        )
+    ).alias("win")
+    winners = joined.groupBy("url").agg(win)
+    return (
+        pages.select(F.col(url_col).alias("url"))
+        .join(winners, "url", "left")
+        .select(
+            "url",
+            F.coalesce(F.col("win.allow_i") == 1, F.lit(True)).alias(
+                "allowed"
+            ),
+            F.col("win.prefix").alias("rule"),
+            F.when(F.col("win.plen").isNotNull(),
+                   F.col("win.allow_i") == 1).alias("rule_is_allow"),
+        )
+    )
+
+
+def filter_robots(
+    pages: DataFrame,
+    rules: DataFrame,
+    url_col: str = "url",
+    keep: bool = True,
+) -> DataFrame:
+    """Screen pages against parsed rules.
+
+    ``keep=True`` returns only allowed rows (page columns unchanged);
+    ``keep=False`` returns all rows with the verdict columns attached.
+    One url-keyed join re-attaches the verdict — bucket both sides by
+    url-hash at ingest to make it exchange-free."""
+    verdict = robots_verdict(pages, rules, url_col)
+    out = pages.join(
+        verdict.withColumnRenamed("url", url_col), url_col, "left"
+    )
+    if keep:
+        return out.where(F.col("allowed")).drop(
+            "allowed", "rule", "rule_is_allow"
+        )
+    return out

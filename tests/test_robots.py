@@ -1,0 +1,157 @@
+"""robots.txt screen: REP parsing, precedence, wildcards, plan shape."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from llm_food_spark.operators.robots import (
+    filter_robots,
+    parse_robots,
+    robots_verdict,
+)
+
+
+@pytest.fixture(scope="module")
+def rules(spark):
+    robots = spark.createDataFrame(
+        [
+            # wildcard allow override + anchored disallow + comment
+            ("a.com", "User-agent: *\nDisallow: /p/\nAllow: /p/pub*\n"
+                      "# comment\nDisallow: /x*y$\n"),
+            # specific-agent group skipped; * group later; empty Disallow
+            ("b.com", "User-agent: other\nDisallow: /\n\n"
+                      "User-agent: *\nAllow: /ok/\nDisallow: /ok/*bad\n"
+                      "Disallow:\n"),
+            # only an empty Disallow -> zero rules
+            ("c.com", "User-agent: *\nDisallow:\n"),
+            # no * group -> zero rules
+            ("d.com", "User-agent: other\nDisallow: /"),
+            # stacked UA lines share one group (RFC group formation)
+            ("e.com", "User-agent: other\nUser-agent: *\n"
+                      "Disallow: /stack/\n"),
+            # CRLF endings + unknown directives tolerated
+            ("f.com", "Sitemap: https://f.com/s.xml\r\nUser-agent: *\r\n"
+                      "Crawl-delay: 5\r\nDisallow: /crlf/\r\n"),
+        ],
+        "host string, robots string",
+    )
+    return parse_robots(robots)
+
+
+def test_rule_extraction(rules):
+    got = {(r.host, r.prefix): (r.rx, r.allow, r.plen)
+           for r in rules.collect()}
+    assert got[("a.com", "/p/")] == ("^/p/", False, 3)
+    assert got[("a.com", "/p/pub*")] == ("^/p/pub.*", True, 7)
+    assert got[("a.com", "/x*y$")] == ("^/x.*y$", False, 5)
+    assert got[("b.com", "/ok/*bad")] == ("^/ok/.*bad", False, 8)
+    assert got[("e.com", "/stack/")] == ("^/stack/", False, 7)
+    assert got[("f.com", "/crlf/")] == ("^/crlf/", False, 6)
+    hosts = {h for h, _ in got}
+    assert "c.com" not in hosts and "d.com" not in hosts
+
+
+def test_verdicts(spark, rules):
+    pages = spark.createDataFrame(
+        [(u,) for u in [
+            "https://a.com/p/secret",    # disallowed by /p/
+            "https://a.com/p/pub1",      # allow override wins (longer)
+            "https://a.com/x123y",       # anchored $ matches end
+            "https://a.com/x123yz",      # anchored $ does NOT match
+            "https://b.com/ok/good",     # allow
+            "https://b.com/ok/realbad",  # longer disallow wins
+            "https://c.com/anything",    # empty Disallow = allow-all
+            "https://d.com/anything",    # no * group = allow-all
+            "https://e.com/stack/x",     # stacked UA group applies
+            "https://unknown.com/x",     # no robots row = allowed
+            "https://a.com",             # empty path normalizes to /
+        ]],
+        "url string",
+    )
+    got = {r.url: r.allowed for r in robots_verdict(pages, rules).collect()}
+    assert got == {
+        "https://a.com/p/secret": False,
+        "https://a.com/p/pub1": True,
+        "https://a.com/x123y": False,
+        "https://a.com/x123yz": True,
+        "https://b.com/ok/good": True,
+        "https://b.com/ok/realbad": False,
+        "https://c.com/anything": True,
+        "https://d.com/anything": True,
+        "https://e.com/stack/x": False,
+        "https://unknown.com/x": True,
+        "https://a.com": True,
+    }
+
+
+def test_query_string_is_matched(spark):
+    robots = spark.createDataFrame(
+        [("q.com", "User-agent: *\nDisallow: /s?*session=\n")],
+        "host string, robots string",
+    )
+    pages = spark.createDataFrame(
+        [("https://q.com/s?a=1&session=9",), ("https://q.com/s?a=1",)],
+        "url string",
+    )
+    got = {r.url: r.allowed
+           for r in robots_verdict(pages, parse_robots(robots)).collect()}
+    assert got["https://q.com/s?a=1&session=9"] is False
+    assert got["https://q.com/s?a=1"] is True
+
+
+def test_regex_metacharacters_in_patterns_are_literal(spark):
+    robots = spark.createDataFrame(
+        [("m.com", "User-agent: *\nDisallow: /a+b(c).d\n")],
+        "host string, robots string",
+    )
+    pages = spark.createDataFrame(
+        [("https://m.com/a+b(c).d/e",), ("https://m.com/aab(c)xd",)],
+        "url string",
+    )
+    got = {r.url: r.allowed
+           for r in robots_verdict(pages, parse_robots(robots)).collect()}
+    assert got["https://m.com/a+b(c).d/e"] is False
+    assert got["https://m.com/aab(c)xd"] is True
+
+
+def test_allow_wins_specificity_ties(spark):
+    robots = spark.createDataFrame(
+        [("t.com", "User-agent: *\nDisallow: /dir/\nAllow: /tie/\n"
+                   "Disallow: /tie/\n")],
+        "host string, robots string",
+    )
+    pages = spark.createDataFrame(
+        [("https://t.com/tie/x",)], "url string")
+    r = robots_verdict(pages, parse_robots(robots)).collect()[0]
+    assert r.allowed is True and r.rule == "/tie/" and r.rule_is_allow
+
+
+def test_filter_modes(spark, rules):
+    pages = spark.createDataFrame(
+        [("https://a.com/p/secret", 1), ("https://a.com/other", 2)],
+        "url string, payload int",
+    )
+    kept = filter_robots(pages, rules)
+    assert [r.payload for r in kept.collect()] == [2]
+    assert kept.columns == ["url", "payload"]
+    flagged = filter_robots(pages, rules, keep=False)
+    got = {r.payload: r.allowed for r in flagged.collect()}
+    assert got == {1: False, 2: True}
+
+
+def test_rules_join_broadcasts(spark, rules):
+    pages = spark.createDataFrame([("https://a.com/p/x",)], "url string")
+    plan = robots_verdict(
+        pages, rules
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_partition_invariance(spark, rules):
+    pages = spark.createDataFrame(
+        [("https://a.com/p/%d" % i,) for i in range(50)]
+        + [("https://a.com/p/pub%d" % i,) for i in range(50)],
+        "url string",
+    )
+    a = robots_verdict(pages, rules).orderBy("url").collect()
+    b = robots_verdict(pages.repartition(13), rules).orderBy("url").collect()
+    assert a == b
