@@ -785,6 +785,59 @@ def q_lm_perplexity(spark, sf_dir):
     return perplexity(d, lm, broadcast_model=True)
 
 
+def q_warc_cdx(spark, sf_dir):
+    """CDX capture index (operators/cdx.py) under a hard oracle. Spark
+    serializes documents into 16 Common-Crawl-layout archives (mixed-case
+    hosts with subdomains, query strings, chunked bodies, 404s,
+    text/plain branches), indexes them through the REAL parser
+    (parse_warc_indexed → cdx_records → cdx_index), and projects the
+    SQL-derivable fields. DuckDB recomputes urlkey/ts/url/mime/status/
+    digest/len directly from the documents table, so a bug anywhere in
+    the gzip member walk, HTTP parse, de-chunking, SURT keying, or
+    timestamp derivation breaks the value hash. The seek fields
+    (offset/length/filename) are compression-dependent and are pinned by
+    `tests/test_cdx.py::test_seek_contract` instead."""
+    from datetime import datetime, timedelta
+
+    import pandas as pd
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        from llm_food_spark.functions.warc import (
+            build_http_response, build_record, build_warc, warcinfo_record)
+
+        epoch = datetime(2025, 1, 1)
+        name = "cdx-%02d.warc.gz" % int(pdf["bucket"].iloc[0])
+        pdf = pdf.sort_values("doc_id")
+        recs = [warcinfo_record(name)]
+        for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+            i = int(doc_id)
+            http = build_http_response(
+                (text or "").encode("utf-8"),
+                http_status=404 if i % 11 == 0 else 200,
+                content_type=("text/plain" if i % 7 == 0
+                              else "text/html; charset=UTF-8"),
+                chunked=(i % 2 == 0),
+            )
+            url = "https://sub%d.Crawl.TEST/Doc/%d%s" % (
+                i % 5, i, "?b=2&a=1" if i % 3 == 0 else "")
+            date = (epoch + timedelta(seconds=i % 86400)).strftime(
+                "%Y-%m-%dT%H:%M:%SZ")
+            recs.append(build_record("response", http, url=url, date=date))
+        return pd.DataFrame(
+            [(name, build_warc(recs, gzip_members=True))],
+            columns=["path", "content"])
+
+    from llm_food_spark.operators.cdx import cdx_index, cdx_records
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "text", (F.col("doc_id") % 16).alias("bucket"))
+    files = d.groupBy("bucket").applyInPandas(
+        build, "path string, content binary")
+    return cdx_index(cdx_records(files)).select(
+        "urlkey", "ts", "url", "mime", "http_status", "digest",
+        "payload_len")
+
+
 def q_robots_screen(spark, sf_dir):
     """RFC 9309 robots.txt screen (operators/robots.py): per-host robots
     texts are synthesized deterministically from orders keys (four policy
@@ -1584,6 +1637,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_perplexity": q_lm_perplexity,
         "quality_classifier": q_quality_classifier,
         "robots_screen": q_robots_screen,
+        "warc_cdx": q_warc_cdx,
         "bm25_search": q_bm25_search,
         "outlinks": q_outlinks,
         "snapshot_diff": q_snapshot_diff,
@@ -3075,6 +3129,28 @@ def _handwritten_oracles() -> dict[str, str]:
                         ELSE 'text/html; charset=UTF-8'
                    END AS content_type,
                    sha256(text) AS payload_sha,
+                   CAST(strlen(text) AS BIGINT) AS payload_len
+            FROM documents
+        """,
+        # CDX twin: every SQL-derivable index field recomputed from the
+        # documents table through the same construction formulas the Spark
+        # side must recover by actually parsing the archives it built.
+        "warc_cdx": """
+            SELECT 'test,crawl,sub' || (doc_id % 5) || ')/doc/' || doc_id
+                     || CASE WHEN doc_id % 3 = 0 THEN '?b=2&a=1' ELSE ''
+                        END AS urlkey,
+                   strftime(TIMESTAMP '2025-01-01'
+                            + to_seconds(doc_id % 86400),
+                            '%Y%m%d%H%M%S') AS ts,
+                   'https://sub' || (doc_id % 5) || '.Crawl.TEST/Doc/'
+                     || doc_id
+                     || CASE WHEN doc_id % 3 = 0 THEN '?b=2&a=1' ELSE ''
+                        END AS url,
+                   CASE WHEN doc_id % 7 = 0 THEN 'text/plain'
+                        ELSE 'text/html' END AS mime,
+                   CAST(CASE WHEN doc_id % 11 = 0 THEN 404 ELSE 200 END
+                        AS INT) AS http_status,
+                   sha256(text) AS digest,
                    CAST(strlen(text) AS BIGINT) AS payload_len
             FROM documents
         """,

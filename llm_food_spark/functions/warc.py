@@ -129,12 +129,23 @@ def warcinfo_record(filename: str, date: str = "2025-01-01T00:00:00Z") -> bytes:
 # ---------------------------------------------------------------------------
 
 def _iter_gzip_members(b: bytes) -> Iterator[bytes]:
-    """Inflate a concatenated-gzip-member stream one member at a time.
+    """Inflate a concatenated-gzip-member stream one member at a time."""
+    for _, _, member in _iter_gzip_members_indexed(b):
+        yield member
+
+
+def _iter_gzip_members_indexed(
+    b: bytes,
+) -> Iterator[Tuple[int, int, bytes]]:
+    """(offset, compressed_length, inflated) per gzip member.
 
     zlib-only (wbits=47 accepts the gzip wrapper); ``unused_data`` hands
     back the remainder so memory holds one inflated member, not the file.
+    The (offset, length) pair is the CDX seek contract: reading exactly
+    those compressed bytes and inflating them reproduces the member.
     """
     rest = b
+    base = 0
     while rest[:2] == _GZIP_MAGIC:
         d = zlib.decompressobj(wbits=47)
         try:
@@ -145,11 +156,14 @@ def _iter_gzip_members(b: bytes) -> Iterator[bytes]:
                     break
                 out += tail
         except zlib.error:
-            yield rest  # corrupt member: surface raw for error capture
+            # corrupt member: surface raw for error capture
+            yield base, len(rest), rest
             return
-        yield out
+        consumed = len(rest) - len(d.unused_data)
+        yield base, consumed, out
         if not d.eof:
             return  # truncated final member — out already yielded
+        base += consumed
         rest = d.unused_data
 
 
@@ -292,4 +306,33 @@ def parse_warc(b: bytes) -> List[Dict]:
             rec, pos = _parse_one(stream, pos)
             if rec is not None:
                 out.append(rec)
+    return out
+
+
+def parse_warc_indexed(b: bytes) -> List[Dict]:
+    """``parse_warc`` plus the CDX seek fields ``offset`` / ``length``.
+
+    For the gzip-member layout (Common Crawl's), offset/length locate the
+    COMPRESSED member containing the record — ``b[offset:offset+length]``
+    inflates back to it (every record of a multi-record member shares the
+    member's coordinates; the published layout is one record per member).
+    For a plain .warc they locate the record's own byte span.
+    """
+    out: List[Dict] = []
+    if b[:2] == _GZIP_MAGIC:
+        for off, clen, stream in _iter_gzip_members_indexed(b):
+            pos = 0
+            while pos < len(stream):
+                rec, pos = _parse_one(stream, pos)
+                if rec is not None:
+                    rec["offset"], rec["length"] = off, clen
+                    out.append(rec)
+    else:
+        pos = 0
+        while pos < len(b):
+            rec, new_pos = _parse_one(b, pos)
+            if rec is not None:
+                rec["offset"], rec["length"] = pos, new_pos - pos
+                out.append(rec)
+            pos = new_pos
     return out

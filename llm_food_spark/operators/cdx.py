@@ -1,0 +1,138 @@
+"""CDX capture index over WARC archives — the crawl's random-access index.
+
+Common Crawl publishes a CDX index next to each crawl: one line per
+capture with a SURT-sorted url key, 14-digit timestamp, and the
+(filename, offset, length) triple that seeks straight to the record's
+gzip member. It is what makes a 100 TB crawl randomly accessible — url
+lookups, per-domain slices, and dedup-by-digest all run against the index
+instead of the archives. The reference (llm-food) has no crawl artifacts
+at all (`/root/reference/llm_food/app.py`, per-upload conversion); this
+operator derives the index from the same ``binaryFile`` scan that serves
+``sources.warc.read_warc``.
+
+Format notes (documented deviations from the pywb/CC writer)
+-------------------------------------------------------------
+- ``digest`` is the payload's sha256 hex — the repo-wide content-hash
+  convention (`operators/extract.py`) — not WARC-Payload-Digest's
+  base32 sha1.
+- ``urlkey`` is the SURT subset: lowercased host labels reversed and
+  comma-joined, ``)`` separator, lowercased path?query ('' → '/'); no
+  www-stripping or session-param dropping (that canonicalization already
+  lives in ``urlops.canonicalize_url_col`` for pipelines that want it).
+
+Scale shape
+-----------
+Extraction of index rows is the SAME one-task-per-archive pass as
+``read_warc`` (no shuffle; the sha256 is computed while the payload is
+already in hand, so the index never re-reads an archive). The global
+(urlkey, ts) sort — the CDX contract — is a ``repartitionByRange`` +
+within-partition sort: Spark samples range bounds, so the output is a
+globally ordered, evenly sized shard set, which is exactly how the
+published index is laid out (sorted shards + a secondary cluster.idx).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import posixpath
+from typing import Iterator, List
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F, types as T
+
+from llm_food_spark.functions.warc import parse_warc_indexed
+from llm_food_spark.operators.urlops import _PATH_RE, _QUERY_RE, host_col
+
+CDX_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("warc_date", T.StringType()),
+        T.StructField("http_status", T.IntegerType()),
+        T.StructField("mime", T.StringType()),
+        T.StructField("digest", T.StringType()),
+        T.StructField("payload_len", T.LongType()),
+        T.StructField("offset", T.LongType()),
+        T.StructField("length", T.LongType()),
+        T.StructField("filename", T.StringType()),
+    ]
+)
+
+_COLS = [f.name for f in CDX_RAW_SCHEMA.fields]
+
+
+def cdx_records(files: DataFrame, rows_per_batch: int = 1024) -> DataFrame:
+    """(path, content) archives -> one index row per captured response.
+
+    Same record-and-continue parser as ``read_warc``; only ok-status
+    response records with a target URI become captures (request/warcinfo/
+    metadata records and malformed regions are index-invisible, as in the
+    published CDX). Arrow batches are bounded like the source's.
+    """
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            for path, blob in zip(pdf["path"], pdf["content"]):
+                fname = posixpath.basename(path)
+                rows: List[tuple] = []
+                data = bytes(blob) if blob is not None else b""
+                for rec in parse_warc_indexed(data):
+                    if (rec["record_type"] != "response"
+                            or rec["status"] != "ok"
+                            or not rec["url"]):
+                        continue
+                    payload = rec["payload"] or b""
+                    rows.append((
+                        rec["url"], rec["warc_date"], rec["http_status"],
+                        _clean_mime(rec["content_type"]),
+                        hashlib.sha256(payload).hexdigest(), len(payload),
+                        rec["offset"], rec["length"], fname,
+                    ))
+                    if len(rows) >= rows_per_batch:
+                        yield pd.DataFrame(rows, columns=_COLS)
+                        rows = []
+                if rows:
+                    yield pd.DataFrame(rows, columns=_COLS)
+
+    return files.select("path", "content").mapInPandas(
+        run, schema=CDX_RAW_SCHEMA)
+
+
+def _clean_mime(content_type) -> str:
+    """'text/html; charset=UTF-8' -> 'text/html' (lowercased)."""
+    if not content_type:
+        return "unk"
+    return content_type.split(";", 1)[0].strip().lower() or "unk"
+
+
+def surt_key(url) -> F.Column:
+    """SURT url key column (see module docstring for the subset)."""
+    url = F.col(url) if isinstance(url, str) else url
+    host = host_col(url)
+    path = F.regexp_extract(url, _PATH_RE, 1)
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    query = F.regexp_extract(url, _QUERY_RE, 1)
+    target = F.when(query != "", F.concat(path, F.lit("?"), query)) \
+        .otherwise(path)
+    return F.concat(
+        F.concat_ws(",", F.reverse(F.split(host, r"\."))),
+        F.lit(")"),
+        F.lower(target),
+    )
+
+
+def cdx_index(captures: DataFrame, shards: int | None = None) -> DataFrame:
+    """Attach (urlkey, ts) and produce the globally sorted index.
+
+    ``ts`` is the CDX 14-digit timestamp (digits of WARC-Date).
+    ``shards`` overrides the output shard count (defaults to Spark's
+    range-partition sampling under ``spark.sql.shuffle.partitions``).
+    """
+    keyed = captures.select(
+        surt_key("url").alias("urlkey"),
+        F.regexp_replace("warc_date", "[^0-9]", "").alias("ts"),
+        *[c for c in captures.columns],
+    )
+    parts = [F.col("urlkey"), F.col("ts")]
+    ranged = (keyed.repartitionByRange(shards, *parts) if shards
+              else keyed.repartitionByRange(*parts))
+    return ranged.sortWithinPartitions("urlkey", "ts")

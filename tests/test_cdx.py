@@ -1,0 +1,141 @@
+"""CDX index: seek contract, field derivation, SURT keys, global sort."""
+
+import gzip
+import hashlib
+
+import pytest
+
+from llm_food_spark.functions.warc import (
+    build_http_response,
+    build_record,
+    build_warc,
+    parse_warc,
+    parse_warc_indexed,
+    warcinfo_record,
+)
+from llm_food_spark.operators.cdx import cdx_index, cdx_records
+
+
+def _archive(name: str, specs):
+    """specs: [(url, date, status, ctype, payload, chunked)] -> bytes.
+
+    ``ctype=None`` hand-builds an HTTP block with NO Content-Type header
+    (the parser must tolerate it; CDX maps it to mime 'unk')."""
+    recs = [warcinfo_record(name)]
+    for url, date, status, ctype, payload, chunked in specs:
+        if ctype is None:
+            http = (b"HTTP/1.1 200 OK\r\nContent-Length: %d\r\n\r\n"
+                    % len(payload)) + payload
+        else:
+            http = build_http_response(
+                payload, http_status=status, content_type=ctype,
+                chunked=chunked)
+        recs.append(build_record("response", http, url=url, date=date))
+    return build_warc(recs, gzip_members=True)
+
+
+@pytest.fixture(scope="module")
+def archives():
+    a = _archive("crawl-00.warc.gz", [
+        ("https://sub.Example.COM/Page/1?b=2&a=1",
+         "2025-03-01T10:20:30Z", 200, "text/html; charset=UTF-8",
+         b"<html>one</html>", False),
+        ("https://example.com/two",
+         "2025-03-01T10:20:31Z", 404, "text/plain", b"gone", True),
+        ("https://aaa.test/",
+         "2025-03-01T10:20:32Z", 200, None, b"\x00\x01", False),
+    ])
+    b = _archive("crawl-01.warc.gz", [
+        ("https://example.com/zzz",
+         "2025-03-02T00:00:00Z", 200, "text/html", b"zzz", False),
+    ])
+    return {"crawl-00.warc.gz": a, "crawl-01.warc.gz": b}
+
+
+@pytest.fixture(scope="module")
+def index_rows(spark, archives):
+    files = spark.createDataFrame(
+        [("mem://%s" % n, bytearray(b)) for n, b in archives.items()],
+        "path string, content binary",
+    )
+    return cdx_index(cdx_records(files)).collect()
+
+
+def test_captures_and_exclusions(index_rows):
+    # warcinfo records are index-invisible; 404s are captures
+    assert len(index_rows) == 4
+    assert {r.http_status for r in index_rows} == {200, 404}
+
+
+def test_field_derivation(index_rows):
+    by_url = {r.url: r for r in index_rows}
+    r = by_url["https://sub.Example.COM/Page/1?b=2&a=1"]
+    assert r.urlkey == "com,example,sub)/page/1?b=2&a=1"
+    assert r.ts == "20250301102030"
+    assert r.mime == "text/html"
+    assert r.digest == hashlib.sha256(b"<html>one</html>").hexdigest()
+    assert r.payload_len == 16
+    # de-chunked payload digested, mime param-free and lowercased
+    r2 = by_url["https://example.com/two"]
+    assert r2.digest == hashlib.sha256(b"gone").hexdigest()
+    assert r2.mime == "text/plain"
+    # missing content-type
+    assert by_url["https://aaa.test/"].mime == "unk"
+    assert by_url["https://aaa.test/"].urlkey == "test,aaa)/"
+
+
+def test_seek_contract(index_rows, archives):
+    """b[offset:offset+length] inflates to exactly the indexed record."""
+    for r in index_rows:
+        blob = archives[r.filename]
+        member = blob[r.offset:r.offset + r.length]
+        recs = parse_warc(gzip.decompress(member))
+        assert len(recs) == 1
+        assert recs[0]["url"] == r.url
+        assert hashlib.sha256(recs[0]["payload"]).hexdigest() == r.digest
+
+
+def test_offsets_tile_the_archive(archives):
+    """Members tile each file: sorted (offset, length) spans are adjacent
+    and cover the file exactly (warcinfo member included via the parser)."""
+    for blob in archives.values():
+        spans = sorted({(r["offset"], r["length"])
+                        for r in parse_warc_indexed(blob)})
+        pos = 0
+        for off, ln in spans:
+            assert off == pos
+            pos += ln
+        assert pos == len(blob)
+
+
+def test_plain_warc_offsets():
+    payload = build_http_response(b"x", http_status=200,
+                                  content_type="text/plain")
+    rec = build_record("response", payload,
+                       url="https://p.test/a", date="2025-01-01T00:00:00Z")
+    plain = build_warc([rec, rec], gzip_members=False)
+    recs = parse_warc_indexed(plain)
+    assert [r["offset"] for r in recs] == [0, len(rec)]
+    assert all(r["length"] == len(rec) for r in recs)
+    assert plain[recs[1]["offset"]:recs[1]["offset"] + recs[1]["length"]] \
+        == rec
+
+
+def test_global_sort_order(spark):
+    specs = [
+        ("https://%s.test/p%d" % (h, i),
+         "2025-01-0%dT00:00:00Z" % (i % 9 + 1), 200, "text/html",
+         b"x", False)
+        for i, h in enumerate(["zz", "mm", "aa", "mm", "zz", "aa"] * 4)
+    ]
+    blobs = {"s-%d.warc.gz" % j: _archive("s-%d.warc.gz" % j,
+                                          specs[j::3])
+             for j in range(3)}
+    files = spark.createDataFrame(
+        [("mem://%s" % n, bytearray(b)) for n, b in blobs.items()],
+        "path string, content binary",
+    )
+    rows = cdx_index(cdx_records(files), shards=4).collect()
+    keys = [(r.urlkey, r.ts) for r in rows]
+    assert keys == sorted(keys)
+    assert len(rows) == len(specs)
