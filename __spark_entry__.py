@@ -644,6 +644,39 @@ def q_outlinks(spark, sf_dir):
     return extract_outlinks(d.select(base.alias("url"), html.alias("html")))
 
 
+def q_anchor_text(spark, sf_dir):
+    """Anchor-text index (operators/links.py::anchor_text_index): top-k
+    anchor strings per link target from the REAL DOM-parsed outlink
+    edges, count-desc with anchor tie-break, WindowGroupLimit before the
+    exchange. Hard oracle: composes the outlinks arithmetic twin with the
+    identical count + row_number ranking."""
+    from llm_food_spark.operators.links import (
+        anchor_text_index, extract_outlinks)
+
+    # same seeded page construction as q_outlinks (one shared helper
+    # would hide which query builds what; the twin SQL is shared instead)
+    d = _t_par(spark, sf_dir, "documents")
+    i = F.col("doc_id").cast("string")
+    k = (F.col("doc_id") % 40).cast("string")
+    base = F.concat(F.lit("https://site"), k,
+                    F.lit(".example.com/dir/page"), i)
+    html = F.concat(
+        F.lit('<html><body><p>x</p><a href="https://ext'),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit('.example.org/p">anchor '), i, F.lit("</a>"),
+        F.when(F.col("doc_id") % 3 == 0,
+               F.concat(F.lit('<a href="/rel/'), i,
+                        F.lit('" rel="nofollow">two</a>'))
+               ).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 5 == 0,
+               F.lit('<a href="//cdn.example.net/lib.js">cdn</a>')
+               ).otherwise(F.lit("")),
+        F.lit("</body></html>"),
+    )
+    edges = extract_outlinks(d.select(base.alias("url"), html.alias("html")))
+    return anchor_text_index(edges, k=3)
+
+
 def q_pagerank_seeded(spark, sf_dir):
     """Distributed PageRank (operators/graph.py) on a seeded 50-node
     arithmetic graph, 3 power iterations. Hard oracle: DuckDB unrolls the
@@ -879,6 +912,21 @@ def q_robots_screen(spark, sf_dir):
         .alias("robots"),
     )
     return robots_verdict(pages, parse_robots(robots))
+
+
+def q_ppl_buckets(spark, sf_dir):
+    """CCNet's head/middle/tail corpus partition (lm_score.ppl_buckets):
+    bigram-LM perplexity ranked per language, equal thirds. Hard oracle:
+    composes the lm_perplexity retrain twin with the identical
+    percent_rank window (ppl, doc_id total order), so both the model
+    scores AND the band assignment must match."""
+    from llm_food_spark.operators.lm_score import (
+        perplexity, ppl_buckets, train_bigram_lm)
+
+    d = _t(spark, sf_dir, "documents")
+    scored = perplexity(d, train_bigram_lm(d), broadcast_model=True)
+    with_lang = scored.join(d.select("doc_id", "lang"), "doc_id")
+    return ppl_buckets(with_lang).select("doc_id", "lang", "ppl", "bucket")
 
 
 def q_quality_classifier(spark, sf_dir):
@@ -1635,11 +1683,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fetch": q_fetch,
         "warc_roundtrip": q_warc_roundtrip,
         "lm_perplexity": q_lm_perplexity,
+        "ppl_buckets": q_ppl_buckets,
         "quality_classifier": q_quality_classifier,
         "robots_screen": q_robots_screen,
         "warc_cdx": q_warc_cdx,
         "bm25_search": q_bm25_search,
         "outlinks": q_outlinks,
+        "anchor_text": q_anchor_text,
         "snapshot_diff": q_snapshot_diff,
         "cc_prep": q_cc_prep,
         "pagerank_seeded": q_pagerank_seeded,
@@ -2496,6 +2546,33 @@ def _golden_parquet_oracles() -> dict[str, str]:
 def oracle_sql() -> dict[str, str]:
     out = _golden_parquet_oracles()
     out.update(_handwritten_oracles())
+    # CCNet head/middle/tail: composes the lm_perplexity retrain twin —
+    # one model, two driver-checked stages (scores, then rank buckets).
+    out["ppl_buckets"] = """
+        WITH base AS (%s)
+        SELECT b.doc_id, d.lang, b.ppl,
+               CASE WHEN percent_rank() OVER (
+                        PARTITION BY d.lang ORDER BY b.ppl, b.doc_id)
+                         <= (1.0 / 3.0) THEN 'head'
+                    WHEN percent_rank() OVER (
+                        PARTITION BY d.lang ORDER BY b.ppl, b.doc_id)
+                         <= (2.0 / 3.0) THEN 'middle'
+                    ELSE 'tail' END AS bucket
+        FROM base b JOIN documents d ON d.doc_id = b.doc_id
+    """ % out["lm_perplexity"]
+    # anchor-text index: composes the outlinks arithmetic twin with the
+    # identical count + ranking (count DESC, anchor ASC total order).
+    out["anchor_text"] = """
+        WITH edges AS (%s)
+        SELECT target, anchor, n, rank FROM (
+          SELECT target, anchor, COUNT(*)::BIGINT AS n,
+                 row_number() OVER (
+                   PARTITION BY target
+                   ORDER BY COUNT(*) DESC, anchor ASC) AS rank
+          FROM edges WHERE anchor <> ''
+          GROUP BY target, anchor
+        ) WHERE rank <= 3
+    """ % out["outlinks"]
     return out
 
 

@@ -86,3 +86,41 @@ def host_graph(
         e = e.where(F.col("src_host") != F.col("dst_host"))
     return e.groupBy("src_host", "dst_host").agg(
         F.count(F.lit(1)).alias("n_links"))
+
+
+def anchor_text_index(
+    outlinks: DataFrame,
+    k: int = 3,
+    include_nofollow: bool = True,
+) -> DataFrame:
+    """(target, anchor, n, rank) — top-k anchor texts per link target.
+
+    The classic off-page signal: what OTHER pages call a url is a quality/
+    topic descriptor the page itself can't spin, used from anchor-indexed
+    search onward (and in modern corpus work as retrieval keys for link-
+    text augmentation). Empty anchors (image links, bare hrefs) carry no
+    text and are dropped; nofollow anchors still describe the target, so
+    they count by default (unlike ``host_graph``'s ranking convention).
+
+    Deterministic: ranked by count DESC with the anchor string as total
+    tie-break. Scale shape: one map-side-combined groupBy(target, anchor),
+    then the same WindowGroupLimit discipline as ``split.cap_per_group``
+    — the ``row_number() <= k`` filter runs in Partial mode BEFORE the
+    exchange, so a url with 10^6 distinct anchors ships O(k x map_tasks)
+    rows, never the whole distribution.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    from pyspark.sql import Window
+
+    e = outlinks.where(F.col("anchor") != "")
+    if not include_nofollow:
+        e = e.where(~F.col("rel").rlike(r"(^|\s)nofollow(\s|$)"))
+    counts = e.groupBy("target", "anchor").agg(
+        F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("target").orderBy(
+        F.col("n").desc(), F.col("anchor").asc())
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )

@@ -160,3 +160,41 @@ def perplexity(
         F.round(lp, ndigits).alias("logprob"),
         F.round(F.exp(-lp / nt), ndigits).alias("ppl"),
     )
+
+
+def ppl_buckets(
+    scored: DataFrame,
+    group_cols: tuple = ("lang",),
+    ppl_col: str = "ppl",
+    id_col: str = "doc_id",
+    cuts: tuple = (1.0 / 3.0, 2.0 / 3.0),
+) -> DataFrame:
+    """CCNet's head/middle/tail partition: bucket documents by LM
+    perplexity WITHIN each group (language, in CCNet).
+
+    Wenzek et al. 2020 split each language's crawl into three equal
+    perplexity bands — 'head' (Wikipedia-like) feeds training first,
+    'tail' is usually dropped. Bucket = position of the document's
+    percent_rank (ties broken by ``id_col``, so the rank — and the
+    cross-engine hash — is total-order deterministic) against ``cuts``.
+
+    Scale shape: one window = one sort keyed on the group columns — the
+    same sort-shuffle class as the CDX range sort, ~10² language groups
+    so AQE splits skewed ones. CCNet itself uses sampled quantile CUTOFFS
+    instead of a full rank to avoid the sort; that variant is two cheap
+    passes (approxQuantile + broadcast compare) but its cutoffs are
+    sampling-dependent, so the exact-rank form is the oracle-checkable
+    contract and the approx form is a drop-in when the sort dominates.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*group_cols).orderBy(ppl_col, id_col)
+    pr = F.percent_rank().over(w)
+    low, high = cuts
+    return scored.select(
+        *scored.columns,
+        F.when(pr <= F.lit(low), F.lit("head"))
+        .when(pr <= F.lit(high), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+    )

@@ -131,3 +131,46 @@ def test_pagerank_checkpoint_storage_bounded(spark):
     assert after_second - after_first <= 4
     release_persisted()
     assert pinned() <= baseline
+
+
+def test_anchor_text_index(spark):
+    from llm_food_spark.operators.links import anchor_text_index
+
+    edges = spark.createDataFrame(
+        [
+            ("https://a/1", "x", "https://t/p", "great page", ""),
+            ("https://a/2", "x", "https://t/p", "great page", ""),
+            ("https://a/3", "x", "https://t/p", "spam", "nofollow"),
+            ("https://a/4", "x", "https://t/p", "alpha", ""),
+            ("https://a/5", "x", "https://t/p", "beta", ""),
+            ("https://a/6", "x", "https://t/q", "", ""),  # empty dropped
+            ("https://a/7", "x", "https://t/q", "only", ""),
+        ],
+        "url string, href string, target string, anchor string, rel string",
+    )
+    rows = anchor_text_index(edges, k=3).collect()
+    got = {(r.target, r.rank): (r.anchor, r.n) for r in rows}
+    # count desc then anchor asc; k caps the tail ('spam'+'beta' tie on 1,
+    # alpha/beta/spam sort ascending and only two fit after the leader)
+    assert got[("https://t/p", 1)] == ("great page", 2)
+    assert got[("https://t/p", 2)] == ("alpha", 1)
+    assert got[("https://t/p", 3)] == ("beta", 1)
+    assert ("https://t/p", 4) not in got
+    assert got[("https://t/q", 1)] == ("only", 1)
+    assert len(rows) == 4
+    # nofollow excluded on request
+    no_nf = anchor_text_index(edges, k=5, include_nofollow=False).collect()
+    assert all(r.anchor != "spam" for r in no_nf)
+
+
+def test_anchor_text_window_group_limit_plan(spark):
+    from llm_food_spark.operators.links import anchor_text_index
+
+    edges = spark.createDataFrame(
+        [("u%d" % i, "x", "t%d" % (i % 3), "a%d" % (i % 7), "")
+         for i in range(100)],
+        "url string, href string, target string, anchor string, rel string",
+    )
+    plan = anchor_text_index(edges, k=2)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "WindowGroupLimit" in plan and "Partial" in plan

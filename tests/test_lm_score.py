@@ -82,3 +82,28 @@ def test_single_token_doc(spark, tiny_lm):
     r = perplexity(one, lm).collect()[0]
     assert r.n_tokens == 1
     assert r.logprob == round(math.log(4 / 8), 4)
+
+
+def test_ppl_buckets_partition(spark):
+    """Equal thirds per group, rank-ordered by ppl, ties by doc_id."""
+    from llm_food_spark.operators.lm_score import ppl_buckets
+
+    rows = [(i, "en", float(100 + i)) for i in range(9)]
+    rows += [(100 + i, "fr", 50.0) for i in range(6)]  # all-tie group
+    scored = spark.createDataFrame(rows, "doc_id long, lang string, ppl double")
+    got = {r.doc_id: r.bucket for r in ppl_buckets(scored).collect()}
+    assert [got[i] for i in range(9)] == (
+        ["head"] * 3 + ["middle"] * 3 + ["tail"] * 3)
+    # ties broken by doc_id: same layout even with identical ppl
+    assert [got[100 + i] for i in range(6)] == (
+        ["head"] * 2 + ["middle"] * 2 + ["tail"] * 2)
+
+
+def test_ppl_buckets_partition_invariance(spark):
+    from llm_food_spark.operators.lm_score import ppl_buckets
+
+    rows = [(i, "en", float((i * 37) % 11)) for i in range(50)]
+    scored = spark.createDataFrame(rows, "doc_id long, lang string, ppl double")
+    a = ppl_buckets(scored).orderBy("doc_id").collect()
+    b = ppl_buckets(scored.repartition(7)).orderBy("doc_id").collect()
+    assert a == b
