@@ -644,6 +644,32 @@ def q_outlinks(spark, sf_dir):
     return extract_outlinks(d.select(base.alias("url"), html.alias("html")))
 
 
+def q_bpe_learn(spark, sf_dir):
+    """Distributed BPE induction (operators/bpe.py): three merge rounds
+    over a seeded word table (five words with all-distinct characters so
+    the oracle's string-replace merge application is boundary-safe; the
+    general overlap semantics are pinned by tests/test_bpe.py). With
+    equal class counts the first two argmaxes are TIES resolved by the
+    (left, right) lexicographic rule, so the oracle checks the
+    determinism contract, not just the counting. Hard oracle: DuckDB
+    unrolls the three rounds (pair counts -> argmax -> apply) exactly,
+    PageRank-twin style."""
+    from llm_food_spark.operators.bpe import learn_bpe, word_counts
+
+    d = _t(spark, sf_dir, "documents")
+    word = (
+        F.when(F.col("doc_id") % 5 == 0, F.lit("abcd"))
+        .when(F.col("doc_id") % 5 == 1, F.lit("abce"))
+        .when(F.col("doc_id") % 5 == 2, F.lit("bcde"))
+        .when(F.col("doc_id") % 5 == 3, F.lit("cdea"))
+        .otherwise(F.lit("deab"))
+    )
+    wc = word_counts(d.select(word.alias("text")))
+    _, sym = learn_bpe(wc, n_merges=3)
+    return sym.select(
+        "word", "cnt", F.concat_ws(" ", "sym").alias("encoded"))
+
+
 def q_anchor_text(spark, sf_dir):
     """Anchor-text index (operators/links.py::anchor_text_index): top-k
     anchor strings per link target from the REAL DOM-parsed outlink
@@ -1690,6 +1716,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_search": q_bm25_search,
         "outlinks": q_outlinks,
         "anchor_text": q_anchor_text,
+        "bpe_learn": q_bpe_learn,
         "snapshot_diff": q_snapshot_diff,
         "cc_prep": q_cc_prep,
         "pagerank_seeded": q_pagerank_seeded,
@@ -1900,6 +1927,47 @@ _PAGERANK_ITER = """
       FROM nodes CROSS JOIN tot LEFT JOIN c{i} ON c{i}.dst = nodes.node
     )
 """
+
+# BPE twin: three unrolled merge rounds (pair counts -> argmax with the
+# (count DESC, left, right) tie rule -> string-replace application). The
+# '|sym|' string form makes the apply step expressible; it is boundary-
+# safe ONLY because the seeded words have all-distinct characters (no
+# shared-delimiter chains) — general overlap semantics live in pytest.
+_BPE_ROUND = """
+    , p{i} AS (
+      SELECT l[i] AS lft, l[i + 1] AS rgt, SUM(cnt) AS c
+      FROM (SELECT cnt, string_split(trim(s, '|'), '|') AS l FROM s{p}),
+           LATERAL (SELECT unnest(range(1, len(l))) AS i) u
+      GROUP BY 1, 2
+    ), b{i} AS (
+      SELECT lft, rgt FROM p{i} ORDER BY c DESC, lft, rgt LIMIT 1
+    ), s{i} AS (
+      SELECT word, cnt,
+             replace(s, '|' || lft || '|' || rgt || '|',
+                        '|' || lft || rgt || '|') AS s
+      FROM s{p} CROSS JOIN b{i}
+    )"""
+
+_BPE_SQL = (
+    r"""
+    WITH w AS (
+      SELECT CASE doc_id % 5 WHEN 0 THEN 'abcd' WHEN 1 THEN 'abce'
+                  WHEN 2 THEN 'bcde' WHEN 3 THEN 'cdea' ELSE 'deab'
+             END AS word,
+             COUNT(*)::BIGINT AS cnt
+      FROM documents GROUP BY 1
+    ), s0 AS (
+      SELECT word, cnt, '|' || regexp_replace(word, '(.)', '\1|', 'g') AS s
+      FROM w
+    )"""
+    + "".join(_BPE_ROUND.format(i=i, p=i - 1) for i in (1, 2, 3))
+    + """
+    SELECT word, cnt,
+           array_to_string(string_split(trim(s, '|'), '|'), ' ') AS encoded
+    FROM s3
+"""
+)
+
 
 _PAGERANK_SQL = (
     """
@@ -3290,6 +3358,7 @@ def _handwritten_oracles() -> dict[str, str]:
             FROM o FULL OUTER JOIN n ON o.url = n.url
         """,
         "pagerank_seeded": _PAGERANK_SQL,
+        "bpe_learn": _BPE_SQL,
         "bm25_search": _BM25_SQL.format(values=", ".join(
             "(%d, '%s')" % q for q in _BM25_QUERIES)),
         # bigram-LM perplexity: DuckDB retrains the identical model.

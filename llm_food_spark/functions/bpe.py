@@ -1,0 +1,81 @@
+"""Byte-pair-encoding merge learning — pure-Python core (no Spark).
+
+Sennrich et al. 2016: start from characters, repeatedly merge the most
+frequent adjacent symbol pair across the word-frequency table. Merges
+never cross word boundaries, so the unit of work is the DISTINCT word —
+vocabulary-sized, not corpus-sized — which is what makes the operator
+distributable (`operators/bpe.py` runs the same arithmetic over a Spark
+word table).
+
+Conventions (shared by the local twin, the Spark operator, and the
+DuckDB oracle):
+- pair selection: highest summed count, ties broken by (left, right)
+  ascending — a total order, so the learned table is deterministic.
+- merge application: left-to-right, non-overlapping ("aaaa" under
+  (a,a) -> [aa, aa]; "ababa" under (a,b) -> [ab, ab, a]).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Tuple
+
+
+def apply_merge(symbols: List[str], left: str, right: str) -> List[str]:
+    """One merge pass: left-to-right, non-overlapping."""
+    out: List[str] = []
+    i = 0
+    n = len(symbols)
+    while i < n:
+        if i + 1 < n and symbols[i] == left and symbols[i + 1] == right:
+            out.append(left + right)
+            i += 2
+        else:
+            out.append(symbols[i])
+            i += 1
+    return out
+
+
+def pair_counts(
+    vocab: Dict[Tuple[str, ...], int]
+) -> Dict[Tuple[str, str], int]:
+    counts: Dict[Tuple[str, str], int] = {}
+    for symbols, cnt in vocab.items():
+        for a, b in zip(symbols, symbols[1:]):
+            counts[(a, b)] = counts.get((a, b), 0) + cnt
+    return counts
+
+
+def learn_bpe_local(
+    word_counts: Dict[str, int], n_merges: int
+) -> Tuple[List[Tuple[str, str, int]], Dict[str, List[str]]]:
+    """Reference twin for tests: (merges [(left, right, count)], encodings).
+
+    Stops early when no pair remains (all words fully merged)."""
+    vocab: Dict[Tuple[str, ...], int] = {}
+    for w, c in word_counts.items():
+        key = tuple(w)
+        vocab[key] = vocab.get(key, 0) + c
+    words = {w: list(w) for w in word_counts}
+    merges: List[Tuple[str, str, int]] = []
+    for _ in range(n_merges):
+        counts = pair_counts(vocab)
+        if not counts:
+            break
+        (left, right), cnt = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0])
+        )
+        merges.append((left, right, cnt))
+        vocab = {
+            tuple(apply_merge(list(k), left, right)): c
+            for k, c in vocab.items()
+        }
+        words = {w: apply_merge(s, left, right) for w, s in words.items()}
+    return merges, words
+
+
+def encode_word(word: str, merges: List[Tuple[str, str]]) -> List[str]:
+    """Segment a word by applying learned merges in rank order."""
+    symbols = list(word)
+    for left, right in merges:
+        symbols = apply_merge(symbols, left, right)
+    return symbols

@@ -1,0 +1,160 @@
+"""Distributed BPE tokenizer induction — learn merges over the corpus.
+
+Training-data pipelines don't just consume tokenizers, they BUILD them:
+the BPE merge table is learned from the corpus the pipeline produces
+(GPT-2's byte-level BPE, SentencePiece's trainers). The reference
+(llm-food) chunks with pre-existing tokenizers only
+(`/root/reference/llm_food/app.py`, chunking endpoints); at 100 TB the
+induction itself must be the distributed step, and its structure is
+Spark-friendly because merges never cross word boundaries:
+
+1. ONE corpus-scale pass: whitespace words -> groupBy(word).count().
+   This is the only exchange that sees the corpus; everything after
+   runs on the distinct-word table (vocabulary-sized, ~10^5-10^7 rows).
+2. Per merge round: adjacent-pair counts are a narrow explode +
+   map-side-combined groupBy over the word table; the argmax pair is a
+   one-row collect (the documented scalar exception — same class as the
+   LM's N/V); the merge is applied to the symbol arrays in one Arrow
+   pass. Lineage is cut per round with localCheckpoint (the
+   graph.py/cluster.py iteration discipline) so round N's plan never
+   replays rounds 1..N-1.
+
+Production note: at real merge counts (~32k) a per-round Spark job is
+the wrong constant factor — the standard play (HuggingFace trainers,
+SentencePiece) is to shrink the problem to the vocabulary table (step 1,
+the distributed part) and run the merge loop driver-side over that
+table with a heap. ``learn_bpe(..., local_threshold=...)`` does exactly
+that switch when the word table fits the driver; the per-round Spark
+loop remains the oracle-checkable distributed form and the fallback for
+vocabularies that don't fit.
+
+Conventions shared with functions/bpe.py and the DuckDB twin: argmax by
+(count DESC, left ASC, right ASC); merges apply left-to-right
+non-overlapping.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F, types as T
+
+from llm_food_spark.functions.bpe import apply_merge, learn_bpe_local
+from llm_food_spark.operators.util import ensure_min_partitions
+
+
+def word_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus -> (word, cnt): THE corpus-scale pass (whitespace words,
+    map-side combined)."""
+    return (
+        docs.select(
+            F.explode(
+                F.split(F.trim(F.col(text_col)), r"\s+")
+            ).alias("word")
+        )
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def _pair_counts(sym: DataFrame) -> DataFrame:
+    pairs = F.arrays_zip(
+        F.slice("sym", 1, F.size("sym") - 1).alias("l"),
+        F.slice("sym", 2, F.size("sym") - 1).alias("r"),
+    )
+    return (
+        sym.where(F.size("sym") >= 2)
+        .select("cnt", F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.l").alias("left"), F.col("p.r").alias("right"))
+        .agg(F.sum("cnt").alias("pair_cnt"))
+    )
+
+
+def learn_bpe(
+    words: DataFrame,
+    n_merges: int,
+    local_threshold: Optional[int] = None,
+) -> Tuple[List[Tuple[str, str, int]], DataFrame]:
+    """Learn ``n_merges`` merges over a (word, cnt) table.
+
+    Returns (merges [(left, right, pair_count)], encoded word table with
+    a ``sym`` array column). ``local_threshold``: if set and the word
+    table has at most that many rows, collect it and run the merge loop
+    driver-side (production shape for large merge counts); the result is
+    identical by construction (test-asserted parity).
+    """
+    if n_merges < 1:
+        raise ValueError("n_merges must be >= 1")
+
+    if local_threshold is not None:
+        head = words.limit(local_threshold + 1).collect()
+        if len(head) <= local_threshold:
+            wc = {r["word"]: int(r["cnt"]) for r in head}
+            merges, encoded = learn_bpe_local(wc, n_merges)
+            spark = words.sparkSession
+            rows = [(w, wc[w], s) for w, s in encoded.items()]
+            schema = T.StructType([
+                T.StructField("word", T.StringType()),
+                T.StructField("cnt", T.LongType()),
+                T.StructField("sym", T.ArrayType(T.StringType())),
+            ])
+            return merges, spark.createDataFrame(rows, schema)
+
+    # split BETWEEN characters only — a bare lookahead split keeps a
+    # trailing '' element under Spark's limit=-1 semantics
+    sym = words.select(
+        "word", "cnt", F.split("word", "(?<=.)(?=.)").alias("sym")
+    )
+    sym = ensure_min_partitions(sym).localCheckpoint(eager=True)
+    merges: List[Tuple[str, str, int]] = []
+    for _ in range(n_merges):
+        best = (
+            _pair_counts(sym)
+            .orderBy(F.col("pair_cnt").desc(), "left", "right")
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break  # every word fully merged
+        left, right = best[0]["left"], best[0]["right"]
+        merges.append((left, right, int(best[0]["pair_cnt"])))
+
+        @F.pandas_udf(T.ArrayType(T.StringType()))
+        def merge_udf(col: pd.Series) -> pd.Series:
+            return col.map(lambda s: apply_merge(list(s), left, right))
+
+        sym = sym.withColumn("sym", merge_udf("sym")).localCheckpoint(
+            eager=True
+        )
+    return merges, sym
+
+
+def encode_corpus(
+    docs: DataFrame,
+    merges: List[Tuple[str, str, int]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, tokens) — segment every document with the learned table.
+
+    One Arrow pass over the corpus; the merge list rides the closure
+    (it is the broadcastable model, ~n_merges small strings)."""
+    ranked = [(l, r) for l, r, _ in merges]
+
+    @F.pandas_udf(T.ArrayType(T.StringType()))
+    def encode_udf(col: pd.Series) -> pd.Series:
+        from llm_food_spark.functions.bpe import encode_word
+
+        def enc(text):
+            toks: List[str] = []
+            for w in (text or "").split():
+                toks.extend(encode_word(w, ranked))
+            return toks
+
+        return col.map(enc)
+
+    return docs.select(
+        F.col(id_col).alias("doc_id"), encode_udf(text_col).alias("tokens")
+    )

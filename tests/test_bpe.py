@@ -1,0 +1,95 @@
+"""BPE induction: merge semantics, argmax ties, distributed/local parity."""
+
+import pytest
+
+from llm_food_spark.functions.bpe import (
+    apply_merge,
+    encode_word,
+    learn_bpe_local,
+)
+from llm_food_spark.operators.bpe import encode_corpus, learn_bpe, word_counts
+
+
+def test_apply_merge_overlap_semantics():
+    assert apply_merge(list("aaaa"), "a", "a") == ["aa", "aa"]
+    assert apply_merge(list("aaaaa"), "a", "a") == ["aa", "aa", "a"]
+    assert apply_merge(list("ababa"), "a", "b") == ["ab", "ab", "a"]
+    assert apply_merge(["x"], "a", "b") == ["x"]
+    assert apply_merge([], "a", "b") == []
+
+
+def test_local_learn_hand_computed():
+    merges, words = learn_bpe_local({"abcd": 3, "abce": 1}, 3)
+    # (a,b):4 > others; then (ab,c):4; then (abc,d):3 beats (abc,e):1
+    assert merges == [("a", "b", 4), ("ab", "c", 4), ("abc", "d", 3)]
+    assert words == {"abcd": ["abcd"], "abce": ["abc", "e"]}
+
+
+def test_tie_break_is_lexicographic():
+    merges, _ = learn_bpe_local({"xy": 2, "ab": 2}, 1)
+    assert merges[0][:2] == ("a", "b")
+
+
+def test_encode_word_follows_rank_order():
+    merges = [("a", "b"), ("ab", "c")]
+    assert encode_word("abcab", merges) == ["abc", "ab"]
+    assert encode_word("zzz", merges) == ["z", "z", "z"]
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [(i, ["the cat", "the dog", "thee", "cathedral"][i % 4])
+            for i in range(40)]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_word_counts(corpus):
+    got = {r.word: r.cnt for r in word_counts(corpus).collect()}
+    assert got == {"the": 20, "cat": 10, "dog": 10, "thee": 10,
+                   "cathedral": 10}
+
+
+def test_distributed_matches_local(corpus):
+    wc_df = word_counts(corpus)
+    wc = {r.word: r.cnt for r in wc_df.collect()}
+    local_merges, local_words = learn_bpe_local(wc, 5)
+    merges, sym = learn_bpe(wc_df, 5)
+    assert merges == local_merges
+    got = {r.word: list(r.sym) for r in sym.collect()}
+    assert got == local_words
+
+
+def test_local_threshold_switch_is_identical(corpus):
+    wc_df = word_counts(corpus)
+    m_dist, s_dist = learn_bpe(wc_df, 4)
+    m_loc, s_loc = learn_bpe(wc_df, 4, local_threshold=1000)
+    assert m_dist == m_loc
+    assert ({r.word: list(r.sym) for r in s_dist.collect()}
+            == {r.word: list(r.sym) for r in s_loc.collect()})
+
+
+def test_early_stop_when_fully_merged(spark):
+    words = spark.createDataFrame([("ab", 5)], "word string, cnt long")
+    merges, sym = learn_bpe(words, 10)
+    assert merges == [("a", "b", 5)]
+    assert [list(r.sym) for r in sym.collect()] == [["ab"]]
+
+
+def test_encode_corpus(corpus):
+    wc_df = word_counts(corpus)
+    merges, _ = learn_bpe(wc_df, 3)
+    toks = {r.doc_id: list(r.tokens)
+            for r in encode_corpus(corpus, merges).collect()}
+    wc = {r.word: r.cnt for r in wc_df.collect()}
+    local_merges, _ = learn_bpe_local(wc, 3)
+    ranked = [(l, r) for l, r, _ in local_merges]
+    for i in range(40):
+        text = ["the cat", "the dog", "thee", "cathedral"][i % 4]
+        expect = [s for w in text.split() for s in encode_word(w, ranked)]
+        assert toks[i] == expect
+
+
+def test_partition_invariance(corpus):
+    a = learn_bpe(word_counts(corpus), 4)[0]
+    b = learn_bpe(word_counts(corpus.repartition(11)), 4)[0]
+    assert a == b
