@@ -127,7 +127,7 @@ def main() -> int:
 
     corpus_bytes = pages.agg(F.sum(F.length("html"))).collect()[0][0]
     out_path = "/tmp/spark_graft_bench_results"
-    reps = int(os.environ.get("BENCH_REPS", "2"))
+    reps = int(os.environ.get("BENCH_REPS", "3"))
 
     def run_extract():
         shutil.rmtree(out_path, ignore_errors=True)
@@ -211,14 +211,23 @@ def main() -> int:
     # the suite total as an upper bound without needing an external re-run.
     ratios = [medians[k] / timings[k] for k in timings if timings[k] > 0.2]
     noise_ratio = round(sorted(ratios)[len(ratios) // 2], 3) if ratios else 1.0
+    # (4) BURST detection: the median-of-ratios misses a tenant burst
+    # that lands on one heavy query while the small queries stay stable
+    # (observed 2026-08-18: identical extraction reps of 7.2s and 32.2s
+    # inside one session, hardware controls clean in between). Any heavy
+    # query whose median is 2x its best means at least one rep ate a
+    # burst — the best-of stays valid, the suite TOTAL does not.
+    heavy = [medians[k] / timings[k] for k in timings if timings[k] > 1.0]
+    burst_ratio = round(max(heavy), 3) if heavy else 1.0
     probe_skew = round(max(probe_before, probe_after)
                        / max(min(probe_before, probe_after), 0.01), 3)
-    noisy = bool(noise_ratio > 1.35 or loadavg_before[0] > 6.0
-                 or probe_skew > 1.4)
+    noisy = bool(noise_ratio > 1.35 or burst_ratio > 2.0
+                 or loadavg_before[0] > 6.0 or probe_skew > 1.4)
     if noisy:
-        log("NOISY WINDOW: median/best %.2f, loadavg %s, probe %.1f->%.1f "
-            "Mops -> treat suite total as an upper bound"
-            % (noise_ratio, loadavg_before, probe_before, probe_after))
+        log("NOISY WINDOW: median/best %.2f, burst %.2f, loadavg %s, "
+            "probe %.1f->%.1f Mops -> treat suite total as an upper bound"
+            % (noise_ratio, burst_ratio, loadavg_before,
+               probe_before, probe_after))
     print(json.dumps({
         "metric": "extraction+operator suite wall time (headline: docs/sec "
                   "over %d synthesized CC-style pages on local[%d])"
@@ -236,6 +245,7 @@ def main() -> int:
         "loadavg_after": loadavg_after,
         "probe_mops": [probe_before, probe_after],
         "noise_ratio": noise_ratio,
+        "burst_ratio": burst_ratio,
         "noisy_window": noisy,
     }))
     return 0
