@@ -670,6 +670,39 @@ def q_bpe_learn(spark, sf_dir):
         "word", "cnt", F.concat_ws(" ", "sym").alias("encoded"))
 
 
+def q_bpe_encode(spark, sf_dir):
+    """Corpus segmentation with the learned BPE table
+    (operators/bpe.py::encode_corpus): the three seeded merges from
+    q_bpe_learn applied to two-word documents in one Arrow pass. Hard
+    oracle: DuckDB re-derives the merge table (same unrolled rounds) and
+    joins each document's words to their final segmentations — merges
+    never cross words, so the doc encoding is the ordered join."""
+    from llm_food_spark.operators.bpe import (
+        encode_corpus, learn_bpe, word_counts)
+
+    d = _t(spark, sf_dir, "documents")
+
+    def word(col):
+        return (
+            F.when(col % 5 == 0, F.lit("abcd"))
+            .when(col % 5 == 1, F.lit("abce"))
+            .when(col % 5 == 2, F.lit("bcde"))
+            .when(col % 5 == 3, F.lit("cdea"))
+            .otherwise(F.lit("deab"))
+        )
+
+    wc = word_counts(d.select(word(F.col("doc_id")).alias("text")))
+    merges, _ = learn_bpe(wc, n_merges=3)
+    docs = d.select(
+        "doc_id",
+        F.concat_ws(
+            " ", word(F.col("doc_id")), word(F.col("doc_id") + 2)
+        ).alias("text"),
+    )
+    return encode_corpus(docs, merges).select(
+        "doc_id", F.concat_ws(" ", "tokens").alias("encoded"))
+
+
 def q_anchor_text(spark, sf_dir):
     """Anchor-text index (operators/links.py::anchor_text_index): top-k
     anchor strings per link target from the REAL DOM-parsed outlink
@@ -1717,6 +1750,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "outlinks": q_outlinks,
         "anchor_text": q_anchor_text,
         "bpe_learn": q_bpe_learn,
+        "bpe_encode": q_bpe_encode,
         "snapshot_diff": q_snapshot_diff,
         "cc_prep": q_cc_prep,
         "pagerank_seeded": q_pagerank_seeded,
@@ -1948,7 +1982,7 @@ _BPE_ROUND = """
       FROM s{p} CROSS JOIN b{i}
     )"""
 
-_BPE_SQL = (
+_BPE_CORE = (
     r"""
     WITH w AS (
       SELECT CASE doc_id % 5 WHEN 0 THEN 'abcd' WHEN 1 THEN 'abce'
@@ -1961,12 +1995,36 @@ _BPE_SQL = (
       FROM w
     )"""
     + "".join(_BPE_ROUND.format(i=i, p=i - 1) for i in (1, 2, 3))
-    + """
+)
+
+_BPE_SQL = _BPE_CORE + """
     SELECT word, cnt,
            array_to_string(string_split(trim(s, '|'), '|'), ' ') AS encoded
     FROM s3
 """
-)
+
+# encode twin: the learned table (s3) applied to two-word documents —
+# merges never cross words, so a doc's encoding is its words' encodings
+# joined in order.
+_BPE_ENCODE_SQL = _BPE_CORE + """
+    , enc AS (
+      SELECT word,
+             array_to_string(string_split(trim(s, '|'), '|'), ' ') AS e
+      FROM s3
+    ), docs AS (
+      SELECT doc_id,
+             CASE doc_id % 5 WHEN 0 THEN 'abcd' WHEN 1 THEN 'abce'
+                  WHEN 2 THEN 'bcde' WHEN 3 THEN 'cdea' ELSE 'deab'
+             END AS w1,
+             CASE (doc_id + 2) % 5 WHEN 0 THEN 'abcd' WHEN 1 THEN 'abce'
+                  WHEN 2 THEN 'bcde' WHEN 3 THEN 'cdea' ELSE 'deab'
+             END AS w2
+      FROM documents
+    )
+    SELECT d.doc_id, e1.e || ' ' || e2.e AS encoded
+    FROM docs d JOIN enc e1 ON e1.word = d.w1
+                JOIN enc e2 ON e2.word = d.w2
+"""
 
 
 _PAGERANK_SQL = (
@@ -3359,6 +3417,7 @@ def _handwritten_oracles() -> dict[str, str]:
         """,
         "pagerank_seeded": _PAGERANK_SQL,
         "bpe_learn": _BPE_SQL,
+        "bpe_encode": _BPE_ENCODE_SQL,
         "bm25_search": _BM25_SQL.format(values=", ".join(
             "(%d, '%s')" % q for q in _BM25_QUERIES)),
         # bigram-LM perplexity: DuckDB retrains the identical model.

@@ -41,7 +41,31 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F, types as T
 
 from llm_food_spark.functions.bpe import apply_merge, learn_bpe_local
+from llm_food_spark.operators.cluster import (
+    _free_checkpoint_ids,
+    _persistent_ids,
+)
 from llm_food_spark.operators.util import ensure_min_partitions
+
+# checkpoint storage pinned by learn_bpe: freed round-over-round inside a
+# call, and the final round's pin on the NEXT call or explicitly — the
+# cluster.py/graph.py lifecycle (localCheckpoint RDDs are otherwise only
+# freed asynchronously on GC, the round-2 persist-leak failure mode)
+_CHECKPOINT_IDS: list = []
+
+
+def release_persisted() -> int:
+    """Free checkpoint storage pinned by earlier learn_bpe calls. Safe
+    once the previous call's returned frame has been consumed."""
+    sc_ids, _CHECKPOINT_IDS[:] = list(_CHECKPOINT_IDS), []
+    if not sc_ids:
+        return 0
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    if spark is not None:
+        _free_checkpoint_ids(spark.sparkContext, sc_ids)
+    return len(sc_ids)
 
 
 def word_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -102,12 +126,22 @@ def learn_bpe(
             ])
             return merges, spark.createDataFrame(rows, schema)
 
+    release_persisted()  # the previous call's final round, if any
+    sc = words.sparkSession.sparkContext
+
+    def _cut(df: DataFrame) -> DataFrame:
+        before = _persistent_ids(sc)
+        out = df.localCheckpoint(eager=True)
+        new_ids = _persistent_ids(sc) - before
+        old, _CHECKPOINT_IDS[:] = list(_CHECKPOINT_IDS), list(new_ids)
+        _free_checkpoint_ids(sc, old)  # round N-1 freed once N is pinned
+        return out
+
     # split BETWEEN characters only — a bare lookahead split keeps a
     # trailing '' element under Spark's limit=-1 semantics
-    sym = words.select(
+    sym = _cut(ensure_min_partitions(words.select(
         "word", "cnt", F.split("word", "(?<=.)(?=.)").alias("sym")
-    )
-    sym = ensure_min_partitions(sym).localCheckpoint(eager=True)
+    )))
     merges: List[Tuple[str, str, int]] = []
     for _ in range(n_merges):
         best = (
@@ -125,9 +159,7 @@ def learn_bpe(
         def merge_udf(col: pd.Series) -> pd.Series:
             return col.map(lambda s: apply_merge(list(s), left, right))
 
-        sym = sym.withColumn("sym", merge_udf("sym")).localCheckpoint(
-            eager=True
-        )
+        sym = _cut(sym.withColumn("sym", merge_udf("sym")))
     return merges, sym
 
 

@@ -93,3 +93,28 @@ def test_partition_invariance(corpus):
     a = learn_bpe(word_counts(corpus), 4)[0]
     b = learn_bpe(word_counts(corpus.repartition(11)), 4)[0]
     assert a == b
+
+
+def test_checkpoint_storage_bounded_and_releasable(spark, corpus):
+    from llm_food_spark.operators.bpe import release_persisted
+
+    sc = spark.sparkContext
+    release_persisted()
+    base = sc._jsc.getPersistentRDDs().size()
+    learn_bpe(word_counts(corpus), 4)[1].collect()
+    n1 = sc._jsc.getPersistentRDDs().size()
+    # a second call frees the first call's final pin before its own
+    learn_bpe(word_counts(corpus), 4)[1].collect()
+    assert sc._jsc.getPersistentRDDs().size() <= n1
+    release_persisted()
+    assert sc._jsc.getPersistentRDDs().size() <= base
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _release_bpe_storage(spark):
+    """Leave no checkpoint storage behind for later test modules (the
+    cluster suite asserts an ABSOLUTE zero after its own release)."""
+    yield
+    from llm_food_spark.operators.bpe import release_persisted
+
+    release_persisted()
