@@ -75,8 +75,10 @@ def parse_robots(
     regex, ``plen`` the RFC specificity (pattern octet length). Hosts
     whose robots has no applicable group (or only empty patterns) emit
     zero rows — absence of rules IS the allow-all verdict downstream."""
+    # lowercase the key: pages-side hosts come from host_col (lowercased),
+    # so a mixed-case host in the robots table must still join
     lines = robots.select(
-        F.col(host_col_name).alias("host"),
+        F.lower(F.col(host_col_name)).alias("host"),
         F.posexplode(F.split(F.col(robots_col), "\r?\n")).alias(
             "pos", "raw"
         ),

@@ -155,3 +155,18 @@ def test_partition_invariance(spark, rules):
     a = robots_verdict(pages, rules).orderBy("url").collect()
     b = robots_verdict(pages.repartition(13), rules).orderBy("url").collect()
     assert a == b
+
+
+def test_mixed_case_robots_host_still_joins(spark):
+    robots = spark.createDataFrame(
+        [("WWW.Mixed.COM", "User-agent: *\nDisallow: /no/\n")],
+        "host string, robots string",
+    )
+    pages = spark.createDataFrame(
+        [("https://www.mixed.com/no/1",), ("https://WWW.MIXED.COM/ok",)],
+        "url string",
+    )
+    got = {r.url: r.allowed
+           for r in robots_verdict(pages, parse_robots(robots)).collect()}
+    assert got == {"https://www.mixed.com/no/1": False,
+                   "https://WWW.MIXED.COM/ok": True}

@@ -103,6 +103,16 @@ def main() -> int:
                          "poison best-of-2; extra short reps are cheap.")
     ap.add_argument("--quiet-load", type=float, default=0.0,
                     help="wait for 1-min loadavg below this before each rep")
+    ap.add_argument("--interleave", type=int, default=0,
+                    help="run N alternating single-rep (low, high) pairs "
+                         "instead of all-low-then-all-high. Each pair's "
+                         "ratio is computed inside ONE window, so slow "
+                         "drift between the legs (the low-leg-too-fast / "
+                         "high-leg-too-slow confounder that rejected the "
+                         "05:27 and 10:37 Aug-18 readings) cancels by "
+                         "construction; the reported efficiency is the "
+                         "MEDIAN pairwise ratio, throughputs are per-leg "
+                         "bests.")
     ap.add_argument("--bucketed", action="store_true",
                     help="pre-bucket the corpus by partition_id with a "
                          "one-time ingest shuffle (the Iceberg "
@@ -151,10 +161,35 @@ def main() -> int:
                 raise RuntimeError(r.stderr[-2000:])
         corpus = bucketed
 
-    lo = measure(args.low, corpus, args.reps, args.quiet_load, partitions,
-                 no_repartition=args.bucketed)
-    hi = measure(args.high, corpus, args.high_reps or args.reps,
-                 args.quiet_load, partitions, no_repartition=args.bucketed)
+    pair_effs = None
+    if args.interleave:
+        import statistics
+
+        ratio_lvl = args.high / args.low
+        pairs = []
+        for r in range(args.interleave):
+            l_r = measure(args.low, corpus, 1, args.quiet_load, partitions,
+                          no_repartition=args.bucketed)
+            h_r = measure(args.high, corpus, 1, args.quiet_load, partitions,
+                          no_repartition=args.bucketed)
+            pairs.append((l_r, h_r))
+            print("pair %d: low %.1fs  high %.1fs  eff %.3f"
+                  % (r, l_r["sec"], h_r["sec"],
+                     (h_r["docs_per_sec"] / l_r["docs_per_sec"]) / ratio_lvl),
+                  file=sys.stderr)
+        pair_effs = [
+            round((h["docs_per_sec"] / l["docs_per_sec"]) / ratio_lvl, 3)
+            for l, h in pairs
+        ]
+        lo = max((l for l, _ in pairs), key=lambda d: d["docs_per_sec"])
+        hi = max((h for _, h in pairs), key=lambda d: d["docs_per_sec"])
+        pair_eff_median = round(statistics.median(pair_effs), 3)
+    else:
+        lo = measure(args.low, corpus, args.reps, args.quiet_load,
+                     partitions, no_repartition=args.bucketed)
+        hi = measure(args.high, corpus, args.high_reps or args.reps,
+                     args.quiet_load, partitions,
+                     no_repartition=args.bucketed)
 
     # hardware ceiling control: an embarrassingly parallel pure-Python loop
     # measured under the same conditions — efficiency below 1.0 HERE is the
@@ -165,7 +200,10 @@ def main() -> int:
     hw = probe(args.low, args.high, reps=args.reps)
 
     ratio = args.high / args.low
-    eff = (hi["docs_per_sec"] / lo["docs_per_sec"]) / ratio
+    eff_legs = (hi["docs_per_sec"] / lo["docs_per_sec"]) / ratio
+    # interleaved mode: the window-paired median is the headline —
+    # best-legs mixes windows and is recorded alongside for comparison
+    eff = pair_eff_median if pair_effs is not None else eff_legs
     result = {
         "ts": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
         "launcher": "spark-submit --py-files",
@@ -177,6 +215,8 @@ def main() -> int:
         "low": lo,
         "high": hi,
         "scaling_efficiency": round(eff, 3),
+        "best_legs_efficiency": round(eff_legs, 3),
+        "pair_efficiencies": pair_effs,
         "hw_probe": hw,
         "normalized_efficiency": round(min(eff / hw["hw_efficiency"], 1.0), 3)
         if hw["hw_efficiency"] > 0 else None,
