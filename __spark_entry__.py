@@ -751,6 +751,37 @@ def q_pagerank_seeded(spark, sf_dir):
     return pagerank(e, iterations=3)
 
 
+def q_crawl_priority(spark, sf_dir):
+    """Crawl-frontier prioritization (operators/snapshot.py::
+    prioritize_frontier): the CDC diff's added+changed urls scored by
+    their host's PageRank (host = trailing url digits mod 50, the seeded
+    web graph's node key). Hard oracle: composes the snapshot_diff and
+    pagerank_seeded twins with the identical left join + 0.0 floor."""
+    from llm_food_spark.operators.graph import pagerank
+    from llm_food_spark.operators.snapshot import (
+        prioritize_frontier, snapshot_diff)
+
+    d = _t(spark, sf_dir, "documents")
+    url = F.concat(F.lit("http://crawl.test/"), F.col("doc_id"))
+    old = d.where(F.col("doc_id") % 11 != 3).select(
+        url.alias("url"), F.sha2(F.col("text").cast("binary"), 256).alias(
+            "content_hash"))
+    new = d.where(F.col("doc_id") % 13 != 5).select(
+        url.alias("url"),
+        F.sha2(
+            F.when(F.col("doc_id") % 7 == 0,
+                   F.concat(F.col("text"), F.lit(" v2")))
+            .otherwise(F.col("text")).cast("binary"), 256
+        ).alias("content_hash"))
+    e = d.select(
+        (F.col("doc_id") % 50).alias("src"),
+        ((F.col("doc_id") * 7 + 3) % 50).alias("dst"),
+    ).distinct()
+    host = F.regexp_extract("url", "([0-9]+)$", 1).cast("long") % 50
+    return prioritize_frontier(
+        snapshot_diff(old, new), pagerank(e, iterations=3), host)
+
+
 def q_cc_prep(spark, sf_dir):
     """The full Common-Crawl funnel (plans/ccprep.py) under a chained hard
     oracle, THROUGH the real WARC parser and the real extraction pipeline:
@@ -1752,6 +1783,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_learn": q_bpe_learn,
         "bpe_encode": q_bpe_encode,
         "snapshot_diff": q_snapshot_diff,
+        "crawl_priority": q_crawl_priority,
         "cc_prep": q_cc_prep,
         "pagerank_seeded": q_pagerank_seeded,
         "cosine_topk": q_cosine_topk,
@@ -2025,6 +2057,28 @@ _BPE_ENCODE_SQL = _BPE_CORE + """
     FROM docs d JOIN enc e1 ON e1.word = d.w1
                 JOIN enc e2 ON e2.word = d.w2
 """
+
+
+# snapshot CDC twin: both snapshots reconstructed, full outer join,
+# identical CASE ladder — shared by snapshot_diff and crawl_priority
+_SNAPSHOT_SQL = """
+            WITH o AS (
+              SELECT 'http://crawl.test/' || doc_id AS url,
+                     sha256(text) AS old_hash
+              FROM documents WHERE doc_id % 11 <> 3
+            ), n AS (
+              SELECT 'http://crawl.test/' || doc_id AS url,
+                     sha256(CASE WHEN doc_id % 7 = 0 THEN text || ' v2'
+                                 ELSE text END) AS new_hash
+              FROM documents WHERE doc_id % 13 <> 5
+            )
+            SELECT coalesce(o.url, n.url) AS url, old_hash, new_hash,
+                   CASE WHEN old_hash IS NULL THEN 'added'
+                        WHEN new_hash IS NULL THEN 'removed'
+                        WHEN old_hash = new_hash THEN 'unchanged'
+                        ELSE 'changed' END AS change
+            FROM o FULL OUTER JOIN n ON o.url = n.url
+        """
 
 
 _PAGERANK_SQL = (
@@ -3397,25 +3451,22 @@ def _handwritten_oracles() -> dict[str, str]:
         """,
         # snapshot CDC twin: both snapshots reconstructed, full outer join,
         # identical CASE ladder (added/removed/changed/unchanged)
-        "snapshot_diff": """
-            WITH o AS (
-              SELECT 'http://crawl.test/' || doc_id AS url,
-                     sha256(text) AS old_hash
-              FROM documents WHERE doc_id % 11 <> 3
-            ), n AS (
-              SELECT 'http://crawl.test/' || doc_id AS url,
-                     sha256(CASE WHEN doc_id % 7 = 0 THEN text || ' v2'
-                                 ELSE text END) AS new_hash
-              FROM documents WHERE doc_id % 13 <> 5
-            )
-            SELECT coalesce(o.url, n.url) AS url, old_hash, new_hash,
-                   CASE WHEN old_hash IS NULL THEN 'added'
-                        WHEN new_hash IS NULL THEN 'removed'
-                        WHEN old_hash = new_hash THEN 'unchanged'
-                        ELSE 'changed' END AS change
-            FROM o FULL OUTER JOIN n ON o.url = n.url
-        """,
+        "snapshot_diff": _SNAPSHOT_SQL,
         "pagerank_seeded": _PAGERANK_SQL,
+        # frontier prioritization: the snapshot and pagerank twins composed
+        # with the identical left join + 0.0 floor for unranked hosts
+        "crawl_priority": """
+            WITH pr AS (SELECT * FROM (%s) q),
+            d AS (SELECT url, change FROM (%s) s
+                  WHERE change IN ('added', 'changed'))
+            SELECT d.url, d.change,
+                   CAST(regexp_extract(d.url, '([0-9]+)$', 1) AS BIGINT)
+                     %% 50 AS host_key,
+                   coalesce(pr.rank, 0.0::DOUBLE) AS host_rank
+            FROM d LEFT JOIN pr
+              ON pr.node = CAST(regexp_extract(d.url, '([0-9]+)$', 1)
+                                AS BIGINT) %% 50
+        """ % (_PAGERANK_SQL, _SNAPSHOT_SQL),
         "bpe_learn": _BPE_SQL,
         "bpe_encode": _BPE_ENCODE_SQL,
         "bm25_search": _BM25_SQL.format(values=", ".join(

@@ -49,3 +49,38 @@ def needs_extraction(
 ) -> DataFrame:
     """Keys requiring (re-)extraction: added + changed rows."""
     return diff.where(F.col("change").isin("added", "changed")).select(key_col)
+
+
+def prioritize_frontier(
+    diff: DataFrame,
+    ranks: DataFrame,
+    host_key,
+    key_col: str = "url",
+    node_col: str = "node",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Fetch-queue prioritization: CDC output × authority ranks.
+
+    The crawl-scheduling composition (BUbiNG/Heritrix-style frontier
+    ordering by host authority): urls that need (re-)fetching — added or
+    changed per ``snapshot_diff`` — scored by their host's rank (e.g.
+    ``graph.pagerank`` over the host web graph). Hosts absent from the
+    rank frame floor at 0.0 (new hosts still get crawled, last).
+
+    ``host_key`` is the Column mapping a url row to the rank frame's node
+    key. Output (url, change, host_key, host_rank) arrives globally
+    ordered rank-desc via repartitionByRange — the scalable queue layout
+    (sorted shards), not a single-partition window.
+    """
+    f = diff.where(F.col("change").isin("added", "changed")).select(
+        F.col(key_col).alias("url"), "change", host_key.alias("host_key")
+    )
+    r = ranks.select(F.col(node_col).alias("host_key"),
+                     F.col(rank_col).alias("host_rank"))
+    j = f.join(r, "host_key", "left").select(
+        "url", "change", "host_key",
+        F.coalesce("host_rank", F.lit(0.0)).alias("host_rank"),
+    )
+    return j.repartitionByRange(
+        F.col("host_rank").desc(), F.col("url")
+    ).sortWithinPartitions(F.col("host_rank").desc(), "url")

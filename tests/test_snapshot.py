@@ -36,3 +36,22 @@ def test_snapshot_diff_payload_never_joins(spark):
                         if "Exchange" in ln or "Join" in ln]
     assert join_and_shuffle and all("html" not in ln
                                     for ln in join_and_shuffle)
+
+
+def test_prioritize_frontier(spark):
+    from pyspark.sql import functions as F
+
+    from llm_food_spark.operators.snapshot import prioritize_frontier
+
+    diff = spark.createDataFrame(
+        [("u/1", "added"), ("u/2", "changed"), ("u/3", "unchanged"),
+         ("u/4", "removed"), ("u/5", "added")],
+        "url string, change string",
+    )
+    ranks = spark.createDataFrame(
+        [(1, 0.5), (2, 0.9)], "node long, rank double")
+    host = F.regexp_extract("url", "([0-9]+)$", 1).cast("long")
+    rows = prioritize_frontier(diff, ranks, host).collect()
+    # globally ordered rank-desc; unchanged/removed dropped; unranked -> 0
+    assert [(r.url, r.host_rank) for r in rows] == [
+        ("u/2", 0.9), ("u/1", 0.5), ("u/5", 0.0)]
