@@ -98,6 +98,14 @@ def test_fuzz_never_raises():
             i, j = sorted(rnd.randrange(len(bb)) for _ in range(2))
             del bb[i:j]
         parse_warc(bytes(bb))  # record-and-continue: must not raise
+        # the indexed variant shares the contract, plus sane coordinates:
+        # offsets in-range, lengths positive, spans inside the buffer
+        from llm_food_spark.functions.warc import parse_warc_indexed
+
+        for r in parse_warc_indexed(bytes(bb)):
+            assert 0 <= r["offset"] <= len(bb)
+            assert r["length"] >= 0
+            assert r["offset"] + r["length"] <= len(bb)
 
 
 def test_read_warc_and_pages_projection(spark, tmp_path):
