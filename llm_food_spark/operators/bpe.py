@@ -112,6 +112,12 @@ def learn_bpe(
     if n_merges < 1:
         raise ValueError("n_merges must be >= 1")
 
+    # Free the previous distributed call's final-round checkpoint FIRST:
+    # the local path below returns early, and the documented
+    # released-on-the-next-call lifecycle must hold regardless of which
+    # path that next call takes.
+    release_persisted()
+
     if local_threshold is not None:
         head = words.limit(local_threshold + 1).collect()
         if len(head) <= local_threshold:
@@ -126,7 +132,6 @@ def learn_bpe(
             ])
             return merges, spark.createDataFrame(rows, schema)
 
-    release_persisted()  # the previous call's final round, if any
     sc = words.sparkSession.sparkContext
 
     def _cut(df: DataFrame) -> DataFrame:

@@ -81,7 +81,11 @@ def host_graph(
         F.col("rel"),
     ).where((F.col("src_host") != "") & (F.col("dst_host") != ""))
     if not include_nofollow:
-        e = e.where(~F.col("rel").rlike(r"(^|\s)nofollow(\s|$)"))
+        # Null-safe: rlike on a NULL rel is NULL and would drop the row;
+        # edge frames not built by extract_outlinks (which guarantees '')
+        # may carry NULL rel for plain links.
+        e = e.where(~F.coalesce(F.col("rel"), F.lit(""))
+                    .rlike(r"(^|\s)nofollow(\s|$)"))
     if drop_self:
         e = e.where(F.col("src_host") != F.col("dst_host"))
     return e.groupBy("src_host", "dst_host").agg(
@@ -115,7 +119,8 @@ def anchor_text_index(
 
     e = outlinks.where(F.col("anchor") != "")
     if not include_nofollow:
-        e = e.where(~F.col("rel").rlike(r"(^|\s)nofollow(\s|$)"))
+        e = e.where(~F.coalesce(F.col("rel"), F.lit(""))
+                    .rlike(r"(^|\s)nofollow(\s|$)"))
     counts = e.groupBy("target", "anchor").agg(
         F.count(F.lit(1)).alias("n"))
     w = Window.partitionBy("target").orderBy(

@@ -159,8 +159,12 @@ def robots_verdict(
         )
     ).alias("win")
     winners = joined.groupBy("url").agg(win)
+    # One verdict row per DISTINCT url: crawl data routinely carries k
+    # captures of the same url, and a per-row verdict re-joined in
+    # filter_robots would multiply them k*k. A verdict is a property of
+    # the url, not the capture.
     return (
-        pages.select(F.col(url_col).alias("url"))
+        pages.select(F.col(url_col).alias("url")).distinct()
         .join(winners, "url", "left")
         .select(
             "url",

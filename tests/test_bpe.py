@@ -62,10 +62,13 @@ def test_distributed_matches_local(corpus):
 def test_local_threshold_switch_is_identical(corpus):
     wc_df = word_counts(corpus)
     m_dist, s_dist = learn_bpe(wc_df, 4)
+    # Materialize before the next learn_bpe call: the documented
+    # lifecycle frees the previous call's final-round checkpoint on the
+    # NEXT call, whichever path (local or distributed) it takes.
+    dist_rows = {r.word: list(r.sym) for r in s_dist.collect()}
     m_loc, s_loc = learn_bpe(wc_df, 4, local_threshold=1000)
     assert m_dist == m_loc
-    assert ({r.word: list(r.sym) for r in s_dist.collect()}
-            == {r.word: list(r.sym) for r in s_loc.collect()})
+    assert dist_rows == {r.word: list(r.sym) for r in s_loc.collect()}
 
 
 def test_early_stop_when_fully_merged(spark):
@@ -107,6 +110,19 @@ def test_checkpoint_storage_bounded_and_releasable(spark, corpus):
     learn_bpe(word_counts(corpus), 4)[1].collect()
     assert sc._jsc.getPersistentRDDs().size() <= n1
     release_persisted()
+    assert sc._jsc.getPersistentRDDs().size() <= base
+
+
+def test_local_path_frees_previous_distributed_pin(spark, corpus):
+    from llm_food_spark.operators.bpe import release_persisted
+
+    sc = spark.sparkContext
+    release_persisted()
+    base = sc._jsc.getPersistentRDDs().size()
+    learn_bpe(word_counts(corpus), 4)[1].collect()
+    assert sc._jsc.getPersistentRDDs().size() > base
+    # a LOCAL-path call must also free the previous call's final pin
+    learn_bpe(word_counts(corpus), 4, local_threshold=1000)
     assert sc._jsc.getPersistentRDDs().size() <= base
 
 

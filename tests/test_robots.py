@@ -170,3 +170,18 @@ def test_mixed_case_robots_host_still_joins(spark):
            for r in robots_verdict(pages, parse_robots(robots)).collect()}
     assert got == {"https://www.mixed.com/no/1": False,
                    "https://WWW.MIXED.COM/ok": True}
+
+
+def test_duplicate_captures_no_row_multiplication(spark, rules):
+    # k captures of the same url (normal in crawl data) must yield k
+    # filtered rows, not k*k, and one verdict row per distinct url.
+    pages = spark.createDataFrame(
+        [("https://a.com/other", i) for i in range(3)]
+        + [("https://a.com/p/secret", 9)],
+        "url string, capture int",
+    )
+    assert robots_verdict(pages, rules).count() == 2
+    kept = filter_robots(pages, rules)
+    assert sorted(r.capture for r in kept.collect()) == [0, 1, 2]
+    flagged = filter_robots(pages, rules, keep=False)
+    assert flagged.count() == 4
