@@ -1345,6 +1345,125 @@ def q_extract_office(spark, sf_dir):
     )
 
 
+_PDF_FILTERS = ["flate", "raw", "a85", "rle", "lzw", "a85+flate",
+                "flate-pred"]
+
+
+def q_extract_pdf_verified(spark, sf_dir):
+    """The binary PDF extractor under a HARD driver oracle (the cc_prep
+    treatment for T5/T6/T10): every documents row becomes a real one-page
+    PDF (title run at 18pt + 8-words-per-line body at 10pt; the stream
+    filter cycles through all seven encoder variants by doc_id and TJ-array
+    emission alternates), the REAL operator chain (sniff → classify →
+    content-stream interpret → line/block cluster → heading rank →
+    markdown) extracts it, and DuckDB reconstructs the expected status and
+    markdown arithmetically from the text: docs at >= 75 words (incl. the
+    2-word title — the reference's classifier threshold,
+    /root/reference/llm_food/pdf_utils.py:63-68, config.py:56-69) must
+    yield '# Document <id>\\n\\n<words>' via the layout path, shorter docs
+    the scanned fallback with per-line breaks. Any divergence in filter
+    decode, predictor, interpreter, clustering, heading detection, or the
+    classifier arithmetic breaks the hash."""
+    import math
+
+    import pandas as pd
+
+    from llm_food_spark.operators.extract import extract_pages
+
+    d = _t_par(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def build(batches):
+        from datetime import datetime, timedelta
+
+        from llm_food_spark.functions.pdf_writer import (
+            build_pdf, paragraph_runs)
+
+        epoch = datetime(2025, 1, 1)
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                i = int(doc_id)
+                toks = (text or "").split()
+                lines = [" ".join(toks[j * 8:(j + 1) * 8])
+                         for j in range(math.ceil(len(toks) / 8))]
+                runs = [(72.0, 720.0, 18.0, "Document %d" % i)]
+                runs += paragraph_runs(72.0, 690.0, 10.0, lines,
+                                       leading=13.0)
+                payload = build_pdf(
+                    [runs], use_tj_array=(i % 2 == 0),
+                    stream_filter=_PDF_FILTERS[i % 7])
+                rows.append(("pdf://%d" % i,
+                             epoch + timedelta(seconds=i % 86400),
+                             payload, "", "en"))
+            yield pd.DataFrame(
+                rows, columns=["url", "warc_ts", "html", "text", "lang"])
+
+    pages = d.mapInPandas(
+        build,
+        "url string, warc_ts timestamp, html binary, text string, "
+        "lang string")
+    return extract_pages(pages, n_partitions=8).select(
+        "url", "content_type", "n_sections", "status", "markdown")
+
+
+def q_extract_office_verified(spark, sf_dir):
+    """The OOXML/RTF extractors under a HARD driver oracle (T2/T3/T4):
+    documents rows become real DOCX/PPTX/RTF payloads (kind = doc_id % 3)
+    built from the row text split into halves — DOCX gets a Heading2 +
+    plain + bold + ListBullet paragraph walk, PPTX two slides with
+    paragraph joins, RTF a \\par document — and DuckDB reconstructs the
+    expected markdown by string formula. Any divergence in the zip/XML
+    walk (word/document.xml order, run formatting, style mapping), the
+    PPTX slide join + empty-slide drop (llm_food/app.py:232-249), or the
+    RTF control-word stripper breaks the hash."""
+    import math
+
+    import pandas as pd
+
+    from llm_food_spark.operators.extract import extract_pages
+
+    d = _t_par(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def build(batches):
+        from datetime import datetime, timedelta
+
+        from llm_food_spark.sources.fixtures import (
+            _docx_bytes, _pptx_bytes, _rtf_bytes)
+
+        epoch = datetime(2025, 1, 1)
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                i = int(doc_id)
+                toks = (text or "").split()
+                h = math.ceil(len(toks) / 2)
+                a, b = " ".join(toks[:h]), " ".join(toks[h:])
+                kind = i % 3
+                if kind == 0:
+                    payload = _docx_bytes([
+                        ("Heading2", [("Doc %d" % i, False)]),
+                        (None, [(a, False)]),
+                        (None, [(b, True)]),
+                        ("ListBullet", [("item %d" % (i % 5), False)]),
+                    ])
+                elif kind == 1:
+                    payload = _pptx_bytes([["Slide %d" % i, a], [b]])
+                else:
+                    payload = _rtf_bytes(["RTF %d" % i, a, b])
+                rows.append(("office://%d" % i,
+                             epoch + timedelta(seconds=i % 86400),
+                             payload, "", "en"))
+            yield pd.DataFrame(
+                rows, columns=["url", "warc_ts", "html", "text", "lang"])
+
+    pages = d.mapInPandas(
+        build,
+        "url string, warc_ts timestamp, html binary, text string, "
+        "lang string")
+    return extract_pages(pages, n_partitions=8).select(
+        "url", "content_type", "n_sections", "status", "markdown")
+
+
 def q_extract_invariants(spark, sf_dir):
     """Semantic invariants of the extraction pipeline under a hard constant
     oracle: the Spark side computes violation counters over the REAL
@@ -1815,6 +1934,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_chunk": q_extract_chunk,
         "extract_pdf": q_extract_pdf,
         "extract_office": q_extract_office,
+        "extract_pdf_verified": q_extract_pdf_verified,
+        "extract_office_verified": q_extract_office_verified,
         "embedding_neardup": q_embedding_neardup,
         "embedding_neardup_seeded": q_embedding_neardup_seeded,
         "training_prep": q_training_prep,
@@ -2445,6 +2566,84 @@ _ANN_IVF_SEEDED_SQL = """
 # the oracle pins the invariant values (structural row count + zero
 # violations). A pipeline bug (dropped/duplicated rows, hash-url
 # misalignment through the Arrow pass, broken assembly) breaks the match.
+# extract_pdf_verified: DuckDB rebuilds the EXPECTED extractor output of
+# the synthesized one-page PDFs purely from documents.text — the classifier
+# threshold (75 words incl. the 2-word title, pdf_utils.py:63-68), the
+# layout-path markdown ('# <title>\n\n' + the body block whose lines
+# re-join with single spaces), and the scanned fallback (per-line '\n'
+# joins of the 8-word writer lines). The Spark side earns each value
+# through build_pdf (7 filter variants) + the real content-stream
+# interpreter + clustering.
+_EXTRACT_PDF_VERIFIED_SQL = r"""
+    WITH t AS (
+      SELECT doc_id, {toks} AS toks FROM documents
+    ), w AS (
+      SELECT doc_id, toks, len(toks) AS n FROM t
+    )
+    SELECT 'pdf://' || doc_id AS url,
+           'pdf' AS content_type,
+           CAST(1 AS INT) AS n_sections,
+           CASE WHEN n + 2 >= 75 THEN 'completed'
+                ELSE 'scanned_lowconf' END AS status,
+           CASE WHEN n + 2 >= 75
+                THEN '# Document ' || doc_id || chr(10) || chr(10)
+                     || array_to_string(toks, ' ')
+                ELSE array_to_string(
+                       list_prepend(
+                         'Document ' || doc_id,
+                         list_transform(
+                           range(0, CAST(ceil(n / 8.0) AS INT)),
+                           i -> array_to_string(
+                                  toks[i * 8 + 1 : least((i + 1) * 8, n)],
+                                  ' '))),
+                       chr(10))
+           END AS markdown
+    FROM w
+""".format(toks=_WSTOKS)
+
+# extract_office_verified: expected DOCX/PPTX/RTF extractor output by
+# string formula over the half-split of documents.text (kind = doc_id % 3).
+# Empty-half cases mirror the walkers exactly: DOCX skips empty paragraph
+# blocks, PPTX drops empty slides, RTF's trailing \par strips.
+_EXTRACT_OFFICE_VERIFIED_SQL = r"""
+    WITH t AS (
+      SELECT doc_id, {toks} AS toks FROM documents
+    ), w AS (
+      SELECT doc_id, toks, len(toks) AS n,
+             CAST(ceil(len(toks) / 2.0) AS INT) AS h
+      FROM t
+    ), ab AS (
+      SELECT doc_id, n,
+             array_to_string(toks[1:h], ' ') AS a,
+             array_to_string(toks[h + 1:n], ' ') AS b
+      FROM w
+    )
+    SELECT 'office://' || doc_id AS url,
+           CASE doc_id % 3 WHEN 0 THEN 'docx' WHEN 1 THEN 'pptx'
+                ELSE 'rtf' END AS content_type,
+           CASE WHEN doc_id % 3 = 1 AND b <> '' THEN CAST(2 AS INT)
+                ELSE CAST(1 AS INT) END AS n_sections,
+           'completed' AS status,
+           CASE doc_id % 3
+             WHEN 0 THEN
+               '## Doc ' || doc_id
+               || CASE WHEN a <> '' THEN chr(10) || chr(10) || a
+                       ELSE '' END
+               || CASE WHEN b <> '' THEN chr(10) || chr(10) || '**' || b
+                       || '**' ELSE '' END
+               || chr(10) || chr(10) || '- item ' || (doc_id % 5)
+             WHEN 1 THEN
+               'Slide ' || doc_id
+               || CASE WHEN a <> '' THEN chr(10) || a ELSE '' END
+               || CASE WHEN b <> '' THEN chr(10) || chr(10) || '---'
+                       || chr(10) || chr(10) || b ELSE '' END
+             ELSE
+               rtrim('RTF ' || doc_id || chr(10) || a || chr(10) || b,
+                     ' ' || chr(10))
+           END AS markdown
+    FROM ab
+""".format(toks=_WSTOKS)
+
 _EXTRACT_INVARIANTS_SQL = """
     SELECT CAST(300 AS BIGINT) AS n_rows,
            CAST(300 AS BIGINT) AS n_urls,
@@ -3341,6 +3540,11 @@ def _handwritten_oracles() -> dict[str, str]:
         # extraction-pipeline invariants pinned to constants
         # (see q_extract_invariants)
         "extract_invariants": _EXTRACT_INVARIANTS_SQL,
+        # binary-extractor hard oracles: expected markdown reconstructed
+        # by formula THROUGH the real parsers (see q_extract_pdf_verified
+        # / q_extract_office_verified)
+        "extract_pdf_verified": _EXTRACT_PDF_VERIFIED_SQL,
+        "extract_office_verified": _EXTRACT_OFFICE_VERIFIED_SQL,
         # PNG/BMP/GIF decode->resize->re-encode under an analytic pixel-sum
         # oracle (see q_image_resize)
         "image_resize": _IMAGE_RESIZE_SQL,
