@@ -1720,7 +1720,11 @@ def q_media_meta(spark, sf_dir):
 
 def q_media_frames(spark, sf_dir):
     """REAL video frame sampling over synthesized Y4M + animated GIF
-    payloads (pure-Python decoders; no codec libs) — rows-only."""
+    payloads (pure-Python decoders; no codec libs) under a HARD analytic
+    oracle: the fixture params are closed-form in the row index, so DuckDB
+    reconstructs every sampled frame's raw pixel bytes (hex), pts, and
+    dims by formula — the plane slicer, LZW decode, and palette render
+    must reproduce them exactly."""
     from llm_food_spark.functions.media import make_gif
     from llm_food_spark.operators.multimodal import frame_sample
 
@@ -1739,12 +1743,13 @@ def q_media_frames(spark, sf_dir):
                      make_gif(fidx, w, h, palette, [40] * 4)))
     rows.append(("bad", b"not video"))
     df = spark.createDataFrame(rows, "media_id string, payload binary")
-    # driver-facing projection: hash the raw frame bytes (binary columns
-    # round-trip differently through Spark collect vs DuckDB fetch; the
-    # sha256 pins the exact pixel bytes without shipping them)
+    # driver-facing projection: the raw frame bytes as UPPERCASE HEX
+    # (binary columns round-trip differently through Spark collect vs
+    # DuckDB fetch; hex pins the exact pixel bytes as a comparable string
+    # that the analytic oracle reconstructs byte-for-byte)
     return frame_sample(df, every_n=2).select(
         "media_id", "frame_no", "pts_ms", "width", "height",
-        F.sha2(F.col("frame"), 256).alias("frame_sha256"),
+        F.hex(F.col("frame")).alias("frame_hex"),
         F.length(F.col("frame")).alias("frame_bytes"),
         "status", "error_message",
     ).orderBy("media_id", "frame_no")
@@ -1825,7 +1830,10 @@ def q_image_resize(spark, sf_dir):
 
 
 def q_audio_chunk(spark, sf_dir):
-    """REAL PCM WAV chunking over synthesized payloads — rows-only."""
+    """REAL PCM WAV chunking over synthesized payloads under a HARD
+    analytic oracle: DuckDB re-synthesizes each window's standalone WAV —
+    RIFF/fmt/data headers in little-endian hex plus the exact PCM slice —
+    by formula from the fixture params."""
     import struct as _s
     from llm_food_spark.operators.multimodal import audio_chunk
 
@@ -1840,10 +1848,10 @@ def q_audio_chunk(spark, sf_dir):
                      b"RIFF" + _s.pack("<I", 4 + len(body)) + b"WAVE" + body))
     rows.append(("bad", b"not audio"))
     df = spark.createDataFrame(rows, "media_id string, payload binary")
-    # hash the PCM chunk bytes (see q_media_frames note)
+    # chunk WAV bytes as uppercase hex (see q_media_frames note)
     return audio_chunk(df, chunk_ms=500).select(
         "media_id", "chunk_no", "start_ms", "dur_ms",
-        F.sha2(F.col("payload"), 256).alias("payload_sha256"),
+        F.hex(F.col("payload")).alias("payload_hex"),
         F.length(F.col("payload")).alias("payload_bytes"),
         "status", "error_message",
     ).orderBy("media_id", "chunk_no")
@@ -2670,6 +2678,91 @@ _IMAGE_META_SQL = """
     SELECT 'bad', 'unknown', CAST(NULL AS INT), CAST(NULL AS INT),
            CAST(12 AS BIGINT), 'failed', 'unrecognized image payload'
 """
+
+# media_frames / audio_chunk: the fixture payloads are closed-form in the
+# row index, so the EXPECTED decoder output — including every raw pixel /
+# PCM byte, reconstructed as uppercase hex — is pure arithmetic. The Spark
+# side earns each value through the real Y4M plane slicer, the GIF LZW
+# decoder + palette render, and the WAV chunker's header re-synthesis.
+def _le16(expr: str) -> str:
+    return ("lpad(to_hex((%(x)s) %% 256), 2, '0') || "
+            "lpad(to_hex(((%(x)s) // 256) %% 256), 2, '0')"
+            % {"x": expr})
+
+
+def _le32(expr: str) -> str:
+    return _le16(expr) + " || " + _le16("(%s) // 65536" % expr)
+
+
+_MEDIA_FRAMES_SQL = """
+    WITH i8 AS (SELECT unnest(range(0, 8)) AS i),
+    y4m AS (
+      SELECT 'y4m' || lpad(CAST(i AS VARCHAR), 2, '0') AS media_id,
+             CAST(j AS INT) AS frame_no,
+             CAST(40 * j AS BIGINT) AS pts_ms,
+             CAST(4 + i AS INT) AS width, CAST(2 + i AS INT) AS height,
+             upper(repeat(lpad(to_hex((i + j) % 251), 2, '0'),
+                   CAST(((4 + i) * (2 + i) * 3) // 2 AS INT))) AS frame_hex,
+             CAST(((4 + i) * (2 + i) * 3) // 2 AS INT) AS frame_bytes,
+             'sampled' AS status, CAST(NULL AS VARCHAR) AS error_message
+      FROM i8, LATERAL (SELECT unnest(range(0, 6 + i)) AS j) u
+      WHERE j % 2 = 0
+    ),
+    gif AS (
+      SELECT 'gif' || lpad(CAST(i AS VARCHAR), 2, '0') AS media_id,
+             CAST(j AS INT) AS frame_no,
+             CAST(40 * j AS BIGINT) AS pts_ms,
+             CAST(4 + i AS INT) AS width, CAST(2 + i AS INT) AS height,
+             upper(array_to_string(list_transform(
+               range(0, (4 + i) * (2 + i)),
+               p -> lpad(to_hex((((i + j + p) % 4) * 3 * 37 + i) % 256), 2, '0')
+                 || lpad(to_hex(((((i + j + p) % 4) * 3 + 1) * 37 + i) % 256), 2, '0')
+                 || lpad(to_hex(((((i + j + p) % 4) * 3 + 2) * 37 + i) % 256), 2, '0')
+             ), '')) AS frame_hex,
+             CAST((4 + i) * (2 + i) * 3 AS INT) AS frame_bytes,
+             'sampled' AS status, CAST(NULL AS VARCHAR) AS error_message
+      FROM i8, LATERAL (SELECT unnest([0, 2]) AS j) u
+    )
+    SELECT * FROM y4m
+    UNION ALL SELECT * FROM gif
+    UNION ALL
+    SELECT 'bad', CAST(NULL AS INT), CAST(NULL AS BIGINT),
+           CAST(NULL AS INT), CAST(NULL AS INT), CAST(NULL AS VARCHAR),
+           CAST(NULL AS INT), 'failed', 'unrecognized video payload'
+"""
+
+_AUDIO_CHUNK_SQL = """
+    WITH i8 AS (SELECT unnest(range(0, 8)) AS i),
+    p AS (SELECT i, 8000 * (1 + i %% 3) AS sr, 2 + i %% 4 AS secs FROM i8),
+    c AS (
+      SELECT i, sr, no
+      FROM p, LATERAL (SELECT unnest(range(0, 2 * secs)) AS no) u
+    )
+    SELECT 'wav' || lpad(CAST(i AS VARCHAR), 2, '0') AS media_id,
+           CAST(no AS INT) AS chunk_no,
+           CAST(no * 500 AS BIGINT) AS start_ms,
+           CAST(500 AS BIGINT) AS dur_ms,
+           upper(
+             '52494646' || %(riff)s || '57415645'
+             || '666d7420' || '10000000'
+             || '0100' || '0100' || %(sr)s || %(br)s || '0200' || '1000'
+             || '64617461' || %(dlen)s
+             || array_to_string(list_transform(range(0, sr),
+                  t -> lpad(to_hex((i + no * sr + t) %% 256), 2, '0')), '')
+           ) AS payload_hex,
+           CAST(44 + sr AS INT) AS payload_bytes,
+           'chunked' AS status, CAST(NULL AS VARCHAR) AS error_message
+    FROM c
+    UNION ALL
+    SELECT 'bad', CAST(NULL AS INT), CAST(NULL AS BIGINT),
+           CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR), CAST(NULL AS INT),
+           'failed', 'not an uncompressed PCM WAV'
+""" % {
+    "riff": _le32("36 + sr"),
+    "sr": _le32("sr"),
+    "br": _le32("sr * 2"),
+    "dlen": _le32("sr"),
+}
 
 _MEDIA_META_SQL = """
     WITH i16 AS (SELECT unnest(range(0, 16)) AS i)
@@ -3551,6 +3644,10 @@ def _handwritten_oracles() -> dict[str, str]:
         # full constant-table decoder oracles (closed-form fixture params)
         "image_meta": _IMAGE_META_SQL,
         "media_meta": _MEDIA_META_SQL,
+        # frame sampling / PCM chunking: every output byte reconstructed
+        # as hex by formula (see q_media_frames / q_audio_chunk)
+        "media_frames": _MEDIA_FRAMES_SQL,
+        "audio_chunk": _AUDIO_CHUNK_SQL,
         # recursive-chunker token conservation (see q_chunk_recursive_tokens)
         "chunk_recursive_tokens": """
             SELECT doc_id, CAST(len({toks}) AS BIGINT) AS n_tokens,
