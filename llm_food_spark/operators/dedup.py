@@ -524,6 +524,7 @@ def ngram_jaccard_pairs(
     n: int = 1,
     threshold: float = 0.6,
     max_block: Optional[int] = 10_000,
+    on_oversized: str = "error",
 ) -> DataFrame:
     """Exact word-n-gram Jaccard pairs above threshold, blocked on
     ``block_col`` to bound the quadratic join (SQL-expressible twin in the
@@ -534,8 +535,15 @@ def ngram_jaccard_pairs(
     high-cardinality blocking keys (host, minhash band prefix). Low-
     cardinality keys like ``lang`` over a web corpus are an all-pairs join
     in disguise; use ``minhash_lsh_pairs`` there. ``max_block`` is the
-    guardrail: blocks wider than the cap are dropped entirely (route those
-    corpora to MinHash); pass None to disable for a verified-small input."""
+    guardrail; ``on_oversized`` picks what happens when a block exceeds
+    it: ``"error"`` (default) fails the job with a routing message — a
+    100M-doc single-lang corpus must not silently lose whole blocks —
+    while ``"drop"`` is the explicit escape hatch that discards oversized
+    blocks entirely. Pass ``max_block=None`` to disable the guard for a
+    verified-small input. The guard is lazy (no extra Spark job): an
+    ``assert_true`` embedded in the row filter, evaluated distributed."""
+    if on_oversized not in ("error", "drop"):
+        raise ValueError("on_oversized must be 'error' or 'drop'")
     sets = ensure_min_partitions(df).select(
         F.col(id_col).alias("id"),
         (F.col(block_col) if block_col else F.lit("all")).alias("blk"),
@@ -546,9 +554,24 @@ def ngram_jaccard_pairs(
     )
     if max_block is not None:
         block_w = Window.partitionBy("blk")
-        sets = sets.withColumn("_bw", F.count(F.lit(1)).over(block_w)).where(
-            F.col("_bw") <= max_block
-        ).drop("_bw")
+        sets = sets.withColumn("_bw", F.count(F.lit(1)).over(block_w))
+        if on_oversized == "error":
+            # inside a filter so column pruning can never elide the check
+            sets = sets.where(
+                F.assert_true(
+                    F.col("_bw") <= max_block,
+                    F.concat(
+                        F.lit("ngram_jaccard_pairs: block '"),
+                        F.col("blk"),
+                        F.lit("' has "), F.col("_bw").cast("string"),
+                        F.lit(" rows > max_block=%d; route this corpus to "
+                              "minhash_lsh_pairs or pass "
+                              "on_oversized='drop'" % max_block),
+                    ),
+                ).isNull()
+            ).drop("_bw")
+        else:
+            sets = sets.where(F.col("_bw") <= max_block).drop("_bw")
     a = sets.select(F.col("id").alias("id_a"), F.col("blk"),
                     F.col("toks").alias("toks_a"))
     b = sets.select(F.col("id").alias("id_b"), F.col("blk"),
@@ -660,7 +683,16 @@ def dedup_substrings(
     to narrow (doc_id, pos, h) rows. One hash-keyed exchange finds
     duplicated windows and their lexicographic winner; flagged
     positions group back per doc (narrow longs), and a second Arrow
-    pass paints the covered intervals and rebuilds the text. The
+    pass paints the covered intervals and rebuilds the text.
+
+    Skew shape (hot boilerplate window duplicated across a large corpus
+    fraction): the winner election aggregates MAP-SIDE
+    (partial_count/partial_min before the h exchange — plan-asserted in
+    tests), so a hot hash lands on its reducer as at most one row per
+    map task, never its full occurrence count; the flag join on ``h``
+    stays adaptive — broadcast when the duplicated-winner frame is
+    small, AQE skew-split sort-merge when it isn't; the per-doc
+    ``collect_list`` is bounded by document length. The
     exploded window frame feeds both the frequency and the flag branch,
     so it is persisted into the release-on-next-call registry (plans
     are trees — without the cut the Arrow pass would run twice).

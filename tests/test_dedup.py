@@ -160,17 +160,23 @@ def test_minhash_persist_does_not_accumulate(spark, docs):
 
 
 def test_ngram_jaccard_block_cap(spark):
-    # one block spanning the whole corpus: the cap must drop it (routing
-    # such corpora to minhash), max_block=None restores exact behavior
+    # one block spanning the whole corpus: the default guard must FAIL the
+    # job with a routing message (silent loss is a scale hazard);
+    # on_oversized='drop' is the explicit escape; max_block=None disables
     rows = [(i, "all", "common words shared by every document %d" % (i % 3))
             for i in range(300)]
     df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    with pytest.raises(Exception, match="minhash_lsh_pairs"):
+        ngram_jaccard_pairs(df, block_col="lang", threshold=0.5,
+                            max_block=100).count()
     capped = ngram_jaccard_pairs(df, block_col="lang", threshold=0.5,
-                                 max_block=100)
+                                 max_block=100, on_oversized="drop")
     assert capped.count() == 0
     uncapped = ngram_jaccard_pairs(df, block_col="lang", threshold=0.99,
                                    max_block=None)
     assert uncapped.count() > 0  # i%3 groups are word-identical
+    with pytest.raises(ValueError):
+        ngram_jaccard_pairs(df, on_oversized="explode")
 
 
 def test_dedup_paragraphs_drops_cross_doc_boilerplate(spark):
@@ -306,6 +312,42 @@ def test_dedup_substrings_partition_invariant(spark):
     # exactly one doc keeps the run (the min doc_id)
     keepers = [k for k, (c, n) in a.items() if "r0" in c]
     assert keepers == [0]
+
+
+def test_dedup_substrings_winner_election_is_partial(spark):
+    # Skew guard: the per-window-hash winner election MUST aggregate
+    # map-side (partial_count/partial_min BEFORE the hash exchange), so a
+    # corpus-dominant boilerplate window funnels at most one row per map
+    # task into the reducer — never its full occurrence count. A refactor
+    # that loses the partial phase reintroduces the hot-key funnel.
+    from llm_food_spark.operators.dedup import dedup_substrings
+
+    d = spark.createDataFrame(
+        [(i, "shared window text body %d" % i) for i in range(8)],
+        "doc_id long, text string",
+    )
+    plan = dedup_substrings(d, window=3)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "partial_min" in plan and "partial_count" in plan
+
+
+def test_dedup_substrings_hot_window_correctness(spark):
+    # one boilerplate window planted across 60 docs (the hot-hash shape):
+    # exactly the global-first occurrence survives, parity on removals
+    from llm_food_spark.operators.dedup import dedup_substrings
+
+    boiler = "subscribe to our newsletter now please"
+    rows = [(i, "intro %d %s outro %d" % (i, boiler, i)) for i in range(60)]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in dedup_substrings(d, window=6).collect()}
+    assert got[0]["clean"] == "intro 0 %s outro 0" % boiler
+    assert got[0]["n_removed"] == 0
+    # two corpus-duplicated windows overlap (pos 2: the boiler itself,
+    # pos 3: its 5-token tail + 'outro'), covering tokens 2..8 = 7 tokens
+    for i in range(1, 60):
+        assert "subscribe" not in got[i]["clean"]
+        assert got[i]["clean"] == "intro %d %d" % (i, i)
+        assert got[i]["n_removed"] == 7
 
 
 def test_dedup_substrings_null_text(spark):
