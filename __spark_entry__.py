@@ -149,6 +149,83 @@ def q_counter_rollup(spark, sf_dir):
     )
 
 
+def q_resume_status(spark, sf_dir):
+    """Lineage-commit + anti-join resume (plans/pipeline.py:103-172) under
+    the driver gate: documents become pages, a FULL run commits all 8
+    partitions, the lineage is surgically truncated to partitions < 5
+    (the kill-mid-commit shape of the pytest suite), and a second run
+    resumes. The returned invariants row is the resume contract: exactly
+    5 partitions stand under run1 and 3 under run2 with zero overlap, no
+    url is duplicated or lost across the runs, every lineage checksum
+    re-derives from the durably written results, and the byte totals
+    match DuckDB's arithmetic over documents.text (the payload wrapper is
+    closed-form). Reference analogue: batch finalization + resume at
+    /root/reference/llm_food/app.py:1322-1364."""
+    import shutil
+    import tempfile
+
+    from llm_food_spark.plans.pipeline import (
+        read_lineage, run_extraction)
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    pages = d.select(
+        F.concat(F.lit("res://"), F.col("doc_id").cast("string")).alias("url"),
+        F.to_timestamp(F.lit("2025-01-01 00:00:00")).alias("warc_ts"),
+        F.concat(F.lit("<html><body><p>"), F.col("text"),
+                 F.lit("</p></body></html>")).cast("binary").alias("html"),
+        F.lit("").alias("text"),
+        F.lit("en").alias("lang"),
+    )
+    out_dir = tempfile.mkdtemp(prefix="llm_food_resume_")
+    try:
+        run_extraction(spark, pages, out_dir, n_partitions=8,
+                       run_id="run1", resume=False)
+        lin = read_lineage(spark, out_dir)
+        kept_rows = lin.where(F.col("partition_id") < 5).collect()
+        shutil.rmtree(out_dir + "/lineage")
+        spark.createDataFrame(kept_rows, schema=lin.schema).write.parquet(
+            out_dir + "/lineage")
+        m2 = run_extraction(spark, pages, out_dir, n_partitions=8,
+                            run_id="run2", resume=True)
+
+        lin = read_lineage(spark, out_dir)
+        results = spark.read.parquet(out_dir + "/results")
+        # recompute each partition's lineage row from the written results
+        rederived = results.groupBy("partition_id").agg(
+            F.count(F.lit(1)).alias("r_docs"),
+            F.sum("bytes_in").alias("r_bytes"),
+            F.bit_xor(F.xxhash64(F.concat_ws(
+                "\x1f", F.col("url"), F.col("content_hash")))).alias("r_ck"),
+        )
+        j = lin.join(rederived, "partition_id", "full_outer")
+        inv = j.agg(
+            F.count(F.lit(1)).alias("n_partitions"),
+            F.sum((F.col("run_id") == "run1").cast("long")).alias("p_run1"),
+            F.sum((F.col("run_id") == "run2").cast("long")).alias("p_run2"),
+            F.sum((F.col("doc_count") != F.col("r_docs")).cast("long")
+                  ).alias("bad_doc_count"),
+            F.sum((F.col("checksum") != F.col("r_ck")).cast("long")
+                  ).alias("bad_checksum"),
+            F.sum((F.col("failed_count") != 0).cast("long")
+                  ).alias("bad_failed"),
+            F.sum("doc_count").alias("docs_total"),
+            F.sum("ok_count").alias("ok_total"),
+            F.sum("bytes_in").alias("bytes_total"),
+        )
+        urls = results.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("url").alias("n_urls"),
+        )
+        row = inv.crossJoin(urls).withColumn(
+            "partitions_skipped", F.lit(m2["partitions_skipped"]).cast("long")
+        )
+        # materialize before the temp dir disappears
+        out = spark.createDataFrame(row.collect(), schema=row.schema)
+        return out
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+
 def q_dedup_sort(spark, sf_dir):
     # R10: dedup + sort (sorted(set(inputs)) at llm_food/cli.py:206-211)
     return (
@@ -1866,6 +1943,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semi_join": q_semi_join,
         "sorted_assembly": q_sorted_assembly,
         "counter_rollup": q_counter_rollup,
+        "resume_status": q_resume_status,
         "dedup_sort": q_dedup_sort,
         "topk_per_group": q_topk_per_group,
         # document transforms + text analysis
@@ -3086,6 +3164,24 @@ def _handwritten_oracles() -> dict[str, str]:
         "dedup_sort": """
             SELECT DISTINCT p_brand, p_type FROM part
             ORDER BY p_brand, p_type
+        """,
+        # lineage resume invariants (see q_resume_status): partition split
+        # and violation counters pinned, byte totals arithmetic over the
+        # closed-form 33-byte html wrapper
+        "resume_status": """
+            SELECT CAST(8 AS BIGINT) AS n_partitions,
+                   CAST(5 AS BIGINT) AS p_run1,
+                   CAST(3 AS BIGINT) AS p_run2,
+                   CAST(0 AS BIGINT) AS bad_doc_count,
+                   CAST(0 AS BIGINT) AS bad_checksum,
+                   CAST(0 AS BIGINT) AS bad_failed,
+                   COUNT(*)::BIGINT AS docs_total,
+                   COUNT(*)::BIGINT AS ok_total,
+                   SUM(33 + length(text))::BIGINT AS bytes_total,
+                   COUNT(*)::BIGINT AS n_rows,
+                   COUNT(DISTINCT doc_id)::BIGINT AS n_urls,
+                   CAST(5 AS BIGINT) AS partitions_skipped
+            FROM documents
         """,
         "topk_per_group": """
             SELECT o_orderstatus, rnk, o_orderkey, o_totalprice FROM (
