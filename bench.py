@@ -9,6 +9,14 @@ Env:
   SPARK_GRAFT_SF_DIR  (default /root/testdata/sf0.1)
   SPARK_GRAFT_CPUS    (default 32)      → master local[N]
   BENCH_DOCS          (override corpus size)
+  BENCH_REPS          (reps per query; best-of, default 3)
+  BENCH_QUIET_LOAD    (wait for 1-min loadavg below this before starting;
+                       default 3.0, set 0 to start immediately)
+  BENCH_QUIET_WAIT_S  (max seconds to wait for the quiet window, default
+                       300 — after which the run proceeds and the noise
+                       telemetry flags the window instead)
+  BENCH_PROBE_FLOOR   (per-host Mops floor for the uniform-depression
+                       flag, default 5.5; 0 disables)
 
 The headline measures the full pipeline — read parquet pages → salted
 repartition → Arrow extraction → write results parquet — over a synthesized
@@ -92,7 +100,27 @@ def timed_reps(fn, reps: int):
     return min(times), statistics.median(times), times
 
 
+def wait_quiet_window() -> None:
+    """Block (bounded) until the host looks quiet: the external tenants on
+    this box arrive in bursts, and a run STARTED inside one is wasted —
+    best-of-3 cannot save a window where every rep ate the burst. Waiting
+    a few minutes for loadavg to drop costs nothing the flagged-noisy
+    artifact wouldn't cost double."""
+    target = float(os.environ.get("BENCH_QUIET_LOAD", "3.0"))
+    max_wait = float(os.environ.get("BENCH_QUIET_WAIT_S", "300"))
+    if target <= 0 or max_wait <= 0:
+        return
+    deadline = time.time() + max_wait
+    la = os.getloadavg()[0]
+    while la > target and time.time() < deadline:
+        log("waiting for quiet window: loadavg %.2f > %.2f (%.0fs left)"
+            % (la, target, deadline - time.time()))
+        time.sleep(15)
+        la = os.getloadavg()[0]
+
+
 def main() -> int:
+    wait_quiet_window()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     m = re.search(r"sf([\d.]+)", sf_dir)
@@ -134,7 +162,15 @@ def main() -> int:
         extract_pages(pages, n_partitions=cpus * 4).write.mode(
             "overwrite").parquet(out_path)
 
+    # retryable measurement registry: a tenant burst during ONE query's
+    # reps poisons its median (and thus the suite's burst flag) even when
+    # the rest of the window was clean — re-measuring just that query in
+    # a fresh quiet window records the machine's real number instead of
+    # flagging the whole artifact (bounded: one retry pass, see below)
+    measurements = {}
+
     t_extract, med, _ = timed_reps(run_extract, reps)
+    measurements["extract_pipeline"] = (run_extract, reps)
     timings["extract_pipeline"] = round(t_extract, 3)
     medians["extract_pipeline"] = round(med, 3)
     docs_per_sec = round(n_docs / t_extract, 1)
@@ -160,6 +196,7 @@ def main() -> int:
                       repartition=False).write.mode("overwrite").parquet(out_path)
 
     t_bucketed, med, _ = timed_reps(run_bucketed, reps)
+    measurements["extract_bucketed"] = (run_bucketed, reps)
     timings["extract_bucketed"] = round(t_bucketed, 3)
     medians["extract_bucketed"] = round(med, 3)
     log("extraction (bucketed input, no shuffle): %.1fs = %.0f docs/sec"
@@ -176,8 +213,9 @@ def main() -> int:
     # one untimed warm pass (signature-UDF import + codegen), then best-of —
     # steady-state, consistent with the operator queries below
     n_pairs = minhash_lsh_pairs(results, threshold=0.5).count()
-    best, med, _ = timed_reps(
-        lambda: minhash_lsh_pairs(results, threshold=0.5).count(), reps)
+    run_minhash = lambda: minhash_lsh_pairs(results, threshold=0.5).count()
+    best, med, _ = timed_reps(run_minhash, reps)
+    measurements["minhash_corpus"] = (run_minhash, reps)
     timings["minhash_corpus"] = round(best, 3)
     medians["minhash_corpus"] = round(med, 3)
     log("minhash over %d extracted docs: %d pairs, %.1fs"
@@ -193,11 +231,32 @@ def main() -> int:
         # cheap queries (all <= ~3s steady-state) get an extra rep: round-1
         # recorded 8.8s for a 0.7s query out of a single noisy-neighbor
         # window, and best-of-3 is the cheapest effective filter
-        best, med, _ = timed_reps(
-            lambda: force(qs[name](spark, sf_dir)), reps + 1)
+        run_q = (lambda n=name: force(qs[n](spark, sf_dir)))
+        best, med, _ = timed_reps(run_q, reps + 1)
+        measurements[name] = (run_q, reps + 1)
         timings[name] = round(best, 3)
         medians[name] = round(med, 3)
         log("%-16s %6.2fs (median %.2fs)" % (name, best, med))
+
+    # burst retry (one bounded pass): any heavy query whose median is 2x
+    # its best had at least one rep eat a tenant burst. Re-measure it in a
+    # fresh quiet window and keep the cleaner rep set — the recorded
+    # number is then an actual measurement from an uncontaminated window,
+    # not an upper bound needing adjudication. Retries are recorded in the
+    # JSON so the artifact says which numbers needed a second window.
+    burst_retried = []
+    for name, (fn, n_reps) in measurements.items():
+        if timings[name] > 1.0 and medians[name] / timings[name] > 2.0:
+            log("burst retry: %s (median %.2fs vs best %.2fs)"
+                % (name, medians[name], timings[name]))
+            wait_quiet_window()
+            b2, m2, _ = timed_reps(fn, n_reps)
+            burst_retried.append(name)
+            if m2 < medians[name]:
+                timings[name] = round(min(timings[name], b2), 3)
+                medians[name] = round(m2, 3)
+                log("burst retry: %s -> best %.2fs median %.2fs"
+                    % (name, timings[name], medians[name]))
 
     total = round(sum(timings.values()), 3)
     loadavg_after = tuple(round(x, 2) for x in os.getloadavg())
@@ -253,6 +312,7 @@ def main() -> int:
         "probe_mops": [probe_before, probe_after],
         "noise_ratio": noise_ratio,
         "burst_ratio": burst_ratio,
+        "burst_retried": burst_retried,
         "noisy_window": noisy,
     }))
     return 0
