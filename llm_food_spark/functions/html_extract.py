@@ -71,52 +71,61 @@ def _text_stats(node: Element) -> Tuple[int, int, int]:
     return text_len, link_len, n_links
 
 
-def _compute_stats(root: Element) -> dict:
-    """One bottom-up pass: ``id(node) → (text_chars, link_chars, n_links)``
-    for every Element in the subtree. Equivalent to calling ``_text_stats``
-    per node, but O(n) total instead of O(n·depth) — the per-container
-    recomputation showed up as ~7% of HTML extraction under profile. Stats
-    are of the ORIGINAL tree (pruning decisions deliberately use pre-pruned
+def _compute_stats(root: Element) -> list:
+    """One bottom-up pass filling ``node.stat = (text_chars, link_chars,
+    n_links)`` for every Element in the subtree; returns the element list
+    in DOCUMENT pre-order. Equivalent to calling ``_text_stats`` per node,
+    but O(n) total instead of O(n·depth) — the per-container recomputation
+    showed up as ~7% of HTML extraction under profile; the slot write
+    replaced an id()-keyed side dict, and returning the traversal lets
+    ``_pick_main`` scan a list instead of re-walking the tree. Stats are
+    of the ORIGINAL tree (pruning decisions deliberately use pre-pruned
     subtree stats, same as the per-call form they replace)."""
-    pre = [root]
+    pre = []
     visit = [root]
     while visit:
         n = visit.pop()
-        for c in n.children:
+        pre.append(n)
+        # push children reversed so the first child pops next: ``pre``
+        # comes out in exact document pre-order, which _pick_main's
+        # first-occurrence / tie-break rules depend on
+        for c in reversed(n.children):
             if c.__class__ is not Text:
-                pre.append(c)
                 visit.append(c)
-    sm: dict = {}
     for n in reversed(pre):  # children always after parents in pre-order
         tl = ll = nl = 0
         for c in n.children:
             if c.__class__ is Text:
                 tl += len(c.data.strip())
             else:
-                ctl, cll, cnl = sm[id(c)]
+                ctl, cll, cnl = c.stat
                 tl += ctl
                 ll += cll
                 nl += cnl
         if n.tag == "a":
             ll = tl  # all text under an anchor is link text
             nl += 1
-        sm[id(n)] = (tl, ll, nl)
-    return sm
+        n.stat = (tl, ll, nl)
+    return pre
 
 
 def _is_negative(node: Element) -> bool:
+    attrs = node.attrs
+    if not attrs:  # no attributes → no class/id signal (the common case)
+        return False
     if node.tag in _PROTECTED:
         return False
-    blob = (node.classes + " " + node.elem_id).strip()
+    blob = (attrs.get("class", "") + " " + attrs.get("id", "")).strip()
     return bool(blob) and bool(_NEG_PATTERN.search(blob))
 
 
-def _prune(node: Element, sm: dict) -> None:
+def _prune(node: Element) -> None:
     """In-place removal of boilerplate children (recursive, deterministic).
-    ``sm`` holds original-tree subtree stats from ``_compute_stats``."""
+    Reads the original-tree subtree stats ``_compute_stats`` left on each
+    element's ``stat`` slot."""
     kept = []
     for child in node.children:
-        if isinstance(child, Text):
+        if child.__class__ is Text:
             kept.append(child)
             continue
         if child.tag in _DROP_TAGS:
@@ -124,7 +133,7 @@ def _prune(node: Element, sm: dict) -> None:
         if _is_negative(child):
             continue
         if child.tag in _CONTAINER_TAGS:
-            text_len, link_len, n_links = sm[id(child)]
+            text_len, link_len, n_links = child.stat
             if text_len > 0:
                 density = link_len / text_len
                 # link farms: many links and mostly anchor text
@@ -132,20 +141,19 @@ def _prune(node: Element, sm: dict) -> None:
                     n_links >= 2 and density > 0.9
                 ):
                     continue
-        _prune(child, sm)
+        _prune(child)
         kept.append(child)
     node.children = kept
 
 
-def _pick_main(root: Element, sm: dict) -> Element:
-    # one stack pass collecting candidates (generator-free: this ran on
-    # every document and cost ~10% of HTML extraction under profile)
+def _pick_main(root: Element, pre: list) -> Element:
+    # scan the document-pre-order element list from _compute_stats
+    # instead of re-walking the tree (this ran on every document and the
+    # second traversal cost ~10% of HTML extraction under profile)
     articles = []
     first_main = None
     first_body = None
-    stack = [root]
-    while stack:
-        node = stack.pop()
+    for node in pre:
         tag = node.tag
         if tag == "article":
             articles.append(node)
@@ -155,17 +163,12 @@ def _pick_main(root: Element, sm: dict) -> Element:
         elif tag == "body":
             if first_body is None:
                 first_body = node
-        children = node.children
-        for i in range(len(children) - 1, -1, -1):
-            c = children[i]
-            if c.__class__ is not Text:
-                stack.append(c)
     if articles:
         # the article with the most text wins; ties by document order
         best = None
         best_len = -1
         for a in articles:
-            tlen = sm[id(a)][0]
+            tlen = a.stat[0]
             if tlen > best_len:
                 best, best_len = a, tlen
         return best
@@ -187,9 +190,9 @@ def extract_html_markdown(content: bytes) -> str:
     """
     text = decode_html(content)
     root = parse_html(text)
-    sm = _compute_stats(root)
-    main = _pick_main(root, sm)
-    _prune(main, sm)
+    pre = _compute_stats(root)
+    main = _pick_main(root, pre)
+    _prune(main)
     return serialize(main)
 
 

@@ -75,11 +75,18 @@ class Text:
 
 
 class Element:
-    __slots__ = ("tag", "attrs", "children")
+    # "stat" is scratch space for html_extract._compute_stats (subtree
+    # (text_chars, link_chars, n_links)) — a slot write beats an
+    # id()-keyed side dict under profile; left unset until computed
+    __slots__ = ("tag", "attrs", "children", "stat")
 
     def __init__(self, tag: str, attrs: Optional[Dict[str, str]] = None) -> None:
         self.tag = tag
-        self.attrs: Dict[str, str] = attrs or {}
+        # attrs is stored as-is when given: the parser passes a SHARED
+        # empty dict for attribute-less elements (the common case — one
+        # dict allocation per element showed up under profile). Nothing
+        # in the repo mutates Element.attrs after construction.
+        self.attrs: Dict[str, str] = {} if attrs is None else attrs
         self.children: List[Union["Element", Text]] = []
 
     def append(self, node: Union["Element", Text]) -> None:
@@ -118,9 +125,12 @@ class Element:
 
 
 
+_EMPTY_ATTRS: Dict[str, str] = {}  # shared read-only dict (never mutated)
+
+
 def _parse_attrs(raw: str) -> Dict[str, str]:
     if not raw or raw.isspace():
-        return {}
+        return _EMPTY_ATTRS
     attrs: Dict[str, str] = {}
     for m in _ATTR_RE.finditer(raw):
         name = m.group(1).lower()
@@ -160,22 +170,28 @@ def parse_html(source: str) -> Element:
     stack: List[Element] = [root]
     pos = 0
     n = len(source)
+    # local bindings: this loop runs once per tag over the whole corpus
+    # and global/method lookups were measurable under profile
+    find = source.find
+    tag_match = _TAG_RE.match
+    unescape = _htmlmod.unescape
+    TextCls = Text
 
     def emit_text(chunk: str) -> None:
         if chunk:
             if "&" in chunk:  # fast path: unescape only when entities exist
-                chunk = _htmlmod.unescape(chunk)
-            stack[-1].append(Text(chunk))
+                chunk = unescape(chunk)
+            stack[-1].append(TextCls(chunk))
 
     while pos < n:
-        lt = source.find("<", pos)
+        lt = find("<", pos)
         if lt == -1:
             emit_text(source[pos:])
             break
         if lt > pos:
             emit_text(source[pos:lt])
-        nxt = source[lt : lt + 2]
-        if nxt == "<!":
+        nxt = source[lt + 1 : lt + 2]
+        if nxt == "!":
             if source.startswith("<!--", lt):
                 m = _COMMENT_RE.match(source, lt)
                 pos = m.end() if m else n  # unterminated comment swallows rest
@@ -183,17 +199,18 @@ def parse_html(source: str) -> Element:
             m = _DECL_RE.match(source, lt)
             pos = m.end() if m else lt + 2
             continue
-        if nxt == "<?":
+        if nxt == "?":
             m = _PI_RE.match(source, lt)
             pos = m.end() if m else lt + 2
             continue
-        m = _TAG_RE.match(source, lt)
+        m = tag_match(source, lt)
         if not m:
             emit_text("<")
             pos = lt + 1
             continue
         closing, name, rawattrs, selfclose = m.groups()
-        name = name.lower()
+        if not name.islower():  # str.lower() always allocates; most tags
+            name = name.lower()  # in real markup are already lowercase
         pos = m.end()
 
         if closing:

@@ -25,6 +25,10 @@ from typing import List, Union
 from .html_parser import Element, Text
 
 _WS_RE = re.compile(r"[ \t\r\n\f\v]+")
+# _WS_RE matches SINGLE spaces too, so an unguarded sub rebuilds every
+# string containing any space; this scan finds only runs that actually
+# need collapsing (profiled hot — _collapse runs once per text node)
+_WS_NEEDS_RE = re.compile(r"[\t\r\n\f\v]|  ")
 
 _HEADINGS = {"h1": 1, "h2": 2, "h3": 3, "h4": 4, "h5": 5, "h6": 6}
 _SKIP = frozenset(
@@ -41,19 +45,19 @@ _BLOCKISH = frozenset(
 
 
 def _collapse(s: str) -> str:
-    return _WS_RE.sub(" ", s)
+    return _WS_RE.sub(" ", s) if _WS_NEEDS_RE.search(s) else s
 
 
 def _inline(node: Union[Element, Text]) -> str:
     """Render a node in inline context."""
-    if isinstance(node, Text):
+    if node.__class__ is Text:
         return _collapse(node.data)
     tag = node.tag
     if tag in _SKIP:
         return ""
     if tag == "br":
         return "\n"
-    inner = "".join(_inline(c) for c in node.children)
+    inner = "".join([_inline(c) for c in node.children])
     if tag in ("b", "strong"):
         core = inner.strip()
         return " **%s** " % core if core else ""
@@ -86,6 +90,16 @@ def _tidy_inline(s: str) -> str:
     Guarded: most lines need no fixing, and a C-level substring test /
     single combined scan is ~3x cheaper than the no-match re.sub calls
     (this ran 100k+ times per 5k docs — profiled hot)."""
+    if "\n" not in s:
+        # single-line fast path (the common case): identical semantics to
+        # the loop below for one line — collapse-if-needed, strip, fix
+        if "  " in s or "\t" in s or "\r" in s or "\f" in s or "\v" in s:
+            s = _WS_RE.sub(" ", s)
+        s = s.strip()
+        if _FIX_SCAN_RE.search(s):
+            s = _PUNCT_FIX_RE.sub(r"\1", s)
+            s = _OPEN_FIX_RE.sub(r"\1", s)
+        return s
     lines = []
     for ln in s.split("\n"):
         if "  " in ln or "\t" in ln or "\r" in ln or "\f" in ln or "\v" in ln:
@@ -104,19 +118,17 @@ def _render_list(node: Element, depth: int, ordered: bool) -> str:
     lines: List[str] = []
     idx = 0
     for child in node.children:
-        if not isinstance(child, Element) or child.tag != "li":
+        if child.__class__ is Text or child.tag != "li":
             continue
         idx += 1
         marker = ("%d. " % idx) if ordered else "- "
         sublists: List[str] = []
         inline_parts: List[str] = []
         for sub in child.children:
-            if isinstance(sub, Element) and sub.tag in ("ul", "ol"):
+            if sub.__class__ is not Text and sub.tag in ("ul", "ol"):
                 sublists.append(
                     _render_list(sub, depth + 1, sub.tag == "ol")
                 )
-            elif isinstance(sub, Element) and sub.tag == "p":
-                inline_parts.append(_inline(sub))
             else:
                 inline_parts.append(_inline(sub))
         head = _tidy_inline("".join(inline_parts)).replace("\n", " ")
@@ -132,7 +144,7 @@ def _render_table(node: Element) -> str:
         cells = [
             _tidy_inline(_inline(c)).replace("\n", " ").replace("|", "\\|")
             for c in tr.children
-            if isinstance(c, Element) and c.tag in ("td", "th")
+            if c.__class__ is not Text and c.tag in ("td", "th")
         ]
         if cells:
             rows.append(cells)
@@ -160,7 +172,7 @@ def _blocks(node: Element, out: List[str]) -> None:
             pending.clear()
 
     for child in node.children:
-        if isinstance(child, Text):
+        if child.__class__ is Text:
             pending.append(_collapse(child.data))
             continue
         tag = child.tag
@@ -222,7 +234,7 @@ def _blocks(node: Element, out: List[str]) -> None:
 
 
 def _inline_children(node: Element) -> str:
-    return "".join(_inline(c) for c in node.children)
+    return "".join([_inline(c) for c in node.children])
 
 
 def serialize(root: Element) -> str:

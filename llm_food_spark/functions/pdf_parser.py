@@ -235,8 +235,8 @@ class Stream:
         return out
 
 
-_WS = b"\x00\t\n\x0c\r "
-_DELIM = b"()<>[]{}/%"
+_WS = frozenset(b"\x00\t\n\x0c\r ")  # int membership: O(1) vs bytes scan
+_DELIM = frozenset(b"()<>[]{}/%")
 _NUM_RE = re.compile(rb"[+-]?(?:\d+\.?\d*|\.\d+)")
 _OBJ_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b")
 _KW_RE = re.compile(rb"true|false|null")

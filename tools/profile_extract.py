@@ -1,0 +1,57 @@
+"""Single-core micro-benchmark of the pure-Python extraction core.
+
+The Spark pipeline's headline (bench.py docs/sec) is parser-bound —
+profiling shows >90% of wall time inside extract_document, not in
+Spark/Arrow plumbing — so this harness is the fast feedback loop for
+parser optimization: same fixture corpus, no JVM, best-of-N.
+
+Run: python tools/profile_extract.py [n_docs] [reps]
+     python tools/profile_extract.py --profile   # cProfile top-30
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def main() -> int:
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    n_docs = int(args[0]) if args else 3000
+    reps = int(args[1]) if len(args) > 1 else 5
+
+    from llm_food_spark.functions.dispatch import extract_document
+    from llm_food_spark.sources.fixtures import generate_pages
+
+    payloads = [p for _, _, p, _, _ in generate_pages(n_docs)]
+    total_bytes = sum(len(p) for p in payloads)
+
+    if "--profile" in sys.argv:
+        import cProfile
+        import pstats
+
+        pr = cProfile.Profile()
+        pr.enable()
+        for p in payloads:
+            extract_document(p)
+        pr.disable()
+        pstats.Stats(pr).sort_stats("cumulative").print_stats(30)
+        return 0
+
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        for p in payloads:
+            extract_document(p)
+        best = min(best, time.perf_counter() - t0)
+    print("%d docs (%.1f MB) best-of-%d: %.3fs = %.0f docs/sec/core, %.1f MB/s"
+          % (n_docs, total_bytes / 1e6, reps, best, n_docs / best,
+             total_bytes / 1e6 / best))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
