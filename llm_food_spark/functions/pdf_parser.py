@@ -835,6 +835,10 @@ class _Line:
         self.text = text
 
 
+_TEXT_OP_RE = re.compile(rb"[A-Za-z'\"*]{1,3}")  # hoisted: per-call compile was measurable
+_OPERAND_START = frozenset(b"/([<+-.0123456789")
+
+
 def _interpret_text_ops(
     content: bytes,
     fonts: Optional[Dict[str, "_FontDecoder"]] = None,
@@ -851,7 +855,7 @@ def _interpret_text_ops(
     leading = 0.0
     x = y = 0.0
     n = len(content)
-    op_re = re.compile(rb"[A-Za-z'\"*]{1,3}")
+    op_match = _TEXT_OP_RE.match
     decoder: Optional[_FontDecoder] = None
 
     def show(sval: Any) -> None:
@@ -865,13 +869,13 @@ def _interpret_text_ops(
         if lex.pos >= n:
             break
         c = content[lex.pos]
-        if c in b"/([<+-.0123456789":
+        if c in _OPERAND_START:
             try:
                 stack.append(lex.parse_object())
             except PdfError:
                 lex.pos += 1
             continue
-        m = op_re.match(content, lex.pos)
+        m = op_match(content, lex.pos)
         if not m:
             lex.pos += 1
             continue
