@@ -1,0 +1,76 @@
+"""HTML document metadata extraction (head fields) through the real DOM.
+
+The reference extracts only body content (trafilatura call at
+/root/reference/llm_food/app.py:252-259); a corpus pipeline also wants
+the head metadata as typed columns — title, meta description, canonical
+URL, OpenGraph title/description, article published time, and the
+declared document language — for per-document provenance, dedup keys,
+and quality features. Pure Python over the same tolerant parser the
+extractor uses, so entity decoding, charset detection, and malformed-
+markup behavior are identical to the content path.
+
+Field rules (deterministic, first occurrence in document order wins):
+- title:         text of the first <title>, whitespace-collapsed
+- description:   content= of the first <meta name="description">
+- canonical:     href= of the first <link rel="canonical">
+- og_title:      content= of the first <meta property="og:title">
+- og_description content= of the first <meta property="og:description">
+- published:     content= of the first <meta property="article:published_time">
+- html_lang:     lang= of the <html> element
+
+All fields come back as "" when absent — never None mid-pipeline (the
+operator layer maps "" to SQL NULL so parquet stats stay useful).
+"""
+
+from __future__ import annotations
+
+import html as _htmlmod
+import re
+from typing import Dict
+
+from .encoding import decode_html
+from .html_parser import parse_html
+
+_WS_RE = re.compile(r"[ \t\r\n\f\v]+")
+
+FIELDS = (
+    "title", "description", "canonical", "og_title", "og_description",
+    "published", "html_lang",
+)
+
+_META_NAME_FIELDS = {"description": "description"}
+_META_PROP_FIELDS = {
+    "og:title": "og_title",
+    "og:description": "og_description",
+    "article:published_time": "published",
+}
+
+
+def extract_html_metadata(content: bytes) -> Dict[str, str]:
+    """bytes → {field: value} with "" for absent fields (see module doc)."""
+    root = parse_html(decode_html(content))
+    out = {f: "" for f in FIELDS}
+    for node in root.iter():  # document pre-order: first occurrence wins
+        tag = node.tag
+        if tag == "html":
+            if not out["html_lang"]:
+                out["html_lang"] = node.attrs.get("lang", "").strip()
+        elif tag == "title":
+            if not out["title"]:
+                raw = node.text_content()
+                if "&" in raw:  # <title> is RCDATA: entities decode, but
+                    # the parser stores raw-text element content verbatim
+                    raw = _htmlmod.unescape(raw)
+                out["title"] = _WS_RE.sub(" ", raw).strip()
+        elif tag == "meta":
+            attrs = node.attrs
+            field = (_META_NAME_FIELDS.get(attrs.get("name", "").lower())
+                     or _META_PROP_FIELDS.get(
+                         attrs.get("property", "").lower()))
+            if field and not out[field]:
+                out[field] = attrs.get("content", "").strip()
+        elif tag == "link":
+            rel = node.attrs.get("rel", "").lower().split()
+            if "canonical" in rel and not out["canonical"]:
+                out["canonical"] = node.attrs.get("href", "").strip()
+    return out

@@ -1,0 +1,115 @@
+"""Sitemap parsing (sitemaps.org protocol): urlset + sitemapindex.
+
+Crawl-tier source the reference does not have (it ingests uploads,
+/root/reference/llm_food/app.py:382-392); a Common-Crawl-style frontier
+discovers URLs from /sitemap.xml documents, so the pipeline needs a
+deterministic, tolerant reader for them. Pure Python, stdlib only
+(CLAUDE.md: ``functions/`` has no Spark imports).
+
+Supported per the protocol (https://www.sitemaps.org/protocol.html):
+- ``<urlset>`` documents: one entry per ``<url>`` with ``loc`` (required;
+  entries without a loc are skipped), optional ``lastmod`` /
+  ``changefreq`` / ``priority``;
+- ``<sitemapindex>`` documents: one entry per ``<sitemap>`` with ``loc``
+  and optional ``lastmod`` (changefreq/priority are not part of index
+  entries and come back empty);
+- gzip payloads (sitemap.xml.gz — sniffed by magic bytes, not filename);
+- namespace prefixes (``<sm:loc>``), XML declarations, comments, CDATA
+  around loc values, entity-escaped URLs (``&amp;`` → ``&``).
+
+Malformed documents degrade: anything without a recognizable urlset /
+sitemapindex root parses as kind="unknown" with zero entries — never an
+exception (the operator layer turns those into status rows).
+"""
+
+from __future__ import annotations
+
+import gzip
+import re
+from typing import List, Optional, Tuple
+
+from .html_parser import Element, parse_html
+
+# (loc, lastmod, changefreq, priority)
+Entry = Tuple[str, str, str, Optional[float]]
+
+_CDATA_RE = re.compile(rb"<!\[CDATA\[(.*?)\]\]>", re.DOTALL)
+
+_FIELD_TAGS = ("loc", "lastmod", "changefreq", "priority")
+
+
+def _escape_cdata(m: "re.Match[bytes]") -> bytes:
+    # re-escape CDATA payloads so the tolerant parser's entity unescape
+    # restores them verbatim (the parser's declaration rule would
+    # otherwise swallow "<![CDATA[...]]" up to the first ">")
+    return (
+        m.group(1)
+        .replace(b"&", b"&amp;")
+        .replace(b"<", b"&lt;")
+        .replace(b">", b"&gt;")
+    )
+
+
+def _local(tag: str) -> str:
+    """Tag name without a namespace prefix (parser lowercases names)."""
+    return tag.rsplit(":", 1)[-1]
+
+
+def _child_text(node: Element, want: str) -> str:
+    for c in node.children:
+        if c.__class__ is Element and _local(c.tag) == want:
+            return c.text_content().strip()
+    return ""
+
+
+def parse_sitemap(content: bytes) -> Tuple[str, List[Entry]]:
+    """Parse one sitemap document → (kind, entries).
+
+    kind is "urlset", "sitemapindex", or "unknown" (no recognizable root;
+    zero entries). Entries are (loc, lastmod, changefreq, priority) with
+    "" for absent string fields and None for an absent/unparsable
+    priority. Gzip payloads are decompressed transparently.
+    """
+    if content[:2] == b"\x1f\x8b":
+        try:
+            content = gzip.decompress(content)
+        except (OSError, EOFError) as exc:  # EOFError: truncated member
+            raise ValueError("bad gzip sitemap: %s" % exc) from exc
+    if b"<![CDATA[" in content:
+        content = _CDATA_RE.sub(_escape_cdata, content)
+    root = parse_html(content.decode("utf-8", errors="ignore"))
+
+    container = None
+    kind = "unknown"
+    for node in root.iter():
+        local = _local(node.tag)
+        if local == "urlset":
+            container, kind, item_tag = node, "urlset", "url"
+            break
+        if local == "sitemapindex":
+            container, kind, item_tag = node, "sitemapindex", "sitemap"
+            break
+    if container is None:
+        return "unknown", []
+
+    entries: List[Entry] = []
+    for item in container.children:
+        if item.__class__ is not Element or _local(item.tag) != item_tag:
+            continue
+        loc = _child_text(item, "loc")
+        if not loc:
+            continue  # loc is required by the protocol; skip silently
+        lastmod = _child_text(item, "lastmod")
+        if kind == "sitemapindex":
+            entries.append((loc, lastmod, "", None))
+            continue
+        changefreq = _child_text(item, "changefreq")
+        prio_raw = _child_text(item, "priority")
+        priority: Optional[float] = None
+        if prio_raw:
+            try:
+                priority = float(prio_raw)
+            except ValueError:
+                priority = None
+        entries.append((loc, lastmod, changefreq, priority))
+    return kind, entries

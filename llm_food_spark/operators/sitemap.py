@@ -1,0 +1,112 @@
+"""Sitemap + head-metadata operators: vectorized Arrow passes.
+
+Crawl-tier sources beyond the reference's upload front door
+(/root/reference/llm_food/app.py:382-392): ``parse_sitemaps`` explodes
+sitemap XML payloads into frontier URL rows, ``extract_metadata`` lifts
+head fields (title/canonical/OpenGraph/...) into typed columns through
+the same tolerant DOM parser the content extractor uses.
+
+Scale shape (both operators):
+- ONE ``mapInPandas`` pass, no shuffle: output partitioning inherits the
+  input, errors become status rows inside the batch loop (a task never
+  fails on a hostile payload — the T21 discipline).
+- ``ensure_min_partitions`` guards the single-file-scan case; a
+  well-partitioned 100 TB input passes through untouched.
+- payload bytes are dropped from the output (frontier rows / metadata
+  columns only), so downstream stages never carry them.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F, types as T
+
+from ..functions.metadata import FIELDS, extract_html_metadata
+from ..functions.sitemap import parse_sitemap
+from .util import ensure_min_partitions
+
+SITEMAP_SCHEMA = T.StructType(
+    [
+        T.StructField("source", T.StringType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("seq", T.IntegerType()),
+        T.StructField("loc", T.StringType()),
+        T.StructField("lastmod", T.StringType()),
+        T.StructField("changefreq", T.StringType()),
+        T.StructField("priority", T.DoubleType()),
+        T.StructField("status", T.StringType()),
+        T.StructField("error_message", T.StringType()),
+    ]
+)
+
+METADATA_SCHEMA = T.StructType(
+    [T.StructField("url", T.StringType())]
+    + [T.StructField(f, T.StringType()) for f in FIELDS]
+    + [T.StructField("status", T.StringType())]
+)
+
+
+def _sitemap_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        rows = []
+        for source, payload in zip(pdf["source"], pdf["payload"]):
+            content = bytes(payload) if payload is not None else b""
+            try:
+                kind, entries = parse_sitemap(content)
+            except Exception as exc:  # hostile bytes → one status row
+                rows.append((source, "unknown", 0, None, None, None, None,
+                             "failed", str(exc)[:200]))
+                continue
+            if not entries:
+                rows.append((source, kind, 0, None, None, None, None,
+                             "empty", None))
+                continue
+            for seq, (loc, lastmod, changefreq, priority) in enumerate(entries):
+                rows.append((source, kind, seq, loc, lastmod, changefreq,
+                             priority, "completed", None))
+        yield pd.DataFrame(rows, columns=[f.name for f in SITEMAP_SCHEMA])
+
+
+def parse_sitemaps(df: DataFrame, source_col: str = "source",
+                   payload_col: str = "payload") -> DataFrame:
+    """(source, payload:binary) → one frontier row per sitemap entry.
+
+    urlset entries carry lastmod/changefreq/priority; sitemapindex
+    entries carry lastmod only (loc points at another sitemap). Documents
+    with no recognizable root yield a single kind='unknown' status row;
+    undecodable payloads a 'failed' row — rows in, rows out, no task
+    failures.
+    """
+    src = ensure_min_partitions(
+        df.select(F.col(source_col).alias("source"),
+                  F.col(payload_col).alias("payload")))
+    return src.mapInPandas(_sitemap_batches, schema=SITEMAP_SCHEMA)
+
+
+def _metadata_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        out = {"url": list(pdf["url"]), "status": []}
+        for f in FIELDS:
+            out[f] = []
+        for payload in pdf["html"]:
+            content = bytes(payload) if payload is not None else b""
+            try:
+                meta = extract_html_metadata(content)
+                status = "completed"
+            except Exception:
+                meta = {f: "" for f in FIELDS}
+                status = "failed"
+            for f in FIELDS:
+                out[f].append(meta[f] or None)  # "" → NULL column value
+            out["status"].append(status)
+        yield pd.DataFrame(out, columns=[f.name for f in METADATA_SCHEMA])
+
+
+def extract_metadata(df: DataFrame, url_col: str = "url",
+                     html_col: str = "html") -> DataFrame:
+    """(url, html:binary) → typed head-metadata columns (NULL = absent)."""
+    src = ensure_min_partitions(
+        df.select(F.col(url_col).alias("url"), F.col(html_col).alias("html")))
+    return src.mapInPandas(_metadata_batches, schema=METADATA_SCHEMA)

@@ -1,0 +1,164 @@
+"""Sitemap + head-metadata tests (functions/sitemap.py, functions/
+metadata.py, operators/sitemap.py). Oracle parity for the driver queries
+runs in tools/check_oracles.py (sitemap_parse / extract_metadata)."""
+
+import gzip
+
+import pytest
+
+from llm_food_spark.functions.metadata import extract_html_metadata
+from llm_food_spark.functions.sitemap import parse_sitemap
+
+
+URLSET = b"""<?xml version="1.0" encoding="UTF-8"?>
+<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+  <url>
+    <loc>https://example.com/a?x=1&amp;y=2</loc>
+    <lastmod>2025-01-02</lastmod>
+    <changefreq>daily</changefreq>
+    <priority>0.8</priority>
+  </url>
+  <url><loc> https://example.com/b </loc></url>
+  <url><lastmod>2025-01-03</lastmod></url>
+  <url><loc><![CDATA[https://example.com/c?q=<it>&r=2]]></loc></url>
+</urlset>
+"""
+
+INDEX = b"""<?xml version="1.0"?>
+<sitemapindex xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+  <sitemap><loc>https://example.com/sitemap1.xml.gz</loc>
+    <lastmod>2024-12-31T23:59:59+00:00</lastmod></sitemap>
+  <sitemap><loc>https://example.com/sitemap2.xml</loc></sitemap>
+</sitemapindex>
+"""
+
+
+class TestParseSitemap:
+    def test_urlset_fields(self):
+        kind, entries = parse_sitemap(URLSET)
+        assert kind == "urlset"
+        assert entries[0] == ("https://example.com/a?x=1&y=2", "2025-01-02",
+                              "daily", 0.8)
+
+    def test_loc_whitespace_stripped(self):
+        _, entries = parse_sitemap(URLSET)
+        assert entries[1] == ("https://example.com/b", "", "", None)
+
+    def test_missing_loc_skipped(self):
+        _, entries = parse_sitemap(URLSET)
+        assert len(entries) == 3
+        assert all(e[0] for e in entries)
+
+    def test_cdata_loc(self):
+        _, entries = parse_sitemap(URLSET)
+        assert entries[2][0] == "https://example.com/c?q=<it>&r=2"
+
+    def test_sitemapindex(self):
+        kind, entries = parse_sitemap(INDEX)
+        assert kind == "sitemapindex"
+        assert entries == [
+            ("https://example.com/sitemap1.xml.gz",
+             "2024-12-31T23:59:59+00:00", "", None),
+            ("https://example.com/sitemap2.xml", "", "", None),
+        ]
+
+    def test_namespace_prefixes(self):
+        doc = (b'<sm:urlset xmlns:sm="http://www.sitemaps.org/schemas/'
+               b'sitemap/0.9"><sm:url><sm:loc>https://e.com/x</sm:loc>'
+               b"</sm:url></sm:urlset>")
+        kind, entries = parse_sitemap(doc)
+        assert kind == "urlset"
+        assert entries == [("https://e.com/x", "", "", None)]
+
+    def test_gzip_payload(self):
+        kind, entries = parse_sitemap(gzip.compress(URLSET))
+        assert kind == "urlset" and len(entries) == 3
+
+    def test_truncated_gzip_raises_value_error(self):
+        with pytest.raises(ValueError):
+            parse_sitemap(gzip.compress(URLSET)[:20])
+
+    def test_bad_priority_becomes_none(self):
+        doc = (b"<urlset><url><loc>https://e.com/p</loc>"
+               b"<priority>high</priority></url></urlset>")
+        _, entries = parse_sitemap(doc)
+        assert entries == [("https://e.com/p", "", "", None)]
+
+    def test_unknown_root(self):
+        assert parse_sitemap(b"<html><body>nope</body></html>") == ("unknown", [])
+        assert parse_sitemap(b"") == ("unknown", [])
+        assert parse_sitemap(bytes(range(256))) == ("unknown", [])
+
+
+HTML_DOC = b"""<!doctype html>
+<html lang="en-GB"><head>
+  <title> Fish &amp; Chips
+    Tonight </title>
+  <meta name="Description" content="Best &quot;guide&quot; in town">
+  <link rel="canonical" href="https://example.com/fish">
+  <meta property="og:title" content="Fish and Chips">
+  <meta property="og:description" content="og desc">
+  <meta property="article:published_time" content="2025-03-04T10:00:00Z">
+  <title>second title ignored</title>
+</head><body><p>hi</p></body></html>"""
+
+
+class TestExtractMetadata:
+    def test_all_fields(self):
+        m = extract_html_metadata(HTML_DOC)
+        assert m == {
+            "title": "Fish & Chips Tonight",
+            "description": 'Best "guide" in town',
+            "canonical": "https://example.com/fish",
+            "og_title": "Fish and Chips",
+            "og_description": "og desc",
+            "published": "2025-03-04T10:00:00Z",
+            "html_lang": "en-GB",
+        }
+
+    def test_absent_fields_empty(self):
+        m = extract_html_metadata(b"<html><body><p>x</p></body></html>")
+        assert all(v == "" for v in m.values())
+
+    def test_rel_canonical_among_multiple_rels(self):
+        m = extract_html_metadata(
+            b'<html><head><link rel="alternate canonical" href="/c">'
+            b"</head></html>")
+        assert m["canonical"] == "/c"
+
+    def test_hostile_bytes_no_crash(self):
+        extract_html_metadata(b"")
+        extract_html_metadata(bytes(range(256)) * 16)
+        extract_html_metadata(b"<title>" + b"x" * 100000)
+
+
+class TestSparkOperators:
+    def test_parse_sitemaps_rows(self, spark):
+        from llm_food_spark.operators.sitemap import parse_sitemaps
+
+        df = spark.createDataFrame(
+            [("s1", bytearray(URLSET)), ("s2", bytearray(INDEX)),
+             ("s3", bytearray(b"junk")), ("s4", None)],
+            "source string, payload binary")
+        rows = {r["source"]: r for r in parse_sitemaps(df).collect()}
+        out = parse_sitemaps(df).where("source = 's1'").orderBy("seq").collect()
+        assert [r["loc"] for r in out] == [
+            "https://example.com/a?x=1&y=2", "https://example.com/b",
+            "https://example.com/c?q=<it>&r=2"]
+        assert out[0]["priority"] == 0.8 and out[0]["status"] == "completed"
+        assert rows["s2"]["kind"] == "sitemapindex"
+        assert rows["s3"]["status"] == "empty"  # parses as unknown root
+        assert rows["s4"]["status"] == "empty"
+
+    def test_extract_metadata_columns(self, spark):
+        from llm_food_spark.operators.sitemap import extract_metadata
+
+        df = spark.createDataFrame(
+            [("u1", bytearray(HTML_DOC)),
+             ("u2", bytearray(b"<p>no head</p>"))],
+            "url string, html binary")
+        rows = {r["url"]: r for r in extract_metadata(df).collect()}
+        assert rows["u1"]["title"] == "Fish & Chips Tonight"
+        assert rows["u1"]["canonical"] == "https://example.com/fish"
+        assert rows["u2"]["title"] is None  # absent → NULL
+        assert rows["u2"]["status"] == "completed"
