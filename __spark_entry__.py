@@ -2052,6 +2052,41 @@ def q_extract_metadata(spark, sf_dir):
     return extract_metadata(src)
 
 
+def q_robots_sitemaps(spark, sf_dir):
+    """Sitemap discovery from robots.txt (operators/robots.py::
+    robots_sitemaps) under a HARD formula oracle: each documents row
+    becomes a synthesized robots file with file-wide Sitemap directives
+    on omission schedules — canonical case with trailing spaces (i%2),
+    lowercase no-space form (i%3), an empty value that must be skipped
+    (i%5), and an UPPERCASE directive with a trailing comment (i%7) —
+    plus a mixed-case host key that must lowercase. DuckDB reconstructs
+    host/seq/url arithmetically with no robots text anywhere; the
+    Catalyst line scan must recover them exactly. Closes the robots →
+    sitemap → frontier loop with parse_sitemaps."""
+    from llm_food_spark.operators.robots import robots_sitemaps
+
+    i = F.col("doc_id")
+    istr = i.cast("string")
+    robots_txt = F.concat(
+        F.lit("# robots for h"), istr, F.lit("\r\n"),
+        F.lit("User-agent: *\nDisallow: /private\n"),
+        F.when(i % 2 == 0,
+               F.concat(F.lit("Sitemap: https://h"), istr,
+                        F.lit(".example/sitemap.xml   \n"))).otherwise(F.lit("")),
+        F.when(i % 3 == 0,
+               F.concat(F.lit("sitemap:https://h"), istr,
+                        F.lit(".example/sm2.xml.gz\n"))).otherwise(F.lit("")),
+        F.when(i % 5 == 0, F.lit("Sitemap:\n")).otherwise(F.lit("")),
+        F.when(i % 7 == 0,
+               F.concat(F.lit("SITEMAP: https://h"), istr,
+                        F.lit(".example/sm3.xml # mirror\n"))).otherwise(F.lit("")),
+    )
+    robots = _t(spark, sf_dir, "documents").select(
+        F.concat(F.lit("H"), istr, F.lit(".Example")).alias("host"),
+        robots_txt.alias("robots"))
+    return robots_sitemaps(robots)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Query registry. KEY ORDER IS LOAD-BEARING: the external driver's
     correctness gate checks the FIRST 50 keys only (measured, not
@@ -2062,7 +2097,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     oracles — every family gets at least one driver-visible row, and
     hand-written DuckDB SQL twins win slots over redundant or subsumed
     queries. Everything from slot 51 on is still gated locally by
-    tools/check_oracles.py (all 87, same rows+schema+hash compare at
+    tools/check_oracles.py (all 88, same rows+schema+hash compare at
     sf0.01) and ordered hard-SQL-twins-first in case the driver's cap is
     ever higher; the 13 frozen-golden byte-stability gates sit last.
     Subsumption notes for demoted queries are inline below."""
@@ -2129,6 +2164,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # hard SQL twins added after the round-4 slot allocation
         "sitemap_parse": q_sitemap_parse,
         "extract_metadata": q_extract_metadata,
+        "robots_sitemaps": q_robots_sitemaps,
         # hard SQL twins, demoted for subsumption (coverage noted)
         "counter_rollup": q_counter_rollup,      # R8/R9; resume_status re-derives the committed counters
         "topk_per_group": q_topk_per_group,      # top-k: tfidf_topk + cap_per_group
@@ -3311,6 +3347,34 @@ def _handwritten_oracles() -> dict[str, str]:
               WHERE doc_id % 7 = 0
             )
             SELECT * FROM urlset UNION ALL SELECT * FROM idx
+        """,
+        # robots.txt sitemap discovery: host/seq/url rebuilt purely from
+        # doc_id — seq is the running count of the earlier directives on
+        # the omission schedule (canonical i%2, lowercase i%3, the empty
+        # i%5 line contributes nothing, uppercase+comment i%7)
+        "robots_sitemaps": """
+            WITH ids AS (SELECT doc_id AS i FROM documents),
+            a AS (
+              SELECT 'h' || i || '.example' AS host, 0 AS seq,
+                     'https://h' || i || '.example/sitemap.xml' AS sitemap_url
+              FROM ids WHERE i % 2 = 0
+            ),
+            b AS (
+              SELECT 'h' || i || '.example' AS host,
+                     CASE WHEN i % 2 = 0 THEN 1 ELSE 0 END AS seq,
+                     'https://h' || i || '.example/sm2.xml.gz' AS sitemap_url
+              FROM ids WHERE i % 3 = 0
+            ),
+            c AS (
+              SELECT 'h' || i || '.example' AS host,
+                     (CASE WHEN i % 2 = 0 THEN 1 ELSE 0 END
+                      + CASE WHEN i % 3 = 0 THEN 1 ELSE 0 END) AS seq,
+                     'https://h' || i || '.example/sm3.xml' AS sitemap_url
+              FROM ids WHERE i % 7 = 0
+            )
+            SELECT host, CAST(seq AS INT) AS seq, sitemap_url FROM a
+            UNION ALL SELECT host, CAST(seq AS INT), sitemap_url FROM b
+            UNION ALL SELECT host, CAST(seq AS INT), sitemap_url FROM c
         """,
         # head-metadata extraction: arithmetic reconstruction of every
         # field the real DOM walk must recover (entity-decoded title,

@@ -199,3 +199,37 @@ def filter_robots(
             "allowed", "rule", "rule_is_allow"
         )
     return out
+
+
+def robots_sitemaps(
+    robots: DataFrame,
+    host_col_name: str = "host",
+    robots_col: str = "robots",
+) -> DataFrame:
+    """robots.txt texts → (host, seq, sitemap_url) sitemap discovery rows.
+
+    ``Sitemap:`` directives are FILE-WIDE, not group-scoped (sitemaps.org
+    protocol / RFC 9309 §2.3 treats them as independent of user-agent
+    groups), so this is a flat line scan: case-insensitive directive
+    match, comments stripped, empty values skipped, document order kept
+    as ``seq``. Hosts with no directive emit zero rows. All-Catalyst like
+    parse_robots — the per-host window orders a ~10²-line file, never a
+    corpus-shaped partition. Feed the urls to ``operators.sitemap.
+    parse_sitemaps`` (after fetch) to close the robots → sitemap →
+    frontier loop."""
+    lines = robots.select(
+        F.lower(F.col(host_col_name)).alias("host"),
+        F.posexplode(F.split(F.col(robots_col), "\r?\n")).alias("pos", "raw"),
+    )
+    clean = F.trim(F.regexp_replace(F.col("raw"), "#.*", ""))
+    directive = F.lower(F.regexp_extract(clean, r"^([A-Za-z-]+)\s*:", 1))
+    value = F.trim(F.regexp_extract(clean, r"^[A-Za-z-]+\s*:\s*(.*)$", 1))
+    hits = lines.select("host", "pos", directive.alias("directive"),
+                        value.alias("sitemap_url")).where(
+        (F.col("directive") == "sitemap") & (F.col("sitemap_url") != ""))
+    seq = Window.partitionBy("host").orderBy("pos")
+    return hits.select(
+        "host",
+        (F.row_number().over(seq) - 1).cast("int").alias("seq"),
+        "sitemap_url",
+    )

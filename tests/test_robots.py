@@ -185,3 +185,24 @@ def test_duplicate_captures_no_row_multiplication(spark, rules):
     assert sorted(r.capture for r in kept.collect()) == [0, 1, 2]
     flagged = filter_robots(pages, rules, keep=False)
     assert flagged.count() == 4
+
+
+def test_robots_sitemaps_directives(spark):
+    from llm_food_spark.operators.robots import robots_sitemaps
+
+    txt = ("# header comment\r\n"
+           "User-agent: *\n"
+           "Disallow: /private\n"
+           "Sitemap: https://h.example/sitemap.xml   \n"
+           "sitemap:https://h.example/sm2.xml.gz\n"
+           "Sitemap:\n"                       # empty value -> skipped
+           "SITEMAP: https://h.example/sm3.xml # mirror\n")
+    robots = spark.createDataFrame(
+        [("H.Example", txt), ("quiet.example", "User-agent: *\nAllow: /\n")],
+        "host string, robots string")
+    rows = robots_sitemaps(robots).orderBy("host", "seq").collect()
+    assert [(r.host, r.seq, r.sitemap_url) for r in rows] == [
+        ("h.example", 0, "https://h.example/sitemap.xml"),
+        ("h.example", 1, "https://h.example/sm2.xml.gz"),
+        ("h.example", 2, "https://h.example/sm3.xml"),
+    ]  # quiet.example emits zero rows; host key lowercases
