@@ -2087,6 +2087,86 @@ def q_robots_sitemaps(spark, sf_dir):
     return robots_sitemaps(robots)
 
 
+def q_sitemap_frontier(spark, sf_dir):
+    """The crawl-discovery funnel END-TO-END under one chained formula
+    oracle: robots synthesis → robots_sitemaps discovery → per-sitemap
+    urlset synthesis (fetch-sim, keyed on (doc_id, sitemap seq)) → REAL
+    XML parse → url canonicalization (uppercase scheme/host lowered,
+    default :443 dropped, utm_source stripped, surviving params kept) →
+    UT1-style screen (host blocklist i%4==0 → 'domain'; planted /casino/
+    path on (j==1, i%6==0) → 'path'; domain precedence). DuckDB
+    reconstructs every surviving column purely from doc_id arithmetic —
+    the robots line scan, XML walk, entity decode, canonical form, and
+    screen precedence must all compose to exactly the formula."""
+    from llm_food_spark.operators.robots import robots_sitemaps
+    from llm_food_spark.operators.sitemap import parse_sitemaps
+    from llm_food_spark.operators.urlops import filter_urls
+
+    i = F.col("doc_id")
+    istr = i.cast("string")
+    docs = _t(spark, sf_dir, "documents")
+
+    # stage A: robots files (same directive schedules as robots_sitemaps)
+    robots_txt = F.concat(
+        F.lit("User-agent: *\nDisallow: /private\n"),
+        F.when(i % 2 == 0,
+               F.concat(F.lit("Sitemap: https://h"), istr,
+                        F.lit(".example/sitemap.xml\n"))).otherwise(F.lit("")),
+        F.when(i % 3 == 0,
+               F.concat(F.lit("sitemap:https://h"), istr,
+                        F.lit(".example/sm2.xml.gz\n"))).otherwise(F.lit("")),
+        F.when(i % 7 == 0,
+               F.concat(F.lit("SITEMAP: https://h"), istr,
+                        F.lit(".example/sm3.xml\n"))).otherwise(F.lit("")),
+    )
+    robots = docs.select(
+        F.concat(F.lit("h"), istr, F.lit(".example")).alias("host"),
+        robots_txt.alias("robots"))
+    disc = robots_sitemaps(robots)
+
+    # stage B: fetch-sim — synthesize each discovered sitemap's urlset,
+    # keyed on (doc_id, sm_seq); doc_id rejoins by host (broadcast-sized)
+    ids = docs.select(
+        i.alias("doc_id"),
+        F.concat(F.lit("h"), istr, F.lit(".example")).alias("host"))
+    disc = disc.join(F.broadcast(ids), "host")
+    di = F.col("doc_id")
+    sm = F.col("seq")
+
+    def entry(j):
+        path = F.when(
+            (j == 1) & (di % 6 == 0),
+            F.concat(F.lit("/casino/"), sm.cast("string"))
+        ).otherwise(
+            F.concat(F.lit("/p/"), sm.cast("string"), F.lit("/"),
+                     j.cast("string")))
+        return F.concat(
+            F.lit("<url><loc>HTTPS://H"), di.cast("string"),
+            F.lit(".Example:443"), path,
+            F.lit("?utm_source=x&amp;id="), j.cast("string"),
+            F.lit("</loc></url>"))
+
+    payload = F.concat(
+        F.lit("<urlset>"),
+        F.concat_ws("", F.transform(
+            F.sequence(F.lit(0), ((di + sm) % 2).cast("int")), entry)),
+        F.lit("</urlset>"))
+    fetched = disc.select(
+        F.col("sitemap_url").alias("source"),
+        payload.cast("binary").alias("payload"))
+
+    # stage C-E: real parse → canonical form → blocklist screen
+    from llm_food_spark.operators.urlops import canonicalize_url_col
+
+    parsed = parse_sitemaps(fetched).select(
+        "source", "seq", canonicalize_url_col(F.col("loc")).alias("url"))
+    blocked = docs.where(i % 4 == 0).select(
+        F.concat(F.lit("h"), istr, F.lit(".example")).alias("entry"))
+    return filter_urls(parsed, blocked=blocked,
+                       blocked_path_re="/casino/").select(
+        "source", "seq", "url", "block_reason")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Query registry. KEY ORDER IS LOAD-BEARING: the external driver's
     correctness gate checks the FIRST 50 keys only (measured, not
@@ -2097,7 +2177,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     oracles — every family gets at least one driver-visible row, and
     hand-written DuckDB SQL twins win slots over redundant or subsumed
     queries. Everything from slot 51 on is still gated locally by
-    tools/check_oracles.py (all 88, same rows+schema+hash compare at
+    tools/check_oracles.py (all 89, same rows+schema+hash compare at
     sf0.01) and ordered hard-SQL-twins-first in case the driver's cap is
     ever higher; the 13 frozen-golden byte-stability gates sit last.
     Subsumption notes for demoted queries are inline below."""
@@ -2165,6 +2245,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sitemap_parse": q_sitemap_parse,
         "extract_metadata": q_extract_metadata,
         "robots_sitemaps": q_robots_sitemaps,
+        "sitemap_frontier": q_sitemap_frontier,
         # hard SQL twins, demoted for subsumption (coverage noted)
         "counter_rollup": q_counter_rollup,      # R8/R9; resume_status re-derives the committed counters
         "topk_per_group": q_topk_per_group,      # top-k: tfidf_topk + cap_per_group
@@ -3375,6 +3456,43 @@ def _handwritten_oracles() -> dict[str, str]:
             SELECT host, CAST(seq AS INT) AS seq, sitemap_url FROM a
             UNION ALL SELECT host, CAST(seq AS INT), sitemap_url FROM b
             UNION ALL SELECT host, CAST(seq AS INT), sitemap_url FROM c
+        """,
+        # crawl-discovery funnel: robots discovery × fetch-sim × XML parse
+        # × canonicalization × blocklist screen, reconstructed end-to-end
+        # from doc_id — the canonical form (lowered scheme/host, dropped
+        # :443, stripped utm_source) is asserted by formula, and the
+        # screen's domain-then-path precedence is the CASE order
+        "sitemap_frontier": """
+            WITH ids AS (SELECT doc_id AS i FROM documents),
+            sm AS (
+              SELECT i, 0 AS sm_seq,
+                     'https://h' || i || '.example/sitemap.xml' AS source
+              FROM ids WHERE i % 2 = 0
+              UNION ALL
+              SELECT i, CASE WHEN i % 2 = 0 THEN 1 ELSE 0 END,
+                     'https://h' || i || '.example/sm2.xml.gz'
+              FROM ids WHERE i % 3 = 0
+              UNION ALL
+              SELECT i, (CASE WHEN i % 2 = 0 THEN 1 ELSE 0 END
+                         + CASE WHEN i % 3 = 0 THEN 1 ELSE 0 END),
+                     'https://h' || i || '.example/sm3.xml'
+              FROM ids WHERE i % 7 = 0
+            ),
+            ent AS (
+              SELECT i, sm_seq, source, j
+              FROM sm, UNNEST(generate_series(0, CAST((i + sm_seq) % 2
+                                                      AS INT))) AS t(j)
+            )
+            SELECT source, CAST(j AS INT) AS seq,
+                   'https://h' || i || '.example'
+                     || CASE WHEN j = 1 AND i % 6 = 0
+                             THEN '/casino/' || sm_seq
+                             ELSE '/p/' || sm_seq || '/' || j END
+                     || '?id=' || j AS url,
+                   CASE WHEN i % 4 = 0 THEN 'domain'
+                        WHEN j = 1 AND i % 6 = 0 THEN 'path'
+                        END AS block_reason
+            FROM ent
         """,
         # head-metadata extraction: arithmetic reconstruction of every
         # field the real DOM walk must recover (entity-decoded title,
