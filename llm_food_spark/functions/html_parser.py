@@ -127,6 +127,24 @@ class Element:
 
 _EMPTY_ATTRS: Dict[str, str] = {}  # shared read-only dict (never mutated)
 
+# one dict probe per open tag instead of four frozenset probes
+# (P_CLOSERS / _IMPLICIT_CLOSE / RAW_TEXT / VOID) — parse_html is the
+# hottest function in the extraction core and the probes were measurable
+_F_P_CLOSER = 1
+_F_IMPLICIT = 2
+_F_RAW = 4
+_F_VOID = 8
+_TAG_FLAGS: Dict[str, int] = {}
+for _t in _P_CLOSERS:
+    _TAG_FLAGS[_t] = _TAG_FLAGS.get(_t, 0) | _F_P_CLOSER
+for _t in _IMPLICIT_CLOSE:
+    _TAG_FLAGS[_t] = _TAG_FLAGS.get(_t, 0) | _F_IMPLICIT
+for _t in RAW_TEXT_ELEMENTS:
+    _TAG_FLAGS[_t] = _TAG_FLAGS.get(_t, 0) | _F_RAW
+for _t in VOID_ELEMENTS:
+    _TAG_FLAGS[_t] = _TAG_FLAGS.get(_t, 0) | _F_VOID
+del _t
+
 
 def _parse_attrs(raw: str) -> Dict[str, str]:
     if not raw or raw.isspace():
@@ -176,12 +194,13 @@ def parse_html(source: str) -> Element:
     tag_match = _TAG_RE.match
     unescape = _htmlmod.unescape
     TextCls = Text
+    tag_flags = _TAG_FLAGS.get
 
     def emit_text(chunk: str) -> None:
         if chunk:
             if "&" in chunk:  # fast path: unescape only when entities exist
                 chunk = unescape(chunk)
-            stack[-1].append(TextCls(chunk))
+            stack[-1].children.append(TextCls(chunk))
 
     while pos < n:
         lt = find("<", pos)
@@ -189,22 +208,30 @@ def parse_html(source: str) -> Element:
             emit_text(source[pos:])
             break
         if lt > pos:
-            emit_text(source[pos:lt])
-        nxt = source[lt + 1 : lt + 2]
-        if nxt == "!":
-            if source.startswith("<!--", lt):
-                m = _COMMENT_RE.match(source, lt)
-                pos = m.end() if m else n  # unterminated comment swallows rest
-                continue
-            m = _DECL_RE.match(source, lt)
-            pos = m.end() if m else lt + 2
-            continue
-        if nxt == "?":
-            m = _PI_RE.match(source, lt)
-            pos = m.end() if m else lt + 2
-            continue
+            # inlined emit_text (non-empty by construction): one Python
+            # call per text chunk was measurable at corpus scale
+            chunk = source[pos:lt]
+            if "&" in chunk:
+                chunk = unescape(chunk)
+            stack[-1].children.append(TextCls(chunk))
+        # common case first: a real tag. _TAG_RE requires a letter after the
+        # optional slash, so comments/doctypes/PIs fall through to the
+        # (rare) non-tag branch — this ordering avoids a per-tag slice.
         m = tag_match(source, lt)
         if not m:
+            nxt = source[lt + 1 : lt + 2]
+            if nxt == "!":
+                if source.startswith("<!--", lt):
+                    m = _COMMENT_RE.match(source, lt)
+                    pos = m.end() if m else n  # unterminated comment swallows rest
+                    continue
+                m = _DECL_RE.match(source, lt)
+                pos = m.end() if m else lt + 2
+                continue
+            if nxt == "?":
+                m = _PI_RE.match(source, lt)
+                pos = m.end() if m else lt + 2
+                continue
             emit_text("<")
             pos = lt + 1
             continue
@@ -221,27 +248,29 @@ def parse_html(source: str) -> Element:
                     break
             continue
 
-        # implicit closes (scope-aware: never pop past a boundary element)
-        if name in _P_CLOSERS:
-            _implicit_close(stack, _P_TARGET, None)
-        rule = _IMPLICIT_CLOSE.get(name)
-        if rule:
-            _implicit_close(stack, rule[0], rule[1])
+        flags = tag_flags(name, 0)
+        if flags:
+            # implicit closes (scope-aware: never pop past a boundary element)
+            if flags & _F_P_CLOSER:
+                _implicit_close(stack, _P_TARGET, None)
+            if flags & _F_IMPLICIT:
+                rule = _IMPLICIT_CLOSE[name]
+                _implicit_close(stack, rule[0], rule[1])
 
-        elem = Element(name, _parse_attrs(rawattrs))
-        stack[-1].append(elem)
+        elem = Element(name, _parse_attrs(rawattrs) if rawattrs else _EMPTY_ATTRS)
+        stack[-1].children.append(elem)
 
-        if name in RAW_TEXT_ELEMENTS and not selfclose:
+        if flags & _F_RAW and not selfclose:
             em = _RAW_END_RES[name].search(source, pos)
             if em:
-                elem.append(Text(source[pos : em.start()]))
+                elem.children.append(TextCls(source[pos : em.start()]))
                 pos = em.end()
             else:
-                elem.append(Text(source[pos:]))
+                elem.children.append(TextCls(source[pos:]))
                 pos = n
             continue
 
-        if not selfclose and name not in VOID_ELEMENTS and len(stack) < MAX_DEPTH:
+        if not selfclose and not flags & _F_VOID and len(stack) < MAX_DEPTH:
             # beyond MAX_DEPTH, elements attach flat instead of nesting, so
             # adversarially deep pages stay within recursion limits downstream
             stack.append(elem)

@@ -48,6 +48,19 @@ def _collapse(s: str) -> str:
     return _WS_RE.sub(" ", s) if _WS_NEEDS_RE.search(s) else s
 
 
+# tag -> wrap format for the simple emphasis kinds; "a" is special-cased.
+# A single dict probe replaces a chain of tuple membership tests (profiled:
+# _inline runs once per element per serialize, the chain was measurable).
+_INLINE_FMT = {}
+for _t in ("b", "strong"):
+    _INLINE_FMT[_t] = " **%s** "
+for _t in ("i", "em"):
+    _INLINE_FMT[_t] = " *%s* "
+for _t in ("code", "kbd", "samp", "tt"):
+    _INLINE_FMT[_t] = " `%s` "
+del _t
+
+
 def _inline(node: Union[Element, Text]) -> str:
     """Render a node in inline context."""
     if node.__class__ is Text:
@@ -57,16 +70,12 @@ def _inline(node: Union[Element, Text]) -> str:
         return ""
     if tag == "br":
         return "\n"
-    inner = "".join([_inline(c) for c in node.children])
-    if tag in ("b", "strong"):
+    children = node.children
+    inner = "".join([_inline(c) for c in children]) if children else ""
+    fmt = _INLINE_FMT.get(tag)
+    if fmt is not None:
         core = inner.strip()
-        return " **%s** " % core if core else ""
-    if tag in ("i", "em"):
-        core = inner.strip()
-        return " *%s* " % core if core else ""
-    if tag in ("code", "kbd", "samp", "tt"):
-        core = inner.strip()
-        return " `%s` " % core if core else ""
+        return fmt % core if core else ""
     if tag == "a":
         href = node.attrs.get("href", "")
         text = inner.strip()
