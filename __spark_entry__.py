@@ -1338,6 +1338,23 @@ def q_ann_ivf_seeded(spark, sf_dir):
     )
 
 
+def q_semantic_dedup_seeded(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023) under a hard DuckDB oracle: k-means
+    cluster + within-cluster cosine screen, keep-farthest-from-centroid.
+    One-hot centroids make assignment argmax over the first 16 embedding
+    components and cent_sim = embedding[cluster]/|v|, so the oracle
+    recomputes assignment, the rank window, the upper-triangular cosine
+    screen, and the kept/dup_of verdicts entirely in SQL. The k-means
+    trainer stays gated by pytest (determinism + partition tests); this
+    isolates the dedup plan value-for-value."""
+    import numpy as np
+
+    from llm_food_spark.operators.similarity import DIM, semantic_dedup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return semantic_dedup(emb, threshold=0.95, centroids=np.eye(DIM)[:16])
+
+
 def q_fingerprint(spark, sf_dir):
     from pyspark.sql import types as T
     import pandas as pd
@@ -2216,6 +2233,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup_seeded": q_embedding_neardup_seeded,
         "ann_lsh_seeded": q_ann_lsh_seeded,
         "ann_ivf_seeded": q_ann_ivf_seeded,
+        "semantic_dedup_seeded": q_semantic_dedup_seeded,
         "cosine_topk": q_cosine_topk,
         # web / crawl
         "url_filter": q_url_filter,
@@ -2239,9 +2257,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_resize": q_image_resize,
         "media_meta": q_media_meta,
         "media_frames": q_media_frames,
-        "audio_chunk": q_audio_chunk,
         # ---- slot 51+ : repo-gated only (tools/check_oracles.py) --------
         # hard SQL twins added after the round-4 slot allocation
+        "audio_chunk": q_audio_chunk,            # demoted for semantic_dedup_seeded; media family keeps image_resize/media_meta/media_frames slots, PCM window arithmetic stays repo-gated
         "sitemap_parse": q_sitemap_parse,
         "extract_metadata": q_extract_metadata,
         "robots_sitemaps": q_robots_sitemaps,
@@ -2906,6 +2924,49 @@ _ANN_IVF_SEEDED_SQL = """
                                    ORDER BY score DESC, vec_id ASC) AS rank
       FROM scored
     ) WHERE rank <= 3
+"""
+
+# SemDeDup under one-hot centroids: assignment = argmax over the first 16
+# embedding components (ties to the lowest index — np.argmax semantics),
+# cent_sim = cosine against the one-hot axis, rank ascending cent_sim
+# (keep="far": the member farthest from its centroid survives), and the
+# upper-triangular cosine screen drops a row iff an earlier-ranked
+# cluster-mate matches at >= 0.95; dup_of = the earliest-ranked match.
+_SEMANTIC_DEDUP_SEEDED_SQL = """
+    WITH ranked AS (
+      SELECT e.vec_id, g.j AS cluster,
+             ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                ORDER BY e.embedding[g.j + 1] DESC,
+                                         g.j ASC) AS rn
+      FROM embeddings e, (SELECT unnest(range(0, 16)) AS j) g
+    ), assign AS (
+      SELECT e.vec_id, r.cluster,
+             ROUND(list_cosine_similarity(
+                     CAST(e.embedding AS DOUBLE[]),
+                     list_transform(range(0, 64),
+                                    i -> CASE WHEN i = r.cluster THEN 1.0
+                                              ELSE 0.0 END)), 4) AS cent_sim
+      FROM embeddings e JOIN ranked r ON r.vec_id = e.vec_id AND r.rn = 1
+    ), rk AS (
+      SELECT vec_id, cluster, cent_sim,
+             ROW_NUMBER() OVER (PARTITION BY cluster
+                                ORDER BY cent_sim ASC, vec_id ASC) AS rank
+      FROM assign
+    ), hits AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b, b.rank AS rank_b
+      FROM rk a
+      JOIN rk b ON a.cluster = b.cluster AND b.rank < a.rank
+      JOIN embeddings x ON x.vec_id = a.vec_id
+      JOIN embeddings y ON y.vec_id = b.vec_id
+      WHERE ROUND(list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
+                                         CAST(y.embedding AS DOUBLE[])),
+                  4) >= 0.95
+    ), dups AS (
+      SELECT id_a, arg_min(id_b, rank_b) AS dup_of FROM hits GROUP BY id_a
+    )
+    SELECT r.vec_id, r.cluster, r.cent_sim, r.rank,
+           d.dup_of IS NULL AS kept, d.dup_of
+    FROM rk r LEFT JOIN dups d ON d.id_a = r.vec_id
 """
 
 # the Spark side computes these counters over the real extraction output;
@@ -4118,6 +4179,7 @@ def _handwritten_oracles() -> dict[str, str]:
         # IVF probe/posting-list plan with one-hot centroids
         # (see q_ann_ivf_seeded)
         "ann_ivf_seeded": _ANN_IVF_SEEDED_SQL,
+        "semantic_dedup_seeded": _SEMANTIC_DEDUP_SEEDED_SQL,
         # extraction-pipeline invariants pinned to constants
         # (see q_extract_invariants)
         "extract_invariants": _EXTRACT_INVARIANTS_SQL,

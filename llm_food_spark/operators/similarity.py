@@ -455,6 +455,189 @@ def embedding_neardup_pairs(
     )
 
 
+def ivf_assign_sim_udf(centroids: np.ndarray, dim: int = DIM):
+    """cluster assignment PLUS the winning cosine in one batch matmul:
+    (cluster, cent_sim) where cent_sim = cosine(vec, centroids[cluster]).
+    Since assignment is argmax cosine, cent_sim is just the row max —
+    no second pass. cent_sim is returned RAW; callers round JVM-side with
+    F.round so the value matches SQL-engine HALF_UP semantics (np.round
+    is banker's rounding — a 1-ulp trap at the rounding boundary)."""
+    cents = _row_normalize(np.asarray(centroids, dtype=np.float64))
+
+    @F.pandas_udf("cluster int, cent_sim double")
+    def assign(vecs: pd.Series) -> pd.DataFrame:
+        mat = _as_matrix(vecs, dim)
+        if mat.size == 0:
+            return pd.DataFrame({
+                "cluster": pd.Series([], dtype="int32"),
+                "cent_sim": pd.Series([], dtype="float64"),
+            })
+        sims = _row_normalize(mat) @ cents.T
+        cl = np.argmax(sims, axis=1)
+        return pd.DataFrame({
+            "cluster": cl.astype("int32"),
+            "cent_sim": sims[np.arange(len(cl)), cl],
+        })
+
+    return assign
+
+
+# Ranked-assignment frames persisted by semantic_dedup, released on the NEXT
+# call or explicitly — the minhash_lsh_pairs lifecycle (dedup.py): storage is
+# bounded at one narrow (id, cluster, cent_sim, rank) frame.
+_PERSISTED_RANKED: list = []
+
+
+def release_persisted() -> int:
+    """Unpersist ranked frames pinned by earlier semantic_dedup calls.
+    Safe any time AFTER the previous call's result has been consumed."""
+    n = 0
+    while _PERSISTED_RANKED:
+        frame = _PERSISTED_RANKED.pop()
+        try:
+            frame.unpersist()
+            n += 1
+        except Exception:
+            pass  # session already stopped — nothing to release
+    return n
+
+
+def cosine_pair_udf(dim: int = DIM):
+    """Vectorized row-wise cosine over two array columns: one batch of
+    norms + an einsum dot, no per-element lambda. The HOF ``cosine``
+    column is the SQL-twin-exact sequential fold; THIS is the corpus-scale
+    form for quadratic candidate paths (CLAUDE.md: HOFs are interpreted
+    per element). Zero-norm rows score 0.0, matching ``cosine``."""
+
+    @F.pandas_udf(T.DoubleType())
+    def pair_cos(a: pd.Series, b: pd.Series) -> pd.Series:
+        ma = _as_matrix(a, dim)
+        mb = _as_matrix(b, dim)
+        if ma.size == 0:
+            return pd.Series([], dtype="float64")
+        d = np.linalg.norm(ma, axis=1) * np.linalg.norm(mb, axis=1)
+        dots = np.einsum("ij,ij->i", ma, mb)
+        return pd.Series(np.where(d > 0, dots / np.where(d > 0, d, 1.0), 0.0))
+
+    return pair_cos
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_clusters: int = 16,
+    iters: int = 3,
+    centroids: Optional[np.ndarray] = None,
+    keep: str = "far",
+    round_dp: int = 4,
+    max_cluster: int = 10_000,
+    on_oversized: str = "error",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication by k-means clustering + within-cluster cosine screening.
+
+    Each vector joins its argmax-cosine cluster; within a cluster, vectors
+    are ranked (``keep="far"``: ascending similarity to the centroid — the
+    paper's choice, keeping the example farthest from the centroid;
+    ``"near"``: descending; ties by id) and a vector is DROPPED iff some
+    earlier-ranked cluster-mate has cosine >= ``threshold`` (the paper's
+    upper-triangular max screen — comparisons run against all earlier
+    rows, kept or not). Output: (vec_id, cluster, cent_sim, rank, kept,
+    dup_of) where dup_of is the earliest-ranked qualifying neighbor.
+
+    Scale shape: one vectorized assignment pass (batch matmul), one
+    rank window per cluster, and a self-join that is quadratic WITHIN a
+    cluster — SemDeDup's actual cost model; the paper sizes k so clusters
+    stay small (n/k ~ 10^3-10^4 at 10^8 docs). ``max_cluster`` is the
+    guardrail (ngram_jaccard discipline): ``on_oversized="error"``
+    (default) fails the job with a routing message instead of silently
+    degrading; ``"drop"`` is the explicit escape hatch. The narrow
+    (id, cluster, rank) rows carry the quadratic join; vectors attach
+    afterward by id. Banded-LSH alternative for un-clusterable corpora:
+    ``embedding_neardup_pairs``."""
+    if keep not in ("far", "near"):
+        raise ValueError("keep must be 'far' or 'near'")
+    if on_oversized not in ("error", "drop"):
+        raise ValueError("on_oversized must be 'error' or 'drop'")
+    if centroids is None:
+        centroids = ivf_train_centroids(
+            df, id_col=id_col, vec_col=vec_col,
+            n_clusters=n_clusters, iters=iters,
+        )
+    assign = ivf_assign_sim_udf(centroids)
+    base = ensure_min_partitions(df).select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v")
+    )
+    # coalesce blocks Catalyst from duplicating the UDF below the exchange
+    # (the ivf_ann_topk non-null-join-key trap)
+    assigned = base.withColumn("_a", assign(F.col("v"))).select(
+        "vec_id", "v",
+        F.coalesce(F.col("_a.cluster"), F.lit(-1)).alias("cluster"),
+        F.round(F.col("_a.cent_sim"), round_dp).alias("cent_sim"),
+    )
+    if max_cluster is not None:
+        cw = Window.partitionBy("cluster")
+        assigned = assigned.withColumn("_cw", F.count(F.lit(1)).over(cw))
+        if on_oversized == "error":
+            assigned = assigned.where(
+                F.assert_true(
+                    F.col("_cw") <= max_cluster,
+                    F.concat(
+                        F.lit("semantic_dedup: cluster "),
+                        F.col("cluster").cast("string"),
+                        F.lit(" has "), F.col("_cw").cast("string"),
+                        F.lit(" rows > max_cluster=%d; raise n_clusters or "
+                              "pass on_oversized='drop'" % max_cluster),
+                    ),
+                ).isNull()
+            ).drop("_cw")
+        else:
+            assigned = assigned.where(F.col("_cw") <= max_cluster).drop("_cw")
+    order = (F.col("cent_sim").asc() if keep == "far"
+             else F.col("cent_sim").desc())
+    rank_w = Window.partitionBy("cluster").orderBy(order, F.col("vec_id").asc())
+    # the ranked frame feeds FOUR downstream branches (both pair sides,
+    # the dup aggregation, the final join); without a persist Spark
+    # recomputes the assignment UDF and both windows once per branch.
+    # Narrow columns only — vectors re-attach from the source below.
+    release_persisted()
+    ranked = (
+        assigned.withColumn("rank", F.row_number().over(rank_w))
+        .select("vec_id", "cluster", "cent_sim", "rank")
+        .persist()
+    )
+    _PERSISTED_RANKED.append(ranked)
+    pairs = (
+        ranked.select(F.col("vec_id").alias("id_a"), "cluster",
+                      F.col("rank").alias("rank_a"))
+        .join(ranked.select(F.col("vec_id").alias("id_b"), "cluster",
+                            F.col("rank").alias("rank_b")), "cluster")
+        .where(F.col("rank_b") < F.col("rank_a"))
+        .select("id_a", "id_b", "rank_b")
+    )
+    va = base.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
+    vb = base.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
+    pair_cos = cosine_pair_udf(dim=len(centroids[0]))
+    dups = (
+        pairs.join(va, "id_a")
+        .join(vb, "id_b")
+        .where(F.round(pair_cos(F.col("va"), F.col("vb")), round_dp)
+               >= threshold)
+        .groupBy("id_a")
+        .agg(F.min(F.struct(F.col("rank_b"), F.col("id_b"))).alias("_w"))
+        .select(F.col("id_a").alias("vec_id"), F.col("_w.id_b").alias("dup_of"))
+    )
+    return (
+        ranked.join(dups, "vec_id", "left")
+        .select(
+            "vec_id", "cluster", "cent_sim", "rank",
+            F.col("dup_of").isNull().alias("kept"), "dup_of",
+        )
+    )
+
+
 def neardup_dropped_buckets(
     df: DataFrame,
     id_col: str = "vec_id",

@@ -141,3 +141,98 @@ def test_auto_nbits_scale_schedule():
     assert _auto_nbits(10 ** 9, 4) == 64      # clamped at 16-bit blocks
     assert _auto_nbits(10 ** 12, 4) == 64     # clamp holds at any scale
     assert all(_auto_nbits(n, 4) % 4 == 0 for n in (1, 10, 10**6, 10**12))
+
+
+@pytest.fixture(scope="module")
+def semdedup_vectors(spark):
+    """Hand-checkable SemDeDup fixture under one-hot centroids: cluster 0
+    holds a near-identical pair (0, 1) plus a non-duplicate (2); cluster 1
+    holds a singleton (3)."""
+    rows = [
+        (0, [10.0, 1.0] + [0.0] * (DIM - 2)),
+        (1, [10.0, 1.3] + [0.0] * (DIM - 2)),   # cos(0,1) ~ 0.9996
+        (2, [10.0, -9.0] + [0.0] * (DIM - 2)),  # cos to 0/1 ~ 0.67
+        (3, [0.0, 5.0] + [0.0] * (DIM - 2)),
+    ]
+    schema = T.StructType([
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.FloatType())),
+    ])
+    return spark.createDataFrame(rows, schema)
+
+
+def _semdedup(df, **kw):
+    from llm_food_spark.operators.similarity import semantic_dedup
+
+    cents = np.eye(DIM)[:4]
+    return semantic_dedup(df, threshold=0.95, centroids=cents, **kw)
+
+
+def test_semantic_dedup_keeps_farthest_of_planted_pair(semdedup_vectors):
+    rows = {r["vec_id"]: r for r in _semdedup(semdedup_vectors).collect()}
+    assert len(rows) == 4
+    assert {r["cluster"] for r in rows.values()} == {0, 1}
+    assert rows[3]["kept"] and rows[3]["cluster"] == 1
+    assert rows[2]["kept"]  # below threshold vs both twins
+    # keep="far": id 0 has the LOWER centroid cosine (1.0 vs 1.3 off-axis
+    # mass... cent_sim(0)=10/|v0| < cent_sim(1)? compute: |v0|=10.0499,
+    # |v1|=10.0842 -> 0.99504 vs 0.99165: id 1 is farther) -> id 1 kept
+    assert rows[1]["kept"] and rows[1]["dup_of"] is None
+    assert not rows[0]["kept"] and rows[0]["dup_of"] == 1
+
+
+def test_semantic_dedup_keep_near_flips_winner(semdedup_vectors):
+    rows = {r["vec_id"]: r
+            for r in _semdedup(semdedup_vectors, keep="near").collect()}
+    assert rows[0]["kept"]
+    assert not rows[1]["kept"] and rows[1]["dup_of"] == 0
+
+
+def test_semantic_dedup_oversized_cluster_errors_by_default(semdedup_vectors):
+    with pytest.raises(Exception, match="max_cluster"):
+        _semdedup(semdedup_vectors, max_cluster=2).collect()
+
+
+def test_semantic_dedup_oversized_drop_is_explicit(semdedup_vectors):
+    rows = _semdedup(semdedup_vectors, max_cluster=2,
+                     on_oversized="drop").collect()
+    assert {r["vec_id"] for r in rows} == {3}  # cluster 0 (3 rows) dropped
+
+
+def test_semantic_dedup_partition_invariant(semdedup_vectors):
+    a = sorted(map(tuple, _semdedup(semdedup_vectors).collect()))
+    b = sorted(map(tuple, _semdedup(semdedup_vectors.repartition(7)).collect()))
+    assert a == b
+
+
+def test_semantic_dedup_trained_centroids_partition_input(vectors):
+    from llm_food_spark.operators.similarity import semantic_dedup
+
+    df, _ = vectors
+    out = semantic_dedup(df, threshold=0.95, n_clusters=8, iters=2).collect()
+    assert len(out) == df.count()
+    dropped = {r["vec_id"]: r["dup_of"] for r in out if not r["kept"]}
+    kept = {r["vec_id"] for r in out if r["kept"]}
+    # every planted twin pair (i, 100+i) loses exactly one member when
+    # co-clustered; dup_of always names an earlier-ranked cluster-mate
+    for v, d in dropped.items():
+        assert d in kept or d in dropped  # a real id, earlier in rank
+    for i in range(5):
+        assert (i in kept) or (100 + i in kept)
+
+
+def test_semantic_dedup_storage_bounded(semdedup_vectors, spark):
+    """Repeat calls pin at most one ranked frame (release-on-next-call,
+    the minhash_lsh_pairs lifecycle); explicit release returns to base."""
+    from llm_food_spark.operators.similarity import release_persisted
+
+    sc = spark.sparkContext
+    release_persisted()  # drop frames pinned by earlier tests in this module
+    base = sc._jsc.getPersistentRDDs().size()
+    _semdedup(semdedup_vectors).count()
+    n1 = sc._jsc.getPersistentRDDs().size()
+    assert n1 >= base + 1
+    _semdedup(semdedup_vectors).count()
+    assert sc._jsc.getPersistentRDDs().size() <= n1
+    release_persisted()
+    assert sc._jsc.getPersistentRDDs().size() <= base
