@@ -1338,6 +1338,23 @@ def q_ann_ivf_seeded(spark, sf_dir):
     )
 
 
+def q_dsir_select(spark, sf_dir):
+    """DSIR data selection (Xie et al. 2023) under a full DuckDB model
+    retrain: target = documents with doc_id % 7 == 0, raw = all documents;
+    hashed unigram+bigram features (portable polynomial, 4096 buckets),
+    Laplace-smoothed target/raw bag-of-words models, per-doc log
+    importance weights, seeded-MINSTD Gumbel-top-k selection. The oracle
+    recomputes EVERYTHING — tokenization, the character-level polynomial
+    bucket hash, both models, every weight, the Gumbel noise, and the
+    final ranking — from the documents table."""
+    from llm_food_spark.operators.dsir import dsir_select
+
+    d = _t(spark, sf_dir, "documents")
+    target = d.where(F.col("doc_id") % 7 == 0)
+    return dsir_select(d, target, k=200, n_buckets=4096, gumbel=True,
+                       seed=17)
+
+
 def q_semantic_dedup_seeded(spark, sf_dir):
     """SemDeDup (Abbas et al. 2023) under a hard DuckDB oracle: k-means
     cluster + within-cluster cosine screen, keep-farthest-from-centroid.
@@ -2243,6 +2260,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_seeded": q_pagerank_seeded,
         "crawl_priority": q_crawl_priority,      # subsumes snapshot_diff
         # models / corpus prep
+        "dsir_select": q_dsir_select,            # DSIR importance resampling
         "ppl_buckets": q_ppl_buckets,            # subsumes lm_perplexity
         "quality_classifier": q_quality_classifier,
         "bpe_learn": q_bpe_learn,
@@ -2256,10 +2274,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # multimodal (analytic hex-byte twins)
         "image_resize": q_image_resize,
         "media_meta": q_media_meta,
-        "media_frames": q_media_frames,
         # ---- slot 51+ : repo-gated only (tools/check_oracles.py) --------
         # hard SQL twins added after the round-4 slot allocation
-        "audio_chunk": q_audio_chunk,            # demoted for semantic_dedup_seeded; media family keeps image_resize/media_meta/media_frames slots, PCM window arithmetic stays repo-gated
+        "media_frames": q_media_frames,          # demoted for dsir_select; media family keeps image_resize/media_meta slots, Y4M pts arithmetic stays repo-gated
+        "audio_chunk": q_audio_chunk,            # demoted for semantic_dedup_seeded; media family keeps image_resize/media_meta slots, PCM window arithmetic stays repo-gated
         "sitemap_parse": q_sitemap_parse,
         "extract_metadata": q_extract_metadata,
         "robots_sitemaps": q_robots_sitemaps,
@@ -2925,6 +2943,72 @@ _ANN_IVF_SEEDED_SQL = """
       FROM scored
     ) WHERE rank <= 3
 """
+
+# DSIR (Xie et al. 2023) full retrain: the oracle re-derives the hashed
+# n-gram features character-by-character (the portable polynomial
+# (h*31 + ord) mod 2^61-1, HUGEINT intermediates — the fingerprint_seeded
+# machinery over real token strings), retrains BOTH Laplace-smoothed
+# bag-of-words models (target = doc_id % 7 == 0, raw = all), recomputes
+# every document's log importance weight, the two-step seeded-MINSTD
+# Gumbel noise, and the rounded-score ranking. Any divergence in the
+# tokenizer, the hash, the smoothing, or the noise arithmetic breaks the
+# hash match.
+_DSIR_SELECT_SQL = r"""
+    WITH grams AS (
+      SELECT doc_id,
+             list_concat(
+               ws,
+               list_transform(range(1, len(ws)),
+                              i -> ws[i] || ' ' || ws[i + 1])) AS ngs
+      FROM (SELECT doc_id, {words} AS ws FROM documents)
+    ), feats AS (
+      SELECT doc_id,
+             CAST(list_reduce(
+                    list_prepend(
+                      CAST(0 AS HUGEINT),
+                      list_transform(split(ng, ''),
+                                     c -> CAST(ord(c) AS HUGEINT))),
+                    (a, b) -> (a * 31 + b) % 2305843009213693951)
+                  % 4096 AS BIGINT) AS bucket
+      FROM grams, unnest(ngs) AS t(ng)
+    ), counts AS (
+      SELECT doc_id, bucket, COUNT(*) AS c FROM feats GROUP BY 1, 2
+    ), tcounts AS (
+      SELECT bucket, SUM(c) AS nt FROM counts WHERE doc_id % 7 = 0
+      GROUP BY 1
+    ), rcounts AS (
+      SELECT bucket, SUM(c) AS nr FROM counts GROUP BY 1
+    ), tot AS (
+      SELECT (SELECT COALESCE(SUM(nt), 0) FROM tcounts) AS tt,
+             (SELECT COALESCE(SUM(nr), 0) FROM rcounts) AS rt
+    ), wts AS (
+      SELECT r.bucket,
+             ln((COALESCE(t.nt, 0) + 1.0) / (tot.tt + 4096.0))
+           - ln((r.nr + 1.0) / (tot.rt + 4096.0)) AS w
+      FROM rcounts r LEFT JOIN tcounts t USING (bucket), tot
+    ), lw AS (
+      SELECT c.doc_id, ROUND(SUM(c.c * w.w), 4) AS log_weight
+      FROM counts c JOIN wts w USING (bucket) GROUP BY c.doc_id
+    ), noise AS (
+      SELECT doc_id,
+             ((x2 % 2147483646) + 1) / 2147483647.0 AS u
+      FROM (SELECT doc_id, (x1 * 48271) % 2147483647 AS x2
+            FROM (SELECT doc_id,
+                         ((doc_id + 17) * 48271) % 2147483647 AS x1
+                  FROM documents))
+    ), scored AS (
+      SELECT d.doc_id,
+             COALESCE(l.log_weight, 0.0) AS log_weight,
+             ROUND(COALESCE(l.log_weight, 0.0) + -ln(-ln(n.u)), 4) AS score
+      FROM documents d
+      LEFT JOIN lw l USING (doc_id)
+      JOIN noise n USING (doc_id)
+    )
+    SELECT doc_id, log_weight, score, rank, rank <= 200 AS selected
+    FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC)
+                    AS rank
+          FROM scored)
+""".format(words=_WORDS)
 
 # SemDeDup under one-hot centroids: assignment = argmax over the first 16
 # embedding components (ties to the lowest index — np.argmax semantics),
@@ -4180,6 +4264,7 @@ def _handwritten_oracles() -> dict[str, str]:
         # (see q_ann_ivf_seeded)
         "ann_ivf_seeded": _ANN_IVF_SEEDED_SQL,
         "semantic_dedup_seeded": _SEMANTIC_DEDUP_SEEDED_SQL,
+        "dsir_select": _DSIR_SELECT_SQL,
         # extraction-pipeline invariants pinned to constants
         # (see q_extract_invariants)
         "extract_invariants": _EXTRACT_INVARIANTS_SQL,

@@ -1,0 +1,56 @@
+"""DSIR hashed n-gram features — pure Python core (no Spark imports).
+
+Data Selection via Importance Resampling (Xie et al. 2023,
+arXiv:2302.03169): documents are represented as counts of word unigrams
+and bigrams hashed into a fixed number of buckets; two bag-of-words
+models (target vs raw) over those buckets give each document a log
+importance weight sum(c_b * (ln p_b - ln q_b)).
+
+The bucket hash is a PORTABLE polynomial — fold (h*31 + byte) mod 2^61-1
+over the n-gram's characters, then mod n_buckets — chosen (like the
+winnowing fingerprint's polynomial) so a SQL engine can recompute it
+exactly: tokens are [a-z0-9]+ so every character is single-byte ASCII
+and DuckDB's ord() sees the same code points.
+
+No reference analogue (llm-food has no data-selection surface); this is
+a training-data pipeline operator from the task brief.
+"""
+
+from __future__ import annotations
+
+import re
+from collections import Counter
+from typing import Dict, List
+
+_WORD_SPLIT = re.compile(r"[^a-z0-9]+")
+
+MOD = (1 << 61) - 1
+BASE = 31
+
+
+def tokenize_words(text: str) -> List[str]:
+    """Lowercased [a-z0-9]+ words — identical to the oracle's _WORDS
+    splitter (regexp_split lower '[^a-z0-9]+', empties dropped)."""
+    return [w for w in _WORD_SPLIT.split(text.lower()) if w]
+
+
+def ngram_strings(words: List[str]) -> List[str]:
+    """Unigrams then space-joined bigrams, in document order."""
+    return words + [
+        words[i] + " " + words[i + 1] for i in range(len(words) - 1)
+    ]
+
+
+def bucket_of(ngram: str, n_buckets: int) -> int:
+    h = 0
+    for ch in ngram:
+        h = (h * BASE + ord(ch)) % MOD
+    return h % n_buckets
+
+
+def doc_bucket_counts(text: str, n_buckets: int) -> Dict[int, int]:
+    """bucket -> count of hashed unigram+bigram features for one document."""
+    counts: Counter = Counter()
+    for ng in ngram_strings(tokenize_words(text or "")):
+        counts[bucket_of(ng, n_buckets)] += 1
+    return dict(counts)

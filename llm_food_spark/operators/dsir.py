@@ -1,0 +1,209 @@
+"""DSIR data selection (Xie et al. 2023, arXiv:2302.03169) on Spark.
+
+Importance resampling for pretraining-data selection: fit hashed-n-gram
+bag-of-words models over a TARGET corpus (the distribution you want) and
+the RAW corpus (what you have); each raw document's log importance
+weight is sum over its feature buckets of c_b * (ln p_b - ln q_b); select
+the top-k after (optionally) adding Gumbel noise — the Gumbel-top-k
+trick IS sampling-without-replacement proportional to the importance
+weights, which is the paper's resampling step. The noise here is seeded
+MINSTD arithmetic on doc_id (no RNG state), so selection is
+deterministic, partition-invariant, and SQL-rederivable.
+
+Scale shape (mirrors quality_classifier / lm_perplexity):
+- feature extraction: ONE mapInPandas pass per corpus emitting narrow
+  (doc_id, bucket, c) rows — the only Python in the plan (the portable
+  polynomial hash; see functions/dsir.py);
+- training: one map-side-combined groupBy per corpus over bucket ids; the
+  two corpus totals are a single-row collect each (two longs — the
+  documented tiny-state exception);
+- the weight table is at most ``n_buckets`` rows (paper uses 10k) —
+  broadcast to the scoring join, so scoring is one narrow explode + one
+  broadcast join + one doc-keyed sum, no corpus shuffle beyond the
+  per-doc aggregation;
+- ranking: global order via the same rounded-score window discipline as
+  bm25/cap_per_group (round first, then rank, ties by doc_id — rank
+  order is engine-exact). At 10^12 docs replace the single ORDER BY
+  window with repartitionByRange on the rounded score (the
+  crawl_priority sorted-shard form) — semantics identical.
+
+No reference analogue; training-data operator from the task brief.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Iterator, Optional
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window, functions as F
+
+from ..functions.dsir import doc_bucket_counts
+from .util import ensure_min_partitions
+
+MINSTD_A = 48271
+MINSTD_M = 2147483647  # 2^31 - 1
+
+# Raw-corpus feature frames persisted by dsir_select, released on the NEXT
+# call or explicitly — the minhash_lsh_pairs lifecycle: the (doc_id,
+# bucket, c) frame feeds the q-model totals AND the scoring join, and the
+# totals collect is an action, so without a persist the Python feature
+# extraction (the dominant cost) runs three times over the corpus.
+_PERSISTED_COUNTS: list = []
+
+
+def release_persisted() -> int:
+    """Unpersist feature frames pinned by earlier dsir_select calls.
+    Safe any time AFTER the previous call's result has been consumed."""
+    n = 0
+    while _PERSISTED_COUNTS:
+        frame = _PERSISTED_COUNTS.pop()
+        try:
+            frame.unpersist()
+            n += 1
+        except Exception:
+            pass  # session already stopped — nothing to release
+    return n
+
+
+def bucket_counts(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 10_000,
+) -> DataFrame:
+    """(doc_id, bucket, c) hashed unigram+bigram counts, one Arrow pass.
+
+    Documents with no tokens emit no rows (they rejoin with weight 0.0 in
+    ``dsir_select``)."""
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, buckets, counts = [], [], []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                for b, c in doc_bucket_counts(text, n_buckets).items():
+                    ids.append(did)
+                    buckets.append(b)
+                    counts.append(c)
+            yield pd.DataFrame({
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "bucket": pd.Series(buckets, dtype="int32"),
+                "c": pd.Series(counts, dtype="int64"),
+            })
+
+    base = ensure_min_partitions(df).select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+    )
+    return base.mapInPandas(gen, "doc_id long, bucket int, c long")
+
+
+def _bucket_totals(counts: DataFrame) -> DataFrame:
+    return counts.groupBy("bucket").agg(F.sum("c").alias("n"))
+
+
+def dsir_weights(
+    target: DataFrame,
+    raw: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 10_000,
+    alpha: float = 1.0,
+    raw_counts: Optional[DataFrame] = None,
+) -> DataFrame:
+    """(bucket, w) with w = ln p_b - ln q_b under Laplace smoothing:
+    p_b = (target_b + alpha) / (T_target + alpha * n_buckets) and q_b
+    likewise over the raw corpus. Buckets unseen in either corpus get the
+    corresponding smoothed floor, so the full-outer join below covers
+    every bucket a scored document can produce (raw docs' buckets are by
+    construction keys of the q model). ``raw_counts`` lets callers share
+    an already-extracted (doc_id, bucket, c) frame for the raw corpus."""
+    tc = _bucket_totals(
+        bucket_counts(target, id_col, text_col, n_buckets)
+    ).withColumnRenamed("n", "nt")
+    if raw_counts is None:
+        raw_counts = bucket_counts(raw, id_col, text_col, n_buckets)
+    rc = _bucket_totals(raw_counts).withColumnRenamed("n", "nr")
+    t_total = int(tc.agg(F.sum("nt")).collect()[0][0] or 0)
+    r_total = int(rc.agg(F.sum("nr")).collect()[0][0] or 0)
+    t_denom = float(t_total + alpha * n_buckets)
+    r_denom = float(r_total + alpha * n_buckets)
+    joined = tc.join(rc, "bucket", "full_outer").select(
+        "bucket",
+        (F.coalesce(F.col("nt"), F.lit(0)) + F.lit(alpha)).alias("ct"),
+        (F.coalesce(F.col("nr"), F.lit(0)) + F.lit(alpha)).alias("cr"),
+    )
+    return joined.select(
+        "bucket",
+        (F.log(F.col("ct") / F.lit(t_denom))
+         - F.log(F.col("cr") / F.lit(r_denom))).alias("w"),
+    )
+
+
+def gumbel_noise_col(id_col: str = "doc_id", seed: int = 17):
+    """Seeded deterministic Gumbel(0,1) noise: two MINSTD steps from
+    (doc_id + seed), mapped into (0,1) exclusive, g = -ln(-ln(u)). Pure
+    Catalyst integer + libm arithmetic — both engines compute the
+    identical double. TWO multiplicative steps so a +-1 seed change moves
+    the state by ~A^2 (one step moves it by only A ~ 2^-16 of the modulus,
+    invisible after 4-dp rounding); pmod keeps negative ids in range.
+    SQL twin: ((x % m) + m) % m for each pmod."""
+    x1 = F.pmod((F.col(id_col) + F.lit(seed)) * F.lit(MINSTD_A),
+                F.lit(MINSTD_M))
+    x2 = F.pmod(x1 * F.lit(MINSTD_A), F.lit(MINSTD_M))
+    u = (F.pmod(x2, F.lit(MINSTD_M - 1)) + F.lit(1)).cast("double") / F.lit(
+        float(MINSTD_M)
+    )
+    return -F.log(-F.log(u))
+
+
+def dsir_select(
+    raw: DataFrame,
+    target: DataFrame,
+    k: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 10_000,
+    alpha: float = 1.0,
+    gumbel: bool = True,
+    seed: int = 17,
+    round_dp: int = 4,
+    weights: Optional[DataFrame] = None,
+) -> DataFrame:
+    """Full DSIR selection: fit target/raw models, score every raw doc,
+    Gumbel-perturb (optional), keep the top ``k``.
+
+    -> (doc_id, log_weight, score, rank, selected): log_weight is the
+    rounded importance weight, score adds the seeded Gumbel noise when
+    ``gumbel`` (else equals log_weight), rank orders score desc with
+    doc_id tie-break, selected = rank <= k. Token-less documents carry
+    log_weight 0.0 (no evidence either way)."""
+    release_persisted()
+    raw_counts = bucket_counts(raw, id_col, text_col, n_buckets).persist()
+    _PERSISTED_COUNTS.append(raw_counts)
+    if weights is None:
+        weights = dsir_weights(target, raw, id_col, text_col,
+                               n_buckets, alpha, raw_counts=raw_counts)
+    scored = (
+        raw_counts
+        .join(F.broadcast(weights), "bucket")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("c") * F.col("w")).alias("_lw"))
+    )
+    ids = raw.select(F.col(id_col).alias("doc_id"))
+    out = ids.join(scored, "doc_id", "left").select(
+        "doc_id",
+        F.round(F.coalesce(F.col("_lw"), F.lit(0.0)), round_dp)
+        .alias("log_weight"),
+    )
+    if gumbel:
+        out = out.withColumn(
+            "score",
+            F.round(F.col("log_weight") + gumbel_noise_col("doc_id", seed),
+                    round_dp),
+        )
+    else:
+        out = out.withColumn("score", F.col("log_weight"))
+    w = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    return out.withColumn("rank", F.row_number().over(w)).withColumn(
+        "selected", F.col("rank") <= k
+    )

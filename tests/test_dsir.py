@@ -1,0 +1,151 @@
+"""DSIR importance-resampling tests: math-mirror parity, selection
+semantics, deterministic Gumbel, partition invariance."""
+
+import math
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+from llm_food_spark.functions.dsir import (
+    bucket_of,
+    doc_bucket_counts,
+    ngram_strings,
+    tokenize_words,
+)
+from llm_food_spark.operators.dsir import (
+    MINSTD_A,
+    MINSTD_M,
+    dsir_select,
+    dsir_weights,
+)
+
+# equal-length raw docs so the weight comparison isolates CONTENT (DSIR
+# weights are sums over tokens, so length itself shifts them — by design)
+RAW = [
+    (1, "alpha beta gamma alpha beta"),
+    (2, "alpha beta gamma beta alpha"),
+    (3, "zzz qqq vvv kkk www"),
+    (4, "random junk words here now"),
+    (5, "noise tokens fill doc five"),
+    (6, ""),          # token-less: weight 0.0, never an error
+    (7, "???!!!"),    # tokenizes to nothing
+]
+# target rich enough that its n-grams get genuinely higher p than q
+TARGET = [(100 + i, "alpha beta gamma alpha beta") for i in range(8)]
+B = 512
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _expected_log_weights(alpha=1.0):
+    tgt, raw = Counter(), Counter()
+    for _, t in TARGET:
+        tgt.update(doc_bucket_counts(t, B))
+    for _, t in RAW:
+        raw.update(doc_bucket_counts(t, B))
+    td = sum(tgt.values()) + alpha * B
+    rd = sum(raw.values()) + alpha * B
+    out = {}
+    for did, t in RAW:
+        lw = 0.0
+        for b, c in doc_bucket_counts(t, B).items():
+            lw += c * (math.log((tgt[b] + alpha) / td)
+                       - math.log((raw[b] + alpha) / rd))
+        out[did] = lw
+    return out
+
+
+def test_tokenizer_and_ngrams():
+    assert tokenize_words("Alpha, beta-GAMMA!7x") == ["alpha", "beta",
+                                                      "gamma", "7x"]
+    assert ngram_strings(["a", "b", "c"]) == ["a", "b", "c", "a b", "b c"]
+    assert ngram_strings([]) == []
+    # portable polynomial: fold (h*31 + ord) mod 2^61-1, then mod B
+    h = 0
+    for ch in "a b":
+        h = (h * 31 + ord(ch)) % ((1 << 61) - 1)
+    assert bucket_of("a b", B) == h % B
+
+
+def test_log_weights_match_math_mirror(spark):
+    got = {
+        r["doc_id"]: r["log_weight"]
+        for r in dsir_select(_df(spark, RAW), _df(spark, TARGET), k=3,
+                             n_buckets=B, gumbel=False).collect()
+    }
+    exp = _expected_log_weights()
+    assert set(got) == {d for d, _ in RAW}
+    for did, lw in exp.items():
+        assert got[did] == pytest.approx(lw, abs=2e-4)
+    assert got[6] == 0.0 and got[7] == 0.0
+
+
+def test_selection_favors_target_like_docs(spark):
+    out = dsir_select(_df(spark, RAW), _df(spark, TARGET), k=2,
+                      n_buckets=B, gumbel=False).collect()
+    selected = {r["doc_id"] for r in out if r["selected"]}
+    assert selected == {1, 2}  # the alpha-beta docs beat junk and empty
+    ranks = {r["doc_id"]: r["rank"] for r in out}
+    assert sorted(ranks.values()) == list(range(1, len(RAW) + 1))
+    # token-less docs (weight 0) sit between target-like (+) and junk (-)
+    assert {ranks[6], ranks[7]} == {3, 4}
+    assert ranks[6] < ranks[7]  # 0.0 tie broken by doc_id
+
+
+def test_gumbel_is_seeded_minstd_arithmetic(spark):
+    a = dsir_select(_df(spark, RAW), _df(spark, TARGET), k=3,
+                    n_buckets=B, seed=17).collect()
+    b = dsir_select(_df(spark, RAW), _df(spark, TARGET), k=3,
+                    n_buckets=B, seed=17).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    by_id = {r["doc_id"]: r for r in a}
+    for did, lw in _expected_log_weights().items():
+        x1 = ((did + 17) * MINSTD_A) % MINSTD_M
+        x2 = (x1 * MINSTD_A) % MINSTD_M
+        u = (x2 % (MINSTD_M - 1) + 1) / float(MINSTD_M)
+        g = -math.log(-math.log(u))
+        assert by_id[did]["score"] == pytest.approx(round(lw, 4) + g,
+                                                    abs=2e-4)
+    c = dsir_select(_df(spark, RAW), _df(spark, TARGET), k=3,
+                    n_buckets=B, seed=18).collect()
+    assert sorted(map(tuple, a)) != sorted(map(tuple, c))
+
+
+def test_partition_invariant(spark):
+    a = sorted(map(tuple, dsir_select(_df(spark, RAW), _df(spark, TARGET),
+                                      k=2, n_buckets=B).collect()))
+    b = sorted(map(tuple, dsir_select(
+        _df(spark, RAW).repartition(5), _df(spark, TARGET).repartition(3),
+        k=2, n_buckets=B).collect()))
+    assert a == b
+
+
+def test_weights_cover_both_corpora_buckets(spark):
+    w = dsir_weights(_df(spark, TARGET), _df(spark, RAW), n_buckets=B)
+    rows = w.collect()
+    buckets = {r["bucket"] for r in rows}
+    for _, t in RAW + TARGET:
+        assert set(doc_bucket_counts(t, B)) <= buckets
+    assert all(r["w"] is not None for r in rows)
+
+
+def test_dsir_storage_bounded(spark):
+    """Repeat calls pin at most one feature frame (release-on-next-call);
+    explicit release returns to base."""
+    from llm_food_spark.operators.dsir import release_persisted
+
+    sc = spark.sparkContext
+    release_persisted()
+    base = sc._jsc.getPersistentRDDs().size()
+    dsir_select(_df(spark, RAW), _df(spark, TARGET), k=2,
+                n_buckets=B).count()
+    n1 = sc._jsc.getPersistentRDDs().size()
+    assert n1 >= base + 1
+    dsir_select(_df(spark, RAW), _df(spark, TARGET), k=2,
+                n_buckets=B).count()
+    assert sc._jsc.getPersistentRDDs().size() <= n1
+    release_persisted()
+    assert sc._jsc.getPersistentRDDs().size() <= base
