@@ -1338,6 +1338,28 @@ def q_ann_ivf_seeded(spark, sf_dir):
     )
 
 
+def q_pq_ann_seeded(spark, sf_dir):
+    """The IVF-PQ PLAN (coarse posting-list pruning + per-subspace PQ
+    encoding + ADC inner-product scoring + top-k) under a hard DuckDB
+    oracle: one-hot coarse centroids make assignment/probing argmax over
+    the first 16 components (the ann_ivf_seeded pattern), and one-hot PQ
+    codewords make each 8-wide subspace's code an argmax with the
+    lowest-index tie rule (np.argmin over L2 distances) and the ADC score
+    the exact sum of the query's coded components. The k-means trainers
+    (coarse + per-subspace Lloyd) stay gated by pytest; this isolates the
+    query-time plan value-for-value."""
+    import numpy as np
+
+    from llm_food_spark.operators.similarity import DIM, pq_ann_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    books = np.stack([np.eye(8)] * 8)
+    return pq_ann_topk(
+        emb, emb.where(F.col("vec_id") < 5), k=3, n_clusters=16, nprobe=4,
+        m=8, ksub=8, centroids=np.eye(DIM)[:16], codebooks=books,
+    )
+
+
 def q_dsir_select(spark, sf_dir):
     """DSIR data selection (Xie et al. 2023) under a full DuckDB model
     retrain: target = documents with doc_id % 7 == 0, raw = all documents;
@@ -2250,6 +2272,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup_seeded": q_embedding_neardup_seeded,
         "ann_lsh_seeded": q_ann_lsh_seeded,
         "ann_ivf_seeded": q_ann_ivf_seeded,
+        "pq_ann_seeded": q_pq_ann_seeded,
         "semantic_dedup_seeded": q_semantic_dedup_seeded,
         "cosine_topk": q_cosine_topk,
         # web / crawl
@@ -2266,7 +2289,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_learn": q_bpe_learn,
         "bpe_encode": q_bpe_encode,
         "bm25_search": q_bm25_search,
-        "corpus_mixture": q_corpus_mixture,
         "cap_per_group": q_cap_per_group,
         "split_assign": q_split_assign,
         "pack_sequences": q_pack_sequences,
@@ -2277,6 +2299,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- slot 51+ : repo-gated only (tools/check_oracles.py) --------
         # hard SQL twins added after the round-4 slot allocation
         "media_frames": q_media_frames,          # demoted for dsir_select; media family keeps image_resize/media_meta slots, Y4M pts arithmetic stays repo-gated
+        "corpus_mixture": q_corpus_mixture,      # demoted for pq_ann_seeded: same partial+final hash-agg shape host_stats holds a slot for; mixture share arithmetic stays repo-gated
         "audio_chunk": q_audio_chunk,            # demoted for semantic_dedup_seeded; media family keeps image_resize/media_meta slots, PCM window arithmetic stays repo-gated
         "sitemap_parse": q_sitemap_parse,
         "extract_metadata": q_extract_metadata,
@@ -2936,6 +2959,55 @@ _ANN_IVF_SEEDED_SQL = """
       FROM cand
       JOIN embeddings q ON q.vec_id = cand.q_id
       JOIN embeddings c ON c.vec_id = cand.c_id
+    )
+    SELECT query_id, rank, vec_id, score FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, vec_id ASC) AS rank
+      FROM scored
+    ) WHERE rank <= 3
+"""
+
+# IVF-PQ under one-hot coarse centroids AND one-hot PQ codewords: coarse
+# assignment/probing = argmax over the first 16 components (ann_ivf_seeded
+# pattern); each 8-wide subspace's PQ code = argmax within the slice with
+# the lowest-index tie rule (argmin L2 to a one-hot codeword is argmax of
+# the matching component); the ADC inner-product score = the sum of the
+# query's coded components.
+_PQ_ANN_SEEDED_SQL = """
+    WITH ranked AS (
+      SELECT e.vec_id, g.j AS cluster,
+             ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                ORDER BY e.embedding[g.j + 1] DESC,
+                                         g.j ASC) AS rn
+      FROM embeddings e, (SELECT unnest(range(0, 16)) AS j) g
+    ), assign AS (
+      SELECT vec_id, cluster FROM ranked WHERE rn = 1
+    ), probes AS (
+      SELECT vec_id AS q_id, cluster FROM ranked
+      WHERE rn <= 4 AND vec_id < 5
+    ), codes AS (
+      SELECT vec_id, s, j AS code FROM (
+        SELECT e.vec_id, g.s, g.j,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id, g.s
+                                  ORDER BY e.embedding[g.s * 8 + g.j + 1]
+                                             DESC,
+                                           g.j ASC) AS rn
+        FROM embeddings e,
+             (SELECT a.s, b.j
+              FROM (SELECT unnest(range(0, 8)) AS s) a,
+                   (SELECT unnest(range(0, 8)) AS j) b) g
+      ) WHERE rn = 1
+    ), cand AS (
+      SELECT DISTINCT p.q_id, a.vec_id AS c_id
+      FROM probes p JOIN assign a USING (cluster)
+      WHERE a.vec_id <> p.q_id
+    ), scored AS (
+      SELECT cand.q_id AS query_id, cand.c_id AS vec_id,
+             ROUND(SUM(q.embedding[c.s * 8 + c.code + 1]), 4) AS score
+      FROM cand
+      JOIN codes c ON c.vec_id = cand.c_id
+      JOIN embeddings q ON q.vec_id = cand.q_id
+      GROUP BY 1, 2
     )
     SELECT query_id, rank, vec_id, score FROM (
       SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
@@ -4265,6 +4337,7 @@ def _handwritten_oracles() -> dict[str, str]:
         "ann_ivf_seeded": _ANN_IVF_SEEDED_SQL,
         "semantic_dedup_seeded": _SEMANTIC_DEDUP_SEEDED_SQL,
         "dsir_select": _DSIR_SELECT_SQL,
+        "pq_ann_seeded": _PQ_ANN_SEEDED_SQL,
         # extraction-pipeline invariants pinned to constants
         # (see q_extract_invariants)
         "extract_invariants": _EXTRACT_INVARIANTS_SQL,

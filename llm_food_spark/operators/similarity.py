@@ -638,6 +638,237 @@ def semantic_dedup(
     )
 
 
+def _lloyd_l2(base: DataFrame, k: int, iters: int, dim: int) -> np.ndarray:
+    """Deterministic L2 Lloyd over one PQ subspace: init = the k rows with
+    smallest xxhash64(id) (no RNG state), assignment = one vectorized
+    argmin pass per Arrow batch, update = posexplode + decimal-sum groupBy
+    (bit-identical regardless of partial-agg order — the
+    ivf_train_centroids discipline). ``base`` is (id, v) where v is the
+    dim-wide SUB-vector slice."""
+    seed_rows = (
+        base.orderBy(F.xxhash64(F.col("id"))).limit(k).select("v").collect()
+    )
+    cents = np.array([r["v"] for r in seed_rows], dtype=np.float64)
+    for _ in range(iters):
+        assign = pq_sub_assign_udf(cents, dim=dim)
+        sums = (
+            base.select(assign(F.col("v")).alias("cluster"),
+                        F.posexplode(F.col("v")).alias("pos", "x"))
+            .groupBy("cluster", "pos")
+            .agg(F.sum(F.col("x").cast("decimal(28,10)")).alias("s"),
+                 F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        new = cents.copy()
+        acc = np.zeros((k, dim))
+        cnt = np.zeros(k)
+        for r in sums:
+            acc[r["cluster"], r["pos"]] += float(r["s"])
+            cnt[r["cluster"]] = r["n"]
+        nonempty = cnt > 0
+        new[nonempty] = acc[nonempty] / cnt[nonempty, None]
+        cents = new  # empty codewords keep their previous position
+    return cents
+
+
+def pq_sub_assign_udf(codewords: np.ndarray, dim: int):
+    """code = argmin L2 distance to codeword (ties to the lowest index —
+    np.argmin semantics): one ||x||^2 - 2xC^T + ||C||^2 matmul per batch."""
+    cw = np.asarray(codewords, dtype=np.float64)
+    cw_sq = (cw * cw).sum(axis=1)
+
+    @F.pandas_udf(T.IntegerType())
+    def assign(vecs: pd.Series) -> pd.Series:
+        mat = _as_matrix(vecs, dim)
+        if mat.size == 0:
+            return pd.Series([], dtype="int32")
+        d = -2.0 * (mat @ cw.T) + cw_sq  # ||x||^2 is constant per row
+        return pd.Series(np.argmin(d, axis=1).astype("int32"))
+
+    return assign
+
+
+def pq_train_codebooks(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    ksub: int = 16,
+    iters: int = 3,
+    dim: int = DIM,
+    sample_fraction: Optional[float] = None,
+) -> np.ndarray:
+    """Product-quantization codebooks (Jégou et al. 2011, PAMI — "Product
+    Quantization for Nearest Neighbor Search"): the vector splits into
+    ``m`` consecutive dsub-wide subspaces, each with its own ``ksub``-word
+    L2 codebook -> (m, ksub, dsub). Deterministic throughout (hash-seeded
+    init + decimal-sum updates). At 100 TB train on a sample — millions of
+    rows suffice for ksub <= 256 — and encode the full table with the
+    single-pass UDF."""
+    if dim % m:
+        raise ValueError("dim %d not divisible by m %d" % (dim, m))
+    dsub = dim // m
+    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("full"))
+    if sample_fraction:
+        base = base.sample(fraction=sample_fraction, seed=7)
+    base = base.cache()
+    try:
+        books = []
+        for s in range(m):
+            sub = base.select(
+                "id", F.slice(F.col("full"), s * dsub + 1, dsub).alias("v")
+            )
+            books.append(_lloyd_l2(sub, ksub, iters, dsub))
+    finally:
+        base.unpersist()
+    return np.stack(books)
+
+
+def pq_encode_udf(codebooks: np.ndarray, dim: int = DIM):
+    """vector -> array<int> of m PQ codes: per subspace, argmin L2 to the
+    subspace codebook (ties to the lowest index). One batched matmul per
+    subspace per Arrow batch; the output carries m ints instead of dim
+    floats — the memory-bounded ANN representation."""
+    cb = np.asarray(codebooks, dtype=np.float64)  # (m, ksub, dsub)
+    m, _ksub, dsub = cb.shape
+    cb_sq = (cb * cb).sum(axis=2)  # (m, ksub)
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def enc(vecs: pd.Series) -> pd.Series:
+        mat = _as_matrix(vecs, m * dsub)
+        if mat.size == 0:
+            return pd.Series([], dtype="object")
+        subs = mat.reshape(len(mat), m, dsub)
+        # (n, m, ksub) distances sans the constant ||x||^2 term
+        d = -2.0 * np.einsum("nmd,mkd->nmk", subs, cb) + cb_sq
+        codes = np.argmin(d, axis=2).astype("int32")
+        return pd.Series([row.tolist() for row in codes])
+
+    return enc
+
+
+def pq_adc_udf(codebooks: np.ndarray, dim: int = DIM):
+    """Asymmetric distance computation (ADC), inner-product form:
+    approx dot(q, x) = sum_s q_sub(s) . codebook[s][code_s]. Per batch:
+    one einsum builds every query's (m, ksub) lookup table, then
+    take_along_axis gathers the coded entries — no per-pair Python."""
+    cb = np.asarray(codebooks, dtype=np.float64)
+    m, _ksub, dsub = cb.shape
+
+    @F.pandas_udf(T.DoubleType())
+    def adc(qvecs: pd.Series, codes: pd.Series) -> pd.Series:
+        qmat = _as_matrix(qvecs, m * dsub)
+        if qmat.size == 0:
+            return pd.Series([], dtype="float64")
+        qsubs = qmat.reshape(len(qmat), m, dsub)
+        lut = np.einsum("nmd,mkd->nmk", qsubs, cb)  # (n, m, ksub)
+        code_mat = np.array([c for c in codes], dtype="int64")  # (n, m)
+        picked = np.take_along_axis(lut, code_mat[:, :, None], axis=2)
+        return pd.Series(picked[:, :, 0].sum(axis=1))
+
+    return adc
+
+
+def pq_assign_encode_udf(
+    centroids: np.ndarray, codebooks: np.ndarray, dim: int = DIM
+):
+    """Coarse IVF assignment + PQ encoding in ONE batch pass returning
+    struct(cluster, codes): the candidate side of pq_ann_topk needs both,
+    and two chained pandas UDFs double the Python-worker evaluations per
+    task (measured 22 s -> single-UDF plan 2-3 s on the seeded oracle)."""
+    cents = _row_normalize(np.asarray(centroids, dtype=np.float64))
+    cb = np.asarray(codebooks, dtype=np.float64)
+    m, _ksub, dsub = cb.shape
+    cb_sq = (cb * cb).sum(axis=2)
+
+    @F.pandas_udf("cluster int, codes array<int>")
+    def both(vecs: pd.Series) -> pd.DataFrame:
+        mat = _as_matrix(vecs, dim)
+        if mat.size == 0:
+            return pd.DataFrame({
+                "cluster": pd.Series([], dtype="int32"),
+                "codes": pd.Series([], dtype="object"),
+            })
+        sims = _row_normalize(mat) @ cents.T
+        subs = mat.reshape(len(mat), m, dsub)
+        d = -2.0 * np.einsum("nmd,mkd->nmk", subs, cb) + cb_sq
+        codes = np.argmin(d, axis=2).astype("int32")
+        return pd.DataFrame({
+            "cluster": np.argmax(sims, axis=1).astype("int32"),
+            "codes": [row.tolist() for row in codes],
+        })
+
+    return both
+
+
+def pq_ann_topk(
+    candidates: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 16,
+    nprobe: int = 4,
+    m: int = 8,
+    ksub: int = 16,
+    iters: int = 3,
+    centroids: Optional[np.ndarray] = None,
+    codebooks: Optional[np.ndarray] = None,
+    round_dp: int = 4,
+) -> DataFrame:
+    """IVF-PQ approximate top-k (faiss IndexIVFPQ semantics, non-residual
+    variant): the IVF coarse quantizer prunes candidates to ``nprobe``
+    posting lists; inside a list, candidates are scored from their m-byte
+    PQ codes via ADC inner product instead of the exact vector — this is
+    the form whose candidate side carries m ints (codes) + 1 int
+    (cluster) per vector through the join, NOT the dim-float embedding:
+    at 10^12 vectors the probed postings stream as a few bytes/row and
+    only the broadcast queries carry full vectors. Classic IVF-PQ encodes
+    the RESIDUAL x - coarse_centroid; this variant encodes raw vectors
+    (documented delta — one UDF pass instead of two, and the seeded
+    oracle stays closed-form); rerank survivors with exact cosine via
+    brute_force_topk over the top-k' ids when recall demands it."""
+    if centroids is None:
+        centroids = ivf_train_centroids(
+            candidates, id_col=id_col, vec_col=vec_col,
+            n_clusters=n_clusters, iters=iters,
+        )
+    if codebooks is None:
+        codebooks = pq_train_codebooks(
+            candidates, id_col=id_col, vec_col=vec_col, m=m, ksub=ksub,
+            iters=iters,
+        )
+    probe = ivf_probe_udf(centroids, nprobe)
+    both = pq_assign_encode_udf(centroids, codebooks)
+    adc = pq_adc_udf(codebooks)
+    c = ensure_min_partitions(candidates).select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cv")
+    ).withColumn("_b", both(F.col("cv"))).select(
+        "vec_id",
+        # coalesce: the non-null-join-key discipline (see ivf_ann_topk)
+        F.coalesce(F.col("_b.cluster"), F.lit(-1)).alias("cluster"),
+        F.col("_b.codes").alias("codes"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
+        F.explode(probe(F.col(vec_col))).alias("cluster"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "cluster")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .withColumn("score",
+                    F.round(adc(F.col("qv"), F.col("codes")), round_dp))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", "score")
+    )
+
+
 def neardup_dropped_buckets(
     df: DataFrame,
     id_col: str = "vec_id",

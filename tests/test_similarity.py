@@ -236,3 +236,68 @@ def test_semantic_dedup_storage_bounded(semdedup_vectors, spark):
     assert sc._jsc.getPersistentRDDs().size() <= n1
     release_persisted()
     assert sc._jsc.getPersistentRDDs().size() <= base
+
+
+def test_pq_codebooks_deterministic(vectors):
+    from llm_food_spark.operators.similarity import pq_train_codebooks
+
+    df, _ = vectors
+    b1 = pq_train_codebooks(df, m=8, ksub=4, iters=2)
+    b2 = pq_train_codebooks(df, m=8, ksub=4, iters=2)
+    assert np.array_equal(b1, b2)
+    assert b1.shape == (8, 4, 8)
+    with pytest.raises(ValueError, match="divisible"):
+        pq_train_codebooks(df, m=7)
+
+
+def test_pq_encode_onehot_is_per_sub_argmax(vectors):
+    from llm_food_spark.operators.similarity import pq_encode_udf
+
+    df, rows = vectors
+    enc = pq_encode_udf(np.stack([np.eye(8)] * 8))
+    got = {
+        r["vec_id"]: r["codes"]
+        for r in df.select(
+            "vec_id", enc(F.col("embedding")).alias("codes")).collect()
+    }
+    for vid, vec in rows:
+        mat = np.asarray(vec, dtype=np.float64).reshape(8, 8)
+        assert got[vid] == [int(np.argmax(s)) for s in mat]
+
+
+def test_pq_adc_exact_for_codebook_vectors(spark):
+    """When a candidate's subvectors ARE codewords, PQ is lossless and the
+    ADC score equals the exact inner product."""
+    from llm_food_spark.operators.similarity import pq_adc_udf
+
+    rng = np.random.RandomState(5)
+    cb = rng.standard_normal((4, 3, 2))  # m=4, ksub=3, dsub=2
+    codes = [[0, 1, 2, 0], [2, 2, 1, 1]]
+    qs = rng.standard_normal((2, 8))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in q], c) for i, (q, c) in
+         enumerate(zip(qs, codes))],
+        "i long, qv array<double>, codes array<int>",
+    )
+    adc = pq_adc_udf(cb)
+    got = {r["i"]: r["s"] for r in
+           df.select("i", adc(F.col("qv"), F.col("codes")).alias("s"))
+           .collect()}
+    for i, (q, cs) in enumerate(zip(qs, codes)):
+        exact = sum(
+            float(q[s * 2:(s + 1) * 2] @ cb[s, c]) for s, c in enumerate(cs)
+        )
+        assert got[i] == pytest.approx(exact, abs=1e-9)
+
+
+def test_pq_ann_recalls_planted_twin(vectors):
+    from llm_food_spark.operators.similarity import pq_ann_topk
+
+    df, _ = vectors
+    got = pq_ann_topk(df, df.where(F.col("vec_id") < 5), k=3,
+                      n_clusters=8, nprobe=8, m=8, ksub=16, iters=2)
+    pairs = {(r["query_id"], r["vec_id"]) for r in got.collect()}
+    hits = sum((i, 100 + i) in pairs for i in range(5))
+    # PQ quantizes twins (noise 0.01) to the same codes; full-probe IVF
+    # guarantees the twin is scored — ADC puts it in the top 3
+    assert hits == 5
