@@ -18,20 +18,22 @@ a training-data pipeline operator from the task brief.
 
 from __future__ import annotations
 
-import re
 from collections import Counter
 from typing import Dict, List
 
-_WORD_SPLIT = re.compile(r"[^a-z0-9]+")
+from .decontam import tokenize
 
 MOD = (1 << 61) - 1
 BASE = 31
 
 
 def tokenize_words(text: str) -> List[str]:
-    """Lowercased [a-z0-9]+ words — identical to the oracle's _WORDS
-    splitter (regexp_split lower '[^a-z0-9]+', empties dropped)."""
-    return [w for w in _WORD_SPLIT.split(text.lower()) if w]
+    """Lowercased [a-z0-9]+ words — THE corpus tokenizer (shared with
+    decontamination, re-exported so DSIR callers have one name), identical
+    to the oracle's _WORDS splitter (regexp_split lower '[^a-z0-9]+',
+    empties dropped). One definition: the parity contract with the DuckDB
+    twins must not be able to drift between operators."""
+    return tokenize(text)
 
 
 def ngram_strings(words: List[str]) -> List[str]:

@@ -116,10 +116,17 @@ def dsir_weights(
     corresponding smoothed floor, so the full-outer join below covers
     every bucket a scored document can produce (raw docs' buckets are by
     construction keys of the q model). ``raw_counts`` lets callers share
-    an already-extracted (doc_id, bucket, c) frame for the raw corpus."""
-    tc = _bucket_totals(
-        bucket_counts(target, id_col, text_col, n_buckets)
-    ).withColumnRenamed("n", "nt")
+    an already-extracted (doc_id, bucket, c) frame for the raw corpus.
+
+    The target feature frame is persisted on the same release-on-next-call
+    registry as dsir_select's raw frame (NOT released here — a caller like
+    dsir_select has its own live frame on the registry): the T-total
+    collect is an action and the weights join a second one, so an
+    unpersisted target side would pay the Python feature extraction
+    twice."""
+    tcounts = bucket_counts(target, id_col, text_col, n_buckets).persist()
+    _PERSISTED_COUNTS.append(tcounts)
+    tc = _bucket_totals(tcounts).withColumnRenamed("n", "nt")
     if raw_counts is None:
         raw_counts = bucket_counts(raw, id_col, text_col, n_buckets)
     rc = _bucket_totals(raw_counts).withColumnRenamed("n", "nr")

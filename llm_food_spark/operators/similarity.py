@@ -660,8 +660,10 @@ def _lloyd_l2(base: DataFrame, k: int, iters: int, dim: int) -> np.ndarray:
             .collect()
         )
         new = cents.copy()
-        acc = np.zeros((k, dim))
-        cnt = np.zeros(k)
+        # size by the ACTUAL codeword count: inputs smaller than k seed
+        # fewer codewords (the ivf_train_centroids len(cents) discipline)
+        acc = np.zeros((len(cents), dim))
+        cnt = np.zeros(len(cents))
         for r in sums:
             acc[r["cluster"], r["pos"]] += float(r["s"])
             cnt[r["cluster"]] = r["n"]
@@ -708,7 +710,9 @@ def pq_train_codebooks(
     if dim % m:
         raise ValueError("dim %d not divisible by m %d" % (dim, m))
     dsub = dim // m
-    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("full"))
+    base = ensure_min_partitions(df).select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("full")
+    )
     if sample_fraction:
         base = base.sample(fraction=sample_fraction, seed=7)
     base = base.cache()

@@ -301,3 +301,16 @@ def test_pq_ann_recalls_planted_twin(vectors):
     # PQ quantizes twins (noise 0.01) to the same codes; full-probe IVF
     # guarantees the twin is scored — ADC puts it in the top 3
     assert hits == 5
+
+
+def test_pq_codebooks_input_smaller_than_ksub(spark):
+    """Fewer rows than ksub seeds fewer codewords instead of crashing
+    (the ivf_train_centroids len(cents) discipline)."""
+    from llm_food_spark.operators.similarity import pq_train_codebooks
+
+    rng = np.random.RandomState(11)
+    rows = [(i, [float(x) for x in rng.standard_normal(DIM)])
+            for i in range(5)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    books = pq_train_codebooks(df, m=8, ksub=16, iters=2)
+    assert books.shape == (8, 5, 8)
