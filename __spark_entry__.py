@@ -828,6 +828,22 @@ def q_pagerank_seeded(spark, sf_dir):
     return pagerank(e, iterations=3)
 
 
+def q_hits_seeded(spark, sf_dir):
+    """HITS hubs/authorities (operators/graph.py::hits) on the seeded
+    50-node arithmetic graph, 3 iterations. Hard oracle: DuckDB unrolls
+    the identical three iterations — per round one hub-weighted in-edge
+    aggregation L1-normalized over its own total, then one auth-weighted
+    out-edge aggregation likewise — and matches both scores to 6dp."""
+    from llm_food_spark.operators.graph import hits
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    e = d.select(
+        (F.col("doc_id") % 50).alias("src"),
+        ((F.col("doc_id") * 7 + 3) % 50).alias("dst"),
+    ).distinct()
+    return hits(e, iterations=3)
+
+
 def q_crawl_priority(spark, sf_dir):
     """Crawl-frontier prioritization (operators/snapshot.py::
     prioritize_frontier): the CDC diff's added+changed urls scored by
@@ -2274,13 +2290,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_seeded": q_ann_ivf_seeded,
         "pq_ann_seeded": q_pq_ann_seeded,
         "semantic_dedup_seeded": q_semantic_dedup_seeded,
-        "cosine_topk": q_cosine_topk,
         # web / crawl
         "url_filter": q_url_filter,
         "robots_screen": q_robots_screen,
         "warc_cdx": q_warc_cdx,                  # subsumes warc_roundtrip
         "anchor_text": q_anchor_text,
         "pagerank_seeded": q_pagerank_seeded,
+        "hits_seeded": q_hits_seeded,
         "crawl_priority": q_crawl_priority,      # subsumes snapshot_diff
         # models / corpus prep
         "dsir_select": q_dsir_select,            # DSIR importance resampling
@@ -2300,6 +2316,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # hard SQL twins added after the round-4 slot allocation
         "media_frames": q_media_frames,          # demoted for dsir_select; media family keeps image_resize/media_meta slots, Y4M pts arithmetic stays repo-gated
         "corpus_mixture": q_corpus_mixture,      # demoted for pq_ann_seeded: same partial+final hash-agg shape host_stats holds a slot for; mixture share arithmetic stays repo-gated
+        "cosine_topk": q_cosine_topk,            # demoted for hits_seeded: the three ann_*_seeded slots recompute the identical cosine+rank arithmetic through their banding plans; the exact brute-force twin stays repo-gated
         "audio_chunk": q_audio_chunk,            # demoted for semantic_dedup_seeded; media family keeps image_resize/media_meta slots, PCM window arithmetic stays repo-gated
         "sitemap_parse": q_sitemap_parse,
         "extract_metadata": q_extract_metadata,
@@ -2605,6 +2622,50 @@ _SNAPSHOT_SQL = """
                         ELSE 'changed' END AS change
             FROM o FULL OUTER JOIN n ON o.url = n.url
         """
+
+
+# HITS twin: three unrolled iterations over the same seeded graph —
+# auth from previous hubs, hub from the NEW auths, each L1-normalized by
+# its own raw-aggregate total (the operator's documented norm contract)
+_HITS_ITER = """
+    , a{i} AS (
+      SELECT e.dst AS node, SUM(h{p}.hub) AS v
+      FROM e JOIN h{p} ON h{p}.node = e.src GROUP BY 1
+    ), an{i} AS (
+      SELECT nodes.node,
+             CASE WHEN t.t > 0 THEN coalesce(a{i}.v, 0.0::DOUBLE) / t.t
+                  ELSE 0.0::DOUBLE END AS auth
+      FROM nodes LEFT JOIN a{i} ON a{i}.node = nodes.node
+           CROSS JOIN (SELECT SUM(v) AS t FROM a{i}) t
+    ), hr{i} AS (
+      SELECT e.src AS node, SUM(an{i}.auth) AS v
+      FROM e JOIN an{i} ON an{i}.node = e.dst GROUP BY 1
+    ), h{i} AS (
+      SELECT nodes.node,
+             CASE WHEN t.t > 0 THEN coalesce(hr{i}.v, 0.0::DOUBLE) / t.t
+                  ELSE 0.0::DOUBLE END AS hub
+      FROM nodes LEFT JOIN hr{i} ON hr{i}.node = nodes.node
+           CROSS JOIN (SELECT SUM(v) AS t FROM hr{i}) t
+    )
+"""
+
+_HITS_SQL = (
+    """
+    WITH e AS (
+      SELECT DISTINCT doc_id % 50 AS src, (doc_id * 7 + 3) % 50 AS dst
+      FROM documents
+    ), nodes AS (
+      SELECT src AS node FROM e UNION SELECT dst FROM e
+    ), h0 AS (
+      SELECT node, 1.0::DOUBLE AS hub FROM nodes
+    )
+    """
+    + "".join(_HITS_ITER.format(i=i, p=i - 1) for i in (1, 2, 3))
+    + """
+    SELECT h3.node, round(h3.hub, 6) AS hub, round(an3.auth, 6) AS auth
+    FROM h3 JOIN an3 ON an3.node = h3.node
+    """
+)
 
 
 _PAGERANK_SQL = (
@@ -4462,6 +4523,7 @@ def _handwritten_oracles() -> dict[str, str]:
         # identical CASE ladder (added/removed/changed/unchanged)
         "snapshot_diff": _SNAPSHOT_SQL,
         "pagerank_seeded": _PAGERANK_SQL,
+        "hits_seeded": _HITS_SQL,
         # frontier prioritization: the snapshot and pagerank twins composed
         # with the identical left join + 0.0 floor for unranked hosts
         "crawl_priority": """

@@ -94,3 +94,83 @@ def pagerank(
         _free_checkpoint_ids(sc, prev_ids)  # previous round's rank frame
         prev_ids = _persistent_ids(sc) - before
     return ranks.select("node", F.round("rank", ndigits).alias("rank"))
+
+
+def hits(
+    edges: DataFrame,
+    iterations: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    ndigits: int = 6,
+) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg 1999, JACM — "Authoritative
+    sources in a hyperlinked environment") -> (node, hub, auth).
+
+    Per iteration, over the full node set (nodes without the relevant
+    edges score 0): auth(v) = sum of hub(u) over in-edges, then hub(u) =
+    sum of the NEW auth(v) over out-edges, each L1-normalized (divide by
+    the score total — the norm choice is part of this contract and the
+    oracle mirrors it; Kleinberg's L2 variant differs only by a per-round
+    scalar). Init: hub = 1.0 per node.
+
+    Scale shape mirrors ``pagerank``: each half-iteration is one join of
+    narrow score rows against the static (checkpointed-once) edge list +
+    one map-side-combining groupBy + a left join back to the node set;
+    the normalization total is a 1-row aggregate crossJoined back as a
+    broadcast (never a driver scalar). Score frames are checkpoint-cut
+    every round with the previous round's storage freed (the cluster.py
+    discipline — plan doubling and storage accumulation are the two
+    measured failure modes)."""
+    if iterations < 1:
+        raise ValueError("iterations must be >= 1")
+    sc = edges.sparkSession.sparkContext
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    e = _cut(e, sc)
+    nodes = _cut(nodes, sc)
+
+    def _normalized(raw: DataFrame, col: str) -> DataFrame:
+        """nodes left-joined to per-node sums, divided by the grand total
+        (computed over the raw sums — absent nodes contribute 0 anyway)."""
+        tot = raw.agg(F.sum("v").alias("t"))
+        return (
+            nodes.join(raw, nodes["node"] == raw["dst_or_src"], "left")
+            .crossJoin(F.broadcast(tot))
+            .select(
+                "node",
+                F.when(F.col("t") > 0,
+                       F.coalesce(F.col("v"), F.lit(0.0)) / F.col("t"))
+                .otherwise(F.lit(0.0)).alias(col),
+            )
+        )
+
+    hubs = nodes.select("node", F.lit(1.0).alias("hub"))
+    auths = nodes.select("node", F.lit(0.0).alias("auth"))
+    prev_ids: set = set()
+    for _ in range(iterations):
+        a_raw = (
+            e.join(hubs, e["src"] == hubs["node"])
+            .groupBy(F.col("dst").alias("dst_or_src"))
+            .agg(F.sum("hub").alias("v"))
+        )
+        auths = _normalized(a_raw, "auth")
+        h_raw = (
+            e.join(auths, e["dst"] == auths["node"])
+            .groupBy(F.col("src").alias("dst_or_src"))
+            .agg(F.sum("auth").alias("v"))
+        )
+        hubs = _normalized(h_raw, "hub")
+        before = _persistent_ids(sc)
+        auths = _cut(auths, sc)
+        hubs = _cut(hubs, sc)
+        _free_checkpoint_ids(sc, prev_ids)  # previous round's two frames
+        prev_ids = _persistent_ids(sc) - before
+    return (
+        hubs.join(auths, "node")
+        .select("node", F.round("hub", ndigits).alias("hub"),
+                F.round("auth", ndigits).alias("auth"))
+    )

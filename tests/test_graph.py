@@ -174,3 +174,53 @@ def test_anchor_text_window_group_limit_plan(spark):
     plan = anchor_text_index(edges, k=2)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "WindowGroupLimit" in plan and "Partial" in plan
+
+
+def test_hits_hand_computed(spark):
+    from llm_food_spark.operators.graph import hits
+
+    e = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("d", "b")], "src string, dst string")
+    out = {r.node: r for r in hits(e, iterations=2).collect()}
+    # iter1: auth b=2/3 c=1/3; hub a=0.6 d=0.4
+    # iter2: auth b=1.0/1.6 c=0.6/1.6; hub a=1/1.625 d=0.625/1.625
+    assert out["b"].auth == round(1.0 / 1.6, 6)
+    assert out["c"].auth == round(0.6 / 1.6, 6)
+    assert out["a"].hub == round(1.0 / 1.625, 6)
+    assert out["d"].hub == round(0.625 / 1.625, 6)
+    assert out["a"].auth == 0.0 and out["b"].hub == 0.0
+    assert len(out) == 4
+
+
+def test_hits_symmetric_cycle_uniform(spark):
+    from llm_food_spark.operators.graph import hits
+
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a")], "src string, dst string")
+    out = hits(e, iterations=5).collect()
+    assert all(r.hub == round(1 / 3, 6) and r.auth == round(1 / 3, 6)
+               for r in out)
+
+
+def test_hits_checkpoint_storage_bounded(spark):
+    from llm_food_spark.operators.cluster import release_persisted
+    from llm_food_spark.operators.graph import hits
+
+    sc = spark.sparkContext
+
+    def pinned():
+        return len(sc._jsc.getPersistentRDDs().keySet().toArray())
+
+    release_persisted()
+    baseline = pinned()
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "a"), ("b", "c"), ("c", "a")],
+        "src string, dst string")
+    hits(e, iterations=5).collect()
+    after_first = pinned()
+    hits(e, iterations=5).collect()
+    after_second = pinned()
+    # statics (edges, nodes) + at most the live hub/auth frames remain
+    assert after_second - after_first <= 4
+    release_persisted()
+    assert pinned() <= baseline
