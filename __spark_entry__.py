@@ -325,6 +325,27 @@ def q_decontaminate(spark, sf_dir):
                          bench_text_col="text")
 
 
+def q_contamination(spark, sf_dir):
+    """Graded contamination report (containment = dirty fraction of each
+    doc's distinct 13-grams) over the same seeded synthetic eval set as
+    q_decontaminate. Hard oracle: the string-shingle LEFT join twin
+    recomputes both counts and the rounded ratio per doc."""
+    from llm_food_spark.operators.decontam import contamination_report
+
+    d = _t(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), "[^a-z0-9]+"),
+        lambda x: x != F.lit(""),
+    )
+    width = (F.col("doc_id") % 9 + 13).cast("int")
+    bench = d.where(F.col("doc_id") % 7 == 0).select(
+        F.col("doc_id").alias("bench_id"),
+        F.array_join(F.slice(toks, F.lit(4), width), " ").alias("text"),
+    )
+    return contamination_report(d, bench, n=13, id_col="doc_id",
+                                text_col="text", bench_text_col="text")
+
+
 def q_cap_per_group(spark, sf_dir):
     """Corpus balancing: keep at most 25 docs per lang, preferring the
     longest (n_chars DESC, doc_id tie-break). Compiles to partial-mode
@@ -2322,6 +2343,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_metadata": q_extract_metadata,
         "robots_sitemaps": q_robots_sitemaps,
         "sitemap_frontier": q_sitemap_frontier,
+        "contamination": q_contamination,        # graded decontaminate companion
         # hard SQL twins, demoted for subsumption (coverage noted)
         "counter_rollup": q_counter_rollup,      # R8/R9; resume_status re-derives the committed counters
         "topk_per_group": q_topk_per_group,      # top-k: tfidf_topk + cap_per_group
@@ -3933,6 +3955,37 @@ def _handwritten_oracles() -> dict[str, str]:
             SELECT doc_id, COUNT(*)::BIGINT AS n_hits
             FROM cd JOIN bg USING (ng)
             GROUP BY doc_id
+        """.format(w=_WORDS),
+        # graded companion: LEFT join keeps every shingled doc; both
+        # counts + the rounded dirty fraction per doc
+        "contamination": """
+            WITH t AS (
+              SELECT doc_id, {w} AS toks FROM documents
+            ), b AS (
+              SELECT toks[4 : 3 + (13 + doc_id % 9)::INT] AS btoks
+              FROM t WHERE doc_id % 7 = 0
+            ), bg AS (
+              SELECT DISTINCT unnest(list_transform(
+                range(1, greatest(len(btoks) - 12, 0) + 1),
+                i -> array_to_string(btoks[i : i + 12], ' '))) AS ng
+              FROM b
+            ), cd AS (
+              SELECT DISTINCT doc_id, ng FROM (
+                SELECT doc_id, unnest(list_transform(
+                  range(1, greatest(len(toks) - 12, 0) + 1),
+                  i -> array_to_string(toks[i : i + 12], ' '))) AS ng
+                FROM t
+              )
+            ), agg AS (
+              SELECT cd.doc_id, COUNT(*)::BIGINT AS n_grams,
+                     SUM(CASE WHEN bg.ng IS NULL THEN 0 ELSE 1
+                         END)::BIGINT AS n_hits
+              FROM cd LEFT JOIN bg USING (ng)
+              GROUP BY cd.doc_id
+            )
+            SELECT doc_id, n_grams, n_hits,
+                   ROUND(n_hits / n_grams, 6) AS containment
+            FROM agg
         """.format(w=_WORDS),
         # per-group cap: same rank + tie-break; DuckDB QUALIFY twin
         "cap_per_group": """

@@ -98,3 +98,49 @@ def drop_contaminated(
     return corpus.join(
         flagged, corpus[id_col] == flagged["__flagged_id"], "left_anti"
     )
+
+
+def contamination_report(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = DEFAULT_NGRAM,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str = None,
+    broadcast_benchmark: bool = True,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Graded contamination: -> (doc_id, n_grams, n_hits, containment)
+    where n_grams is the doc's DISTINCT n-gram count, n_hits how many of
+    those appear anywhere in the benchmark, and containment their ratio —
+    the GPT-3 appendix-C "dirty fraction" that lets a pipeline THRESHOLD
+    contamination instead of dropping on a single shared shingle
+    (decontaminate's binary form). Docs with fewer than ``n`` words have
+    no shingles and emit no row.
+
+    Plan shape: ONE corpus feature pass — the benchmark hash set left-
+    joins onto the corpus shingle rows with a hit marker and a single
+    per-doc aggregation computes both counts, so nothing branches over
+    the UDF output (the recompute trap the dsir/semantic_dedup persists
+    exist for does not arise)."""
+    btext = bench_text_col or text_col
+    bench = ngram_hash_rows(
+        benchmark.withColumn("_bid", F.monotonically_increasing_id()),
+        n=n, id_col="_bid", text_col=btext,
+    ).select("ng").distinct().withColumn("_hit", F.lit(1))
+    if broadcast_benchmark:
+        bench = F.broadcast(bench)
+    corp = ngram_hash_rows(corpus, n=n, id_col=id_col, text_col=text_col)
+    return (
+        corp.join(bench, "ng", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0))).cast("long")
+            .alias("n_hits"),
+        )
+        .withColumn(
+            "containment",
+            F.round(F.col("n_hits") / F.col("n_grams"), round_dp),
+        )
+    )

@@ -71,3 +71,47 @@ def test_decontaminate_broadcasts_benchmark(spark):
     bench = spark.createDataFrame([(9, "a b c")], "bench_id long, text string")
     plan = decontaminate(corpus, bench, n=3)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_contamination_report_counts_and_ratio(spark):
+    from llm_food_spark.operators.decontam import contamination_report
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog tonight"),
+            (2, "completely unrelated text with no overlap whatsoever here"),
+            (3, "quick brown fox jumps over"),   # fully quoted: containment 1
+            (4, "too short"),                    # < n tokens: no row
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "quick brown fox jumps over")], "bench_id long, text string"
+    )
+    rows = {r["doc_id"]: r for r in contamination_report(
+        corpus, bench, n=5).collect()}
+    assert set(rows) == {1, 2, 3}
+    # doc 1: 6 distinct 5-grams, exactly one quoted
+    assert rows[1]["n_grams"] == 6 and rows[1]["n_hits"] == 1
+    assert rows[1]["containment"] == round(1 / 6, 6)
+    assert rows[2]["n_hits"] == 0 and rows[2]["containment"] == 0.0
+    assert rows[3]["n_grams"] == 1 and rows[3]["containment"] == 1.0
+
+
+def test_contamination_report_matches_decontaminate_hits(spark):
+    from llm_food_spark.operators.decontam import (
+        contamination_report, decontaminate)
+
+    corpus = spark.createDataFrame(
+        [(i, "w%d a b c d e f g h common tail phrase ending %d" % (i, i))
+         for i in range(8)],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(0, "c d e f g h common tail phrase")], "bench_id long, text string")
+    hits = {r["doc_id"]: r["n_hits"]
+            for r in decontaminate(corpus, bench, n=6).collect()}
+    report = {r["doc_id"]: r["n_hits"]
+              for r in contamination_report(corpus, bench, n=6).collect()
+              if r["n_hits"] > 0}
+    assert hits == report
