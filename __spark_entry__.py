@@ -325,6 +325,21 @@ def q_decontaminate(spark, sf_dir):
                          bench_text_col="text")
 
 
+_BADWORDS = ["and", "der", "une", "bir"]  # stand-in blocklist: one common
+# word per corpus language (en/de/fr/tr) so every lang flags some docs
+
+
+def q_badwords(spark, sf_dir):
+    """C4-style blocklist screen over documents with a constant stand-in
+    word list (the real LDNOOBW list is external; semantics are what the
+    oracle checks). Hard oracle: DuckDB re-derives distinct-token
+    membership through the same tokenizer."""
+    from llm_food_spark.operators.quality import badword_screen
+
+    d = _t(spark, sf_dir, "documents")
+    return badword_screen(d, _BADWORDS)
+
+
 def q_contamination(spark, sf_dir):
     """Graded contamination report (containment = dirty fraction of each
     doc's distinct 13-grams) over the same seeded synthetic eval set as
@@ -2344,6 +2359,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_sitemaps": q_robots_sitemaps,
         "sitemap_frontier": q_sitemap_frontier,
         "contamination": q_contamination,        # graded decontaminate companion
+        "badwords": q_badwords,                  # C4 blocklist screen
         # hard SQL twins, demoted for subsumption (coverage noted)
         "counter_rollup": q_counter_rollup,      # R8/R9; resume_status re-derives the committed counters
         "topk_per_group": q_topk_per_group,      # top-k: tfidf_topk + cap_per_group
@@ -3955,6 +3971,17 @@ def _handwritten_oracles() -> dict[str, str]:
             SELECT doc_id, COUNT(*)::BIGINT AS n_hits
             FROM cd JOIN bg USING (ng)
             GROUP BY doc_id
+        """.format(w=_WORDS),
+        # C4 blocklist screen: distinct-token membership via the shared
+        # tokenizer — the same list, the same word-boundary semantics
+        "badwords": """
+            SELECT doc_id,
+                   len(list_intersect(list_distinct({w}),
+                                      ['and', 'bir', 'der', 'une'])) AS n_bad,
+                   len(list_intersect(list_distinct({w}),
+                                      ['and', 'bir', 'der', 'une'])) = 0
+                     AS keep
+            FROM documents
         """.format(w=_WORDS),
         # graded companion: LEFT join keeps every shingled doc; both
         # counts + the rounded dirty fraction per doc

@@ -20,7 +20,7 @@ caller (e.g. plans/prep.py) — these operators *measure*.
 
 from __future__ import annotations
 
-from typing import Dict
+from typing import Dict, List
 
 import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F, types as T
@@ -109,3 +109,33 @@ def repetition_table(df: DataFrame, text_col: str = "text", key_col: str = "doc_
     """(key, *SIGNAL_NAMES) — the flattened driver-query shape."""
     rep = with_repetition_signals(df, text_col=text_col)
     return rep.select(key_col, *["rep.%s" % n for n in SIGNAL_NAMES])
+
+
+def badword_screen(
+    df: DataFrame,
+    badwords: List[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """C4-style blocklist page screen (Raffel et al. 2020 §2.2 drop any
+    page containing a blocklist word) -> (doc_id, n_bad, keep): n_bad =
+    how many DISTINCT blocklist words the document contains, keep =
+    none. Token membership (the corpus [a-z0-9]+ tokenizer), never
+    substring matching — "class" does not trip "ass".
+
+    Zero shuffle: one array_intersect against the literal word list per
+    row, whole-stage codegen, no join and no aggregation. The UT1-scale
+    alternative (a list too big for a literal) is the broadcast-join form
+    urlops.filter_urls uses; for C4's ~400-word list the literal wins."""
+    from .dedup import words_array
+
+    if not badwords:
+        raise ValueError("badwords must be a non-empty list")
+    toks = F.array_distinct(words_array(F.col(text_col)))
+    n_bad = F.size(F.array_intersect(toks, F.array(
+        *[F.lit(w) for w in sorted(set(badwords))])))
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        n_bad.alias("n_bad"),
+        (n_bad == 0).alias("keep"),
+    )

@@ -175,3 +175,26 @@ def test_repetition_table_spark(spark):
         exp = repetition_signals(text)
         for k, v in exp.items():
             assert got[i][k] == pytest.approx(v), (i, k)
+
+
+def test_badword_screen_token_membership(spark):
+    from llm_food_spark.operators.quality import badword_screen
+
+    df = spark.createDataFrame(
+        [
+            (1, "a perfectly clean document about classes"),
+            (2, "contains bad and worse words"),
+            (3, "BAD capitalized and bad repeated bad"),
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in badword_screen(
+        df, ["bad", "worse"]).collect()}
+    assert rows[1]["keep"] and rows[1]["n_bad"] == 0  # 'classes' != substring
+    assert not rows[2]["keep"] and rows[2]["n_bad"] == 2
+    assert not rows[3]["keep"] and rows[3]["n_bad"] == 1  # distinct words
+    assert rows[4]["keep"]
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        badword_screen(df, [])
