@@ -325,6 +325,50 @@ def q_decontaminate(spark, sf_dir):
                          bench_text_col="text")
 
 
+def q_image_dhash(spark, sf_dir):
+    """Perceptual dHash under a hard analytic oracle: PNG fixtures carry
+    formula pixels (the image_resize closed forms) encoded through all
+    five PNG row filters; BMP fixtures store the same forms in BGR so the
+    decoder's channel flip is itself under test. The DuckDB twin
+    recomputes every hash bit — integer luma, the nearest-neighbor index
+    map, the gradient comparisons, and the signed 64-bit packing — from
+    the pixel formulas; any error anywhere in decode or hashing flips
+    bits and mismatches."""
+    import numpy as np
+
+    from llm_food_spark.functions.media import make_png
+    from llm_food_spark.operators.multimodal import _bmp_encode, image_dhash
+
+    rows = []
+    for i in range(12):
+        w, h = 20 + i, 14 + i
+        rgb = bytes(
+            v
+            for y in range(h)
+            for x in range(w)
+            for v in ((x * 7 + y * 11 + i) % 256,
+                      (x * 13 + y * 3 + 2 * i) % 256,
+                      (x * 5 + y * 17 + 3 * i) % 256)
+        )
+        rows.append(("png%02d" % i,
+                     make_png(rgb, w, h,
+                              row_filters=[(j + i) % 5 for j in range(5)])))
+    for i in range(4):
+        w, h = 20 + i, 14 + i
+        arr = np.zeros((h, w, 3), dtype=np.uint8)
+        for y in range(h):
+            for x in range(w):
+                arr[y, x] = ((x * 5 + y * 17 + 3 * i) % 256,   # stored B
+                             (x * 13 + y * 3 + 2 * i) % 256,   # stored G
+                             (x * 7 + y * 11 + i) % 256)       # stored R
+        rows.append(("bmp%02d" % i, _bmp_encode(arr)))
+    df = spark.createDataFrame(
+        [(mid, bytearray(p)) for mid, p in rows],
+        "media_id string, payload binary",
+    )
+    return image_dhash(df)
+
+
 _BADWORDS = ["and", "der", "une", "bir"]  # stand-in blocklist: one common
 # word per corpus language (en/de/fr/tr) so every lang flags some docs
 
@@ -2360,6 +2404,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sitemap_frontier": q_sitemap_frontier,
         "contamination": q_contamination,        # graded decontaminate companion
         "badwords": q_badwords,                  # C4 blocklist screen
+        "image_dhash": q_image_dhash,            # perceptual hash, analytic twin
         # hard SQL twins, demoted for subsumption (coverage noted)
         "counter_rollup": q_counter_rollup,      # R8/R9; resume_status re-derives the committed counters
         "topk_per_group": q_topk_per_group,      # top-k: tfidf_topk + cap_per_group
@@ -3972,6 +4017,50 @@ def _handwritten_oracles() -> dict[str, str]:
             FROM cd JOIN bg USING (ng)
             GROUP BY doc_id
         """.format(w=_WORDS),
+        # dHash twin: every bit recomputed analytically from the fixture
+        # pixel formulas — integer luma, nearest-neighbor map
+        # (src = dst*src_dim // dst_dim), gradient compare, MSB-first
+        # signed packing (idx 0 is the sign bit: the -2^63 term)
+        "image_dhash": """
+            WITH imgs AS (
+              SELECT i, printf('png%02d', i) AS media_id
+              FROM (SELECT unnest(range(0, 12)) AS i)
+              UNION ALL
+              SELECT i, printf('bmp%02d', i)
+              FROM (SELECT unnest(range(0, 4)) AS i)
+            ), grid AS (
+              SELECT media_id, i, yy.y, xx.x,
+                     (xx.x * (20 + i)) // 9 AS sx1,
+                     ((xx.x + 1) * (20 + i)) // 9 AS sx2,
+                     (yy.y * (14 + i)) // 8 AS sy
+              FROM imgs,
+                   (SELECT unnest(range(0, 8)) AS y) yy,
+                   (SELECT unnest(range(0, 8)) AS x) xx
+            ), g AS (
+              SELECT media_id, y, x,
+                     (299 * ((sx1 * 7 + sy * 11 + i) % 256)
+                      + 587 * ((sx1 * 13 + sy * 3 + 2 * i) % 256)
+                      + 114 * ((sx1 * 5 + sy * 17 + 3 * i) % 256)) // 1000
+                       AS g1,
+                     (299 * ((sx2 * 7 + sy * 11 + i) % 256)
+                      + 587 * ((sx2 * 13 + sy * 3 + 2 * i) % 256)
+                      + 114 * ((sx2 * 5 + sy * 17 + 3 * i) % 256)) // 1000
+                       AS g2
+              FROM grid
+            ), packed AS (
+              SELECT media_id,
+                     SUM(CASE WHEN g1 > g2 THEN
+                           CASE WHEN y * 8 + x = 0
+                                THEN -9223372036854775808
+                                ELSE 1::BIGINT << (63 - (y * 8 + x)) END
+                         ELSE 0 END)::BIGINT AS dhash
+              FROM g GROUP BY media_id
+            )
+            SELECT p.media_id, p.dhash,
+                   (20 + imgs.i)::INT AS width, (14 + imgs.i)::INT AS height,
+                   'ok' AS status
+            FROM packed p JOIN imgs USING (media_id)
+        """,
         # C4 blocklist screen: distinct-token membership via the shared
         # tokenizer — the same list, the same word-boundary semantics
         "badwords": """

@@ -641,3 +641,98 @@ def audio_chunk(media: DataFrame, chunk_ms: int = 10_000) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return _size_salted(media).mapInPandas(fn, schema=AUDIO_CHUNK_SCHEMA)
+
+
+DHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType()),
+        T.StructField("dhash", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("status", T.StringType()),
+    ]
+)
+
+
+def _decode_rgb(b: bytes):
+    """payload -> (format, HxWx3 uint8 RGB array) or None — the shared
+    BMP -> PNG -> GIF probe order resize_image uses, with BMP's stored
+    BGR flipped to RGB (dhash interprets channels; resize does not)."""
+    import numpy as np
+
+    from llm_food_spark.functions.media import gif_frames, png_decode
+
+    try:
+        arr = _bmp_decode(b)
+    except (struct.error, IndexError, ValueError):
+        arr = None
+    if arr is not None:
+        return "bmp", arr[:, :, ::-1]
+    try:
+        png = png_decode(b)
+    except (struct.error, IndexError, ValueError):
+        png = None
+    if png is not None:
+        w0, h0, rgb = png
+        return "png", np.frombuffer(rgb, np.uint8).reshape(h0, w0, 3)
+    try:
+        gif = gif_frames(b, max_frames=1)
+    except (struct.error, IndexError, ValueError):
+        gif = None
+    if gif:
+        _no, _delay, w0, h0, rgb = gif[0]
+        return "gif", np.frombuffer(rgb, np.uint8).reshape(h0, w0, 3)
+    return None
+
+
+def image_dhash(media: DataFrame, hash_size: int = 8) -> DataFrame:
+    """Perceptual difference hash (dHash, the imagehash/LAION-dedup
+    gradient hash) -> (media_id, dhash, width, height, status).
+
+    REAL for BMP/PNG/GIF (the repo's pure-Python decoders): integer luma
+    gray = (299r + 587g + 114b) // 1000, nearest-neighbor sample to
+    (hash_size+1) x hash_size using resize_image's index map
+    (src = dst*src_dim // dst_dim), bit(y,x) = gray[y][x] > gray[y][x+1]
+    packed row-major MSB-first into a signed 64-bit value (two's
+    complement when bit 0 of the packing — the MSB — is set). Every
+    arithmetic step is integer, so the hash is engine-exact, not
+    approximate. Near-identical images differ in a few bits; pair them
+    with the simhash pigeonhole machinery (16-bit bands guarantee any
+    pair within hamming 3 shares a band). Undecodable payloads emit
+    status='failed' rows — tasks never die on bad media."""
+    if hash_size < 1 or hash_size * hash_size > 64:
+        raise ValueError("hash_size must be in 1..8")
+    nbits = hash_size * hash_size
+
+    def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            rows: List[dict] = []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(payload) if payload is not None else b""
+                dec = _decode_rgb(b)
+                if dec is None:
+                    rows.append(dict(media_id=media_id, dhash=None,
+                                     width=None, height=None,
+                                     status="failed"))
+                    continue
+                _fmt, rgb = dec
+                h, w, _ = rgb.shape
+                px = rgb.astype(np.int64)
+                gray = (299 * px[:, :, 0] + 587 * px[:, :, 1]
+                        + 114 * px[:, :, 2]) // 1000
+                yi = (np.arange(hash_size) * h) // hash_size
+                xi = (np.arange(hash_size + 1) * w) // (hash_size + 1)
+                g = gray[yi][:, xi]
+                bits = (g[:, :-1] > g[:, 1:]).flatten()
+                val = 0
+                for bit in bits:  # MSB-first: bit 0 lands at 2^(nbits-1)
+                    val = (val << 1) | int(bit)
+                if nbits == 64 and val >= (1 << 63):
+                    val -= 1 << 64  # two's-complement signed long
+                rows.append(dict(media_id=media_id, dhash=val,
+                                 width=int(w), height=int(h), status="ok"))
+            yield pd.DataFrame(rows)
+
+    return _size_salted(media).mapInPandas(fn, schema=DHASH_SCHEMA)

@@ -572,3 +572,57 @@ def test_clean_text_idempotent(spark):
     got = {r["doc_id"]: (r["text"], r["clean"]) for r in twice.collect()}
     for doc_id, (first, second) in got.items():
         assert first == second, doc_id  # clean(clean(x)) == clean(x)
+
+
+def test_image_dhash_formats_agree_and_near_dup_is_close(spark):
+    """The same pixels hash identically through BMP, PNG, and GIF decode
+    paths; a lightly perturbed image lands within a few hamming bits; a
+    structurally different image lands far; junk fails as a row."""
+    import numpy as np
+
+    from llm_food_spark.functions.media import make_gif, make_png
+    from llm_food_spark.operators.multimodal import (
+        _bmp_encode, image_dhash)
+
+    w, h = 24, 16
+    rgb = np.zeros((h, w, 3), np.uint8)
+    for y in range(h):
+        for x in range(w):
+            # coarse blocks: <= 96 distinct colors so a GIF palette fits
+            rgb[y, x] = (((x // 4) * 32) % 256, ((y // 4) * 48) % 256,
+                         (((x // 8) + (y // 8)) * 64) % 256)
+    png = make_png(rgb.tobytes(), w, h)
+    bmp = _bmp_encode(rgb[:, :, ::-1])  # BMP stores BGR
+    # GIF: exact palette of the distinct colors in the image
+    colors = sorted({tuple(rgb[y, x]) for y in range(h) for x in range(w)})
+    pal = {c: i for i, c in enumerate(colors)}
+    idx = bytes(pal[tuple(rgb[y, x])] for y in range(h) for x in range(w))
+    gif = make_gif([idx], w, h,
+                   palette=b"".join(bytes(c) for c in colors),
+                   delays_ms=[0])
+    near = rgb.copy()
+    near[0, 0] = (255, 255, 255)  # one corner pixel flipped
+    far = rgb[:, ::-1]            # mirrored: gradient signs flip
+    df = spark.createDataFrame(
+        [("png", bytearray(png)), ("bmp", bytearray(bmp)),
+         ("gif", bytearray(gif)),
+         ("near", bytearray(make_png(near.tobytes(), w, h))),
+         ("far", bytearray(make_png(far[:, :, :].tobytes(), w, h))),
+         ("junk", bytearray(b"\x00\x01nonsense"))],
+        "media_id string, payload binary",
+    )
+    rows = {r["media_id"]: r for r in image_dhash(df).collect()}
+    assert rows["png"]["status"] == "ok"
+    assert rows["png"]["dhash"] == rows["bmp"]["dhash"] == rows["gif"]["dhash"]
+    assert rows["png"]["width"] == 24 and rows["png"]["height"] == 16
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    assert ham(rows["png"]["dhash"], rows["near"]["dhash"]) <= 3
+    assert ham(rows["png"]["dhash"], rows["far"]["dhash"]) > 10
+    assert rows["junk"]["status"] == "failed" and rows["junk"]["dhash"] is None
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        image_dhash(df, hash_size=9)
