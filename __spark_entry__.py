@@ -325,6 +325,26 @@ def q_decontaminate(spark, sf_dir):
                          bench_text_col="text")
 
 
+def q_crawl_schedule(spark, sf_dir):
+    """Politeness scheduling (operators/snapshot.py::schedule_frontier)
+    over a seeded 23-host frontier with arithmetic priorities. Hard
+    oracle: DuckDB recomputes the per-host wave window (priority desc,
+    url tiebreak) and the portable character-polynomial slot hash."""
+    from llm_food_spark.operators.snapshot import schedule_frontier
+
+    d = _t(spark, sf_dir, "documents")
+    host = F.concat(F.lit("h"), (F.col("doc_id") % 23).cast("string"),
+                    F.lit(".test"))
+    f = d.select(
+        F.concat(F.lit("http://"), host, F.lit("/"),
+                 F.col("doc_id").cast("string")).alias("url"),
+        host.alias("host_key"),
+        (F.col("doc_id") % 7).cast("double").alias("pr"),
+    )
+    return schedule_frontier(f, n_slots=16, priority_col="pr",
+                             portable_slots=True)
+
+
 def q_image_dhash(spark, sf_dir):
     """Perceptual dHash under a hard analytic oracle: PNG fixtures carry
     formula pixels (the image_resize closed forms) encoded through all
@@ -2405,6 +2425,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination": q_contamination,        # graded decontaminate companion
         "badwords": q_badwords,                  # C4 blocklist screen
         "image_dhash": q_image_dhash,            # perceptual hash, analytic twin
+        "crawl_schedule": q_crawl_schedule,      # politeness waves + slot hash
         # hard SQL twins, demoted for subsumption (coverage noted)
         "counter_rollup": q_counter_rollup,      # R8/R9; resume_status re-derives the committed counters
         "topk_per_group": q_topk_per_group,      # top-k: tfidf_topk + cap_per_group
@@ -4017,6 +4038,27 @@ def _handwritten_oracles() -> dict[str, str]:
             FROM cd JOIN bg USING (ng)
             GROUP BY doc_id
         """.format(w=_WORDS),
+        # politeness twin: per-host wave window + the portable char
+        # polynomial slot hash (the dsir/fingerprint HUGEINT machinery)
+        "crawl_schedule": """
+            WITH f AS (
+              SELECT 'http://h' || (doc_id % 23) || '.test/' || doc_id
+                       AS url,
+                     'h' || (doc_id % 23) || '.test' AS host_key,
+                     (doc_id % 7)::DOUBLE AS pr
+              FROM documents
+            )
+            SELECT url, host_key,
+                   CAST(list_reduce(
+                          list_prepend(CAST(0 AS HUGEINT),
+                            list_transform(split(host_key, ''),
+                                           c -> CAST(ord(c) AS HUGEINT))),
+                          (a, b) -> (a * 31 + b) % 2305843009213693951)
+                        % 16 AS INT) AS slot,
+                   ROW_NUMBER() OVER (PARTITION BY host_key
+                                      ORDER BY pr DESC, url ASC) - 1 AS wave
+            FROM f
+        """,
         # dHash twin: every bit recomputed analytically from the fixture
         # pixel formulas — integer luma, nearest-neighbor map
         # (src = dst*src_dim // dst_dim), gradient compare, MSB-first

@@ -84,3 +84,61 @@ def prioritize_frontier(
     return j.repartitionByRange(
         F.col("host_rank").desc(), F.col("url")
     ).sortWithinPartitions(F.col("host_rank").desc(), "url")
+
+
+def schedule_frontier(
+    frontier: DataFrame,
+    n_slots: int = 256,
+    url_col: str = "url",
+    host_col: str = "host_key",
+    priority_col: str = None,
+    portable_slots: bool = False,
+) -> DataFrame:
+    """Politeness scheduling (the Heritrix/BUbiNG frontier discipline):
+    -> (url, host_key, slot, wave).
+
+    - ``slot``: which fetch queue owns the host — ALL of a host's urls
+      land on one slot, so per-host ordering survives parallel dispatch.
+      Production hashing is ``xxhash64`` (JVM, one expression); pass
+      ``portable_slots=True`` for the cross-engine polynomial
+      ((h*31 + char) mod 2^61-1, the dsir/fingerprint hash) a SQL twin
+      can recompute — the split.py xxhash64-vs-MINSTD verification
+      pattern. The portable fold is an interpreted HOF over the host's
+      characters: verification-scale, not the corpus default.
+    - ``wave``: the k-th url of a host (ordered by ``priority_col`` desc
+      when given, url asc tiebreak) fetches in wave k — one fetch per
+      host per wave enforces the at-most-one-in-flight-per-host rule;
+      the dispatcher walks (wave, slot).
+
+    Plan shape: one per-host window (narrow rank rows), a per-row hash,
+    and a repartitionByRange on (wave, slot) — sorted dispatch shards,
+    no global single-partition window."""
+    from pyspark.sql import Window
+
+    if n_slots < 1:
+        raise ValueError("n_slots must be >= 1")
+    order = [F.col(url_col).asc()]
+    if priority_col:
+        order = [F.col(priority_col).desc()] + order
+    w = Window.partitionBy(host_col).orderBy(*order)
+    if portable_slots:
+        mod = F.lit((1 << 61) - 1)
+        poly = F.aggregate(
+            F.split(F.col(host_col), ""),
+            F.lit(0).cast("long"),
+            lambda acc, ch: F.when(
+                ch == "", acc
+            ).otherwise((acc * 31 + F.ascii(ch)) % mod),
+        )
+        slot = F.pmod(poly, F.lit(n_slots))
+    else:
+        slot = F.pmod(F.xxhash64(F.col(host_col)), F.lit(n_slots))
+    out = frontier.select(
+        F.col(url_col).alias("url"),
+        F.col(host_col).alias("host_key"),
+        slot.cast("int").alias("slot"),
+        (F.row_number().over(w) - 1).alias("wave"),
+    )
+    return out.repartitionByRange(
+        F.col("wave"), F.col("slot"), F.col("url")
+    ).sortWithinPartitions("wave", "slot", "url")

@@ -55,3 +55,55 @@ def test_prioritize_frontier(spark):
     # globally ordered rank-desc; unchanged/removed dropped; unranked -> 0
     assert [(r.url, r.host_rank) for r in rows] == [
         ("u/2", 0.9), ("u/1", 0.5), ("u/5", 0.0)]
+
+
+def test_schedule_frontier_waves_and_slots(spark):
+    from llm_food_spark.operators.snapshot import schedule_frontier
+
+    f = spark.createDataFrame(
+        [
+            ("http://a.test/1", "a.test", 2.0),
+            ("http://a.test/2", "a.test", 9.0),
+            ("http://a.test/3", "a.test", 9.0),
+            ("http://b.test/1", "b.test", 1.0),
+        ],
+        "url string, host_key string, pr double",
+    )
+    rows = {r["url"]: r for r in schedule_frontier(
+        f, n_slots=16, priority_col="pr", portable_slots=True).collect()}
+    # waves: priority desc, url asc tiebreak; one fetch per host per wave
+    assert rows["http://a.test/2"]["wave"] == 0
+    assert rows["http://a.test/3"]["wave"] == 1
+    assert rows["http://a.test/1"]["wave"] == 2
+    assert rows["http://b.test/1"]["wave"] == 0
+    # all of a host's urls share one slot; slot matches the portable hash
+    slots_a = {rows[u]["slot"] for u in rows if rows[u]["host_key"] == "a.test"}
+    assert len(slots_a) == 1
+    M = (1 << 61) - 1
+    h = 0
+    for ch in "a.test":
+        h = (h * 31 + ord(ch)) % M
+    assert slots_a == {h % 16}
+    assert all(0 <= r["slot"] < 16 for r in rows.values())
+
+
+def test_schedule_frontier_partition_invariant_and_default_hash(spark):
+    from llm_food_spark.operators.snapshot import schedule_frontier
+
+    f = spark.createDataFrame(
+        [("http://h%d.test/%d" % (i % 5, i), "h%d.test" % (i % 5))
+         for i in range(40)],
+        "url string, host_key string",
+    )
+    a = sorted(map(tuple, schedule_frontier(f, n_slots=8).collect()))
+    b = sorted(map(tuple, schedule_frontier(
+        f.repartition(7), n_slots=8).collect()))
+    assert a == b
+    # per-host waves are a permutation 0..n_host_urls-1
+    waves = {}
+    for url, host, slot, wave in a:
+        waves.setdefault(host, []).append(wave)
+    assert all(sorted(v) == list(range(8)) for v in waves.values())
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        schedule_frontier(f, n_slots=0)
