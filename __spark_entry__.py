@@ -345,6 +345,23 @@ def q_crawl_schedule(spark, sf_dir):
                              portable_slots=True)
 
 
+def q_temperature_sample(spark, sf_dir):
+    """UniMax-style T=2 multilingual rebalancing
+    (operators/split.py::temperature_sample): per-lang keep rates
+    sqrt(n_min/n_lang) applied through the portable MINSTD id-hash. Hard
+    oracle: DuckDB recomputes token totals, the IEEE sqrt rate, the floor
+    cut, and every membership decision."""
+    from llm_food_spark.operators.split import bucket_minstd, temperature_sample
+
+    out = temperature_sample(
+        _t(spark, sf_dir, "documents"), group_col="lang",
+        temperature=2.0, bucket_fn=bucket_minstd,
+    )
+    return out.select(
+        "doc_id", "lang", F.round("keep_rate", 6).alias("keep_rate")
+    )
+
+
 def q_image_dhash(spark, sf_dir):
     """Perceptual dHash under a hard analytic oracle: PNG fixtures carry
     formula pixels (the image_resize closed forms) encoded through all
@@ -2426,6 +2443,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "badwords": q_badwords,                  # C4 blocklist screen
         "image_dhash": q_image_dhash,            # perceptual hash, analytic twin
         "crawl_schedule": q_crawl_schedule,      # politeness waves + slot hash
+        "temperature_sample": q_temperature_sample,  # T=2 language rebalancing
         # hard SQL twins, demoted for subsumption (coverage noted)
         "counter_rollup": q_counter_rollup,      # R8/R9; resume_status re-derives the committed counters
         "topk_per_group": q_topk_per_group,      # top-k: tfidf_topk + cap_per_group
@@ -4059,6 +4077,25 @@ def _handwritten_oracles() -> dict[str, str]:
                                       ORDER BY pr DESC, url ASC) - 1 AS wave
             FROM f
         """,
+        # temperature-sampling twin: token totals, the IEEE sqrt(n_min/n)
+        # rate, the floor cut, and the MINSTD membership all recomputed
+        "temperature_sample": """
+            WITH per AS (
+              SELECT lang, SUM(len({ws}))::BIGINT AS n_tokens
+              FROM documents GROUP BY lang
+              HAVING SUM(len({ws})) > 0
+            ), mn AS (SELECT MIN(n_tokens) AS _min FROM per),
+            r AS (
+              SELECT lang, sqrt(_min / n_tokens) AS keep_rate,
+                     CAST(floor(sqrt(_min / n_tokens) * 1000000) AS BIGINT)
+                       AS _cut
+              FROM per CROSS JOIN mn
+            )
+            SELECT d.doc_id, d.lang, round(r.keep_rate, 6) AS keep_rate
+            FROM documents d JOIN r USING (lang)
+            WHERE ((d.doc_id % 2147483647 + 2147483647) % 2147483647
+                   * 48271) % 2147483647 % 1000000 < r._cut
+        """.format(ws=_WSTOKS),
         # dHash twin: every bit recomputed analytically from the fixture
         # pixel formulas — integer luma, nearest-neighbor map
         # (src = dst*src_dim // dst_dim), gradient compare, MSB-first

@@ -194,3 +194,74 @@ def pack_sequences(
     return out.withColumn(
         "seq_id", (cum / F.lit(seq_len)).cast("bigint")
     ).withColumn("offset", (cum % F.lit(seq_len)).cast("bigint"))
+
+
+def temperature_sample(
+    df: DataFrame,
+    group_col: str = "lang",
+    temperature: float = 2.0,
+    tokens_col: str = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 1_000_000,
+    bucket_fn=bucket_xxhash,
+) -> DataFrame:
+    """Temperature-based corpus rebalancing (the multilingual mixing rule
+    of mC4/PaLM: sample group g proportional to p_g^(1/T)) in the
+    downsample-only form: every group keeps
+
+        keep_rate_g = (n_min / n_g) ^ (1 - 1/T)
+
+    of its rows (n_g = the group's token total, n_min = the smallest
+    group's), so the rarest group keeps 100% and larger groups are
+    deterministically thinned toward it. T=1 keeps the natural
+    distribution; T→∞ equalizes token budgets. Rows are kept by the same
+    stable id-hash as ``hash_sample`` — re-runs, resumes, and
+    repartitions keep the identical documents. Returns the filtered
+    DataFrame with ``keep_rate`` appended; groups with zero tokens are
+    dropped (no mass to allocate).
+
+    Portability note (the split.py verification pattern): at the default
+    T=2 the exponent is 0.5 and the rate is computed with SQRT — IEEE
+    correctly-rounded in both Spark and any SQL oracle engine, so a twin
+    reproduces the cut value bit-for-bit. Other temperatures go through
+    POW, which engines only guarantee to ~1 ulp.
+
+    Scale shape: one map-side-combined hash aggregation (rows out = #
+    groups), the global minimum via a broadcast 1-row frame, then a
+    broadcast rejoin + zero-shuffle filter over the corpus — no driver
+    collect, no corpus shuffle. No reference analogue (llm-food converts
+    one upload at a time); part of the training-data brief.
+    """
+    from .util import ensure_min_partitions
+
+    if temperature < 1.0:
+        raise ValueError("temperature must be >= 1 (downsample-only form)")
+    if tokens_col:
+        toks = F.col(tokens_col).cast("long")
+    else:
+        from .textops import token_count
+
+        toks = token_count(F.col(text_col)).cast("long")
+    per = ensure_min_partitions(df).groupBy(
+        F.col(group_col).alias("_grp")
+    ).agg(F.sum(toks).alias("_n_tokens")).where(F.col("_n_tokens") > 0)
+    mn = per.select(F.min("_n_tokens").alias("_min"))
+    exponent = 1.0 - 1.0 / temperature
+    ratio = F.col("_min") / F.col("_n_tokens")
+    if exponent == 0.5:
+        rate = F.sqrt(ratio)
+    elif exponent == 0.0:
+        rate = F.lit(1.0)
+    else:
+        rate = F.pow(ratio, F.lit(exponent))
+    rates = per.crossJoin(F.broadcast(mn)).select(
+        "_grp",
+        rate.alias("keep_rate"),
+        F.floor(rate * F.lit(n_buckets)).cast("long").alias("_cut"),
+    )
+    return (
+        df.join(F.broadcast(rates), df[group_col] == rates["_grp"])
+        .where(bucket_fn(F.col(id_col), n_buckets) < F.col("_cut"))
+        .drop("_grp", "_cut")
+    )

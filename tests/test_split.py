@@ -168,3 +168,61 @@ def test_pack_sequences_deterministic_and_validated(spark):
     assert streams <= set(range(4)) and len(streams) > 1
     with pytest.raises(ValueError):
         pack_sequences(d, 0)
+
+
+def _mix_frame(spark):
+    # lang a: 40 docs x 2 tokens = 80; lang b: 40 docs x 8 tokens = 320
+    rows = [(i, "a", "t " * 2) for i in range(40)] + [
+        (i + 100, "b", "t " * 8) for i in range(40)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, lang string, text string")
+
+
+def test_temperature_sample_rates_and_membership(spark):
+    from llm_food_spark.operators.split import bucket_minstd, temperature_sample
+
+    df = _mix_frame(spark)
+    out = temperature_sample(
+        df, group_col="lang", temperature=2.0, bucket_fn=bucket_minstd
+    ).collect()
+    rates = {r["lang"]: r["keep_rate"] for r in out}
+    # n_min=80, n_b=320 -> rate_b = sqrt(80/320) = 0.5; min group keeps all
+    assert rates["a"] == 1.0
+    assert rates["b"] == 0.5
+    ids = {r["doc_id"] for r in out}
+    assert {i for i in range(40)} <= ids  # every min-group row kept
+    # membership is exactly the hash cut (cut = floor(0.5 * 1e6))
+    M, A = 2_147_483_647, 48_271
+    for i in range(40):
+        bucket = ((i + 100) % M * A) % M % 1_000_000
+        assert ((i + 100) in ids) == (bucket < 500_000)
+
+
+def test_temperature_sample_t1_keeps_all_and_zero_token_drop(spark):
+    from llm_food_spark.operators.split import temperature_sample
+
+    rows = [(1, "a", "x y"), (2, "b", "x y z w"), (3, "empty", "   ")]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    out = temperature_sample(df, temperature=1.0).collect()
+    assert {r["doc_id"] for r in out} == {1, 2}  # zero-token group dropped
+    assert all(r["keep_rate"] == 1.0 for r in out)
+    with pytest.raises(ValueError):
+        temperature_sample(df, temperature=0.5)
+
+
+def test_temperature_sample_partition_invariant_tokens_col(spark):
+    from llm_food_spark.operators.split import temperature_sample
+
+    rows = [(i, "a" if i % 3 else "b", (i % 7) + 1) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, n_tok int")
+    a = sorted(
+        (r["doc_id"], round(r["keep_rate"], 9))
+        for r in temperature_sample(
+            df, tokens_col="n_tok", temperature=4.0).collect()
+    )
+    b = sorted(
+        (r["doc_id"], round(r["keep_rate"], 9))
+        for r in temperature_sample(
+            df.repartition(11), tokens_col="n_tok", temperature=4.0).collect()
+    )
+    assert a == b and len(a) > 0
