@@ -362,6 +362,20 @@ def q_temperature_sample(spark, sf_dir):
     )
 
 
+def q_shuffle_shards(spark, sf_dir):
+    """Deterministic training-order shuffle
+    (operators/split.py::shuffle_shards): 16 shards, two MINSTD rounds
+    (assignment residue, then a rehash for within-shard order, doc_id
+    tie-break). Hard oracle: DuckDB recomputes both hash rounds and every
+    (shard, pos) placement."""
+    from llm_food_spark.operators.split import bucket_minstd, shuffle_shards
+
+    out = shuffle_shards(
+        _t(spark, sf_dir, "documents"), n_shards=16, bucket_fn=bucket_minstd
+    )
+    return out.select("doc_id", "shard", "pos")
+
+
 def q_image_dhash(spark, sf_dir):
     """Perceptual dHash under a hard analytic oracle: PNG fixtures carry
     formula pixels (the image_resize closed forms) encoded through all
@@ -2444,6 +2458,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_dhash": q_image_dhash,            # perceptual hash, analytic twin
         "crawl_schedule": q_crawl_schedule,      # politeness waves + slot hash
         "temperature_sample": q_temperature_sample,  # T=2 language rebalancing
+        "shuffle_shards": q_shuffle_shards,      # reproducible training order
         # hard SQL twins, demoted for subsumption (coverage noted)
         "counter_rollup": q_counter_rollup,      # R8/R9; resume_status re-derives the committed counters
         "topk_per_group": q_topk_per_group,      # top-k: tfidf_topk + cap_per_group
@@ -4096,6 +4111,22 @@ def _handwritten_oracles() -> dict[str, str]:
             WHERE ((d.doc_id % 2147483647 + 2147483647) % 2147483647
                    * 48271) % 2147483647 % 1000000 < r._cut
         """.format(ws=_WSTOKS),
+        # shard-shuffle twin: both MINSTD rounds and every (shard, pos)
+        # placement recomputed
+        "shuffle_shards": """
+            WITH h AS (
+              SELECT doc_id,
+                     ((doc_id % 2147483647 + 2147483647) % 2147483647
+                      * 48271) % 2147483647 AS r1
+              FROM documents
+            )
+            SELECT doc_id,
+                   CAST(r1 % 16 AS INT) AS shard,
+                   ROW_NUMBER() OVER (
+                     PARTITION BY r1 % 16
+                     ORDER BY (r1 * 48271) % 2147483647, doc_id) - 1 AS pos
+            FROM h
+        """,
         # dHash twin: every bit recomputed analytically from the fixture
         # pixel formulas — integer luma, nearest-neighbor map
         # (src = dst*src_dim // dst_dim), gradient compare, MSB-first

@@ -265,3 +265,43 @@ def temperature_sample(
         .where(bucket_fn(F.col(id_col), n_buckets) < F.col("_cut"))
         .drop("_grp", "_cut")
     )
+
+
+def shuffle_shards(
+    df: DataFrame,
+    n_shards: int,
+    id_col: str = "doc_id",
+    bucket_fn=bucket_xxhash,
+) -> DataFrame:
+    """Deterministic global training-order shuffle: lay the corpus out as
+    ``n_shards`` shard files with a pseudorandom but REPRODUCIBLE document
+    order — (shard, pos) appended to every row. The order is a pure
+    function of document identity (``bucket_fn`` hash, id tie-break), so
+    re-runs, resumes, and repartitions produce byte-identical shards —
+    the property ``.orderBy(rand())`` style shuffles lose.
+
+    shard = hash(id) % n_shards; pos = the row's rank inside its shard
+    under a second, independent application of the hash (full-range key,
+    id tie-break). Downstream writers emit one file per shard
+    (``partitionBy('shard')``) and trainers stream shards in any order.
+
+    Scale shape: one exchange keyed on ``shard`` + an in-partition sort —
+    exactly one shuffle, no global ordering step. Size ``n_shards`` so a
+    shard fits an executor's sort buffer (a corpus-size property, like
+    pack_sequences' n_streams). No reference analogue; part of the
+    training-data brief.
+    """
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    from pyspark.sql import Window
+
+    # full-range order key: rehash the bucket value so the within-shard
+    # order is independent of the shard assignment residue
+    shard = bucket_fn(F.col(id_col), n_shards).cast("int")
+    okey = bucket_fn(bucket_fn(F.col(id_col), MINSTD_MOD), MINSTD_MOD)
+    out = df.withColumn("shard", shard).withColumn("_okey", okey)
+    w = Window.partitionBy("shard").orderBy(F.col("_okey"), F.col(id_col))
+    return (
+        out.withColumn("pos", (F.row_number().over(w) - 1).cast("bigint"))
+        .drop("_okey")
+    )

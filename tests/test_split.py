@@ -226,3 +226,39 @@ def test_temperature_sample_partition_invariant_tokens_col(spark):
             df.repartition(11), tokens_col="n_tok", temperature=4.0).collect()
     )
     assert a == b and len(a) > 0
+
+
+def test_shuffle_shards_layout_and_invariance(spark):
+    from llm_food_spark.operators.split import bucket_minstd, shuffle_shards
+
+    df = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    a = sorted(map(tuple, shuffle_shards(
+        df, 8, bucket_fn=bucket_minstd).collect()))
+    b = sorted(map(tuple, shuffle_shards(
+        df.repartition(13), 8, bucket_fn=bucket_minstd).collect()))
+    assert a == b
+    by_shard = {}
+    for doc_id, shard, pos in a:
+        assert 0 <= shard < 8
+        by_shard.setdefault(shard, []).append((pos, doc_id))
+    for shard, rows in by_shard.items():
+        rows.sort()
+        # pos is a dense permutation 0..n-1 within the shard
+        assert [p for p, _ in rows] == list(range(len(rows)))
+        # and the order is scrambled, not id order
+        ids = [d for _, d in rows]
+        assert ids != sorted(ids)
+    # exact portable arithmetic: two MINSTD rounds, id tie-break
+    M, A = 2_147_483_647, 48_271
+    expect = {}
+    for i in range(2000):
+        r1 = (i % M * A) % M
+        expect.setdefault(r1 % 8, []).append(((r1 * A) % M, i))
+    for shard, keyed in expect.items():
+        keyed.sort()
+        got = sorted((p, d) for d, s, p in a if s == shard)
+        assert [d for _, d in keyed] == [d for _, d in got]
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        shuffle_shards(df, 0)
