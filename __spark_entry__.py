@@ -376,6 +376,21 @@ def q_shuffle_shards(spark, sf_dir):
     return out.select("doc_id", "shard", "pos")
 
 
+def q_unimax_sample(spark, sf_dir):
+    """UniMax epoch-capped budget sampling
+    (operators/split.py::unimax_sample): 40k-token budget, 2-epoch cap,
+    MINSTD fractional selection. Hard oracle: DuckDB recomputes the
+    whole waterfilling allocation (prefix sums, first cap violation,
+    constant fair share) AND every emitted (doc, epoch) copy."""
+    from llm_food_spark.operators.split import bucket_minstd, unimax_sample
+
+    out = unimax_sample(
+        _t(spark, sf_dir, "documents"), budget_tokens=40_000, max_epochs=2,
+        group_col="lang", bucket_fn=bucket_minstd,
+    )
+    return out.select("doc_id", "lang", "epoch")
+
+
 def q_image_dhash(spark, sf_dir):
     """Perceptual dHash under a hard analytic oracle: PNG fixtures carry
     formula pixels (the image_resize closed forms) encoded through all
@@ -2459,6 +2474,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_schedule": q_crawl_schedule,      # politeness waves + slot hash
         "temperature_sample": q_temperature_sample,  # T=2 language rebalancing
         "shuffle_shards": q_shuffle_shards,      # reproducible training order
+        "unimax_sample": q_unimax_sample,        # epoch-capped budget waterfill
         # hard SQL twins, demoted for subsumption (coverage noted)
         "counter_rollup": q_counter_rollup,      # R8/R9; resume_status re-derives the committed counters
         "topk_per_group": q_topk_per_group,      # top-k: tfidf_topk + cap_per_group
@@ -4127,6 +4143,53 @@ def _handwritten_oracles() -> dict[str, str]:
                      ORDER BY (r1 * 48271) % 2147483647, doc_id) - 1 AS pos
             FROM h
         """,
+        # UniMax twin: the full waterfilling allocation (ascending prefix
+        # sums, first cap violation, constant fair share) and the
+        # floor/fractional-hash expansion, all recomputed
+        "unimax_sample": """
+            WITH per AS (
+              SELECT lang, SUM(len({ws}))::BIGINT AS n_tokens
+              FROM documents GROUP BY lang
+              HAVING SUM(len({ws})) > 0
+            ), rk AS (
+              SELECT lang, n_tokens, n_tokens * 2 AS _cap,
+                     ROW_NUMBER() OVER (ORDER BY n_tokens, lang) AS _i,
+                     COALESCE(SUM(n_tokens * 2) OVER (
+                       ORDER BY n_tokens, lang
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING), 0) AS _cum,
+                     COUNT(*) OVER () AS _L
+              FROM per
+            ), f AS (
+              SELECT *, (40000 - _cum) / (_L - _i + 1) AS _fair FROM rk
+            ), ks AS (
+              SELECT MIN(CASE WHEN _cap > _fair THEN _i END) AS _kstar
+              FROM f
+            ), fs AS (
+              SELECT MIN(CASE WHEN _i = _kstar THEN _fair END) AS _fairstar
+              FROM f CROSS JOIN ks
+            ), ep AS (
+              SELECT lang,
+                     CASE WHEN _kstar IS NULL OR _i < _kstar
+                          THEN _cap::DOUBLE ELSE _fairstar END
+                       / n_tokens AS epochs
+              FROM f CROSS JOIN ks CROSS JOIN fs
+            ), r AS (
+              SELECT lang, CAST(floor(epochs) AS BIGINT) AS _full,
+                     CAST(floor((epochs - floor(epochs)) * 1000000)
+                          AS BIGINT) AS _fcut
+              FROM ep
+            ), n AS (
+              SELECT d.doc_id, d.lang,
+                     r._full + CASE WHEN
+                       ((d.doc_id % 2147483647 + 2147483647) % 2147483647
+                        * 48271) % 2147483647 % 1000000 < r._fcut
+                       THEN 1 ELSE 0 END AS _n
+              FROM documents d JOIN r USING (lang)
+            )
+            SELECT doc_id, lang, UNNEST(range(0, _n)) AS epoch
+            FROM n WHERE _n > 0
+        """.format(ws=_WSTOKS),
         # dHash twin: every bit recomputed analytically from the fixture
         # pixel formulas — integer luma, nearest-neighbor map
         # (src = dst*src_dim // dst_dim), gradient compare, MSB-first

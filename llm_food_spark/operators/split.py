@@ -305,3 +305,132 @@ def shuffle_shards(
         out.withColumn("pos", (F.row_number().over(w) - 1).cast("bigint"))
         .drop("_okey")
     )
+
+
+def unimax_epochs(
+    df: DataFrame,
+    budget_tokens: int,
+    max_epochs: int = 4,
+    group_col: str = "lang",
+    tokens_col: str = None,
+    text_col: str = "text",
+) -> DataFrame:
+    """UniMax budget allocation (Chung et al. 2023): spread a total token
+    budget as uniformly as possible across groups, capping every group at
+    ``max_epochs`` passes over its data -> (group, n_tokens, alloc_tokens,
+    epochs).
+
+    Waterfilling closed form: with groups sorted by token count
+    ascending, the sequential fair share (B - sum of caps granted so far)
+    / (groups remaining) stays CONSTANT once a group's cap exceeds it —
+    so the allocation is: caps for every group before the first
+    violation, the violation-point fair share for all after. One window
+    prefix-sum computes it exactly; no iteration.
+
+    Scale shape: one map-side-combined corpus aggregation down to the
+    group table (#languages rows), then single-partition windows over
+    that tiny frame (the BPE round-table discipline) and two broadcast
+    1-row reductions — the corpus is touched once. If the budget exceeds
+    the full cap (B >= max_epochs * total), every group gets its cap and
+    the leftover stays unallocated (the paper's semantics).
+    """
+    from pyspark.sql import Window
+
+    from .util import ensure_min_partitions
+
+    if budget_tokens <= 0:
+        raise ValueError("budget_tokens must be > 0")
+    if max_epochs <= 0:
+        raise ValueError("max_epochs must be > 0")
+    if tokens_col:
+        toks = F.col(tokens_col).cast("long")
+    else:
+        from .textops import token_count
+
+        toks = token_count(F.col(text_col)).cast("long")
+    per = ensure_min_partitions(df).groupBy(
+        F.col(group_col).alias("_grp")
+    ).agg(F.sum(toks).alias("n_tokens")).where(F.col("n_tokens") > 0)
+    w = Window.orderBy("n_tokens", "_grp")
+    wall = Window.partitionBy(F.lit(0))
+    capped = (F.col("n_tokens") * F.lit(max_epochs)).cast("long")
+    ranked = per.select(
+        "_grp", "n_tokens",
+        capped.alias("_cap"),
+        F.row_number().over(w).alias("_i"),
+        F.coalesce(
+            F.sum(capped).over(w.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ).alias("_cum"),
+        F.count(F.lit(1)).over(wall).alias("_L"),
+    ).withColumn(
+        "_fair",
+        (F.lit(budget_tokens) - F.col("_cum"))
+        / (F.col("_L") - F.col("_i") + 1),
+    )
+    kstar = ranked.select(
+        F.min(F.when(F.col("_cap") > F.col("_fair"), F.col("_i")))
+        .alias("_kstar")
+    )
+    j = ranked.crossJoin(F.broadcast(kstar))
+    fairstar = j.select(
+        F.min(F.when(F.col("_i") == F.col("_kstar"), F.col("_fair")))
+        .alias("_fairstar")
+    )
+    alloc = F.when(
+        F.col("_kstar").isNull() | (F.col("_i") < F.col("_kstar")),
+        F.col("_cap").cast("double"),
+    ).otherwise(F.col("_fairstar"))
+    return (
+        j.crossJoin(F.broadcast(fairstar))
+        .select(
+            F.col("_grp").alias(group_col),
+            "n_tokens",
+            alloc.alias("alloc_tokens"),
+            (alloc / F.col("n_tokens")).alias("epochs"),
+        )
+    )
+
+
+def unimax_sample(
+    df: DataFrame,
+    budget_tokens: int,
+    max_epochs: int = 4,
+    group_col: str = "lang",
+    tokens_col: str = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 1_000_000,
+    bucket_fn=bucket_xxhash,
+) -> DataFrame:
+    """Apply a ``unimax_epochs`` allocation to documents: each row is
+    emitted floor(epochs) times, plus one more copy for the
+    deterministically-hash-selected fraction that realizes the
+    fractional remainder — so the emitted token mass matches the
+    allocation in expectation with zero random state. Appends ``epoch``
+    (0-based copy index); groups with zero allocation drop out.
+
+    Scale shape: the allocation is a broadcast #groups-row frame; the
+    expansion is one zero-shuffle generator over the corpus (explode of
+    a bounded int sequence, max ``max_epochs + 1`` copies).
+    """
+    rates = unimax_epochs(
+        df, budget_tokens, max_epochs, group_col, tokens_col, text_col
+    ).select(
+        F.col(group_col).alias("_grp"),
+        F.floor("epochs").cast("long").alias("_full"),
+        F.floor(
+            (F.col("epochs") - F.floor("epochs")) * F.lit(n_buckets)
+        ).cast("long").alias("_fcut"),
+    )
+    n_copies = F.col("_full") + F.when(
+        bucket_fn(F.col(id_col), n_buckets) < F.col("_fcut"), 1
+    ).otherwise(0)
+    out = (
+        df.join(F.broadcast(rates), df[group_col] == rates["_grp"])
+        .withColumn("_n", n_copies)
+        .where(F.col("_n") > 0)
+        .withColumn("epoch", F.explode(F.sequence(F.lit(0), F.col("_n") - 1)))
+        .drop("_grp", "_full", "_fcut", "_n")
+    )
+    return out

@@ -262,3 +262,62 @@ def test_shuffle_shards_layout_and_invariance(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         shuffle_shards(df, 0)
+
+
+def _unimax_frame(spark):
+    # token totals: a=50, b=100, c=500
+    rows = ([(i, "a", 10) for i in range(5)]
+            + [(100 + i, "b", 10) for i in range(10)]
+            + [(200 + i, "c", 10) for i in range(50)])
+    return spark.createDataFrame(rows, "doc_id long, lang string, n_tok int")
+
+
+def test_unimax_epochs_waterfilling(spark):
+    from llm_food_spark.operators.split import unimax_epochs
+
+    df = _unimax_frame(spark)
+    # B=1000, c=4: a,b capped (200, 400); c gets the constant fair 400
+    got = {r["lang"]: (r["alloc_tokens"], r["epochs"])
+           for r in unimax_epochs(df, 1000, 4, tokens_col="n_tok").collect()}
+    assert got == {"a": (200.0, 4.0), "b": (400.0, 4.0), "c": (400.0, 0.8)}
+    # budget above the full cap: everyone capped, leftover unallocated
+    got = {r["lang"]: r["epochs"]
+           for r in unimax_epochs(df, 10_000, 4, tokens_col="n_tok").collect()}
+    assert got == {"a": 4.0, "b": 4.0, "c": 4.0}
+    # crossover at the first group: uniform budget for all
+    got = {r["lang"]: (r["alloc_tokens"], r["epochs"])
+           for r in unimax_epochs(df, 300, 4, tokens_col="n_tok").collect()}
+    assert got == {"a": (100.0, 2.0), "b": (100.0, 1.0), "c": (100.0, 0.2)}
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        unimax_epochs(df, 0)
+    with _pytest.raises(ValueError):
+        unimax_epochs(df, 100, max_epochs=0)
+
+
+def test_unimax_sample_expansion(spark):
+    from llm_food_spark.operators.split import bucket_minstd, unimax_sample
+
+    df = _unimax_frame(spark)
+    out = unimax_sample(df, 1000, 4, tokens_col="n_tok",
+                        bucket_fn=bucket_minstd).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r["epoch"])
+    # a and b run 4 full epochs: copies 0..3 for every doc
+    for i in list(range(5)) + list(range(100, 110)):
+        assert sorted(by_doc[i]) == [0, 1, 2, 3]
+    # c at 0.8 epochs: exactly the docs under the hash cut, single copy
+    M, A = 2_147_483_647, 48_271
+    cut = 800_000
+    for i in range(200, 250):
+        bucket = (i % M * A) % M % 1_000_000
+        if bucket < cut:
+            assert by_doc[i] == [0]
+        else:
+            assert i not in by_doc
+    # partition invariance
+    again = sorted((r["doc_id"], r["epoch"]) for r in unimax_sample(
+        df.repartition(9), 1000, 4, tokens_col="n_tok",
+        bucket_fn=bucket_minstd).collect())
+    assert again == sorted((r["doc_id"], r["epoch"]) for r in out)
