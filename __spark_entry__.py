@@ -391,6 +391,20 @@ def q_unimax_sample(spark, sf_dir):
     return out.select("doc_id", "lang", "epoch")
 
 
+def q_kn_perplexity(spark, sf_dir):
+    """Interpolated Kneser-Ney perplexity
+    (operators/lm_score.py::train_kn_lm + kn_perplexity): absolute
+    discount 0.75, continuation-probability backoff. Hard oracle: DuckDB
+    retrains the identical model — bigram counts, per-context follower
+    counts, continuation distribution, reserved OOV floor — and
+    recomputes every document's logprob and ppl to 4dp."""
+    from llm_food_spark.operators.lm_score import kn_perplexity, train_kn_lm
+
+    d = _t(spark, sf_dir, "documents")
+    lm = train_kn_lm(d)
+    return kn_perplexity(d, lm, broadcast_model=True)
+
+
 def q_image_dhash(spark, sf_dir):
     """Perceptual dHash under a hard analytic oracle: PNG fixtures carry
     formula pixels (the image_resize closed forms) encoded through all
@@ -2475,6 +2489,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_sample": q_temperature_sample,  # T=2 language rebalancing
         "shuffle_shards": q_shuffle_shards,      # reproducible training order
         "unimax_sample": q_unimax_sample,        # epoch-capped budget waterfill
+        "kn_perplexity": q_kn_perplexity,        # Kneser-Ney retrain twin
         # hard SQL twins, demoted for subsumption (coverage noted)
         "counter_rollup": q_counter_rollup,      # R8/R9; resume_status re-derives the committed counters
         "topk_per_group": q_topk_per_group,      # top-k: tfidf_topk + cap_per_group
@@ -4190,6 +4205,53 @@ def _handwritten_oracles() -> dict[str, str]:
             SELECT doc_id, lang, UNNEST(range(0, _n)) AS epoch
             FROM n WHERE _n > 0
         """.format(ws=_WSTOKS),
+        # Kneser-Ney twin: DuckDB retrains the whole model (bigram counts,
+        # context follower counts, continuation distribution, OOV floor)
+        # and rescores every document
+        "kn_perplexity": """
+            WITH toks AS (
+              SELECT doc_id,
+                     string_split(trim(regexp_replace(lower(text),
+                       '[^a-z]+', ' ', 'g')), ' ') AS l
+              FROM documents
+            ), tok AS (
+              SELECT doc_id, i - 1 AS pos, l[i] AS w2,
+                     CASE WHEN i = 1 THEN '' ELSE l[i-1] END AS w1
+              FROM toks, LATERAL (SELECT unnest(range(1, len(l) + 1)) AS i) u
+              WHERE l[1] <> ''
+            ), bg AS (
+              SELECT w1, w2, COUNT(*)::BIGINT AS c12
+              FROM tok WHERE pos > 0 GROUP BY 1, 2
+            ), ctx AS (
+              SELECT w1, SUM(c12)::BIGINT AS c1,
+                     COUNT(*)::BIGINT AS n1p_fw
+              FROM bg GROUP BY 1
+            ), tt AS (SELECT COUNT(*)::BIGINT AS types FROM bg),
+            cont AS (
+              SELECT w2, COUNT(*)::BIGINT / types AS p_cont
+              FROM bg CROSS JOIN tt GROUP BY w2, types
+            ), scored AS (
+              SELECT t.doc_id,
+                     CASE WHEN x.c1 IS NULL
+                          THEN coalesce(cn.p_cont, 1.0 / (tt.types + 1))
+                          ELSE (GREATEST(
+                                  coalesce(b.c12, 0)::DOUBLE - 0.75, 0.0)
+                                + 0.75 * x.n1p_fw
+                                  * coalesce(cn.p_cont,
+                                             1.0 / (tt.types + 1)))
+                               / x.c1
+                     END AS p
+              FROM tok t
+              CROSS JOIN tt
+              LEFT JOIN cont cn ON cn.w2 = t.w2
+              LEFT JOIN bg b ON b.w1 = t.w1 AND b.w2 = t.w2
+              LEFT JOIN ctx x ON x.w1 = t.w1
+            )
+            SELECT doc_id, COUNT(*)::BIGINT AS n_tokens,
+                   round(SUM(ln(p)), 4) AS logprob,
+                   round(exp(-SUM(ln(p)) / COUNT(*)), 4) AS ppl
+            FROM scored GROUP BY doc_id
+        """,
         # dHash twin: every bit recomputed analytically from the fixture
         # pixel formulas — integer luma, nearest-neighbor map
         # (src = dst*src_dim // dst_dim), gradient compare, MSB-first

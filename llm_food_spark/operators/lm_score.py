@@ -198,3 +198,104 @@ def ppl_buckets(
         .otherwise(F.lit("tail"))
         .alias("bucket"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Interpolated Kneser-Ney (the KenLM/CCNet-production smoothing family)
+# ---------------------------------------------------------------------------
+
+KN_DISCOUNT = 0.75  # fixed absolute discount D (Chen & Goodman 1999)
+
+
+class KNBigramLM(NamedTuple):
+    """Kneser-Ney model frames: all keyed on token strings.
+
+    - contexts: (w1, c1, n1p_fw) — bigram-start total and the number of
+      DISTINCT followers of w1 (the backoff mass multiplier).
+    - bigrams:  (w1, w2, c12) — raw bigram counts (discounted at score
+      time so the formula stays one flat expression).
+    - continuations: (w2, p_cont) — Kneser-Ney continuation probability
+      n1p(.w2) / |distinct bigram types|: "how many contexts has w2
+      completed", the insight that makes KN beat count interpolation on
+      burst words like 'francisco'.
+    - oov_cont: floor for tokens never seen as a bigram completion,
+      1 / (bigram_types + 1) (the add-one reserved-mass convention this
+      module already uses for the JM unigram floor).
+    """
+
+    contexts: DataFrame
+    bigrams: DataFrame
+    continuations: DataFrame
+    oov_cont: float
+    bigram_types: int
+
+
+def train_kn_lm(train: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> KNBigramLM:
+    """Count-based KN training: one bigram groupBy plus two reductions of
+    it (per-context and per-completion distinct counts) — the bigram
+    shuffle is the only corpus-sized exchange; everything after is
+    model-sized. The distinct-bigram-type total is a single-row collect
+    (one long), the same documented exception as train_bigram_lm's N/V.
+    """
+    pairs = _bigram_pairs(train, id_col, text_col).where(F.col("pos") > 0)
+    bg = pairs.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    ctx = bg.groupBy("w1").agg(
+        F.sum("c12").alias("c1"), F.count("*").alias("n1p_fw")
+    )
+    types_total = int(bg.count())
+    cont = bg.groupBy("w2").agg(F.count("*").alias("n1p_bw")).select(
+        "w2", (F.col("n1p_bw") / F.lit(types_total)).alias("p_cont")
+    )
+    return KNBigramLM(ctx, bg, cont, 1.0 / (types_total + 1), types_total)
+
+
+def kn_perplexity(
+    docs: DataFrame,
+    lm: KNBigramLM,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast_model: bool = False,
+    ndigits: int = 4,
+) -> DataFrame:
+    """Score documents under interpolated Kneser-Ney:
+
+        p(w2|w1) = (max(c12 - D, 0) + D * n1p_fw(w1) * p_cont(w2)) / c1(w1)
+
+    for seen contexts; unseen contexts (and position 0) fall back to the
+    continuation distribution, OOV completions to the reserved floor.
+    -> (doc_id, n_tokens, logprob, ppl), floats rounded to ``ndigits``.
+
+    Scale shape mirrors ``perplexity``: one narrow posexplode, three left
+    joins keyed on token strings (broadcast when the model fits — the
+    right call for any trained-on-clean-corpus model), one final per-doc
+    aggregation. Hot stopword keys are probe-side skew only.
+    """
+    ctx, bg, cont = lm.contexts, lm.bigrams, lm.continuations
+    if broadcast_model:
+        ctx, bg, cont = F.broadcast(ctx), F.broadcast(bg), F.broadcast(cont)
+    tok = _bigram_pairs(docs, id_col, text_col)
+    pc = F.coalesce("p_cont", F.lit(lm.oov_cont))
+    d = F.lit(KN_DISCOUNT)
+    seen = (
+        F.greatest(
+            F.coalesce(F.col("c12"), F.lit(0)).cast("double") - d, F.lit(0.0)
+        )
+        + d * F.col("n1p_fw") * pc
+    ) / F.col("c1")
+    scored = (
+        tok.join(cont, "w2", "left")
+        .join(bg, ["w1", "w2"], "left")
+        .join(ctx, "w1", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("c1").isNull(), pc).otherwise(seen).alias("p"),
+        )
+    )
+    lp = F.sum(F.log("p"))
+    nt = F.count("*")
+    return scored.groupBy("doc_id").agg(
+        nt.cast("long").alias("n_tokens"),
+        F.round(lp, ndigits).alias("logprob"),
+        F.round(F.exp(-lp / nt), ndigits).alias("ppl"),
+    )

@@ -107,3 +107,49 @@ def test_ppl_buckets_partition_invariance(spark):
     a = ppl_buckets(scored).orderBy("doc_id").collect()
     b = ppl_buckets(scored.repartition(7)).orderBy("doc_id").collect()
     assert a == b
+
+
+def test_kn_hand_case(spark):
+    from llm_food_spark.operators.lm_score import kn_perplexity, train_kn_lm
+    import math
+
+    train = spark.createDataFrame([(1, "a b a c a b")], "doc_id long, text string")
+    lm = train_kn_lm(train)
+    # bigrams: (a,b):2 (b,a):1 (a,c):1 (c,a):1 -> 4 types
+    assert lm.bigram_types == 4
+    assert lm.oov_cont == 1.0 / 5.0
+    ctx = {r["w1"]: (r["c1"], r["n1p_fw"]) for r in lm.contexts.collect()}
+    assert ctx == {"a": (3, 2), "b": (1, 1), "c": (1, 1)}
+    cont = {r["w2"]: r["p_cont"] for r in lm.continuations.collect()}
+    assert cont == {"a": 0.5, "b": 0.25, "c": 0.25}
+
+    docs = spark.createDataFrame(
+        [(10, "a b x"), (11, "x a")], "doc_id long, text string")
+    got = {r["doc_id"]: r for r in kn_perplexity(
+        docs, lm, broadcast_model=True, ndigits=6).collect()}
+    # doc 10: p(a|<s>)=cont 0.5; p(b|a)=(max(2-.75,0)+.75*2*.25)/3;
+    #         p(x|b)= (0 + .75*1*.2)/1  (x OOV -> floor continuation)
+    ps = [0.5, (1.25 + 0.75 * 2 * 0.25) / 3, 0.75 * 1 * 0.2]
+    lp = sum(math.log(p) for p in ps)
+    assert got[10]["n_tokens"] == 3
+    assert abs(got[10]["logprob"] - round(lp, 6)) < 1e-9
+    assert abs(got[10]["ppl"] - round(math.exp(-lp / 3), 6)) < 1e-9
+    # doc 11: p(x|<s>)=oov floor 0.2; p(a|x)=unseen context -> cont 0.5
+    lp2 = math.log(0.2) + math.log(0.5)
+    assert abs(got[11]["logprob"] - round(lp2, 6)) < 1e-9
+
+
+def test_kn_partition_invariance_and_better_on_indomain(spark):
+    from llm_food_spark.operators.lm_score import kn_perplexity, train_kn_lm
+
+    rows = [(i, "the cat sat on the mat " * 3) for i in range(20)] + [
+        (100 + i, "xylo quun %d zzyx" % i) for i in range(5)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    lm = train_kn_lm(docs)
+    a = sorted(map(tuple, kn_perplexity(docs, lm).collect()))
+    b = sorted(map(tuple, kn_perplexity(
+        docs.repartition(7), lm, broadcast_model=True).collect()))
+    assert a == b
+    ppl = {r[0]: r[3] for r in a}
+    # in-domain repeated text scores far lower perplexity than gibberish
+    assert ppl[0] < ppl[100]
