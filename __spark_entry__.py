@@ -2466,15 +2466,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_encode": q_bpe_encode,
         "bm25_search": q_bm25_search,
         "cap_per_group": q_cap_per_group,
-        "split_assign": q_split_assign,
+        "unimax_sample": q_unimax_sample,        # epoch-capped budget waterfill; recomputes split_assign's MINSTD membership arithmetic plus the whole allocation
         "pack_sequences": q_pack_sequences,
         "web_prep_full": q_web_prep_full,        # subsumes web_prep
+        "kn_perplexity": q_kn_perplexity,        # Kneser-Ney full model retrain
         # multimodal (analytic hex-byte twins)
         "image_resize": q_image_resize,
-        "media_meta": q_media_meta,
         # ---- slot 51+ : repo-gated only (tools/check_oracles.py) --------
         # hard SQL twins added after the round-4 slot allocation
-        "media_frames": q_media_frames,          # demoted for dsir_select; media family keeps image_resize/media_meta slots, Y4M pts arithmetic stays repo-gated
+        "split_assign": q_split_assign,          # demoted for unimax_sample: the identical MINSTD double-mod cut membership is recomputed there (and in temperature_sample); the split-weights form stays repo-gated
+        "media_meta": q_media_meta,              # demoted for kn_perplexity; image_resize holds the analytic media slot, the RIFF/Y4M header arithmetic stays repo-gated
+        "media_frames": q_media_frames,          # demoted for dsir_select; media family keeps the image_resize slot, Y4M pts arithmetic stays repo-gated
         "corpus_mixture": q_corpus_mixture,      # demoted for pq_ann_seeded: same partial+final hash-agg shape host_stats holds a slot for; mixture share arithmetic stays repo-gated
         "cosine_topk": q_cosine_topk,            # demoted for hits_seeded: the three ann_*_seeded slots recompute the identical cosine+rank arithmetic through their banding plans; the exact brute-force twin stays repo-gated
         "audio_chunk": q_audio_chunk,            # demoted for semantic_dedup_seeded; media family keeps image_resize/media_meta slots, PCM window arithmetic stays repo-gated
@@ -2488,8 +2490,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_schedule": q_crawl_schedule,      # politeness waves + slot hash
         "temperature_sample": q_temperature_sample,  # T=2 language rebalancing
         "shuffle_shards": q_shuffle_shards,      # reproducible training order
-        "unimax_sample": q_unimax_sample,        # epoch-capped budget waterfill
-        "kn_perplexity": q_kn_perplexity,        # Kneser-Ney retrain twin
         # hard SQL twins, demoted for subsumption (coverage noted)
         "counter_rollup": q_counter_rollup,      # R8/R9; resume_status re-derives the committed counters
         "topk_per_group": q_topk_per_group,      # top-k: tfidf_topk + cap_per_group
