@@ -405,6 +405,20 @@ def q_kn_perplexity(spark, sf_dir):
     return kn_perplexity(d, lm, broadcast_model=True)
 
 
+def q_cdc_chunks(spark, sf_dir):
+    """Content-defined chunking (operators/chunk.py::cdc_chunk_table,
+    gear-hash CDC at mask_bits=8). Hard oracle: because 2^j vanishes mod
+    2^8 for j >= 8, the masked rolling hash is a pure 8-char window
+    function — DuckDB recomputes it per position with 7 LAGs over the
+    MINSTD gear values and rebuilds every boundary, chunk id, offset,
+    and chunk string."""
+    from llm_food_spark.operators.chunk import cdc_chunk_table
+
+    return cdc_chunk_table(
+        _t(spark, sf_dir, "documents"), mask_bits=8
+    )
+
+
 def q_image_dhash(spark, sf_dir):
     """Perceptual dHash under a hard analytic oracle: PNG fixtures carry
     formula pixels (the image_resize closed forms) encoded through all
@@ -2490,6 +2504,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_schedule": q_crawl_schedule,      # politeness waves + slot hash
         "temperature_sample": q_temperature_sample,  # T=2 language rebalancing
         "shuffle_shards": q_shuffle_shards,      # reproducible training order
+        "cdc_chunks": q_cdc_chunks,              # gear-hash content-defined cuts
         # hard SQL twins, demoted for subsumption (coverage noted)
         "counter_rollup": q_counter_rollup,      # R8/R9; resume_status re-derives the committed counters
         "topk_per_group": q_topk_per_group,      # top-k: tfidf_topk + cap_per_group
@@ -4251,6 +4266,51 @@ def _handwritten_oracles() -> dict[str, str]:
                    round(SUM(ln(p)), 4) AS logprob,
                    round(exp(-SUM(ln(p)) / COUNT(*)), 4) AS ppl
             FROM scored GROUP BY doc_id
+        """,
+        # CDC twin: the masked gear hash is an exact 8-char window
+        # function (2^j vanishes mod 2^8 for j>=8), so 7 LAGs over the
+        # MINSTD gear values rebuild every boundary and chunk
+        "cdc_chunks": """
+            WITH chars AS (
+              SELECT doc_id, i - 1 AS pos, n,
+                     ((ord(cs[i])::BIGINT + 1) * 48271 % 2147483647)
+                       * 48271 % 2147483647 AS g
+              FROM (SELECT doc_id, split(text, '') AS cs, len(text) AS n
+                    FROM documents WHERE len(text) > 0),
+                   LATERAL (SELECT unnest(range(1, len(cs) + 1)) AS i) u
+            ), h AS (
+              SELECT doc_id, pos, n,
+                     (g
+                      + COALESCE(lag(g, 1) OVER w, 0) * 2
+                      + COALESCE(lag(g, 2) OVER w, 0) * 4
+                      + COALESCE(lag(g, 3) OVER w, 0) * 8
+                      + COALESCE(lag(g, 4) OVER w, 0) * 16
+                      + COALESCE(lag(g, 5) OVER w, 0) * 32
+                      + COALESCE(lag(g, 6) OVER w, 0) * 64
+                      + COALESCE(lag(g, 7) OVER w, 0) * 128) % 256 AS hv
+              FROM chars
+              WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+            ), b AS (
+              SELECT doc_id, pos,
+                     CASE WHEN pos >= 7 AND pos < n - 1 AND hv = 0
+                          THEN 1 ELSE 0 END AS is_b
+              FROM h
+            ), cid AS (
+              SELECT doc_id, pos,
+                     COALESCE(SUM(is_b) OVER (
+                       PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING), 0) AS chunk_id
+              FROM b
+            ), spans AS (
+              SELECT doc_id, chunk_id, MIN(pos) AS start,
+                     COUNT(*)::BIGINT AS length
+              FROM cid GROUP BY doc_id, chunk_id
+            )
+            SELECT s.doc_id, s.chunk_id, s.start, s.length,
+                   substr(d.text, CAST(s.start + 1 AS INT),
+                          CAST(s.length AS INT)) AS chunk
+            FROM spans s JOIN documents d USING (doc_id)
         """,
         # dHash twin: every bit recomputed analytically from the fixture
         # pixel formulas — integer luma, nearest-neighbor map

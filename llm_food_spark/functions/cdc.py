@@ -1,0 +1,109 @@
+"""Content-defined chunking (gear-hash CDC, the FastCDC family).
+
+Splits text at positions where a rolling hash of the trailing window
+hits zero — boundaries are a function of local CONTENT, not offsets, so
+an insertion early in a document shifts at most one chunk instead of
+re-cutting everything (the property fixed-size chunking lacks, and the
+reason storage/dedup systems chunk this way). Applied to webtext it
+yields shift-stable sub-document units for chunk-level dedup.
+
+Portable arithmetic (the split.py verification-twin discipline): the
+per-character gear value is two MINSTD rounds of (codepoint + 1), and
+because 2^j vanishes mod 2^W for j >= W, the masked gear hash at
+position i depends on EXACTLY the last ``mask_bits`` characters:
+
+    h_i = sum_{j=0}^{W-1} gear(c_{i-j}) * 2^j   (mod 2^W)
+
+— a closed form a SQL oracle reproduces with W-1 LAG terms. Expected
+chunk length is 2^mask_bits characters.
+
+No reference analogue (llm-food chunks by token count: app.py:419-420);
+part of the training-data brief.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+_MOD = 2_147_483_647
+_MUL = 48_271
+
+
+def _gear_hash(codes: np.ndarray, mask_bits: int) -> np.ndarray:
+    """Masked rolling gear hash per position (valid from mask_bits-1 on)."""
+    n = len(codes)
+    g = ((codes.astype(np.int64) + 1) * _MUL % _MOD) * _MUL % _MOD
+    h = np.zeros(n, dtype=np.int64)
+    for j in range(min(mask_bits, n)):
+        h[j:] += g[: n - j] << j
+    return h & ((1 << mask_bits) - 1)
+
+
+def cdc_boundaries(
+    text: str,
+    mask_bits: int = 8,
+    min_size: int = 1,
+    max_size: Optional[int] = None,
+) -> List[int]:
+    """0-based inclusive chunk-END positions (the final position is never
+    listed; the tail chunk always exists). ``min_size`` suppresses
+    candidates that would cut a chunk shorter than min_size chars;
+    ``max_size`` forces a cut when no candidate arrives in time."""
+    if mask_bits < 1:
+        raise ValueError("mask_bits must be >= 1")
+    if min_size < 1:
+        raise ValueError("min_size must be >= 1")
+    if max_size is not None and max_size < min_size:
+        raise ValueError("max_size must be >= min_size")
+    n = len(text)
+    if n == 0:
+        return []
+    codes = np.frombuffer(text.encode("utf-32-le"), dtype="<u4")
+    h = _gear_hash(codes, mask_bits)
+    idx = np.arange(n)
+    cand = np.flatnonzero((h == 0) & (idx >= mask_bits - 1) & (idx < n - 1))
+    if min_size <= 1 and max_size is None:
+        return cand.tolist()
+    out: List[int] = []
+    last = -1
+    ci = 0
+    m = len(cand)
+    while True:
+        nxt = None
+        while ci < m:
+            c = int(cand[ci])
+            if c - last >= min_size:
+                nxt = c
+                break
+            ci += 1
+        if max_size is not None:
+            forced = last + max_size
+            if forced < n - 1 and (nxt is None or nxt > forced):
+                out.append(forced)
+                last = forced
+                continue
+        if nxt is None:
+            return out
+        out.append(nxt)
+        last = nxt
+        ci += 1
+
+
+def cdc_chunks(
+    text: str,
+    mask_bits: int = 8,
+    min_size: int = 1,
+    max_size: Optional[int] = None,
+) -> List[Tuple[int, int, str]]:
+    """-> [(start, length, chunk)] covering the text exactly."""
+    bounds = cdc_boundaries(text, mask_bits, min_size, max_size)
+    out: List[Tuple[int, int, str]] = []
+    start = 0
+    for b in bounds:
+        out.append((start, b - start + 1, text[start : b + 1]))
+        start = b + 1
+    if start < len(text):
+        out.append((start, len(text) - start, text[start:]))
+    return out

@@ -88,3 +88,52 @@ def chunk_table(
             F.lit(0 if strategy == "recursive" else chunk_overlap),
         )
     )
+
+
+def cdc_chunk_table(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    mask_bits: int = 8,
+    min_size: int = 1,
+    max_size: int = None,
+) -> DataFrame:
+    """Content-defined chunking (functions/cdc.py gear-hash CDC) ->
+    (doc_id, chunk_id, start, length, chunk): boundaries are a function
+    of local content, so chunk-level dedup survives insertions that
+    shift offsets (the FastCDC property; fixed-size and token-count
+    chunkers re-cut everything downstream of an edit).
+
+    Spark shape: one vectorized Arrow pass computing the chunk arrays
+    (numpy rolling hash per row, loop only over the Arrow batch), then
+    JVM-side posexplode — no shuffle at all; chunk rows inherit the
+    document's partition. Expected chunk length is 2^mask_bits chars."""
+    from ..functions.cdc import cdc_chunks
+
+    df = ensure_min_partitions(df)
+
+    def chunks_udf(texts: pd.Series) -> pd.Series:
+        return pd.Series(
+            [cdc_chunks(t or "", mask_bits, min_size, max_size)
+             for t in texts]
+        )
+
+    udf = F.pandas_udf(
+        chunks_udf,
+        T.ArrayType(T.StructType([
+            T.StructField("start", T.LongType()),
+            T.StructField("length", T.LongType()),
+            T.StructField("chunk", T.StringType()),
+        ])),
+    )
+    exploded = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(udf(F.col(text_col))).alias("chunk_id", "c"),
+    )
+    return exploded.select(
+        "doc_id",
+        F.col("chunk_id").cast("long"),
+        F.col("c.start").alias("start"),
+        F.col("c.length").alias("length"),
+        F.col("c.chunk").alias("chunk"),
+    )

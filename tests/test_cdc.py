@@ -1,0 +1,78 @@
+"""Content-defined chunking (functions/cdc.py + operators/chunk.py)."""
+
+import pytest
+
+from llm_food_spark.functions.cdc import cdc_boundaries, cdc_chunks
+
+
+TEXT = (
+    "Content defined chunking cuts where the rolling hash of the trailing "
+    "window hits zero, so boundaries travel with the bytes they follow. "
+) * 12
+
+
+def test_chunks_cover_text_exactly():
+    ch = cdc_chunks(TEXT, 8)
+    assert "".join(c for _, _, c in ch) == TEXT
+    pos = 0
+    for start, length, chunk in ch:
+        assert start == pos and length == len(chunk) >= 1
+        pos += length
+
+
+def test_boundary_is_a_window_function():
+    # a boundary at position i depends on exactly the last mask_bits chars:
+    # editing the char just before the window must not move it
+    W = 6
+    bounds = [b for b in cdc_boundaries(TEXT, W) if b > W]
+    assert bounds, "fixture must produce at least one boundary"
+    b = bounds[0]
+    edited = TEXT[: b - W] + "#" + TEXT[b - W + 1 :]
+    assert b in cdc_boundaries(edited, W)
+    # editing INSIDE the window moves/kills it
+    edited2 = TEXT[:b] + "#" + TEXT[b + 1 :]
+    assert b not in cdc_boundaries(edited2, W)
+
+
+def test_shift_stability_on_insert():
+    a = {c for _, _, c in cdc_chunks(TEXT, 6)}
+    b = {c for _, _, c in cdc_chunks("INSERTED PREFIX :: " + TEXT, 6)}
+    # most chunks survive a prefix insertion (all but the first one or two)
+    assert len(a & b) >= len(a) - 2 and len(a) > 3
+
+
+def test_min_max_size():
+    ch = cdc_chunks(TEXT, 4, min_size=20, max_size=50)
+    assert all(20 <= l <= 50 for _, l, _ in ch[:-1])
+    assert all(l <= 50 for _, l, _ in ch)
+    assert "".join(c for _, _, c in ch) == TEXT
+    # max_size alone forces cuts on boundary-free text
+    flat = cdc_chunks("a" * 100, 8, max_size=30)
+    assert [l for _, l, _ in flat] == [30, 30, 30, 10]
+
+
+def test_edges_and_validation():
+    assert cdc_chunks("", 8) == []
+    assert cdc_chunks("ab", 8) == [(0, 2, "ab")]
+    with pytest.raises(ValueError):
+        cdc_boundaries("x", 0)
+    with pytest.raises(ValueError):
+        cdc_boundaries("x", 8, min_size=0)
+    with pytest.raises(ValueError):
+        cdc_boundaries("x", 8, min_size=10, max_size=5)
+
+
+def test_cdc_chunk_table_matches_pure_function(spark):
+    from llm_food_spark.operators.chunk import cdc_chunk_table
+
+    rows = [(1, TEXT), (2, ""), (3, "short"), (4, "中文" * 200 + TEXT[:300])]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(map(tuple, cdc_chunk_table(df, mask_bits=6).collect()))
+    want = []
+    for doc_id, t in rows:
+        for i, (s, l, c) in enumerate(cdc_chunks(t, 6)):
+            want.append((doc_id, i, s, l, c))
+    assert got == sorted(want)
+    again = sorted(map(tuple, cdc_chunk_table(
+        df.repartition(5), mask_bits=6).collect()))
+    assert got == again
