@@ -419,6 +419,23 @@ def q_cdc_chunks(spark, sf_dir):
     )
 
 
+def q_training_layout(spark, sf_dir):
+    """The final training-data layout
+    (operators/split.py::training_layout): reproducible global shuffle
+    chained into zero-waste packing in the shuffled order, one exchange
+    total. Hard oracle: DuckDB recomputes both MINSTD shuffle rounds,
+    whitespace token counts, and the per-shard running cumsum grid."""
+    from llm_food_spark.operators.split import bucket_minstd, training_layout
+    from llm_food_spark.operators.textops import token_count
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", token_count(F.col("text")).cast("long").alias("n_tokens")
+    )
+    out = training_layout(d, seq_len=256, n_shards=8,
+                          bucket_fn=bucket_minstd)
+    return out.select("doc_id", "shard", "pos", "seq_id", "offset")
+
+
 def q_image_dhash(spark, sf_dir):
     """Perceptual dHash under a hard analytic oracle: PNG fixtures carry
     formula pixels (the image_resize closed forms) encoded through all
@@ -2505,6 +2522,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_sample": q_temperature_sample,  # T=2 language rebalancing
         "shuffle_shards": q_shuffle_shards,      # reproducible training order
         "cdc_chunks": q_cdc_chunks,              # gear-hash content-defined cuts
+        "training_layout": q_training_layout,    # shuffle + packed grid, 1 exchange
         # hard SQL twins, demoted for subsumption (coverage noted)
         "counter_rollup": q_counter_rollup,      # R8/R9; resume_status re-derives the committed counters
         "topk_per_group": q_topk_per_group,      # top-k: tfidf_topk + cap_per_group
@@ -4312,6 +4330,32 @@ def _handwritten_oracles() -> dict[str, str]:
                           CAST(s.length AS INT)) AS chunk
             FROM spans s JOIN documents d USING (doc_id)
         """,
+        # training-layout twin: both shuffle hash rounds, token counts,
+        # and the per-shard packing cumsum grid recomputed
+        "training_layout": """
+            WITH h AS (
+              SELECT doc_id, len({ws})::BIGINT AS n_tokens,
+                     ((doc_id % 2147483647 + 2147483647) % 2147483647
+                      * 48271) % 2147483647 AS r1
+              FROM documents
+            ), s AS (
+              SELECT doc_id, n_tokens, CAST(r1 % 8 AS INT) AS shard,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY r1 % 8
+                       ORDER BY (r1 * 48271) % 2147483647, doc_id) - 1 AS pos
+              FROM h
+            ), c AS (
+              SELECT doc_id, shard, pos,
+                     COALESCE(SUM(n_tokens) OVER (
+                       PARTITION BY shard ORDER BY pos
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING), 0) AS cum
+              FROM s
+            )
+            SELECT doc_id, shard, pos,
+                   cum // 256 AS seq_id, cum % 256 AS offset
+            FROM c
+        """.format(ws=_WSTOKS),
         # dHash twin: every bit recomputed analytically from the fixture
         # pixel formulas — integer luma, nearest-neighbor map
         # (src = dst*src_dim // dst_dim), gradient compare, MSB-first

@@ -152,6 +152,8 @@ def pack_sequences(
     n_streams: int = 1024,
     bucket_fn=bucket_xxhash,
     extra_partition_cols=(),
+    order_col: str = None,
+    stream_col: str = None,
 ) -> DataFrame:
     """GPT-style sequence packing layout: documents are concatenated into
     token streams (docs may straddle sequence boundaries — the classic
@@ -161,6 +163,11 @@ def pack_sequences(
     offset locate the document's first token inside its stream's
     sequence grid, so a writer can materialize shards independently per
     stream.
+
+    ``order_col`` overrides the within-stream order (default: id_col —
+    pass shuffle_shards' ``pos`` to pack in shuffled training order);
+    ``stream_col`` reuses an existing column as the stream id instead of
+    hashing (pass shuffle_shards' ``shard`` so layout and shuffle agree).
 
     Deterministic and leakage-free: a document's stream is a hash of
     its id (``bucket_fn``, same family as the split/sample operators)
@@ -182,12 +189,15 @@ def pack_sequences(
         raise ValueError("seq_len must be >= 1")
     from pyspark.sql import Window
 
-    out = df.withColumn(
-        "stream", bucket_fn(F.col(id_col), n_streams).cast("int")
-    )
+    if stream_col:
+        out = df.withColumn("stream", F.col(stream_col).cast("int"))
+    else:
+        out = df.withColumn(
+            "stream", bucket_fn(F.col(id_col), n_streams).cast("int")
+        )
     w = (
         Window.partitionBy(*extra_partition_cols, "stream")
-        .orderBy(F.col(id_col))
+        .orderBy(F.col(order_col if order_col else id_col))
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     cum = F.coalesce(F.sum(F.col(tokens_col)).over(w), F.lit(0))
@@ -434,3 +444,31 @@ def unimax_sample(
         .drop("_grp", "_full", "_fcut", "_n")
     )
     return out
+
+
+def training_layout(
+    df: DataFrame,
+    seq_len: int,
+    n_shards: int,
+    tokens_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    bucket_fn=bucket_xxhash,
+) -> DataFrame:
+    """The complete training-data layout: a reproducible global shuffle
+    (``shuffle_shards``) followed by zero-waste sequence packing
+    (``pack_sequences``) IN THE SHUFFLED ORDER — for every document,
+    (shard, pos, seq_id, offset): which shard file it lands in, its rank
+    there, and where its first token sits on the shard's seq_len grid.
+    Pure integer arithmetic over document identity and token counts, so
+    reruns and resumes rebuild byte-identical shards end to end.
+
+    Scale shape: the shuffle's single exchange on ``shard`` is the ONLY
+    exchange — packing's window partitions by the same key, so Catalyst
+    reuses the partitioning (no second shuffle; the window sort and the
+    shuffle's in-partition sort share the same (shard, order) key).
+    """
+    laid = shuffle_shards(df, n_shards, id_col=id_col, bucket_fn=bucket_fn)
+    return pack_sequences(
+        laid, seq_len, tokens_col=tokens_col, id_col=id_col,
+        stream_col="shard", order_col="pos",
+    ).drop("stream")

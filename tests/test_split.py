@@ -321,3 +321,33 @@ def test_unimax_sample_expansion(spark):
         df.repartition(9), 1000, 4, tokens_col="n_tok",
         bucket_fn=bucket_minstd).collect())
     assert again == sorted((r["doc_id"], r["epoch"]) for r in out)
+
+
+def test_training_layout_chains_shuffle_and_packing(spark):
+    from llm_food_spark.operators.split import (
+        bucket_minstd, shuffle_shards, training_layout)
+
+    rows = [(i, (i % 13) + 1) for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens int")
+    out = training_layout(df, seq_len=32, n_shards=4,
+                          bucket_fn=bucket_minstd).collect()
+    toks = dict(rows)
+    # recompute expected layout: shuffle order, then running cumsum
+    order = sorted(
+        ((r["doc_id"], r["shard"], r["pos"]) for r in
+         shuffle_shards(df, 4, bucket_fn=bucket_minstd).collect()),
+        key=lambda r: (r[1], r[2]))
+    cum = {}
+    expect = {}
+    for doc_id, shard, pos in order:
+        c = cum.get(shard, 0)
+        expect[doc_id] = (shard, pos, c // 32, c % 32)
+        cum[shard] = c + toks[doc_id]
+    got = {r["doc_id"]: (r["shard"], r["pos"], r["seq_id"], r["offset"])
+           for r in out}
+    assert got == expect
+    # single exchange: the plan has exactly one shuffle
+    plan = training_layout(
+        df, 32, 4, bucket_fn=bucket_minstd)._jdf.queryExecution(
+        ).executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
