@@ -436,6 +436,16 @@ def q_training_layout(spark, sf_dir):
     return out.select("doc_id", "shard", "pos", "seq_id", "offset")
 
 
+def q_readability(spark, sf_dir):
+    """Flesch reading ease (operators/textops.py::readability): flat JVM
+    regexp counts + the closed-form score. Hard oracle: DuckDB recounts
+    words/sentences/vowel-group syllables and recomputes the IEEE score
+    to 4dp."""
+    from llm_food_spark.operators.textops import readability
+
+    return readability(_t(spark, sf_dir, "documents"))
+
+
 def q_image_dhash(spark, sf_dir):
     """Perceptual dHash under a hard analytic oracle: PNG fixtures carry
     formula pixels (the image_resize closed forms) encoded through all
@@ -2523,6 +2533,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shuffle_shards": q_shuffle_shards,      # reproducible training order
         "cdc_chunks": q_cdc_chunks,              # gear-hash content-defined cuts
         "training_layout": q_training_layout,    # shuffle + packed grid, 1 exchange
+        "readability": q_readability,            # Flesch score, closed-form twin
         # hard SQL twins, demoted for subsumption (coverage noted)
         "counter_rollup": q_counter_rollup,      # R8/R9; resume_status re-derives the committed counters
         "topk_per_group": q_topk_per_group,      # top-k: tfidf_topk + cap_per_group
@@ -4356,6 +4367,25 @@ def _handwritten_oracles() -> dict[str, str]:
                    cum // 256 AS seq_id, cum % 256 AS offset
             FROM c
         """.format(ws=_WSTOKS),
+        # readability twin: word/sentence/vowel-run counts + the Flesch
+        # closed form as IEEE doubles
+        "readability": r"""
+            WITH c AS (
+              SELECT doc_id,
+                     len(regexp_extract_all(text,
+                         '[^ \t\n\x0B\f\r]+'))::BIGINT AS n_words,
+                     GREATEST(len(regexp_extract_all(text, '[.!?]+')),
+                              1)::BIGINT AS n_sentences,
+                     len(regexp_extract_all(lower(text),
+                         '[aeiouy]+'))::BIGINT AS n_syllables
+              FROM documents
+            )
+            SELECT doc_id, n_words, n_sentences, n_syllables,
+                   round(206.835 - 1.015 * (n_words / n_sentences)
+                                 - 84.6 * (n_syllables / n_words),
+                         4) AS flesch
+            FROM c WHERE n_words > 0
+        """,
         # dHash twin: every bit recomputed analytically from the fixture
         # pixel formulas — integer luma, nearest-neighbor map
         # (src = dst*src_dim // dst_dim), gradient compare, MSB-first

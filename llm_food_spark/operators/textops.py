@@ -298,3 +298,39 @@ def corpus_mixture(df, group_col: str = "lang", text_col: str = "text",
             (F.col("n_tokens") / F.col("_tot")).alias("token_share"),
         )
     )
+
+
+def readability(df, text_col: str = "text", id_col: str = "doc_id",
+                ndigits: int = 4):
+    """Flesch reading ease per document -> (doc_id, n_words, n_sentences,
+    n_syllables, flesch) — the classic readability quality signal
+    (quality filters drop both extremes: unreadable boilerplate and
+    keyword-stuffed low scores).
+
+        flesch = 206.835 - 1.015 * words/sentences
+                         - 84.6  * syllables/words
+
+    Syllables use the standard vowel-group approximation ([aeiouy]+ runs
+    — runs never cross whitespace, so counting over the whole lowered
+    text equals the per-word sum). Sentences are [.!?]+ runs, floored at
+    one. All flat JVM regexp_count scans — zero shuffle, zero Python;
+    the DuckDB twin recomputes every count and the IEEE score.
+
+    Documents with zero words are dropped (no denominator)."""
+    words = F.regexp_count(F.col(text_col), F.lit(r"[^ \t\n\x0B\f\r]+"))
+    sents = F.greatest(
+        F.regexp_count(F.col(text_col), F.lit(r"[.!?]+")), F.lit(1)
+    )
+    syl = F.regexp_count(F.lower(F.col(text_col)), F.lit("[aeiouy]+"))
+    out = df.select(
+        F.col(id_col).alias("doc_id"),
+        words.cast("long").alias("n_words"),
+        sents.cast("long").alias("n_sentences"),
+        syl.cast("long").alias("n_syllables"),
+    ).where(F.col("n_words") > 0)
+    score = (
+        F.lit(206.835)
+        - F.lit(1.015) * (F.col("n_words") / F.col("n_sentences"))
+        - F.lit(84.6) * (F.col("n_syllables") / F.col("n_words"))
+    )
+    return out.withColumn("flesch", F.round(score, ndigits))

@@ -626,3 +626,30 @@ def test_image_dhash_formats_agree_and_near_dup_is_close(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         image_dhash(df, hash_size=9)
+
+
+def test_readability_hand_case_and_invariance(spark):
+    from llm_food_spark.operators.textops import readability
+
+    rows = [
+        (1, "The cat sat. The dog ran! Was it fun?"),
+        (2, "word"),                      # no terminator -> 1 sentence
+        (3, "   "),                       # zero words -> dropped
+        (4, "Beautiful analysis of queueing theory."),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in readability(df).collect()}
+    assert set(got) == {1, 2, 4}
+    r = got[1]
+    assert (r["n_words"], r["n_sentences"]) == (9, 3)
+    # syllable runs: the(1) cat(1) sat(1) the(1) dog(1) ran(1) was(1)
+    # it(1) fun(1) = 9
+    assert r["n_syllables"] == 9
+    expect = 206.835 - 1.015 * (9 / 3) - 84.6 * (9 / 9)
+    assert abs(r["flesch"] - round(expect, 4)) < 1e-9
+    assert got[2]["n_sentences"] == 1
+    # 'beautiful' -> eau+i+u? lowercase runs: b(eau)t(i)f(u)l = 3
+    assert got[4]["n_words"] == 5
+    a = sorted(map(tuple, readability(df).collect()))
+    b = sorted(map(tuple, readability(df.repartition(3)).collect()))
+    assert a == b
