@@ -446,6 +446,17 @@ def q_readability(spark, sf_dir):
     return readability(_t(spark, sf_dir, "documents"))
 
 
+def q_script_profile(spark, sf_dir):
+    """Writing-system profile (operators/textops.py::script_profile):
+    per-script char counts + dominant script with the fixed tie order.
+    Hard oracle: DuckDB recounts every literal character range (patterns
+    generated from the same SCRIPT_RANGES table) and re-derives the
+    dominance CASE."""
+    from llm_food_spark.operators.textops import script_profile
+
+    return script_profile(_t(spark, sf_dir, "documents"))
+
+
 def q_image_dhash(spark, sf_dir):
     """Perceptual dHash under a hard analytic oracle: PNG fixtures carry
     formula pixels (the image_resize closed forms) encoded through all
@@ -2534,6 +2545,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_chunks": q_cdc_chunks,              # gear-hash content-defined cuts
         "training_layout": q_training_layout,    # shuffle + packed grid, 1 exchange
         "readability": q_readability,            # Flesch score, closed-form twin
+        "script_profile": q_script_profile,      # writing-system detection
         # hard SQL twins, demoted for subsumption (coverage noted)
         "counter_rollup": q_counter_rollup,      # R8/R9; resume_status re-derives the committed counters
         "topk_per_group": q_topk_per_group,      # top-k: tfidf_topk + cap_per_group
@@ -3873,6 +3885,33 @@ def oracle_sql() -> dict[str, str]:
           GROUP BY target, anchor
         ) WHERE rank <= 3
     """ % out["outlinks"]
+    # script profile: generated FROM the operator's SCRIPT_RANGES so the
+    # literal character-range patterns are identical on both engines by
+    # construction (Java and RE2 treat literal char ranges the same).
+    from llm_food_spark.operators.textops import SCRIPT_RANGES
+
+    _counts = ",\n                 ".join(
+        "len(regexp_extract_all(text, '%s'))::BIGINT AS n_%s" % (pat, name)
+        for name, pat in SCRIPT_RANGES
+    )
+    _names = ["n_" + name for name, _ in SCRIPT_RANGES]
+    _mx = "GREATEST(%s)" % ", ".join(_names)
+    _whens = "\n                 ".join(
+        "WHEN n_%s = %s THEN '%s'" % (name, _mx, name)
+        for name, _ in SCRIPT_RANGES
+    )
+    out["script_profile"] = """
+        WITH c AS (
+          SELECT doc_id,
+                 %s
+          FROM documents
+        )
+        SELECT doc_id, %s, (%s) AS n_letters,
+               CASE WHEN %s = 0 THEN 'other'
+                 %s
+               END AS script
+        FROM c
+    """ % (_counts, ", ".join(_names), " + ".join(_names), _mx, _whens)
     return out
 
 

@@ -334,3 +334,49 @@ def readability(df, text_col: str = "text", id_col: str = "doc_id",
         - F.lit(84.6) * (F.col("n_syllables") / F.col("n_words"))
     )
     return out.withColumn("flesch", F.round(score, ndigits))
+
+
+# writing-system ranges (BMP core blocks), in dominance-tie precedence
+# order. Literal char ranges so the identical pattern string runs on both
+# Java (Spark) and RE2 (DuckDB) engines.
+SCRIPT_RANGES = (
+    ("latin", "[A-Za-zÀ-ɏ]"),
+    ("cjk", "[一-鿿㐀-䶿]"),
+    ("kana", "[぀-ヿ]"),
+    ("hangul", "[가-힯ᄀ-ᇿ]"),
+    ("cyrillic", "[Ѐ-ӿ]"),
+    ("arabic", "[؀-ۿݐ-ݿ]"),
+    ("devanagari", "[ऀ-ॿ]"),
+    ("greek", "[Ͱ-Ͽ]"),
+)
+
+
+def script_profile(df, text_col: str = "text", id_col: str = "doc_id"):
+    """Writing-system profile per document -> (doc_id, n_<script>...,
+    n_letters, script) — the structural companion to the marker-word
+    ``lang_id`` (script tells zh from ja from ko and catches
+    mixed-script spam regardless of vocabulary; FastText-style LID
+    pipelines gate on it first).
+
+    ``script`` is the dominant class by character count (ties broken by
+    the fixed SCRIPT_RANGES order; all-zero -> 'other'). One flat JVM
+    regexp_count scan per class — zero shuffle, zero Python; the twin
+    recounts every range with the identical literal patterns."""
+    counts = [
+        F.regexp_count(F.col(text_col), F.lit(pat)).cast("long").alias(
+            "n_" + name
+        )
+        for name, pat in SCRIPT_RANGES
+    ]
+    out = df.select(F.col(id_col).alias("doc_id"), *counts)
+    total = None
+    for name, _ in SCRIPT_RANGES:
+        c = F.col("n_" + name)
+        total = c if total is None else total + c
+    mx = F.greatest(*[F.col("n_" + name) for name, _ in SCRIPT_RANGES])
+    dom = F.when(mx == 0, F.lit("other"))
+    for name, _ in SCRIPT_RANGES:
+        dom = dom.when(F.col("n_" + name) == mx, F.lit(name))
+    return out.select(
+        "*", total.alias("n_letters"), dom.alias("script")
+    )

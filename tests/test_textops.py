@@ -653,3 +653,29 @@ def test_readability_hand_case_and_invariance(spark):
     a = sorted(map(tuple, readability(df).collect()))
     b = sorted(map(tuple, readability(df.repartition(3)).collect()))
     assert a == b
+
+
+def test_script_profile(spark):
+    from llm_food_spark.operators.textops import script_profile
+
+    rows = [
+        (1, "hello world"),
+        (2, "这是中文文本测试这是中文"),
+        (3, "Привет мир"),
+        (4, "ひらがなとカタカナ"),
+        (5, "mixed 中文 with latin majority text here"),
+        (6, "12345 !!!"),
+        (7, "한국어 텍스트"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in script_profile(df).collect()}
+    assert got[1]["script"] == "latin" and got[1]["n_latin"] == 10
+    assert got[2]["script"] == "cjk" and got[2]["n_cjk"] == 12
+    assert got[3]["script"] == "cyrillic"
+    assert got[4]["script"] == "kana"
+    assert got[5]["script"] == "latin" and got[5]["n_cjk"] == 2
+    assert got[6]["script"] == "other" and got[6]["n_letters"] == 0
+    assert got[7]["script"] == "hangul"
+    # tie goes to the first class in SCRIPT_RANGES order
+    t = spark.createDataFrame([(9, "ab 中文")], "doc_id long, text string")
+    assert script_profile(t).collect()[0]["script"] == "latin"
