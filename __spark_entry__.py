@@ -457,6 +457,32 @@ def q_script_profile(spark, sf_dir):
     return script_profile(_t(spark, sf_dir, "documents"))
 
 
+def q_sessions(spark, sf_dir):
+    """Gap-based sessionization rollup (operators/events.py::
+    session_stats, 30-min gap, session_window-aligned >= boundary; the
+    stateful streaming form is streaming/events.py::session_rollup,
+    parity-tested). Hard oracle: DuckDB re-derives every session via the
+    same LAG + running-start-count in epoch micros."""
+    from llm_food_spark.operators.events import session_stats
+
+    e = _t(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    return session_stats(e, gap_seconds=1800)
+
+
+def q_windowed_counts(spark, sf_dir):
+    """Tumbling 1-hour event rollup (operators/events.py::
+    windowed_counts — the batch twin of the watermarked streaming agg).
+    Hard oracle: DuckDB recomputes the hour buckets and totals."""
+    from llm_food_spark.operators.events import windowed_counts
+
+    e = _t(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    return windowed_counts(e)
+
+
 def q_image_dhash(spark, sf_dir):
     """Perceptual dHash under a hard analytic oracle: PNG fixtures carry
     formula pixels (the image_resize closed forms) encoded through all
@@ -2546,6 +2572,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "training_layout": q_training_layout,    # shuffle + packed grid, 1 exchange
         "readability": q_readability,            # Flesch score, closed-form twin
         "script_profile": q_script_profile,      # writing-system detection
+        "sessions": q_sessions,                  # gap sessionization rollup
+        "windowed_counts": q_windowed_counts,    # tumbling event-time rollup
         # hard SQL twins, demoted for subsumption (coverage noted)
         "counter_rollup": q_counter_rollup,      # R8/R9; resume_status re-derives the committed counters
         "topk_per_group": q_topk_per_group,      # top-k: tfidf_topk + cap_per_group
@@ -4424,6 +4452,37 @@ def _handwritten_oracles() -> dict[str, str]:
                                  - 84.6 * (n_syllables / n_words),
                          4) AS flesch
             FROM c WHERE n_words > 0
+        """,
+        # sessionization twin: LAG + running start count in epoch micros,
+        # the identical >= gap boundary
+        "sessions": """
+            WITH e AS (
+              SELECT user_id, event_id, value, epoch_us(ts) AS us
+              FROM events
+            ), l AS (
+              SELECT *, LAG(us) OVER (
+                PARTITION BY user_id ORDER BY us, event_id) AS pus
+              FROM e
+            ), s AS (
+              SELECT *, SUM(CASE WHEN pus IS NULL
+                                   OR us - pus >= 1800000000
+                                 THEN 1 ELSE 0 END) OVER (
+                          PARTITION BY user_id ORDER BY us, event_id
+                          ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+              FROM l
+            )
+            SELECT user_id, session_id, MIN(us) AS start_us,
+                   MAX(us) AS end_us, COUNT(*)::BIGINT AS n_events,
+                   MAX(us) - MIN(us) AS duration_us,
+                   round(SUM(value), 6) AS sum_value
+            FROM s GROUP BY user_id, session_id
+        """,
+        # tumbling-window twin: hour buckets as epoch micros
+        "windowed_counts": """
+            SELECT epoch_us(date_trunc('hour', ts)) AS window_start_us,
+                   event_type, COUNT(*)::BIGINT AS n,
+                   round(SUM(value), 6) AS sum_value
+            FROM events GROUP BY 1, 2
         """,
         # dHash twin: every bit recomputed analytically from the fixture
         # pixel formulas — integer luma, nearest-neighbor map

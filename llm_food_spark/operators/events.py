@@ -1,0 +1,100 @@
+"""Event-stream analytics over the events table — sessionization and
+windowed rollups, the batch halves of the streaming surface.
+
+Both are pure Catalyst (one window / one aggregation), with time handled
+as integer epoch MICROSECONDS (``unix_micros`` / ``epoch_us``) so the
+SQL twins compare exact integers instead of engine-formatted timestamps.
+No reference analogue (llm-food has no event analytics); part of the
+relational/streaming brief.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def sessionize(
+    df: DataFrame,
+    gap_seconds: int = 1800,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Gap-based sessionization: a new session starts at a user's first
+    event and whenever the gap since their previous event reaches
+    ``gap_seconds`` (>=, matching ``session_window``'s [start, last+gap)
+    range — an event exactly gap after the last one is OUTSIDE the
+    window). Appends ``us`` (epoch micros) and ``session_id`` (0-based
+    per user) — the batch twin of Structured Streaming's session_window
+    (streaming/events.py runs the stateful form; same boundaries on
+    static data).
+
+    Scale shape: one window keyed on the user (LAG + running sum of
+    session starts share the single sort); per-user event counts bound
+    the partition, the classic sessionization shuffle."""
+    from pyspark.sql import Window
+
+    if gap_seconds <= 0:
+        raise ValueError("gap_seconds must be > 0")
+    gap_us = gap_seconds * 1_000_000
+    w = Window.partitionBy(user_col).orderBy("us", id_col)
+    out = df.withColumn("us", F.unix_micros(F.col(ts_col)))
+    prev = F.lag("us").over(w)
+    is_start = F.when(
+        prev.isNull() | ((F.col("us") - prev) >= F.lit(gap_us)), 1
+    ).otherwise(0)
+    run = Window.partitionBy(user_col).orderBy("us", id_col).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return out.withColumn("_s", is_start).withColumn(
+        "session_id", (F.sum("_s").over(run) - 1).cast("long")
+    ).drop("_s")
+
+
+def session_stats(
+    df: DataFrame,
+    gap_seconds: int = 1800,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+    ndigits: int = 6,
+) -> DataFrame:
+    """Per-session rollup -> (user_id, session_id, start_us, end_us,
+    n_events, duration_us, sum_value): sessionize + one map-side-combined
+    aggregation (same shuffle key, so Catalyst reuses the partitioning —
+    one exchange total)."""
+    s = sessionize(df, gap_seconds, user_col, ts_col, id_col)
+    return s.groupBy(user_col, "session_id").agg(
+        F.min("us").alias("start_us"),
+        F.max("us").alias("end_us"),
+        F.count(F.lit(1)).alias("n_events"),
+        (F.max("us") - F.min("us")).alias("duration_us"),
+        F.round(F.sum(value_col), ndigits).alias("sum_value"),
+    )
+
+
+def windowed_counts(
+    df: DataFrame,
+    window: str = "1 hour",
+    ts_col: str = "ts",
+    group_col: str = "event_type",
+    value_col: str = "value",
+    ndigits: int = 6,
+) -> DataFrame:
+    """Tumbling-window rollup -> (window_start_us, <group>, n, sum_value)
+    — the batch twin of the streaming windowed aggregation
+    (streaming/events.py runs the same plan with a watermark). One
+    map-side-combined aggregation; window start exposed as epoch micros
+    so the oracle compares integers."""
+    win = F.window(F.col(ts_col), window)
+    return (
+        df.groupBy(
+            F.unix_micros(win["start"]).alias("window_start_us"),
+            F.col(group_col),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(value_col), ndigits).alias("sum_value"),
+        )
+    )

@@ -1,0 +1,43 @@
+"""Streaming sessionization: stateful session_window aggregation.
+
+The stateful sibling of ``operators/events.py::session_stats``: the same
+gap semantics ([start, last + gap) — an event exactly gap after the last
+one opens a new session), run continuously with a watermark bounding the
+session state store. On static data the two produce identical session
+boundaries, which is what the parity test pins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def session_rollup(
+    events_stream: DataFrame,
+    gap: str = "30 minutes",
+    watermark_delay: str = "2 hours",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    ndigits: int = 6,
+) -> DataFrame:
+    """(user, session start/end micros, n_events, sum_value) per merged
+    session window. The watermark finalizes (and evicts) sessions whose
+    close precedes it — the state bound an unbounded event stream needs;
+    per-key state is one open session struct, merged as late events
+    arrive (Spark's session_window merge, not a re-sort)."""
+    win = F.session_window(F.col(ts_col), gap)
+    return (
+        events_stream.withWatermark(ts_col, watermark_delay)
+        .groupBy(win.alias("win"), F.col(user_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(value_col), ndigits).alias("sum_value"),
+        )
+        .select(
+            F.col(user_col),
+            F.unix_micros(F.col("win.start")).alias("start_us"),
+            F.unix_micros(F.col("win.end")).alias("end_us"),
+            "n_events", "sum_value",
+        )
+    )

@@ -1,0 +1,112 @@
+"""Event analytics: sessionization + windowed rollups (operators/events.py,
+streaming/events.py)."""
+
+import datetime as dt
+
+import pytest
+
+from pyspark.sql import functions as F
+
+
+def _ts(minute, second=0):
+    return dt.datetime(2024, 1, 1, 0, minute, second)
+
+
+def _frame(spark):
+    rows = [
+        # user 1: events at 0, 10, 40 min (gap 30 min: 40-10=30 -> NEW
+        # session, the >= boundary), 41 min
+        (0, _ts(0), 1, "a", 1.5),
+        (1, _ts(10), 1, "b", 2.0),
+        (2, _ts(40), 1, "a", 3.0),
+        (3, _ts(41), 1, "a", 0.25),
+        # user 2: single event
+        (4, _ts(5), 2, "b", 10.0),
+    ]
+    return spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double")
+
+
+def test_sessionize_boundaries(spark):
+    from llm_food_spark.operators.events import sessionize
+
+    got = {r["event_id"]: r["session_id"]
+           for r in sessionize(_frame(spark), gap_seconds=1800).collect()}
+    assert got == {0: 0, 1: 0, 2: 1, 3: 1, 4: 0}
+    with pytest.raises(ValueError):
+        sessionize(_frame(spark), gap_seconds=0)
+
+
+def test_session_stats(spark):
+    from llm_food_spark.operators.events import session_stats
+
+    got = {(r["user_id"], r["session_id"]): r
+           for r in session_stats(_frame(spark), gap_seconds=1800).collect()}
+    s = got[(1, 1)]
+    assert s["n_events"] == 2 and s["sum_value"] == 3.25
+    assert s["duration_us"] == 60 * 1_000_000
+    assert got[(2, 0)]["n_events"] == 1
+    assert len(got) == 3
+
+
+def test_windowed_counts(spark):
+    from llm_food_spark.operators.events import windowed_counts
+
+    rows = [(i, dt.datetime(2024, 1, 1, h, 30), 1, t, 1.0)
+            for i, (h, t) in enumerate(
+                [(0, "a"), (0, "a"), (0, "b"), (1, "a")])]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double")
+    got = {(r["window_start_us"], r["event_type"]): r["n"]
+           for r in windowed_counts(df).collect()}
+    h0 = int(dt.datetime(2024, 1, 1, 0, 0,
+                         tzinfo=dt.timezone.utc).timestamp() * 1e6)
+    h1 = h0 + 3_600_000_000
+    assert got == {(h0, "a"): 2, (h0, "b"): 1, (h1, "a"): 1}
+
+
+def test_streaming_session_window_matches_batch(spark, tmp_path):
+    """The stateful session_window stream and the batch LAG sessionizer
+    produce identical session boundaries on the same static events."""
+    from llm_food_spark.operators.events import session_stats
+    from llm_food_spark.streaming.events import session_rollup
+
+    import shutil
+
+    src_dir = tmp_path / "events"
+    src_dir.mkdir()
+    shutil.copy("/root/testdata/sf0.001/events.parquet",
+                src_dir / "events.parquet")
+    src = str(src_dir)
+    # the parquet ts is TIMESTAMP_NTZ; watermarks require TIMESTAMP —
+    # cast identically on both sides (session tz is UTC)
+    batch_df = spark.read.parquet(src).withColumn(
+        "ts", F.col("ts").cast("timestamp"))
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .format("parquet").load(src)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    q = (
+        session_rollup(stream, gap="30 minutes")
+        .writeStream.format("memory").queryName("sess_par")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = {
+        (r["user_id"], r["start_us"]): (r["n_events"], r["sum_value"],
+                                        r["end_us"])
+        for r in spark.sql("SELECT * FROM sess_par").collect()
+    }
+    gap_us = 1800 * 1_000_000
+    expected = {}
+    for r in session_stats(batch_df, gap_seconds=1800).collect():
+        # session_window's end is last event + gap, not last event
+        expected[(r["user_id"], r["start_us"])] = (
+            r["n_events"], r["sum_value"], r["end_us"] + gap_us)
+    assert streamed == expected and len(expected) > 50
