@@ -483,6 +483,27 @@ def q_windowed_counts(spark, sf_dir):
     return windowed_counts(e)
 
 
+def q_asof_join(spark, sf_dir):
+    """As-of join (operators/joins.py::asof_join): every non-click event
+    gains the user's most recent click value at or before it. Hard
+    oracle: DuckDB's NATIVE ASOF LEFT JOIN — a genuinely independent
+    implementation of the semantics, not a re-derivation of this plan."""
+    from llm_food_spark.operators.joins import asof_join
+
+    e = _t(spark, sf_dir, "events").withColumn(
+        "us", F.unix_micros(F.col("ts").cast("timestamp"))
+    )
+    right = (
+        e.where(F.col("event_type") == "click")
+        .groupBy("user_id", "us")
+        .agg(F.max("value").alias("click_value"))
+    )
+    left = e.where(F.col("event_type") != "click").select(
+        "event_id", "user_id", "us", "event_type"
+    )
+    return asof_join(left, right, on="user_id", left_ts="us", right_ts="us")
+
+
 def q_image_dhash(spark, sf_dir):
     """Perceptual dHash under a hard analytic oracle: PNG fixtures carry
     formula pixels (the image_resize closed forms) encoded through all
@@ -2543,7 +2564,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_learn": q_bpe_learn,
         "bpe_encode": q_bpe_encode,
         "bm25_search": q_bm25_search,
-        "cap_per_group": q_cap_per_group,
+        "asof_join": q_asof_join,                # vs DuckDB's NATIVE ASOF JOIN — an independent implementation, not a re-derivation
         "unimax_sample": q_unimax_sample,        # epoch-capped budget waterfill; recomputes split_assign's MINSTD membership arithmetic plus the whole allocation
         "pack_sequences": q_pack_sequences,
         "web_prep_full": q_web_prep_full,        # subsumes web_prep
@@ -2574,6 +2595,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "script_profile": q_script_profile,      # writing-system detection
         "sessions": q_sessions,                  # gap sessionization rollup
         "windowed_counts": q_windowed_counts,    # tumbling event-time rollup
+        "cap_per_group": q_cap_per_group,        # demoted for asof_join: the count+rank per-group cap is recomputed in the tfidf_topk and anchor_text slot twins; the WindowGroupLimit plan shape stays repo-gated
         # hard SQL twins, demoted for subsumption (coverage noted)
         "counter_rollup": q_counter_rollup,      # R8/R9; resume_status re-derives the committed counters
         "topk_per_group": q_topk_per_group,      # top-k: tfidf_topk + cap_per_group
@@ -4483,6 +4505,25 @@ def _handwritten_oracles() -> dict[str, str]:
                    event_type, COUNT(*)::BIGINT AS n,
                    round(SUM(value), 6) AS sum_value
             FROM events GROUP BY 1, 2
+        """,
+        # as-of twin: DuckDB's NATIVE ASOF LEFT JOIN — an independent
+        # implementation of the semantics, not this plan re-derived
+        "asof_join": """
+            WITH e AS (
+              SELECT event_id, user_id, event_type, value,
+                     epoch_us(ts) AS us
+              FROM events
+            ), r AS (
+              SELECT user_id, us, MAX(value) AS click_value
+              FROM e WHERE event_type = 'click' GROUP BY 1, 2
+            ), l AS (
+              SELECT event_id, user_id, us, event_type
+              FROM e WHERE event_type <> 'click'
+            )
+            SELECT l.event_id, l.user_id, l.us, l.event_type,
+                   r.us AS us_r, r.click_value AS click_value_r
+            FROM l ASOF LEFT JOIN r
+              ON l.user_id = r.user_id AND l.us >= r.us
         """,
         # dHash twin: every bit recomputed analytically from the fixture
         # pixel formulas — integer luma, nearest-neighbor map

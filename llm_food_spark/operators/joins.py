@@ -1,0 +1,87 @@
+"""Join shapes Spark's optimizer has no native operator for.
+
+As-of join: attach to each left row the most recent right row at or
+before it (per key) — the time-series join behind "state at event time"
+lookups (price at trade time, config at request time, last snapshot at
+crawl time). Named as the canonical custom-operator example in the
+project brief; DuckDB ships a native ASOF JOIN, which is exactly what
+makes the oracle independent of this implementation.
+
+Implementation is the canonical distributed form — NOT a windowed
+equi-join and NOT a per-key loop: union both sides tagged, one window
+per key ordered by time carries the latest right payload forward, then
+keep the left rows. One exchange + one sort, any key cardinality, skew
+bounded by the hottest key like any sessionization.
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence, Union
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Union[str, Sequence[str]],
+    left_ts: str,
+    right_ts: str,
+    suffix: str = "_r",
+    strict: bool = False,
+) -> DataFrame:
+    """Backward as-of left join: every left row gains the right row with
+    the greatest ``right_ts`` <= ``left_ts`` for the same key (strict=True
+    uses <, excluding same-instant rows), or nulls when none precedes.
+    Right payload columns come back suffixed; the matched timestamp comes
+    back as ``<right_ts><suffix>``.
+
+    PRECONDITION: right must be unique per (key, right_ts) — with
+    duplicates the carried row would depend on sort nondeterminism
+    (DuckDB's ASOF JOIN has the same restriction in spirit).
+
+    Plan shape: unionByName (no shuffle) -> one exchange on the key ->
+    in-partition sort on (ts, side) -> last(ignorenulls) carry-forward ->
+    filter to left rows. The right payload travels as ONE struct so a
+    match is all-or-nothing (no column mixing across right rows).
+    """
+    on_list: List[str] = [on] if isinstance(on, str) else list(on)
+    from pyspark.sql import Window
+
+    rpay = [c for c in right.columns if c not in set(on_list) and c != right_ts]
+    clash = [c + suffix for c in [right_ts] + rpay if c + suffix in left.columns]
+    if clash:
+        raise ValueError("suffixed right columns collide with left: %s" % clash)
+    rs = F.struct(
+        F.col(right_ts).alias(right_ts + suffix),
+        *[F.col(c).alias(c + suffix) for c in rpay],
+    )
+    ls = F.struct(*[F.col(c) for c in left.columns])
+    r_tagged = right.select(
+        *on_list,
+        F.col(right_ts).alias("_ats"),
+        rs.alias("_rs"),
+        F.lit(1).alias("_side"),
+    )
+    l_tagged = left.select(
+        *on_list,
+        F.col(left_ts).alias("_ats"),
+        ls.alias("_ls"),
+        F.lit(0).alias("_side"),
+    )
+    u = r_tagged.unionByName(l_tagged, allowMissingColumns=True)
+    # at equal ts: right sorts first for inclusive (<=) semantics, after
+    # the left row for strict (<) semantics
+    side_order = F.col("_side").asc() if strict else F.col("_side").desc()
+    w = (
+        Window.partitionBy(*on_list)
+        .orderBy(F.col("_ats").asc(), side_order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = u.withColumn("_m", F.last("_rs", ignorenulls=True).over(w))
+    out = carried.where(F.col("_side") == 0).select(
+        *[F.col("_ls." + c).alias(c) for c in left.columns],
+        *[F.col("_m." + right_ts + suffix).alias(right_ts + suffix)],
+        *[F.col("_m." + c + suffix).alias(c + suffix) for c in rpay],
+    )
+    return out

@@ -1,0 +1,59 @@
+"""As-of join (operators/joins.py)."""
+
+import pytest
+
+from llm_food_spark.operators.joins import asof_join
+
+
+def _frames(spark):
+    left = spark.createDataFrame(
+        [(1, "u", 100), (2, "u", 205), (3, "u", 300), (4, "v", 50),
+         (5, "w", 10)],
+        "event_id long, k string, t long",
+    )
+    right = spark.createDataFrame(
+        [("u", 100, 1.0), ("u", 200, 2.0), ("u", 300, 3.0), ("v", 60, 9.0)],
+        "k string, t long, px double",
+    )
+    return left, right
+
+
+def test_asof_backward_inclusive(spark):
+    left, right = _frames(spark)
+    got = {r["event_id"]: (r["t_r"], r["px_r"]) for r in asof_join(
+        left, right, on="k", left_ts="t", right_ts="t").collect()}
+    assert got == {
+        1: (100, 1.0),   # equal instant matches (inclusive)
+        2: (200, 2.0),
+        3: (300, 3.0),
+        4: (None, None),  # right exists only later
+        5: (None, None),  # key has no right rows
+    }
+
+
+def test_asof_strict_and_invariance(spark):
+    left, right = _frames(spark)
+    got = {r["event_id"]: r["px_r"] for r in asof_join(
+        left, right, on="k", left_ts="t", right_ts="t",
+        strict=True).collect()}
+    assert got[1] is None          # same instant excluded
+    assert got[3] == 2.0           # falls back to the previous row
+    a = sorted(map(tuple, asof_join(
+        left, right, on="k", left_ts="t", right_ts="t").collect()),
+        key=str)
+    b = sorted(map(tuple, asof_join(
+        left.repartition(5), right.repartition(3), on="k",
+        left_ts="t", right_ts="t").collect()), key=str)
+    assert a == b
+
+
+def test_asof_all_or_nothing_payload_and_collision(spark):
+    left, right = _frames(spark)
+    r2 = right.withColumn("src", right["k"])
+    rows = {r["event_id"]: (r["px_r"], r["src_r"]) for r in asof_join(
+        left, r2, on="k", left_ts="t", right_ts="t").collect()}
+    # payload columns always come from ONE right row (or are all null)
+    assert rows[2] == (2.0, "u") and rows[4] == (None, None)
+    bad = left.withColumn("px_r", left["t"] * 0.0)
+    with pytest.raises(ValueError):
+        asof_join(bad, right, on="k", left_ts="t", right_ts="t")
