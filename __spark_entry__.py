@@ -504,6 +504,29 @@ def q_asof_join(spark, sf_dir):
     return asof_join(left, right, on="user_id", left_ts="us", right_ts="us")
 
 
+def q_range_join(spark, sf_dir):
+    """Bucketized range join (operators/joins.py::range_join): every
+    event of a user inside the 30-minute window after one of that
+    user's error events — many-to-many point-in-interval. Hard oracle:
+    DuckDB's plain inequality join, independent of the bucketing."""
+    from llm_food_spark.operators.joins import range_join
+
+    e = _t(spark, sf_dir, "events").withColumn(
+        "us", F.unix_micros(F.col("ts").cast("timestamp"))
+    )
+    ivals = e.where(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"), "user_id",
+        F.col("us").alias("lo"),
+        (F.col("us") + F.lit(1_800_000_000)).alias("hi"),
+    )
+    points = e.select("event_id", "user_id", "us")
+    out = range_join(points, ivals, point_col="us", lo_col="lo",
+                     hi_col="hi", on="user_id",
+                     bucket_width=1_800_000_000)
+    return out.select("event_id", "user_id", "us",
+                      F.col("error_id_r").alias("error_id"))
+
+
 def q_image_dhash(spark, sf_dir):
     """Perceptual dHash under a hard analytic oracle: PNG fixtures carry
     formula pixels (the image_resize closed forms) encoded through all
@@ -2596,6 +2619,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessions": q_sessions,                  # gap sessionization rollup
         "windowed_counts": q_windowed_counts,    # tumbling event-time rollup
         "cap_per_group": q_cap_per_group,        # demoted for asof_join: the count+rank per-group cap is recomputed in the tfidf_topk and anchor_text slot twins; the WindowGroupLimit plan shape stays repo-gated
+        "range_join": q_range_join,              # vs DuckDB's plain inequality join
         # hard SQL twins, demoted for subsumption (coverage noted)
         "counter_rollup": q_counter_rollup,      # R8/R9; resume_status re-derives the committed counters
         "topk_per_group": q_topk_per_group,      # top-k: tfidf_topk + cap_per_group
@@ -4524,6 +4548,22 @@ def _handwritten_oracles() -> dict[str, str]:
                    r.us AS us_r, r.click_value AS click_value_r
             FROM l ASOF LEFT JOIN r
               ON l.user_id = r.user_id AND l.us >= r.us
+        """,
+        # range-join twin: a plain inequality join — independent of the
+        # bucketized plan under test
+        "range_join": """
+            WITH e AS (
+              SELECT event_id, user_id, event_type, epoch_us(ts) AS us
+              FROM events
+            ), iv AS (
+              SELECT event_id AS error_id, user_id, us AS lo,
+                     us + 1800000000 AS hi
+              FROM e WHERE event_type = 'error'
+            )
+            SELECT p.event_id, p.user_id, p.us, iv.error_id
+            FROM e p JOIN iv
+              ON p.user_id = iv.user_id
+             AND p.us >= iv.lo AND p.us < iv.hi
         """,
         # dHash twin: every bit recomputed analytically from the fixture
         # pixel formulas — integer luma, nearest-neighbor map

@@ -85,3 +85,65 @@ def asof_join(
         *[F.col("_m." + c + suffix).alias(c + suffix) for c in rpay],
     )
     return out
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    point_col: str,
+    lo_col: str,
+    hi_col: str,
+    on: Union[str, Sequence[str], None] = None,
+    bucket_width: int = None,
+    suffix: str = "_r",
+) -> DataFrame:
+    """Point-in-interval range join: left rows whose ``point_col`` falls
+    in a right row's [lo, hi) — many-to-many (every containing interval
+    matches). The second custom join the brief names: Spark's own
+    planner turns a bare inequality join into a nested-loop product
+    (quadratic per key); this is the bucketized form that stays an
+    equi-join.
+
+    Each interval is exploded to the integer buckets it overlaps
+    (``bucket_width`` units each — pick it near the TYPICAL interval
+    length, so the explode factor stays ~2); each point has exactly ONE
+    bucket, so a (left, right) pair meets exactly once and needs no
+    dedup. The bucket becomes an equi-join key (plus ``on``), and the
+    exact [lo, hi) predicate filters inside the matched bucket. One
+    narrow explode + one hash equi-join — the plan shape survives any
+    interval count, with skew bounded by the hottest (key, bucket).
+
+    Right columns come back suffixed (incl. lo/hi); intervals with
+    hi <= lo are empty and dropped.
+    """
+    if bucket_width is None or bucket_width < 1:
+        raise ValueError("bucket_width must be a positive integer")
+    on_list: List[str] = (
+        [] if on is None else [on] if isinstance(on, str) else list(on)
+    )
+    rpay = [c for c in right.columns if c not in set(on_list)]
+    clash = [c + suffix for c in rpay if c + suffix in left.columns]
+    if clash:
+        raise ValueError("suffixed right columns collide with left: %s" % clash)
+    w = F.lit(bucket_width)
+    r = (
+        right.where(F.col(hi_col) > F.col(lo_col))
+        .select(
+            *on_list,
+            *[F.col(c).alias(c + suffix) for c in rpay],
+            F.explode(
+                F.sequence(
+                    F.floor(F.col(lo_col) / w).cast("long"),
+                    F.floor((F.col(hi_col) - 1) / w).cast("long"),
+                )
+            ).alias("_bucket"),
+        )
+    )
+    l = left.withColumn(
+        "_bucket", F.floor(F.col(point_col) / w).cast("long")
+    )
+    out = l.join(r, on_list + ["_bucket"]).where(
+        (F.col(point_col) >= F.col(lo_col + suffix))
+        & (F.col(point_col) < F.col(hi_col + suffix))
+    )
+    return out.drop("_bucket")

@@ -57,3 +57,36 @@ def test_asof_all_or_nothing_payload_and_collision(spark):
     bad = left.withColumn("px_r", left["t"] * 0.0)
     with pytest.raises(ValueError):
         asof_join(bad, right, on="k", left_ts="t", right_ts="t")
+
+
+def test_range_join(spark):
+    from llm_food_spark.operators.joins import range_join
+
+    points = spark.createDataFrame(
+        [(1, "u", 5), (2, "u", 15), (3, "u", 25), (4, "v", 15),
+         (5, "u", 30)],
+        "event_id long, k string, t long",
+    )
+    ivals = spark.createDataFrame(
+        [(10, "u", 0, 20), (11, "u", 10, 30), (12, "v", 0, 10),
+         (13, "u", 40, 40)],  # empty interval: dropped
+        "iv_id long, k string, lo long, hi long",
+    )
+    got = sorted(
+        (r["event_id"], r["iv_id_r"]) for r in range_join(
+            points, ivals, point_col="t", lo_col="lo", hi_col="hi",
+            on="k", bucket_width=8).collect()
+    )
+    # brute force: point in [lo, hi), same key, many-to-many
+    assert got == [(1, 10), (2, 10), (2, 11), (3, 11)]
+    # bucket width must not change results
+    for bw in (1, 3, 20, 1000):
+        again = sorted(
+            (r["event_id"], r["iv_id_r"]) for r in range_join(
+                points, ivals, point_col="t", lo_col="lo", hi_col="hi",
+                on="k", bucket_width=bw).collect()
+        )
+        assert again == got, bw
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        range_join(points, ivals, "t", "lo", "hi", on="k", bucket_width=0)
