@@ -527,6 +527,34 @@ def q_range_join(spark, sf_dir):
                       F.col("error_id_r").alias("error_id"))
 
 
+def q_char_entropy(spark, sf_dir):
+    """Character-entropy gibberish signal (operators/textops.py::
+    char_entropy). Hard oracle: DuckDB rebuilds the per-doc character
+    distribution (codepoint split parity) and recomputes sum(-p ln p)/ln2
+    to 4dp."""
+    from llm_food_spark.operators.textops import char_entropy
+
+    return char_entropy(_t(spark, sf_dir, "documents"))
+
+
+def q_json_extract(spark, sf_dir):
+    """Semi-structured column handling: extract the integer prop k from
+    the events props JSON and roll it up per event_type. Hard oracle:
+    DuckDB's JSON extraction over the identical strings."""
+    e = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
 def q_image_dhash(spark, sf_dir):
     """Perceptual dHash under a hard analytic oracle: PNG fixtures carry
     formula pixels (the image_resize closed forms) encoded through all
@@ -2620,6 +2648,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "windowed_counts": q_windowed_counts,    # tumbling event-time rollup
         "cap_per_group": q_cap_per_group,        # demoted for asof_join: the count+rank per-group cap is recomputed in the tfidf_topk and anchor_text slot twins; the WindowGroupLimit plan shape stays repo-gated
         "range_join": q_range_join,              # vs DuckDB's plain inequality join
+        "char_entropy": q_char_entropy,          # gibberish signal, exact dist
+        "json_extract": q_json_extract,          # semi-structured props rollup
         # hard SQL twins, demoted for subsumption (coverage noted)
         "counter_rollup": q_counter_rollup,      # R8/R9; resume_status re-derives the committed counters
         "topk_per_group": q_topk_per_group,      # top-k: tfidf_topk + cap_per_group
@@ -4564,6 +4594,31 @@ def _handwritten_oracles() -> dict[str, str]:
             FROM e p JOIN iv
               ON p.user_id = iv.user_id
              AND p.us >= iv.lo AND p.us < iv.hi
+        """,
+        # entropy twin: identical char distribution, nats summed, /ln2 last
+        "char_entropy": """
+            WITH ch AS (
+              SELECT doc_id, unnest(split(text, '')) AS ch
+              FROM documents WHERE len(text) > 0
+            ), c AS (
+              SELECT doc_id, ch, COUNT(*)::BIGINT AS c
+              FROM ch GROUP BY 1, 2
+            ), t AS (
+              SELECT doc_id, SUM(c)::BIGINT AS n FROM c GROUP BY 1
+            )
+            SELECT c.doc_id, MAX(t.n) AS n_chars,
+                   round(SUM(-(c.c / t.n) * ln(c.c / t.n))
+                         / 0.6931471805599453, 4) AS entropy_bits
+            FROM c JOIN t USING (doc_id)
+            GROUP BY c.doc_id
+        """,
+        # JSON twin: DuckDB's own JSON path extraction
+        "json_extract": """
+            SELECT event_type, COUNT(*)::BIGINT AS n,
+                   SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+                   MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
+                   MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
+            FROM events GROUP BY event_type
         """,
         # dHash twin: every bit recomputed analytically from the fixture
         # pixel formulas — integer luma, nearest-neighbor map

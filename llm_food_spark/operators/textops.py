@@ -380,3 +380,44 @@ def script_profile(df, text_col: str = "text", id_col: str = "doc_id"):
     return out.select(
         "*", total.alias("n_letters"), dom.alias("script")
     )
+
+
+_LN2 = 0.6931471805599453  # math.log(2), the exact double both engines produce
+
+
+def char_entropy(df, text_col: str = "text", id_col: str = "doc_id",
+                 ndigits: int = 4):
+    """Character-level Shannon entropy per document -> (doc_id, n_chars,
+    entropy_bits) — the classic gibberish/boilerplate signal (natural
+    language sits ~3.5-4.5 bits/char; base64 blobs and keyboard mash
+    score high, repeated boilerplate low).
+
+    Shape: one posexplode to (doc, char) rows, one map-side-combined
+    count aggregation, entropy as sum(-p*log2 p) per doc — the same
+    partial+final hash-agg class as term_stats. The twin recomputes the
+    identical distribution; the float sum is order-free in effect at
+    ndigits (≤ alphabet-size terms, the lm_perplexity precedent)."""
+    chars = df.select(
+        F.col(id_col).alias("doc_id"),
+        # (?s) so '.' crosses newlines; lookbehind+lookahead splits
+        # between every pair of chars with no empty edge tokens
+        F.explode(
+            F.split(F.col(text_col), r"(?s)(?<=.)(?=.)")
+        ).alias("ch"),
+    ).where(F.col("ch") != "")
+    counts = chars.groupBy("doc_id", "ch").agg(F.count("*").alias("c"))
+    tot = counts.groupBy("doc_id").agg(F.sum("c").alias("n"))
+    p = F.col("c") / F.col("n")
+    return (
+        counts.join(tot, "doc_id")
+        .groupBy("doc_id")
+        .agg(
+            F.max("n").alias("n_chars"),
+            # nats summed, one /ln2 at the end: ln is the cross-engine-
+            # stable primitive (the lm_perplexity precedent); log2 as a
+            # function differs in the last ulp between engines
+            F.round(
+                F.sum(-p * F.log(p)) / F.lit(_LN2), ndigits
+            ).alias("entropy_bits"),
+        )
+    )

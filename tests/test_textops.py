@@ -679,3 +679,19 @@ def test_script_profile(spark):
     # tie goes to the first class in SCRIPT_RANGES order
     t = spark.createDataFrame([(9, "ab 中文")], "doc_id long, text string")
     assert script_profile(t).collect()[0]["script"] == "latin"
+
+
+def test_char_entropy(spark):
+    from llm_food_spark.operators.textops import char_entropy
+    import math
+
+    df = spark.createDataFrame(
+        [(1, "aabb"), (2, "aaaa"), (3, "ab\ncd"), (4, "中文中文"), (5, "")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r for r in char_entropy(df).collect()}
+    assert set(got) == {1, 2, 3, 4}  # empty text has no chars
+    assert got[1]["entropy_bits"] == 1.0 and got[1]["n_chars"] == 4
+    assert got[2]["entropy_bits"] == 0.0
+    assert got[3]["n_chars"] == 5  # newline counted as a char
+    assert got[3]["entropy_bits"] == round(math.log2(5), 4)
+    assert got[4]["entropy_bits"] == 1.0
