@@ -614,6 +614,47 @@ def q_badwords(spark, sf_dir):
     return badword_screen(d, _BADWORDS)
 
 
+def q_c4_clean(spark, sf_dir):
+    """C4 line-level page cleaning (Raffel et al. 2020 §2.2; spec in
+    functions/c4.py) over deterministically "messied" corpus text: each
+    doc's word soup is cut into 6 lines of 7 words (2 when i%5==2 — the
+    short-line rule), a punctuation suffix cycling . ! ? " '' ; by
+    (doc_id+i)%6, ' JavaScript required' injected when (doc_id+i)%7==0,
+    leading whitespace when i%3==0, a '{' code line when doc_id%11==3 and
+    a Lorem Ipsum line when doc_id%13==4 — every line AND page rule fires
+    somewhere in the corpus. Hard oracle: DuckDB rebuilds the fixture and
+    re-derives every rule with list lambdas + explicit ASCII char classes
+    (independent of Python's re engine)."""
+    from llm_food_spark.operators.quality import c4_line_clean
+
+    d = _t(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.col("text"), " "), lambda x: x != F.lit(""))
+    did = F.col("doc_id")
+    punct = F.array(*[F.lit(c) for c in [".", "!", "?", '"', "", ";"]])
+
+    def _line(i):
+        k = F.when(i % 5 == 2, F.lit(2)).otherwise(F.lit(7))
+        body = F.array_join(F.slice(toks, i * 7 + 1, k), " ")
+        lead = F.when(i % 3 == 0, F.lit("  \t")).otherwise(F.lit(""))
+        js = F.when(
+            (did + i) % 7 == 0, F.lit(" JavaScript required")
+        ).otherwise(F.lit(""))
+        tail = F.element_at(punct, ((did + i) % 6 + 1).cast("int"))
+        return F.concat(lead, body, js, tail)
+
+    messy = F.concat(
+        F.array_join(F.transform(F.sequence(F.lit(0), F.lit(5)), _line), "\n"),
+        F.when(did % 11 == 3, F.lit("\nshared config { block }")).otherwise(
+            F.lit("")
+        ),
+        F.when(
+            did % 13 == 4, F.lit("\nLorem Ipsum dolor sit amet.")
+        ).otherwise(F.lit("")),
+    )
+    page = d.select("doc_id", messy.alias("text"))
+    return c4_line_clean(page, min_words=5, min_sentences=3)
+
+
 def q_contamination(spark, sf_dir):
     """Graded contamination report (containment = dirty fraction of each
     doc's distinct 13-grams) over the same seeded synthetic eval set as
@@ -2584,7 +2625,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "gopher_quality": q_gopher_quality,
         "pii_redact": q_pii_redact,
-        "clean_text": q_clean_text,
+        "c4_clean": q_c4_clean,                  # C4 line/page cleaning pass
         "decontaminate": q_decontaminate,
         # dedup / similarity (one driver row per hash-plan family)
         "dedup_exact": q_dedup_exact,
@@ -2648,6 +2689,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "windowed_counts": q_windowed_counts,    # tumbling event-time rollup
         "cap_per_group": q_cap_per_group,        # demoted for asof_join: the count+rank per-group cap is recomputed in the tfidf_topk and anchor_text slot twins; the WindowGroupLimit plan shape stays repo-gated
         "range_join": q_range_join,              # vs DuckDB's plain inequality join
+        "clean_text": q_clean_text,              # demoted for c4_clean: web_prep_full's twin chains the identical NFC+control+ws clean stage first; the standalone form stays repo-gated
         "char_entropy": q_char_entropy,          # gibberish signal, exact dist
         "json_extract": q_json_extract,          # semi-structured props rollup
         # hard SQL twins, demoted for subsumption (coverage noted)
@@ -4675,6 +4717,78 @@ def _handwritten_oracles() -> dict[str, str]:
                      AS keep
             FROM documents
         """.format(w=_WORDS),
+        # C4 line/page cleaning: the twin rebuilds the messy fixture AND
+        # re-derives every line rule (strip, terminal punct, word count,
+        # javascript) and page rule (sentence floor, lorem, brace) with
+        # list lambdas + explicit ASCII char classes — fully independent
+        # of Python's re engine and str.strip
+        "c4_clean": """
+            WITH t AS (
+              SELECT doc_id,
+                     list_filter(split(text, ' '), x -> x <> '') AS toks
+              FROM documents
+            ), fix AS (
+              SELECT doc_id,
+                array_to_string(
+                  list_transform(range(0, 6), i ->
+                    (CASE WHEN i % 3 = 0 THEN '  ' || chr(9) ELSE '' END)
+                    -- coalesce: a slice whose start is past the end is
+                    -- NULL in DuckDB (empty array in Spark)
+                    || coalesce(array_to_string(
+                         toks[i*7 + 1 : i*7 +
+                              (CASE WHEN i % 5 = 2 THEN 2 ELSE 7 END)], ' '),
+                         '')
+                    || (CASE WHEN (doc_id + i) % 7 = 0
+                        THEN ' JavaScript required' ELSE '' END)
+                    || (['.', '!', '?', '"', '', ';'])[
+                         ((doc_id + i) % 6 + 1)::INT]
+                  ), chr(10))
+                || (CASE WHEN doc_id % 11 = 3
+                    THEN chr(10) || 'shared config { block }' ELSE '' END)
+                || (CASE WHEN doc_id % 13 = 4
+                    THEN chr(10) || 'Lorem Ipsum dolor sit amet.'
+                    ELSE '' END)
+                AS text
+              FROM t
+            ), ln AS (
+              SELECT doc_id, text,
+                     list_transform(split(text, chr(10)),
+                                    x -> trim(x, ' ' || chr(9) || chr(13)))
+                       AS ls
+              FROM fix
+            ), kept AS (
+              SELECT doc_id, text, len(ls) AS n_lines,
+                     list_filter(ls, x ->
+                       len(x) > 0
+                       AND right(x, 1) IN ('.', '!', '?', '"')
+                       AND len(list_filter(
+                             regexp_split_to_array(x, '[ \\t]+'),
+                             w -> w <> '')) >= 5
+                       AND NOT regexp_matches(x,
+                         '[jJ][aA][vV][aA][sS][cC][rR][iI][pP][tT]')
+                     ) AS ks
+              FROM ln
+            ), agg AS (
+              SELECT doc_id, text, n_lines,
+                     -- array_to_string of an EMPTY list is NULL in DuckDB
+                     coalesce(array_to_string(ks, chr(10)), '') AS clean,
+                     len(ks) AS n_kept,
+                     length(coalesce(array_to_string(ks, ''), ''))
+                       - length(replace(replace(replace(
+                           coalesce(array_to_string(ks, ''), ''), '.', ''),
+                           '!', ''), '?', '')) AS n_sent
+              FROM kept
+            )
+            SELECT doc_id, clean,
+                   n_lines::INT AS n_lines,
+                   n_kept::INT AS n_kept,
+                   n_sent::INT AS n_sentences,
+                   (n_sent >= 3
+                    AND NOT regexp_matches(text,
+                      '[lL][oO][rR][eE][mM] [iI][pP][sS][uU][mM]')
+                    AND NOT contains(text, '{')) AS keep
+            FROM agg
+        """,
         # graded companion: LEFT join keeps every shingled doc; both
         # counts + the rounded dirty fraction per doc
         "contamination": """

@@ -1,0 +1,79 @@
+"""C4-style line-level page cleaning — pure Python, no Spark imports.
+
+Implements the published C4 heuristics (Raffel et al. 2020, "Exploring
+the Limits of Transfer Learning", §2.2) as a deterministic per-document
+pass: keep only lines that end in terminal punctuation and carry enough
+words, drop lines mentioning javascript, and flag whole pages that are
+code-like or placeholder boilerplate. The reference engine
+(/root/reference/llm_food) converts one uploaded file at a time and has
+no corpus-cleaning stage; this extends its surface toward training-data
+prep, alongside ``operators.quality.badword_screen`` (the blocklist half
+of the same C4 recipe).
+
+The spec below is mirrored EXACTLY by the DuckDB twin in
+``__spark_entry__.oracle_sql['c4_line_clean']`` — every rule is phrased
+so Python and SQL produce byte-identical results:
+
+- lines = split on ``\\n``; each line is stripped of ``' '``/``'\\t'``/
+  ``'\\r'`` on both ends (explicit charset: Python ``str.strip`` strips
+  all Unicode whitespace, DuckDB ``trim`` strips spaces — both are told
+  the same three characters instead).
+- a stripped line is KEPT iff it is non-empty, its last codepoint is one
+  of ``.``, ``!``, ``?``, ``"``, it has >= ``min_words`` words (maximal
+  runs of non-space/tab), and it does not match ``javascript``
+  ASCII-case-insensitively (Python: ``(?ai)``; the oracle spells it as
+  explicit ``[jJ][aA]...`` classes — no engine-specific case folding).
+- sentence count = occurrences of ``.``/``!``/``?`` summed over KEPT
+  lines (the paper counts sentences with an English splitter; a
+  terminal-punctuation count is the deterministic, engine-portable
+  proxy).
+- the PAGE is kept iff >= ``min_sentences`` sentences survive, the raw
+  text does not match ``(?i)lorem ipsum``, and it contains no ``{``
+  (code marker).
+- ``clean`` = kept stripped lines joined with ``\\n`` (emitted for every
+  row so dropped pages are auditable; callers filter on ``keep``).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Tuple
+
+TERMINAL_CHARS = frozenset('.!?"')
+_WORD_SPLIT = re.compile(r"[ \t]+")
+_JAVASCRIPT = re.compile(r"(?ai)javascript")  # (?a): Python (?i) alone
+_LOREM = re.compile(r"(?ai)lorem ipsum")      # case-folds Unicode (ſ -> s)
+_STRIP_CHARS = " \t\r"
+
+
+def keep_line(stripped: str, min_words: int = 5) -> bool:
+    """C4 line rule over an already-stripped line."""
+    if not stripped or stripped[-1] not in TERMINAL_CHARS:
+        return False
+    words = [w for w in _WORD_SPLIT.split(stripped) if w]
+    if len(words) < min_words:
+        return False
+    return _JAVASCRIPT.search(stripped) is None
+
+
+def clean_page(
+    text: str, min_words: int = 5, min_sentences: int = 3
+) -> Tuple[str, int, int, int, bool]:
+    """Apply the C4 line + page rules to one document.
+
+    Returns ``(clean, n_lines, n_kept, n_sentences, keep)``; ``clean``
+    is always populated (audit trail for dropped pages).
+    """
+    if text is None:
+        return ("", 0, 0, 0, False)
+    lines = [ln.strip(_STRIP_CHARS) for ln in text.split("\n")]
+    kept = [ln for ln in lines if keep_line(ln, min_words)]
+    n_sentences = sum(
+        ln.count(".") + ln.count("!") + ln.count("?") for ln in kept
+    )
+    keep = (
+        n_sentences >= min_sentences
+        and _LOREM.search(text) is None
+        and "{" not in text
+    )
+    return ("\n".join(kept), len(lines), len(kept), n_sentences, keep)

@@ -111,6 +111,59 @@ def repetition_table(df: DataFrame, text_col: str = "text", key_col: str = "doc_
     return rep.select(key_col, *["rep.%s" % n for n in SIGNAL_NAMES])
 
 
+_C4_SCHEMA = T.StructType(
+    [
+        T.StructField("clean", T.StringType()),
+        T.StructField("n_lines", T.IntegerType()),
+        T.StructField("n_kept", T.IntegerType()),
+        T.StructField("n_sentences", T.IntegerType()),
+        T.StructField("keep", T.BooleanType()),
+    ]
+)
+
+
+def c4_line_clean(
+    df: DataFrame,
+    min_words: int = 5,
+    min_sentences: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """C4 line-level page cleaning (Raffel et al. 2020 §2.2; spec in
+    functions/c4.py) -> (doc_id, clean, n_lines, n_kept, n_sentences,
+    keep). ``clean`` is the surviving text for every row — dropped pages
+    stay auditable; callers filter on ``keep``.
+
+    ONE vectorized Arrow pass, per-row state only: linear scaling, zero
+    shuffle at any corpus size. The line rules chain lookaheads + word
+    counting that Catalyst regexps could express only as a multi-pass
+    lookahead soup; a single Python pass per Arrow batch is the honest
+    plan here (same call as with_repetition_signals above)."""
+    from ..functions.c4 import clean_page
+
+    @F.pandas_udf(_C4_SCHEMA)
+    def _c4_udf(texts: pd.Series) -> pd.DataFrame:
+        rows = [
+            clean_page(
+                t if isinstance(t, str) else "", min_words, min_sentences
+            )
+            for t in texts
+        ]
+        return pd.DataFrame(
+            rows, columns=["clean", "n_lines", "n_kept", "n_sentences", "keep"]
+        )
+
+    out = df.withColumn("_c4", _c4_udf(F.col(text_col)))
+    return out.select(
+        F.col(id_col).alias("doc_id"),
+        F.col("_c4.clean").alias("clean"),
+        F.col("_c4.n_lines").alias("n_lines"),
+        F.col("_c4.n_kept").alias("n_kept"),
+        F.col("_c4.n_sentences").alias("n_sentences"),
+        F.col("_c4.keep").alias("keep"),
+    )
+
+
 def badword_screen(
     df: DataFrame,
     badwords: List[str],

@@ -198,3 +198,76 @@ def test_badword_screen_token_membership(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         badword_screen(df, [])
+
+
+# ---------------------------------------------------------------------------
+# C4 line-level cleaning (functions/c4.py + operators.quality.c4_line_clean)
+# ---------------------------------------------------------------------------
+
+
+def test_c4_keep_line_rules():
+    from llm_food_spark.functions.c4 import keep_line
+
+    assert keep_line("Five ordinary words end here.")
+    assert keep_line('A quoted line with five words."')
+    assert not keep_line("Too few words.")                  # < 5 words
+    assert not keep_line("Five ordinary words no punct")    # no terminal
+    assert not keep_line("Enable JavaScript to view this.")  # js rule
+    assert not keep_line("enable jAvAsCrIpT to view this.")  # ascii-ci
+    assert not keep_line("")
+    assert keep_line("one two three.", min_words=3)
+    # words are runs of non-space/tab: tabs separate too
+    assert keep_line("a\tb\tc\td\te.", min_words=5)
+
+
+def test_c4_clean_page_rules():
+    from llm_food_spark.functions.c4 import clean_page
+
+    good = "\n".join(
+        ["  First line has five whole words.",
+         "Second line also has five words!",
+         "Third line rounds out the page?",
+         "short one.",
+         "trailing line without terminal punct"])
+    clean, n_lines, n_kept, n_sent, keep = clean_page(good)
+    assert keep and n_lines == 5 and n_kept == 3 and n_sent == 3
+    assert clean.splitlines()[0] == "First line has five whole words."
+
+    # page gates: brace, lorem ipsum, sentence floor
+    assert not clean_page(good + "\nvar x = {1};")[4]
+    assert not clean_page(good + "\nLOREM IPSUM dolor.")[4]
+    assert not clean_page("Only two sentences survive here.\n"
+                          "And this is the second one.")[4]
+    # quote-terminated lines count as kept but add no sentences
+    clean, _, n_kept, n_sent, keep = clean_page(
+        'A quoted line of five words"\n' * 5)
+    assert n_kept == 5 and n_sent == 0 and not keep
+    assert clean_page(None) == ("", 0, 0, 0, False)
+    assert clean_page("") == ("", 1, 0, 0, False)
+
+
+def test_c4_line_clean_spark(spark):
+    from llm_food_spark.functions.c4 import clean_page
+    from llm_food_spark.operators.quality import c4_line_clean
+
+    texts = [
+        (0, "Keep this full sentence of words.\nAnd another one right "
+            "here!\nA third sentence closes it out.\nnoise { noise"),
+        (1, "Keep this full sentence of words.\nAnd another one right "
+            "here!\nA third sentence closes it out."),
+        (2, ""),
+        (3, None),
+        (4, "one two.\nthree four five six seven.\n\teight nine ten "
+            "eleven twelve?  \nLorem ipsum dolor sit amet."),
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in c4_line_clean(df).collect()}
+    for i, t in texts:
+        clean, n_lines, n_kept, n_sent, keep = clean_page(t or "")
+        assert got[i] == {
+            "doc_id": i, "clean": clean, "n_lines": n_lines,
+            "n_kept": n_kept, "n_sentences": n_sent, "keep": keep,
+        }, i
+    assert got[0]["keep"] is False and got[1]["keep"] is True
+    # lorem gates the PAGE, not the line: the lorem line itself is kept
+    assert got[4]["n_kept"] == 3 and got[4]["keep"] is False
