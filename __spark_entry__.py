@@ -1505,6 +1505,22 @@ def q_split_assign(spark, sf_dir):
     )
 
 
+def q_mine_bitext(spark, sf_dir):
+    """Margin-based bitext mining (Artetxe & Schwenk 2019 ratio margin)
+    between two deterministic corpus sides (even vec_ids < 100 as the
+    source, odd vec_ids as the target): forward top-4 candidates, both
+    k-NN-average denominators, best-margin pick per source, threshold
+    1.2 (keeps roughly half — both branches exercised). Hard oracle:
+    DuckDB recomputes the full cosine matrix, both directional top-k
+    averages, every margin and the final pick."""
+    from llm_food_spark.operators.align import mine_bitext
+
+    emb = _t(spark, sf_dir, "embeddings")
+    src = emb.where((F.col("vec_id") % 2 == 0) & (F.col("vec_id") < 100))
+    tgt = emb.where(F.col("vec_id") % 2 == 1)
+    return mine_bitext(src, tgt, k=4, threshold=1.2)
+
+
 def q_cosine_topk(spark, sf_dir):
     from llm_food_spark.operators.similarity import brute_force_topk
 
@@ -2658,7 +2674,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_search": q_bm25_search,
         "asof_join": q_asof_join,                # vs DuckDB's NATIVE ASOF JOIN — an independent implementation, not a re-derivation
         "unimax_sample": q_unimax_sample,        # epoch-capped budget waterfill; recomputes split_assign's MINSTD membership arithmetic plus the whole allocation
-        "pack_sequences": q_pack_sequences,
+        "mine_bitext": q_mine_bitext,            # margin-based bitext mining, full-matrix twin
         "web_prep_full": q_web_prep_full,        # subsumes web_prep
         "kn_perplexity": q_kn_perplexity,        # Kneser-Ney full model retrain
         # multimodal (analytic hex-byte twins)
@@ -2690,6 +2706,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cap_per_group": q_cap_per_group,        # demoted for asof_join: the count+rank per-group cap is recomputed in the tfidf_topk and anchor_text slot twins; the WindowGroupLimit plan shape stays repo-gated
         "range_join": q_range_join,              # vs DuckDB's plain inequality join
         "clean_text": q_clean_text,              # demoted for c4_clean: web_prep_full's twin chains the identical NFC+control+ws clean stage first; the standalone form stays repo-gated
+        "pack_sequences": q_pack_sequences,      # demoted for mine_bitext: web_prep_full's twin chains the identical per-split packing cumsum as its final stage (and training_layout re-derives it); the standalone form stays repo-gated
         "char_entropy": q_char_entropy,          # gibberish signal, exact dist
         "json_extract": q_json_extract,          # semi-structured props rollup
         # hard SQL twins, demoted for subsumption (coverage noted)
@@ -4717,6 +4734,51 @@ def _handwritten_oracles() -> dict[str, str]:
                      AS keep
             FROM documents
         """.format(w=_WORDS),
+        # bitext mining: the twin recomputes the FULL cosine matrix, both
+        # directional top-k averages, every ratio margin and the final
+        # best-margin pick — rounding before each rank/mean, ties by id,
+        # exactly the operator's published-method arithmetic
+        "mine_bitext": """
+            WITH s AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+              FROM embeddings WHERE vec_id % 2 = 0 AND vec_id < 100
+            ), t AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+              FROM embeddings WHERE vec_id % 2 = 1
+            ), pairs AS (
+              SELECT s.vec_id AS sid, t.vec_id AS tid,
+                     ROUND(list_cosine_similarity(s.v, t.v), 4) AS score
+              FROM s, t
+            ), fwd AS (
+              SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY sid ORDER BY score DESC, tid) AS rk
+              FROM pairs
+            ), bwd AS (
+              SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY tid ORDER BY score DESC, sid) AS rk
+              FROM pairs
+            ), ax AS (
+              -- 6 dp, not 4: the mean of four 4-dp decimals is an exact
+              -- multiple of 0.000025 — ON the 4-dp half-way boundary
+              SELECT sid, ROUND(AVG(score), 6) AS a_src
+              FROM fwd WHERE rk <= 4 GROUP BY sid
+            ), ay AS (
+              SELECT tid, ROUND(AVG(score), 6) AS a_tgt
+              FROM bwd WHERE rk <= 4 GROUP BY tid
+            ), m AS (
+              SELECT f.sid, f.tid, f.score,
+                     ROUND(f.score / ((ax.a_src + ay.a_tgt) / 2), 4)
+                       AS margin
+              FROM fwd f JOIN ax USING (sid) JOIN ay USING (tid)
+              WHERE f.rk <= 4
+            ), best AS (
+              SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY sid ORDER BY margin DESC, tid) AS pick
+              FROM m
+            )
+            SELECT sid AS src_id, tid AS tgt_id, score, margin
+            FROM best WHERE pick = 1 AND margin >= 1.2
+        """,
         # C4 line/page cleaning: the twin rebuilds the messy fixture AND
         # re-derives every line rule (strip, terminal punct, word count,
         # javascript) and page rule (sentence floor, lorem, brace) with

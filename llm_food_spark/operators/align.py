@@ -1,0 +1,116 @@
+"""Bitext mining: margin-based cross-lingual sentence/document alignment.
+
+Implements the ratio-margin criterion of Artetxe & Schwenk 2019
+("Margin-based Parallel Corpus Mining with Multilingual Sentence
+Embeddings", public paper) — the method behind the mined parallel corpora
+(CCMatrix/WikiMatrix families) used to train translation and multilingual
+LLMs. Given two embedded corpus sides, score each forward k-NN candidate
+pair by
+
+    margin(x, y) = cos(x, y) / ((a_x + a_y) / 2)
+
+where ``a_x`` is the mean cosine of x's k nearest neighbours in the
+target side and ``a_y`` the mean over y's k nearest in the source side —
+the margin normalizes away "hub" vectors that are close to everything,
+which plain cosine thresholds cannot.
+
+No analogue in the reference (llm-food converts one uploaded file at a
+time: /root/reference/llm_food/app.py); part of the training-data brief.
+
+Scale design: candidate generation is PLUGGABLE. The default
+``brute_force_topk`` broadcasts one side (the exact baseline, fine when
+one side fits a broadcast); at corpus scale pass a partial of
+``ivf_ann_topk`` / ``lsh_ann_topk`` (operators/similarity.py) — margin
+scoring itself is two narrow top-k frames (4 ints + a double per row),
+two map-side-combinable avgs, one broadcast-joinable margin pass and one
+per-source window. Nothing downstream of candidate generation ever
+carries a vector.
+
+Determinism: scores are rounded (4 dp) BEFORE every ranking and mean,
+ties broken by candidate id — the repo-wide discipline that makes the
+DuckDB twin (__spark_entry__.oracle_sql['mine_bitext']) hash-identical.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from .similarity import brute_force_topk
+
+TopkFn = Callable[..., DataFrame]
+
+
+def knn_avg(
+    topk: DataFrame, avg_col: str, round_dp: int = 4
+) -> DataFrame:
+    """(query_id, <avg_col>): mean of the (already rounded) top-k scores
+    per query — the a_x / a_y denominators of the ratio margin.
+
+    Rounded at ``round_dp + 2``, NOT round_dp: the mean of k scores that
+    are exact round_dp-decimals lands on exact multiples of
+    10^-round_dp / k (k=4 -> 0.000025), i.e. ON the half-way boundary of
+    a round_dp rounding — where engines coin-flip on the binary
+    representation. Two extra digits represent those multiples exactly,
+    so both engines agree; the final margin is still rounded at
+    round_dp."""
+    return topk.groupBy("query_id").agg(
+        F.round(F.avg("score"), round_dp + 2).alias(avg_col)
+    )
+
+
+def mine_bitext(
+    src: DataFrame,
+    tgt: DataFrame,
+    k: int = 4,
+    threshold: float = 1.2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 4,
+    topk_fn: TopkFn = brute_force_topk,
+) -> DataFrame:
+    """Mine aligned pairs -> (src_id, tgt_id, score, margin): for each
+    source row, its best-margin forward k-NN candidate, kept when
+    ``margin >= threshold``. One row per mined source; sources whose best
+    margin falls below the threshold are dropped (unaligned).
+
+    ``topk_fn(candidates, queries, k=, id_col=, vec_col=, round_dp=)``
+    must return (query_id, rank, vec_id, score) — brute_force_topk,
+    ivf_ann_topk and lsh_ann_topk all qualify.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    kw = dict(k=k, id_col=id_col, vec_col=vec_col, round_dp=round_dp)
+    fwd = topk_fn(tgt, src, **kw)  # src -> tgt candidates
+    bwd = topk_fn(src, tgt, **kw)  # tgt -> src (denominator only)
+    a_src = knn_avg(fwd, "a_src", round_dp)
+    a_tgt = knn_avg(bwd, "a_tgt", round_dp)
+    scored = (
+        fwd.join(F.broadcast(a_src), "query_id")
+        .join(
+            F.broadcast(a_tgt.withColumnRenamed("query_id", "vec_id")),
+            "vec_id",
+        )
+        .withColumn(
+            "margin",
+            F.round(
+                F.col("score")
+                / ((F.col("a_src") + F.col("a_tgt")) / F.lit(2.0)),
+                round_dp,
+            ),
+        )
+    )
+    best = Window.partitionBy("query_id").orderBy(
+        F.col("margin").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("pick", F.row_number().over(best))
+        .where((F.col("pick") == 1) & (F.col("margin") >= threshold))
+        .select(
+            F.col("query_id").alias("src_id"),
+            F.col("vec_id").alias("tgt_id"),
+            "score",
+            "margin",
+        )
+    )

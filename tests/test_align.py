@@ -1,0 +1,137 @@
+"""Bitext-mining tests: margin arithmetic vs a numpy reference, planted
+translation pairs, hub suppression, threshold/validation behavior."""
+
+import numpy as np
+import pytest
+from pyspark.sql import types as T
+
+from llm_food_spark.operators.align import knn_avg, mine_bitext
+from llm_food_spark.operators.similarity import brute_force_topk
+
+DIM = 16
+
+_SCHEMA = T.StructType([
+    T.StructField("vec_id", T.LongType()),
+    T.StructField("embedding", T.ArrayType(T.FloatType())),
+])
+
+
+def _df(spark, ids, mat):
+    rows = [(int(i), [float(x) for x in v]) for i, v in zip(ids, mat)]
+    return spark.createDataFrame(rows, _SCHEMA)
+
+
+def _numpy_mine(src_ids, src, tgt_ids, tgt, k, threshold, dp=4):
+    """Independent reference: same rounding discipline, pure numpy."""
+    def _round(x, d):  # away-from-zero half rounding, like Spark/DuckDB
+        return np.copysign(np.floor(np.abs(x) * 10**d + 0.5), x) / 10**d
+
+    sn = src / np.linalg.norm(src, axis=1, keepdims=True)
+    tn = tgt / np.linalg.norm(tgt, axis=1, keepdims=True)
+    cos = _round(sn @ tn.T, dp)
+
+    def _topk(scores, ids):  # (score desc, id asc), returns row indices
+        order = sorted(range(len(ids)), key=lambda j: (-scores[j], ids[j]))
+        return order[:k]
+
+    a_src = {i: _round(np.mean([cos[r][j] for j in _topk(cos[r], tgt_ids)]),
+                       dp + 2) for r, i in enumerate(src_ids)}
+    a_tgt = {j: _round(np.mean([cos[r][c] for r in _topk(cos[:, c], src_ids)]),
+                       dp + 2) for c, j in enumerate(tgt_ids)}
+    out = {}
+    for r, i in enumerate(src_ids):
+        cands = []
+        for c in _topk(cos[r], tgt_ids):
+            j = tgt_ids[c]
+            m = _round(cos[r][c] / ((a_src[i] + a_tgt[j]) / 2.0), dp)
+            cands.append((-m, j, cos[r][c], m))
+        cands.sort()
+        _, j, s, m = cands[0]
+        if m >= threshold:
+            out[i] = (j, s, m)
+    return out
+
+
+@pytest.fixture(scope="module")
+def sides(spark):
+    rng = np.random.RandomState(11)
+    src = rng.standard_normal((20, DIM)).astype(np.float32)
+    # targets: 20 noise rows + near-translations of the first 6 sources
+    tgt = rng.standard_normal((26, DIM)).astype(np.float32)
+    for i in range(6):
+        tgt[20 + i] = src[i] + 0.05 * rng.standard_normal(DIM).astype(
+            np.float32)
+    src_ids = list(range(0, 40, 2))
+    tgt_ids = list(range(1, 53, 2))
+    return (_df(spark, src_ids, src), src_ids, src,
+            _df(spark, tgt_ids, tgt), tgt_ids, tgt)
+
+
+def test_mine_bitext_matches_numpy_reference(sides):
+    sdf, src_ids, src, tdf, tgt_ids, tgt = sides
+    got = {r["src_id"]: (r["tgt_id"], r["score"], r["margin"])
+           for r in mine_bitext(sdf, tdf, k=4, threshold=1.0).collect()}
+    exp = _numpy_mine(src_ids, src, tgt_ids, tgt, k=4, threshold=1.0)
+    assert set(got) == set(exp)
+    for i in exp:
+        assert got[i][0] == exp[i][0], i
+        assert got[i][1] == pytest.approx(exp[i][1], abs=2e-4), i
+        assert got[i][2] == pytest.approx(exp[i][2], abs=2e-4), i
+
+
+def test_mine_bitext_finds_planted_translations(sides):
+    sdf, src_ids, _, tdf, tgt_ids, _ = sides
+    got = {r["src_id"]: r for r in
+           mine_bitext(sdf, tdf, k=4, threshold=1.2).collect()}
+    # every planted pair (src i*2 <-> tgt id 41+2i) mined with top margin
+    for i in range(6):
+        assert got[2 * i]["tgt_id"] == 41 + 2 * i
+        assert got[2 * i]["margin"] > 1.2
+    # mined set is a subset of sources; margins all pass the threshold
+    assert all(r["margin"] >= 1.2 for r in got.values())
+    assert set(got) <= set(src_ids)
+
+
+def test_mine_bitext_margin_beats_raw_cosine_on_hubs(spark):
+    # a hub target close to EVERY source must not win on margin: its
+    # a_tgt denominator is as big as its cosines
+    rng = np.random.RandomState(7)
+    base = rng.standard_normal(DIM).astype(np.float32)
+    src = np.stack([base + 0.3 * rng.standard_normal(DIM).astype(np.float32)
+                    for _ in range(6)])
+    hub = base.astype(np.float32)  # close to all sources
+    true_tgt = src[0] + 0.01 * rng.standard_normal(DIM).astype(np.float32)
+    far = rng.standard_normal((4, DIM)).astype(np.float32)
+    tgt = np.vstack([hub[None, :], true_tgt[None, :], far])
+    sdf = _df(spark, [0], src[:1])
+    tdf = _df(spark, [101, 103, 105, 107, 109, 111], tgt)
+    (row,) = mine_bitext(sdf, tdf, k=3, threshold=0.0).collect()
+    assert row["tgt_id"] == 103  # the true translation, not the hub 101
+
+
+def test_mine_bitext_threshold_and_validation(sides):
+    sdf, _, _, tdf, _, _ = sides
+    lo = mine_bitext(sdf, tdf, k=4, threshold=0.0).count()
+    hi = mine_bitext(sdf, tdf, k=4, threshold=99.0).count()
+    assert lo == 20 and hi == 0  # one row per source at threshold 0
+    with pytest.raises(ValueError):
+        mine_bitext(sdf, tdf, k=0)
+
+
+def test_knn_avg_rounds_off_the_boundary(spark):
+    # four 4-dp scores averaging onto a .00005 boundary: 6-dp keeps it
+    df = spark.createDataFrame(
+        [(1, 0.4597), (1, 0.4597), (1, 0.4597), (1, 0.4598)],
+        "query_id long, score double")
+    (row,) = knn_avg(df, "a", round_dp=4).collect()
+    assert row["a"] == pytest.approx(0.459725, abs=1e-9)
+
+
+def test_mine_bitext_pluggable_topk(sides):
+    sdf, _, _, tdf, _, _ = sides
+    base = {(r["src_id"], r["tgt_id"]) for r in
+            mine_bitext(sdf, tdf, k=4, threshold=1.2).collect()}
+    expl = {(r["src_id"], r["tgt_id"]) for r in
+            mine_bitext(sdf, tdf, k=4, threshold=1.2,
+                        topk_fn=brute_force_topk).collect()}
+    assert base == expl
