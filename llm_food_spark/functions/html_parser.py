@@ -194,13 +194,19 @@ def parse_html(source: str) -> Element:
     tag_match = _TAG_RE.match
     unescape = _htmlmod.unescape
     TextCls = Text
+    ElementCls = Element
+    new_elem = Element.__new__
     tag_flags = _TAG_FLAGS.get
+    # top_children mirrors stack[-1].children (refreshed after every stack
+    # mutation): the three-lookup chain ran once per text chunk AND once
+    # per element at corpus scale
+    top_children = root.children
 
     def emit_text(chunk: str) -> None:
         if chunk:
             if "&" in chunk:  # fast path: unescape only when entities exist
                 chunk = unescape(chunk)
-            stack[-1].children.append(TextCls(chunk))
+            top_children.append(TextCls(chunk))
 
     while pos < n:
         lt = find("<", pos)
@@ -213,7 +219,7 @@ def parse_html(source: str) -> Element:
             chunk = source[pos:lt]
             if "&" in chunk:
                 chunk = unescape(chunk)
-            stack[-1].children.append(TextCls(chunk))
+            top_children.append(TextCls(chunk))
         # common case first: a real tag. _TAG_RE requires a letter after the
         # optional slash, so comments/doctypes/PIs fall through to the
         # (rare) non-tag branch — this ordering avoids a per-tag slice.
@@ -245,6 +251,7 @@ def parse_html(source: str) -> Element:
             for i in range(len(stack) - 1, 0, -1):
                 if stack[i].tag == name:
                     del stack[i:]
+                    top_children = stack[-1].children
                     break
             continue
 
@@ -256,17 +263,24 @@ def parse_html(source: str) -> Element:
             if flags & _F_IMPLICIT:
                 rule = _IMPLICIT_CLOSE[name]
                 _implicit_close(stack, rule[0], rule[1])
+            top_children = stack[-1].children
 
-        elem = Element(name, _parse_attrs(rawattrs) if rawattrs else _EMPTY_ATTRS)
-        stack[-1].children.append(elem)
+        # allocate without the __init__ call (one Python frame per element
+        # was measurable); mirrors Element.__init__ exactly
+        elem = new_elem(ElementCls)
+        elem.tag = name
+        elem.attrs = _parse_attrs(rawattrs) if rawattrs else _EMPTY_ATTRS
+        children: list = []
+        elem.children = children
+        top_children.append(elem)
 
         if flags & _F_RAW and not selfclose:
             em = _RAW_END_RES[name].search(source, pos)
             if em:
-                elem.children.append(TextCls(source[pos : em.start()]))
+                children.append(TextCls(source[pos : em.start()]))
                 pos = em.end()
             else:
-                elem.children.append(TextCls(source[pos:]))
+                children.append(TextCls(source[pos:]))
                 pos = n
             continue
 
@@ -274,6 +288,7 @@ def parse_html(source: str) -> Element:
             # beyond MAX_DEPTH, elements attach flat instead of nesting, so
             # adversarially deep pages stay within recursion limits downstream
             stack.append(elem)
+            top_children = children
 
     return root
 
