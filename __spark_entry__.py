@@ -676,6 +676,58 @@ def q_contamination(spark, sf_dir):
                                 text_col="text", bench_text_col="text")
 
 
+_MOJI_PREFIXES = ["café crème brûlée. ", "naïve déjà vu. ",
+                  "schöne Grüße. ", "plain ascii prefix. "]
+
+
+def q_fix_mojibake(spark, sf_dir):
+    """Mojibake repair over a deterministically corrupted corpus: every
+    doc gets a Latin-1 accent prefix by doc_id%4 (class 3 pure ASCII —
+    the never-candidate branch), then doc_id%3 picks clean / corrupted
+    once / corrupted twice (corruption = UTF-8 bytes re-read as Latin-1,
+    via Spark's encode/decode charset round-trip), and doc_id%10==7
+    appends a raw stray 'Ã' that makes the bytes invalid UTF-8 — the
+    strict-decode refusal branch. Hard oracle: DuckDB rebuilds the
+    corruption with the closed-form Latin-1->UTF-8 byte formula
+    (cp<0x80 -> cp; <0xC0 -> C2 cp; else C3 cp-0x40 — independent of
+    both engines' codecs) and asserts the repair exactly inverts it,
+    refusals included."""
+    from llm_food_spark.operators.textops import fix_mojibake_table
+
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    pref = F.element_at(
+        F.array(*[F.lit(p) for p in _MOJI_PREFIXES]),
+        (did % 4 + 1).cast("int"),
+    )
+    base = F.concat(pref, F.col("text"))
+
+    def corrupt(c):
+        return F.decode(F.encode(c, "UTF-8"), "ISO-8859-1")
+
+    staged = (
+        F.when(did % 3 == 0, corrupt(base))
+        .when(did % 3 == 1, corrupt(corrupt(base)))
+        .otherwise(base)
+    )
+    messy = F.when(did % 10 == 7, F.concat(staged, F.lit("Ã"))).otherwise(
+        staged
+    )
+    page = d.select("doc_id", messy.alias("text"))
+    return fix_mojibake_table(page)
+
+
+def q_length_quantiles(spark, sf_dir):
+    """Per-lang exact length quantiles (p25/p50/p75/p95 + min/max/count)
+    — the distribution report that sizes chunkers and packing budgets.
+    Hard oracle: Spark's exact `percentile` and DuckDB's `quantile_cont`
+    share the linear-interpolation definition, so values hash-match at
+    4dp with no tolerance."""
+    from llm_food_spark.operators.textops import length_quantiles
+
+    return length_quantiles(_t(spark, sf_dir, "documents"))
+
+
 def q_cap_per_group(spark, sf_dir):
     """Corpus balancing: keep at most 25 docs per lang, preferring the
     longest (n_chars DESC, doc_id tie-break). Compiles to partial-mode
@@ -2709,6 +2761,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,      # demoted for mine_bitext: web_prep_full's twin chains the identical per-split packing cumsum as its final stage (and training_layout re-derives it); the standalone form stays repo-gated
         "char_entropy": q_char_entropy,          # gibberish signal, exact dist
         "json_extract": q_json_extract,          # semi-structured props rollup
+        "length_quantiles": q_length_quantiles,  # exact percentile parity
+        "fix_mojibake": q_fix_mojibake,          # ftfy-style encoding repair
         # hard SQL twins, demoted for subsumption (coverage noted)
         "counter_rollup": q_counter_rollup,      # R8/R9; resume_status re-derives the committed counters
         "topk_per_group": q_topk_per_group,      # top-k: tfidf_topk + cap_per_group
@@ -4734,6 +4788,68 @@ def _handwritten_oracles() -> dict[str, str]:
                      AS keep
             FROM documents
         """.format(w=_WORDS),
+        # mojibake repair: the twin REBUILDS the corruption with the
+        # closed-form Latin-1->UTF-8 byte formula (independent of both
+        # engines' codecs) and asserts the repair exactly inverts it;
+        # traps (stray lead byte / clean Latin-1 / pure ASCII) must be
+        # refused with the original kept
+        "fix_mojibake": """
+            WITH base AS (
+              SELECT doc_id,
+                     (['café crème brûlée. ', 'naïve déjà vu. ',
+                       'schöne Grüße. ', 'plain ascii prefix. '])
+                       [(doc_id % 4 + 1)::INT] || text AS s
+              FROM documents
+            ), c1 AS (
+              SELECT doc_id, s,
+                     array_to_string(list_transform(split(s, ''), c ->
+                       CASE WHEN ord(c) < 128 THEN c
+                            WHEN ord(c) < 192 THEN chr(194) || c
+                            ELSE chr(195) || chr(ord(c) - 64) END), '')
+                       AS cs
+              FROM base
+            ), c2 AS (
+              SELECT doc_id, s, cs,
+                     array_to_string(list_transform(split(cs, ''), c ->
+                       CASE WHEN ord(c) < 128 THEN c
+                            WHEN ord(c) < 192 THEN chr(194) || c
+                            ELSE chr(195) || chr(ord(c) - 64) END), '')
+                       AS css
+              FROM c1
+            ), m AS (
+              SELECT doc_id, s,
+                     (CASE WHEN doc_id % 3 = 0 THEN cs
+                           WHEN doc_id % 3 = 1 THEN css
+                           ELSE s END)
+                     || (CASE WHEN doc_id % 10 = 7 THEN 'Ã' ELSE '' END)
+                       AS messy
+              FROM c2
+            )
+            SELECT doc_id,
+                   CASE WHEN doc_id % 10 = 7 OR doc_id % 3 = 2
+                             OR doc_id % 4 = 3
+                        THEN messy ELSE s END AS fixed_text,
+                   (CASE WHEN doc_id % 10 = 7 OR doc_id % 3 = 2
+                              OR doc_id % 4 = 3 THEN 0
+                         WHEN doc_id % 3 = 0 THEN 1
+                         ELSE 2 END)::INT AS n_passes,
+                   NOT (doc_id % 10 = 7 OR doc_id % 3 = 2
+                        OR doc_id % 4 = 3) AS was_fixed
+            FROM m
+        """,
+        # exact-percentile parity: quantile_cont shares Spark percentile's
+        # linear-interpolation definition — hash-identical at 4dp
+        "length_quantiles": """
+            SELECT lang,
+                   count(*) AS n_docs,
+                   min(n_chars) AS min_n_chars,
+                   max(n_chars) AS max_n_chars,
+                   ROUND(quantile_cont(n_chars, 0.25), 4) AS p25,
+                   ROUND(quantile_cont(n_chars, 0.50), 4) AS p50,
+                   ROUND(quantile_cont(n_chars, 0.75), 4) AS p75,
+                   ROUND(quantile_cont(n_chars, 0.95), 4) AS p95
+            FROM documents GROUP BY lang
+        """,
         # bitext mining: the twin recomputes the FULL cosine matrix, both
         # directional top-k averages, every ratio margin and the final
         # best-margin pick — rounding before each rank/mean, ties by id,

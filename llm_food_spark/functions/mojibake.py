@@ -1,0 +1,59 @@
+"""Mojibake repair — pure Python, no Spark imports.
+
+Fixes the single most common real-web encoding defect: UTF-8 bytes that
+were decoded as Latin-1 somewhere upstream ("Ã©" for "é", "â€™" for
+"'"), the core trick of the public ``ftfy`` library (Speer 2019)
+reimplemented from scratch as one deterministic rule applied to a
+fixpoint (double-encoded text repairs in two passes). The reference
+engine decodes uploads once (utf-8, llm_food/app.py) and has no repair
+stage; this extends its surface toward corpus cleaning, alongside
+``operators.textops.clean_text``.
+
+The rule is phrased so the DuckDB twin in
+``__spark_entry__.oracle_sql['fix_mojibake']`` reproduces it with an
+INDEPENDENT mechanism (the UTF-8 grammar as an RE2 regex over the
+codepoints + byte-level decode, vs Python's bytes.decode):
+
+- a string is a REPAIR CANDIDATE iff every codepoint is < 256 (it could
+  have come out of a Latin-1 decode) and at least one codepoint is in
+  0xC2-0xF4 (a plausible UTF-8 lead byte).
+- one PASS = reinterpret the codepoints as bytes and strictly decode
+  them as UTF-8; if the byte sequence is not valid UTF-8 the pass
+  REFUSES and the input is kept (raw "Ã" typed by a human survives).
+- passes repeat until the text is no longer a candidate or a pass
+  refuses (bounded: each successful pass strictly shrinks the string;
+  MAX_PASSES caps adversarial inputs).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+MAX_PASSES = 4
+
+
+def is_candidate(text: str) -> bool:
+    """Cheap screen: could *text* be a Latin-1 rendering of UTF-8 bytes?"""
+    has_lead = False
+    for ch in text:
+        cp = ord(ch)
+        if cp > 0xFF:
+            return False
+        if 0xC2 <= cp <= 0xF4:
+            has_lead = True
+    return has_lead
+
+
+def fix_mojibake(text: str) -> Tuple[str, int]:
+    """Return ``(fixed_text, n_passes)``; ``n_passes`` counts applied
+    repairs (0 = returned unchanged). Never raises."""
+    cur = text
+    n = 0
+    while n < MAX_PASSES and cur and is_candidate(cur):
+        try:
+            repaired = bytes(ord(c) for c in cur).decode("utf-8")
+        except UnicodeDecodeError:
+            break
+        cur = repaired
+        n += 1
+    return (cur, n)

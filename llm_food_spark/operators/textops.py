@@ -421,3 +421,65 @@ def char_entropy(df, text_col: str = "text", id_col: str = "doc_id",
             ).alias("entropy_bits"),
         )
     )
+
+
+def length_quantiles(df, group_col: str = "lang", value_col: str = "n_chars",
+                     probs=(0.25, 0.5, 0.75, 0.95), round_dp: int = 4):
+    """Per-group EXACT length quantiles -> (group, n_docs, min/max, p*):
+    the length-distribution report that sizes chunkers, packing seq_len
+    and per-source token budgets (pair with corpus_mixture /
+    pack_sequences). Exact ``percentile`` with linear interpolation —
+    the same definition as DuckDB's quantile_cont, so the twin is
+    hash-identical at round_dp — NOT percentile_approx, whose sketch
+    answer is engine-specific.
+
+    Scale shape: one hash aggregation; exact percentile buffers the
+    group's values on the agg side, which is fine for per-LANGUAGE
+    groups (dozens of groups; each reducer holds one group's numeric
+    column, ~8 bytes/doc). For billions of docs per group or high-
+    cardinality grouping, swap percentile_approx in and drop the twin to
+    a tolerance check — documented trade, same plan otherwise."""
+    v = F.col(value_col)
+    aggs = [
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min(v).alias("min_" + value_col),
+        F.max(v).alias("max_" + value_col),
+    ] + [
+        F.round(F.percentile(v, F.lit(p)), round_dp).alias(
+            "p%02d" % int(p * 100))
+        for p in probs
+    ]
+    return (
+        ensure_min_partitions(df)
+        .groupBy(F.col(group_col).alias(group_col))
+        .agg(*aggs)
+    )
+
+
+_MOJIBAKE_SCHEMA = T.StructType([
+    T.StructField("fixed_text", T.StringType()),
+    T.StructField("n_passes", T.IntegerType()),
+])
+
+
+def fix_mojibake_table(df, text_col: str = "text", id_col: str = "doc_id"):
+    """Mojibake repair (ftfy-style UTF-8-read-as-Latin-1 fix; spec in
+    functions/mojibake.py) -> (doc_id, fixed_text, n_passes, was_fixed).
+    One Arrow pass, per-row state, zero shuffle — the clean_text shape.
+    Strict-decode refusal keeps human-typed stray accent letters intact;
+    double-encoded text repairs in two passes (fixpoint, bounded)."""
+    from ..functions.mojibake import fix_mojibake
+
+    @F.pandas_udf(_MOJIBAKE_SCHEMA)
+    def _fix_udf(texts: pd.Series) -> pd.DataFrame:
+        rows = [fix_mojibake(t if isinstance(t, str) else "")
+                for t in texts]
+        return pd.DataFrame(rows, columns=["fixed_text", "n_passes"])
+
+    out = df.withColumn("_fx", _fix_udf(F.col(text_col)))
+    return out.select(
+        F.col(id_col).alias("doc_id"),
+        F.col("_fx.fixed_text").alias("fixed_text"),
+        F.col("_fx.n_passes").alias("n_passes"),
+        (F.col("_fx.n_passes") > 0).alias("was_fixed"),
+    )

@@ -695,3 +695,67 @@ def test_char_entropy(spark):
     assert got[3]["n_chars"] == 5  # newline counted as a char
     assert got[3]["entropy_bits"] == round(math.log2(5), 4)
     assert got[4]["entropy_bits"] == 1.0
+
+
+def test_length_quantiles_exact_interpolation(spark):
+    from llm_food_spark.operators.textops import length_quantiles
+
+    d = spark.createDataFrame(
+        [(i, "en", v) for i, v in enumerate([10, 20, 30, 40])]
+        + [(9, "de", 7)],
+        "doc_id long, lang string, n_chars long",
+    )
+    got = {r["lang"]: r for r in length_quantiles(d).collect()}
+    en = got["en"]
+    # linear interpolation at p*(n-1): p25 of [10,20,30,40] = 17.5
+    assert (en["n_docs"], en["min_n_chars"], en["max_n_chars"]) == (4, 10, 40)
+    assert (en["p25"], en["p50"], en["p75"], en["p95"]) == (
+        17.5, 25.0, 32.5, 38.5)
+    de = got["de"]  # single value: every quantile collapses to it
+    assert (de["p25"], de["p50"], de["p75"], de["p95"]) == (
+        7.0, 7.0, 7.0, 7.0)
+
+
+def _corrupt(s: str, times: int = 1) -> str:
+    for _ in range(times):
+        s = s.encode("utf-8").decode("latin-1")
+    return s
+
+
+def test_fix_mojibake_pure_python():
+    from llm_food_spark.functions.mojibake import MAX_PASSES, fix_mojibake
+
+    assert fix_mojibake(_corrupt("café — déjà")) == ("café — déjà", 1)
+    assert fix_mojibake(_corrupt("schöne Grüße", 2)) == ("schöne Grüße", 2)
+    # refusals: clean Latin-1, stray lead byte, pure ASCII, wide unicode
+    assert fix_mojibake("café") == ("café", 0)
+    assert fix_mojibake("stray Ã here") == ("stray Ã here", 0)
+    assert fix_mojibake("plain ascii") == ("plain ascii", 0)
+    assert fix_mojibake("em — dash") == ("em — dash", 0)
+    assert fix_mojibake("") == ("", 0)
+    # a stray trap appended to real mojibake blocks the repair entirely
+    broken = _corrupt("café") + "Ã"
+    assert fix_mojibake(broken) == (broken, 0)
+    # fixpoint is bounded at MAX_PASSES
+    deep = _corrupt("é", MAX_PASSES + 2)
+    assert fix_mojibake(deep) == (_corrupt("é", 2), MAX_PASSES)
+
+
+def test_fix_mojibake_table_spark(spark):
+    from llm_food_spark.operators.textops import fix_mojibake_table
+
+    rows = [
+        (0, _corrupt("café crème")),
+        (1, _corrupt("naïve", 2)),
+        (2, "already clean text"),
+        (3, None),
+        (4, "café"),  # clean Latin-1 must be refused, not re-decoded
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in fix_mojibake_table(df).collect()}
+    assert got[0]["fixed_text"] == "café crème" and got[0]["n_passes"] == 1
+    assert got[1]["fixed_text"] == "naïve" and got[1]["n_passes"] == 2
+    assert got[1]["was_fixed"] is True
+    assert got[2]["fixed_text"] == "already clean text"
+    assert got[3]["fixed_text"] == "" and got[3]["n_passes"] == 0
+    assert got[4]["fixed_text"] == "café" and got[4]["was_fixed"] is False
