@@ -676,6 +676,38 @@ def q_contamination(spark, sf_dir):
                                 text_col="text", bench_text_col="text")
 
 
+def q_align_by_url(spark, sf_dir):
+    """URL-structure bitext pairing over synthesized multilingual site
+    URLs: each doc publishes at /<lang>[-us]/article/<doc_id%97> (region
+    suffix when doc_id%7==0, bare /<lang> path-end when doc_id%5==1,
+    null-lang docs go to /about — the no-side drop branch). Hard oracle:
+    DuckDB rebuilds the URLs and re-derives key-stripping, language
+    extraction, per-(key,lang) min-URL representative and the pairing
+    with the character-identical (lookahead-free) regexes."""
+    from llm_food_spark.operators.align import align_by_url
+
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    seg = F.when(
+        F.col("lang").isNull(), F.lit("about")
+    ).otherwise(
+        F.concat(
+            F.col("lang"),
+            F.when(did % 7 == 0, F.lit("-us")).otherwise(F.lit("")),
+        )
+    )
+    url = F.when(
+        did % 5 == 1,
+        F.concat(F.lit("https://www.example.org/"), seg),
+    ).otherwise(
+        F.concat(
+            F.lit("https://www.example.org/"), seg, F.lit("/article/"),
+            (did % 97).cast("string"),
+        )
+    )
+    return align_by_url(d.select(url.alias("url")))
+
+
 _MOJI_PREFIXES = ["café crème brûlée. ", "naïve déjà vu. ",
                   "schöne Grüße. ", "plain ascii prefix. "]
 
@@ -2763,6 +2795,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_extract": q_json_extract,          # semi-structured props rollup
         "length_quantiles": q_length_quantiles,  # exact percentile parity
         "fix_mojibake": q_fix_mojibake,          # ftfy-style encoding repair
+        "align_by_url": q_align_by_url,          # URL-structure bitext pairing
         # hard SQL twins, demoted for subsumption (coverage noted)
         "counter_rollup": q_counter_rollup,      # R8/R9; resume_status re-derives the committed counters
         "topk_per_group": q_topk_per_group,      # top-k: tfidf_topk + cap_per_group
@@ -4788,6 +4821,46 @@ def _handwritten_oracles() -> dict[str, str]:
                      AS keep
             FROM documents
         """.format(w=_WORDS),
+        # URL-structure bitext pairing: the twin rebuilds the site URLs
+        # and re-derives key-stripping / lang extraction / min-URL
+        # representative / pairing with the same lookahead-free regexes
+        "align_by_url": """
+            WITH u AS (
+              SELECT CASE WHEN doc_id % 5 = 1
+                     THEN 'https://www.example.org/' || seg
+                     ELSE 'https://www.example.org/' || seg
+                          || '/article/' || (doc_id % 97)::VARCHAR
+                     END AS url
+              FROM (
+                SELECT doc_id,
+                       CASE WHEN lang IS NULL THEN 'about'
+                            ELSE lang || (CASE WHEN doc_id % 7 = 0
+                                          THEN '-us' ELSE '' END)
+                       END AS seg
+                FROM documents
+              )
+            ), keyed AS (
+              SELECT regexp_replace(regexp_replace(lower(url),
+                       '/(de|en|es|fr|it|ja|pt|ru|tr|zh)(-[a-z]{2})?/',
+                       '/*/'),
+                       '/(de|en|es|fr|it|ja|pt|ru|tr|zh)(-[a-z]{2})?$',
+                       '/*') AS site_key,
+                     nullif(regexp_extract(lower(url),
+                       '/(de|en|es|fr|it|ja|pt|ru|tr|zh)(-[a-z]{2})?(/|$)',
+                       1), '') AS lang,
+                     url
+              FROM u
+            ), rep AS (
+              SELECT site_key, lang, min(url) AS url
+              FROM keyed WHERE lang IS NOT NULL
+              GROUP BY site_key, lang
+            )
+            SELECT a.site_key,
+                   a.lang AS lang_a, a.url AS url_a,
+                   b.lang AS lang_b, b.url AS url_b
+            FROM rep a JOIN rep b USING (site_key)
+            WHERE a.lang < b.lang
+        """,
         # mojibake repair: the twin REBUILDS the corruption with the
         # closed-form Latin-1->UTF-8 byte formula (independent of both
         # engines' codecs) and asserts the repair exactly inverts it;

@@ -114,3 +114,57 @@ def mine_bitext(
             "margin",
         )
     )
+
+
+# Default language-segment codes for URL-structure alignment (extend per
+# deployment); segments may carry a region suffix (/en-us/).
+URL_LANG_CODES = ("de", "en", "es", "fr", "it", "ja", "pt", "ru", "tr", "zh")
+
+
+def align_by_url(
+    pages: DataFrame,
+    url_col: str = "url",
+    lang_codes=URL_LANG_CODES,
+) -> DataFrame:
+    """URL-structure bitext candidate pairing (the WikiMatrix/ParaCrawl
+    complement to embedding-based mine_bitext): multilingual sites
+    publish translations under language path segments
+    (site.org/en/article/3 <-> site.org/fr/article/3), so stripping the
+    language segment yields a site key whose collisions across languages
+    are alignment candidates.
+
+    -> (site_key, lang_a, url_a, lang_b, url_b): one row per unordered
+    language pair per site key (lang_a < lang_b), with the
+    lexicographically smallest URL as each side's representative. Rows
+    whose URL carries no recognizable language segment are dropped —
+    they have no side.
+
+    Scale shape: narrow (site_key, lang, url) rows into one
+    groupBy(site_key, lang) min(url), then a self-join on site_key whose
+    group size is bounded by the language-code list (never quadratic in
+    documents). Both regexes avoid lookaheads so the DuckDB twin applies
+    the character-identical patterns (RE2 has no lookahead); a URL with
+    MULTIPLE language segments keys on the first (documented, not
+    supported — one segment is the published-site convention)."""
+    alts = "|".join(lang_codes)
+    mid = "/(%s)(-[a-z]{2})?/" % alts
+    end = "/(%s)(-[a-z]{2})?$" % alts
+    low = F.lower(F.col(url_col))
+    key = F.regexp_replace(F.regexp_replace(low, mid, "/*/"), end, "/*")
+    lang = F.nullif(
+        F.regexp_extract(low, "/(%s)(-[a-z]{2})?(/|$)" % alts, 1), F.lit("")
+    )
+    rep = (
+        pages.select(
+            key.alias("site_key"), lang.alias("lang"),
+            F.col(url_col).alias("url"),
+        )
+        .where(F.col("lang").isNotNull())
+        .groupBy("site_key", "lang")
+        .agg(F.min("url").alias("url"))
+    )
+    a = rep.select("site_key", F.col("lang").alias("lang_a"),
+                   F.col("url").alias("url_a"))
+    b = rep.select("site_key", F.col("lang").alias("lang_b"),
+                   F.col("url").alias("url_b"))
+    return a.join(b, "site_key").where(F.col("lang_a") < F.col("lang_b"))

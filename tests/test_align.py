@@ -135,3 +135,34 @@ def test_mine_bitext_pluggable_topk(sides):
             mine_bitext(sdf, tdf, k=4, threshold=1.2,
                         topk_fn=brute_force_topk).collect()}
     assert base == expl
+
+
+def test_align_by_url_pairs_and_drops(spark):
+    from llm_food_spark.operators.align import align_by_url
+
+    urls = [
+        "https://site.org/en/article/3",
+        "https://site.org/fr/article/3",
+        "https://site.org/de/article/3",
+        "https://site.org/en/article/9",      # fr side missing: no pair
+        "https://site.org/about/article/3",   # no lang segment: dropped
+        "https://site.org/en-us/article/3",   # region folds into en
+        "https://site.org/EN/article/3",      # case-insensitive
+        "https://other.net/en",               # path-end lang segment
+        "https://other.net/fr",
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    rows = align_by_url(df).collect()
+    got = {(r["site_key"], r["lang_a"], r["lang_b"]):
+           (r["url_a"], r["url_b"]) for r in rows}
+    key3 = "https://site.org/*/article/3"
+    assert set(got) == {
+        (key3, "de", "en"), (key3, "de", "fr"), (key3, "en", "fr"),
+        ("https://other.net/*", "en", "fr"),
+    }
+    # representative is the lexicographically smallest url of the side
+    assert got[(key3, "de", "en")][1] == "https://site.org/EN/article/3"
+    assert got[(key3, "de", "fr")][0] == "https://site.org/de/article/3"
+    # the unpaired article/9 en row never appears
+    assert all("article/9" not in a and "article/9" not in b
+               for a, b in got.values())
