@@ -676,6 +676,34 @@ def q_contamination(spark, sf_dir):
                                 text_col="text", bench_text_col="text")
 
 
+def q_host_reputation(spark, sf_dir):
+    """Host-level quality screen: per-doc quality_score rolls up to a
+    host mean (exact micro-unit integers — no float-sum order
+    sensitivity) and hosts with >=8 docs under 0.8 drag all their docs
+    down; doc_id%11==5 docs publish on singleton 'rare' hosts — the
+    insufficient-evidence pass branch. Hard oracle: DuckDB chains the
+    proven quality-score twin into the same integer rollup, IEEE divide
+    and integer-space keep rule."""
+    from llm_food_spark.operators.textops import quality_score
+    from llm_food_spark.operators.urlops import host_reputation
+
+    d = _t_par(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    url = F.concat(
+        F.lit("https://"),
+        F.when(
+            did % 11 == 5, F.concat(F.lit("rare"), did.cast("string"))
+        ).otherwise(F.concat(F.lit("site"), (did % 37).cast("string"))),
+        F.lit(".example.org/p/"),
+        did.cast("string"),
+    )
+    scored = d.select(
+        "doc_id", url.alias("url"),
+        quality_score(F.col("text")).alias("quality"),
+    )
+    return host_reputation(scored, min_docs=8, min_score=0.8)
+
+
 def q_align_by_url(spark, sf_dir):
     """URL-structure bitext pairing over synthesized multilingual site
     URLs: each doc publishes at /<lang>[-us]/article/<doc_id%97> (region
@@ -2796,6 +2824,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_quantiles": q_length_quantiles,  # exact percentile parity
         "fix_mojibake": q_fix_mojibake,          # ftfy-style encoding repair
         "align_by_url": q_align_by_url,          # URL-structure bitext pairing
+        "host_reputation": q_host_reputation,    # site-level quality screen
         # hard SQL twins, demoted for subsumption (coverage noted)
         "counter_rollup": q_counter_rollup,      # R8/R9; resume_status re-derives the committed counters
         "topk_per_group": q_topk_per_group,      # top-k: tfidf_topk + cap_per_group
@@ -4821,6 +4850,55 @@ def _handwritten_oracles() -> dict[str, str]:
                      AS keep
             FROM documents
         """.format(w=_WORDS),
+        # host reputation: chains the proven quality-score twin into the
+        # micro-unit integer rollup — the host mean is one IEEE divide of
+        # exact BIGINTs and the keep rule never touches a float boundary
+        "host_reputation": """
+            WITH w AS (
+              SELECT doc_id,
+                     len(regexp_extract_all(text, '[a-zA-Z]+')) AS n_words,
+                     length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+                       AS letters,
+                     len(regexp_extract_all(lower(text),
+                       '\\b(?:were|been|this|that|with|from|the|and|are|was|for|not|an|or|of|to|in|is|be|it|as|on|at|by|a)\\b'))
+                       AS stop_hits,
+                     CASE WHEN length(text) > 0
+                          THEN length(regexp_replace(text, '[^[:punct:]]',
+                                                     '', 'g'))::DOUBLE
+                               / length(text)
+                          ELSE 0.0 END AS praw
+              FROM documents
+            ), q AS (
+              SELECT doc_id,
+                     CASE WHEN n_words = 0 THEN 0.0 ELSE ROUND(
+                       least(n_words::DOUBLE / 100.0, 1.0) * 0.4
+                       + (1.0 - least(praw * 5.0, 1.0)) * 0.3
+                       + (CASE WHEN letters::DOUBLE / n_words >= 3.0
+                                AND letters::DOUBLE / n_words <= 10.0
+                               THEN 1.0 ELSE 0.5 END) * 0.3, 6) END
+                       AS quality
+              FROM w
+            ), h AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 11 = 5
+                          THEN 'rare' || doc_id || '.example.org'
+                          ELSE 'site' || (doc_id % 37) || '.example.org'
+                     END AS host,
+                     ROUND(quality * 1000000, 0)::BIGINT AS micro
+              FROM q
+            ), ph AS (
+              SELECT host, count(*) AS host_n_docs,
+                     sum(micro) AS sum_micro
+              FROM h GROUP BY host
+            )
+            SELECT h.doc_id, h.host, ph.host_n_docs,
+                   ph.sum_micro / (ph.host_n_docs * 1000000.0)
+                     AS host_quality,
+                   NOT (ph.host_n_docs >= 8
+                        AND ph.sum_micro < 800000 * ph.host_n_docs)
+                     AS keep
+            FROM h JOIN ph USING (host)
+        """,
         # URL-structure bitext pairing: the twin rebuilds the site URLs
         # and re-derives key-stripping / lang extraction / min-URL
         # representative / pairing with the same lookahead-free regexes

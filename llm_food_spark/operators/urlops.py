@@ -182,3 +182,60 @@ def host_stats(df: DataFrame, url_col: str = "url") -> DataFrame:
         F.count(F.lit(1)).alias("n_urls"),
         F.countDistinct("canonical_url").alias("n_canonical"),
     )
+
+
+def host_reputation(
+    df: DataFrame,
+    score_col: str = "quality",
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    min_docs: int = 8,
+    min_score: float = 0.8,
+) -> DataFrame:
+    """Host-level quality propagation (the FineWeb/CCNet-style site
+    screen): a host with enough evidence (``>= min_docs`` documents) and
+    a low mean document score (``< min_score``) drags ALL its documents
+    down -> (doc_id, host, host_n_docs, host_quality, keep). Sparse
+    hosts pass on insufficient evidence; thresholding is per HOST, so
+    one good page on a content farm no longer slips through a per-doc
+    gate.
+
+    Determinism: scores enter the rollup as exact micro-units
+    (round(score*1e6) -> long), so the host mean is a single IEEE divide
+    of exact integers (hash-exact, no float-sum order sensitivity) and
+    the keep rule compares in pure integer space
+    (sum_micro < min_score_micro * n) — no rounding boundary exists
+    anywhere.
+
+    Scale shape: one map-side-combined groupBy(host) producing a
+    hosts-sized frame, broadcast back onto the corpus — no second
+    corpus shuffle."""
+    micro = F.round(F.col(score_col) * 1e6, 0).cast("long")
+    host = host_col(F.col(url_col))
+    thr = int(round(min_score * 1e6))
+    per_host = (
+        df.select(host.alias("host"), micro.alias("_micro"))
+        .groupBy("host")
+        .agg(
+            F.count(F.lit(1)).alias("host_n_docs"),
+            F.sum("_micro").alias("_sum_micro"),
+        )
+    )
+    verdict = per_host.select(
+        "host",
+        "host_n_docs",
+        (F.col("_sum_micro") / (F.col("host_n_docs") * F.lit(1e6))).alias(
+            "host_quality"
+        ),
+        (
+            ~(
+                (F.col("host_n_docs") >= min_docs)
+                & (F.col("_sum_micro") < F.lit(thr) * F.col("host_n_docs"))
+            )
+        ).alias("keep"),
+    )
+    return (
+        df.select(F.col(id_col).alias("doc_id"), host.alias("host"))
+        .join(F.broadcast(verdict), "host")
+        .select("doc_id", "host", "host_n_docs", "host_quality", "keep")
+    )

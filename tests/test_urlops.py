@@ -149,3 +149,29 @@ def test_filter_urls_no_blocklist(spark):
     got = {r.url: r.block_reason for r in filter_urls(df).collect()}
     assert got["https://x.com/warez/d"] == "path"
     assert got["https://x.com/a"] is None
+
+
+def test_host_reputation_screen(spark):
+    from llm_food_spark.operators.urlops import host_reputation
+
+    def rows_for(host, scores, base):
+        return [(base + i, "https://%s/p/%d" % (host, i), s)
+                for i, s in enumerate(scores)]
+
+    data = (
+        rows_for("bad.example.org", [0.1, 0.2, 0.3], 0)       # low + evidence
+        + rows_for("good.example.org", [0.9, 0.8, 0.95], 10)  # high mean
+        + rows_for("sparse.example.org", [0.0], 20)           # n < min_docs
+        + rows_for("edge.example.org", [0.5, 0.5, 0.5], 30)   # mean == thr
+    )
+    df = spark.createDataFrame(data, "doc_id long, url string, quality double")
+    got = {r["doc_id"]: r for r in host_reputation(
+        df, min_docs=3, min_score=0.5).collect()}
+    assert len(got) == 10
+    for i in range(3):      # blocked host drags every doc
+        assert got[i]["keep"] is False and got[i]["host_n_docs"] == 3
+    assert got[0]["host_quality"] == pytest.approx(0.2, abs=1e-9)
+    for i in (10, 11, 12):  # good host passes
+        assert got[i]["keep"] is True
+    assert got[20]["keep"] is True      # insufficient evidence passes
+    assert got[30]["keep"] is True      # strict <: mean == threshold keeps
