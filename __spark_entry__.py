@@ -676,6 +676,36 @@ def q_contamination(spark, sf_dir):
                                 text_col="text", bench_text_col="text")
 
 
+def q_redact_cards(spark, sf_dir):
+    """Luhn-validated card redaction over planted 16-digit numbers
+    derived from doc_id (dash-grouped when doc_id%3==0, truncated to a
+    12-digit non-candidate when doc_id%5==2, absent when doc_id%7==3):
+    only checksum-valid candidates become <CARD>, invalid ones stay
+    verbatim. Hard oracle: DuckDB rebuilds the numbers AND re-computes
+    the Luhn sum digit-by-digit in SQL to decide each row's redaction."""
+    from llm_food_spark.operators.redact import redact_cards_table
+
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    num = F.concat(
+        F.lit("4"),
+        F.lpad(((did * 2718281) % F.lit(10**15)).cast("string"), 15, "0"),
+    )
+    grouped = F.concat_ws(
+        "-", F.substring(num, 1, 4), F.substring(num, 5, 4),
+        F.substring(num, 9, 4), F.substring(num, 13, 4),
+    )
+    cand = (
+        F.when(did % 5 == 2, F.substring(num, 1, 12))
+        .when(did % 3 == 0, grouped)
+        .otherwise(num)
+    )
+    text2 = F.when(did % 7 == 3, F.col("text")).otherwise(
+        F.concat(F.col("text"), F.lit(" pay "), cand, F.lit(" now."))
+    )
+    return redact_cards_table(d.select("doc_id", text2.alias("text")))
+
+
 def q_host_reputation(spark, sf_dir):
     """Host-level quality screen: per-doc quality_score rolls up to a
     host mean (exact micro-unit integers — no float-sum order
@@ -2825,6 +2855,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fix_mojibake": q_fix_mojibake,          # ftfy-style encoding repair
         "align_by_url": q_align_by_url,          # URL-structure bitext pairing
         "host_reputation": q_host_reputation,    # site-level quality screen
+        "redact_cards": q_redact_cards,          # Luhn-validated card scrub
         # hard SQL twins, demoted for subsumption (coverage noted)
         "counter_rollup": q_counter_rollup,      # R8/R9; resume_status re-derives the committed counters
         "topk_per_group": q_topk_per_group,      # top-k: tfidf_topk + cap_per_group
@@ -4850,6 +4881,45 @@ def _handwritten_oracles() -> dict[str, str]:
                      AS keep
             FROM documents
         """.format(w=_WORDS),
+        # Luhn card redaction: the twin rebuilds the planted numbers and
+        # RE-COMPUTES the checksum digit-by-digit (double from the right,
+        # fold >9) to decide each row's redaction — independent of the
+        # Python detector's regex + arithmetic
+        "redact_cards": """
+            WITH c AS (
+              SELECT doc_id, text,
+                     '4' || lpad(((doc_id * 2718281) % 1000000000000000)
+                                 ::VARCHAR, 15, '0') AS num
+              FROM documents
+            ), v AS (
+              SELECT doc_id, text, num,
+                     list_aggregate(list_transform(range(1, 17), i ->
+                       CASE WHEN i % 2 = 1
+                            THEN substr(num, (17 - i)::INT, 1)::INT
+                            ELSE CASE
+                              WHEN 2 * substr(num, (17 - i)::INT, 1)::INT > 9
+                              THEN 2 * substr(num, (17 - i)::INT, 1)::INT - 9
+                              ELSE 2 * substr(num, (17 - i)::INT, 1)::INT
+                            END END), 'sum') % 10 = 0 AS luhn_ok,
+                     CASE WHEN doc_id % 5 = 2 THEN substr(num, 1, 12)
+                          WHEN doc_id % 3 = 0 THEN
+                            substr(num, 1, 4) || '-' || substr(num, 5, 4)
+                            || '-' || substr(num, 9, 4) || '-'
+                            || substr(num, 13, 4)
+                          ELSE num END AS cand
+              FROM c
+            )
+            SELECT doc_id,
+                   CASE WHEN doc_id % 7 = 3 THEN text
+                        WHEN doc_id % 5 <> 2 AND luhn_ok
+                        THEN text || ' pay <CARD> now.'
+                        ELSE text || ' pay ' || cand || ' now.'
+                   END AS redacted,
+                   (CASE WHEN doc_id % 7 <> 3 AND doc_id % 5 <> 2
+                              AND luhn_ok
+                         THEN 1 ELSE 0 END)::INT AS n_cards
+            FROM v
+        """,
         # host reputation: chains the proven quality-score twin into the
         # micro-unit integer rollup — the host mean is one IEEE divide of
         # exact BIGINTs and the keep rule never touches a float boundary

@@ -1,0 +1,64 @@
+"""Luhn-validated payment-card redaction — pure Python, no Spark imports.
+
+Plain digit-run regexes drown corpus scrubbing in false positives
+(timestamps, ids, phone tails); real PII pipelines validate the Luhn
+checksum (ISO/IEC 7812, public) before redacting. This implements the
+validated detector the plain regexp classes in ``operators/redact.py``
+deliberately exclude; no analogue in the reference (llm-food has no PII
+surface).
+
+Spec (mirrored by the DuckDB twin in
+``__spark_entry__.oracle_sql['redact_cards']``, which re-computes the
+checksum in SQL):
+
+- CANDIDATES are maximal ``\\b``-delimited runs of 13-19 digits where
+  consecutive digits may be separated by ONE space or dash
+  (``(?:\\d[ -]?){12,18}\\d``). Runs of 20+ plain digits never match
+  (no inner word boundary).
+- a candidate is REDACTED to ``<CARD>`` iff its digit string passes
+  Luhn: from the right, double every second digit, subtract 9 when the
+  double exceeds 9, and the total is divisible by 10.
+- invalid candidates are left verbatim; ``n_cards`` counts redactions.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Tuple
+
+CARD_RE = re.compile(r"\b(?:[0-9][ -]?){12,18}[0-9]\b")
+
+
+def luhn_valid(digits: str) -> bool:
+    """Luhn checksum over an all-digit string (False if empty)."""
+    if not digits:
+        return False
+    total = 0
+    double = False
+    for ch in reversed(digits):
+        d = ord(ch) - 48
+        if double:
+            d *= 2
+            if d > 9:
+                d -= 9
+        total += d
+        double = not double
+    return total % 10 == 0
+
+
+def redact_cards(text: str) -> Tuple[str, int]:
+    """Replace Luhn-valid card candidates with ``<CARD>`` ->
+    ``(redacted, n_cards)``. Never raises."""
+    if not text:
+        return (text or "", 0)
+    n = 0
+
+    def _sub(m: "re.Match[str]") -> str:
+        nonlocal n
+        digits = re.sub(r"[ -]", "", m.group(0))
+        if 13 <= len(digits) <= 19 and luhn_valid(digits):
+            n += 1
+            return "<CARD>"
+        return m.group(0)
+
+    return (CARD_RE.sub(_sub, text), n)

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from typing import Dict
 
+import pandas as pd
 from pyspark.sql import Column, functions as F
 
 # ordered: emails first (an email contains digits-and-dots that could
@@ -68,3 +69,34 @@ def redact_cols(text: Column) -> Dict[str, Column]:
     cols = pii_counts(text)
     cols["redacted"] = redact_pii(text)
     return cols
+
+
+def redact_cards_table(df, text_col: str = "text", id_col: str = "doc_id"):
+    """Luhn-validated card redaction (spec in functions/luhn.py) ->
+    (doc_id, redacted, n_cards). Checksum validation needs per-candidate
+    arithmetic no regexp_replace can express, so unlike the plain
+    classes above this is ONE vectorized Arrow pass (per-row state, zero
+    shuffle); candidates are rare, so the Python cost is bounded by the
+    regex scan. Compose after redact_pii — a card inside an email local
+    part is implausible, order-independent in practice."""
+    from pyspark.sql import types as T
+
+    from ..functions.luhn import redact_cards
+
+    schema = T.StructType([
+        T.StructField("redacted", T.StringType()),
+        T.StructField("n_cards", T.IntegerType()),
+    ])
+
+    @F.pandas_udf(schema)
+    def _cards_udf(texts: pd.Series) -> pd.DataFrame:
+        rows = [redact_cards(t if isinstance(t, str) else "")
+                for t in texts]
+        return pd.DataFrame(rows, columns=["redacted", "n_cards"])
+
+    out = df.withColumn("_rc", _cards_udf(F.col(text_col)))
+    return out.select(
+        F.col(id_col).alias("doc_id"),
+        F.col("_rc.redacted").alias("redacted"),
+        F.col("_rc.n_cards").alias("n_cards"),
+    )

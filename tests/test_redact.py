@@ -67,3 +67,47 @@ def test_progressive_counts_phone_inside_email_local_part(spark):
     for k, tok in (("n_email", "<EMAIL>"), ("n_phone", "<PHONE>"),
                    ("n_ipv4", "<IP>"), ("n_ssn", "<SSN>")):
         assert row[k] == row["redacted"].count(tok)
+
+
+def test_luhn_validation():
+    from llm_food_spark.functions.luhn import luhn_valid
+
+    assert luhn_valid("4532015112830366")       # classic valid Visa test
+    assert luhn_valid("79927398713")            # the canonical example
+    assert not luhn_valid("4532015112830367")   # checksum off by one
+    assert not luhn_valid("")
+    assert luhn_valid("0")                      # 0 % 10 == 0
+
+
+def test_redact_cards_pure_python():
+    from llm_food_spark.functions.luhn import redact_cards
+
+    valid = "4532015112830366"
+    grouped = "4532-0151-1283-0366"
+    spaced = "4532 0151 1283 0366"
+    bad = "4532015112830367"
+    assert redact_cards(f"pay {valid} now") == ("pay <CARD> now", 1)
+    assert redact_cards(f"pay {grouped} now") == ("pay <CARD> now", 1)
+    assert redact_cards(f"pay {spaced} now") == ("pay <CARD> now", 1)
+    assert redact_cards(f"pay {bad} now") == (f"pay {bad} now", 0)
+    # 12 digits: below the candidate floor even if Luhn-consistent
+    assert redact_cards("id 123456789012 x") == ("id 123456789012 x", 0)
+    # 20+ plain digits never match (no inner word boundary)
+    long_run = "4" * 25
+    assert redact_cards(f"n {long_run} m") == (f"n {long_run} m", 0)
+    assert redact_cards(f"{valid} and {grouped}")[1] == 2
+    assert redact_cards("") == ("", 0)
+    assert redact_cards(None) == ("", 0)
+
+
+def test_redact_cards_table_spark(spark):
+    from llm_food_spark.operators.redact import redact_cards_table
+
+    rows = [(0, "pay 4532015112830366 now"),
+            (1, "pay 4532015112830367 now"),
+            (2, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in redact_cards_table(df).collect()}
+    assert got[0]["redacted"] == "pay <CARD> now" and got[0]["n_cards"] == 1
+    assert got[1]["n_cards"] == 0 and "4532015112830367" in got[1]["redacted"]
+    assert got[2]["redacted"] == "" and got[2]["n_cards"] == 0
