@@ -676,6 +676,31 @@ def q_contamination(spark, sf_dir):
                                 text_col="text", bench_text_col="text")
 
 
+def q_self_dedup(spark, sf_dir):
+    """Within-doc paragraph self-dedup over documents recomposed into
+    repeating paragraph patterns (three 8-token slices A/B/C arranged by
+    doc_id%4: ABAC / AAA / ABC / ABBC — repeats at different positions,
+    a no-dup class, and a triple). Hard oracle: DuckDB rebuilds the
+    paragraphs and re-derives first-occurrence dedup with an indexed
+    list_filter (list_position(paras, x) = i) — an independent mechanism
+    from Spark's order-preserving array_distinct."""
+    from llm_food_spark.operators.dedup import self_dedup_spans
+
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    toks = F.filter(F.split(F.col("text"), " "), lambda x: x != F.lit(""))
+    a = F.array_join(F.slice(toks, 1, 8), " ")
+    b = F.array_join(F.slice(toks, 9, 8), " ")
+    c = F.array_join(F.slice(toks, 17, 8), " ")
+    text2 = (
+        F.when(did % 4 == 0, F.concat_ws("\n\n", a, b, a, c))
+        .when(did % 4 == 1, F.concat_ws("\n\n", a, a, a))
+        .when(did % 4 == 2, F.concat_ws("\n\n", a, b, c))
+        .otherwise(F.concat_ws("\n\n", a, b, b, c))
+    )
+    return self_dedup_spans(d.select("doc_id", text2.alias("text")))
+
+
 def q_redact_cards(spark, sf_dir):
     """Luhn-validated card redaction over planted 16-digit numbers
     derived from doc_id (dash-grouped when doc_id%3==0, truncated to a
@@ -2856,6 +2881,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "align_by_url": q_align_by_url,          # URL-structure bitext pairing
         "host_reputation": q_host_reputation,    # site-level quality screen
         "redact_cards": q_redact_cards,          # Luhn-validated card scrub
+        "self_dedup": q_self_dedup,              # within-doc span dedup
         # hard SQL twins, demoted for subsumption (coverage noted)
         "counter_rollup": q_counter_rollup,      # R8/R9; resume_status re-derives the committed counters
         "topk_per_group": q_topk_per_group,      # top-k: tfidf_topk + cap_per_group
@@ -4881,6 +4907,48 @@ def _handwritten_oracles() -> dict[str, str]:
                      AS keep
             FROM documents
         """.format(w=_WORDS),
+        # within-doc self-dedup: first-occurrence keep re-derived with an
+        # indexed list_filter (list_position = i) — independent of
+        # Spark's order-preserving array_distinct
+        "self_dedup": """
+            WITH t AS (
+              SELECT doc_id,
+                     list_filter(split(text, ' '), x -> x <> '') AS toks
+              FROM documents
+            ), p AS (
+              SELECT doc_id,
+                     coalesce(array_to_string(toks[1:8], ' '), '') AS a,
+                     coalesce(array_to_string(toks[9:16], ' '), '') AS b,
+                     coalesce(array_to_string(toks[17:24], ' '), '') AS c
+              FROM t
+            ), x AS (
+              SELECT doc_id,
+                     CASE doc_id % 4
+                       WHEN 0 THEN concat_ws(chr(10)||chr(10), a, b, a, c)
+                       WHEN 1 THEN concat_ws(chr(10)||chr(10), a, a, a)
+                       WHEN 2 THEN concat_ws(chr(10)||chr(10), a, b, c)
+                       ELSE concat_ws(chr(10)||chr(10), a, b, b, c)
+                     END AS text2
+              FROM p
+            ), s AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(text2, '\\n\\n+'),
+                                 q -> q <> '') AS spans
+              FROM x
+            ), u AS (
+              SELECT doc_id, spans,
+                     list_filter(spans,
+                                 (q, i) -> list_position(spans, q) = i)
+                       AS uniq
+              FROM s
+            )
+            SELECT doc_id,
+                   coalesce(array_to_string(uniq, chr(10)||chr(10)), '')
+                     AS clean,
+                   len(spans)::INT AS n_spans,
+                   (len(spans) - len(uniq))::INT AS n_removed
+            FROM u
+        """,
         # Luhn card redaction: the twin rebuilds the planted numbers and
         # RE-COMPUTES the checksum digit-by-digit (double from the right,
         # fold >9) to decide each row's redaction — independent of the

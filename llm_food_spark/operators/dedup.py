@@ -757,3 +757,33 @@ def dedup_substrings(
             .cast("int").alias("n_removed"),
         )
     )
+
+
+def self_dedup_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep_re: str = "\n\n+",
+    joiner: str = "\n\n",
+) -> DataFrame:
+    """WITHIN-document span dedup -> (doc_id, clean, n_spans, n_removed):
+    keep the FIRST occurrence of each repeated paragraph inside a single
+    document (navigation blocks, repeated footers, copy-paste loops) —
+    the in-doc complement of the cross-doc ``dedup_paragraphs``
+    frequency screen. Spans are the non-empty ``sep_re`` splits,
+    rejoined with ``joiner``.
+
+    All-Catalyst per-row array work (split / array_remove /
+    array_distinct — Spark's array_distinct keeps first-occurrence
+    order, which IS the semantic), whole-stage codegen, zero shuffle at
+    any corpus size."""
+    spans = F.array_remove(
+        F.split(F.coalesce(F.col(text_col), F.lit("")), sep_re), ""
+    )
+    uniq = F.array_distinct(spans)
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.array_join(uniq, joiner).alias("clean"),
+        F.size(spans).cast("int").alias("n_spans"),
+        (F.size(spans) - F.size(uniq)).cast("int").alias("n_removed"),
+    )

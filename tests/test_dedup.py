@@ -359,3 +359,25 @@ def test_dedup_substrings_null_text(spark):
     got = {r["doc_id"]: r for r in dedup_substrings(d, window=3).collect()}
     assert got[1]["clean"] is None and got[1]["n_removed"] == 0
     assert got[2]["clean"] == "real body with words"
+
+
+def test_self_dedup_spans_keeps_first_occurrence(spark):
+    from llm_food_spark.operators.dedup import self_dedup_spans
+
+    rows = [
+        (0, "nav menu\n\nreal content\n\nnav menu\n\nfooter"),
+        (1, "same\n\nsame\n\nsame"),
+        (2, "a\n\nb\n\nc"),
+        (3, ""),
+        (4, None),
+        (5, "x\n\n\n\n\nx\n\ny"),  # blank-run separators collapse
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in self_dedup_spans(df).collect()}
+    assert got[0]["clean"] == "nav menu\n\nreal content\n\nfooter"
+    assert (got[0]["n_spans"], got[0]["n_removed"]) == (4, 1)
+    assert got[1]["clean"] == "same" and got[1]["n_removed"] == 2
+    assert got[2]["n_removed"] == 0 and got[2]["clean"] == "a\n\nb\n\nc"
+    assert got[3]["clean"] == "" and got[3]["n_spans"] == 0
+    assert got[4]["clean"] == "" and got[4]["n_spans"] == 0
+    assert got[5]["clean"] == "x\n\ny" and got[5]["n_spans"] == 3
