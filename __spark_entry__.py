@@ -676,6 +676,61 @@ def q_contamination(spark, sf_dir):
                                 text_col="text", bench_text_col="text")
 
 
+def q_page_clean(spark, sf_dir):
+    """The page-local cleaning funnel in ONE linear plan: mojibake
+    repair -> C4 line/page rules -> within-doc line dedup, over pages
+    built like q_c4_clean's fixture plus (a) Latin-1 accents in lines 1
+    and 2, (b) line 4 forced equal to line 0 post-strip (the dedup
+    case), (c) whole-page encoding corruption by doc_id%3 (clean / once
+    / twice — n_passes 0/1/2). Hard oracle: ONE DuckDB query chaining
+    the three proven stage twins; corruption needs no SQL because the
+    repair stage must exactly invert it (proven by fix_mojibake) —
+    any stage divergence breaks the hash."""
+    from llm_food_spark.plans.pageclean import page_clean
+
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    toks = F.filter(F.split(F.col("text"), " "), lambda x: x != F.lit(""))
+    punct = F.array(*[F.lit(c) for c in [".", "!", "?", '"', "", ";"]])
+
+    def _line(i):
+        src = F.when(i == 4, F.lit(0)).otherwise(i)  # line 4 mirrors 0
+        k = F.when(i % 5 == 2, F.lit(2)).otherwise(F.lit(7))
+        body = F.array_join(F.slice(toks, src * 7 + 1, k), " ")
+        body = F.when(i == 1, F.concat(F.lit("Révisé "), body)).otherwise(
+            body
+        )
+        body = F.when(i == 2, F.concat(body, F.lit(" ümlaut"))).otherwise(
+            body
+        )
+        lead = F.when(i % 3 == 0, F.lit("  \t")).otherwise(F.lit(""))
+        js = F.when(
+            (did + src) % 7 == 0, F.lit(" JavaScript required")
+        ).otherwise(F.lit(""))
+        tail = F.element_at(punct, ((did + src) % 6 + 1).cast("int"))
+        return F.concat(lead, body, js, tail)
+
+    page = F.concat(
+        F.array_join(F.transform(F.sequence(F.lit(0), F.lit(5)), _line), "\n"),
+        F.when(did % 11 == 3, F.lit("\nshared config { block }")).otherwise(
+            F.lit("")
+        ),
+        F.when(
+            did % 13 == 4, F.lit("\nLorem Ipsum dolor sit amet.")
+        ).otherwise(F.lit("")),
+    )
+
+    def corrupt(c):
+        return F.decode(F.encode(c, "UTF-8"), "ISO-8859-1")
+
+    messy = (
+        F.when(did % 3 == 0, corrupt(page))
+        .when(did % 3 == 1, corrupt(corrupt(page)))
+        .otherwise(page)
+    )
+    return page_clean(d.select("doc_id", messy.alias("text")))
+
+
 def q_self_dedup(spark, sf_dir):
     """Within-doc paragraph self-dedup over documents recomposed into
     repeating paragraph patterns (three 8-token slices A/B/C arranged by
@@ -2783,7 +2838,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     oracles — every family gets at least one driver-visible row, and
     hand-written DuckDB SQL twins win slots over redundant or subsumed
     queries. Everything from slot 51 on is still gated locally by
-    tools/check_oracles.py (all 119, same rows+schema+hash compare at
+    tools/check_oracles.py (all 120, same rows+schema+hash compare at
     sf0.01) and ordered hard-SQL-twins-first in case the driver's cap is
     ever higher; the 13 frozen-golden byte-stability gates sit last.
     Subsumption notes for demoted queries are inline below."""
@@ -2808,7 +2863,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "gopher_quality": q_gopher_quality,
         "pii_redact": q_pii_redact,
-        "c4_clean": q_c4_clean,                  # C4 line/page cleaning pass
+        "page_clean": q_page_clean,              # repair->C4->line-dedup funnel: one driver row covering three chained stage twins
         "decontaminate": q_decontaminate,
         # dedup / similarity (one driver row per hash-plan family)
         "dedup_exact": q_dedup_exact,
@@ -2882,6 +2937,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_reputation": q_host_reputation,    # site-level quality screen
         "redact_cards": q_redact_cards,          # Luhn-validated card scrub
         "self_dedup": q_self_dedup,              # within-doc span dedup
+        "c4_clean": q_c4_clean,                  # demoted for page_clean: the funnel's twin chains the identical C4 line/page stage (plus repair inversion and line dedup); the standalone form stays repo-gated
         # hard SQL twins, demoted for subsumption (coverage noted)
         "counter_rollup": q_counter_rollup,      # R8/R9; resume_status re-derives the committed counters
         "topk_per_group": q_topk_per_group,      # top-k: tfidf_topk + cap_per_group
@@ -4907,6 +4963,85 @@ def _handwritten_oracles() -> dict[str, str]:
                      AS keep
             FROM documents
         """.format(w=_WORDS),
+        # page_clean composite: ONE query chaining the mojibake, C4 and
+        # self-dedup stage twins. The corruption stage needs NO SQL: the
+        # repair must exactly invert it (proven by fix_mojibake), so the
+        # twin runs the C4+dedup stages on the uncorrupted page and only
+        # n_passes reflects the corruption class
+        "page_clean": """
+            WITH t AS (
+              SELECT doc_id,
+                     list_filter(split(text, ' '), x -> x <> '') AS toks
+              FROM documents
+            ), built AS (
+              SELECT doc_id,
+                array_to_string(list_transform(range(0, 6), i ->
+                  (CASE WHEN i % 3 = 0 THEN '  ' || chr(9) ELSE '' END)
+                  || (CASE WHEN i = 1 THEN 'Révisé ' ELSE '' END)
+                  || coalesce(array_to_string(
+                       toks[(CASE WHEN i = 4 THEN 0 ELSE i END)*7 + 1 :
+                            (CASE WHEN i = 4 THEN 0 ELSE i END)*7 +
+                            (CASE WHEN i % 5 = 2 THEN 2 ELSE 7 END)], ' '),
+                       '')
+                  || (CASE WHEN i = 2 THEN ' ümlaut' ELSE '' END)
+                  || (CASE WHEN (doc_id +
+                        (CASE WHEN i = 4 THEN 0 ELSE i END)) % 7 = 0
+                      THEN ' JavaScript required' ELSE '' END)
+                  || (['.', '!', '?', '"', '', ';'])[
+                       ((doc_id + (CASE WHEN i = 4 THEN 0 ELSE i END))
+                        % 6 + 1)::INT]
+                ), chr(10))
+                || (CASE WHEN doc_id % 11 = 3
+                    THEN chr(10) || 'shared config { block }' ELSE '' END)
+                || (CASE WHEN doc_id % 13 = 4
+                    THEN chr(10) || 'Lorem Ipsum dolor sit amet.'
+                    ELSE '' END)
+                AS page
+              FROM t
+            ), ln AS (
+              SELECT doc_id, page,
+                     list_transform(split(page, chr(10)),
+                                    x -> trim(x, ' ' || chr(9) || chr(13)))
+                       AS ls
+              FROM built
+            ), kept AS (
+              SELECT doc_id, page,
+                     list_filter(ls, x ->
+                       len(x) > 0
+                       AND right(x, 1) IN ('.', '!', '?', '"')
+                       AND len(list_filter(
+                             regexp_split_to_array(x, '[ \\t]+'),
+                             w -> w <> '')) >= 5
+                       AND NOT regexp_matches(x,
+                         '[jJ][aA][vV][aA][sS][cC][rR][iI][pP][tT]')
+                     ) AS ks
+              FROM ln
+            ), ded AS (
+              SELECT doc_id, page, ks,
+                     list_filter(ks, (q, i) -> list_position(ks, q) = i)
+                       AS uniq
+              FROM kept
+            ), agg AS (
+              SELECT doc_id, page, ks, uniq,
+                     length(coalesce(array_to_string(ks, ''), ''))
+                       - length(replace(replace(replace(
+                           coalesce(array_to_string(ks, ''), ''), '.', ''),
+                           '!', ''), '?', '')) AS n_sent
+              FROM ded
+            )
+            SELECT doc_id,
+                   coalesce(array_to_string(uniq, chr(10)), '') AS clean,
+                   (n_sent >= 3
+                    AND NOT regexp_matches(page,
+                      '[lL][oO][rR][eE][mM] [iI][pP][sS][uU][mM]')
+                    AND NOT contains(page, '{')) AS keep,
+                   (CASE doc_id % 3 WHEN 2 THEN 0 WHEN 0 THEN 1
+                         ELSE 2 END)::INT AS n_passes,
+                   len(ks)::INT AS n_kept,
+                   n_sent::INT AS n_sentences,
+                   (len(ks) - len(uniq))::INT AS n_removed
+            FROM agg
+        """,
         # within-doc self-dedup: first-occurrence keep re-derived with an
         # indexed list_filter (list_position = i) — independent of
         # Spark's order-preserving array_distinct

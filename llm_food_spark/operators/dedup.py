@@ -765,6 +765,7 @@ def self_dedup_spans(
     id_col: str = "doc_id",
     sep_re: str = "\n\n+",
     joiner: str = "\n\n",
+    carry: tuple = (),
 ) -> DataFrame:
     """WITHIN-document span dedup -> (doc_id, clean, n_spans, n_removed):
     keep the FIRST occurrence of each repeated paragraph inside a single
@@ -786,4 +787,6 @@ def self_dedup_spans(
         F.array_join(uniq, joiner).alias("clean"),
         F.size(spans).cast("int").alias("n_spans"),
         (F.size(spans) - F.size(uniq)).cast("int").alias("n_removed"),
+        # carry: see c4_line_clean — keeps composites one linear plan
+        *[F.col(c) for c in carry],
     )

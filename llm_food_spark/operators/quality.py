@@ -128,6 +128,7 @@ def c4_line_clean(
     min_sentences: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    carry: tuple = (),
 ) -> DataFrame:
     """C4 line-level page cleaning (Raffel et al. 2020 §2.2; spec in
     functions/c4.py) -> (doc_id, clean, n_lines, n_kept, n_sentences,
@@ -161,6 +162,10 @@ def c4_line_clean(
         F.col("_c4.n_kept").alias("n_kept"),
         F.col("_c4.n_sentences").alias("n_sentences"),
         F.col("_c4.keep").alias("keep"),
+        # carry: input columns passed through so composites (e.g.
+        # plans/pageclean.py) stay ONE linear plan instead of
+        # re-joining (and re-running the UDF) per branch
+        *[F.col(c) for c in carry],
     )
 
 

@@ -1,0 +1,67 @@
+"""page_clean — the page-level cleaning funnel, one linear plan.
+
+Chains the three page-local cleaners in the order a web pipeline runs
+them (encoding first — the C4 rules assume readable text; span dedup
+last — it must see only the surviving lines):
+
+    fix_mojibake  (functions/mojibake.py: UTF-8-as-Latin-1 fixpoint)
+      -> C4 line/page rules (functions/c4.py: terminal punct, word
+         floor, javascript; sentence floor, lorem, brace)
+      -> within-doc line self-dedup (operators/dedup.self_dedup_spans
+         at line granularity)
+
+All three are per-row passes and every stage CARRIES the previous
+stage's outputs through its projection (the ``carry`` parameter), so
+the composite is ONE linear plan — two ArrowEvalPython nodes plus a
+Catalyst array pass, zero shuffles and zero self-joins at any corpus
+size (a join-back per stage would re-run the UDFs once per branch).
+Compare plans/webprep.py — the corpus-LEVEL funnel (cross-doc dedup,
+token gate, split) that runs after this page-LOCAL stage.
+
+The DuckDB twin in ``__spark_entry__.oracle_sql['page_clean']`` chains
+the three proven stage twins (mojibake corruption inversion, C4 list
+lambdas, list_position first-occurrence) in one query — any divergence
+in any stage, or in how the stages hand text to each other, breaks the
+hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..operators.dedup import self_dedup_spans
+from ..operators.quality import c4_line_clean
+from ..operators.textops import fix_mojibake_table
+
+
+def page_clean(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 5,
+    min_sentences: int = 3,
+) -> DataFrame:
+    """-> (doc_id, clean, keep, n_passes, n_kept, n_sentences,
+    n_removed): repaired, C4-cleaned, line-deduped text for EVERY row
+    (dropped pages stay auditable; callers filter on ``keep``).
+    ``n_removed`` counts duplicate kept-lines collapsed at the end."""
+    fixed = fix_mojibake_table(df, text_col=text_col, id_col=id_col)
+    c4 = c4_line_clean(
+        fixed.select("doc_id", F.col("fixed_text").alias("text"), "n_passes"),
+        min_words=min_words,
+        min_sentences=min_sentences,
+        carry=("n_passes",),
+    )
+    out = self_dedup_spans(
+        c4.select(
+            "doc_id", F.col("clean").alias("text"),
+            "keep", "n_passes", "n_kept", "n_sentences",
+        ),
+        sep_re="\n+",
+        joiner="\n",
+        carry=("keep", "n_passes", "n_kept", "n_sentences"),
+    )
+    return out.select(
+        "doc_id", "clean", "keep", "n_passes",
+        "n_kept", "n_sentences", "n_removed",
+    )

@@ -103,3 +103,45 @@ def test_prep_stats_runs_extraction_once(spark, tmp_path):
     # materialization of the probed frame, nothing more)
     assert n_markers <= 8, "extraction ran %d times over 4 partitions" % (
         n_markers // 4)
+
+
+def test_page_clean_chains_the_three_stages(spark):
+    from llm_food_spark.functions.c4 import clean_page
+    from llm_food_spark.functions.mojibake import fix_mojibake
+    from llm_food_spark.plans.pageclean import page_clean
+
+    def corrupt(s, times):
+        for _ in range(times):
+            s = s.encode("utf-8").decode("latin-1")
+        return s
+
+    base = ("Révisé copy stays first here.\n"
+            "Second unique line has words!\n"
+            "Révisé copy stays first here.\n"
+            "short.\n"
+            "Third distinct sentence closes out?")
+    rows = [(0, corrupt(base, 1)), (1, corrupt(base, 2)), (2, base),
+            (3, base + "\ncode { brace }"), (4, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in page_clean(df).collect()}
+
+    # pure-Python reference: repair -> c4 -> first-occurrence line dedup
+    def ref(text):
+        fixed, n_passes = fix_mojibake(text or "")
+        clean, _, n_kept, n_sent, keep = clean_page(fixed)
+        lines = [l for l in clean.split("\n") if l]
+        uniq = list(dict.fromkeys(lines))
+        return ("\n".join(uniq), keep, n_passes, n_kept, n_sent,
+                len(lines) - len(uniq))
+
+    for i, t in rows:
+        clean, keep, n_passes, n_kept, n_sent, n_removed = ref(t)
+        g = got[i]
+        assert (g["clean"], g["keep"], g["n_passes"], g["n_kept"],
+                g["n_sentences"], g["n_removed"]) == (
+            clean, keep, n_passes, n_kept, n_sent, n_removed), i
+    assert got[0]["n_passes"] == 1 and got[1]["n_passes"] == 2
+    assert got[2]["n_passes"] == 0
+    # the duplicated kept line collapses exactly once
+    assert got[2]["n_removed"] == 1 and got[2]["keep"] is True
+    assert got[3]["keep"] is False  # brace page rule fires post-repair
