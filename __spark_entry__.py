@@ -972,6 +972,47 @@ def q_dedup_paragraphs(spark, sf_dir):
     return dedup_paragraphs(seeded, min_df=2)
 
 
+def q_host_boilerplate(spark, sf_dir):
+    """HOST-scoped boilerplate-line removal (RefinedWeb/CCNet site-
+    template guard — the host-local complement of dedup_paragraphs'
+    corpus-global screen) over pages synthesized per host=doc_id%7: a
+    nav header on EVERY page (frac 1.0 -> stripped), a copyright line
+    on alternating pages (~0.5, decided by the exact integer-space
+    compare), a newsletter line on ~1/3 of pages (survives), the
+    sub-min_chars line 'ok' and a blank line (structurally exempt), a
+    token-slice body and a per-doc unique ref line (df=1, survives).
+    Hard oracle: DuckDB re-derives per-host page counts, per-(host,
+    line) distinct-doc frequencies, the micro-unit threshold, and the
+    ordered reassembly joining on line STRINGS — independent of the
+    operator's xxhash64 membership join."""
+    from llm_food_spark.operators.dedup import host_boilerplate
+
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    host = did % 7
+    seq = F.expr("doc_id div 7")
+    hs = host.cast("string")
+    toks = F.filter(F.split(F.col("text"), " "), lambda x: x != F.lit(""))
+    arr = F.array(
+        F.concat(F.lit("Example Site "), hs,
+                 F.lit(" — Home | About | Contact")),
+        F.concat(F.coalesce(F.array_join(F.slice(toks, 1, 7), " "),
+                            F.lit("")), F.lit(".")),
+        F.concat(F.lit("Ref "), did.cast("string"),
+                 F.lit(" unique detail.")),
+        F.lit(""),
+        F.when(seq % 3 == 0, F.lit("Subscribe to our newsletter today!")),
+        F.lit("ok"),
+        F.when(seq % 2 == 0, F.concat(F.lit("© 2026 Example "), hs,
+                                      F.lit(". All rights reserved."))),
+    )
+    page = F.array_join(F.filter(arr, lambda x: x.isNotNull()), "\n")
+    return host_boilerplate(
+        d.select("doc_id", host.alias("host"), page.alias("text")),
+        min_frac=0.5, min_pages=2, min_chars=3,
+    )
+
+
 def q_web_prep(spark, sf_dir):
     """Composite web-corpus prep (clean -> paragraph dedup -> token gate ->
     MINSTD split) over text dirtied with BOTH the messy suffix and the
@@ -2838,7 +2879,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     oracles — every family gets at least one driver-visible row, and
     hand-written DuckDB SQL twins win slots over redundant or subsumed
     queries. Everything from slot 51 on is still gated locally by
-    tools/check_oracles.py (all 120, same rows+schema+hash compare at
+    tools/check_oracles.py (all 121, same rows+schema+hash compare at
     sf0.01) and ordered hard-SQL-twins-first in case the driver's cap is
     ever higher; the 13 frozen-golden byte-stability gates sit last.
     Subsumption notes for demoted queries are inline below."""
@@ -2866,7 +2907,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "page_clean": q_page_clean,              # repair->C4->line-dedup funnel: one driver row covering three chained stage twins
         "decontaminate": q_decontaminate,
         # dedup / similarity (one driver row per hash-plan family)
-        "dedup_exact": q_dedup_exact,
+        "host_boilerplate": q_host_boilerplate,  # host-scoped template-line screen (string-join twin)
         "dedup_paragraphs": q_dedup_paragraphs,
         "dedup_substrings": q_dedup_substrings,
         "ngram_jaccard": q_ngram_jaccard,
@@ -2938,6 +2979,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "redact_cards": q_redact_cards,          # Luhn-validated card scrub
         "self_dedup": q_self_dedup,              # within-doc span dedup
         "c4_clean": q_c4_clean,                  # demoted for page_clean: the funnel's twin chains the identical C4 line/page stage (plus repair inversion and line dedup); the standalone form stays repo-gated
+        "dedup_exact": q_dedup_exact,            # demoted for host_boilerplate: cc_prep's chained twin recomputes the identical content-hash groupBy keeper through the real WARC+extract path; the standalone form stays repo-gated
         # hard SQL twins, demoted for subsumption (coverage noted)
         "counter_rollup": q_counter_rollup,      # R8/R9; resume_status re-derives the committed counters
         "topk_per_group": q_topk_per_group,      # top-k: tfidf_topk + cap_per_group
@@ -5449,6 +5491,62 @@ def _handwritten_oracles() -> dict[str, str]:
         # paragraph-dedup twin: distinct-doc frequency + reassembly joined
         # on paragraph STRINGS (operator joins on xxhash64); string_agg
         # ORDER BY idx mirrors the array_sort reassembly
+        # host_boilerplate: per-host page counts, per-(host,line)
+        # distinct-doc frequencies, the integer micro-unit fraction
+        # threshold (n*1e6 >= 500000*np — no float boundary), eligibility
+        # (len(trim)>=3 both for counting and removal) and the ordered
+        # reassembly — all re-derived joining on line STRINGS, independent
+        # of the operator's xxhash64 membership join
+        "host_boilerplate": """
+            WITH t AS (
+              SELECT doc_id, doc_id % 7 AS host, doc_id // 7 AS seq,
+                     list_filter(split(text, ' '), x -> x <> '') AS toks
+              FROM documents
+            ), pages AS (
+              SELECT doc_id, host,
+                list_filter([
+                  'Example Site ' || host || ' — Home | About | Contact',
+                  coalesce(array_to_string(toks[1:7], ' '), '') || '.',
+                  'Ref ' || doc_id || ' unique detail.',
+                  '',
+                  CASE WHEN seq % 3 = 0
+                       THEN 'Subscribe to our newsletter today!' END,
+                  'ok',
+                  CASE WHEN seq % 2 = 0
+                       THEN '© 2026 Example ' || host
+                            || '. All rights reserved.' END
+                ], x -> x IS NOT NULL) AS arr
+              FROM t
+            ), expl AS (
+              SELECT doc_id, host,
+                     unnest(arr) AS line,
+                     unnest(range(1, len(arr) + 1)) AS i
+              FROM pages
+            ), hostn AS (
+              SELECT host, count(DISTINCT doc_id) AS np
+              FROM expl GROUP BY host
+            ), freq AS (
+              SELECT host, line, count(DISTINCT doc_id) AS n
+              FROM expl WHERE len(trim(line)) >= 3
+              GROUP BY host, line
+            ), boiler AS (
+              SELECT f.host, f.line
+              FROM freq f JOIN hostn h USING (host)
+              WHERE f.n >= 2 AND f.n * 1000000 >= 500000 * h.np
+            ), marked AS (
+              SELECT e.doc_id, e.i, e.line,
+                     (b.line IS NOT NULL AND len(trim(e.line)) >= 3) AS dr
+              FROM expl e
+              LEFT JOIN boiler b ON e.host = b.host AND e.line = b.line
+            )
+            SELECT doc_id,
+                   coalesce(array_to_string(
+                     list(line ORDER BY i) FILTER (WHERE NOT dr),
+                     chr(10)), '') AS clean,
+                   count(*)::INT AS n_lines,
+                   (count(*) FILTER (WHERE dr))::INT AS n_removed
+            FROM marked GROUP BY doc_id
+        """,
         "dedup_paragraphs": """
             WITH seeded AS (
               SELECT doc_id, concat_ws('{s}', text,

@@ -790,3 +790,90 @@ def self_dedup_spans(
         # carry: see c4_line_clean — keeps composites one linear plan
         *[F.col(c) for c in carry],
     )
+
+def host_boilerplate(
+    df: DataFrame,
+    host_col: str = "host",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_frac: float = 0.5,
+    min_pages: int = 2,
+    min_chars: int = 1,
+    sep: str = "\n",
+    joiner: str = "\n",
+) -> DataFrame:
+    """HOST-scoped boilerplate-line removal (the RefinedWeb/CCNet
+    site-template guard): a line is boilerplate ON ITS HOST when it
+    appears in >= ``min_pages`` distinct documents of that host AND in
+    >= ``min_frac`` of the host's documents — navigation bars, cookie
+    banners, per-site footers that a corpus-GLOBAL frequency screen
+    (``dedup_paragraphs``) misses because each site's template is rare
+    corpus-wide. -> (doc_id, clean, n_lines, n_removed) for EVERY
+    document that has at least one line (auditable: a fully-templated
+    page comes back with clean='' rather than vanishing; a null text
+    never explodes, so it disappears — callers treat absence as null).
+
+    Only lines with >= ``min_chars`` space-trimmed characters
+    participate in frequency counting AND in removal (blank/short lines
+    are document structure, never template). The fraction threshold is
+    compared in integer space — ``n_docs * 1_000_000 >= round(min_frac
+    * 1e6) * host_pages`` — so there is no float boundary anywhere.
+
+    Scale shape: the exploded (host, doc_id, idx, line-hash) frame is
+    persisted once (release-on-next-call registry — it feeds the
+    host-size count, the per-(host,line) frequency count, and the
+    reassembly) ; both counts shuffle narrow hash/id rows with map-side
+    combine; the boilerplate membership frame is threshold-filtered and
+    tiny (AQE broadcasts the (host, hash) join); reassembly is ONE
+    corpus-sized exchange on doc_id with order restored by array_sort
+    over (idx, line) structs — deterministic under any partitioning.
+    Skew note: the per-(host, hash) count key cannot funnel a reducer
+    worse than the host's own page count, and the distinct before it is
+    map-side. The DuckDB oracle twin joins on line STRINGS —
+    independent of the hash-join plan.
+    """
+    if not 0.0 < min_frac <= 1.0:
+        raise ValueError("min_frac must be in (0, 1], got %r" % (min_frac,))
+    if min_pages < 1:
+        raise ValueError("min_pages must be >= 1, got %r" % (min_pages,))
+    frac_micro = int(round(min_frac * 1_000_000))
+    release_persisted()
+    base = ensure_min_partitions(df).select(
+        F.col(id_col).alias("doc_id"),
+        F.col(host_col).alias("host"),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("idx", "line"),
+    ).withColumn("_h", F.xxhash64("line")).withColumn(
+        "_eligible", F.length(F.trim(F.col("line"))) >= F.lit(min_chars)
+    ).persist()
+    _PERSISTED_BASES.append(base)
+    host_pages = (
+        base.select("host", "doc_id").distinct()
+        .groupBy("host").agg(F.count(F.lit(1)).alias("_np"))
+    )
+    boiler = (
+        base.where("_eligible")
+        .select("host", "doc_id", "_h").distinct()
+        .groupBy("host", "_h").agg(F.count(F.lit(1)).alias("_docs"))
+        .join(host_pages, "host")
+        .where(
+            (F.col("_docs") >= F.lit(min_pages))
+            & (F.col("_docs") * F.lit(1_000_000)
+               >= F.lit(frac_micro) * F.col("_np"))
+        )
+        .select("host", "_h", F.lit(True).alias("_dup"))
+    )
+    joined = base.join(boiler, ["host", "_h"], "left")
+    drop = F.col("_dup").isNotNull() & F.col("_eligible")
+    # collect_list skips the when()'s nulls, so one aggregate both
+    # filters and reassembles; .getField is flat GetArrayStructFields —
+    # no interpreted HOF lambda in the corpus-sized aggregate
+    return joined.groupBy("doc_id").agg(
+        F.array_join(
+            F.array_sort(
+                F.collect_list(F.when(~drop, F.struct("idx", "line")))
+            ).getField("line"),
+            joiner,
+        ).alias("clean"),
+        F.count(F.lit(1)).cast("int").alias("n_lines"),
+        F.count(F.when(drop, F.lit(1))).cast("int").alias("n_removed"),
+    )

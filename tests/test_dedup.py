@@ -381,3 +381,54 @@ def test_self_dedup_spans_keeps_first_occurrence(spark):
     assert got[3]["clean"] == "" and got[3]["n_spans"] == 0
     assert got[4]["clean"] == "" and got[4]["n_spans"] == 0
     assert got[5]["clean"] == "x\n\ny" and got[5]["n_spans"] == 3
+
+
+def test_host_boilerplate_is_host_scoped(spark):
+    from llm_food_spark.operators.dedup import host_boilerplate
+
+    # host a: FOOTER on 4/4 pages (stripped), PROMO on 2/4 (exactly 0.5,
+    # stripped at min_frac=0.5 via the integer compare), 'ok' is below
+    # min_chars (exempt even at frac 1.0), blank lines exempt, unique
+    # body survives. host b: the SAME FOOTER text on 1/2 pages -> df=1 <
+    # min_pages -> survives there (host scoping is the semantic).
+    rows = [
+        (0, "a", "body zero\nFOOTER LINE\nPROMO\n\nok"),
+        (1, "a", "body one\nFOOTER LINE\nPROMO\nok"),
+        (2, "a", "body two\nFOOTER LINE\nok"),
+        (3, "a", "FOOTER LINE\nok"),
+        (10, "b", "body ten\nFOOTER LINE"),
+        (11, "b", "body eleven"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, host string, text string")
+    got = {r["doc_id"]: r for r in host_boilerplate(
+        d, min_frac=0.5, min_pages=2, min_chars=3).collect()}
+
+    assert got[0]["clean"] == "body zero\n\nok"
+    assert got[0]["n_lines"] == 5 and got[0]["n_removed"] == 2
+    assert got[1]["clean"] == "body one\nok"
+    assert got[2]["clean"] == "body two\nok"
+    # fully-templated page stays auditable with empty clean
+    assert got[3]["clean"] == "ok" and got[3]["n_removed"] == 1
+    # host b keeps the footer: 1 of 2 pages is under both thresholds
+    assert got[10]["clean"] == "body ten\nFOOTER LINE"
+    assert got[11]["clean"] == "body eleven"
+
+
+def test_host_boilerplate_partition_invariant_and_validation(spark):
+    import pytest
+    from llm_food_spark.operators.dedup import host_boilerplate
+
+    rows = [(i, "h%d" % (i % 3), "body %d\nTEMPLATE NAV BAR" % i)
+            for i in range(30)]
+    d = spark.createDataFrame(rows, "doc_id long, host string, text string")
+    a = {r["doc_id"]: tuple(r) for r in host_boilerplate(d).collect()}
+    b = {r["doc_id"]: tuple(r)
+         for r in host_boilerplate(d.repartition(7)).collect()}
+    assert a == b and all(v[1] == "body %d" % k for k, v in a.items())
+
+    with pytest.raises(ValueError):
+        host_boilerplate(d, min_frac=0.0)
+    with pytest.raises(ValueError):
+        host_boilerplate(d, min_frac=1.5)
+    with pytest.raises(ValueError):
+        host_boilerplate(d, min_pages=0)
