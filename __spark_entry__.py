@@ -288,6 +288,23 @@ def q_term_stats(spark, sf_dir):
     )
 
 
+def q_zipf_fit(spark, sf_dir):
+    """Zipf rank-frequency diagnostic over the documents vocabulary
+    (min_df=1, top 100 terms): per-rank rows carrying the shared
+    least-squares fit of ln(tf) on ln(rank) plus each term's log-space
+    residual — slope near -1 is the natural-corpus signature. Hard
+    oracle: DuckDB rebuilds the vocabulary from the same tokenizer,
+    re-ranks, and recomputes the normal-equation sums, slope/intercept/
+    r2 and every residual (nats throughout, explicit v*v instead of
+    pow, 4dp — the kn_perplexity float discipline)."""
+    from llm_food_spark.operators.textops import zipf_fit
+
+    return zipf_fit(
+        _t(spark, sf_dir, "documents"), id_col="doc_id", text_col="text",
+        min_df=1, top_k=100,
+    )
+
+
 def q_tfidf_topk(spark, sf_dir):
     """Per-doc top-3 keywords by linear tf-idf (tf * (N+1)/(df+1) — log-free
     so the rank ordering is exact IEEE arithmetic on both engines; see
@@ -2879,7 +2896,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     oracles — every family gets at least one driver-visible row, and
     hand-written DuckDB SQL twins win slots over redundant or subsumed
     queries. Everything from slot 51 on is still gated locally by
-    tools/check_oracles.py (all 121, same rows+schema+hash compare at
+    tools/check_oracles.py (all 122, same rows+schema+hash compare at
     sf0.01) and ordered hard-SQL-twins-first in case the driver's cap is
     ever higher; the 13 frozen-golden byte-stability gates sit last.
     Subsumption notes for demoted queries are inline below."""
@@ -2970,6 +2987,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join": q_range_join,              # vs DuckDB's plain inequality join
         "clean_text": q_clean_text,              # demoted for c4_clean: web_prep_full's twin chains the identical NFC+control+ws clean stage first; the standalone form stays repo-gated
         "pack_sequences": q_pack_sequences,      # demoted for mine_bitext: web_prep_full's twin chains the identical per-split packing cumsum as its final stage (and training_layout re-derives it); the standalone form stays repo-gated
+        "zipf_fit": q_zipf_fit,                  # rank-frequency law fit, per-term residuals
         "char_entropy": q_char_entropy,          # gibberish signal, exact dist
         "json_extract": q_json_extract,          # semi-structured props rollup
         "length_quantiles": q_length_quantiles,  # exact percentile parity
@@ -4564,6 +4582,46 @@ def _handwritten_oracles() -> dict[str, str]:
             SELECT term, SUM(n)::BIGINT AS tf, COUNT(*)::BIGINT AS df
             FROM per_doc GROUP BY term HAVING COUNT(*) >= 2
             ORDER BY tf DESC, term LIMIT 100
+        """.format(w=_WORDS),
+        # zipf_fit: same vocab CTE as term_stats, then the normal
+        # equations in nats with explicit v*v (pow is libm, multiply is
+        # exact IEEE); sums over <=100 doubles differ across engines
+        # only in last ulps, absorbed by 4dp
+        "zipf_fit": """
+            WITH toks AS (
+              SELECT doc_id, unnest({w}) AS term FROM documents
+            ), per_doc AS (
+              SELECT doc_id, term, COUNT(*) AS n FROM toks GROUP BY doc_id, term
+            ), vocab AS (
+              SELECT term, SUM(n)::BIGINT AS tf
+              FROM per_doc GROUP BY term
+              ORDER BY tf DESC, term LIMIT 100
+            ), xy AS (
+              SELECT row_number() OVER (ORDER BY tf DESC, term) AS rank,
+                     term, tf,
+                     ln((row_number() OVER (ORDER BY tf DESC, term))::DOUBLE)
+                       AS x,
+                     ln(tf::DOUBLE) AS y
+              FROM vocab
+            ), s AS (
+              SELECT count(*)::DOUBLE AS n,
+                     sum(x) AS sx, sum(y) AS sy, sum(x*y) AS sxy,
+                     sum(x*x) AS sxx, sum(y*y) AS syy
+              FROM xy
+            ), fit AS (
+              SELECT n, sx, sy,
+                     (n*sxy - sx*sy) AS cov,
+                     (n*sxx - sx*sx) AS varx,
+                     (n*syy - sy*sy) AS vary
+              FROM s
+            )
+            SELECT rank::INT AS rank, term, tf,
+                   round(cov/varx, 4) AS slope,
+                   round((sy - cov/varx*sx)/n, 4) AS intercept,
+                   round(cov*cov/(varx*vary), 4) AS r2,
+                   round(y - ((sy - cov/varx*sx)/n + cov/varx*x), 4)
+                     AS resid
+            FROM xy, fit
         """.format(w=_WORDS),
         # per-doc tf-idf keywords: score tf*(N+1)/(df+1) is exact IEEE
         # (one promote, one multiply, one divide), so rank order matches

@@ -483,3 +483,64 @@ def fix_mojibake_table(df, text_col: str = "text", id_col: str = "doc_id"):
         F.col("_fx.n_passes").alias("n_passes"),
         (F.col("_fx.n_passes") > 0).alias("was_fixed"),
     )
+
+def zipf_fit(df, id_col: str = "doc_id", text_col: str = "text",
+             top_k: int = 100, min_df: int = 1, dp: int = 4):
+    """Zipf rank-frequency diagnostic — the corpus-health check that a
+    natural-language corpus obeys ln(tf) ~ intercept + slope*ln(rank)
+    with slope near -1 (Zipf 1949); machine-generated or template-heavy
+    corpora bend the curve (no analogue in llm-food). Output one row per
+    top-``top_k`` term: (rank, term, tf, slope, intercept, r2, resid) —
+    the least-squares fit over the whole table is replicated onto every
+    row and ``resid`` is that term's log-space residual, so the driver
+    hash covers every term AND every fitted value.
+
+    Scale shape: the vocabulary aggregation is ``term_stats`` (two
+    map-side-combined hash aggs + TakeOrdered top-k cut); everything
+    after operates on <= top_k rows — the unpartitioned row_number
+    window and the broadcast 1-row sums frame are both bounded by
+    ``top_k``, never by corpus size. The fit arithmetic is plain
+    +,*,/ over ln() values; sums of <= top_k doubles differ across
+    engines only in the last ulps, absorbed by the ``dp`` rounding
+    (the kn_perplexity/entropy precedent). Requires >= 2 fitted terms
+    (slope of a single point is undefined).
+    """
+    from pyspark.sql import Window
+
+    if top_k < 2:
+        raise ValueError("top_k must be >= 2, got %r" % (top_k,))
+    ts = term_stats(df, id_col=id_col, text_col=text_col,
+                    min_df=min_df, top_k=top_k)
+    w = Window.orderBy(F.col("tf").desc(), "term")  # <= top_k rows
+    xy = (
+        ts.select("term", "tf")
+        .withColumn("rank", F.row_number().over(w))
+        .select(
+            "rank", "term", "tf",
+            F.log(F.col("rank").cast("double")).alias("x"),
+            F.log(F.col("tf").cast("double")).alias("y"),
+        )
+    )
+    sums = xy.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    j = xy.crossJoin(F.broadcast(sums))
+    cov = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    varx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vary = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    slope = cov / varx
+    intercept = (F.col("sy") - slope * F.col("sx")) / F.col("n")
+    return j.select(
+        F.col("rank").cast("int").alias("rank"),
+        "term",
+        F.col("tf").cast("long").alias("tf"),
+        F.round(slope, dp).alias("slope"),
+        F.round(intercept, dp).alias("intercept"),
+        F.round((cov * cov) / (varx * vary), dp).alias("r2"),
+        F.round(F.col("y") - (intercept + slope * F.col("x")), dp)
+         .alias("resid"),
+    )

@@ -759,3 +759,43 @@ def test_fix_mojibake_table_spark(spark):
     assert got[2]["fixed_text"] == "already clean text"
     assert got[3]["fixed_text"] == "" and got[3]["n_passes"] == 0
     assert got[4]["fixed_text"] == "café" and got[4]["was_fixed"] is False
+
+
+def test_zipf_fit_matches_hand_computed_least_squares(spark):
+    import math
+
+    from llm_food_spark.operators.textops import zipf_fit
+
+    # frequencies by construction: the=6, of=3, and=2, unique extras 1x
+    rows = [
+        (0, "the of the and extra"),
+        (1, "the of the and words"),
+        (2, "the of the zz"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["term"]: r for r in zipf_fit(d, top_k=4).collect()}
+    assert [got[t]["rank"] for t in ("the", "of", "and", "extra")] == [1, 2, 3, 4]
+    assert got["the"]["tf"] == 6 and got["of"]["tf"] == 3
+
+    xs = [math.log(r) for r in (1, 2, 3, 4)]
+    ys = [math.log(f) for f in (6, 3, 2, 1)]
+    n = float(len(xs))
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    sxx, syy = sum(x * x for x in xs), sum(y * y for y in ys)
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    intercept = (sy - slope * sx) / n
+    r2 = (n * sxy - sx * sy) ** 2 / ((n * sxx - sx * sx) * (n * syy - sy * sy))
+    one = got["the"]
+    assert one["slope"] == round(slope, 4)
+    assert one["intercept"] == round(intercept, 4)
+    assert one["r2"] == round(r2, 4)
+    for term, r, f in (("the", 1, 6), ("extra", 4, 1)):
+        want = math.log(f) - (intercept + slope * math.log(r))
+        assert got[term]["resid"] == round(want, 4)
+    # constant fit columns are identical on every row
+    assert len({(r["slope"], r["intercept"], r["r2"]) for r in got.values()}) == 1
+
+    import pytest
+    with pytest.raises(ValueError):
+        zipf_fit(d, top_k=1)
