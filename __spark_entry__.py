@@ -1949,6 +1949,41 @@ def q_minhash_lsh_seeded(spark, sf_dir):
     )
 
 
+def q_neardup_incremental(spark, sf_dir):
+    """The INCREMENTAL near-dup plan — new crawl batch vs the persistent
+    corpus signature index (asymmetric band join, per-side bucket caps,
+    signature-estimate) — under a hard DuckDB oracle, the
+    minhash_lsh_seeded pattern applied to the two-sided form. New side:
+    the seeded 8-hash signature disagreeing in the first doc_id%3
+    positions; index side: the same documents re-signed at ids+100000
+    disagreeing in the first doc_id%2 positions — so re-crawled
+    duplicates (i==j) surface with high estimates, group-mates collide
+    through the all-constant bands, and max_bucket=12 drops the
+    13-member groups' wide bands on EACH side independently. The
+    signature UDF stays gated by pytest ground truth; this isolates the
+    asymmetric plan value-for-value."""
+    from llm_food_spark.operators.dedup import neardup_against_index
+
+    d = _t(spark, sf_dir, "documents")
+    sig_new = F.transform(
+        F.sequence(F.lit(0), F.lit(7)),
+        lambda k: (F.col("doc_id") % 40) * 1000
+        + F.when(k < F.col("doc_id") % 3, F.col("doc_id")).otherwise(F.lit(0)),
+    )
+    sig_idx = F.transform(
+        F.sequence(F.lit(0), F.lit(7)),
+        lambda k: (F.col("doc_id") % 40) * 1000
+        + F.when(k < F.col("doc_id") % 2, F.col("doc_id")).otherwise(F.lit(0)),
+    )
+    new = d.select("doc_id", sig_new.alias("sig"))
+    idx = d.select((F.col("doc_id") + 100000).alias("id"),
+                   sig_idx.alias("sig"))
+    return neardup_against_index(
+        new, idx, id_col="doc_id", sig_col="sig",
+        num_hashes=8, bands=4, max_bucket=12,
+    )
+
+
 def q_ann_lsh(spark, sf_dir):
     from llm_food_spark.operators.similarity import lsh_ann_topk
 
@@ -2896,7 +2931,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     oracles — every family gets at least one driver-visible row, and
     hand-written DuckDB SQL twins win slots over redundant or subsumed
     queries. Everything from slot 51 on is still gated locally by
-    tools/check_oracles.py (all 122, same rows+schema+hash compare at
+    tools/check_oracles.py (all 123, same rows+schema+hash compare at
     sf0.01) and ordered hard-SQL-twins-first in case the driver's cap is
     ever higher; the 13 frozen-golden byte-stability gates sit last.
     Subsumption notes for demoted queries are inline below."""
@@ -2930,6 +2965,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "dedup_clusters": q_dedup_clusters,
         "minhash_lsh_seeded": q_minhash_lsh_seeded,
+        "neardup_incremental": q_neardup_incremental,  # new batch vs persistent signature index, asymmetric band join
         "simhash_seeded": q_simhash_seeded,
         "fingerprint_seeded": q_fingerprint_seeded,
         "embedding_neardup_seeded": q_embedding_neardup_seeded,
@@ -2943,7 +2979,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_cdx": q_warc_cdx,                  # subsumes warc_roundtrip
         "anchor_text": q_anchor_text,
         "pagerank_seeded": q_pagerank_seeded,
-        "hits_seeded": q_hits_seeded,
         "crawl_priority": q_crawl_priority,      # subsumes snapshot_diff
         # models / corpus prep
         "dsir_select": q_dsir_select,            # DSIR importance resampling
@@ -2985,6 +3020,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "windowed_counts": q_windowed_counts,    # tumbling event-time rollup
         "cap_per_group": q_cap_per_group,        # demoted for asof_join: the count+rank per-group cap is recomputed in the tfidf_topk and anchor_text slot twins; the WindowGroupLimit plan shape stays repo-gated
         "range_join": q_range_join,              # vs DuckDB's plain inequality join
+        "hits_seeded": q_hits_seeded,            # demoted for neardup_incremental: pagerank_seeded exercises the identical unrolled-iteration graph-twin mechanism (3 rounds, 6dp); the hubs/authorities form stays repo-gated
         "clean_text": q_clean_text,              # demoted for c4_clean: web_prep_full's twin chains the identical NFC+control+ws clean stage first; the standalone form stays repo-gated
         "pack_sequences": q_pack_sequences,      # demoted for mine_bitext: web_prep_full's twin chains the identical per-split packing cumsum as its final stage (and training_layout re-derives it); the standalone form stays repo-gated
         "zipf_fit": q_zipf_fit,                  # rank-frequency law fit, per-term residuals
@@ -3613,6 +3649,52 @@ _MINHASH_SEEDED_SQL = """
     FROM cand c
     JOIN sigs sa ON sa.id = c.id_a
     JOIN sigs sb ON sb.id = c.id_b
+"""
+
+_NEARDUP_INCR_SQL = """
+    WITH new_sigs AS (
+      SELECT doc_id AS id,
+             list_transform(range(0, 8),
+               k -> (doc_id % 40) * 1000
+                    + CASE WHEN k < doc_id % 3 THEN doc_id ELSE 0 END) AS sig
+      FROM documents
+    ), idx_sigs AS (
+      SELECT doc_id + 100000 AS id,
+             list_transform(range(0, 8),
+               k -> (doc_id % 40) * 1000
+                    + CASE WHEN k < doc_id % 2 THEN doc_id ELSE 0 END) AS sig
+      FROM documents
+    ), nb AS (
+      SELECT id, b.band_id,
+             array_to_string(list_transform(
+               sig[2 * b.band_id + 1 : 2 * b.band_id + 2],
+               x -> CAST(x AS VARCHAR)), ',') AS bh
+      FROM new_sigs, (VALUES (0), (1), (2), (3)) AS b(band_id)
+    ), ib AS (
+      SELECT id, b.band_id,
+             array_to_string(list_transform(
+               sig[2 * b.band_id + 1 : 2 * b.band_id + 2],
+               x -> CAST(x AS VARCHAR)), ',') AS bh
+      FROM idx_sigs, (VALUES (0), (1), (2), (3)) AS b(band_id)
+    ), ncap AS (
+      SELECT id, band_id, bh FROM (
+        SELECT *, count(*) OVER (PARTITION BY band_id, bh) AS bw FROM nb
+      ) WHERE bw <= 12
+    ), icap AS (
+      SELECT id, band_id, bh FROM (
+        SELECT *, count(*) OVER (PARTITION BY band_id, bh) AS bw FROM ib
+      ) WHERE bw <= 12
+    ), cand AS (
+      SELECT DISTINCT n.id AS new_id, i.id AS index_id
+      FROM ncap n JOIN icap i USING (band_id, bh)
+    )
+    SELECT c.new_id, c.index_id,
+           ROUND(len(list_filter(range(1, 9),
+                                 k -> sa.sig[k] = sb.sig[k]))::DOUBLE / 8,
+                 6) AS est_jaccard
+    FROM cand c
+    JOIN new_sigs sa ON sa.id = c.new_id
+    JOIN idx_sigs sb ON sb.id = c.index_id
 """
 
 _ANN_LSH_SEEDED_SQL = """
@@ -6032,6 +6114,7 @@ def _handwritten_oracles() -> dict[str, str]:
         # minhash banding/cap/estimate plan under a hard oracle (seeded
         # arithmetic signatures — see q_minhash_lsh_seeded)
         "minhash_lsh_seeded": _MINHASH_SEEDED_SQL,
+        "neardup_incremental": _NEARDUP_INCR_SQL,
         # LSH-ANN plan with axis-aligned hyperplanes (see q_ann_lsh_seeded)
         "ann_lsh_seeded": _ANN_LSH_SEEDED_SQL,
         # embedding near-dup plan incl. ACTIVE bucket cap

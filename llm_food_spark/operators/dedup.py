@@ -179,6 +179,41 @@ def release_persisted() -> int:
     return n
 
 
+def _band_rows(base: DataFrame, bands: int, rows_per_band: int,
+               max_bucket: int) -> DataFrame:
+    """(id, band_id, band_hash) LSH band rows from an (id, sig) frame,
+    with degenerate buckets (> ``max_bucket`` members on THIS frame)
+    dropped before any join — shared by the self-join
+    (``minhash_lsh_pairs``) and incremental (``neardup_against_index``)
+    forms so both band keys are byte-identical."""
+    banded = base.select(
+        "id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band_id"),
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",",
+                            F.transform(
+                                F.slice(F.col("sig"), b * rows_per_band + 1,
+                                        rows_per_band),
+                                lambda x: x.cast("string"),
+                            ),
+                        ),
+                        b,
+                    ).alias("band_hash"),
+                ),
+            )
+        ).alias("band"),
+    ).select("id", "band.band_id", "band.band_hash")
+    bucket_w = Window.partitionBy("band_id", "band_hash")
+    return banded.withColumn(
+        "_bw", F.count(F.lit(1)).over(bucket_w)
+    ).where(F.col("_bw") <= max_bucket).drop("_bw")
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -233,34 +268,7 @@ def minhash_lsh_pairs(
     # not shuffle shingle/signature arrays x bands — at corpus scale that
     # multiplies shuffle bytes by an order of magnitude. Arrays are joined
     # back AFTER candidate pairs are known (few rows).
-    banded = base.select(
-        "id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band_id"),
-                    F.xxhash64(
-                        F.concat_ws(
-                            ",",
-                            F.transform(
-                                F.slice(F.col("sig"), b * rows_per_band + 1,
-                                        rows_per_band),
-                                lambda x: x.cast("string"),
-                            ),
-                        ),
-                        b,
-                    ).alias("band_hash"),
-                ),
-            )
-        ).alias("band"),
-    ).select("id", "band.band_id", "band.band_hash")
-
-    # guardrail: cap degenerate buckets before the join blows up
-    bucket_w = Window.partitionBy("band_id", "band_hash")
-    banded = banded.withColumn("_bw", F.count(F.lit(1)).over(bucket_w)).where(
-        F.col("_bw") <= max_bucket
-    )
+    banded = _band_rows(base, bands, rows_per_band, max_bucket)
 
     left = banded.select(F.col("id").alias("id_a"), "band_id", "band_hash")
     right = banded.select(F.col("id").alias("id_b"), "band_id", "band_hash")
@@ -877,3 +885,103 @@ def host_boilerplate(
         F.count(F.lit(1)).cast("int").alias("n_lines"),
         F.count(F.when(drop, F.lit(1))).cast("int").alias("n_removed"),
     )
+
+def build_minhash_index(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    num_hashes: int = 64,
+) -> DataFrame:
+    """The persistent near-dup INDEX artifact: (id, sig) minhash
+    signatures for every document — ~0.5 KB/row, written once per corpus
+    snapshot and re-read by every subsequent ``neardup_against_index``
+    call, so the old corpus is never re-shingled. Same signature UDF as
+    ``minhash_lsh_pairs`` (band keys stay byte-compatible)."""
+    sig_udf = minhash_signature_udf(num_hashes, shingle_n)
+    return ensure_min_partitions(df).select(
+        F.col(id_col).alias("id"), sig_udf(F.col(text_col)).alias("sig")
+    )
+
+
+def neardup_against_index(
+    new_df: DataFrame,
+    index_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    index_id_col: str = "id",
+    index_sig_col: str = "sig",
+    shingle_n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    max_bucket: int = 64,
+    sig_col: Optional[str] = None,
+) -> DataFrame:
+    """INCREMENTAL near-dup: candidate pairs between a NEW batch and an
+    EXISTING corpus signature index -> (new_id, index_id, est_jaccard).
+    This is how a production pipeline dedups each crawl snapshot against
+    the accumulated corpus: the old side is the pre-computed
+    ``build_minhash_index`` table (never re-shingled, never re-read as
+    text), only the new batch pays a signature pass. Callers drop new
+    docs whose best est_jaccard clears their threshold and append the
+    survivors' signatures to the index.
+
+    ``sig_col`` supplies precomputed new-side signatures (the seeded
+    plan-oracle form, as in ``minhash_lsh_pairs``).
+
+    Scale shape: both sides band through the shared ``_band_rows``
+    expression into NARROW (id, band_id, band_hash) rows; each side's
+    degenerate buckets are capped at ``max_bucket`` BEFORE the join, so
+    one hot template bucket costs at most max_bucket^2 candidate rows;
+    the band join is new-batch x index on an 8-byte hash (AQE handles
+    the size asymmetry — a day's crawl vs the whole corpus index);
+    signatures join back only for distinct candidates. Both signature
+    frames persist under the release-on-next-call registry (each feeds
+    banding + the estimate join-back)."""
+    rows_per_band = num_hashes // bands
+    release_persisted()
+    if sig_col is not None:
+        new_base = ensure_min_partitions(new_df).select(
+            F.col(id_col).alias("id"), F.col(sig_col).alias("sig")
+        ).persist()
+    else:
+        sig_udf = minhash_signature_udf(num_hashes, shingle_n)
+        new_base = ensure_min_partitions(new_df).select(
+            F.col(id_col).alias("id"),
+            sig_udf(F.col(text_col)).alias("sig"),
+        ).persist()
+    _PERSISTED_BASES.append(new_base)
+    idx_base = ensure_min_partitions(index_df).select(
+        F.col(index_id_col).alias("id"), F.col(index_sig_col).alias("sig")
+    ).persist()
+    _PERSISTED_BASES.append(idx_base)
+
+    new_banded = _band_rows(new_base, bands, rows_per_band, max_bucket)
+    idx_banded = _band_rows(idx_base, bands, rows_per_band, max_bucket)
+    cand = (
+        new_banded.select(F.col("id").alias("new_id"),
+                          "band_id", "band_hash")
+        .join(idx_banded.select(F.col("id").alias("index_id"),
+                                "band_id", "band_hash"),
+              ["band_id", "band_hash"])
+        .select("new_id", "index_id")
+        .distinct()
+    )
+    pairs = (
+        cand.join(new_base.select(F.col("id").alias("new_id"),
+                                  F.col("sig").alias("sig_a")), "new_id")
+        .join(idx_base.select(F.col("id").alias("index_id"),
+                              F.col("sig").alias("sig_b")), "index_id")
+    )
+    est = F.round(
+        F.size(
+            F.filter(
+                F.zip_with(F.col("sig_a"), F.col("sig_b"),
+                           lambda x, y: (x == y).cast("int")),
+                lambda v: v == 1,
+            )
+        ).cast("double")
+        / F.lit(num_hashes),
+        6,
+    )
+    return pairs.select("new_id", "index_id", est.alias("est_jaccard"))

@@ -432,3 +432,55 @@ def test_host_boilerplate_partition_invariant_and_validation(spark):
         host_boilerplate(d, min_frac=1.5)
     with pytest.raises(ValueError):
         host_boilerplate(d, min_pages=0)
+
+
+def test_neardup_against_index_finds_recrawled_docs(spark):
+    from llm_food_spark.operators.dedup import (
+        build_minhash_index, neardup_against_index)
+
+    corpus = [
+        (1, "the quick brown fox jumps over the lazy dog near the river bank "
+            "while birds sing in the morning light across the quiet valley"),
+        (2, "completely different second document about spark partitioning "
+            "strategies and shuffle behavior at large cluster scale today"),
+        (3, "a third unrelated page discussing pdf parsing filters and "
+            "content stream interpretation for layout reconstruction work"),
+    ]
+    idx = build_minhash_index(
+        spark.createDataFrame(corpus, "doc_id long, text string"),
+        num_hashes=32)
+    new_rows = [
+        (101, corpus[0][1]),                        # exact re-crawl of 1
+        (102, corpus[1][1].replace("today", "now")),  # near-copy of 2
+        (103, "entirely novel content with no overlap whatsoever about "
+              "gardening tulip bulbs and spring frost protection methods"),
+    ]
+    new = spark.createDataFrame(new_rows, "doc_id long, text string")
+    pairs = {(r["new_id"], r["index_id"]): r["est_jaccard"]
+             for r in neardup_against_index(new, idx, num_hashes=32).collect()}
+
+    assert pairs[(101, 1)] == 1.0
+    assert pairs.get((102, 2), 0.0) >= 0.5
+    assert not any(n == 103 for n, _ in pairs)
+    # the exact copy collides in every band; novel text in none
+    assert all(i != 3 for _, i in pairs)
+
+
+def test_neardup_against_index_caps_each_side(spark):
+    from llm_food_spark.operators.dedup import neardup_against_index
+
+    # index: one degenerate all-identical signature bucket of 9 rows;
+    # new: 2 rows with the same signature. max_bucket=8 drops the
+    # 9-member INDEX buckets but keeps the 2-member new side -> no pairs
+    sig = [7, 7, 7, 7]
+    idx = spark.createDataFrame([(i, sig) for i in range(9)],
+                                "id long, sig array<long>")
+    new = spark.createDataFrame([(100, sig), (101, sig)],
+                                "doc_id long, sig array<long>")
+    got = neardup_against_index(new, idx, sig_col="sig", num_hashes=4,
+                                bands=2, max_bucket=8).collect()
+    assert got == []
+    # raising the cap recovers all 18 pairs
+    got = neardup_against_index(new, idx, sig_col="sig", num_hashes=4,
+                                bands=2, max_bucket=9).collect()
+    assert len(got) == 18 and all(r["est_jaccard"] == 1.0 for r in got)
