@@ -1768,6 +1768,24 @@ def q_quality_classifier(spark, sf_dir):
     return quality_score_nb(d, model, broadcast_model=True)
 
 
+def q_stratified_sample(spark, sf_dir):
+    """Exact-count stratified sampling over grp=doc_id%5 at frac=0.3
+    with the portable MINSTD bucket: exactly ceil(0.3 * n_g) rows per
+    group, selected by the (hash, id) pseudo-random order — the
+    eval-holdout primitive where hash-threshold sampling's binomial
+    counts aren't enough. Hard oracle: DuckDB recomputes the MINSTD
+    order, both window passes, and the integer-space ceil cut —
+    every value exact, no float anywhere."""
+    from llm_food_spark.operators.split import bucket_minstd, stratified_sample
+
+    d = _t(spark, sf_dir, "documents")
+    return stratified_sample(
+        d.select("doc_id", (F.col("doc_id") % 5).alias("grp")),
+        group_col="grp", id_col="doc_id", frac=0.3,
+        bucket_fn=bucket_minstd,
+    )
+
+
 def q_split_assign(spark, sf_dir):
     """Deterministic leakage-safe train/val/test split + 10% mixing sample
     flag (operators/split.py), via the portable MINSTD bucket so the DuckDB
@@ -2931,7 +2949,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     oracles — every family gets at least one driver-visible row, and
     hand-written DuckDB SQL twins win slots over redundant or subsumed
     queries. Everything from slot 51 on is still gated locally by
-    tools/check_oracles.py (all 123, same rows+schema+hash compare at
+    tools/check_oracles.py (all 124, same rows+schema+hash compare at
     sf0.01) and ordered hard-SQL-twins-first in case the driver's cap is
     ever higher; the 13 frozen-golden byte-stability gates sit last.
     Subsumption notes for demoted queries are inline below."""
@@ -2996,6 +3014,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_resize": q_image_resize,
         # ---- slot 51+ : repo-gated only (tools/check_oracles.py) --------
         # hard SQL twins added after the round-4 slot allocation
+        "stratified_sample": q_stratified_sample,  # exact per-group ceil cut, integer space
         "split_assign": q_split_assign,          # demoted for unimax_sample: the identical MINSTD double-mod cut membership is recomputed there (and in temperature_sample); the split-weights form stays repo-gated
         "media_meta": q_media_meta,              # demoted for kn_perplexity; image_resize holds the analytic media slot, the RIFF/Y4M header arithmetic stays repo-gated
         "media_frames": q_media_frames,          # demoted for dsir_select; media family keeps the image_resize slot, Y4M pts arithmetic stays repo-gated
@@ -6443,6 +6462,28 @@ def _handwritten_oracles() -> dict[str, str]:
         # MINSTD bucket split over a nonnegative residue (negative ids, e.g.
         # xxhash64-derived, must not all land below the first cut); cumulative
         # cuts at 900000 / 950000 mirror assign_split's rounded ranges
+        # stratified_sample: MINSTD order, both window passes and the
+        # integer-space ceil cut re-derived — every value exact
+        "stratified_sample": """
+            WITH base AS (
+              SELECT doc_id, doc_id % 5 AS grp,
+                     ((doc_id % 2147483647 + 2147483647) % 2147483647
+                      * 48271) % 2147483647 % 1000000 AS k
+              FROM documents
+            ), m AS (
+              SELECT doc_id, grp,
+                     row_number() OVER (PARTITION BY grp
+                                        ORDER BY k, doc_id) AS rnk,
+                     count(*) OVER (PARTITION BY grp) AS n_group
+              FROM base
+            )
+            SELECT doc_id, grp, rnk::INT AS rnk,
+                   n_group::BIGINT AS n_group,
+                   ((n_group * 300000 + 999999) // 1000000)::BIGINT
+                     AS n_target
+            FROM m
+            WHERE rnk <= (n_group * 300000 + 999999) // 1000000
+        """,
         "split_assign": """
             WITH b AS (
               SELECT doc_id,

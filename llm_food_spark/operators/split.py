@@ -472,3 +472,57 @@ def training_layout(
         laid, seq_len, tokens_col=tokens_col, id_col=id_col,
         stream_col="shard", order_col="pos",
     ).drop("stream")
+
+def stratified_sample(
+    df: DataFrame,
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    frac: float = 0.1,
+    bucket_fn=bucket_xxhash,
+    n_buckets: int = 1_000_000,
+) -> DataFrame:
+    """EXACT-count stratified sample: exactly ``ceil(frac * n_g)`` rows
+    from every group -> (doc_id, <group_col>, rnk, n_group, n_target).
+    The eval-holdout / ablation-subset primitive where hash-threshold
+    sampling (``hash_sample``) is not enough: per-group counts there
+    are only binomially close to frac*n_g, while an eval set needs
+    exact, reproducible strata (every group keeps >= 1 row).
+
+    Deterministic and partition/rerun-invariant: rows rank by
+    ``(bucket_fn(id), id)`` — a pseudo-random but data-keyed total
+    order — and the cut ``ceil`` is computed in pure integer space,
+    ``(n_g * round(frac*1e6) + 999_999) div 1_000_000`` (no float
+    anywhere; n_g * 1e6 stays far inside int64 at any corpus size,
+    where a double product would lose integer precision past 2^53).
+
+    Scale shape: one exchange on the group key; both window passes
+    (row_number + unbounded count) reuse the same partitioning. The
+    variable per-group cut cannot compile to WindowGroupLimit (the
+    limit isn't a constant), so a pathological group does ship whole —
+    if groups are pathologically hot and approximate counts are
+    acceptable, route to ``hash_sample``; this operator's contract IS
+    the exact count.
+    """
+    if not 0.0 < frac <= 1.0:
+        raise ValueError("frac must be in (0, 1], got %r" % (frac,))
+    frac_micro = int(round(frac * 1_000_000))
+    from pyspark.sql import Window
+
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(group_col).alias(group_col),
+        bucket_fn(F.col(id_col), n_buckets).alias("_k"),
+    )
+    ordw = Window.partitionBy(group_col).orderBy(F.col("_k"), F.col("doc_id"))
+    cntw = Window.partitionBy(group_col)
+    marked = base.select(
+        "doc_id",
+        group_col,
+        F.row_number().over(ordw).cast("int").alias("rnk"),
+        F.count(F.lit(1)).over(cntw).cast("long").alias("n_group"),
+    ).withColumn(
+        "n_target",
+        F.expr("(n_group * %dL + 999999L) div 1000000L" % frac_micro)
+        .cast("long"),
+    )
+    return marked.where(F.col("rnk") <= F.col("n_target"))

@@ -351,3 +351,33 @@ def test_training_layout_chains_shuffle_and_packing(spark):
         df, 32, 4, bucket_fn=bucket_minstd)._jdf.queryExecution(
         ).executedPlan().toString()
     assert plan.count("Exchange") == 1, plan
+
+
+def test_stratified_sample_exact_counts_and_determinism(spark):
+    import math
+
+    from llm_food_spark.operators.split import stratified_sample
+
+    rows = [(i, "g%d" % (i % 3)) for i in range(40)] + [(1000, "solo")]
+    d = spark.createDataFrame(rows, "doc_id long, grp string")
+    got = stratified_sample(d, group_col="grp", frac=0.25).collect()
+    by_grp = {}
+    for r in got:
+        by_grp.setdefault(r["grp"], []).append(r)
+    # g0 has 14 members (0,3,..39), g1/g2 have 13, solo has 1
+    assert {g: len(v) for g, v in by_grp.items()} == {
+        "g0": math.ceil(14 * 0.25), "g1": math.ceil(13 * 0.25),
+        "g2": math.ceil(13 * 0.25), "solo": 1}
+    for g, v in by_grp.items():
+        assert all(r["rnk"] <= r["n_target"] for r in v)
+        assert len({r["doc_id"] for r in v}) == len(v)
+    # partition/rerun invariance: identical membership
+    again = {(r["doc_id"], r["grp"]) for r in stratified_sample(
+        d.repartition(7), group_col="grp", frac=0.25).collect()}
+    assert again == {(r["doc_id"], r["grp"]) for r in got}
+
+    import pytest
+    with pytest.raises(ValueError):
+        stratified_sample(d, group_col="grp", frac=0.0)
+    with pytest.raises(ValueError):
+        stratified_sample(d, group_col="grp", frac=1.0001)
