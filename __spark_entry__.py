@@ -1411,6 +1411,39 @@ def q_bpe_encode(spark, sf_dir):
         "doc_id", F.concat_ws(" ", "tokens").alias("encoded"))
 
 
+def q_tokenizer_fertility(spark, sf_dir):
+    """Per-language bytes-per-token with the learned BPE table — the
+    tokenizer-fairness diagnostic — over the same seeded vocabulary and
+    3 merges as q_bpe_learn/q_bpe_encode, langs assigned by doc_id%3.
+    Hard oracle: DuckDB re-derives the full merge table (the proven
+    unrolled-round core), re-encodes every document, and recomputes
+    exact int64 byte/token totals plus the single IEEE divide."""
+    from llm_food_spark.operators.bpe import (
+        learn_bpe, tokenizer_fertility, word_counts)
+
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+
+    def word(col):
+        return (
+            F.when(col % 5 == 0, F.lit("abcd"))
+            .when(col % 5 == 1, F.lit("abce"))
+            .when(col % 5 == 2, F.lit("bcde"))
+            .when(col % 5 == 3, F.lit("cdea"))
+            .otherwise(F.lit("deab"))
+        )
+
+    wc = word_counts(d.select(word(did).alias("text")))
+    merges, _ = learn_bpe(wc, n_merges=3)
+    docs = d.select(
+        F.when(did % 3 == 0, F.lit("en"))
+        .when(did % 3 == 1, F.lit("de"))
+        .otherwise(F.lit("zh")).alias("lang"),
+        F.concat_ws(" ", word(did), word(did + 2)).alias("text"),
+    )
+    return tokenizer_fertility(docs, merges)
+
+
 def q_anchor_text(spark, sf_dir):
     """Anchor-text index (operators/links.py::anchor_text_index): top-k
     anchor strings per link target from the REAL DOM-parsed outlink
@@ -2949,7 +2982,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     oracles — every family gets at least one driver-visible row, and
     hand-written DuckDB SQL twins win slots over redundant or subsumed
     queries. Everything from slot 51 on is still gated locally by
-    tools/check_oracles.py (all 124, same rows+schema+hash compare at
+    tools/check_oracles.py (all 125, same rows+schema+hash compare at
     sf0.01) and ordered hard-SQL-twins-first in case the driver's cap is
     ever higher; the 13 frozen-golden byte-stability gates sit last.
     Subsumption notes for demoted queries are inline below."""
@@ -3061,6 +3094,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_sort": q_dedup_sort,              # R10: dedup_exact + sorted_assembly
         "token_count": q_token_count,            # T14 counting inside chunk_token/tfidf twins
         "token_count_bpe": q_token_count_bpe,    # bpe_encode is the full path
+        "tokenizer_fertility": q_tokenizer_fertility,  # per-lang bytes/token fairness; twin retrains the merge table and re-encodes every doc
         "term_stats": q_term_stats,              # inside the tfidf_topk twin
         "quality": q_quality,                    # gopher_quality is the full signal set
         "url_canon": q_url_canon,                # url_filter canonicalizes first
@@ -3312,6 +3346,37 @@ _BPE_SQL = _BPE_CORE + """
 # encode twin: the learned table (s3) applied to two-word documents —
 # merges never cross words, so a doc's encoding is its words' encodings
 # joined in order.
+_BPE_FERTILITY_SQL = _BPE_CORE + """
+    , enc AS (
+      SELECT word,
+             array_to_string(string_split(trim(s, '|'), '|'), ' ') AS e
+      FROM s3
+    ), docs AS (
+      SELECT doc_id,
+             CASE doc_id % 5 WHEN 0 THEN 'abcd' WHEN 1 THEN 'abce'
+                  WHEN 2 THEN 'bcde' WHEN 3 THEN 'cdea' ELSE 'deab'
+             END AS w1,
+             CASE (doc_id + 2) % 5 WHEN 0 THEN 'abcd' WHEN 1 THEN 'abce'
+                  WHEN 2 THEN 'bcde' WHEN 3 THEN 'cdea' ELSE 'deab'
+             END AS w2
+      FROM documents
+    ), per AS (
+      SELECT CASE d.doc_id % 3 WHEN 0 THEN 'en' WHEN 1 THEN 'de'
+                  ELSE 'zh' END AS lang,
+             strlen(d.w1) + 1 + strlen(d.w2) AS bytes,
+             len(string_split(e1.e, ' ')) + len(string_split(e2.e, ' '))
+               AS toks
+      FROM docs d JOIN enc e1 ON e1.word = d.w1
+                  JOIN enc e2 ON e2.word = d.w2
+    )
+    SELECT lang, COUNT(*)::BIGINT AS n_docs,
+           SUM(bytes)::BIGINT AS total_bytes,
+           SUM(toks)::BIGINT AS total_tokens,
+           round(SUM(bytes)::DOUBLE / SUM(toks)::DOUBLE, 6)
+             AS bytes_per_token
+    FROM per GROUP BY lang
+"""
+
 _BPE_ENCODE_SQL = _BPE_CORE + """
     , enc AS (
       SELECT word,
@@ -6286,6 +6351,7 @@ def _handwritten_oracles() -> dict[str, str]:
         """ % (_PAGERANK_SQL, _SNAPSHOT_SQL),
         "bpe_learn": _BPE_SQL,
         "bpe_encode": _BPE_ENCODE_SQL,
+        "tokenizer_fertility": _BPE_FERTILITY_SQL,
         "bm25_search": _BM25_SQL.format(values=", ".join(
             "(%d, '%s')" % q for q in _BM25_QUERIES)),
         # bigram-LM perplexity: DuckDB retrains the identical model.

@@ -134,3 +134,30 @@ def _release_bpe_storage(spark):
     from llm_food_spark.operators.bpe import release_persisted
 
     release_persisted()
+
+
+def test_tokenizer_fertility_exact_totals(spark):
+    from llm_food_spark.functions.bpe import encode_word
+    from llm_food_spark.operators.bpe import tokenizer_fertility
+
+    merges = [("a", "b", 10), ("ab", "c", 5)]
+    rows = [("en", "abc abc"), ("en", "xy"), ("zh", "abcd")]
+    d = spark.createDataFrame(rows, "lang string, text string")
+    got = {r["lang"]: r for r in tokenizer_fertility(d, merges).collect()}
+
+    ranked = [("a", "b"), ("ab", "c")]
+    def ntok(t):
+        return sum(len(encode_word(w, ranked)) for w in t.split())
+    # en: 'abc abc' = 7 bytes, 2 tokens ('abc','abc'); 'xy' = 2 bytes,
+    # encode_word('xy') tokens; zh: 'abcd' -> ['abc','d']
+    en_b, en_t = 7 + 2, ntok("abc abc") + ntok("xy")
+    zh_b, zh_t = 4, ntok("abcd")
+    assert (got["en"]["total_bytes"], got["en"]["total_tokens"]) == (en_b, en_t)
+    assert (got["zh"]["total_bytes"], got["zh"]["total_tokens"]) == (zh_b, zh_t)
+    assert got["en"]["n_docs"] == 2 and got["zh"]["n_docs"] == 1
+    assert got["en"]["bytes_per_token"] == round(en_b / en_t, 6)
+    assert got["zh"]["bytes_per_token"] == round(zh_b / zh_t, 6)
+    # multibyte text counts BYTES, not codepoints
+    d2 = spark.createDataFrame([("zh", "中文")], "lang string, text string")
+    r2 = tokenizer_fertility(d2, merges).collect()[0]
+    assert r2["total_bytes"] == 6
