@@ -2972,6 +2972,36 @@ def q_sitemap_frontier(spark, sf_dir):
         "source", "seq", "url", "block_reason")
 
 
+def q_hll_sketch(spark, sf_dir):
+    """HyperLogLog distinct-customer sketch over orders (m=256) plus the
+    exact count for audit (operators/sketch.py). The sketch is the
+    100 TB answer to COUNT(DISTINCT): constant-size mergeable state, a
+    shuffle of at most m rows per map partition. Hard oracle: DuckDB
+    re-derives every register from the portable (x+c)^5-mod-p hash (pure
+    BIGINT), the exact scaled harmonic sum, and the single-divide
+    estimate — any one wrong register moves scaled_inv_sum."""
+    from llm_food_spark.operators.sketch import hll_distinct
+
+    o = _t(spark, sf_dir, "orders")
+    exact = o.agg(
+        F.countDistinct("o_custkey").cast("long").alias("exact_distinct"))
+    return hll_distinct(o, "o_custkey", m=256).crossJoin(F.broadcast(exact))
+
+
+def q_cms_heavy(spark, sf_dir):
+    """Count-Min heavy hitters over events.user_id (depth 4 x width 256,
+    threshold 80): a guaranteed superset of the true heavy users from one
+    constant-state pass, annotated with the exact count so each
+    overestimate is auditable (operators/sketch.py). Hard oracle: DuckDB
+    recomputes the full nonlinear state chain, the grid, every min-over-
+    buckets estimate and the exact counts."""
+    from llm_food_spark.operators.sketch import cms_heavy_hitters
+
+    e = _t(spark, sf_dir, "events")
+    return cms_heavy_hitters(e, "user_id", threshold=80,
+                             depth=4, width=256)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Query registry. KEY ORDER IS LOAD-BEARING: the external driver's
     correctness gate checks the FIRST 50 keys only (measured, not
@@ -3018,12 +3048,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_seeded": q_minhash_lsh_seeded,
         "neardup_incremental": q_neardup_incremental,  # new batch vs persistent signature index, asymmetric band join
         "simhash_seeded": q_simhash_seeded,
-        "fingerprint_seeded": q_fingerprint_seeded,
         "embedding_neardup_seeded": q_embedding_neardup_seeded,
         "ann_lsh_seeded": q_ann_lsh_seeded,
         "ann_ivf_seeded": q_ann_ivf_seeded,
-        "pq_ann_seeded": q_pq_ann_seeded,
         "semantic_dedup_seeded": q_semantic_dedup_seeded,
+        # sketches (constant-state distinct/frequency at corpus scale)
+        "hll_sketch": q_hll_sketch,                # HyperLogLog registers + estimate, full DuckDB re-derivation
+        "cms_heavy": q_cms_heavy,                  # Count-Min heavy hitters, full grid re-derivation
         # web / crawl
         "url_filter": q_url_filter,
         "robots_screen": q_robots_screen,
@@ -3047,6 +3078,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_resize": q_image_resize,
         # ---- slot 51+ : repo-gated only (tools/check_oracles.py) --------
         # hard SQL twins added after the round-4 slot allocation
+        "fingerprint_seeded": q_fingerprint_seeded,  # demoted for hll_sketch: minhash_lsh_seeded + simhash_seeded hold the seeded text-hash-plan slots and exercise the same shingle->hash->band twin mechanism; the winnowing window-min arithmetic stays repo-gated
+        "pq_ann_seeded": q_pq_ann_seeded,          # demoted for cms_heavy: ann_lsh_seeded + ann_ivf_seeded hold the ANN banding/probe slots; the PQ codebook-distance arithmetic stays repo-gated
         "stratified_sample": q_stratified_sample,  # exact per-group ceil cut, integer space
         "split_assign": q_split_assign,          # demoted for unimax_sample: the identical MINSTD double-mod cut membership is recomputed there (and in temperature_sample); the split-weights form stays repo-gated
         "media_meta": q_media_meta,              # demoted for kn_perplexity; image_resize holds the analytic media slot, the RIFF/Y4M header arithmetic stays repo-gated
@@ -4473,9 +4506,98 @@ def _golden_parquet_oracles() -> dict[str, str]:
     return out
 
 
+# --- sketch-oracle SQL (operators/sketch.py) -------------------------------
+# One CTE per MiMC round x -> (x+c)^5 mod p. Temp names are suffixed with
+# the CTE name: DuckDB resolves a bare `_t` in a SELECT to the PREVIOUS
+# CTE's `_t` column before the lateral alias being defined — reused temp
+# names silently recompute the prior round.
+_SKETCH_P = 2_147_483_647
+_SKETCH_C1, _SKETCH_C2, _SKETCH_C3 = 1_013_904_223, 599_479, 1_868_888_881
+
+
+def _round5_cte(name: str, src: str, in_col: str, c: int, out_col: str,
+                keep: str = "") -> str:
+    p, t, t2 = _SKETCH_P, f"_t_{name}", f"_u_{name}"
+    return (f"{name} AS (SELECT {keep}((({in_col}) + {c}) % {p}) AS {t}, "
+            f"({t} * {t}) % {p} AS {t2}, "
+            f"(((({t2} * {t2}) % {p}) * {t}) % {p}) AS {out_col} FROM {src})")
+
+
+# alpha * m^2 * 2^S computed with the exact same float expression as
+# operators/sketch.hll_estimate (m=256 -> alpha formula branch, S=24) and
+# embedded via repr so both engines divide the identical double.
+_HLL_NUM_256 = (0.7213 / (1.0 + 1.079 / 256)) * 256.0 * 256.0 * float(1 << 24)
+
+_HLL_SKETCH_SQL = f"""
+    WITH b AS (SELECT ((o_custkey % {_SKETCH_P} + {_SKETCH_P})
+                       % {_SKETCH_P}) AS x FROM orders),
+    {_round5_cte('m1', 'b', 'x', _SKETCH_C1, 'y')},
+    {_round5_cte('m2', 'm1', 'y', _SKETCH_C2, 'h')},
+    regs AS (
+      SELECT CAST(h % 256 AS INT) AS reg,
+             MAX(CASE WHEN h // 256 > 0 THEN 24 - length(bin(h // 256))
+                      ELSE 24 END) AS rho
+      FROM m2 GROUP BY 1
+    ),
+    allregs AS (SELECT CAST(range AS INT) AS reg FROM range(256)),
+    j AS (SELECT COALESCE(rho, 0) AS rho
+          FROM allregs LEFT JOIN regs USING (reg)),
+    agg AS (
+      SELECT 256 AS m,
+             CAST(SUM(CASE WHEN rho > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS filled_regs,
+             CAST(SUM(CAST(pow(2.0, 24 - rho) AS BIGINT)) AS BIGINT)
+               AS scaled_inv_sum
+      FROM j
+    ),
+    exact AS (SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT)
+                AS exact_distinct FROM orders)
+    SELECT m, filled_regs, scaled_inv_sum,
+           CAST(floor(({_HLL_NUM_256!r}) / scaled_inv_sum * 1000.0)
+                AS BIGINT) AS est_milli,
+           exact_distinct
+    FROM agg CROSS JOIN exact
+"""
+
+_CMS_HEAVY_SQL = f"""
+    WITH b AS (SELECT user_id AS k, ((user_id % {_SKETCH_P} + {_SKETCH_P})
+                                     % {_SKETCH_P}) AS x FROM events),
+    {_round5_cte('m1', 'b', 'x', _SKETCH_C1, 'y', 'k, ')},
+    {_round5_cte('m2', 'm1', 'y', _SKETCH_C2, 's0', 'k, ')},
+    {_round5_cte('c1', 'm2', 's0', _SKETCH_C3, 's1', 'k, s0, ')},
+    {_round5_cte('c2', 'c1', 's1', _SKETCH_C3, 's2', 'k, s0, s1, ')},
+    {_round5_cte('c3', 'c2', 's2', _SKETCH_C3, 's3', 'k, s0, s1, s2, ')},
+    pairs AS (
+      SELECT k, 0 AS row_idx, CAST(s0 % 256 AS INT) AS bucket FROM c3
+      UNION ALL SELECT k, 1, CAST(s1 % 256 AS INT) FROM c3
+      UNION ALL SELECT k, 2, CAST(s2 % 256 AS INT) FROM c3
+      UNION ALL SELECT k, 3, CAST(s3 % 256 AS INT) FROM c3
+    ),
+    grid AS (
+      SELECT row_idx, bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM pairs GROUP BY 1, 2
+    ),
+    truth AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS true_cnt
+              FROM b GROUP BY 1),
+    probes AS (SELECT DISTINCT k, row_idx, bucket FROM pairs),
+    est AS (
+      SELECT p.k, CAST(MIN(COALESCE(g.cnt, 0)) AS BIGINT) AS est_cnt
+      FROM probes p LEFT JOIN grid g USING (row_idx, bucket)
+      GROUP BY 1
+    )
+    SELECT CAST(e.k AS BIGINT) AS user_id, e.est_cnt, t.true_cnt
+    FROM est e JOIN truth t USING (k)
+    WHERE e.est_cnt >= 80
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     out = _golden_parquet_oracles()
     out.update(_handwritten_oracles())
+    # sketches: every register / grid cell re-derived from the portable
+    # (x+c)^5 mod p hash in pure BIGINT arithmetic
+    out["hll_sketch"] = _HLL_SKETCH_SQL
+    out["cms_heavy"] = _CMS_HEAVY_SQL
     # CCNet head/middle/tail: composes the lm_perplexity retrain twin —
     # one model, two driver-checked stages (scores, then rank buckets).
     out["ppl_buckets"] = """

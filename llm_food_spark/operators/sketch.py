@@ -1,0 +1,269 @@
+"""Distributed probabilistic sketches — HyperLogLog and Count-Min.
+
+A 100 TB corpus is exactly where you can't afford ``COUNT(DISTINCT url)``
+or a full term-frequency table: both materialize state proportional to
+cardinality. Sketches cap the state at a constant — HyperLogLog folds any
+cardinality into ``m`` 5-bit registers (merge = elementwise MAX, so
+partial aggregation / map-side combine applies and the shuffle carries at
+most ``m`` rows per partition); Count-Min folds any frequency table into
+a ``depth x width`` counter grid (merge = elementwise SUM, same partial-
+agg shape). Spark ships HLL as ``approx_count_distinct`` but its
+HyperLogLog++ register layout is JVM-internal; these operators build the
+sketch from *portable* arithmetic so a DuckDB oracle can recompute every
+register value-for-value, and so sketches written by this engine can be
+merged by any other system that speaks the same few integer ops.
+
+The hash is NOT the repo's MINSTD family (``operators/split.py``): MINSTD
+is linear, so any number of rounds composes to one multiply mod p, and an
+arithmetic progression of keys maps to another arithmetic progression —
+the payload's leading-zero statistics (what HLL measures) stay totally
+non-geometric and the estimate lands 40%+ off. Instead each round is the
+MiMC-style nonlinear permutation ``x -> (x + c)^5 mod p`` over
+``p = 2^31 - 1``: ``gcd(5, p-1) = 1`` so x^5 is a bijection on GF(p)
+(no entropy loss), and every intermediate product of two values < 2^31
+stays under 2^62 — exact BIGINT arithmetic in any engine, no overflow,
+no floats.
+
+No reference analogue (llm-food counts exactly, one upload at a time);
+part of the training-data brief's scale surface.
+
+Exactness discipline (CLAUDE.md): everything through the estimate's
+denominator stays in BIGINT — the HLL inverse-power sum is kept as
+``sum(2^(S - rho))`` (an exact integer; the true harmonic sum times
+``2^S``), so the only float op in the whole plan is the final single
+divide of two exact doubles, identical under IEEE in any engine.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+MIX_MOD = 2_147_483_647  # 2^31 - 1 (prime; gcd(5, p-1) = 1)
+MIX_C1 = 1_013_904_223
+MIX_C2 = 599_479
+MIX_C3 = 1_868_888_881  # per-row chain constant for Count-Min
+
+
+def _nonneg(col: Column) -> Column:
+    """Nonnegative residue mod 2^31-1 (the split.py double-mod)."""
+    return (col % MIX_MOD + MIX_MOD) % MIX_MOD
+
+
+def _pow5(col: Column) -> Column:
+    """x^5 mod p for x in [0, p): three modular multiplies, each product
+    < 2^62 — exact in int64."""
+    sq = (col * col) % MIX_MOD
+    q4 = (sq * sq) % MIX_MOD
+    return (q4 * col) % MIX_MOD
+
+
+def _round5(col: Column, c: int) -> Column:
+    """One MiMC round: (x + c)^5 mod p. A bijection on [0, p)."""
+    return _pow5((col + c) % MIX_MOD)
+
+
+def mix5(col: Column) -> Column:
+    """Two nonlinear rounds — the portable well-mixed 31-bit hash."""
+    return _round5(_round5(_nonneg(col), MIX_C1), MIX_C2)
+
+
+def _alpha(m: int) -> float:
+    """Standard HLL bias constant (Flajolet et al. 2007, Fig. 3)."""
+    if m == 16:
+        return 0.673
+    if m == 32:
+        return 0.697
+    if m == 64:
+        return 0.709
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+def hll_registers(
+    df: DataFrame,
+    key_col: str,
+    m: int = 64,
+    reg_col: str = "reg",
+    rho_col: str = "rho",
+) -> DataFrame:
+    """HyperLogLog register table for an integer key column.
+
+    ``m`` must be a power of two. The 31-bit portable hash splits into
+    ``p = log2(m)`` index bits (register) and ``B = 31 - p`` payload
+    bits; ``rho`` = position of the payload's leftmost 1-bit
+    (``B - bitlen(rest) + 1``), or ``B + 1`` when the payload is zero.
+    ``bitlen`` is ``length(bin(x))`` — exact integer string arithmetic,
+    never ``floor(log2(x))`` (float log is off-by-ulp near powers of
+    two, and differs between engines).
+
+    Returns one row per *occupied* register: ``(reg, rho)`` with
+    ``rho = max`` over keys — the mergeable sketch. The groupBy is a
+    partial-agg shuffle of at most ``m`` rows per map partition: constant
+    traffic at any corpus size.
+    """
+    p = m.bit_length() - 1
+    if m <= 1 or (1 << p) != m:
+        raise ValueError("m must be a power of two >= 2, got %r" % (m,))
+    bits = 31 - p
+    h = mix5(F.col(key_col).cast("long"))
+    rest = F.floor(h / m).cast("long")
+    rho = F.when(rest > 0, F.lit(bits + 1) - F.length(F.bin(rest))) \
+           .otherwise(F.lit(bits + 1))
+    return (
+        df.select((h % m).cast("int").alias(reg_col), rho.alias(rho_col))
+          .groupBy(reg_col)
+          .agg(F.max(rho_col).alias(rho_col))
+    )
+
+
+def hll_estimate(registers: DataFrame, m: int = 64,
+                 reg_col: str = "reg", rho_col: str = "rho") -> DataFrame:
+    """Collapse a register table into the raw-HLL cardinality estimate.
+
+    One row out: ``(m, filled_regs, scaled_inv_sum, est_milli)``.
+
+    ``scaled_inv_sum = sum over ALL m registers of 2^(S - rho)`` with
+    ``S = B + 1`` (the max rho) and empty registers contributing
+    ``rho = 0`` — i.e. the harmonic denominator times ``2^S``, exact in
+    BIGINT (each term is a power of two <= 2^S; the sum fits far under
+    2^53, so it is also exact if an engine routes it through doubles).
+    Any single wrong register changes the sum: this one integer is a
+    compressive check of the whole sketch. The estimate is then
+    ``alpha * m^2 * 2^S / scaled_inv_sum`` — one IEEE divide of exact
+    inputs, reported in millis to keep the column integral.
+
+    Raw estimator only: the small-range linear-counting and large-range
+    corrections are deliberately omitted (both need ``ln``, whose last
+    ulp differs across engines); callers needing them can apply either
+    from ``(m, filled_regs, est_milli)`` downstream.
+    """
+    p = m.bit_length() - 1
+    bits = 31 - p
+    s = bits + 1
+    spark = registers.sparkSession
+    # the sketch is m rows at most: a broadcastable dimension by design
+    full = spark.range(m).select(F.col("id").cast("int").alias(reg_col))
+    joined = full.join(F.broadcast(registers), reg_col, "left") \
+                 .select(F.coalesce(F.col(rho_col), F.lit(0)).alias(rho_col))
+    num = _alpha(m) * float(m) * float(m) * float(1 << s)
+    return joined.agg(
+        F.lit(m).alias("m"),
+        F.sum(F.when(F.col(rho_col) > 0, 1).otherwise(0))
+         .cast("long").alias("filled_regs"),
+        F.sum(F.pow(F.lit(2.0), F.lit(s) - F.col(rho_col)).cast("long"))
+         .cast("long").alias("scaled_inv_sum"),
+    ).select(
+        "m", "filled_regs", "scaled_inv_sum",
+        F.floor(F.lit(num) / F.col("scaled_inv_sum") * 1000.0)
+         .cast("long").alias("est_milli"),
+    )
+
+
+def hll_distinct(df: DataFrame, key_col: str, m: int = 64) -> DataFrame:
+    """``hll_registers`` |> ``hll_estimate``: one-row sketch summary."""
+    return hll_estimate(hll_registers(df, key_col, m=m), m=m)
+
+
+def _with_cms_states(df: DataFrame, key: Column, depth: int) -> DataFrame:
+    """Attach the nonlinear state chain as named columns ``_s0.._s{d-1}``:
+    row 0 is the two-round base hash; each further row applies one more
+    (x + C3)^5 round. Named intermediates matter: chaining ``_round5`` as
+    one nested expression triples in size per round (``_pow5`` references
+    its argument three times), and by depth 4 the generated Java method
+    exceeds the JVM's 64 KB limit — codegen fails and the whole stage
+    falls back to interpreted mode. Column-at-a-time keeps each round a
+    small, codegen-able projection."""
+    out = df.withColumn("_s0", mix5(key))
+    for i in range(1, depth):
+        out = out.withColumn("_s%d" % i, _round5(F.col("_s%d" % (i - 1)),
+                                                 MIX_C3))
+    return out
+
+
+def _cms_pairs(depth: int, width: int) -> Column:
+    """(row_idx, bucket) array over the attached ``_s*`` state columns."""
+    return F.array(*[
+        F.struct(F.lit(i).alias("row_idx"),
+                 (F.col("_s%d" % i) % width).cast("int").alias("bucket"))
+        for i in range(depth)
+    ])
+
+
+def cms_registers(
+    df: DataFrame,
+    key_col: str,
+    weight_col: Optional[str] = None,
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Count-Min register grid for an integer key column.
+
+    Each input row increments one bucket per hash row: ``depth``
+    independent MINSTD chains index a ``depth x width`` grid. Returns
+    ``(row_idx, bucket, cnt)`` — at most ``depth * width`` rows, merged
+    by SUM (partial aggregation applies; shuffle traffic is bounded by
+    the grid size per map partition, constant at any corpus size).
+
+    ``weight_col``: optional integer weight per row (default 1).
+    """
+    key = F.col(key_col).cast("long")
+    w = F.col(weight_col).cast("long") if weight_col else F.lit(1).cast("long")
+    staged = _with_cms_states(df.select(key.alias("_k"), w.alias("_w")),
+                              F.col("_k"), depth)
+    return (
+        staged.select(F.explode(_cms_pairs(depth, width)).alias("rb"),
+                      F.col("_w").alias("cnt"))
+              .select("rb.row_idx", "rb.bucket", "cnt")
+              .groupBy("row_idx", "bucket")
+              .agg(F.sum("cnt").alias("cnt"))
+    )
+
+
+def cms_estimate(
+    registers: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 256,
+    est_col: str = "est_cnt",
+) -> DataFrame:
+    """Point-query a Count-Min grid: estimate = MIN over the ``depth``
+    buckets a key hashes to. The grid is broadcast (``depth * width``
+    rows by construction); the per-key explode is narrow. Count-Min
+    guarantees ``estimate >= true count`` — never an undercount."""
+    key = F.col(key_col).cast("long")
+    staged = _with_cms_states(keys.select(key_col), key, depth)
+    probes = staged.select(key_col,
+                           F.explode(_cms_pairs(depth, width)).alias("rb")) \
+                   .select(key_col, "rb.row_idx", "rb.bucket")
+    return (
+        probes.join(F.broadcast(registers), ["row_idx", "bucket"], "left")
+              .groupBy(key_col)
+              .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0)))
+                    .cast("long").alias(est_col))
+    )
+
+
+def cms_heavy_hitters(
+    df: DataFrame,
+    key_col: str,
+    threshold: int,
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Heavy hitters via one Count-Min pass: keys whose *estimate*
+    reaches ``threshold`` — a guaranteed superset of the true heavy
+    hitters (one-sided error), annotated with the exact count so the
+    overestimate is auditable. Two bounded aggregations (grid-sized and
+    distinct-key-sized); no all-pairs anything."""
+    regs = cms_registers(df, key_col, depth=depth, width=width)
+    truth = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("true_cnt"))
+    est = cms_estimate(regs, truth.select(key_col), key_col,
+                       depth=depth, width=width)
+    return (
+        est.join(truth, key_col)
+           .where(F.col("est_cnt") >= threshold)
+           .select(F.col(key_col).cast("long").alias(key_col),
+                   "est_cnt", "true_cnt")
+    )

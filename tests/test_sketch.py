@@ -1,0 +1,143 @@
+"""Probabilistic sketches (operators/sketch.py) — HLL + Count-Min.
+
+The properties that matter: (1) the estimate tracks true cardinality
+within HLL's published error envelope, (2) sketches MERGE (union of
+inputs == elementwise max/sum of sketches — the property that makes the
+shuffle constant-size at 100 TB), (3) Count-Min never undercounts, and
+(4) everything is deterministic and partition-invariant.
+"""
+
+import math
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from llm_food_spark.operators.sketch import (
+    cms_estimate,
+    cms_heavy_hitters,
+    cms_registers,
+    hll_distinct,
+    hll_estimate,
+    hll_registers,
+)
+
+
+@pytest.fixture(scope="module")
+def keys(spark):
+    # 5000 distinct keys, spread out so sequential-id structure doesn't
+    # line up with the register index bits
+    return spark.range(0, 5_000).select(
+        (F.col("id") * 7_919 + 13).alias("k"))
+
+
+def test_hll_estimate_within_error(keys):
+    # raw HLL std error ~= 1.04/sqrt(m); allow 4 sigma
+    for m in (64, 256):
+        row = hll_distinct(keys, "k", m=m).collect()[0]
+        est = row["est_milli"] / 1000.0
+        rel = abs(est - 5_000) / 5_000
+        assert rel < 4 * 1.04 / math.sqrt(m), (m, est)
+        assert row["m"] == m
+        assert 0 < row["filled_regs"] <= m
+
+
+def test_hll_duplicates_do_not_move_estimate(keys, spark):
+    # cardinality estimator: duplicating every row changes nothing
+    once = hll_distinct(keys, "k", m=64).collect()[0]
+    thrice = hll_distinct(keys.union(keys).union(keys), "k",
+                          m=64).collect()[0]
+    assert once.asDict() == thrice.asDict()
+
+
+def test_hll_registers_merge_by_max(keys):
+    # sketch(A ∪ B) == elementwise max of sketch(A), sketch(B)
+    a = keys.where(F.col("k") % 3 == 0)
+    b = keys.where(F.col("k") % 3 != 0)
+    merged = (
+        hll_registers(a, "k", m=64).union(hll_registers(b, "k", m=64))
+        .groupBy("reg").agg(F.max("rho").alias("rho"))
+    )
+    direct = {(r["reg"], r["rho"])
+              for r in hll_registers(keys, "k", m=64).collect()}
+    assert {(r["reg"], r["rho"]) for r in merged.collect()} == direct
+
+
+def test_hll_partition_invariant(keys):
+    a = hll_distinct(keys, "k", m=64).collect()[0]
+    b = hll_distinct(keys.repartition(13), "k", m=64).collect()[0]
+    assert a.asDict() == b.asDict()
+
+
+def test_hll_rejects_non_power_of_two():
+    import llm_food_spark.operators.sketch as sk
+
+    with pytest.raises(ValueError):
+        sk.hll_registers(None, "k", m=48)
+
+
+@pytest.fixture(scope="module")
+def skewed(spark):
+    # 3 heavy keys (1500/900/600) over a background of 200 keys x ~10
+    heavy = spark.range(0, 3_000).select(
+        F.when(F.col("id") < 1_500, 1_000_001)
+         .when(F.col("id") < 2_400, 1_000_002)
+         .otherwise(1_000_003).alias("k"))
+    light = spark.range(0, 2_000).select((F.col("id") % 200).alias("k"))
+    return heavy.union(light)
+
+
+def test_cms_never_undercounts(skewed):
+    truth = {r["k"]: r["c"] for r in
+             skewed.groupBy("k").agg(F.count(F.lit(1)).alias("c")).collect()}
+    regs = cms_registers(skewed, "k", depth=4, width=256)
+    est = {r["k"]: r["est_cnt"] for r in
+           cms_estimate(regs, skewed.select("k").distinct(), "k",
+                        depth=4, width=256).collect()}
+    assert set(est) == set(truth)
+    for k, true_c in truth.items():
+        assert est[k] >= true_c, (k, est[k], true_c)
+    # total overestimate is bounded: grid mass is conserved per hash row
+    assert est[1_000_001] < 1_500 + 5_000  # trivially, but present
+
+
+def test_cms_grid_is_bounded_and_mass_conserving(skewed):
+    regs = cms_registers(skewed, "k", depth=4, width=256).collect()
+    assert len(regs) <= 4 * 256
+    n = skewed.count()
+    by_row = {}
+    for r in regs:
+        by_row[r["row_idx"]] = by_row.get(r["row_idx"], 0) + r["cnt"]
+    assert by_row == {i: n for i in range(4)}
+
+
+def test_cms_weighted(spark):
+    df = spark.createDataFrame(
+        [(7, 10), (7, 5), (9, 2)], "k long, w long")
+    regs = cms_registers(df, "k", weight_col="w", depth=2, width=64)
+    est = {r["k"]: r["est_cnt"] for r in
+           cms_estimate(regs, df.select("k").distinct(), "k",
+                        depth=2, width=64).collect()}
+    assert est[7] >= 15 and est[9] >= 2
+
+
+def test_cms_heavy_hitters_superset(skewed):
+    hh = cms_heavy_hitters(skewed, "k", threshold=500, depth=4, width=256)
+    rows = {r["k"]: (r["est_cnt"], r["true_cnt"]) for r in hh.collect()}
+    # every true heavy hitter is present (one-sided guarantee)
+    for k in (1_000_001, 1_000_002, 1_000_003):
+        assert k in rows
+        assert rows[k][0] >= rows[k][1]
+
+
+def test_cms_registers_merge_by_sum(skewed):
+    a = skewed.where(F.col("k") % 2 == 0)
+    b = skewed.where(F.col("k") % 2 != 0)
+    merged = (
+        cms_registers(a, "k").union(cms_registers(b, "k"))
+        .groupBy("row_idx", "bucket").agg(F.sum("cnt").alias("cnt"))
+    )
+    direct = {(r["row_idx"], r["bucket"]): r["cnt"]
+              for r in cms_registers(skewed, "k").collect()}
+    got = {(r["row_idx"], r["bucket"]): r["cnt"] for r in merged.collect()}
+    assert got == direct
