@@ -2143,6 +2143,85 @@ def q_semantic_dedup_seeded(spark, sf_dir):
     return semantic_dedup(emb, threshold=0.95, centroids=np.eye(DIM)[:16])
 
 
+def q_kmeans(spark, sf_dir):
+    """First-class Lloyd k-means in exact integer space (operators/
+    cluster.py:kmeans_lloyd): micro-unit quantization, k=8 smallest-id
+    init, 3 full assign+update rounds, final assignment with distances
+    and cluster sizes. UNSEEDED — the oracle re-runs the entire training
+    loop (every assignment, every rounded-mean centroid update) unrolled
+    in SQL, so any divergence in the quantizer, the argmin tie rule, the
+    offset division, or the empty-cluster keep-old path breaks the hash."""
+    from llm_food_spark.operators.cluster import kmeans_lloyd
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return kmeans_lloyd(emb, k=8, iters=3)
+
+
+def _build_kmeans_sql(k: int = 8, iters: int = 3, scale: int = 1_000_000,
+                      dim: int = 64) -> str:
+    """Unrolled-iteration DuckDB twin for q_kmeans — generated, like the
+    script_profile oracle, so the SQL stays mechanically in lockstep with
+    (k, iters). Centroid update uses the same positivity-offset
+    round-half-up division as the Spark side (DuckDB // truncates toward
+    zero for negative numerators; the offset makes floor == truncate)."""
+    parts = [
+        """
+    WITH vx AS (
+      SELECT e.vec_id, u.i - 1 AS pos,
+             CAST(floor(CAST(e.embedding[u.i] AS DOUBLE) * %d.0 + 0.5)
+                  AS BIGINT) AS q
+      FROM embeddings e, LATERAL (SELECT unnest(range(1, %d + 1)) AS i) u
+    ), seeds AS (
+      SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cluster
+      FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT %d)
+    ), c0 AS (
+      SELECT s.cluster, v.pos, v.q AS c
+      FROM seeds s JOIN vx v USING (vec_id)
+    )""" % (scale, dim, k)
+    ]
+    step = """, d%(t)d AS (
+      SELECT v.vec_id, c.cluster,
+             CAST(SUM((v.q - c.c) * (v.q - c.c)) AS BIGINT) AS d2
+      FROM vx v JOIN c%(p)d c USING (pos) GROUP BY 1, 2
+    ), a%(t)d AS (
+      SELECT vec_id, cluster FROM (
+        SELECT vec_id, cluster,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY d2 ASC, cluster ASC) AS rn
+        FROM d%(t)d) WHERE rn = 1
+    ), s%(t)d AS (
+      SELECT a.cluster, v.pos, CAST(SUM(v.q) AS BIGINT) AS s,
+             COUNT(*) AS n
+      FROM a%(t)d a JOIN vx v USING (vec_id) GROUP BY 1, 2
+    ), c%(t)d AS (
+      SELECT c.cluster, c.pos,
+             COALESCE((2 * s.s + s.n + 4 * s.n * %(scale)d)
+                        // (2 * s.n) - 2 * %(scale)d, c.c) AS c
+      FROM c%(p)d c LEFT JOIN s%(t)d s USING (cluster, pos)
+    )"""
+    for t in range(1, iters + 1):
+        parts.append(step % {"t": t, "p": t - 1, "scale": scale})
+    parts.append(""", df AS (
+      SELECT v.vec_id, c.cluster,
+             CAST(SUM((v.q - c.c) * (v.q - c.c)) AS BIGINT) AS d2
+      FROM vx v JOIN c%d c USING (pos) GROUP BY 1, 2
+    ), af AS (
+      SELECT vec_id, cluster, d2 AS dist2 FROM (
+        SELECT vec_id, cluster, d2,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY d2 ASC, cluster ASC) AS rn
+        FROM df) WHERE rn = 1
+    ), sizes AS (
+      SELECT cluster, COUNT(*) AS cluster_size FROM af GROUP BY cluster
+    )
+    SELECT af.vec_id, af.cluster, af.dist2, sizes.cluster_size
+    FROM af JOIN sizes USING (cluster)""" % iters)
+    return "".join(parts)
+
+
+_KMEANS_SQL = _build_kmeans_sql(k=8, iters=3)
+
+
 def q_fingerprint(spark, sf_dir):
     from pyspark.sql import types as T
     import pandas as pd
@@ -3032,7 +3111,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cc_prep": q_cc_prep,                    # chained THROUGH WARC+extract
         # chunking / text analysis
         "chunk_token": q_chunk_token,            # T14
-        "chunk_recursive_tokens": q_chunk_recursive_tokens,  # T16
         "tfidf_topk": q_tfidf_topk,
         "lang_id": q_lang_id,
         "gopher_quality": q_gopher_quality,
@@ -3052,6 +3130,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_seeded": q_ann_lsh_seeded,
         "ann_ivf_seeded": q_ann_ivf_seeded,
         "semantic_dedup_seeded": q_semantic_dedup_seeded,
+        "kmeans": q_kmeans,                      # UNSEEDED integer-space Lloyd: the oracle re-runs the whole training loop unrolled
         # sketches (constant-state distinct/frequency at corpus scale)
         "hll_sketch": q_hll_sketch,                # HyperLogLog registers + estimate, full DuckDB re-derivation
         "cms_heavy": q_cms_heavy,                  # Count-Min heavy hitters, full grid re-derivation
@@ -3078,6 +3157,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_resize": q_image_resize,
         # ---- slot 51+ : repo-gated only (tools/check_oracles.py) --------
         # hard SQL twins added after the round-4 slot allocation
+        "chunk_recursive_tokens": q_chunk_recursive_tokens,  # demoted for kmeans: chunk_token holds the token-window chunker slot and recomputes the same token-boundary arithmetic; the recursive split tree stays repo-gated
         "fingerprint_seeded": q_fingerprint_seeded,  # demoted for hll_sketch: minhash_lsh_seeded + simhash_seeded hold the seeded text-hash-plan slots and exercise the same shingle->hash->band twin mechanism; the winnowing window-min arithmetic stays repo-gated
         "pq_ann_seeded": q_pq_ann_seeded,          # demoted for cms_heavy: ann_lsh_seeded + ann_ivf_seeded hold the ANN banding/probe slots; the PQ codebook-distance arithmetic stays repo-gated
         "stratified_sample": q_stratified_sample,  # exact per-group ceil cut, integer space
@@ -4598,6 +4678,7 @@ def oracle_sql() -> dict[str, str]:
     # (x+c)^5 mod p hash in pure BIGINT arithmetic
     out["hll_sketch"] = _HLL_SKETCH_SQL
     out["cms_heavy"] = _CMS_HEAVY_SQL
+    out["kmeans"] = _KMEANS_SQL
     # CCNet head/middle/tail: composes the lm_perplexity retrain twin —
     # one model, two driver-checked stages (scores, then rank buckets).
     out["ppl_buckets"] = """

@@ -41,6 +41,8 @@ from __future__ import annotations
 
 from typing import Optional
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.window import Window
 
@@ -202,6 +204,145 @@ def attach_clusters(
     return df.join(comp, id_col, "left").withColumn(
         cluster_col,
         F.coalesce(F.col("cluster_id"), F.col(id_col).cast("long")),
+    )
+
+
+def _kmeans_assign_udf(cents: np.ndarray, with_dist: bool = False):
+    """argmin_k sum_j (q_j - c_kj)^2 over int64 quantized vectors — one
+    vectorized numpy pass per Arrow batch against the broadcast centroid
+    matrix (the ivf_assign_udf shape, but exact integer arithmetic).
+    Ties go to the lowest cluster index (np.argmin first-min)."""
+    c = np.ascontiguousarray(cents, dtype=np.int64)
+
+    def _dists(qs: pd.Series) -> np.ndarray:
+        mat = np.array([np.asarray(v, dtype=np.int64) for v in qs])
+        diff = mat[:, None, :] - c[None, :, :]
+        return (diff * diff).sum(axis=2)
+
+    if with_dist:
+
+        @F.pandas_udf("struct<cluster:int,dist2:bigint>")
+        def assign_d(qs: pd.Series) -> pd.DataFrame:
+            if len(qs) == 0:
+                return pd.DataFrame({"cluster": pd.Series([], dtype="int32"),
+                                     "dist2": pd.Series([], dtype="int64")})
+            d2 = _dists(qs)
+            best = np.argmin(d2, axis=1)
+            return pd.DataFrame({
+                "cluster": best.astype("int32"),
+                "dist2": d2[np.arange(len(best)), best].astype("int64"),
+            })
+
+        return assign_d
+
+    @F.pandas_udf("int")
+    def assign(qs: pd.Series) -> pd.Series:
+        if len(qs) == 0:
+            return pd.Series([], dtype="int32")
+        return pd.Series(np.argmin(_dists(qs), axis=1).astype("int32"))
+
+    return assign
+
+
+def kmeans_lloyd(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    iters: int = 3,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """First-class Lloyd k-means over an embedding column, computed in
+    EXACT INTEGER SPACE so the whole run — init, every assignment, every
+    centroid update — is deterministic, partition-invariant, and
+    reproducible bit-for-bit by an independent engine (the DuckDB twin
+    unrolls the iterations). Returns one row per vector:
+    ``(vec_id, cluster, dist2, cluster_size)``.
+
+    - quantize: ``q_j = floor(x_j * scale + 0.5)`` as int64 (identical
+      IEEE double ops in Spark / numpy / DuckDB);
+    - init: the ``k`` vectors with the smallest ids, cluster index =
+      rank among those ids (no RNG state to ship);
+    - assign: argmin of the exact integer L2^2, ties to the lowest
+      cluster index;
+    - update: component-wise round-half-up mean, computed as
+      ``((2*s + n + 4*n*scale) // (2*n)) - 2*scale`` — the offset keeps
+      the numerator positive so floor and truncating division agree
+      across engines; empty clusters keep their previous centroid.
+
+    Scale shape (10^12 vectors): quantization is one narrow expression;
+    each iteration is one broadcast-centroid UDF pass plus a
+    ``groupBy(cluster, pos)`` whose map-side partials reduce every
+    partition to <= k*dim rows, so the shuffle and the driver collect are
+    k*dim rows per iteration regardless of corpus size — the same
+    documented tiny-state exception as the IVF centroid update
+    (similarity.py). For query-time ANN over the result, use the float
+    spherical trainer (``ivf_train_centroids``); this operator is the
+    corpus-bucketing / data-curation face (SemDeDup-style cluster
+    pruning, per-cluster sampling quotas).
+
+    The reference has no clustering surface (llm-food converts one
+    upload at a time, /root/reference/llm_food/app.py); this is part of
+    the training-data operator surface.
+
+    The quantized frame is persisted for the duration of the loop and
+    released on the next call to any operator in this module or via
+    ``release_persisted()``.
+    """
+    if k <= 0 or iters <= 0:
+        raise ValueError("k and iters must be positive")
+    release_persisted()
+    vq = df.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.expr(
+            "transform(%s, x -> CAST(floor(CAST(x AS DOUBLE) * %d.0D + 0.5D)"
+            " AS BIGINT))" % (vec_col, scale)
+        ).alias("q"),
+    ).persist()
+    _PERSISTED.append(vq)
+    seed = vq.orderBy("id").limit(k).collect()
+    if len(seed) < k:
+        raise ValueError("need at least k=%d vectors, got %d" % (k, len(seed)))
+    cents = np.array([r["q"] for r in seed], dtype=np.int64)
+
+    for _ in range(iters):
+        assign = _kmeans_assign_udf(cents)
+        sums = (
+            vq.select(
+                assign(F.col("q")).alias("cluster"),
+                F.posexplode(F.col("q")).alias("pos", "x"),
+            )
+            .groupBy("cluster", "pos")
+            .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        new = cents.copy()
+        for r in sums:
+            s, n = int(r["s"]), int(r["n"])
+            # round-half-up(s / n) with the cross-engine positivity offset
+            new[r["cluster"], r["pos"]] = (
+                (2 * s + n + 4 * n * scale) // (2 * n) - 2 * scale
+            )
+        cents = new
+
+    final = _kmeans_assign_udf(cents, with_dist=True)
+    # the result feeds two branches (sizes + re-attach join): persist the
+    # narrow (id, cluster, dist2) frame or Spark re-runs the UDF pass per
+    # branch (the semantic_dedup/dsir lesson)
+    out = (
+        vq.select(F.col("id").alias(id_col), final(F.col("q")).alias("a"))
+        .select(
+            id_col, F.col("a.cluster").alias("cluster"),
+            F.col("a.dist2").alias("dist2"),
+        )
+        .persist()
+    )
+    _PERSISTED.append(out)
+    sizes = out.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return out.join(F.broadcast(sizes), "cluster").select(
+        id_col, "cluster", "dist2", "cluster_size"
     )
 
 

@@ -104,3 +104,110 @@ def test_nonconvergence_raises(spark):
     with pytest.raises(RuntimeError):
         connected_components(_pairs(spark, [(i, i + 1) for i in range(20)]), max_iter=1)
     release_persisted()
+
+
+# ---------------------------------------------------------------------------
+# kmeans_lloyd — exact integer-space Lloyd (operators/cluster.py)
+# ---------------------------------------------------------------------------
+
+def _ref_kmeans(vecs, k, iters, scale=10**6):
+    """Pure-Python replica of the integer-space Lloyd loop."""
+    import math
+
+    q = {i: [math.floor(float(x) * scale + 0.5) for x in v]
+         for i, v in vecs.items()}
+    ids = sorted(q)
+    cents = [list(q[i]) for i in ids[:k]]
+
+    def argmin(v):
+        best, bd = 0, None
+        for ci, c in enumerate(cents):
+            d = sum((a - b) ** 2 for a, b in zip(v, c))
+            if bd is None or d < bd:
+                best, bd = ci, d
+        return best, bd
+
+    for _ in range(iters):
+        assign = {i: argmin(q[i])[0] for i in ids}
+        for ci in range(k):
+            members = [q[i] for i in ids if assign[i] == ci]
+            if members:
+                n = len(members)
+                cents[ci] = [
+                    (2 * sum(col) + n + 4 * n * scale) // (2 * n) - 2 * scale
+                    for col in zip(*members)
+                ]
+    return {i: argmin(q[i]) for i in ids}
+
+
+def _emb_frame(spark, vecs):
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in sorted(vecs.items())],
+        "vec_id long, embedding array<float>",
+    )
+
+
+def test_kmeans_matches_pure_python_replica(spark):
+    from llm_food_spark.operators.cluster import kmeans_lloyd
+
+    # multiples of 1/64: exactly representable in float32, so the
+    # float->double->micro-unit quantization is identical on both sides
+    vecs = {
+        i: [((i * 7 + j * 3) % 33 - 16) / 64.0 for j in range(6)]
+        for i in range(20)
+    }
+    out = kmeans_lloyd(_emb_frame(spark, vecs), k=3, iters=2)
+    got = {r["vec_id"]: (r["cluster"], r["dist2"]) for r in out.collect()}
+    want = _ref_kmeans(vecs, k=3, iters=2)
+    assert got == want
+    release_persisted()
+
+
+def test_kmeans_empty_cluster_keeps_seed_centroid(spark):
+    from llm_food_spark.operators.cluster import kmeans_lloyd
+
+    # seeds = vectors 0,1,2; vector 1 duplicates vector 0, so round-1
+    # assignment ties {0,1} to cluster 0 (lower index) and cluster 1 is
+    # empty — it must keep its exact seed centroid [0,0] while cluster 0's
+    # update drifts toward vector 4, after which the kept centroid wins
+    # the origin points back. The replica agreeing end-to-end proves the
+    # keep-old path fires identically.
+    vecs = {0: [0.0, 0.0], 1: [0.0, 0.0], 2: [0.5, 0.5],
+            3: [0.5, 0.375], 4: [0.03125, 0.0]}
+    out = kmeans_lloyd(_emb_frame(spark, vecs), k=3, iters=3)
+    rows = out.collect()
+    got = {r["vec_id"]: (r["cluster"], r["dist2"]) for r in rows}
+    want = _ref_kmeans(vecs, k=3, iters=3)
+    assert got == want
+    # the kept seed centroid reclaims the exact-origin points: dist2 == 0
+    assert got[0] == (1, 0) and got[1] == (1, 0)
+    from collections import Counter
+
+    want_sizes = Counter(c for c, _ in want.values())
+    sizes = {r["cluster"]: r["cluster_size"] for r in rows}
+    assert sizes == dict(want_sizes)
+    release_persisted()
+
+
+def test_kmeans_deterministic_across_runs(spark):
+    from llm_food_spark.operators.cluster import kmeans_lloyd
+
+    vecs = {i: [((i * 13 + j * 5) % 17 - 8) / 32.0 for j in range(4)]
+            for i in range(12)}
+    a = sorted(map(tuple, kmeans_lloyd(_emb_frame(spark, vecs), k=2,
+                                       iters=2).collect()))
+    b = sorted(map(tuple, kmeans_lloyd(
+        _emb_frame(spark, vecs).repartition(7), k=2, iters=2).collect()))
+    assert a == b
+    release_persisted()
+
+
+def test_kmeans_validates_inputs(spark):
+    from llm_food_spark.operators.cluster import kmeans_lloyd
+
+    df = _emb_frame(spark, {0: [0.0], 1: [1.0]})
+    with pytest.raises(ValueError):
+        kmeans_lloyd(df, k=0, iters=1)
+    with pytest.raises(ValueError):
+        kmeans_lloyd(df, k=5, iters=1)
+    release_persisted()
