@@ -2222,6 +2222,43 @@ def _build_kmeans_sql(k: int = 8, iters: int = 3, scale: int = 1_000_000,
 _KMEANS_SQL = _build_kmeans_sql(k=8, iters=3)
 
 
+def q_ngram_novelty(spark, sf_dir):
+    """Per-document distinct-3-gram novelty (operators/textops.py::
+    ngram_novelty) — the exact Self-BLEU-style corpus-diversity audit.
+    The oracle rebuilds the minhash family's shingle definition (distinct
+    3-word shingles, whole-doc fallback), the corpus gram frequencies,
+    and every permille in SQL."""
+    from llm_food_spark.operators.textops import ngram_novelty
+
+    return ngram_novelty(_t(spark, sf_dir, "documents"), n=3)
+
+
+# novelty twin: shares the _WORDS tokenizer and the ngram_jaccard shingle
+# CTE; shingles are distinct within a doc so COUNT(*) per gram == its
+# containing-doc count, and novelty = grams with df == 1
+_NGRAM_NOVELTY_SQL_TMPL = """
+    WITH sh AS (
+      SELECT doc_id,
+             CASE WHEN len({w}) >= 3 THEN
+               list_distinct(list_transform(range(1, len({w}) - 1),
+                             i -> array_to_string({w}[i:i+2], ' ')))
+             ELSE [COALESCE(array_to_string({w}, ' '), '')] END AS grams
+      FROM documents
+    ), g AS (
+      SELECT doc_id, unnest(grams) AS gram FROM sh
+    ), freq AS (
+      SELECT gram, COUNT(*)::BIGINT AS df FROM g GROUP BY gram
+    )
+    SELECT g.doc_id,
+           COUNT(*)::BIGINT AS n_grams,
+           SUM(CASE WHEN f.df = 1 THEN 1 ELSE 0 END)::BIGINT AS novel_grams,
+           ((1000 * SUM(CASE WHEN f.df = 1 THEN 1 ELSE 0 END)::BIGINT)
+             // COUNT(*)::BIGINT) AS novelty_permille
+    FROM g JOIN freq f USING (gram)
+    GROUP BY g.doc_id
+"""
+
+
 def q_fingerprint(spark, sf_dir):
     from pyspark.sql import types as T
     import pandas as pd
@@ -3157,6 +3194,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_resize": q_image_resize,
         # ---- slot 51+ : repo-gated only (tools/check_oracles.py) --------
         # hard SQL twins added after the round-4 slot allocation
+        "ngram_novelty": q_ngram_novelty,        # exact per-doc distinct-3-gram novelty (Self-BLEU-style diversity audit)
         "chunk_recursive_tokens": q_chunk_recursive_tokens,  # demoted for kmeans: chunk_token holds the token-window chunker slot and recomputes the same token-boundary arithmetic; the recursive split tree stays repo-gated
         "fingerprint_seeded": q_fingerprint_seeded,  # demoted for hll_sketch: minhash_lsh_seeded + simhash_seeded hold the seeded text-hash-plan slots and exercise the same shingle->hash->band twin mechanism; the winnowing window-min arithmetic stays repo-gated
         "pq_ann_seeded": q_pq_ann_seeded,          # demoted for cms_heavy: ann_lsh_seeded + ann_ivf_seeded hold the ANN banding/probe slots; the PQ codebook-distance arithmetic stays repo-gated
@@ -4679,6 +4717,7 @@ def oracle_sql() -> dict[str, str]:
     out["hll_sketch"] = _HLL_SKETCH_SQL
     out["cms_heavy"] = _CMS_HEAVY_SQL
     out["kmeans"] = _KMEANS_SQL
+    out["ngram_novelty"] = _NGRAM_NOVELTY_SQL_TMPL.format(w=_WORDS)
     # CCNet head/middle/tail: composes the lm_perplexity retrain twin —
     # one model, two driver-checked stages (scores, then rank buckets).
     out["ppl_buckets"] = """

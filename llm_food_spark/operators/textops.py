@@ -176,6 +176,57 @@ def term_stats(df, id_col: str = "doc_id", text_col: str = "text",
     return out
 
 
+def ngram_novelty(df, n: int = 3, id_col: str = "doc_id",
+                  text_col: str = "text", hashed: bool = False):
+    """Per-document n-gram novelty — the fraction of a document's DISTINCT
+    word n-grams that appear in NO other document. The corpus-diversity /
+    template-saturation audit of a training-data pipeline (a Self-BLEU-like
+    signal computed exactly instead of by sampling): low novelty marks
+    boilerplate-heavy or near-duplicated docs that dedup thresholds missed,
+    and the corpus-level novelty distribution tracks how much a new crawl
+    snapshot actually adds. No analogue in llm-food (one upload at a time,
+    /root/reference/llm_food/app.py).
+
+    Shingling is ``word_shingles`` (dedup.py) — distinct n-word shingles
+    with the short-doc whole-doc fallback, so every doc emits >= 1 gram
+    and shares the minhash family's gram definition. Because shingles are
+    distinct WITHIN a doc, the per-gram row count IS its containing-doc
+    count; novelty = grams with df == 1.
+
+    Output: ``(doc_id, n_grams, novel_grams, novelty_permille)`` — all
+    exact integers (permille = 1000 * novel DIV total).
+
+    Scale shape: one explode -> groupBy(gram) with map-side partial
+    combine -> one narrow re-join -> groupBy(doc). ``hashed=True`` is the
+    corpus-scale form: grams travel as xxhash64 longs instead of strings
+    (8-byte shuffle keys; collisions can only understate novelty and are
+    ~n^2/2^64). Default stays on strings so the DuckDB twin is exact.
+    """
+    from llm_food_spark.operators.dedup import word_shingles
+
+    sh = ensure_min_partitions(df).select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(word_shingles(F.col(text_col), n)).alias("gram"),
+    )
+    if hashed:
+        sh = sh.select("doc_id", F.xxhash64("gram").alias("gram"))
+    dfreq = sh.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        sh.join(dfreq, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.when(F.col("df") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("novel_grams"),
+        )
+        .withColumn(
+            "novelty_permille",
+            F.expr("1000 * novel_grams DIV n_grams"),
+        )
+    )
+
+
 def tfidf_topk(df, k: int = 5, id_col: str = "doc_id",
                text_col: str = "text", min_df: int = 1):
     """Per-document top-k salient terms by tf-idf — the keyword /

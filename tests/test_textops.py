@@ -799,3 +799,52 @@ def test_zipf_fit_matches_hand_computed_least_squares(spark):
     import pytest
     with pytest.raises(ValueError):
         zipf_fit(d, top_k=1)
+
+
+# ---------------------------------------------------------------------------
+# ngram_novelty — exact per-doc distinct-n-gram novelty (textops.py)
+# ---------------------------------------------------------------------------
+
+def _novelty_frame(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_ngram_novelty_planted_values(spark):
+    from llm_food_spark.operators.textops import ngram_novelty
+
+    # doc 1 and 2 share the shingle "a b c"; doc 1's "b c d" is unique
+    rows = [(1, "a b c d"), (2, "x a b c"), (3, "p q r s")]
+    out = {r["doc_id"]: r for r in
+           ngram_novelty(_novelty_frame(spark, rows), n=3).collect()}
+    # doc 1: grams {a b c, b c d} -> 1 novel of 2
+    assert (out[1]["n_grams"], out[1]["novel_grams"],
+            out[1]["novelty_permille"]) == (2, 1, 500)
+    # doc 2: grams {x a b, a b c} -> 1 novel of 2
+    assert out[2]["novel_grams"] == 1
+    # doc 3: fully novel
+    assert (out[3]["novel_grams"], out[3]["novelty_permille"]) == (2, 1000)
+
+
+def test_ngram_novelty_short_doc_fallback_and_dupes(spark):
+    from llm_food_spark.operators.textops import ngram_novelty
+
+    # short docs fall back to one whole-doc gram; identical short docs
+    # share it (df=2 -> zero novelty); repeated shingles in one doc count
+    # once (distinct within doc)
+    rows = [(1, "hi there"), (2, "hi there"), (3, "a b a b a b")]
+    out = {r["doc_id"]: r for r in
+           ngram_novelty(_novelty_frame(spark, rows), n=3).collect()}
+    assert (out[1]["n_grams"], out[1]["novelty_permille"]) == (1, 0)
+    assert (out[2]["n_grams"], out[2]["novelty_permille"]) == (1, 0)
+    # doc 3: distinct grams {a b a, b a b} only
+    assert (out[3]["n_grams"], out[3]["novelty_permille"]) == (2, 1000)
+
+
+def test_ngram_novelty_hashed_path_matches_strings(spark):
+    from llm_food_spark.operators.textops import ngram_novelty
+
+    rows = [(i, "w%d x%d common tail words here" % (i % 4, i)) for i in range(24)]
+    df = _novelty_frame(spark, rows)
+    a = sorted(map(tuple, ngram_novelty(df, n=3).collect()))
+    b = sorted(map(tuple, ngram_novelty(df, n=3, hashed=True).collect()))
+    assert a == b
