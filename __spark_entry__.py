@@ -500,6 +500,21 @@ def q_windowed_counts(spark, sf_dir):
     return windowed_counts(e)
 
 
+def q_count_anomalies(spark, sf_dir):
+    """Per-event-type hourly spike detection (operators/events.py::
+    count_anomalies): the z-score test evaluated in exact cross-multiplied
+    integer space — (c*n - S)^2 > k^2 (n*S2 - S^2) — so both engines
+    compare identical integers (26 of 3385 windows flag at sf0.01).
+    The oracle recomputes the hour buckets, both moment sums, every
+    scaled deviation and every verdict."""
+    from llm_food_spark.operators.events import count_anomalies
+
+    e = _t(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    return count_anomalies(e, k_sigma=3, min_windows=4)
+
+
 def q_asof_join(spark, sf_dir):
     """As-of join (operators/joins.py::asof_join): every non-click event
     gains the user's most recent click value at or before it. Hard
@@ -3195,6 +3210,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- slot 51+ : repo-gated only (tools/check_oracles.py) --------
         # hard SQL twins added after the round-4 slot allocation
         "ngram_novelty": q_ngram_novelty,        # exact per-doc distinct-3-gram novelty (Self-BLEU-style diversity audit)
+        "count_anomalies": q_count_anomalies,    # hourly spike z-test in cross-multiplied integer space
         "chunk_recursive_tokens": q_chunk_recursive_tokens,  # demoted for kmeans: chunk_token holds the token-window chunker slot and recomputes the same token-boundary arithmetic; the recursive split tree stays repo-gated
         "fingerprint_seeded": q_fingerprint_seeded,  # demoted for hll_sketch: minhash_lsh_seeded + simhash_seeded hold the seeded text-hash-plan slots and exercise the same shingle->hash->band twin mechanism; the winnowing window-min arithmetic stays repo-gated
         "pq_ann_seeded": q_pq_ann_seeded,          # demoted for cms_heavy: ann_lsh_seeded + ann_ivf_seeded hold the ANN banding/probe slots; the PQ codebook-distance arithmetic stays repo-gated
@@ -5355,6 +5371,29 @@ def _handwritten_oracles() -> dict[str, str]:
                    event_type, COUNT(*)::BIGINT AS n,
                    round(SUM(value), 6) AS sum_value
             FROM events GROUP BY 1, 2
+        """,
+        # spike test re-run entirely in integer space (HUGEINT squares)
+        "count_anomalies": """
+            WITH wc AS (
+              SELECT event_type,
+                     epoch_us(date_trunc('hour', ts)) AS window_start_us,
+                     COUNT(*)::BIGINT AS c
+              FROM events GROUP BY 1, 2
+            ), st AS (
+              SELECT event_type, COUNT(*)::BIGINT AS n_windows,
+                     CAST(SUM(c) AS BIGINT) AS s1,
+                     CAST(SUM(c * c) AS BIGINT) AS s2
+              FROM wc GROUP BY 1
+            )
+            SELECT wc.event_type, wc.window_start_us, wc.c, st.n_windows,
+                   wc.c * st.n_windows - st.s1 AS excess_n,
+                   (st.n_windows >= 4
+                    AND wc.c * st.n_windows - st.s1 > 0
+                    AND CAST(wc.c * st.n_windows - st.s1 AS HUGEINT)
+                        * CAST(wc.c * st.n_windows - st.s1 AS HUGEINT)
+                      > 9 * (CAST(st.n_windows AS HUGEINT) * st.s2
+                             - CAST(st.s1 AS HUGEINT) * st.s1)) AS is_spike
+            FROM wc JOIN st USING (event_type)
         """,
         # as-of twin: DuckDB's NATIVE ASOF LEFT JOIN — an independent
         # implementation of the semantics, not this plan re-derived

@@ -74,6 +74,67 @@ def session_stats(
     )
 
 
+def count_anomalies(
+    df: DataFrame,
+    window: str = "1 hour",
+    ts_col: str = "ts",
+    group_col: str = "event_type",
+    k_sigma: int = 3,
+    min_windows: int = 4,
+) -> DataFrame:
+    """Per-group traffic-spike detection over tumbling windows — the
+    crawler-trap / hot-host / abuse monitor of an ingestion pipeline
+    (no reference analogue). A window is a spike when its event count
+    exceeds the group's mean by more than ``k_sigma`` population standard
+    deviations. The test runs in EXACT cross-multiplied integer space —
+    ``c > mu + k*sigma  <=>  (c*n - S) > 0  and  (c*n - S)^2 >
+    k^2 * (n*S2 - S^2)`` — so there are no float sums and no
+    accumulation-order sensitivity; squared terms are compared as
+    decimal(38,0) (HUGEINT in the twin) so counts up to ~1e18 per window
+    never overflow. Statistics are over OBSERVED windows only (an absent
+    window contributes nothing); groups with fewer than ``min_windows``
+    windows are never flagged.
+
+    Output: ``(<group>, window_start_us, c, n_windows, excess_n,
+    is_spike)`` where ``excess_n = c*n - S`` (the mean deviation scaled
+    by n; sign carries direction).
+
+    Scale shape: the (group, window) rollup is one map-side-combined
+    aggregation; the per-group moment pass reuses the group key (narrow
+    rows); the stats frame is groups-sized and broadcast back. No
+    window functions, no corpus-wide sort."""
+    if k_sigma <= 0 or min_windows < 1:
+        raise ValueError("k_sigma must be > 0 and min_windows >= 1")
+    win = F.window(F.col(ts_col), window)
+    wc = df.groupBy(
+        F.col(group_col),
+        F.unix_micros(win["start"]).alias("window_start_us"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    stats = wc.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_windows"),
+        F.sum("c").alias("_s1"),
+        F.sum(F.col("c") * F.col("c")).alias("_s2"),
+    )
+    j = wc.join(F.broadcast(stats), group_col)
+    excess = (F.col("c") * F.col("n_windows") - F.col("_s1")).alias("excess_n")
+    ex_d = F.col("excess_n").cast("decimal(19,0)")
+    var_n2 = (
+        F.col("n_windows").cast("decimal(19,0)") * F.col("_s2")
+        - F.col("_s1").cast("decimal(19,0)") * F.col("_s1")
+    )
+    return (
+        j.withColumn("excess_n", excess)
+        .withColumn(
+            "is_spike",
+            (F.col("n_windows") >= F.lit(min_windows))
+            & (F.col("excess_n") > 0)
+            & (ex_d * ex_d > F.lit(k_sigma * k_sigma) * var_n2),
+        )
+        .select(group_col, "window_start_us", "c", "n_windows",
+                "excess_n", "is_spike")
+    )
+
+
 def windowed_counts(
     df: DataFrame,
     window: str = "1 hour",

@@ -110,3 +110,67 @@ def test_streaming_session_window_matches_batch(spark, tmp_path):
         expected[(r["user_id"], r["start_us"])] = (
             r["n_events"], r["sum_value"], r["end_us"] + gap_us)
     assert streamed == expected and len(expected) > 50
+
+
+# ---------------------------------------------------------------------------
+# count_anomalies — exact integer-space spike detection (operators/events.py)
+# ---------------------------------------------------------------------------
+
+def _hour_events(spark, counts_by_hour, event_type="a", base_id=0):
+    rows = []
+    eid = base_id
+    for hour, n in counts_by_hour.items():
+        for i in range(n):
+            rows.append((eid, dt.datetime(2024, 1, 1, hour, i % 60),
+                         1, event_type, 1.0))
+            eid += 1
+    return spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double")
+
+
+def test_count_anomalies_flags_planted_spike(spark):
+    from llm_food_spark.operators.events import count_anomalies
+
+    # hours 0-4 at 5 events, hour 5 at 50: mu=12.5, sigma~16.8 -> k=2
+    # flags only the spike hour; the quiet hours have negative excess
+    df = _hour_events(spark, {0: 5, 1: 5, 2: 5, 3: 5, 4: 5, 5: 50})
+    out = {r["window_start_us"]: r for r in
+           count_anomalies(df, k_sigma=2, min_windows=4).collect()}
+    assert len(out) == 6
+    spikes = [r for r in out.values() if r["is_spike"]]
+    assert len(spikes) == 1 and spikes[0]["c"] == 50
+    # exact replica arithmetic: n=6, S=75 -> excess = 50*6-75 = 225
+    assert spikes[0]["excess_n"] == 225 and spikes[0]["n_windows"] == 6
+    assert all(r["excess_n"] == 5 * 6 - 75 for r in out.values()
+               if not r["is_spike"])
+
+
+def test_count_anomalies_min_windows_guard(spark):
+    from llm_food_spark.operators.events import count_anomalies
+
+    # the same spike shape but only 3 observed windows: never flagged
+    df = _hour_events(spark, {0: 5, 1: 5, 2: 50})
+    out = count_anomalies(df, k_sigma=2, min_windows=4).collect()
+    assert len(out) == 3 and not any(r["is_spike"] for r in out)
+
+
+def test_count_anomalies_boundary_is_strict(spark):
+    from llm_food_spark.operators.events import count_anomalies
+
+    # two-point group {1, 3}: mu=2, sigma=1; with k=1 the test is
+    # (c-mu)^2 > sigma^2, i.e. STRICTLY greater — c=3 has (c*n-S)^2 =
+    # (3*2-4)^2 = 4 vs k^2(n*S2-S^2) = 1*(2*10-16) = 4 -> NOT a spike
+    df = _hour_events(spark, {0: 1, 1: 3})
+    out = count_anomalies(df, k_sigma=1, min_windows=2).collect()
+    assert not any(r["is_spike"] for r in out)
+
+
+def test_count_anomalies_validates(spark):
+    from llm_food_spark.operators.events import count_anomalies
+
+    df = _hour_events(spark, {0: 1})
+    with pytest.raises(ValueError):
+        count_anomalies(df, k_sigma=0)
+    with pytest.raises(ValueError):
+        count_anomalies(df, min_windows=0)
