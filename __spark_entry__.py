@@ -500,6 +500,16 @@ def q_windowed_counts(spark, sf_dir):
     return windowed_counts(e)
 
 
+def q_corpus_rollup(spark, sf_dir):
+    """One-pass CUBE drill-down over (lang, source) (operators/textops.py::
+    corpus_rollup) — the Expand + single hash-agg relational shape. The
+    oracle re-derives all four granularities, the grouping_id bitmask,
+    and the exact char/token totals with DuckDB's native CUBE."""
+    from llm_food_spark.operators.textops import corpus_rollup
+
+    return corpus_rollup(_t(spark, sf_dir, "documents"))
+
+
 def q_count_anomalies(spark, sf_dir):
     """Per-event-type hourly spike detection (operators/events.py::
     count_anomalies): the z-score test evaluated in exact cross-multiplied
@@ -3185,9 +3195,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans": q_kmeans,                      # UNSEEDED integer-space Lloyd: the oracle re-runs the whole training loop unrolled
         # sketches (constant-state distinct/frequency at corpus scale)
         "hll_sketch": q_hll_sketch,                # HyperLogLog registers + estimate, full DuckDB re-derivation
-        "cms_heavy": q_cms_heavy,                  # Count-Min heavy hitters, full grid re-derivation
+        "ngram_novelty": q_ngram_novelty,          # exact per-doc distinct-3-gram novelty (Self-BLEU-style diversity audit)
+        "count_anomalies": q_count_anomalies,      # hourly spike z-test in cross-multiplied integer space
         # web / crawl
-        "url_filter": q_url_filter,
         "robots_screen": q_robots_screen,
         "warc_cdx": q_warc_cdx,                  # subsumes warc_roundtrip
         "anchor_text": q_anchor_text,
@@ -3209,8 +3219,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_resize": q_image_resize,
         # ---- slot 51+ : repo-gated only (tools/check_oracles.py) --------
         # hard SQL twins added after the round-4 slot allocation
-        "ngram_novelty": q_ngram_novelty,        # exact per-doc distinct-3-gram novelty (Self-BLEU-style diversity audit)
-        "count_anomalies": q_count_anomalies,    # hourly spike z-test in cross-multiplied integer space
+        "corpus_rollup": q_corpus_rollup,        # one-pass CUBE drill-down (Expand + single hash agg), native-CUBE twin
+        "cms_heavy": q_cms_heavy,                # demoted for count_anomalies: hll_sketch holds the sketch-family slot (same constant-state grid/register mechanism); the Count-Min row/argmin arithmetic stays repo-gated
+        "url_filter": q_url_filter,              # demoted for ngram_novelty: robots_screen holds the crawl URL-screen slot with strictly harder broadcast-rule semantics; the UT1 membership join stays repo-gated (and web_prep_full exercises broadcast screens)
         "chunk_recursive_tokens": q_chunk_recursive_tokens,  # demoted for kmeans: chunk_token holds the token-window chunker slot and recomputes the same token-boundary arithmetic; the recursive split tree stays repo-gated
         "fingerprint_seeded": q_fingerprint_seeded,  # demoted for hll_sketch: minhash_lsh_seeded + simhash_seeded hold the seeded text-hash-plan slots and exercise the same shingle->hash->band twin mechanism; the winnowing window-min arithmetic stays repo-gated
         "pq_ann_seeded": q_pq_ann_seeded,          # demoted for cms_heavy: ann_lsh_seeded + ann_ivf_seeded hold the ANN banding/probe slots; the PQ codebook-distance arithmetic stays repo-gated
@@ -5372,6 +5383,16 @@ def _handwritten_oracles() -> dict[str, str]:
                    round(SUM(value), 6) AS sum_value
             FROM events GROUP BY 1, 2
         """,
+        # native-CUBE twin: GROUPING bitmask order (first dim = MSB)
+        # matches Spark's grouping_id
+        "corpus_rollup": """
+            SELECT lang, source,
+                   GROUPING(lang, source) AS level,
+                   COUNT(*)::BIGINT AS n_docs,
+                   CAST(SUM(length(text)) AS BIGINT) AS chars,
+                   CAST(SUM(len({wstoks})) AS BIGINT) AS tokens
+            FROM documents GROUP BY CUBE (lang, source)
+        """.format(wstoks=_WSTOKS),
         # spike test re-run entirely in integer space (HUGEINT squares)
         "count_anomalies": """
             WITH wc AS (

@@ -12,6 +12,21 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+# frames pinned by count_anomalies, released on the next call or explicitly
+# (the cluster.py/similarity.py release-on-next-call lifecycle)
+_PERSISTED: list = []
+
+
+def release_persisted() -> int:
+    n = 0
+    while _PERSISTED:
+        try:
+            _PERSISTED.pop().unpersist()
+            n += 1
+        except Exception:
+            pass  # session already stopped
+    return n
+
 
 def sessionize(
     df: DataFrame,
@@ -100,16 +115,22 @@ def count_anomalies(
     by n; sign carries direction).
 
     Scale shape: the (group, window) rollup is one map-side-combined
-    aggregation; the per-group moment pass reuses the group key (narrow
-    rows); the stats frame is groups-sized and broadcast back. No
+    aggregation over the raw events; the rollup frame (groups x windows
+    rows — tiny next to the corpus) is PERSISTED because both the moment
+    pass and the verdict pass consume it — without the pin Spark re-scans
+    the raw event table per branch; released on the next call or via
+    ``release_persisted()``. The per-group moments are a second narrow
+    aggregation; the stats frame is groups-sized and broadcast back. No
     window functions, no corpus-wide sort."""
     if k_sigma <= 0 or min_windows < 1:
         raise ValueError("k_sigma must be > 0 and min_windows >= 1")
+    release_persisted()
     win = F.window(F.col(ts_col), window)
     wc = df.groupBy(
         F.col(group_col),
         F.unix_micros(win["start"]).alias("window_start_us"),
-    ).agg(F.count(F.lit(1)).alias("c"))
+    ).agg(F.count(F.lit(1)).alias("c")).persist()
+    _PERSISTED.append(wc)
     stats = wc.groupBy(group_col).agg(
         F.count(F.lit(1)).alias("n_windows"),
         F.sum("c").alias("_s1"),

@@ -196,11 +196,16 @@ def ngram_novelty(df, n: int = 3, id_col: str = "doc_id",
     Output: ``(doc_id, n_grams, novel_grams, novelty_permille)`` — all
     exact integers (permille = 1000 * novel DIV total).
 
-    Scale shape: one explode -> groupBy(gram) with map-side partial
-    combine -> one narrow re-join -> groupBy(doc). ``hashed=True`` is the
-    corpus-scale form: grams travel as xxhash64 longs instead of strings
-    (8-byte shuffle keys; collisions can only understate novelty and are
-    ~n^2/2^64). Default stays on strings so the DuckDB twin is exact.
+    Scale shape: explode -> two map-side-combined aggregations (one on
+    gram, one on doc) and a doc-sized <-> doc-sized join. The frequency
+    frame is NEVER joined back onto the gram stream: a df==1 gram's only
+    document IS ``min(doc_id)``, so per-doc novel counts come from the
+    (already aggregated) frequency frame alone — at corpus scale that
+    avoids re-shuffling every gram occurrence against a gram-sized
+    frequency table. ``hashed=True`` is the corpus-scale form: grams
+    travel as xxhash64 longs instead of strings (8-byte shuffle keys;
+    collisions can only understate novelty and are ~n^2/2^64). Default
+    stays on strings so the DuckDB twin is exact.
     """
     from llm_food_spark.operators.dedup import word_shingles
 
@@ -210,20 +215,24 @@ def ngram_novelty(df, n: int = 3, id_col: str = "doc_id",
     )
     if hashed:
         sh = sh.select("doc_id", F.xxhash64("gram").alias("gram"))
-    dfreq = sh.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
-    return (
-        sh.join(dfreq, "gram")
+    novel = (
+        sh.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("df"), F.min("doc_id").alias("doc_id"))
+        .where(F.col("df") == 1)
         .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_grams"),
-            F.sum(F.when(F.col("df") == 1, 1).otherwise(0))
-            .cast("long")
-            .alias("novel_grams"),
+        .agg(F.count(F.lit(1)).alias("novel_grams"))
+    )
+    totals = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    return (
+        totals.join(novel, "doc_id", "left")
+        .withColumn(
+            "novel_grams", F.coalesce(F.col("novel_grams"), F.lit(0).cast("long"))
         )
         .withColumn(
             "novelty_permille",
             F.expr("1000 * novel_grams DIV n_grams"),
         )
+        .select("doc_id", "n_grams", "novel_grams", "novelty_permille")
     )
 
 
@@ -348,6 +357,31 @@ def corpus_mixture(df, group_col: str = "lang", text_col: str = "text",
             (F.col("n_chars") / F.col("n_docs")).alias("mean_chars"),
             (F.col("n_tokens") / F.col("_tot")).alias("token_share"),
         )
+    )
+
+
+def corpus_rollup(df, dims=("lang", "source"), text_col: str = "text"):
+    """Multi-granularity corpus report in ONE corpus pass: per
+    (dim1, dim2), per dim1, per dim2, and the grand total, via CUBE —
+    the dashboard / mixture-audit query a curation pipeline runs after
+    every snapshot (corpus_mixture's single-axis share report stays the
+    sampling-rate tool; this is the drill-down). ``level`` is the
+    grouping_id bitmask (first dim = highest bit, a set bit = that dim
+    aggregated away), which disambiguates subtotal rows from genuine
+    NULL dimension values.
+
+    Scale shape: CUBE compiles to one Expand (x4 rows) feeding a single
+    map-side-combined hash aggregation — one scan instead of four, the
+    deliberate trade (the expansion happens before partial aggregation,
+    so the exchange still carries only group rows). All outputs are
+    exact integers.
+    """
+    cols = [F.col(d) for d in dims]
+    return ensure_min_partitions(df).cube(*cols).agg(
+        F.grouping_id().alias("level"),
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.length(F.col(text_col)).cast("long")).alias("chars"),
+        F.sum(token_count(F.col(text_col)).cast("long")).alias("tokens"),
     )
 
 

@@ -848,3 +848,22 @@ def test_ngram_novelty_hashed_path_matches_strings(spark):
     a = sorted(map(tuple, ngram_novelty(df, n=3).collect()))
     b = sorted(map(tuple, ngram_novelty(df, n=3, hashed=True).collect()))
     assert a == b
+
+
+def test_corpus_rollup_levels_and_totals(spark):
+    from llm_food_spark.operators.textops import corpus_rollup
+
+    rows = [(1, "a b", "en", "web"), (2, "c", "en", "book"),
+            (3, "d e f", "fr", "web")]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string")
+    out = {(r["lang"], r["source"], r["level"]): r
+           for r in corpus_rollup(df).collect()}
+    # 3 leaf combos + 2 lang subtotals + 2 source subtotals + grand total
+    assert len(out) == 8
+    assert out[("en", "web", 0)]["tokens"] == 2
+    # level bitmask: first dim (lang) = MSB
+    assert out[("en", None, 1)]["n_docs"] == 2          # source rolled up
+    assert out[(None, "web", 2)]["n_docs"] == 2         # lang rolled up
+    g = out[(None, None, 3)]
+    assert (g["n_docs"], g["tokens"], g["chars"]) == (3, 6, 9)
