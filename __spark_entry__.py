@@ -1627,6 +1627,63 @@ def q_cc_prep(spark, sf_dir):
     )
 
 
+def q_wet_export(spark, sf_dir):
+    """WET conversion-record export (operators/wet.py) under a chained
+    hard oracle THROUGH the real WARC parser and extraction pipeline:
+    documents become 16 gzip WARC archives (h1+p payloads, half
+    chunked-encoded; doc_id%13==0 rows are binary garbage that must be
+    absent from the WET output), re-parsed by functions/warc.py,
+    extracted, then serialized into WARC/1.0 conversion records entirely
+    in Catalyst. DuckDB reconstructs every field — markdown dialect,
+    UTF-8 octet length, sha256 digest, ISO date round-trip, the full
+    CRLF-framed record string — so a divergence anywhere in the gzip
+    walk, de-chunking, DOM parse, markdown serialization, or header
+    framing breaks the hash."""
+    import pandas as pd
+
+    from llm_food_spark.operators.wet import wet_records
+    from llm_food_spark.sources.warc import parse_warc_records, warc_pages
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "text", (F.col("doc_id") % 16).alias("bucket"))
+
+    def build_archive(pdf: pd.DataFrame) -> pd.DataFrame:
+        from datetime import datetime, timedelta
+
+        from llm_food_spark.functions.warc import (
+            build_http_response, build_record, build_warc, warcinfo_record)
+
+        epoch = datetime(2025, 1, 1)
+        pdf = pdf.sort_values("doc_id")
+        bucket = int(pdf["bucket"].iloc[0])
+        recs = [warcinfo_record("wet-%02d.warc.gz" % bucket)]
+        for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+            i = int(doc_id)
+            if i % 13 == 0:
+                payload = b"\x00\x01binarygarbage\xff"
+            else:
+                payload = (
+                    "<html><head><title>t</title></head><body>"
+                    "<h1>Doc %d</h1><p>%s</p></body></html>"
+                    % (i, text or "")
+                ).encode("utf-8")
+            recs.append(build_record(
+                "response",
+                build_http_response(payload, chunked=(i % 2 == 0)),
+                url="http://crawl.test/%d" % i,
+                date=(epoch + timedelta(seconds=i % 86400)).strftime(
+                    "%Y-%m-%dT%H:%M:%SZ")))
+        return pd.DataFrame(
+            [("mem://wet-%02d.warc.gz" % bucket,
+              build_warc(recs, gzip_members=True))],
+            columns=["path", "content"])
+
+    archives = d.groupBy("bucket").applyInPandas(
+        build_archive, "path string, content binary")
+    pages = warc_pages(parse_warc_records(archives))
+    return wet_records(pages, n_partitions=8)
+
+
 def q_snapshot_diff(spark, sf_dir):
     """Crawl-snapshot CDC (operators/snapshot.py): two snapshots seeded
     from documents (doc_id%11==3 absent from OLD → added; doc_id%13==5
@@ -1674,6 +1731,30 @@ def q_bm25_search(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     qs = spark.createDataFrame(_BM25_QUERIES, "query_id long, query string")
     return bm25_search(d, qs, k=10)
+
+
+_PHRASE_QUERIES = [
+    (1, "batch batch batch"),
+    (2, "the fast key"),
+    (3, "scan scan"),
+    (4, "no such phrase anywhere"),
+    (5, "spark"),
+    (6, "merge data, LINE!"),  # normalization: punctuation/case stripped
+]
+
+
+def q_phrase_search(spark, sf_dir):
+    """Exact phrase search via positional-postings intersection
+    (operators/search.py::phrase_search): corpus posexploded once, the
+    broadcast (query × offset) side votes candidate starts, two
+    map-side-combining groupBys. INDEPENDENT oracle: DuckDB slides a
+    token-window slice comparison over each document's token list —
+    a different algorithm entirely, so plan bugs can't cancel out."""
+    from llm_food_spark.operators.search import phrase_search
+
+    d = _t(spark, sf_dir, "documents")
+    qs = spark.createDataFrame(_PHRASE_QUERIES, "query_id long, phrase string")
+    return phrase_search(d, qs)
 
 
 def q_lm_perplexity(spark, sf_dir):
@@ -3183,7 +3264,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_boilerplate": q_host_boilerplate,  # host-scoped template-line screen (string-join twin)
         "dedup_paragraphs": q_dedup_paragraphs,
         "dedup_substrings": q_dedup_substrings,
-        "ngram_jaccard": q_ngram_jaccard,
         "dedup_clusters": q_dedup_clusters,
         "minhash_lsh_seeded": q_minhash_lsh_seeded,
         "neardup_incremental": q_neardup_incremental,  # new batch vs persistent signature index, asymmetric band join
@@ -3210,6 +3290,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_learn": q_bpe_learn,
         "bpe_encode": q_bpe_encode,
         "bm25_search": q_bm25_search,
+        "phrase_search": q_phrase_search,        # positional-postings intersection vs an INDEPENDENT DuckDB window-slice scan — different algorithms, same answer
+
         "asof_join": q_asof_join,                # vs DuckDB's NATIVE ASOF JOIN — an independent implementation, not a re-derivation
         "unimax_sample": q_unimax_sample,        # epoch-capped budget waterfill; recomputes split_assign's MINSTD membership arithmetic plus the whole allocation
         "mine_bitext": q_mine_bitext,            # margin-based bitext mining, full-matrix twin
@@ -3220,6 +3302,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- slot 51+ : repo-gated only (tools/check_oracles.py) --------
         # hard SQL twins added after the round-4 slot allocation
         "corpus_rollup": q_corpus_rollup,        # one-pass CUBE drill-down (Expand + single hash agg), native-CUBE twin
+        "wet_export": q_wet_export,              # WET conversion records chained THROUGH WARC parse + extraction (cc_prep holds the chained-WARC driver slot; the record framing stays repo-gated)
+        "ngram_jaccard": q_ngram_jaccard,        # demoted for phrase_search: driver-green in r3, and the shingle->set->exact-overlap twin mechanism is held by dedup_paragraphs/dedup_substrings slots; the capped in-block quadratic stays repo-gated
         "cms_heavy": q_cms_heavy,                # demoted for count_anomalies: hll_sketch holds the sketch-family slot (same constant-state grid/register mechanism); the Count-Min row/argmin arithmetic stays repo-gated
         "url_filter": q_url_filter,              # demoted for ngram_novelty: robots_screen holds the crawl URL-screen slot with strictly harder broadcast-rule semantics; the UT1 membership join stays repo-gated (and web_prep_full exercises broadcast screens)
         "chunk_recursive_tokens": q_chunk_recursive_tokens,  # demoted for kmeans: chunk_token holds the token-window chunker slot and recomputes the same token-boundary arithmetic; the recursive split tree stays repo-gated
@@ -3714,6 +3798,32 @@ _BM25_SQL = """
                ORDER BY score DESC, doc_id ASC)::INT AS rank
       FROM agg)
     WHERE rank <= 10
+"""
+
+
+# phrase-search twin: an INDEPENDENT implementation — instead of replaying
+# the positional-postings intersection, DuckDB slides a token-window slice
+# comparison (ts[s : s+m-1] = ps) over each document's token list; only the
+# tokenizer arithmetic is shared (the alpha_tokens contract).
+_PHRASE_SQL = """
+    WITH toks AS (
+      SELECT doc_id, string_split(trim(regexp_replace(lower(text),
+        '[^a-z]+', ' ', 'g')), ' ') AS ts
+      FROM documents
+    ), q(query_id, phrase) AS (VALUES {values}
+    ), qt AS (
+      SELECT query_id, string_split(trim(regexp_replace(lower(phrase),
+        '[^a-z]+', ' ', 'g')), ' ') AS ps
+      FROM q
+    ), starts AS (
+      SELECT query_id, doc_id, u.s
+      FROM qt, toks,
+           UNNEST(range(1, len(ts) - len(ps) + 2)) AS u(s)
+      WHERE ts[s : s + len(ps) - 1] = ps
+    )
+    SELECT query_id, doc_id, COUNT(*)::BIGINT AS n_hits,
+           MIN(s)::BIGINT AS first_pos
+    FROM starts GROUP BY 1, 2
 """
 
 
@@ -6595,6 +6705,36 @@ def _handwritten_oracles() -> dict[str, str]:
             FROM documents
         """,
         "outlinks": _OUTLINKS_SQL,
+        # wet_export chained twin: garbage-gate (%13==0 out) -> markdown ==
+        # '# Doc N\n\nbody' (h1+p dialect, verified extraction property) ->
+        # UTF-8 octet length (ascii => strlen) -> sha256 -> ISO date
+        # round-trip -> full CRLF-framed WARC/1.0 conversion record
+        "wet_export": """
+            WITH d AS (
+              SELECT doc_id, 'http://crawl.test/' || doc_id AS url,
+                     strftime(TIMESTAMP '2025-01-01'
+                              + to_seconds(doc_id % 86400),
+                              '%Y-%m-%dT%H:%M:%SZ') AS warc_date,
+                     '# Doc ' || doc_id || chr(10) || chr(10) || text AS md
+              FROM documents
+              WHERE doc_id % 13 <> 0
+            )
+            SELECT url, warc_date,
+                   CAST(strlen(md) AS BIGINT) AS text_len,
+                   sha256(md) AS text_digest,
+                   md AS text,
+                   'WARC/1.0' || chr(13) || chr(10)
+                   || 'WARC-Type: conversion' || chr(13) || chr(10)
+                   || 'WARC-Target-URI: ' || url || chr(13) || chr(10)
+                   || 'WARC-Date: ' || warc_date || chr(13) || chr(10)
+                   || 'WARC-Block-Digest: sha256:' || sha256(md)
+                   || chr(13) || chr(10)
+                   || 'Content-Type: text/plain' || chr(13) || chr(10)
+                   || 'Content-Length: ' || strlen(md) || chr(13) || chr(10)
+                   || chr(13) || chr(10) || md
+                   || chr(13) || chr(10) || chr(13) || chr(10) AS record
+            FROM d
+        """,
         # cc_prep chained twin: seed -> screen(%10==7 out) -> garbage-gate
         # (%13==0 out) -> boilerplate replace (%9==0) -> markdown == <p>
         # body (verified extraction property) -> sha256 of the html string
@@ -6656,6 +6796,8 @@ def _handwritten_oracles() -> dict[str, str]:
         "tokenizer_fertility": _BPE_FERTILITY_SQL,
         "bm25_search": _BM25_SQL.format(values=", ".join(
             "(%d, '%s')" % q for q in _BM25_QUERIES)),
+        "phrase_search": _PHRASE_SQL.format(values=", ".join(
+            "(%d, '%s')" % q for q in _PHRASE_QUERIES)),
         # bigram-LM perplexity: DuckDB retrains the identical model.
         # Float parity is engineered, not lucky: every constant is cast to
         # DOUBLE (DuckDB parses 0.7 as DECIMAL), the back-off weight is

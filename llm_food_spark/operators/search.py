@@ -64,6 +64,65 @@ def build_bm25_index(
     )
 
 
+def phrase_search(
+    docs: DataFrame,
+    phrases: DataFrame,
+    query_id_col: str = "query_id",
+    phrase_col: str = "phrase",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact token-sequence (phrase) search via positional-postings
+    intersection — (query_id, doc_id, n_hits, first_pos), overlapping
+    matches counted, positions 1-based in ``alpha_tokens`` space.
+
+    The classic positional-index algorithm (public knowledge; what
+    Lucene's PhraseQuery does): each phrase term at offset i joined
+    against corpus token positions proposes the candidate start
+    ``pos - i``; a start is a match iff all m offsets voted for it
+    (COUNT(*) == m per (query, doc, start) — each offset can match a
+    fixed start at most once, so the count equals the number of
+    satisfied offsets even when the phrase repeats a token).
+
+    Scale shape: one narrow posexplode of the corpus, the tiny
+    (query × term) side broadcast so the corpus is probed exactly once,
+    then two map-side-combining groupBys keyed by (query_id, doc_id) —
+    only positions of terms that actually occur in some phrase survive
+    the broadcast join, so the shuffled volume is proportional to
+    candidate positions, not the corpus. No window over a global sort,
+    no re-tokenization per query.
+
+    The DuckDB oracle is an INDEPENDENT implementation: it slides a
+    token-window slice comparison over each document's token list
+    (``ts[s : s+m-1] = ps``) rather than replaying the postings plan, so
+    an intersection bug here cannot cancel out in the twin."""
+    positions = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(alpha_tokens(F.col(text_col))).alias("pos", "w"),
+    ).where(F.col("w") != "")
+    qtoks = phrases.select(
+        F.col(query_id_col).alias("query_id"),
+        F.posexplode(alpha_tokens(F.col(phrase_col))).alias("i", "qw"),
+    ).where(F.col("qw") != "")
+    qlen = qtoks.groupBy("query_id").agg(F.count("*").alias("m"))
+    qq = qtoks.join(qlen, "query_id")
+    j = F.broadcast(qq).join(positions, F.col("qw") == F.col("w"))
+    starts = (
+        j.select(
+            "query_id", "doc_id", "m",
+            (F.col("pos") - F.col("i") + F.lit(1)).cast("long").alias("start"),
+        )
+        .where(F.col("start") >= 1)
+        .groupBy("query_id", "doc_id", "start", "m")
+        .agg(F.count("*").alias("k"))
+        .where(F.col("k") == F.col("m"))
+    )
+    return starts.groupBy("query_id", "doc_id").agg(
+        F.count("*").alias("n_hits"),
+        F.min("start").alias("first_pos"),
+    )
+
+
 def bm25_search(
     docs: DataFrame,
     queries: DataFrame,

@@ -1,0 +1,84 @@
+"""WET export — Common-Crawl-style text-conversion records from pages.
+
+Completes the crawl artifact triad the engine already serves two-thirds
+of: WARC (sources/warc.py, the raw captures), CDX (operators/cdx.py, the
+random-access index) and now WET — the per-response "conversion" record
+carrying the extracted plain text, which is what most corpus pipelines
+actually consume from Common Crawl. The reference service returns
+extracted markdown over HTTP per file (/root/reference/llm_food/
+app.py:215-249); at corpus scale the equivalent deliverable is this
+table/record stream.
+
+Record layout follows the public WARC 1.0 "conversion" record shape
+(ISO 28500; what Common Crawl's WET files contain): WARC-Type,
+WARC-Target-URI, WARC-Date, WARC-Block-Digest, Content-Type,
+Content-Length, blank line, payload. We emit the digest as sha256 hex
+(CC uses base32 sha1; sha256 keeps the whole pipeline on one digest and
+is stated in the header label) and the payload is the extraction
+pipeline's markdown — the engine's canonical text dialect.
+
+Scale shape: the only Python is extraction's existing single
+``mapInPandas`` pass; every WET field — digest, octet length, ISO date,
+the serialized record itself — is Catalyst ``concat``/``sha2``/
+``length`` column arithmetic above it (whole-stage codegen, no second
+Arrow exchange). Failed/oversize extractions are dropped here exactly
+like cc_prep's completed-gate; audit them from ``extract_pages``.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame, functions as F
+
+from llm_food_spark.operators.extract import extract_pages
+
+_CRLF = "\r\n"
+
+
+def wet_records(
+    pages: DataFrame,
+    n_partitions: Optional[int] = None,
+    max_bytes: Optional[int] = None,
+) -> DataFrame:
+    """pages (url, warc_ts, html, text, lang) →
+    (url, warc_date, text_len, text_digest, text, record).
+
+    - ``text`` — extracted markdown (status='completed', non-empty only).
+    - ``text_len`` — octet length of the UTF-8 payload (the WET
+      Content-Length), not the character count.
+    - ``text_digest`` — sha256 hex of the payload bytes.
+    - ``record`` — the full serialized WARC/1.0 conversion record
+      (headers + CRLF framing + payload + trailing CRLFCRLF), so
+      ``records.select("record")`` written with a text/binary sink IS a
+      WET shard.
+    """
+    results = extract_pages(pages, n_partitions=n_partitions,
+                            max_bytes=max_bytes)
+    good = results.where(
+        (F.col("status") == "completed") & (F.col("markdown") != "")
+    )
+    text_bin = F.encode(F.col("markdown"), "UTF-8")
+    warc_date = F.date_format(F.col("warc_ts"), "yyyy-MM-dd'T'HH:mm:ss'Z'")
+    out = good.select(
+        F.col("url"),
+        warc_date.alias("warc_date"),
+        F.length(text_bin).cast("long").alias("text_len"),
+        F.sha2(text_bin, 256).alias("text_digest"),
+        F.col("markdown").alias("text"),
+    )
+    record = F.concat(
+        F.lit("WARC/1.0" + _CRLF),
+        F.lit("WARC-Type: conversion" + _CRLF),
+        F.concat(F.lit("WARC-Target-URI: "), F.col("url"), F.lit(_CRLF)),
+        F.concat(F.lit("WARC-Date: "), F.col("warc_date"), F.lit(_CRLF)),
+        F.concat(F.lit("WARC-Block-Digest: sha256:"),
+                 F.col("text_digest"), F.lit(_CRLF)),
+        F.lit("Content-Type: text/plain" + _CRLF),
+        F.concat(F.lit("Content-Length: "),
+                 F.col("text_len").cast("string"), F.lit(_CRLF)),
+        F.lit(_CRLF),
+        F.col("text"),
+        F.lit(_CRLF + _CRLF),
+    )
+    return out.withColumn("record", record)

@@ -75,3 +75,70 @@ def test_window_group_limit_plan(spark, corpus):
     plan = bm25_search(corpus, qs, k=3)._jdf.queryExecution(
     ).executedPlan().toString()
     assert "WindowGroupLimit" in plan  # top-k capped before the exchange
+
+
+# ---------------------------------------------------------------- phrase
+
+
+def _phrase(spark, docs_rows, phrase_rows):
+    from llm_food_spark.operators.search import phrase_search
+    d = spark.createDataFrame(docs_rows, "doc_id long, text string")
+    q = spark.createDataFrame(phrase_rows, "query_id long, phrase string")
+    return {(r.query_id, r.doc_id): (r.n_hits, r.first_pos)
+            for r in phrase_search(d, q).collect()}
+
+
+def test_phrase_basic_and_positions(spark):
+    got = _phrase(
+        spark,
+        [(1, "the cat sat on the cat mat"), (2, "cat the")],
+        [(0, "the cat"), (1, "cat mat"), (2, "on")],
+    )
+    # doc 1 tokens: the cat sat on the cat mat (1-based)
+    assert got[(0, 1)] == (2, 1)      # starts 1 and 5
+    assert got[(1, 1)] == (1, 6)
+    assert got[(2, 1)] == (1, 4)
+    assert (0, 2) not in got          # "cat the" != "the cat"
+
+
+def test_phrase_overlapping_and_repeated_token(spark):
+    got = _phrase(
+        spark,
+        [(1, "b a b a b a"), (2, "b b b b")],
+        [(0, "b a b"), (1, "b b")],
+    )
+    # overlapping starts 1 and 3 both count
+    assert got[(0, 1)] == (2, 1)
+    # repeated-token phrase: starts 1,2,3 in doc 2
+    assert got[(1, 2)] == (3, 1)
+    # phrase longer than any repeat run in doc 1: "b b" never occurs
+    assert (1, 1) not in got
+
+
+def test_phrase_single_token_and_miss(spark):
+    got = _phrase(
+        spark,
+        [(1, "x y z"), (2, "q q")],
+        [(0, "y"), (1, "zebra stripes")],
+    )
+    assert got[(0, 1)] == (1, 2)
+    assert all(q != 1 for q, _ in got)   # zero-hit phrase yields no rows
+
+
+def test_phrase_punctuation_and_case_normalized(spark):
+    got = _phrase(
+        spark,
+        [(1, "Hello, World! hello world.")],
+        [(0, "hello world")],
+    )
+    # alpha_tokens lowercases and strips punctuation -> both occurrences
+    assert got[(0, 1)] == (2, 1)
+
+
+def test_phrase_broadcast_probe_plan(spark):
+    from llm_food_spark.operators.search import phrase_search
+    d = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    q = spark.createDataFrame([(0, "a b")], "query_id long, phrase string")
+    plan = phrase_search(d, q)._jdf.queryExecution().executedPlan().toString()
+    # the corpus-probing join must be broadcast, never a sort-merge shuffle
+    assert "BroadcastHashJoin" in plan

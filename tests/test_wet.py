@@ -1,0 +1,73 @@
+"""WET export: record framing, octet lengths, error-row exclusion."""
+
+import hashlib
+from datetime import datetime
+
+import pytest
+
+from llm_food_spark.operators.wet import wet_records
+
+
+def _pages(spark, rows):
+    return spark.createDataFrame(
+        [(u, datetime(2025, 1, 1, 12, 0, 0), h, None, None)
+         for u, h in rows],
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+
+
+@pytest.fixture(scope="module")
+def out(spark):
+    rows = [
+        ("http://a/1", b"<html><body><p>hello world</p></body></html>"),
+        ("http://a/2", b"<html><body><h1>T</h1><p>caf\xc3\xa9 text</p></body></html>"),
+        ("http://a/3", b"\x00\x01not parseable\xff"),  # error row: dropped
+    ]
+    return {r.url: r for r in wet_records(_pages(spark, rows)).collect()}
+
+
+def test_error_rows_dropped(out):
+    assert set(out) == {"http://a/1", "http://a/2"}
+
+
+def test_fields_and_digest(out):
+    r = out["http://a/1"]
+    assert r.text == "hello world"
+    assert r.warc_date == "2025-01-01T12:00:00Z"
+    assert r.text_len == len(b"hello world")
+    assert r.text_digest == hashlib.sha256(b"hello world").hexdigest()
+
+
+def test_octet_length_not_char_count(out):
+    r = out["http://a/2"]
+    assert r.text == "# T\n\ncafé text"
+    # é is 2 UTF-8 octets: Content-Length counts bytes, not chars
+    assert r.text_len == len(r.text.encode("utf-8")) == len(r.text) + 1
+    assert r.text_digest == hashlib.sha256(r.text.encode("utf-8")).hexdigest()
+
+
+def test_record_framing_roundtrip(out):
+    r = out["http://a/1"]
+    head, _, payload = r.record.partition("\r\n\r\n")
+    lines = head.split("\r\n")
+    assert lines[0] == "WARC/1.0"
+    hdrs = dict(l.split(": ", 1) for l in lines[1:])
+    assert hdrs["WARC-Type"] == "conversion"
+    assert hdrs["WARC-Target-URI"] == "http://a/1"
+    assert hdrs["WARC-Date"] == r.warc_date
+    assert hdrs["WARC-Block-Digest"] == "sha256:" + r.text_digest
+    assert hdrs["Content-Type"] == "text/plain"
+    # payload is exactly Content-Length octets, then the record separator
+    assert payload.endswith("\r\n\r\n")
+    body = payload[:-4]
+    assert len(body.encode("utf-8")) == int(hdrs["Content-Length"])
+    assert body == r.text
+
+
+def test_all_catalyst_above_extraction(spark):
+    # exactly one Arrow exchange: the extraction mapInPandas. The WET
+    # fields must not add a second Python pass.
+    df = wet_records(_pages(spark, [("http://a/1", b"<p>x</p>")]))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("MapInPandas") == 1
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
