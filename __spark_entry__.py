@@ -510,6 +510,50 @@ def q_corpus_rollup(spark, sf_dir):
     return corpus_rollup(_t(spark, sf_dir, "documents"))
 
 
+def q_md_outline(spark, sf_dir):
+    """Markdown structure profile (operators/textops.py::markdown_outline):
+    per-block (kind, level, n_words) rows over deterministically
+    synthesized multi-block markdown (h1 + paragraph, even ids add an h2
+    section, %3 adds a list block, %5 adds a fenced code block). The
+    oracle rebuilds the identical markdown with concat_ws and re-derives
+    every block's classification, heading level and \\S+ word count
+    through its own split + range-unnest."""
+    from llm_food_spark.operators.textops import markdown_outline
+
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    md = F.concat_ws(
+        "\n\n",
+        F.concat(F.lit("# Doc "), i),
+        F.col("text"),
+        F.when(i % 2 == 0, F.concat(F.lit("## Part "), i)),
+        F.when(i % 2 == 0, F.lit("sub section body text")),
+        F.when(i % 3 == 0,
+               F.concat(F.lit("- item one\n- item two\n- item "), i)),
+        F.when(i % 5 == 0, F.lit("```\nselect batch from corpus\n```")),
+    )
+    return markdown_outline(d.select("doc_id", md.alias("markdown")))
+
+
+def q_split_leakage(spark, sf_dir):
+    """Split-leakage audit (operators/split.py::leakage_audit): a
+    doc-keyed MINSTD split audited against a coarser host grouping
+    (doc_id%37) — every multi-split host surfaces with its split set and
+    row count. The oracle recomputes the bucket arithmetic, the split
+    cuts, and the distinct-split rollup."""
+    from llm_food_spark.operators.split import (
+        assign_split, bucket_minstd, leakage_audit)
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(F.lit("site"), (F.col("doc_id") % 37)).alias("host"),
+    )
+    s = assign_split(d, "doc_id",
+                     {"train": 0.9, "val": 0.05, "test": 0.05},
+                     bucket_fn=bucket_minstd)
+    return leakage_audit(s, "host")
+
+
 def q_count_anomalies(spark, sf_dir):
     """Per-event-type hourly spike detection (operators/events.py::
     count_anomalies): the z-score test evaluated in exact cross-multiplied
@@ -1769,6 +1813,35 @@ def q_lm_perplexity(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     lm = train_bigram_lm(d)
     return perplexity(d, lm, broadcast_model=True)
+
+
+def q_ppl_filter(spark, sf_dir):
+    """CCNet-style paragraph-granular perplexity cleaning
+    (operators/lm_score.py::ppl_filter_paragraphs): documents are given a
+    paragraph structure (20-token windows joined by blank lines — a
+    shared construction formula), the bigram LM is trained on the corpus,
+    every paragraph is scored with per-paragraph restart semantics, and
+    paragraphs above ppl 30.0 are dropped before reassembly. Hard oracle:
+    DuckDB RETRAINS the model and recomputes every paragraph's ppl, the
+    keep decision and the ordered reassembly."""
+    from llm_food_spark.operators.lm_score import (
+        ppl_filter_paragraphs, train_bigram_lm)
+
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n_win = F.ceil(F.size(toks) / F.lit(20)).cast("int")
+    ptext = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), n_win - F.lit(1)),
+            lambda k: F.array_join(F.slice(toks, k * 20 + 1, 20), " "),
+        ),
+        "\n\n",
+    )
+    paged = d.select("doc_id", ptext.alias("text"))
+    # training tokens are identical on d and paged: the separator is
+    # non-alpha, so alpha_tokens flattens both to the same stream
+    lm = train_bigram_lm(d)
+    return ppl_filter_paragraphs(paged, lm, max_ppl=30.0)
 
 
 def q_warc_cdx(spark, sf_dir):
@@ -3303,6 +3376,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # hard SQL twins added after the round-4 slot allocation
         "corpus_rollup": q_corpus_rollup,        # one-pass CUBE drill-down (Expand + single hash agg), native-CUBE twin
         "wet_export": q_wet_export,              # WET conversion records chained THROUGH WARC parse + extraction (cc_prep holds the chained-WARC driver slot; the record framing stays repo-gated)
+        "ppl_filter": q_ppl_filter,              # CCNet paragraph-granular cleaning; DuckDB retrains the LM and recomputes every paragraph verdict + reassembly (ppl_buckets holds the LM driver slot)
+        "md_outline": q_md_outline,              # markdown structure profile (per-block kind/level/words), split+range-unnest twin
+        "split_leakage": q_split_leakage,        # leakage audit of a doc-keyed split vs a host grouping; full bucket-arithmetic twin
         "ngram_jaccard": q_ngram_jaccard,        # demoted for phrase_search: driver-green in r3, and the shingle->set->exact-overlap twin mechanism is held by dedup_paragraphs/dedup_substrings slots; the capped in-block quadratic stays repo-gated
         "cms_heavy": q_cms_heavy,                # demoted for count_anomalies: hll_sketch holds the sketch-family slot (same constant-state grid/register mechanism); the Count-Min row/argmin arithmetic stays repo-gated
         "url_filter": q_url_filter,              # demoted for ngram_novelty: robots_screen holds the crawl URL-screen slot with strictly harder broadcast-rule semantics; the UT1 membership join stays repo-gated (and web_prep_full exercises broadcast screens)
@@ -6735,6 +6811,71 @@ def _handwritten_oracles() -> dict[str, str]:
                    || chr(13) || chr(10) || chr(13) || chr(10) AS record
             FROM d
         """,
+        # md_outline twin: rebuild the identical concat_ws markdown, then
+        # re-derive the block table with string_split + range-unnest and
+        # classify each block independently (ATX run length, fence/list
+        # prefixes, \S+ word count)
+        "md_outline": r"""
+            WITH m AS (
+              SELECT doc_id, concat_ws(chr(10) || chr(10),
+                '# Doc ' || doc_id,
+                text,
+                CASE WHEN doc_id % 2 = 0 THEN '## Part ' || doc_id END,
+                CASE WHEN doc_id % 2 = 0 THEN 'sub section body text' END,
+                CASE WHEN doc_id % 3 = 0 THEN
+                  '- item one' || chr(10) || '- item two' || chr(10)
+                  || '- item ' || doc_id END,
+                CASE WHEN doc_id % 5 = 0 THEN
+                  '```' || chr(10) || 'select batch from corpus'
+                  || chr(10) || '```' END
+              ) AS md
+              FROM documents
+            ), s AS (
+              SELECT doc_id,
+                     string_split(md, chr(10) || chr(10)) AS bs
+              FROM m
+            ), blocks AS (
+              SELECT doc_id, u.i, bs[u.i] AS b
+              FROM s, UNNEST(range(1, len(bs) + 1)) AS u(i)
+              WHERE bs[u.i] <> ''
+            )
+            SELECT doc_id,
+                   CAST(i AS INT) AS block_idx,
+                   CASE WHEN regexp_matches(b, '^#{1,6} ') THEN 'heading'
+                        WHEN starts_with(b, '```') THEN 'code'
+                        WHEN starts_with(b, '- ') THEN 'list'
+                        ELSE 'para' END AS kind,
+                   CAST(length(regexp_extract(b, '^(#{1,6}) ', 1)) AS INT)
+                     AS level,
+                   CAST(len(regexp_extract_all(b, '\S+')) AS BIGINT)
+                     AS n_words
+            FROM blocks
+        """,
+        # split_leakage twin: MINSTD double-mod bucket -> split cuts ->
+        # per-(host, split) distinct rollup -> multi-split hosts only
+        "split_leakage": """
+            WITH d AS (
+              SELECT doc_id, 'site' || (doc_id % 37) AS host,
+                     ((doc_id % 2147483647 + 2147483647) % 2147483647
+                      * 48271) % 2147483647 % 1000000 AS bk
+              FROM documents
+            ), s AS (
+              SELECT host,
+                     CASE WHEN bk < 900000 THEN 'train'
+                          WHEN bk < 950000 THEN 'val'
+                          ELSE 'test' END AS split
+              FROM d
+            ), per AS (
+              SELECT host, split, COUNT(*)::BIGINT AS c
+              FROM s GROUP BY 1, 2
+            )
+            SELECT host,
+                   COUNT(*)::BIGINT AS n_splits,
+                   array_to_string(list_sort(list(split)), ',') AS splits,
+                   SUM(c)::BIGINT AS n_docs
+            FROM per GROUP BY host
+            HAVING COUNT(*) > 1
+        """,
         # cc_prep chained twin: seed -> screen(%10==7 out) -> garbage-gate
         # (%13==0 out) -> boilerplate replace (%9==0) -> markdown == <p>
         # body (verified extraction property) -> sha256 of the html string
@@ -6842,6 +6983,71 @@ def _handwritten_oracles() -> dict[str, str]:
                    round(SUM(ln(p)), 4) AS logprob,
                    round(exp(-SUM(ln(p)) / COUNT(*)), 4) AS ppl
             FROM scored GROUP BY doc_id
+        """,
+        # ppl_filter chained twin: the lm_perplexity retrain CTEs verbatim,
+        # a second token stream with per-window restart (w1='' at window
+        # starts), per-paragraph ppl to 4dp, the <=30.0 keep verdict, and
+        # string_agg reassembly in paragraph order
+        "ppl_filter": """
+            WITH toks AS (
+              SELECT doc_id,
+                     string_split(trim(regexp_replace(lower(text),
+                       '[^a-z]+', ' ', 'g')), ' ') AS l
+              FROM documents
+            ), tok AS (
+              SELECT doc_id, i - 1 AS pos, l[i] AS w2,
+                     CASE WHEN i = 1 THEN '' ELSE l[i-1] END AS w1
+              FROM toks, LATERAL (SELECT unnest(range(1, len(l) + 1)) AS i) u
+              WHERE l[1] <> ''
+            ), uni AS (
+              SELECT w2 AS w, COUNT(*)::BIGINT AS c FROM tok GROUP BY 1
+            ), tot AS (
+              SELECT SUM(c)::BIGINT AS n, COUNT(*)::BIGINT AS v FROM uni
+            ), ug AS (
+              SELECT w, (c + 1) / ((n + v + 1)::DOUBLE) AS p1
+              FROM uni CROSS JOIN tot
+            ), bg AS (
+              SELECT w1, w2, COUNT(*)::BIGINT AS c12
+              FROM tok WHERE pos > 0 GROUP BY 1, 2
+            ), bgp AS (
+              SELECT b.w1, b.w2, b.c12 / u.c::DOUBLE AS p2
+              FROM bg b JOIN uni u ON u.w = b.w1
+            ), ptok AS (
+              SELECT doc_id, ((i - 1) // 20)::BIGINT AS pidx,
+                     (i - 1) % 20 AS pos, l[i] AS w2,
+                     CASE WHEN (i - 1) % 20 = 0 THEN '' ELSE l[i-1] END AS w1
+              FROM toks, LATERAL (SELECT unnest(range(1, len(l) + 1)) AS i) u
+              WHERE l[1] <> ''
+            ), pscored AS (
+              SELECT t.doc_id, t.pidx,
+                     CASE WHEN t.pos = 0 THEN ug.p1
+                          ELSE 0.7::DOUBLE * coalesce(bgp.p2, 0.0::DOUBLE)
+                               + (1.0::DOUBLE - 0.7::DOUBLE) * ug.p1
+                     END AS p
+              FROM ptok t
+              JOIN ug ON ug.w = t.w2
+              LEFT JOIN bgp ON bgp.w1 = t.w1 AND bgp.w2 = t.w2
+            ), pp AS (
+              SELECT doc_id, pidx,
+                     round(exp(-SUM(ln(p)) / COUNT(*)), 4) AS ppl
+              FROM pscored GROUP BY 1, 2
+            ), paras AS (
+              SELECT doc_id, k.pidx,
+                     array_to_string(l[(k.pidx * 20 + 1):(k.pidx * 20 + 20)],
+                                     ' ') AS ptext
+              FROM toks,
+                   LATERAL (SELECT unnest(range(0, (len(l) + 19) // 20))
+                            AS pidx) k
+            )
+            SELECT p.doc_id,
+                   coalesce(string_agg(
+                     CASE WHEN pp.ppl <= 30.0::DOUBLE THEN p.ptext END,
+                     chr(10) || chr(10) ORDER BY p.pidx), '') AS clean,
+                   COUNT(*)::BIGINT AS n_paras,
+                   SUM(CASE WHEN pp.ppl <= 30.0::DOUBLE THEN 1 ELSE 0
+                       END)::BIGINT AS n_kept
+            FROM paras p JOIN pp USING (doc_id, pidx)
+            GROUP BY p.doc_id
         """,
         # RFC 9309 robots screen: DuckDB rebuilds the same per-host robots
         # texts, re-derives the User-agent group windows (lag + running

@@ -299,3 +299,68 @@ def kn_perplexity(
         F.round(lp, ndigits).alias("logprob"),
         F.round(F.exp(-lp / nt), ndigits).alias("ppl"),
     )
+
+
+def ppl_filter_paragraphs(
+    docs: DataFrame,
+    lm: BigramLM,
+    max_ppl: float,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n\n",
+    broadcast_model: bool = True,
+    ndigits: int = 4,
+) -> DataFrame:
+    """CCNet-style paragraph-granular cleaning: score every paragraph with
+    the LM, drop paragraphs above ``max_ppl``, reassemble the survivors in
+    document order — (doc_id, clean, n_paras, n_kept).
+
+    CCNet (Wenzek et al. 2020) filters at paragraph granularity because a
+    good page routinely carries a few boilerplate/garbage paragraphs that
+    doc-level perplexity averages away; this is the operator that removes
+    them without dropping the page. Scoring restarts per paragraph (the
+    first token of each paragraph is unigram-only), matching per-paragraph
+    LM semantics rather than re-chaining across the separator.
+
+    Paragraphs the LM cannot score (zero alpha tokens) are dropped — no
+    probability mass means no quality certificate. Documents whose every
+    paragraph is dropped survive with ``clean = ''`` and ``n_kept = 0``
+    (the caller decides page-level fate); documents with empty ``text``
+    produce no row. The keep test compares the ROUNDED (``ndigits``) ppl,
+    so the decision is reproducible cross-engine at the oracle's own
+    precision.
+
+    Scale shape: one narrow posexplode for the paragraph split, the
+    existing ``perplexity`` scoring (broadcast model joins, one groupBy on
+    the paragraph key), then one groupBy back to doc_id whose
+    collect_list is bounded by the document's own paragraph count — no
+    corpus-wide window, nothing quadratic.
+    """
+    paras = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("pidx", "ptext"),
+    ).where(F.col("ptext") != "")
+    keyed = paras.withColumn(
+        "pkey",
+        F.concat(F.col("doc_id").cast("string"), F.lit("#"), F.col("pidx")),
+    )
+    scored = perplexity(
+        keyed, lm, id_col="pkey", text_col="ptext",
+        broadcast_model=broadcast_model, ndigits=ndigits,
+    ).select(F.col("doc_id").alias("pkey"), "ppl")
+    marked = keyed.join(scored, "pkey", "left").withColumn(
+        "keep",
+        F.col("ppl").isNotNull() & (F.col("ppl") <= F.lit(float(max_ppl))),
+    )
+    return marked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_paras"),
+        F.sum(F.col("keep").cast("long")).cast("long").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(
+                    F.when(F.col("keep"), F.struct("pidx", "ptext")))),
+                lambda s: s["ptext"],
+            ),
+            sep,
+        ).alias("clean"),
+    ).select("doc_id", "clean", "n_paras", "n_kept")

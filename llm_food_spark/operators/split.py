@@ -526,3 +526,35 @@ def stratified_sample(
         .cast("long"),
     )
     return marked.where(F.col("rnk") <= F.col("n_target"))
+
+
+def leakage_audit(
+    df: DataFrame,
+    group_col: str,
+    split_col: str = "split",
+) -> DataFrame:
+    """Groups whose members landed in more than one split —
+    (group, n_splits, splits, n_docs), empty when the split is clean.
+
+    Train/test leakage through near-identical documents from one site is
+    the canonical web-corpus eval bug (the reason cc_prep keys its split
+    on the url/id, and the reason eval decontamination exists); this is
+    the audit that PROVES a given split key is leakage-safe with respect
+    to a coarser entity (host, registrable domain, cluster id). A
+    doc-keyed split audited by host returns the leaking hosts; a
+    host-keyed split returns zero rows.
+
+    Scale shape: one map-side-combining two-key groupBy then a group-key
+    groupBy — both narrow (group, split) rows; ``sort_array(collect_set)``
+    runs on the already-reduced per-group distinct splits (bounded by the
+    number of splits, ~3), so no big-array skew is possible.
+    """
+    per = df.groupBy(
+        F.col(group_col).alias("grp"), F.col(split_col).alias("s")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    out = per.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("long").alias("n_splits"),
+        F.array_join(F.sort_array(F.collect_set("s")), ",").alias("splits"),
+        F.sum("c").cast("long").alias("n_docs"),
+    )
+    return out.where(F.col("n_splits") > 1).withColumnRenamed("grp", group_col)

@@ -629,3 +629,40 @@ def zipf_fit(df, id_col: str = "doc_id", text_col: str = "text",
         F.round(F.col("y") - (intercept + slope * F.col("x")), dp)
          .alias("resid"),
     )
+
+
+def markdown_outline(df, md_col: str = "markdown", id_col: str = "doc_id"):
+    """Markdown structure profile: one row per block —
+    (doc_id, block_idx, kind, level, n_words).
+
+    The engine's output dialect (goldens in fixtures/golden/) is
+    blank-line-separated blocks: ATX headings (``# `` … ``###### ``),
+    fenced code, ``- `` lists, paragraphs. Curation pipelines filter on
+    structure (pages that are all lists or all code, heading-to-text
+    ratios, boilerplate nav blocks), so the profile is a first-class
+    corpus query, not a debugging aid. block_idx is 1-based.
+
+    Scale shape: ``split`` + ``posexplode`` + per-block flat regexp
+    primitives — all whole-stage codegen, zero shuffles, no Python; the
+    output is narrow (four small columns) regardless of document size.
+    No HOFs in the scan (CLAUDE.md: interpreted-per-element).
+    """
+    blocks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.col(md_col), "\n\n")).alias("i", "b"),
+    ).where(F.col("b") != "")
+    level = F.length(F.regexp_extract(F.col("b"), r"^(#{1,6}) ", 1))
+    kind = (
+        F.when(level > 0, F.lit("heading"))
+        .when(F.col("b").startswith("```"), F.lit("code"))
+        .when(F.col("b").startswith("- "), F.lit("list"))
+        .otherwise(F.lit("para"))
+    )
+    return blocks.select(
+        "doc_id",
+        (F.col("i") + 1).cast("int").alias("block_idx"),
+        kind.alias("kind"),
+        level.cast("int").alias("level"),
+        F.regexp_count(F.col("b"), F.lit(r"\S+")).cast("long")
+         .alias("n_words"),
+    )

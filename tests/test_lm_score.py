@@ -153,3 +153,68 @@ def test_kn_partition_invariance_and_better_on_indomain(spark):
     ppl = {r[0]: r[3] for r in a}
     # in-domain repeated text scores far lower perplexity than gibberish
     assert ppl[0] < ppl[100]
+
+
+# ------------------------------------------------- paragraph ppl filter
+
+
+def test_ppl_filter_keep_all_preserves_document(spark):
+    from llm_food_spark.operators.lm_score import (
+        ppl_filter_paragraphs, train_bigram_lm)
+    d = spark.createDataFrame(
+        [(1, "the cat sat\n\nthe dog ran\n\nthe cat ran")],
+        "doc_id long, text string")
+    lm = train_bigram_lm(d)
+    r = ppl_filter_paragraphs(d, lm, max_ppl=1e9).collect()[0]
+    assert r.clean == "the cat sat\n\nthe dog ran\n\nthe cat ran"
+    assert (r.n_paras, r.n_kept) == (3, 3)
+
+
+def test_ppl_filter_drop_all_keeps_row_with_empty_clean(spark):
+    from llm_food_spark.operators.lm_score import (
+        ppl_filter_paragraphs, train_bigram_lm)
+    d = spark.createDataFrame(
+        [(1, "the cat sat\n\nthe dog ran")], "doc_id long, text string")
+    lm = train_bigram_lm(d)
+    r = ppl_filter_paragraphs(d, lm, max_ppl=0.0).collect()[0]
+    assert r.clean == "" and r.n_paras == 2 and r.n_kept == 0
+
+
+def test_ppl_filter_drops_only_high_ppl_paragraph(spark):
+    from llm_food_spark.operators.lm_score import (
+        perplexity, ppl_filter_paragraphs, train_bigram_lm)
+    from pyspark.sql import functions as F
+    # train on a corpus where "the cat sat" bigrams dominate; the odd
+    # paragraph is all rare continuations -> strictly higher ppl
+    train = spark.createDataFrame(
+        [(i, "the cat sat on the mat") for i in range(10)]
+        + [(100, "zebra quartz fjord vex")],
+        "doc_id long, text string")
+    lm = train_bigram_lm(train)
+    doc = spark.createDataFrame(
+        [(1, "the cat sat\n\nzebra quartz fjord\n\nthe cat sat on")],
+        "doc_id long, text string")
+    # measure the actual paragraph ppls through the public scorer
+    paras = spark.createDataFrame(
+        [(0, "the cat sat"), (1, "zebra quartz fjord"),
+         (2, "the cat sat on")], "pid long, text string")
+    ppls = {r.doc_id: r.ppl
+            for r in perplexity(paras, lm, id_col="pid").collect()}
+    assert ppls[1] > max(ppls[0], ppls[2])
+    cut = (max(ppls[0], ppls[2]) + ppls[1]) / 2
+    r = ppl_filter_paragraphs(doc, lm, max_ppl=cut).collect()[0]
+    assert r.clean == "the cat sat\n\nthe cat sat on"
+    assert (r.n_paras, r.n_kept) == (3, 2)
+
+
+def test_ppl_filter_unscoreable_paragraph_dropped(spark):
+    from llm_food_spark.operators.lm_score import (
+        ppl_filter_paragraphs, train_bigram_lm)
+    d = spark.createDataFrame(
+        [(1, "the cat sat\n\n123 456 %%%\n\nthe dog ran")],
+        "doc_id long, text string")
+    lm = train_bigram_lm(d)
+    r = ppl_filter_paragraphs(d, lm, max_ppl=1e9).collect()[0]
+    # the all-non-alpha paragraph has no tokens: dropped even at +inf cut
+    assert r.clean == "the cat sat\n\nthe dog ran"
+    assert (r.n_paras, r.n_kept) == (3, 2)

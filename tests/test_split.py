@@ -381,3 +381,44 @@ def test_stratified_sample_exact_counts_and_determinism(spark):
         stratified_sample(d, group_col="grp", frac=0.0)
     with pytest.raises(ValueError):
         stratified_sample(d, group_col="grp", frac=1.0001)
+
+
+# --------------------------------------------------------- leakage audit
+
+
+def test_leakage_audit_reports_multi_split_groups(spark):
+    from llm_food_spark.operators.split import leakage_audit
+    df = spark.createDataFrame(
+        [
+            ("h1", "train"), ("h1", "train"), ("h1", "test"),
+            ("h2", "train"), ("h2", "train"),
+            ("h3", "train"), ("h3", "val"), ("h3", "test"),
+        ],
+        "host string, split string",
+    )
+    got = {r.host: r for r in leakage_audit(df, "host").collect()}
+    assert set(got) == {"h1", "h3"}  # h2 is clean
+    assert got["h1"].n_splits == 2
+    assert got["h1"].splits == "test,train"  # sorted, deterministic
+    assert got["h1"].n_docs == 3
+    assert got["h3"].n_splits == 3
+    assert got["h3"].splits == "test,train,val"
+
+
+def test_leakage_audit_clean_split_is_empty(spark):
+    from llm_food_spark.operators.split import (
+        assign_split, bucket_minstd, leakage_audit)
+    from pyspark.sql import functions as F
+    d = spark.range(500).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 7).alias("hostnum"),
+    )
+    # host-keyed split: audit by the SAME key must be leak-free
+    s = assign_split(d, "hostnum", {"train": 0.8, "test": 0.2},
+                     bucket_fn=bucket_minstd)
+    assert leakage_audit(s, "hostnum").count() == 0
+    # doc-keyed split audited by host: 7 hosts x ~71 docs all leak
+    s2 = assign_split(d, "doc_id", {"train": 0.8, "test": 0.2},
+                      bucket_fn=bucket_minstd)
+    leaks = leakage_audit(s2, "hostnum")
+    assert leaks.count() == 7

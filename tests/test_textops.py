@@ -867,3 +867,53 @@ def test_corpus_rollup_levels_and_totals(spark):
     assert out[(None, "web", 2)]["n_docs"] == 2         # lang rolled up
     g = out[(None, None, 3)]
     assert (g["n_docs"], g["tokens"], g["chars"]) == (3, 6, 9)
+
+
+# ------------------------------------------------------------- md outline
+
+
+def test_markdown_outline_classification(spark):
+    from llm_food_spark.operators.textops import markdown_outline
+    md = ("# Title\n\nfirst para here\n\n## Sub Sect\n\n- one\n- two\n\n"
+          "```\ncode line\n```\n\n###### deep")
+    df = spark.createDataFrame([(1, md)], "doc_id long, markdown string")
+    rows = markdown_outline(df).orderBy("block_idx").collect()
+    got = [(r.block_idx, r.kind, r.level, r.n_words) for r in rows]
+    assert got == [
+        (1, "heading", 1, 2),
+        (2, "para", 0, 3),
+        (3, "heading", 2, 3),
+        (4, "list", 0, 4),
+        (5, "code", 0, 4),
+        (6, "heading", 6, 2),
+    ]
+
+
+def test_markdown_outline_edge_blocks(spark):
+    from llm_food_spark.operators.textops import markdown_outline
+    df = spark.createDataFrame(
+        [
+            (1, "####### seven hashes is not a heading"),
+            (2, "#nospace is a para"),
+            (3, "a\n\n\n\nb"),  # empty block between the double breaks
+        ],
+        "doc_id long, markdown string",
+    )
+    rows = markdown_outline(df).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert [r.kind for r in by_doc[1]] == ["para"]
+    assert [r.kind for r in by_doc[2]] == ["para"]
+    # doc 3: blocks at idx 1 and 3; the empty middle block is dropped but
+    # the index keeps its position
+    assert sorted((r.block_idx, r.n_words) for r in by_doc[3]) == [
+        (1, 1), (3, 1)]
+
+
+def test_markdown_outline_no_python_no_shuffle(spark):
+    from llm_food_spark.operators.textops import markdown_outline
+    df = spark.createDataFrame([(1, "# a\n\nb")], "doc_id long, markdown string")
+    plan = markdown_outline(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan and "MapInPandas" not in plan
