@@ -95,15 +95,44 @@ def _bigram_pairs(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
              F.col("pair.w2").alias("w2"))
 
 
+_PERSISTED_UNI: list = []
+
+
+def release_persisted() -> int:
+    """Unpersist vocabulary frames pinned by earlier train_bigram_lm
+    calls. Safe any time AFTER the previous model's consumers have run
+    (the repo's release-on-next-call registry discipline, as in
+    operators/similarity.py and operators/dsir.py)."""
+    n = 0
+    while _PERSISTED_UNI:
+        frame = _PERSISTED_UNI.pop()
+        try:
+            frame.unpersist()
+            n += 1
+        except Exception:
+            pass  # session already stopped — nothing to release
+    return n
+
+
 def train_bigram_lm(train: DataFrame, text_col: str = "text",
                     id_col: str = "doc_id") -> BigramLM:
     """Count-based training: two groupBy aggregations over the train corpus.
 
     The N/V totals are a single-row collect (two longs) — the same
     documented exception as the IVF centroid update; everything else stays
-    distributed."""
+    distributed.
+
+    ``uni_counts`` — the vocabulary-sized (w, c) aggregate — feeds THREE
+    consumers (the totals collect, the unigram model, the bigram c1
+    join); without a pin Spark re-runs the corpus token explode for each
+    (measured: 3 corpus scans per model build at sf). It is persisted
+    here — vocabulary-sized, not corpus-sized — the totals collect
+    materializes it, and the pin is released on the NEXT call via the
+    registry (release_persisted)."""
+    release_persisted()
     tok = _tokens(train, text_col)
-    uni_counts = tok.groupBy("w").agg(F.count("*").alias("c"))
+    uni_counts = tok.groupBy("w").agg(F.count("*").alias("c")).persist()
+    _PERSISTED_UNI.append(uni_counts)
     totals = uni_counts.agg(
         F.sum("c").alias("n"), F.count("*").alias("v")).collect()[0]
     n, v = int(totals["n"] or 0), int(totals["v"] or 0)

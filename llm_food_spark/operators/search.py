@@ -105,7 +105,9 @@ def phrase_search(
         F.posexplode(alpha_tokens(F.col(phrase_col))).alias("i", "qw"),
     ).where(F.col("qw") != "")
     qlen = qtoks.groupBy("query_id").agg(F.count("*").alias("m"))
-    qq = qtoks.join(qlen, "query_id")
+    # both sides are query-sized; broadcasting the length table keeps the
+    # tiny query-side join off the sort-merge path entirely
+    qq = qtoks.join(F.broadcast(qlen), "query_id")
     j = F.broadcast(qq).join(positions, F.col("qw") == F.col("w"))
     starts = (
         j.select(

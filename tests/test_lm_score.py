@@ -218,3 +218,23 @@ def test_ppl_filter_unscoreable_paragraph_dropped(spark):
     # the all-non-alpha paragraph has no tokens: dropped even at +inf cut
     assert r.clean == "the cat sat\n\nthe dog ran"
     assert (r.n_paras, r.n_kept) == (3, 2)
+
+
+def test_train_bigram_lm_storage_bounded(spark):
+    """Repeat model builds pin at most one vocab frame (release-on-next-
+    call, the similarity.py registry lifecycle); explicit release
+    returns to base."""
+    from llm_food_spark.operators.lm_score import (
+        release_persisted, train_bigram_lm)
+    d = spark.createDataFrame(
+        [(1, "the cat sat"), (2, "the dog ran")], "doc_id long, text string")
+    sc = spark.sparkContext
+    release_persisted()
+    base = sc._jsc.getPersistentRDDs().size()
+    train_bigram_lm(d)
+    n1 = sc._jsc.getPersistentRDDs().size()
+    assert n1 >= base + 1
+    train_bigram_lm(d)
+    assert sc._jsc.getPersistentRDDs().size() <= n1
+    release_persisted()
+    assert sc._jsc.getPersistentRDDs().size() <= base
