@@ -226,6 +226,43 @@ def q_resume_status(spark, sf_dir):
         shutil.rmtree(out_dir, ignore_errors=True)
 
 
+def q_snapshot_log(spark, sf_dir):
+    """Iceberg-style commit log over the lineage table
+    (plans/pipeline.py::snapshot_log): documents become pages, a full run
+    commits all 8 partitions, a second full run REPLACES them, and the
+    log must report winner-takes-latest table state per snapshot — docs
+    stay at corpus size after the replace (not doubled) and snapshot 2
+    reports all 8 partitions as replaced. The oracle states the expected
+    log in closed form (the byte total is the resume_status wrapper
+    arithmetic over documents.text)."""
+    import shutil
+    import tempfile
+
+    from llm_food_spark.plans.pipeline import run_extraction, snapshot_log
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    pages = d.select(
+        F.concat(F.lit("snap://"), F.col("doc_id").cast("string")).alias(
+            "url"),
+        F.to_timestamp(F.lit("2025-01-01 00:00:00")).alias("warc_ts"),
+        F.concat(F.lit("<html><body><p>"), F.col("text"),
+                 F.lit("</p></body></html>")).cast("binary").alias("html"),
+        F.lit("").alias("text"),
+        F.lit("en").alias("lang"),
+    )
+    out_dir = tempfile.mkdtemp(prefix="llm_food_snaplog_")
+    try:
+        run_extraction(spark, pages, out_dir, n_partitions=8,
+                       run_id="run1", resume=False)
+        run_extraction(spark, pages, out_dir, n_partitions=8,
+                       run_id="run3", resume=False)
+        log = snapshot_log(spark, out_dir)
+        # materialize before the temp dir disappears
+        return spark.createDataFrame(log.collect(), schema=log.schema)
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+
 def q_dedup_sort(spark, sf_dir):
     # R10: dedup + sort (sorted(set(inputs)) at llm_food/cli.py:206-211)
     return (
@@ -3377,6 +3414,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_rollup": q_corpus_rollup,        # one-pass CUBE drill-down (Expand + single hash agg), native-CUBE twin
         "wet_export": q_wet_export,              # WET conversion records chained THROUGH WARC parse + extraction (cc_prep holds the chained-WARC driver slot; the record framing stays repo-gated)
         "ppl_filter": q_ppl_filter,              # CCNet paragraph-granular cleaning; DuckDB retrains the LM and recomputes every paragraph verdict + reassembly (ppl_buckets holds the LM driver slot)
+        "snapshot_log": q_snapshot_log,          # Iceberg-style commit log: winner-takes-latest as-of state per snapshot (resume_status holds the lineage driver slot)
         "md_outline": q_md_outline,              # markdown structure profile (per-block kind/level/words), split+range-unnest twin
         "split_leakage": q_split_leakage,        # leakage audit of a doc-keyed split vs a host grouping; full bucket-arithmetic twin
         "ngram_jaccard": q_ngram_jaccard,        # demoted for phrase_search: driver-green in r3, and the shingle->set->exact-overlap twin mechanism is held by dedup_paragraphs/dedup_substrings slots; the capped in-block quadratic stays repo-gated
@@ -5176,6 +5214,22 @@ def _handwritten_oracles() -> dict[str, str]:
                    COUNT(DISTINCT doc_id)::BIGINT AS n_urls,
                    CAST(5 AS BIGINT) AS partitions_skipped
             FROM documents
+        """,
+        # snapshot_log: the expected commit log in closed form. Snapshot 2
+        # is a full REPLACE: docs/bytes must equal the corpus (not 2x) and
+        # all 8 partitions count as replaced — the winner-takes-latest
+        # fold is the thing under test.
+        "snapshot_log": """
+            WITH b AS (
+              SELECT COUNT(*)::BIGINT AS docs,
+                     SUM(33 + length(text))::BIGINT AS bytes
+              FROM documents
+            )
+            SELECT 1 AS seq, 'run1' AS run_id, 8::BIGINT AS n_partitions,
+                   docs, bytes, 0::BIGINT AS replaced
+            FROM b
+            UNION ALL
+            SELECT 2, 'run3', 8::BIGINT, docs, bytes, 8::BIGINT FROM b
         """,
         "topk_per_group": """
             SELECT o_orderstatus, rnk, o_orderkey, o_totalprice FROM (

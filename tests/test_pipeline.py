@@ -256,3 +256,75 @@ def test_bucketed_ingest_zero_shuffle_run_and_resume(spark, tmp_path):
     assert m3["docs"] == 0
     assert m3["partitions_skipped"] == P
     assert snap(out_bucketed) == snap(out_shuffled)
+
+
+# ------------------------------------------------ snapshot log / as-of
+
+
+def _snap_pages(spark, n=40, tag="s"):
+    from pyspark.sql import functions as F
+    return spark.range(n).select(
+        F.concat(F.lit("snap://%s/" % tag), F.col("id")).alias("url"),
+        F.to_timestamp(F.lit("2025-01-01 00:00:00")).alias("warc_ts"),
+        F.concat(F.lit("<html><body><p>doc "), F.col("id"),
+                 F.lit("</p></body></html>")).cast("binary").alias("html"),
+        F.lit("").alias("text"),
+        F.lit("en").alias("lang"),
+    )
+
+
+def test_snapshot_log_winner_takes_latest(spark, tmp_path):
+    from llm_food_spark.plans.pipeline import run_extraction, snapshot_log
+    out = str(tmp_path / "t1")
+    run_extraction(spark, _snap_pages(spark), out, n_partitions=4,
+                   run_id="alpha", resume=False)
+    run_extraction(spark, _snap_pages(spark), out, n_partitions=4,
+                   run_id="beta", resume=False)
+    log = {r.seq: r for r in snapshot_log(spark, out).collect()}
+    assert log[1].run_id == "alpha" and log[2].run_id == "beta"
+    # full replace: state stays at corpus size, does not double
+    assert log[1].docs == log[2].docs == 40
+    assert log[1].n_partitions == log[2].n_partitions == 4
+    assert log[1].replaced == 0 and log[2].replaced == 4
+    assert log[1].bytes == log[2].bytes > 0
+
+
+def test_snapshot_log_partial_resume_commit(spark, tmp_path):
+    import shutil
+    from pyspark.sql import functions as F
+    from llm_food_spark.plans.pipeline import (
+        read_lineage, run_extraction, snapshot_log)
+    out = str(tmp_path / "t2")
+    run_extraction(spark, _snap_pages(spark), out, n_partitions=4,
+                   run_id="alpha", resume=False)
+    # kill-mid-commit: keep only partitions < 2, then resume as beta
+    lin = read_lineage(spark, out)
+    kept = lin.where(F.col("partition_id") < 2).collect()
+    shutil.rmtree(out + "/lineage")
+    spark.createDataFrame(kept, schema=lin.schema).write.parquet(
+        out + "/lineage")
+    run_extraction(spark, _snap_pages(spark), out, n_partitions=4,
+                   run_id="beta", resume=True)
+    log = {r.seq: r for r in snapshot_log(spark, out).collect()}
+    # snapshot 1 sees alpha's surviving 2 partitions; snapshot 2 the full
+    # table; the resume commit replaced nothing (disjoint partitions)
+    assert log[1].n_partitions == 2
+    assert log[2].n_partitions == 4 and log[2].docs == 40
+    assert log[2].replaced == 0
+
+
+def test_as_of_partitions_availability(spark, tmp_path):
+    from llm_food_spark.plans.pipeline import (
+        as_of_partitions, run_extraction)
+    out = str(tmp_path / "t3")
+    run_extraction(spark, _snap_pages(spark), out, n_partitions=4,
+                   run_id="alpha", resume=False)
+    run_extraction(spark, _snap_pages(spark), out, n_partitions=4,
+                   run_id="beta", resume=False)
+    asof1 = as_of_partitions(spark, out, 1).collect()
+    # snapshot 1's versions were all overwritten by beta: resolvable in
+    # the manifest, no longer materialized (Iceberg expired-snapshot rule)
+    assert len(asof1) == 4
+    assert all(r.run_id == "alpha" and not r.available for r in asof1)
+    asof2 = as_of_partitions(spark, out, 2).collect()
+    assert all(r.run_id == "beta" and r.available for r in asof2)
