@@ -1708,6 +1708,36 @@ def q_cc_prep(spark, sf_dir):
     )
 
 
+def q_crawl_budget(spark, sf_dir):
+    """Per-cycle fetch-budget allocation (operators/snapshot.py::
+    crawl_budget): 37 hosts with quadratic-residue reputations (every
+    5th host zero-reputation), budget 120, exact largest-remainder
+    apportionment in integer space, quotas capped at each host's
+    frontier size, top-priority urls selected per host. The oracle
+    recomputes the shares, remainders, leftover distribution, caps and
+    the per-host selection — every step exact integers."""
+    from llm_food_spark.operators.snapshot import crawl_budget
+
+    d = _t(spark, sf_dir, "documents")
+    k = F.col("doc_id") % 37
+    frontier = d.select(
+        F.concat(F.lit("http://site"), k, F.lit(".test/"),
+                 F.col("doc_id")).alias("url"),
+        F.concat(F.lit("site"), k).alias("host"),
+        ((F.col("doc_id") * 48271) % 997).alias("priority"),
+    )
+    reputation = (
+        d.select(k.alias("k")).distinct()
+        .select(
+            F.concat(F.lit("site"), F.col("k")).alias("host"),
+            F.when(F.col("k") % 5 == 4, F.lit(0))
+             .otherwise((F.col("k") * F.col("k") * 31) % 1000)
+             .cast("long").alias("rep"),
+        )
+    )
+    return crawl_budget(frontier, reputation, budget=120)
+
+
 def q_wet_export(spark, sf_dir):
     """WET conversion-record export (operators/wet.py) under a chained
     hard oracle THROUGH the real WARC parser and extraction pipeline:
@@ -3415,6 +3445,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wet_export": q_wet_export,              # WET conversion records chained THROUGH WARC parse + extraction (cc_prep holds the chained-WARC driver slot; the record framing stays repo-gated)
         "ppl_filter": q_ppl_filter,              # CCNet paragraph-granular cleaning; DuckDB retrains the LM and recomputes every paragraph verdict + reassembly (ppl_buckets holds the LM driver slot)
         "snapshot_log": q_snapshot_log,          # Iceberg-style commit log: winner-takes-latest as-of state per snapshot (resume_status holds the lineage driver slot)
+        "crawl_budget": q_crawl_budget,          # largest-remainder fetch apportionment, exact integer twin (crawl_schedule/crawl_priority hold the crawl-ops driver slots)
         "md_outline": q_md_outline,              # markdown structure profile (per-block kind/level/words), split+range-unnest twin
         "split_leakage": q_split_leakage,        # leakage audit of a doc-keyed split vs a host grouping; full bucket-arithmetic twin
         "ngram_jaccard": q_ngram_jaccard,        # demoted for phrase_search: driver-green in r3, and the shingle->set->exact-overlap twin mechanism is held by dedup_paragraphs/dedup_substrings slots; the capped in-block quadratic stays repo-gated
@@ -5214,6 +5245,58 @@ def _handwritten_oracles() -> dict[str, str]:
                    COUNT(DISTINCT doc_id)::BIGINT AS n_urls,
                    CAST(5 AS BIGINT) AS partitions_skipped
             FROM documents
+        """,
+        # crawl_budget twin: rebuild frontier/reputation from doc_id
+        # arithmetic, then re-derive the whole apportionment — shares,
+        # remainders, leftover ranking, frontier caps, per-host selection
+        "crawl_budget": """
+            WITH f AS (
+              SELECT 'http://site' || (doc_id % 37) || '.test/' || doc_id
+                       AS url,
+                     'site' || (doc_id % 37) AS host,
+                     (doc_id * 48271) % 997 AS priority
+              FROM documents
+            ), ks AS (
+              SELECT DISTINCT doc_id % 37 AS k FROM documents
+            ), rep AS (
+              SELECT 'site' || k AS host,
+                     CASE WHEN k % 5 = 4 THEN 0
+                          ELSE (k * k * 31) % 1000 END::BIGINT AS rep
+              FROM ks
+            ), h AS (
+              SELECT host, COUNT(*)::BIGINT AS n_avail FROM f GROUP BY 1
+            ), hr AS (
+              SELECT h.host, n_avail, coalesce(rep, 0)::BIGINT AS rep
+              FROM h LEFT JOIN rep USING (host)
+            ), t AS (
+              SELECT SUM(rep)::BIGINT AS s FROM hr
+            ), sh AS (
+              SELECT host, n_avail,
+                     CASE WHEN s > 0 THEN (120 * rep) // s
+                          ELSE 0 END::BIGINT AS share,
+                     CASE WHEN s > 0 THEN (120 * rep) % s
+                          ELSE 0 END::BIGINT AS rem
+              FROM hr CROSS JOIN t
+            ), lo AS (
+              SELECT (120 - SUM(share))::BIGINT AS l FROM sh
+            ), al AS (
+              SELECT *, row_number() OVER (ORDER BY rem DESC, host) AS rk
+              FROM sh
+            ), q AS (
+              SELECT host,
+                     LEAST(share + CASE WHEN rk <= l THEN 1 ELSE 0 END,
+                           n_avail)::BIGINT AS quota
+              FROM al CROSS JOIN lo
+            ), rked AS (
+              SELECT url, host, priority,
+                     row_number() OVER (PARTITION BY host
+                                        ORDER BY priority DESC, url)::INT
+                       AS host_rank
+              FROM f
+            )
+            SELECT url, host, host_rank, quota
+            FROM rked JOIN q USING (host)
+            WHERE host_rank <= quota
         """,
         # snapshot_log: the expected commit log in closed form. Snapshot 2
         # is a full REPLACE: docs/bytes must equal the corpus (not 2x) and

@@ -142,3 +142,85 @@ def schedule_frontier(
     return out.repartitionByRange(
         F.col("wave"), F.col("slot"), F.col("url")
     ).sortWithinPartitions("wave", "slot", "url")
+
+
+def crawl_budget(
+    frontier: DataFrame,
+    reputation: DataFrame,
+    budget: int,
+    url_col: str = "url",
+    host_col: str = "host",
+    priority_col: str = "priority",
+    rep_col: str = "rep",
+    exact_remainder: bool = True,
+) -> DataFrame:
+    """Per-cycle fetch-budget allocation — (url, host, host_rank, quota):
+    reputation-proportional host quotas, then each host's top-priority
+    urls up to its quota.
+
+    The Heritrix/BUbiNG budgeting move: a crawl cycle fetches ``budget``
+    pages total, and hosts earn share proportional to site reputation
+    (e.g. ``host_reputation``'s integer micro-units) so spam farms cannot
+    monopolize the cycle. Apportionment is EXACT largest-remainder in
+    pure integer space: ``share = (budget*rep) div S``, the
+    ``budget - Σshare`` leftover goes +1 to the hosts with the largest
+    ``(budget*rep) mod S`` (host-asc tie-break) — the deterministic,
+    cross-engine-reproducible form of d'Hondt-style seat math. Quotas cap
+    at the host's frontier size; a zero-reputation cycle degenerates to
+    one fetch per host in host order (documented fallback).
+
+    Scale shape: everything is host-table-sized except the final
+    per-host selection window (narrow rank rows, per-host partitions).
+    The largest-remainder step ranks HOSTS globally — metadata-sized,
+    but still a single-partition sort; ``exact_remainder=False`` skips
+    it (floor shares only, under-spending at most #hosts-1 fetches) —
+    the scale path when the host table itself is huge.
+    """
+    from pyspark.sql import Window
+
+    f = frontier.select(
+        F.col(url_col).alias("url"),
+        F.col(host_col).alias("host"),
+        F.col(priority_col).alias("priority"),
+    )
+    n = f.groupBy("host").agg(F.count(F.lit(1)).alias("n_avail"))
+    rep = reputation.select(F.col(host_col).alias("host"),
+                            F.col(rep_col).cast("long").alias("rep"))
+    hosts = n.join(rep, "host", "left").withColumn(
+        "rep", F.greatest(F.coalesce("rep", F.lit(0)), F.lit(0)).cast("long"))
+    tot = hosts.agg(F.sum("rep").cast("long").alias("s"))
+    b = F.lit(int(budget)).cast("long")
+    sh = hosts.crossJoin(F.broadcast(tot)).select(
+        "host", "n_avail",
+        F.when(F.col("s") > 0,
+               F.expr("(%dL * rep) div s" % int(budget)))
+         .otherwise(F.lit(0)).cast("long").alias("share"),
+        F.when(F.col("s") > 0,
+               F.expr("(%dL * rep) %% s" % int(budget)))
+         .otherwise(F.lit(0)).cast("long").alias("rem"),
+    )
+    lo = sh.agg((b - F.sum("share")).cast("long").alias("l"))
+    sh = sh.crossJoin(F.broadcast(lo))
+    if exact_remainder:
+        rw = Window.orderBy(F.col("rem").desc(), F.col("host").asc())
+        alloc = sh.withColumn("_rk", F.row_number().over(rw)).withColumn(
+            "quota",
+            F.least(
+                F.col("share")
+                + (F.col("_rk") <= F.col("l")).cast("long"),
+                F.col("n_avail"),
+            ),
+        )
+    else:
+        alloc = sh.withColumn(
+            "quota", F.least(F.col("share"), F.col("n_avail")))
+    quotas = alloc.select("host", "quota")
+    hw = Window.partitionBy("host").orderBy(
+        F.col("priority").desc(), F.col("url").asc())
+    ranked = f.withColumn("host_rank", F.row_number().over(hw))
+    return (
+        ranked.join(quotas, "host")
+        .where(F.col("host_rank") <= F.col("quota"))
+        .select("url", "host", F.col("host_rank").cast("int").alias(
+            "host_rank"), F.col("quota").cast("long").alias("quota"))
+    )

@@ -107,3 +107,84 @@ def test_schedule_frontier_partition_invariant_and_default_hash(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         schedule_frontier(f, n_slots=0)
+
+
+# --------------------------------------------------------- crawl budget
+
+
+def test_crawl_budget_hand_case(spark):
+    """budget 10 over rep (a:5, b:3, c:2on1avail, d:0) with S=10:
+    exact shares a=5 b=3 c=2->capped 1, d=0; leftover 10-10=0."""
+    from llm_food_spark.operators.snapshot import crawl_budget
+    from pyspark.sql import functions as F
+    frontier = spark.createDataFrame(
+        [("a", i) for i in range(6)] + [("b", i) for i in range(6)]
+        + [("c", 0)] + [("d", i) for i in range(3)],
+        "host string, i long",
+    ).select(
+        F.concat(F.col("host"), F.lit("/"), F.col("i")).alias("url"),
+        "host", F.col("i").alias("priority"))
+    rep = spark.createDataFrame(
+        [("a", 5), ("b", 3), ("c", 2), ("d", 0)], "host string, rep long")
+    got = crawl_budget(frontier, rep, budget=10).collect()
+    by_host = {}
+    for r in got:
+        by_host.setdefault(r.host, []).append(r)
+    assert len(by_host.get("a", [])) == 5
+    assert len(by_host.get("b", [])) == 3
+    assert len(by_host.get("c", [])) == 1   # capped at frontier size
+    assert "d" not in by_host               # zero reputation, no leftover
+    # selection is top-priority first: host a keeps i=5..1, drops i=0
+    assert sorted(r.url for r in by_host["a"]) == [
+        "a/1", "a/2", "a/3", "a/4", "a/5"]
+
+
+def test_crawl_budget_largest_remainder(spark):
+    """budget 7, reps (x:1, y:1, z:1), S=3: share 2 each (6), leftover 1
+    goes to the largest remainder; all tie at rem 1 -> host-asc -> x."""
+    from llm_food_spark.operators.snapshot import crawl_budget
+    from pyspark.sql import functions as F
+    frontier = spark.createDataFrame(
+        [(h, i) for h in "xyz" for i in range(5)], "host string, i long"
+    ).select(F.concat(F.col("host"), F.col("i")).alias("url"),
+             "host", F.col("i").alias("priority"))
+    rep = spark.createDataFrame(
+        [("x", 1), ("y", 1), ("z", 1)], "host string, rep long")
+    got = crawl_budget(frontier, rep, budget=7).collect()
+    counts = {}
+    for r in got:
+        counts[r.host] = counts.get(r.host, 0) + 1
+    assert counts == {"x": 3, "y": 2, "z": 2}
+    assert sum(counts.values()) == 7        # exact spend
+
+
+def test_crawl_budget_floor_only_scale_path(spark):
+    from llm_food_spark.operators.snapshot import crawl_budget
+    from pyspark.sql import functions as F
+    frontier = spark.createDataFrame(
+        [(h, i) for h in "xyz" for i in range(5)], "host string, i long"
+    ).select(F.concat(F.col("host"), F.col("i")).alias("url"),
+             "host", F.col("i").alias("priority"))
+    rep = spark.createDataFrame(
+        [("x", 1), ("y", 1), ("z", 1)], "host string, rep long")
+    got = crawl_budget(frontier, rep, budget=7,
+                       exact_remainder=False).collect()
+    # floor shares only: 2+2+2 = 6 of 7 (documented under-spend <= hosts-1)
+    assert len(got) == 6
+
+
+def test_crawl_budget_zero_reputation_fallback(spark):
+    from llm_food_spark.operators.snapshot import crawl_budget
+    from pyspark.sql import functions as F
+    frontier = spark.createDataFrame(
+        [(h, i) for h in "xyz" for i in range(3)], "host string, i long"
+    ).select(F.concat(F.col("host"), F.col("i")).alias("url"),
+             "host", F.col("i").alias("priority"))
+    rep = spark.createDataFrame(
+        [("x", 0), ("y", 0), ("z", 0)], "host string, rep long")
+    got = crawl_budget(frontier, rep, budget=5).collect()
+    counts = {}
+    for r in got:
+        counts[r.host] = counts.get(r.host, 0) + 1
+    # S=0 degenerates to one fetch per host in host order
+    assert counts == {"x": 1, "y": 1, "z": 1}
