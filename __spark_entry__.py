@@ -379,6 +379,31 @@ def q_decontaminate(spark, sf_dir):
                          bench_text_col="text")
 
 
+def q_decontam_scrub(spark, sf_dir):
+    """Span-level decontamination (operators/decontam.py::
+    scrub_contaminated): the PaLM/Llama-style alternative to GPT-3's
+    drop-the-document policy — the q_decontaminate benchmark slices are
+    located in their source documents, widened by a 5-token margin,
+    interval-merged, and excised; everything else survives. The oracle
+    re-derives the positioned grams, the hit windows, the running-max
+    interval union and the token-level excision."""
+    from llm_food_spark.operators.decontam import scrub_contaminated
+
+    d = _t(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), "[^a-z0-9]+"),
+        lambda x: x != F.lit(""),
+    )
+    width = (F.col("doc_id") % 9 + 13).cast("int")
+    bench = d.where(F.col("doc_id") % 7 == 0).select(
+        F.col("doc_id").alias("bench_id"),
+        F.array_join(F.slice(toks, F.lit(4), width), " ").alias("text"),
+    )
+    return scrub_contaminated(d, bench, n=13, margin=5,
+                              id_col="doc_id", text_col="text",
+                              bench_text_col="text")
+
+
 def q_crawl_schedule(spark, sf_dir):
     """Politeness scheduling (operators/snapshot.py::schedule_frontier)
     over a seeded 23-host frontier with arithmetic priorities. Hard
@@ -3446,6 +3471,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ppl_filter": q_ppl_filter,              # CCNet paragraph-granular cleaning; DuckDB retrains the LM and recomputes every paragraph verdict + reassembly (ppl_buckets holds the LM driver slot)
         "snapshot_log": q_snapshot_log,          # Iceberg-style commit log: winner-takes-latest as-of state per snapshot (resume_status holds the lineage driver slot)
         "crawl_budget": q_crawl_budget,          # largest-remainder fetch apportionment, exact integer twin (crawl_schedule/crawl_priority hold the crawl-ops driver slots)
+        "decontam_scrub": q_decontam_scrub,      # span-level decontamination: interval-union excision twin (decontaminate holds the contamination driver slot)
         "md_outline": q_md_outline,              # markdown structure profile (per-block kind/level/words), split+range-unnest twin
         "split_leakage": q_split_leakage,        # leakage audit of a doc-keyed split vs a host grouping; full bucket-arithmetic twin
         "ngram_jaccard": q_ngram_jaccard,        # demoted for phrase_search: driver-green in r3, and the shingle->set->exact-overlap twin mechanism is held by dedup_paragraphs/dedup_substrings slots; the capped in-block quadratic stays repo-gated
@@ -5245,6 +5271,80 @@ def _handwritten_oracles() -> dict[str, str]:
                    COUNT(DISTINCT doc_id)::BIGINT AS n_urls,
                    CAST(5 AS BIGINT) AS partitions_skipped
             FROM documents
+        """,
+        # decontam_scrub twin: rebuild the benchmark slices, locate every
+        # 13-gram hit by positioned list-slice equality, widen +-5, union
+        # intervals with the running-max window, excise by token position
+        "decontam_scrub": """
+            WITH toks AS (
+              SELECT doc_id,
+                     string_split(trim(regexp_replace(lower(text),
+                       '[^a-z0-9]+', ' ', 'g')), ' ') AS l
+              FROM documents
+            ), bench AS (
+              SELECT l[4 : 3 + (doc_id % 9 + 13)::INT] AS bl
+              FROM toks WHERE doc_id % 7 = 0
+            ), bgrams AS (
+              SELECT DISTINCT array_to_string(bl[i : i + 12], ' ') AS gram
+              FROM bench,
+                   LATERAL (SELECT unnest(range(1, len(bl) - 11)) AS i) u
+              WHERE len(bl) >= 13
+            ), grams AS (
+              SELECT doc_id, len(l) AS n_tokens, u.i,
+                     array_to_string(l[u.i : u.i + 12], ' ') AS gram
+              FROM toks,
+                   LATERAL (SELECT unnest(range(1, len(l) - 11)) AS i) u
+              WHERE len(l) >= 13
+            ), hits AS (
+              SELECT doc_id,
+                     greatest(i - 5, 1) AS s,
+                     least(i + 12 + 5, n_tokens) AS e
+              FROM grams JOIN bgrams USING (gram)
+            ), marked AS (
+              SELECT doc_id, s, e,
+                     CASE WHEN max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                          IS NULL
+                          OR s > max(e) OVER (PARTITION BY doc_id
+                            ORDER BY s, e ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING) + 1
+                       THEN 1 ELSE 0 END AS new_grp
+              FROM hits
+            ), grouped AS (
+              SELECT doc_id, s, e,
+                     SUM(new_grp) OVER (PARTITION BY doc_id ORDER BY s, e
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS grp
+              FROM marked
+            ), spans AS (
+              SELECT doc_id, grp, MIN(s) AS s, MAX(e) AS e
+              FROM grouped GROUP BY 1, 2
+            ), pos AS (
+              SELECT doc_id, len(l) AS n_tokens, u.p, l[u.p] AS w
+              FROM toks, LATERAL (SELECT unnest(range(1, len(l) + 1)) AS p) u
+              WHERE l[u.p] <> ''
+            ), masked AS (
+              SELECT pos.doc_id, n_tokens, p, w,
+                     (spans.s IS NOT NULL) AS hit
+              FROM pos LEFT JOIN spans
+                ON pos.doc_id = spans.doc_id
+               AND p >= spans.s AND p <= spans.e
+            ), agg AS (
+              SELECT doc_id,
+                     MAX(n_tokens)::BIGINT AS n_tokens,
+                     SUM(CASE WHEN hit THEN 1 ELSE 0 END)::BIGINT
+                       AS n_removed,
+                     coalesce(string_agg(CASE WHEN NOT hit THEN w END,
+                       ' ' ORDER BY p), '') AS scrubbed
+              FROM masked GROUP BY 1
+            ), nsp AS (
+              SELECT doc_id, COUNT(*)::BIGINT AS n_spans FROM spans
+              GROUP BY 1
+            )
+            SELECT agg.doc_id, n_tokens,
+                   coalesce(n_spans, 0)::BIGINT AS n_spans,
+                   n_removed, scrubbed
+            FROM agg LEFT JOIN nsp ON agg.doc_id = nsp.doc_id
         """,
         # crawl_budget twin: rebuild frontier/reputation from doc_id
         # arithmetic, then re-derive the whole apportionment — shares,

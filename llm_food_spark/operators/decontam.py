@@ -144,3 +144,133 @@ def contamination_report(
             F.round(F.col("n_hits") / F.col("n_grams"), round_dp),
         )
     )
+
+
+def _alnum_tokens(text):
+    """Lowercased alphanumeric token array via flat regexp primitives (no
+    empty tokens except the [''] degenerate; identical arithmetic in
+    DuckDB — the decontam family's tokenizer as a POSITIONED form)."""
+    return F.split(
+        F.trim(F.regexp_replace(F.lower(text), "[^a-z0-9]+", " ")), " "
+    )
+
+
+def scrub_contaminated(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = DEFAULT_NGRAM,
+    margin: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str = None,
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """Span-level decontamination — excise the contaminated windows, keep
+    the document: (doc_id, n_tokens, n_spans, n_removed, scrubbed).
+
+    ``decontaminate``/``drop_contaminated`` implement the GPT-3
+    appendix-C policy (any shared 13-gram kills the whole document).
+    The published alternative (PaLM/Llama-style partial removal) excises
+    only the overlapping window ± ``margin`` tokens, keeping the rest —
+    at web scale the difference is material: one quoted benchmark
+    question no longer costs an entire good page. Matched windows are
+    widened by ``margin``, UNIONED per document (classic interval merge:
+    running-max-end + gap flag + group min/max — one narrow per-doc
+    window, no quadratic span pairing), and the surviving tokens are
+    reassembled in order. ``scrubbed`` is the CANONICALIZED text
+    (lowercased alnum tokens, single spaces) — span arithmetic needs
+    token space; callers needing original bytes should use the span
+    positions (exposed as merged [s, e] 1-based token ranges via
+    ``n_spans``/``n_removed`` accounting; the reassembly is the
+    training-ready form).
+
+    Scale shape: the positioned shingle build is the interpreted-HOF
+    form (fine here: it feeds ONE broadcast probe and only matching
+    rows survive; for a hot path reuse ``ngram_hash_rows``' vectorized
+    hashing and match on hashes). Hits are contamination-proportional;
+    the interval merge and the reassembly collect_list are bounded by
+    the document's own length. Docs shorter than ``n`` tokens cannot
+    contain a full benchmark n-gram and pass through untouched — the
+    same window rule as ``decontaminate``.
+    """
+    bt = bench_text_col or text_col
+    btoks = _alnum_tokens(F.col(bt))
+    bgrams = benchmark.select(
+        F.explode(
+            F.when(
+                F.size(btoks) >= n,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(btoks) - (n - 1)),
+                    lambda i: F.concat_ws(" ", F.slice(btoks, i, n)),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("gram")
+    ).distinct()
+    if broadcast_benchmark:
+        bgrams = F.broadcast(bgrams)
+
+    toks = _alnum_tokens(F.col(text_col))
+    base = ensure_min_partitions(corpus).select(
+        F.col(id_col).alias("doc_id"), toks.alias("l")
+    ).withColumn("n_tokens", F.size("l"))
+    grams = base.select(
+        "doc_id", "n_tokens",
+        F.posexplode(
+            F.when(
+                F.col("n_tokens") >= n,
+                F.expr(
+                    "transform(sequence(1, n_tokens - %d), "
+                    "i -> concat_ws(' ', slice(l, i, %d)))" % (n - 1, n)
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("i0", "gram"),
+    )
+    hits = grams.join(bgrams, "gram").select(
+        "doc_id",
+        F.greatest(F.col("i0") + 1 - F.lit(margin), F.lit(1)).alias("s"),
+        F.least(F.col("i0") + F.lit(n + margin), F.col("n_tokens"))
+         .alias("e"),
+    )
+    from pyspark.sql import Window
+
+    ow = Window.partitionBy("doc_id").orderBy(F.col("s"), F.col("e"))
+    prev_end = F.max("e").over(ow.rowsBetween(Window.unboundedPreceding, -1))
+    marked = hits.withColumn(
+        "_new", (prev_end.isNull() | (F.col("s") > prev_end + 1))
+        .cast("int"),
+    ).withColumn("_grp", F.sum("_new").over(ow))
+    spans = marked.groupBy("doc_id", "_grp").agg(
+        F.min("s").alias("s"), F.max("e").alias("e"))
+
+    pos = base.select(
+        "doc_id", "n_tokens", F.posexplode("l").alias("p0", "w")
+    ).where(F.col("w") != "").withColumn("p", F.col("p0") + 1)
+    masked = pos.join(
+        spans,
+        (pos.doc_id == spans.doc_id)
+        & (F.col("p") >= spans.s) & (F.col("p") <= spans.e),
+        "left",
+    ).select(pos.doc_id, "n_tokens", "p", "w",
+             spans.s.isNotNull().alias("_hit"))
+    agg = masked.groupBy("doc_id").agg(
+        F.first("n_tokens").cast("long").alias("n_tokens"),
+        F.sum(F.col("_hit").cast("long")).cast("long").alias("n_removed"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(
+                    F.when(~F.col("_hit"), F.struct("p", "w")))),
+                lambda st: st["w"],
+            ),
+            " ",
+        ).alias("scrubbed"),
+    )
+    nsp = spans.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_spans"))
+    return (
+        agg.join(nsp, "doc_id", "left")
+        .select(
+            "doc_id", "n_tokens",
+            F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
+            "n_removed", "scrubbed",
+        )
+    )

@@ -115,3 +115,61 @@ def test_contamination_report_matches_decontaminate_hits(spark):
               for r in contamination_report(corpus, bench, n=6).collect()
               if r["n_hits"] > 0}
     assert hits == report
+
+
+# ----------------------------------------------------------- span scrub
+
+
+def _scrub(spark, corpus_rows, bench_rows, **kw):
+    from llm_food_spark.operators.decontam import scrub_contaminated
+    c = spark.createDataFrame(corpus_rows, "doc_id long, text string")
+    b = spark.createDataFrame(bench_rows, "bench_id long, text string")
+    return {r.doc_id: r for r in scrub_contaminated(c, b, **kw).collect()}
+
+
+def test_scrub_excises_window_plus_margin(spark):
+    got = _scrub(
+        spark,
+        [(1, "a b c d e f g h i j k l m n o p")],
+        [(1, "e f g h")], n=4, margin=2)
+    r = got[1]
+    assert r.scrubbed == "a b k l m n o p"
+    assert (r.n_tokens, r.n_spans, r.n_removed) == (16, 1, 8)
+
+
+def test_scrub_merges_overlapping_and_keeps_clean_docs(spark):
+    got = _scrub(
+        spark,
+        [(1, "e f g h x e f g h y y y y y y"),   # overlapping widened hits
+         (2, "clean page text only")],
+        [(1, "e f g h")], n=4, margin=2)
+    # hits at 1 -> [1,6] and 6 -> [4,11]: overlap -> ONE span [1,11]
+    assert got[1].n_spans == 1
+    assert got[1].n_removed == 11
+    assert got[1].scrubbed == "y y y y"
+    assert got[2].scrubbed == "clean page text only"
+    assert (got[2].n_spans, got[2].n_removed) == (0, 0)
+
+
+def test_scrub_margin_clamps_at_document_edges(spark):
+    got = _scrub(spark, [(1, "e f g h z")], [(1, "e f g h")],
+                 n=4, margin=10)
+    assert got[1].scrubbed == ""
+    assert got[1].n_removed == 5
+
+
+def test_scrub_short_docs_pass_through(spark):
+    # a doc shorter than n cannot contain a full benchmark n-gram
+    got = _scrub(spark, [(1, "e f g")], [(1, "e f g h")], n=4, margin=2)
+    assert got[1].scrubbed == "e f g"
+    assert got[1].n_removed == 0
+
+
+def test_scrub_adjacent_spans_union(spark):
+    # spans [1,6] and [7,12]: touching (s == prev_end + 1) -> one span
+    got = _scrub(
+        spark,
+        [(1, "e f g h z z w x y z z z p q r")],
+        [(1, "e f g h"), (2, "w x y z")], n=4, margin=2)
+    assert got[1].n_spans == 1
+    assert got[1].scrubbed == "p q r"
