@@ -1820,6 +1820,68 @@ def q_wet_export(spark, sf_dir):
     return wet_records(pages, n_partitions=8)
 
 
+def q_wat_export(spark, sf_dir):
+    """WAT metadata-record export (operators/wet.py::wat_records) under a
+    chained hard oracle THROUGH the real WARC parser, charset decode, DOM
+    parse, link resolution and JSON/record framing: documents become 16
+    gzip WARC archives whose pages carry a known title and doc_id%4
+    anchor links (doc_id%13==0 rows are binary garbage that must degrade
+    to title '' + empty Links, NOT disappear — every 200 response gets a
+    WAT record). DuckDB reconstructs every field — the resolved link
+    URLs, document-order Links JSON array, compact to_json envelope,
+    UTF-8 octet length and the CRLF-framed WARC/1.0 metadata record — so
+    a divergence anywhere in the gzip walk, de-chunking, DOM parse,
+    urljoin resolution, title normalization or JSON serialization breaks
+    the hash."""
+    import pandas as pd
+
+    from llm_food_spark.operators.wet import wat_records
+    from llm_food_spark.sources.warc import parse_warc_records, warc_pages
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", (F.col("doc_id") % 16).alias("bucket"))
+
+    def build_archive(pdf: pd.DataFrame) -> pd.DataFrame:
+        from datetime import datetime, timedelta
+
+        from llm_food_spark.functions.warc import (
+            build_http_response, build_record, build_warc, warcinfo_record)
+
+        epoch = datetime(2025, 1, 1)
+        pdf = pdf.sort_values("doc_id")
+        bucket = int(pdf["bucket"].iloc[0])
+        recs = [warcinfo_record("wat-%02d.warc.gz" % bucket)]
+        for doc_id in pdf["doc_id"]:
+            i = int(doc_id)
+            if i % 13 == 0:
+                payload = b"\x00\x01binarygarbage\xff"
+            else:
+                links = "".join(
+                    '<a href="/page/%d">link %d-%d</a> '
+                    % ((i * 31 + j * 17) % 997, i, j)
+                    for j in range(i % 4))
+                payload = (
+                    "<html><head><title>Doc %d title</title></head>"
+                    "<body><h1>Doc %d</h1><p>intro %s</p></body></html>"
+                    % (i, i, links)
+                ).encode("utf-8")
+            recs.append(build_record(
+                "response",
+                build_http_response(payload, chunked=(i % 2 == 0)),
+                url="http://crawl.test/%d" % i,
+                date=(epoch + timedelta(seconds=i % 86400)).strftime(
+                    "%Y-%m-%dT%H:%M:%SZ")))
+        return pd.DataFrame(
+            [("mem://wat-%02d.warc.gz" % bucket,
+              build_warc(recs, gzip_members=True))],
+            columns=["path", "content"])
+
+    archives = d.groupBy("bucket").applyInPandas(
+        build_archive, "path string, content binary")
+    pages = warc_pages(parse_warc_records(archives))
+    return wat_records(pages, n_partitions=8)
+
+
 def q_snapshot_diff(spark, sf_dir):
     """Crawl-snapshot CDC (operators/snapshot.py): two snapshots seeded
     from documents (doc_id%11==3 absent from OLD → added; doc_id%13==5
@@ -3468,6 +3530,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # hard SQL twins added after the round-4 slot allocation
         "corpus_rollup": q_corpus_rollup,        # one-pass CUBE drill-down (Expand + single hash agg), native-CUBE twin
         "wet_export": q_wet_export,              # WET conversion records chained THROUGH WARC parse + extraction (cc_prep holds the chained-WARC driver slot; the record framing stays repo-gated)
+        "wat_export": q_wat_export,              # WAT metadata records chained THROUGH WARC parse + DOM/link extraction (same chained-WARC family as wet_export)
         "ppl_filter": q_ppl_filter,              # CCNet paragraph-granular cleaning; DuckDB retrains the LM and recomputes every paragraph verdict + reassembly (ppl_buckets holds the LM driver slot)
         "snapshot_log": q_snapshot_log,          # Iceberg-style commit log: winner-takes-latest as-of state per snapshot (resume_status holds the lineage driver slot)
         "crawl_budget": q_crawl_budget,          # largest-remainder fetch apportionment, exact integer twin (crawl_schedule/crawl_priority hold the crawl-ops driver slots)
@@ -7047,6 +7110,56 @@ def _handwritten_oracles() -> dict[str, str]:
                    || chr(13) || chr(10) || md
                    || chr(13) || chr(10) || chr(13) || chr(10) AS record
             FROM d
+        """,
+        # wat_export chained twin: garbage rows (%13==0) DEGRADE (title ''
+        # + empty Links), never vanish -> resolved link urls + anchors
+        # rebuilt per j in range(doc_id%4) via list comprehension -> the
+        # compact to_json envelope byte-for-byte by concat -> octet
+        # length -> CRLF-framed WARC/1.0 metadata record
+        "wat_export": """
+            WITH d AS (
+              SELECT doc_id, 'http://crawl.test/' || doc_id AS url,
+                     strftime(TIMESTAMP '2025-01-01'
+                              + to_seconds(doc_id % 86400),
+                              '%Y-%m-%dT%H:%M:%SZ') AS warc_date,
+                     CASE WHEN doc_id % 13 = 0 THEN ''
+                          ELSE 'Doc ' || doc_id || ' title' END AS title,
+                     CASE WHEN doc_id % 13 = 0 THEN 0
+                          ELSE doc_id % 4 END AS k
+              FROM documents
+            ), j AS (
+              SELECT *,
+                CASE WHEN k = 0 THEN '[]'
+                ELSE '[' || array_to_string(
+                  ['{"path":"A@/href","url":"http://crawl.test/page/'
+                     || (doc_id * 31 + jj * 17) % 997
+                     || '","text":"link ' || doc_id || '-' || jj || '"}'
+                   FOR jj IN range(0, k)], ',') || ']' END AS links_json
+              FROM d
+            ), p AS (
+              SELECT *,
+                '{"Envelope":{"WARC-Header-Metadata":{"WARC-Target-URI":"'
+                || url || '","WARC-Date":"' || warc_date
+                || '"},"Payload-Metadata":{"HTML-Metadata":{"Head":'
+                || '{"Title":"' || title || '"},"Links":' || links_json
+                || '}}}}' AS payload
+              FROM j
+            )
+            SELECT url, warc_date, title,
+                   CAST(k AS INT) AS n_links,
+                   CAST(strlen(payload) AS BIGINT) AS payload_len,
+                   payload,
+                   'WARC/1.0' || chr(13) || chr(10)
+                   || 'WARC-Type: metadata' || chr(13) || chr(10)
+                   || 'WARC-Target-URI: ' || url || chr(13) || chr(10)
+                   || 'WARC-Date: ' || warc_date || chr(13) || chr(10)
+                   || 'Content-Type: application/json'
+                   || chr(13) || chr(10)
+                   || 'Content-Length: ' || strlen(payload)
+                   || chr(13) || chr(10)
+                   || chr(13) || chr(10) || payload
+                   || chr(13) || chr(10) || chr(13) || chr(10) AS record
+            FROM p
         """,
         # md_outline twin: rebuild the identical concat_ws markdown, then
         # re-derive the block table with string_split + range-unnest and

@@ -1,10 +1,12 @@
-"""WET export — Common-Crawl-style text-conversion records from pages.
+"""WET / WAT export — Common-Crawl-style derived records from pages.
 
-Completes the crawl artifact triad the engine already serves two-thirds
-of: WARC (sources/warc.py, the raw captures), CDX (operators/cdx.py, the
-random-access index) and now WET — the per-response "conversion" record
+Completes the crawl artifact family the engine already serves most of:
+WARC (sources/warc.py, the raw captures), CDX (operators/cdx.py, the
+random-access index), WET — the per-response "conversion" record
 carrying the extracted plain text, which is what most corpus pipelines
-actually consume from Common Crawl. The reference service returns
+actually consume from Common Crawl — and WAT, the per-response
+"metadata" record (JSON envelope with page title and outlinks) that
+feeds link-graph and URL-discovery pipelines. The reference service returns
 extracted markdown over HTTP per file (/root/reference/llm_food/
 app.py:215-249); at corpus scale the equivalent deliverable is this
 table/record stream.
@@ -27,11 +29,12 @@ like cc_prep's completed-gate; audit them from ``extract_pages``.
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import Iterator, Optional
 
 from pyspark.sql import DataFrame, functions as F
 
 from llm_food_spark.operators.extract import extract_pages
+from llm_food_spark.operators.util import ensure_min_partitions
 
 _CRLF = "\r\n"
 
@@ -79,6 +82,114 @@ def wet_records(
                  F.col("text_len").cast("string"), F.lit(_CRLF)),
         F.lit(_CRLF),
         F.col("text"),
+        F.lit(_CRLF + _CRLF),
+    )
+    return out.withColumn("record", record)
+
+
+_WAT_META_SCHEMA = (
+    "url string, warc_date string, title string, "
+    "links array<struct<path:string,url:string,text:string>>"
+)
+
+
+def wat_records(
+    pages: DataFrame,
+    n_partitions: Optional[int] = None,
+) -> DataFrame:
+    """pages (url, warc_ts, html) → WAT metadata records:
+    (url, warc_date, title, n_links, payload_len, payload, record).
+
+    Follows the public Common Crawl WAT shape (WARC-Type: metadata,
+    application/json payload; see the published WAT spec — the envelope
+    below keeps its load-bearing fields): per response, a JSON envelope
+    ``{"Envelope":{"WARC-Header-Metadata":{...},"Payload-Metadata":
+    {"HTTP-Response-Metadata":{"HTML-Metadata":{"Head":{"Title":...},
+    "Links":[{"path":"A@/href","url":...,"text":...},...]}}}}}`` where
+    Links are the page's <a> edges in document order with hrefs resolved
+    against the page URL (functions/links.py), and Title is the
+    whitespace-normalized <title> (functions/metadata.py). Non-HTML /
+    unparseable payloads degrade to title "" and an empty Links array —
+    every 200 response gets a record, matching the WAT convention.
+
+    Scale shape: ONE ``mapInPandas`` pass carries title + the link array
+    out of the DOM parse; the JSON serialization (``to_json``), octet
+    length, digest-free framing and the full record string are Catalyst
+    ``concat`` arithmetic above it — no second Arrow exchange, no
+    groupBy (document order is preserved because the array is built
+    inside the per-page parse, never via collect_list). The reference
+    never emits link metadata (/root/reference/llm_food: no graph or
+    WAT code) — this is corpus-pipeline surface beyond it.
+    """
+    import pandas as pd  # local: keep module import cheap for docs tools
+
+    warc_date = F.date_format(
+        F.col("warc_ts"), "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("warc_date")
+    src = pages.select(F.col("url"), warc_date, F.col("html"))
+    is_binary = dict(src.dtypes)["html"] == "binary"
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from llm_food_spark.functions.encoding import decode_html
+        from llm_food_spark.functions.links import extract_links
+        from llm_food_spark.functions.metadata import extract_html_metadata
+
+        for pdf in it:
+            titles, link_arrs = [], []
+            for url, payload in zip(pdf["url"], pdf["html"]):
+                if payload is None:
+                    titles.append("")
+                    link_arrs.append([])
+                    continue
+                raw = bytes(payload) if is_binary else str(
+                    payload).encode("utf-8")
+                titles.append(extract_html_metadata(raw)["title"])
+                link_arrs.append([
+                    {"path": "A@/href", "url": target, "text": anchor}
+                    for _href, target, anchor, _rel in extract_links(
+                        decode_html(raw), str(url))
+                ])
+            yield pd.DataFrame({
+                "url": pdf["url"].astype(str),
+                "warc_date": pdf["warc_date"].astype(str),
+                "title": titles,
+                "links": link_arrs,
+            })
+
+    meta = ensure_min_partitions(src, n_partitions).mapInPandas(
+        run, schema=_WAT_META_SCHEMA)
+
+    envelope = F.struct(
+        F.struct(
+            F.struct(
+                F.col("url").alias("WARC-Target-URI"),
+                F.col("warc_date").alias("WARC-Date"),
+            ).alias("WARC-Header-Metadata"),
+            F.struct(
+                F.struct(
+                    F.struct(F.col("title").alias("Title")).alias("Head"),
+                    F.col("links").alias("Links"),
+                ).alias("HTML-Metadata"),
+            ).alias("Payload-Metadata"),
+        ).alias("Envelope"),
+    )
+    payload = F.to_json(envelope)
+    out = meta.select(
+        "url", "warc_date", "title",
+        F.size("links").cast("int").alias("n_links"),
+        F.length(F.encode(payload, "UTF-8")).cast("long").alias(
+            "payload_len"),
+        payload.alias("payload"),
+    )
+    record = F.concat(
+        F.lit("WARC/1.0" + _CRLF),
+        F.lit("WARC-Type: metadata" + _CRLF),
+        F.concat(F.lit("WARC-Target-URI: "), F.col("url"), F.lit(_CRLF)),
+        F.concat(F.lit("WARC-Date: "), F.col("warc_date"), F.lit(_CRLF)),
+        F.lit("Content-Type: application/json" + _CRLF),
+        F.concat(F.lit("Content-Length: "),
+                 F.col("payload_len").cast("string"), F.lit(_CRLF)),
+        F.lit(_CRLF),
+        F.col("payload"),
         F.lit(_CRLF + _CRLF),
     )
     return out.withColumn("record", record)

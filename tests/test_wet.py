@@ -71,3 +71,99 @@ def test_all_catalyst_above_extraction(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("MapInPandas") == 1
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+# --- WAT metadata records ---------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def wat(spark):
+    import json
+
+    rows = [
+        # two links (document order matters), relative + absolute hrefs
+        ("http://w.test/a/1",
+         b'<html><head><title> T  one </title></head><body>'
+         b'<p><a href="/x">first</a> <a href="http://o.test/y">second'
+         b'</a> <a href="#frag">skipped</a></p></body></html>'),
+        # escaping: quote + backslash + newline in title and anchor
+        ("http://w.test/a/2",
+         b'<html><head><title>q"b\\c</title></head><body>'
+         b'<a href="z">a"n\nc</a></body></html>'),
+        # non-HTML 200: degrades, never vanishes
+        ("http://w.test/a/3", b"\x00\x01garbage\xff"),
+        # NULL payload
+        ("http://w.test/a/4", None),
+    ]
+    from llm_food_spark.operators.wet import wat_records
+
+    out = {r.url: r for r in wat_records(_pages(spark, rows)).collect()}
+    return out, json
+
+
+def test_wat_every_response_has_a_record(wat):
+    out, _ = wat
+    assert set(out) == {"http://w.test/a/%d" % i for i in (1, 2, 3, 4)}
+
+
+def test_wat_envelope_links_and_title(wat):
+    out, json = wat
+    env = json.loads(out["http://w.test/a/1"].payload)["Envelope"]
+    hm = env["WARC-Header-Metadata"]
+    assert hm["WARC-Target-URI"] == "http://w.test/a/1"
+    assert hm["WARC-Date"] == "2025-01-01T12:00:00Z"
+    html_md = env["Payload-Metadata"]["HTML-Metadata"]
+    assert html_md["Head"]["Title"] == "T one"  # ws-normalized
+    links = html_md["Links"]
+    # document order, resolved against the page url, fragment dropped
+    assert [l["url"] for l in links] == [
+        "http://w.test/x", "http://o.test/y"]
+    assert [l["text"] for l in links] == ["first", "second"]
+    assert all(l["path"] == "A@/href" for l in links)
+    assert out["http://w.test/a/1"].n_links == 2
+
+
+def test_wat_json_escaping_roundtrip(wat):
+    out, json = wat
+    r = out["http://w.test/a/2"]
+    env = json.loads(r.payload)["Envelope"]  # must parse despite "\n
+    md = env["Payload-Metadata"]["HTML-Metadata"]
+    assert md["Head"]["Title"] == 'q"b\\c'
+    assert md["Links"][0]["text"] == 'a"n c'  # anchor ws-normalized
+    assert md["Links"][0]["url"] == "http://w.test/a/z"
+    # Content-Length counts payload octets exactly
+    assert r.payload_len == len(r.payload.encode("utf-8"))
+
+
+def test_wat_degraded_rows(wat):
+    out, json = wat
+    for u in ("http://w.test/a/3", "http://w.test/a/4"):
+        env = json.loads(out[u].payload)["Envelope"]
+        md = env["Payload-Metadata"]["HTML-Metadata"]
+        assert md["Head"]["Title"] == ""
+        assert md["Links"] == []
+        assert out[u].n_links == 0
+
+
+def test_wat_record_framing(wat):
+    out, _ = wat
+    r = out["http://w.test/a/1"]
+    head, _sep, payload = r.record.partition("\r\n\r\n")
+    lines = head.split("\r\n")
+    assert lines[0] == "WARC/1.0"
+    hdrs = dict(l.split(": ", 1) for l in lines[1:])
+    assert hdrs["WARC-Type"] == "metadata"
+    assert hdrs["Content-Type"] == "application/json"
+    assert payload.endswith("\r\n\r\n")
+    body = payload[:-4]
+    assert len(body.encode("utf-8")) == int(hdrs["Content-Length"])
+    assert body == r.payload
+
+
+def test_wat_single_python_pass(spark):
+    from llm_food_spark.operators.wet import wat_records
+
+    df = wat_records(_pages(spark, [("http://a/1", b"<p>x</p>")]))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("MapInPandas") == 1
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
