@@ -1319,6 +1319,22 @@ def q_dedup_exact(spark, sf_dir):
     return exact_duplicates(d.unionByName(mirror))
 
 
+def q_soft_dedup(spark, sf_dir):
+    """SoftDeDup / D4 duplicate-aware reweighting (operators/dedup.py::
+    soft_dedup_weights): every 3rd doc joins an arithmetic cluster
+    (root = doc_id div 50, so block sizes vary at corpus boundaries),
+    alpha='sqrt' tempering. Hard oracle: DuckDB recomputes membership,
+    cluster sizes, the floor(1e6/sqrt(size)) micro-unit weights, the
+    whitespace token counts and the effective-token products — all
+    integer-exact except one correctly-rounded sqrt+divide."""
+    from llm_food_spark.operators.dedup import soft_dedup_weights
+
+    d = _t(spark, sf_dir, "documents")
+    clusters = d.where(F.col("doc_id") % 3 == 0).select(
+        "doc_id", F.expr("doc_id div 50").alias("root"))
+    return soft_dedup_weights(d, clusters, alpha="sqrt")
+
+
 def q_ngram_jaccard(spark, sf_dir):
     from llm_food_spark.operators.dedup import ngram_jaccard_pairs
 
@@ -3538,6 +3554,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "md_outline": q_md_outline,              # markdown structure profile (per-block kind/level/words), split+range-unnest twin
         "split_leakage": q_split_leakage,        # leakage audit of a doc-keyed split vs a host grouping; full bucket-arithmetic twin
         "ngram_jaccard": q_ngram_jaccard,        # demoted for phrase_search: driver-green in r3, and the shingle->set->exact-overlap twin mechanism is held by dedup_paragraphs/dedup_substrings slots; the capped in-block quadratic stays repo-gated
+        "soft_dedup": q_soft_dedup,              # SoftDeDup/D4 duplicate-aware reweighting (hard micro-unit twin; the dedup family's driver slots hold the detection side)
         "cms_heavy": q_cms_heavy,                # demoted for count_anomalies: hll_sketch holds the sketch-family slot (same constant-state grid/register mechanism); the Count-Min row/argmin arithmetic stays repo-gated
         "url_filter": q_url_filter,              # demoted for ngram_novelty: robots_screen holds the crawl URL-screen slot with strictly harder broadcast-rule semantics; the UT1 membership join stays repo-gated (and web_prep_full exercises broadcast screens)
         "chunk_recursive_tokens": q_chunk_recursive_tokens,  # demoted for kmeans: chunk_token holds the token-window chunker slot and recomputes the same token-boundary arithmetic; the recursive split tree stays repo-gated
@@ -6972,6 +6989,34 @@ def _handwritten_oracles() -> dict[str, str]:
             FROM u GROUP BY sha256(text) HAVING COUNT(*) > 1
         """,
         "ngram_jaccard": _NGRAM_PAIRS_SQL,
+        # soft_dedup twin: membership (%3) -> root = div 50 -> sizes ->
+        # singletons coalesce to 1 -> floor(1e6/sqrt(size)) micro-weights
+        # -> whitespace token count -> effective-token product
+        "soft_dedup": r"""
+            WITH m AS (
+              SELECT doc_id, doc_id // 50 AS root
+              FROM documents WHERE doc_id % 3 = 0
+            ), s AS (
+              SELECT root, COUNT(*)::BIGINT AS cluster_size
+              FROM m GROUP BY root
+            ), j AS (
+              SELECT d.doc_id,
+                     COALESCE(s.cluster_size, 1)::BIGINT AS cluster_size,
+                     len(regexp_extract_all(d.text, '\S+'))::INT
+                       AS n_tokens
+              FROM documents d
+              LEFT JOIN m ON d.doc_id = m.doc_id
+              LEFT JOIN s ON m.root = s.root
+            )
+            SELECT doc_id, cluster_size,
+                   CAST(floor(1000000 / sqrt(cluster_size)) AS BIGINT)
+                     AS weight_micro,
+                   n_tokens,
+                   n_tokens::BIGINT
+                     * CAST(floor(1000000 / sqrt(cluster_size)) AS BIGINT)
+                     AS eff_tokens_micro
+            FROM j
+        """,
         # pairs -> transitive closure -> keeper window (see q_dedup_clusters)
         "dedup_clusters": _DEDUP_CLUSTERS_SQL,
         # connected-components plan on seeded arithmetic edges

@@ -985,3 +985,69 @@ def neardup_against_index(
         6,
     )
     return pairs.select("new_id", "index_id", est.alias("est_jaccard"))
+
+
+# ---------------------------------------------------------------------------
+# soft dedup — duplicate-aware reweighting (keep everything, downweight)
+# ---------------------------------------------------------------------------
+
+def soft_dedup_weights(
+    docs: DataFrame,
+    clusters: DataFrame,
+    alpha: str = "linear",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Duplicate-aware sampling weights instead of hard removal:
+    (doc_id, cluster_size, weight_micro, n_tokens, eff_tokens_micro).
+
+    The SoftDeDup / D4 discipline (Xue et al. 2024; Tirumala et al.
+    2023, both public): hard dedup throws away the information that a
+    document was common; soft dedup keeps every document and downweights
+    its sampling rate by its duplicate-cluster size, so one epoch over
+    the weighted corpus sees each *content* once. No reference analogue
+    (llm-food has no corpus-level dedup at all).
+
+    - ``clusters`` — (id_col, root) membership, e.g. ``dedup_clusters``
+      output or exact-hash groups; docs absent from it are singletons.
+    - ``weight_micro`` — exact integer micro-units: ``alpha='linear'``
+      is ``1_000_000 div size`` (integer division, cross-engine exact);
+      ``alpha='sqrt'`` is ``floor(1e6 / sqrt(size))`` (gentler, the
+      paper's tempered variant; sqrt and one IEEE divide are
+      correctly-rounded on both engines).
+    - ``eff_tokens_micro`` — ``n_tokens * weight_micro``, the document's
+      contribution to the reweighted corpus' effective token count
+      (``sum(eff_tokens_micro)/1e6`` = effective tokens after soft
+      dedup).
+
+    Scale shape: sizes are one groupBy on ``root`` (narrow 2-col frame),
+    membership re-attach is a key join Catalyst plans (AQE/broadcast as
+    sizes allow), token counts are one JVM regexp scan — no Python, no
+    window, no driver state.
+    """
+    if alpha not in ("linear", "sqrt"):
+        raise ValueError("alpha must be 'linear' or 'sqrt'")
+    member = clusters.select(F.col(id_col), F.col("root"))
+    sizes = member.groupBy("root").agg(
+        F.count("*").cast("long").alias("cluster_size"))
+    sized = member.join(sizes, "root").select(id_col, "cluster_size")
+    from .textops import token_count  # local: avoid module-load cycle
+
+    joined = docs.select(
+        F.col(id_col),
+        token_count(F.col(text_col)).alias("n_tokens"),
+    ).join(sized, id_col, "left").na.fill({"cluster_size": 1})
+    if alpha == "linear":
+        weight = F.expr("1000000 div cluster_size")
+    else:
+        weight = F.floor(
+            F.lit(1_000_000.0) / F.sqrt(F.col("cluster_size"))
+        ).cast("long")
+    return joined.select(
+        id_col,
+        F.col("cluster_size"),
+        weight.alias("weight_micro"),
+        "n_tokens",
+        (F.col("n_tokens").cast("long") * weight).alias(
+            "eff_tokens_micro"),
+    )

@@ -484,3 +484,44 @@ def test_neardup_against_index_caps_each_side(spark):
     got = neardup_against_index(new, idx, sig_col="sig", num_hashes=4,
                                 bands=2, max_bucket=9).collect()
     assert len(got) == 18 and all(r["est_jaccard"] == 1.0 for r in got)
+
+
+def test_soft_dedup_weights_hand_case(spark):
+    from llm_food_spark.operators.dedup import soft_dedup_weights
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "d e"), (3, "f"), (4, "g h i j")],
+        "doc_id long, text string")
+    # docs 1,2,3 one cluster; doc 4 absent from clusters -> singleton
+    clusters = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 10)], "doc_id long, root long")
+    got = {r.doc_id: r for r in
+           soft_dedup_weights(docs, clusters, alpha="linear").collect()}
+    assert got[1].cluster_size == 3 and got[1].weight_micro == 333333
+    assert got[1].n_tokens == 3
+    assert got[1].eff_tokens_micro == 3 * 333333
+    assert got[4].cluster_size == 1 and got[4].weight_micro == 1_000_000
+    assert got[4].eff_tokens_micro == 4_000_000
+    # sum(eff)/1e6 = effective tokens: cluster contributes ~once
+    eff = sum(r.eff_tokens_micro for r in got.values()) / 1e6
+    assert abs(eff - (6 * 0.333333 + 4)) < 1e-5
+
+
+def test_soft_dedup_sqrt_tempering_and_validation(spark):
+    import pytest as _pt
+
+    from llm_food_spark.operators.dedup import soft_dedup_weights
+
+    docs = spark.createDataFrame(
+        [(i, "w") for i in range(4)], "doc_id long, text string")
+    clusters = spark.createDataFrame(
+        [(i, 0) for i in range(4)], "doc_id long, root long")
+    got = soft_dedup_weights(docs, clusters, alpha="sqrt").collect()
+    # size 4 -> 1e6/sqrt(4) = 500000 exactly
+    assert all(r.weight_micro == 500_000 for r in got)
+    with _pt.raises(ValueError):
+        soft_dedup_weights(docs, clusters, alpha="cube")
+    # all-Catalyst: no Python eval in the plan
+    plan = soft_dedup_weights(docs, clusters)._jdf.queryExecution(
+        ).executedPlan().toString()
+    assert "EvalPython" not in plan and "MapInPandas" not in plan
