@@ -1319,6 +1319,30 @@ def q_dedup_exact(spark, sf_dir):
     return exact_duplicates(d.unionByName(mirror))
 
 
+def q_mixture_weights(spark, sf_dir):
+    """DoReMi-style fixed-loss mixture apportionment (operators/
+    mixture.py): 100 lang/source domains, per-doc integer loss proxy
+    (n_chars micro-units per token), power-2 tilt, 20% uniform
+    smoothing. Hard oracle: DuckDB recomputes the domain aggregates, the
+    max-normalized tilt, the v pre-reduction, both largest-remainder
+    apportionments and the exact-ppm weights — pure integer arithmetic
+    end to end, Σ weight_ppm == 1_000_000 by construction."""
+    from llm_food_spark.operators.mixture import mixture_weights
+    from llm_food_spark.operators.textops import token_count
+
+    d = _t(spark, sf_dir, "documents")
+    per_doc = d.select(
+        F.concat_ws("/", "lang", "source").alias("domain"),
+        token_count(F.col("text")).cast("long").alias("tok"),
+        F.col("n_chars"),
+    ).withColumn("loss", F.expr("(n_chars * 1000000L) div (tok + 1L)"))
+    domains = per_doc.groupBy("domain").agg(
+        F.sum("tok").cast("long").alias("n_tokens"),
+        F.expr("sum(loss) div count(1)").cast("long").alias("loss_micro"),
+    )
+    return mixture_weights(domains, power=2, smoothing_ppm=200_000)
+
+
 def q_soft_dedup(spark, sf_dir):
     """SoftDeDup / D4 duplicate-aware reweighting (operators/dedup.py::
     soft_dedup_weights): every 3rd doc joins an arithmetic cluster
@@ -3555,6 +3579,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_leakage": q_split_leakage,        # leakage audit of a doc-keyed split vs a host grouping; full bucket-arithmetic twin
         "ngram_jaccard": q_ngram_jaccard,        # demoted for phrase_search: driver-green in r3, and the shingle->set->exact-overlap twin mechanism is held by dedup_paragraphs/dedup_substrings slots; the capped in-block quadratic stays repo-gated
         "soft_dedup": q_soft_dedup,              # SoftDeDup/D4 duplicate-aware reweighting (hard micro-unit twin; the dedup family's driver slots hold the detection side)
+        "mixture_weights": q_mixture_weights,    # DoReMi-style fixed-loss domain mixture (exact largest-remainder ppm twin; crawl_budget holds the apportionment family's driver slot)
         "cms_heavy": q_cms_heavy,                # demoted for count_anomalies: hll_sketch holds the sketch-family slot (same constant-state grid/register mechanism); the Count-Min row/argmin arithmetic stays repo-gated
         "url_filter": q_url_filter,              # demoted for ngram_novelty: robots_screen holds the crawl URL-screen slot with strictly harder broadcast-rule semantics; the UT1 membership join stays repo-gated (and web_prep_full exercises broadcast screens)
         "chunk_recursive_tokens": q_chunk_recursive_tokens,  # demoted for kmeans: chunk_token holds the token-window chunker slot and recomputes the same token-boundary arithmetic; the recursive split tree stays repo-gated
@@ -6989,6 +7014,68 @@ def _handwritten_oracles() -> dict[str, str]:
             FROM u GROUP BY sha256(text) HAVING COUNT(*) > 1
         """,
         "ngram_jaccard": _NGRAM_PAIRS_SQL,
+        # mixture_weights twin: per-doc integer loss -> domain aggregates
+        # (div means) -> max-normalized power-2 tilt -> v pre-reduction ->
+        # largest-remainder ppm apportionment of 800k + uniform 200k
+        "mixture_weights": r"""
+            WITH per AS (
+              SELECT lang || '/' || source AS domain,
+                     len(regexp_extract_all(text, '\S+'))::BIGINT AS tok,
+                     n_chars
+              FROM documents
+            ), per2 AS (
+              SELECT domain, tok,
+                     (n_chars * 1000000) // (tok + 1) AS loss
+              FROM per
+            ), dom AS (
+              SELECT domain, SUM(tok)::BIGINT AS n_tokens,
+                     (SUM(loss) // COUNT(*))::BIGINT AS loss_micro
+              FROM per2 GROUP BY domain
+            ), m AS (
+              SELECT *, (SELECT MAX(loss_micro) FROM dom) AS mx,
+                        (SELECT COUNT(*) FROM dom)::BIGINT AS n
+              FROM dom
+            ), t AS (
+              SELECT *, (CASE WHEN mx > 0 THEN (loss_micro * 1000) // mx
+                              ELSE 0 END)::BIGINT AS l_norm
+              FROM m
+            ), vv AS (
+              SELECT *,
+                     n_tokens * (l_norm + 1) * (l_norm + 1) AS v
+              FROM t
+            ), r1 AS (
+              SELECT *, (SELECT SUM(v) FROM vv) AS vsum FROM vv
+            ), r2 AS (
+              SELECT *, v // (vsum // 1000000000000 + 1) AS v_red FROM r1
+            ), r3 AS (
+              SELECT *, (SELECT SUM(v_red) FROM r2) AS vred_sum FROM r2
+            ), r4 AS (
+              SELECT *,
+                     CASE WHEN vred_sum > 0 THEN v_red ELSE 1 END AS v2,
+                     CASE WHEN vred_sum > 0 THEN vred_sum ELSE n END
+                       AS vs2
+              FROM r3
+            ), s AS (
+              SELECT *, (800000 * v2) // vs2 AS share,
+                        (800000 * v2) % vs2 AS rem
+              FROM r4
+            ), s2 AS (
+              SELECT *,
+                     800000 - (SELECT SUM(share) FROM s) AS leftover,
+                     ROW_NUMBER() OVER
+                       (ORDER BY rem DESC, domain ASC) AS rk,
+                     ROW_NUMBER() OVER (ORDER BY domain ASC) AS sk
+              FROM s
+            )
+            SELECT domain, n_tokens, loss_micro, l_norm,
+                   (share + CASE WHEN rk <= leftover THEN 1 ELSE 0
+                            END)::BIGINT AS tilted_ppm,
+                   (share + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
+                    + 200000 // n
+                    + CASE WHEN sk <= 200000 % n THEN 1 ELSE 0
+                      END)::BIGINT AS weight_ppm
+            FROM s2
+        """,
         # soft_dedup twin: membership (%3) -> root = div 50 -> sizes ->
         # singletons coalesce to 1 -> floor(1e6/sqrt(size)) micro-weights
         # -> whitespace token count -> effective-token product

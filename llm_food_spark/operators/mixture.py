@@ -1,0 +1,132 @@
+"""Training-data mixture weights — loss-tilted domain apportionment.
+
+The data-mixture step of a pre-training pipeline (DoReMi, Xie et al.
+2023; DoGE and friends — all public work): given per-domain size and a
+per-domain difficulty/loss signal (e.g. the repo's own LM perplexity
+operators), produce sampling weights that tilt toward high-excess-loss
+domains while staying anchored to token share, plus uniform smoothing so
+no domain starves. Full DoReMi re-estimates losses with a proxy model
+every round; with a FIXED loss vector the update collapses to a single
+tilt, which is what this operator computes — documented as the
+fixed-loss variant, not a Group-DRO loop.
+
+Designed floats-out (the repo's oracle discipline): the tilt is a
+polynomial in integer space, not a softmax —
+
+  l_norm_d = (loss_d * 1000) div max(loss)          in [0, 1000]
+  u_d      = (l_norm_d + 1) ** power                 (+1 keeps every
+                                                      domain nonzero)
+  v_d      = n_tokens_d * u_d                        token-share anchor
+
+and v is apportioned to parts-per-million by EXACT largest-remainder
+(the crawl_budget discipline, operators/snapshot.py): the ppm budget
+minus smoothing goes ``(B*v) div V`` each plus +1 to the largest
+``(B*v) mod V`` remainders (domain-asc tie-break); the smoothing ppm is
+split uniformly the same way. Weights sum to exactly 1_000_000 — a
+cross-engine-reproducible mixture recipe.
+
+Overflow contract (BIGINT throughout, no silent wrap): v_d is
+pre-reduced by ``scale = V div 1e12 + 1`` before the ppm multiply, so
+the only binding caps are ``loss_micro ≤ 9.2e15`` and
+``Σ n_tokens_d·(l_norm_d+1)^power ≤ 9.2e18`` — with the default
+power=2 that allows ~9e12 raw tokens per call; pass n_tokens in
+kilotokens beyond that (the tilt is scale-invariant).
+
+Scale shape: one groupBy to domain aggregates, then everything is
+domain-table-sized — the two global windows (remainder rank, smoothing
+rank) sort metadata rows, the 1-row totals attach via broadcast
+crossJoin, zero Python anywhere. No reference analogue (llm-food has no
+corpus mixing at all).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+_PPM = 1_000_000
+_REDUCE_CAP = 1_000_000_000_000  # pre-reduction target for v before *PPM
+
+
+def mixture_weights(
+    domains: DataFrame,
+    power: int = 2,
+    smoothing_ppm: int = 200_000,
+    domain_col: str = "domain",
+    tokens_col: str = "n_tokens",
+    loss_col: str = "loss_micro",
+) -> DataFrame:
+    """(domain, n_tokens, loss_micro) → per-domain training mixture:
+    (domain, n_tokens, loss_micro, l_norm, tilted_ppm, weight_ppm).
+
+    - ``tilted_ppm`` — the loss-tilted token-share apportionment of
+      ``1e6 - smoothing_ppm`` (exact largest-remainder).
+    - ``weight_ppm`` — tilted_ppm + the uniform smoothing share;
+      Σ weight_ppm == 1_000_000 exactly.
+    - all-zero loss or all-zero tokens degrade to the uniform mixture
+      (documented fallback), never divide-by-zero.
+    """
+    if not (isinstance(power, int) and 1 <= power <= 3):
+        raise ValueError("power must be an int in [1, 3]")
+    if not (0 <= smoothing_ppm <= _PPM):
+        raise ValueError("smoothing_ppm must be in [0, 1_000_000]")
+
+    d = domains.select(
+        F.col(domain_col).alias("domain"),
+        F.col(tokens_col).cast("long").alias("n_tokens"),
+        F.col(loss_col).cast("long").alias("loss_micro"),
+    )
+    mx = d.agg(F.max("loss_micro").alias("mx"),
+               F.count(F.lit(1)).cast("long").alias("n"))
+    d = d.crossJoin(F.broadcast(mx))
+    d = d.withColumn(
+        "l_norm",
+        F.when(F.col("mx") > 0,
+               F.expr("(loss_micro * 1000L) div mx"))
+         .otherwise(F.lit(0)).cast("long"),
+    )
+    u = F.lit(1).cast("long")
+    for _ in range(power):
+        u = u * (F.col("l_norm") + F.lit(1))
+    d = d.withColumn("v", (F.col("n_tokens") * u).cast("long"))
+
+    tot = d.agg(F.sum("v").cast("long").alias("vsum"))
+    d = d.crossJoin(F.broadcast(tot)).withColumn(
+        "scale", F.expr("vsum div %dL + 1L" % _REDUCE_CAP)
+    ).withColumn("v_red", F.expr("v div scale"))
+    red = d.agg(F.sum("v_red").cast("long").alias("vred_sum"))
+    d = d.crossJoin(F.broadcast(red))
+    # degenerate corpus (all v == 0): uniform tilt
+    d = d.withColumn(
+        "v2", F.when(F.col("vred_sum") > 0, F.col("v_red")).otherwise(
+            F.lit(1).cast("long"))
+    ).withColumn(
+        "vs2", F.when(F.col("vred_sum") > 0, F.col("vred_sum")).otherwise(
+            F.col("n"))
+    )
+
+    budget = _PPM - int(smoothing_ppm)
+    d = d.withColumn(
+        "share", F.expr("(%dL * v2) div vs2" % budget).cast("long")
+    ).withColumn(
+        "rem", F.expr("(%dL * v2) %% vs2" % budget).cast("long"))
+    lo = d.agg((F.lit(budget).cast("long") - F.sum("share")).alias("l"))
+    d = d.crossJoin(F.broadcast(lo))
+    rw = Window.orderBy(F.col("rem").desc(), F.col("domain").asc())
+    d = d.withColumn(
+        "tilted_ppm",
+        (F.col("share")
+         + (F.row_number().over(rw) <= F.col("l")).cast("long")),
+    )
+    # uniform smoothing share, same largest-remainder form (all
+    # remainders tie at smoothing_ppm % n -> first domains by name)
+    sw = Window.orderBy(F.col("domain").asc())
+    d = d.withColumn(
+        "smooth_ppm",
+        F.expr("%dL div n" % int(smoothing_ppm)).cast("long")
+        + (F.row_number().over(sw)
+           <= F.expr("%dL %% n" % int(smoothing_ppm))).cast("long"),
+    )
+    return d.select(
+        "domain", "n_tokens", "loss_micro", "l_norm", "tilted_ppm",
+        (F.col("tilted_ppm") + F.col("smooth_ppm")).alias("weight_ppm"),
+    )

@@ -1,0 +1,70 @@
+"""mixture_weights: exact ppm apportionment, tilt, smoothing, fallbacks."""
+
+import pytest
+
+from llm_food_spark.operators.mixture import mixture_weights
+
+
+def _dom(spark, rows):
+    return spark.createDataFrame(
+        rows, "domain string, n_tokens long, loss_micro long")
+
+
+def test_hand_case_power1_no_smoothing(spark):
+    # power=1, smoothing=0: weight ∝ n_tokens * (l_norm+1)
+    # losses 100/200 -> l_norm 500/1000 -> u 501/1001
+    # v: 10*501=5010, 10*1001=10010; total 15020
+    # shares of 1e6: 333555.25.. -> 333555 + 666444.7 -> 666444,
+    # leftover 1 goes to larger remainder (b: rem .74 vs a: .26)
+    out = {r.domain: r for r in mixture_weights(
+        _dom(spark, [("a", 10, 100), ("b", 10, 200)]),
+        power=1, smoothing_ppm=0).collect()}
+    assert out["a"].l_norm == 500 and out["b"].l_norm == 1000
+    assert out["a"].tilted_ppm + out["b"].tilted_ppm == 1_000_000
+    assert out["a"].weight_ppm == out["a"].tilted_ppm
+    exp_a = (1_000_000 * 5010) // 15020
+    assert out["a"].tilted_ppm in (exp_a, exp_a + 1)
+    assert out["b"].tilted_ppm > out["a"].tilted_ppm  # tilt toward loss
+
+
+def test_weights_sum_exactly_to_one_million(spark):
+    rows = [("d%02d" % i, 7 * i + 1, (i * i * 37) % 5000)
+            for i in range(23)]
+    got = mixture_weights(_dom(spark, rows), power=2,
+                          smoothing_ppm=123_456).collect()
+    assert sum(r.weight_ppm for r in got) == 1_000_000
+    assert sum(r.tilted_ppm for r in got) == 1_000_000 - 123_456
+    assert all(r.weight_ppm > 0 for r in got)  # smoothing floors
+
+
+def test_uniform_fallbacks(spark):
+    # all-zero loss: tilt reduces to token share
+    out = {r.domain: r for r in mixture_weights(
+        _dom(spark, [("a", 30, 0), ("b", 10, 0)]),
+        power=2, smoothing_ppm=0).collect()}
+    assert out["a"].tilted_ppm == 750_000 and out["b"].tilted_ppm == 250_000
+    # all-zero tokens: degenerate corpus -> uniform
+    out = {r.domain: r for r in mixture_weights(
+        _dom(spark, [("a", 0, 5), ("b", 0, 9), ("c", 0, 1)]),
+        power=2, smoothing_ppm=0).collect()}
+    assert [out[k].tilted_ppm for k in "abc"] == [333_334, 333_333, 333_333]
+
+
+def test_smoothing_is_uniform_and_exact(spark):
+    out = {r.domain: r for r in mixture_weights(
+        _dom(spark, [("a", 100, 10), ("b", 1, 10), ("c", 1, 10)]),
+        power=2, smoothing_ppm=300_001).collect()}
+    smooth = {k: out[k].weight_ppm - out[k].tilted_ppm for k in out}
+    # 300001 div 3 = 100000, remainder 1 -> first domain by name
+    assert smooth == {"a": 100_001, "b": 100_000, "c": 100_000}
+
+
+def test_validation_and_no_python_plan(spark):
+    d = _dom(spark, [("a", 1, 1)])
+    with pytest.raises(ValueError):
+        mixture_weights(d, power=0)
+    with pytest.raises(ValueError):
+        mixture_weights(d, smoothing_ppm=1_000_001)
+    plan = mixture_weights(d)._jdf.queryExecution().executedPlan(
+        ).toString()
+    assert "EvalPython" not in plan and "MapInPandas" not in plan
