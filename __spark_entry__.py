@@ -1319,6 +1319,58 @@ def q_dedup_exact(spark, sf_dir):
     return exact_duplicates(d.unionByName(mirror))
 
 
+def q_html_tables(spark, sf_dir):
+    """Structured web-table extraction (operators/tables.py) under a
+    hard oracle through the real DOM parse and WHATWG grid resolution:
+    each doc synthesizes a table with (doc_id%3)+2 columns — a <th>
+    header row plus a body that is plain (default), colspan=2-led
+    (doc_id%5==0, later cells slide right) or rowspan=2-led (doc_id%7==0
+    ex %5, the second row's cells start at col 1 past the reserved
+    rectangle). DuckDB reconstructs every (table, row, col, span,
+    header, text) tuple closed-form, so a divergence in the tokenizer,
+    tree shape, occupancy algorithm or text normalization breaks the
+    hash."""
+    from llm_food_spark.operators.tables import extract_html_tables
+
+    cells = ("aggregate(transform(filter(sequence(0, 5), "
+             "j -> j >= %s AND j <= %s), "
+             "j -> concat('<td>v', doc_id, '-%d-', j, '</td>')), "
+             "'', (a, x) -> concat(a, x))")
+    html = F.expr("""
+      concat(
+        '<html><body><table><tr>',
+        aggregate(transform(filter(sequence(0, 5),
+          j -> j <= doc_id %% 3 + 1),
+          j -> concat('<th>h', doc_id, '-', j, '</th>')),
+          '', (a, x) -> concat(a, x)),
+        '</tr>',
+        CASE
+          WHEN doc_id %% 5 = 0 THEN concat(
+            '<tr><td colspan="2">v', doc_id, '-1-0</td>',
+            %(cs_extras)s,
+            '</tr>')
+          WHEN doc_id %% 7 = 0 THEN concat(
+            '<tr><td rowspan="2">v', doc_id, '-1-0</td>',
+            %(rs_row1)s,
+            '</tr><tr>',
+            %(rs_row2)s,
+            '</tr>')
+          ELSE concat('<tr>', %(plain)s, '</tr>')
+        END,
+        '</table></body></html>')
+    """ % {
+        "cs_extras": cells % ("1", "doc_id % 3", 1),
+        "rs_row1": cells % ("1", "doc_id % 3 + 1", 1),
+        "rs_row2": cells % ("0", "doc_id % 3", 2),
+        "plain": cells % ("0", "doc_id % 3 + 1", 1),
+    })
+    pages = _t(spark, sf_dir, "documents").select(
+        F.concat(F.lit("http://t.test/"), F.col("doc_id")).alias("url"),
+        html.alias("html"),
+    )
+    return extract_html_tables(pages, n_partitions=8)
+
+
 def q_mixture_weights(spark, sf_dir):
     """DoReMi-style fixed-loss mixture apportionment (operators/
     mixture.py): 100 lang/source domains, per-doc integer loss proxy
@@ -3580,6 +3632,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,        # demoted for phrase_search: driver-green in r3, and the shingle->set->exact-overlap twin mechanism is held by dedup_paragraphs/dedup_substrings slots; the capped in-block quadratic stays repo-gated
         "soft_dedup": q_soft_dedup,              # SoftDeDup/D4 duplicate-aware reweighting (hard micro-unit twin; the dedup family's driver slots hold the detection side)
         "mixture_weights": q_mixture_weights,    # DoReMi-style fixed-loss domain mixture (exact largest-remainder ppm twin; crawl_budget holds the apportionment family's driver slot)
+        "html_tables": q_html_tables,            # structured web-table extraction through the real DOM parse + WHATWG grid occupancy (extract_invariants/cc_prep hold the extraction family's driver slots)
         "cms_heavy": q_cms_heavy,                # demoted for count_anomalies: hll_sketch holds the sketch-family slot (same constant-state grid/register mechanism); the Count-Min row/argmin arithmetic stays repo-gated
         "url_filter": q_url_filter,              # demoted for ngram_novelty: robots_screen holds the crawl URL-screen slot with strictly harder broadcast-rule semantics; the UT1 membership join stays repo-gated (and web_prep_full exercises broadcast screens)
         "chunk_recursive_tokens": q_chunk_recursive_tokens,  # demoted for kmeans: chunk_token holds the token-window chunker slot and recomputes the same token-boundary arithmetic; the recursive split tree stays repo-gated
@@ -7014,6 +7067,52 @@ def _handwritten_oracles() -> dict[str, str]:
             FROM u GROUP BY sha256(text) HAVING COUNT(*) > 1
         """,
         "ngram_jaccard": _NGRAM_PAIRS_SQL,
+        # html_tables twin: closed-form reconstruction of the grid —
+        # header row, then plain / colspan-slide (%5) / rowspan-reserve
+        # (%7 ex %5) body rows, each a range-unnest UNION ALL branch
+        "html_tables": """
+            WITH d AS (
+              SELECT doc_id, 'http://t.test/' || doc_id AS url,
+                     (doc_id % 3 + 2) AS c
+              FROM documents
+            )
+            SELECT url, 0::INT AS table_idx, 0::INT AS row_idx,
+                   u.j::INT AS col_idx, 1::INT AS rowspan,
+                   1::INT AS colspan, TRUE AS is_header,
+                   'h' || doc_id || '-' || u.j AS cell
+            FROM d, UNNEST(range(0, c)) AS u(j)
+            UNION ALL
+            -- colspan body (%5==0): cell 0 spans 2, later cells slide
+            SELECT url, 0::INT, 1::INT,
+                   (CASE WHEN u.j = 0 THEN 0 ELSE u.j + 1 END)::INT,
+                   1::INT,
+                   (CASE WHEN u.j = 0 THEN 2 ELSE 1 END)::INT,
+                   FALSE,
+                   'v' || doc_id || '-1-' || u.j
+            FROM d, UNNEST(range(0, c - 1)) AS u(j)
+            WHERE doc_id % 5 = 0
+            UNION ALL
+            -- rowspan body row 1 (%7==0 ex %5): cell 0 reserves 2 rows
+            SELECT url, 0::INT, 1::INT, u.j::INT,
+                   (CASE WHEN u.j = 0 THEN 2 ELSE 1 END)::INT,
+                   1::INT, FALSE,
+                   'v' || doc_id || '-1-' || u.j
+            FROM d, UNNEST(range(0, c)) AS u(j)
+            WHERE doc_id % 7 = 0 AND doc_id % 5 <> 0
+            UNION ALL
+            -- rowspan body row 2: starts at col 1 past the reservation
+            SELECT url, 0::INT, 2::INT, (u.j + 1)::INT, 1::INT, 1::INT,
+                   FALSE,
+                   'v' || doc_id || '-2-' || u.j
+            FROM d, UNNEST(range(0, c - 1)) AS u(j)
+            WHERE doc_id % 7 = 0 AND doc_id % 5 <> 0
+            UNION ALL
+            -- plain body
+            SELECT url, 0::INT, 1::INT, u.j::INT, 1::INT, 1::INT, FALSE,
+                   'v' || doc_id || '-1-' || u.j
+            FROM d, UNNEST(range(0, c)) AS u(j)
+            WHERE doc_id % 5 <> 0 AND doc_id % 7 <> 0
+        """,
         # mixture_weights twin: per-doc integer loss -> domain aggregates
         # (div means) -> max-normalized power-2 tilt -> v pre-reduction ->
         # largest-remainder ppm apportionment of 800k + uniform 200k

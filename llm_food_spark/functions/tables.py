@@ -1,0 +1,94 @@
+"""Structured HTML table extraction — grid-resolved cells.
+
+The extraction tier's structured-data sibling to the markdown pipe-table
+serializer (functions/markdown.py:150 renders tables for *reading*; this
+module extracts them as *data*): each <table> becomes grid-addressed
+cell rows with rowspan/colspan resolved by the standard occupancy
+algorithm (the WHATWG table-processing model's core: a spanned cell
+reserves its rectangle, later cells in the row slide right past occupied
+slots). Web-table corpora (WDC Web Tables and friends — public work) are
+built exactly this way at crawl scale.
+
+Pure Python, no Spark imports (CLAUDE.md layering); reuses the repo's
+DOM parser. The reference serializes tables to markdown only
+(/root/reference/llm_food has no structured-table surface) — this is
+corpus-pipeline surface beyond it.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import List, Tuple
+
+from llm_food_spark.functions.html_parser import Element, find_all
+
+_WS = re.compile(r"\s+")
+
+# (table_idx, row_idx, col_idx, rowspan, colspan, is_header, cell)
+Cell = Tuple[int, int, int, int, int, bool, str]
+
+_MAX_SPAN = 1000  # WHATWG clamp: a hostile colspan=2e9 must not OOM the grid
+
+
+def _span(attrs, name: str) -> int:
+    try:
+        v = int((attrs.get(name) or "1").strip())
+    except ValueError:
+        return 1
+    return max(1, min(v, _MAX_SPAN))
+
+
+def _own_rows(table: Element) -> List[Element]:
+    """<tr> descendants of this table, document order, NOT descending
+    into nested <table> elements (their rows belong to the inner
+    table's own extraction)."""
+    rows: List[Element] = []
+    stack = list(reversed(table.children))
+    while stack:
+        node = stack.pop()
+        if not isinstance(node, Element):
+            continue
+        if node.tag == "table":
+            continue  # nested table: its rows are its own
+        if node.tag == "tr":
+            rows.append(node)
+            # a tr's cells may legally contain nested tables only, no
+            # further tr's of THIS table — stop descending
+            continue
+        stack.extend(reversed(node.children))
+    return rows
+
+
+def extract_tables(root: Element) -> List[Cell]:
+    """All tables in the document (pre-order index), cells grid-resolved.
+
+    - ``col_idx`` — the cell's first grid column after sliding past
+      slots reserved by earlier rowspan/colspan rectangles.
+    - ``is_header`` — the cell is a <th>.
+    - ``cell`` — whitespace-normalized text content (nested-table text
+      included verbatim, matching text_content semantics).
+    - hostile spans clamp to 1000 (WHATWG-style limit), malformed span
+      attributes fall back to 1; never raises.
+    """
+    out: List[Cell] = []
+    for t_idx, table in enumerate(find_all(root, "table")):
+        occupied: set = set()
+        for r_idx, tr in enumerate(_own_rows(table)):
+            col = 0
+            for cell in tr.children:
+                if not isinstance(cell, Element) or cell.tag not in (
+                        "td", "th"):
+                    continue
+                while (r_idx, col) in occupied:
+                    col += 1
+                rs = _span(cell.attrs, "rowspan")
+                cs = _span(cell.attrs, "colspan")
+                for r in range(r_idx, r_idx + rs):
+                    for c in range(col, col + cs):
+                        occupied.add((r, c))
+                out.append((
+                    t_idx, r_idx, col, rs, cs, cell.tag == "th",
+                    _WS.sub(" ", cell.text_content()).strip(),
+                ))
+                col += cs
+    return out

@@ -1,0 +1,57 @@
+"""Web-table extraction over the pages frame — one Arrow pass.
+
+Wraps functions/tables.py (pure-Python grid resolution) the repo's
+standard way: a single ``mapInPandas`` over (url, html), binary payloads
+going through the extraction pipeline's charset detection, everything
+above it Catalyst. Output is the WDC-style cell table a downstream
+table-corpus pipeline consumes directly (filter is_header, pivot by
+grid coordinates, join back to pages by url).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Optional
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F  # noqa: F401 (parity)
+
+from .util import ensure_min_partitions
+
+_SCHEMA = ("url string, table_idx int, row_idx int, col_idx int, "
+           "rowspan int, colspan int, is_header boolean, cell string")
+
+
+def extract_html_tables(
+    pages: DataFrame,
+    url_col: str = "url",
+    html_col: str = "html",
+    n_partitions: Optional[int] = None,
+) -> DataFrame:
+    """(url, html) → one row per table cell:
+    (url, table_idx, row_idx, col_idx, rowspan, colspan, is_header, cell).
+
+    Non-HTML / unparseable payloads yield zero rows (there is no table),
+    never errors — audit absent urls against the pages frame."""
+    is_binary = dict(pages.dtypes)[html_col] == "binary"
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from llm_food_spark.functions.encoding import decode_html
+        from llm_food_spark.functions.html_parser import parse_html
+        from llm_food_spark.functions.tables import extract_tables
+
+        for pdf in it:
+            rows = []
+            for url, payload in zip(pdf[url_col], pdf[html_col]):
+                if payload is None:
+                    continue
+                text = (decode_html(bytes(payload)) if is_binary
+                        else str(payload))
+                for cell in extract_tables(parse_html(text)):
+                    rows.append((str(url),) + cell)
+            yield pd.DataFrame(rows, columns=[
+                "url", "table_idx", "row_idx", "col_idx", "rowspan",
+                "colspan", "is_header", "cell"])
+
+    return ensure_min_partitions(
+        pages.select(url_col, html_col), n_partitions
+    ).mapInPandas(run, schema=_SCHEMA)

@@ -1,0 +1,97 @@
+"""Structured table extraction: grid occupancy, spans, nesting, hostile input."""
+
+from llm_food_spark.functions.html_parser import parse_html
+from llm_food_spark.functions.tables import extract_tables
+
+
+def _cells(html):
+    return extract_tables(parse_html(html))
+
+
+def test_simple_grid_with_header():
+    got = _cells(
+        "<table><tr><th>A</th><th>B</th></tr>"
+        "<tr><td>1</td><td>2</td></tr></table>")
+    assert got == [
+        (0, 0, 0, 1, 1, True, "A"), (0, 0, 1, 1, 1, True, "B"),
+        (0, 1, 0, 1, 1, False, "1"), (0, 1, 1, 1, 1, False, "2")]
+
+
+def test_colspan_slides_later_cells():
+    got = _cells(
+        '<table><tr><td colspan="2">a</td><td>b</td></tr></table>')
+    assert got == [(0, 0, 0, 1, 2, False, "a"),
+                   (0, 0, 2, 1, 1, False, "b")]
+
+
+def test_rowspan_reserves_rectangle():
+    got = _cells(
+        '<table><tr><td rowspan="2">a</td><td>b</td></tr>'
+        "<tr><td>c</td></tr></table>")
+    # row 1's first free slot is col 1 — col 0 is reserved by 'a'
+    assert (0, 1, 1, 1, 1, False, "c") in got
+
+
+def test_row_and_colspan_rectangle():
+    got = _cells(
+        '<table><tr><td rowspan="2" colspan="2">a</td><td>b</td></tr>'
+        "<tr><td>c</td></tr>"
+        "<tr><td>d</td><td>e</td></tr></table>")
+    by_text = {c[6]: c for c in got}
+    assert by_text["a"][2:5] == (0, 2, 2)
+    assert by_text["c"][1:3] == (1, 2)   # slides past the 2x2 block
+    assert by_text["d"][1:3] == (2, 0)   # row 2 is free again
+
+
+def test_nested_table_rows_stay_separate():
+    got = _cells(
+        "<table><tr><td>outer "
+        "<table><tr><td>inner</td></tr></table>"
+        "</td></tr></table>")
+    outer = [c for c in got if c[0] == 0]
+    inner = [c for c in got if c[0] == 1]
+    assert len(outer) == 1 and len(inner) == 1
+    assert outer[0][6] == "outer inner"  # text_content semantics
+    assert inner[0][6] == "inner"
+    assert outer[0][1:3] == (0, 0) and inner[0][1:3] == (0, 0)
+
+
+def test_thead_tbody_wrappers_and_ws_normalization():
+    got = _cells(
+        "<table><thead><tr><th> H\n 1 </th></tr></thead>"
+        "<tbody><tr><td>v</td></tr></tbody></table>")
+    assert got == [(0, 0, 0, 1, 1, True, "H 1"),
+                   (0, 1, 0, 1, 1, False, "v")]
+
+
+def test_hostile_spans_clamp_and_malformed_fall_back():
+    got = _cells(
+        '<table><tr><td colspan="2000000000">a</td>'
+        '<td rowspan="abc">b</td><td colspan="-5">c</td></tr></table>')
+    assert got[0][4] == 1000      # WHATWG-style clamp, no OOM
+    assert got[1][3] == 1         # malformed -> 1
+    assert got[2][4] == 1         # negative -> 1
+    assert got[1][2] == 1000      # b sits right after the clamped span
+
+
+def test_no_tables_and_garbage():
+    assert _cells("<p>no tables</p>") == []
+    assert _cells("\x00\x01garbage\xff") == []
+
+
+def test_operator_binary_null_and_plan(spark):
+    from llm_food_spark.operators.tables import extract_html_tables
+
+    pages = spark.createDataFrame(
+        [("http://a/1",
+          bytearray(b"<table><tr><td>x</td></tr></table>")),
+         ("http://a/2", bytearray(b"\xff\x00 not html")),
+         ("http://a/3", None)],
+        "url string, html binary")
+    df = extract_html_tables(pages, n_partitions=2)
+    got = df.collect()
+    assert len(got) == 1 and got[0].url == "http://a/1"
+    assert got[0].cell == "x" and got[0].is_header is False
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("MapInPandas") == 1
+    assert "BatchEvalPython" not in plan
