@@ -1319,6 +1319,44 @@ def q_dedup_exact(spark, sf_dir):
     return exact_duplicates(d.unionByName(mirror))
 
 
+def q_jsonld(spark, sf_dir):
+    """schema.org JSON-LD extraction (operators/sitemap.py::
+    extract_jsonld_items) under a hard oracle through the real DOM
+    parse, raw-text script handling, JSON parse and canonical
+    re-serialization: every doc embeds an Article block (unsorted keys
+    on the wire — c14n must re-sort), doc_id%4==0 adds an @graph block
+    expanding to Person+Organization items, doc_id%9==0 appends a
+    malformed block that must surface as the loud (block,-1,'','') row,
+    and an untyped <script> must be ignored. DuckDB rebuilds every row
+    closed-form including the sorted-key compact JSON strings."""
+    from llm_food_spark.operators.sitemap import extract_jsonld_items
+
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    block0 = F.concat(
+        F.lit('<script type="application/ld+json">'
+              '{"headline":"Doc '), i,
+        F.lit('","@type":"Article","wordCount":'), (i % 997),
+        F.lit(',"@context":"https://schema.org"}</script>'))
+    graph = F.when(i % 4 == 0, F.concat(
+        F.lit('<script type="application/ld+json">'
+              '{"@context":"https://schema.org","@graph":'
+              '[{"@type":"Person","name":"P'), i,
+        F.lit('"},{"@type":"Organization","name":"O'), i,
+        F.lit('"}]}</script>'))).otherwise(F.lit(""))
+    bad = F.when(i % 9 == 0, F.lit(
+        '<script type="application/ld+json">{oops</script>')
+    ).otherwise(F.lit(""))
+    html = F.concat(
+        F.lit("<html><head><script>var x=1;</script>"), block0, graph,
+        bad, F.lit("</head><body><p>b</p></body></html>"))
+    pages = d.select(
+        F.concat(F.lit("http://j.test/"), i).alias("url"),
+        F.encode(html, "UTF-8").alias("html"),
+    )
+    return extract_jsonld_items(pages)
+
+
 def q_html_tables(spark, sf_dir):
     """Structured web-table extraction (operators/tables.py) under a
     hard oracle through the real DOM parse and WHATWG grid resolution:
@@ -3633,6 +3671,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "soft_dedup": q_soft_dedup,              # SoftDeDup/D4 duplicate-aware reweighting (hard micro-unit twin; the dedup family's driver slots hold the detection side)
         "mixture_weights": q_mixture_weights,    # DoReMi-style fixed-loss domain mixture (exact largest-remainder ppm twin; crawl_budget holds the apportionment family's driver slot)
         "html_tables": q_html_tables,            # structured web-table extraction through the real DOM parse + WHATWG grid occupancy (extract_invariants/cc_prep hold the extraction family's driver slots)
+        "jsonld": q_jsonld,                      # schema.org JSON-LD items through DOM raw-text + json c14n (same extraction family)
         "cms_heavy": q_cms_heavy,                # demoted for count_anomalies: hll_sketch holds the sketch-family slot (same constant-state grid/register mechanism); the Count-Min row/argmin arithmetic stays repo-gated
         "url_filter": q_url_filter,              # demoted for ngram_novelty: robots_screen holds the crawl URL-screen slot with strictly harder broadcast-rule semantics; the UT1 membership join stays repo-gated (and web_prep_full exercises broadcast screens)
         "chunk_recursive_tokens": q_chunk_recursive_tokens,  # demoted for kmeans: chunk_token holds the token-window chunker slot and recomputes the same token-boundary arithmetic; the recursive split tree stays repo-gated
@@ -7067,6 +7106,34 @@ def _handwritten_oracles() -> dict[str, str]:
             FROM u GROUP BY sha256(text) HAVING COUNT(*) > 1
         """,
         "ngram_jaccard": _NGRAM_PAIRS_SQL,
+        # jsonld twin: closed-form rows incl. the c14n strings (sorted
+        # keys, compact separators), @graph expansion and the loud
+        # malformed-block row; the untyped script contributes nothing
+        "jsonld": """
+            WITH d AS (
+              SELECT doc_id, 'http://j.test/' || doc_id AS url
+              FROM documents
+            )
+            SELECT url, 0::INT AS block_idx, 0::INT AS item_idx,
+                   'Article' AS item_type,
+                   '{"@context":"https://schema.org","@type":"Article",'
+                   || '"headline":"Doc ' || doc_id || '","wordCount":'
+                   || (doc_id % 997) || '}' AS json
+            FROM d
+            UNION ALL
+            SELECT url, 1::INT, 0::INT, 'Person',
+                   '{"@type":"Person","name":"P' || doc_id || '"}'
+            FROM d WHERE doc_id % 4 = 0
+            UNION ALL
+            SELECT url, 1::INT, 1::INT, 'Organization',
+                   '{"@type":"Organization","name":"O' || doc_id || '"}'
+            FROM d WHERE doc_id % 4 = 0
+            UNION ALL
+            SELECT url,
+                   (CASE WHEN doc_id % 4 = 0 THEN 2 ELSE 1 END)::INT,
+                   (-1)::INT, '', ''
+            FROM d WHERE doc_id % 9 = 0
+        """,
         # html_tables twin: closed-form reconstruction of the grid —
         # header row, then plain / colspan-slide (%5) / rowspan-reserve
         # (%7 ex %5) body rows, each a range-unnest UNION ALL branch

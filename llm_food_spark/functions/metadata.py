@@ -74,3 +74,69 @@ def extract_html_metadata(content: bytes) -> Dict[str, str]:
             if "canonical" in rel and not out["canonical"]:
                 out["canonical"] = node.attrs.get("href", "").strip()
     return out
+
+
+def extract_jsonld(content: bytes):
+    """JSON-LD structured-data items, document order:
+    [(block_idx, item_idx, item_type, json_c14n), ...].
+
+    The Web Data Commons extraction (public dataset/methodology):
+    ``<script type="application/ld+json">`` blocks are the dominant
+    schema.org carrier on the open web. Per block, in document order:
+
+    - a top-level JSON array contributes one item per element;
+    - a top-level object carrying ``@graph`` (the multi-entity idiom)
+      contributes one item per graph element;
+    - otherwise the object itself is the single item;
+    - non-dict items are skipped; ``item_type`` is the item's ``@type``
+      (first element when it is a list, "" when absent);
+    - ``json_c14n`` is the canonical re-serialization (sorted keys,
+      compact separators, raw unicode) so byte-equal output means
+      semantically equal structured data — the dedup/join key;
+    - an unparseable block yields the loud failure row
+      ``(block_idx, -1, "", "")`` — blocks are never silently skipped,
+      and ``block_idx`` counts every ld+json block so indices are
+      stable under malformed neighbors.
+
+    Microdata/RDFa (the legacy carriers) are out of scope here —
+    documented delta, same disposition as the reference's unsupported
+    formats. Never raises on hostile bytes: parser and json both fail
+    closed to the failure row.
+    """
+    import json as _json
+
+    from .html_parser import find_all
+
+    root = parse_html(decode_html(content))
+    out = []
+    block = 0
+    for node in find_all(root, "script"):
+        if (node.attrs.get("type") or "").strip().lower() != \
+                "application/ld+json":
+            continue
+        raw = node.text_content()
+        try:
+            obj = _json.loads(raw)
+        except ValueError:
+            out.append((block, -1, "", ""))
+            block += 1
+            continue
+        if isinstance(obj, list):
+            items = obj
+        elif isinstance(obj, dict) and isinstance(obj.get("@graph"), list):
+            items = obj["@graph"]
+        else:
+            items = [obj]
+        for i, item in enumerate(items):
+            if not isinstance(item, dict):
+                continue
+            t = item.get("@type", "")
+            if isinstance(t, list):
+                t = t[0] if t else ""
+            out.append((
+                block, i, str(t),
+                _json.dumps(item, sort_keys=True,
+                            separators=(",", ":"), ensure_ascii=False),
+            ))
+        block += 1
+    return out

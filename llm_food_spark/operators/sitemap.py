@@ -110,3 +110,39 @@ def extract_metadata(df: DataFrame, url_col: str = "url",
     src = ensure_min_partitions(
         df.select(F.col(url_col).alias("url"), F.col(html_col).alias("html")))
     return src.mapInPandas(_metadata_batches, schema=METADATA_SCHEMA)
+
+
+JSONLD_SCHEMA = T.StructType([
+    T.StructField("url", T.StringType()),
+    T.StructField("block_idx", T.IntegerType()),
+    T.StructField("item_idx", T.IntegerType()),
+    T.StructField("item_type", T.StringType()),
+    T.StructField("json", T.StringType()),
+])
+
+
+def _jsonld_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from ..functions.metadata import extract_jsonld
+
+    for pdf in batches:
+        rows = []
+        for url, payload in zip(pdf["url"], pdf["html"]):
+            content = bytes(payload) if payload is not None else b""
+            for block, item, typ, js in extract_jsonld(content):
+                rows.append((str(url), block, item, typ, js))
+        yield pd.DataFrame(rows, columns=[f.name for f in JSONLD_SCHEMA])
+
+
+def extract_jsonld_items(df: DataFrame, url_col: str = "url",
+                         html_col: str = "html") -> DataFrame:
+    """(url, html:binary) → one row per JSON-LD item:
+    (url, block_idx, item_idx, item_type, json).
+
+    schema.org structured data through the real DOM (the Web Data
+    Commons extraction; functions/metadata.py::extract_jsonld holds the
+    per-block semantics incl. @graph expansion, canonical
+    re-serialization and the loud (block,-1,'','') failure row). One
+    Arrow pass; pages without ld+json blocks contribute zero rows."""
+    src = ensure_min_partitions(
+        df.select(F.col(url_col).alias("url"), F.col(html_col).alias("html")))
+    return src.mapInPandas(_jsonld_batches, schema=JSONLD_SCHEMA)

@@ -162,3 +162,64 @@ class TestSparkOperators:
         assert rows["u1"]["canonical"] == "https://example.com/fish"
         assert rows["u2"]["title"] is None  # absent → NULL
         assert rows["u2"]["status"] == "completed"
+
+
+# --- JSON-LD structured data -------------------------------------------
+
+
+def test_jsonld_single_object_and_c14n():
+    from llm_food_spark.functions.metadata import extract_jsonld
+
+    got = extract_jsonld(
+        b'<html><head><script type="application/ld+json">'
+        b'{"name":"caf\xc3\xa9","@type":"Thing","n":3}'
+        b"</script></head></html>")
+    assert got == [(0, 0, "Thing",
+                    '{"@type":"Thing","n":3,"name":"café"}')]
+
+
+def test_jsonld_array_graph_and_type_list():
+    from llm_food_spark.functions.metadata import extract_jsonld
+
+    got = extract_jsonld(
+        b'<script type="application/ld+json">'
+        b'[{"@type":["A","B"],"x":1},{"y":2},"scalar-skipped"]</script>'
+        b'<script type="APPLICATION/LD+JSON">'
+        b'{"@graph":[{"@type":"P"},{"@type":"Q"}],"@context":"c"}'
+        b"</script>")
+    assert got == [
+        (0, 0, "A", '{"@type":["A","B"],"x":1}'),
+        (0, 1, "", '{"y":2}'),
+        (1, 0, "P", '{"@type":"P"}'),
+        (1, 1, "Q", '{"@type":"Q"}'),
+    ]
+
+
+def test_jsonld_malformed_block_is_loud_and_indices_stable():
+    from llm_food_spark.functions.metadata import extract_jsonld
+
+    got = extract_jsonld(
+        b'<script type="application/ld+json">{broken</script>'
+        b'<script>var notld = 1;</script>'
+        b'<script type="application/ld+json">{"@type":"T"}</script>')
+    assert got == [(0, -1, "", ""), (1, 0, "T", '{"@type":"T"}')]
+    assert extract_jsonld(b"\x00\xffgarbage") == []
+
+
+def test_jsonld_operator_rows(spark):
+    from llm_food_spark.operators.sitemap import extract_jsonld_items
+
+    pages = spark.createDataFrame(
+        [("http://a/1",
+          bytearray(b'<script type="application/ld+json">'
+                    b'{"@type":"T","k":1}</script>')),
+         ("http://a/2", bytearray(b"<p>none</p>")),
+         ("http://a/3", None)],
+        "url string, html binary")
+    df = extract_jsonld_items(pages)
+    got = df.collect()
+    assert len(got) == 1
+    assert got[0].url == "http://a/1" and got[0].item_type == "T"
+    assert got[0].json == '{"@type":"T","k":1}'
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("MapInPandas") == 1
