@@ -1319,6 +1319,54 @@ def q_dedup_exact(spark, sf_dir):
     return exact_duplicates(d.unionByName(mirror))
 
 
+def q_feed_parse(spark, sf_dir):
+    """RSS/Atom feed parsing (operators/sitemap.py::parse_feeds) under a
+    hard oracle through the real tolerant parse: even docs are RSS 2.0
+    (void-<link> text re-attachment, CDATA feed title, entity-escaped
+    link query), odd docs are Atom (rel=self decoy before the alternate
+    link — rel selection proven — and published absent so updated must
+    back-fill), doc_id%9==0 payloads are binary garbage that must
+    surface as the kind='unknown' empty status row. DuckDB rebuilds
+    every item row closed-form."""
+    from llm_food_spark.operators.sitemap import parse_feeds
+
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    items = ("aggregate(transform(filter(sequence(0, 3), "
+             "j -> j <= doc_id %% 3), j -> concat(%s)), "
+             "'', (a, x) -> concat(a, x))")
+    rss_item = ("'<item><title>Item ', doc_id, '-', j, '</title>"
+                "<link>http://f.test/', doc_id, '/', j, '?a=1&amp;b=2"
+                "</link><guid>g', doc_id, '-', j, '</guid>"
+                "<pubDate>Mon, 01 Jan 2025 00:00:0', j, ' GMT</pubDate>"
+                "</item>'")
+    atom_item = ("'<entry><title>Item ', doc_id, '-', j, '</title>"
+                 "<link rel=\"self\" href=\"http://self.test/x\"/>"
+                 "<link rel=\"alternate\" href=\"http://f.test/', "
+                 "doc_id, '/', j, '\"/>"
+                 "<id>g', doc_id, '-', j, '</id>"
+                 "<updated>2025-01-01T00:00:0', j, 'Z</updated>"
+                 "</entry>'")
+    feed = F.expr("""
+      CASE
+        WHEN doc_id %% 2 = 0 THEN concat(
+          '<rss version="2.0"><channel><title><![CDATA[Feed ', doc_id,
+          ' &]]></title>', %(rss)s, '</channel></rss>')
+        ELSE concat(
+          '<feed xmlns="http://www.w3.org/2005/Atom"><title>Feed ',
+          doc_id, ' &amp;</title>', %(atom)s, '</feed>')
+      END
+    """ % {"rss": items % rss_item, "atom": items % atom_item})
+    payload = F.when(i % 9 == 0, F.lit(b"\x00\x01notafeed\xff"))\
+        .otherwise(F.encode(feed, "UTF-8"))
+    src = d.select(
+        F.concat(F.lit("http://f.test/"), i, F.lit("/feed")).alias(
+            "source"),
+        payload.alias("payload"),
+    )
+    return parse_feeds(src)
+
+
 def q_jsonld(spark, sf_dir):
     """schema.org JSON-LD extraction (operators/sitemap.py::
     extract_jsonld_items) under a hard oracle through the real DOM
@@ -3672,6 +3720,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_weights": q_mixture_weights,    # DoReMi-style fixed-loss domain mixture (exact largest-remainder ppm twin; crawl_budget holds the apportionment family's driver slot)
         "html_tables": q_html_tables,            # structured web-table extraction through the real DOM parse + WHATWG grid occupancy (extract_invariants/cc_prep hold the extraction family's driver slots)
         "jsonld": q_jsonld,                      # schema.org JSON-LD items through DOM raw-text + json c14n (same extraction family)
+        "feed_parse": q_feed_parse,              # RSS/Atom discovery through the real tolerant parse (sitemap_parse holds the discovery family's earlier repo slot)
         "cms_heavy": q_cms_heavy,                # demoted for count_anomalies: hll_sketch holds the sketch-family slot (same constant-state grid/register mechanism); the Count-Min row/argmin arithmetic stays repo-gated
         "url_filter": q_url_filter,              # demoted for ngram_novelty: robots_screen holds the crawl URL-screen slot with strictly harder broadcast-rule semantics; the UT1 membership join stays repo-gated (and web_prep_full exercises broadcast screens)
         "chunk_recursive_tokens": q_chunk_recursive_tokens,  # demoted for kmeans: chunk_token holds the token-window chunker slot and recomputes the same token-boundary arithmetic; the recursive split tree stays repo-gated
@@ -7106,6 +7155,42 @@ def _handwritten_oracles() -> dict[str, str]:
             FROM u GROUP BY sha256(text) HAVING COUNT(*) > 1
         """,
         "ngram_jaccard": _NGRAM_PAIRS_SQL,
+        # feed_parse twin: closed-form item rows — RSS on even docs
+        # (entity-decoded link query, CDATA title), Atom on odd docs
+        # (alternate link wins, updated back-fills published), %9
+        # garbage -> the unknown/empty status row
+        "feed_parse": """
+            WITH d AS (
+              SELECT doc_id,
+                     'http://f.test/' || doc_id || '/feed' AS source,
+                     'Feed ' || doc_id || ' &' AS ft,
+                     (doc_id % 3 + 1) AS k
+              FROM documents
+            )
+            SELECT source, 'unknown' AS kind, NULL AS feed_title,
+                   0::INT AS seq, NULL AS title, NULL AS link,
+                   NULL AS guid, NULL AS published,
+                   'empty' AS status, NULL AS error_message
+            FROM d WHERE doc_id % 9 = 0
+            UNION ALL
+            SELECT source, 'rss', ft, u.j::INT,
+                   'Item ' || doc_id || '-' || u.j,
+                   'http://f.test/' || doc_id || '/' || u.j || '?a=1&b=2',
+                   'g' || doc_id || '-' || u.j,
+                   'Mon, 01 Jan 2025 00:00:0' || u.j || ' GMT',
+                   'completed', NULL
+            FROM d, UNNEST(range(0, k)) AS u(j)
+            WHERE doc_id % 9 <> 0 AND doc_id % 2 = 0
+            UNION ALL
+            SELECT source, 'atom', ft, u.j::INT,
+                   'Item ' || doc_id || '-' || u.j,
+                   'http://f.test/' || doc_id || '/' || u.j,
+                   'g' || doc_id || '-' || u.j,
+                   '2025-01-01T00:00:0' || u.j || 'Z',
+                   'completed', NULL
+            FROM d, UNNEST(range(0, k)) AS u(j)
+            WHERE doc_id % 9 <> 0 AND doc_id % 2 = 1
+        """,
         # jsonld twin: closed-form rows incl. the c14n strings (sorted
         # keys, compact separators), @graph expansion and the loud
         # malformed-block row; the untyped script contributes nothing

@@ -1,0 +1,131 @@
+"""RSS 2.0 / Atom feed parsing — the discovery family's third leg.
+
+Frontier URL discovery at crawl scale runs robots.txt → sitemaps →
+feeds (fresh-content discovery between sitemap publications); the
+reference ingests uploads only (/root/reference/llm_food/app.py:382-392)
+so this is crawl-tier surface beyond it, sibling to
+functions/sitemap.py and built on the same tolerant parser so charset,
+entity and malformed-markup behavior are identical.
+
+Supported, deterministically:
+- RSS 2.0: ``<rss><channel>`` with ``<item>`` entries — title, link
+  (the text following the void ``<link>`` element — the HTML parser's
+  void-element rule turns ``<link>url</link>`` into an empty element
+  plus a text sibling, which this reader re-attaches), guid, pubDate.
+- Atom (RFC 4287): ``<feed>`` with ``<entry>`` entries — title, the
+  ``href`` of the alternate (or first) ``<link>``, id, published
+  falling back to updated.
+- gzip payloads (magic-byte sniff), CDATA-wrapped titles, namespace
+  prefixes, entity-escaped URLs.
+
+Malformed documents degrade to kind="unknown" with zero items — never
+an exception (the operator layer emits status rows).
+"""
+
+from __future__ import annotations
+
+import gzip
+import html as _htmlmod
+from typing import List, Tuple
+
+from .html_parser import Element, parse_html
+from .sitemap import _CDATA_RE, _child_text, _escape_cdata, _local
+
+# (title, link, guid, published)
+Item = Tuple[str, str, str, str]
+
+
+def _title_text(node: Element) -> str:
+    """<title> is a raw-text element: the parser stores its content
+    verbatim, so entities (incl. the CDATA re-escape) decode here —
+    same rule as functions/metadata.py's title handling."""
+    raw = _child_text(node, "title")
+    if "&" in raw:
+        raw = _htmlmod.unescape(raw)
+    return raw
+
+
+def _rss_link(item: Element) -> str:
+    """Text content that FOLLOWS the void <link> element (see module
+    doc); an <atom:link href=...> inside an RSS item also counts when
+    no plain link text exists."""
+    kids = item.children
+    for idx, c in enumerate(kids):
+        if c.__class__ is Element and _local(c.tag) == "link":
+            href = (c.attrs.get("href") or "").strip()
+            parts = []
+            for nxt in kids[idx + 1:]:
+                if nxt.__class__ is Element:
+                    break
+                parts.append(nxt.data)
+            text = "".join(parts).strip()
+            if text:
+                return text
+            if href:
+                return href
+    return ""
+
+
+def _atom_link(entry: Element) -> str:
+    first = ""
+    for c in entry.children:
+        if c.__class__ is Element and _local(c.tag) == "link":
+            href = (c.attrs.get("href") or "").strip()
+            if not href:
+                continue
+            rel = (c.attrs.get("rel") or "").strip().lower()
+            if rel in ("", "alternate"):
+                return href
+            if not first:
+                first = href
+    return first
+
+
+def parse_feed(content: bytes) -> Tuple[str, str, List[Item]]:
+    """Parse one feed document → (kind, feed_title, items).
+
+    kind is "rss", "atom" or "unknown"; items are
+    (title, link, guid, published) with "" for absent fields, document
+    order. Gzip payloads decompress transparently; undecodable bytes
+    are replaced, not fatal."""
+    if content[:2] == b"\x1f\x8b":
+        try:
+            content = gzip.decompress(content)
+        except (OSError, EOFError) as exc:
+            raise ValueError("bad gzip feed: %s" % exc) from exc
+    if b"<![CDATA[" in content:
+        content = _CDATA_RE.sub(_escape_cdata, content)
+    root = parse_html(content.decode("utf-8", errors="ignore"))
+
+    container = None
+    kind = "unknown"
+    for node in root.iter():
+        local = _local(node.tag)
+        if local == "channel":
+            container, kind, item_tag = node, "rss", "item"
+            break
+        if local == "feed":
+            container, kind, item_tag = node, "atom", "entry"
+            break
+    if container is None:
+        return "unknown", "", []
+
+    feed_title = _title_text(container)
+    items: List[Item] = []
+    for item in container.children:
+        if item.__class__ is not Element or _local(item.tag) != item_tag:
+            continue
+        title = _title_text(item)
+        if kind == "rss":
+            link = _rss_link(item)
+            guid = _child_text(item, "guid")
+            published = _child_text(item, "pubdate")
+        else:
+            link = _atom_link(item)
+            guid = _child_text(item, "id")
+            published = (_child_text(item, "published")
+                         or _child_text(item, "updated"))
+        if not (link or guid or title):
+            continue  # nothing addressable: skip, protocol-style
+        items.append((title, link, guid, published))
+    return kind, feed_title, items

@@ -146,3 +146,57 @@ def extract_jsonld_items(df: DataFrame, url_col: str = "url",
     src = ensure_min_partitions(
         df.select(F.col(url_col).alias("url"), F.col(html_col).alias("html")))
     return src.mapInPandas(_jsonld_batches, schema=JSONLD_SCHEMA)
+
+
+FEED_SCHEMA = T.StructType([
+    T.StructField("source", T.StringType()),
+    T.StructField("kind", T.StringType()),
+    T.StructField("feed_title", T.StringType()),
+    T.StructField("seq", T.IntegerType()),
+    T.StructField("title", T.StringType()),
+    T.StructField("link", T.StringType()),
+    T.StructField("guid", T.StringType()),
+    T.StructField("published", T.StringType()),
+    T.StructField("status", T.StringType()),
+    T.StructField("error_message", T.StringType()),
+])
+
+
+def _feed_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from ..functions.feeds import parse_feed
+
+    for pdf in batches:
+        rows = []
+        for source, payload in zip(pdf["source"], pdf["payload"]):
+            content = bytes(payload) if payload is not None else b""
+            try:
+                kind, feed_title, items = parse_feed(content)
+            except Exception as exc:  # hostile bytes → one status row
+                rows.append((source, "unknown", None, 0, None, None,
+                             None, None, "failed", str(exc)[:200]))
+                continue
+            if not items:
+                rows.append((source, kind, feed_title or None, 0, None,
+                             None, None, None, "empty", None))
+                continue
+            for seq, (title, link, guid, published) in enumerate(items):
+                rows.append((source, kind, feed_title or None, seq,
+                             title or None, link or None, guid or None,
+                             published or None, "completed", None))
+        yield pd.DataFrame(rows, columns=[f.name for f in FEED_SCHEMA])
+
+
+def parse_feeds(df: DataFrame, source_col: str = "source",
+                payload_col: str = "payload") -> DataFrame:
+    """(source, payload:binary) → one row per RSS/Atom feed item.
+
+    The discovery family's freshness leg (robots → sitemaps → feeds;
+    functions/feeds.py holds the per-document semantics incl. the
+    void-<link> re-attachment and CDATA/entity title decode). Unknown
+    roots yield a kind='unknown' status row, bad gzip a 'failed' row —
+    rows in, rows out, no task failures; same contract as
+    parse_sitemaps."""
+    src = ensure_min_partitions(
+        df.select(F.col(source_col).alias("source"),
+                  F.col(payload_col).alias("payload")))
+    return src.mapInPandas(_feed_batches, schema=FEED_SCHEMA)

@@ -223,3 +223,71 @@ def test_jsonld_operator_rows(spark):
     assert got[0].json == '{"@type":"T","k":1}'
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("MapInPandas") == 1
+
+
+# --- RSS/Atom feeds ------------------------------------------------------
+
+
+def test_feed_rss_link_reattach_and_cdata_title():
+    from llm_food_spark.functions.feeds import parse_feed
+
+    kind, ft, items = parse_feed(
+        b'<rss version="2.0"><channel>'
+        b"<title><![CDATA[F & T]]></title>"
+        b"<item><title>a &amp; b</title>"
+        b"<link>http://e.test/a?x=1&amp;y=2</link>"
+        b"<guid>g1</guid><pubDate>D1</pubDate></item>"
+        b"<item><title>no-link</title><guid>g2</guid></item>"
+        b"</channel></rss>")
+    assert kind == "rss" and ft == "F & T"
+    assert items == [("a & b", "http://e.test/a?x=1&y=2", "g1", "D1"),
+                     ("no-link", "", "g2", "")]
+
+
+def test_feed_atom_rel_selection_and_updated_fallback():
+    from llm_food_spark.functions.feeds import parse_feed
+
+    kind, ft, items = parse_feed(
+        b"<feed><title>AF</title><entry><title>e</title>"
+        b'<link rel="self" href="http://s/x"/>'
+        b'<link rel="alternate" href="http://e.test/1"/>'
+        b"<id>i1</id><updated>U1</updated></entry>"
+        b'<entry><title>only-self</title>'
+        b'<link rel="enclosure" href="http://enc"/>'
+        b"<published>P2</published><updated>U2</updated></entry>"
+        b"</feed>")
+    assert kind == "atom" and ft == "AF"
+    assert items[0] == ("e", "http://e.test/1", "i1", "U1")
+    # no alternate/plain link: first href wins; published beats updated
+    assert items[1] == ("only-self", "http://enc", "", "P2")
+
+
+def test_feed_gzip_garbage_and_unknown():
+    import gzip as _gz
+
+    import pytest as _pt
+
+    from llm_food_spark.functions.feeds import parse_feed
+
+    rss = (b"<rss><channel><title>t</title>"
+           b"<item><guid>g</guid></item></channel></rss>")
+    assert parse_feed(_gz.compress(rss))[0] == "rss"
+    assert parse_feed(b"\x00\xffgarbage") == ("unknown", "", [])
+    with _pt.raises(ValueError):
+        parse_feed(b"\x1f\x8btruncated")
+
+
+def test_feed_operator_status_rows(spark):
+    from llm_food_spark.operators.sitemap import parse_feeds
+
+    src = spark.createDataFrame(
+        [("s1", bytearray(b"<feed><title>T</title><entry><id>i</id>"
+                          b"<updated>U</updated></entry></feed>")),
+         ("s2", bytearray(b"not a feed")),
+         ("s3", bytearray(b"\x1f\x8bbadgzip"))],
+        "source string, payload binary")
+    got = {r.source: r for r in parse_feeds(src).collect()}
+    assert got["s1"].kind == "atom" and got["s1"].status == "completed"
+    assert got["s1"].guid == "i" and got["s1"].published == "U"
+    assert got["s2"].kind == "unknown" and got["s2"].status == "empty"
+    assert got["s3"].status == "failed" and got["s3"].error_message
