@@ -3671,9 +3671,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_substrings": q_dedup_substrings,
         "dedup_clusters": q_dedup_clusters,
         "minhash_lsh_seeded": q_minhash_lsh_seeded,
-        "neardup_incremental": q_neardup_incremental,  # new batch vs persistent signature index, asymmetric band join
+        "html_tables": q_html_tables,            # structured web-table extraction through the real DOM parse + WHATWG grid occupancy — a driver-visible family no other slot covers (took neardup_incremental's slot: minhash_lsh_seeded holds the banded-signature mechanism its asymmetric index join reuses)
         "simhash_seeded": q_simhash_seeded,
-        "embedding_neardup_seeded": q_embedding_neardup_seeded,
+        "jsonld": q_jsonld,                      # schema.org JSON-LD items through DOM raw-text + json c14n — new structured-metadata family (took embedding_neardup_seeded's slot: ann_lsh/ivf_seeded + semantic_dedup_seeded hold the embedding-bucket arithmetic)
         "ann_lsh_seeded": q_ann_lsh_seeded,
         "ann_ivf_seeded": q_ann_ivf_seeded,
         "semantic_dedup_seeded": q_semantic_dedup_seeded,
@@ -3718,8 +3718,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,        # demoted for phrase_search: driver-green in r3, and the shingle->set->exact-overlap twin mechanism is held by dedup_paragraphs/dedup_substrings slots; the capped in-block quadratic stays repo-gated
         "soft_dedup": q_soft_dedup,              # SoftDeDup/D4 duplicate-aware reweighting (hard micro-unit twin; the dedup family's driver slots hold the detection side)
         "mixture_weights": q_mixture_weights,    # DoReMi-style fixed-loss domain mixture (exact largest-remainder ppm twin; crawl_budget holds the apportionment family's driver slot)
-        "html_tables": q_html_tables,            # structured web-table extraction through the real DOM parse + WHATWG grid occupancy (extract_invariants/cc_prep hold the extraction family's driver slots)
-        "jsonld": q_jsonld,                      # schema.org JSON-LD items through DOM raw-text + json c14n (same extraction family)
+        "neardup_incremental": q_neardup_incremental,  # demoted for html_tables: new batch vs persistent signature index — minhash_lsh_seeded holds the banded-signature driver slot; stays repo-gated
+        "embedding_neardup_seeded": q_embedding_neardup_seeded,  # demoted for jsonld: the ann_*_seeded + semantic_dedup_seeded slots recompute the same bucketed-cosine arithmetic; stays repo-gated
         "feed_parse": q_feed_parse,              # RSS/Atom discovery through the real tolerant parse (sitemap_parse holds the discovery family's earlier repo slot)
         "cms_heavy": q_cms_heavy,                # demoted for count_anomalies: hll_sketch holds the sketch-family slot (same constant-state grid/register mechanism); the Count-Min row/argmin arithmetic stays repo-gated
         "url_filter": q_url_filter,              # demoted for ngram_novelty: robots_screen holds the crawl URL-screen slot with strictly harder broadcast-rule semantics; the UT1 membership join stays repo-gated (and web_prep_full exercises broadcast screens)
