@@ -1319,6 +1319,39 @@ def q_dedup_exact(spark, sf_dir):
     return exact_duplicates(d.unionByName(mirror))
 
 
+# shared unigram vocabulary — fixed literals, identical in the Spark
+# frame and the oracle's VALUES list. Scores engineered so real Viterbi
+# decisions occur: abc beats ab+c, b+cd beats bcd, cc ties c+c (fewer
+# pieces wins), ba/aa are never optimal.
+_UNIGRAM_VOCAB = [
+    ("a", 10), ("b", 11), ("c", 9), ("d", 10),
+    ("ab", 25), ("ba", 18), ("cd", 26), ("dc", 20), ("da", 21),
+    ("aa", 19), ("cc", 18),
+    ("abc", 37), ("bcd", 34), ("dab", 40),
+]
+
+
+def q_unigram_encode(spark, sf_dir):
+    """SentencePiece-style unigram Viterbi encoding (operators/bpe.py::
+    unigram_encode) under an INDEPENDENT oracle: per doc, a synthetic
+    6-10 char word over the a-d alphabet; Spark runs the O(n·L) Viterbi
+    DP, DuckDB enumerates EVERY segmentation with a recursive CTE and
+    ranks by the same (score desc, pieces asc, lex-joined asc)
+    objective — a different algorithm, not a plan replay. Any DP bug
+    (wrong backpointer, tie mishandling, fallback misfire) diverges."""
+    from llm_food_spark.operators.bpe import unigram_encode
+
+    d = _t(spark, sf_dir, "documents")
+    word = F.expr(
+        "aggregate(transform(filter(sequence(0, 10), "
+        "j -> j < 6 + doc_id % 5), "
+        "j -> chr(97 + (doc_id * (j + 3) + 7 * j) % 4)), "
+        "'', (a, x) -> concat(a, x))")
+    docs = d.select("doc_id", word.alias("text"))
+    vocab = spark.createDataFrame(_UNIGRAM_VOCAB, "piece string, score long")
+    return unigram_encode(docs, vocab)
+
+
 def q_feed_parse(spark, sf_dir):
     """RSS/Atom feed parsing (operators/sitemap.py::parse_feeds) under a
     hard oracle through the real tolerant parse: even docs are RSS 2.0
@@ -3721,6 +3754,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neardup_incremental": q_neardup_incremental,  # demoted for html_tables: new batch vs persistent signature index — minhash_lsh_seeded holds the banded-signature driver slot; stays repo-gated
         "embedding_neardup_seeded": q_embedding_neardup_seeded,  # demoted for jsonld: the ann_*_seeded + semantic_dedup_seeded slots recompute the same bucketed-cosine arithmetic; stays repo-gated
         "feed_parse": q_feed_parse,              # RSS/Atom discovery through the real tolerant parse (sitemap_parse holds the discovery family's earlier repo slot)
+        "unigram_encode": q_unigram_encode,      # SentencePiece unigram Viterbi vs an exhaustive-enumeration oracle (bpe_learn/bpe_encode hold the tokenizer family's driver slots)
         "cms_heavy": q_cms_heavy,                # demoted for count_anomalies: hll_sketch holds the sketch-family slot (same constant-state grid/register mechanism); the Count-Min row/argmin arithmetic stays repo-gated
         "url_filter": q_url_filter,              # demoted for ngram_novelty: robots_screen holds the crawl URL-screen slot with strictly harder broadcast-rule semantics; the UT1 membership join stays repo-gated (and web_prep_full exercises broadcast screens)
         "chunk_recursive_tokens": q_chunk_recursive_tokens,  # demoted for kmeans: chunk_token holds the token-window chunker slot and recomputes the same token-boundary arithmetic; the recursive split tree stays repo-gated
@@ -7155,6 +7189,53 @@ def _handwritten_oracles() -> dict[str, str]:
             FROM u GROUP BY sha256(text) HAVING COUNT(*) > 1
         """,
         "ngram_jaccard": _NGRAM_PAIRS_SQL,
+        # unigram_encode twin: INDEPENDENT algorithm — a recursive CTE
+        # enumerates every segmentation of the synthetic word over the
+        # shared VALUES vocab, ranks by (score desc, n asc, \\x1f-joined
+        # lex asc) and re-unnests the winner's pieces
+        "unigram_encode": """
+            WITH RECURSIVE vocab(piece, score) AS (
+              VALUES %s
+            ), words AS (
+              SELECT doc_id,
+                     array_to_string(
+                       [chr(97 + CAST((doc_id * (j + 3) + 7 * j) %% 4
+                                      AS INT))
+                        FOR j IN range(0, CAST(6 + doc_id %% 5 AS INT))],
+                       '') AS word
+              FROM documents
+            ), paths(doc_id, pos, seq, score, n) AS (
+              SELECT doc_id, 0, CAST([] AS VARCHAR[]),
+                     CAST(0 AS BIGINT), 0
+              FROM words
+              UNION ALL
+              SELECT p.doc_id, p.pos + strlen(v.piece),
+                     list_append(p.seq, v.piece),
+                     p.score + v.score, p.n + 1
+              FROM paths p
+              JOIN words w ON w.doc_id = p.doc_id
+              JOIN vocab v
+                ON v.piece = substr(w.word, p.pos + 1, strlen(v.piece))
+              WHERE p.pos < strlen(w.word)
+            ), finished AS (
+              SELECT p.doc_id, p.seq, p.score, p.n
+              FROM paths p JOIN words w ON w.doc_id = p.doc_id
+              WHERE p.pos = strlen(w.word)
+            ), best AS (
+              SELECT doc_id, seq,
+                     ROW_NUMBER() OVER (PARTITION BY doc_id
+                       ORDER BY score DESC, n ASC,
+                                array_to_string(seq, chr(31)) ASC) AS rk
+              FROM finished
+            )
+            SELECT b.doc_id, 0::INT AS word_idx, (u.i - 1)::INT
+                     AS piece_idx,
+                   b.seq[u.i] AS piece,
+                   (SELECT v.score FROM vocab v
+                    WHERE v.piece = b.seq[u.i])::BIGINT AS piece_score
+            FROM best b, UNNEST(range(1, len(b.seq) + 1)) AS u(i)
+            WHERE b.rk = 1
+        """ % ", ".join("('%s', %d)" % pv for pv in _UNIGRAM_VOCAB),
         # feed_parse twin: closed-form item rows — RSS on even docs
         # (entity-decoded link query, CDATA title), Atom on odd docs
         # (alternate link wins, updated back-fills published), %9

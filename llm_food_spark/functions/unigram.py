@@ -1,0 +1,68 @@
+"""Unigram-LM tokenization — Viterbi segmentation over a scored vocab.
+
+The SentencePiece unigram model's inference step (Kudo 2018, public):
+given a vocabulary of pieces with additive integer scores (log-probs in
+fixed micro-nat units — integers so the repo's exact-oracle discipline
+holds), segment each word into the piece sequence with (1) maximum
+total score, (2) fewest pieces among ties, (3) the lexicographically
+smallest piece sequence among remaining ties (compared as the
+``\\x1f``-joined string, a separator below every vocab character, which
+equals tuple comparison). The tie chain makes the segmentation a pure
+function of (word, vocab) — cross-engine reproducible.
+
+Characters no piece covers fall back to a single-character unknown
+piece at ``unk_score`` (SentencePiece's <unk> rule, keeping the
+surface form so the output remains invertible).
+
+Pure Python, no Spark imports. Sibling of functions/bpe.py (the merge-
+based tokenizer family); no reference analogue (llm-food never
+tokenizes, /root/reference/llm_food: chunkers count whitespace tokens
+only).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Tuple
+
+_SEP = "\x1f"
+
+
+def viterbi_segment(
+    word: str,
+    vocab: Dict[str, int],
+    max_piece_len: int,
+    unk_score: int = -1_000_000,
+) -> List[Tuple[str, int]]:
+    """word → [(piece, score), ...] under the max-score / fewest-pieces
+    / lex-smallest objective. O(len(word) * max_piece_len) DP.
+
+    DP state per end-position: (score, n_pieces, joined_seq, pieces).
+    The joined-string tie-break is prefix-safe (appending the same
+    piece preserves the order of two joined prefixes because the
+    separator sorts below every character), so keeping one best state
+    per position is exact.
+    """
+    n = len(word)
+    # best[i]: (neg_score, n_pieces, joined, pieces) for word[:i]
+    best: List = [None] * (n + 1)
+    best[0] = (0, 0, "", [])
+    for i in range(1, n + 1):
+        cand = None
+        for piece_len in range(1, min(max_piece_len, i) + 1):
+            prev = best[i - piece_len]
+            if prev is None:
+                continue
+            piece = word[i - piece_len:i]
+            score = vocab.get(piece)
+            if score is None:
+                if piece_len > 1:
+                    continue
+                score = unk_score  # single-char unknown fallback
+            key = (prev[0] - score, prev[1] + 1,
+                   prev[2] + _SEP + piece if prev[2] else piece)
+            if cand is None or key < cand[0]:
+                cand = (key, prev[3] + [(piece, score)])
+        if cand is not None:
+            best[i] = (*cand[0], cand[1])
+    final = best[n]
+    return final[3] if final is not None else []

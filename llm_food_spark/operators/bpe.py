@@ -254,3 +254,54 @@ def tokenizer_fertility(
             dp,
         ).alias("bytes_per_token"),
     )
+
+
+def unigram_encode(
+    docs: DataFrame,
+    vocab: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    unk_score: int = -1_000_000,
+) -> DataFrame:
+    """SentencePiece-style unigram inference (functions/unigram.py):
+    whitespace-split each document and Viterbi-segment every word under
+    the max-score / fewest-pieces / lex-smallest objective. Output one
+    row per emitted piece:
+    (doc_id, word_idx, piece_idx, piece, piece_score).
+
+    ``vocab`` is a (piece, score:int) frame — the trained model.
+    Vocabulary-sized driver state: it is collected once and rides the
+    UDF closure (the classify.py broadcast-weights discipline; a 50k
+    vocab is a few MB). The corpus pass is ONE mapInPandas — no
+    shuffle, no per-word Python round trips.
+    """
+    rows = vocab.select("piece", F.col("score").cast("long")).collect()
+    vmap = {r["piece"]: int(r["score"]) for r in rows}
+    if not vmap:
+        raise ValueError("unigram vocab is empty")
+    max_len = max(len(p) for p in vmap)
+    unk = int(unk_score)
+
+    schema = ("doc_id long, word_idx int, piece_idx int, piece string, "
+              "piece_score long")
+
+    def run(it):
+        from llm_food_spark.functions.unigram import viterbi_segment
+
+        for pdf in it:
+            out = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                for w_idx, word in enumerate((text or "").split()):
+                    for p_idx, (piece, score) in enumerate(
+                            viterbi_segment(word, vmap, max_len, unk)):
+                        out.append((int(doc_id), w_idx, p_idx, piece,
+                                    score))
+            yield pd.DataFrame(out, columns=[
+                "doc_id", "word_idx", "piece_idx", "piece",
+                "piece_score"])
+
+    from .util import ensure_min_partitions
+
+    src = docs.select(F.col(id_col).alias("doc_id"),
+                      F.col(text_col).alias("text"))
+    return ensure_min_partitions(src).mapInPandas(run, schema=schema)

@@ -161,3 +161,50 @@ def test_tokenizer_fertility_exact_totals(spark):
     d2 = spark.createDataFrame([("zh", "中文")], "lang string, text string")
     r2 = tokenizer_fertility(d2, merges).collect()[0]
     assert r2["total_bytes"] == 6
+
+
+# --- unigram (SentencePiece-style) Viterbi ------------------------------
+
+
+def test_unigram_viterbi_objective_chain():
+    from llm_food_spark.functions.unigram import viterbi_segment
+
+    V = {"a": 10, "b": 11, "c": 9, "d": 10, "ab": 25, "cd": 26,
+         "cc": 18, "abc": 37, "bcd": 34, "dab": 40}
+    seg = lambda w: [p for p, _ in viterbi_segment(w, V, 3)]
+    assert seg("abc") == ["abc"]          # 37 > ab+c=34 > a+b+c=30
+    assert seg("bcd") == ["b", "cd"]      # 37 > bcd=34
+    assert seg("cc") == ["cc"]            # 18 == c+c: fewer pieces wins
+    assert seg("dabc") == ["dab", "c"]    # 49 > da+bc? / d+abc=47
+
+
+def test_unigram_lex_tiebreak_and_unk():
+    from llm_food_spark.functions.unigram import viterbi_segment
+
+    V = {"a": 10, "xb": 20, "ax": 20, "b": 10, "x": 1}
+    # 30 == 30, 2 pieces each -> ('a','xb') < ('ax','b') joined-lex
+    assert [p for p, _ in viterbi_segment("axb", V, 2)] == ["a", "xb"]
+    # unknown char: single-char fallback at unk_score, surface kept
+    got = viterbi_segment("aqb", V, 2, unk_score=-7)
+    assert got == [("a", 10), ("q", -7), ("b", 10)]
+    assert viterbi_segment("", V, 2) == []
+
+
+def test_unigram_encode_operator(spark):
+    from llm_food_spark.operators.bpe import unigram_encode
+
+    import pytest as _pt
+
+    docs = spark.createDataFrame(
+        [(1, "abc cc"), (2, None)], "doc_id long, text string")
+    vocab = spark.createDataFrame(
+        [("a", 10), ("b", 11), ("c", 9), ("ab", 25), ("abc", 37),
+         ("cc", 18)], "piece string, score long")
+    got = sorted(
+        unigram_encode(docs, vocab).collect(),
+        key=lambda r: (r.doc_id, r.word_idx, r.piece_idx))
+    assert [(r.doc_id, r.word_idx, r.piece_idx, r.piece, r.piece_score)
+            for r in got] == [
+        (1, 0, 0, "abc", 37), (1, 1, 0, "cc", 18)]
+    with _pt.raises(ValueError):
+        unigram_encode(docs, vocab.where("score > 1000"))
