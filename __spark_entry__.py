@@ -1319,6 +1319,23 @@ def q_dedup_exact(spark, sf_dir):
     return exact_duplicates(d.unionByName(mirror))
 
 
+def q_reciprocity(spark, sf_dir):
+    """Link-farm reciprocity signal (operators/graph.py::
+    link_reciprocity): a 37-host graph from doc_id arithmetic where
+    every 3rd doc also plants the reverse edge, plus self-loops that
+    must be dropped pre-distinct. Hard oracle: DuckDB rebuilds the edge
+    set, the reversed-set intersection and the exact ppm division."""
+    from llm_food_spark.operators.graph import link_reciprocity
+
+    d = _t(spark, sf_dir, "documents")
+    a = F.concat(F.lit("h"), F.col("doc_id") % 37)
+    b = F.concat(F.lit("h"), (F.col("doc_id") * 13) % 37)
+    base = d.select(a.alias("src"), b.alias("dst"))
+    planted = d.where(F.col("doc_id") % 3 == 0).select(
+        b.alias("src"), a.alias("dst"))
+    return link_reciprocity(base.unionByName(planted))
+
+
 # shared unigram vocabulary — fixed literals, identical in the Spark
 # frame and the oracle's VALUES list. Scores engineered so real Viterbi
 # decisions occur: abc beats ab+c, b+cd beats bcd, cc ties c+c (fewer
@@ -3755,6 +3772,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup_seeded": q_embedding_neardup_seeded,  # demoted for jsonld: the ann_*_seeded + semantic_dedup_seeded slots recompute the same bucketed-cosine arithmetic; stays repo-gated
         "feed_parse": q_feed_parse,              # RSS/Atom discovery through the real tolerant parse (sitemap_parse holds the discovery family's earlier repo slot)
         "unigram_encode": q_unigram_encode,      # SentencePiece unigram Viterbi vs an exhaustive-enumeration oracle (bpe_learn/bpe_encode hold the tokenizer family's driver slots)
+        "reciprocity": q_reciprocity,            # link-farm reciprocal-edge fraction (pagerank_seeded/hits_seeded hold the graph family's slots)
         "cms_heavy": q_cms_heavy,                # demoted for count_anomalies: hll_sketch holds the sketch-family slot (same constant-state grid/register mechanism); the Count-Min row/argmin arithmetic stays repo-gated
         "url_filter": q_url_filter,              # demoted for ngram_novelty: robots_screen holds the crawl URL-screen slot with strictly harder broadcast-rule semantics; the UT1 membership join stays repo-gated (and web_prep_full exercises broadcast screens)
         "chunk_recursive_tokens": q_chunk_recursive_tokens,  # demoted for kmeans: chunk_token holds the token-window chunker slot and recomputes the same token-boundary arithmetic; the recursive split tree stays repo-gated
@@ -7189,6 +7207,34 @@ def _handwritten_oracles() -> dict[str, str]:
             FROM u GROUP BY sha256(text) HAVING COUNT(*) > 1
         """,
         "ngram_jaccard": _NGRAM_PAIRS_SQL,
+        # reciprocity twin: rebuild base+planted edges, self-loop drop,
+        # distinct, reversed-set intersection, exact ppm division
+        "reciprocity": """
+            WITH e AS (
+              SELECT DISTINCT src, dst FROM (
+                SELECT 'h' || (doc_id % 37) AS src,
+                       'h' || ((doc_id * 13) % 37) AS dst
+                FROM documents
+                UNION ALL
+                SELECT 'h' || ((doc_id * 13) % 37),
+                       'h' || (doc_id % 37)
+                FROM documents WHERE doc_id % 3 = 0
+              ) WHERE src <> dst
+            ), o AS (
+              SELECT src, COUNT(*)::BIGINT AS n_out FROM e GROUP BY src
+            ), r AS (
+              SELECT e.src, COUNT(*)::BIGINT AS n_recip
+              FROM e
+              WHERE EXISTS (SELECT 1 FROM e e2
+                            WHERE e2.src = e.dst AND e2.dst = e.src)
+              GROUP BY e.src
+            )
+            SELECT o.src AS node, o.n_out,
+                   COALESCE(r.n_recip, 0)::BIGINT AS n_recip,
+                   (COALESCE(r.n_recip, 0) * 1000000) // o.n_out
+                     AS recip_ppm
+            FROM o LEFT JOIN r ON o.src = r.src
+        """,
         # unigram_encode twin: INDEPENDENT algorithm — a recursive CTE
         # enumerates every segmentation of the synthetic word over the
         # shared VALUES vocab, ranks by (score desc, n asc, \\x1f-joined

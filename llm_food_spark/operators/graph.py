@@ -174,3 +174,45 @@ def hits(
         .select("node", F.round("hub", ndigits).alias("hub"),
                 F.round("auth", ndigits).alias("auth"))
     )
+
+
+def link_reciprocity(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Per-node reciprocal-link fraction — (node, n_out, n_recip,
+    recip_ppm): of a node's distinct out-edges (self-loops dropped),
+    how many are linked back. The classic link-farm / link-exchange
+    signal (reciprocity in web spam literature — TrustRank-era public
+    work): organic hosts reciprocate a little, paid link rings
+    reciprocate nearly everything, so recip_ppm feeds host_reputation
+    as a demotion feature.
+
+    Exact integer output: ``recip_ppm = (n_recip * 1e6) div n_out``.
+
+    Scale shape: one distinct over narrow (src,dst) pairs, a LEFT SEMI
+    self-join against the reversed edge set (no row duplication), two
+    map-side-combining groupBys — all key-partitioned, no windows, no
+    Python, no driver state.
+    """
+    e = (
+        edges.select(F.col(src_col).alias("src"),
+                     F.col(dst_col).alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    recip = (
+        e.join(rev, ["src", "dst"], "left_semi")
+        .groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("n_recip"))
+    )
+    out = e.groupBy("src").agg(
+        F.count(F.lit(1)).cast("long").alias("n_out"))
+    return (
+        out.join(recip, "src", "left").na.fill({"n_recip": 0})
+        .select(
+            F.col("src").alias("node"), "n_out", "n_recip",
+            F.expr("(n_recip * 1000000) div n_out").alias("recip_ppm"),
+        )
+    )

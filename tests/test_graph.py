@@ -224,3 +224,23 @@ def test_hits_checkpoint_storage_bounded(spark):
     assert after_second - after_first <= 4
     release_persisted()
     assert pinned() <= baseline
+
+
+def test_link_reciprocity_hand_case(spark):
+    from llm_food_spark.operators.graph import link_reciprocity
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "a"),          # mutual pair
+         ("a", "c"),                       # one-way
+         ("c", "c"),                       # self-loop: dropped
+         ("a", "b"), ("a", "b")],          # duplicates: distinct
+        "src string, dst string")
+    got = {r.node: r for r in link_reciprocity(edges).collect()}
+    assert got["a"].n_out == 2 and got["a"].n_recip == 1
+    assert got["a"].recip_ppm == 500_000
+    assert got["b"].n_out == 1 and got["b"].recip_ppm == 1_000_000
+    assert "c" not in got  # only the self-loop: no distinct out-edges
+    # all-Catalyst
+    plan = link_reciprocity(edges)._jdf.queryExecution().executedPlan(
+        ).toString()
+    assert "EvalPython" not in plan and "MapInPandas" not in plan
