@@ -1319,6 +1319,43 @@ def q_dedup_exact(spark, sf_dir):
     return exact_duplicates(d.unionByName(mirror))
 
 
+def q_dom_features(spark, sf_dir):
+    """Page-structure spam features (operators/quality.py::
+    dom_features) under a hard oracle through the real DOM walk: per
+    doc, a page with i%3 scripts (code text excluded from text mass),
+    i%2 iframes, i%4 links, a display:none div on i%5==0 (hidden mass)
+    and an i%6-deep div chain. DuckDB reconstructs every count, char
+    mass, the max depth and both exact-ppm densities closed-form."""
+    from llm_food_spark.operators.quality import dom_features
+
+    d = _t(spark, sf_dir, "documents")
+    links = F.expr(
+        "aggregate(transform(filter(sequence(0, 3), "
+        "j -> j < doc_id % 4), "
+        "j -> concat('<a href=\"/l\">link', doc_id, '-', j, '</a>')), "
+        "'', (a, x) -> concat(a, x))")
+    html = F.concat(
+        F.lit("<html><head>"),
+        F.expr("repeat('<script>var x=1;</script>', "
+               "int(doc_id % 3))"),
+        F.lit("</head><body>"),
+        F.expr("repeat('<iframe src=\"/f\"></iframe>', "
+               "int(doc_id % 2))"),
+        F.lit("<p>"), F.expr("repeat('x', int(doc_id % 50) + 10)"),
+        F.lit("</p>"), links,
+        F.expr("CASE WHEN doc_id % 5 = 0 THEN concat("
+               "'<div style=\"display:none\">', "
+               "repeat('h', int(doc_id % 7) + 3), '</div>') "
+               "ELSE '' END"),
+        F.expr("repeat('<div>', int(doc_id % 6))"), F.lit("d"),
+        F.expr("repeat('</div>', int(doc_id % 6))"),
+        F.lit("</body></html>"))
+    pages = d.select(
+        F.concat(F.lit("http://q.test/"), F.col("doc_id")).alias("url"),
+        html.alias("html"))
+    return dom_features(pages)
+
+
 def q_reciprocity(spark, sf_dir):
     """Link-farm reciprocity signal (operators/graph.py::
     link_reciprocity): a 37-host graph from doc_id arithmetic where
@@ -3773,6 +3810,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "feed_parse": q_feed_parse,              # RSS/Atom discovery through the real tolerant parse (sitemap_parse holds the discovery family's earlier repo slot)
         "unigram_encode": q_unigram_encode,      # SentencePiece unigram Viterbi vs an exhaustive-enumeration oracle (bpe_learn/bpe_encode hold the tokenizer family's driver slots)
         "reciprocity": q_reciprocity,            # link-farm reciprocal-edge fraction (pagerank_seeded/hits_seeded hold the graph family's slots)
+        "dom_features": q_dom_features,          # page-structure spam features through the real DOM walk (gopher_quality holds the quality family's driver slot)
         "cms_heavy": q_cms_heavy,                # demoted for count_anomalies: hll_sketch holds the sketch-family slot (same constant-state grid/register mechanism); the Count-Min row/argmin arithmetic stays repo-gated
         "url_filter": q_url_filter,              # demoted for ngram_novelty: robots_screen holds the crawl URL-screen slot with strictly harder broadcast-rule semantics; the UT1 membership join stays repo-gated (and web_prep_full exercises broadcast screens)
         "chunk_recursive_tokens": q_chunk_recursive_tokens,  # demoted for kmeans: chunk_token holds the token-window chunker slot and recomputes the same token-boundary arithmetic; the recursive split tree stays repo-gated
@@ -7207,6 +7245,44 @@ def _handwritten_oracles() -> dict[str, str]:
             FROM u GROUP BY sha256(text) HAVING COUNT(*) > 1
         """,
         "ngram_jaccard": _NGRAM_PAIRS_SQL,
+        # dom_features twin: closed-form counts/masses — script text
+        # excluded, link mass via list_sum of reconstructed anchors,
+        # GREATEST(3, 2 + depth-chain), exact ppm divisions
+        "dom_features": """
+            WITH d AS (
+              SELECT doc_id,
+                     'http://q.test/' || doc_id AS url,
+                     (doc_id % 50 + 10) AS p_chars,
+                     CASE WHEN doc_id % 5 = 0 THEN doc_id % 7 + 3
+                          ELSE 0 END AS h_chars,
+                     COALESCE(list_aggregate(
+                       [strlen('link' || doc_id || '-' || j)
+                        FOR j IN range(0, CAST(doc_id % 4 AS INT))],
+                       'sum'), 0) AS l_chars
+              FROM documents
+            ), f AS (
+              SELECT url, doc_id, p_chars, h_chars, l_chars,
+                     (3 + doc_id % 3 + doc_id % 2 + 1 + doc_id % 4
+                      + CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END
+                      + doc_id % 6)::INT AS n_elements,
+                     (doc_id % 3)::INT AS n_scripts,
+                     (doc_id % 2)::INT AS n_iframes,
+                     (doc_id % 4)::INT AS n_links,
+                     (p_chars + l_chars + h_chars + 1)::BIGINT
+                       AS text_chars,
+                     l_chars::BIGINT AS link_chars,
+                     h_chars::BIGINT AS hidden_chars,
+                     GREATEST(3, 2 + doc_id % 6)::INT AS max_depth
+              FROM d
+            )
+            SELECT url, n_elements, n_scripts, n_iframes, n_links,
+                   text_chars, link_chars, hidden_chars, max_depth,
+                   (link_chars * 1000000) // GREATEST(text_chars, 1)
+                     AS link_density_ppm,
+                   (hidden_chars * 1000000) // GREATEST(text_chars, 1)
+                     AS hidden_density_ppm
+            FROM f
+        """,
         # reciprocity twin: rebuild base+planted edges, self-loop drop,
         # distinct, reversed-set intersection, exact ppm division
         "reciprocity": """

@@ -1,0 +1,76 @@
+"""DOM structural features — the page-level spam/quality feature walk.
+
+Boilerplate and spam classifiers (the fastText/Gopher-era public
+feature sets; TrustRank-adjacent page features) consume structural
+signals the markdown serializer deliberately throws away: script and
+iframe density, link-text density, hidden-text mass, nesting depth.
+One recursive walk over the same DOM the extractor parses, so
+malformed-markup behavior is identical to the content path.
+
+Feature contract (all exact integers; ratios are emitted ppm by the
+operator layer):
+
+- n_elements   — Element nodes excluding the synthetic root
+- n_scripts / n_iframes / n_links — tag counts
+- text_chars   — total Text characters OUTSIDE script/style subtrees
+                 (markup text, not code)
+- link_chars   — Text characters inside <a> subtrees (also counted in
+                 text_chars)
+- hidden_chars — Text characters under any element whose style
+                 attribute matches display:none or visibility:hidden
+                 (whitespace-insensitive) — the hidden-keyword-stuffing
+                 signal
+- max_depth    — deepest Element nesting (root's children are depth 1)
+
+Pure Python, no Spark imports; no reference analogue (llm-food never
+inspects page structure beyond extraction).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Dict
+
+from .html_parser import Element
+
+_HIDDEN_RE = re.compile(r"display\s*:\s*none|visibility\s*:\s*hidden")
+
+_CODE_TAGS = frozenset(("script", "style"))
+
+FEATURES = ("n_elements", "n_scripts", "n_iframes", "n_links",
+            "text_chars", "link_chars", "hidden_chars", "max_depth")
+
+
+def dom_stats(root: Element) -> Dict[str, int]:
+    """One walk → {feature: int}; see module doc for the contract."""
+    out = {f: 0 for f in FEATURES}
+
+    def walk(node: Element, depth: int, in_link: bool,
+             in_hidden: bool) -> None:
+        for child in node.children:
+            if child.__class__ is not Element:
+                n = len(child.data)
+                out["text_chars"] += n
+                if in_link:
+                    out["link_chars"] += n
+                if in_hidden:
+                    out["hidden_chars"] += n
+                continue
+            tag = child.tag
+            out["n_elements"] += 1
+            if depth + 1 > out["max_depth"]:
+                out["max_depth"] = depth + 1
+            if tag == "script":
+                out["n_scripts"] += 1
+            elif tag == "iframe":
+                out["n_iframes"] += 1
+            elif tag == "a":
+                out["n_links"] += 1
+            if tag in _CODE_TAGS:
+                continue  # code text is not page text
+            hidden = in_hidden or bool(
+                _HIDDEN_RE.search(child.attrs.get("style", "").lower()))
+            walk(child, depth + 1, in_link or tag == "a", hidden)
+
+    walk(root, 0, False, False)
+    return out

@@ -197,3 +197,61 @@ def badword_screen(
         n_bad.alias("n_bad"),
         (n_bad == 0).alias("keep"),
     )
+
+
+DOM_FEATURES_SCHEMA = (
+    "url string, n_elements int, n_scripts int, n_iframes int, "
+    "n_links int, text_chars long, link_chars long, hidden_chars long, "
+    "max_depth int, link_density_ppm long, hidden_density_ppm long")
+
+
+def dom_features(
+    pages: DataFrame,
+    url_col: str = "url",
+    html_col: str = "html",
+) -> DataFrame:
+    """(url, html) → page-structure spam/quality features
+    (functions/domstats.py holds the walk contract): element/script/
+    iframe/link counts, text/link/hidden character mass, nesting depth,
+    plus the two exact-ppm ratios classifiers actually gate on —
+    ``link_density_ppm = link_chars*1e6 div max(text_chars,1)`` and
+    ``hidden_density_ppm`` likewise. ONE Arrow pass for the walk; the
+    ratios are Catalyst integer division above it. Binary payloads go
+    through the extraction pipeline's charset detection; NULL payloads
+    yield an all-zero row (the page still exists — screen on counts)."""
+    from .util import ensure_min_partitions
+
+    is_binary = dict(pages.dtypes)[html_col] == "binary"
+
+    def run(it):
+        from ..functions.domstats import FEATURES, dom_stats
+        from ..functions.encoding import decode_html
+        from ..functions.html_parser import parse_html
+
+        for pdf in it:
+            rows = []
+            for url, payload in zip(pdf[url_col], pdf[html_col]):
+                if payload is None:
+                    stats = {f: 0 for f in FEATURES}
+                else:
+                    text = (decode_html(bytes(payload)) if is_binary
+                            else str(payload))
+                    stats = dom_stats(parse_html(text))
+                rows.append((str(url),) + tuple(stats[f] for f in FEATURES))
+            yield pd.DataFrame(rows, columns=["url", *FEATURES])
+
+    base = ensure_min_partitions(
+        pages.select(url_col, html_col)
+    ).mapInPandas(
+        run,
+        schema=("url string, n_elements int, n_scripts int, "
+                "n_iframes int, n_links int, text_chars long, "
+                "link_chars long, hidden_chars long, max_depth int"),
+    )
+    return base.select(
+        "*",
+        F.expr("(link_chars * 1000000) div greatest(text_chars, 1L)")
+         .alias("link_density_ppm"),
+        F.expr("(hidden_chars * 1000000) div greatest(text_chars, 1L)")
+         .alias("hidden_density_ppm"),
+    )

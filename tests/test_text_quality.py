@@ -271,3 +271,42 @@ def test_c4_line_clean_spark(spark):
     assert got[0]["keep"] is False and got[1]["keep"] is True
     # lorem gates the PAGE, not the line: the lorem line itself is kept
     assert got[4]["n_kept"] == 3 and got[4]["keep"] is False
+
+
+# --- DOM structural features --------------------------------------------
+
+
+def test_dom_stats_contract():
+    from llm_food_spark.functions.domstats import dom_stats
+    from llm_food_spark.functions.html_parser import parse_html
+
+    h = ('<html><head><script>var x=1;</script><style>.a{}</style>'
+         '</head><body><iframe src="/f"></iframe><p>xxxxx</p>'
+         '<a href="/1">seven77</a>'
+         '<div style=" DISPLAY : none ">hid</div>'
+         '<div style="visibility:hidden"><a href="/2">ab</a></div>'
+         '<div><div><p>d</p></div></div></body></html>')
+    s = dom_stats(parse_html(h))
+    assert s["n_scripts"] == 1 and s["n_iframes"] == 1
+    assert s["n_links"] == 2
+    # script/style text excluded; nested-link text counts in BOTH masses
+    assert s["text_chars"] == 5 + 7 + 3 + 2 + 1
+    assert s["link_chars"] == 7 + 2
+    assert s["hidden_chars"] == 3 + 2  # ws-insensitive style match
+    assert s["max_depth"] == 5
+
+
+def test_dom_features_operator(spark):
+    from llm_food_spark.operators.quality import dom_features
+
+    pages = spark.createDataFrame(
+        [("u1", "<html><body><p>xxxx</p><a href='/'>yy</a></body></html>"),
+         ("u2", None)],
+        "url string, html string")
+    got = {r.url: r for r in dom_features(pages).collect()}
+    assert got["u1"].text_chars == 6 and got["u1"].link_chars == 2
+    assert got["u1"].link_density_ppm == 333_333
+    assert got["u2"].n_elements == 0 and got["u2"].link_density_ppm == 0
+    plan = dom_features(pages)._jdf.queryExecution().executedPlan(
+        ).toString()
+    assert plan.count("MapInPandas") == 1
