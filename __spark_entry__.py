@@ -1319,6 +1319,17 @@ def q_dedup_exact(spark, sf_dir):
     return exact_duplicates(d.unionByName(mirror))
 
 
+def q_collocations(spark, sf_dir):
+    """PMI/lift collocation mining (operators/textops.py::collocations)
+    over the documents corpus. Hard oracle: DuckDB re-splits every doc
+    with the identical word rule, re-expands adjacent bigrams with a
+    range-unnest, recomputes pair/margin/total counts and the exact
+    integer lift."""
+    from llm_food_spark.operators.textops import collocations
+
+    return collocations(_t(spark, sf_dir, "documents"), min_pair=3)
+
+
 def q_dom_features(spark, sf_dir):
     """Page-structure spam features (operators/quality.py::
     dom_features) under a hard oracle through the real DOM walk: per
@@ -3811,6 +3822,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_encode": q_unigram_encode,      # SentencePiece unigram Viterbi vs an exhaustive-enumeration oracle (bpe_learn/bpe_encode hold the tokenizer family's driver slots)
         "reciprocity": q_reciprocity,            # link-farm reciprocal-edge fraction (pagerank_seeded/hits_seeded hold the graph family's slots)
         "dom_features": q_dom_features,          # page-structure spam features through the real DOM walk (gopher_quality holds the quality family's driver slot)
+        "collocations": q_collocations,          # PMI/lift collocation table in exact integer space (term_stats/tfidf hold the term family's slots)
         "cms_heavy": q_cms_heavy,                # demoted for count_anomalies: hll_sketch holds the sketch-family slot (same constant-state grid/register mechanism); the Count-Min row/argmin arithmetic stays repo-gated
         "url_filter": q_url_filter,              # demoted for ngram_novelty: robots_screen holds the crawl URL-screen slot with strictly harder broadcast-rule semantics; the UT1 membership join stays repo-gated (and web_prep_full exercises broadcast screens)
         "chunk_recursive_tokens": q_chunk_recursive_tokens,  # demoted for kmeans: chunk_token holds the token-window chunker slot and recomputes the same token-boundary arithmetic; the recursive split tree stays repo-gated
@@ -7245,6 +7257,39 @@ def _handwritten_oracles() -> dict[str, str]:
             FROM u GROUP BY sha256(text) HAVING COUNT(*) > 1
         """,
         "ngram_jaccard": _NGRAM_PAIRS_SQL,
+        # collocations twin: identical word split, range-unnest bigram
+        # expansion, margin/total counts, exact integer lift
+        "collocations": """
+            WITH w AS (
+              SELECT list_filter(
+                       string_split_regex(lower(text), '[^a-zA-Z]+'),
+                       x -> x <> '') AS ws
+              FROM documents
+            ), b AS (
+              SELECT ws[u.i] AS lhs, ws[u.i + 1] AS rhs
+              FROM w, UNNEST(range(1, len(ws))) AS u(i)
+              WHERE len(ws) >= 2
+            ), pc AS (
+              SELECT lhs, rhs, COUNT(*)::BIGINT AS pair_count
+              FROM b GROUP BY lhs, rhs
+            ), lc AS (
+              SELECT lhs, COUNT(*)::BIGINT AS left_count
+              FROM b GROUP BY lhs
+            ), rc AS (
+              SELECT rhs, COUNT(*)::BIGINT AS right_count
+              FROM b GROUP BY rhs
+            ), nb AS (
+              SELECT COUNT(*)::BIGINT AS nb FROM b
+            )
+            SELECT pc.lhs, pc.rhs, pair_count, left_count, right_count,
+                   (pair_count * nb.nb * 1000000)
+                     // (left_count * right_count) AS lift_ppm
+            FROM pc
+            JOIN lc ON pc.lhs = lc.lhs
+            JOIN rc ON pc.rhs = rc.rhs
+            CROSS JOIN nb
+            WHERE pair_count >= 3
+        """,
         # dom_features twin: closed-form counts/masses — script text
         # excluded, link mass via list_sum of reconstructed anchors,
         # GREATEST(3, 2 + depth-chain), exact ppm divisions

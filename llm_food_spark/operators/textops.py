@@ -666,3 +666,63 @@ def markdown_outline(df, md_col: str = "markdown", id_col: str = "doc_id"):
         F.regexp_count(F.col("b"), F.lit(r"\S+")).cast("long")
          .alias("n_words"),
     )
+
+
+def collocations(df, id_col: str = "doc_id", text_col: str = "text",
+                 min_pair: int = 3):
+    """Corpus collocation mining — adjacent-word association strength:
+    (lhs, rhs, pair_count, left_count, right_count, lift_ppm).
+
+    The classic PMI/lift collocation table (Church & Hanks 1990, public)
+    in the repo's exact-integer form: over all adjacent word pairs
+    (``words_col`` tokens, never crossing documents),
+
+      lift_ppm = (pair_count * N_bigrams * 1e6)
+                 div (left_count * right_count)
+
+    where left/right counts are the bigram margins — 1e6 means the pair
+    occurs exactly as often as independence predicts, higher is a
+    collocation. ``min_pair`` floors support (rare pairs have unstable
+    lift). Overflow contract: pair_count * N * 1e6 must fit BIGINT —
+    beyond ~9e12 bigrams pre-aggregate per shard and sum counts first
+    (the mixture_weights discipline).
+
+    Scale shape: one interpreted-HOF bigram expand per doc (the
+    word_shingles idiom — swap to a flat pass if this enters a corpus
+    hot path), then three map-side-combined groupBys on narrow string
+    keys, a 1-row total attached via broadcast crossJoin, two
+    margin joins Catalyst sizes. No windows, no driver state.
+    """
+    words = words_col(F.col(text_col))
+    bigrams = F.when(
+        F.size(words) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(words) - 1),
+            lambda i: F.concat_ws(" ", F.slice(words, i, 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    b = (
+        ensure_min_partitions(df)
+        .select(F.explode(bigrams).alias("pair"))
+        .select(
+            F.split(F.col("pair"), " ").getItem(0).alias("lhs"),
+            F.split(F.col("pair"), " ").getItem(1).alias("rhs"),
+        )
+    )
+    pc = b.groupBy("lhs", "rhs").agg(
+        F.count(F.lit(1)).cast("long").alias("pair_count"))
+    lc = b.groupBy("lhs").agg(
+        F.count(F.lit(1)).cast("long").alias("left_count"))
+    rc = b.groupBy("rhs").agg(
+        F.count(F.lit(1)).cast("long").alias("right_count"))
+    nb = b.agg(F.count(F.lit(1)).cast("long").alias("nb"))
+    return (
+        pc.where(F.col("pair_count") >= min_pair)
+        .join(lc, "lhs").join(rc, "rhs")
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "lhs", "rhs", "pair_count", "left_count", "right_count",
+            F.expr("(pair_count * nb * 1000000)"
+                   " div (left_count * right_count)").alias("lift_ppm"),
+        )
+    )

@@ -917,3 +917,27 @@ def test_markdown_outline_no_python_no_shuffle(spark):
     plan = markdown_outline(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "EvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_collocations_hand_case(spark):
+    from llm_food_spark.operators.textops import collocations
+
+    # "big data" 3x (strong), "the data" 1x, one-word doc ignored
+    docs = spark.createDataFrame(
+        [(1, "big data big data"), (2, "big data beats the data"),
+         (3, "word")],
+        "doc_id long, text string")
+    got = {(r.lhs, r.rhs): r for r in
+           collocations(docs, min_pair=2).collect()}
+    assert ("big", "data") in got
+    r = got[("big", "data")]
+    # bigrams: doc1: big-data, data-big, big-data; doc2: big-data,
+    # data-beats, beats-the, the-data -> N=7
+    assert r.pair_count == 3
+    assert r.left_count == 3      # 'big' as left
+    assert r.right_count == 4     # 'data' as right
+    assert r.lift_ppm == (3 * 7 * 1_000_000) // (3 * 4)
+    assert ("the", "data") not in got  # below min_pair
+    plan = collocations(docs)._jdf.queryExecution().executedPlan(
+        ).toString()
+    assert "EvalPython" not in plan and "MapInPandas" not in plan
