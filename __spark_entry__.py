@@ -1319,6 +1319,28 @@ def q_dedup_exact(spark, sf_dir):
     return exact_duplicates(d.unionByName(mirror))
 
 
+def q_code_signals(spark, sf_dir):
+    """Code-vs-prose routing signals (operators/quality.py::
+    code_signals): every 10th doc's text is replaced by a synthetic
+    code snippet (indented ;{}-terminated lines, keywords) that must
+    flip is_code while prose stays prose. Hard oracle: DuckDB rebuilds
+    the same input and RECOMPUTES every regex count (patterns shared
+    char-for-char from the operator's constants), the ppm divisions and
+    the integer verdict blend."""
+    from llm_food_spark.operators.quality import code_signals
+
+    d = _t(spark, sf_dir, "documents")
+    code = F.concat(
+        F.lit("def f"), F.col("doc_id"), F.lit("(x):\n"),
+        F.expr("repeat('  y = x[i]; z = {};\n', int(doc_id % 4) + 2)"),
+        F.lit("return y;"))
+    src = d.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 10 == 0, code).otherwise(
+            F.col("text")).alias("text"))
+    return code_signals(src)
+
+
 def q_collocations(spark, sf_dir):
     """PMI/lift collocation mining (operators/textops.py::collocations)
     over the documents corpus. Hard oracle: DuckDB re-splits every doc
@@ -3823,6 +3845,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reciprocity": q_reciprocity,            # link-farm reciprocal-edge fraction (pagerank_seeded/hits_seeded hold the graph family's slots)
         "dom_features": q_dom_features,          # page-structure spam features through the real DOM walk (gopher_quality holds the quality family's driver slot)
         "collocations": q_collocations,          # PMI/lift collocation table in exact integer space (term_stats/tfidf hold the term family's slots)
+        "code_signals": q_code_signals,          # code-vs-prose router signals, twin recomputes every regex count (gopher_quality holds the quality driver slot)
         "cms_heavy": q_cms_heavy,                # demoted for count_anomalies: hll_sketch holds the sketch-family slot (same constant-state grid/register mechanism); the Count-Min row/argmin arithmetic stays repo-gated
         "url_filter": q_url_filter,              # demoted for ngram_novelty: robots_screen holds the crawl URL-screen slot with strictly harder broadcast-rule semantics; the UT1 membership join stays repo-gated (and web_prep_full exercises broadcast screens)
         "chunk_recursive_tokens": q_chunk_recursive_tokens,  # demoted for kmeans: chunk_token holds the token-window chunker slot and recomputes the same token-boundary arithmetic; the recursive split tree stays repo-gated
@@ -5401,6 +5424,50 @@ def oracle_sql() -> dict[str, str]:
           GROUP BY target, anchor
         ) WHERE rank <= 3
     """ % out["outlinks"]
+    # code signals: generated FROM the operator's regex constants so the
+    # patterns are identical char-for-char on both engines; the twin
+    # RECOMPUTES every count over the reconstructed input text.
+    from llm_food_spark.operators.quality import (
+        CODE_CAMEL_RE, CODE_EOL_RE, CODE_INDENT_RE, CODE_KEYWORD_RE,
+        CODE_SYMBOL_RE)
+
+    out["code_signals"] = """
+        WITH src AS (
+          SELECT doc_id, CASE WHEN doc_id %% 10 = 0 THEN
+            'def f' || doc_id || '(x):' || chr(10)
+            || repeat('  y = x[i]; z = {};' || chr(10),
+                      CAST(doc_id %% 4 AS INT) + 2)
+            || 'return y;'
+          ELSE text END AS t
+          FROM documents
+        ), c AS (
+          SELECT doc_id,
+            len(string_split(t, chr(10)))::BIGINT AS n_lines,
+            len(regexp_extract_all(t, '%(ind)s'))::BIGINT
+              AS indent_lines,
+            len(regexp_extract_all(t, '%(eol)s'))::BIGINT AS eol_lines,
+            len(regexp_extract_all(t, '%(sym)s'))::BIGINT
+              AS symbol_chars,
+            len(regexp_extract_all(t, '%(kw)s'))::BIGINT AS kw_hits,
+            len(regexp_extract_all(t, '%(cam)s'))::BIGINT AS camel_hits,
+            strlen(t)::BIGINT AS n_chars
+          FROM src
+        )
+        SELECT doc_id, n_lines, indent_lines, eol_lines, symbol_chars,
+               kw_hits, camel_hits,
+               (symbol_chars * 1000000) // GREATEST(n_chars, 1)
+                 AS symbol_ppm,
+               ((indent_lines + eol_lines) * 1000000)
+                 // GREATEST(n_lines, 1) AS struct_ppm,
+               ((symbol_chars * 1000000) // GREATEST(n_chars, 1)
+                + ((indent_lines + eol_lines) * 1000000)
+                  // GREATEST(n_lines, 1)
+                + (1000 * (kw_hits + camel_hits))
+                  // GREATEST(n_lines, 1)) >= 80000 AS is_code
+        FROM c
+    """ % {"ind": CODE_INDENT_RE, "eol": CODE_EOL_RE,
+           "sym": CODE_SYMBOL_RE, "kw": CODE_KEYWORD_RE,
+           "cam": CODE_CAMEL_RE}
     # script profile: generated FROM the operator's SCRIPT_RANGES so the
     # literal character-range patterns are identical on both engines by
     # construction (Java and RE2 treat literal char ranges the same).

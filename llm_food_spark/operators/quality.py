@@ -255,3 +255,69 @@ def dom_features(
         F.expr("(hidden_chars * 1000000) div greatest(text_chars, 1L)")
          .alias("hidden_density_ppm"),
     )
+
+
+# code-detection regexes — shared CHAR-FOR-CHAR with the DuckDB twin
+# (__spark_entry__.oracle_sql): literal classes + (?m) anchors + \b word
+# boundaries behave identically in Java regex and RE2; no lookaround.
+CODE_INDENT_RE = r"(?m)^(?:  |\t)"
+CODE_EOL_RE = r"(?m)[;{}]$"
+CODE_SYMBOL_RE = r"[\[\]{}();=<>&|#]"
+CODE_KEYWORD_RE = (r"\b(?:def|class|return|import|function|var|const|"
+                   r"void|int|elif|lambda|struct|public|static)\b")
+CODE_CAMEL_RE = r"[a-z][A-Z]"
+
+
+def code_signals(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold_ppm: int = 80_000,
+) -> DataFrame:
+    """Code-vs-prose routing signals — (doc_id, n_lines, indent_lines,
+    eol_lines, symbol_chars, kw_hits, camel_hits, symbol_ppm,
+    struct_ppm, is_code).
+
+    The Stack-style corpus router (public pipelines separate code from
+    prose before tokenizer/quality choices): everything is a flat JVM
+    ``regexp_count`` scan — whole-stage codegen, zero Python, exact
+    integers so the DuckDB twin is bit-identical.
+
+    - ``symbol_ppm``  — code-punctuation chars per char (*1e6 div*).
+    - ``struct_ppm``  — structural lines (indented, or ;/{/}-terminated)
+      per line.
+    - ``is_code``     — ``symbol_ppm + struct_ppm + 1000*(kw_hits +
+      camel_hits) div max(n_lines,1) >= threshold_ppm`` — an integer
+      linear blend; callers gate or route on it, the signals stay
+      inspectable.
+    """
+    t = F.col(text_col)
+    n_lines = (F.size(F.split(t, "\n")) ).cast("long")
+    indent = F.regexp_count(t, F.lit(CODE_INDENT_RE)).cast("long")
+    eol = F.regexp_count(t, F.lit(CODE_EOL_RE)).cast("long")
+    sym = F.regexp_count(t, F.lit(CODE_SYMBOL_RE)).cast("long")
+    kw = F.regexp_count(t, F.lit(CODE_KEYWORD_RE)).cast("long")
+    camel = F.regexp_count(t, F.lit(CODE_CAMEL_RE)).cast("long")
+    out = df.select(
+        F.col(id_col).alias("doc_id"),
+        n_lines.alias("n_lines"),
+        indent.alias("indent_lines"),
+        eol.alias("eol_lines"),
+        sym.alias("symbol_chars"),
+        kw.alias("kw_hits"),
+        camel.alias("camel_hits"),
+        F.length(t).cast("long").alias("n_chars"),
+    )
+    return out.select(
+        "doc_id", "n_lines", "indent_lines", "eol_lines",
+        "symbol_chars", "kw_hits", "camel_hits",
+        F.expr("(symbol_chars * 1000000) div greatest(n_chars, 1L)")
+         .alias("symbol_ppm"),
+        F.expr("((indent_lines + eol_lines) * 1000000)"
+               " div greatest(n_lines, 1L)").alias("struct_ppm"),
+    ).withColumn(
+        "is_code",
+        F.expr("symbol_ppm + struct_ppm"
+               " + (1000 * (kw_hits + camel_hits))"
+               " div greatest(n_lines, 1L) >= %d" % int(threshold_ppm)),
+    )

@@ -310,3 +310,24 @@ def test_dom_features_operator(spark):
     plan = dom_features(pages)._jdf.queryExecution().executedPlan(
         ).toString()
     assert plan.count("MapInPandas") == 1
+
+
+def test_code_signals_separation(spark):
+    from llm_food_spark.operators.quality import code_signals
+
+    code = ("def handle(x):\n  y = x[i]; z = {};\n"
+            "  return camelCase(y);\n")
+    prose = ("The quick brown fox jumps over the lazy dog and then "
+             "continues on its way through the quiet morning field.")
+    docs = spark.createDataFrame(
+        [(1, code), (2, prose), (3, "")], "doc_id long, text string")
+    got = {r.doc_id: r for r in code_signals(docs).collect()}
+    assert got[1].is_code is True
+    assert got[1].indent_lines == 2 and got[1].eol_lines == 2
+    assert got[1].kw_hits == 2          # def, return
+    assert got[1].camel_hits == 1       # lC in camelCase
+    assert got[2].is_code is False and got[2].symbol_chars == 0
+    assert got[3].is_code is False      # empty text: guarded divisions
+    plan = code_signals(docs)._jdf.queryExecution().executedPlan(
+        ).toString()
+    assert "EvalPython" not in plan and "MapInPandas" not in plan
