@@ -1319,6 +1319,36 @@ def q_dedup_exact(spark, sf_dir):
     return exact_duplicates(d.unionByName(mirror))
 
 
+def q_url_traps(spark, sf_dir):
+    """Crawler-trap screen (operators/urlops.py::url_trap_signals):
+    23 hosts whose URLs plant repeated-segment paths (%13), calendar
+    paths (%11), session ids (%7) and multi-param queries (%3) over a
+    depth-varying base. Hard oracle: DuckDB rebuilds every URL and
+    RECOMPUTES the host/path/param/flag pipeline with the operator's
+    own regexes (RE2-safe by construction) plus the list-arithmetic
+    repeated-segment rule and the exact ppm rollup."""
+    from llm_food_spark.operators.urlops import url_trap_signals
+
+    d = _t(spark, sf_dir, "documents")
+    path = F.expr("""
+      CASE
+        WHEN doc_id % 13 = 0 THEN concat('/cat/cat/cat/item', doc_id)
+        WHEN doc_id % 11 = 0 THEN
+          concat('/2025/', doc_id % 9 + 1, '/15/post')
+        ELSE aggregate(transform(filter(sequence(0, 5),
+          j -> j <= doc_id % 5), j -> concat('/p', j)), '',
+          (a, x) -> concat(a, x))
+      END""")
+    q = F.expr("""
+      CASE WHEN doc_id % 7 = 0 THEN concat('?sessionid=abc', doc_id)
+           WHEN doc_id % 3 = 0 THEN '?a=1&b=2'
+           ELSE '' END""")
+    urls = d.select(F.concat(
+        F.lit("http://site"), F.col("doc_id") % 23, F.lit(".test"),
+        path, q).alias("url"))
+    return url_trap_signals(urls)
+
+
 def q_code_signals(spark, sf_dir):
     """Code-vs-prose routing signals (operators/quality.py::
     code_signals): every 10th doc's text is replaced by a synthetic
@@ -3846,6 +3876,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dom_features": q_dom_features,          # page-structure spam features through the real DOM walk (gopher_quality holds the quality family's driver slot)
         "collocations": q_collocations,          # PMI/lift collocation table in exact integer space (term_stats/tfidf hold the term family's slots)
         "code_signals": q_code_signals,          # code-vs-prose router signals, twin recomputes every regex count (gopher_quality holds the quality driver slot)
+        "url_traps": q_url_traps,                # crawler-trap host screen, twin recomputes flags + ppm rollup (robots_screen/crawl_priority hold the crawl driver slots)
         "cms_heavy": q_cms_heavy,                # demoted for count_anomalies: hll_sketch holds the sketch-family slot (same constant-state grid/register mechanism); the Count-Min row/argmin arithmetic stays repo-gated
         "url_filter": q_url_filter,              # demoted for ngram_novelty: robots_screen holds the crawl URL-screen slot with strictly harder broadcast-rule semantics; the UT1 membership join stays repo-gated (and web_prep_full exercises broadcast screens)
         "chunk_recursive_tokens": q_chunk_recursive_tokens,  # demoted for kmeans: chunk_token holds the token-window chunker slot and recomputes the same token-boundary arithmetic; the recursive split tree stays repo-gated
@@ -5468,6 +5499,62 @@ def oracle_sql() -> dict[str, str]:
     """ % {"ind": CODE_INDENT_RE, "eol": CODE_EOL_RE,
            "sym": CODE_SYMBOL_RE, "kw": CODE_KEYWORD_RE,
            "cam": CODE_CAMEL_RE}
+    # url traps: regexes imported from the operator (RE2-safe — the
+    # repeated-segment rule is list arithmetic, not a backreference);
+    # the twin rebuilds every URL and recomputes flags + the rollup.
+    from llm_food_spark.operators.urlops import (TRAP_CALENDAR_RE,
+                                                 TRAP_SESSION_RE)
+
+    out["url_traps"] = """
+        WITH u AS (
+          SELECT doc_id,
+                 'site' || (doc_id %% 23) || '.test' AS host,
+                 'http://site' || (doc_id %% 23) || '.test'
+                 || CASE
+                      WHEN doc_id %% 13 = 0 THEN
+                        '/cat/cat/cat/item' || doc_id
+                      WHEN doc_id %% 11 = 0 THEN
+                        '/2025/' || (doc_id %% 9 + 1) || '/15/post'
+                      ELSE array_to_string(
+                        ['/p' || j
+                         FOR j IN range(0, CAST(doc_id %% 5 AS INT) + 1)],
+                        '')
+                    END
+                 || CASE WHEN doc_id %% 7 = 0 THEN
+                        '?sessionid=abc' || doc_id
+                      WHEN doc_id %% 3 = 0 THEN '?a=1&b=2'
+                      ELSE '' END AS url
+          FROM documents
+        ), per AS (
+          SELECT host,
+                 list_filter(string_split(
+                   regexp_replace(regexp_replace(url,
+                     '^[a-z][a-z0-9+.-]*://[^/]*', ''),
+                     '[?#].*$', ''), '/'), x -> x <> '') AS segs,
+                 CASE WHEN contains(url, '?') THEN
+                   len(string_split(
+                     regexp_replace(url, '^[^?]*\\?', ''), '&'))
+                 ELSE 0 END::BIGINT AS n_params,
+                 CASE WHEN regexp_matches(url, '%(sess)s')
+                      THEN 1 ELSE 0 END::BIGINT AS s,
+                 CASE WHEN regexp_matches(url, '%(cal)s')
+                      THEN 1 ELSE 0 END::BIGINT AS c,
+                 CASE WHEN len(segs) - len(list_distinct(segs)) >= 2
+                      THEN 1 ELSE 0 END::BIGINT AS r
+          FROM u
+        ), agg AS (
+          SELECT host, COUNT(*)::BIGINT AS n_urls,
+                 MAX(len(segs))::BIGINT AS max_depth,
+                 SUM(n_params)::BIGINT AS sum_params,
+                 SUM(s)::BIGINT AS n_session,
+                 SUM(c)::BIGINT AS n_calendar,
+                 SUM(r)::BIGINT AS n_repeat
+          FROM per GROUP BY host
+        )
+        SELECT *, ((n_session + n_calendar + n_repeat) * 1000000)
+                    // n_urls AS trap_ppm
+        FROM agg
+    """ % {"sess": TRAP_SESSION_RE, "cal": TRAP_CALENDAR_RE}
     # script profile: generated FROM the operator's SCRIPT_RANGES so the
     # literal character-range patterns are identical on both engines by
     # construction (Java and RE2 treat literal char ranges the same).

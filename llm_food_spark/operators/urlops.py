@@ -239,3 +239,68 @@ def host_reputation(
         .join(F.broadcast(verdict), "host")
         .select("doc_id", "host", "host_n_docs", "host_quality", "keep")
     )
+
+
+# trap regexes — shared char-for-char with the DuckDB twin; RE2-safe
+# (no backreferences: repeated segments are detected by list arithmetic)
+TRAP_SESSION_RE = r"[?&](?:sessionid|sid|phpsessid|jsessionid)="
+TRAP_CALENDAR_RE = (r"/[0-9]{4}/[0-9]{1,2}(?:/[0-9]{1,2})?(?:/|$)"
+                    r"|[?&](?:year|month|day|date)=")
+
+
+def url_trap_signals(
+    frontier: DataFrame,
+    url_col: str = "url",
+    min_repeat: int = 2,
+) -> DataFrame:
+    """Per-host crawler-trap screen — (host, n_urls, max_depth,
+    sum_params, n_session, n_calendar, n_repeat, trap_ppm).
+
+    The Heritrix-era trap heuristics (public crawler literature):
+    calendar pages, session-id URLs and self-similar paths (a segment
+    repeated >= ``min_repeat`` extra times — detected as
+    ``n_segments - n_distinct_segments``, NOT a regex backreference, so
+    the same logic runs on RE2) generate unbounded URL spaces; hosts
+    with a high trapped fraction get their frontier share cut
+    (crawl_budget's rep input). ``trap_ppm = (n_session + n_calendar +
+    n_repeat) * 1e6 div n_urls`` — exact integers.
+
+    Scale shape: per-URL flat regexp/array expressions (whole-stage
+    codegen) + ONE map-side-combined groupBy on host. No windows, no
+    Python, no driver state.
+    """
+    u = F.col(url_col)
+    path = F.regexp_replace(
+        F.regexp_replace(u, r"^[a-z][a-z0-9+.-]*://[^/]*", ""),
+        r"[?#].*$", "")
+    segs = F.filter(F.split(path, "/"), lambda s: s != F.lit(""))
+    depth = F.size(segs).cast("long")
+    n_params = F.when(
+        u.contains("?"),
+        F.size(F.split(F.regexp_replace(u, r"^[^?]*\?", ""), "&")),
+    ).otherwise(F.lit(0)).cast("long")
+    is_session = u.rlike(TRAP_SESSION_RE).cast("long")
+    is_calendar = u.rlike(TRAP_CALENDAR_RE).cast("long")
+    is_repeat = (
+        (F.size(segs) - F.size(F.array_distinct(segs)))
+        >= int(min_repeat)
+    ).cast("long")
+    per = frontier.select(
+        host_col(u).alias("host"),
+        depth.alias("depth"), n_params.alias("n_params"),
+        is_session.alias("s"), is_calendar.alias("c"),
+        is_repeat.alias("r"),
+    )
+    agg = per.groupBy("host").agg(
+        F.count(F.lit(1)).cast("long").alias("n_urls"),
+        F.max("depth").cast("long").alias("max_depth"),
+        F.sum("n_params").cast("long").alias("sum_params"),
+        F.sum("s").cast("long").alias("n_session"),
+        F.sum("c").cast("long").alias("n_calendar"),
+        F.sum("r").cast("long").alias("n_repeat"),
+    )
+    return agg.select(
+        "*",
+        F.expr("((n_session + n_calendar + n_repeat) * 1000000)"
+               " div n_urls").alias("trap_ppm"),
+    )

@@ -175,3 +175,27 @@ def test_host_reputation_screen(spark):
         assert got[i]["keep"] is True
     assert got[20]["keep"] is True      # insufficient evidence passes
     assert got[30]["keep"] is True      # strict <: mean == threshold keeps
+
+
+def test_url_trap_signals_hand_case(spark):
+    from llm_food_spark.operators.urlops import url_trap_signals
+
+    urls = spark.createDataFrame(
+        [("http://a.test/cal/2025/3/15/post",),
+         ("http://a.test/x/x/x/item?phpsessid=q1",),
+         ("http://a.test/p1/p2?a=1&b=2&c=3",),
+         ("http://b.test/clean",)],
+        "url string")
+    got = {r.host: r for r in url_trap_signals(urls).collect()}
+    a = got["a.test"]
+    assert a.n_urls == 3 and a.max_depth == 5
+    assert a.n_calendar == 1
+    assert a.n_session == 1
+    assert a.n_repeat == 1          # x,x,x,item: 4 - 2 >= 2
+    assert a.sum_params == 4        # phpsessid + a,b,c
+    assert a.trap_ppm == 1_000_000  # every url trips one flag
+    b = got["b.test"]
+    assert b.trap_ppm == 0 and b.max_depth == 1
+    plan = url_trap_signals(urls)._jdf.queryExecution().executedPlan(
+        ).toString()
+    assert "EvalPython" not in plan and "MapInPandas" not in plan
