@@ -1568,11 +1568,21 @@ def q_html_tables(spark, sf_dir):
     hash."""
     from llm_food_spark.operators.tables import extract_html_tables
 
+    pages = _t(spark, sf_dir, "documents").select(
+        F.concat(F.lit("http://t.test/"), F.col("doc_id")).alias("url"),
+        _tables_fixture_html().alias("html"),
+    )
+    return extract_html_tables(pages, n_partitions=8)
+
+
+def _tables_fixture_html():
+    """The html_tables grid fixture (shared by q_html_tables and
+    q_table_classify): header row + plain/colspan/rowspan body."""
     cells = ("aggregate(transform(filter(sequence(0, 5), "
              "j -> j >= %s AND j <= %s), "
              "j -> concat('<td>v', doc_id, '-%d-', j, '</td>')), "
              "'', (a, x) -> concat(a, x))")
-    html = F.expr("""
+    return F.expr("""
       concat(
         '<html><body><table><tr>',
         aggregate(transform(filter(sequence(0, 5),
@@ -1600,11 +1610,37 @@ def q_html_tables(spark, sf_dir):
         "rs_row2": cells % ("0", "doc_id % 3", 2),
         "plain": cells % ("0", "doc_id % 3 + 1", 1),
     })
+
+
+def q_table_classify(spark, sf_dir):
+    """Relational-vs-layout table classification (operators/tables.py::
+    classify_tables) chained THROUGH extract_html_tables: every doc
+    carries the grid fixture (header → relational), doc_id%3==0 adds a
+    single-row repeated-cell LAYOUT table and doc_id%3==1 a headerless
+    2x2 NUMERIC table that must classify relational via the numeric-ppm
+    route. The oracle composes the html_tables cell twin with the
+    planted extras and recomputes every aggregate, ppm and verdict."""
+    from llm_food_spark.operators.tables import (classify_tables,
+                                                 extract_html_tables)
+
+    extra = F.expr("""
+      CASE
+        WHEN doc_id % 3 = 0 THEN
+          '<table><tr><td>nav</td><td>nav</td></tr></table>'
+        WHEN doc_id % 3 = 1 THEN
+          '<table><tr><td>year</td><td>2024</td></tr>'
+          || '<tr><td>count</td><td>17,5</td></tr></table>'
+        ELSE ''
+      END""")
+    html = F.concat(
+        F.regexp_replace(_tables_fixture_html(),
+                         "</body></html>$", ""),
+        extra, F.lit("</body></html>"))
     pages = _t(spark, sf_dir, "documents").select(
         F.concat(F.lit("http://t.test/"), F.col("doc_id")).alias("url"),
         html.alias("html"),
     )
-    return extract_html_tables(pages, n_partitions=8)
+    return classify_tables(extract_html_tables(pages, n_partitions=8))
 
 
 def q_mixture_weights(spark, sf_dir):
@@ -3877,6 +3913,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "collocations": q_collocations,          # PMI/lift collocation table in exact integer space (term_stats/tfidf hold the term family's slots)
         "code_signals": q_code_signals,          # code-vs-prose router signals, twin recomputes every regex count (gopher_quality holds the quality driver slot)
         "url_traps": q_url_traps,                # crawler-trap host screen, twin recomputes flags + ppm rollup (robots_screen/crawl_priority hold the crawl driver slots)
+        "table_classify": q_table_classify,      # relational-vs-layout verdicts chained THROUGH the table extraction (html_tables holds the family's driver slot)
         "cms_heavy": q_cms_heavy,                # demoted for count_anomalies: hll_sketch holds the sketch-family slot (same constant-state grid/register mechanism); the Count-Min row/argmin arithmetic stays repo-gated
         "url_filter": q_url_filter,              # demoted for ngram_novelty: robots_screen holds the crawl URL-screen slot with strictly harder broadcast-rule semantics; the UT1 membership join stays repo-gated (and web_prep_full exercises broadcast screens)
         "chunk_recursive_tokens": q_chunk_recursive_tokens,  # demoted for kmeans: chunk_token holds the token-window chunker slot and recomputes the same token-boundary arithmetic; the recursive split tree stays repo-gated
@@ -5499,6 +5536,54 @@ def oracle_sql() -> dict[str, str]:
     """ % {"ind": CODE_INDENT_RE, "eol": CODE_EOL_RE,
            "sym": CODE_SYMBOL_RE, "kw": CODE_KEYWORD_RE,
            "cam": CODE_CAMEL_RE}
+    # table classification: composes the html_tables cell twin with the
+    # planted layout/numeric extras, then recomputes every aggregate,
+    # both ppm ratios and the verdict (numeric regex imported from the
+    # operator so both engines share it char-for-char)
+    from llm_food_spark.operators.tables import NUMERIC_CELL_RE
+
+    _tc_tmpl = """
+        WITH cells AS (
+          {HTML_TABLES_TWIN}
+          UNION ALL
+          SELECT 'http://t.test/' || doc_id, 1::INT, 0::INT, c.j::INT,
+                 1::INT, 1::INT, FALSE, 'nav'
+          FROM documents, UNNEST(range(0, 2)) AS c(j)
+          WHERE doc_id %% 3 = 0
+          UNION ALL
+          SELECT 'http://t.test/' || doc_id, 1::INT,
+                 (c.j // 2)::INT, (c.j %% 2)::INT, 1::INT, 1::INT,
+                 FALSE,
+                 CASE c.j WHEN 0 THEN 'year' WHEN 1 THEN '2024'
+                          WHEN 2 THEN 'count' ELSE '17,5' END
+          FROM documents, UNNEST(range(0, 4)) AS c(j)
+          WHERE doc_id %% 3 = 1
+        ), g AS (
+          SELECT url, table_idx,
+                 (MAX(row_idx) + 1)::INT AS n_rows,
+                 MAX(col_idx + colspan)::INT AS n_cols,
+                 COUNT(*)::BIGINT AS n_cells,
+                 SUM(CASE WHEN is_header THEN 1 ELSE 0 END)::BIGINT
+                   AS n_header,
+                 SUM(CASE WHEN regexp_matches(cell, '%(num)s')
+                          THEN 1 ELSE 0 END)::BIGINT AS n_numeric,
+                 COUNT(DISTINCT cell)::BIGINT AS n_distinct
+          FROM cells GROUP BY url, table_idx
+        )
+        SELECT url, table_idx, n_rows, n_cols, n_cells, n_header,
+               n_numeric,
+               (n_distinct * 1000000) // n_cells AS distinct_ppm,
+               (n_numeric * 1000000) // n_cells AS numeric_ppm,
+               CASE WHEN n_rows >= 2 AND n_cols >= 2
+                     AND (n_header > 0
+                          OR (n_numeric * 1000000) // n_cells
+                             >= 300000)
+                     AND (n_distinct * 1000000) // n_cells >= 500000
+                    THEN 'relational' ELSE 'layout' END AS kind
+        FROM g
+    """
+    out["table_classify"] = (_tc_tmpl % {"num": NUMERIC_CELL_RE}).replace(
+        "{HTML_TABLES_TWIN}", out["html_tables"])
     # url traps: regexes imported from the operator (RE2-safe — the
     # repeated-segment rule is list arithmetic, not a backreference);
     # the twin rebuilds every URL and recomputes flags + the rollup.

@@ -95,3 +95,24 @@ def test_operator_binary_null_and_plan(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("MapInPandas") == 1
     assert "BatchEvalPython" not in plan
+
+
+def test_classify_tables_verdict_routes(spark):
+    from llm_food_spark.operators.tables import (classify_tables,
+                                                 extract_html_tables)
+
+    pages = spark.createDataFrame(
+        [("u1",
+          "<table><tr><th>A</th><th>B</th></tr>"
+          "<tr><td>x</td><td>y</td></tr></table>"       # header route
+          "<table><tr><td>nav</td><td>nav</td></tr></table>"  # layout
+          "<table><tr><td>year</td><td>2024</td></tr>"
+          "<tr><td>count</td><td>-1,5</td></tr></table>")],  # numeric
+        "url string, html string")
+    got = {r.table_idx: r for r in classify_tables(
+        extract_html_tables(pages)).collect()}
+    assert got[0].kind == "relational" and got[0].n_header == 2
+    assert got[1].kind == "layout"       # single row + degenerate cells
+    assert got[1].distinct_ppm == 500_000
+    assert got[2].kind == "relational" and got[2].n_header == 0
+    assert got[2].n_numeric == 2 and got[2].numeric_ppm == 500_000
