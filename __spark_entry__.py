@@ -1319,6 +1319,32 @@ def q_dedup_exact(spark, sf_dir):
     return exact_duplicates(d.unionByName(mirror))
 
 
+def q_revisit(spark, sf_dir):
+    """Change-rate revisit scheduling (operators/snapshot.py::
+    revisit_schedule): per doc, doc_id%4+2 visits at a doc-specific
+    cadence whose hash flips on odd visits for even docs (never for
+    odd docs — those must ride the max clamp). Hard oracle: DuckDB
+    replays the LAG change detection, the integer rate/interval math
+    and both clamps."""
+    from llm_food_spark.operators.snapshot import revisit_schedule
+
+    d = _t(spark, sf_dir, "documents")
+    k = F.col("doc_id") % 4 + 2
+    visits = d.select(
+        F.concat(F.lit("http://r.test/"), F.col("doc_id")).alias("url"),
+        F.explode(F.sequence(F.lit(0), k - 1)).alias("j"),
+        F.col("doc_id"),
+    ).select(
+        "url",
+        (F.lit(1_700_000_000)
+         + F.col("j") * (F.col("doc_id") % 3 + 1) * 3600).alias("ts"),
+        F.when(F.col("doc_id") % 2 == 0,
+               F.expr("concat('v', j div 2)"))
+         .otherwise(F.lit("v0")).alias("content_hash"),
+    )
+    return revisit_schedule(visits)
+
+
 def q_url_traps(spark, sf_dir):
     """Crawler-trap screen (operators/urlops.py::url_trap_signals):
     23 hosts whose URLs plant repeated-segment paths (%13), calendar
@@ -3914,6 +3940,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "code_signals": q_code_signals,          # code-vs-prose router signals, twin recomputes every regex count (gopher_quality holds the quality driver slot)
         "url_traps": q_url_traps,                # crawler-trap host screen, twin recomputes flags + ppm rollup (robots_screen/crawl_priority hold the crawl driver slots)
         "table_classify": q_table_classify,      # relational-vs-layout verdicts chained THROUGH the table extraction (html_tables holds the family's driver slot)
+        "revisit": q_revisit,                    # change-rate revisit scheduling with LAG replay twin (snapshot_diff/crawl_priority hold the snapshot driver slots)
         "cms_heavy": q_cms_heavy,                # demoted for count_anomalies: hll_sketch holds the sketch-family slot (same constant-state grid/register mechanism); the Count-Min row/argmin arithmetic stays repo-gated
         "url_filter": q_url_filter,              # demoted for ngram_novelty: robots_screen holds the crawl URL-screen slot with strictly harder broadcast-rule semantics; the UT1 membership join stays repo-gated (and web_prep_full exercises broadcast screens)
         "chunk_recursive_tokens": q_chunk_recursive_tokens,  # demoted for kmeans: chunk_token holds the token-window chunker slot and recomputes the same token-boundary arithmetic; the recursive split tree stays repo-gated
@@ -7528,6 +7555,44 @@ def _handwritten_oracles() -> dict[str, str]:
             JOIN rc ON pc.rhs = rc.rhs
             CROSS JOIN nb
             WHERE pair_count >= 3
+        """,
+        # revisit twin: rebuild the visit table, replay LAG change
+        # detection, integer rate/interval math, both clamps
+        "revisit": """
+            WITH v AS (
+              SELECT 'http://r.test/' || doc_id AS url,
+                     1700000000
+                       + u.j * (doc_id % 3 + 1) * 3600 AS ts,
+                     CASE WHEN doc_id % 2 = 0 THEN 'v' || (u.j // 2)
+                          ELSE 'v0' END AS h
+              FROM documents,
+                   UNNEST(range(0, CAST(doc_id % 4 AS INT) + 2)) AS u(j)
+            ), f AS (
+              SELECT url, ts, h,
+                     CASE WHEN LAG(h) OVER
+                            (PARTITION BY url ORDER BY ts) IS NOT NULL
+                           AND h <> LAG(h) OVER
+                            (PARTITION BY url ORDER BY ts)
+                          THEN 1 ELSE 0 END::BIGINT AS changed
+              FROM v
+            ), a AS (
+              SELECT url, COUNT(*)::BIGINT AS n_visits,
+                     SUM(changed)::BIGINT AS n_changes,
+                     MIN(ts) AS first_ts, MAX(ts) AS last_ts
+              FROM f GROUP BY url
+            ), b AS (
+              SELECT url, n_visits, n_changes,
+                     (n_changes * 1000000)
+                       // GREATEST(n_visits - 1, 1) AS change_ppm,
+                     (last_ts - first_ts)
+                       // GREATEST(n_visits - 1, 1) AS avg_interval_s
+              FROM a
+            )
+            SELECT url, n_visits, n_changes, change_ppm, avg_interval_s,
+                   LEAST(GREATEST((avg_interval_s * 1000000)
+                                  // GREATEST(change_ppm, 1),
+                                  3600), 2592000) AS revisit_s
+            FROM b
         """,
         # dom_features twin: closed-form counts/masses — script text
         # excluded, link mass via list_sum of reconstructed anchors,

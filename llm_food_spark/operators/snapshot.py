@@ -224,3 +224,73 @@ def crawl_budget(
         .select("url", "host", F.col("host_rank").cast("int").alias(
             "host_rank"), F.col("quota").cast("long").alias("quota"))
     )
+
+
+def revisit_schedule(
+    visits: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "ts",
+    hash_col: str = "content_hash",
+    min_interval_s: int = 3_600,
+    max_interval_s: int = 2_592_000,
+) -> DataFrame:
+    """Change-rate-driven revisit intervals per URL — (url, n_visits,
+    n_changes, change_ppm, avg_interval_s, revisit_s).
+
+    The incremental-crawl scheduling move (Cho & Garcia-Molina's
+    change-frequency estimation, public work) in the repo's exact-
+    integer form: from a visit history (url, epoch-seconds ts, content
+    hash), a change is a hash differing from the PREVIOUS visit's
+    (n_visits - 1 observable intervals);
+
+      change_ppm     = n_changes * 1e6 div max(intervals, 1)
+      avg_interval_s = (last_ts - first_ts) div max(intervals, 1)
+      revisit_s      = clamp(avg_interval_s * 1e6
+                             div max(change_ppm, 1),
+                             min_interval_s, max_interval_s)
+
+    — expected seconds between content changes (observation cadence /
+    observed change fraction), clamped to the crawl policy band. A
+    never-changing URL rides the max clamp; an every-visit changer
+    revisits at its observation cadence (or the min clamp); a
+    single-visit URL (zero intervals, zero estimate) lands on the MIN
+    clamp — the exploration policy: revisit soon until a rate exists.
+
+    Scale shape: one per-url window (lag over narrow (url, ts, hash)
+    rows — url-partitioned, no global sort) + one map-side-combined
+    groupBy; all integer arithmetic, no Python, no driver state.
+    """
+    from pyspark.sql import Window
+
+    v = visits.select(
+        F.col(url_col).alias("url"),
+        F.col(ts_col).cast("long").alias("ts"),
+        F.col(hash_col).alias("h"),
+    )
+    w = Window.partitionBy("url").orderBy("ts")
+    flagged = v.withColumn(
+        "changed",
+        (F.lag("h").over(w).isNotNull()
+         & (F.col("h") != F.lag("h").over(w))).cast("long"),
+    )
+    agg = flagged.groupBy("url").agg(
+        F.count(F.lit(1)).cast("long").alias("n_visits"),
+        F.sum("changed").cast("long").alias("n_changes"),
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+    )
+    agg = agg.select(
+        "url", "n_visits", "n_changes",
+        F.expr("(n_changes * 1000000)"
+               " div greatest(n_visits - 1, 1L)").alias("change_ppm"),
+        F.expr("(last_ts - first_ts)"
+               " div greatest(n_visits - 1, 1L)").alias("avg_interval_s"),
+    )
+    return agg.select(
+        "*",
+        F.expr(
+            "least(greatest((avg_interval_s * 1000000)"
+            " div greatest(change_ppm, 1L), %dL), %dL)"
+            % (int(min_interval_s), int(max_interval_s))
+        ).alias("revisit_s"),
+    )

@@ -188,3 +188,35 @@ def test_crawl_budget_zero_reputation_fallback(spark):
         counts[r.host] = counts.get(r.host, 0) + 1
     # S=0 degenerates to one fetch per host in host order
     assert counts == {"x": 1, "y": 1, "z": 1}
+
+
+def test_revisit_schedule_rates_and_clamps(spark):
+    from llm_food_spark.operators.snapshot import revisit_schedule
+
+    H = 3600
+    visits = spark.createDataFrame(
+        [
+            # changes every other interval: 2 changes / 4 intervals
+            ("u1", 0, "a"), ("u1", H, "a"), ("u1", 2 * H, "b"),
+            ("u1", 3 * H, "b"), ("u1", 4 * H, "c"),
+            # never changes -> max clamp
+            ("u2", 0, "x"), ("u2", H, "x"), ("u2", 2 * H, "x"),
+            # single visit -> zero intervals, guarded divisions
+            ("u3", 0, "y"),
+        ],
+        "url string, ts long, content_hash string")
+    got = {r.url: r for r in revisit_schedule(visits).collect()}
+    u1 = got["u1"]
+    assert u1.n_visits == 5 and u1.n_changes == 2
+    assert u1.change_ppm == 500_000 and u1.avg_interval_s == H
+    assert u1.revisit_s == 2 * H      # expected change every 2 obs
+    u2 = got["u2"]
+    assert u2.change_ppm == 0 and u2.revisit_s == 2_592_000  # max clamp
+    u3 = got["u3"]
+    assert u3.n_visits == 1 and u3.n_changes == 0
+    assert u3.revisit_s == 3600   # no information -> explore at min clamp
+    # every-visit changer at 10s cadence rides the MIN clamp
+    fast = spark.createDataFrame(
+        [("f", 0, "a"), ("f", 10, "b"), ("f", 20, "c")],
+        "url string, ts long, content_hash string")
+    assert revisit_schedule(fast).collect()[0].revisit_s == 3600
