@@ -1462,6 +1462,23 @@ def q_reciprocity(spark, sf_dir):
     return link_reciprocity(base.unionByName(planted))
 
 
+def q_triangle_count(spark, sf_dir):
+    """Per-node triangle counts + clustering coefficient (operators/
+    graph.py::triangle_counts, degree-ordered orientation) on a seeded
+    25-node graph with deliberate hub skew (5u+3 mod 25 is non-bijective,
+    concentrating in-degree) — 42 undirected edges, 18 triangles. Hard
+    oracle: DuckDB enumerates triangles with a STRUCTURALLY DIFFERENT
+    algorithm — a lexicographic a<b<c three-way self-join, no degree
+    orientation — and recomputes degrees + the exact ppm division."""
+    from llm_food_spark.operators.graph import triangle_counts
+
+    d = _t(spark, sf_dir, "documents")
+    u = F.col("doc_id") % 25
+    e1 = d.select(u.alias("src"), ((F.col("doc_id") * 5 + 3) % 25).alias("dst"))
+    e2 = d.select(u.alias("src"), ((F.col("doc_id") * 11 + 5) % 25).alias("dst"))
+    return triangle_counts(e1.unionByName(e2))
+
+
 # shared unigram vocabulary — fixed literals, identical in the Spark
 # frame and the oracle's VALUES list. Scores engineered so real Viterbi
 # decisions occur: abc beats ab+c, b+cd beats bcd, cc ties c+c (fewer
@@ -3935,6 +3952,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "feed_parse": q_feed_parse,              # RSS/Atom discovery through the real tolerant parse (sitemap_parse holds the discovery family's earlier repo slot)
         "unigram_encode": q_unigram_encode,      # SentencePiece unigram Viterbi vs an exhaustive-enumeration oracle (bpe_learn/bpe_encode hold the tokenizer family's driver slots)
         "reciprocity": q_reciprocity,            # link-farm reciprocal-edge fraction (pagerank_seeded/hits_seeded hold the graph family's slots)
+        "triangle_count": q_triangle_count,      # per-node triangles + clustering ppm via degree-ordered orientation; twin enumerates with a lexicographic 3-way join — a different algorithm
         "dom_features": q_dom_features,          # page-structure spam features through the real DOM walk (gopher_quality holds the quality family's driver slot)
         "collocations": q_collocations,          # PMI/lift collocation table in exact integer space (term_stats/tfidf hold the term family's slots)
         "code_signals": q_code_signals,          # code-vs-prose router signals, twin recomputes every regex count (gopher_quality holds the quality driver slot)
@@ -7659,6 +7677,44 @@ def _handwritten_oracles() -> dict[str, str]:
                    (COALESCE(r.n_recip, 0) * 1000000) // o.n_out
                      AS recip_ppm
             FROM o LEFT JOIN r ON o.src = r.src
+        """,
+        # triangle_count twin: INDEPENDENT algorithm — lexicographic
+        # a<b<c three-way self-join over the canonical undirected edge
+        # set (no degree orientation), then per-corner counts and the
+        # exact integer clustering ppm
+        "triangle_count": """
+            WITH und AS (
+              SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+              FROM (
+                SELECT doc_id % 25 AS src, (doc_id * 5 + 3) % 25 AS dst
+                FROM documents
+                UNION ALL
+                SELECT doc_id % 25, (doc_id * 11 + 5) % 25 FROM documents
+              ) WHERE src <> dst
+            ), deg AS (
+              SELECT node, COUNT(*)::BIGINT AS degree FROM (
+                SELECT a AS node FROM und
+                UNION ALL SELECT b FROM und
+              ) GROUP BY node
+            ), tri AS (
+              SELECT e1.a AS x, e1.b AS y, e2.b AS z
+              FROM und e1
+              JOIN und e2 ON e2.a = e1.b
+              JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+            ), corners AS (
+              SELECT node, COUNT(*)::BIGINT AS n_tri FROM (
+                SELECT x AS node FROM tri
+                UNION ALL SELECT y FROM tri
+                UNION ALL SELECT z FROM tri
+              ) GROUP BY node
+            )
+            SELECT d.node, d.degree,
+                   COALESCE(c.n_tri, 0)::BIGINT AS n_tri,
+                   CASE WHEN d.degree >= 2
+                        THEN (2 * COALESCE(c.n_tri, 0) * 1000000)
+                             // (d.degree * (d.degree - 1))
+                        ELSE 0 END::BIGINT AS clustering_ppm
+            FROM deg d LEFT JOIN corners c ON c.node = d.node
         """,
         # unigram_encode twin: INDEPENDENT algorithm — a recursive CTE
         # enumerates every segmentation of the synthetic word over the

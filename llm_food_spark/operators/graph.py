@@ -216,3 +216,86 @@ def link_reciprocity(
             F.expr("(n_recip * 1000000) div n_out").alias("recip_ppm"),
         )
     )
+
+
+def triangle_counts(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Per-node triangle participation + local clustering coefficient —
+    (node, degree, n_tri, clustering_ppm). The classic web-spam /
+    community-density signal: link farms and tight cliques have
+    clustering near 1, organic hub pages near 0.
+
+    The input is treated as an UNDIRECTED simple graph: direction
+    dropped (least/greatest canonicalization), self-loops removed,
+    multi-edges collapsed. ``n_tri`` counts triangles the node belongs
+    to; ``clustering_ppm = (2 * n_tri * 1e6) div (degree * (degree-1))``
+    (0 when degree < 2) — exact integer space, the recip_ppm idiom.
+
+    Scale shape — degree-ordered orientation (Suri & Vassilvitskii,
+    WWW'11, "Counting triangles and the curse of the last reducer"):
+    each undirected edge is oriented from its lower-(degree, node)
+    endpoint toward the higher, so every node's OUT-degree in the
+    oriented graph is O(sqrt(m)) regardless of hub in-degree, and the
+    wedge self-join (the quadratic step) never lands a celebrity key on
+    one reducer. A naive neighbor self-join would square a 10^7-degree
+    hub; here that hub is always the wedge ENDPOINT, never the pivot.
+    Plan: one distinct over narrow pairs, one map-side degree groupBy
+    joined back (AQE picks broadcast/sort-merge), the wedge self-join on
+    the pivot key, one probe join of wedges against oriented edges, and
+    three map-side-combining corner counts — no windows, no Python, no
+    driver state.
+    """
+    und = (
+        edges.select(F.col(src_col).alias("s"), F.col(dst_col).alias("d"))
+        .where(F.col("s") != F.col("d"))
+        .select(F.least("s", "d").alias("a"), F.greatest("s", "d").alias("b"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionAll(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("degree").alias("da"))
+    db = deg.select(F.col("node").alias("b"), F.col("degree").alias("db"))
+    fwd = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b")))
+    # strict total order on (degree, node id) => exactly one orientation
+    # per edge, and each triangle {x ≺ y ≺ z} is produced once, at pivot x
+    orient = (
+        und.join(da, "a").join(db, "b")
+        .select(
+            F.when(fwd, F.col("a")).otherwise(F.col("b")).alias("u"),
+            F.when(fwd, F.col("b")).otherwise(F.col("a")).alias("v"),
+            F.when(fwd, F.col("db")).otherwise(F.col("da")).alias("dv"),
+        )
+    )
+    e1 = orient.select("u", F.col("v").alias("v1"), F.col("dv").alias("dv1"))
+    e2 = orient.select("u", F.col("v").alias("v2"), F.col("dv").alias("dv2"))
+    wedges = e1.join(e2, "u").where(
+        (F.col("dv1") < F.col("dv2")) | (
+            (F.col("dv1") == F.col("dv2")) & (F.col("v1") < F.col("v2")))
+    )
+    probe = orient.select(F.col("u").alias("v1"), F.col("v").alias("v2"))
+    tri = wedges.join(probe, ["v1", "v2"]).select("u", "v1", "v2")
+    corners = (
+        tri.select(F.col("u").alias("node"))
+        .unionAll(tri.select(F.col("v1").alias("node")))
+        .unionAll(tri.select(F.col("v2").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_tri"))
+    )
+    return (
+        deg.join(corners, "node", "left").na.fill({"n_tri": 0})
+        .select(
+            "node", "degree", "n_tri",
+            F.when(
+                F.col("degree") >= 2,
+                F.expr("(2 * n_tri * 1000000) div (degree * (degree - 1))"),
+            ).otherwise(F.lit(0)).cast("long").alias("clustering_ppm"),
+        )
+    )

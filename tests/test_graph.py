@@ -244,3 +244,32 @@ def test_link_reciprocity_hand_case(spark):
     plan = link_reciprocity(edges)._jdf.queryExecution().executedPlan(
         ).toString()
     assert "EvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_triangle_counts_k4_plus_pendant(spark):
+    from llm_food_spark.operators.graph import triangle_counts
+
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    # noisy directed input: reversed duplicates, a self-loop, a pendant
+    edges = spark.createDataFrame(
+        k4 + [(b, a) for a, b in k4] + [(2, 2), (4, 0)], ["src", "dst"])
+    got = {r.node: (r.degree, r.n_tri, r.clustering_ppm)
+           for r in triangle_counts(edges).collect()}
+    assert got == {
+        0: (4, 3, 500000),   # 2*3e6 div (4*3)
+        1: (3, 3, 1000000),
+        2: (3, 3, 1000000),
+        3: (3, 3, 1000000),
+        4: (1, 0, 0),
+    }
+
+
+def test_triangle_counts_path_and_string_nodes(spark):
+    from llm_food_spark.operators.graph import triangle_counts
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d")], ["src", "dst"])
+    got = {r.node: (r.degree, r.n_tri, r.clustering_ppm)
+           for r in triangle_counts(edges).collect()}
+    assert got == {"a": (1, 0, 0), "b": (2, 0, 0),
+                   "c": (2, 0, 0), "d": (1, 0, 0)}
