@@ -1479,6 +1479,54 @@ def q_triangle_count(spark, sf_dir):
     return triangle_counts(e1.unionByName(e2))
 
 
+def q_label_propagation(spark, sf_dir):
+    """Synchronous label-propagation communities (operators/graph.py::
+    label_propagation, 3 rounds) on a seeded ring-of-cliques: four
+    6-node circulant C6(1,2) blocks bridged at their head nodes. Hard
+    oracle: DuckDB unrolls the identical three synchronous rounds with
+    the same (count desc, label asc) adoption rule via row_number."""
+    from llm_food_spark.operators.graph import label_propagation
+
+    d = _t(spark, sf_dir, "documents")
+    u = F.col("doc_id") % 24
+    base = u - (u % 6)
+    e1 = d.select(u.alias("src"),
+                  (base + ((u % 6 + 1) % 6)).alias("dst"))
+    e2 = d.select(u.alias("src"),
+                  (base + ((u % 6 + 2) % 6)).alias("dst"))
+    bridge = d.where(u % 6 == 0).select(
+        u.alias("src"), ((u + 6) % 24).alias("dst"))
+    return label_propagation(e1.unionByName(e2).unionByName(bridge),
+                             iterations=3)
+
+
+def q_k_anonymize(spark, sf_dir):
+    """k-anonymity suppression (operators/redact.py::k_anonymize, k=5,
+    mode='suppress') over documents with quasi-identifiers (lang,
+    source, n_chars div 500). Hard oracle: DuckDB recomputes every
+    group size and the per-row null-out verdict."""
+    from llm_food_spark.operators.redact import k_anonymize
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source",
+        F.expr("n_chars div 500").alias("nchars_bucket"))
+    return k_anonymize(d, ["lang", "source", "nchars_bucket"], k=5)
+
+
+def q_skew_profile(spark, sf_dir):
+    """Key-skew profiler (operators/profile.py::skew_profile) over a
+    seeded non-uniform key — floor(sqrt(doc_id mod 400)) gives linearly
+    growing per-key counts, so every output statistic is non-trivial.
+    Hard oracle: DuckDB recomputes the count table, the count-of-counts
+    discrete percentiles, the top-k shares and the ppm ratios."""
+    from llm_food_spark.operators.profile import skew_profile
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.floor(F.sqrt((F.col("doc_id") % 400).cast("double")))
+        .cast("long").alias("key"))
+    return skew_profile(d, ["key"], top_k=10)
+
+
 # shared unigram vocabulary — fixed literals, identical in the Spark
 # frame and the oracle's VALUES list. Scores engineered so real Viterbi
 # decisions occur: abc beats ab+c, b+cd beats bcd, cc ties c+c (fewer
@@ -3953,6 +4001,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_encode": q_unigram_encode,      # SentencePiece unigram Viterbi vs an exhaustive-enumeration oracle (bpe_learn/bpe_encode hold the tokenizer family's driver slots)
         "reciprocity": q_reciprocity,            # link-farm reciprocal-edge fraction (pagerank_seeded/hits_seeded hold the graph family's slots)
         "triangle_count": q_triangle_count,      # per-node triangles + clustering ppm via degree-ordered orientation; twin enumerates with a lexicographic 3-way join — a different algorithm
+        "label_propagation": q_label_propagation,  # synchronous LPA communities, 3 unrolled rounds with the (count desc, label asc) rule mirrored via row_number
+        "k_anonymize": q_k_anonymize,            # k-anonymity QI suppression; twin recomputes group sizes + null-out verdicts
+        "skew_profile": q_skew_profile,          # key-skew summary (count-of-counts percentiles, top-k shares, max/mean ppm) — the measurement half of the salting story
         "dom_features": q_dom_features,          # page-structure spam features through the real DOM walk (gopher_quality holds the quality family's driver slot)
         "collocations": q_collocations,          # PMI/lift collocation table in exact integer space (term_stats/tfidf hold the term family's slots)
         "code_signals": q_code_signals,          # code-vs-prose router signals, twin recomputes every regex count (gopher_quality holds the quality driver slot)
@@ -4398,6 +4449,54 @@ _PAGERANK_SQL = (
     """
     + "".join(_PAGERANK_ITER.format(i=i, p=i - 1) for i in (1, 2, 3))
     + "SELECT node, round(rank, 6) AS rank FROM r3"
+)
+
+
+# label_propagation twin: three unrolled synchronous rounds; the Spark
+# side's max(struct(cnt, -label)) argmax is mirrored as a row_number
+# over (cnt DESC, label ASC)
+_LPA_ITER = """
+    , c{i} AS (
+      SELECT s.node, l.label, COUNT(*)::BIGINT AS cnt
+      FROM sym s JOIN l{p} l ON l.node = s.nbr
+      GROUP BY s.node, l.label
+    ), l{i} AS (
+      SELECT node, label FROM (
+        SELECT node, label,
+               row_number() OVER (PARTITION BY node
+                                  ORDER BY cnt DESC, label ASC) AS rn
+        FROM c{i}
+      ) WHERE rn = 1
+    )
+"""
+
+_LPA_SQL = (
+    """
+    WITH e AS (
+      SELECT DISTINCT a, b FROM (
+        SELECT doc_id % 24 AS a,
+               (doc_id % 24) - ((doc_id % 24) % 6)
+                 + (((doc_id % 24) % 6 + 1) % 6) AS b
+        FROM documents
+        UNION ALL
+        SELECT doc_id % 24,
+               (doc_id % 24) - ((doc_id % 24) % 6)
+                 + (((doc_id % 24) % 6 + 2) % 6)
+        FROM documents
+        UNION ALL
+        SELECT doc_id % 24, ((doc_id % 24) + 6) % 24
+        FROM documents WHERE (doc_id % 24) % 6 = 0
+      ) WHERE a <> b
+    ), sym AS (
+      SELECT a AS node, b AS nbr FROM e
+      UNION
+      SELECT b, a FROM e
+    ), l0 AS (
+      SELECT DISTINCT node, node::BIGINT AS label FROM sym
+    )
+    """
+    + "".join(_LPA_ITER.format(i=i, p=i - 1) for i in (1, 2, 3))
+    + "SELECT node, label FROM l3"
 )
 
 
@@ -7715,6 +7814,66 @@ def _handwritten_oracles() -> dict[str, str]:
                              // (d.degree * (d.degree - 1))
                         ELSE 0 END::BIGINT AS clustering_ppm
             FROM deg d LEFT JOIN corners c ON c.node = d.node
+        """,
+        "label_propagation": _LPA_SQL,
+        # k_anonymize twin: group sizes + per-row null-out verdict; the
+        # null-safe QI join is IS NOT DISTINCT FROM, the GROUP BY contract
+        "k_anonymize": """
+            WITH base AS (
+              SELECT doc_id, lang, source,
+                     n_chars // 500 AS nchars_bucket
+              FROM documents
+            ), sizes AS (
+              SELECT lang, source, nchars_bucket,
+                     COUNT(*)::BIGINT AS qi_group_size
+              FROM base GROUP BY 1, 2, 3
+            )
+            SELECT b.doc_id,
+                   CASE WHEN s.qi_group_size < 5 THEN NULL
+                        ELSE b.lang END AS lang,
+                   CASE WHEN s.qi_group_size < 5 THEN NULL
+                        ELSE b.source END AS source,
+                   CASE WHEN s.qi_group_size < 5 THEN NULL
+                        ELSE b.nchars_bucket END AS nchars_bucket,
+                   s.qi_group_size,
+                   s.qi_group_size < 5 AS suppressed
+            FROM base b JOIN sizes s
+              ON b.lang IS NOT DISTINCT FROM s.lang
+             AND b.source IS NOT DISTINCT FROM s.source
+             AND b.nchars_bucket IS NOT DISTINCT FROM s.nchars_bucket
+        """,
+        # skew_profile twin: recomputes the per-key counts, the
+        # count-of-counts discrete percentiles, top-k shares, ppm ratios
+        "skew_profile": """
+            WITH keyed AS (
+              SELECT floor(sqrt((doc_id % 400)::DOUBLE))::BIGINT AS key
+              FROM documents
+            ), counts AS (
+              SELECT key, COUNT(*)::BIGINT AS cnt FROM keyed GROUP BY key
+            ), tot AS (
+              SELECT SUM(cnt)::BIGINT AS n_rows,
+                     COUNT(*)::BIGINT AS n_keys,
+                     MAX(cnt)::BIGINT AS max_cnt
+              FROM counts
+            ), coc AS (
+              SELECT cnt, COUNT(*)::BIGINT AS freq FROM counts GROUP BY cnt
+            ), cum AS (
+              SELECT cnt, SUM(freq) OVER (ORDER BY cnt) AS cum FROM coc
+            ), p50 AS (
+              SELECT MIN(cnt)::BIGINT AS p50_cnt FROM cum, tot
+              WHERE cum >= ceil(0.5 * n_keys)
+            ), p99 AS (
+              SELECT MIN(cnt)::BIGINT AS p99_cnt FROM cum, tot
+              WHERE cum >= ceil(0.99 * n_keys)
+            ), topk AS (
+              SELECT SUM(cnt)::BIGINT AS topk_cnt FROM (
+                SELECT cnt FROM counts ORDER BY cnt DESC LIMIT 10)
+            )
+            SELECT n_rows, n_keys, max_cnt, p50_cnt, p99_cnt,
+                   (max_cnt * 1000000) // n_rows AS top1_share_ppm,
+                   (topk_cnt * 1000000) // n_rows AS topk_share_ppm,
+                   (max_cnt * n_keys * 1000000) // n_rows AS skew_ppm
+            FROM tot, p50, p99, topk
         """,
         # unigram_encode twin: INDEPENDENT algorithm — a recursive CTE
         # enumerates every segmentation of the synthetic word over the

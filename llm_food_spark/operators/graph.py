@@ -299,3 +299,67 @@ def triangle_counts(
             ).otherwise(F.lit(0)).cast("long").alias("clustering_ppm"),
         )
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    iterations: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Synchronous label propagation (Raghavan, Albert & Kumara 2007,
+    Phys. Rev. E — "Near linear time algorithm to detect community
+    structures") over the undirected simple graph -> (node, label).
+    Community detection for link-farm rings and template networks where
+    clustering_ppm flags density but not membership.
+
+    Node ids must be NUMERIC (labels live in the same space; hash string
+    hosts with xxhash64 first). Init: label = own id. Per round, every
+    node adopts its neighbors' most frequent label, ties -> smallest
+    label; fixed synchronous rounds + the deterministic tie rule make
+    the result a pure function of the edge set (LPA's known oscillation
+    on bipartite structures is part of that deterministic contract, not
+    hidden state — the oracle unrolls the identical rounds).
+
+    Scale shape mirrors ``pagerank``: per round one join of narrow
+    (node, label) rows against the static symmetrized edge list, one
+    map-side-combining (node, label) count, and one deterministic argmax
+    as a single max(struct(cnt, -label)) aggregate — no window, so a
+    celebrity node's neighbor-label multiset is combined map-side
+    instead of funneling one reducer. Label frames are checkpoint-cut
+    per round with the previous round's storage freed (the cluster.py
+    discipline)."""
+    if iterations < 1:
+        raise ValueError("iterations must be >= 1")
+    sc = edges.sparkSession.sparkContext
+    e = (
+        edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+        .where(F.col("a") != F.col("b"))
+    )
+    sym = (
+        e.select(F.col("a").alias("node"), F.col("b").alias("nbr"))
+        .unionAll(e.select(F.col("b").alias("node"), F.col("a").alias("nbr")))
+        .distinct()
+    )
+    sym = _cut(sym, sc)
+    labels = sym.select("node").distinct().select(
+        "node", F.col("node").cast("long").alias("label"))
+    prev_ids: set = set()
+    for _ in range(iterations):
+        cnt = (
+            sym.join(labels.select(F.col("node").alias("nbr"), "label"),
+                     "nbr")
+            .groupBy("node", "label")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        labels = (
+            cnt.groupBy("node")
+            .agg(F.max(F.struct(
+                F.col("cnt"), (-F.col("label")).alias("neg"))).alias("m"))
+            .select("node", (-F.col("m.neg")).alias("label"))
+        )
+        before = _persistent_ids(sc)
+        labels = _cut(labels, sc)
+        _free_checkpoint_ids(sc, prev_ids)
+        prev_ids = _persistent_ids(sc) - before
+    return labels.select("node", "label")

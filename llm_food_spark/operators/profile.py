@@ -1,0 +1,101 @@
+"""Key-distribution skew profiler — the measurement half of the repo's
+salting/AQE story.
+
+Every skew mitigation in this engine (url-hash salting, AQE skew joins,
+``max_bucket`` caps, the dedup_substrings map-side winner election) is a
+response to a skewed key distribution; ``skew_profile`` is the operator a
+pipeline runs FIRST to decide whether and how hard to mitigate. One row
+out: exact integer summary of how concentrated a prospective
+shuffle/join key is (hot-host share, max/mean ratio, discrete
+percentiles of the per-key counts). No analogue in the reference.
+
+Scale shape — three narrow aggregations, no corpus-sized window:
+
+1. per-key counts: one map-side-combining groupBy (only (key, cnt)
+   crosses the exchange);
+2. discrete percentiles via the COUNT-OF-COUNTS table: counts are
+   re-grouped by their VALUE (distinct count values number ~O(1000) even
+   at 10^9 keys — host-degree distributions are heavy-tailed with tiny
+   support), and the cumulative window runs over THAT metadata-sized
+   table, never over the per-key table;
+3. top-k shares via a global TakeOrderedAndProject (k rows cross the
+   driver-side limit, not the key table).
+
+The single-partition window in step 2 is the mixture_weights/crawl_budget
+justification: it sorts distinct COUNT VALUES, a set that grows with the
+log of the corpus, not with it.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def skew_profile(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    top_k: int = 10,
+) -> DataFrame:
+    """One-row exact skew summary of ``df`` grouped by ``key_cols``:
+
+    - ``n_rows``, ``n_keys``, ``max_cnt`` (longs; NULL keys group, the
+      GROUP BY contract);
+    - ``p50_cnt`` / ``p99_cnt``: discrete percentiles of the per-key
+      counts — the smallest count c such that at least ceil(p * n_keys)
+      keys have count <= c;
+    - ``top1_share_ppm`` / ``topk_share_ppm``: share of all rows held by
+      the single hottest key / the ``top_k`` hottest (ties among equal
+      counts do not affect the sum; fewer than k keys -> all);
+    - ``skew_ppm``: max/mean ratio in ppm, ``max_cnt * n_keys * 1e6 div
+      n_rows`` — 1_000_000 means perfectly uniform; a 100x hot key reads
+      100_000_000.
+    """
+    if top_k < 1:
+        raise ValueError("top_k must be >= 1")
+    key_cols = list(key_cols)
+    if not key_cols:
+        raise ValueError("key_cols must be non-empty")
+    counts = df.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"))
+    totals = counts.agg(
+        F.sum("cnt").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.max("cnt").cast("long").alias("max_cnt"),
+    )
+    # count-of-counts: tiny (distinct count values), safe to window
+    coc = counts.groupBy("cnt").agg(
+        F.count(F.lit(1)).cast("long").alias("freq"))
+    cum = coc.withColumn(
+        "cum", F.sum("freq").over(
+            Window.orderBy("cnt").rowsBetween(Window.unboundedPreceding, 0)))
+
+    def _pctl(p: float, name: str) -> DataFrame:
+        # smallest cnt whose cumulative key coverage reaches ceil(p*n_keys)
+        return (
+            cum.crossJoin(F.broadcast(totals.select("n_keys")))
+            .where(F.col("cum") >= F.ceil(F.lit(p) * F.col("n_keys")))
+            .agg(F.min("cnt").cast("long").alias(name))
+        )
+
+    topk = (
+        counts.orderBy(F.col("cnt").desc())
+        .limit(int(top_k))
+        .agg(F.sum("cnt").cast("long").alias("topk_cnt"))
+    )
+    return (
+        totals
+        .crossJoin(F.broadcast(_pctl(0.5, "p50_cnt")))
+        .crossJoin(F.broadcast(_pctl(0.99, "p99_cnt")))
+        .crossJoin(F.broadcast(topk))
+        .select(
+            "n_rows", "n_keys", "max_cnt", "p50_cnt", "p99_cnt",
+            F.expr("(max_cnt * 1000000) div n_rows")
+            .alias("top1_share_ppm"),
+            F.expr("(topk_cnt * 1000000) div n_rows")
+            .alias("topk_share_ppm"),
+            F.expr("(max_cnt * n_keys * 1000000) div n_rows")
+            .alias("skew_ppm"),
+        )
+    )

@@ -100,3 +100,55 @@ def redact_cards_table(df, text_col: str = "text", id_col: str = "doc_id"):
         F.col("_rc.redacted").alias("redacted"),
         F.col("_rc.n_cards").alias("n_cards"),
     )
+
+
+def k_anonymize(
+    df,
+    quasi_cols,
+    k: int = 5,
+    mode: str = "suppress",
+):
+    """k-anonymity screen over quasi-identifier columns (Sweeney 2002,
+    IJUFKS — "k-anonymity: a model for protecting privacy"): a row whose
+    quasi-identifier combination is shared by fewer than ``k`` rows is
+    re-identifiable by linkage, so its QI columns are suppressed
+    (``mode='suppress'``: nulled, the row kept) or the row is dropped
+    (``mode='drop'``). Corpus-release hygiene for tabular sidecars
+    (per-doc metadata exports), complementing the text-level PII passes
+    above. No analogue in the reference.
+
+    Output: the input columns (QI columns possibly nulled) plus
+    ``qi_group_size`` (long) and ``suppressed`` (boolean). NULL QI
+    values group together (standard SQL GROUP BY semantics) — a null
+    combination is itself a quasi-identifier.
+
+    Scale shape: one map-side-combining groupBy over the QI columns
+    (group count, not row payload, crosses the exchange) + one re-attach
+    join that AQE broadcasts when the QI-combination table is small and
+    skew-splits when it is not; no windows, no Python, no driver state.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if mode not in ("suppress", "drop"):
+        raise ValueError("mode must be 'suppress' or 'drop'")
+    quasi_cols = list(quasi_cols)
+    if not quasi_cols:
+        raise ValueError("quasi_cols must be non-empty")
+    sizes = df.groupBy(*quasi_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("qi_group_size"))
+    # null-safe equi-join on every QI column (GROUP BY groups nulls)
+    cond = None
+    for c in quasi_cols:
+        e = df[c].eqNullSafe(sizes[c])
+        cond = e if cond is None else (cond & e)
+    joined = df.join(sizes, cond).drop(*[sizes[c] for c in quasi_cols])
+    small = F.col("qi_group_size") < F.lit(int(k))
+    if mode == "drop":
+        return joined.where(~small).withColumn("suppressed", F.lit(False))
+    out_cols = [
+        F.when(small, F.lit(None)).otherwise(F.col(c)).alias(c)
+        if c in quasi_cols else F.col(c)
+        for c in df.columns
+    ]
+    return joined.select(*out_cols, "qi_group_size",
+                         small.alias("suppressed"))

@@ -273,3 +273,28 @@ def test_triangle_counts_path_and_string_nodes(spark):
            for r in triangle_counts(edges).collect()}
     assert got == {"a": (1, 0, 0), "b": (2, 0, 0),
                    "c": (2, 0, 0), "d": (1, 0, 0)}
+
+
+def test_label_propagation_two_triangles_bridge(spark):
+    from llm_food_spark.operators.graph import label_propagation
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 0), (3, 4), (4, 5), (5, 3), (2, 3)],
+        ["src", "dst"])
+    # hand-computed synchronous rounds with (count desc, label asc):
+    # r1: 0->1, 1->0, 2->0, 3->2, 4->3, 5->3
+    # r2: 0->0, 1->0 (tie 1/0 -> 0), 2->0 (tie 1/0/2 -> 0), 3->3, 4->2, 5->2
+    got = {r.node: r.label
+           for r in label_propagation(edges, iterations=2).collect()}
+    assert got == {0: 0, 1: 0, 2: 0, 3: 3, 4: 2, 5: 2}
+
+
+def test_label_propagation_isolated_clique_converges(spark):
+    from llm_food_spark.operators.graph import label_propagation
+
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    got = {r.node: r.label
+           for r in label_propagation(
+               spark.createDataFrame(k4, ["src", "dst"]),
+               iterations=3).collect()}
+    assert got == {0: 0, 1: 0, 2: 0, 3: 0}

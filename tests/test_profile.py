@@ -1,0 +1,30 @@
+"""skew_profile: hand-computed exact summary + plan shape."""
+
+
+def test_skew_profile_hand_case(spark):
+    from llm_food_spark.operators.profile import skew_profile
+
+    rows = [("a",)] * 5 + [("b",)] * 3 + [("c",)] + [("d",)]
+    df = spark.createDataFrame(rows, ["key"])
+    [r] = skew_profile(df, ["key"], top_k=2).collect()
+    assert (r.n_rows, r.n_keys, r.max_cnt) == (10, 4, 5)
+    # idx50 = ceil(0.5*4) = 2 -> two keys have cnt 1 -> p50 = 1
+    # idx99 = ceil(0.99*4) = 4 -> p99 = max = 5
+    assert (r.p50_cnt, r.p99_cnt) == (1, 5)
+    assert r.top1_share_ppm == 500000
+    assert r.topk_share_ppm == 800000           # (5+3)/10
+    assert r.skew_ppm == 2000000                 # max/mean = 5/2.5
+
+
+def test_skew_profile_uniform_and_validation(spark):
+    import pytest as _pytest
+    from llm_food_spark.operators.profile import skew_profile
+
+    df = spark.createDataFrame([(i % 4,) for i in range(8)], ["key"])
+    [r] = skew_profile(df, ["key"]).collect()
+    assert r.skew_ppm == 1000000                 # perfectly uniform
+    assert r.p50_cnt == r.p99_cnt == 2
+    with _pytest.raises(ValueError):
+        skew_profile(df, ["key"], top_k=0)
+    with _pytest.raises(ValueError):
+        skew_profile(df, [])

@@ -111,3 +111,34 @@ def test_redact_cards_table_spark(spark):
     assert got[0]["redacted"] == "pay <CARD> now" and got[0]["n_cards"] == 1
     assert got[1]["n_cards"] == 0 and "4532015112830367" in got[1]["redacted"]
     assert got[2]["redacted"] == "" and got[2]["n_cards"] == 0
+
+
+def test_k_anonymize_suppress_and_drop(spark):
+    from llm_food_spark.operators.redact import k_anonymize
+
+    df = spark.createDataFrame(
+        [(1, "en", "web"), (2, "en", "web"), (3, "en", "web"),
+         (4, "fr", "web"), (5, None, "pdf"), (6, None, "pdf")],
+        ["id", "lang", "source"])
+    sup = {r.id: (r.lang, r.source, r.qi_group_size, r.suppressed)
+           for r in k_anonymize(df, ["lang", "source"], k=2).collect()}
+    assert sup[1] == ("en", "web", 3, False)
+    assert sup[4] == (None, None, 1, True)       # singleton -> nulled
+    assert sup[5] == (None, "pdf", 2, False)     # nulls group together
+    assert len(sup) == 6
+
+    kept = k_anonymize(df, ["lang", "source"], k=2, mode="drop")
+    assert sorted(r.id for r in kept.collect()) == [1, 2, 3, 5, 6]
+
+
+def test_k_anonymize_validation(spark):
+    import pytest as _pytest
+    from llm_food_spark.operators.redact import k_anonymize
+
+    df = spark.range(3).withColumnRenamed("id", "x")
+    with _pytest.raises(ValueError):
+        k_anonymize(df, [], k=2)
+    with _pytest.raises(ValueError):
+        k_anonymize(df, ["x"], k=0)
+    with _pytest.raises(ValueError):
+        k_anonymize(df, ["x"], k=2, mode="generalize")
