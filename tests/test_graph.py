@@ -298,3 +298,68 @@ def test_label_propagation_isolated_clique_converges(spark):
                spark.createDataFrame(k4, ["src", "dst"]),
                iterations=3).collect()}
     assert got == {0: 0, 1: 0, 2: 0, 3: 0}
+
+
+def test_triangle_counts_random_vs_bruteforce(spark):
+    import itertools
+    import random
+
+    from llm_food_spark.operators.graph import triangle_counts
+
+    rng = random.Random(42)
+    for trial in range(4):
+        n = rng.randint(4, 12)
+        edges = [(a, b) for a in range(n) for b in range(n)
+                 if a != b and rng.random() < 0.4]
+        if not edges:
+            continue
+        und = {(min(a, b), max(a, b)) for a, b in edges}
+        adj = {}
+        for a, b in und:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        exp = {}
+        for v, nbrs in adj.items():
+            deg = len(nbrs)
+            t = sum(1 for x, y in itertools.combinations(sorted(nbrs), 2)
+                    if (min(x, y), max(x, y)) in und)
+            exp[v] = (deg, t,
+                      (2 * t * 1000000) // (deg * (deg - 1)) if deg >= 2
+                      else 0)
+        got = {r.node: (r.degree, r.n_tri, r.clustering_ppm)
+               for r in triangle_counts(
+                   spark.createDataFrame(edges, ["src", "dst"])).collect()}
+        assert got == exp, f"trial {trial}"
+
+
+def test_label_propagation_random_vs_bruteforce(spark):
+    import random
+
+    from llm_food_spark.operators.graph import label_propagation
+
+    rng = random.Random(7)
+    for trial in range(3):
+        n = rng.randint(4, 10)
+        edges = [(a, b) for a in range(n) for b in range(n)
+                 if a != b and rng.random() < 0.35]
+        und = {(min(a, b), max(a, b)) for a, b in edges}
+        if not und:
+            continue
+        adj = {}
+        for a, b in und:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        labels = {v: v for v in adj}
+        for _ in range(3):           # synchronous rounds, ties -> min label
+            labels = {
+                v: max(
+                    {lb: sum(1 for u in nbrs if labels[u] == lb)
+                     for lb in {labels[u] for u in nbrs}}.items(),
+                    key=lambda kv: (kv[1], -kv[0]))[0]
+                for v, nbrs in adj.items()
+            }
+        got = {r.node: r.label
+               for r in label_propagation(
+                   spark.createDataFrame(edges, ["src", "dst"]),
+                   iterations=3).collect()}
+        assert got == labels, f"trial {trial}"
