@@ -9,21 +9,23 @@ out: exact integer summary of how concentrated a prospective
 shuffle/join key is (hot-host share, max/mean ratio, discrete
 percentiles of the per-key counts). No analogue in the reference.
 
-Scale shape — three narrow aggregations, no corpus-sized window:
+Scale shape — the per-key table is touched exactly TWICE, everything
+else runs on metadata:
 
 1. per-key counts: one map-side-combining groupBy (only (key, cnt)
    crosses the exchange);
-2. discrete percentiles via the COUNT-OF-COUNTS table: counts are
-   re-grouped by their VALUE (distinct count values number ~O(1000) even
-   at 10^9 keys — host-degree distributions are heavy-tailed with tiny
-   support), and the cumulative window runs over THAT metadata-sized
-   table, never over the per-key table;
-3. top-k shares via a global TakeOrderedAndProject (k rows cross the
-   driver-side limit, not the key table).
+2. the COUNT-OF-COUNTS table: counts re-grouped by their VALUE —
+   distinct count values number ~O(1000) even at 10^9 keys
+   (host-degree distributions are heavy-tailed with tiny support).
+   Totals, discrete percentiles (cumulative window ascending) AND the
+   top-k shares (cumulative window descending with a per-value
+   take = clamp(k - keys_above, 0, freq) — exact under ties) are all
+   derived from this metadata-sized table; the per-key table is never
+   windowed, sorted, or re-scanned.
 
-The single-partition window in step 2 is the mixture_weights/crawl_budget
-justification: it sorts distinct COUNT VALUES, a set that grows with the
-log of the corpus, not with it.
+The single-partition windows run over distinct COUNT VALUES, a set that
+grows with the log of the corpus, not with it (the mixture_weights/
+crawl_budget justification).
 """
 
 from __future__ import annotations
@@ -59,14 +61,14 @@ def skew_profile(
         raise ValueError("key_cols must be non-empty")
     counts = df.groupBy(*key_cols).agg(
         F.count(F.lit(1)).cast("long").alias("cnt"))
-    totals = counts.agg(
-        F.sum("cnt").cast("long").alias("n_rows"),
-        F.count(F.lit(1)).cast("long").alias("n_keys"),
-        F.max("cnt").cast("long").alias("max_cnt"),
-    )
-    # count-of-counts: tiny (distinct count values), safe to window
+    # count-of-counts: tiny (distinct count values); sole downstream input
     coc = counts.groupBy("cnt").agg(
         F.count(F.lit(1)).cast("long").alias("freq"))
+    totals = coc.agg(
+        F.sum(F.col("cnt") * F.col("freq")).cast("long").alias("n_rows"),
+        F.sum("freq").cast("long").alias("n_keys"),
+        F.max("cnt").cast("long").alias("max_cnt"),
+    )
     cum = coc.withColumn(
         "cum", F.sum("freq").over(
             Window.orderBy("cnt").rowsBetween(Window.unboundedPreceding, 0)))
@@ -79,11 +81,20 @@ def skew_profile(
             .agg(F.min("cnt").cast("long").alias(name))
         )
 
-    topk = (
-        counts.orderBy(F.col("cnt").desc())
-        .limit(int(top_k))
-        .agg(F.sum("cnt").cast("long").alias("topk_cnt"))
-    )
+    # top-k share from coc alone: walking count values from the top,
+    # take = clamp(top_k - keys_above, 0, freq) keys of each value
+    desc = coc.withColumn(
+        "keys_above",
+        F.sum("freq").over(
+            Window.orderBy(F.col("cnt").desc())
+            .rowsBetween(Window.unboundedPreceding, 0)) - F.col("freq"))
+    topk = desc.agg(
+        F.sum(
+            F.col("cnt") * F.least(
+                F.col("freq"),
+                F.greatest(F.lit(0).cast("long"),
+                           F.lit(int(top_k)) - F.col("keys_above")))
+        ).cast("long").alias("topk_cnt"))
     return (
         totals
         .crossJoin(F.broadcast(_pctl(0.5, "p50_cnt")))
