@@ -15,8 +15,11 @@ Env:
   BENCH_QUIET_WAIT_S  (max seconds to wait for the quiet window, default
                        300 — after which the run proceeds and the noise
                        telemetry flags the window instead)
-  BENCH_PROBE_FLOOR   (per-host Mops floor for the uniform-depression
-                       flag, default 5.5; 0 disables)
+  BENCH_PROBE_FLOOR   (Mops floor override for the uniform-depression
+                       flag; 0 disables. Default: 0.75 x this host's
+                       best-ever probe from BENCH/probe_norm.json,
+                       keyed by CPU model — survives VM reswaps onto
+                       slower silicon without permanently flagging)
 
 The headline measures the full pipeline — read parquet pages → salted
 repartition → Arrow extraction → write results parquet — over a synthesized
@@ -68,6 +71,22 @@ def ensure_corpus(spark, n_docs: int, path: str) -> None:
 
 def force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
+
+
+def _host_fingerprint() -> str:
+    """CPU model + core count — the key for the stored per-host probe
+    norm. A VM reboot onto different silicon changes the fingerprint, so
+    the noise floor recalibrates instead of flagging every window."""
+    model = ""
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.lower().startswith("model name"):
+                    model = line.split(":", 1)[1].strip()
+                    break
+    except OSError:
+        pass
+    return "%s/%d" % (model or "unknown", os.cpu_count() or 0)
 
 
 def cpu_probe(seconds: float = 0.25) -> float:
@@ -281,11 +300,37 @@ def main() -> int:
     probe_skew = round(max(probe_before, probe_after)
                        / max(min(probe_before, probe_after), 0.01), 3)
     # (5) absolute probe floor: a UNIFORMLY depressed window passes the
-    # before/after skew check (both ends low). The default 5.5 Mops is
-    # calibrated to THIS host (7.5-7.6 Mops clean, 6.3-6.9 mixed, 5.0 in
-    # a depressed window); on slower machines set BENCH_PROBE_FLOOR to a
-    # per-host value (or 0 to disable), else every window flags noisy.
-    probe_floor = float(os.environ.get("BENCH_PROBE_FLOOR", "5.5"))
+    # before/after skew check (both ends low). The floor is derived from
+    # a stored per-host norm (BENCH/probe_norm.json, keyed by CPU model +
+    # core count, updated to the best probe ever seen on that host) so a
+    # slower replacement host is not permanently flagged noisy against a
+    # faster host's calibration: floor = 0.75 x this host's own best.
+    # First run on an unseen host: no norm yet, floor disabled (that run
+    # seeds the norm). BENCH_PROBE_FLOOR overrides (0 disables).
+    norm_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "BENCH", "probe_norm.json")
+    norm_key = _host_fingerprint()
+    try:
+        with open(norm_path) as f:
+            norms = json.load(f)
+    except (OSError, ValueError):
+        norms = {}
+    stored_norm = float(norms.get(norm_key, 0.0))
+    env_floor = os.environ.get("BENCH_PROBE_FLOOR")
+    if env_floor is not None:
+        probe_floor = float(env_floor)
+    elif stored_norm > 0:
+        probe_floor = round(0.75 * stored_norm, 2)
+    else:
+        probe_floor = 0.0
+    new_norm = max(stored_norm, probe_before, probe_after)
+    if new_norm > stored_norm:
+        norms[norm_key] = new_norm
+        try:
+            with open(norm_path, "w") as f:
+                json.dump(norms, f, indent=1, sort_keys=True)
+        except OSError:
+            pass
     noisy = bool(noise_ratio > 1.35 or burst_ratio > 2.0
                  or loadavg_before[0] > 6.0 or probe_skew > 1.4
                  or min(probe_before, probe_after) < probe_floor)
@@ -310,6 +355,8 @@ def main() -> int:
         "loadavg_before": loadavg_before,
         "loadavg_after": loadavg_after,
         "probe_mops": [probe_before, probe_after],
+        "probe_floor": probe_floor,
+        "probe_norm": new_norm,
         "noise_ratio": noise_ratio,
         "burst_ratio": burst_ratio,
         "burst_retried": burst_retried,
