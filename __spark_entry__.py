@@ -1500,6 +1500,25 @@ def q_label_propagation(spark, sf_dir):
                              iterations=3)
 
 
+def q_resolve_redirects(spark, sf_dir):
+    """Redirect-chain resolution (operators/urlops.py::
+    resolve_redirects, pointer jumping, 5 rounds for max_chain=32) on
+    seeded 1-step chains (u -> u+1 inside blocks of 8, block tails
+    terminal) plus a planted 3-cycle at nodes 64-66. Hard oracle: DuckDB
+    walks every chain step-by-step with a recursive CTE — a different
+    algorithm (linear walk vs doubling jumps), same verdicts."""
+    from llm_food_spark.operators.urlops import resolve_redirects
+
+    d = _t(spark, sf_dir, "documents")
+    u = F.col("doc_id") % 64
+    chains = d.where(u % 8 != 7).select(u.alias("src"),
+                                        (u + 1).alias("dst"))
+    cyc = d.where(F.col("doc_id") < 3).select(
+        (F.col("doc_id") + 64).alias("src"),
+        ((F.col("doc_id") + 1) % 3 + 64).alias("dst"))
+    return resolve_redirects(chains.unionByName(cyc), max_chain=32)
+
+
 def q_k_anonymize(spark, sf_dir):
     """k-anonymity suppression (operators/redact.py::k_anonymize, k=5,
     mode='suppress') over documents with quasi-identifiers (lang,
@@ -4003,6 +4022,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_count": q_triangle_count,      # per-node triangles + clustering ppm via degree-ordered orientation; twin enumerates with a lexicographic 3-way join — a different algorithm
         "label_propagation": q_label_propagation,  # synchronous LPA communities, 3 unrolled rounds with the (count desc, label asc) rule mirrored via row_number
         "k_anonymize": q_k_anonymize,            # k-anonymity QI suppression; twin recomputes group sizes + null-out verdicts
+        "resolve_redirects": q_resolve_redirects,  # 30x-chain terminal resolution, pointer jumping vs a step-by-step recursive-CTE walk — different algorithms, same verdicts
         "skew_profile": q_skew_profile,          # key-skew summary (count-of-counts percentiles, top-k shares, max/mean ppm) — the measurement half of the salting story
         "dom_features": q_dom_features,          # page-structure spam features through the real DOM walk (gopher_quality holds the quality family's driver slot)
         "collocations": q_collocations,          # PMI/lift collocation table in exact integer space (term_stats/tfidf hold the term family's slots)
@@ -7816,6 +7836,38 @@ def _handwritten_oracles() -> dict[str, str]:
             FROM deg d LEFT JOIN corners c ON c.node = d.node
         """,
         "label_propagation": _LPA_SQL,
+        # resolve_redirects twin: INDEPENDENT algorithm — a linear
+        # recursive-CTE walk (one redirect step per recursion level,
+        # capped at max_chain=32) vs the operator's doubling jumps
+        "resolve_redirects": """
+            WITH RECURSIVE raw AS (
+              SELECT doc_id % 64 AS src, doc_id % 64 + 1 AS dst
+              FROM documents WHERE (doc_id % 64) % 8 <> 7
+              UNION ALL
+              SELECT doc_id + 64, (doc_id + 1) % 3 + 64
+              FROM documents WHERE doc_id < 3
+            ), e AS (
+              SELECT src AS u, MIN(dst) AS v FROM raw GROUP BY src
+            ), w(url, cur, hops) AS (
+              SELECT u, v, 1::BIGINT FROM e
+              UNION ALL
+              SELECT w.url, e.v, w.hops + 1
+              FROM w JOIN e ON e.u = w.cur
+              WHERE w.hops < 32
+            ), fin AS (
+              SELECT url, cur, hops FROM (
+                SELECT url, cur, hops,
+                       row_number() OVER (PARTITION BY url
+                                          ORDER BY hops DESC) AS rn
+                FROM w
+              ) WHERE rn = 1
+            )
+            SELECT f.url,
+                   CASE WHEN t.u IS NULL THEN f.cur END AS final_url,
+                   CASE WHEN t.u IS NULL THEN f.hops END AS hops,
+                   t.u IS NULL AS resolved
+            FROM fin f LEFT JOIN e t ON t.u = f.cur
+        """,
         # k_anonymize twin: group sizes + per-row null-out verdict; the
         # null-safe QI join is IS NOT DISTINCT FROM, the GROUP BY contract
         "k_anonymize": """

@@ -363,3 +363,38 @@ def test_label_propagation_random_vs_bruteforce(spark):
                    spark.createDataFrame(edges, ["src", "dst"]),
                    iterations=3).collect()}
         assert got == labels, f"trial {trial}"
+
+
+def test_resolve_redirects_chains_cycles_dups(spark):
+    from llm_food_spark.operators.urlops import resolve_redirects
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"),            # chain a->b->c, c terminal
+         ("x", "y"), ("y", "x"),            # 2-cycle
+         ("s", "s"),                        # self-loop
+         ("d", "e"), ("d", "z")],           # dup src -> min target e
+        ["src", "dst"])
+    got = {r.url: (r.final_url, r.hops, r.resolved)
+           for r in resolve_redirects(edges).collect()}
+    assert got == {
+        "a": ("c", 2, True),
+        "b": ("c", 1, True),
+        "x": (None, None, False),
+        "y": (None, None, False),
+        "s": (None, None, False),
+        "d": ("e", 1, True),
+    }
+
+
+def test_resolve_redirects_max_chain_cap(spark):
+    from llm_food_spark.operators.urlops import resolve_redirects
+
+    chain = [(i, i + 1) for i in range(5)]   # 0->1->...->5
+    got = {r.url: (r.final_url, r.hops, r.resolved)
+           for r in resolve_redirects(
+               spark.createDataFrame(chain, ["src", "dst"]),
+               max_chain=2).collect()}
+    assert got[4] == (5, 1, True)
+    assert got[3] == (5, 2, True)
+    assert got[0] == (None, None, False)     # needs 5 hops > cap 2
+    assert got[1] == (None, None, False)
