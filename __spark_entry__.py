@@ -1519,6 +1519,47 @@ def q_resolve_redirects(spark, sf_dir):
     return resolve_redirects(chains.unionByName(cyc), max_chain=32)
 
 
+def q_cocitation(spark, sf_dir):
+    """Co-citation related-pair mining (operators/links.py::
+    cocitation_pairs, min_cocite=2) on a seeded 20-source graph with
+    three arithmetic targets per source over a 12-node target space.
+    Hard oracle: DuckDB rebuilds the distinct edge set and recomputes
+    every unordered pair count via an a<b self-join + HAVING."""
+    from llm_food_spark.operators.links import cocitation_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    u = F.col("doc_id") % 20
+    e = None
+    for a, b in ((3, 1), (5, 2), (7, 4)):
+        part = d.select(u.alias("src"), ((u * a + b) % 12).alias("dst"))
+        e = part if e is None else e.unionByName(part)
+    return cocitation_pairs(e, min_cocite=2)
+
+
+def q_ranking_metrics(spark, sf_dir):
+    """Retrieval evaluation (operators/evalmetrics.py::ranking_metrics)
+    on seeded predictions (10 queries x ranks 1-5, doc = (q*7+rank) mod
+    50) vs seeded truth (3 relevant docs per query at offsets q%3 +
+    {0,3,6}), so recall and first-hit rank vary by query residue. Hard
+    oracle: DuckDB rebuilds both tables and recomputes every ppm."""
+    from llm_food_spark.operators.evalmetrics import ranking_metrics
+
+    d = _t(spark, sf_dir, "documents")
+    q = F.col("doc_id") % 10
+    r5 = F.expr("(doc_id div 10) % 5") + 1
+    r3 = F.expr("(doc_id div 10) % 3")
+    pred = d.select(
+        q.alias("query_id"),
+        ((q * 7 + r5) % 50).alias("doc_id"),
+        r5.alias("rank"),
+    ).distinct()
+    truth = d.select(
+        q.alias("query_id"),
+        ((q * 7 + q % 3 + 3 * r3) % 50).alias("doc_id"),
+    )
+    return ranking_metrics(pred, truth)
+
+
 def q_k_anonymize(spark, sf_dir):
     """k-anonymity suppression (operators/redact.py::k_anonymize, k=5,
     mode='suppress') over documents with quasi-identifiers (lang,
@@ -4023,6 +4064,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_propagation": q_label_propagation,  # synchronous LPA communities, 3 unrolled rounds with the (count desc, label asc) rule mirrored via row_number
         "k_anonymize": q_k_anonymize,            # k-anonymity QI suppression; twin recomputes group sizes + null-out verdicts
         "resolve_redirects": q_resolve_redirects,  # 30x-chain terminal resolution, pointer jumping vs a step-by-step recursive-CTE walk — different algorithms, same verdicts
+        "cocitation": q_cocitation,              # Dean-Henzinger related-pair mining; capped wedge join, a<b self-join twin
+        "ranking_metrics": q_ranking_metrics,    # recall@k / reciprocal rank audit of the ANN/search family, exact ppm twin
         "skew_profile": q_skew_profile,          # key-skew summary (count-of-counts percentiles, top-k shares, max/mean ppm) — the measurement half of the salting story
         "dom_features": q_dom_features,          # page-structure spam features through the real DOM walk (gopher_quality holds the quality family's driver slot)
         "collocations": q_collocations,          # PMI/lift collocation table in exact integer space (term_stats/tfidf hold the term family's slots)
@@ -7867,6 +7910,61 @@ def _handwritten_oracles() -> dict[str, str]:
                    CASE WHEN t.u IS NULL THEN f.hops END AS hops,
                    t.u IS NULL AS resolved
             FROM fin f LEFT JOIN e t ON t.u = f.cur
+        """,
+        # cocitation twin: distinct edges, a<b self-join on the shared
+        # source, HAVING the min_cocite floor (the fanout cap is not
+        # binding on the 3-target seeded sources; capped semantics are
+        # pytest-gated)
+        "cocitation": """
+            WITH e AS (
+              SELECT DISTINCT src, dst FROM (
+                SELECT doc_id % 20 AS src,
+                       ((doc_id % 20) * 3 + 1) % 12 AS dst FROM documents
+                UNION ALL
+                SELECT doc_id % 20, ((doc_id % 20) * 5 + 2) % 12
+                FROM documents
+                UNION ALL
+                SELECT doc_id % 20, ((doc_id % 20) * 7 + 4) % 12
+                FROM documents
+              ) WHERE src <> dst
+            )
+            SELECT l.dst AS a, r.dst AS b, COUNT(*)::BIGINT AS n_cocite
+            FROM e l JOIN e r ON r.src = l.src AND l.dst < r.dst
+            GROUP BY 1, 2
+            HAVING COUNT(*) >= 2
+        """,
+        # ranking_metrics twin: rebuild predictions + truth from the
+        # same arithmetic, recompute hits, first ranks and ppm ratios
+        "ranking_metrics": """
+            WITH pred AS (
+              SELECT DISTINCT doc_id % 10 AS query_id,
+                     ((doc_id % 10) * 7 + (doc_id // 10) % 5 + 1) % 50
+                       AS doc_id,
+                     (doc_id // 10) % 5 + 1 AS rank
+              FROM documents
+            ), truth AS (
+              SELECT DISTINCT doc_id % 10 AS query_id,
+                     ((doc_id % 10) * 7 + (doc_id % 10) % 3
+                      + 3 * ((doc_id // 10) % 3)) % 50 AS doc_id
+              FROM documents
+            ), nt AS (
+              SELECT query_id, COUNT(*)::BIGINT AS n_truth
+              FROM truth GROUP BY 1
+            ), hits AS (
+              SELECT p.query_id, COUNT(*)::BIGINT AS n_hit,
+                     MIN(p.rank)::BIGINT AS first_rank
+              FROM pred p JOIN truth t
+                ON t.query_id = p.query_id AND t.doc_id = p.doc_id
+              GROUP BY 1
+            )
+            SELECT nt.query_id, nt.n_truth,
+                   COALESCE(h.n_hit, 0)::BIGINT AS n_hit,
+                   (COALESCE(h.n_hit, 0) * 1000000) // nt.n_truth
+                     AS recall_ppm,
+                   CASE WHEN h.first_rank IS NOT NULL
+                        THEN 1000000 // h.first_rank
+                        ELSE 0 END::BIGINT AS rr_ppm
+            FROM nt LEFT JOIN hits h ON h.query_id = nt.query_id
         """,
         # k_anonymize twin: group sizes + per-row null-out verdict; the
         # null-safe QI join is IS NOT DISTINCT FROM, the GROUP BY contract

@@ -1,0 +1,67 @@
+"""Retrieval-quality evaluation — recall@k and reciprocal rank for the
+ANN/search family, in exact integer ppm.
+
+The repo ships three ANN indexes (brute/LSH/IVF), BM25 and phrase
+search; this is the operator a pipeline runs to AUDIT them — e.g.
+recall@k of ann_lsh against brute-force cosine ground truth before
+trusting the bucketed index at corpus scale. No analogue in the
+reference.
+
+Scale shape: one equi-join of predictions against truth on
+(query_id, doc_id) — AQE broadcasts the (usually small) truth side —
+then two map-side-combining groupBys on query_id and a left re-attach.
+No windows, no Python, no driver state; ppm ratios keep the comparison
+hash-exact (the recip_ppm idiom).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def ranking_metrics(
+    predictions: DataFrame,
+    truth: DataFrame,
+    query_col: str = "query_id",
+    doc_col: str = "doc_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Per-query retrieval metrics — (query_id, n_truth, n_hit,
+    recall_ppm, rr_ppm).
+
+    ``predictions``: (query_id, doc_id, rank) with rank 1 = best;
+    ``truth``: (query_id, doc_id) relevant pairs (deduplicated here).
+    ``recall_ppm = n_hit * 1e6 div n_truth``; ``rr_ppm = 1e6 div
+    first_hit_rank`` (0 when no hit) — the reciprocal-rank convention,
+    exact in integer space. Queries present only in ``truth`` still get
+    a row (n_hit 0): a query the index returned nothing for is a
+    recall failure, not a missing row.
+    """
+    p = predictions.select(
+        F.col(query_col).alias("query_id"),
+        F.col(doc_col).alias("doc_id"),
+        F.col(rank_col).cast("long").alias("rank"),
+    )
+    t = truth.select(
+        F.col(query_col).alias("query_id"),
+        F.col(doc_col).alias("doc_id"),
+    ).distinct()
+    n_truth = t.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_truth"))
+    hits = (
+        p.join(t, ["query_id", "doc_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hit"),
+             F.min("rank").alias("first_rank"))
+    )
+    return (
+        n_truth.join(hits, "query_id", "left")
+        .na.fill({"n_hit": 0})
+        .select(
+            "query_id", "n_truth", "n_hit",
+            F.expr("(n_hit * 1000000) div n_truth").alias("recall_ppm"),
+            F.when(F.col("first_rank").isNotNull(),
+                   F.expr("1000000 div first_rank"))
+            .otherwise(F.lit(0)).cast("long").alias("rr_ppm"),
+        )
+    )

@@ -129,3 +129,60 @@ def anchor_text_index(
         counts.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
     )
+
+
+def cocitation_pairs(
+    edges: DataFrame,
+    min_cocite: int = 2,
+    max_fanout: int = 100,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Related-target mining by co-citation (Dean & Henzinger, WWW'99 —
+    "Finding related pages in the World Wide Web"): two targets are
+    related when many distinct sources link to BOTH. Output
+    (a, b, n_cocite) for every unordered target pair (a < b) co-cited by
+    at least ``min_cocite`` distinct sources — the link-based analogue
+    of the embedding near-dup family, used for topic clustering and
+    seed expansion.
+
+    ``max_fanout`` is the wedge bound: a source citing f targets emits
+    C(f,2) pairs, so one 10^5-outlink hub page would emit 5x10^9 rows.
+    Sources above the cap keep their ``max_fanout`` smallest targets
+    (deterministic) via the WindowGroupLimit Partial discipline
+    (cap_per_group/anchor_text_index) — the row_number filter combines
+    map-side before the exchange. Dropping the tail of a mega-hub is the
+    standard published trade (degree thresholds in co-citation and
+    collaborative-filtering literature): such sources relate everything
+    to everything and carry no signal.
+
+    Scale shape: distinct narrow pairs, the capped per-src window, one
+    self-join on src (fan-out bounded by max_fanout per source), one
+    map-side-combining groupBy(a, b). No Python, no driver state.
+    """
+    if min_cocite < 1:
+        raise ValueError("min_cocite must be >= 1")
+    if max_fanout < 2:
+        raise ValueError("max_fanout must be >= 2")
+    from pyspark.sql import Window
+
+    e = (
+        edges.select(F.col(src_col).alias("src"),
+                     F.col(dst_col).alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    w = Window.partitionBy("src").orderBy(F.col("dst").asc())
+    capped = (
+        e.withColumn("_r", F.row_number().over(w))
+        .where(F.col("_r") <= int(max_fanout)).drop("_r")
+    )
+    left = capped.select("src", F.col("dst").alias("a"))
+    right = capped.select("src", F.col("dst").alias("b"))
+    return (
+        left.join(right, "src")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_cocite"))
+        .where(F.col("n_cocite") >= int(min_cocite))
+    )

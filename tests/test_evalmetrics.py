@@ -1,0 +1,34 @@
+"""ranking_metrics: hand-computed recall@k / reciprocal rank."""
+
+
+def test_ranking_metrics_hand_case(spark):
+    from llm_food_spark.operators.evalmetrics import ranking_metrics
+
+    pred = spark.createDataFrame(
+        [("q1", "d1", 1), ("q1", "d2", 2), ("q1", "d3", 3),
+         ("q3", "d9", 1)],
+        ["query_id", "doc_id", "rank"])
+    truth = spark.createDataFrame(
+        [("q1", "d2"), ("q1", "d4"), ("q1", "d4"),   # dup truth collapses
+         ("q2", "d7")],
+        ["query_id", "doc_id"])
+    got = {r.query_id: (r.n_truth, r.n_hit, r.recall_ppm, r.rr_ppm)
+           for r in ranking_metrics(pred, truth).collect()}
+    assert got == {
+        "q1": (2, 1, 500000, 500000),   # hit d2 at rank 2
+        "q2": (1, 0, 0, 0),             # query with no predictions
+    }
+    # q3 predicted but has no truth row -> absent by contract
+    assert "q3" not in got
+
+
+def test_ranking_metrics_perfect_and_first_rank(spark):
+    from llm_food_spark.operators.evalmetrics import ranking_metrics
+
+    pred = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2)], ["query_id", "doc_id", "rank"])
+    truth = spark.createDataFrame(
+        [(1, 10), (1, 11)], ["query_id", "doc_id"])
+    [r] = ranking_metrics(pred, truth).collect()
+    assert (r.n_truth, r.n_hit, r.recall_ppm, r.rr_ppm) == (
+        2, 2, 1000000, 1000000)

@@ -398,3 +398,32 @@ def test_resolve_redirects_max_chain_cap(spark):
     assert got[3] == (5, 2, True)
     assert got[0] == (None, None, False)     # needs 5 hops > cap 2
     assert got[1] == (None, None, False)
+
+
+def test_cocitation_pairs_hand_case(spark):
+    from llm_food_spark.operators.links import cocitation_pairs
+
+    edges = spark.createDataFrame(
+        [("s1", "a"), ("s1", "b"), ("s1", "c"),
+         ("s2", "a"), ("s2", "b"),
+         ("s3", "b"), ("s3", "c"), ("s3", "c")],   # dup edge collapses
+        ["src", "dst"])
+    got = {(r.a, r.b): r.n_cocite
+           for r in cocitation_pairs(edges, min_cocite=2).collect()}
+    assert got == {("a", "b"): 2, ("b", "c"): 2}
+    allp = {(r.a, r.b): r.n_cocite
+            for r in cocitation_pairs(edges, min_cocite=1).collect()}
+    assert allp[("a", "c")] == 1
+
+
+def test_cocitation_pairs_fanout_cap(spark):
+    from llm_food_spark.operators.links import cocitation_pairs
+
+    edges = [("hub", d) for d in ["a", "b", "c", "d"]] + [("s", "a"),
+                                                          ("s", "b")]
+    got = {(r.a, r.b): r.n_cocite
+           for r in cocitation_pairs(
+               spark.createDataFrame(edges, ["src", "dst"]),
+               min_cocite=1, max_fanout=2).collect()}
+    # hub keeps its 2 smallest targets {a,b}; c,d never pair
+    assert got == {("a", "b"): 2}
