@@ -1560,6 +1560,53 @@ def q_ranking_metrics(spark, sf_dir):
     return ranking_metrics(pred, truth)
 
 
+# confusable-folding planted texts — SHARED verbatim by the Spark query
+# and the oracle's CASE (only mapped codepoints are planted: Cyrillic
+# o/e, fullwidth block + ideographic space, ZWSP + soft hyphen)
+_CONF_TEXTS = [
+    "plain ascii stays",
+    "sоmе tеxt",
+    "ＦＵＬＬｗｉｄｔｈ　ｏｋ",
+    "zero​width­salt",
+]
+
+
+def q_containment(spark, sf_dir):
+    """Directional n-gram containment (operators/dedup.py::
+    containment_pairs) over 50 seeded nested token sets ({k..k+k%4}) —
+    subset chains give true containments that Jaccard scores near
+    |A|/|B|. Hard oracle: DuckDB rebuilds every token list and
+    recomputes intersections + both ppm directions."""
+    from llm_food_spark.operators.dedup import containment_pairs
+
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 50)
+    k = F.col("doc_id")
+    text = F.concat_ws(" ", F.transform(
+        F.sequence(F.lit(0), k % 4),
+        lambda i: F.concat(F.lit("w"), (k + i).cast("string"))))
+    return containment_pairs(d.select("doc_id", text.alias("text")),
+                             block_col=None)
+
+
+def q_fold_confusables(spark, sf_dir):
+    """Unicode-confusable folding (operators/textops.py::
+    fold_confusables_table) on planted Cyrillic/fullwidth/zero-width
+    texts chosen by doc_id residue. Hard oracle: DuckDB rebuilds the
+    same planted texts and folds them with the identical translate()
+    table (PostgreSQL-heritage deletion semantics shared by both
+    engines)."""
+    from llm_food_spark.operators.textops import fold_confusables_table
+
+    d = _t(spark, sf_dir, "documents")
+    text = (
+        F.when(F.col("doc_id") % 4 == 0, F.lit(_CONF_TEXTS[0]))
+        .when(F.col("doc_id") % 4 == 1, F.lit(_CONF_TEXTS[1]))
+        .when(F.col("doc_id") % 4 == 2, F.lit(_CONF_TEXTS[2]))
+        .otherwise(F.lit(_CONF_TEXTS[3]))
+    )
+    return fold_confusables_table(d.select("doc_id", text.alias("text")))
+
+
 def q_k_anonymize(spark, sf_dir):
     """k-anonymity suppression (operators/redact.py::k_anonymize, k=5,
     mode='suppress') over documents with quasi-identifiers (lang,
@@ -4065,6 +4112,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k_anonymize": q_k_anonymize,            # k-anonymity QI suppression; twin recomputes group sizes + null-out verdicts
         "resolve_redirects": q_resolve_redirects,  # 30x-chain terminal resolution, pointer jumping vs a step-by-step recursive-CTE walk — different algorithms, same verdicts
         "cocitation": q_cocitation,              # Dean-Henzinger related-pair mining; capped wedge join, a<b self-join twin
+        "containment": q_containment,            # directional n-gram containment (Broder resemblance-vs-containment), exact ppm list-intersect twin
+        "fold_confusables": q_fold_confusables,  # UTS#39-subset confusable folding (dedup-evasion guard), identical translate() table both engines
         "ranking_metrics": q_ranking_metrics,    # recall@k / reciprocal rank audit of the ANN/search family, exact ppm twin
         "skew_profile": q_skew_profile,          # key-skew summary (count-of-counts percentiles, top-k shares, max/mean ppm) — the measurement half of the salting story
         "dom_features": q_dom_features,          # page-structure spam features through the real DOM walk (gopher_quality holds the quality family's driver slot)
@@ -5878,7 +5927,50 @@ def oracle_sql() -> dict[str, str]:
 
 
 def _handwritten_oracles() -> dict[str, str]:
+    from llm_food_spark.functions.confusables import FOLD_FROM, FOLD_TO
+
+    def _sq(s: str) -> str:
+        return s.replace("'", "''")
+
+    _fold_sql = """
+            SELECT doc_id,
+                   translate(t, '%s', '%s') AS folded,
+                   translate(t, '%s', '%s') <> t AS changed
+            FROM (
+              SELECT doc_id,
+                     CASE doc_id %% 4
+                       WHEN 0 THEN '%s' WHEN 1 THEN '%s'
+                       WHEN 2 THEN '%s' ELSE '%s' END AS t
+              FROM documents
+            )
+    """ % (_sq(FOLD_FROM), _sq(FOLD_TO), _sq(FOLD_FROM), _sq(FOLD_TO),
+           *[_sq(t) for t in _CONF_TEXTS])
     return {
+        # fold_confusables twin: the SAME translate() table (module
+        # constants), the SAME planted literals (_CONF_TEXTS)
+        "fold_confusables": _fold_sql,
+        # containment twin: rebuild every nested token list and
+        # recompute intersections + both exact ppm directions
+        "containment": """
+            WITH sets AS (
+              SELECT doc_id AS id,
+                     list_transform(range(0, doc_id % 4 + 1),
+                                    i -> 'w' || (doc_id + i)) AS toks
+              FROM documents WHERE doc_id < 50
+            )
+            SELECT id_a, id_b, n_common,
+                   (n_common * 1000000) // la AS cont_a_ppm,
+                   (n_common * 1000000) // lb AS cont_b_ppm
+            FROM (
+              SELECT a.id AS id_a, b.id AS id_b,
+                     len(list_intersect(a.toks, b.toks))::BIGINT
+                       AS n_common,
+                     len(a.toks) AS la, len(b.toks) AS lb
+              FROM sets a JOIN sets b ON a.id < b.id
+            )
+            WHERE (n_common * 1000000) // la >= 800000
+               OR (n_common * 1000000) // lb >= 800000
+        """,
         # sitemap frontier source: the twin reconstructs every parsed row
         # arithmetically from doc_id — no XML anywhere; the Spark side
         # must recover these exact values THROUGH the real tolerant XML

@@ -1,0 +1,58 @@
+"""Unicode confusable folding — the dedup-evasion guard.
+
+Spam and SEO mills evade exact/shingle dedup by swapping Latin letters
+for visually identical Cyrillic/Greek codepoints, fullwidth forms, or by
+salting zero-width characters (a documented abuse of Unicode confusables
+— UTS #39's confusable data is the public reference; this is a compact,
+frozen, high-frequency subset of it, not full-table parity). Folding
+runs BEFORE hashing/shingling so 'sоmе téxt' with Cyrillic о/е collides
+with its ASCII original.
+
+Everything is a 1:1 BMP codepoint map + deletions, so both engines run
+it as one ``translate()`` call with identical PostgreSQL-heritage
+semantics (from-chars beyond the to-string are deleted). Pure Python
+here (no Spark imports — the repo convention); the Spark/DuckDB column
+expressions live in operators/textops.py and the oracle twin.
+
+No analogue in the reference (it never dedups): this belongs to the
+training-data operator surface.
+"""
+
+from __future__ import annotations
+
+# zero-width / invisible salts: removed entirely (mapped to nothing)
+# ZWSP ZWNJ ZWJ WORD-JOINER BOM/ZWNBSP SOFT-HYPHEN
+ZERO_WIDTH = "​‌‍⁠﻿­"
+
+# Cyrillic -> Latin lookalikes (identical glyphs in common fonts)
+_CYRILLIC = {
+    "а": "a", "е": "e", "о": "o", "р": "p", "с": "c", "у": "y",
+    "х": "x", "і": "i", "ј": "j", "ѕ": "s",
+    "А": "A", "В": "B", "Е": "E", "К": "K", "М": "M", "Н": "H",
+    "О": "O", "Р": "P", "С": "C", "Т": "T", "У": "Y", "Х": "X",
+}
+
+# Greek -> Latin lookalikes (conservative: identical-glyph set only)
+_GREEK = {
+    "ο": "o", "Α": "A", "Β": "B", "Ε": "E", "Ζ": "Z", "Η": "H",
+    "Ι": "I", "Κ": "K", "Μ": "M", "Ν": "N", "Ο": "O", "Ρ": "P",
+    "Τ": "T", "Υ": "Y", "Χ": "X",
+}
+
+# fullwidth ASCII block U+FF01-FF5E -> 0x21-0x7E, ideographic space -> ' '
+_FULLWIDTH_FROM = "".join(chr(c) for c in range(0xFF01, 0xFF5F)) + "　"
+_FULLWIDTH_TO = "".join(chr(c) for c in range(0x21, 0x7F)) + " "
+
+# one translate() table: mapped chars first, deletions (zero-width) last
+FOLD_FROM = ("".join(_CYRILLIC) + "".join(_GREEK)
+             + _FULLWIDTH_FROM + ZERO_WIDTH)
+FOLD_TO = ("".join(_CYRILLIC.values()) + "".join(_GREEK.values())
+           + _FULLWIDTH_TO)
+
+_TABLE = {ord(f): (ord(FOLD_TO[i]) if i < len(FOLD_TO) else None)
+          for i, f in enumerate(FOLD_FROM)}
+
+
+def fold_confusables(text: str) -> str:
+    """Pure-Python reference fold (the translate() table, exactly)."""
+    return text.translate(_TABLE)

@@ -521,8 +521,56 @@ def simhash_dropped_blocks(
 
 
 # ---------------------------------------------------------------------------
-# exact n-gram Jaccard within a blocking key
+# exact n-gram Jaccard / containment within a blocking key
 # ---------------------------------------------------------------------------
+
+def _blocked_token_sets(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    block_col: Optional[str],
+    n: int,
+    max_block: Optional[int],
+    on_oversized: str,
+    caller: str,
+) -> DataFrame:
+    """(id, blk, toks) with the oversized-block guard shared by the exact
+    in-block pair operators. ``on_oversized='error'`` fails the job with
+    a routing message (a 100M-doc single-key block must never silently
+    vanish); ``'drop'`` is the explicit escape hatch. The guard is lazy —
+    an ``assert_true`` inside the row filter, evaluated distributed."""
+    if on_oversized not in ("error", "drop"):
+        raise ValueError("on_oversized must be 'error' or 'drop'")
+    sets = ensure_min_partitions(df).select(
+        F.col(id_col).alias("id"),
+        (F.col(block_col) if block_col else F.lit("all")).alias("blk"),
+        F.array_distinct(
+            word_shingles(F.col(text_col), n) if n > 1
+            else F.array_distinct(words_array(F.col(text_col)))
+        ).alias("toks"),
+    )
+    if max_block is not None:
+        block_w = Window.partitionBy("blk")
+        sets = sets.withColumn("_bw", F.count(F.lit(1)).over(block_w))
+        if on_oversized == "error":
+            # inside a filter so column pruning can never elide the check
+            sets = sets.where(
+                F.assert_true(
+                    F.col("_bw") <= max_block,
+                    F.concat(
+                        F.lit("%s: block '" % caller),
+                        F.col("blk"),
+                        F.lit("' has "), F.col("_bw").cast("string"),
+                        F.lit(" rows > max_block=%d; route this corpus to "
+                              "minhash_lsh_pairs or pass "
+                              "on_oversized='drop'" % max_block),
+                    ),
+                ).isNull()
+            ).drop("_bw")
+        else:
+            sets = sets.where(F.col("_bw") <= max_block).drop("_bw")
+    return sets
+
 
 def ngram_jaccard_pairs(
     df: DataFrame,
@@ -550,36 +598,9 @@ def ngram_jaccard_pairs(
     blocks entirely. Pass ``max_block=None`` to disable the guard for a
     verified-small input. The guard is lazy (no extra Spark job): an
     ``assert_true`` embedded in the row filter, evaluated distributed."""
-    if on_oversized not in ("error", "drop"):
-        raise ValueError("on_oversized must be 'error' or 'drop'")
-    sets = ensure_min_partitions(df).select(
-        F.col(id_col).alias("id"),
-        (F.col(block_col) if block_col else F.lit("all")).alias("blk"),
-        F.array_distinct(
-            word_shingles(F.col(text_col), n) if n > 1
-            else F.array_distinct(words_array(F.col(text_col)))
-        ).alias("toks"),
-    )
-    if max_block is not None:
-        block_w = Window.partitionBy("blk")
-        sets = sets.withColumn("_bw", F.count(F.lit(1)).over(block_w))
-        if on_oversized == "error":
-            # inside a filter so column pruning can never elide the check
-            sets = sets.where(
-                F.assert_true(
-                    F.col("_bw") <= max_block,
-                    F.concat(
-                        F.lit("ngram_jaccard_pairs: block '"),
-                        F.col("blk"),
-                        F.lit("' has "), F.col("_bw").cast("string"),
-                        F.lit(" rows > max_block=%d; route this corpus to "
-                              "minhash_lsh_pairs or pass "
-                              "on_oversized='drop'" % max_block),
-                    ),
-                ).isNull()
-            ).drop("_bw")
-        else:
-            sets = sets.where(F.col("_bw") <= max_block).drop("_bw")
+    sets = _blocked_token_sets(df, text_col, id_col, block_col, n,
+                               max_block, on_oversized,
+                               "ngram_jaccard_pairs")
     a = sets.select(F.col("id").alias("id_a"), F.col("blk"),
                     F.col("toks").alias("toks_a"))
     b = sets.select(F.col("id").alias("id_b"), F.col("blk"),
@@ -590,6 +611,61 @@ def ngram_jaccard_pairs(
         .withColumn("jaccard", F.round(jaccard(F.col("toks_a"), F.col("toks_b")), 6))
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
+    )
+
+
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_col: Optional[str] = "lang",
+    n: int = 1,
+    threshold_ppm: int = 800_000,
+    max_block: Optional[int] = 10_000,
+    on_oversized: str = "error",
+) -> DataFrame:
+    """Directional n-gram containment pairs — (id_a, id_b, n_common,
+    cont_a_ppm, cont_b_ppm) where ``cont_a_ppm = |A∩B| * 1e6 div |A|``
+    (the fraction of A's n-grams also in B, exact integers). Kept when
+    EITHER direction reaches ``threshold_ppm``.
+
+    Containment is what Jaccard structurally misses: a tweet quoted
+    inside a news article, a syndicated paragraph inside a longer page,
+    a README embedded in a crawl dump — |A∩B|/|A| ≈ 1 while
+    |A∩B|/|A∪B| ≈ |A|/|B| ≈ 0 (Broder 1997's resemblance-vs-containment
+    distinction). Dedup pipelines keep the container and drop the
+    contained.
+
+    Same exact-quadratic-within-block shape, guard and routing advice as
+    ``ngram_jaccard_pairs`` (oversized blocks error by default; route
+    mass corpora through minhash candidates first). Empty token sets
+    cannot pair (a 0-gram doc is contained in everything vacuously —
+    excluded, documented).
+    """
+    if not 0 < threshold_ppm <= 1_000_000:
+        raise ValueError("threshold_ppm must be in (0, 1e6]")
+    sets = _blocked_token_sets(df, text_col, id_col, block_col, n,
+                               max_block, on_oversized,
+                               "containment_pairs")
+    sets = sets.where(F.size("toks") > 0)
+    a = sets.select(F.col("id").alias("id_a"), F.col("blk"),
+                    F.col("toks").alias("toks_a"))
+    b = sets.select(F.col("id").alias("id_b"), F.col("blk"),
+                    F.col("toks").alias("toks_b"))
+    inter = F.size(F.array_intersect(F.col("toks_a"), F.col("toks_b")))
+    return (
+        a.join(b, "blk")
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("n_common", inter.cast("long"))
+        .withColumn(
+            "cont_a_ppm",
+            F.expr("(n_common * 1000000) div size(toks_a)"))
+        .withColumn(
+            "cont_b_ppm",
+            F.expr("(n_common * 1000000) div size(toks_b)"))
+        .where((F.col("cont_a_ppm") >= int(threshold_ppm))
+               | (F.col("cont_b_ppm") >= int(threshold_ppm)))
+        .select("id_a", "id_b", "n_common", "cont_a_ppm", "cont_b_ppm")
     )
 
 

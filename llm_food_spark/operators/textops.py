@@ -726,3 +726,27 @@ def collocations(df, id_col: str = "doc_id", text_col: str = "text",
                    " div (left_count * right_count)").alias("lift_ppm"),
         )
     )
+
+
+def fold_confusables_table(df, text_col: str = "text",
+                           id_col: str = "doc_id"):
+    """Unicode-confusable folding pass — (id, folded, changed). The
+    dedup-evasion guard (functions/confusables.py: frozen UTS#39-subset
+    of Cyrillic/Greek lookalikes, fullwidth forms, zero-width salts):
+    run it before content hashing / shingling so 'sоmе' with Cyrillic
+    о/е collides with its ASCII original instead of surviving every
+    dedup pass as a 'unique' document.
+
+    One ``translate()`` expression per row — whole-stage codegen, zero
+    shuffle, no Python at any corpus size; deletions ride the same call
+    (from-chars beyond the to-string, the PostgreSQL-heritage translate
+    contract both Spark and DuckDB share).
+    """
+    from llm_food_spark.functions.confusables import FOLD_FROM, FOLD_TO
+
+    folded = F.translate(F.col(text_col), FOLD_FROM, FOLD_TO)
+    return df.select(
+        F.col(id_col).alias(id_col),
+        folded.alias("folded"),
+        (folded != F.col(text_col)).alias("changed"),
+    )

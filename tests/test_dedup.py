@@ -525,3 +525,37 @@ def test_soft_dedup_sqrt_tempering_and_validation(spark):
     plan = soft_dedup_weights(docs, clusters)._jdf.queryExecution(
         ).executedPlan().toString()
     assert "EvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_containment_pairs_directional(spark):
+    from llm_food_spark.operators.dedup import containment_pairs
+
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox"),
+         (2, "the quick brown fox jumps over the lazy dog"),
+         (3, "completely different words entirely"),
+         (4, "")],                                  # empty: never pairs
+        ["doc_id", "text"])
+    got = {(r.id_a, r.id_b): (r.n_common, r.cont_a_ppm, r.cont_b_ppm)
+           for r in containment_pairs(df, block_col=None).collect()}
+    # doc1 wholly contained in doc2: cont_a 1.0, cont_b 4/8
+    assert got == {(1, 2): (4, 1000000, 500000)}
+    # symmetric threshold: kept when EITHER direction passes
+    low = {(r.id_a, r.id_b)
+           for r in containment_pairs(df, block_col=None,
+                                      threshold_ppm=500000).collect()}
+    assert (1, 2) in low
+
+
+def test_containment_pairs_oversized_guard(spark):
+    import pytest as _pytest
+
+    from llm_food_spark.operators.dedup import containment_pairs
+
+    df = spark.createDataFrame(
+        [(i, "same words here") for i in range(4)], ["doc_id", "text"])
+    with _pytest.raises(Exception):
+        containment_pairs(df, block_col=None, max_block=2).collect()
+    dropped = containment_pairs(df, block_col=None, max_block=2,
+                                on_oversized="drop").collect()
+    assert dropped == []

@@ -331,3 +331,24 @@ def test_code_signals_separation(spark):
     plan = code_signals(docs)._jdf.queryExecution().executedPlan(
         ).toString()
     assert "EvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_fold_confusables_table_parity_and_flags(spark):
+    from llm_food_spark.functions.confusables import fold_confusables
+    from llm_food_spark.operators.textops import fold_confusables_table
+
+    planted = [
+        (0, "plain ascii stays"),
+        (1, "sоmе tеxt"),                   # Cyrillic о/е/а lookalikes
+        (2, "ＦＵＬＬｗｉｄｔｈ　ｏｋ"),      # fullwidth + ideographic space
+        (3, "zero​width­salt"),   # ZWSP + soft hyphen deleted
+        (4, "Ελλην Οmicron Ο"),             # Greek capitals fold
+    ]
+    df = spark.createDataFrame(planted, ["doc_id", "text"])
+    got = {r.doc_id: (r.folded, r.changed)
+           for r in fold_confusables_table(df).collect()}
+    for i, text in planted:
+        assert got[i][0] == fold_confusables(text), i   # python parity
+        assert got[i][1] == (fold_confusables(text) != text)
+    assert got[0] == ("plain ascii stays", False)
+    assert got[3][0] == "zerowidthsalt"
