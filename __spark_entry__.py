@@ -1607,6 +1607,22 @@ def q_fold_confusables(spark, sf_dir):
     return fold_confusables_table(d.select("doc_id", text.alias("text")))
 
 
+def q_elect_keepers(spark, sf_dir):
+    """Quality-aware dup-cluster survivor election (operators/dedup.py::
+    elect_keepers) on seeded clusters (doc_id mod 40) with arithmetic
+    scores ((doc_id*13) mod 97 — collisions exist, exercising the
+    min-id tie rule). Hard oracle: DuckDB recomputes the argmax via
+    row_number over (score DESC, id ASC) — a window, vs the operator's
+    map-side max(struct) aggregate."""
+    from llm_food_spark.operators.dedup import elect_keepers
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.col("doc_id") % 40).alias("cluster_id"),
+        ((F.col("doc_id") * 13) % 97).alias("score"))
+    return elect_keepers(d)
+
+
 def q_k_anonymize(spark, sf_dir):
     """k-anonymity suppression (operators/redact.py::k_anonymize, k=5,
     mode='suppress') over documents with quasi-identifiers (lang,
@@ -4114,6 +4130,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cocitation": q_cocitation,              # Dean-Henzinger related-pair mining; capped wedge join, a<b self-join twin
         "containment": q_containment,            # directional n-gram containment (Broder resemblance-vs-containment), exact ppm list-intersect twin
         "fold_confusables": q_fold_confusables,  # UTS#39-subset confusable folding (dedup-evasion guard), identical translate() table both engines
+        "elect_keepers": q_elect_keepers,        # quality-aware dup-cluster survivor election; map-side max(struct) vs a row_number twin
         "ranking_metrics": q_ranking_metrics,    # recall@k / reciprocal rank audit of the ANN/search family, exact ppm twin
         "skew_profile": q_skew_profile,          # key-skew summary (count-of-counts percentiles, top-k shares, max/mean ppm) — the measurement half of the salting story
         "dom_features": q_dom_features,          # page-structure spam features through the real DOM walk (gopher_quality holds the quality family's driver slot)
@@ -5949,6 +5966,26 @@ def _handwritten_oracles() -> dict[str, str]:
         # fold_confusables twin: the SAME translate() table (module
         # constants), the SAME planted literals (_CONF_TEXTS)
         "fold_confusables": _fold_sql,
+        # elect_keepers twin: row_number argmax over (score DESC, id ASC)
+        # — a window formulation vs the operator's max(struct) aggregate
+        "elect_keepers": """
+            WITH rows_ AS (
+              SELECT doc_id AS id, doc_id % 40 AS cluster,
+                     (doc_id * 13) % 97 AS score
+              FROM documents
+            ), best AS (
+              SELECT cluster, id AS keeper_id FROM (
+                SELECT cluster, id,
+                       row_number() OVER (PARTITION BY cluster
+                                          ORDER BY score DESC, id ASC)
+                         AS rn
+                FROM rows_
+              ) WHERE rn = 1
+            )
+            SELECT r.id, r.cluster, r.score, b.keeper_id,
+                   r.id = b.keeper_id AS is_keeper
+            FROM rows_ r JOIN best b ON b.cluster = r.cluster
+        """,
         # containment twin: rebuild every nested token list and
         # recompute intersections + both exact ppm directions
         "containment": """

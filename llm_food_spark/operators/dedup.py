@@ -1127,3 +1127,44 @@ def soft_dedup_weights(
         (F.col("n_tokens").cast("long") * weight).alias(
             "eff_tokens_micro"),
     )
+
+
+def elect_keepers(
+    df: DataFrame,
+    cluster_col: str = "cluster_id",
+    id_col: str = "doc_id",
+    score_col: str = "score",
+) -> DataFrame:
+    """Quality-aware survivor election per duplicate cluster —
+    (id, cluster, score, keeper_id, is_keeper). The keeper is the
+    cluster member with the HIGHEST score (ties -> smallest id): the
+    RefinedWeb/FineWeb-style policy of collapsing a near-dup cluster
+    onto its best member (longest, highest quality score, best source)
+    instead of the arbitrary min-id convention ``dedup_exact`` uses for
+    byte-identical groups. Numeric ids required (hash string ids first —
+    the label_propagation contract).
+
+    Scale shape: the argmax is ONE map-side-combining
+    ``max(struct(score, -id))`` aggregate — never a per-cluster window,
+    so a million-member boilerplate cluster combines map-side — plus one
+    re-attach join AQE broadcasts when the cluster table is small and
+    skew-splits when it is not. No Python, no driver state.
+    """
+    rows = df.select(
+        F.col(id_col).alias("id"),
+        F.col(cluster_col).alias("cluster"),
+        F.col(score_col).cast("long").alias("score"),
+    )
+    best = (
+        rows.groupBy("cluster")
+        .agg(F.max(F.struct(F.col("score"), (-F.col("id")).alias("neg")))
+             .alias("m"))
+        .select("cluster", (-F.col("m.neg")).alias("keeper_id"))
+    )
+    return (
+        rows.join(best, "cluster")
+        .select(
+            "id", "cluster", "score", "keeper_id",
+            (F.col("id") == F.col("keeper_id")).alias("is_keeper"),
+        )
+    )

@@ -559,3 +559,16 @@ def test_containment_pairs_oversized_guard(spark):
     dropped = containment_pairs(df, block_col=None, max_block=2,
                                 on_oversized="drop").collect()
     assert dropped == []
+
+
+def test_elect_keepers_score_and_tie(spark):
+    from llm_food_spark.operators.dedup import elect_keepers
+
+    df = spark.createDataFrame(
+        [(1, 10, 5), (2, 10, 9), (3, 10, 9),    # tie at 9 -> min id 2
+         (4, 20, 1)],                            # singleton keeps itself
+        ["doc_id", "cluster_id", "score"])
+    got = {r.id: (r.keeper_id, r.is_keeper)
+           for r in elect_keepers(df).collect()}
+    assert got == {1: (2, False), 2: (2, True), 3: (2, False),
+                   4: (4, True)}
