@@ -1607,6 +1607,27 @@ def q_fold_confusables(spark, sf_dir):
     return fold_confusables_table(d.select("doc_id", text.alias("text")))
 
 
+def q_interval_join(spark, sf_dir):
+    """Interval-overlap join (operators/joins.py::interval_join,
+    bucket_width=4, exactly-once meeting at the overlap-start bucket)
+    on seeded interval sets (60 x 60, arithmetic lo/hi over [0, 205)).
+    Hard oracle: DuckDB runs the bare inequality join — no bucketing
+    anywhere — and must produce the identical pair set, proving the
+    bucket trick loses and duplicates nothing."""
+    from llm_food_spark.operators.joins import interval_join
+
+    d = _t(spark, sf_dir, "documents")
+    lo_l = (F.col("doc_id") * 3) % 200
+    left = d.where(F.col("doc_id") < 60).select(
+        F.col("doc_id").alias("lid"), lo_l.alias("lo"),
+        (lo_l + F.col("doc_id") % 5 + 1).alias("hi"))
+    lo_r = (F.col("doc_id") * 7) % 200
+    right = d.where((F.col("doc_id") >= 60) & (F.col("doc_id") < 120)).select(
+        F.col("doc_id").alias("rid"), lo_r.alias("lo"),
+        (lo_r + F.col("doc_id") % 4 + 1).alias("hi"))
+    return interval_join(left, right, bucket_width=4)
+
+
 def q_elect_keepers(spark, sf_dir):
     """Quality-aware dup-cluster survivor election (operators/dedup.py::
     elect_keepers) on seeded clusters (doc_id mod 40) with arithmetic
@@ -4131,6 +4152,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "containment": q_containment,            # directional n-gram containment (Broder resemblance-vs-containment), exact ppm list-intersect twin
         "fold_confusables": q_fold_confusables,  # UTS#39-subset confusable folding (dedup-evasion guard), identical translate() table both engines
         "elect_keepers": q_elect_keepers,        # quality-aware dup-cluster survivor election; map-side max(struct) vs a row_number twin
+        "interval_join": q_interval_join,        # interval-overlap join, exactly-once bucket meeting vs DuckDB's bare inequality join
         "ranking_metrics": q_ranking_metrics,    # recall@k / reciprocal rank audit of the ANN/search family, exact ppm twin
         "skew_profile": q_skew_profile,          # key-skew summary (count-of-counts percentiles, top-k shares, max/mean ppm) — the measurement half of the salting story
         "dom_features": q_dom_features,          # page-structure spam features through the real DOM walk (gopher_quality holds the quality family's driver slot)
@@ -5966,6 +5988,22 @@ def _handwritten_oracles() -> dict[str, str]:
         # fold_confusables twin: the SAME translate() table (module
         # constants), the SAME planted literals (_CONF_TEXTS)
         "fold_confusables": _fold_sql,
+        # interval_join twin: the BARE inequality join DuckDB can plan
+        # (IEJoin) — no bucketing anywhere, so any pair the bucket trick
+        # lost or duplicated breaks the hash
+        "interval_join": """
+            WITH l AS (
+              SELECT doc_id AS lid, (doc_id * 3) % 200 AS lo,
+                     (doc_id * 3) % 200 + doc_id % 5 + 1 AS hi
+              FROM documents WHERE doc_id < 60
+            ), r AS (
+              SELECT doc_id AS rid_r, (doc_id * 7) % 200 AS lo_r,
+                     (doc_id * 7) % 200 + doc_id % 4 + 1 AS hi_r
+              FROM documents WHERE doc_id >= 60 AND doc_id < 120
+            )
+            SELECT l.lid, l.lo, l.hi, r.rid_r, r.lo_r, r.hi_r
+            FROM l JOIN r ON l.lo < r.hi_r AND r.lo_r < l.hi
+        """,
         # elect_keepers twin: row_number argmax over (score DESC, id ASC)
         # — a window formulation vs the operator's max(struct) aggregate
         "elect_keepers": """

@@ -147,3 +147,64 @@ def range_join(
         & (F.col(point_col) < F.col(hi_col + suffix))
     )
     return out.drop("_bucket")
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    lo_col: str = "lo",
+    hi_col: str = "hi",
+    on: Union[str, Sequence[str], None] = None,
+    bucket_width: int = None,
+    suffix: str = "_r",
+) -> DataFrame:
+    """Interval-OVERLAP join: every (left, right) pair whose [lo, hi)
+    intervals intersect — sessions x outage windows, capture spans x
+    embargo periods. The third custom join: Spark plans a bare
+    ``l.lo < r.hi AND r.lo < l.hi`` as a nested-loop product.
+
+    Both sides explode to ``bucket_width``-unit buckets; a pair shares
+    every bucket its overlap covers, so the naive form needs a distinct.
+    Instead the join keeps ONLY the bucket containing the overlap's
+    start, ``floor(greatest(lo, lo_r) / w)`` — a pair's overlap start
+    lies in exactly one bucket, so each pair meets EXACTLY once and the
+    plan needs no dedup exchange: one narrow explode per side + one hash
+    equi-join + the exact predicate, the range_join discipline. Pick
+    ``bucket_width`` near the typical interval length (explode factor
+    ~2); skew is bounded by the hottest (key, bucket). Empty intervals
+    (hi <= lo) drop on both sides; right columns return suffixed.
+    """
+    if bucket_width is None or bucket_width < 1:
+        raise ValueError("bucket_width must be a positive integer")
+    on_list: List[str] = (
+        [] if on is None else [on] if isinstance(on, str) else list(on)
+    )
+    rpay = [c for c in right.columns if c not in set(on_list)]
+    clash = [c + suffix for c in rpay if c + suffix in left.columns]
+    if clash:
+        raise ValueError("suffixed right columns collide with left: %s" % clash)
+    w = F.lit(bucket_width)
+
+    def _exploded(df, lo, hi, rename):
+        cols = ([F.col(c).alias(c + suffix) for c in rpay] if rename
+                else [F.col(c) for c in df.columns])
+        return df.where(F.col(hi) > F.col(lo)).select(
+            *([F.col(c) for c in on_list] if rename else []),
+            *cols,
+            F.explode(F.sequence(
+                F.floor(F.col(lo) / w).cast("long"),
+                F.floor((F.col(hi) - 1) / w).cast("long"),
+            )).alias("_bucket"),
+        )
+
+    l = _exploded(left, lo_col, hi_col, rename=False)
+    r = _exploded(right, lo_col, hi_col, rename=True)
+    lo_r, hi_r = lo_col + suffix, hi_col + suffix
+    out = l.join(r, on_list + ["_bucket"]).where(
+        (F.col(lo_col) < F.col(hi_r))
+        & (F.col(lo_r) < F.col(hi_col))
+        & (F.col("_bucket")
+           == F.floor(F.greatest(F.col(lo_col), F.col(lo_r)) / w)
+           .cast("long"))
+    )
+    return out.drop("_bucket")

@@ -90,3 +90,37 @@ def test_range_join(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         range_join(points, ivals, "t", "lo", "hi", on="k", bucket_width=0)
+
+
+def test_interval_join_overlaps_exactly_once(spark):
+    from llm_food_spark.operators.joins import interval_join
+
+    left = spark.createDataFrame(
+        [("a", 0, 10), ("b", 5, 6), ("c", 20, 21), ("e", 3, 3)],
+        ["lid", "lo", "hi"])
+    right = spark.createDataFrame(
+        [("x", 4, 30), ("y", 10, 12), ("z", 0, 2)],
+        ["rid", "lo", "hi"])
+    got = sorted((r.lid, r.rid_r) for r in interval_join(
+        left, right, bucket_width=3).collect())
+    # a=[0,10): overlaps x=[4,30) and z=[0,2); NOT y=[10,12) (half-open)
+    # b=[5,6): overlaps x only; c=[20,21): x only; e empty -> dropped
+    assert got == [("a", "x"), ("a", "z"), ("b", "x"), ("c", "x")]
+    # exactly-once despite [4,10) overlap spanning multiple width-3 buckets
+    assert len(got) == len(set(got))
+
+
+def test_interval_join_keys_and_validation(spark):
+    import pytest as _pytest
+
+    from llm_food_spark.operators.joins import interval_join
+
+    left = spark.createDataFrame(
+        [("k1", 0, 5), ("k2", 0, 5)], ["key", "lo", "hi"])
+    right = spark.createDataFrame(
+        [("k1", 3, 9)], ["key", "lo", "hi"])
+    got = [(r.key, r.lo_r, r.hi_r) for r in interval_join(
+        left, right, on="key", bucket_width=4).collect()]
+    assert got == [("k1", 3, 9)]          # k2 never crosses keys
+    with _pytest.raises(ValueError):
+        interval_join(left, right, bucket_width=0)
