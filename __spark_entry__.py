@@ -4093,10 +4093,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "minhash_lsh_seeded": q_minhash_lsh_seeded,
         "html_tables": q_html_tables,            # structured web-table extraction through the real DOM parse + WHATWG grid occupancy — a driver-visible family no other slot covers (took neardup_incremental's slot: minhash_lsh_seeded holds the banded-signature mechanism its asymmetric index join reuses)
-        "simhash_seeded": q_simhash_seeded,
+        "triangle_count": q_triangle_count,      # round-4 swap: took simhash_seeded's slot (minhash_lsh_seeded holds the banded-signature mechanism; simhash is the near-cousin hash plan, repo-gated below). New driver-visible family: graph DENSITY — per-node triangles + clustering ppm via degree-ordered orientation; the twin enumerates with a lexicographic 3-way join, a different algorithm
         "jsonld": q_jsonld,                      # schema.org JSON-LD items through DOM raw-text + json c14n — new structured-metadata family (took embedding_neardup_seeded's slot: ann_lsh/ivf_seeded + semantic_dedup_seeded hold the embedding-bucket arithmetic)
         "ann_lsh_seeded": q_ann_lsh_seeded,
-        "ann_ivf_seeded": q_ann_ivf_seeded,
+        "resolve_redirects": q_resolve_redirects,  # round-4 swap: took ann_ivf_seeded's slot (ann_lsh_seeded + semantic_dedup_seeded hold the embedding-bucket arithmetic; IVF stays repo-gated below). New driver-visible family: redirect-chain canonicalization — pointer jumping vs a step-by-step recursive-CTE walk, different algorithms, same verdicts
         "semantic_dedup_seeded": q_semantic_dedup_seeded,
         "kmeans": q_kmeans,                      # UNSEEDED integer-space Lloyd: the oracle re-runs the whole training loop unrolled
         # sketches (constant-state distinct/frequency at corpus scale)
@@ -4144,10 +4144,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "feed_parse": q_feed_parse,              # RSS/Atom discovery through the real tolerant parse (sitemap_parse holds the discovery family's earlier repo slot)
         "unigram_encode": q_unigram_encode,      # SentencePiece unigram Viterbi vs an exhaustive-enumeration oracle (bpe_learn/bpe_encode hold the tokenizer family's driver slots)
         "reciprocity": q_reciprocity,            # link-farm reciprocal-edge fraction (pagerank_seeded/hits_seeded hold the graph family's slots)
-        "triangle_count": q_triangle_count,      # per-node triangles + clustering ppm via degree-ordered orientation; twin enumerates with a lexicographic 3-way join — a different algorithm
+        "simhash_seeded": q_simhash_seeded,      # demoted for triangle_count: minhash_lsh_seeded holds the banded-signature driver slot; the pigeonhole-block SimHash plan stays repo-gated
+        "ann_ivf_seeded": q_ann_ivf_seeded,      # demoted for resolve_redirects: ann_lsh_seeded + semantic_dedup_seeded hold the embedding-bucket arithmetic; the IVF posting-list plan stays repo-gated
         "label_propagation": q_label_propagation,  # synchronous LPA communities, 3 unrolled rounds with the (count desc, label asc) rule mirrored via row_number
         "k_anonymize": q_k_anonymize,            # k-anonymity QI suppression; twin recomputes group sizes + null-out verdicts
-        "resolve_redirects": q_resolve_redirects,  # 30x-chain terminal resolution, pointer jumping vs a step-by-step recursive-CTE walk — different algorithms, same verdicts
         "cocitation": q_cocitation,              # Dean-Henzinger related-pair mining; capped wedge join, a<b self-join twin
         "containment": q_containment,            # directional n-gram containment (Broder resemblance-vs-containment), exact ppm list-intersect twin
         "fold_confusables": q_fold_confusables,  # UTS#39-subset confusable folding (dedup-evasion guard), identical translate() table both engines
