@@ -1607,6 +1607,29 @@ def q_fold_confusables(spark, sf_dir):
     return fold_confusables_table(d.select("doc_id", text.alias("text")))
 
 
+def q_page_furniture(spark, sf_dir):
+    """Running header/footer removal (operators/dedup.py::
+    strip_page_furniture) on 20 seeded 5-page documents whose pages
+    share two furniture lines, carry unique body lines, and plant a
+    page-0-only intro that must SURVIVE (1/5 < 60%). Hard oracle:
+    DuckDB rebuilds the pages, recounts per-(doc, line) page frequency
+    with the integer threshold, and reassembles every page in order."""
+    from llm_food_spark.operators.dedup import strip_page_furniture
+
+    d = _t(spark, sf_dir, "documents")
+    doc = F.col("doc_id") % 20
+    page = F.expr("(doc_id div 20) % 5")
+    text = F.concat(
+        F.lit("ACME Corp Confidential\nbody "),
+        doc.cast("string"), F.lit(" "), page.cast("string"),
+        F.when(page == 0, F.lit("\nintro note")).otherwise(F.lit("")),
+        F.lit("\nfooter v1"),
+    )
+    pages = d.select(doc.alias("doc"), page.alias("page"),
+                     text.alias("text")).distinct()
+    return strip_page_furniture(pages, doc_col="doc", page_col="page")
+
+
 def q_interval_join(spark, sf_dir):
     """Interval-overlap join (operators/joins.py::interval_join,
     bucket_width=4, exactly-once meeting at the overlap-start bucket)
@@ -4153,6 +4176,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fold_confusables": q_fold_confusables,  # UTS#39-subset confusable folding (dedup-evasion guard), identical translate() table both engines
         "elect_keepers": q_elect_keepers,        # quality-aware dup-cluster survivor election; map-side max(struct) vs a row_number twin
         "interval_join": q_interval_join,        # interval-overlap join, exactly-once bucket meeting vs DuckDB's bare inequality join
+        "page_furniture": q_page_furniture,      # running header/footer strip across a document's pages (host_boilerplate scoped down); full recount + ordered-reassembly twin
         "ranking_metrics": q_ranking_metrics,    # recall@k / reciprocal rank audit of the ANN/search family, exact ppm twin
         "skew_profile": q_skew_profile,          # key-skew summary (count-of-counts percentiles, top-k shares, max/mean ppm) — the measurement half of the salting story
         "dom_features": q_dom_features,          # page-structure spam features through the real DOM walk (gopher_quality holds the quality family's driver slot)
@@ -5988,6 +6012,47 @@ def _handwritten_oracles() -> dict[str, str]:
         # fold_confusables twin: the SAME translate() table (module
         # constants), the SAME planted literals (_CONF_TEXTS)
         "fold_confusables": _fold_sql,
+        # page_furniture twin: rebuild the pages, recount per-(doc,line)
+        # page frequency under the integer threshold, reassemble in line
+        # order (string_agg skips the furniture via CASE->NULL)
+        "page_furniture": """
+            WITH pages AS (
+              SELECT DISTINCT doc_id % 20 AS doc,
+                     (doc_id // 20) % 5 AS page,
+                     'ACME Corp Confidential' || chr(10) || 'body '
+                       || (doc_id % 20) || ' ' || ((doc_id // 20) % 5)
+                       || CASE WHEN (doc_id // 20) % 5 = 0
+                               THEN chr(10) || 'intro note' ELSE '' END
+                       || chr(10) || 'footer v1' AS text
+              FROM documents
+            ), lines AS (
+              SELECT doc, page, i AS idx,
+                     string_split(text, chr(10))[i + 1] AS line
+              FROM pages,
+                   UNNEST(range(len(string_split(text, chr(10)))))
+                     AS t(i)
+            ), np AS (
+              SELECT doc, COUNT(DISTINCT page) AS n_pages
+              FROM pages GROUP BY doc
+            ), furn AS (
+              SELECT f.doc, f.line FROM (
+                SELECT doc, line, COUNT(DISTINCT page) AS n_on
+                FROM lines WHERE trim(line) <> ''
+                GROUP BY doc, line
+              ) f JOIN np ON np.doc = f.doc
+              WHERE f.n_on >= 3
+                AND f.n_on * 1000000 >= 600000 * np.n_pages
+            )
+            SELECT l.doc, l.page,
+                   COALESCE(string_agg(
+                     CASE WHEN fu.line IS NULL THEN l.line END,
+                     chr(10) ORDER BY l.idx), '') AS clean,
+                   COUNT(*)::INT AS n_lines,
+                   COUNT(fu.line)::INT AS n_removed
+            FROM lines l
+            LEFT JOIN furn fu ON fu.doc = l.doc AND fu.line = l.line
+            GROUP BY l.doc, l.page
+        """,
         # interval_join twin: the BARE inequality join DuckDB can plan
         # (IEJoin) — no bucketing anywhere, so any pair the bucket trick
         # lost or duplicated breaks the hash

@@ -1168,3 +1168,47 @@ def elect_keepers(
             (F.col("id") == F.col("keeper_id")).alias("is_keeper"),
         )
     )
+
+
+def strip_page_furniture(
+    df: DataFrame,
+    doc_col: str = "doc_id",
+    page_col: str = "page",
+    text_col: str = "text",
+    min_frac: float = 0.6,
+    min_pages: int = 3,
+    min_chars: int = 1,
+) -> DataFrame:
+    """Within-document running header/footer removal — (doc, page,
+    clean, n_lines, n_removed): a line appearing on >= ``min_frac`` of a
+    document's pages (and on >= ``min_pages`` pages) is page furniture
+    ('ACME Corp Confidential', 'Draft — do not distribute') and is
+    stripped from every page; per-page lines ('Page 3 of 17' differs per
+    page, page-0 title blocks) survive because only IDENTICAL lines
+    count. The PDF-extraction analogue of the site-template screen: the
+    reference's per-upload conversion cannot see across pages of a
+    corpus (llm-food converts one file per request); batch pipelines
+    can and should.
+
+    Same engine as ``host_boilerplate`` with the scopes shifted one
+    level down — host := document, document := page — so the plan shape
+    (persisted exploded frame, two narrow counts, broadcastable
+    membership, one ordered reassembly exchange) and the integer-space
+    threshold are inherited verbatim; see its docstring for the scale
+    audit. Short/blank lines (< ``min_chars`` trimmed chars) never count
+    and are never removed.
+    """
+    key = F.concat_ws(
+        "\x1f", F.col(doc_col).cast("string"), F.col(page_col).cast("string"))
+    scoped = df.select(
+        F.col(doc_col).cast("string").alias("_fdoc"),
+        key.alias("_fkey"),
+        F.col(text_col).alias("_ftext"),
+    )
+    out = host_boilerplate(
+        scoped, host_col="_fdoc", id_col="_fkey", text_col="_ftext",
+        min_frac=min_frac, min_pages=min_pages, min_chars=min_chars,
+    ).withColumnRenamed("doc_id", "_fkey")
+    keys = df.select(F.col(doc_col), F.col(page_col), key.alias("_fkey"))
+    return keys.join(out, "_fkey").select(
+        doc_col, page_col, "clean", "n_lines", "n_removed")

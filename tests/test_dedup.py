@@ -572,3 +572,25 @@ def test_elect_keepers_score_and_tie(spark):
            for r in elect_keepers(df).collect()}
     assert got == {1: (2, False), 2: (2, True), 3: (2, False),
                    4: (4, True)}
+
+
+def test_strip_page_furniture(spark):
+    from llm_food_spark.operators.dedup import strip_page_furniture
+
+    def page(doc, p, extra=""):
+        return (doc, p, "ACME Confidential\nbody %s %s%s\nfooter" % (
+            doc, p, extra))
+
+    rows = ([page("d1", p) for p in range(4)]
+            + [page("d1", 0, "\nintro only page0")]  # replaced below
+            + [page("d2", 0), page("d2", 1)])        # 2 pages < min_pages
+    rows[4] = ("d1", 0, "ACME Confidential\nbody d1 0\nintro\nfooter")
+    df = spark.createDataFrame(
+        [rows[4]] + rows[1:4] + rows[5:], ["doc_id", "page", "text"])
+    got = {(r.doc_id, r.page): (r.clean, r.n_removed)
+           for r in strip_page_furniture(df).collect()}
+    # d1: ACME + footer on 4/4 pages -> stripped; intro only on page 0
+    assert got[("d1", 0)] == ("body d1 0\nintro", 2)
+    assert got[("d1", 2)] == ("body d1 2", 2)
+    # d2 has 2 pages < min_pages=3 -> untouched
+    assert got[("d2", 1)] == ("ACME Confidential\nbody d2 1\nfooter", 0)
