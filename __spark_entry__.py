@@ -1500,6 +1500,24 @@ def q_label_propagation(spark, sf_dir):
                              iterations=3)
 
 
+def q_coreness(spark, sf_dir):
+    """k-core decomposition via the synchronous h-index iteration
+    (operators/graph.py::coreness, Lü et al. 2016, 4 rounds) on a
+    seeded 40-node graph from three affine edge formulas — dense enough
+    for several distinct core levels. Hard oracle: DuckDB unrolls the
+    identical four rounds, each the H operator over the per-node
+    count-of-counts table (descending-value running sum +
+    max(least(val, cum)))."""
+    from llm_food_spark.operators.graph import coreness
+
+    d = _t(spark, sf_dir, "documents")
+    u = F.col("doc_id") % 40
+    e1 = d.select(u.alias("src"), ((F.col("doc_id") * 3 + 1) % 40).alias("dst"))
+    e2 = d.select(u.alias("src"), ((F.col("doc_id") * 7 + 2) % 40).alias("dst"))
+    e3 = d.select(u.alias("src"), ((F.col("doc_id") * 11 + 5) % 40).alias("dst"))
+    return coreness(e1.unionByName(e2).unionByName(e3), iterations=4)
+
+
 def q_resolve_redirects(spark, sf_dir):
     """Redirect-chain resolution (operators/urlops.py::
     resolve_redirects, pointer jumping, 5 rounds for max_chain=32) on
@@ -4170,6 +4188,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_seeded": q_simhash_seeded,      # demoted for triangle_count: minhash_lsh_seeded holds the banded-signature driver slot; the pigeonhole-block SimHash plan stays repo-gated
         "ann_ivf_seeded": q_ann_ivf_seeded,      # demoted for resolve_redirects: ann_lsh_seeded + semantic_dedup_seeded hold the embedding-bucket arithmetic; the IVF posting-list plan stays repo-gated
         "label_propagation": q_label_propagation,  # synchronous LPA communities, 3 unrolled rounds with the (count desc, label asc) rule mirrored via row_number
+        "coreness": q_coreness,                  # k-core via h-index rounds (Lü et al. 2016); twin re-derives every H operator from the count-of-counts table
         "k_anonymize": q_k_anonymize,            # k-anonymity QI suppression; twin recomputes group sizes + null-out verdicts
         "cocitation": q_cocitation,              # Dean-Henzinger related-pair mining; capped wedge join, a<b self-join twin
         "containment": q_containment,            # directional n-gram containment (Broder resemblance-vs-containment), exact ppm list-intersect twin
@@ -4644,6 +4663,47 @@ _LPA_ITER = """
       ) WHERE rn = 1
     )
 """
+
+# coreness twin: same synchronous h-index rounds; each round's H
+# operator is re-derived from scratch — per-(node, value) counts, a
+# descending-value running sum, max(least(val, cum))
+_CORE_ITER = """
+    , c{i} AS (
+      SELECT s.node, h.val, COUNT(*)::BIGINT AS cnt
+      FROM sym s JOIN h{p} h ON h.node = s.nbr
+      GROUP BY s.node, h.val
+    ), h{i} AS (
+      SELECT node, MAX(LEAST(val, cum))::BIGINT AS val FROM (
+        SELECT node, val,
+               SUM(cnt) OVER (PARTITION BY node
+                              ORDER BY val DESC) AS cum
+        FROM c{i}
+      ) GROUP BY node
+    )
+"""
+
+_CORENESS_SQL = (
+    """
+    WITH raw AS (
+      SELECT doc_id % 40 AS a, (doc_id * 3 + 1) % 40 AS b FROM documents
+      UNION ALL
+      SELECT doc_id % 40, (doc_id * 7 + 2) % 40 FROM documents
+      UNION ALL
+      SELECT doc_id % 40, (doc_id * 11 + 5) % 40 FROM documents
+    ), sym AS (
+      SELECT DISTINCT node, nbr FROM (
+        SELECT a AS node, b AS nbr FROM raw WHERE a <> b
+        UNION ALL
+        SELECT b, a FROM raw WHERE a <> b
+      )
+    ), h0 AS (
+      SELECT node, COUNT(*)::BIGINT AS val FROM sym GROUP BY node
+    )
+    """
+    + "".join(_CORE_ITER.format(i=i, p=i - 1) for i in (1, 2, 3, 4))
+    + "SELECT node, val AS coreness FROM h4"
+)
+
 
 _LPA_SQL = (
     """
@@ -8111,6 +8171,7 @@ def _handwritten_oracles() -> dict[str, str]:
             FROM deg d LEFT JOIN corners c ON c.node = d.node
         """,
         "label_propagation": _LPA_SQL,
+        "coreness": _CORENESS_SQL,
         # resolve_redirects twin: INDEPENDENT algorithm — a linear
         # recursive-CTE walk (one redirect step per recursion level,
         # capped at max_chain=32) vs the operator's doubling jumps

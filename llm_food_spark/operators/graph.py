@@ -301,6 +301,81 @@ def triangle_counts(
     )
 
 
+def coreness(
+    edges: DataFrame,
+    iterations: int = 8,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """k-core decomposition via the synchronous h-index iteration (Lü,
+    Chen, Ren, Zhang, Zhou & Stanley 2016, Nature Communications — "The
+    H-index of a network node and its relation to degree and coreness")
+    -> (node, coreness). The density signal the web-spam literature
+    peels link farms with: a k-core is the maximal subgraph where every
+    node keeps >= k neighbors, and coreness separates a genuine hub
+    (high degree, low core) from a paid link ring (every member deep in
+    the same core) — the input host_reputation/label_propagation can't
+    see from degree alone.
+
+    Contract: h_0(v) = degree(v); h_{t+1}(v) = H(neighbor h_t values) —
+    the largest h such that >= h neighbors have value >= h. The sequence
+    is pointwise non-increasing and reaches coreness exactly at its
+    fixpoint (Lü et al., Theorem 1); ``iterations`` fixed synchronous
+    rounds make the output a pure function of the edge set (the
+    label_propagation determinism discipline — the oracle unrolls the
+    identical rounds; callers size rounds to their graph's depth, and
+    the planted-fixture test asserts fixpoint == true peeling-order
+    coreness). Undirected simple graph: direction dropped, self-loops
+    removed, multi-edges collapsed.
+
+    Scale shape: per round ONE join of narrow (node, val) rows against
+    the static symmetrized edge list, ONE map-side-combining
+    groupBy(node, val) count, then the H operator over the per-node
+    COUNT-OF-COUNTS table — a descending-value running sum partitioned
+    by node whose row count is the node's DISTINCT neighbor-value
+    count, never its degree (a 10^7-degree hub whose neighbors hold
+    ~10^2 distinct h values sorts ~10^2 rows — the skew_profile
+    metadata-window justification), followed by a map-side
+    max(least(val, cum)) aggregate. Value frames are checkpoint-cut per
+    round with the previous round's storage freed (the cluster.py
+    discipline)."""
+    if iterations < 1:
+        raise ValueError("iterations must be >= 1")
+    from pyspark.sql import Window
+
+    sc = edges.sparkSession.sparkContext
+    e = (
+        edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+        .where(F.col("a") != F.col("b"))
+    )
+    sym = (
+        e.select(F.col("a").alias("node"), F.col("b").alias("nbr"))
+        .unionAll(e.select(F.col("b").alias("node"), F.col("a").alias("nbr")))
+        .distinct()
+    )
+    sym = _cut(sym, sc)
+    h = sym.groupBy("node").agg(F.count(F.lit(1)).cast("long").alias("val"))
+    w = Window.partitionBy("node").orderBy(F.col("val").desc())
+    prev_ids: set = set()
+    for _ in range(iterations):
+        cc = (
+            sym.join(h.select(F.col("node").alias("nbr"), "val"), "nbr")
+            .groupBy("node", "val")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        h = (
+            cc.select("node", "val", F.sum("cnt").over(w).alias("cum"))
+            .groupBy("node")
+            .agg(F.max(F.least(F.col("val"), F.col("cum")))
+                 .cast("long").alias("val"))
+        )
+        before = _persistent_ids(sc)
+        h = _cut(h, sc)
+        _free_checkpoint_ids(sc, prev_ids)  # previous round's value frame
+        prev_ids = _persistent_ids(sc) - before
+    return h.select("node", F.col("val").alias("coreness"))
+
+
 def label_propagation(
     edges: DataFrame,
     iterations: int = 3,

@@ -427,3 +427,123 @@ def test_cocitation_pairs_fanout_cap(spark):
                min_cocite=1, max_fanout=2).collect()}
     # hub keeps its 2 smallest targets {a,b}; c,d never pair
     assert got == {("a", "b"): 2}
+
+
+def _peel_coreness(und_edges):
+    """Exact coreness by the textbook peeling order (Batagelj-Zaversnik
+    semantics, implemented naively) — the independent algorithm the
+    h-index iteration must agree with at its fixpoint."""
+    adj = {}
+    for a, b in und_edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    core = {}
+    live = {v: set(ns) for v, ns in adj.items()}
+    k = 0
+    while live:
+        k_victims = [v for v, ns in live.items() if len(ns) <= k]
+        if not k_victims:
+            k += 1
+            continue
+        for v in k_victims:
+            core[v] = k
+            for u in live[v]:
+                live[u].discard(v)
+            del live[v]
+    return core
+
+
+def test_coreness_clique_cycle_chain(spark):
+    from llm_food_spark.operators.graph import coreness
+
+    # K6 (coreness 5) + 6-cycle (coreness 2) + pendant chain (coreness 1),
+    # bridged: attaching a tree to a core never changes the core.
+    k6 = [(a, b) for a in range(6) for b in range(6) if a < b]
+    cyc = [(6 + i, 6 + (i + 1) % 6) for i in range(6)]
+    chain = [(0, 12), (12, 13), (13, 14), (6, 14)]  # 6-14 closes a loop
+    edges = k6 + cyc + chain
+    exp = _peel_coreness(edges)
+    got = {r.node: r.coreness
+           for r in coreness(
+               spark.createDataFrame(edges, ["src", "dst"]),
+               iterations=8).collect()}
+    assert got == exp
+    assert got[0] == 5 and got[6] == 2 and got[13] == 2
+
+
+def test_coreness_star_converges_round_one(spark):
+    from llm_food_spark.operators.graph import coreness
+
+    star = [(0, i) for i in range(1, 6)]
+    got = {r.node: r.coreness
+           for r in coreness(
+               spark.createDataFrame(star, ["src", "dst"]),
+               iterations=1).collect()}
+    # H(five 1s) = 1 at the hub, H({5}) = 1 at each leaf: fixpoint in one
+    assert got == {v: 1 for v in range(6)}
+
+
+def test_coreness_dedups_direction_selfloops_multiedges(spark):
+    from llm_food_spark.operators.graph import coreness
+
+    edges = [(0, 1), (1, 0), (0, 0), (1, 2), (1, 2), (2, 0)]
+    got = {r.node: r.coreness
+           for r in coreness(
+               spark.createDataFrame(edges, ["src", "dst"]),
+               iterations=4).collect()}
+    assert got == {0: 2, 1: 2, 2: 2}
+
+
+def test_coreness_random_vs_peeling(spark):
+    import random
+
+    from llm_food_spark.operators.graph import coreness
+
+    rng = random.Random(7)
+    for trial in range(4):
+        n = rng.randint(5, 12)
+        edges = [(a, b) for a in range(n) for b in range(n)
+                 if a != b and rng.random() < 0.35]
+        und = sorted({(min(a, b), max(a, b)) for a, b in edges})
+        if not und:
+            continue
+        exp = _peel_coreness(und)
+        # path-like graphs need O(diameter) rounds: n is always enough
+        got = {r.node: r.coreness
+               for r in coreness(
+                   spark.createDataFrame(edges, ["src", "dst"]),
+                   iterations=n).collect()}
+        assert got == exp, f"trial {trial}"
+
+
+def test_coreness_checkpoint_storage_bounded(spark):
+    from llm_food_spark.operators.cluster import release_persisted
+    from llm_food_spark.operators.graph import coreness
+
+    sc = spark.sparkContext
+
+    def pinned():
+        return len(sc._jsc.getPersistentRDDs().keySet().toArray())
+
+    release_persisted()
+    baseline = pinned()
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d")],
+        "src string, dst string")
+    coreness(e, iterations=6).collect()
+    after_first = pinned()
+    coreness(e, iterations=6).collect()
+    after_second = pinned()
+    # statics (sym) + at most one live value frame; rounds must not stack
+    assert after_second - after_first <= 2
+    release_persisted()
+    assert pinned() <= baseline
+
+
+def test_coreness_validation(spark):
+    from llm_food_spark.operators.graph import coreness
+
+    e = spark.createDataFrame([("a", "b")], "src string, dst string")
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        coreness(e, iterations=0)
