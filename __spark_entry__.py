@@ -2263,6 +2263,25 @@ def q_pagerank_seeded(spark, sf_dir):
     return pagerank(e, iterations=3)
 
 
+def q_trustrank_seeded(spark, sf_dir):
+    """TrustRank (operators/graph.py::trustrank) on the seeded 50-node
+    arithmetic graph with the teleport vector biased to the five seed
+    nodes (node % 10 == 0), 3 iterations. Hard oracle: DuckDB unrolls
+    the identical three damped seed-biased iterations (same trust0 = s
+    init, same 1/|S| seed mass, same no-dangling-redistribution
+    contract) and matches trust to 6dp."""
+    from llm_food_spark.operators.graph import trustrank
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    e = d.select(
+        (F.col("doc_id") % 50).alias("src"),
+        ((F.col("doc_id") * 7 + 3) % 50).alias("dst"),
+    ).distinct()
+    seeds = d.select((F.col("doc_id") % 50).alias("node")).where(
+        F.col("node") % 10 == 0).distinct()
+    return trustrank(e, seeds, iterations=3)
+
+
 def q_hits_seeded(spark, sf_dir):
     """HITS hubs/authorities (operators/graph.py::hits) on the seeded
     50-node arithmetic graph, 3 iterations. Hard oracle: DuckDB unrolls
@@ -4185,6 +4204,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "feed_parse": q_feed_parse,              # RSS/Atom discovery through the real tolerant parse (sitemap_parse holds the discovery family's earlier repo slot)
         "unigram_encode": q_unigram_encode,      # SentencePiece unigram Viterbi vs an exhaustive-enumeration oracle (bpe_learn/bpe_encode hold the tokenizer family's driver slots)
         "reciprocity": q_reciprocity,            # link-farm reciprocal-edge fraction (pagerank_seeded/hits_seeded hold the graph family's slots)
+        "trustrank_seeded": q_trustrank_seeded,  # seed-biased-teleport PageRank variant (Gyöngyi et al. spam-isolation signal); pagerank_seeded holds the graph driver slot — the twin unrolls the identical 3 iterations over the seed vector
         "simhash_seeded": q_simhash_seeded,      # demoted for triangle_count: minhash_lsh_seeded holds the banded-signature driver slot; the pigeonhole-block SimHash plan stays repo-gated
         "ann_ivf_seeded": q_ann_ivf_seeded,      # demoted for resolve_redirects: ann_lsh_seeded + semantic_dedup_seeded hold the embedding-bucket arithmetic; the IVF posting-list plan stays repo-gated
         "label_propagation": q_label_propagation,  # synchronous LPA communities, 3 unrolled rounds with the (count desc, label asc) rule mirrored via row_number
@@ -4623,6 +4643,52 @@ _HITS_SQL = (
     SELECT h3.node, round(h3.hub, 6) AS hub, round(an3.auth, 6) AS auth
     FROM h3 JOIN an3 ON an3.node = h3.node
     """
+)
+
+
+# trustrank twin: same unrolled-iteration mechanism as _PAGERANK_SQL but
+# with the teleport mass on the seed vector s(v) instead of uniform 1/n
+_TRUSTRANK_ITER = """
+    , c{i} AS (
+      SELECT e.dst, SUM(t{p}.trust * 1.0::DOUBLE / outw.ow) AS m
+      FROM e JOIN t{p} ON t{p}.node = e.src
+             JOIN outw ON outw.src = e.src
+      GROUP BY e.dst
+    ), t{i} AS (
+      SELECT svec.node,
+             (1.0::DOUBLE - 0.85::DOUBLE) * svec.s
+             + 0.85::DOUBLE * coalesce(c{i}.m, 0.0::DOUBLE) AS trust
+      FROM svec LEFT JOIN c{i} ON c{i}.dst = svec.node
+    )
+"""
+
+_TRUSTRANK_SQL = (
+    """
+    WITH e AS (
+      SELECT DISTINCT doc_id % 50 AS src, (doc_id * 7 + 3) % 50 AS dst
+      FROM documents
+    ), nodes AS (
+      SELECT src AS node FROM e UNION SELECT dst FROM e
+    ), sd AS (
+      SELECT DISTINCT doc_id % 50 AS node FROM documents
+      WHERE (doc_id % 50) % 10 = 0
+    ), sd_in AS (
+      SELECT DISTINCT sd.node FROM sd JOIN nodes USING (node)
+    ), kt AS (
+      SELECT COUNT(*)::BIGINT AS k FROM sd_in
+    ), outw AS (
+      SELECT src, SUM(1.0::DOUBLE) AS ow FROM e GROUP BY 1
+    ), svec AS (
+      SELECT nodes.node,
+             CASE WHEN sd_in.node IS NOT NULL
+                  THEN 1.0::DOUBLE / k ELSE 0.0::DOUBLE END AS s
+      FROM nodes CROSS JOIN kt LEFT JOIN sd_in ON sd_in.node = nodes.node
+    ), t0 AS (
+      SELECT node, s AS trust FROM svec
+    )
+    """
+    + "".join(_TRUSTRANK_ITER.format(i=i, p=i - 1) for i in (1, 2, 3))
+    + "SELECT node, round(trust, 6) AS trust FROM t3"
 )
 
 
@@ -8861,6 +8927,7 @@ def _handwritten_oracles() -> dict[str, str]:
         "snapshot_diff": _SNAPSHOT_SQL,
         "pagerank_seeded": _PAGERANK_SQL,
         "hits_seeded": _HITS_SQL,
+        "trustrank_seeded": _TRUSTRANK_SQL,
         # frontier prioritization: the snapshot and pagerank twins composed
         # with the identical left join + 0.0 floor for unranked hosts
         "crawl_priority": """

@@ -133,6 +133,93 @@ def test_pagerank_checkpoint_storage_bounded(spark):
     assert pinned() <= baseline
 
 
+def test_trustrank_hand_computed(spark):
+    from llm_food_spark.operators.graph import trustrank
+
+    # seed a -> b -> c chain; s = (1, 0, 0); trust0 = s
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "c")], "src string, dst string")
+    seeds = spark.createDataFrame([("a",)], "node string")
+    t1 = {r.node: r.trust for r in trustrank(
+        e, seeds, iterations=1).collect()}
+    assert t1["a"] == round(0.15 * 1.0, 6)
+    assert t1["b"] == round(0.85 * 1.0, 6)
+    assert t1["c"] == 0.0
+    t2 = {r.node: r.trust for r in trustrank(
+        e, seeds, iterations=2).collect()}
+    assert t2["a"] == round(0.15, 6)
+    assert t2["b"] == round(0.85 * 0.15, 6)
+    assert t2["c"] == round(0.85 * 0.85, 6)
+
+
+def test_trustrank_spam_farm_isolated(spark):
+    from llm_food_spark.operators.graph import trustrank
+
+    # x<->y<->z is a densely interlinked farm unreachable from the seed:
+    # it must score exactly 0 however many iterations run
+    e = spark.createDataFrame(
+        [("a", "b"), ("x", "y"), ("y", "x"), ("y", "z"), ("z", "x"),
+         ("x", "z"), ("z", "y")],
+        "src string, dst string")
+    seeds = spark.createDataFrame([("a",)], "node string")
+    t = {r.node: r.trust for r in trustrank(
+        e, seeds, iterations=5).collect()}
+    assert t["x"] == t["y"] == t["z"] == 0.0
+    assert t["a"] > 0 and t["b"] > 0
+
+
+def test_trustrank_weighted_and_seed_semi_join(spark):
+    from llm_food_spark.operators.graph import trustrank
+
+    # weight 3:1 split out of the seed; unknown seed 'ghost' is ignored
+    e = spark.createDataFrame(
+        [("a", "b", 3), ("a", "c", 1)], "src string, dst string, w long")
+    seeds = spark.createDataFrame([("a",), ("ghost",)], "node string")
+    t = {r.node: r.trust for r in trustrank(
+        e, seeds, iterations=1, weight_col="w").collect()}
+    # ghost dropped by the semi-join -> |S| = 1
+    assert t["a"] == round(0.15, 6)
+    assert t["b"] == round(0.85 * 3 / 4, 6)
+    assert t["c"] == round(0.85 * 1 / 4, 6)
+
+
+def test_trustrank_no_effective_seed_raises(spark):
+    from llm_food_spark.operators.graph import trustrank
+
+    e = spark.createDataFrame([("a", "b")], "src string, dst string")
+    seeds = spark.createDataFrame([("zzz",)], "node string")
+    with pytest.raises(ValueError, match="seed"):
+        trustrank(e, seeds, iterations=2)
+    with pytest.raises(ValueError, match="iterations"):
+        trustrank(e, seeds, iterations=0)
+
+
+def test_trustrank_checkpoint_storage_bounded(spark):
+    from llm_food_spark.operators.cluster import release_persisted
+    from llm_food_spark.operators.graph import trustrank
+
+    sc = spark.sparkContext
+
+    def pinned():
+        return len(sc._jsc.getPersistentRDDs().keySet().toArray())
+
+    release_persisted()
+    baseline = pinned()
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "a"), ("b", "c"), ("c", "a")],
+        "src string, dst string")
+    seeds = spark.createDataFrame([("a",)], "node string")
+    trustrank(e, seeds, iterations=6).collect()
+    after_first = pinned()
+    trustrank(e, seeds, iterations=6).collect()
+    after_second = pinned()
+    # statics (edges, nodes, outw, seeds, svec) + one live trust frame;
+    # repeated calls must not accumulate per-iteration frames
+    assert after_second - after_first <= 6
+    release_persisted()
+    assert pinned() <= baseline
+
+
 def test_anchor_text_index(spark):
     from llm_food_spark.operators.links import anchor_text_index
 
