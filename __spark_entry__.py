@@ -1228,6 +1228,28 @@ def q_pack_sequences(spark, sf_dir):
                           bucket_fn=bucket_minstd)
 
 
+def q_select_token_budget(spark, sf_dir):
+    """Quality-ranked token-budget corpus cut: score every document with
+    a portable 97-level MINSTD bucket (coarse on purpose — score ties
+    exercise the doc_id tiebreak), count whitespace tokens, and keep the
+    best-first ranked prefix whose INCLUSIVE running token total fits a
+    16k budget — the standard "top-quality docs up to N training tokens"
+    selection that consumes the quality/gopher/classifier scores. One
+    range exchange + streaming Arrow local cumsum + broadcast per-shard
+    offsets; no global single-partition window. Hard oracle: DuckDB
+    recomputes the bucket arithmetic and the full ranked window cumsum."""
+    from llm_food_spark.operators.split import (
+        bucket_minstd, select_token_budget)
+    from llm_food_spark.operators.textops import token_count
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        bucket_minstd(F.col("doc_id"), 97).alias("score"),
+        token_count(F.col("text")).cast("long").alias("n_tokens"),
+    )
+    return select_token_budget(d, budget=16_000)
+
+
 def q_web_prep_full(spark, sf_dir):
     """The FULL prep funnel in one plan: clean -> paragraph dedup -> token
     gate -> eval-set decontamination (13-gram drop, bench = token slices
@@ -4120,7 +4142,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     oracles — every family gets at least one driver-visible row, and
     hand-written DuckDB SQL twins win slots over redundant or subsumed
     queries. Everything from slot 51 on is still gated locally by
-    tools/check_oracles.py (all 157, same rows+schema+hash compare at
+    tools/check_oracles.py (all 168, same rows+schema+hash compare at
     sf0.01) and ordered hard-SQL-twins-first in case the driver's cap is
     ever higher; the 13 frozen-golden byte-stability gates sit last.
     Subsumption notes for demoted queries are inline below."""
@@ -4196,6 +4218,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontam_scrub": q_decontam_scrub,      # span-level decontamination: interval-union excision twin (decontaminate holds the contamination driver slot)
         "md_outline": q_md_outline,              # markdown structure profile (per-block kind/level/words), split+range-unnest twin
         "split_leakage": q_split_leakage,        # leakage audit of a doc-keyed split vs a host grouping; full bucket-arithmetic twin
+        "select_token_budget": q_select_token_budget,  # quality-ranked token-budget prefix cut (one range exchange + Arrow cumsum + broadcast shard offsets); full ranked-window-cumsum twin
         "ngram_jaccard": q_ngram_jaccard,        # demoted for phrase_search: driver-green in r3, and the shingle->set->exact-overlap twin mechanism is held by dedup_paragraphs/dedup_substrings slots; the capped in-block quadratic stays repo-gated
         "soft_dedup": q_soft_dedup,              # SoftDeDup/D4 duplicate-aware reweighting (hard micro-unit twin; the dedup family's driver slots hold the detection side)
         "mixture_weights": q_mixture_weights,    # DoReMi-style fixed-loss domain mixture (exact largest-remainder ppm twin; crawl_budget holds the apportionment family's driver slot)
@@ -7697,6 +7720,31 @@ def _handwritten_oracles() -> dict[str, str]:
                    (cum % 256)::BIGINT AS offset,
                    n_tokens
             FROM c
+        """.format(ws=_WSTOKS),
+        # select_token_budget twin: the whole ranked-prefix selection is
+        # one window cumsum over (score DESC, doc_id ASC) — DuckDB
+        # recomputes the 97-level MINSTD score, the whitespace token
+        # count, and the inclusive running total, then applies the same
+        # <= 16000 cut. Any drift in the distributed shard-offset
+        # reconstruction (local cumsum + broadcast exclusive shard
+        # totals) breaks cum_tokens value-for-value.
+        "select_token_budget": """
+            WITH d AS (
+              SELECT doc_id,
+                     ((doc_id % 2147483647 + 2147483647) % 2147483647
+                       * 48271) % 2147483647 % 97 AS score,
+                     len({ws})::BIGINT AS n_tokens
+              FROM documents
+            ), c AS (
+              SELECT doc_id, score, n_tokens,
+                     SUM(n_tokens) OVER (
+                       ORDER BY score DESC, doc_id ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                     )::BIGINT AS cum_tokens
+              FROM d
+            )
+            SELECT doc_id, score, n_tokens, cum_tokens
+            FROM c WHERE cum_tokens <= 16000
         """.format(ws=_WSTOKS),
         # web_prep_full twin: SIX proven stage twins in one query — clean
         # chain, paragraph dedup, token gate, string-shingle decontam

@@ -206,6 +206,100 @@ def pack_sequences(
     ).withColumn("offset", (cum % F.lit(seq_len)).cast("bigint"))
 
 
+def select_token_budget(
+    df: DataFrame,
+    budget: int,
+    score_col: str = "score",
+    tokens_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    n_shards: int = None,
+) -> DataFrame:
+    """Quality-ranked token-budget corpus selection: keep the best
+    documents, in (score DESC, id ASC) order, whose INCLUSIVE running
+    token total fits ``budget`` — the standard "select top-quality data
+    up to N training tokens" cut used to carve a pretraining corpus from
+    a scored crawl (the budget consumer of the quality/gopher/classifier
+    scores). Returns (id, score, tokens, cum_tokens) for the selected
+    prefix; re-attach payload columns by id downstream so the wide text
+    column never rides through the ranking machinery.
+
+    The global ranked prefix-sum is the part that looks single-node; the
+    distributed shape here keeps it to ONE data exchange:
+
+    1. ``repartitionByRange`` on the ranking key + sortWithinPartitions
+       — globally sorted shards (the only full-data shuffle).
+    2. One eager localCheckpoint pins the shard layout so both
+       consumers below see identical spark_partition_ids (an unpinned
+       range exchange may re-sample boundaries per subtree — the same
+       recomputation hazard the graph operators checkpoint against).
+       Storage is released on the NEXT call (or any graph-operator
+       call — the repo-wide ``release_persisted()`` lifecycle).
+    3. A streaming Arrow pass (mapInPandas) computes each shard's LOCAL
+       inclusive cumsum in place — no window, hence no second full-data
+       exchange on the partition id.
+    4. Per-shard token totals map-side-combine to one row per shard;
+       the exclusive prefix over those P rows is a single-partition
+       window over METADATA-sized input (P = shard count), broadcast
+       back. global cum = shard offset + local cumsum; filter <= budget.
+
+    Partitioning-invariant by construction (the cut depends only on the
+    total order, never on where shard boundaries fall) — test-asserted
+    n_shards=1 vs n_shards=4 equality. Zero-token docs at the top of
+    the ranking survive a 0 budget (0 <= 0); ties break by id ASC."""
+    if budget < 0:
+        raise ValueError("budget must be >= 0")
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    sc = spark.sparkContext
+    from llm_food_spark.operators.cluster import _cut, release_persisted
+
+    release_persisted()  # free the PREVIOUS call's pin (repo lifecycle)
+
+    P = int(spark.conf.get("spark.sql.shuffle.partitions")
+            if n_shards is None else n_shards)
+    if P < 1:
+        raise ValueError("n_shards must be >= 1")
+    order = [F.col(score_col).desc(), F.col(id_col).asc()]
+    d = (
+        df.select(id_col, score_col,
+                  F.col(tokens_col).cast("bigint").alias(tokens_col))
+        .repartitionByRange(P, *order)
+        .sortWithinPartitions(*order)
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    d = _cut(d, sc)  # pin shard layout for the two consumers below
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    out_schema = StructType(d.schema.fields + [
+        StructField("_loc", LongType(), False)])
+    tcol = tokens_col
+
+    def _local_cumsum(batches):
+        run = 0
+        for pdf in batches:
+            if len(pdf):
+                loc = pdf[tcol].astype("int64").cumsum() + run
+                run = int(loc.iloc[-1])
+                pdf = pdf.assign(_loc=loc.astype("int64"))
+            else:
+                pdf = pdf.assign(_loc=pdf[tcol].astype("int64"))
+            yield pdf
+
+    with_loc = d.mapInPandas(_local_cumsum, schema=out_schema)
+    totals = d.groupBy("_pid").agg(F.sum(tokens_col).alias("_tot"))
+    w = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "_pid", F.coalesce(F.sum("_tot").over(w), F.lit(0)).alias("_off"))
+    return (
+        with_loc.join(F.broadcast(offsets), "_pid")
+        .withColumn("cum_tokens", F.col("_off") + F.col("_loc"))
+        .where(F.col("cum_tokens") <= F.lit(int(budget)))
+        .select(id_col, score_col, tokens_col, "cum_tokens")
+    )
+
+
 def temperature_sample(
     df: DataFrame,
     group_col: str = "lang",

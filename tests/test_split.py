@@ -422,3 +422,76 @@ def test_leakage_audit_clean_split_is_empty(spark):
                       bucket_fn=bucket_minstd)
     leaks = leakage_audit(s2, "hostnum")
     assert leaks.count() == 7
+
+
+def test_select_token_budget_prefix_ties_and_boundary(spark):
+    from llm_food_spark.operators.split import select_token_budget
+    from pyspark.sql import functions as F  # noqa: F811
+
+    rows = [(1, 5, 10), (2, 5, 10), (3, 9, 7), (4, 1, 100), (5, 9, 0)]
+    df = spark.createDataFrame(rows, "doc_id long, score long, n_tokens long")
+    out = select_token_budget(df, budget=27)
+    got = {r["doc_id"]: r["cum_tokens"] for r in out.collect()}
+    # order (score DESC, id ASC): 3(7)->7, 5(0)->7, 1(10)->17, 2(10)->27, 4 out
+    assert got == {3: 7, 5: 7, 1: 17, 2: 27}
+    # inclusive boundary: budget exactly at a doc's cum keeps it
+    assert 2 in got and got[2] == 27
+    # budget below the first doc's tokens selects nothing but zero-token tops
+    zed = spark.createDataFrame(
+        [(1, 9, 0), (2, 5, 0), (3, 9, 4)],
+        "doc_id long, score long, n_tokens long")
+    kept = {r["doc_id"] for r in select_token_budget(zed, budget=0).collect()}
+    assert kept == {1}  # 0 <= 0; doc 3 pushes cum to 4, excluding itself AND doc 2
+
+
+def test_select_token_budget_partition_invariant(spark):
+    from llm_food_spark.operators.split import select_token_budget
+    from pyspark.sql import functions as F  # noqa: F811
+
+    d = spark.range(2_000).select(
+        F.col("id").alias("doc_id"),
+        ((F.col("id") * 7) % 13).alias("score"),
+        ((F.col("id") * 3) % 11).cast("long").alias("n_tokens"),
+    )
+    budget = 3_000
+    a = sorted((r["doc_id"], r["cum_tokens"])
+               for r in select_token_budget(d, budget, n_shards=1).collect())
+    b = sorted((r["doc_id"], r["cum_tokens"])
+               for r in select_token_budget(
+                   d.repartition(17), budget, n_shards=4).collect())
+    assert a == b
+    # driver-side replay of the same total order
+    rows = sorted(((i, (i * 7) % 13, (i * 3) % 11) for i in range(2_000)),
+                  key=lambda t: (-t[1], t[0]))
+    cum, want = 0, []
+    for i, _s, t in rows:
+        cum += t
+        if cum <= budget:
+            want.append((i, cum))
+    assert a == sorted(want)
+
+
+def test_select_token_budget_validation_and_release(spark):
+    import pytest as _pytest
+
+    from llm_food_spark.operators.cluster import release_persisted
+    from llm_food_spark.operators.split import select_token_budget
+    from pyspark.sql import functions as F  # noqa: F811
+
+    d = spark.range(10).select(
+        F.col("id").alias("doc_id"), F.lit(1).alias("score"),
+        F.lit(2).cast("long").alias("n_tokens"))
+    with _pytest.raises(ValueError):
+        select_token_budget(d, budget=-1)
+    with _pytest.raises(ValueError):
+        select_token_budget(d, budget=4, n_shards=0)
+    # storage lifecycle: each call releases the previous call's pin, so
+    # back-to-back calls never accumulate persistent RDDs
+    select_token_budget(d, budget=4).collect()
+    sc = spark.sparkContext
+    jmap = sc._jsc.sc().getPersistentRDDs()
+    n_after_first = jmap.size()
+    select_token_budget(d, budget=4).collect()
+    assert sc._jsc.sc().getPersistentRDDs().size() <= n_after_first
+    release_persisted()
+    assert sc._jsc.sc().getPersistentRDDs().size() == 0
