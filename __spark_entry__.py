@@ -1250,6 +1250,30 @@ def q_select_token_budget(spark, sf_dir):
     return select_token_budget(d, budget=16_000)
 
 
+def q_bloom_screen(spark, sf_dir):
+    """Batch Bloom-filter membership screen: build a 1024-bit k=3 filter
+    over the EVEN doc_ids (the 'seen' set), probe every document, and
+    report hit / exact-membership / false-positive per doc — the
+    approximate anti-join you reach for when the seen-set is too large
+    to broadcast as exact keys but its bitmap fits an executor. m/n ≈ 4
+    on purpose: a deliberately tight filter produces a deterministic
+    crop of false positives so the fp arithmetic is exercised, not just
+    the always-true path. Hard oracle: DuckDB re-derives both MiMC hash
+    chains and checks every probe position against the rebuilt bit SET
+    (position-membership formulation vs the operator's 32-bit word
+    packing — two formulations, same verdicts)."""
+    from llm_food_spark.operators.sketch import bloom_build, bloom_screen
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    seen = d.where(F.col("doc_id") % 2 == 0)
+    words = bloom_build(seen, "doc_id", m_bits=1024, k=3)
+    out = bloom_screen(d, words, "doc_id", m_bits=1024, k=3)
+    exact = F.col("doc_id") % 2 == 0
+    return out.select(
+        "doc_id", "bloom_hit", exact.alias("exact_member"),
+        (F.col("bloom_hit") & ~exact).alias("false_positive"))
+
+
 def q_web_prep_full(spark, sf_dir):
     """The FULL prep funnel in one plan: clean -> paragraph dedup -> token
     gate -> eval-set decontamination (13-gram drop, bench = token slices
@@ -4142,7 +4166,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     oracles — every family gets at least one driver-visible row, and
     hand-written DuckDB SQL twins win slots over redundant or subsumed
     queries. Everything from slot 51 on is still gated locally by
-    tools/check_oracles.py (all 168, same rows+schema+hash compare at
+    tools/check_oracles.py (all 169, same rows+schema+hash compare at
     sf0.01) and ordered hard-SQL-twins-first in case the driver's cap is
     ever higher; the 13 frozen-golden byte-stability gates sit last.
     Subsumption notes for demoted queries are inline below."""
@@ -4219,6 +4243,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "md_outline": q_md_outline,              # markdown structure profile (per-block kind/level/words), split+range-unnest twin
         "split_leakage": q_split_leakage,        # leakage audit of a doc-keyed split vs a host grouping; full bucket-arithmetic twin
         "select_token_budget": q_select_token_budget,  # quality-ranked token-budget prefix cut (one range exchange + Arrow cumsum + broadcast shard offsets); full ranked-window-cumsum twin
+        "bloom_screen": q_bloom_screen,          # batch Bloom membership screen (word-packed bit_or build, distinct-key probe joins); position-set twin re-derives both hash chains and every verdict incl. false positives
         "ngram_jaccard": q_ngram_jaccard,        # demoted for phrase_search: driver-green in r3, and the shingle->set->exact-overlap twin mechanism is held by dedup_paragraphs/dedup_substrings slots; the capped in-block quadratic stays repo-gated
         "soft_dedup": q_soft_dedup,              # SoftDeDup/D4 duplicate-aware reweighting (hard micro-unit twin; the dedup family's driver slots hold the detection side)
         "mixture_weights": q_mixture_weights,    # DoReMi-style fixed-loss domain mixture (exact largest-remainder ppm twin; crawl_budget holds the apportionment family's driver slot)
@@ -5892,6 +5917,31 @@ _HLL_SKETCH_SQL = f"""
     FROM agg CROSS JOIN exact
 """
 
+_BLOOM_SCREEN_SQL = f"""
+    WITH probe0 AS (SELECT doc_id, ((doc_id % {_SKETCH_P} + {_SKETCH_P})
+                                    % {_SKETCH_P}) AS x FROM documents),
+    {_round5_cte('pm1', 'probe0', 'x', _SKETCH_C1, 'y', keep='doc_id, ')},
+    {_round5_cte('pm2', 'pm1', 'y', _SKETCH_C2, 'h1', keep='doc_id, ')},
+    {_round5_cte('pm3', 'pm2', 'h1', _SKETCH_C3, 'h2',
+                 keep='doc_id, h1, ')},
+    ppos AS (
+      SELECT doc_id, (h1 + t.i * h2) % 1024 AS pos
+      FROM pm3, (SELECT range AS i FROM range(3)) t
+    ),
+    -- the built filter, as the SET of positions the even (seen) ids set:
+    -- the position-membership formulation of the operator's word packing
+    bits AS (SELECT DISTINCT pos FROM ppos WHERE doc_id % 2 = 0),
+    v AS (
+      SELECT p.doc_id,
+             MIN(CASE WHEN b.pos IS NOT NULL THEN 1 ELSE 0 END) AS h
+      FROM ppos p LEFT JOIN bits b USING (pos)
+      GROUP BY p.doc_id
+    )
+    SELECT doc_id, h = 1 AS bloom_hit, doc_id % 2 = 0 AS exact_member,
+           (h = 1 AND doc_id % 2 <> 0) AS false_positive
+    FROM v
+"""
+
 _CMS_HEAVY_SQL = f"""
     WITH b AS (SELECT user_id AS k, ((user_id % {_SKETCH_P} + {_SKETCH_P})
                                      % {_SKETCH_P}) AS x FROM events),
@@ -5930,6 +5980,7 @@ def oracle_sql() -> dict[str, str]:
     # sketches: every register / grid cell re-derived from the portable
     # (x+c)^5 mod p hash in pure BIGINT arithmetic
     out["hll_sketch"] = _HLL_SKETCH_SQL
+    out["bloom_screen"] = _BLOOM_SCREEN_SQL
     out["cms_heavy"] = _CMS_HEAVY_SQL
     out["kmeans"] = _KMEANS_SQL
     out["ngram_novelty"] = _NGRAM_NOVELTY_SQL_TMPL.format(w=_WORDS)

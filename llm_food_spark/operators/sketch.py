@@ -267,3 +267,103 @@ def cms_heavy_hitters(
            .select(F.col(key_col).cast("long").alias(key_col),
                    "est_cnt", "true_cnt")
     )
+
+
+def _bloom_positions(key: Column, m_bits: int, k: int) -> list:
+    """The k probe bit-positions for one key: classic double hashing
+    ``pos_i = (h1 + i*h2) mod m`` (Kirsch & Mitzenmacher 2006 — two
+    hashes give k independent-enough probes) with h1 = the portable
+    two-round mix and h2 = one further nonlinear round. Every
+    intermediate stays under 3*2^31 < 2^33 — exact BIGINT anywhere."""
+    h1 = mix5(key)
+    h2 = _round5(h1, MIX_C3)
+    return [(h1 + F.lit(i) * h2) % F.lit(m_bits) for i in range(k)]
+
+
+def bloom_build(
+    df: DataFrame,
+    key_col: str,
+    m_bits: int = 1 << 20,
+    k: int = 3,
+) -> DataFrame:
+    """Build a portable Bloom filter over ``key_col`` as a (word_idx,
+    word) table of 32-bit words — the BATCH membership sketch that
+    complements ``streaming/dedup.py``'s stateful bloom: use it when the
+    seen-set is too large to broadcast as exact keys but its BITMAP
+    (m/8 bytes) still fits an executor. At 10^9 seen urls and a 1% fp
+    target, m ≈ 2^33 bits ≈ 1 GiB — the word TABLE form here stays a
+    DataFrame (≤ m/32 rows), so the build shuffle is map-side combined
+    to at most m/32 rows per partition (the HLL/CMS discipline) and the
+    screen join can broadcast it when small or shuffle it when not.
+
+    False-positive math (honest capacity, the streaming-bloom
+    discipline): fp ≈ (1 - exp(-k*n/m))^k; size m ≥ 1.44 * k * n for
+    fp ≈ 2^-k. No false negatives ever.
+
+    Returns DataFrame[word_idx int, word bigint] with only NONZERO
+    words present (probe joins treat absent words as 0)."""
+    if m_bits < 32 or m_bits % 32 != 0:
+        raise ValueError("m_bits must be a positive multiple of 32")
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    pos = F.explode(
+        F.array(*_bloom_positions(F.col(key_col), m_bits, k)))
+    return (
+        df.select(pos.alias("_pos"))
+          .select(F.expr("CAST(_pos DIV 32 AS INT)").alias("word_idx"),
+                  F.expr("shiftleft(CAST(1 AS BIGINT),"
+                         " CAST(_pos % 32 AS INT))").alias("_bv"))
+          .groupBy("word_idx")
+          .agg(F.bit_or("_bv").alias("word"))
+    )
+
+
+def bloom_screen(
+    df: DataFrame,
+    words: DataFrame,
+    key_col: str,
+    m_bits: int,
+    k: int = 3,
+    out_col: str = "bloom_hit",
+) -> DataFrame:
+    """Screen ``df`` against a filter built by ``bloom_build`` (same
+    m_bits/k — the caller's checkpoint contract, as with the streaming
+    bloom's n_buckets): appends boolean ``out_col`` = all k probed bits
+    set. Guaranteed true for every key the filter was built from; false
+    positives at the documented fp rate.
+
+    Shape: the verdict is computed over DISTINCT keys (the
+    robots_verdict discipline — duplicate probe keys never multiply),
+    exploded to k probe rows, left-joined to the word table (broadcast
+    when small, AQE-shuffled when the bitmap is executor-sized), AND-ed
+    back with one distinct-keys-sized groupBy, then re-attached to the
+    input by key. Probe-side cost: two exchanges over distinct keys,
+    never over full rows; the wide payload columns ride only the final
+    re-attach join."""
+    if m_bits < 32 or m_bits % 32 != 0:
+        raise ValueError("m_bits must be a positive multiple of 32")
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    keys = df.select(F.col(key_col).alias("_bk")).distinct()
+    probes = keys.select(
+        "_bk",
+        F.explode(F.array(*_bloom_positions(F.col("_bk"), m_bits, k))
+                  ).alias("_pos"),
+    ).select(
+        "_bk",
+        F.expr("CAST(_pos DIV 32 AS INT)").alias("word_idx"),
+        F.expr("CAST(_pos % 32 AS INT)").alias("_bit"),
+    )
+    j = probes.join(words, "word_idx", "left")
+    hit = F.coalesce(
+        F.expr("(shiftright(word, _bit) % 2) = 1"), F.lit(False))
+    verdict = (
+        j.groupBy("_bk")
+         .agg(F.min(hit.cast("int")).alias("_h"))
+         .select("_bk", (F.col("_h") == 1).alias(out_col))
+    )
+    return (
+        df.join(verdict, df[key_col] == verdict["_bk"], "left")
+          .drop("_bk")
+          .withColumn(out_col, F.coalesce(F.col(out_col), F.lit(False)))
+    )

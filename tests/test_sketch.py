@@ -141,3 +141,86 @@ def test_cms_registers_merge_by_sum(skewed):
               for r in cms_registers(skewed, "k").collect()}
     got = {(r["row_idx"], r["bucket"]): r["cnt"] for r in merged.collect()}
     assert got == direct
+
+
+# ---------------------------------------------------------------- bloom
+
+def _py_mix5(x):
+    p = 2147483647
+
+    def rnd(v, c):
+        t = (v + c) % p
+        return (((t * t % p) * (t * t % p)) % p * t) % p
+
+    x = (x % p + p) % p
+    return rnd(rnd(x, 1013904223), 599479)
+
+
+def _py_bloom_positions(x, m_bits, k):
+    p = 2147483647
+    h1 = _py_mix5(x)
+    t = (h1 + 1868888881) % p
+    h2 = (((t * t % p) * (t * t % p)) % p * t) % p
+    return [(h1 + i * h2) % m_bits for i in range(k)]
+
+
+def test_bloom_no_false_negatives_and_python_parity(spark):
+    from llm_food_spark.operators.sketch import bloom_build, bloom_screen
+
+    seen = spark.range(0, 400).select((F.col("id") * 2).alias("key"))
+    words = bloom_build(seen, "key", m_bits=4096, k=3)
+    probe = spark.range(0, 800).select(F.col("id").alias("key"))
+    out = bloom_screen(probe, words, "key", m_bits=4096, k=3)
+    got = {r["key"]: r["bloom_hit"] for r in out.collect()}
+    # every built key hits (no false negatives, ever)
+    assert all(got[i] for i in range(0, 800, 2))
+    # verdicts match an independent pure-Python replay of the bit set
+    bits = set()
+    for i in range(0, 800, 2):
+        bits.update(_py_bloom_positions(i, 4096, 3))
+    for i in range(800):
+        assert got[i] == all(
+            p in bits for p in _py_bloom_positions(i, 4096, 3)), i
+    # a small filter over 400 keys produces SOME false positives at
+    # m/n ~ 10 with k=3 (fp ~ 2%) but far fewer than half the odds
+    fps = sum(1 for i in range(1, 800, 2) if got[i])
+    assert 0 <= fps < 100
+
+
+def test_bloom_word_table_bounded_and_partition_invariant(spark):
+    from llm_food_spark.operators.sketch import bloom_build
+
+    seen = spark.range(0, 2_000).select(F.col("id").alias("key"))
+    w1 = bloom_build(seen, "key", m_bits=1024, k=4)
+    assert w1.count() <= 1024 // 32
+    a = sorted((r["word_idx"], r["word"]) for r in w1.collect())
+    w2 = bloom_build(seen.repartition(13), "key", m_bits=1024, k=4)
+    assert a == sorted((r["word_idx"], r["word"]) for r in w2.collect())
+    # words are 32-bit: nonnegative, below 2^32
+    assert all(0 <= w < (1 << 32) for _, w in a)
+
+
+def test_bloom_duplicate_probe_keys_do_not_multiply(spark):
+    from llm_food_spark.operators.sketch import bloom_build, bloom_screen
+
+    seen = spark.range(0, 50).select(F.col("id").alias("key"))
+    words = bloom_build(seen, "key", m_bits=2048, k=3)
+    probe = spark.createDataFrame(
+        [(7, "a"), (7, "b"), (9999, "c")], "key long, tag string")
+    out = bloom_screen(probe, words, "key", m_bits=2048, k=3)
+    rows = out.collect()
+    assert len(rows) == 3  # k input rows -> k output rows, exactly
+    byTag = {r["tag"]: r["bloom_hit"] for r in rows}
+    assert byTag["a"] and byTag["b"]
+
+
+def test_bloom_validation(spark):
+    from llm_food_spark.operators.sketch import bloom_build, bloom_screen
+
+    d = spark.range(5).select(F.col("id").alias("key"))
+    with pytest.raises(ValueError):
+        bloom_build(d, "key", m_bits=100)  # not a multiple of 32
+    with pytest.raises(ValueError):
+        bloom_build(d, "key", m_bits=1024, k=0)
+    with pytest.raises(ValueError):
+        bloom_screen(d, d, "key", m_bits=31)

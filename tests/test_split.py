@@ -486,12 +486,15 @@ def test_select_token_budget_validation_and_release(spark):
     with _pytest.raises(ValueError):
         select_token_budget(d, budget=4, n_shards=0)
     # storage lifecycle: each call releases the previous call's pin, so
-    # back-to-back calls never accumulate persistent RDDs
-    select_token_budget(d, budget=4).collect()
+    # back-to-back calls never accumulate persistent RDDs. Deltas are
+    # measured against the suite's ambient pins (other modules may hold
+    # their own persisted frames) — only THIS operator's growth matters.
+    release_persisted()
     sc = spark.sparkContext
-    jmap = sc._jsc.sc().getPersistentRDDs()
-    n_after_first = jmap.size()
+    base = sc._jsc.sc().getPersistentRDDs().size()
+    select_token_budget(d, budget=4).collect()
+    n_after_first = sc._jsc.sc().getPersistentRDDs().size()
     select_token_budget(d, budget=4).collect()
     assert sc._jsc.sc().getPersistentRDDs().size() <= n_after_first
     release_persisted()
-    assert sc._jsc.sc().getPersistentRDDs().size() == 0
+    assert sc._jsc.sc().getPersistentRDDs().size() <= base
