@@ -1274,6 +1274,21 @@ def q_bloom_screen(spark, sf_dir):
         (F.col("bloom_hit") & ~exact).alias("false_positive"))
 
 
+def q_term_drift(spark, sf_dir):
+    """Term-distribution drift between two corpus snapshots (even vs odd
+    doc_ids — the deterministic stand-in for dump N vs dump N+1): per
+    union-vocabulary term, raw counts both sides plus add-1-smoothed
+    probabilities and their total-variation contribution in nano-units.
+    No transcendentals — three correctly-rounded IEEE divides and exact
+    double arithmetic, so the DuckDB twin recomputes every value
+    bit-for-bit through the identical expressions."""
+    from llm_food_spark.operators.textops import term_drift
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return term_drift(d.where(F.col("doc_id") % 2 == 0),
+                      d.where(F.col("doc_id") % 2 != 0))
+
+
 def q_web_prep_full(spark, sf_dir):
     """The FULL prep funnel in one plan: clean -> paragraph dedup -> token
     gate -> eval-set decontamination (13-gram drop, bench = token slices
@@ -4166,7 +4181,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     oracles — every family gets at least one driver-visible row, and
     hand-written DuckDB SQL twins win slots over redundant or subsumed
     queries. Everything from slot 51 on is still gated locally by
-    tools/check_oracles.py (all 169, same rows+schema+hash compare at
+    tools/check_oracles.py (all 170, same rows+schema+hash compare at
     sf0.01) and ordered hard-SQL-twins-first in case the driver's cap is
     ever higher; the 13 frozen-golden byte-stability gates sit last.
     Subsumption notes for demoted queries are inline below."""
@@ -4244,6 +4259,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_leakage": q_split_leakage,        # leakage audit of a doc-keyed split vs a host grouping; full bucket-arithmetic twin
         "select_token_budget": q_select_token_budget,  # quality-ranked token-budget prefix cut (one range exchange + Arrow cumsum + broadcast shard offsets); full ranked-window-cumsum twin
         "bloom_screen": q_bloom_screen,          # batch Bloom membership screen (word-packed bit_or build, distinct-key probe joins); position-set twin re-derives both hash chains and every verdict incl. false positives
+        "term_drift": q_term_drift,            # snapshot term-distribution drift (TV in nano-units, no transcendentals); twin recomputes every smoothed probability through identical IEEE divides
         "ngram_jaccard": q_ngram_jaccard,        # demoted for phrase_search: driver-green in r3, and the shingle->set->exact-overlap twin mechanism is held by dedup_paragraphs/dedup_substrings slots; the capped in-block quadratic stays repo-gated
         "soft_dedup": q_soft_dedup,              # SoftDeDup/D4 duplicate-aware reweighting (hard micro-unit twin; the dedup family's driver slots hold the detection side)
         "mixture_weights": q_mixture_weights,    # DoReMi-style fixed-loss domain mixture (exact largest-remainder ppm twin; crawl_budget holds the apportionment family's driver slot)
@@ -7772,6 +7788,44 @@ def _handwritten_oracles() -> dict[str, str]:
                    n_tokens
             FROM c
         """.format(ws=_WSTOKS),
+        # term_drift twin: the union-vocabulary full-outer join, the 1-row
+        # totals, and all three smoothed probabilities recomputed through
+        # the IDENTICAL expression shapes (one correctly-rounded divide
+        # each, exact double subtract/abs/scale, half-away round) — no
+        # ln/exp anywhere, so cross-engine floats are bit-identical.
+        "term_drift": """
+            WITH toks AS (
+              SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS term
+              FROM documents
+            ), pd AS (
+              SELECT doc_id, term, COUNT(*) AS n FROM toks
+              GROUP BY doc_id, term
+            ), a AS (
+              SELECT term, SUM(n)::BIGINT AS cnt_a FROM pd
+              WHERE doc_id % 2 = 0 GROUP BY term
+            ), b AS (
+              SELECT term, SUM(n)::BIGINT AS cnt_b FROM pd
+              WHERE doc_id % 2 <> 0 GROUP BY term
+            ), j AS (
+              SELECT COALESCE(a.term, b.term) AS term,
+                     COALESCE(cnt_a, 0) AS cnt_a,
+                     COALESCE(cnt_b, 0) AS cnt_b
+              FROM a FULL OUTER JOIN b ON a.term = b.term
+            ), tot AS (
+              SELECT SUM(cnt_a)::BIGINT AS ta, SUM(cnt_b)::BIGINT AS tb,
+                     COUNT(*)::BIGINT AS v
+              FROM j
+            )
+            SELECT term, cnt_a, cnt_b,
+                   CAST(round((cnt_a + 1.0) / (ta + v) * 1e9) AS BIGINT)
+                     AS pa_nano,
+                   CAST(round((cnt_b + 1.0) / (tb + v) * 1e9) AS BIGINT)
+                     AS pb_nano,
+                   CAST(round(abs((cnt_a + 1.0) / (ta + v)
+                                  - (cnt_b + 1.0) / (tb + v)) * 1e9)
+                        AS BIGINT) AS tv_nano
+            FROM j CROSS JOIN tot
+        """,
         # select_token_budget twin: the whole ranked-prefix selection is
         # one window cumsum over (score DESC, doc_id ASC) — DuckDB
         # recomputes the 97-level MINSTD score, the whitespace token

@@ -750,3 +750,58 @@ def fold_confusables_table(df, text_col: str = "text",
         folded.alias("folded"),
         (folded != F.col(text_col)).alias("changed"),
     )
+
+
+def term_drift(df_a, df_b, text_col: str = "text", id_col: str = "doc_id"):
+    """Term-distribution drift between two corpus snapshots — the
+    corpus-QA audit behind "did the new crawl / new filter shift the
+    token distribution?" (the ablation signal FineWeb-style pipelines
+    track between dumps). Per term of the UNION vocabulary: raw counts
+    on both sides and the add-1-smoothed probabilities plus their
+    total-variation contribution, in deterministic nano-units —
+    ``sum(tv_nano)/2e9`` is the corpus TV distance.
+
+    Determinism across engines without transcendentals: probabilities
+    use one IEEE divide each (correctly rounded, bit-identical in any
+    engine — the HLL "one final float op" discipline extended to three),
+    then exact double subtract/abs/scale and one half-away round. No
+    ln/exp anywhere, so no libm variance; KL-style log-ratios are
+    deliberately out of scope.
+
+    Scale shape: per side, explode -> (doc,term) pre-group (duplicate
+    tokens collapse BEFORE the exchange, the term_stats discipline) ->
+    term group; one narrow full-outer join on term; totals and |vocab|
+    are a single 1-row aggregate broadcast back (documented tiny
+    state). No Python, no windows, no quadratic forms."""
+    def _counts(d, name):
+        toks = ensure_min_partitions(d).select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(
+                F.split(F.lower(F.col(text_col)), "[^a-z0-9]+")
+            ).alias("term"),
+        ).where(F.col("term") != "")
+        per_doc = toks.groupBy("doc_id", "term").agg(
+            F.count(F.lit(1)).alias("n"))
+        return per_doc.groupBy("term").agg(F.sum("n").alias(name))
+
+    j = (
+        _counts(df_a, "cnt_a")
+        .join(_counts(df_b, "cnt_b"), "term", "full_outer")
+        .select(
+            "term",
+            F.coalesce("cnt_a", F.lit(0)).alias("cnt_a"),
+            F.coalesce("cnt_b", F.lit(0)).alias("cnt_b"),
+        )
+    )
+    tot = j.agg(
+        F.sum("cnt_a").alias("_ta"), F.sum("cnt_b").alias("_tb"),
+        F.count(F.lit(1)).alias("_v"),
+    )
+    pa = (F.col("cnt_a") + F.lit(1.0)) / (F.col("_ta") + F.col("_v"))
+    pb = (F.col("cnt_b") + F.lit(1.0)) / (F.col("_tb") + F.col("_v"))
+    return j.crossJoin(F.broadcast(tot)).select(
+        "term", "cnt_a", "cnt_b",
+        F.round(pa * F.lit(1e9)).cast("bigint").alias("pa_nano"),
+        F.round(pb * F.lit(1e9)).cast("bigint").alias("pb_nano"),
+        F.round(F.abs(pa - pb) * F.lit(1e9)).cast("bigint").alias("tv_nano"),
+    )

@@ -941,3 +941,41 @@ def test_collocations_hand_case(spark):
     plan = collocations(docs)._jdf.queryExecution().executedPlan(
         ).toString()
     assert "EvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_term_drift_hand_case(spark):
+    from llm_food_spark.operators.textops import term_drift
+
+    a = spark.createDataFrame([(1, "x x y")], "doc_id long, text string")
+    b = spark.createDataFrame([(2, "x z")], "doc_id long, text string")
+    got = {r["term"]: r for r in term_drift(a, b).collect()}
+    # ta=3, tb=2, V=3: pa = (ca+1)/6, pb = (cb+1)/5
+    assert (got["x"]["cnt_a"], got["x"]["cnt_b"]) == (2, 1)
+    assert got["x"]["pa_nano"] == 500_000_000      # 3/6
+    assert got["x"]["pb_nano"] == 400_000_000      # 2/5
+    assert got["x"]["tv_nano"] == 100_000_000
+    assert got["y"]["pa_nano"] == 333_333_333      # 2/6
+    assert got["y"]["pb_nano"] == 200_000_000      # 1/5
+    assert got["y"]["tv_nano"] == 133_333_333
+    assert got["z"]["pa_nano"] == 166_666_667      # 1/6
+    assert got["z"]["pb_nano"] == 400_000_000      # 2/5
+    assert got["z"]["tv_nano"] == 233_333_333
+
+
+def test_term_drift_identical_and_invariance(spark):
+    from llm_food_spark.operators.textops import term_drift
+    from pyspark.sql import functions as F  # noqa: F811
+
+    d = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("alpha beta gamma doc"),
+                 (F.col("id") % 7).cast("string")).alias("text"))
+    # identical snapshots: zero drift on every term
+    same = term_drift(d, d)
+    assert same.where(F.col("tv_nano") != 0).count() == 0
+    assert same.where(F.col("pa_nano") != F.col("pb_nano")).count() == 0
+    # partitioning never changes any value
+    x = sorted(map(tuple, term_drift(d, d.limit(150)).collect()))
+    y = sorted(map(tuple, term_drift(
+        d.repartition(11), d.limit(150).repartition(3)).collect()))
+    assert x == y
