@@ -1187,6 +1187,7 @@ def q_web_prep(spark, sf_dir):
 # 30-token constant runs planted on overlapping doc subsets: with
 # window=20 every in-run window duplicates across its subset, the
 # globally-first (min doc_id, pos) occurrence is kept, all others strip
+_CAS_BOILER = " ".join("cb%02d" % i for i in range(120))
 _RUN_A = " ".join("za%d" % i for i in range(30))
 _RUN_B = " ".join("zb%d" % i for i in range(30))
 
@@ -1287,6 +1288,29 @@ def q_term_drift(spark, sf_dir):
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
     return term_drift(d.where(F.col("doc_id") % 2 == 0),
                       d.where(F.col("doc_id") % 2 != 0))
+
+
+def q_cas_stats(spark, sf_dir):
+    """Content-addressable chunk-store audit (operators/chunk.py::
+    cas_stats) with a PLANTED shared boilerplate tail on every third
+    document — the content-defined-boundary property under test: the
+    tail starts at a different offset in every page, yet its interior
+    chunks converge to identical content, so the store keeps one copy
+    (refcount ~ n/3) while fixed-size chunking would keep them all.
+    Hard oracle: DuckDB rebuilds every CDC boundary through the 7-LAG
+    gear-hash chain over the SEEDED text, then re-derives every
+    chunk_hash/refcount/savings row."""
+    from llm_food_spark.operators.chunk import cas_stats
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 3 == 0,
+                   F.lit(" " + _CAS_BOILER)).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return cas_stats(d, mask_bits=8)
 
 
 def q_web_prep_full(spark, sf_dir):
@@ -4181,7 +4205,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     oracles — every family gets at least one driver-visible row, and
     hand-written DuckDB SQL twins win slots over redundant or subsumed
     queries. Everything from slot 51 on is still gated locally by
-    tools/check_oracles.py (all 170, same rows+schema+hash compare at
+    tools/check_oracles.py (all 171, same rows+schema+hash compare at
     sf0.01) and ordered hard-SQL-twins-first in case the driver's cap is
     ever higher; the 13 frozen-golden byte-stability gates sit last.
     Subsumption notes for demoted queries are inline below."""
@@ -4260,6 +4284,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "select_token_budget": q_select_token_budget,  # quality-ranked token-budget prefix cut (one range exchange + Arrow cumsum + broadcast shard offsets); full ranked-window-cumsum twin
         "bloom_screen": q_bloom_screen,          # batch Bloom membership screen (word-packed bit_or build, distinct-key probe joins); position-set twin re-derives both hash chains and every verdict incl. false positives
         "term_drift": q_term_drift,            # snapshot term-distribution drift (TV in nano-units, no transcendentals); twin recomputes every smoothed probability through identical IEEE divides
+        "cas_stats": q_cas_stats,              # CDC chunk-store dedup savings over a planted shared tail; twin rebuilds boundaries via the 7-LAG gear chain then every refcount/savings row
         "ngram_jaccard": q_ngram_jaccard,        # demoted for phrase_search: driver-green in r3, and the shingle->set->exact-overlap twin mechanism is held by dedup_paragraphs/dedup_substrings slots; the capped in-block quadratic stays repo-gated
         "soft_dedup": q_soft_dedup,              # SoftDeDup/D4 duplicate-aware reweighting (hard micro-unit twin; the dedup family's driver slots hold the detection side)
         "mixture_weights": q_mixture_weights,    # DoReMi-style fixed-loss domain mixture (exact largest-remainder ppm twin; crawl_budget holds the apportionment family's driver slot)
@@ -5958,6 +5983,52 @@ _BLOOM_SCREEN_SQL = f"""
     FROM v
 """
 
+# The CDC boundary chain as a reusable CTE body ({src} = any relation
+# with (doc_id, text)): the masked gear hash is an exact 8-char window
+# function (2^j vanishes mod 2^8 for j>=8), so 7 LAGs over the MINSTD
+# gear values rebuild every boundary; `cdc` ends with one row per chunk.
+_CDC_CHAIN_TMPL = """chars AS (
+              SELECT doc_id, i - 1 AS pos, n,
+                     ((ord(cs[i])::BIGINT + 1) * 48271 % 2147483647)
+                       * 48271 % 2147483647 AS g
+              FROM (SELECT doc_id, split(text, '') AS cs, len(text) AS n
+                    FROM {src} WHERE len(text) > 0),
+                   LATERAL (SELECT unnest(range(1, len(cs) + 1)) AS i) u
+            ), h AS (
+              SELECT doc_id, pos, n,
+                     (g
+                      + COALESCE(lag(g, 1) OVER w, 0) * 2
+                      + COALESCE(lag(g, 2) OVER w, 0) * 4
+                      + COALESCE(lag(g, 3) OVER w, 0) * 8
+                      + COALESCE(lag(g, 4) OVER w, 0) * 16
+                      + COALESCE(lag(g, 5) OVER w, 0) * 32
+                      + COALESCE(lag(g, 6) OVER w, 0) * 64
+                      + COALESCE(lag(g, 7) OVER w, 0) * 128) % 256 AS hv
+              FROM chars
+              WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+            ), b AS (
+              SELECT doc_id, pos,
+                     CASE WHEN pos >= 7 AND pos < n - 1 AND hv = 0
+                          THEN 1 ELSE 0 END AS is_b
+              FROM h
+            ), cid AS (
+              SELECT doc_id, pos,
+                     COALESCE(SUM(is_b) OVER (
+                       PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING), 0) AS chunk_id
+              FROM b
+            ), spans AS (
+              SELECT doc_id, chunk_id, MIN(pos) AS start,
+                     COUNT(*)::BIGINT AS length
+              FROM cid GROUP BY doc_id, chunk_id
+            ), cdc AS (
+              SELECT s.doc_id, s.chunk_id, s.start, s.length,
+                     substr(d.text, CAST(s.start + 1 AS INT),
+                            CAST(s.length AS INT)) AS chunk
+              FROM spans s JOIN {src} d USING (doc_id)
+            )"""
+
 _CMS_HEAVY_SQL = f"""
     WITH b AS (SELECT user_id AS k, ((user_id % {_SKETCH_P} + {_SKETCH_P})
                                      % {_SKETCH_P}) AS x FROM events),
@@ -6930,47 +7001,9 @@ def _handwritten_oracles() -> dict[str, str]:
         # CDC twin: the masked gear hash is an exact 8-char window
         # function (2^j vanishes mod 2^8 for j>=8), so 7 LAGs over the
         # MINSTD gear values rebuild every boundary and chunk
-        "cdc_chunks": """
-            WITH chars AS (
-              SELECT doc_id, i - 1 AS pos, n,
-                     ((ord(cs[i])::BIGINT + 1) * 48271 % 2147483647)
-                       * 48271 % 2147483647 AS g
-              FROM (SELECT doc_id, split(text, '') AS cs, len(text) AS n
-                    FROM documents WHERE len(text) > 0),
-                   LATERAL (SELECT unnest(range(1, len(cs) + 1)) AS i) u
-            ), h AS (
-              SELECT doc_id, pos, n,
-                     (g
-                      + COALESCE(lag(g, 1) OVER w, 0) * 2
-                      + COALESCE(lag(g, 2) OVER w, 0) * 4
-                      + COALESCE(lag(g, 3) OVER w, 0) * 8
-                      + COALESCE(lag(g, 4) OVER w, 0) * 16
-                      + COALESCE(lag(g, 5) OVER w, 0) * 32
-                      + COALESCE(lag(g, 6) OVER w, 0) * 64
-                      + COALESCE(lag(g, 7) OVER w, 0) * 128) % 256 AS hv
-              FROM chars
-              WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
-            ), b AS (
-              SELECT doc_id, pos,
-                     CASE WHEN pos >= 7 AND pos < n - 1 AND hv = 0
-                          THEN 1 ELSE 0 END AS is_b
-              FROM h
-            ), cid AS (
-              SELECT doc_id, pos,
-                     COALESCE(SUM(is_b) OVER (
-                       PARTITION BY doc_id ORDER BY pos
-                       ROWS BETWEEN UNBOUNDED PRECEDING
-                            AND 1 PRECEDING), 0) AS chunk_id
-              FROM b
-            ), spans AS (
-              SELECT doc_id, chunk_id, MIN(pos) AS start,
-                     COUNT(*)::BIGINT AS length
-              FROM cid GROUP BY doc_id, chunk_id
-            )
-            SELECT s.doc_id, s.chunk_id, s.start, s.length,
-                   substr(d.text, CAST(s.start + 1 AS INT),
-                          CAST(s.length AS INT)) AS chunk
-            FROM spans s JOIN documents d USING (doc_id)
+        "cdc_chunks": "WITH " + _CDC_CHAIN_TMPL.format(src="documents")
+        + """
+            SELECT doc_id, chunk_id, start, length, chunk FROM cdc
         """,
         # training-layout twin: both shuffle hash rounds, token counts,
         # and the per-shard packing cumsum grid recomputed
@@ -7788,6 +7821,24 @@ def _handwritten_oracles() -> dict[str, str]:
                    n_tokens
             FROM c
         """.format(ws=_WSTOKS),
+        # cas_stats twin: the CDC boundary chain over the SEEDED corpus
+        # (shared tail planted on doc_id%3==0), then the store rollup —
+        # sha256 per chunk, refcounts, and the dedup savings arithmetic.
+        "cas_stats": "WITH seeded AS ("
+        """
+              SELECT doc_id,
+                     text || CASE WHEN doc_id % 3 = 0
+                                  THEN ' {b}' ELSE '' END AS text
+              FROM documents
+            ), """.format(b=_CAS_BOILER)
+        + _CDC_CHAIN_TMPL.format(src="seeded") + """
+            SELECT sha256(chunk) AS chunk_hash,
+                   COUNT(*)::BIGINT AS refcount,
+                   MAX(length)::BIGINT AS chunk_chars,
+                   (COUNT(*) * MAX(length))::BIGINT AS logical_chars,
+                   ((COUNT(*) - 1) * MAX(length))::BIGINT AS saved_chars
+            FROM cdc GROUP BY 1
+        """,
         # term_drift twin: the union-vocabulary full-outer join, the 1-row
         # totals, and all three smoothed probabilities recomputed through
         # the IDENTICAL expression shapes (one correctly-rounded divide

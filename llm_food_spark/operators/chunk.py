@@ -137,3 +137,47 @@ def cdc_chunk_table(
         F.col("c.length").alias("length"),
         F.col("c.chunk").alias("chunk"),
     )
+
+
+def cas_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    mask_bits: int = 8,
+    min_size: int = 1,
+    max_size: int = None,
+) -> DataFrame:
+    """Content-addressable chunk-store audit: CDC-chunk the corpus, hash
+    every chunk, and report per DISTINCT chunk content its refcount,
+    size, logical footprint and the chars a dedup store saves —
+    ``sum(saved_chars) / sum(logical_chars)`` is the corpus dedup ratio.
+    This is the storage half of the CDC story (the FastCDC/LBFS
+    use-case): boundaries are content-defined, so a boilerplate tail
+    shared across millions of pages converges to the SAME interior
+    chunks regardless of where it starts in each page, and the store
+    keeps one copy.
+
+    Scale shape: chunking is the zero-shuffle Arrow pass + posexplode
+    of ``cdc_chunk_table`` (chunk rows inherit the document's
+    partition); hashing is JVM-side sha2; the ONLY exchange groups
+    narrow (hash, length) rows with map-side partial aggregation —
+    chunk text never crosses the wire."""
+    chunks = cdc_chunk_table(df, text_col=text_col, id_col=id_col,
+                             mask_bits=mask_bits, min_size=min_size,
+                             max_size=max_size)
+    per = chunks.select(
+        F.sha2(F.col("chunk"), 256).alias("chunk_hash"),
+        F.col("length"),
+    )
+    return (
+        per.groupBy("chunk_hash")
+        .agg(F.count(F.lit(1)).alias("refcount"),
+             F.max("length").alias("chunk_chars"))
+        .select(
+            "chunk_hash", "refcount", "chunk_chars",
+            (F.col("refcount") * F.col("chunk_chars")
+             ).alias("logical_chars"),
+            ((F.col("refcount") - 1) * F.col("chunk_chars")
+             ).alias("saved_chars"),
+        )
+    )

@@ -76,3 +76,44 @@ def test_cdc_chunk_table_matches_pure_function(spark):
     again = sorted(map(tuple, cdc_chunk_table(
         df.repartition(5), mask_bits=6).collect()))
     assert got == again
+
+
+def test_cas_stats_shared_tail_converges(spark):
+    from llm_food_spark.operators.chunk import cas_stats
+    import hashlib
+
+    tail = " ".join("tk%03d" % i for i in range(150))   # ~900 chars
+    rows = [(1, "prefix one " + tail),
+            (2, "a very different and much longer prefix two " + tail),
+            (3, "unrelated content with no shared tail at all")]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    out = cas_stats(d, mask_bits=6)  # ~64-char chunks
+    rc = {r["chunk_hash"]: r for r in out.collect()}
+    shared = [r for r in rc.values() if r["refcount"] == 2]
+    # interior tail chunks align across different offsets (the CDC
+    # property); at ~64-char chunks a 900-char tail yields several
+    assert len(shared) >= 3
+    for r in shared:
+        assert r["saved_chars"] == r["chunk_chars"]
+        assert r["logical_chars"] == 2 * r["chunk_chars"]
+    # mass conservation: logical chars == total corpus chars
+    total = sum(len(t) for _, t in rows)
+    got = out.agg({"logical_chars": "sum"}).first()[0]
+    assert got == total
+
+
+def test_cas_stats_partition_invariant_and_hash_stable(spark):
+    from llm_food_spark.operators.chunk import cas_stats
+    from pyspark.sql import functions as F
+
+    d = spark.range(60).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("document body "),
+                 (F.col("id") % 5).cast("string"),
+                 F.lit(" " * 3),
+                 F.lit("shared suffix " * 20)).alias("text"))
+    a = sorted(map(tuple, cas_stats(d, mask_bits=5).collect()))
+    b = sorted(map(tuple, cas_stats(d.repartition(7), mask_bits=5).collect()))
+    assert a == b
+    # 5 distinct texts x 12 copies each: every refcount a multiple of 12
+    assert all(r[1] % 12 == 0 for r in a)
