@@ -1313,6 +1313,24 @@ def q_cas_stats(spark, sf_dir):
     return cas_stats(d, mask_bits=8)
 
 
+def q_compaction_plan(spark, sf_dir):
+    """Iceberg-style small-file compaction planning (plans/pipeline.py::
+    compaction_plan — the rewrite_data_files binPack maintenance step):
+    a synthetic manifest (one 'file' per document, 16 table partitions,
+    bytes = text length) planned into ~500-byte output bins; files
+    already >= target stay put. Hard oracle: DuckDB recomputes the
+    ordered exclusive prefix sum, every bin id, and the per-bin rollup."""
+    from llm_food_spark.plans.pipeline import compaction_plan
+
+    d = _t(spark, sf_dir, "documents")
+    m = d.select(
+        (F.col("doc_id") % 16).alias("partition_id"),
+        F.col("doc_id").alias("file_id"),
+        F.length("text").cast("long").alias("bytes"),
+    )
+    return compaction_plan(m, target_bytes=500)
+
+
 def q_web_prep_full(spark, sf_dir):
     """The FULL prep funnel in one plan: clean -> paragraph dedup -> token
     gate -> eval-set decontamination (13-gram drop, bench = token slices
@@ -4205,7 +4223,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     oracles — every family gets at least one driver-visible row, and
     hand-written DuckDB SQL twins win slots over redundant or subsumed
     queries. Everything from slot 51 on is still gated locally by
-    tools/check_oracles.py (all 171, same rows+schema+hash compare at
+    tools/check_oracles.py (all 172, same rows+schema+hash compare at
     sf0.01) and ordered hard-SQL-twins-first in case the driver's cap is
     ever higher; the 13 frozen-golden byte-stability gates sit last.
     Subsumption notes for demoted queries are inline below."""
@@ -4285,6 +4303,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_screen": q_bloom_screen,          # batch Bloom membership screen (word-packed bit_or build, distinct-key probe joins); position-set twin re-derives both hash chains and every verdict incl. false positives
         "term_drift": q_term_drift,            # snapshot term-distribution drift (TV in nano-units, no transcendentals); twin recomputes every smoothed probability through identical IEEE divides
         "cas_stats": q_cas_stats,              # CDC chunk-store dedup savings over a planted shared tail; twin rebuilds boundaries via the 7-LAG gear chain then every refcount/savings row
+        "compaction_plan": q_compaction_plan,  # Iceberg binPack small-file planning over a manifest; twin recomputes prefix bins + rollups
         "ngram_jaccard": q_ngram_jaccard,        # demoted for phrase_search: driver-green in r3, and the shingle->set->exact-overlap twin mechanism is held by dedup_paragraphs/dedup_substrings slots; the capped in-block quadratic stays repo-gated
         "soft_dedup": q_soft_dedup,              # SoftDeDup/D4 duplicate-aware reweighting (hard micro-unit twin; the dedup family's driver slots hold the detection side)
         "mixture_weights": q_mixture_weights,    # DoReMi-style fixed-loss domain mixture (exact largest-remainder ppm twin; crawl_budget holds the apportionment family's driver slot)
@@ -7821,6 +7840,35 @@ def _handwritten_oracles() -> dict[str, str]:
                    n_tokens
             FROM c
         """.format(ws=_WSTOKS),
+        # compaction_plan twin: the ordered exclusive prefix sum, the
+        # target-window bin ids, the leave-large-files-alone rule, and
+        # the per-bin rollup, all recomputed.
+        "compaction_plan": """
+            WITH m AS (
+              SELECT doc_id % 16 AS partition_id, doc_id AS file_id,
+                     len(text)::BIGINT AS bytes
+              FROM documents
+            ), small AS (
+              SELECT partition_id, file_id, bytes,
+                     CAST(COALESCE(SUM(bytes) OVER (
+                       PARTITION BY partition_id
+                       ORDER BY bytes DESC, file_id ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                     ), 0) // 500 AS INT) AS out_bin
+              FROM m WHERE bytes < 500
+            ), stats AS (
+              SELECT partition_id, out_bin, SUM(bytes)::BIGINT AS bin_bytes,
+                     COUNT(*)::BIGINT AS bin_files
+              FROM small GROUP BY partition_id, out_bin
+            )
+            SELECT s.partition_id, s.file_id, s.bytes, TRUE AS rewrite,
+                   s.out_bin, t.bin_bytes, t.bin_files
+            FROM small s JOIN stats t USING (partition_id, out_bin)
+            UNION ALL
+            SELECT partition_id, file_id, bytes, FALSE AS rewrite,
+                   -1 AS out_bin, bytes AS bin_bytes, 1::BIGINT AS bin_files
+            FROM m WHERE bytes >= 500
+        """,
         # cas_stats twin: the CDC boundary chain over the SEEDED corpus
         # (shared tail planted on doc_id%3==0), then the store rollup —
         # sha256 per chunk, refcounts, and the dedup savings arithmetic.

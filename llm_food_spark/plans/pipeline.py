@@ -305,3 +305,70 @@ def as_of_partitions(
             (F.col("run_id") == F.col("latest_run")).alias("available"),
         )
     )
+
+
+def compaction_plan(
+    manifest: DataFrame,
+    target_bytes: int,
+    partition_col: str = "partition_id",
+    file_col: str = "file_id",
+    bytes_col: str = "bytes",
+) -> DataFrame:
+    """Iceberg-style small-file compaction planning (the
+    rewrite_data_files binPack maintenance step) over a file manifest —
+    the small-files problem is THE operational tax of a continuously
+    appended 10^12-doc table: a crawl that commits every hour leaves
+    thousands of sub-target files per partition, and scan task count
+    (hence scheduler pressure and open-file churn) tracks file count,
+    not byte count.
+
+    Deterministic next-fit packing per partition: files under
+    ``target_bytes`` are ordered (bytes DESC, file_id ASC — a total
+    order) and binned by which target-width window of the exclusive
+    prefix sum they start in. Individual bins vary by under one file's
+    bytes either side of target, but the guarantee that matters holds
+    exactly: bins per partition = floor(prefix_max / target) + 1, i.e.
+    OUTPUT FILE COUNT tracks bytes/target — scan task count is what
+    compaction exists to control. Files already >= target are kept
+    as-is (``rewrite = false``, ``out_bin = -1``), matching binPack's
+    leave-large-files-alone rule.
+
+    Scale shape: the manifest is METADATA (one row per data file, never
+    per document); the window is partitioned by partition_col — no
+    global single-partition sort — and the bin-stats groupBy + re-join
+    are bounded by the bin count. Safe to run against a million-file
+    manifest on one executor."""
+    from pyspark.sql import Window
+
+    if target_bytes <= 0:
+        raise ValueError("target_bytes must be > 0")
+    b = F.col(bytes_col).cast("long")
+    small = manifest.where(b < target_bytes)
+    big = manifest.where(b >= target_bytes)
+    w = (
+        Window.partitionBy(partition_col)
+        .orderBy(F.col(bytes_col).desc(), F.col(file_col).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    binned = small.select(
+        partition_col, file_col, b.alias(bytes_col),
+        F.floor(F.coalesce(F.sum(bytes_col).over(w), F.lit(0))
+                / F.lit(int(target_bytes))).cast("int").alias("out_bin"),
+    )
+    stats = binned.groupBy(partition_col, "out_bin").agg(
+        F.sum(bytes_col).alias("bin_bytes"),
+        F.count(F.lit(1)).alias("bin_files"),
+    )
+    small_out = binned.join(stats, [partition_col, "out_bin"]).select(
+        partition_col, file_col, bytes_col,
+        F.lit(True).alias("rewrite"),
+        "out_bin", "bin_bytes", "bin_files",
+    )
+    big_out = big.select(
+        partition_col, file_col, b.alias(bytes_col),
+        F.lit(False).alias("rewrite"),
+        F.lit(-1).cast("int").alias("out_bin"),
+        b.alias("bin_bytes"),
+        F.lit(1).cast("long").alias("bin_files"),
+    )
+    return small_out.unionByName(big_out)

@@ -328,3 +328,55 @@ def test_as_of_partitions_availability(spark, tmp_path):
     assert all(r.run_id == "alpha" and not r.available for r in asof1)
     asof2 = as_of_partitions(spark, out, 2).collect()
     assert all(r.run_id == "beta" and r.available for r in asof2)
+
+
+def test_compaction_plan_hand_case(spark):
+    from llm_food_spark.plans.pipeline import compaction_plan
+    from pyspark.sql import functions as F
+
+    rows = [("p1", "f%d" % i, b) for i, b in
+            enumerate([900, 500, 400, 300, 200, 100])]
+    rows.append(("p1", "big", 1500))
+    rows.append(("p2", "solo", 10))
+    m = spark.createDataFrame(
+        rows, "partition_id string, file_id string, bytes long")
+    out = compaction_plan(m, target_bytes=1000)
+    got = {r["file_id"]: r for r in out.collect()}
+    # desc order 900,500,400,300,200,100; exclusive cumsums
+    # 0,900,1400,1800,2100,2300 -> bins 0,0,1,1,2,2
+    assert [got["f%d" % i]["out_bin"] for i in range(6)] == [0, 0, 1, 1, 2, 2]
+    assert got["f0"]["bin_bytes"] == 1400 and got["f0"]["bin_files"] == 2
+    assert got["f2"]["bin_bytes"] == 700
+    assert got["f4"]["bin_bytes"] == 300
+    # oversize file is left alone
+    assert got["big"]["rewrite"] is False and got["big"]["out_bin"] == -1
+    assert got["big"]["bin_bytes"] == 1500 and got["big"]["bin_files"] == 1
+    # bin-count identity: floor(prefix_max/target)+1 per partition
+    assert got["solo"]["out_bin"] == 0 and got["solo"]["rewrite"] is True
+    n_bins = out.where(F.col("rewrite") & (F.col("partition_id") == "p1")) \
+                .select("out_bin").distinct().count()
+    assert n_bins == 2300 // 1000 + 1
+    with __import__("pytest").raises(ValueError):
+        compaction_plan(m, target_bytes=0)
+
+
+def test_compaction_plan_partition_invariant_and_counts(spark):
+    from llm_food_spark.plans.pipeline import compaction_plan
+    from pyspark.sql import functions as F
+
+    m = spark.range(600).select(
+        (F.col("id") % 9).cast("string").alias("partition_id"),
+        F.col("id").alias("file_id"),
+        ((F.col("id") * 37) % 450 + 20).alias("bytes"))
+    a = sorted(map(tuple, compaction_plan(m, 1000).collect()))
+    b = sorted(map(tuple, compaction_plan(m.repartition(7), 1000).collect()))
+    assert a == b
+    # mass conservation + per-bin stats consistent
+    out = compaction_plan(m, 1000)
+    assert out.count() == 600
+    chk = out.groupBy("partition_id", "out_bin", "rewrite",
+                      "bin_bytes", "bin_files").agg(
+        F.sum("bytes").alias("s"), F.count(F.lit(1)).alias("n"))
+    bad = chk.where(F.col("rewrite") & (
+        (F.col("s") != F.col("bin_bytes")) | (F.col("n") != F.col("bin_files"))))
+    assert bad.count() == 0
