@@ -1331,6 +1331,22 @@ def q_compaction_plan(spark, sf_dir):
     return compaction_plan(m, target_bytes=500)
 
 
+def q_pps_sample(spark, sf_dir):
+    """Systematic PPS sampling (operators/split.py::pps_sample): exactly
+    200 copies distributed over documents in proportion to whitespace
+    token count, walked in MINSTD-hash order — sum(n_copies) == 200 is
+    an arithmetic identity (the prefix-multiple count telescopes), not
+    an expectation. Hard oracle: DuckDB recomputes the hash order, the
+    ranked window cumsum, and every copy count in exact integer DIV
+    space."""
+    from llm_food_spark.operators.split import pps_sample
+    from llm_food_spark.operators.textops import token_count
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", token_count(F.col("text")).cast("long").alias("n_tokens"))
+    return pps_sample(d, k=200)
+
+
 def q_web_prep_full(spark, sf_dir):
     """The FULL prep funnel in one plan: clean -> paragraph dedup -> token
     gate -> eval-set decontamination (13-gram drop, bench = token slices
@@ -4223,7 +4239,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     oracles — every family gets at least one driver-visible row, and
     hand-written DuckDB SQL twins win slots over redundant or subsumed
     queries. Everything from slot 51 on is still gated locally by
-    tools/check_oracles.py (all 172, same rows+schema+hash compare at
+    tools/check_oracles.py (all 173, same rows+schema+hash compare at
     sf0.01) and ordered hard-SQL-twins-first in case the driver's cap is
     ever higher; the 13 frozen-golden byte-stability gates sit last.
     Subsumption notes for demoted queries are inline below."""
@@ -4304,6 +4320,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_drift": q_term_drift,            # snapshot term-distribution drift (TV in nano-units, no transcendentals); twin recomputes every smoothed probability through identical IEEE divides
         "cas_stats": q_cas_stats,              # CDC chunk-store dedup savings over a planted shared tail; twin rebuilds boundaries via the 7-LAG gear chain then every refcount/savings row
         "compaction_plan": q_compaction_plan,  # Iceberg binPack small-file planning over a manifest; twin recomputes prefix bins + rollups
+        "pps_sample": q_pps_sample,            # exact-total weighted systematic sampling on the ranked-cumsum primitive; integer-DIV twin
         "ngram_jaccard": q_ngram_jaccard,        # demoted for phrase_search: driver-green in r3, and the shingle->set->exact-overlap twin mechanism is held by dedup_paragraphs/dedup_substrings slots; the capped in-block quadratic stays repo-gated
         "soft_dedup": q_soft_dedup,              # SoftDeDup/D4 duplicate-aware reweighting (hard micro-unit twin; the dedup family's driver slots hold the detection side)
         "mixture_weights": q_mixture_weights,    # DoReMi-style fixed-loss domain mixture (exact largest-remainder ppm twin; crawl_budget holds the apportionment family's driver slot)
@@ -7839,6 +7856,29 @@ def _handwritten_oracles() -> dict[str, str]:
                    (cum % 256)::BIGINT AS offset,
                    n_tokens
             FROM c
+        """.format(ws=_WSTOKS),
+        # pps_sample twin: hash order, ranked window cumsum, and every
+        # copy count in exact integer division — the telescoping-identity
+        # sum(n_copies) == k holds on both engines by construction.
+        "pps_sample": """
+            WITH d AS (
+              SELECT doc_id, len({ws})::BIGINT AS w,
+                     ((doc_id % 2147483647 + 2147483647) % 2147483647
+                       * 48271) % 2147483647 % 1000000 AS ord
+              FROM documents
+            ), c AS (
+              SELECT doc_id, w,
+                     SUM(w) OVER (
+                       ORDER BY ord ASC, doc_id ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                     )::BIGINT AS cum
+              FROM d
+            ), t AS (SELECT MAX(cum) AS T FROM c)
+            SELECT doc_id, w AS n_tokens,
+                   ((cum * 200) // T
+                    - ((cum - w) * 200) // T)::BIGINT AS n_copies
+            FROM c CROSS JOIN t
+            WHERE (cum * 200) // T - ((cum - w) * 200) // T > 0
         """.format(ws=_WSTOKS),
         # compaction_plan twin: the ordered exclusive prefix sum, the
         # target-window bin ids, the leave-large-files-alone rule, and

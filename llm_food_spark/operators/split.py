@@ -206,6 +206,83 @@ def pack_sequences(
     ).withColumn("offset", (cum % F.lit(seq_len)).cast("bigint"))
 
 
+def _ranked_cumsum(
+    df: DataFrame,
+    order: list,
+    value_col: str,
+    n_shards: int = None,
+) -> DataFrame:
+    """Global INCLUSIVE prefix sum of ``value_col`` over a total order —
+    the distributed primitive under select_token_budget and pps_sample.
+    One full-data exchange:
+
+    1. ``repartitionByRange`` on the ranking key + sortWithinPartitions
+       — globally sorted shards (the only full-data shuffle).
+    2. One eager localCheckpoint pins the shard layout so both
+       consumers below see identical spark_partition_ids (an unpinned
+       range exchange may re-sample boundaries per subtree — the same
+       recomputation hazard the graph operators checkpoint against).
+       Storage is released on the NEXT call (or any graph-operator
+       call — the repo-wide ``release_persisted()`` lifecycle).
+    3. A streaming Arrow pass (mapInPandas) computes each shard's LOCAL
+       inclusive cumsum in place — no window, hence no second full-data
+       exchange on the partition id.
+    4. Per-shard totals map-side-combine to one row per shard; the
+       exclusive prefix over those P rows is a single-partition window
+       over METADATA-sized input (P = shard count), broadcast back;
+       global cum = shard offset + local cumsum.
+
+    Returns the input columns plus ``_cum`` (inclusive global cumsum).
+    Partitioning-invariant by construction: the result depends only on
+    the total order, never on where shard boundaries fall."""
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    sc = spark.sparkContext
+    from llm_food_spark.operators.cluster import _cut, release_persisted
+
+    release_persisted()  # free the PREVIOUS call's pin (repo lifecycle)
+
+    P = int(spark.conf.get("spark.sql.shuffle.partitions")
+            if n_shards is None else n_shards)
+    if P < 1:
+        raise ValueError("n_shards must be >= 1")
+    d = (
+        df.repartitionByRange(P, *order)
+        .sortWithinPartitions(*order)
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    d = _cut(d, sc)  # pin shard layout for the two consumers below
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    out_schema = StructType(d.schema.fields + [
+        StructField("_loc", LongType(), False)])
+    vcol = value_col
+
+    def _local_cumsum(batches):
+        run = 0
+        for pdf in batches:
+            if len(pdf):
+                loc = pdf[vcol].astype("int64").cumsum() + run
+                run = int(loc.iloc[-1])
+                pdf = pdf.assign(_loc=loc.astype("int64"))
+            else:
+                pdf = pdf.assign(_loc=pdf[vcol].astype("int64"))
+            yield pdf
+
+    with_loc = d.mapInPandas(_local_cumsum, schema=out_schema)
+    totals = d.groupBy("_pid").agg(F.sum(value_col).alias("_tot"))
+    w = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "_pid", F.coalesce(F.sum("_tot").over(w), F.lit(0)).alias("_off"))
+    return (
+        with_loc.join(F.broadcast(offsets), "_pid")
+        .withColumn("_cum", F.col("_off") + F.col("_loc"))
+        .drop("_pid", "_loc", "_off")
+    )
+
+
 def select_token_budget(
     df: DataFrame,
     budget: int,
@@ -223,80 +300,75 @@ def select_token_budget(
     prefix; re-attach payload columns by id downstream so the wide text
     column never rides through the ranking machinery.
 
-    The global ranked prefix-sum is the part that looks single-node; the
-    distributed shape here keeps it to ONE data exchange:
-
-    1. ``repartitionByRange`` on the ranking key + sortWithinPartitions
-       — globally sorted shards (the only full-data shuffle).
-    2. One eager localCheckpoint pins the shard layout so both
-       consumers below see identical spark_partition_ids (an unpinned
-       range exchange may re-sample boundaries per subtree — the same
-       recomputation hazard the graph operators checkpoint against).
-       Storage is released on the NEXT call (or any graph-operator
-       call — the repo-wide ``release_persisted()`` lifecycle).
-    3. A streaming Arrow pass (mapInPandas) computes each shard's LOCAL
-       inclusive cumsum in place — no window, hence no second full-data
-       exchange on the partition id.
-    4. Per-shard token totals map-side-combine to one row per shard;
-       the exclusive prefix over those P rows is a single-partition
-       window over METADATA-sized input (P = shard count), broadcast
-       back. global cum = shard offset + local cumsum; filter <= budget.
-
-    Partitioning-invariant by construction (the cut depends only on the
-    total order, never on where shard boundaries fall) — test-asserted
-    n_shards=1 vs n_shards=4 equality. Zero-token docs at the top of
-    the ranking survive a 0 budget (0 <= 0); ties break by id ASC."""
+    Built on ``_ranked_cumsum`` (one full-data range exchange + Arrow
+    local cumsums + broadcast shard offsets — see its docstring);
+    partitioning-invariant by construction, test-asserted n_shards=1 vs
+    n_shards=4 equality. Zero-token docs at the top of the ranking
+    survive a 0 budget (0 <= 0); ties break by id ASC."""
     if budget < 0:
         raise ValueError("budget must be >= 0")
-    from pyspark.sql import Window
-
-    spark = df.sparkSession
-    sc = spark.sparkContext
-    from llm_food_spark.operators.cluster import _cut, release_persisted
-
-    release_persisted()  # free the PREVIOUS call's pin (repo lifecycle)
-
-    P = int(spark.conf.get("spark.sql.shuffle.partitions")
-            if n_shards is None else n_shards)
-    if P < 1:
-        raise ValueError("n_shards must be >= 1")
     order = [F.col(score_col).desc(), F.col(id_col).asc()]
-    d = (
+    cum = _ranked_cumsum(
         df.select(id_col, score_col,
-                  F.col(tokens_col).cast("bigint").alias(tokens_col))
-        .repartitionByRange(P, *order)
-        .sortWithinPartitions(*order)
-        .withColumn("_pid", F.spark_partition_id())
-    )
-    d = _cut(d, sc)  # pin shard layout for the two consumers below
-
-    from pyspark.sql.types import LongType, StructField, StructType
-
-    out_schema = StructType(d.schema.fields + [
-        StructField("_loc", LongType(), False)])
-    tcol = tokens_col
-
-    def _local_cumsum(batches):
-        run = 0
-        for pdf in batches:
-            if len(pdf):
-                loc = pdf[tcol].astype("int64").cumsum() + run
-                run = int(loc.iloc[-1])
-                pdf = pdf.assign(_loc=loc.astype("int64"))
-            else:
-                pdf = pdf.assign(_loc=pdf[tcol].astype("int64"))
-            yield pdf
-
-    with_loc = d.mapInPandas(_local_cumsum, schema=out_schema)
-    totals = d.groupBy("_pid").agg(F.sum(tokens_col).alias("_tot"))
-    w = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = totals.select(
-        "_pid", F.coalesce(F.sum("_tot").over(w), F.lit(0)).alias("_off"))
+                  F.col(tokens_col).cast("bigint").alias(tokens_col)),
+        order, tokens_col, n_shards)
     return (
-        with_loc.join(F.broadcast(offsets), "_pid")
-        .withColumn("cum_tokens", F.col("_off") + F.col("_loc"))
-        .where(F.col("cum_tokens") <= F.lit(int(budget)))
-        .select(id_col, score_col, tokens_col, "cum_tokens")
+        cum.where(F.col("_cum") <= F.lit(int(budget)))
+        .select(id_col, score_col, tokens_col,
+                F.col("_cum").alias("cum_tokens"))
+    )
+
+
+def pps_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    n_shards: int = None,
+) -> DataFrame:
+    """Systematic probability-proportional-to-size sampling: emit
+    EXACTLY ``k`` copies distributed over documents in proportion to
+    ``weight_col`` — the weighted corpus-subsampling primitive ("sample
+    5M documents ∝ token count / quality weight") that complements the
+    rate-based samplers (hash_sample, temperature_sample) with an exact
+    TOTAL: returns (id, weight, n_copies) with ``sum(n_copies) == k``
+    as an arithmetic identity, not an expectation.
+
+    Classic systematic PPS made deterministic and engine-portable: walk
+    the weight line in hash order (MINSTD bucket of id, id tie-break —
+    decorrelated from any meaningful document order) and count the
+    multiples of T/k inside each document's weight span, in EXACT
+    integer space: ``n_copies = floor(cum*k/T) - floor((cum-w)*k/T)``.
+    The sum telescopes to floor(T*k/T) = k. Documents with w >= T/k are
+    guaranteed selection (n_copies >= 1, possibly more — sampling with
+    multiplicity, the unimax-expansion convention); zero-weight docs
+    are never selected. ``cum*k`` must stay under 2^63: fine for 10^13
+    total tokens x k <= 10^5, or downscale weights first.
+
+    Scale shape: one ``_ranked_cumsum`` (a single full-data range
+    exchange + Arrow local cumsums + broadcast shard offsets), a 1-row
+    total broadcast back, then pure Catalyst arithmetic. Rows with
+    n_copies = 0 are dropped."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    d = df.select(
+        id_col,
+        F.col(weight_col).cast("bigint").alias(weight_col),
+    ).withColumn("_ord", bucket_minstd(F.col(id_col)))
+    order = [F.col("_ord").asc(), F.col(id_col).asc()]
+    cum = _ranked_cumsum(d, order, weight_col, n_shards)
+    tot = cum.agg(F.max("_cum").alias("_T"))
+    out = cum.crossJoin(F.broadcast(tot))
+    # integer DIV, not '/', so the arithmetic stays exact past 2^53
+    copies = F.expr(
+        "CAST((_cum * {k}) DIV _T"
+        " - ((_cum - {w}) * {k}) DIV _T AS BIGINT)".format(
+            k=int(k), w=weight_col)
+    )
+    return (
+        out.withColumn("n_copies", copies)
+        .where(F.col("n_copies") > 0)
+        .select(id_col, weight_col, "n_copies")
     )
 
 

@@ -498,3 +498,55 @@ def test_select_token_budget_validation_and_release(spark):
     assert sc._jsc.sc().getPersistentRDDs().size() <= n_after_first
     release_persisted()
     assert sc._jsc.sc().getPersistentRDDs().size() <= base
+
+
+def test_pps_sample_exact_total_and_proportionality(spark):
+    from llm_food_spark.operators.split import pps_sample
+    from pyspark.sql import functions as F  # noqa: F811
+
+    d = spark.range(1_000).select(
+        F.col("id").alias("doc_id"),
+        ((F.col("id") % 10) * 10).cast("long").alias("n_tokens"))
+    for k in (1, 7, 100, 999):
+        out = pps_sample(d, k)
+        got = out.agg(F.sum("n_copies")).first()[0]
+        assert got == k, (k, got)  # exact identity, not an expectation
+    out = pps_sample(d, 500).collect()
+    # zero-weight docs (id%10==0) never selected
+    assert all(r["n_tokens"] > 0 for r in out)
+    # w >= T/k guarantees selection: T=45000, k=500 -> T/k=90 spans w=90
+    ids90 = {r["doc_id"] for r in out if r["n_tokens"] == 90}
+    assert len(ids90) == 100  # all 100 weight-90 docs selected
+    # proportionality within rounding: weight-10 class holds 1000/45000
+    # of the line -> ~11 of 500 copies
+    c10 = sum(r["n_copies"] for r in out if r["n_tokens"] == 10)
+    assert 5 <= c10 <= 18
+
+
+def test_pps_sample_partition_invariant_python_replay_and_validation(spark):
+    from llm_food_spark.operators.split import pps_sample
+    from pyspark.sql import functions as F  # noqa: F811
+    import pytest as _pytest
+
+    d = spark.range(300).select(
+        F.col("id").alias("doc_id"),
+        ((F.col("id") * 13) % 37 + 1).cast("long").alias("n_tokens"))
+    a = sorted(map(tuple, pps_sample(d, 50, n_shards=1).collect()))
+    b = sorted(map(tuple, pps_sample(
+        d.repartition(11), 50, n_shards=4).collect()))
+    assert a == b
+    # driver-side replay of the exact walk
+    P = 2147483647
+    rows = sorted(
+        ((i, (i * 13) % 37 + 1) for i in range(300)),
+        key=lambda t: ((t[0] % P * 48271) % P % 1_000_000, t[0]))
+    T = sum(w for _, w in rows)
+    cum, want = 0, []
+    for i, w in rows:
+        cum += w
+        n = cum * 50 // T - (cum - w) * 50 // T
+        if n > 0:
+            want.append((i, w, n))
+    assert a == sorted(want)
+    with _pytest.raises(ValueError):
+        pps_sample(d, 0)
