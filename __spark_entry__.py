@@ -2038,6 +2038,71 @@ def q_table_classify(spark, sf_dir):
     return classify_tables(extract_html_tables(pages, n_partitions=8))
 
 
+def _captions_fixture(spark, sf_dir):
+    """The img_captions page fixture (shared by q_img_captions and
+    q_caption_pairs): a bare <img> with messy alt whitespace and an
+    even-doc sub-64px width, planted no-src / data:-src drops, and a
+    <figure> image nested in a <span> with an odd-doc alt, a
+    (doc_id%5+1)*100 height and a %5!=0 <figcaption> holding nested
+    markup — so URL resolution (root-relative AND path-relative),
+    whitespace collapse, drop rules, figure pairing and dimension
+    parsing are all under the oracle."""
+    i = F.col("doc_id")
+    w0 = F.when(i % 2 == 0, F.concat(
+        F.lit(' width="'), ((i % 7) * 10).cast("string"), F.lit('"'))
+    ).otherwise(F.lit(' width="wide"'))
+    img0 = F.concat(
+        F.lit('<p><img src="/img/'), i, F.lit('-0.png" alt=" A  '), i,
+        F.lit('  zero "'), w0, F.lit("></p>"))
+    drop1 = F.when(i % 3 == 0, F.lit('<img alt="skip">')).otherwise(
+        F.lit(""))
+    drop2 = F.when(i % 4 == 0, F.lit(
+        '<img src="data:image/png;base64,AA==">')).otherwise(F.lit(""))
+    alt1 = F.when(i % 2 == 1, F.concat(
+        F.lit(' alt="fig '), i, F.lit('"'))).otherwise(F.lit(""))
+    cap = F.when(i % 5 != 0, F.concat(
+        F.lit("<figcaption> Fig  <b>"), i, F.lit("</b> ! </figcaption>"))
+    ).otherwise(F.lit(""))
+    fig = F.concat(
+        F.lit('<figure><span><img src="rel/'), i, F.lit('-1.png"'), alt1,
+        F.lit(' height="'), (i % 5 + 1).cast("string"), F.lit('00"></span>'),
+        cap, F.lit("</figure>"))
+    html = F.concat(F.lit("<html><body>"), img0, drop1, drop2, fig,
+                    F.lit("</body></html>"))
+    return _t(spark, sf_dir, "documents").select(
+        F.concat(F.lit("http://c.test/a/p"), i, F.lit(".html")).alias("url"),
+        html.alias("html"),
+    )
+
+
+def q_img_captions(spark, sf_dir):
+    """LAION/DataComp-style image-text pair mining (operators/
+    captions.py) under a hard oracle through the real DOM parse: every
+    doc plants a bare image, two droppable imgs and a figure-nested
+    image, and DuckDB reconstructs each (src, alt, caption, in_figure,
+    width, height) row closed-form — a divergence in the tokenizer,
+    figure scoping, urljoin resolution, whitespace collapse or
+    dimension parsing breaks the hash."""
+    from llm_food_spark.operators.captions import extract_img_captions
+
+    return extract_img_captions(
+        _captions_fixture(spark, sf_dir), n_partitions=8)
+
+
+def q_caption_pairs(spark, sf_dir):
+    """The multimodal candidate screen chained THROUGH the pair
+    extraction (operators/captions.py::filter_caption_pairs): caption-
+    else-alt text selection, min-5-chars text screen, 64px dimension
+    screen with NULL-passes. The twin composes the img_captions twin
+    with the same predicates, so the even-doc sub-64px widths and the
+    %10==0 textless figure rows must drop on both sides."""
+    from llm_food_spark.operators.captions import (extract_img_captions,
+                                                   filter_caption_pairs)
+
+    return filter_caption_pairs(extract_img_captions(
+        _captions_fixture(spark, sf_dir), n_partitions=8))
+
+
 def q_mixture_weights(spark, sf_dir):
     """DoReMi-style fixed-loss mixture apportionment (operators/
     mixture.py): 100 lang/source domains, per-doc integer loss proxy
@@ -4239,7 +4304,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     oracles — every family gets at least one driver-visible row, and
     hand-written DuckDB SQL twins win slots over redundant or subsumed
     queries. Everything from slot 51 on is still gated locally by
-    tools/check_oracles.py (all 173, same rows+schema+hash compare at
+    tools/check_oracles.py (all 175, same rows+schema+hash compare at
     sf0.01) and ordered hard-SQL-twins-first in case the driver's cap is
     ever higher; the 13 frozen-golden byte-stability gates sit last.
     Subsumption notes for demoted queries are inline below."""
@@ -4321,6 +4386,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cas_stats": q_cas_stats,              # CDC chunk-store dedup savings over a planted shared tail; twin rebuilds boundaries via the 7-LAG gear chain then every refcount/savings row
         "compaction_plan": q_compaction_plan,  # Iceberg binPack small-file planning over a manifest; twin recomputes prefix bins + rollups
         "pps_sample": q_pps_sample,            # exact-total weighted systematic sampling on the ranked-cumsum primitive; integer-DIV twin
+        "img_captions": q_img_captions,        # LAION-style image-text pair mining through the real DOM walk (figure/figcaption scoping, urljoin, dimension parse); closed-form twin
+        "caption_pairs": q_caption_pairs,      # the multimodal candidate screen chained THROUGH the pair extraction; twin composes the img_captions twin with the text/px predicates
         "ngram_jaccard": q_ngram_jaccard,        # demoted for phrase_search: driver-green in r3, and the shingle->set->exact-overlap twin mechanism is held by dedup_paragraphs/dedup_substrings slots; the capped in-block quadratic stays repo-gated
         "soft_dedup": q_soft_dedup,              # SoftDeDup/D4 duplicate-aware reweighting (hard micro-unit twin; the dedup family's driver slots hold the detection side)
         "mixture_weights": q_mixture_weights,    # DoReMi-style fixed-loss domain mixture (exact largest-remainder ppm twin; crawl_budget holds the apportionment family's driver slot)
@@ -7880,6 +7947,71 @@ def _handwritten_oracles() -> dict[str, str]:
             FROM c CROSS JOIN t
             WHERE (cum * 200) // T - ((cum - w) * 200) // T > 0
         """.format(ws=_WSTOKS),
+        # img_captions twin: closed-form reconstruction of both pair
+        # rows per doc — root-relative vs path-relative urljoin, alt
+        # whitespace collapse, figure/figcaption scoping through the
+        # nested <b>, decimal-only dimension parsing, and the no-src /
+        # data:-src drops (which must not disturb img_idx).
+        "img_captions": """
+            WITH d AS (
+              SELECT doc_id AS i,
+                     'http://c.test/a/p' || doc_id || '.html' AS url
+              FROM documents
+            )
+            SELECT url, 0::INT AS img_idx,
+                   'http://c.test/img/' || i || '-0.png' AS src,
+                   'A ' || i || ' zero' AS alt,
+                   '' AS caption, FALSE AS in_figure,
+                   (CASE WHEN i % 2 = 0 THEN (i % 7) * 10 END)::INT
+                     AS width,
+                   NULL::INT AS height
+            FROM d
+            UNION ALL
+            SELECT url, 1::INT,
+                   'http://c.test/a/rel/' || i || '-1.png',
+                   CASE WHEN i % 2 = 1 THEN 'fig ' || i ELSE '' END,
+                   CASE WHEN i % 5 <> 0 THEN 'Fig ' || i || ' !'
+                        ELSE '' END,
+                   TRUE, NULL::INT, ((i % 5 + 1) * 100)::INT
+            FROM d
+        """,
+        # caption_pairs twin: the img_captions twin composed with the
+        # caption-else-alt text pick, the >=5-chars text screen and the
+        # >=64px dimension screen (NULL dims pass) — even docs lose the
+        # bare image to its sub-64 width, %10==0 docs lose the figure
+        # row to an empty text.
+        "caption_pairs": """
+            WITH d AS (
+              SELECT doc_id AS i,
+                     'http://c.test/a/p' || doc_id || '.html' AS url
+              FROM documents
+            ), pairs AS (
+              SELECT url, 0::INT AS img_idx,
+                     'http://c.test/img/' || i || '-0.png' AS src,
+                     'A ' || i || ' zero' AS alt,
+                     '' AS caption, FALSE AS in_figure,
+                     (CASE WHEN i % 2 = 0 THEN (i % 7) * 10 END)::INT
+                       AS width,
+                     NULL::INT AS height
+              FROM d
+              UNION ALL
+              SELECT url, 1::INT,
+                     'http://c.test/a/rel/' || i || '-1.png',
+                     CASE WHEN i % 2 = 1 THEN 'fig ' || i ELSE '' END,
+                     CASE WHEN i % 5 <> 0 THEN 'Fig ' || i || ' !'
+                          ELSE '' END,
+                     TRUE, NULL::INT, ((i % 5 + 1) * 100)::INT
+              FROM d
+            ), texted AS (
+              SELECT *, CASE WHEN caption <> '' THEN caption
+                             ELSE alt END AS text
+              FROM pairs
+            )
+            SELECT * FROM texted
+            WHERE len(text) >= 5
+              AND COALESCE(width >= 64, TRUE)
+              AND COALESCE(height >= 64, TRUE)
+        """,
         # compaction_plan twin: the ordered exclusive prefix sum, the
         # target-window bin ids, the leave-large-files-alone rule, and
         # the per-bin rollup, all recomputed.

@@ -1,0 +1,100 @@
+"""Image-text pair mining from HTML — the multimodal-corpus front end.
+
+LAION/DataComp-style image-text corpora are built by walking crawled
+pages for <img> elements and pairing each image URL with its textual
+context: the ``alt`` attribute and, when the image sits inside a
+<figure>, the <figcaption> text. This module extracts those pairs
+through the repo's own DOM parser (functions/html_parser.py — the same
+error-tolerant tree the markdown serializer and link extractor walk; no
+reference analogue: llm-food serializes <img> to markdown syntax and
+discards the pairing, /root/reference/llm_food has no multimodal-corpus
+code).
+
+Pure Python, no Spark imports. URL resolution is stdlib
+``urllib.parse.urljoin`` (RFC 3986), deterministic; whitespace in alt
+and caption text is collapsed the same way anchor text is in
+functions/links.py.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import List, Optional, Tuple
+
+from urllib.parse import urljoin
+
+from llm_food_spark.functions.html_parser import Element, parse_html
+
+# srcs that are never corpus candidates: inline payloads and scripting
+_SKIP_PREFIXES = ("data:", "javascript:", "about:")
+
+_WS = re.compile(r"\s+")
+_INT = re.compile(r"^[0-9]+$")
+
+
+def _clean(s: str) -> str:
+    return _WS.sub(" ", s).strip()
+
+
+def _dim(el: Element, name: str) -> Optional[int]:
+    """width/height attribute as an int when it is a plain decimal
+    (the only form the HTML spec allows); anything else → None."""
+    raw = (el.attrs.get(name) or "").strip()
+    return int(raw) if _INT.match(raw) else None
+
+
+def _figcaption_text(fig: Element) -> str:
+    """Text of the figure's first <figcaption> descendant ('' if none) —
+    document order, so a nested second caption never wins."""
+    for el in fig.iter():
+        if el.tag == "figcaption":
+            return _clean(el.text_content())
+    return ""
+
+
+def extract_image_captions(
+    html_text: str, base_url: str
+) -> List[Tuple[str, str, str, bool, Optional[int], Optional[int]]]:
+    """(src, alt, caption, in_figure, width, height) per kept <img>,
+    document order.
+
+    ``src`` is resolved against ``base_url`` via urljoin (absolute,
+    protocol-relative, root-relative and relative forms); imgs with no
+    src, or with a data:/javascript:/about: src, are dropped. ``alt``
+    is the whitespace-collapsed alt attribute ('' when absent).
+    ``caption`` is the whitespace-collapsed text of the nearest
+    enclosing <figure>'s first <figcaption> ('' outside a figure or
+    when the figure has no caption); ``in_figure`` records the
+    enclosure so an empty caption inside a captionless figure is
+    distinguishable from a bare inline image. Never raises: the DOM
+    parser is the same error-tolerant one extraction uses."""
+    root = parse_html(html_text)
+    out: List[Tuple[str, str, str, bool, Optional[int], Optional[int]]] = []
+
+    def walk(el: Element, caption: str, in_fig: bool) -> None:
+        for c in el.children:
+            if not isinstance(c, Element):
+                continue
+            if c.tag == "img":
+                src = (c.attrs.get("src") or "").strip()
+                if not src or src.lower().startswith(_SKIP_PREFIXES):
+                    continue
+                try:
+                    target = urljoin(base_url, src)
+                except ValueError:
+                    continue
+                out.append((
+                    target,
+                    _clean(c.attrs.get("alt") or ""),
+                    caption,
+                    in_fig,
+                    _dim(c, "width"),
+                    _dim(c, "height"),
+                ))
+            elif c.tag == "figure":
+                walk(c, _figcaption_text(c), True)
+            else:
+                walk(c, caption, in_fig)
+
+    walk(root, "", False)
+    return out

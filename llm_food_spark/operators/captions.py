@@ -1,0 +1,91 @@
+"""Image-text pair mining over the pages frame — one Arrow pass.
+
+Wraps functions/captions.py (pure-Python DOM walk) the repo's standard
+way: a single ``mapInPandas`` over (url, html), binary payloads going
+through the extraction pipeline's charset detection, everything above
+it Catalyst. Output is the LAION/DataComp-style candidate table a
+multimodal pipeline consumes directly: filter on text/dimension
+screens (``filter_caption_pairs``, pure Catalyst), dedup on src with
+the repo's dedup family, then fetch the image bytes with sources/
+fetch.py.
+
+Scale shape: the DOM walk is per-row and shuffle-free; the pair screen
+is a flat Catalyst filter. At 10^12 pages this is scan → mapInPandas →
+filter with no exchange anywhere.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Optional
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from .util import ensure_min_partitions
+
+_SCHEMA = ("url string, img_idx int, src string, alt string, "
+           "caption string, in_figure boolean, width int, height int")
+
+
+def extract_img_captions(
+    pages: DataFrame,
+    url_col: str = "url",
+    html_col: str = "html",
+    n_partitions: Optional[int] = None,
+) -> DataFrame:
+    """(url, html) → one row per kept <img>:
+    (url, img_idx, src, alt, caption, in_figure, width, height).
+
+    ``img_idx`` is the 0-based position among the page's KEPT images
+    (document order after the no-src/data:-src drops), so downstream
+    joins have a stable per-page key. Non-HTML / unparseable payloads
+    yield zero rows, never errors."""
+    is_binary = dict(pages.dtypes)[html_col] == "binary"
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from llm_food_spark.functions.captions import extract_image_captions
+        from llm_food_spark.functions.encoding import decode_html
+
+        for pdf in it:
+            rows = []
+            for url, payload in zip(pdf[url_col], pdf[html_col]):
+                if payload is None:
+                    continue
+                text = (decode_html(bytes(payload)) if is_binary
+                        else str(payload))
+                u = str(url)
+                for i, pair in enumerate(extract_image_captions(text, u)):
+                    rows.append((u, i) + pair)
+            df = pd.DataFrame(rows, columns=[
+                "url", "img_idx", "src", "alt", "caption", "in_figure",
+                "width", "height"])
+            # pandas infers float64 for int columns containing None —
+            # keep them nullable ints so the Arrow schema matches
+            df["width"] = df["width"].astype("Int64")
+            df["height"] = df["height"].astype("Int64")
+            yield df
+
+    return ensure_min_partitions(
+        pages.select(url_col, html_col), n_partitions
+    ).mapInPandas(run, schema=_SCHEMA)
+
+
+def filter_caption_pairs(
+    pairs: DataFrame,
+    min_text_chars: int = 5,
+    min_px: int = 64,
+) -> DataFrame:
+    """LAION-style candidate screen over extract_img_captions output,
+    pure Catalyst: adds ``text`` (the caption when non-empty, else the
+    alt — the pair's training text) and keeps rows where that text has
+    >= ``min_text_chars`` characters and neither declared dimension is
+    under ``min_px`` (NULL dimensions pass — undeclared sizes are
+    resolved after the image fetch, not here)."""
+    text = F.when(F.col("caption") != "", F.col("caption")).otherwise(
+        F.col("alt"))
+    out = pairs.select("*", text.alias("text"))
+    return out.where(
+        (F.length("text") >= int(min_text_chars))
+        & (F.coalesce(F.col("width") >= int(min_px), F.lit(True)))
+        & (F.coalesce(F.col("height") >= int(min_px), F.lit(True)))
+    )

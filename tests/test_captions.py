@@ -1,0 +1,108 @@
+"""Image-text pair mining: DOM pairing, URL resolution, screens."""
+
+from llm_food_spark.functions.captions import extract_image_captions
+
+BASE = "http://x.test/a/page.html"
+
+
+def test_bare_img_has_no_caption():
+    got = extract_image_captions(
+        '<p><img src="/pics/one.png" alt=" a  dog "></p>', BASE)
+    assert got == [
+        ("http://x.test/pics/one.png", "a dog", "", False, None, None)]
+
+
+def test_relative_src_resolves_against_base_path():
+    got = extract_image_captions('<img src="pics/two.jpg">', BASE)
+    assert got[0][0] == "http://x.test/a/pics/two.jpg"
+
+
+def test_figure_pairs_figcaption_regardless_of_order():
+    html = ('<figure><figcaption> The <b>big</b>\n picture </figcaption>'
+            '<span><img src="i.png" alt="alt"></span></figure>')
+    got = extract_image_captions(html, BASE)
+    assert got == [("http://x.test/a/i.png", "alt", "The big picture",
+                    True, None, None)]
+
+
+def test_captionless_figure_is_flagged_in_figure():
+    got = extract_image_captions(
+        '<figure><img src="i.png"></figure>', BASE)
+    assert got == [("http://x.test/a/i.png", "", "", True, None, None)]
+
+
+def test_nested_figure_caption_overrides_outer():
+    html = ('<figure><figcaption>outer</figcaption>'
+            '<figure><figcaption>inner</figcaption>'
+            '<img src="i.png"></figure>'
+            '<img src="j.png"></figure>')
+    got = extract_image_captions(html, BASE)
+    assert [(g[0].rsplit("/", 1)[1], g[2]) for g in got] == [
+        ("i.png", "inner"), ("j.png", "outer")]
+
+
+def test_srcless_and_data_uri_imgs_dropped():
+    html = ('<img alt="skip"><img src="data:image/png;base64,AA==">'
+            '<img src="keep.png">')
+    got = extract_image_captions(html, BASE)
+    assert [g[0] for g in got] == ["http://x.test/a/keep.png"]
+
+
+def test_dimensions_parse_only_plain_decimals():
+    html = ('<img src="a.png" width="120" height="80">'
+            '<img src="b.png" width="100%" height="auto">')
+    got = extract_image_captions(html, BASE)
+    assert (got[0][4], got[0][5]) == (120, 80)
+    assert (got[1][4], got[1][5]) == (None, None)
+
+
+def test_first_figcaption_wins():
+    html = ('<figure><figcaption>one</figcaption>'
+            '<figcaption>two</figcaption><img src="i.png"></figure>')
+    got = extract_image_captions(html, BASE)
+    assert got[0][2] == "one"
+
+
+def test_hostile_input_never_raises():
+    for bad in ("", "<figure><img", "<img src=", "\x00\x01",
+                "<figure>" * 200 + '<img src="i.png">'):
+        extract_image_captions(bad, BASE)
+
+
+def test_document_order_spans_figures_and_body():
+    html = ('<img src="a.png"><figure><img src="b.png">'
+            '<figcaption>c</figcaption></figure><img src="d.png">')
+    got = extract_image_captions(html, BASE)
+    assert [g[0].rsplit("/", 1)[1] for g in got] == [
+        "a.png", "b.png", "d.png"]
+    assert [g[2] for g in got] == ["", "c", ""]
+
+
+def test_spark_operator_and_screen(spark):
+    from pyspark.sql import functions as F
+
+    from llm_food_spark.operators.captions import (extract_img_captions,
+                                                   filter_caption_pairs)
+
+    pages = spark.createDataFrame(
+        [("http://x.test/p1",
+          '<img src="tiny.png" alt="long enough text" width="16">'
+          '<figure><img src="big.png" width="256" height="256">'
+          "<figcaption>a fine caption</figcaption></figure>"
+          '<img src="short.png" alt="no">'),
+         ("http://x.test/p2", "<p>no images at all</p>")],
+        "url string, html string")
+    pairs = extract_img_captions(pages, n_partitions=2)
+    rows = {(r.url, r.img_idx): r for r in pairs.collect()}
+    assert len(rows) == 3
+    assert rows[("http://x.test/p1", 1)].caption == "a fine caption"
+    assert rows[("http://x.test/p1", 1)].width == 256
+
+    kept = filter_caption_pairs(pairs).orderBy("img_idx").collect()
+    # tiny.png fails the min_px screen, short.png the min_text screen
+    assert [r.src.rsplit("/", 1)[1] for r in kept] == ["big.png"]
+    assert kept[0].text == "a fine caption"
+
+    # binary payloads go through charset detection
+    bin_pages = pages.select("url", F.encode("html", "UTF-8").alias("html"))
+    assert extract_img_captions(bin_pages, n_partitions=2).count() == 3
