@@ -2482,6 +2482,26 @@ def q_hits_seeded(spark, sf_dir):
     return hits(e, iterations=3)
 
 
+def q_hyperball_seeded(spark, sf_dir):
+    """HyperBall neighborhood sketches (operators/graph.py::hyperball —
+    Boldi & Vigna 2013, the algorithm behind Common Crawl's published
+    harmonic-centrality host ranking) on the seeded 50-node graph
+    REVERSED (incoming balls, the centrality orientation), 3 rounds,
+    m=16 registers. Hard oracle: DuckDB re-derives the whole register
+    evolution — MiMC hash, bin()-length rho, three rounds of
+    elementwise-MAX merges over the edge list — then every per-round
+    scaled harmonic sum, floor-divide estimate, and the integer-DIV
+    truncated harmonic centrality."""
+    from llm_food_spark.operators.graph import hyperball, hyperball_summary
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    e = d.select(
+        ((F.col("doc_id") * 7 + 3) % 50).alias("src"),
+        (F.col("doc_id") % 50).alias("dst"),
+    ).distinct()
+    return hyperball_summary(hyperball(e, rounds=3, m=16), rounds=3)
+
+
 def q_crawl_priority(spark, sf_dir):
     """Crawl-frontier prioritization (operators/snapshot.py::
     prioritize_frontier): the CDC diff's added+changed urls scored by
@@ -4304,7 +4324,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     oracles — every family gets at least one driver-visible row, and
     hand-written DuckDB SQL twins win slots over redundant or subsumed
     queries. Everything from slot 51 on is still gated locally by
-    tools/check_oracles.py (all 175, same rows+schema+hash compare at
+    tools/check_oracles.py (all 176, same rows+schema+hash compare at
     sf0.01) and ordered hard-SQL-twins-first in case the driver's cap is
     ever higher; the 13 frozen-golden byte-stability gates sit last.
     Subsumption notes for demoted queries are inline below."""
@@ -4386,6 +4406,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cas_stats": q_cas_stats,              # CDC chunk-store dedup savings over a planted shared tail; twin rebuilds boundaries via the 7-LAG gear chain then every refcount/savings row
         "compaction_plan": q_compaction_plan,  # Iceberg binPack small-file planning over a manifest; twin recomputes prefix bins + rollups
         "pps_sample": q_pps_sample,            # exact-total weighted systematic sampling on the ranked-cumsum primitive; integer-DIV twin
+        "hyperball_seeded": q_hyperball_seeded,  # HyperBall distance sketches (Boldi-Vigna; Common Crawl's harmonic host ranking) — twin re-derives the full register evolution + truncated harmonic centrality (pagerank_seeded holds the graph driver slot)
         "img_captions": q_img_captions,        # LAION-style image-text pair mining through the real DOM walk (figure/figcaption scoping, urljoin, dimension parse); closed-form twin
         "caption_pairs": q_caption_pairs,      # the multimodal candidate screen chained THROUGH the pair extraction; twin composes the img_captions twin with the text/px predicates
         "ngram_jaccard": q_ngram_jaccard,        # demoted for phrase_search: driver-green in r3, and the shingle->set->exact-overlap twin mechanism is held by dedup_paragraphs/dedup_substrings slots; the capped in-block quadratic stays repo-gated
@@ -6086,6 +6107,54 @@ _BLOOM_SCREEN_SQL = f"""
     FROM v
 """
 
+# HyperBall twin: the full register evolution in SQL — node-key MiMC
+# hash -> (reg, rho) init, then per round an edge-join elementwise-MAX
+# merge (the set-union-as-register-max identity), per-round scaled
+# harmonic sums + floor-divide estimates, and the integer-DIV truncated
+# harmonic centrality. m=16 -> p=4, B=27, S=28, alpha=0.673; num is the
+# identical Python double the operator embeds.
+_HB_NUM_16 = 0.673 * 16.0 * 16.0 * float(1 << 28)
+
+
+def _hb_round(t: int) -> str:
+    p = t - 1
+    return (f"b{t} AS (SELECT node, reg, MAX(rho) AS rho FROM ("
+            f"SELECT e.s AS node, b.reg, b.rho FROM ed e "
+            f"JOIN b{p} b ON b.node = e.d "
+            f"UNION ALL SELECT node, reg, rho FROM b{p}) "
+            f"GROUP BY node, reg)")
+
+
+def _hb_est(t: int) -> str:
+    return (f"est{t} AS (SELECT node, CAST(floor(({_HB_NUM_16!r}) / sis"
+            f" * 1000.0) AS BIGINT) AS bm FROM ("
+            f"SELECT node, CAST(SUM(CAST(pow(2.0, 28 - rho) AS BIGINT))"
+            f" + (16 - COUNT(*)) * 268435456 AS BIGINT) AS sis"
+            f" FROM b{t} GROUP BY node))")
+
+
+_HYPERBALL_SQL = f"""
+    WITH ed AS (SELECT DISTINCT (doc_id * 7 + 3) % 50 AS s,
+                                doc_id % 50 AS d FROM documents),
+    nd AS (SELECT s AS node FROM ed UNION SELECT d FROM ed),
+    h0 AS (SELECT node, ((node % {_SKETCH_P} + {_SKETCH_P})
+                         % {_SKETCH_P}) AS x FROM nd),
+    {_round5_cte('hm1', 'h0', 'x', _SKETCH_C1, 'y', keep='node, ')},
+    {_round5_cte('hm2', 'hm1', 'y', _SKETCH_C2, 'h', keep='node, ')},
+    b0 AS (SELECT node, h % 16 AS reg,
+                  CASE WHEN h // 16 > 0 THEN 28 - length(bin(h // 16))
+                       ELSE 28 END AS rho
+           FROM hm2),
+    {_hb_round(1)}, {_hb_round(2)}, {_hb_round(3)},
+    {_hb_est(0)}, {_hb_est(1)}, {_hb_est(2)}, {_hb_est(3)}
+    SELECT est3.node, est3.bm AS reach_milli,
+           CAST((est1.bm - est0.bm)
+                + (est2.bm - est1.bm) // 2
+                + (est3.bm - est2.bm) // 3 AS BIGINT) AS harmonic_milli
+    FROM est0 JOIN est1 USING (node) JOIN est2 USING (node)
+              JOIN est3 USING (node)
+"""
+
 # The CDC boundary chain as a reusable CTE body ({src} = any relation
 # with (doc_id, text)): the masked gear hash is an exact 8-char window
 # function (2^j vanishes mod 2^8 for j>=8), so 7 LAGs over the MINSTD
@@ -6171,6 +6240,7 @@ def oracle_sql() -> dict[str, str]:
     # (x+c)^5 mod p hash in pure BIGINT arithmetic
     out["hll_sketch"] = _HLL_SKETCH_SQL
     out["bloom_screen"] = _BLOOM_SCREEN_SQL
+    out["hyperball_seeded"] = _HYPERBALL_SQL
     out["cms_heavy"] = _CMS_HEAVY_SQL
     out["kmeans"] = _KMEANS_SQL
     out["ngram_novelty"] = _NGRAM_NOVELTY_SQL_TMPL.format(w=_WORDS)

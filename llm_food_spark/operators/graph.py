@@ -531,3 +531,124 @@ def label_propagation(
         _free_checkpoint_ids(sc, prev_ids)
         prev_ids = _persistent_ids(sc) - before
     return labels.select("node", "label")
+
+
+def hyperball(
+    edges: DataFrame,
+    rounds: int = 3,
+    m: int = 16,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """HyperBall neighborhood function (Boldi & Vigna 2013 — the
+    algorithm behind Common Crawl's published harmonic-centrality host
+    ranking): ``(node, round, ball_milli)`` for round 0..``rounds``,
+    where ``ball_milli`` is the raw-HLL estimate (millis) of
+    ``|{u : d(node -> u) <= round}|`` along src->dst edges. Pass the
+    REVERSED edge list to size incoming balls (the centrality
+    orientation).
+
+    Each node carries the sketch.py HLL register vector of its ball
+    (same portable MiMC hash, same exact bin()-length rho); round t
+    merges every out-neighbor's round-t-1 sketch into the node's own by
+    elementwise register MAX — set union without materializing sets.
+    Estimates are monotone nondecreasing in t by construction (registers
+    only grow), which hyperball_summary's integer-DIV harmonic terms
+    rely on.
+
+    Scale shape: state is at most ``m`` narrow rows per node — at 10^12
+    pages you run this on the HOST graph (10^8 nodes, m=16 -> ~2e9
+    register rows), NOT per-page. Each round is one join of the static
+    edge list against the register table + one map-side-combining
+    (node, reg) MAX groupBy; ball frames are checkpoint-cut per round
+    with the previous round's storage freed (the cluster.py
+    discipline). No Python, no windows, no driver scalars.
+    """
+    from llm_food_spark.operators.sketch import _alpha, mix5
+
+    if rounds < 1:
+        raise ValueError("rounds must be >= 1")
+    p = m.bit_length() - 1
+    if m <= 1 or (1 << p) != m:
+        raise ValueError("m must be a power of two >= 2, got %r" % (m,))
+    bits = 31 - p
+    s = bits + 1
+    num = _alpha(m) * float(m) * float(m) * float(1 << s)
+    sc = edges.sparkSession.sparkContext
+
+    e = edges.select(F.col(src_col).alias("s"), F.col(dst_col).alias("d"))
+    nodes = (
+        e.select(F.col("s").alias("node"))
+        .union(e.select(F.col("d").alias("node")))
+        .distinct()
+    )
+    h = mix5(F.col("node").cast("long"))
+    rest = F.floor(h / m).cast("long")
+    rho = F.when(rest > 0, F.lit(s) - F.length(F.bin(rest))) \
+           .otherwise(F.lit(s))
+    balls = nodes.select(
+        "node", (h % m).cast("int").alias("reg"), rho.alias("rho"))
+    e = _cut(e, sc)
+
+    def est(frame: DataFrame, t: int) -> DataFrame:
+        sis = (
+            F.sum(F.pow(F.lit(2.0), F.lit(s) - F.col("rho")).cast("long"))
+            + (F.lit(m) - F.count(F.lit(1))) * F.lit(1 << s)
+        ).cast("long")
+        return frame.groupBy("node").agg(sis.alias("sis")).select(
+            "node", F.lit(t).alias("round"),
+            F.floor(F.lit(num) / F.col("sis") * 1000.0)
+             .cast("long").alias("ball_milli"),
+        )
+
+    # Register frames are the big state (|V| x m rows): checkpoint-cut
+    # per round and freed as soon as the next round is materialized.
+    # The per-round ESTIMATE frames (|V| rows) are what the result
+    # unions, so each is cut eagerly BEFORE its source register frame
+    # is freed; only those small frames stay pinned after the call
+    # (released by cluster.release_persisted, the shared lifecycle).
+    before = _persistent_ids(sc)
+    balls = _cut(balls, sc)
+    prev_ids = _persistent_ids(sc) - before
+    out = _cut(est(balls, 0), sc)
+    for t in range(1, rounds + 1):
+        merged = (
+            e.join(balls.select(F.col("node").alias("d"), "reg", "rho"),
+                   "d")
+            .select(F.col("s").alias("node"), "reg", "rho")
+            .unionAll(balls)
+            .groupBy("node", "reg")
+            .agg(F.max("rho").alias("rho"))
+        )
+        before = _persistent_ids(sc)
+        balls = _cut(merged, sc)
+        new_ids = _persistent_ids(sc) - before
+        out = out.unionAll(_cut(est(balls, t), sc))
+        _free_checkpoint_ids(sc, prev_ids)
+        prev_ids = new_ids
+    _free_checkpoint_ids(sc, prev_ids)  # the final register frame too
+    return out
+
+
+def hyperball_summary(balls: DataFrame, rounds: int = 3) -> DataFrame:
+    """Collapse hyperball() output into ``(node, reach_milli,
+    harmonic_milli)``: reach = the round-``rounds`` ball, harmonic =
+    sum over t>=1 of (ball_t - ball_{t-1}) div t — the truncated
+    harmonic centrality in exact integer-DIV milli space (deltas are
+    nonnegative because the estimates are monotone). The window is
+    per-node over ``rounds``+1 rows — never a single-partition sort."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("node").orderBy("round")
+    d = balls.select(
+        "node", "round", "ball_milli",
+        F.lag("ball_milli").over(w).alias("prev"))
+    harm = (
+        d.where(F.col("round") >= 1)
+        .select("node", F.expr("(ball_milli - prev) div round").alias("t"))
+        .groupBy("node")
+        .agg(F.sum("t").cast("long").alias("harmonic_milli"))
+    )
+    reach = balls.where(F.col("round") == rounds).select(
+        "node", F.col("ball_milli").alias("reach_milli"))
+    return reach.join(harm, "node")

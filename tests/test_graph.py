@@ -634,3 +634,121 @@ def test_coreness_validation(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         coreness(e, iterations=0)
+
+
+# --- hyperball ------------------------------------------------------------
+
+def _hb_replay(edges, rounds, m):
+    """Pure-Python replay of the HyperBall register evolution + both
+    estimate formulas (same MiMC hash, same IEEE op order)."""
+    import math
+
+    from llm_food_spark.operators.sketch import (MIX_C1, MIX_C2, MIX_MOD,
+                                                 _alpha)
+
+    p_bits = m.bit_length() - 1
+    s = 31 - p_bits + 1
+    num = _alpha(m) * float(m) * float(m) * float(1 << s)
+
+    def mix(x):
+        x = (x % MIX_MOD + MIX_MOD) % MIX_MOD
+        for c in (MIX_C1, MIX_C2):
+            x = pow((x + c) % MIX_MOD, 5, MIX_MOD)
+        return x
+
+    nodes = sorted({a for a, _ in edges} | {b for _, b in edges})
+    balls = {}
+    for v in nodes:
+        h = mix(v)
+        rest = h // m
+        rho = s - rest.bit_length() if rest > 0 else s
+        balls[v] = {h % m: rho}
+
+    def est(regs):
+        sis = sum(1 << (s - r) for r in regs.values())
+        sis += (m - len(regs)) * (1 << s)
+        return math.floor(num / sis * 1000.0)
+
+    series = {v: [est(balls[v])] for v in nodes}
+    for _ in range(rounds):
+        nxt = {v: dict(balls[v]) for v in nodes}
+        for a, b in edges:
+            for reg, rho in balls[b].items():
+                if nxt[a].get(reg, -1) < rho:
+                    nxt[a][reg] = rho
+        balls = nxt
+        for v in nodes:
+            series[v].append(est(balls[v]))
+    return series
+
+
+def test_hyperball_matches_pure_python_replay(spark):
+    from llm_food_spark.operators.graph import hyperball
+
+    edges = [(0, 1), (1, 2), (2, 3), (3, 4), (4, 0), (0, 2), (5, 0)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    got = {(r.node, r["round"]): r.ball_milli
+           for r in hyperball(e, rounds=3, m=16).collect()}
+    want = _hb_replay(edges, 3, 16)
+    assert got == {(v, t): bm for v, ser in want.items()
+                   for t, bm in enumerate(ser)}
+
+
+def test_hyperball_summary_integer_harmonic(spark):
+    from llm_food_spark.operators.graph import hyperball, hyperball_summary
+
+    edges = [(0, 1), (1, 2), (2, 3)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    balls = hyperball(e, rounds=3, m=16)
+    rows = {r.node: r for r in hyperball_summary(balls, 3).collect()}
+    ser = _hb_replay(edges, 3, 16)
+    for v, sr in ser.items():
+        harm = sum((sr[t] - sr[t - 1]) // t for t in range(1, 4))
+        assert rows[v].harmonic_milli == harm
+        assert rows[v].reach_milli == sr[3]
+        # estimates are monotone, so every term was nonnegative
+        assert all(sr[t] >= sr[t - 1] for t in range(1, 4))
+
+
+def test_hyperball_partition_invariance(spark):
+    from llm_food_spark.operators.graph import hyperball
+
+    edges = [(i % 13, (i * 5 + 2) % 13) for i in range(60)]
+    e1 = spark.createDataFrame(edges, "src long, dst long")
+    a = sorted(map(tuple, hyperball(e1, rounds=2, m=16).collect()))
+    b = sorted(map(tuple,
+                   hyperball(e1.repartition(7), rounds=2, m=16).collect()))
+    assert a == b
+
+
+def test_hyperball_checkpoint_storage_bounded(spark):
+    from llm_food_spark.operators.cluster import release_persisted
+    from llm_food_spark.operators.graph import hyperball
+
+    sc = spark.sparkContext
+
+    def pinned():
+        return len(sc._jsc.getPersistentRDDs().keySet().toArray())
+
+    release_persisted()
+    baseline = pinned()
+    e = spark.createDataFrame([(0, 1), (1, 2)], "src long, dst long")
+    hyperball(e, rounds=2, m=16).collect()
+    after_first = pinned()
+    hyperball(e, rounds=2, m=16).collect()
+    after_second = pinned()
+    # statics (edges) + the rounds+1 estimate frames; register-frame
+    # rounds must not stack
+    assert after_second - after_first <= 4
+    release_persisted()
+    assert pinned() <= baseline
+
+
+def test_hyperball_validation(spark):
+    from llm_food_spark.operators.graph import hyperball
+
+    e = spark.createDataFrame([(0, 1)], "src long, dst long")
+    with pytest.raises(ValueError):
+        hyperball(e, rounds=0)
+    with pytest.raises(ValueError):
+        hyperball(e, m=12)
