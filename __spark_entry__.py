@@ -2103,6 +2103,35 @@ def q_caption_pairs(spark, sf_dir):
         _captions_fixture(spark, sf_dir), n_partitions=8))
 
 
+def q_extract_diff(spark, sf_dir):
+    """Extraction A/B drift audit (operators/abdiff.py): old = the
+    documents text, new = a planted per-class variant (%7==1 doubled
+    spaces -> ws_only, %7==2 appended tokens -> changed, %7==3 dropped
+    -> removed, %7==4 also contributes a fresh url -> added, rest
+    identical). Hard oracle: DuckDB classifies every url through
+    DIRECT string comparison (no hashing — a different algorithm than
+    the operator's sha2 screen) and recomputes the changed rows'
+    multiset-token Dice overlap in exact ppm."""
+    from llm_food_spark.operators.abdiff import extraction_diff
+
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    url = F.concat(F.lit("http://d.test/"), i)
+    old = d.select(url.alias("url"), "text")
+    variant = (
+        F.when(i % 7 == 1, F.expr("replace(text, ' ', '  ')"))
+         .when(i % 7 == 2, F.concat(F.col("text"), F.lit(" zz extra zz")))
+         .otherwise(F.col("text"))
+    )
+    new = d.where(i % 7 != 3).select(
+        url.alias("url"), variant.alias("text")
+    ).unionAll(d.where(i % 7 == 4).select(
+        F.concat(F.lit("http://d.test/x"), i).alias("url"),
+        F.concat(F.lit("fresh content "), i).alias("text"),
+    ))
+    return extraction_diff(old, new)
+
+
 def q_mixture_weights(spark, sf_dir):
     """DoReMi-style fixed-loss mixture apportionment (operators/
     mixture.py): 100 lang/source domains, per-doc integer loss proxy
@@ -4324,7 +4353,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     oracles — every family gets at least one driver-visible row, and
     hand-written DuckDB SQL twins win slots over redundant or subsumed
     queries. Everything from slot 51 on is still gated locally by
-    tools/check_oracles.py (all 176, same rows+schema+hash compare at
+    tools/check_oracles.py (all 177, same rows+schema+hash compare at
     sf0.01) and ordered hard-SQL-twins-first in case the driver's cap is
     ever higher; the 13 frozen-golden byte-stability gates sit last.
     Subsumption notes for demoted queries are inline below."""
@@ -4409,6 +4438,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hyperball_seeded": q_hyperball_seeded,  # HyperBall distance sketches (Boldi-Vigna; Common Crawl's harmonic host ranking) — twin re-derives the full register evolution + truncated harmonic centrality (pagerank_seeded holds the graph driver slot)
         "img_captions": q_img_captions,        # LAION-style image-text pair mining through the real DOM walk (figure/figcaption scoping, urljoin, dimension parse); closed-form twin
         "caption_pairs": q_caption_pairs,      # the multimodal candidate screen chained THROUGH the pair extraction; twin composes the img_captions twin with the text/px predicates
+        "extract_diff": q_extract_diff,        # extraction A/B drift audit (identical/ws_only/changed/added/removed + changed-only multiset Dice); twin classifies by direct string comparison, a different algorithm than the sha2 screen
         "ngram_jaccard": q_ngram_jaccard,        # demoted for phrase_search: driver-green in r3, and the shingle->set->exact-overlap twin mechanism is held by dedup_paragraphs/dedup_substrings slots; the capped in-block quadratic stays repo-gated
         "soft_dedup": q_soft_dedup,              # SoftDeDup/D4 duplicate-aware reweighting (hard micro-unit twin; the dedup family's driver slots hold the detection side)
         "mixture_weights": q_mixture_weights,    # DoReMi-style fixed-loss domain mixture (exact largest-remainder ppm twin; crawl_budget holds the apportionment family's driver slot)
@@ -8081,6 +8111,71 @@ def _handwritten_oracles() -> dict[str, str]:
             WHERE len(text) >= 5
               AND COALESCE(width >= 64, TRUE)
               AND COALESCE(height >= 64, TRUE)
+        """,
+        # extract_diff twin: status via DIRECT string comparison (the
+        # operator screens on sha2 — different algorithm, same verdicts)
+        # + full multiset-Dice recompute over the changed minority.
+        "extract_diff": r"""
+            WITH oldd AS (
+              SELECT 'http://d.test/' || doc_id AS url, text
+              FROM documents
+            ), newd AS (
+              SELECT 'http://d.test/' || doc_id AS url,
+                     CASE WHEN doc_id % 7 = 1
+                            THEN replace(text, ' ', '  ')
+                          WHEN doc_id % 7 = 2
+                            THEN text || ' zz extra zz'
+                          ELSE text END AS text
+              FROM documents WHERE doc_id % 7 <> 3
+              UNION ALL
+              SELECT 'http://d.test/x' || doc_id,
+                     'fresh content ' || doc_id
+              FROM documents WHERE doc_id % 7 = 4
+            ), j AS (
+              SELECT COALESCE(o.url, n.url) AS url,
+                     CASE WHEN o.url IS NULL THEN 'added'
+                          WHEN n.url IS NULL THEN 'removed'
+                          WHEN o.text = n.text THEN 'identical'
+                          WHEN regexp_replace(o.text,
+                                 '[ \t\n\x0B\f\r]+', '', 'g')
+                               = regexp_replace(n.text,
+                                 '[ \t\n\x0B\f\r]+', '', 'g')
+                            THEN 'ws_only'
+                          ELSE 'changed' END AS status,
+                     len(o.text)::BIGINT AS old_chars,
+                     len(n.text)::BIGINT AS new_chars,
+                     o.text AS ot, n.text AS nt
+              FROM oldd o FULL OUTER JOIN newd n ON o.url = n.url
+            ), ch AS (
+              SELECT url, ot, nt,
+                     len(list_filter(regexp_split_to_array(lower(ot),
+                       '[^a-z0-9]+'), x -> x <> ''))::BIGINT AS ww_a,
+                     len(list_filter(regexp_split_to_array(lower(nt),
+                       '[^a-z0-9]+'), x -> x <> ''))::BIGINT AS ww_b
+              FROM j WHERE status = 'changed'
+            ), wa AS (
+              SELECT url, w.x AS word, COUNT(*)::BIGINT AS cnt
+              FROM ch, UNNEST(list_filter(regexp_split_to_array(
+                     lower(ot), '[^a-z0-9]+'), x -> x <> '')) AS w(x)
+              GROUP BY url, w.x
+            ), wb AS (
+              SELECT url, w.x AS word, COUNT(*)::BIGINT AS cnt
+              FROM ch, UNNEST(list_filter(regexp_split_to_array(
+                     lower(nt), '[^a-z0-9]+'), x -> x <> '')) AS w(x)
+              GROUP BY url, w.x
+            ), ov AS (
+              SELECT wa.url, SUM(LEAST(wa.cnt, wb.cnt))::BIGINT AS overlap
+              FROM wa JOIN wb ON wa.url = wb.url AND wa.word = wb.word
+              GROUP BY wa.url
+            )
+            SELECT j.url, j.status, j.old_chars, j.new_chars,
+                   (CASE WHEN j.status = 'changed'
+                              AND ch.ww_a + ch.ww_b > 0
+                         THEN (2 * COALESCE(ov.overlap, 0) * 1000000)
+                              // (ch.ww_a + ch.ww_b)
+                    END)::BIGINT AS dice_ppm
+            FROM j LEFT JOIN ov ON j.url = ov.url
+                   LEFT JOIN ch ON j.url = ch.url
         """,
         # compaction_plan twin: the ordered exclusive prefix sum, the
         # target-window bin ids, the leave-large-files-alone rule, and

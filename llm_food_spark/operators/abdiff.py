@@ -1,0 +1,118 @@
+"""Extraction A/B drift audit — compare two extractor versions per url.
+
+Before rolling a new extractor build over a 10^12-document table, you
+re-extract a sample with both versions and ask: what fraction of urls
+changed, and how badly? This operator classifies every url into
+``identical`` / ``ws_only`` (whitespace-only reflow — markdown dialect
+tweaks land here) / ``changed`` / ``added`` / ``removed``, and for the
+``changed`` minority quantifies the drift as a token-multiset
+Sørensen–Dice overlap in exact ppm integers.
+
+No reference analogue (llm-food has one extractor version at a time);
+this is the operational QA the byte-identical north rule implies —
+the audit that proves a refactor DIDN'T change extraction, url by url.
+
+Scale shape
+-----------
+Stage 1 never ships text: each side collapses map-side to
+(url, content hash, whitespace-insensitive hash, n_chars, n_words) —
+five narrow columns through one full-outer join on url. Stage 2 (the
+token explode + (url, word) count join) runs ONLY on ``changed`` urls —
+after a routine engine tweak that is a small fraction of the corpus —
+and its join keys are (url, word) pairs, skew-bounded by document
+length. No windows, no Python, no driver scalars.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+# shared with the DuckDB twin (and textops' tokenizer convention)
+WORD_SPLIT_RE = "[^a-z0-9]+"
+# ASCII whitespace class, spelled out (textops/_WS_CLASS discipline:
+# Java \s includes \x0B, RE2 \s does not)
+WS_RE = "[ \\t\\n\\x0B\\f\\r]+"
+
+
+def _side_features(df: DataFrame, id_col: str, text_col: str,
+                   tag: str) -> DataFrame:
+    words = F.filter(
+        F.split(F.lower(F.col(text_col)), WORD_SPLIT_RE), lambda x: x != "")
+    return df.select(
+        F.col(id_col).alias("url"),
+        F.sha2(F.col(text_col).cast("binary"), 256).alias(f"h_{tag}"),
+        F.sha2(F.regexp_replace(F.col(text_col), WS_RE, "")
+                .cast("binary"), 256).alias(f"wsh_{tag}"),
+        F.length(text_col).cast("long").alias(f"chars_{tag}"),
+        F.size(words).cast("long").alias(f"words_{tag}"),
+    )
+
+
+def _word_counts(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    w = F.explode(F.filter(
+        F.split(F.lower(F.col(text_col)), WORD_SPLIT_RE),
+        lambda x: x != "")).alias("word")
+    return (df.select(F.col(id_col).alias("url"), w)
+              .groupBy("url", "word").agg(F.count(F.lit(1)).alias("cnt")))
+
+
+def extraction_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "url",
+    text_col: str = "text",
+) -> DataFrame:
+    """One row per url in either frame:
+    (url, status, old_chars, new_chars, dice_ppm).
+
+    ``status``: 'identical' (byte-equal text), 'ws_only' (equal after
+    deleting ALL ASCII whitespace), 'changed', 'added' (new side only),
+    'removed' (old side only). ``dice_ppm`` = floor(2 * multiset-token
+    overlap * 1e6 / (old_words + new_words)) for ``changed`` rows with
+    at least one token on either side — exact integer arithmetic over
+    the [^a-z0-9]+ lowercase tokenizer — and NULL otherwise. Urls must
+    be unique per side (extraction outputs are); duplicate urls multiply
+    join rows, the robots.py lesson."""
+    fa = _side_features(old, id_col, text_col, "a")
+    fb = _side_features(new, id_col, text_col, "b")
+    j = fa.join(fb, "url", "full_outer")
+    status = (
+        F.when(F.col("h_a").isNull(), F.lit("added"))
+         .when(F.col("h_b").isNull(), F.lit("removed"))
+         .when(F.col("h_a") == F.col("h_b"), F.lit("identical"))
+         .when(F.col("wsh_a") == F.col("wsh_b"), F.lit("ws_only"))
+         .otherwise(F.lit("changed"))
+    )
+    j = j.select(
+        "url", status.alias("status"),
+        F.col("chars_a").alias("old_chars"),
+        F.col("chars_b").alias("new_chars"),
+        "words_a", "words_b",
+    )
+    changed = j.where(F.col("status") == "changed").select(
+        "url", "words_a", "words_b")
+    ch_urls = changed.select("url")
+    # semi-join each side down to the changed minority BEFORE the
+    # explode — the whole point of hashing first
+    old_ch = old.join(ch_urls, old[id_col] == ch_urls["url"], "left_semi")
+    new_ch = new.join(ch_urls, new[id_col] == ch_urls["url"], "left_semi")
+    overlap = (
+        _word_counts(old_ch, id_col, text_col).alias("wa")
+        .join(_word_counts(new_ch, id_col, text_col).alias("wb"),
+              ["url", "word"])
+        .groupBy("url")
+        .agg(F.sum(F.least(F.col("wa.cnt"), F.col("wb.cnt")))
+              .alias("overlap"))
+    )
+    dice = changed.join(overlap, "url", "left").select(
+        "url",
+        F.when(
+            F.col("words_a") + F.col("words_b") > 0,
+            F.expr("2 * coalesce(overlap, 0) * 1000000 "
+                   "div (words_a + words_b)"),
+        ).cast("long").alias("dice_ppm"),
+    )
+    return (
+        j.join(dice, "url", "left")
+         .select("url", "status", "old_chars", "new_chars", "dice_ppm")
+    )

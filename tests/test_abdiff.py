@@ -1,0 +1,75 @@
+"""Extraction A/B drift audit: status routing + exact Dice arithmetic."""
+
+from llm_food_spark.operators.abdiff import extraction_diff
+
+
+def _frames(spark):
+    old = spark.createDataFrame(
+        [("u1", "same text"),
+         ("u2", "a  b"),
+         ("u3", "a b b c"),
+         ("u4", "gone"),
+         ("u6", "!!!")],
+        "url string, text string")
+    new = spark.createDataFrame(
+        [("u1", "same text"),
+         ("u2", "a b\n"),
+         ("u3", "b c c d"),
+         ("u5", "fresh"),
+         ("u6", "???")],
+        "url string, text string")
+    return old, new
+
+
+def test_status_routing(spark):
+    old, new = _frames(spark)
+    rows = {r.url: r for r in extraction_diff(old, new).collect()}
+    assert rows["u1"].status == "identical"
+    assert rows["u2"].status == "ws_only"
+    assert rows["u3"].status == "changed"
+    assert rows["u4"].status == "removed"
+    assert rows["u5"].status == "added"
+    assert rows["u4"].new_chars is None and rows["u5"].old_chars is None
+    assert rows["u2"].old_chars == 4 and rows["u2"].new_chars == 4
+
+
+def test_dice_is_multiset_overlap_in_exact_ppm(spark):
+    old, new = _frames(spark)
+    rows = {r.url: r for r in extraction_diff(old, new).collect()}
+    # old {a:1,b:2,c:1} (4 words), new {b:1,c:2,d:1} (4 words):
+    # overlap = min(2,1) + min(1,2) = 2 -> 2*2*1e6 // 8
+    assert rows["u3"].dice_ppm == 500_000
+    # dice only quantifies the changed minority
+    assert rows["u1"].dice_ppm is None
+    assert rows["u2"].dice_ppm is None
+    assert rows["u4"].dice_ppm is None
+    assert rows["u5"].dice_ppm is None
+
+
+def test_changed_but_tokenless_rows_get_null_dice(spark):
+    old, new = _frames(spark)
+    rows = {r.url: r for r in extraction_diff(old, new).collect()}
+    assert rows["u6"].status == "changed"
+    assert rows["u6"].dice_ppm is None
+
+
+def test_disjoint_tokens_give_zero_dice(spark):
+    old = spark.createDataFrame([("u", "aa bb")], "url string, text string")
+    new = spark.createDataFrame([("u", "cc dd")], "url string, text string")
+    rows = extraction_diff(old, new).collect()
+    assert rows[0].dice_ppm == 0
+
+
+def test_partition_invariance(spark):
+    old, new = _frames(spark)
+    a = sorted(map(tuple, extraction_diff(old, new).collect()))
+    b = sorted(map(tuple, extraction_diff(
+        old.repartition(5), new.repartition(3)).collect()))
+    assert a == b
+
+
+def test_custom_column_names(spark):
+    old = spark.createDataFrame([("d1", "x")], "doc string, body string")
+    new = spark.createDataFrame([("d1", "x")], "doc string, body string")
+    rows = extraction_diff(old, new, id_col="doc", text_col="body").collect()
+    assert rows[0].status == "identical"
