@@ -152,3 +152,56 @@ def k_anonymize(
     ]
     return joined.select(*out_cols, "qi_group_size",
                          small.alias("suppressed"))
+
+
+# --- credential/secret scrubbing (code-corpus prep) ------------------------
+# The Stack / StarCoder-style secret removal (public methodology): crawled
+# and code corpora leak live credentials; scrub them BEFORE training, not
+# after. Same Java/RE2-portable discipline as the PII classes: no
+# lookarounds, ASCII \b only, frozen order shared with the DuckDB twin.
+SECRET_TOKENS = {
+    # PEM private-key armor header (the body is multi-line base64 — the
+    # header is the deterministic, dialect-safe marker)
+    "pem": ("<PEMKEY>", r"-----BEGIN [A-Z ]*PRIVATE KEY-----"),
+    # JWTs: three base64url segments; the header always starts 'eyJ'
+    # ('{"' base64-encoded)
+    "jwt": ("<JWT>", r"\beyJ[A-Za-z0-9_-]{8,}\.[A-Za-z0-9_-]{8,}"
+                     r"\.[A-Za-z0-9_-]{8,}\b"),
+    # AWS access key ids: fixed AKIA prefix + 16 uppercase base32 chars
+    "aws_key": ("<AWSKEY>", r"\bAKIA[0-9A-Z]{16}\b"),
+    # Slack bot/user/app tokens
+    "slack": ("<SLACKTOKEN>", r"\bxox[baprs]-[A-Za-z0-9-]{10,}\b"),
+    # bare hex secrets at sha1..sha256 lengths (API tokens, leaked keys)
+    "hex_secret": ("<HEXSECRET>", r"\b[0-9a-f]{40,64}\b"),
+}
+
+# pem first (self-contained); jwt/aws/slack before the generic hex class
+# so a structured token is never half-eaten by <HEXSECRET>
+SECRET_ORDER = ("pem", "jwt", "aws_key", "slack", "hex_secret")
+
+
+def secret_counts(text: Column) -> Dict[str, Column]:
+    """Progressive per-class counts, the pii_counts discipline: n_k =
+    matches of class k AFTER earlier classes were replaced."""
+    out: Dict[str, Column] = {}
+    cur = text
+    for k in SECRET_ORDER:
+        token, pat = SECRET_TOKENS[k]
+        out["n_%s" % k] = F.regexp_count(cur, F.lit(pat)).cast("int")
+        cur = F.regexp_replace(cur, pat, token)
+    return out
+
+
+def redact_secrets(text: Column) -> Column:
+    out = text
+    for k in SECRET_ORDER:
+        token, pat = SECRET_TOKENS[k]
+        out = F.regexp_replace(out, pat, token)
+    return out
+
+
+def secret_cols(text: Column) -> Dict[str, Column]:
+    """counts + scrubbed text, splattable into a select."""
+    cols = secret_counts(text)
+    cols["redacted"] = redact_secrets(text)
+    return cols
