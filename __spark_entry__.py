@@ -2103,6 +2103,20 @@ def q_caption_pairs(spark, sf_dir):
         _captions_fixture(spark, sf_dir), n_partitions=8))
 
 
+def q_rake_keywords(spark, sf_dir):
+    """RAKE keyword extraction (functions/rake.py + operators/textops.
+    rake_keywords_table) over the real documents text, top-3 phrases
+    per doc. Hard oracle: DuckDB rebuilds the candidate phrases
+    (punctuation fragments -> stopword-boundary runs via a window
+    cumsum), recomputes every word's degree/frequency and the exact
+    integer-DIV ppm scores, and re-ranks with the same (score desc,
+    phrase asc) tie rule."""
+    from llm_food_spark.operators.textops import rake_keywords_table
+
+    return rake_keywords_table(
+        _t(spark, sf_dir, "documents"), k=3, n_partitions=8)
+
+
 def q_secrets_scrub(spark, sf_dir):
     """Credential scrubbing (operators/redact.py secrets family — The
     Stack/StarCoder-style secret removal): every doc plants one of an
@@ -4382,7 +4396,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     oracles — every family gets at least one driver-visible row, and
     hand-written DuckDB SQL twins win slots over redundant or subsumed
     queries. Everything from slot 51 on is still gated locally by
-    tools/check_oracles.py (all 178, same rows+schema+hash compare at
+    tools/check_oracles.py (all 179, same rows+schema+hash compare at
     sf0.01) and ordered hard-SQL-twins-first in case the driver's cap is
     ever higher; the 13 frozen-golden byte-stability gates sit last.
     Subsumption notes for demoted queries are inline below."""
@@ -4469,6 +4483,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "caption_pairs": q_caption_pairs,      # the multimodal candidate screen chained THROUGH the pair extraction; twin composes the img_captions twin with the text/px predicates
         "extract_diff": q_extract_diff,        # extraction A/B drift audit (identical/ws_only/changed/added/removed + changed-only multiset Dice); twin classifies by direct string comparison, a different algorithm than the sha2 screen
         "secrets_scrub": q_secrets_scrub,      # The Stack-style credential scrubbing (AWS/JWT/Slack/hex/PEM) with a planted false-positive guard; twin replays the shared progressive regex chain (pii_redact holds the scrubbing family's driver slot)
+        "rake_keywords": q_rake_keywords,      # RAKE keyword extraction over the real corpus text; twin rebuilds phrases via window cumsum + recomputes every degree/frequency ppm score and the tie-broken ranking
         "ngram_jaccard": q_ngram_jaccard,        # demoted for phrase_search: driver-green in r3, and the shingle->set->exact-overlap twin mechanism is held by dedup_paragraphs/dedup_substrings slots; the capped in-block quadratic stays repo-gated
         "soft_dedup": q_soft_dedup,              # SoftDeDup/D4 duplicate-aware reweighting (hard micro-unit twin; the dedup family's driver slots hold the detection side)
         "mixture_weights": q_mixture_weights,    # DoReMi-style fixed-loss domain mixture (exact largest-remainder ppm twin; crawl_budget holds the apportionment family's driver slot)
@@ -4655,6 +4670,63 @@ def _pii_redact_sql() -> str:
         WITH s AS (SELECT doc_id, %s AS t FROM documents)
         SELECT doc_id, %s, %s AS redacted FROM s
     """ % (seed, counts, redacted)
+
+
+def _rake_sql() -> str:
+    from llm_food_spark.functions.rake import RAKE_STOPWORDS
+
+    stoplist = ", ".join("'%s'" % w for w in RAKE_STOPWORDS)
+    return f"""
+        WITH frags AS (
+          SELECT doc_id, u.i AS fi, fs[u.i] AS frag
+          FROM (SELECT doc_id,
+                       regexp_split_to_array(lower(text),
+                                             '[^a-z0-9 ]+') AS fs
+                FROM documents),
+               LATERAL (SELECT unnest(range(1, len(fs) + 1)) AS i) u
+        ), words AS (
+          SELECT doc_id, fi, u2.j AS wj, ws[u2.j] AS word,
+                 ws[u2.j] IN ({stoplist}) AS is_stop
+          FROM (SELECT doc_id, fi,
+                       regexp_split_to_array(frag, ' +') AS ws
+                FROM frags),
+               LATERAL (SELECT unnest(range(1, len(ws) + 1)) AS j) u2
+          WHERE ws[u2.j] <> ''
+        ), grp AS (
+          SELECT *, SUM(CASE WHEN is_stop THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY doc_id, fi ORDER BY wj) AS g
+          FROM words
+        ), pw AS (
+          SELECT doc_id, fi, g, wj, word FROM grp WHERE NOT is_stop
+        ), phr AS (
+          SELECT doc_id, fi, g,
+                 string_agg(word, ' ' ORDER BY wj) AS phrase,
+                 COUNT(*)::BIGINT AS plen
+          FROM pw GROUP BY doc_id, fi, g
+        ), stats AS (
+          SELECT w.doc_id, w.word,
+                 COUNT(*)::BIGINT AS freq, SUM(p.plen)::BIGINT AS deg
+          FROM pw w JOIN phr p USING (doc_id, fi, g)
+          GROUP BY w.doc_id, w.word
+        ), iscore AS (
+          SELECT p.doc_id, p.fi, p.g, p.phrase,
+                 SUM(s.deg * 1000000 // s.freq)::BIGINT AS score_ppm
+          FROM pw w
+          JOIN phr p USING (doc_id, fi, g)
+          JOIN stats s ON s.doc_id = w.doc_id AND s.word = w.word
+          GROUP BY p.doc_id, p.fi, p.g, p.phrase
+        ), dscore AS (
+          SELECT doc_id, phrase, MIN(score_ppm)::BIGINT AS score_ppm
+          FROM iscore GROUP BY doc_id, phrase
+        ), ranked AS (
+          SELECT doc_id, phrase, score_ppm,
+                 ROW_NUMBER() OVER (PARTITION BY doc_id
+                   ORDER BY score_ppm DESC, phrase ASC) AS rank
+          FROM dscore
+        )
+        SELECT doc_id, rank::INT AS rank, phrase, score_ppm
+        FROM ranked WHERE rank <= 3
+    """
 
 
 def _secrets_scrub_sql() -> str:
@@ -8614,6 +8686,7 @@ def _handwritten_oracles() -> dict[str, str]:
         # (one source of truth; Java and RE2 agree on all four classes)
         "pii_redact": _pii_redact_sql(),
         "secrets_scrub": _secrets_scrub_sql(),
+        "rake_keywords": _rake_sql(),
         # url construction + canonicalization mirror _messy_urls /
         # operators/urlops.py expression-for-expression (RE2 and Java agree
         # on every pattern; list_sort and array_sort both sort codepoints)

@@ -1,0 +1,74 @@
+"""RAKE keyword extraction — pure Python, no Spark imports.
+
+Rapid Automatic Keyword Extraction (Rose et al. 2010, public method):
+candidate phrases are maximal runs of non-stopword words between
+punctuation/stopword delimiters; each word scores degree/frequency
+(degree = co-occurring words per phrase occurrence, counted including
+itself), and a phrase scores the sum of its words' scores. The classic
+lightweight keyword tagger corpus-curation pipelines use for topic
+profiling without a model.
+
+All arithmetic is exact integers: score_ppm(w) = deg(w) * 1e6 div
+freq(w), so the DuckDB twin reproduces every score bit-for-bit. Ranking
+ties break on phrase text ascending — fully deterministic. No reference
+analogue (llm-food has no keyword extraction).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import List, Tuple
+
+# frozen, shared with the SQL twin (textops.STOPWORDS_EN is the
+# language-id marker set; RAKE wants the delimiter-word set below)
+RAKE_STOPWORDS = (
+    "the a an and or of to in is are was were be been it this that "
+    "with as for on at by from not but has have had they we you i he "
+    "she his her its their our your there which who what when where "
+    "how all any each more most some such no nor only own same so "
+    "than too very can will just should now"
+).split()
+
+# punctuation fragments: anything outside [a-z0-9 ] delimits
+_FRAG_RE = re.compile(r"[^a-z0-9 ]+")
+_STOPSET = frozenset(RAKE_STOPWORDS)
+
+
+def rake_phrases(text: str) -> List[List[str]]:
+    """Candidate phrases, document order, as word lists."""
+    out: List[List[str]] = []
+    for frag in _FRAG_RE.split(text.lower()):
+        cur: List[str] = []
+        for w in frag.split():
+            if w in _STOPSET:
+                if cur:
+                    out.append(cur)
+                    cur = []
+            else:
+                cur.append(w)
+        if cur:
+            out.append(cur)
+    return out
+
+
+def rake_keywords(text: str, k: int = 3) -> List[Tuple[int, str, int]]:
+    """Top-``k`` distinct phrases as (rank, phrase, score_ppm),
+    rank 1-based, ordered by (score desc, phrase asc)."""
+    phrases = rake_phrases(text)
+    if not phrases:
+        return []
+    freq: dict = {}
+    deg: dict = {}
+    for p in phrases:
+        n = len(p)
+        for w in p:
+            freq[w] = freq.get(w, 0) + 1
+            deg[w] = deg.get(w, 0) + n
+    score = {w: deg[w] * 1_000_000 // freq[w] for w in freq}
+    seen = {}
+    for p in phrases:
+        key = " ".join(p)
+        if key not in seen:
+            seen[key] = sum(score[w] for w in p)
+    ranked = sorted(seen.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+    return [(i + 1, ph, sc) for i, (ph, sc) in enumerate(ranked)]

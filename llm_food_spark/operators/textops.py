@@ -805,3 +805,40 @@ def term_drift(df_a, df_b, text_col: str = "text", id_col: str = "doc_id"):
         F.round(pb * F.lit(1e9)).cast("bigint").alias("pb_nano"),
         F.round(F.abs(pa - pb) * F.lit(1e9)).cast("bigint").alias("tv_nano"),
     )
+
+
+def rake_keywords_table(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    n_partitions=None,
+):
+    """RAKE keyword extraction (functions/rake.py — Rose et al. 2010):
+    -> (id, rank, phrase, score_ppm), top-``k`` distinct candidate
+    phrases per doc by exact-integer degree/frequency scoring, rank
+    1-based, ties broken on phrase text.
+
+    Scale shape: RAKE is per-document — ONE vectorized Arrow pass, zero
+    shuffle at any corpus size (the phrase/word stats never leave the
+    row). NULL/phrase-less docs yield no rows."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+
+    def run(it):
+        from llm_food_spark.functions.rake import rake_keywords
+
+        for pdf in it:
+            rows = []
+            for i, t in zip(pdf[id_col], pdf[text_col]):
+                if t is None:
+                    continue
+                for rank, phrase, score in rake_keywords(str(t), k):
+                    rows.append((i, rank, phrase, score))
+            yield pd.DataFrame(
+                rows, columns=[id_col, "rank", "phrase", "score_ppm"])
+
+    out_schema = "%s long, rank int, phrase string, score_ppm long" % id_col
+    return ensure_min_partitions(
+        df.select(id_col, text_col), n_partitions
+    ).mapInPandas(run, schema=out_schema)

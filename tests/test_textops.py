@@ -979,3 +979,76 @@ def test_term_drift_identical_and_invariance(spark):
     y = sorted(map(tuple, term_drift(
         d.repartition(11), d.limit(150).repartition(3)).collect()))
     assert x == y
+
+
+# --- RAKE keywords ----------------------------------------------------------
+
+def test_rake_phrases_split_on_stopwords_and_punct():
+    from llm_food_spark.functions.rake import rake_phrases
+
+    got = rake_phrases("Compatibility of systems, and linear constraints!")
+    assert got == [["compatibility"], ["systems"], ["linear",
+                                                    "constraints"]]
+
+
+def test_rake_scores_exact_integer_arithmetic():
+    from llm_food_spark.functions.rake import rake_keywords
+
+    # phrases: [deep learning], [deep networks], [learning]
+    # freq: deep 2, learning 2, networks 1
+    # deg:  deep 2+2=4, learning 2+1=3, networks 2
+    # score_ppm: deep 2_000_000, learning 1_500_000, networks 2_000_000
+    text = "deep learning and deep networks in learning"
+    got = rake_keywords(text, k=10)
+    scores = {p: s for _, p, s in got}
+    assert scores["deep learning"] == 3_500_000
+    assert scores["deep networks"] == 4_000_000
+    assert scores["learning"] == 1_500_000
+    # ranking: score desc, phrase asc; ranks dense 1-based
+    assert [(r, p) for r, p, _ in got] == [
+        (1, "deep networks"), (2, "deep learning"), (3, "learning")]
+
+
+def test_rake_tie_breaks_on_phrase_text():
+    from llm_food_spark.functions.rake import rake_keywords
+
+    got = rake_keywords("zebra. apple.", k=2)
+    assert [(r, p, s) for r, p, s in got] == [
+        (1, "apple", 1_000_000), (2, "zebra", 1_000_000)]
+
+
+def test_rake_empty_and_all_stopword_docs():
+    from llm_food_spark.functions.rake import rake_keywords
+
+    assert rake_keywords("") == []
+    assert rake_keywords("the and of to in") == []
+
+
+def test_rake_duplicate_phrase_counts_once_in_output():
+    from llm_food_spark.functions.rake import rake_keywords
+
+    got = rake_keywords("red car. red car.", k=5)
+    assert len(got) == 1
+    # freq red 2, car 2; deg red 4, car 4 -> each 2e6; phrase 4e6
+    assert got[0] == (1, "red car", 4_000_000)
+
+
+def test_rake_table_matches_pure_python(spark):
+    from llm_food_spark.functions.rake import rake_keywords
+    from llm_food_spark.operators.textops import rake_keywords_table
+
+    rows = [(1, "Compatibility of systems of linear constraints"),
+            (2, "deep learning and deep networks in learning"),
+            (3, None),
+            (4, "the and of"),
+            (5, "solo")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(map(tuple,
+                     rake_keywords_table(df, k=2, n_partitions=3).collect()))
+    want = sorted((i, r, p, s) for i, t in rows if t is not None
+                  for r, p, s in rake_keywords(t, 2))
+    assert got == want
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        rake_keywords_table(df, k=0)
