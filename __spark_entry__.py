@@ -2103,6 +2103,35 @@ def q_caption_pairs(spark, sf_dir):
         _captions_fixture(spark, sf_dir), n_partitions=8))
 
 
+def q_canonical_groups(spark, sf_dir):
+    """rel=canonical duplicate consolidation (operators/urlops.py::
+    canonical_consolidate) chained THROUGH extract_metadata's real DOM
+    parse: %3==1 docs declare an absolute canonical at the doc_id-div-9
+    anchor page (forming multi-page groups with the anchor's own
+    self-canonical row), %3==2 docs a RELATIVE canonical that urljoin
+    must resolve to an uncrawled target, %3==0 none (self). The oracle
+    reconstructs every pair closed-form and recomputes groups, self
+    counts, crawled membership and representatives."""
+    from llm_food_spark.operators.sitemap import extract_metadata
+    from llm_food_spark.operators.urlops import canonical_consolidate
+
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    link = (
+        F.when(i % 3 == 1, F.concat(
+            F.lit('<link rel="canonical" href="http://k.test/a/p'),
+            F.expr("doc_id div 9 * 9"), F.lit('">')))
+         .when(i % 3 == 2, F.concat(
+            F.lit('<link rel="canonical" href="q'), i, F.lit('">')))
+         .otherwise(F.lit("")))
+    html = F.concat(F.lit("<html><head><title>t</title>"), link,
+                    F.lit("</head><body><p>x</p></body></html>"))
+    pages = d.select(
+        F.concat(F.lit("http://k.test/a/p"), i).alias("url"),
+        F.encode(html, "UTF-8").alias("html"))
+    return canonical_consolidate(extract_metadata(pages))
+
+
 def q_rake_keywords(spark, sf_dir):
     """RAKE keyword extraction (functions/rake.py + operators/textops.
     rake_keywords_table) over the real documents text, top-3 phrases
@@ -4396,7 +4425,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     oracles — every family gets at least one driver-visible row, and
     hand-written DuckDB SQL twins win slots over redundant or subsumed
     queries. Everything from slot 51 on is still gated locally by
-    tools/check_oracles.py (all 179, same rows+schema+hash compare at
+    tools/check_oracles.py (all 180, same rows+schema+hash compare at
     sf0.01) and ordered hard-SQL-twins-first in case the driver's cap is
     ever higher; the 13 frozen-golden byte-stability gates sit last.
     Subsumption notes for demoted queries are inline below."""
@@ -4484,6 +4513,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_diff": q_extract_diff,        # extraction A/B drift audit (identical/ws_only/changed/added/removed + changed-only multiset Dice); twin classifies by direct string comparison, a different algorithm than the sha2 screen
         "secrets_scrub": q_secrets_scrub,      # The Stack-style credential scrubbing (AWS/JWT/Slack/hex/PEM) with a planted false-positive guard; twin replays the shared progressive regex chain (pii_redact holds the scrubbing family's driver slot)
         "rake_keywords": q_rake_keywords,      # RAKE keyword extraction over the real corpus text; twin rebuilds phrases via window cumsum + recomputes every degree/frequency ppm score and the tie-broken ranking
+        "canonical_groups": q_canonical_groups,  # rel=canonical duplicate consolidation chained THROUGH the real metadata DOM parse (urljoin resolution, crawled-membership, representative election); closed-form twin
         "ngram_jaccard": q_ngram_jaccard,        # demoted for phrase_search: driver-green in r3, and the shingle->set->exact-overlap twin mechanism is held by dedup_paragraphs/dedup_substrings slots; the capped in-block quadratic stays repo-gated
         "soft_dedup": q_soft_dedup,              # SoftDeDup/D4 duplicate-aware reweighting (hard micro-unit twin; the dedup family's driver slots hold the detection side)
         "mixture_weights": q_mixture_weights,    # DoReMi-style fixed-loss domain mixture (exact largest-remainder ppm twin; crawl_budget holds the apportionment family's driver slot)
@@ -8243,6 +8273,35 @@ def _handwritten_oracles() -> dict[str, str]:
             WHERE len(text) >= 5
               AND COALESCE(width >= 64, TRUE)
               AND COALESCE(height >= 64, TRUE)
+        """,
+        # canonical_groups twin: closed-form pair reconstruction (the
+        # three canonical classes incl. the urljoin-resolved relative
+        # form), then groups / self counts / crawled membership /
+        # representative election recomputed in plain SQL.
+        "canonical_groups": """
+            WITH pairs AS (
+              SELECT 'http://k.test/a/p' || doc_id AS url,
+                     CASE WHEN doc_id % 3 = 1
+                            THEN 'http://k.test/a/p'
+                                 || ((doc_id // 9) * 9)
+                          WHEN doc_id % 3 = 2
+                            THEN 'http://k.test/a/q' || doc_id
+                          ELSE 'http://k.test/a/p' || doc_id
+                     END AS target
+              FROM documents
+            ), crawled AS (SELECT DISTINCT url AS target FROM pairs),
+            g AS (
+              SELECT target, COUNT(*)::BIGINT AS n_pages,
+                     SUM(CASE WHEN url = target THEN 1 ELSE 0 END)
+                       ::BIGINT AS n_self,
+                     MIN(url) AS min_url
+              FROM pairs GROUP BY target
+            )
+            SELECT g.target, g.n_pages, g.n_self,
+                   c.target IS NOT NULL AS target_crawled,
+                   CASE WHEN c.target IS NOT NULL THEN g.target
+                        ELSE g.min_url END AS representative
+            FROM g LEFT JOIN crawled c ON g.target = c.target
         """,
         # extract_diff twin: status via DIRECT string comparison (the
         # operator screens on sha2 — different algorithm, same verdicts)

@@ -378,3 +378,71 @@ def resolve_redirects(
             done.alias("resolved"),
         )
     )
+
+
+def canonical_consolidate(
+    meta: DataFrame,
+    url_col: str = "url",
+    canonical_col: str = "canonical",
+) -> DataFrame:
+    """rel=canonical duplicate consolidation — the server-declared half
+    of the dedup story (print views, ?page= variants, mirrors all point
+    their <link rel="canonical"> at one url; Google's public dedup
+    signal, carried in Common Crawl WAT metadata).
+
+    Input is extract_metadata-shaped: (url, canonical href or NULL).
+    One row out per canonical GROUP:
+    (target, n_pages, n_self, target_crawled, representative) where
+    ``target`` = the canonical href resolved against the page url
+    (urljoin; absent/empty canonical -> self), ``n_self`` counts
+    members declaring themselves canonical, ``target_crawled`` whether
+    the target url is in the crawl at all (a target can be crawled yet
+    belong to ANOTHER group when it declares a different canonical),
+    and ``representative`` = the target when crawled, else the
+    lexicographic-min member (deterministic under any partitioning).
+
+    Scale shape: one Arrow resolution pass (url+href only, never html),
+    a map-side-combining groupBy(target), and one narrow
+    distinct-url membership join (AQE-planned). No windows, no driver
+    scalars."""
+    import pandas as pd
+
+    from .util import ensure_min_partitions
+
+    def run(it):
+        from urllib.parse import urljoin
+
+        for pdf in it:
+            urls, targets = [], []
+            for u, c in zip(pdf[url_col], pdf[canonical_col]):
+                u = str(u)
+                c = str(c).strip() if c is not None else ""
+                t = u
+                if c:
+                    try:
+                        t = urljoin(u, c)
+                    except ValueError:
+                        pass
+                urls.append(u)
+                targets.append(t)
+            yield pd.DataFrame({"url": urls, "target": targets})
+
+    pairs = ensure_min_partitions(
+        meta.select(url_col, canonical_col)
+    ).mapInPandas(run, schema="url string, target string")
+    crawled = pairs.select(F.col("url").alias("target")).distinct() \
+                   .select("target", F.lit(True).alias("crawled"))
+    g = pairs.groupBy("target").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pages"),
+        F.sum((F.col("url") == F.col("target")).cast("long"))
+         .cast("long").alias("n_self"),
+        F.min("url").alias("min_url"),
+    )
+    out = g.join(crawled, "target", "left")
+    is_crawled = F.coalesce(F.col("crawled"), F.lit(False))
+    return out.select(
+        "target", "n_pages", "n_self",
+        is_crawled.alias("target_crawled"),
+        F.when(is_crawled, F.col("target")).otherwise(F.col("min_url"))
+         .alias("representative"),
+    )

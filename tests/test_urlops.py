@@ -199,3 +199,59 @@ def test_url_trap_signals_hand_case(spark):
     plan = url_trap_signals(urls)._jdf.queryExecution().executedPlan(
         ).toString()
     assert "EvalPython" not in plan and "MapInPandas" not in plan
+
+
+# --- canonical consolidation ------------------------------------------------
+
+def test_canonical_consolidate_groups_and_representatives(spark):
+    from llm_food_spark.operators.urlops import canonical_consolidate
+
+    meta = spark.createDataFrame(
+        [("http://h.test/a", None),              # self-canonical
+         ("http://h.test/a?page=2", "http://h.test/a"),
+         ("http://h.test/a?page=3", "http://h.test/a"),
+         ("http://h.test/b", "print/b"),         # relative, uncrawled
+         ("http://h.test/c", "http://h.test/d"),  # target crawled but
+         ("http://h.test/d", "http://h.test/e")],  # in ANOTHER group
+        "url string, canonical string")
+    rows = {r.target: r for r in canonical_consolidate(meta).collect()}
+
+    a = rows["http://h.test/a"]
+    assert (a.n_pages, a.n_self, a.target_crawled) == (3, 1, True)
+    assert a.representative == "http://h.test/a"
+
+    b = rows["http://h.test/print/b"]
+    assert (b.n_pages, b.n_self, b.target_crawled) == (1, 0, False)
+    assert b.representative == "http://h.test/b"
+
+    d = rows["http://h.test/d"]  # c points here; d itself points at e
+    assert (d.n_pages, d.n_self, d.target_crawled) == (1, 0, True)
+    assert d.representative == "http://h.test/d"
+
+    e = rows["http://h.test/e"]
+    assert (e.n_pages, e.target_crawled) == (1, False)
+    assert e.representative == "http://h.test/d"
+
+
+def test_canonical_consolidate_empty_string_is_self(spark):
+    from llm_food_spark.operators.urlops import canonical_consolidate
+
+    meta = spark.createDataFrame(
+        [("http://h.test/x", "  ")], "url string, canonical string")
+    rows = canonical_consolidate(meta).collect()
+    assert rows[0].target == "http://h.test/x"
+    assert rows[0].n_self == 1
+
+
+def test_canonical_consolidate_partition_invariance(spark):
+    from llm_food_spark.operators.urlops import canonical_consolidate
+
+    meta = spark.createDataFrame(
+        [("http://h.test/p%d" % i,
+          "http://h.test/p%d" % (i // 3 * 3) if i % 3 else None)
+         for i in range(30)],
+        "url string, canonical string")
+    a = sorted(map(tuple, canonical_consolidate(meta).collect()))
+    b = sorted(map(tuple,
+                   canonical_consolidate(meta.repartition(7)).collect()))
+    assert a == b
