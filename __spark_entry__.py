@@ -2103,6 +2103,28 @@ def q_caption_pairs(spark, sf_dir):
         _captions_fixture(spark, sf_dir), n_partitions=8))
 
 
+def q_doc_expansion(spark, sf_dir):
+    """Anchor-text document expansion (operators/links.py::
+    expand_with_anchors): the seeded modular edge set gives every
+    doc_id%50 target a duplicate-bearing anchor distribution; top-3
+    anchors (count desc, text asc) join back onto the real documents
+    text in rank order. Hard oracle: DuckDB recomputes the counts, the
+    tie-broken ranks, the rank-ordered string_agg, and every expanded
+    string."""
+    from llm_food_spark.operators.links import expand_with_anchors
+
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    docs = d.select(
+        F.concat(F.lit("http://d.test/"), i).alias("url"), "text")
+    edges = d.select(
+        F.concat(F.lit("http://s.test/"), i).alias("src"),
+        F.concat(F.lit("http://d.test/"), i % 50).alias("target"),
+        F.concat(F.lit("a"), i % 7).alias("anchor"),
+        F.lit("").alias("rel"))
+    return expand_with_anchors(docs, edges, k=3)
+
+
 def q_canonical_groups(spark, sf_dir):
     """rel=canonical duplicate consolidation (operators/urlops.py::
     canonical_consolidate) chained THROUGH extract_metadata's real DOM
@@ -4425,7 +4447,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     oracles — every family gets at least one driver-visible row, and
     hand-written DuckDB SQL twins win slots over redundant or subsumed
     queries. Everything from slot 51 on is still gated locally by
-    tools/check_oracles.py (all 180, same rows+schema+hash compare at
+    tools/check_oracles.py (all 181, same rows+schema+hash compare at
     sf0.01) and ordered hard-SQL-twins-first in case the driver's cap is
     ever higher; the 13 frozen-golden byte-stability gates sit last.
     Subsumption notes for demoted queries are inline below."""
@@ -4514,6 +4536,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "secrets_scrub": q_secrets_scrub,      # The Stack-style credential scrubbing (AWS/JWT/Slack/hex/PEM) with a planted false-positive guard; twin replays the shared progressive regex chain (pii_redact holds the scrubbing family's driver slot)
         "rake_keywords": q_rake_keywords,      # RAKE keyword extraction over the real corpus text; twin rebuilds phrases via window cumsum + recomputes every degree/frequency ppm score and the tie-broken ranking
         "canonical_groups": q_canonical_groups,  # rel=canonical duplicate consolidation chained THROUGH the real metadata DOM parse (urljoin resolution, crawled-membership, representative election); closed-form twin
+        "doc_expansion": q_doc_expansion,      # anchor-text document expansion (link-text augmentation for retrieval); twin recomputes counts, tie-broken ranks and every rank-ordered expanded string
         "ngram_jaccard": q_ngram_jaccard,        # demoted for phrase_search: driver-green in r3, and the shingle->set->exact-overlap twin mechanism is held by dedup_paragraphs/dedup_substrings slots; the capped in-block quadratic stays repo-gated
         "soft_dedup": q_soft_dedup,              # SoftDeDup/D4 duplicate-aware reweighting (hard micro-unit twin; the dedup family's driver slots hold the detection side)
         "mixture_weights": q_mixture_weights,    # DoReMi-style fixed-loss domain mixture (exact largest-remainder ppm twin; crawl_budget holds the apportionment family's driver slot)
@@ -8273,6 +8296,37 @@ def _handwritten_oracles() -> dict[str, str]:
             WHERE len(text) >= 5
               AND COALESCE(width >= 64, TRUE)
               AND COALESCE(height >= 64, TRUE)
+        """,
+        # doc_expansion twin: counts -> tie-broken row_number ranks ->
+        # rank-ordered string_agg -> left-attach, all recomputed.
+        "doc_expansion": """
+            WITH docs AS (
+              SELECT 'http://d.test/' || doc_id AS url, text
+              FROM documents
+            ), e AS (
+              SELECT 'http://d.test/' || (doc_id % 50) AS target,
+                     'a' || (doc_id % 7) AS anchor
+              FROM documents
+            ), c AS (
+              SELECT target, anchor, COUNT(*)::BIGINT AS n
+              FROM e GROUP BY target, anchor
+            ), r AS (
+              SELECT *, ROW_NUMBER() OVER (PARTITION BY target
+                          ORDER BY n DESC, anchor ASC) AS rank
+              FROM c
+            ), agg AS (
+              SELECT target,
+                     string_agg(anchor, ' | ' ORDER BY rank)
+                       AS anchor_terms,
+                     COUNT(*)::INT AS n_anchor_terms
+              FROM r WHERE rank <= 3 GROUP BY target
+            )
+            SELECT d.url, d.text, a.anchor_terms,
+                   COALESCE(a.n_anchor_terms, 0)::INT AS n_anchor_terms,
+                   CASE WHEN a.anchor_terms IS NOT NULL
+                        THEN d.text || ' | ' || a.anchor_terms
+                        ELSE d.text END AS expanded
+            FROM docs d LEFT JOIN agg a ON d.url = a.target
         """,
         # canonical_groups twin: closed-form pair reconstruction (the
         # three canonical classes incl. the urljoin-resolved relative

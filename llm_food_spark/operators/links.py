@@ -186,3 +186,50 @@ def cocitation_pairs(
         .agg(F.count(F.lit(1)).cast("long").alias("n_cocite"))
         .where(F.col("n_cocite") >= int(min_cocite))
     )
+
+
+def expand_with_anchors(
+    docs: DataFrame,
+    outlinks: DataFrame,
+    k: int = 3,
+    sep: str = " | ",
+    url_col: str = "url",
+    text_col: str = "text",
+) -> DataFrame:
+    """Anchor-text document expansion — append what the web CALLS a
+    page to the page's own text: the classic anchor-index retrieval
+    trick (link-text augmentation), used as BM25/embedding input where
+    off-page descriptions beat on-page spin.
+
+    -> (url, text, anchor_terms, n_anchor_terms, expanded): the top-
+    ``k`` incoming anchor texts per url (anchor_text_index order —
+    count desc, anchor asc) joined ``sep``-separated in rank order;
+    docs with no inbound anchors keep text unchanged with
+    n_anchor_terms=0 and a NULL anchor_terms.
+
+    Scale shape: the index side is already capped at k rows per url
+    (WindowGroupLimit partial), the ordered re-assembly is
+    sort_array(collect_list(struct(rank, anchor))) over <= k elements —
+    deterministic, no second window — and the attach is one narrow
+    left join on url."""
+    idx = anchor_text_index(outlinks, k=k)
+    agg = idx.groupBy("target").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(
+                    F.struct("rank", "anchor"))),
+                lambda s: s["anchor"]),
+            sep).alias("anchor_terms"),
+        F.count(F.lit(1)).cast("int").alias("n_anchor_terms"),
+    )
+    j = docs.select(F.col(url_col).alias("url"),
+                    F.col(text_col).alias("text")) \
+            .join(agg, F.col("url") == F.col("target"), "left")
+    return j.select(
+        "url", "text", "anchor_terms",
+        F.coalesce("n_anchor_terms", F.lit(0)).alias("n_anchor_terms"),
+        F.when(F.col("anchor_terms").isNotNull(),
+               F.concat(F.col("text"), F.lit(sep),
+                        F.col("anchor_terms")))
+         .otherwise(F.col("text")).alias("expanded"),
+    )

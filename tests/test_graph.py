@@ -752,3 +752,52 @@ def test_hyperball_validation(spark):
         hyperball(e, rounds=0)
     with pytest.raises(ValueError):
         hyperball(e, m=12)
+
+
+# --- anchor expansion -------------------------------------------------------
+
+def test_expand_with_anchors_orders_and_attaches(spark):
+    from llm_food_spark.operators.links import expand_with_anchors
+
+    docs = spark.createDataFrame(
+        [("u1", "own text"), ("u2", "lonely")], "url string, text string")
+    edges = spark.createDataFrame(
+        [("s", "u1", "beta", ""), ("s2", "u1", "beta", ""),
+         ("s3", "u1", "alpha", ""), ("s4", "u1", "gamma", ""),
+         ("s5", "u1", "delta", "")],
+        "src string, target string, anchor string, rel string")
+    rows = {r.url: r for r in
+            expand_with_anchors(docs, edges, k=3).collect()}
+    # counts: beta 2, others 1 -> top3 = beta, alpha, delta (tie text asc)
+    assert rows["u1"].anchor_terms == "beta | alpha | delta"
+    assert rows["u1"].n_anchor_terms == 3
+    assert rows["u1"].expanded == "own text | beta | alpha | delta"
+    assert rows["u2"].anchor_terms is None
+    assert rows["u2"].n_anchor_terms == 0
+    assert rows["u2"].expanded == "lonely"
+
+
+def test_expand_with_anchors_empty_anchors_dropped(spark):
+    from llm_food_spark.operators.links import expand_with_anchors
+
+    docs = spark.createDataFrame([("u1", "t")], "url string, text string")
+    edges = spark.createDataFrame(
+        [("s", "u1", "", "")], "src string, target string, anchor string, rel string")
+    r = expand_with_anchors(docs, edges).collect()[0]
+    assert r.expanded == "t" and r.n_anchor_terms == 0
+
+
+def test_expand_with_anchors_partition_invariance(spark):
+    from llm_food_spark.operators.links import expand_with_anchors
+
+    docs = spark.createDataFrame(
+        [("u%d" % i, "t%d" % i) for i in range(20)],
+        "url string, text string")
+    edges = spark.createDataFrame(
+        [("s%d" % i, "u%d" % (i % 20), "a%d" % (i % 7), "")
+         for i in range(200)],
+        "src string, target string, anchor string, rel string")
+    a = sorted(map(tuple, expand_with_anchors(docs, edges, k=2).collect()))
+    b = sorted(map(tuple, expand_with_anchors(
+        docs.repartition(5), edges.repartition(7), k=2).collect()))
+    assert a == b
