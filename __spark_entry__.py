@@ -2103,6 +2103,18 @@ def q_caption_pairs(spark, sf_dir):
         _captions_fixture(spark, sf_dir), n_partitions=8))
 
 
+def q_span_corruption(spark, sf_dir):
+    """UL2/T5 span-corruption layout (operators/split.py::
+    span_corruption) over the real documents text: one masked span per
+    full 20-token block, mode/length/jitter from chained MINSTD rounds,
+    spans block-disjoint by construction. Hard oracle: DuckDB
+    recomputes the whitespace token counts, every hash round, every
+    mode/length verdict and every jittered start."""
+    from llm_food_spark.operators.split import span_corruption
+
+    return span_corruption(_t(spark, sf_dir, "documents"))
+
+
 def q_doc_expansion(spark, sf_dir):
     """Anchor-text document expansion (operators/links.py::
     expand_with_anchors): the seeded modular edge set gives every
@@ -4447,7 +4459,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     oracles — every family gets at least one driver-visible row, and
     hand-written DuckDB SQL twins win slots over redundant or subsumed
     queries. Everything from slot 51 on is still gated locally by
-    tools/check_oracles.py (all 181, same rows+schema+hash compare at
+    tools/check_oracles.py (all 182, same rows+schema+hash compare at
     sf0.01) and ordered hard-SQL-twins-first in case the driver's cap is
     ever higher; the 13 frozen-golden byte-stability gates sit last.
     Subsumption notes for demoted queries are inline below."""
@@ -4537,6 +4549,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rake_keywords": q_rake_keywords,      # RAKE keyword extraction over the real corpus text; twin rebuilds phrases via window cumsum + recomputes every degree/frequency ppm score and the tie-broken ranking
         "canonical_groups": q_canonical_groups,  # rel=canonical duplicate consolidation chained THROUGH the real metadata DOM parse (urljoin resolution, crawled-membership, representative election); closed-form twin
         "doc_expansion": q_doc_expansion,      # anchor-text document expansion (link-text augmentation for retrieval); twin recomputes counts, tie-broken ranks and every rank-ordered expanded string
+        "span_corruption": q_span_corruption,  # UL2/T5 deterministic denoiser span layout (block-disjoint masked spans from chained MINSTD rounds); twin recomputes every hash/mode/length/jitter
         "ngram_jaccard": q_ngram_jaccard,        # demoted for phrase_search: driver-green in r3, and the shingle->set->exact-overlap twin mechanism is held by dedup_paragraphs/dedup_substrings slots; the capped in-block quadratic stays repo-gated
         "soft_dedup": q_soft_dedup,              # SoftDeDup/D4 duplicate-aware reweighting (hard micro-unit twin; the dedup family's driver slots hold the detection side)
         "mixture_weights": q_mixture_weights,    # DoReMi-style fixed-loss domain mixture (exact largest-remainder ppm twin; crawl_budget holds the apportionment family's driver slot)
@@ -8297,6 +8310,39 @@ def _handwritten_oracles() -> dict[str, str]:
               AND COALESCE(width >= 64, TRUE)
               AND COALESCE(height >= 64, TRUE)
         """,
+        # span_corruption twin: whitespace token counts + the chained
+        # MINSTD rounds + mode/length/jitter arithmetic, all recomputed
+        # per block via range-unnest.
+        "span_corruption": """
+            WITH d AS (
+              SELECT doc_id, len({ws})::BIGINT AS n FROM documents
+            ), blocks AS (
+              SELECT doc_id, n, u.b FROM d,
+                   LATERAL (SELECT unnest(range(0, n // 20)) AS b) u
+              WHERE n >= 20
+            ), h AS (
+              SELECT doc_id, b,
+                     ((doc_id + b) % 2147483647 + 2147483647)
+                       % 2147483647 * 48271 % 2147483647 AS h1
+              FROM blocks
+            ), h2t AS (
+              SELECT *, h1 * 48271 % 2147483647 AS h2 FROM h
+            ), h3t AS (
+              SELECT *, h2 * 48271 % 2147483647 AS h3 FROM h2t
+            ), spans AS (
+              SELECT doc_id, b,
+                     CASE WHEN h1 % 4 = 0 THEN 'long'
+                          ELSE 'short' END AS mode,
+                     (CASE WHEN h1 % 4 = 0 THEN 8 + h2 % 5
+                           ELSE 1 + h2 % 3 END)::INT AS length,
+                     h3
+              FROM h3t
+            )
+            SELECT doc_id, b::INT AS span_idx, mode,
+                   (b * 20 + h3 % (20 - length + 1))::BIGINT AS start,
+                   length
+            FROM spans
+        """.format(ws=_WSTOKS),
         # doc_expansion twin: counts -> tie-broken row_number ranks ->
         # rank-ordered string_agg -> left-attach, all recomputed.
         "doc_expansion": """

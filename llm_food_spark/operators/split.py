@@ -724,3 +724,69 @@ def leakage_audit(
         F.sum("c").cast("long").alias("n_docs"),
     )
     return out.where(F.col("n_splits") > 1).withColumnRenamed("grp", group_col)
+
+
+# ASCII whitespace tokenizer class (textops discipline: Java \s includes
+# \x0B, RE2 \s does not — spell it out so the twin is byte-identical)
+_SPAN_WS = "[ \\t\\n\\x0B\\f\\r]+"
+
+
+def span_corruption(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    stride: int = 20,
+    short_max: int = 3,
+    long_min: int = 8,
+    long_jitter: int = 5,
+) -> DataFrame:
+    """UL2/T5-style span-corruption layout — the deterministic denoiser
+    plan: WHICH token spans get masked behind sentinels, decided at
+    corpus-prep time so every epoch/rerun regenerates the identical
+    training batches (the reproducibility property orderBy(rand())
+    pipelines lose).
+
+    Each full ``stride``-token block of a document hosts exactly one
+    span: mode 'long' (h1%4==0; UL2's extreme denoising) of
+    ``long_min + h2 % long_jitter`` tokens, else 'short' of
+    ``1 + h2 % short_max``; the span's jitter inside its block is
+    ``h3 % (stride - len + 1)``, so spans NEVER overlap or straddle
+    blocks by construction (no sequential scan needed — the property
+    that makes this one flat Catalyst expression instead of an
+    iterative mask walk). h1..h3 are chained MINSTD rounds over the
+    nonnegative (doc_id + block) residue — bucket_minstd's portable
+    arithmetic. Trailing partial blocks are left clean.
+
+    -> (id, span_idx, mode, start, length) per span; docs shorter than
+    ``stride`` whitespace tokens emit no rows. Scale shape: one select
+    + posexplode(sequence), zero shuffle, no Python.
+    """
+    if stride < long_min + long_jitter:
+        raise ValueError("stride must fit the longest span")
+    if min(stride, short_max, long_min, long_jitter) < 1:
+        raise ValueError("all span parameters must be >= 1")
+    n = F.size(F.filter(F.split(F.col(text_col), _SPAN_WS),
+                        lambda x: x != "")).cast("long")
+    base = df.select(
+        F.col(id_col), n.alias("_n"),
+        F.explode(F.sequence(
+            F.lit(0).cast("long"),
+            (n / stride).cast("long") - 1)).alias("span_idx"),
+    ).where(F.col("_n") >= stride)
+    b = F.col("span_idx")
+    nonneg = ((F.col(id_col) + b) % MINSTD_MOD + MINSTD_MOD) % MINSTD_MOD
+    h1 = (nonneg * MINSTD_MUL) % MINSTD_MOD
+    h2 = (h1 * MINSTD_MUL) % MINSTD_MOD
+    h3 = (h2 * MINSTD_MUL) % MINSTD_MOD
+    is_long = h1 % 4 == 0
+    length = F.when(is_long, F.lit(long_min) + h2 % long_jitter) \
+              .otherwise(F.lit(1) + h2 % short_max).cast("int")
+    start = (b * stride + h3 % (stride - length + 1)).cast("long")
+    return base.select(
+        id_col,
+        b.cast("int").alias("span_idx"),
+        F.when(is_long, F.lit("long")).otherwise(F.lit("short"))
+         .alias("mode"),
+        start.alias("start"),
+        length.alias("length"),
+    )

@@ -550,3 +550,76 @@ def test_pps_sample_partition_invariant_python_replay_and_validation(spark):
     assert a == sorted(want)
     with _pytest.raises(ValueError):
         pps_sample(d, 0)
+
+
+# --- span corruption --------------------------------------------------------
+
+def _span_replay(doc_id, n, stride=20, short_max=3, long_min=8,
+                 long_jitter=5):
+    M, A = 2_147_483_647, 48_271
+    out = []
+    for b in range(n // stride):
+        nonneg = ((doc_id + b) % M + M) % M
+        h1 = nonneg * A % M
+        h2 = h1 * A % M
+        h3 = h2 * A % M
+        if h1 % 4 == 0:
+            mode, length = "long", long_min + h2 % long_jitter
+        else:
+            mode, length = "short", 1 + h2 % short_max
+        start = b * stride + h3 % (stride - length + 1)
+        out.append((doc_id, b, mode, start, length))
+    return out
+
+
+def test_span_corruption_matches_replay_and_never_overlaps(spark):
+    from llm_food_spark.operators.split import span_corruption
+
+    rows = [(i, " ".join("t%d" % j for j in range(5 + 7 * i)))
+            for i in range(12)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(map(tuple, span_corruption(df).collect()))
+    want = sorted(t for i, txt in rows
+                  for t in _span_replay(i, len(txt.split())))
+    assert got == want
+    # spans stay inside their stride block -> disjoint by construction
+    for doc_id, b, _, start, length in got:
+        assert b * 20 <= start and start + length <= (b + 1) * 20
+
+
+def test_span_corruption_short_docs_emit_nothing(spark):
+    from llm_food_spark.operators.split import span_corruption
+
+    df = spark.createDataFrame(
+        [(1, "only five little tokens here"), (2, None), (3, "")],
+        "doc_id long, text string")
+    assert span_corruption(df).count() == 0
+
+
+def test_span_corruption_mode_mix_and_partition_invariance(spark):
+    from llm_food_spark.operators.split import span_corruption
+
+    df = spark.createDataFrame(
+        [(i, " ".join(["w"] * 200)) for i in range(40)],
+        "doc_id long, text string")
+    a = span_corruption(df).collect()
+    modes = {r.mode for r in a}
+    assert modes == {"short", "long"}
+    lens_by_mode = {}
+    for r in a:
+        lens_by_mode.setdefault(r.mode, set()).add(r.length)
+    assert lens_by_mode["short"] <= {1, 2, 3}
+    assert lens_by_mode["long"] <= {8, 9, 10, 11, 12}
+    b = span_corruption(df.repartition(7)).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_span_corruption_validation(spark):
+    from llm_food_spark.operators.split import span_corruption
+
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        span_corruption(df, stride=10)  # can't fit longest span
+    with _pytest.raises(ValueError):
+        span_corruption(df, short_max=0)
