@@ -2103,6 +2103,19 @@ def q_caption_pairs(spark, sf_dir):
         _captions_fixture(spark, sf_dir), n_partitions=8))
 
 
+def q_embed_quantize(spark, sf_dir):
+    """Scalar int8 quantization audit (operators/similarity.py::
+    quantize_embeddings) over the embeddings table. Hard oracle: after
+    the one shared float step (floor(x*1e9) — floor on BOTH engines;
+    bare casts round in DuckDB and truncate in Spark), every code,
+    reconstruction and squared-error sum is exact integer arithmetic
+    DuckDB re-derives element-by-element via range-unnest."""
+    from llm_food_spark.operators.similarity import quantize_embeddings
+
+    return quantize_embeddings(
+        _t(spark, sf_dir, "embeddings"), n_partitions=8)
+
+
 def q_span_corruption(spark, sf_dir):
     """UL2/T5 span-corruption layout (operators/split.py::
     span_corruption) over the real documents text: one masked span per
@@ -4459,7 +4472,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     oracles — every family gets at least one driver-visible row, and
     hand-written DuckDB SQL twins win slots over redundant or subsumed
     queries. Everything from slot 51 on is still gated locally by
-    tools/check_oracles.py (all 182, same rows+schema+hash compare at
+    tools/check_oracles.py (all 183, same rows+schema+hash compare at
     sf0.01) and ordered hard-SQL-twins-first in case the driver's cap is
     ever higher; the 13 frozen-golden byte-stability gates sit last.
     Subsumption notes for demoted queries are inline below."""
@@ -4550,6 +4563,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "canonical_groups": q_canonical_groups,  # rel=canonical duplicate consolidation chained THROUGH the real metadata DOM parse (urljoin resolution, crawled-membership, representative election); closed-form twin
         "doc_expansion": q_doc_expansion,      # anchor-text document expansion (link-text augmentation for retrieval); twin recomputes counts, tie-broken ranks and every rank-ordered expanded string
         "span_corruption": q_span_corruption,  # UL2/T5 deterministic denoiser span layout (block-disjoint masked spans from chained MINSTD rounds); twin recomputes every hash/mode/length/jitter
+        "embed_quantize": q_embed_quantize,    # int8 embedding quantization audit in exact nano-integer space (scale, codes, reconstruction error); twin re-derives every element via range-unnest
         "ngram_jaccard": q_ngram_jaccard,        # demoted for phrase_search: driver-green in r3, and the shingle->set->exact-overlap twin mechanism is held by dedup_paragraphs/dedup_substrings slots; the capped in-block quadratic stays repo-gated
         "soft_dedup": q_soft_dedup,              # SoftDeDup/D4 duplicate-aware reweighting (hard micro-unit twin; the dedup family's driver slots hold the detection side)
         "mixture_weights": q_mixture_weights,    # DoReMi-style fixed-loss domain mixture (exact largest-remainder ppm twin; crawl_budget holds the apportionment family's driver slot)
@@ -8309,6 +8323,39 @@ def _handwritten_oracles() -> dict[str, str]:
             WHERE len(text) >= 5
               AND COALESCE(width >= 64, TRUE)
               AND COALESCE(height >= 64, TRUE)
+        """,
+        # embed_quantize twin: floor(x*1e9) is the one float step (floor
+        # on both engines — casts disagree: DuckDB rounds, Spark
+        # truncates); codes/reconstruction/error all exact integers.
+        "embed_quantize": """
+            WITH x AS (
+              SELECT vec_id, u.i,
+                     FLOOR(embedding[u.i]::DOUBLE * 1000000000.0)
+                       ::BIGINT AS xn
+              FROM embeddings,
+                   LATERAL (SELECT unnest(range(1, len(embedding) + 1))
+                            AS i) u
+            ), a AS (SELECT vec_id, i, xn, ABS(xn) AS a FROM x),
+            m AS (
+              SELECT vec_id, MAX(a) AS m, COUNT(*)::INT AS nd
+              FROM a GROUP BY vec_id
+            ), q AS (
+              SELECT a.vec_id, a.i, a.xn, a.a, m.m, m.nd,
+                     CASE WHEN m.m = 0 THEN 0
+                          ELSE (a.a * 254 + m.m) // (2 * m.m) END AS qm
+              FROM a JOIN m USING (vec_id)
+            ), r AS (
+              SELECT *, CASE WHEN m = 0 THEN 0
+                             ELSE (qm * 2 * m + 127) // 254 END AS recon
+              FROM q
+            )
+            SELECT vec_id, MAX(m)::BIGINT AS m_nano, MAX(nd)::INT AS n_dims,
+                   SUM(qm)::BIGINT AS q_l1,
+                   SUM((a - recon) * (a - recon))::BIGINT AS err_nano2,
+                   MAX(CASE WHEN i = 1 THEN
+                         (CASE WHEN xn < 0 THEN -qm ELSE qm END)
+                       END)::INT AS q0
+            FROM r GROUP BY vec_id
         """,
         # span_corruption twin: whitespace token counts + the chained
         # MINSTD rounds + mode/length/jitter arithmetic, all recomputed

@@ -314,3 +314,54 @@ def test_pq_codebooks_input_smaller_than_ksub(spark):
     df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
     books = pq_train_codebooks(df, m=8, ksub=16, iters=2)
     assert books.shape == (8, 5, 8)
+
+
+# --- int8 quantization audit ------------------------------------------------
+
+def test_quantize_embeddings_hand_case(spark):
+    from llm_food_spark.operators.similarity import quantize_embeddings
+
+    df = spark.createDataFrame(
+        [(1, [1.0, -0.5, 0.0]), (2, [0.0, 0.0, 0.0])],
+        "vec_id long, embedding array<double>")
+    rows = {r.vec_id: r for r in quantize_embeddings(df).collect()}
+    r1 = rows[1]
+    # x_nano = [1e9, -5e8, 0]; m = 1e9
+    assert r1.m_nano == 1_000_000_000
+    # q = round(|x|*127/m + .5): [127, 64 (63.5 rounds up), 0]
+    assert r1.q_l1 == 127 + 64 + 0
+    assert r1.q0 == 127
+    # recon = round(q*m/127): [1e9, 503937008 (64*2e9+127)//254, 0]
+    recon_mid = (64 * 2 * 1_000_000_000 + 127) // 254
+    want_err = (500_000_000 - recon_mid) ** 2
+    assert r1.err_nano2 == want_err
+    r2 = rows[2]
+    assert (r2.m_nano, r2.q_l1, r2.err_nano2, r2.q0) == (0, 0, 0, 0)
+
+
+def test_quantize_embeddings_sign_probe_and_bounds(spark):
+    from llm_food_spark.operators.similarity import quantize_embeddings
+
+    df = spark.createDataFrame(
+        [(7, [-0.3, 0.1, 0.2, -0.9])],
+        "vec_id long, embedding array<double>")
+    r = quantize_embeddings(df).collect()[0]
+    assert r.q0 < 0  # first element negative -> signed code negative
+    assert r.n_dims == 4
+    # codes bounded at 127 -> L1 <= 127 * dims
+    assert 0 < r.q_l1 <= 127 * 4
+
+
+def test_quantize_embeddings_error_shrinks_vs_coarser(spark):
+    from llm_food_spark.operators.similarity import quantize_embeddings
+    import numpy as np
+
+    rng = [(i, [((i * 37 + j * 11) % 200 - 100) / 100.0
+                for j in range(16)]) for i in range(20)]
+    df = spark.createDataFrame(rng, "vec_id long, embedding array<double>")
+    rows = quantize_embeddings(df, n_partitions=3).collect()
+    for r in rows:
+        x = np.asarray(dict(rng)[r.vec_id])
+        # relative RMS error of 7-bit symmetric quantization < 1%
+        rms = (r.err_nano2 / r.n_dims) ** 0.5
+        assert rms <= r.m_nano / 127  # half-step bound
