@@ -2103,6 +2103,42 @@ def q_caption_pairs(spark, sf_dir):
         _captions_fixture(spark, sf_dir), n_partitions=8))
 
 
+def q_audio_vad(spark, sf_dir):
+    """Energy-threshold VAD segmentation (operators/multimodal.py::
+    audio_vad) over synthesized 16-bit PCM WAVs whose samples alternate
+    quiet/loud 60-sample sections by closed formula, plus a silent and
+    a non-WAV row. Hard analytic oracle: DuckDB re-derives every
+    sample, frame energy, activity verdict and maximal run from the
+    fixture formula — the REAL RIFF walk + PCM decode must land on
+    exactly those segments."""
+    import struct as _s
+
+    from llm_food_spark.operators.multimodal import audio_vad
+
+    rows = []
+    for i in range(8):
+        n = 200 + 40 * i
+        vals = [(k % 5) if (k // 60) % 2 == 0
+                else 900 + ((k * 7 + i * 13) % 50) for k in range(n)]
+        data = b"".join(_s.pack("<h", v) for v in vals)
+        fmt = _s.pack("<HHIIHH", 1, 1, 1000, 2000, 2, 16)
+        body = (b"fmt " + _s.pack("<I", 16) + fmt
+                + b"data" + _s.pack("<I", len(data)) + data)
+        rows.append(("wav%02d" % i,
+                     b"RIFF" + _s.pack("<I", 4 + len(body)) + b"WAVE"
+                     + body))
+    silent = b"".join(_s.pack("<h", 0) for _ in range(40))
+    sbody = (b"fmt " + _s.pack("<I", 16)
+             + _s.pack("<HHIIHH", 1, 1, 1000, 2000, 2, 16)
+             + b"data" + _s.pack("<I", len(silent)) + silent)
+    rows.append(("silent",
+                 b"RIFF" + _s.pack("<I", 4 + len(sbody)) + b"WAVE"
+                 + sbody))
+    rows.append(("bad", b"not audio"))
+    df = spark.createDataFrame(rows, "media_id string, payload binary")
+    return audio_vad(df, frame_ms=20, thresh_msq=10_000)
+
+
 def q_embed_quantize(spark, sf_dir):
     """Scalar int8 quantization audit (operators/similarity.py::
     quantize_embeddings) over the embeddings table. Hard oracle: after
@@ -4472,7 +4508,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     oracles — every family gets at least one driver-visible row, and
     hand-written DuckDB SQL twins win slots over redundant or subsumed
     queries. Everything from slot 51 on is still gated locally by
-    tools/check_oracles.py (all 183, same rows+schema+hash compare at
+    tools/check_oracles.py (all 184, same rows+schema+hash compare at
     sf0.01) and ordered hard-SQL-twins-first in case the driver's cap is
     ever higher; the 13 frozen-golden byte-stability gates sit last.
     Subsumption notes for demoted queries are inline below."""
@@ -4564,6 +4600,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_expansion": q_doc_expansion,      # anchor-text document expansion (link-text augmentation for retrieval); twin recomputes counts, tie-broken ranks and every rank-ordered expanded string
         "span_corruption": q_span_corruption,  # UL2/T5 deterministic denoiser span layout (block-disjoint masked spans from chained MINSTD rounds); twin recomputes every hash/mode/length/jitter
         "embed_quantize": q_embed_quantize,    # int8 embedding quantization audit in exact nano-integer space (scale, codes, reconstruction error); twin re-derives every element via range-unnest
+        "audio_vad": q_audio_vad,              # energy-threshold VAD segmentation through the REAL RIFF/PCM decode; analytic twin re-derives every sample/energy/run from the fixture formula
         "ngram_jaccard": q_ngram_jaccard,        # demoted for phrase_search: driver-green in r3, and the shingle->set->exact-overlap twin mechanism is held by dedup_paragraphs/dedup_substrings slots; the capped in-block quadratic stays repo-gated
         "soft_dedup": q_soft_dedup,              # SoftDeDup/D4 duplicate-aware reweighting (hard micro-unit twin; the dedup family's driver slots hold the detection side)
         "mixture_weights": q_mixture_weights,    # DoReMi-style fixed-loss domain mixture (exact largest-remainder ppm twin; crawl_budget holds the apportionment family's driver slot)
@@ -8323,6 +8360,52 @@ def _handwritten_oracles() -> dict[str, str]:
             WHERE len(text) >= 5
               AND COALESCE(width >= 64, TRUE)
               AND COALESCE(height >= 64, TRUE)
+        """,
+        # audio_vad twin: samples from the closed fixture formula ->
+        # frame energies -> strict threshold verdicts -> gaps-and-
+        # islands runs; the silent/failed rows appended literally.
+        "audio_vad": """
+            WITH m AS (SELECT t.range AS i FROM range(8) t),
+            s AS (
+              SELECT i, u.k,
+                     CASE WHEN (u.k // 60) % 2 = 0 THEN u.k % 5
+                          ELSE 900 + ((u.k * 7 + i * 13) % 50)
+                     END::BIGINT AS v
+              FROM m, LATERAL (SELECT unnest(range(0, 200 + 40 * i))
+                               AS k) u
+            ), en AS (
+              SELECT i, k // 20 AS f, SUM(v * v)::BIGINT AS e
+              FROM s GROUP BY i, k // 20
+            ), act AS (
+              SELECT i, f, e FROM en WHERE e > 10000 * 20
+            ), runs AS (
+              SELECT i, f, e,
+                     f - ROW_NUMBER() OVER (PARTITION BY i ORDER BY f)
+                       AS grp
+              FROM act
+            ), seg AS (
+              SELECT i, grp, MIN(f) AS f0, COUNT(*)::INT AS nf,
+                     SUM(e)::BIGINT AS energy
+              FROM runs GROUP BY i, grp
+            ), ranked AS (
+              SELECT i,
+                     (ROW_NUMBER() OVER (PARTITION BY i ORDER BY f0)
+                      - 1)::INT AS seg_no,
+                     f0, nf, energy
+              FROM seg
+            )
+            SELECT 'wav0' || i AS media_id, seg_no,
+                   (f0 * 20)::BIGINT AS start_ms,
+                   (nf * 20)::BIGINT AS dur_ms, nf AS n_frames, energy,
+                   'speech' AS status, NULL::VARCHAR AS error_message
+            FROM ranked
+            UNION ALL
+            SELECT 'silent', NULL::INT, NULL::BIGINT, NULL::BIGINT,
+                   NULL::INT, NULL::BIGINT, 'silent', NULL::VARCHAR
+            UNION ALL
+            SELECT 'bad', NULL::INT, NULL::BIGINT, NULL::BIGINT,
+                   NULL::INT, NULL::BIGINT, 'failed',
+                   'not an uncompressed 16-bit PCM WAV'
         """,
         # embed_quantize twin: floor(x*1e9) is the one float step (floor
         # on both engines — casts disagree: DuckDB rounds, Spark

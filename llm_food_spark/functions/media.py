@@ -489,3 +489,77 @@ def wav_pcm_chunks(
         pos += step
         chunk_no += 1
     return out
+
+
+# ---------------------------------------------------------------------------
+# WAV energy segmentation (VAD)
+# ---------------------------------------------------------------------------
+
+
+def wav_vad_segments(
+    b: bytes, frame_ms: int = 20, thresh_msq: int = 10_000
+) -> Optional[List[Tuple[int, int, int, int, int]]]:
+    """Energy-threshold voice-activity segmentation over 16-bit PCM WAV —
+    the speech-corpus prep step (silence stripping / utterance splitting)
+    every audio dataset pipeline runs before transcription or chunking.
+
+    Frames of ``frame_ms`` on the frame_ms grid (``sr * frame_ms // 1000``
+    sample frames each, all channels summed); a frame is ACTIVE when its
+    exact integer energy ``sum(s^2)`` exceeds ``thresh_msq`` (a mean-
+    square-per-sample threshold) times its sample count. Maximal active
+    runs become segments: [(seg_no, start_ms, dur_ms, n_frames, energy)]
+    with start/dur on the frame grid and energy the exact int64 sum.
+    Trailing partial frames are ignored. None for non-WAV / non-PCM /
+    non-16-bit payloads; a silent file yields [].
+
+    All arithmetic is exact integers — the DuckDB twin re-derives every
+    sample, energy, verdict and run from the fixture formula."""
+    if frame_ms < 1 or thresh_msq < 0:
+        raise ValueError("frame_ms must be >= 1 and thresh_msq >= 0")
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return None
+    fmt_raw = data = None
+    i = 12
+    while i + 8 <= len(b):
+        cid = b[i : i + 4]
+        clen = struct.unpack("<I", b[i + 4 : i + 8])[0]
+        body = b[i + 8 : i + 8 + clen]
+        if cid == b"fmt ":
+            fmt_raw = body
+        elif cid == b"data":
+            data = body
+        i += 8 + clen + (clen & 1)
+    if fmt_raw is None or data is None or len(fmt_raw) < 16:
+        return None
+    audio_fmt, ch, sr, _rate, block_align, bits = struct.unpack(
+        "<HHIIHH", fmt_raw[:16])
+    if audio_fmt != 1 or not sr or not block_align or bits != 16:
+        return None
+    n_samp = len(data) // 2
+    samples = struct.unpack("<%dh" % n_samp, data[: n_samp * 2])
+    per_frame = (sr * frame_ms // 1000) * (ch or 1)
+    if per_frame < 1:
+        return None
+    n_frames = n_samp // per_frame
+    segs: List[Tuple[int, int, int, int, int]] = []
+    run_start = None
+    run_energy = 0
+    seg_no = 0
+    for f in range(n_frames + 1):
+        active = False
+        if f < n_frames:
+            e = sum(s * s for s in
+                    samples[f * per_frame : (f + 1) * per_frame])
+            active = e > thresh_msq * per_frame
+        if active:
+            if run_start is None:
+                run_start = f
+                run_energy = 0
+            run_energy += e
+        elif run_start is not None:
+            nf = f - run_start
+            segs.append((seg_no, run_start * frame_ms, nf * frame_ms,
+                         nf, run_energy))
+            seg_no += 1
+            run_start = None
+    return segs

@@ -736,3 +736,60 @@ def image_dhash(media: DataFrame, hash_size: int = 8) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return _size_salted(media).mapInPandas(fn, schema=DHASH_SCHEMA)
+
+
+VAD_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType()),
+        T.StructField("seg_no", T.IntegerType()),
+        T.StructField("start_ms", T.LongType()),
+        T.StructField("dur_ms", T.LongType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("energy", T.LongType()),
+        T.StructField("status", T.StringType()),
+        T.StructField("error_message", T.StringType()),
+    ]
+)
+
+
+def audio_vad(media: DataFrame, frame_ms: int = 20,
+              thresh_msq: int = 10_000) -> DataFrame:
+    """media(media_id, payload) -> energy-threshold speech segments
+    (functions/media.py::wav_vad_segments): one row per maximal active
+    run with exact integer energy; a decodable-but-silent file emits a
+    single status='silent' row, non-PCM-16 payloads a 'failed' row —
+    record-and-continue, the extraction discipline. Zero shuffle."""
+    if frame_ms < 1 or thresh_msq < 0:
+        raise ValueError("frame_ms must be >= 1 and thresh_msq >= 0")
+
+    def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from llm_food_spark.functions.media import wav_vad_segments
+
+        for pdf in it:
+            rows: List[dict] = []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(payload) if payload is not None else b""
+                try:
+                    segs = wav_vad_segments(b, frame_ms, thresh_msq)
+                except (struct.error, IndexError):
+                    segs = None
+                if segs is None:
+                    rows.append(dict(
+                        media_id=media_id, seg_no=None, start_ms=None,
+                        dur_ms=None, n_frames=None, energy=None,
+                        status="failed",
+                        error_message="not an uncompressed 16-bit PCM WAV"))
+                elif not segs:
+                    rows.append(dict(
+                        media_id=media_id, seg_no=None, start_ms=None,
+                        dur_ms=None, n_frames=None, energy=None,
+                        status="silent", error_message=None))
+                else:
+                    for no, start, dur, nf, e in segs:
+                        rows.append(dict(
+                            media_id=media_id, seg_no=no, start_ms=start,
+                            dur_ms=dur, n_frames=nf, energy=e,
+                            status="speech", error_message=None))
+            yield pd.DataFrame(rows)
+
+    return _size_salted(media).mapInPandas(fn, schema=VAD_SCHEMA)

@@ -1,0 +1,68 @@
+
+
+# --- audio VAD --------------------------------------------------------------
+
+def _wav(sr, samples, ch=1):
+    import struct as s
+
+    data = b"".join(s.pack("<h", v) for v in samples)
+    fmt = s.pack("<HHIIHH", 1, ch, sr, sr * 2 * ch, 2 * ch, 16)
+    body = (b"fmt " + s.pack("<I", 16) + fmt
+            + b"data" + s.pack("<I", len(data)) + data)
+    return b"RIFF" + s.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+
+def test_wav_vad_segments_hand_case():
+    from llm_food_spark.functions.media import wav_vad_segments
+
+    sr, frame_ms = 1000, 20  # 20 samples per frame
+    quiet, loud = [1] * 20, [1000] * 20
+    # frames: quiet, loud, loud, quiet, loud -> segments [1,2] and [4]
+    samples = quiet + loud + loud + quiet + loud
+    got = wav_vad_segments(_wav(sr, samples), frame_ms, thresh_msq=100)
+    e = 20 * 1000 * 1000
+    assert got == [(0, 20, 40, 2, 2 * e), (1, 80, 20, 1, e)]
+
+
+def test_wav_vad_threshold_is_strict_mean_square():
+    from llm_food_spark.functions.media import wav_vad_segments
+
+    sr = 1000
+    exact = [10] * 20  # energy = 2000 == thresh 100 * 20 -> NOT active
+    above = [11] * 20
+    assert wav_vad_segments(_wav(sr, exact), 20, 100) == []
+    assert wav_vad_segments(_wav(sr, above), 20, 100) == [
+        (0, 0, 20, 1, 20 * 121)]
+
+
+def test_wav_vad_trailing_partial_frame_ignored():
+    from llm_food_spark.functions.media import wav_vad_segments
+
+    got = wav_vad_segments(_wav(1000, [1000] * 30), 20, 100)
+    assert got == [(0, 0, 20, 1, 20 * 1000000)]
+
+
+def test_wav_vad_rejects_non_pcm16():
+    from llm_food_spark.functions.media import wav_vad_segments
+
+    assert wav_vad_segments(b"not a wav", 20, 100) is None
+    import struct as s
+    fmt8 = s.pack("<HHIIHH", 1, 1, 1000, 1000, 1, 8)  # 8-bit
+    body = b"fmt " + s.pack("<I", 16) + fmt8 + b"data" + s.pack("<I", 0)
+    b8 = b"RIFF" + s.pack("<I", 4 + len(body)) + b"WAVE" + body
+    assert wav_vad_segments(b8, 20, 100) is None
+
+
+def test_audio_vad_operator_statuses(spark):
+    from llm_food_spark.operators.multimodal import audio_vad
+
+    rows = [("speech", _wav(1000, [1] * 20 + [1000] * 40)),
+            ("silent", _wav(1000, [0] * 40)),
+            ("junk", b"nope")]
+    df = spark.createDataFrame(rows, "media_id string, payload binary")
+    got = {(r.media_id, r.status) for r in audio_vad(df, 20, 100).collect()}
+    assert got == {("speech", "speech"), ("silent", "silent"),
+                   ("junk", "failed")}
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        audio_vad(df, frame_ms=0)
