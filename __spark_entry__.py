@@ -2103,6 +2103,33 @@ def q_caption_pairs(spark, sf_dir):
         _captions_fixture(spark, sf_dir), n_partitions=8))
 
 
+def q_host_templates(spark, sf_dir):
+    """Host-level DOM template induction (operators/templates.py)
+    chained THROUGH the real DOM parse: 20 synthetic hosts whose pages
+    share a nav/div scaffold, with an <aside> on even docs and an
+    <article><h1> on %5 docs. Hard oracle: DuckDB reconstructs every
+    (host, path) count from the class schedule and recomputes the ppm
+    shares and template verdicts — any drift in the parser's tree
+    shape or the path walk breaks the hash."""
+    from llm_food_spark.operators.templates import (host_template_paths,
+                                                    page_dom_paths)
+
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    html = F.concat(
+        F.lit("<html><body><nav>n</nav><div><p>t</p></div>"),
+        F.when(i % 2 == 0, F.lit("<aside>s</aside>")).otherwise(
+            F.lit("")),
+        F.when(i % 5 == 0, F.lit("<article><h1>h</h1></article>"))
+         .otherwise(F.lit("")),
+        F.lit("</body></html>"))
+    pages = d.select(
+        F.concat(F.lit("http://h"), i % 20, F.lit(".test/p"), i)
+         .alias("url"),
+        html.alias("html"))
+    return host_template_paths(page_dom_paths(pages, n_partitions=8))
+
+
 def q_audio_vad(spark, sf_dir):
     """Energy-threshold VAD segmentation (operators/multimodal.py::
     audio_vad) over synthesized 16-bit PCM WAVs whose samples alternate
@@ -4508,7 +4535,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     oracles — every family gets at least one driver-visible row, and
     hand-written DuckDB SQL twins win slots over redundant or subsumed
     queries. Everything from slot 51 on is still gated locally by
-    tools/check_oracles.py (all 184, same rows+schema+hash compare at
+    tools/check_oracles.py (all 185, same rows+schema+hash compare at
     sf0.01) and ordered hard-SQL-twins-first in case the driver's cap is
     ever higher; the 13 frozen-golden byte-stability gates sit last.
     Subsumption notes for demoted queries are inline below."""
@@ -4601,6 +4628,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_corruption": q_span_corruption,  # UL2/T5 deterministic denoiser span layout (block-disjoint masked spans from chained MINSTD rounds); twin recomputes every hash/mode/length/jitter
         "embed_quantize": q_embed_quantize,    # int8 embedding quantization audit in exact nano-integer space (scale, codes, reconstruction error); twin re-derives every element via range-unnest
         "audio_vad": q_audio_vad,              # energy-threshold VAD segmentation through the REAL RIFF/PCM decode; analytic twin re-derives every sample/energy/run from the fixture formula
+        "host_templates": q_host_templates,    # host-level DOM template induction chained THROUGH the real DOM parse (site-template half of boilerplate removal); twin reconstructs every path count + ppm verdict
         "ngram_jaccard": q_ngram_jaccard,        # demoted for phrase_search: driver-green in r3, and the shingle->set->exact-overlap twin mechanism is held by dedup_paragraphs/dedup_substrings slots; the capped in-block quadratic stays repo-gated
         "soft_dedup": q_soft_dedup,              # SoftDeDup/D4 duplicate-aware reweighting (hard micro-unit twin; the dedup family's driver slots hold the detection side)
         "mixture_weights": q_mixture_weights,    # DoReMi-style fixed-loss domain mixture (exact largest-remainder ppm twin; crawl_budget holds the apportionment family's driver slot)
@@ -8360,6 +8388,40 @@ def _handwritten_oracles() -> dict[str, str]:
             WHERE len(text) >= 5
               AND COALESCE(width >= 64, TRUE)
               AND COALESCE(height >= 64, TRUE)
+        """,
+        # host_templates twin: the path universe is closed-form in the
+        # fixture classes; counts/shares/verdicts recomputed per host.
+        "host_templates": """
+            WITH d AS (SELECT doc_id, doc_id % 20 AS hh FROM documents),
+            hosts AS (
+              SELECT hh, COUNT(*)::BIGINT AS n_pages,
+                     SUM(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END)
+                       ::BIGINT AS n_even,
+                     SUM(CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END)
+                       ::BIGINT AS n_five
+              FROM d GROUP BY hh
+            ), paths AS (
+              SELECT hh, p.path,
+                     (CASE p.cls WHEN 'all' THEN n_pages
+                                 WHEN 'even' THEN n_even
+                                 ELSE n_five END)::BIGINT AS n_with,
+                     n_pages
+              FROM hosts,
+                   (VALUES ('html', 'all'), ('html/body', 'all'),
+                           ('html/body/nav', 'all'),
+                           ('html/body/div', 'all'),
+                           ('html/body/div/p', 'all'),
+                           ('html/body/aside', 'even'),
+                           ('html/body/article', 'five'),
+                           ('html/body/article/h1', 'five'))
+                     p(path, cls)
+            )
+            SELECT 'h' || hh || '.test' AS host, path, n_with, n_pages,
+                   (n_with * 1000000 // n_pages)::BIGINT AS share_ppm,
+                   (n_pages >= 2
+                    AND n_with * 1000000 // n_pages >= 600000)
+                     AS is_template
+            FROM paths WHERE n_with > 0
         """,
         # audio_vad twin: samples from the closed fixture formula ->
         # frame energies -> strict threshold verdicts -> gaps-and-

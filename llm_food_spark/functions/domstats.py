@@ -74,3 +74,22 @@ def dom_stats(root: Element) -> Dict[str, int]:
 
     walk(root, 0, False, False)
     return out
+
+
+def dom_tag_paths(root: Element) -> List[str]:
+    """Distinct root-to-element tag paths ('html/body/div/ul/li'),
+    sorted — the page's structural skeleton. Two pages from the same
+    site template share most paths regardless of their text, which is
+    exactly the signal host-level template induction needs (the DOM
+    analogue of the host_boilerplate line screen). The synthetic
+    #document root is not part of any path."""
+    out = set()
+    stack = [(c, c.tag) for c in root.children
+             if isinstance(c, Element)]
+    while stack:
+        node, path = stack.pop()
+        out.add(path)
+        for c in node.children:
+            if isinstance(c, Element):
+                stack.append((c, path + "/" + c.tag))
+    return sorted(out)

@@ -1,0 +1,97 @@
+"""Host-level DOM template induction — the site-template half of
+boilerplate removal.
+
+A site's pages share a structural skeleton (nav bars, footers, sidebar
+widgets) that text-level screens (host_boilerplate's line frequencies)
+only see after extraction; inducing the TEMPLATE at the DOM level —
+paths present on (nearly) every page of a host — lets the extractor
+drop scaffolding before content scoring. Standard methodology in
+template-detection literature (site-level structural clustering); no
+reference analogue (llm-food extracts one document at a time and can
+never see cross-page structure).
+
+Scale shape: one Arrow pass emits narrow (host, url, path) rows (paths
+are DISTINCT per page by construction); one map-side-combining
+groupBy(host, path) with a count_distinct-free count (urls are unique
+per page input), one tiny per-host page-count aggregate broadcast back.
+No windows, no driver scalars.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Optional
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from .util import ensure_min_partitions
+
+_SCHEMA = "host string, url string, path string"
+
+
+def page_dom_paths(
+    pages: DataFrame,
+    url_col: str = "url",
+    html_col: str = "html",
+    n_partitions: Optional[int] = None,
+) -> DataFrame:
+    """(url, html) -> one row per DISTINCT tag path per page:
+    (host, url, path). Host comes from the page url (lowercased
+    authority, the urlops.host_col rule, computed in the same pass);
+    unparseable/empty payloads yield no rows."""
+    is_binary = dict(pages.dtypes)[html_col] == "binary"
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from urllib.parse import urlsplit
+
+        from llm_food_spark.functions.domstats import dom_tag_paths
+        from llm_food_spark.functions.encoding import decode_html
+        from llm_food_spark.functions.html_parser import parse_html
+
+        for pdf in it:
+            rows = []
+            for url, payload in zip(pdf[url_col], pdf[html_col]):
+                if payload is None:
+                    continue
+                text = (decode_html(bytes(payload)) if is_binary
+                        else str(payload))
+                u = str(url)
+                try:
+                    host = (urlsplit(u).hostname or "").lower()
+                except ValueError:
+                    host = ""
+                for p in dom_tag_paths(parse_html(text)):
+                    rows.append((host, u, p))
+            yield pd.DataFrame(rows, columns=["host", "url", "path"])
+
+    return ensure_min_partitions(
+        pages.select(url_col, html_col), n_partitions
+    ).mapInPandas(run, schema=_SCHEMA)
+
+
+def host_template_paths(
+    paths: DataFrame,
+    min_share_ppm: int = 600_000,
+    min_pages: int = 2,
+) -> DataFrame:
+    """page_dom_paths output -> per (host, path):
+    (host, path, n_with, n_pages, share_ppm, is_template).
+
+    A path is TEMPLATE when the host has >= ``min_pages`` pages and the
+    path appears on >= ``min_share_ppm`` ppm of them (exact integer
+    ppm). Downstream extraction subtracts template paths from a page's
+    skeleton before content scoring."""
+    if not (0 < min_share_ppm <= 1_000_000) or min_pages < 1:
+        raise ValueError("min_share_ppm in (0, 1e6], min_pages >= 1")
+    per_host = paths.groupBy("host").agg(
+        F.count_distinct("url").cast("long").alias("n_pages"))
+    counts = paths.groupBy("host", "path").agg(
+        F.count(F.lit(1)).cast("long").alias("n_with"))
+    j = counts.join(per_host, "host")
+    share = F.expr("n_with * 1000000 div n_pages")
+    return j.select(
+        "host", "path", "n_with", "n_pages",
+        share.alias("share_ppm"),
+        ((F.col("n_pages") >= int(min_pages))
+         & (share >= int(min_share_ppm))).alias("is_template"),
+    )

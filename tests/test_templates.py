@@ -1,0 +1,70 @@
+"""Host DOM template induction: path sets, shares, verdicts."""
+
+import pytest
+
+from llm_food_spark.functions.domstats import dom_tag_paths
+from llm_food_spark.functions.html_parser import parse_html
+
+
+def test_dom_tag_paths_distinct_and_sorted():
+    got = dom_tag_paths(parse_html(
+        "<html><body><div><p>a</p><p>b</p></div><nav>n</nav></body></html>"))
+    assert got == ["html", "html/body", "html/body/div",
+                   "html/body/div/p", "html/body/nav"]
+
+
+def test_dom_tag_paths_hostile_input():
+    for bad in ("", "<div", "\x00", "<p>" * 300):
+        dom_tag_paths(parse_html(bad))
+
+
+def test_host_template_paths_shares_and_verdicts(spark):
+    from llm_food_spark.operators.templates import (host_template_paths,
+                                                    page_dom_paths)
+
+    # host a: 3 pages share nav scaffold; one page adds an article
+    def page(host, n, extra=""):
+        return ("http://%s/p%d" % (host, n),
+                "<html><body><nav>x</nav>%s</body></html>" % extra)
+
+    pages = spark.createDataFrame(
+        [page("a.test", 0), page("a.test", 1),
+         page("a.test", 2, "<article>c</article>"),
+         page("b.test", 0)],
+        "url string, html string")
+    out = host_template_paths(
+        page_dom_paths(pages, n_partitions=2), min_share_ppm=600_000)
+    rows = {(r.host, r.path): r for r in out.collect()}
+
+    nav = rows[("a.test", "html/body/nav")]
+    assert (nav.n_with, nav.n_pages, nav.share_ppm) == (3, 3, 1_000_000)
+    assert nav.is_template
+
+    art = rows[("a.test", "html/body/article")]
+    assert (art.n_with, art.share_ppm) == (1, 333_333)
+    assert not art.is_template
+
+    # single-page host: min_pages gate keeps everything non-template
+    b = rows[("b.test", "html/body/nav")]
+    assert b.n_pages == 1 and not b.is_template
+
+
+def test_host_template_paths_binary_and_invariance(spark):
+    from pyspark.sql import functions as F
+
+    from llm_food_spark.operators.templates import (host_template_paths,
+                                                    page_dom_paths)
+
+    pages = spark.createDataFrame(
+        [("http://h%d.test/p%d" % (i % 3, i),
+          "<html><body><div><p>t%d</p></div></body></html>" % i)
+         for i in range(12)],
+        "url string, html string")
+    bin_pages = pages.select("url", F.encode("html", "UTF-8").alias("html"))
+    a = sorted(map(tuple, host_template_paths(
+        page_dom_paths(pages, n_partitions=2)).collect()))
+    b = sorted(map(tuple, host_template_paths(
+        page_dom_paths(bin_pages.repartition(5), n_partitions=3)).collect()))
+    assert a == b
+    with pytest.raises(ValueError):
+        host_template_paths(page_dom_paths(pages), min_share_ppm=0)
