@@ -2103,6 +2103,31 @@ def q_caption_pairs(spark, sf_dir):
         _captions_fixture(spark, sf_dir), n_partitions=8))
 
 
+def q_chunk_headings(spark, sf_dir):
+    """Heading-aware structural chunking (operators/chunk.py::
+    chunk_by_headings): every doc synthesizes a markdown outline —
+    %5 preamble, # A, p1, %2 '## B' + p2, %3 '### C', tail — so
+    section membership of the tail block depends on which headings
+    exist. Hard oracle: DuckDB reconstructs every section row (index,
+    heading text, level, block count, blank-line-rejoined chunk)
+    closed-form per class branch."""
+    from llm_food_spark.operators.chunk import chunk_by_headings
+
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    md = F.concat(
+        F.when(i % 5 == 0, F.concat(F.lit("pre "), i, F.lit("\n\n")))
+         .otherwise(F.lit("")),
+        F.lit("# A"), i, F.lit("\n\np1 "), i, F.lit("\n\n"),
+        F.when(i % 2 == 0, F.concat(
+            F.lit("## B"), i, F.lit("\n\np2 "), i, F.lit("\n\n")))
+         .otherwise(F.lit("")),
+        F.when(i % 3 == 0, F.concat(F.lit("### C"), i, F.lit("\n\n")))
+         .otherwise(F.lit("")),
+        F.lit("tail "), i)
+    return chunk_by_headings(d.select("doc_id", md.alias("markdown")))
+
+
 def q_host_templates(spark, sf_dir):
     """Host-level DOM template induction (operators/templates.py)
     chained THROUGH the real DOM parse: 20 synthetic hosts whose pages
@@ -4535,7 +4560,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     oracles — every family gets at least one driver-visible row, and
     hand-written DuckDB SQL twins win slots over redundant or subsumed
     queries. Everything from slot 51 on is still gated locally by
-    tools/check_oracles.py (all 185, same rows+schema+hash compare at
+    tools/check_oracles.py (all 186, same rows+schema+hash compare at
     sf0.01) and ordered hard-SQL-twins-first in case the driver's cap is
     ever higher; the 13 frozen-golden byte-stability gates sit last.
     Subsumption notes for demoted queries are inline below."""
@@ -4629,6 +4654,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_quantize": q_embed_quantize,    # int8 embedding quantization audit in exact nano-integer space (scale, codes, reconstruction error); twin re-derives every element via range-unnest
         "audio_vad": q_audio_vad,              # energy-threshold VAD segmentation through the REAL RIFF/PCM decode; analytic twin re-derives every sample/energy/run from the fixture formula
         "host_templates": q_host_templates,    # host-level DOM template induction chained THROUGH the real DOM parse (site-template half of boilerplate removal); twin reconstructs every path count + ppm verdict
+        "chunk_headings": q_chunk_headings,    # heading-aware structural chunking (the RAG section chunker); twin reconstructs every section row closed-form per class branch
         "ngram_jaccard": q_ngram_jaccard,        # demoted for phrase_search: driver-green in r3, and the shingle->set->exact-overlap twin mechanism is held by dedup_paragraphs/dedup_substrings slots; the capped in-block quadratic stays repo-gated
         "soft_dedup": q_soft_dedup,              # SoftDeDup/D4 duplicate-aware reweighting (hard micro-unit twin; the dedup family's driver slots hold the detection side)
         "mixture_weights": q_mixture_weights,    # DoReMi-style fixed-loss domain mixture (exact largest-remainder ppm twin; crawl_budget holds the apportionment family's driver slot)
@@ -8388,6 +8414,39 @@ def _handwritten_oracles() -> dict[str, str]:
             WHERE len(text) >= 5
               AND COALESCE(width >= 64, TRUE)
               AND COALESCE(height >= 64, TRUE)
+        """,
+        # chunk_headings twin: one UNION ALL branch per section class;
+        # the tail block's membership (A/B/C) is decided by the same
+        # heading-existence cases the window cumsum resolves.
+        "chunk_headings": """
+            SELECT doc_id, 0::INT AS sec_idx, NULL::VARCHAR AS heading,
+                   0::INT AS level, 1::BIGINT AS n_blocks,
+                   'pre ' || doc_id AS chunk
+            FROM documents WHERE doc_id % 5 = 0
+            UNION ALL
+            SELECT doc_id, 1::INT, 'A' || doc_id, 1::INT,
+                   (CASE WHEN doc_id % 2 <> 0 AND doc_id % 3 <> 0
+                         THEN 2 ELSE 1 END)::BIGINT,
+                   CASE WHEN doc_id % 2 <> 0 AND doc_id % 3 <> 0
+                        THEN 'p1 ' || doc_id || chr(10) || chr(10)
+                             || 'tail ' || doc_id
+                        ELSE 'p1 ' || doc_id END
+            FROM documents
+            UNION ALL
+            SELECT doc_id, 2::INT, 'B' || doc_id, 2::INT,
+                   (CASE WHEN doc_id % 3 <> 0 THEN 2 ELSE 1 END)
+                     ::BIGINT,
+                   CASE WHEN doc_id % 3 <> 0
+                        THEN 'p2 ' || doc_id || chr(10) || chr(10)
+                             || 'tail ' || doc_id
+                        ELSE 'p2 ' || doc_id END
+            FROM documents WHERE doc_id % 2 = 0
+            UNION ALL
+            SELECT doc_id,
+                   (CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 2 END)::INT,
+                   'C' || doc_id, 3::INT, 1::BIGINT,
+                   'tail ' || doc_id
+            FROM documents WHERE doc_id % 3 = 0
         """,
         # host_templates twin: the path universe is closed-form in the
         # fixture classes; counts/shares/verdicts recomputed per host.

@@ -181,3 +181,54 @@ def cas_stats(
              ).alias("saved_chars"),
         )
     )
+
+
+def chunk_by_headings(
+    df: DataFrame, md_col: str = "markdown", id_col: str = "doc_id"
+) -> DataFrame:
+    """Heading-aware structural chunking — the RAG chunker: split the
+    engine's markdown at ATX headings so every chunk is one SECTION
+    with its heading attached as retrieval context (token-window
+    chunkers cut mid-thought; section chunkers follow the author's own
+    structure). Works over markdown_outline's block dialect
+    (blank-line-separated blocks, ``#``..``######`` headings).
+
+    -> (doc_id, sec_idx, heading, level, n_blocks, chunk): sec_idx
+    counts headings seen so far (a pre-first-heading preamble is
+    section 0 with NULL heading / level 0); ``chunk`` is the section's
+    non-heading blocks rejoined with blank lines (empty string for a
+    heading immediately followed by another heading).
+
+    Scale shape: split + posexplode + ONE per-document running-sum
+    window (bounded by the document's block count — never a global
+    sort) + a groupBy(doc, sec) whose ordered re-assembly is
+    sort_array(collect_list(struct)) over the section's own blocks.
+    No Python."""
+    from pyspark.sql import Window
+
+    blocks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.col(md_col), "\n\n")).alias("i", "b"),
+    ).where(F.col("b") != "")
+    level = F.length(F.regexp_extract(F.col("b"), r"^(#{1,6}) ", 1))
+    blocks = blocks.select(
+        "doc_id", "i", "b", level.cast("int").alias("lvl"))
+    w = (Window.partitionBy("doc_id").orderBy("i")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    blocks = blocks.select(
+        "*", F.sum((F.col("lvl") > 0).cast("int")).over(w).alias("sec"))
+    body = F.when(F.col("lvl") == 0, F.struct("i", "b"))
+    return blocks.groupBy("doc_id", "sec").agg(
+        F.max(F.when(F.col("lvl") > 0, F.regexp_replace(
+            F.col("b"), r"^#{1,6} ", ""))).alias("heading"),
+        F.coalesce(F.max(F.when(F.col("lvl") > 0, F.col("lvl"))),
+                   F.lit(0)).cast("int").alias("level"),
+        F.sum((F.col("lvl") == 0).cast("long")).alias("n_blocks"),
+        F.array_join(
+            F.transform(F.array_sort(F.collect_list(body)),
+                        lambda s: s["b"]),
+            "\n\n").alias("chunk"),
+    ).select(
+        "doc_id", F.col("sec").cast("int").alias("sec_idx"),
+        "heading", "level", "n_blocks", "chunk",
+    )

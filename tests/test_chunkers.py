@@ -116,3 +116,48 @@ def test_recursive_splits_oversized_paragraph():
     chunks = chunk_recursive(text, 10)
     assert all(count_tokens(c) <= 10 for c in chunks)
     assert "y" in chunks[-1]
+
+
+# --- heading-aware structural chunking --------------------------------------
+
+def test_chunk_by_headings_sections(spark):
+    from llm_food_spark.operators.chunk import chunk_by_headings
+
+    md = ("pre text\n\n# Title\n\npara one\n\npara two\n\n"
+          "## Sub\n\n```\ncode\n```\n\n### Deep\n\n# Next\n\ntail")
+    df = spark.createDataFrame([(1, md)], "doc_id long, markdown string")
+    rows = {r.sec_idx: r for r in chunk_by_headings(df).collect()}
+    assert len(rows) == 5
+    pre = rows[0]
+    assert pre.heading is None and pre.level == 0
+    assert pre.chunk == "pre text" and pre.n_blocks == 1
+    t = rows[1]
+    assert (t.heading, t.level, t.n_blocks) == ("Title", 1, 2)
+    assert t.chunk == "para one\n\npara two"
+    s = rows[2]
+    assert (s.heading, s.level) == ("Sub", 2)
+    assert s.chunk == "```\ncode\n```"
+    d = rows[3]  # heading immediately followed by another heading
+    assert (d.heading, d.level, d.n_blocks, d.chunk) == ("Deep", 3, 0, "")
+    n = rows[4]
+    assert (n.heading, n.chunk) == ("Next", "tail")
+
+
+def test_chunk_by_headings_no_headings_is_one_preamble(spark):
+    from llm_food_spark.operators.chunk import chunk_by_headings
+
+    df = spark.createDataFrame(
+        [(1, "a\n\nb")], "doc_id long, markdown string")
+    [r] = chunk_by_headings(df).collect()
+    assert (r.sec_idx, r.heading, r.chunk) == (0, None, "a\n\nb")
+
+
+def test_chunk_by_headings_partition_invariance(spark):
+    from llm_food_spark.operators.chunk import chunk_by_headings
+
+    rows = [(i, "# H%d\n\np%d\n\n## S\n\nq%d" % (i, i, i))
+            for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, markdown string")
+    a = sorted(map(tuple, chunk_by_headings(df).collect()))
+    b = sorted(map(tuple, chunk_by_headings(df.repartition(7)).collect()))
+    assert a == b
