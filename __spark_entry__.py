@@ -4597,7 +4597,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jsonld": q_jsonld,                      # schema.org JSON-LD items through DOM raw-text + json c14n — new structured-metadata family (took embedding_neardup_seeded's slot: ann_lsh/ivf_seeded + semantic_dedup_seeded hold the embedding-bucket arithmetic)
         "ann_lsh_seeded": q_ann_lsh_seeded,
         "resolve_redirects": q_resolve_redirects,  # round-4 swap: took ann_ivf_seeded's slot (ann_lsh_seeded + semantic_dedup_seeded hold the embedding-bucket arithmetic; IVF stays repo-gated below). New driver-visible family: redirect-chain canonicalization — pointer jumping vs a step-by-step recursive-CTE walk, different algorithms, same verdicts
-        "semantic_dedup_seeded": q_semantic_dedup_seeded,
+        "hyperball_seeded": q_hyperball_seeded,  # session-11 swap: took semantic_dedup_seeded's slot (ann_lsh_seeded holds the embedding-bucket arithmetic; the SemDeDup centroid form stays repo-gated below). New driver-visible family: graph DISTANCE sketches — HyperBall register evolution + truncated harmonic centrality, the Common Crawl host-ranking algorithm
         "kmeans": q_kmeans,                      # UNSEEDED integer-space Lloyd: the oracle re-runs the whole training loop unrolled
         # sketches (constant-state distinct/frequency at corpus scale)
         "hll_sketch": q_hll_sketch,                # HyperLogLog registers + estimate, full DuckDB re-derivation
@@ -4616,15 +4616,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_learn": q_bpe_learn,
         "bpe_encode": q_bpe_encode,
         "bm25_search": q_bm25_search,
-        "phrase_search": q_phrase_search,        # positional-postings intersection vs an INDEPENDENT DuckDB window-slice scan — different algorithms, same answer
+        "extract_diff": q_extract_diff,          # session-11 swap: took phrase_search's slot (bm25_search holds the retrieval family's driver slot; the positional-postings form stays repo-gated below). New driver-visible family: extraction A/B QA — the operational audit of the north rule's byte-identical contract, classified by a DIFFERENT algorithm on each side (sha2 screen vs direct comparison)
 
         "asof_join": q_asof_join,                # vs DuckDB's NATIVE ASOF JOIN — an independent implementation, not a re-derivation
         "unimax_sample": q_unimax_sample,        # epoch-capped budget waterfill; recomputes split_assign's MINSTD membership arithmetic plus the whole allocation
         "mine_bitext": q_mine_bitext,            # margin-based bitext mining, full-matrix twin
         "web_prep_full": q_web_prep_full,        # subsumes web_prep
         "kn_perplexity": q_kn_perplexity,        # Kneser-Ney full model retrain
-        # multimodal (analytic hex-byte twins)
-        "image_resize": q_image_resize,
+        # multimodal
+        "img_captions": q_img_captions,          # session-11 swap: took image_resize's slot (the media family keeps one driver slot, now held by the stronger member: image-text pair mining through the REAL DOM walk — figure/figcaption scoping, urljoin, dimension parse — vs analytic resize arithmetic, which stays repo-gated below)
         # ---- slot 51+ : repo-gated only (tools/check_oracles.py) --------
         # hard SQL twins added after the round-4 slot allocation
         "corpus_rollup": q_corpus_rollup,        # one-pass CUBE drill-down (Expand + single hash agg), native-CUBE twin
@@ -4642,10 +4642,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cas_stats": q_cas_stats,              # CDC chunk-store dedup savings over a planted shared tail; twin rebuilds boundaries via the 7-LAG gear chain then every refcount/savings row
         "compaction_plan": q_compaction_plan,  # Iceberg binPack small-file planning over a manifest; twin recomputes prefix bins + rollups
         "pps_sample": q_pps_sample,            # exact-total weighted systematic sampling on the ranked-cumsum primitive; integer-DIV twin
-        "hyperball_seeded": q_hyperball_seeded,  # HyperBall distance sketches (Boldi-Vigna; Common Crawl's harmonic host ranking) — twin re-derives the full register evolution + truncated harmonic centrality (pagerank_seeded holds the graph driver slot)
-        "img_captions": q_img_captions,        # LAION-style image-text pair mining through the real DOM walk (figure/figcaption scoping, urljoin, dimension parse); closed-form twin
+        "phrase_search": q_phrase_search,      # demoted for extract_diff: bm25_search holds the retrieval family's driver slot; the positional-postings intersection vs the INDEPENDENT window-slice twin stays repo-gated
+        "semantic_dedup_seeded": q_semantic_dedup_seeded,  # demoted for hyperball_seeded: ann_lsh_seeded holds the embedding-bucket arithmetic its centroid form shares; stays repo-gated
+        "image_resize": q_image_resize,        # demoted for img_captions: the media family's driver slot now holds the real-DOM-walk pair miner; the analytic resize arithmetic stays repo-gated
         "caption_pairs": q_caption_pairs,      # the multimodal candidate screen chained THROUGH the pair extraction; twin composes the img_captions twin with the text/px predicates
-        "extract_diff": q_extract_diff,        # extraction A/B drift audit (identical/ws_only/changed/added/removed + changed-only multiset Dice); twin classifies by direct string comparison, a different algorithm than the sha2 screen
         "secrets_scrub": q_secrets_scrub,      # The Stack-style credential scrubbing (AWS/JWT/Slack/hex/PEM) with a planted false-positive guard; twin replays the shared progressive regex chain (pii_redact holds the scrubbing family's driver slot)
         "rake_keywords": q_rake_keywords,      # RAKE keyword extraction over the real corpus text; twin rebuilds phrases via window cumsum + recomputes every degree/frequency ppm score and the tie-broken ranking
         "canonical_groups": q_canonical_groups,  # rel=canonical duplicate consolidation chained THROUGH the real metadata DOM parse (urljoin resolution, crawled-membership, representative election); closed-form twin
