@@ -2103,6 +2103,30 @@ def q_caption_pairs(spark, sf_dir):
         _captions_fixture(spark, sf_dir), n_partitions=8))
 
 
+def q_cdx_revisit(spark, sf_dir):
+    """WARC revisit resolution (operators/cdx.py::cdx_revisits): 30
+    digest classes spread over 40 hosts and 24 capture hours, so every
+    digest group mixes same-url re-crawls with cross-url mirrors. Hard
+    oracle: the operator elects originals with a map-side min(struct)
+    aggregate while DuckDB uses the window formulation — two
+    algorithms, every kind/refers_to verdict and SURT key identical."""
+    from llm_food_spark.operators.cdx import cdx_revisits
+
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    caps = d.select(
+        F.concat(F.lit("http://r"), i % 40, F.lit(".test/p"), i)
+         .alias("url"),
+        F.concat(F.lit("2026-01-01T"),
+                 F.lpad((i % 24).cast("string"), 2, "0"),
+                 F.lit(":00:00Z")).alias("warc_date"),
+        F.concat(F.lit("sha1:"),
+                 F.lpad((i % 30).cast("string"), 8, "0")).alias("digest"),
+        F.col("n_chars").cast("long").alias("length"),
+    )
+    return cdx_revisits(caps)
+
+
 def q_chunk_headings(spark, sf_dir):
     """Heading-aware structural chunking (operators/chunk.py::
     chunk_by_headings): every doc synthesizes a markdown outline —
@@ -4560,7 +4584,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     oracles — every family gets at least one driver-visible row, and
     hand-written DuckDB SQL twins win slots over redundant or subsumed
     queries. Everything from slot 51 on is still gated locally by
-    tools/check_oracles.py (all 186, same rows+schema+hash compare at
+    tools/check_oracles.py (all 187, same rows+schema+hash compare at
     sf0.01) and ordered hard-SQL-twins-first in case the driver's cap is
     ever higher; the 13 frozen-golden byte-stability gates sit last.
     Subsumption notes for demoted queries are inline below."""
@@ -4655,6 +4679,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_vad": q_audio_vad,              # energy-threshold VAD segmentation through the REAL RIFF/PCM decode; analytic twin re-derives every sample/energy/run from the fixture formula
         "host_templates": q_host_templates,    # host-level DOM template induction chained THROUGH the real DOM parse (site-template half of boilerplate removal); twin reconstructs every path count + ppm verdict
         "chunk_headings": q_chunk_headings,    # heading-aware structural chunking (the RAG section chunker); twin reconstructs every section row closed-form per class branch
+        "cdx_revisit": q_cdx_revisit,          # WARC identical-payload-digest revisit resolution (CC's storage dedup); map-side argmin vs the twin's window formulation — two algorithms, same verdicts
         "ngram_jaccard": q_ngram_jaccard,        # demoted for phrase_search: driver-green in r3, and the shingle->set->exact-overlap twin mechanism is held by dedup_paragraphs/dedup_substrings slots; the capped in-block quadratic stays repo-gated
         "soft_dedup": q_soft_dedup,              # SoftDeDup/D4 duplicate-aware reweighting (hard micro-unit twin; the dedup family's driver slots hold the detection side)
         "mixture_weights": q_mixture_weights,    # DoReMi-style fixed-loss domain mixture (exact largest-remainder ppm twin; crawl_budget holds the apportionment family's driver slot)
@@ -8414,6 +8439,39 @@ def _handwritten_oracles() -> dict[str, str]:
             WHERE len(text) >= 5
               AND COALESCE(width >= 64, TRUE)
               AND COALESCE(height >= 64, TRUE)
+        """,
+        # cdx_revisit twin: the WINDOW formulation (row_number +
+        # first_value per digest) vs the operator's map-side argmin;
+        # SURT keys rebuilt arithmetically.
+        "cdx_revisit": """
+            WITH c AS (
+              SELECT 'test,r' || (doc_id % 40) || ')/p' || doc_id
+                       AS urlkey,
+                     '20260101'
+                       || lpad((doc_id % 24)::VARCHAR, 2, '0')
+                       || '0000' AS ts,
+                     'http://r' || (doc_id % 40) || '.test/p' || doc_id
+                       AS url,
+                     'sha1:' || lpad((doc_id % 30)::VARCHAR, 8, '0')
+                       AS digest,
+                     n_chars::BIGINT AS length
+              FROM documents
+            ), r AS (
+              SELECT *,
+                     ROW_NUMBER() OVER (PARTITION BY digest
+                       ORDER BY ts, url) AS rn,
+                     FIRST_VALUE(url) OVER (PARTITION BY digest
+                       ORDER BY ts, url) AS w_url,
+                     FIRST_VALUE(ts) OVER (PARTITION BY digest
+                       ORDER BY ts, url) AS w_ts
+              FROM c
+            )
+            SELECT urlkey, ts, url, digest, length,
+                   CASE WHEN rn = 1 THEN 'response'
+                        ELSE 'revisit' END AS kind,
+                   CASE WHEN rn > 1 THEN w_url END AS refers_to_url,
+                   CASE WHEN rn > 1 THEN w_ts END AS refers_to_ts
+            FROM r
         """,
         # chunk_headings twin: one UNION ALL branch per section class;
         # the tail block's membership (A/B/C) is decided by the same

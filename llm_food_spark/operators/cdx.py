@@ -136,3 +136,49 @@ def cdx_index(captures: DataFrame, shards: int | None = None) -> DataFrame:
     ranged = (keyed.repartitionByRange(shards, *parts) if shards
               else keyed.repartitionByRange(*parts))
     return ranged.sortWithinPartitions("urlkey", "ts")
+
+
+def cdx_revisits(
+    captures: DataFrame,
+    url_col: str = "url",
+    date_col: str = "warc_date",
+    digest_col: str = "digest",
+    len_col: str = "length",
+) -> DataFrame:
+    """WARC revisit resolution (WARC/1.1 'identical-payload-digest'
+    profile — Common Crawl's storage dedup: a re-crawl whose payload
+    digest was already archived stores a tiny revisit record pointing
+    at the original instead of the payload).
+
+    One row per capture: (urlkey, ts, url, digest, length, kind,
+    refers_to_url, refers_to_ts). The ORIGINAL capture of each digest
+    — the globally-first by (ts, url), deterministic under any
+    partitioning — keeps kind='response'; every later capture of the
+    same digest (same url re-crawls AND cross-url mirrors alike)
+    becomes kind='revisit' with refers_to_* naming the original.
+    sum(length) over revisits is the storage the profile saves.
+    Captures are assumed unique per (url, ts) — archive semantics.
+
+    Scale shape: winner election is a map-side-combining
+    min(struct(ts, url)) groupBy — the elect_keepers discipline, so a
+    corpus-dominant digest (the empty page!) combines map-side and
+    never funnels one reducer through a window — plus one AQE join
+    back on digest. The twin deliberately uses the window formulation:
+    two algorithms, same verdicts."""
+    ts = F.regexp_replace(F.col(date_col), "[^0-9]", "")
+    base = captures.select(
+        surt_key(url_col).alias("urlkey"), ts.alias("ts"),
+        F.col(url_col).alias("url"), F.col(digest_col).alias("digest"),
+        F.col(len_col).cast("long").alias("length"))
+    winners = base.groupBy("digest").agg(
+        F.min(F.struct("ts", "url")).alias("w"))
+    j = base.join(winners, "digest")
+    is_orig = ((F.col("ts") == F.col("w.ts"))
+               & (F.col("url") == F.col("w.url")))
+    return j.select(
+        "urlkey", "ts", "url", "digest", "length",
+        F.when(is_orig, F.lit("response")).otherwise(F.lit("revisit"))
+         .alias("kind"),
+        F.when(~is_orig, F.col("w.url")).alias("refers_to_url"),
+        F.when(~is_orig, F.col("w.ts")).alias("refers_to_ts"),
+    )

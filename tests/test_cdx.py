@@ -139,3 +139,53 @@ def test_global_sort_order(spark):
     keys = [(r.urlkey, r.ts) for r in rows]
     assert keys == sorted(keys)
     assert len(rows) == len(specs)
+
+
+# --- revisit resolution -----------------------------------------------------
+
+def test_cdx_revisits_originals_and_mirrors(spark):
+    from llm_food_spark.operators.cdx import cdx_revisits
+
+    caps = spark.createDataFrame(
+        [("http://a.test/p", "2026-01-01T00:00:00Z", "sha1:X", 100),
+         ("http://a.test/p", "2026-01-02T00:00:00Z", "sha1:X", 100),
+         ("http://b.test/m", "2026-01-03T00:00:00Z", "sha1:X", 100),
+         ("http://c.test/q", "2026-01-01T00:00:00Z", "sha1:Y", 50)],
+        "url string, warc_date string, digest string, length long")
+    rows = {(r.url, r.ts): r for r in cdx_revisits(caps).collect()}
+    orig = rows[("http://a.test/p", "20260101000000")]
+    assert orig.kind == "response" and orig.refers_to_url is None
+    re1 = rows[("http://a.test/p", "20260102000000")]
+    assert re1.kind == "revisit"
+    assert (re1.refers_to_url, re1.refers_to_ts) == (
+        "http://a.test/p", "20260101000000")
+    mirror = rows[("http://b.test/m", "20260103000000")]
+    assert mirror.kind == "revisit"
+    assert mirror.refers_to_url == "http://a.test/p"
+    assert rows[("http://c.test/q", "20260101000000")].kind == "response"
+
+
+def test_cdx_revisits_same_ts_url_tiebreak(spark):
+    from llm_food_spark.operators.cdx import cdx_revisits
+
+    caps = spark.createDataFrame(
+        [("http://b.test/x", "2026-01-01T00:00:00Z", "sha1:Z", 10),
+         ("http://a.test/x", "2026-01-01T00:00:00Z", "sha1:Z", 10)],
+        "url string, warc_date string, digest string, length long")
+    rows = {r.url: r for r in cdx_revisits(caps).collect()}
+    assert rows["http://a.test/x"].kind == "response"  # url asc breaks tie
+    assert rows["http://b.test/x"].refers_to_url == "http://a.test/x"
+
+
+def test_cdx_revisits_partition_invariance(spark):
+    from llm_food_spark.operators.cdx import cdx_revisits
+
+    caps = spark.createDataFrame(
+        [("http://h%d.test/p%d" % (i % 5, i),
+          "2026-01-%02dT00:00:00Z" % (1 + i % 28),
+          "sha1:%d" % (i % 7), i)
+         for i in range(60)],
+        "url string, warc_date string, digest string, length long")
+    a = sorted(map(tuple, cdx_revisits(caps).collect()))
+    b = sorted(map(tuple, cdx_revisits(caps.repartition(9)).collect()))
+    assert a == b
