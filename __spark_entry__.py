@@ -2103,6 +2103,27 @@ def q_caption_pairs(spark, sf_dir):
         _captions_fixture(spark, sf_dir), n_partitions=8))
 
 
+def q_script_segments(spark, sf_dir):
+    """Mixed-script run segmentation (operators/textops.py::
+    script_segments) over the real documents text with planted CJK
+    (%3==0) / Cyrillic (%3==1) tails, so segment boundaries depend on
+    both the corpus text and the fixture. Hard oracle: DuckDB
+    re-derives every token's dominant script with the identical
+    SCRIPT_RANGES patterns, rebuilds the runs via LAG + running sum,
+    and re-assembles every segment string."""
+    from llm_food_spark.operators.textops import script_segments
+
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    tail = (F.when(i % 3 == 0, F.lit(" 汉字 漢字"))
+             .when(i % 3 == 1, F.lit(
+                 " привет"
+                 " мир"))
+             .otherwise(F.lit("")))
+    return script_segments(d.select(
+        "doc_id", F.concat(F.col("text"), tail).alias("text")))
+
+
 def q_cdx_revisit(spark, sf_dir):
     """WARC revisit resolution (operators/cdx.py::cdx_revisits): 30
     digest classes spread over 40 hosts and 24 capture hours, so every
@@ -4584,7 +4605,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     oracles — every family gets at least one driver-visible row, and
     hand-written DuckDB SQL twins win slots over redundant or subsumed
     queries. Everything from slot 51 on is still gated locally by
-    tools/check_oracles.py (all 187, same rows+schema+hash compare at
+    tools/check_oracles.py (all 188, same rows+schema+hash compare at
     sf0.01) and ordered hard-SQL-twins-first in case the driver's cap is
     ever higher; the 13 frozen-golden byte-stability gates sit last.
     Subsumption notes for demoted queries are inline below."""
@@ -4680,6 +4701,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_templates": q_host_templates,    # host-level DOM template induction chained THROUGH the real DOM parse (site-template half of boilerplate removal); twin reconstructs every path count + ppm verdict
         "chunk_headings": q_chunk_headings,    # heading-aware structural chunking (the RAG section chunker); twin reconstructs every section row closed-form per class branch
         "cdx_revisit": q_cdx_revisit,          # WARC identical-payload-digest revisit resolution (CC's storage dedup); map-side argmin vs the twin's window formulation — two algorithms, same verdicts
+        "script_segments": q_script_segments,  # mixed-script run segmentation over real text + planted multilingual tails; twin re-derives every token script, run boundary and segment string
         "ngram_jaccard": q_ngram_jaccard,        # demoted for phrase_search: driver-green in r3, and the shingle->set->exact-overlap twin mechanism is held by dedup_paragraphs/dedup_substrings slots; the capped in-block quadratic stays repo-gated
         "soft_dedup": q_soft_dedup,              # SoftDeDup/D4 duplicate-aware reweighting (hard micro-unit twin; the dedup family's driver slots hold the detection side)
         "mixture_weights": q_mixture_weights,    # DoReMi-style fixed-loss domain mixture (exact largest-remainder ppm twin; crawl_budget holds the apportionment family's driver slot)
@@ -6804,6 +6826,60 @@ def oracle_sql() -> dict[str, str]:
                END AS script
         FROM c
     """ % (_counts, ", ".join(_names), " + ".join(_names), _mx, _whens)
+    # script_segments twin: per-token dominant script with the SAME
+    # range patterns, runs via LAG + running sum, ordered string_agg.
+    _tok_counts = ",\n                 ".join(
+        "len(regexp_extract_all(tok, '%s'))::BIGINT AS c_%s" % (pat, name)
+        for name, pat in SCRIPT_RANGES
+    )
+    _cnames = ["c_" + name for name, _ in SCRIPT_RANGES]
+    _tmx = "GREATEST(%s)" % ", ".join(_cnames)
+    _twhens = "\n                      ".join(
+        "WHEN c_%s = %s THEN '%s'" % (name, _tmx, name)
+        for name, _ in SCRIPT_RANGES
+    )
+    out["script_segments"] = """
+        WITH base AS (
+          SELECT doc_id,
+                 text || CASE WHEN doc_id %% 3 = 0 THEN ' 汉字 漢字'
+                              WHEN doc_id %% 3 = 1
+                                THEN ' привет мир'
+                              ELSE '' END AS t
+          FROM documents
+        ), ts AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(t,
+                   '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> '') AS arr
+          FROM base
+        ), toks AS (
+          SELECT doc_id, u.i - 1 AS i, arr[u.i] AS tok
+          FROM ts, LATERAL (SELECT unnest(range(1, len(arr) + 1)) AS i) u
+        ), cl AS (
+          SELECT doc_id, i, tok,
+                 %s
+          FROM toks
+        ), sc AS (
+          SELECT doc_id, i, tok,
+                 CASE WHEN %s = 0 THEN 'other'
+                      %s
+                 END AS script
+          FROM cl
+        ), b AS (
+          SELECT *, CASE WHEN LAG(script) OVER w IS NULL
+                           OR script <> LAG(script) OVER w THEN 1
+                         ELSE 0 END AS bd
+          FROM sc WINDOW w AS (PARTITION BY doc_id ORDER BY i)
+        ), seg AS (
+          SELECT *, SUM(bd) OVER (PARTITION BY doc_id ORDER BY i
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS s
+          FROM b
+        )
+        SELECT doc_id, (s - 1)::INT AS seg_idx, MIN(script) AS script,
+               MIN(i)::BIGINT AS start_tok, COUNT(*)::BIGINT AS n_tokens,
+               string_agg(tok, ' ' ORDER BY i) AS seg_text
+        FROM seg GROUP BY doc_id, s
+    """ % (_tok_counts, _tmx, _twhens)
     return out
 
 

@@ -842,3 +842,60 @@ def rake_keywords_table(
     return ensure_min_partitions(
         df.select(id_col, text_col), n_partitions
     ).mapInPandas(run, schema=out_schema)
+
+
+def script_segments(df, text_col: str = "text", id_col: str = "doc_id"):
+    """Mixed-script run segmentation — split multilingual pages into
+    per-writing-system token runs (the routing step before per-language
+    quality/LID/tokenization: a page quoting Chinese inside English
+    prose should reach zh and en pipelines as separate segments, not
+    vote against itself in one LID call).
+
+    Token script = dominant SCRIPT_RANGES class within the whitespace
+    token (fixed tie order, zero letters -> 'other'); consecutive
+    same-script tokens form one segment. -> (doc_id, seg_idx, script,
+    start_tok, n_tokens, seg_text), seg_idx 0-based in token order.
+
+    Scale shape: posexplode + eight flat per-token regexp counts (all
+    whole-stage codegen) + ONE per-document window pair (lag + running
+    sum — bounded by the doc's token count, never a global sort) + a
+    groupBy(doc, seg) whose ordered re-assembly is
+    sort_array(collect_list(struct)). No Python."""
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.filter(
+            F.split(F.col(text_col), r"[ \t\n\x0B\f\r]+"),
+            lambda x: x != "")).alias("i", "tok"),
+    )
+    counts = [
+        F.regexp_count(F.col("tok"), F.lit(pat)).alias("c_" + name)
+        for name, pat in SCRIPT_RANGES
+    ]
+    toks = toks.select("doc_id", "i", "tok", *counts)
+    mx = F.greatest(*[F.col("c_" + n) for n, _ in SCRIPT_RANGES])
+    script = F.when(mx == 0, F.lit("other"))
+    for name, _ in SCRIPT_RANGES:
+        script = script.when(F.col("c_" + name) == mx, F.lit(name))
+    toks = toks.select("doc_id", "i", "tok", script.alias("script"))
+    w = Window.partitionBy("doc_id").orderBy("i")
+    boundary = F.when(
+        F.lag("script").over(w).isNull()
+        | (F.col("script") != F.lag("script").over(w)), 1).otherwise(0)
+    toks = toks.select("*", boundary.alias("b"))
+    run = (Window.partitionBy("doc_id").orderBy("i")
+           .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    toks = toks.select("*", F.sum("b").over(run).alias("seg"))
+    return toks.groupBy("doc_id", "seg").agg(
+        F.first("script").alias("script"),
+        F.min("i").cast("long").alias("start_tok"),
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.array_join(
+            F.transform(F.array_sort(F.collect_list(
+                F.struct("i", "tok"))), lambda s: s["tok"]),
+            " ").alias("seg_text"),
+    ).select(
+        "doc_id", (F.col("seg") - 1).cast("int").alias("seg_idx"),
+        "script", "start_tok", "n_tokens", "seg_text",
+    )

@@ -1052,3 +1052,54 @@ def test_rake_table_matches_pure_python(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         rake_keywords_table(df, k=0)
+
+
+# --- mixed-script segmentation ----------------------------------------------
+
+def test_script_segments_runs_and_order(spark):
+    from llm_food_spark.operators.textops import script_segments
+
+    df = spark.createDataFrame(
+        [(1, "hello world 中文 句子 again привет")],
+        "doc_id long, text string")
+    rows = sorted(script_segments(df).collect(), key=lambda r: r.seg_idx)
+    got = [(r.seg_idx, r.script, r.start_tok, r.n_tokens, r.seg_text)
+           for r in rows]
+    assert got == [
+        (0, "latin", 0, 2, "hello world"),
+        (1, "cjk", 2, 2, "中文 句子"),
+        (2, "latin", 4, 1, "again"),
+        (3, "cyrillic", 5, 1, "привет"),
+    ]
+
+
+def test_script_segments_other_and_single_run(spark):
+    from llm_food_spark.operators.textops import script_segments
+
+    df = spark.createDataFrame(
+        [(1, "123 456"), (2, "only latin words")],
+        "doc_id long, text string")
+    rows = {r.doc_id: r for r in script_segments(df).collect()}
+    assert rows[1].script == "other" and rows[1].n_tokens == 2
+    assert rows[2].script == "latin" and rows[2].seg_text == \
+        "only latin words"
+
+
+def test_script_segments_mixed_token_majority(spark):
+    from llm_food_spark.operators.textops import script_segments
+
+    # token with 2 cjk + 1 latin chars -> cjk wins by count
+    df = spark.createDataFrame([(1, "x汉字")], "doc_id long, text string")
+    [r] = script_segments(df).collect()
+    assert r.script == "cjk"
+
+
+def test_script_segments_partition_invariance(spark):
+    from llm_food_spark.operators.textops import script_segments
+
+    df = spark.createDataFrame(
+        [(i, "word%d 汉字 tail" % i) for i in range(20)],
+        "doc_id long, text string")
+    a = sorted(map(tuple, script_segments(df).collect()))
+    b = sorted(map(tuple, script_segments(df.repartition(7)).collect()))
+    assert a == b
