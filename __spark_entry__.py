@@ -2103,6 +2103,55 @@ def q_caption_pairs(spark, sf_dir):
         _captions_fixture(spark, sf_dir), n_partitions=8))
 
 
+def _tar_fixture(spark):
+    """Four deterministic USTAR shards (mtime=0): shard s holds 4+s
+    WebDataset samples, each a .txt (size varies by formula) + .json
+    pair — all sizes < 512, so every member occupies exactly 1024
+    bytes and the twin computes offsets on the block grid."""
+    import io
+    import tarfile
+
+    shards = []
+    for s in range(4):
+        buf = io.BytesIO()
+        with tarfile.open(fileobj=buf, mode="w",
+                          format=tarfile.USTAR_FORMAT) as tf:
+            for j in range(4 + s):
+                did = s * 100 + j
+                parts = (
+                    ("txt", ("doc %d " % did) + "x" * ((j * 7) % 40)),
+                    ("json", '{"i":%d}' % did),
+                )
+                for ext, payload in parts:
+                    info = tarfile.TarInfo("k%04d.%s" % (did, ext))
+                    info.size = len(payload)
+                    info.mtime = 0
+                    tf.addfile(info, io.BytesIO(payload.encode()))
+        shards.append(("shard-%d.tar" % s, bytearray(buf.getvalue())))
+    return spark.createDataFrame(shards, "path string, content binary")
+
+
+def q_tar_shards(spark, sf_dir):
+    """WebDataset tar-shard source (sources/tar.py + functions/
+    tario.py) under a hard analytic oracle: the REAL 512-block ustar
+    walk must land every member at the offset DuckDB computes from the
+    block-grid arithmetic, with byte-exact payload hex."""
+    from llm_food_spark.sources.tar import tar_members
+
+    return tar_members(_tar_fixture(spark)).select(
+        "shard", "member", "key", "ext", "data_offset", "size",
+        F.hex("payload").alias("payload_hex"))
+
+
+def q_webdataset_groups(spark, sf_dir):
+    """WebDataset sample grouping (sources/tar.py::webdataset_samples)
+    chained THROUGH the real tar walk: one row per (shard, key) with
+    part count, sorted ext list and byte total — all closed-form."""
+    from llm_food_spark.sources.tar import tar_members, webdataset_samples
+
+    return webdataset_samples(tar_members(_tar_fixture(spark)))
+
+
 def q_script_segments(spark, sf_dir):
     """Mixed-script run segmentation (operators/textops.py::
     script_segments) over the real documents text with planted CJK
@@ -4605,7 +4654,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     oracles — every family gets at least one driver-visible row, and
     hand-written DuckDB SQL twins win slots over redundant or subsumed
     queries. Everything from slot 51 on is still gated locally by
-    tools/check_oracles.py (all 188, same rows+schema+hash compare at
+    tools/check_oracles.py (all 190, same rows+schema+hash compare at
     sf0.01) and ordered hard-SQL-twins-first in case the driver's cap is
     ever higher; the 13 frozen-golden byte-stability gates sit last.
     Subsumption notes for demoted queries are inline below."""
@@ -4702,6 +4751,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_headings": q_chunk_headings,    # heading-aware structural chunking (the RAG section chunker); twin reconstructs every section row closed-form per class branch
         "cdx_revisit": q_cdx_revisit,          # WARC identical-payload-digest revisit resolution (CC's storage dedup); map-side argmin vs the twin's window formulation — two algorithms, same verdicts
         "script_segments": q_script_segments,  # mixed-script run segmentation over real text + planted multilingual tails; twin re-derives every token script, run boundary and segment string
+        "tar_shards": q_tar_shards,            # WebDataset tar-shard source through the REAL ustar block walk; twin computes every member offset/size/payload on the block grid
+        "webdataset_groups": q_webdataset_groups,  # WebDataset sample grouping chained THROUGH the tar walk; closed-form part/ext/byte rollup twin
         "ngram_jaccard": q_ngram_jaccard,        # demoted for phrase_search: driver-green in r3, and the shingle->set->exact-overlap twin mechanism is held by dedup_paragraphs/dedup_substrings slots; the capped in-block quadratic stays repo-gated
         "soft_dedup": q_soft_dedup,              # SoftDeDup/D4 duplicate-aware reweighting (hard micro-unit twin; the dedup family's driver slots hold the detection side)
         "mixture_weights": q_mixture_weights,    # DoReMi-style fixed-loss domain mixture (exact largest-remainder ppm twin; crawl_budget holds the apportionment family's driver slot)
@@ -8515,6 +8566,50 @@ def _handwritten_oracles() -> dict[str, str]:
             WHERE len(text) >= 5
               AND COALESCE(width >= 64, TRUE)
               AND COALESCE(height >= 64, TRUE)
+        """,
+        # tar_shards twin: member universe closed-form in (s, j, ext);
+        # every data_offset from the 1024-byte-per-member block grid,
+        # payloads rebuilt as strings and hexed.
+        "tar_shards": """
+            WITH mem AS (
+              SELECT s, u.j, e.ext, e.ord
+              FROM (SELECT t.range AS s FROM range(4) t),
+                   LATERAL (SELECT unnest(range(0, 4 + s)) AS j) u,
+                   (VALUES ('txt', 0), ('json', 1)) e(ext, ord)
+            ), sized AS (
+              SELECT s, j, ext, (s * 100 + j) AS id,
+                     (2 * j + ord) AS t,
+                     CASE ext
+                       WHEN 'txt' THEN 'doc ' || (s * 100 + j) || ' '
+                            || repeat('x', (j * 7) % 40)
+                       ELSE '{"i":' || (s * 100 + j) || '}'
+                     END AS payload
+              FROM mem
+            )
+            SELECT 'shard-' || s || '.tar' AS shard,
+                   'k' || lpad(id::VARCHAR, 4, '0') || '.' || ext
+                     AS member,
+                   'k' || lpad(id::VARCHAR, 4, '0') AS key,
+                   ext,
+                   (t * 1024 + 512)::BIGINT AS data_offset,
+                   len(payload)::BIGINT AS size,
+                   hex(payload) AS payload_hex
+            FROM sized
+        """,
+        # webdataset_groups twin: the same member universe rolled up
+        # per (shard, key).
+        "webdataset_groups": """
+            WITH mem AS (
+              SELECT s, u.j, (s * 100 + u.j) AS id
+              FROM (SELECT t.range AS s FROM range(4) t),
+                   LATERAL (SELECT unnest(range(0, 4 + s)) AS j) u
+            )
+            SELECT 'shard-' || s || '.tar' AS shard,
+                   'k' || lpad(id::VARCHAR, 4, '0') AS key,
+                   2::INT AS n_parts, 'json,txt' AS exts,
+                   (5 + len(id::VARCHAR) + (j * 7) % 40
+                    + 6 + len(id::VARCHAR))::BIGINT AS total_bytes
+            FROM mem
         """,
         # cdx_revisit twin: the WINDOW formulation (row_number +
         # first_value per digest) vs the operator's map-side argmin;

@@ -1,0 +1,69 @@
+"""Minimal POSIX ustar reader — pure Python, no Spark imports.
+
+WebDataset — the de-facto multimodal training-shard layout (public
+format: a plain tar whose members group into SAMPLES by filename key,
+``000123.jpg`` + ``000123.txt`` + ``000123.json``) — ships corpora as
+directories of tar shards. This module walks the 512-byte header grid
+(name, octal size, typeflag, data padded to block boundaries) without
+stdlib ``tarfile``'s file-object machinery, so the Spark source can
+parse shard BYTES from ``binaryFile`` rows and report exact member
+offsets (the random-access index WebDataset readers build).
+
+Tolerant by the extraction discipline: a malformed header ends the walk
+(everything parsed so far is returned), never raises. Only regular
+files (typeflag '0' or NUL) become members; directories/links/PAX
+headers are skipped structurally (their data blocks are still stepped
+over, so offsets stay exact).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+_BLOCK = 512
+
+
+def _octal(field: bytes) -> Optional[int]:
+    s = field.split(b"\0", 1)[0].strip()
+    if not s:
+        return 0
+    try:
+        return int(s, 8)
+    except ValueError:
+        return None
+
+
+def parse_tar(b: bytes) -> List[Tuple[str, int, int, str]]:
+    """[(name, data_offset, size, typeflag)] for every member whose
+    header parses, in archive order; regular files AND skipped
+    structural members alike are stepped over exactly."""
+    out: List[Tuple[str, int, int, str]] = []
+    i = 0
+    n = len(b)
+    while i + _BLOCK <= n:
+        hdr = b[i : i + _BLOCK]
+        if hdr == b"\0" * _BLOCK:  # end-of-archive marker
+            break
+        name = hdr[0:100].split(b"\0", 1)[0].decode(
+            "utf-8", "replace")
+        size = _octal(hdr[124:136])
+        if not name or size is None:
+            break
+        typeflag = chr(hdr[156]) if hdr[156] else "0"
+        data_off = i + _BLOCK
+        if data_off + size > n:
+            break
+        out.append((name, data_off, size, typeflag))
+        i = data_off + (size + _BLOCK - 1) // _BLOCK * _BLOCK
+    return out
+
+
+def split_member_key(name: str) -> Tuple[str, str]:
+    """WebDataset key split: 'dir/000123.seg.txt' ->
+    ('dir/000123.seg', 'txt') — the LAST dot splits key from ext
+    (WebDataset's rule; multi-dot exts like .tar.gz stay with the
+    key's tail). No dot -> ('name', '')."""
+    base, dot, ext = name.rpartition(".")
+    if not dot:
+        return name, ""
+    return base, ext

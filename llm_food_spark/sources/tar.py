@@ -1,0 +1,81 @@
+"""WebDataset tar-shard source — Spark wrapper over ``functions.tario``.
+
+Multimodal training corpora (LAION, DataComp releases and every
+WebDataset-based loader) ship as directories of tar shards whose
+members pair into samples by filename key. This source reads shard
+BYTES (one ``binaryFile`` row = one shard = one task, the WARC
+discipline: shard-per-task parallelism, no shuffle to ingest) into a
+member table with exact data offsets — the random-access index — and
+regroups members into one-row-per-sample frames.
+
+No reference analogue (llm-food ingests per-upload only).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+from llm_food_spark.functions.tario import parse_tar, split_member_key
+
+TAR_MEMBER_SCHEMA = T.StructType(
+    [
+        T.StructField("shard", T.StringType()),
+        T.StructField("member", T.StringType()),
+        T.StructField("key", T.StringType()),
+        T.StructField("ext", T.StringType()),
+        T.StructField("data_offset", T.LongType()),
+        T.StructField("size", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+    ]
+)
+
+
+def tar_members(shards: DataFrame, path_col: str = "path",
+                content_col: str = "content") -> DataFrame:
+    """(path, content) shard rows -> one row per regular-file member:
+    (shard, member, key, ext, data_offset, size, payload). Offsets are
+    byte-exact against the shard, so a reader can range-request any
+    member without re-walking the archive."""
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for path, content in zip(pdf[path_col], pdf[content_col]):
+                b = bytes(content) if content is not None else b""
+                for name, off, size, tf in parse_tar(b):
+                    if tf != "0":
+                        continue
+                    key, ext = split_member_key(name)
+                    rows.append((str(path), name, key, ext, off, size,
+                                 b[off : off + size]))
+            yield pd.DataFrame(rows, columns=[
+                "shard", "member", "key", "ext", "data_offset", "size",
+                "payload"])
+
+    return shards.select(path_col, content_col).mapInPandas(
+        run, schema=TAR_MEMBER_SCHEMA)
+
+
+def read_tar_shards(spark: SparkSession, glob: str) -> DataFrame:
+    """Directory of .tar shards -> the member table (binaryFile scan,
+    one task per shard)."""
+    files = (spark.read.format("binaryFile")
+             .option("pathGlobFilter", "*.tar").load(glob))
+    return tar_members(files)
+
+
+def webdataset_samples(members: DataFrame) -> DataFrame:
+    """Member table -> one row per SAMPLE:
+    (shard, key, n_parts, exts, total_bytes) with ``exts`` the sorted
+    comma-joined extension list — the WebDataset grouping rule.
+    Map-side-combining groupBy; payloads stay columnar (join back on
+    (shard, key, ext) to fetch a part)."""
+    return members.groupBy("shard", "key").agg(
+        F.count(F.lit(1)).cast("int").alias("n_parts"),
+        F.array_join(F.array_sort(F.collect_list("ext")), ",")
+         .alias("exts"),
+        F.sum("size").cast("long").alias("total_bytes"),
+    )

@@ -1,0 +1,85 @@
+"""WebDataset tar source: ustar walk, offsets, sample grouping."""
+
+import io
+import tarfile
+
+import pytest
+
+from llm_food_spark.functions.tario import parse_tar, split_member_key
+
+
+def _shard(members, fmt=tarfile.USTAR_FORMAT):
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w", format=fmt) as tf:
+        for name, payload in members:
+            info = tarfile.TarInfo(name)
+            info.size = len(payload)
+            info.mtime = 0
+            tf.addfile(info, io.BytesIO(payload))
+    return buf.getvalue()
+
+
+def test_parse_tar_offsets_match_stdlib():
+    members = [("000001.txt", b"hello"),
+               ("000001.json", b'{"a":1}'),
+               ("000002.txt", b"x" * 600)]
+    b = _shard(members)
+    got = parse_tar(b)
+    assert [(n, s) for n, _, s, _ in got] == [
+        (n, len(p)) for n, p in members]
+    for (name, off, size, tf), (_, payload) in zip(got, members):
+        assert b[off : off + size] == payload
+        assert tf == "0"
+    # offsets follow the 512-block grid: hdr at 0, data at 512, next
+    # hdr at 1024 (5 bytes pad to one block)
+    assert got[0][1] == 512 and got[1][1] == 1536
+
+
+def test_parse_tar_skips_directories_structurally():
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w",
+                      format=tarfile.USTAR_FORMAT) as tf:
+        d = tarfile.TarInfo("dir/")
+        d.type = tarfile.DIRTYPE
+        tf.addfile(d)
+        i = tarfile.TarInfo("dir/a.txt")
+        i.size = 3
+        tf.addfile(i, io.BytesIO(b"abc"))
+    got = parse_tar(buf.getvalue())
+    names = [(n, t) for n, _, _, t in got]
+    assert ("dir/a.txt", "0") in names
+    [(off, size)] = [(o, s) for n, o, s, t in got if t == "0"]
+    assert buf.getvalue()[off : off + size] == b"abc"
+
+
+def test_parse_tar_truncated_and_garbage():
+    members = [("a.txt", b"data")]
+    b = _shard(members)
+    assert parse_tar(b[:700]) == parse_tar(b)[:1] or \
+        parse_tar(b[:700]) == []  # truncated data -> stop cleanly
+    assert parse_tar(b"\x00" * 1024) == []
+    assert parse_tar(b"junkjunk" * 100) == []
+
+
+def test_split_member_key_rules():
+    assert split_member_key("d/000123.txt") == ("d/000123", "txt")
+    assert split_member_key("a.b.c") == ("a.b", "c")
+    assert split_member_key("noext") == ("noext", "")
+
+
+def test_tar_members_and_samples_spark(spark):
+    from llm_food_spark.sources.tar import tar_members, webdataset_samples
+
+    shard = _shard([("s/0.txt", b"t0"), ("s/0.json", b"{}"),
+                    ("s/1.txt", b"t1")])
+    df = spark.createDataFrame(
+        [("shard-000.tar", bytearray(shard))],
+        "path string, content binary")
+    m = tar_members(df)
+    rows = {r.member: r for r in m.collect()}
+    assert len(rows) == 3
+    assert bytes(rows["s/0.txt"].payload) == b"t0"
+    assert rows["s/0.json"].key == "s/0"
+    s = {r.key: r for r in webdataset_samples(m).collect()}
+    assert s["s/0"].n_parts == 2 and s["s/0"].exts == "json,txt"
+    assert s["s/1"].total_bytes == 2
