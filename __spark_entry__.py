@@ -2103,6 +2103,30 @@ def q_caption_pairs(spark, sf_dir):
         _captions_fixture(spark, sf_dir), n_partitions=8))
 
 
+def q_image_neardup_seeded(spark, sf_dir):
+    """Perceptual-hash near-dup pairs (operators/multimodal.py::
+    dhash_neardup_pairs): seeded 60-bit dhashes where every odd vec_id
+    is its even sibling XOR one MINSTD-chosen bit — planted hamming-1
+    pairs the 4-block pigeonhole must recall exactly. Hard oracle:
+    DuckDB re-derives every hash, block, capped bucket, candidate and
+    bit_count verdict."""
+    from llm_food_spark.operators.multimodal import dhash_neardup_pairs
+
+    M, A = 2_147_483_647, 48_271
+    i = F.col("vec_id")
+    even = i - (i % 2)
+    nn = (even % M + M) % M
+    h1 = (nn * A) % M
+    h2 = (h1 * A) % M
+    base = h1 * F.lit(1 << 29) + (h2 % F.lit(1 << 29))
+    # F.shiftleft takes a literal bit count; the SQL form takes a column
+    flip = F.expr("shiftleft(1L, cast(vec_id % 59 as int))")
+    h = F.when(i % 2 == 1, base.bitwiseXOR(flip)).otherwise(base)
+    df = _t(spark, sf_dir, "embeddings").select(
+        i.alias("media_id"), h.alias("dhash"))
+    return dhash_neardup_pairs(df, max_bits=3, max_block=100)
+
+
 def _tar_fixture(spark):
     """Four deterministic USTAR shards (mtime=0): shard s holds 4+s
     WebDataset samples, each a .txt (size varies by formula) + .json
@@ -4654,7 +4678,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     oracles — every family gets at least one driver-visible row, and
     hand-written DuckDB SQL twins win slots over redundant or subsumed
     queries. Everything from slot 51 on is still gated locally by
-    tools/check_oracles.py (all 190, same rows+schema+hash compare at
+    tools/check_oracles.py (all 191, same rows+schema+hash compare at
     sf0.01) and ordered hard-SQL-twins-first in case the driver's cap is
     ever higher; the 13 frozen-golden byte-stability gates sit last.
     Subsumption notes for demoted queries are inline below."""
@@ -4753,6 +4777,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "script_segments": q_script_segments,  # mixed-script run segmentation over real text + planted multilingual tails; twin re-derives every token script, run boundary and segment string
         "tar_shards": q_tar_shards,            # WebDataset tar-shard source through the REAL ustar block walk; twin computes every member offset/size/payload on the block grid
         "webdataset_groups": q_webdataset_groups,  # WebDataset sample grouping chained THROUGH the tar walk; closed-form part/ext/byte rollup twin
+        "image_neardup_seeded": q_image_neardup_seeded,  # perceptual dhash near-dup pairs via the 4-block pigeonhole (exact recall at hamming<=3); twin re-derives every hash/block/candidate/verdict
         "ngram_jaccard": q_ngram_jaccard,        # demoted for phrase_search: driver-green in r3, and the shingle->set->exact-overlap twin mechanism is held by dedup_paragraphs/dedup_substrings slots; the capped in-block quadratic stays repo-gated
         "soft_dedup": q_soft_dedup,              # SoftDeDup/D4 duplicate-aware reweighting (hard micro-unit twin; the dedup family's driver slots hold the detection side)
         "mixture_weights": q_mixture_weights,    # DoReMi-style fixed-loss domain mixture (exact largest-remainder ppm twin; crawl_budget holds the apportionment family's driver slot)
@@ -8566,6 +8591,48 @@ def _handwritten_oracles() -> dict[str, str]:
             WHERE len(text) >= 5
               AND COALESCE(width >= 64, TRUE)
               AND COALESCE(height >= 64, TRUE)
+        """,
+        # image_neardup_seeded twin: the full seeded-hash pipeline —
+        # MINSTD chains, sibling bit flips, 16-bit blocks, bucket cap,
+        # a<b candidates, bit_count verdicts.
+        "image_neardup_seeded": """
+            WITH d AS (
+              SELECT vec_id AS id,
+                     ((vec_id - vec_id % 2) % 2147483647 + 2147483647)
+                       % 2147483647 AS nn
+              FROM embeddings
+            ), hh AS (
+              SELECT id,
+                     (nn * 48271 % 2147483647) * 536870912
+                     + (nn * 48271 % 2147483647) * 48271 % 2147483647
+                       % 536870912 AS base
+              FROM d
+            ), hv AS (
+              SELECT id,
+                     CASE WHEN id % 2 = 1
+                          THEN xor(base, 1::BIGINT << (id % 59)::INT)
+                          ELSE base END AS h
+              FROM hh
+            ), blocks AS (
+              SELECT id, h, u.b, (h >> (16 * u.b)) & 65535 AS v
+              FROM hv, LATERAL (SELECT unnest(range(0, 4)) AS b) u
+            ), wide AS (
+              SELECT b, v FROM blocks GROUP BY b, v
+              HAVING COUNT(*) > 100
+            ), keep AS (
+              SELECT bl.* FROM blocks bl
+              LEFT JOIN wide w ON bl.b = w.b AND bl.v = w.v
+              WHERE w.b IS NULL
+            ), cand AS (
+              SELECT DISTINCT a.id AS id_a, c.id AS id_b,
+                     a.h AS ha, c.h AS hb
+              FROM keep a JOIN keep c
+                ON a.b = c.b AND a.v = c.v AND a.id < c.id
+            )
+            SELECT id_a, id_b,
+                   bit_count(xor(ha, hb))::INT AS hamming
+            FROM cand
+            WHERE bit_count(xor(ha, hb)) <= 3
         """,
         # tar_shards twin: member universe closed-form in (s, j, ext);
         # every data_offset from the 1024-byte-per-member block grid,

@@ -793,3 +793,56 @@ def audio_vad(media: DataFrame, frame_ms: int = 20,
             yield pd.DataFrame(rows)
 
     return _size_salted(media).mapInPandas(fn, schema=VAD_SCHEMA)
+
+
+def dhash_neardup_pairs(
+    hashes: DataFrame,
+    max_bits: int = 3,
+    max_block: int = 10_000,
+    id_col: str = "media_id",
+    hash_col: str = "dhash",
+) -> DataFrame:
+    """Near-duplicate image pairs from 64-bit dhashes (operators/
+    multimodal.image_dhash output): the pigeonhole plan simhash_pairs
+    uses on text, pointed at perceptual hashes — 4 x 16-bit blocks, so
+    any pair within ``max_bits`` <= 3 Hamming distance shares at least
+    one block (exact recall guarantee); candidates meet ONLY inside a
+    block bucket, degenerate buckets wider than ``max_block`` are
+    dropped (flat-color thumbnails all hash alike — those belong to
+    exact dedup), and each surviving candidate pays one bit_count
+    verify. -> (id_a, id_b, hamming), id_a < id_b, distinct.
+
+    Scale shape: the banding join carries (block, value, id, hash) —
+    ~28 bytes/row; no all-pairs form exists anywhere in the plan.
+    Block extraction is shiftrightunsigned, correct for negative
+    (high-bit) hashes."""
+    if not (0 <= max_bits <= 3):
+        raise ValueError("max_bits must be in [0, 3] for the 4-block "
+                         "pigeonhole guarantee")
+    if max_block < 1:
+        raise ValueError("max_block must be >= 1")
+    h = F.col(hash_col).cast("long")
+    blocks = hashes.select(
+        F.col(id_col).alias("id"), h.alias("h"),
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("b"),
+                     (F.shiftrightunsigned(h, 16 * b)
+                      .bitwiseAND(F.lit(0xFFFF))).alias("v"))
+            for b in range(4)])).alias("blk"),
+    ).select("id", "h", F.col("blk.b").alias("b"),
+             F.col("blk.v").alias("v"))
+    wide = (blocks.groupBy("b", "v")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .where(F.col("n") > max_block))
+    blocks = blocks.join(F.broadcast(wide), ["b", "v"], "left_anti")
+    a = blocks.select(F.col("id").alias("id_a"), F.col("h").alias("ha"),
+                      "b", "v")
+    bb = blocks.select(F.col("id").alias("id_b"), F.col("h").alias("hb"),
+                       "b", "v")
+    cand = (a.join(bb, ["b", "v"])
+             .where(F.col("id_a") < F.col("id_b"))
+             .select("id_a", "id_b", "ha", "hb").distinct())
+    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return cand.select(
+        "id_a", "id_b", ham.cast("int").alias("hamming")
+    ).where(F.col("hamming") <= max_bits)

@@ -66,3 +66,54 @@ def test_audio_vad_operator_statuses(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         audio_vad(df, frame_ms=0)
+
+
+# --- dhash near-dup ---------------------------------------------------------
+
+def test_dhash_neardup_finds_planted_pairs(spark):
+    from llm_food_spark.operators.multimodal import dhash_neardup_pairs
+
+    base = 0x123456789ABCDEF0
+    rows = [(1, base), (2, base ^ (1 << 5)),        # hamming 1
+            (3, base ^ 0b111),                       # hamming 3
+            (4, base ^ (0xF << 20)),                 # hamming 4 -> out
+            (5, 0x0F0F0F0F0F0F0F0F)]                 # far
+    df = spark.createDataFrame(rows, "media_id long, dhash long")
+    got = {(r.id_a, r.id_b): r.hamming
+           for r in dhash_neardup_pairs(df).collect()}
+    assert got[(1, 2)] == 1
+    assert got[(1, 3)] == 3
+    assert got[(2, 3)] == 4 if (2, 3) in got else True
+    assert (1, 4) not in got and (1, 5) not in got
+
+
+def test_dhash_neardup_negative_high_bit_hashes(spark):
+    from llm_food_spark.operators.multimodal import dhash_neardup_pairs
+
+    h = -0x7FFFFFFFFFFFFFF0  # high bit set -> negative long
+    df = spark.createDataFrame(
+        [(1, h), (2, h ^ 1)], "media_id long, dhash long")
+    got = dhash_neardup_pairs(df).collect()
+    assert [(r.id_a, r.id_b, r.hamming) for r in got] == [(1, 2, 1)]
+
+
+def test_dhash_neardup_block_cap_drops_degenerate(spark):
+    from llm_food_spark.operators.multimodal import dhash_neardup_pairs
+
+    # 30 identical hashes: every block bucket is width 30 > cap 10
+    df = spark.createDataFrame(
+        [(i, 42) for i in range(30)], "media_id long, dhash long")
+    assert dhash_neardup_pairs(df, max_block=10).count() == 0
+    # under the cap they all pair up: C(30,2)
+    assert dhash_neardup_pairs(df, max_block=64).count() == 435
+
+
+def test_dhash_neardup_validation(spark):
+    from llm_food_spark.operators.multimodal import dhash_neardup_pairs
+
+    df = spark.createDataFrame([(1, 1)], "media_id long, dhash long")
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        dhash_neardup_pairs(df, max_bits=4)
+    with _pytest.raises(ValueError):
+        dhash_neardup_pairs(df, max_block=0)
