@@ -2103,6 +2103,27 @@ def q_caption_pairs(spark, sf_dir):
         _captions_fixture(spark, sf_dir), n_partitions=8))
 
 
+def q_hybrid_search(spark, sf_dir):
+    """Hybrid retrieval via reciprocal-rank fusion (operators/search.
+    py::rrf_fuse): the BM25 lexical ranking over documents text and the
+    exact-cosine embedding ranking (vec_id aligned with doc_id, probes
+    = query ids 0..7) merged with exact integer RRF. Hard oracle:
+    DuckDB nests the FULL bm25_search twin and the cosine ranking as
+    CTEs and recomputes every fused score, system count and rank —
+    a composition of two proven twins plus the fusion arithmetic."""
+    from llm_food_spark.operators.search import bm25_search, rrf_fuse
+    from llm_food_spark.operators.similarity import brute_force_topk
+
+    d = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = spark.createDataFrame(_BM25_QUERIES, "query_id long, query string")
+    bm = bm25_search(d, qs, k=10).select("query_id", "doc_id", "rank")
+    cos = brute_force_topk(
+        emb, emb.where(F.col("vec_id") < 8), k=10
+    ).select("query_id", F.col("vec_id").alias("doc_id"), "rank")
+    return rrf_fuse([bm, cos], k_const=60, topk=10)
+
+
 def q_image_neardup_seeded(spark, sf_dir):
     """Perceptual-hash near-dup pairs (operators/multimodal.py::
     dhash_neardup_pairs): seeded 60-bit dhashes where every odd vec_id
@@ -4678,7 +4699,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     oracles — every family gets at least one driver-visible row, and
     hand-written DuckDB SQL twins win slots over redundant or subsumed
     queries. Everything from slot 51 on is still gated locally by
-    tools/check_oracles.py (all 191, same rows+schema+hash compare at
+    tools/check_oracles.py (all 192, same rows+schema+hash compare at
     sf0.01) and ordered hard-SQL-twins-first in case the driver's cap is
     ever higher; the 13 frozen-golden byte-stability gates sit last.
     Subsumption notes for demoted queries are inline below."""
@@ -4778,6 +4799,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tar_shards": q_tar_shards,            # WebDataset tar-shard source through the REAL ustar block walk; twin computes every member offset/size/payload on the block grid
         "webdataset_groups": q_webdataset_groups,  # WebDataset sample grouping chained THROUGH the tar walk; closed-form part/ext/byte rollup twin
         "image_neardup_seeded": q_image_neardup_seeded,  # perceptual dhash near-dup pairs via the 4-block pigeonhole (exact recall at hamming<=3); twin re-derives every hash/block/candidate/verdict
+        "hybrid_search": q_hybrid_search,      # BM25 + embedding-cosine reciprocal-rank fusion in exact integer micros; twin nests both proven ranker twins as CTEs and recomputes every fused rank
         "ngram_jaccard": q_ngram_jaccard,        # demoted for phrase_search: driver-green in r3, and the shingle->set->exact-overlap twin mechanism is held by dedup_paragraphs/dedup_substrings slots; the capped in-block quadratic stays repo-gated
         "soft_dedup": q_soft_dedup,              # SoftDeDup/D4 duplicate-aware reweighting (hard micro-unit twin; the dedup family's driver slots hold the detection side)
         "mixture_weights": q_mixture_weights,    # DoReMi-style fixed-loss domain mixture (exact largest-remainder ppm twin; crawl_budget holds the apportionment family's driver slot)
@@ -10375,6 +10397,39 @@ def _handwritten_oracles() -> dict[str, str]:
         "bpe_encode": _BPE_ENCODE_SQL,
         "tokenizer_fertility": _BPE_FERTILITY_SQL,
         "bm25_search": _BM25_SQL.format(values=", ".join(
+            "(%d, '%s')" % q for q in _BM25_QUERIES)),
+        # hybrid_search twin: the FULL bm25 twin nested as a CTE, the
+        # cosine ranking as a second, then the exact integer-RRF merge.
+        "hybrid_search": """
+            WITH bm AS (%s),
+            cs AS (
+              SELECT query_id, vec_id, rank FROM (
+                SELECT q.vec_id AS query_id, c.vec_id,
+                       ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                         ORDER BY ROUND(list_cosine_similarity(
+                             CAST(q.embedding AS DOUBLE[]),
+                             CAST(c.embedding AS DOUBLE[])), 4) DESC,
+                           c.vec_id) AS rank
+                FROM embeddings q JOIN embeddings c
+                  ON q.vec_id < 8 AND c.vec_id <> q.vec_id)
+              WHERE rank <= 10
+            ),
+            u AS (
+              SELECT query_id, doc_id, rank FROM bm
+              UNION ALL
+              SELECT query_id, vec_id AS doc_id, rank FROM cs
+            ), sc AS (
+              SELECT query_id, doc_id,
+                     SUM(1000000 // (60 + rank))::BIGINT AS rrf_micro,
+                     COUNT(*)::INT AS n_systems
+              FROM u GROUP BY query_id, doc_id
+            )
+            SELECT query_id, doc_id, rrf_micro, n_systems, rank FROM (
+              SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY rrf_micro DESC, doc_id ASC)::INT AS rank
+              FROM sc)
+            WHERE rank <= 10
+        """ % _BM25_SQL.format(values=", ".join(
             "(%d, '%s')" % q for q in _BM25_QUERIES)),
         "phrase_search": _PHRASE_SQL.format(values=", ".join(
             "(%d, '%s')" % q for q in _PHRASE_QUERIES)),

@@ -168,3 +168,41 @@ def bm25_search(
         agg.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
     )
+
+
+def rrf_fuse(rankings, k_const: int = 60, topk: int = 10) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009 — the standard
+    hybrid-search combiner: BM25 and embedding retrieval rank the same
+    corpus, RRF merges the rankings without score calibration):
+
+        rrf_micro(q, d) = sum over systems of 1_000_000 div
+                          (k_const + rank_sys(q, d))
+
+    — exact integer arithmetic, so the twin is bit-stable. Inputs are
+    rank frames (query_id, doc_id, rank); a document missing from one
+    system simply contributes nothing (n_systems records how many
+    ranked it). -> (query_id, doc_id, rrf_micro, n_systems, rank),
+    top-``topk`` per query by (rrf desc, doc_id asc).
+
+    Scale shape: each input is already top-k-per-query (k rows per
+    query), so the union/groupBy/window all operate on
+    O(systems x k) rows per query — never corpus-sized."""
+    from functools import reduce
+
+    from pyspark.sql import Window
+
+    if k_const < 1 or topk < 1 or not rankings:
+        raise ValueError("k_const/topk must be >= 1 and rankings "
+                         "non-empty")
+    u = reduce(
+        lambda a, b: a.unionAll(b),
+        [r.select("query_id", "doc_id", "rank") for r in rankings])
+    sc = u.groupBy("query_id", "doc_id").agg(
+        F.sum(F.expr("1000000 div (%d + rank)" % int(k_const)))
+         .cast("long").alias("rrf_micro"),
+        F.count(F.lit(1)).cast("int").alias("n_systems"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_micro").desc(), F.col("doc_id").asc())
+    return (sc.withColumn("rank", F.row_number().over(w).cast("int"))
+              .where(F.col("rank") <= int(topk)))

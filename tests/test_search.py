@@ -142,3 +142,46 @@ def test_phrase_broadcast_probe_plan(spark):
     plan = phrase_search(d, q)._jdf.queryExecution().executedPlan().toString()
     # the corpus-probing join must be broadcast, never a sort-merge shuffle
     assert "BroadcastHashJoin" in plan
+
+
+# --- RRF fusion -------------------------------------------------------------
+
+def test_rrf_fuse_exact_arithmetic_and_overlap(spark):
+    from llm_food_spark.operators.search import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2)], "query_id long, doc_id long, rank int")
+    b = spark.createDataFrame(
+        [(1, 11, 1), (1, 12, 2)], "query_id long, doc_id long, rank int")
+    rows = {r.doc_id: r for r in rrf_fuse([a, b]).collect()}
+    # doc 11 ranked by both: 1e6//61 + 1e6//62
+    assert rows[11].rrf_micro == 1_000_000 // 61 + 1_000_000 // 62
+    assert rows[11].n_systems == 2
+    assert rows[10].rrf_micro == 1_000_000 // 61
+    assert rows[10].n_systems == 1
+    # fused order: overlap wins
+    order = sorted(rows.values(), key=lambda r: r.rank)
+    assert [r.doc_id for r in order] == [11, 10, 12]
+
+
+def test_rrf_fuse_tie_breaks_on_doc_id_and_topk(spark):
+    from llm_food_spark.operators.search import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(1, d, 1) for d in (5, 3, 9)],
+        "query_id long, doc_id long, rank int")
+    rows = rrf_fuse([a], topk=2).collect()
+    assert [(r.doc_id, r.rank) for r in
+            sorted(rows, key=lambda r: r.rank)] == [(3, 1), (5, 2)]
+
+
+def test_rrf_fuse_validation(spark):
+    from llm_food_spark.operators.search import rrf_fuse
+
+    a = spark.createDataFrame([(1, 1, 1)],
+                              "query_id long, doc_id long, rank int")
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        rrf_fuse([])
+    with _pytest.raises(ValueError):
+        rrf_fuse([a], k_const=0)
