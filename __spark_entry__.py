@@ -2103,6 +2103,18 @@ def q_caption_pairs(spark, sf_dir):
         _captions_fixture(spark, sf_dir), n_partitions=8))
 
 
+def q_embed_outliers(spark, sf_dir):
+    """Centroid-distance outlier audit (operators/similarity.py::
+    embedding_outliers) over the embeddings table, top 5% flagged.
+    Hard oracle: DuckDB re-derives the nano quantization, the offset-
+    floored centroid, every micro-delta distance, the full (d2 desc,
+    id) ranking and the exact integer outlier cut."""
+    from llm_food_spark.operators.similarity import embedding_outliers
+
+    return embedding_outliers(
+        _t(spark, sf_dir, "embeddings"), top_ppm=50_000, n_shards=4)
+
+
 def q_hybrid_search(spark, sf_dir):
     """Hybrid retrieval via reciprocal-rank fusion (operators/search.
     py::rrf_fuse): the BM25 lexical ranking over documents text and the
@@ -4699,7 +4711,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     oracles — every family gets at least one driver-visible row, and
     hand-written DuckDB SQL twins win slots over redundant or subsumed
     queries. Everything from slot 51 on is still gated locally by
-    tools/check_oracles.py (all 192, same rows+schema+hash compare at
+    tools/check_oracles.py (all 193, same rows+schema+hash compare at
     sf0.01) and ordered hard-SQL-twins-first in case the driver's cap is
     ever higher; the 13 frozen-golden byte-stability gates sit last.
     Subsumption notes for demoted queries are inline below."""
@@ -4800,6 +4812,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "webdataset_groups": q_webdataset_groups,  # WebDataset sample grouping chained THROUGH the tar walk; closed-form part/ext/byte rollup twin
         "image_neardup_seeded": q_image_neardup_seeded,  # perceptual dhash near-dup pairs via the 4-block pigeonhole (exact recall at hamming<=3); twin re-derives every hash/block/candidate/verdict
         "hybrid_search": q_hybrid_search,      # BM25 + embedding-cosine reciprocal-rank fusion in exact integer micros; twin nests both proven ranker twins as CTEs and recomputes every fused rank
+        "embed_outliers": q_embed_outliers,    # centroid-distance outlier audit on the ranked-cumsum primitive (no single-partition window); twin re-derives quantization, centroid, distances, ranking and the cut
         "ngram_jaccard": q_ngram_jaccard,        # demoted for phrase_search: driver-green in r3, and the shingle->set->exact-overlap twin mechanism is held by dedup_paragraphs/dedup_substrings slots; the capped in-block quadratic stays repo-gated
         "soft_dedup": q_soft_dedup,              # SoftDeDup/D4 duplicate-aware reweighting (hard micro-unit twin; the dedup family's driver slots hold the detection side)
         "mixture_weights": q_mixture_weights,    # DoReMi-style fixed-loss domain mixture (exact largest-remainder ppm twin; crawl_budget holds the apportionment family's driver slot)
@@ -8613,6 +8626,39 @@ def _handwritten_oracles() -> dict[str, str]:
             WHERE len(text) >= 5
               AND COALESCE(width >= 64, TRUE)
               AND COALESCE(height >= 64, TRUE)
+        """,
+        # embed_outliers twin: nano quantization (floor, the
+        # embed_quantize rule), offset-floored centroid, micro-delta
+        # distances, window ranking vs the operator's ranked-cumsum —
+        # two ranking algorithms, same order.
+        "embed_outliers": """
+            WITH x AS (
+              SELECT vec_id, u.i - 1 AS pos,
+                     FLOOR(embedding[u.i]::DOUBLE * 1000000000.0)
+                       ::BIGINT AS xn
+              FROM embeddings,
+                   LATERAL (SELECT unnest(range(1, len(embedding) + 1))
+                            AS i) u
+            ), cent AS (
+              SELECT pos,
+                     ((SUM(xn) + COUNT(*) * 17179869184)
+                      // COUNT(*) - 17179869184)::BIGINT AS c
+              FROM x GROUP BY pos
+            ), d AS (
+              SELECT vec_id,
+                     SUM(((xn - c) // 1000) * ((xn - c) // 1000))
+                       ::BIGINT AS d2_micro
+              FROM x JOIN cent USING (pos) GROUP BY vec_id
+            ), r AS (
+              SELECT vec_id, d2_micro,
+                     ROW_NUMBER() OVER (ORDER BY d2_micro DESC,
+                                        vec_id ASC)::BIGINT AS rank,
+                     COUNT(*) OVER ()::BIGINT AS n
+              FROM d
+            )
+            SELECT vec_id, d2_micro, rank,
+                   rank <= (n * 50000) // 1000000 AS is_outlier
+            FROM r
         """,
         # image_neardup_seeded twin: the full seeded-hash pipeline —
         # MINSTD chains, sibling bit flips, 16-bit blocks, bucket cap,

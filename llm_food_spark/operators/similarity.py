@@ -970,3 +970,72 @@ def quantize_embeddings(
     return ensure_min_partitions(
         df.select(id_col, vec_col), n_partitions
     ).mapInPandas(run, schema=schema)
+
+
+# positivity offset for centroid division: |x_nano| for unit-ish
+# embeddings stays far below 2^34, so sum + N*OFF is nonnegative and
+# truncating integer division equals floor on BOTH engines (the kmeans
+# negative-numerator lesson: Spark div and DuckDB // disagree with
+# floor exactly when the numerator is negative)
+_CENTROID_OFF = 1 << 34
+
+
+def embedding_outliers(
+    df: DataFrame,
+    top_ppm: int = 20_000,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_shards: Optional[int] = None,
+) -> DataFrame:
+    """Centroid-distance outlier audit — the pruning half of semantic
+    curation (SemDeDup prunes duplicates near cluster centers; the
+    OUTLIER tail — garbage pages, OCR noise, wrong-modality rows —
+    sits farthest from the corpus centroid and is flagged for review
+    or removal before training).
+
+    Exact arithmetic end to end: x_nano = floor(x * 1e9) (the
+    embed_quantize step), centroid = offset-floored per-dimension mean
+    in nano space, distance = sum of squared MICRO deltas
+    ((delta_nano div 1000)^2 — the delta is scaled down BEFORE
+    squaring, so |x| up to ~3e3 stays far under int64), rank = position in the
+    (d2 desc, id asc) total order via the shared _ranked_cumsum
+    primitive (NO single-partition window), outlier = the top
+    ``top_ppm`` fraction by exact integer count floor(N * ppm / 1e6).
+
+    -> (id, d2_micro, rank, is_outlier)."""
+    if not (0 < top_ppm <= 1_000_000):
+        raise ValueError("top_ppm must be in (0, 1e6]")
+    from llm_food_spark.operators.split import _ranked_cumsum
+
+    x = df.select(
+        F.col(id_col),
+        F.posexplode(vec_col).alias("pos", "el"),
+    ).select(
+        id_col, "pos",
+        F.floor(F.col("el").cast("double") * 1e9).cast("long")
+         .alias("xn"),
+    )
+    cent = x.groupBy("pos").agg(
+        ((F.sum("xn") + F.count(F.lit(1)) * F.lit(_CENTROID_OFF))
+         .cast("long")).alias("s_off"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    ).select(
+        "pos",
+        (F.expr("s_off div n") - F.lit(_CENTROID_OFF)).alias("c"),
+    )
+    d2 = x.join(F.broadcast(cent), "pos").groupBy(id_col).agg(
+        F.sum(F.expr("((xn - c) div 1000) * ((xn - c) div 1000)"))
+         .cast("long").alias("d2_micro"),
+    )
+    order = [F.col("d2_micro").desc(), F.col(id_col).asc()]
+    ranked = _ranked_cumsum(
+        d2.withColumn("_one", F.lit(1).cast("bigint")),
+        order, "_one", n_shards)
+    tot = ranked.agg(F.max("_cum").alias("_N"))
+    out = ranked.crossJoin(F.broadcast(tot))
+    return out.select(
+        id_col, "d2_micro",
+        F.col("_cum").cast("long").alias("rank"),
+        (F.col("_cum") <= F.expr(
+            "(_N * %d) div 1000000" % int(top_ppm))).alias("is_outlier"),
+    )

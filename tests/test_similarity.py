@@ -365,3 +365,46 @@ def test_quantize_embeddings_error_shrinks_vs_coarser(spark):
         # relative RMS error of 7-bit symmetric quantization < 1%
         rms = (r.err_nano2 / r.n_dims) ** 0.5
         assert rms <= r.m_nano / 127  # half-step bound
+
+
+# --- centroid-distance outliers ---------------------------------------------
+
+def test_embedding_outliers_flags_planted_far_vector(spark):
+    from llm_food_spark.operators.similarity import embedding_outliers
+
+    rows = [(i, [0.01 * (i % 3), 0.02, -0.01]) for i in range(19)]
+    rows.append((99, [5.0, -5.0, 5.0]))  # far outlier
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {r.vec_id: r for r in
+           embedding_outliers(df, top_ppm=100_000).collect()}
+    assert got[99].rank == 1 and got[99].is_outlier
+    # exactly floor(20 * 0.1) = 2 outliers
+    assert sum(1 for r in got.values() if r.is_outlier) == 2
+    assert all(got[99].d2_micro >= r.d2_micro for r in got.values())
+
+
+def test_embedding_outliers_rank_is_dense_total_order(spark):
+    from llm_food_spark.operators.similarity import embedding_outliers
+
+    df = spark.createDataFrame(
+        [(i, [float(i) / 10, 0.0]) for i in range(12)],
+        "vec_id long, embedding array<double>")
+    got = embedding_outliers(df, top_ppm=250_000).collect()
+    assert sorted(r.rank for r in got) == list(range(1, 13))
+    assert sum(1 for r in got if r.is_outlier) == 3  # floor(12*0.25)
+
+
+def test_embedding_outliers_partition_invariance_and_validation(spark):
+    from llm_food_spark.operators.similarity import embedding_outliers
+
+    df = spark.createDataFrame(
+        [(i, [((i * 7) % 11) / 10.0, ((i * 3) % 5) / 10.0])
+         for i in range(30)],
+        "vec_id long, embedding array<double>")
+    a = sorted(map(tuple, embedding_outliers(df, n_shards=1).collect()))
+    b = sorted(map(tuple, embedding_outliers(
+        df.repartition(7), n_shards=4).collect()))
+    assert a == b
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        embedding_outliers(df, top_ppm=0)
