@@ -2103,6 +2103,23 @@ def q_caption_pairs(spark, sf_dir):
         _captions_fixture(spark, sf_dir), n_partitions=8))
 
 
+def q_interleave(spark, sf_dir):
+    """Deterministic fixed-ratio source interleaving (operators/split.
+    py::interleave_sources): four 4:3:2:1-weighted sources over the
+    documents table. Hard oracle: the operator ranks with two global
+    ranked-cumsum passes (no per-source window) while DuckDB uses the
+    window formulation — two algorithms; every MINSTD order key,
+    src_rank, leaky-bucket vt and global pos must agree."""
+    from llm_food_spark.operators.split import interleave_sources
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(F.lit("src"), F.col("doc_id") % 4).alias("source"))
+    return interleave_sources(
+        d, {"src0": 400_000, "src1": 300_000,
+            "src2": 200_000, "src3": 100_000}, n_shards=4)
+
+
 def q_embed_outliers(spark, sf_dir):
     """Centroid-distance outlier audit (operators/similarity.py::
     embedding_outliers) over the embeddings table, top 5% flagged.
@@ -4711,7 +4728,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     oracles — every family gets at least one driver-visible row, and
     hand-written DuckDB SQL twins win slots over redundant or subsumed
     queries. Everything from slot 51 on is still gated locally by
-    tools/check_oracles.py (all 193, same rows+schema+hash compare at
+    tools/check_oracles.py (all 194, same rows+schema+hash compare at
     sf0.01) and ordered hard-SQL-twins-first in case the driver's cap is
     ever higher; the 13 frozen-golden byte-stability gates sit last.
     Subsumption notes for demoted queries are inline below."""
@@ -4813,6 +4830,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_neardup_seeded": q_image_neardup_seeded,  # perceptual dhash near-dup pairs via the 4-block pigeonhole (exact recall at hamming<=3); twin re-derives every hash/block/candidate/verdict
         "hybrid_search": q_hybrid_search,      # BM25 + embedding-cosine reciprocal-rank fusion in exact integer micros; twin nests both proven ranker twins as CTEs and recomputes every fused rank
         "embed_outliers": q_embed_outliers,    # centroid-distance outlier audit on the ranked-cumsum primitive (no single-partition window); twin re-derives quantization, centroid, distances, ranking and the cut
+        "interleave": q_interleave,            # leaky-bucket fixed-ratio source interleaving (two ranked-cumsum passes, no per-source window); twin uses the window formulation — two algorithms, same schedule
         "ngram_jaccard": q_ngram_jaccard,        # demoted for phrase_search: driver-green in r3, and the shingle->set->exact-overlap twin mechanism is held by dedup_paragraphs/dedup_substrings slots; the capped in-block quadratic stays repo-gated
         "soft_dedup": q_soft_dedup,              # SoftDeDup/D4 duplicate-aware reweighting (hard micro-unit twin; the dedup family's driver slots hold the detection side)
         "mixture_weights": q_mixture_weights,    # DoReMi-style fixed-loss domain mixture (exact largest-remainder ppm twin; crawl_budget holds the apportionment family's driver slot)
@@ -8626,6 +8644,33 @@ def _handwritten_oracles() -> dict[str, str]:
             WHERE len(text) >= 5
               AND COALESCE(width >= 64, TRUE)
               AND COALESCE(height >= 64, TRUE)
+        """,
+        # interleave twin: the WINDOW formulation of both rankings vs
+        # the operator's two ranked-cumsum passes.
+        "interleave": """
+            WITH d AS (
+              SELECT doc_id, 'src' || (doc_id % 4) AS source,
+                     ((doc_id % 2147483647 + 2147483647) % 2147483647
+                      * 48271) % 2147483647 % 1000000 AS ord
+              FROM documents
+            ), ranked AS (
+              SELECT doc_id, source,
+                     ROW_NUMBER() OVER (PARTITION BY source
+                       ORDER BY ord, doc_id)::BIGINT AS src_rank
+              FROM d
+            ), vts AS (
+              SELECT doc_id, source, src_rank,
+                     ((src_rank * 1000000)
+                      // (CASE source WHEN 'src0' THEN 400000
+                                      WHEN 'src1' THEN 300000
+                                      WHEN 'src2' THEN 200000
+                                      ELSE 100000 END))::BIGINT AS vt
+              FROM ranked
+            )
+            SELECT doc_id, source, src_rank, vt,
+                   ROW_NUMBER() OVER (ORDER BY vt, source, src_rank)
+                     ::BIGINT AS pos
+            FROM vts
         """,
         # embed_outliers twin: nano quantization (floor, the
         # embed_quantize rule), offset-floored centroid, micro-delta

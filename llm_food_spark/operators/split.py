@@ -790,3 +790,94 @@ def span_corruption(
         start.alias("start"),
         length.alias("length"),
     )
+
+
+# frames pinned by interleave_sources across its TWO ranked passes
+# (_ranked_cumsum frees the shared registry at the top of every call,
+# so the stage-1 output is lineage-cut OUTSIDE that registry and
+# released here on the next interleave call)
+_INTERLEAVE_PINNED: list = []
+
+
+def _release_interleave() -> None:
+    while _INTERLEAVE_PINNED:
+        fr = _INTERLEAVE_PINNED.pop()
+        try:
+            fr.unpersist()
+        except Exception:
+            pass
+
+
+def interleave_sources(
+    df: DataFrame,
+    weights: Dict[str, int],
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    n_shards: int = None,
+) -> DataFrame:
+    """Deterministic fixed-ratio source interleaving — the training-
+    order half of the mixture story (mixture_weights decides HOW MUCH
+    of each source; this decides WHERE each document lands so a reader
+    consuming the order head-to-tail sees sources at the target
+    ratios from the first batch on — the leaky-bucket / SSJ schedule,
+    exact integer form):
+
+        vt(doc) = src_rank * 1_000_000 div w_ppm[source]
+
+    with src_rank the document's 1-based position inside its source in
+    MINSTD-hash order; the global order is (vt, source, src_rank).
+    Reproducible across reruns/partitionings; a source with twice the
+    weight appears twice as often at every prefix (+-1).
+
+    -> (id, source, src_rank, vt, pos), pos the 1-based global slot.
+
+    Scale shape: per-source ranks come from ONE global ranked-cumsum
+    (order: source, hash, id) minus broadcast per-source offsets — no
+    per-source window, so a 90%-share source never funnels one
+    reducer. The schedule order is a SECOND ranked-cumsum; the stage-1
+    output is lineage-cut outside the shared release registry (both
+    passes call release_persisted) and freed on the next call.
+    Sources missing from ``weights`` raise at execution (loud, never a
+    silent drop)."""
+    if not weights:
+        raise ValueError("weights must be non-empty")
+    for s, w in weights.items():
+        if int(w) < 1:
+            raise ValueError("weight for %r must be >= 1 ppm" % s)
+    _release_interleave()
+    d = df.select(
+        F.col(id_col), F.col(source_col).alias("source")
+    ).withColumn("_ord", bucket_minstd(F.col(id_col))) \
+     .withColumn("_one", F.lit(1).cast("bigint"))
+    order = [F.col("source").asc(), F.col("_ord").asc(),
+             F.col(id_col).asc()]
+    cum = _ranked_cumsum(d, order, "_one", n_shards)
+    offs = cum.groupBy("source").agg(
+        (F.min("_cum") - 1).alias("_off"))
+    w_col = None
+    for s, w in weights.items():
+        c = F.when(F.col("source") == s, F.lit(int(w)))
+        w_col = c if w_col is None else w_col.when(
+            F.col("source") == s, F.lit(int(w)))
+    staged = cum.join(F.broadcast(offs), "source").select(
+        id_col, "source",
+        (F.col("_cum") - F.col("_off")).cast("long").alias("src_rank"),
+        w_col.alias("_w"),
+    ).select(
+        id_col, "source", "src_rank",
+        F.expr("CASE WHEN _w IS NOT NULL"
+               " THEN (src_rank * 1000000) div _w"
+               " ELSE raise_error('interleave_sources: source missing"
+               " from weights') END").cast("long").alias("vt"),
+    )
+    staged = staged.localCheckpoint(eager=True)
+    _INTERLEAVE_PINNED.append(staged)
+    order2 = [F.col("vt").asc(), F.col("source").asc(),
+              F.col("src_rank").asc()]
+    pos = _ranked_cumsum(
+        staged.withColumn("_one", F.lit(1).cast("bigint")),
+        order2, "_one", n_shards)
+    return pos.select(
+        id_col, "source", "src_rank", "vt",
+        F.col("_cum").cast("long").alias("pos"),
+    )

@@ -623,3 +623,60 @@ def test_span_corruption_validation(spark):
         span_corruption(df, stride=10)  # can't fit longest span
     with _pytest.raises(ValueError):
         span_corruption(df, short_max=0)
+
+
+# --- source interleaving ----------------------------------------------------
+
+def test_interleave_sources_ratio_at_every_prefix(spark):
+    from llm_food_spark.operators.split import interleave_sources
+
+    rows = ([(i, "big") for i in range(40)]
+            + [(1000 + i, "small") for i in range(20)])
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = interleave_sources(
+        df, {"big": 600_000, "small": 300_000}, n_shards=2).collect()
+    ordered = [r.source for r in sorted(out, key=lambda r: r.pos)]
+    # 2:1 schedule -> any prefix holds big ~ 2x small (+-2)
+    for p in (6, 12, 30, 60):
+        big = ordered[:p].count("big")
+        small = ordered[:p].count("small")
+        assert abs(big - 2 * small) <= 2, (p, big, small)
+    # pos is a dense 1-based permutation
+    assert sorted(r.pos for r in out) == list(range(1, 61))
+
+
+def test_interleave_sources_deterministic_and_partition_invariant(spark):
+    from llm_food_spark.operators.split import interleave_sources
+
+    rows = [(i, "s%d" % (i % 3)) for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    w = {"s0": 500_000, "s1": 300_000, "s2": 200_000}
+    a = sorted(map(tuple, interleave_sources(df, w, n_shards=1).collect()))
+    b = sorted(map(tuple, interleave_sources(
+        df.repartition(7), w, n_shards=4).collect()))
+    assert a == b
+
+
+def test_interleave_sources_vt_arithmetic(spark):
+    from llm_food_spark.operators.split import interleave_sources
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b")], "doc_id long, source string")
+    out = {(r.source, r.src_rank): r.vt for r in interleave_sources(
+        df, {"a": 500_000, "b": 250_000}).collect()}
+    assert out[("a", 1)] == 2 and out[("a", 2)] == 4
+    assert out[("b", 1)] == 4
+
+
+def test_interleave_sources_unknown_source_raises(spark):
+    from llm_food_spark.operators.split import interleave_sources
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "ghost")], "doc_id long, source string")
+    import pytest as _pytest
+    with _pytest.raises(Exception, match="missing from weights"):
+        interleave_sources(df, {"a": 500_000}).collect()
+    with _pytest.raises(ValueError):
+        interleave_sources(df, {})
+    with _pytest.raises(ValueError):
+        interleave_sources(df, {"a": 0})
