@@ -2103,6 +2103,20 @@ def q_caption_pairs(spark, sf_dir):
         _captions_fixture(spark, sf_dir), n_partitions=8))
 
 
+def q_kwic(spark, sf_dir):
+    """Keyword-in-context snippets (operators/search.py::kwic_snippets,
+    window=4) for the phrase-search query set over the real documents
+    text. Hard oracle: DuckDB finds every phrase start with the
+    INDEPENDENT window-slice scan (the phrase_search twin's algorithm),
+    then rebuilds each snippet with the same clamped token slice."""
+    from llm_food_spark.operators.search import kwic_snippets
+
+    d = _t(spark, sf_dir, "documents")
+    qs = spark.createDataFrame(_PHRASE_QUERIES,
+                               "query_id long, phrase string")
+    return kwic_snippets(d, qs, window=4)
+
+
 def q_interleave(spark, sf_dir):
     """Deterministic fixed-ratio source interleaving (operators/split.
     py::interleave_sources): four 4:3:2:1-weighted sources over the
@@ -4728,7 +4742,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     oracles — every family gets at least one driver-visible row, and
     hand-written DuckDB SQL twins win slots over redundant or subsumed
     queries. Everything from slot 51 on is still gated locally by
-    tools/check_oracles.py (all 194, same rows+schema+hash compare at
+    tools/check_oracles.py (all 195, same rows+schema+hash compare at
     sf0.01) and ordered hard-SQL-twins-first in case the driver's cap is
     ever higher; the 13 frozen-golden byte-stability gates sit last.
     Subsumption notes for demoted queries are inline below."""
@@ -4831,6 +4845,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_search": q_hybrid_search,      # BM25 + embedding-cosine reciprocal-rank fusion in exact integer micros; twin nests both proven ranker twins as CTEs and recomputes every fused rank
         "embed_outliers": q_embed_outliers,    # centroid-distance outlier audit on the ranked-cumsum primitive (no single-partition window); twin re-derives quantization, centroid, distances, ranking and the cut
         "interleave": q_interleave,            # leaky-bucket fixed-ratio source interleaving (two ranked-cumsum passes, no per-source window); twin uses the window formulation — two algorithms, same schedule
+        "kwic": q_kwic,                        # keyword-in-context snippets chained on phrase search; twin finds starts with the independent window-slice scan and rebuilds every clamped snippet
         "ngram_jaccard": q_ngram_jaccard,        # demoted for phrase_search: driver-green in r3, and the shingle->set->exact-overlap twin mechanism is held by dedup_paragraphs/dedup_substrings slots; the capped in-block quadratic stays repo-gated
         "soft_dedup": q_soft_dedup,              # SoftDeDup/D4 duplicate-aware reweighting (hard micro-unit twin; the dedup family's driver slots hold the detection side)
         "mixture_weights": q_mixture_weights,    # DoReMi-style fixed-loss domain mixture (exact largest-remainder ppm twin; crawl_budget holds the apportionment family's driver slot)
@@ -10523,6 +10538,36 @@ def _handwritten_oracles() -> dict[str, str]:
         """ % _BM25_SQL.format(values=", ".join(
             "(%d, '%s')" % q for q in _BM25_QUERIES)),
         "phrase_search": _PHRASE_SQL.format(values=", ".join(
+            "(%d, '%s')" % q for q in _PHRASE_QUERIES)),
+        # kwic twin: the phrase twin's window-slice scan + the clamped
+        # snippet slice (DuckDB list slicing clamps like F.slice).
+        "kwic": """
+            WITH toks AS (
+              SELECT doc_id, string_split(trim(regexp_replace(
+                lower(text), '[^a-z]+', ' ', 'g')), ' ') AS ts
+              FROM documents
+            ), q(query_id, phrase) AS (VALUES {values}
+            ), qt AS (
+              SELECT query_id, string_split(trim(regexp_replace(
+                lower(phrase), '[^a-z]+', ' ', 'g')), ' ') AS ps
+              FROM q
+            ), starts AS (
+              SELECT query_id, doc_id, u.s, len(ps) AS m
+              FROM qt, toks,
+                   UNNEST(range(1, len(ts) - len(ps) + 2)) AS u(s)
+              WHERE ts[s : s + len(ps) - 1] = ps
+            ), agg AS (
+              SELECT query_id, doc_id, MAX(m) AS m,
+                     COUNT(*)::BIGINT AS n_hits,
+                     MIN(s)::BIGINT AS first_pos
+              FROM starts GROUP BY 1, 2
+            )
+            SELECT a.query_id, a.doc_id, a.n_hits, a.first_pos,
+                   array_to_string(
+                     t.ts[GREATEST(1, a.first_pos - 4)
+                          : a.first_pos + a.m - 1 + 4], ' ') AS snippet
+            FROM agg a JOIN toks t USING (doc_id)
+        """.format(values=", ".join(
             "(%d, '%s')" % q for q in _PHRASE_QUERIES)),
         # bigram-LM perplexity: DuckDB retrains the identical model.
         # Float parity is engineered, not lucky: every constant is cast to

@@ -206,3 +206,50 @@ def rrf_fuse(rankings, k_const: int = 60, topk: int = 10) -> DataFrame:
         F.col("rrf_micro").desc(), F.col("doc_id").asc())
     return (sc.withColumn("rank", F.row_number().over(w).cast("int"))
               .where(F.col("rank") <= int(topk)))
+
+
+def kwic_snippets(
+    docs: DataFrame,
+    phrases: DataFrame,
+    window: int = 5,
+    query_id_col: str = "query_id",
+    phrase_col: str = "phrase",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Keyword-in-context snippets — the result-presentation half of
+    phrase search (what a reviewer or search UI shows): for every
+    (query, doc) phrase hit, the FIRST occurrence with ``window``
+    context tokens on each side.
+
+    -> (query_id, doc_id, n_hits, first_pos, snippet): positions are
+    phrase_search's 1-based alpha_tokens space; the snippet is
+    tokens[max(1, first_pos - window) .. first_pos + m - 1 + window]
+    space-joined (clamped at both document edges by slice semantics).
+
+    Scale shape: phrase_search's positional-postings plan produces one
+    narrow hit row per (query, doc); the snippet join re-tokenizes
+    ONLY matching docs (semi-joined first) and slices in Catalyst —
+    no Python, no window functions."""
+    if window < 0:
+        raise ValueError("window must be >= 0")
+    hits = phrase_search(docs, phrases, query_id_col, phrase_col,
+                         id_col, text_col)
+    qlen = phrases.select(
+        F.col(query_id_col).alias("query_id"),
+        F.size(alpha_tokens(F.col(phrase_col))).alias("_m"))
+    hd = hits.select(F.col("doc_id").alias("_hit_doc")).distinct()
+    hit_docs = docs.join(
+        hd, docs[id_col] == hd["_hit_doc"], "left_semi")
+    toks = hit_docs.select(
+        F.col(id_col).alias("doc_id"),
+        alpha_tokens(F.col(text_col)).alias("_toks"))
+    j = hits.join(F.broadcast(qlen), "query_id").join(toks, "doc_id")
+    start = F.greatest(F.lit(1), F.col("first_pos") - window)
+    length = (F.col("first_pos") + F.col("_m") - 1 + window
+              - start + 1)
+    return j.select(
+        "query_id", "doc_id", "n_hits", "first_pos",
+        F.array_join(F.slice(F.col("_toks"), start, length), " ")
+         .alias("snippet"),
+    )

@@ -185,3 +185,38 @@ def test_rrf_fuse_validation(spark):
         rrf_fuse([])
     with _pytest.raises(ValueError):
         rrf_fuse([a], k_const=0)
+
+
+# --- KWIC snippets ----------------------------------------------------------
+
+def test_kwic_snippet_window_and_clamp(spark):
+    from llm_food_spark.operators.search import kwic_snippets
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d TARGET phrase e f g h i"),
+         (2, "TARGET phrase at start")],
+        "doc_id long, text string")
+    qs = spark.createDataFrame(
+        [(1, "target phrase")], "query_id long, phrase string")
+    rows = {r.doc_id: r for r in
+            kwic_snippets(docs, qs, window=2).collect()}
+    # doc 1: phrase at pos 5 -> tokens 3..8
+    assert rows[1].snippet == "c d target phrase e f"
+    assert rows[1].first_pos == 5
+    # doc 2: phrase at pos 1 -> left clamp
+    assert rows[2].snippet == "target phrase at start"
+
+
+def test_kwic_no_match_no_row_and_window_zero(spark):
+    from llm_food_spark.operators.search import kwic_snippets
+
+    docs = spark.createDataFrame(
+        [(1, "nothing relevant here")], "doc_id long, text string")
+    qs = spark.createDataFrame(
+        [(1, "missing phrase"), (2, "relevant")],
+        "query_id long, phrase string")
+    rows = kwic_snippets(docs, qs, window=0).collect()
+    assert [(r.query_id, r.snippet) for r in rows] == [(2, "relevant")]
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        kwic_snippets(docs, qs, window=-1)
