@@ -2103,6 +2103,29 @@ def q_caption_pairs(spark, sf_dir):
         _captions_fixture(spark, sf_dir), n_partitions=8))
 
 
+def q_extract_yield(spark, sf_dir):
+    """Per-host extraction yield audit (operators/quality.py::
+    extraction_yield): 20 synthetic hosts where hosts 0-1 pass input
+    through nearly unstripped, every %11 page yields zero, and the
+    rest extract a third. Hard oracle: DuckDB recomputes every
+    per-page and pooled ppm, min/max, and verdict."""
+    from llm_food_spark.operators.quality import extraction_yield
+
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    b_in = (F.col("n_chars") * 3 + 100).cast("long")
+    c_out = (
+        F.when(i % 11 == 0, F.lit(0))
+         .when(i % 20 < 2, b_in - 5)
+         .otherwise(F.expr("(n_chars * 3 + 100) div 3"))
+    ).cast("long")
+    pages = d.select(
+        F.concat(F.lit("http://y"), i % 20, F.lit(".test/p"), i)
+         .alias("url"),
+        b_in.alias("bytes_in"), c_out.alias("chars_out"))
+    return extraction_yield(pages)
+
+
 def q_kwic(spark, sf_dir):
     """Keyword-in-context snippets (operators/search.py::kwic_snippets,
     window=4) for the phrase-search query set over the real documents
@@ -4742,7 +4765,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     oracles — every family gets at least one driver-visible row, and
     hand-written DuckDB SQL twins win slots over redundant or subsumed
     queries. Everything from slot 51 on is still gated locally by
-    tools/check_oracles.py (all 195, same rows+schema+hash compare at
+    tools/check_oracles.py (all 196, same rows+schema+hash compare at
     sf0.01) and ordered hard-SQL-twins-first in case the driver's cap is
     ever higher; the 13 frozen-golden byte-stability gates sit last.
     Subsumption notes for demoted queries are inline below."""
@@ -4846,6 +4869,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_outliers": q_embed_outliers,    # centroid-distance outlier audit on the ranked-cumsum primitive (no single-partition window); twin re-derives quantization, centroid, distances, ranking and the cut
         "interleave": q_interleave,            # leaky-bucket fixed-ratio source interleaving (two ranked-cumsum passes, no per-source window); twin uses the window formulation — two algorithms, same schedule
         "kwic": q_kwic,                        # keyword-in-context snippets chained on phrase search; twin finds starts with the independent window-slice scan and rebuilds every clamped snippet
+        "extract_yield": q_extract_yield,      # per-host extraction yield audit (empty/unstripped/ok verdicts on pooled ppm); twin recomputes every page and host figure
         "ngram_jaccard": q_ngram_jaccard,        # demoted for phrase_search: driver-green in r3, and the shingle->set->exact-overlap twin mechanism is held by dedup_paragraphs/dedup_substrings slots; the capped in-block quadratic stays repo-gated
         "soft_dedup": q_soft_dedup,              # SoftDeDup/D4 duplicate-aware reweighting (hard micro-unit twin; the dedup family's driver slots hold the detection side)
         "mixture_weights": q_mixture_weights,    # DoReMi-style fixed-loss domain mixture (exact largest-remainder ppm twin; crawl_budget holds the apportionment family's driver slot)
@@ -8659,6 +8683,43 @@ def _handwritten_oracles() -> dict[str, str]:
             WHERE len(text) >= 5
               AND COALESCE(width >= 64, TRUE)
               AND COALESCE(height >= 64, TRUE)
+        """,
+        # extract_yield twin: per-page ppm, host pools, min/max and
+        # verdicts recomputed from the class formulas.
+        "extract_yield": """
+            WITH p AS (
+              SELECT doc_id, 'y' || (doc_id % 20) || '.test' AS host,
+                     (n_chars * 3 + 100)::BIGINT AS b_in,
+                     (CASE WHEN doc_id % 11 = 0 THEN 0
+                           WHEN doc_id % 20 < 2
+                             THEN n_chars * 3 + 100 - 5
+                           ELSE (n_chars * 3 + 100) // 3
+                      END)::BIGINT AS c_out
+              FROM documents
+            ), py AS (
+              SELECT *, (c_out * 1000000)
+                        // GREATEST(b_in, 1) AS page_ppm
+              FROM p
+            ), g AS (
+              SELECT host, COUNT(*)::BIGINT AS n_pages,
+                     SUM(b_in)::BIGINT AS bytes_in,
+                     SUM(c_out)::BIGINT AS chars_out,
+                     MIN(page_ppm)::BIGINT AS min_yield_ppm,
+                     MAX(page_ppm)::BIGINT AS max_yield_ppm
+              FROM py GROUP BY host
+            )
+            SELECT host, n_pages, bytes_in, chars_out,
+                   ((chars_out * 1000000) // GREATEST(bytes_in, 1))
+                     ::BIGINT AS yield_ppm,
+                   min_yield_ppm, max_yield_ppm,
+                   CASE WHEN (chars_out * 1000000)
+                             // GREATEST(bytes_in, 1) < 10000
+                          THEN 'empty'
+                        WHEN (chars_out * 1000000)
+                             // GREATEST(bytes_in, 1) > 900000
+                          THEN 'unstripped'
+                        ELSE 'ok' END AS verdict
+            FROM g
         """,
         # interleave twin: the WINDOW formulation of both rankings vs
         # the operator's two ranked-cumsum passes.

@@ -321,3 +321,56 @@ def code_signals(
                " + (1000 * (kw_hits + camel_hits))"
                " div greatest(n_lines, 1L) >= %d" % int(threshold_ppm)),
     )
+
+
+# verdict thresholds shared with the DuckDB twin (exact ppm integers)
+YIELD_EMPTY_PPM = 10_000
+YIELD_UNSTRIPPED_PPM = 900_000
+
+
+def extraction_yield(
+    df,
+    url_col: str = "url",
+    in_col: str = "bytes_in",
+    out_col: str = "chars_out",
+):
+    """Per-host extraction yield audit — the operational monitor a
+    10^12-page extraction rollout needs: a host whose pages yield ~0
+    output chars has a template the content scorer eats entirely
+    (selector regression), one yielding ~100% of its input has
+    boilerplate passing through unstripped. Both are per-HOST failure
+    patterns invisible in corpus-level averages.
+
+    -> (host, n_pages, bytes_in, chars_out, yield_ppm, min_yield_ppm,
+    max_yield_ppm, verdict): yields are exact integer ppm of out/in
+    (per page for min/max, pooled for the host figure); verdict is
+    'empty' below YIELD_EMPTY_PPM, 'unstripped' above
+    YIELD_UNSTRIPPED_PPM, else 'ok' — on the POOLED yield.
+
+    Pure Catalyst: one flat per-row ppm + one map-side-combining
+    groupBy(host); zero Python, zero windows."""
+    from llm_food_spark.operators.urlops import host_col
+
+    page_yield = F.expr(
+        "(%s * 1000000) div greatest(%s, 1)" % (out_col, in_col))
+    g = df.select(
+        host_col(F.col(url_col)).alias("host"),
+        F.col(in_col).cast("long").alias("b_in"),
+        F.col(out_col).cast("long").alias("c_out"),
+        page_yield.cast("long").alias("py"),
+    ).groupBy("host").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pages"),
+        F.sum("b_in").cast("long").alias("bytes_in"),
+        F.sum("c_out").cast("long").alias("chars_out"),
+        F.min("py").cast("long").alias("min_yield_ppm"),
+        F.max("py").cast("long").alias("max_yield_ppm"),
+    )
+    pooled = F.expr("(chars_out * 1000000) div greatest(bytes_in, 1)")
+    return g.select(
+        "host", "n_pages", "bytes_in", "chars_out",
+        pooled.cast("long").alias("yield_ppm"),
+        "min_yield_ppm", "max_yield_ppm",
+        F.when(pooled < YIELD_EMPTY_PPM, F.lit("empty"))
+         .when(pooled > YIELD_UNSTRIPPED_PPM, F.lit("unstripped"))
+         .otherwise(F.lit("ok")).alias("verdict"),
+    )

@@ -1,0 +1,44 @@
+
+
+# --- extraction yield audit -------------------------------------------------
+
+def test_extraction_yield_verdicts(spark):
+    from llm_food_spark.operators.quality import extraction_yield
+
+    rows = [
+        ("http://ok.test/a", 1000, 300), ("http://ok.test/b", 2000, 500),
+        ("http://empty.test/a", 5000, 10), ("http://empty.test/b", 5000, 0),
+        ("http://raw.test/a", 1000, 950),
+    ]
+    df = spark.createDataFrame(
+        rows, "url string, bytes_in long, chars_out long")
+    got = {r.host: r for r in extraction_yield(df).collect()}
+    ok = got["ok.test"]
+    assert (ok.n_pages, ok.bytes_in, ok.chars_out) == (2, 3000, 800)
+    assert ok.yield_ppm == 800 * 1_000_000 // 3000
+    assert ok.min_yield_ppm == 250_000 and ok.max_yield_ppm == 300_000
+    assert ok.verdict == "ok"
+    assert got["empty.test"].verdict == "empty"
+    assert got["empty.test"].yield_ppm == 10 * 1_000_000 // 10_000
+    assert got["raw.test"].verdict == "unstripped"
+
+
+def test_extraction_yield_zero_input_guard(spark):
+    from llm_food_spark.operators.quality import extraction_yield
+
+    df = spark.createDataFrame(
+        [("http://z.test/a", 0, 0)], "url string, bytes_in long, chars_out long")
+    [r] = extraction_yield(df).collect()
+    assert r.yield_ppm == 0 and r.verdict == "empty"
+
+
+def test_extraction_yield_partition_invariance(spark):
+    from llm_food_spark.operators.quality import extraction_yield
+
+    df = spark.createDataFrame(
+        [("http://h%d.test/p%d" % (i % 4, i), 100 + i, 10 + i % 50)
+         for i in range(40)],
+        "url string, bytes_in long, chars_out long")
+    a = sorted(map(tuple, extraction_yield(df).collect()))
+    b = sorted(map(tuple, extraction_yield(df.repartition(7)).collect()))
+    assert a == b
