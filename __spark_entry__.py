@@ -2103,6 +2103,22 @@ def q_caption_pairs(spark, sf_dir):
         _captions_fixture(spark, sf_dir), n_partitions=8))
 
 
+def q_expire_snapshots(spark, sf_dir):
+    """Iceberg expire_snapshots planning (plans/pipeline.py::
+    expire_snapshots): 16 partitions, one commit per doc_id sequence,
+    newest 10 sequences retained. Hard oracle: DuckDB recomputes every
+    lead() interval, the distinct-sequence retention cutoff, and every
+    expired verdict."""
+    from llm_food_spark.plans.pipeline import expire_snapshots
+
+    d = _t(spark, sf_dir, "documents")
+    commits = d.select(
+        (F.col("doc_id") % 16).alias("partition_id"),
+        F.col("doc_id").alias("seq"),
+        F.col("n_chars").cast("long").alias("bytes"))
+    return expire_snapshots(commits, retain_last=10)
+
+
 def q_extract_yield(spark, sf_dir):
     """Per-host extraction yield audit (operators/quality.py::
     extraction_yield): 20 synthetic hosts where hosts 0-1 pass input
@@ -4765,7 +4781,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     oracles — every family gets at least one driver-visible row, and
     hand-written DuckDB SQL twins win slots over redundant or subsumed
     queries. Everything from slot 51 on is still gated locally by
-    tools/check_oracles.py (all 196, same rows+schema+hash compare at
+    tools/check_oracles.py (all 197, same rows+schema+hash compare at
     sf0.01) and ordered hard-SQL-twins-first in case the driver's cap is
     ever higher; the 13 frozen-golden byte-stability gates sit last.
     Subsumption notes for demoted queries are inline below."""
@@ -4870,6 +4886,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interleave": q_interleave,            # leaky-bucket fixed-ratio source interleaving (two ranked-cumsum passes, no per-source window); twin uses the window formulation — two algorithms, same schedule
         "kwic": q_kwic,                        # keyword-in-context snippets chained on phrase search; twin finds starts with the independent window-slice scan and rebuilds every clamped snippet
         "extract_yield": q_extract_yield,      # per-host extraction yield audit (empty/unstripped/ok verdicts on pooled ppm); twin recomputes every page and host figure
+        "expire_snapshots": q_expire_snapshots,  # Iceberg snapshot-retention planning (live intervals vs the retained cutoff); twin recomputes every lead interval + verdict
         "ngram_jaccard": q_ngram_jaccard,        # demoted for phrase_search: driver-green in r3, and the shingle->set->exact-overlap twin mechanism is held by dedup_paragraphs/dedup_substrings slots; the capped in-block quadratic stays repo-gated
         "soft_dedup": q_soft_dedup,              # SoftDeDup/D4 duplicate-aware reweighting (hard micro-unit twin; the dedup family's driver slots hold the detection side)
         "mixture_weights": q_mixture_weights,    # DoReMi-style fixed-loss domain mixture (exact largest-remainder ppm twin; crawl_budget holds the apportionment family's driver slot)
@@ -8683,6 +8700,28 @@ def _handwritten_oracles() -> dict[str, str]:
             WHERE len(text) >= 5
               AND COALESCE(width >= 64, TRUE)
               AND COALESCE(height >= 64, TRUE)
+        """,
+        # expire_snapshots twin: lead intervals per partition + the
+        # distinct-seq retention cutoff, every verdict recomputed.
+        "expire_snapshots": """
+            WITH c AS (
+              SELECT doc_id % 16 AS partition_id, doc_id AS seq,
+                     n_chars::BIGINT AS bytes
+              FROM documents
+            ), cut AS (
+              SELECT MIN(seq) AS min_retained FROM (
+                SELECT seq, ROW_NUMBER() OVER (ORDER BY seq DESC) AS r
+                FROM (SELECT DISTINCT seq FROM c))
+              WHERE r <= 10
+            ), led AS (
+              SELECT *, LEAD(seq) OVER (PARTITION BY partition_id
+                                        ORDER BY seq) AS next_seq
+              FROM c
+            )
+            SELECT partition_id, seq, bytes, next_seq,
+                   (next_seq IS NOT NULL
+                    AND next_seq <= cut.min_retained) AS expired
+            FROM led CROSS JOIN cut
         """,
         # extract_yield twin: per-page ppm, host pools, min/max and
         # verdicts recomputed from the class formulas.

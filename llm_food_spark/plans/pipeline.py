@@ -372,3 +372,54 @@ def compaction_plan(
         F.lit(1).cast("long").alias("bin_files"),
     )
     return small_out.unionByName(big_out)
+
+
+def expire_snapshots(
+    commits: DataFrame,
+    retain_last: int,
+    partition_col: str = "partition_id",
+    seq_col: str = "seq",
+    bytes_col: str = "bytes",
+) -> DataFrame:
+    """Iceberg ``expire_snapshots`` planning — the retention half of
+    the table-maintenance story (compaction_plan is the layout half):
+    which committed per-partition states are still referenced by any
+    RETAINED snapshot, and which are reclaimable.
+
+    Semantics (Iceberg's, under dynamic partition overwrite): commit
+    (p, s) is live for snapshot sequences [s, p's next commit); with
+    the newest ``retain_last`` distinct sequences retained, a commit is
+    ``expired`` iff its live interval ends at or before the smallest
+    retained sequence — the current winner of every partition is always
+    referenced. -> (partition_id, seq, bytes, next_seq, expired);
+    sum(bytes) over expired rows is the reclaim total.
+
+    Scale shape: ``next_seq`` is one lead() window per partition over
+    lineage rows (metadata-sized — commits, never data); the retained
+    cutoff is a rank over DISTINCT sequences (snapshot-count-sized)
+    broadcast back. Mirrors snapshot_log's documented scale contract.
+    """
+    from pyspark.sql import Window
+
+    if retain_last < 1:
+        raise ValueError("retain_last must be >= 1")
+    c = commits.select(
+        F.col(partition_col).alias("partition_id"),
+        F.col(seq_col).cast("long").alias("seq"),
+        F.col(bytes_col).cast("long").alias("bytes"),
+    )
+    seqs = c.select("seq").distinct()
+    rw = Window.orderBy(F.col("seq").desc())  # snapshot-count-sized
+    cutoff = (seqs.select("seq", F.row_number().over(rw).alias("r"))
+                  .where(F.col("r") <= retain_last)
+                  .agg(F.min("seq").alias("min_retained")))
+    pw = Window.partitionBy("partition_id").orderBy("seq")
+    out = c.select(
+        "*", F.lead("seq").over(pw).alias("next_seq")
+    ).crossJoin(F.broadcast(cutoff))
+    return out.select(
+        "partition_id", "seq", "bytes", "next_seq",
+        (F.col("next_seq").isNotNull()
+         & (F.col("next_seq") <= F.col("min_retained")))
+         .alias("expired"),
+    )

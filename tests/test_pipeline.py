@@ -380,3 +380,40 @@ def test_compaction_plan_partition_invariant_and_counts(spark):
     bad = chk.where(F.col("rewrite") & (
         (F.col("s") != F.col("bin_bytes")) | (F.col("n") != F.col("bin_files"))))
     assert bad.count() == 0
+
+
+# --- snapshot expiry planning -----------------------------------------------
+
+def test_expire_snapshots_reference_semantics(spark):
+    from llm_food_spark.plans.pipeline import expire_snapshots
+
+    # partition A committed at 1, 5, 9; partition B at 2 only
+    commits = spark.createDataFrame(
+        [("A", 1, 10), ("A", 5, 20), ("A", 9, 30), ("B", 2, 40)],
+        "partition_id string, seq long, bytes long")
+    # retain last 2 distinct seqs -> retained {5, 9}, min_retained 5
+    rows = {(r.partition_id, r.seq): r for r in
+            expire_snapshots(commits, retain_last=2).collect()}
+    # A@1: live [1,5) ends AT the cutoff -> no retained snapshot sees it
+    assert rows[("A", 1)].expired
+    # A@5: live [5,9) covers retained seq 5 -> referenced
+    assert not rows[("A", 5)].expired
+    # current winners are never expired
+    assert not rows[("A", 9)].expired
+    assert not rows[("B", 2)].expired  # B's current state, seen by 5 and 9
+
+
+def test_expire_snapshots_retain_all_and_validation(spark):
+    from llm_food_spark.plans.pipeline import expire_snapshots
+
+    commits = spark.createDataFrame(
+        [("A", 1, 10), ("A", 2, 10)],
+        "partition_id string, seq long, bytes long")
+    assert all(not r.expired for r in
+               expire_snapshots(commits, retain_last=5).collect())
+    [old] = [r for r in expire_snapshots(commits, 1).collect()
+             if r.seq == 1]
+    assert old.expired
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        expire_snapshots(commits, retain_last=0)
