@@ -2103,6 +2103,23 @@ def q_caption_pairs(spark, sf_dir):
         _captions_fixture(spark, sf_dir), n_partitions=8))
 
 
+def q_zone_map(spark, sf_dir):
+    """Zone-map pruning audit (plans/pipeline.py::zone_map_audit):
+    files = doc_id%12 (uncorrelated with the n_chars key — the
+    layout-quality question the audit answers), three fixed range
+    predicates. Hard oracle: DuckDB rebuilds every per-file min/max
+    zone, every must_read verdict and every exact match count."""
+    from llm_food_spark.plans.pipeline import zone_map_audit
+
+    d = _t(spark, sf_dir, "documents").select(
+        (F.col("doc_id") % 12).alias("file_id"),
+        F.col("n_chars").cast("long").alias("k"))
+    preds = spark.createDataFrame(
+        [(1, 0, 200), (2, 500, 900), (3, 5000, 9000)],
+        "pred_id long, lo long, hi long")
+    return zone_map_audit(d, preds, "k")
+
+
 def q_expire_snapshots(spark, sf_dir):
     """Iceberg expire_snapshots planning (plans/pipeline.py::
     expire_snapshots): 16 partitions, one commit per doc_id sequence,
@@ -4781,7 +4798,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     oracles — every family gets at least one driver-visible row, and
     hand-written DuckDB SQL twins win slots over redundant or subsumed
     queries. Everything from slot 51 on is still gated locally by
-    tools/check_oracles.py (all 197, same rows+schema+hash compare at
+    tools/check_oracles.py (all 198, same rows+schema+hash compare at
     sf0.01) and ordered hard-SQL-twins-first in case the driver's cap is
     ever higher; the 13 frozen-golden byte-stability gates sit last.
     Subsumption notes for demoted queries are inline below."""
@@ -4887,6 +4904,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kwic": q_kwic,                        # keyword-in-context snippets chained on phrase search; twin finds starts with the independent window-slice scan and rebuilds every clamped snippet
         "extract_yield": q_extract_yield,      # per-host extraction yield audit (empty/unstripped/ok verdicts on pooled ppm); twin recomputes every page and host figure
         "expire_snapshots": q_expire_snapshots,  # Iceberg snapshot-retention planning (live intervals vs the retained cutoff); twin recomputes every lead interval + verdict
+        "zone_map": q_zone_map,                # zone-map (min/max stats) pruning audit with exact read-amplification counts; twin rebuilds every zone, verdict and match count
         "ngram_jaccard": q_ngram_jaccard,        # demoted for phrase_search: driver-green in r3, and the shingle->set->exact-overlap twin mechanism is held by dedup_paragraphs/dedup_substrings slots; the capped in-block quadratic stays repo-gated
         "soft_dedup": q_soft_dedup,              # SoftDeDup/D4 duplicate-aware reweighting (hard micro-unit twin; the dedup family's driver slots hold the detection side)
         "mixture_weights": q_mixture_weights,    # DoReMi-style fixed-loss domain mixture (exact largest-remainder ppm twin; crawl_budget holds the apportionment family's driver slot)
@@ -8700,6 +8718,30 @@ def _handwritten_oracles() -> dict[str, str]:
             WHERE len(text) >= 5
               AND COALESCE(width >= 64, TRUE)
               AND COALESCE(height >= 64, TRUE)
+        """,
+        # zone_map twin: per-file zones, verdicts and exact matches,
+        # all recomputed.
+        "zone_map": """
+            WITH d AS (
+              SELECT doc_id % 12 AS file_id, n_chars::BIGINT AS k
+              FROM documents
+            ), zones AS (
+              SELECT file_id, MIN(k) AS zmin, MAX(k) AS zmax,
+                     COUNT(*)::BIGINT AS n_rows
+              FROM d GROUP BY file_id
+            ), p(pred_id, lo, hi) AS (
+              VALUES (1, 0, 200), (2, 500, 900), (3, 5000, 9000)
+            ), m AS (
+              SELECT pred_id, file_id, COUNT(*)::BIGINT AS n_match
+              FROM d, p WHERE k >= lo AND k <= hi
+              GROUP BY pred_id, file_id
+            )
+            SELECT p.pred_id::BIGINT AS pred_id, z.file_id, z.n_rows,
+                   (z.zmax >= p.lo AND z.zmin <= p.hi) AS must_read,
+                   COALESCE(m.n_match, 0)::BIGINT AS n_match
+            FROM zones z CROSS JOIN p
+            LEFT JOIN m ON m.pred_id = p.pred_id
+                       AND m.file_id = z.file_id
         """,
         # expire_snapshots twin: lead intervals per partition + the
         # distinct-seq retention cutoff, every verdict recomputed.

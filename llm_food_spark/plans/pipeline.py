@@ -423,3 +423,50 @@ def expire_snapshots(
          & (F.col("next_seq") <= F.col("min_retained")))
          .alias("expired"),
     )
+
+
+def zone_map_audit(
+    df: DataFrame,
+    predicates: DataFrame,
+    key_col: str,
+    file_col: str = "file_id",
+) -> DataFrame:
+    """Zone-map (min/max statistics) pruning audit — measures how well
+    the CURRENT file layout prunes range predicates on ``key_col``,
+    the number that decides whether a table is worth re-clustering on
+    that key (Iceberg sort orders / parquet row-group stats: a scan
+    must read every file whose [min, max] intersects the predicate, so
+    read amplification = rows read div rows matched is a direct layout
+    quality metric).
+
+    ``predicates``: (pred_id, lo, hi) inclusive ranges. One row out per
+    (pred_id, file): (pred_id, file_id, n_rows, must_read, n_match) —
+    must_read is the zone-map verdict, n_match the exact rows the
+    predicate selects in that file (0 for a pruned file by
+    definition; a must_read file with n_match = 0 is pure
+    amplification).
+
+    Scale shape: zone maps are one map-side-combining groupBy(file)
+    (metadata out); the exact-match count is ONE pass over the data
+    against the broadcast predicate set. Run at audit time, not per
+    query."""
+    zones = df.groupBy(F.col(file_col).alias("file_id")).agg(
+        F.min(key_col).alias("zmin"), F.max(key_col).alias("zmax"),
+        F.count(F.lit(1)).cast("long").alias("n_rows"))
+    p = predicates.select("pred_id", "lo", "hi")
+    verdicts = zones.crossJoin(F.broadcast(p)).select(
+        "pred_id", "file_id", "n_rows",
+        ((F.col("zmax") >= F.col("lo")) & (F.col("zmin") <= F.col("hi")))
+         .alias("must_read"))
+    matches = (
+        df.select(F.col(file_col).alias("file_id"),
+                  F.col(key_col).alias("k"))
+          .crossJoin(F.broadcast(p))
+          .where((F.col("k") >= F.col("lo")) & (F.col("k") <= F.col("hi")))
+          .groupBy("pred_id", "file_id")
+          .agg(F.count(F.lit(1)).cast("long").alias("n_match"))
+    )
+    return verdicts.join(matches, ["pred_id", "file_id"], "left") \
+                   .select("pred_id", "file_id", "n_rows", "must_read",
+                           F.coalesce("n_match", F.lit(0)).cast("long")
+                            .alias("n_match"))

@@ -417,3 +417,42 @@ def test_expire_snapshots_retain_all_and_validation(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         expire_snapshots(commits, retain_last=0)
+
+
+# --- zone-map pruning audit -------------------------------------------------
+
+def test_zone_map_audit_verdicts_and_amplification(spark):
+    from llm_food_spark.plans.pipeline import zone_map_audit
+
+    # file A holds keys 1..5, file B 100..104, file C {1, 100} (wide)
+    rows = ([("A", k) for k in range(1, 6)]
+            + [("B", k) for k in range(100, 105)]
+            + [("C", 1), ("C", 100)])
+    df = spark.createDataFrame(rows, "file_id string, k long")
+    preds = spark.createDataFrame(
+        [(1, 2, 4), (2, 50, 60)], "pred_id long, lo long, hi long")
+    got = {(r.pred_id, r.file_id): r for r in
+           zone_map_audit(df, preds, "k").collect()}
+    # pred 1 [2,4]: A must_read with 3 matches; B pruned; C is pure
+    # amplification (zone [1,100] intersects, zero matches)
+    assert got[(1, "A")].must_read and got[(1, "A")].n_match == 3
+    assert not got[(1, "B")].must_read and got[(1, "B")].n_match == 0
+    assert got[(1, "C")].must_read and got[(1, "C")].n_match == 0
+    # pred 2 [50,60]: only C's wide zone forces a read, zero matches
+    assert not got[(2, "A")].must_read
+    assert not got[(2, "B")].must_read
+    assert got[(2, "C")].must_read and got[(2, "C")].n_match == 0
+
+
+def test_zone_map_audit_partition_invariance(spark):
+    from llm_food_spark.plans.pipeline import zone_map_audit
+
+    df = spark.createDataFrame(
+        [("f%d" % (i % 6), (i * 37) % 100) for i in range(60)],
+        "file_id string, k long")
+    preds = spark.createDataFrame(
+        [(1, 10, 30), (2, 0, 99)], "pred_id long, lo long, hi long")
+    a = sorted(map(tuple, zone_map_audit(df, preds, "k").collect()))
+    b = sorted(map(tuple, zone_map_audit(
+        df.repartition(7), preds, "k").collect()))
+    assert a == b
