@@ -2103,6 +2103,22 @@ def q_caption_pairs(spark, sf_dir):
         _captions_fixture(spark, sf_dir), n_partitions=8))
 
 
+def q_length_batches(spark, sf_dir):
+    """Length-bucketed inference batching (operators/split.py::
+    length_batches) over whitespace token counts of the real corpus.
+    Hard oracle: DuckDB recomputes the bit-length power-of-two
+    buckets, the MINSTD order, the within-bucket window ranks (vs the
+    operator's ranked-cumsum — two algorithms), every batch id and
+    padding waste."""
+    from llm_food_spark.operators.split import length_batches
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr("size(filter(split(text, '[ \\t\\n\\x0B\\f\\r]+'),"
+               " x -> x != ''))").cast("long").alias("n_tokens"))
+    return length_batches(d, batch_size=8, n_shards=4)
+
+
 def q_zone_map(spark, sf_dir):
     """Zone-map pruning audit (plans/pipeline.py::zone_map_audit):
     files = doc_id%12 (uncorrelated with the n_chars key — the
@@ -4798,7 +4814,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     oracles — every family gets at least one driver-visible row, and
     hand-written DuckDB SQL twins win slots over redundant or subsumed
     queries. Everything from slot 51 on is still gated locally by
-    tools/check_oracles.py (all 198, same rows+schema+hash compare at
+    tools/check_oracles.py (all 199, same rows+schema+hash compare at
     sf0.01) and ordered hard-SQL-twins-first in case the driver's cap is
     ever higher; the 13 frozen-golden byte-stability gates sit last.
     Subsumption notes for demoted queries are inline below."""
@@ -4905,6 +4921,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_yield": q_extract_yield,      # per-host extraction yield audit (empty/unstripped/ok verdicts on pooled ppm); twin recomputes every page and host figure
         "expire_snapshots": q_expire_snapshots,  # Iceberg snapshot-retention planning (live intervals vs the retained cutoff); twin recomputes every lead interval + verdict
         "zone_map": q_zone_map,                # zone-map (min/max stats) pruning audit with exact read-amplification counts; twin rebuilds every zone, verdict and match count
+        "length_batches": q_length_batches,    # power-of-two length-bucketed inference batching (bit-length buckets, no float log2); twin uses the window formulation of the within-bucket ranks
         "ngram_jaccard": q_ngram_jaccard,        # demoted for phrase_search: driver-green in r3, and the shingle->set->exact-overlap twin mechanism is held by dedup_paragraphs/dedup_substrings slots; the capped in-block quadratic stays repo-gated
         "soft_dedup": q_soft_dedup,              # SoftDeDup/D4 duplicate-aware reweighting (hard micro-unit twin; the dedup family's driver slots hold the detection side)
         "mixture_weights": q_mixture_weights,    # DoReMi-style fixed-loss domain mixture (exact largest-remainder ppm twin; crawl_budget holds the apportionment family's driver slot)
@@ -8719,6 +8736,29 @@ def _handwritten_oracles() -> dict[str, str]:
               AND COALESCE(width >= 64, TRUE)
               AND COALESCE(height >= 64, TRUE)
         """,
+        # length_batches twin: bit-length buckets + the window
+        # formulation of within-bucket ranks.
+        "length_batches": """
+            WITH d AS (
+              SELECT doc_id, len({ws})::BIGINT AS n_tokens,
+                     ((doc_id % 2147483647 + 2147483647) % 2147483647
+                      * 48271) % 2147483647 % 1000000 AS ord
+              FROM documents
+            ), b AS (
+              SELECT *,
+                     (1::BIGINT << length(bin(
+                        GREATEST(n_tokens, 16) - 1))::INT) AS bucket
+              FROM d
+            ), r AS (
+              SELECT *, ROW_NUMBER() OVER (PARTITION BY bucket
+                          ORDER BY ord, doc_id) AS rk
+              FROM b
+            )
+            SELECT doc_id, n_tokens, bucket,
+                   ((rk - 1) // 8)::BIGINT AS batch_id,
+                   (bucket - n_tokens)::BIGINT AS waste
+            FROM r
+        """.format(ws=_WSTOKS),
         # zone_map twin: per-file zones, verdicts and exact matches,
         # all recomputed.
         "zone_map": """

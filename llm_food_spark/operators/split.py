@@ -881,3 +881,53 @@ def interleave_sources(
         id_col, "source", "src_rank", "vt",
         F.col("_cum").cast("long").alias("pos"),
     )
+
+
+def length_batches(
+    df: DataFrame,
+    tokens_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    batch_size: int = 32,
+    min_bucket: int = 16,
+    n_shards: int = None,
+) -> DataFrame:
+    """Length-bucketed batch layout for INFERENCE (the serving-side
+    complement of pack_sequences' training packing): documents are
+    padded to their bucket's length, so batching same-bucket docs
+    minimizes padding waste. Buckets are powers of two >=
+    ``min_bucket``, computed exactly via bit-length arithmetic
+    (1 << len(bin(x-1)) — never float log2, whose last ulp disagrees
+    across engines at the boundaries).
+
+    -> (id, n_tokens, bucket, batch_id, waste): batch_id numbers
+    ``batch_size``-doc batches within the bucket in MINSTD-hash order
+    (deterministic under any partitioning); waste = bucket - n_tokens,
+    the per-doc padding cost. Tail batches are partially filled — that
+    residual is scheduling slack, not padding, and is visible as the
+    batch's row count.
+
+    Scale shape: within-bucket ranks come from ONE global
+    ranked-cumsum minus broadcast per-bucket offsets (the
+    interleave_sources discipline — a dominant bucket never funnels a
+    per-bucket window reducer)."""
+    if batch_size < 1 or min_bucket < 1:
+        raise ValueError("batch_size and min_bucket must be >= 1")
+    d = df.select(
+        F.col(id_col), F.col(tokens_col).cast("long").alias("n_tokens"),
+    ).withColumn(
+        "bucket",
+        F.expr("shiftleft(1L, cast(length(bin(greatest(cast(%s as"
+               " bigint), %d) - 1)) as int))"
+               % (tokens_col, int(min_bucket))),
+    ).withColumn("_ord", bucket_minstd(F.col(id_col))) \
+     .withColumn("_one", F.lit(1).cast("bigint"))
+    order = [F.col("bucket").asc(), F.col("_ord").asc(),
+             F.col(id_col).asc()]
+    cum = _ranked_cumsum(d, order, "_one", n_shards)
+    offs = cum.groupBy("bucket").agg((F.min("_cum") - 1).alias("_off"))
+    return cum.join(F.broadcast(offs), "bucket").select(
+        id_col, "n_tokens", "bucket",
+        F.expr("(_cum - _off - 1) div %d" % int(batch_size))
+         .cast("long").alias("batch_id"),
+        (F.col("bucket") - F.col("n_tokens")).cast("long").alias("waste"),
+    )

@@ -680,3 +680,47 @@ def test_interleave_sources_unknown_source_raises(spark):
         interleave_sources(df, {})
     with _pytest.raises(ValueError):
         interleave_sources(df, {"a": 0})
+
+
+# --- length-bucketed batching -----------------------------------------------
+
+def test_length_batches_bucket_arithmetic(spark):
+    from llm_food_spark.operators.split import length_batches
+
+    df = spark.createDataFrame(
+        [(1, 5), (2, 16), (3, 17), (4, 100), (5, 128), (6, 129)],
+        "doc_id long, n_tokens long")
+    got = {r.doc_id: r for r in length_batches(df).collect()}
+    assert got[1].bucket == 16 and got[1].waste == 11
+    assert got[2].bucket == 16 and got[2].waste == 0
+    assert got[3].bucket == 32
+    assert got[4].bucket == 128 and got[4].waste == 28
+    assert got[5].bucket == 128 and got[5].waste == 0
+    assert got[6].bucket == 256
+
+
+def test_length_batches_batches_fill_in_order(spark):
+    from llm_food_spark.operators.split import length_batches
+
+    df = spark.createDataFrame(
+        [(i, 20) for i in range(10)], "doc_id long, n_tokens long")
+    got = length_batches(df, batch_size=4).collect()
+    from collections import Counter
+    sizes = Counter(r.batch_id for r in got)
+    assert sorted(sizes.values(), reverse=True) == [4, 4, 2]
+    assert all(r.bucket == 32 for r in got)
+
+
+def test_length_batches_partition_invariance_and_validation(spark):
+    from llm_food_spark.operators.split import length_batches
+
+    df = spark.createDataFrame(
+        [(i, 10 + (i * 13) % 200) for i in range(40)],
+        "doc_id long, n_tokens long")
+    a = sorted(map(tuple, length_batches(df, n_shards=1).collect()))
+    b = sorted(map(tuple, length_batches(
+        df.repartition(7), n_shards=4).collect()))
+    assert a == b
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        length_batches(df, batch_size=0)
