@@ -2103,6 +2103,19 @@ def q_caption_pairs(spark, sf_dir):
         _captions_fixture(spark, sf_dir), n_partitions=8))
 
 
+def q_rendezvous(spark, sf_dir):
+    """Rendezvous (HRW) shard routing (operators/split.py::
+    rendezvous_shards) across six nodes. Hard oracle: DuckDB replays
+    the shard-name polynomial constants, both MiMC rounds per
+    (doc, shard) pair and the (score desc, shard desc) argmax via the
+    window formulation (the operator uses a map-side struct max)."""
+    from llm_food_spark.operators.split import rendezvous_shards
+
+    return rendezvous_shards(
+        _t(spark, sf_dir, "documents").select("doc_id"),
+        ["node-%d" % k for k in range(6)])
+
+
 def q_length_batches(spark, sf_dir):
     """Length-bucketed inference batching (operators/split.py::
     length_batches) over whitespace token counts of the real corpus.
@@ -4814,7 +4827,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     oracles — every family gets at least one driver-visible row, and
     hand-written DuckDB SQL twins win slots over redundant or subsumed
     queries. Everything from slot 51 on is still gated locally by
-    tools/check_oracles.py (all 199, same rows+schema+hash compare at
+    tools/check_oracles.py (all 200, same rows+schema+hash compare at
     sf0.01) and ordered hard-SQL-twins-first in case the driver's cap is
     ever higher; the 13 frozen-golden byte-stability gates sit last.
     Subsumption notes for demoted queries are inline below."""
@@ -4922,6 +4935,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "expire_snapshots": q_expire_snapshots,  # Iceberg snapshot-retention planning (live intervals vs the retained cutoff); twin recomputes every lead interval + verdict
         "zone_map": q_zone_map,                # zone-map (min/max stats) pruning audit with exact read-amplification counts; twin rebuilds every zone, verdict and match count
         "length_batches": q_length_batches,    # power-of-two length-bucketed inference batching (bit-length buckets, no float log2); twin uses the window formulation of the within-bucket ranks
+        "rendezvous": q_rendezvous,            # rendezvous/HRW shard routing (minimal-remap property test-asserted); twin replays the MiMC scores + window argmax vs the operator's struct max
         "ngram_jaccard": q_ngram_jaccard,        # demoted for phrase_search: driver-green in r3, and the shingle->set->exact-overlap twin mechanism is held by dedup_paragraphs/dedup_substrings slots; the capped in-block quadratic stays repo-gated
         "soft_dedup": q_soft_dedup,              # SoftDeDup/D4 duplicate-aware reweighting (hard micro-unit twin; the dedup family's driver slots hold the detection side)
         "mixture_weights": q_mixture_weights,    # DoReMi-style fixed-loss domain mixture (exact largest-remainder ppm twin; crawl_budget holds the apportionment family's driver slot)
@@ -6707,6 +6721,32 @@ _BLOOM_SCREEN_SQL = f"""
     FROM v
 """
 
+def _rendezvous_sql() -> str:
+    """HRW twin: shard constants from the shared driver-side polynomial,
+    both MiMC rounds per (doc, shard), window argmax with the
+    (score desc, shard desc) tie rule the struct max implies."""
+    from llm_food_spark.operators.split import _shard_const
+
+    names = ["node-%d" % k for k in range(6)]
+    vals = ", ".join("('%s', %d)" % (s, _shard_const(s)) for s in names)
+    p = _SKETCH_P
+    return f"""
+        WITH sh(shard, c) AS (VALUES {vals}),
+        b AS (SELECT doc_id, shard,
+                     ((doc_id + c) % {p} + {p}) % {p} AS x
+              FROM documents, sh),
+        {_round5_cte('rm1', 'b', 'x', _SKETCH_C1, 'y',
+                     keep='doc_id, shard, ')},
+        {_round5_cte('rm2', 'rm1', 'y', _SKETCH_C2, 'score',
+                     keep='doc_id, shard, ')},
+        r AS (SELECT doc_id, shard, score,
+                     ROW_NUMBER() OVER (PARTITION BY doc_id
+                       ORDER BY score DESC, shard DESC) AS rn
+              FROM rm2)
+        SELECT doc_id, shard, score FROM r WHERE rn = 1
+    """
+
+
 # HyperBall twin: the full register evolution in SQL — node-key MiMC
 # hash -> (reg, rho) init, then per round an edge-join elementwise-MAX
 # merge (the set-union-as-register-max identity), per-round scaled
@@ -6841,6 +6881,7 @@ def oracle_sql() -> dict[str, str]:
     out["hll_sketch"] = _HLL_SKETCH_SQL
     out["bloom_screen"] = _BLOOM_SCREEN_SQL
     out["hyperball_seeded"] = _HYPERBALL_SQL
+    out["rendezvous"] = _rendezvous_sql()
     out["cms_heavy"] = _CMS_HEAVY_SQL
     out["kmeans"] = _KMEANS_SQL
     out["ngram_novelty"] = _NGRAM_NOVELTY_SQL_TMPL.format(w=_WORDS)

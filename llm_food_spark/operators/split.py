@@ -931,3 +931,45 @@ def length_batches(
          .cast("long").alias("batch_id"),
         (F.col("bucket") - F.col("n_tokens")).cast("long").alias("waste"),
     )
+
+
+def _shard_const(name: str) -> int:
+    """Portable polynomial name hash (31-bit): ord-Horner mod p —
+    driver-side, shared verbatim with the DuckDB twin."""
+    h = 0
+    for ch in str(name):
+        h = (h * 131 + ord(ch)) % MINSTD_MOD
+    return h
+
+
+def rendezvous_shards(df: DataFrame, shards, id_col: str = "doc_id"
+                      ) -> DataFrame:
+    """Rendezvous (highest-random-weight) shard routing — stable
+    doc -> shard assignment under topology change (Thaler & Ravishankar
+    1998, public): each doc goes to the shard maximizing a mixed hash
+    of (doc, shard), so REMOVING a shard remaps exactly that shard's
+    documents and nothing else — the property modulo-N assignment
+    lacks, and what keeps a 10^12-doc index/cache fleet from
+    rehashing the world on every scale event.
+
+    -> (id, shard, score): score is the winning 31-bit MiMC mix
+    (sketch.py's portable nonlinear hash over id + the shard-name
+    polynomial constant), ties broken toward the larger shard name via
+    the struct max. One broadcast of the shard table + one map-side
+    max(struct) groupBy — no window, no shuffle beyond the id grouping.
+    """
+    from llm_food_spark.operators.sketch import mix5
+
+    names = list(shards)
+    if not names or len(set(names)) != len(names):
+        raise ValueError("shards must be non-empty and unique")
+    spark = df.sparkSession
+    sh = spark.createDataFrame(
+        [(str(s), _shard_const(s)) for s in names], "shard string, c long")
+    scored = df.select(F.col(id_col)).crossJoin(F.broadcast(sh)).select(
+        id_col, "shard",
+        mix5(F.col(id_col).cast("long") + F.col("c")).alias("score"))
+    return scored.groupBy(id_col).agg(
+        F.max(F.struct("score", "shard")).alias("m")
+    ).select(id_col, F.col("m.shard").alias("shard"),
+             F.col("m.score").alias("score"))

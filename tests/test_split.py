@@ -724,3 +724,51 @@ def test_length_batches_partition_invariance_and_validation(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         length_batches(df, batch_size=0)
+
+
+# --- rendezvous sharding ----------------------------------------------------
+
+def test_rendezvous_minimal_disruption(spark):
+    from llm_food_spark.operators.split import rendezvous_shards
+
+    df = spark.createDataFrame([(i,) for i in range(300)], "doc_id long")
+    full = {r.doc_id: r.shard for r in rendezvous_shards(
+        df, ["s0", "s1", "s2", "s3", "s4"]).collect()}
+    smaller = {r.doc_id: r.shard for r in rendezvous_shards(
+        df, ["s0", "s1", "s2", "s3"]).collect()}
+    moved = {i for i in full if full[i] != smaller[i]}
+    # exactly s4's docs remap; every other assignment is untouched
+    assert moved == {i for i, s in full.items() if s == "s4"}
+    # and the load is spread (no empty shard at n=300)
+    assert len(set(full.values())) == 5
+
+
+def test_rendezvous_matches_pure_python_replay(spark):
+    from llm_food_spark.operators.sketch import MIX_C1, MIX_C2, MIX_MOD
+    from llm_food_spark.operators.split import (_shard_const,
+                                                rendezvous_shards)
+
+    def mix(x):
+        x = (x % MIX_MOD + MIX_MOD) % MIX_MOD
+        for c in (MIX_C1, MIX_C2):
+            x = pow((x + c) % MIX_MOD, 5, MIX_MOD)
+        return x
+
+    names = ["alpha", "beta", "gamma"]
+    df = spark.createDataFrame([(i,) for i in range(50)], "doc_id long")
+    got = {r.doc_id: (r.shard, r.score) for r in
+           rendezvous_shards(df, names).collect()}
+    for i in range(50):
+        best = max((mix(i + _shard_const(s)), s) for s in names)
+        assert got[i] == (best[1], best[0])
+
+
+def test_rendezvous_validation(spark):
+    from llm_food_spark.operators.split import rendezvous_shards
+
+    df = spark.createDataFrame([(1,)], "doc_id long")
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        rendezvous_shards(df, [])
+    with _pytest.raises(ValueError):
+        rendezvous_shards(df, ["a", "a"])
