@@ -2103,6 +2103,27 @@ def q_caption_pairs(spark, sf_dir):
         _captions_fixture(spark, sf_dir), n_partitions=8))
 
 
+def q_salt_plan(spark, sf_dir):
+    """Measured salting, plan -> apply -> rollup in one chained query
+    (operators/profile.py::salt_plan/apply_salt — the actuation half
+    of the skew story): a planted hot key (every %3 doc) gets
+    ceil(cnt/20) salts, the cold tail stays salt 0, and the two-phase
+    (key, salt) rollup is the returned frame. Hard oracle: DuckDB
+    recomputes the counts, the plan membership, every MINSTD salt and
+    the rollup."""
+    from llm_food_spark.operators.profile import apply_salt, salt_plan
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(F.col("doc_id") % 3 == 0, F.lit("hot"))
+         .otherwise(F.concat(F.lit("k"), F.col("doc_id") % 50))
+         .alias("key"))
+    plan = salt_plan(d, ["key"], target_rows=20)
+    out = apply_salt(d, plan, ["key"], "doc_id")
+    return out.groupBy("key", "salt").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"))
+
+
 def q_rendezvous(spark, sf_dir):
     """Rendezvous (HRW) shard routing (operators/split.py::
     rendezvous_shards) across six nodes. Hard oracle: DuckDB replays
@@ -4827,7 +4848,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     oracles — every family gets at least one driver-visible row, and
     hand-written DuckDB SQL twins win slots over redundant or subsumed
     queries. Everything from slot 51 on is still gated locally by
-    tools/check_oracles.py (all 200, same rows+schema+hash compare at
+    tools/check_oracles.py (all 201, same rows+schema+hash compare at
     sf0.01) and ordered hard-SQL-twins-first in case the driver's cap is
     ever higher; the 13 frozen-golden byte-stability gates sit last.
     Subsumption notes for demoted queries are inline below."""
@@ -4936,6 +4957,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zone_map": q_zone_map,                # zone-map (min/max stats) pruning audit with exact read-amplification counts; twin rebuilds every zone, verdict and match count
         "length_batches": q_length_batches,    # power-of-two length-bucketed inference batching (bit-length buckets, no float log2); twin uses the window formulation of the within-bucket ranks
         "rendezvous": q_rendezvous,            # rendezvous/HRW shard routing (minimal-remap property test-asserted); twin replays the MiMC scores + window argmax vs the operator's struct max
+        "salt_plan": q_salt_plan,              # measured skew salting chained plan->apply->rollup (the actuation half of skew_profile); twin recomputes counts, plan membership, every MINSTD salt
         "ngram_jaccard": q_ngram_jaccard,        # demoted for phrase_search: driver-green in r3, and the shingle->set->exact-overlap twin mechanism is held by dedup_paragraphs/dedup_substrings slots; the capped in-block quadratic stays repo-gated
         "soft_dedup": q_soft_dedup,              # SoftDeDup/D4 duplicate-aware reweighting (hard micro-unit twin; the dedup family's driver slots hold the detection side)
         "mixture_weights": q_mixture_weights,    # DoReMi-style fixed-loss domain mixture (exact largest-remainder ppm twin; crawl_budget holds the apportionment family's driver slot)
@@ -8776,6 +8798,32 @@ def _handwritten_oracles() -> dict[str, str]:
             WHERE len(text) >= 5
               AND COALESCE(width >= 64, TRUE)
               AND COALESCE(height >= 64, TRUE)
+        """,
+        # salt_plan twin: counts -> ceil plan -> per-row MINSTD salts
+        # -> rollup, all recomputed.
+        "salt_plan": """
+            WITH d AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 3 = 0 THEN 'hot'
+                          ELSE 'k' || (doc_id % 50) END AS key
+              FROM documents
+            ), c AS (
+              SELECT key, COUNT(*)::BIGINT AS cnt FROM d GROUP BY key
+            ), p AS (
+              SELECT key,
+                     LEAST((cnt + 19) // 20, 1024)::INT AS ns
+              FROM c WHERE LEAST((cnt + 19) // 20, 1024) > 1
+            ), s AS (
+              SELECT d.doc_id, d.key,
+                     (CASE WHEN p.ns IS NOT NULL
+                           THEN ((doc_id % 2147483647 + 2147483647)
+                                 % 2147483647 * 48271) % 2147483647
+                                 % 1000000 % p.ns
+                           ELSE 0 END)::INT AS salt
+              FROM d LEFT JOIN p USING (key)
+            )
+            SELECT key, salt, COUNT(*)::BIGINT AS n_rows
+            FROM s GROUP BY key, salt
         """,
         # length_batches twin: bit-length buckets + the window
         # formulation of within-bucket ranks.

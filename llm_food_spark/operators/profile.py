@@ -110,3 +110,57 @@ def skew_profile(
             .alias("skew_ppm"),
         )
     )
+
+
+def salt_plan(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    target_rows: int,
+    max_salts: int = 1024,
+) -> DataFrame:
+    """The ACTUATION half of the skew story (skew_profile measures it):
+    per-key salt factors sized so no (key, salt) task exceeds
+    ``target_rows`` rows — ``n_salts = min(ceil(cnt / target),
+    max_salts)`` — returned ONLY for keys that need salting
+    (n_salts > 1), which makes the plan broadcastable by construction:
+    hot keys are few, that is what hot means.
+
+    Feed the result to ``apply_salt`` for the standard two-phase
+    aggregate (groupBy(key, salt) partial -> groupBy(key) final)."""
+    if target_rows < 1 or max_salts < 1:
+        raise ValueError("target_rows and max_salts must be >= 1")
+    key_cols = list(key_cols)
+    counts = df.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"))
+    n_salts = F.least(
+        F.expr("(cnt + %d - 1) div %d" % (int(target_rows),
+                                          int(target_rows))),
+        F.lit(int(max_salts))).cast("int")
+    return counts.select(*key_cols, "cnt", n_salts.alias("n_salts")) \
+                 .where(F.col("n_salts") > 1)
+
+
+def apply_salt(
+    df: DataFrame,
+    plan: DataFrame,
+    key_cols: Sequence[str],
+    id_col: str,
+    salt_col: str = "salt",
+) -> DataFrame:
+    """Attach the deterministic salt column: rows of planned hot keys
+    get ``bucket_minstd(id) % n_salts`` (reproducible under any
+    partitioning — never rand()), everything else salt 0. The plan side
+    is broadcast (salt_plan's contract). Aggregations then run
+    groupBy(*keys, salt) map-combined before the final groupBy(*keys)
+    collapse — the standard two-phase skew pattern, now driven by
+    measured counts instead of a guessed constant."""
+    from llm_food_spark.operators.split import bucket_minstd
+
+    key_cols = list(key_cols)
+    p = plan.select(*key_cols, F.col("n_salts").alias("_ns"))
+    j = df.join(F.broadcast(p), key_cols, "left")
+    salt = F.when(
+        F.col("_ns").isNotNull(),
+        bucket_minstd(F.col(id_col)) % F.col("_ns")
+    ).otherwise(F.lit(0)).cast("int")
+    return j.select(*df.columns, salt.alias(salt_col))

@@ -28,3 +28,55 @@ def test_skew_profile_uniform_and_validation(spark):
         skew_profile(df, ["key"], top_k=0)
     with _pytest.raises(ValueError):
         skew_profile(df, [])
+
+
+# --- salt planning / application --------------------------------------------
+
+def test_salt_plan_only_hot_keys(spark):
+    from llm_food_spark.operators.profile import salt_plan
+
+    rows = ([(i, "hot") for i in range(100)]
+            + [(1000 + i, "warm") for i in range(25)]
+            + [(2000 + i, "cold") for i in range(5)])
+    df = spark.createDataFrame(rows, "doc_id long, key string")
+    got = {r.key: r for r in salt_plan(df, ["key"], 20).collect()}
+    assert set(got) == {"hot", "warm"}  # cold fits one task -> absent
+    assert got["hot"].n_salts == 5      # ceil(100/20)
+    assert got["warm"].n_salts == 2     # ceil(25/20)
+
+
+def test_salt_plan_cap_and_validation(spark):
+    from llm_food_spark.operators.profile import salt_plan
+
+    df = spark.createDataFrame(
+        [(i, "k") for i in range(50)], "doc_id long, key string")
+    [r] = salt_plan(df, ["key"], 1, max_salts=8).collect()
+    assert r.n_salts == 8
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        salt_plan(df, ["key"], 0)
+
+
+def test_apply_salt_bounds_and_determinism(spark):
+    from llm_food_spark.operators.profile import apply_salt, salt_plan
+
+    rows = ([(i, "hot") for i in range(100)]
+            + [(1000 + i, "cold") for i in range(5)])
+    df = spark.createDataFrame(rows, "doc_id long, key string")
+    plan = salt_plan(df, ["key"], 20)
+    out = apply_salt(df, plan, ["key"], "doc_id")
+    by_key = {}
+    for r in out.collect():
+        by_key.setdefault(r.key, set()).add(r.salt)
+    assert by_key["cold"] == {0}
+    assert by_key["hot"] <= set(range(5)) and len(by_key["hot"]) > 1
+    # deterministic under repartition
+    a = sorted(map(tuple, out.collect()))
+    b = sorted(map(tuple, apply_salt(
+        df.repartition(7), plan, ["key"], "doc_id").collect()))
+    assert a == b
+    # two-phase count collapse reproduces the plain counts
+    two = (out.groupBy("key", "salt").count()
+              .groupBy("key").sum("count").collect())
+    assert {r.key: r["sum(count)"] for r in two} == {
+        "hot": 100, "cold": 5}
