@@ -2103,6 +2103,26 @@ def q_caption_pairs(spark, sf_dir):
         _captions_fixture(spark, sf_dir), n_partitions=8))
 
 
+def q_pair_metrics(spark, sf_dir):
+    """Duplicate-pair detection metrics (operators/evalmetrics.py::
+    pair_metrics): a seeded predicted set (every even sibling pair
+    except %7 — misses — plus %11 wrong pairs — false positives,
+    half of them deliberately reversed to exercise canonicalization)
+    vs the even-sibling truth. Hard oracle: DuckDB recomputes both
+    canonical sets and every count and ppm."""
+    from llm_food_spark.operators.evalmetrics import pair_metrics
+
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    pred = d.where((i % 2 == 0) & (i % 7 != 0)).select(
+        i.alias("id_a"), (i + 1).alias("id_b")
+    ).unionAll(d.where(i % 11 == 0).select(
+        (i + 3).alias("id_a"), i.alias("id_b")))  # reversed direction
+    truth = d.where(i % 2 == 0).select(
+        i.alias("id_a"), (i + 1).alias("id_b"))
+    return pair_metrics(pred, truth)
+
+
 def q_salt_plan(spark, sf_dir):
     """Measured salting, plan -> apply -> rollup in one chained query
     (operators/profile.py::salt_plan/apply_salt — the actuation half
@@ -4848,7 +4868,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     oracles — every family gets at least one driver-visible row, and
     hand-written DuckDB SQL twins win slots over redundant or subsumed
     queries. Everything from slot 51 on is still gated locally by
-    tools/check_oracles.py (all 201, same rows+schema+hash compare at
+    tools/check_oracles.py (all 202, same rows+schema+hash compare at
     sf0.01) and ordered hard-SQL-twins-first in case the driver's cap is
     ever higher; the 13 frozen-golden byte-stability gates sit last.
     Subsumption notes for demoted queries are inline below."""
@@ -4958,6 +4978,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_batches": q_length_batches,    # power-of-two length-bucketed inference batching (bit-length buckets, no float log2); twin uses the window formulation of the within-bucket ranks
         "rendezvous": q_rendezvous,            # rendezvous/HRW shard routing (minimal-remap property test-asserted); twin replays the MiMC scores + window argmax vs the operator's struct max
         "salt_plan": q_salt_plan,              # measured skew salting chained plan->apply->rollup (the actuation half of skew_profile); twin recomputes counts, plan membership, every MINSTD salt
+        "pair_metrics": q_pair_metrics,        # duplicate-pair precision/recall/F1 in exact ppm (the dedup family's audit; ranking_metrics is the ANN/search one); twin recomputes both canonical sets + every figure
         "ngram_jaccard": q_ngram_jaccard,        # demoted for phrase_search: driver-green in r3, and the shingle->set->exact-overlap twin mechanism is held by dedup_paragraphs/dedup_substrings slots; the capped in-block quadratic stays repo-gated
         "soft_dedup": q_soft_dedup,              # SoftDeDup/D4 duplicate-aware reweighting (hard micro-unit twin; the dedup family's driver slots hold the detection side)
         "mixture_weights": q_mixture_weights,    # DoReMi-style fixed-loss domain mixture (exact largest-remainder ppm twin; crawl_budget holds the apportionment family's driver slot)
@@ -8798,6 +8819,35 @@ def _handwritten_oracles() -> dict[str, str]:
             WHERE len(text) >= 5
               AND COALESCE(width >= 64, TRUE)
               AND COALESCE(height >= 64, TRUE)
+        """,
+        # pair_metrics twin: canonical pair sets + every count/ppm.
+        "pair_metrics": """
+            WITH pred AS (
+              SELECT doc_id AS pa, doc_id + 1 AS pb FROM documents
+              WHERE doc_id % 2 = 0 AND doc_id % 7 <> 0
+              UNION
+              SELECT LEAST(doc_id + 3, doc_id),
+                     GREATEST(doc_id + 3, doc_id)
+              FROM documents WHERE doc_id % 11 = 0
+            ), truth AS (
+              SELECT doc_id AS pa, doc_id + 1 AS pb FROM documents
+              WHERE doc_id % 2 = 0
+            ), c AS (
+              SELECT (SELECT COUNT(*) FROM pred)::BIGINT AS n_pred,
+                     (SELECT COUNT(*) FROM truth)::BIGINT AS n_truth,
+                     (SELECT COUNT(*) FROM pred
+                        JOIN truth USING (pa, pb))::BIGINT AS tp
+            )
+            SELECT n_pred, n_truth, tp,
+                   (n_pred - tp)::BIGINT AS fp,
+                   (n_truth - tp)::BIGINT AS fn,
+                   (tp * 1000000 // GREATEST(n_pred, 1))::BIGINT
+                     AS precision_ppm,
+                   (tp * 1000000 // GREATEST(n_truth, 1))::BIGINT
+                     AS recall_ppm,
+                   (2 * tp * 1000000
+                    // GREATEST(n_pred + n_truth, 1))::BIGINT AS f1_ppm
+            FROM c
         """,
         # salt_plan twin: counts -> ceil plan -> per-row MINSTD salts
         # -> rollup, all recomputed.

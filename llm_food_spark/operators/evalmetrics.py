@@ -65,3 +65,52 @@ def ranking_metrics(
             .otherwise(F.lit(0)).cast("long").alias("rr_ppm"),
         )
     )
+
+
+def pair_metrics(
+    pred: DataFrame,
+    truth: DataFrame,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+) -> DataFrame:
+    """Duplicate-pair detection quality — the dedup family's audit
+    (ranking_metrics closes the ANN/search loop; this closes
+    minhash/simhash/containment against a labeled or brute-force truth
+    set): exact pair-set precision / recall / F1 in ppm integers.
+
+    Pairs are canonicalized to (least, greatest) and deduplicated on
+    BOTH sides, so direction and repeats never distort counts. One
+    row out: (n_pred, n_truth, tp, fp, fn, precision_ppm, recall_ppm,
+    f1_ppm) — F1 uses the Dice identity 2*tp/(n_pred+n_truth), exact
+    in integer division.
+
+    Scale shape: two distincts + one full-outer join on the canonical
+    pair key + a single map-side-combined aggregate."""
+    def canon(df):
+        a, b = F.col(a_col), F.col(b_col)
+        return df.select(
+            F.least(a, b).alias("pa"), F.greatest(a, b).alias("pb")
+        ).distinct()
+
+    p = canon(pred).withColumn("_p", F.lit(1))
+    t = canon(truth).withColumn("_t", F.lit(1))
+    j = p.join(t, ["pa", "pb"], "full_outer")
+    agg = j.agg(
+        F.sum("_p").cast("long").alias("n_pred"),
+        F.sum("_t").cast("long").alias("n_truth"),
+        F.sum((F.col("_p").isNotNull() & F.col("_t").isNotNull())
+              .cast("long")).cast("long").alias("tp"),
+    )
+    return agg.select(
+        F.coalesce("n_pred", F.lit(0)).alias("n_pred"),
+        F.coalesce("n_truth", F.lit(0)).alias("n_truth"),
+        "tp",
+        (F.coalesce("n_pred", F.lit(0)) - F.col("tp")).alias("fp"),
+        (F.coalesce("n_truth", F.lit(0)) - F.col("tp")).alias("fn"),
+        F.expr("tp * 1000000 div greatest(n_pred, 1)")
+         .alias("precision_ppm"),
+        F.expr("tp * 1000000 div greatest(n_truth, 1)")
+         .alias("recall_ppm"),
+        F.expr("2 * tp * 1000000 div greatest(n_pred + n_truth, 1)")
+         .alias("f1_ppm"),
+    )

@@ -32,3 +32,32 @@ def test_ranking_metrics_perfect_and_first_rank(spark):
     [r] = ranking_metrics(pred, truth).collect()
     assert (r.n_truth, r.n_hit, r.recall_ppm, r.rr_ppm) == (
         2, 2, 1000000, 1000000)
+
+
+# --- duplicate-pair metrics -------------------------------------------------
+
+def test_pair_metrics_exact_counts(spark):
+    from llm_food_spark.operators.evalmetrics import pair_metrics
+
+    pred = spark.createDataFrame(
+        [(1, 2), (2, 1), (3, 4), (5, 6)], "id_a long, id_b long")
+    truth = spark.createDataFrame(
+        [(1, 2), (3, 4), (7, 8)], "id_a long, id_b long")
+    [r] = pair_metrics(pred, truth).collect()
+    # (2,1) canonicalizes onto (1,2): n_pred 3, tp 2, fp 1, fn 1
+    assert (r.n_pred, r.n_truth, r.tp, r.fp, r.fn) == (3, 3, 2, 1, 1)
+    assert r.precision_ppm == 2 * 1_000_000 // 3
+    assert r.recall_ppm == 2 * 1_000_000 // 3
+    assert r.f1_ppm == 4 * 1_000_000 // 6
+
+
+def test_pair_metrics_disjoint_and_empty(spark):
+    from llm_food_spark.operators.evalmetrics import pair_metrics
+
+    pred = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    truth = spark.createDataFrame([(3, 4)], "id_a long, id_b long")
+    [r] = pair_metrics(pred, truth).collect()
+    assert (r.tp, r.precision_ppm, r.recall_ppm, r.f1_ppm) == (0, 0, 0, 0)
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    [r2] = pair_metrics(empty, truth).collect()
+    assert (r2.n_pred, r2.fn) == (0, 1)
