@@ -2103,6 +2103,34 @@ def q_caption_pairs(spark, sf_dir):
         _captions_fixture(spark, sf_dir), n_partitions=8))
 
 
+def q_page_directives(spark, sf_dir):
+    """Page-level REP directives (operators/robots.py::page_directives)
+    through the real DOM parse: five doc classes exercise token
+    splitting/case, the 'none' implication, multi-tag union, and the
+    ignored googlebot meta. Hard oracle: DuckDB reconstructs every
+    boolean closed-form per class."""
+    from llm_food_spark.operators.robots import page_directives
+
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    meta = (
+        F.when(i % 5 == 0, F.lit(
+            '<meta name="robots" content=" NoIndex , nosnippet ">'))
+         .when(i % 5 == 1, F.lit('<meta name="robots" content="NONE">'))
+         .when(i % 5 == 2, F.lit(
+            '<meta name="robots" content="noarchive">'
+            '<meta name="robots" content="nofollow">'))
+         .when(i % 5 == 3, F.lit(
+            '<meta name="googlebot" content="noindex">'))
+         .otherwise(F.lit("")))
+    pages = d.select(
+        F.concat(F.lit("http://m.test/p"), i).alias("url"),
+        F.encode(F.concat(F.lit("<html><head>"), meta,
+                          F.lit("</head><body>x</body></html>")),
+                 "UTF-8").alias("html"))
+    return page_directives(pages)
+
+
 def q_pair_metrics(spark, sf_dir):
     """Duplicate-pair detection metrics (operators/evalmetrics.py::
     pair_metrics): a seeded predicted set (every even sibling pair
@@ -4868,7 +4896,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     oracles — every family gets at least one driver-visible row, and
     hand-written DuckDB SQL twins win slots over redundant or subsumed
     queries. Everything from slot 51 on is still gated locally by
-    tools/check_oracles.py (all 202, same rows+schema+hash compare at
+    tools/check_oracles.py (all 203, same rows+schema+hash compare at
     sf0.01) and ordered hard-SQL-twins-first in case the driver's cap is
     ever higher; the 13 frozen-golden byte-stability gates sit last.
     Subsumption notes for demoted queries are inline below."""
@@ -4979,6 +5007,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rendezvous": q_rendezvous,            # rendezvous/HRW shard routing (minimal-remap property test-asserted); twin replays the MiMC scores + window argmax vs the operator's struct max
         "salt_plan": q_salt_plan,              # measured skew salting chained plan->apply->rollup (the actuation half of skew_profile); twin recomputes counts, plan membership, every MINSTD salt
         "pair_metrics": q_pair_metrics,        # duplicate-pair precision/recall/F1 in exact ppm (the dedup family's audit; ranking_metrics is the ANN/search one); twin recomputes both canonical sets + every figure
+        "page_directives": q_page_directives,  # <meta name=robots> page-level REP (the robots.txt complement) through the real DOM parse; closed-form boolean twin per class
         "ngram_jaccard": q_ngram_jaccard,        # demoted for phrase_search: driver-green in r3, and the shingle->set->exact-overlap twin mechanism is held by dedup_paragraphs/dedup_substrings slots; the capped in-block quadratic stays repo-gated
         "soft_dedup": q_soft_dedup,              # SoftDeDup/D4 duplicate-aware reweighting (hard micro-unit twin; the dedup family's driver slots hold the detection side)
         "mixture_weights": q_mixture_weights,    # DoReMi-style fixed-loss domain mixture (exact largest-remainder ppm twin; crawl_budget holds the apportionment family's driver slot)
@@ -8819,6 +8848,17 @@ def _handwritten_oracles() -> dict[str, str]:
             WHERE len(text) >= 5
               AND COALESCE(width >= 64, TRUE)
               AND COALESCE(height >= 64, TRUE)
+        """,
+        # page_directives twin: per-class closed-form booleans (token
+        # split/case, the 'none' implication, multi-tag union, ignored
+        # googlebot meta).
+        "page_directives": """
+            SELECT 'http://m.test/p' || doc_id AS url,
+                   (doc_id % 5 IN (0, 1)) AS noindex,
+                   (doc_id % 5 IN (1, 2)) AS nofollow,
+                   (doc_id % 5 = 2) AS noarchive,
+                   (doc_id % 5 = 0) AS nosnippet
+            FROM documents
         """,
         # pair_metrics twin: canonical pair sets + every count/ppm.
         "pair_metrics": """

@@ -140,3 +140,39 @@ def extract_jsonld(content: bytes):
             ))
         block += 1
     return out
+
+
+# page-level REP directives (the <meta name="robots"> half of the
+# Robots Exclusion Protocol; robots.txt is the site-level half —
+# operators/robots.py). Google's documented token semantics: tokens are
+# comma-separated, case-insensitive; 'none' == 'noindex, nofollow';
+# multiple robots metas UNION their directives.
+ROBOTS_DIRECTIVES = ("noindex", "nofollow", "noarchive", "nosnippet")
+
+
+def extract_robots_directives(content: bytes) -> dict:
+    """{directive: bool} for the four standard tokens, unioned over
+    every <meta name="robots"> tag through the real DOM parse. Never
+    raises; non-HTML yields all-False."""
+    from .encoding import decode_html
+    from .html_parser import find_all, parse_html
+
+    out = {d: False for d in ROBOTS_DIRECTIVES}
+    try:
+        root = parse_html(decode_html(content))
+    except Exception:
+        return out
+    for meta in find_all(root, "meta"):
+        if (meta.attrs.get("name", "") or "").strip().lower() != "robots":
+            continue
+        tokens = {
+            t.strip().lower()
+            for t in (meta.attrs.get("content", "") or "").split(",")
+        }
+        if "none" in tokens:
+            out["noindex"] = True
+            out["nofollow"] = True
+        for d in ROBOTS_DIRECTIVES:
+            if d in tokens:
+                out[d] = True
+    return out

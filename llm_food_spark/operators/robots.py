@@ -233,3 +233,44 @@ def robots_sitemaps(
         (F.row_number().over(seq) - 1).cast("int").alias("seq"),
         "sitemap_url",
     )
+
+
+PAGE_DIRECTIVES_SCHEMA = ("url string, noindex boolean, "
+                          "nofollow boolean, noarchive boolean, "
+                          "nosnippet boolean")
+
+
+def page_directives(pages: DataFrame, url_col: str = "url",
+                    html_col: str = "html") -> DataFrame:
+    """Page-level REP directives (functions/metadata.py::
+    extract_robots_directives — the <meta name="robots"> half of the
+    protocol; filter_robots handles the site-level robots.txt half):
+    one row per page with the four standard booleans, directives
+    unioned over every robots meta through the real DOM parse.
+    'none' implies noindex+nofollow (Google's documented semantics).
+
+    A corpus pipeline DROPS noindex pages (the publisher opted out of
+    indexing — the conservative read for training corpora too) and
+    excludes nofollow pages' outlinks from the web graph. Zero
+    shuffle; NULL payloads yield all-False rows, never errors."""
+    from .util import ensure_min_partitions
+
+    def run(it):
+        import pandas as pd
+
+        from llm_food_spark.functions.metadata import (
+            ROBOTS_DIRECTIVES, extract_robots_directives)
+
+        for pdf in it:
+            rows = []
+            for url, payload in zip(pdf[url_col], pdf[html_col]):
+                b = bytes(payload) if payload is not None else b""
+                d = extract_robots_directives(b)
+                rows.append((str(url),)
+                            + tuple(d[k] for k in ROBOTS_DIRECTIVES))
+            yield pd.DataFrame(rows, columns=[
+                "url", "noindex", "nofollow", "noarchive", "nosnippet"])
+
+    return ensure_min_partitions(
+        pages.select(url_col, html_col)
+    ).mapInPandas(run, schema=PAGE_DIRECTIVES_SCHEMA)

@@ -206,3 +206,44 @@ def test_robots_sitemaps_directives(spark):
         ("h.example", 1, "https://h.example/sm2.xml.gz"),
         ("h.example", 2, "https://h.example/sm3.xml"),
     ]  # quiet.example emits zero rows; host key lowercases
+
+
+# --- page-level directives --------------------------------------------------
+
+def test_extract_robots_directives_union_and_none():
+    from llm_food_spark.functions.metadata import extract_robots_directives
+
+    html = (b'<html><head>'
+            b'<meta name="ROBOTS" content=" NoIndex , nosnippet ">'
+            b'<meta name="robots" content="noarchive">'
+            b'</head></html>')
+    d = extract_robots_directives(html)
+    assert d == {"noindex": True, "nofollow": False,
+                 "noarchive": True, "nosnippet": True}
+    d2 = extract_robots_directives(
+        b'<meta name="robots" content="none">')
+    assert d2["noindex"] and d2["nofollow"]
+    assert not d2["noarchive"] and not d2["nosnippet"]
+
+
+def test_extract_robots_directives_ignores_other_metas():
+    from llm_food_spark.functions.metadata import extract_robots_directives
+
+    d = extract_robots_directives(
+        b'<meta name="googlebot" content="noindex">'
+        b'<meta name="description" content="noindex nofollow">')
+    assert not any(d.values())
+
+
+def test_page_directives_operator(spark):
+    from llm_food_spark.operators.robots import page_directives
+
+    pages = spark.createDataFrame(
+        [("u1", b'<meta name="robots" content="noindex">'),
+         ("u2", b"<p>plain</p>"),
+         ("u3", None)],
+        "url string, html binary")
+    rows = {r.url: r for r in page_directives(pages).collect()}
+    assert rows["u1"].noindex and not rows["u1"].nofollow
+    assert not rows["u2"].noindex
+    assert not rows["u3"].noindex
