@@ -2103,6 +2103,39 @@ def q_caption_pairs(spark, sf_dir):
         _captions_fixture(spark, sf_dir), n_partitions=8))
 
 
+def q_hreflang_bitext(spark, sf_dir):
+    """Declared-translation pair mining (operators/links.py::
+    extract_hreflang_links + hreflang_pairs) through the real DOM
+    parse: 40 sites each declaring en always, de on even sites
+    (RELATIVE href + uppercase hreflang), fr on %3 sites, plus
+    stylesheet-rel and missing-hreflang decoys that must not leak.
+    Hard oracle: DuckDB reconstructs the distinct ordered pair set
+    closed-form per site class."""
+    from llm_food_spark.operators.links import (extract_hreflang_links,
+                                                hreflang_pairs)
+
+    d = _t(spark, sf_dir, "documents")
+    g = F.col("doc_id") % 40
+    html = F.concat(
+        F.lit('<html><head><link rel="alternate" hreflang="en" '
+              'href="http://b.test/'), g, F.lit('/en">'),
+        F.when(g % 2 == 0, F.concat(
+            F.lit('<link rel="alternate" hreflang="DE" href="/'), g,
+            F.lit('/de">'))).otherwise(F.lit("")),
+        F.when(g % 3 == 0, F.concat(
+            F.lit('<link rel="alternate" hreflang="fr" '
+                  'href="http://b.test/'), g,
+            F.lit('/fr">'))).otherwise(F.lit("")),
+        F.lit('<link rel="stylesheet" hreflang="es" href="/x">'
+              '<link rel="alternate" href="/y">'
+              "</head><body>x</body></html>"))
+    pages = d.select(
+        F.concat(F.lit("http://b.test/"), g, F.lit("/p"),
+                 F.col("doc_id")).alias("url"),
+        html.alias("html"))
+    return hreflang_pairs(extract_hreflang_links(pages, n_partitions=8))
+
+
 def q_page_directives(spark, sf_dir):
     """Page-level REP directives (operators/robots.py::page_directives)
     through the real DOM parse: five doc classes exercise token
@@ -4896,7 +4929,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     oracles — every family gets at least one driver-visible row, and
     hand-written DuckDB SQL twins win slots over redundant or subsumed
     queries. Everything from slot 51 on is still gated locally by
-    tools/check_oracles.py (all 203, same rows+schema+hash compare at
+    tools/check_oracles.py (all 204, same rows+schema+hash compare at
     sf0.01) and ordered hard-SQL-twins-first in case the driver's cap is
     ever higher; the 13 frozen-golden byte-stability gates sit last.
     Subsumption notes for demoted queries are inline below."""
@@ -5008,6 +5041,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salt_plan": q_salt_plan,              # measured skew salting chained plan->apply->rollup (the actuation half of skew_profile); twin recomputes counts, plan membership, every MINSTD salt
         "pair_metrics": q_pair_metrics,        # duplicate-pair precision/recall/F1 in exact ppm (the dedup family's audit; ranking_metrics is the ANN/search one); twin recomputes both canonical sets + every figure
         "page_directives": q_page_directives,  # <meta name=robots> page-level REP (the robots.txt complement) through the real DOM parse; closed-form boolean twin per class
+        "hreflang_bitext": q_hreflang_bitext,  # declared-translation (hreflang) pair mining through the real DOM parse — the explicit complement of align_by_url's guessing; closed-form pair-set twin
         "ngram_jaccard": q_ngram_jaccard,        # demoted for phrase_search: driver-green in r3, and the shingle->set->exact-overlap twin mechanism is held by dedup_paragraphs/dedup_substrings slots; the capped in-block quadratic stays repo-gated
         "soft_dedup": q_soft_dedup,              # SoftDeDup/D4 duplicate-aware reweighting (hard micro-unit twin; the dedup family's driver slots hold the detection side)
         "mixture_weights": q_mixture_weights,    # DoReMi-style fixed-loss domain mixture (exact largest-remainder ppm twin; crawl_budget holds the apportionment family's driver slot)
@@ -8848,6 +8882,24 @@ def _handwritten_oracles() -> dict[str, str]:
             WHERE len(text) >= 5
               AND COALESCE(width >= 64, TRUE)
               AND COALESCE(height >= 64, TRUE)
+        """,
+        # hreflang_bitext twin: the distinct ordered pair universe per
+        # site class (decoys contribute nothing by construction).
+        "hreflang_bitext": """
+            WITH g AS (SELECT DISTINCT doc_id % 40 AS g FROM documents)
+            SELECT 'de' AS lang_a,
+                   'http://b.test/' || g || '/de' AS url_a,
+                   'en' AS lang_b,
+                   'http://b.test/' || g || '/en' AS url_b
+            FROM g WHERE g % 2 = 0
+            UNION ALL
+            SELECT 'de', 'http://b.test/' || g || '/de',
+                   'fr', 'http://b.test/' || g || '/fr'
+            FROM g WHERE g % 6 = 0
+            UNION ALL
+            SELECT 'en', 'http://b.test/' || g || '/en',
+                   'fr', 'http://b.test/' || g || '/fr'
+            FROM g WHERE g % 3 = 0
         """,
         # page_directives twin: per-class closed-form booleans (token
         # split/case, the 'none' implication, multi-tag union, ignored

@@ -54,3 +54,31 @@ def extract_links(html_text: str, base_url: str) -> List[Tuple[str, str, str, st
         out.append((href, target, _clean_anchor(a.text_content()),
                     (a.attrs.get("rel") or "").strip().lower()))
     return out
+
+
+def extract_hreflang(html_text: str, base_url: str) -> List[Tuple[str, str]]:
+    """(hreflang, target) per <link rel="alternate" hreflang=...>,
+    document order — the EXPLICIT translation declaration multilingual
+    sites publish (the bitext-mining complement of URL-structure
+    pairing: align_by_url guesses, hreflang states). rel matching is
+    token-based and case-insensitive; hreflang is lowercased (BCP 47
+    tags are case-insensitive); hrefs resolve via urljoin with the
+    same skip rules as links. Never raises."""
+    root = parse_html(html_text)
+    out: List[Tuple[str, str]] = []
+    for ln in find_all(root, "link"):
+        if not isinstance(ln, Element):
+            continue
+        rel = (ln.attrs.get("rel") or "").lower().split()
+        if "alternate" not in rel:
+            continue
+        hl = (ln.attrs.get("hreflang") or "").strip().lower()
+        href = (ln.attrs.get("href") or "").strip()
+        if not hl or not href or href.lower().startswith(_SKIP_PREFIXES):
+            continue
+        try:
+            target = urljoin(base_url, href)
+        except ValueError:
+            continue
+        out.append((hl, target))
+    return out

@@ -233,3 +233,70 @@ def expand_with_anchors(
                         F.col("anchor_terms")))
          .otherwise(F.col("text")).alias("expanded"),
     )
+
+
+HREFLANG_SCHEMA = "url string, hreflang string, target string"
+
+
+def extract_hreflang_links(
+    pages: DataFrame,
+    url_col: str = "url",
+    html_col: str = "html",
+    n_partitions=None,
+) -> DataFrame:
+    """(url, html) -> one row per declared language alternate:
+    (url, hreflang, target), through the real DOM parse (functions/
+    links.py::extract_hreflang). Zero shuffle."""
+    from .util import ensure_min_partitions
+
+    is_binary = dict(pages.dtypes)[html_col] == "binary"
+
+    def run(it):
+        import pandas as pd
+
+        from llm_food_spark.functions.encoding import decode_html
+        from llm_food_spark.functions.links import extract_hreflang
+
+        for pdf in it:
+            rows = []
+            for url, payload in zip(pdf[url_col], pdf[html_col]):
+                if payload is None:
+                    continue
+                text = (decode_html(bytes(payload)) if is_binary
+                        else str(payload))
+                u = str(url)
+                for hl, target in extract_hreflang(text, u):
+                    rows.append((u, hl, target))
+            yield pd.DataFrame(rows, columns=["url", "hreflang",
+                                              "target"])
+
+    return ensure_min_partitions(
+        pages.select(url_col, html_col), n_partitions
+    ).mapInPandas(run, schema=HREFLANG_SCHEMA)
+
+
+def hreflang_pairs(alts: DataFrame) -> DataFrame:
+    """Alternate rows -> DISTINCT declared translation pairs
+    (lang_a, url_a, lang_b, url_b) with lang_a < lang_b (ties on
+    language broken by url) — the bitext-mining candidate list: every
+    page that declares both variants votes for the pair, duplicates
+    collapse. Self-pairs (same target) are dropped.
+
+    Scale shape: the self-join is keyed by the DECLARING page url
+    (alternates per page are a handful), then one distinct over narrow
+    4-string rows."""
+    a = alts.select(F.col("url").alias("src"),
+                    F.col("hreflang").alias("lang_a"),
+                    F.col("target").alias("url_a"))
+    b = alts.select(F.col("url").alias("src"),
+                    F.col("hreflang").alias("lang_b"),
+                    F.col("target").alias("url_b"))
+    return (
+        a.join(b, "src")
+         .where((F.col("lang_a") < F.col("lang_b"))
+                | ((F.col("lang_a") == F.col("lang_b"))
+                   & (F.col("url_a") < F.col("url_b"))))
+         .where(F.col("url_a") != F.col("url_b"))
+         .select("lang_a", "url_a", "lang_b", "url_b")
+         .distinct()
+    )

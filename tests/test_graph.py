@@ -801,3 +801,49 @@ def test_expand_with_anchors_partition_invariance(spark):
     b = sorted(map(tuple, expand_with_anchors(
         docs.repartition(5), edges.repartition(7), k=2).collect()))
     assert a == b
+
+
+# --- hreflang alternates ----------------------------------------------------
+
+def test_extract_hreflang_rules():
+    from llm_food_spark.functions.links import extract_hreflang
+
+    html = ('<link rel="Alternate" hreflang="DE" href="/de">'
+            '<link rel="alternate stylesheet" hreflang="fr" href="f">'
+            '<link rel="stylesheet" hreflang="es" href="/es">'
+            '<link rel="alternate" href="/nolang">'
+            '<link rel="alternate" hreflang="it" href="javascript:x">')
+    got = extract_hreflang(html, "http://s.test/a/p")
+    assert got == [("de", "http://s.test/de"),
+                   ("fr", "http://s.test/a/f")]
+
+
+def test_hreflang_pairs_distinct_and_ordered(spark):
+    from llm_food_spark.operators.links import (extract_hreflang_links,
+                                                hreflang_pairs)
+
+    page = ('<link rel="alternate" hreflang="en" href="/en">'
+            '<link rel="alternate" hreflang="de" href="/de">'
+            '<link rel="alternate" hreflang="fr" href="/fr">')
+    pages = spark.createDataFrame(
+        [("http://s.test/en", page), ("http://s.test/de", page)],
+        "url string, html string")
+    alts = extract_hreflang_links(pages, n_partitions=2)
+    assert alts.count() == 6
+    pairs = sorted(map(tuple, hreflang_pairs(alts).collect()))
+    # both declaring pages vote; distinct collapses to 3 pairs
+    assert pairs == [
+        ("de", "http://s.test/de", "en", "http://s.test/en"),
+        ("de", "http://s.test/de", "fr", "http://s.test/fr"),
+        ("en", "http://s.test/en", "fr", "http://s.test/fr")]
+
+
+def test_hreflang_pairs_same_lang_regional_variants(spark):
+    from llm_food_spark.operators.links import hreflang_pairs
+
+    alts = spark.createDataFrame(
+        [("p", "en", "http://a"), ("p", "en", "http://b")],
+        "url string, hreflang string, target string")
+    got = hreflang_pairs(alts).collect()
+    assert [(r.lang_a, r.url_a, r.lang_b, r.url_b) for r in got] == [
+        ("en", "http://a", "en", "http://b")]
