@@ -2103,6 +2103,31 @@ def q_caption_pairs(spark, sf_dir):
         _captions_fixture(spark, sf_dir), n_partitions=8))
 
 
+def q_stitch_pages(spark, sf_dir):
+    """Paginated-article stitching (operators/textops.py::
+    stitch_paginated): 125 four-page chains via rel=next edges (plus
+    non-next decoy edges that must not link), reassembled through the
+    pointer-jumping resolver. Hard oracle: DuckDB rebuilds every
+    chain head, page count and blank-line-joined stitched text by
+    group arithmetic — a different algorithm than the log-round
+    resolver."""
+    from llm_food_spark.operators.textops import stitch_paginated
+
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    url = F.concat(F.lit("http://p.test/"), i)
+    docs = d.select(url.alias("url"), "text")
+    nxt = d.where(i % 4 != 3).select(
+        url.alias("src"),
+        F.concat(F.lit("http://p.test/"), i + 1).alias("target"),
+        F.lit("next").alias("rel"))
+    decoy = d.where(i % 5 == 0).select(
+        url.alias("src"),
+        F.concat(F.lit("http://p.test/"), i + 7).alias("target"),
+        F.lit("nofollow").alias("rel"))
+    return stitch_paginated(nxt.unionAll(decoy), docs)
+
+
 def q_hreflang_bitext(spark, sf_dir):
     """Declared-translation pair mining (operators/links.py::
     extract_hreflang_links + hreflang_pairs) through the real DOM
@@ -4929,7 +4954,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     oracles — every family gets at least one driver-visible row, and
     hand-written DuckDB SQL twins win slots over redundant or subsumed
     queries. Everything from slot 51 on is still gated locally by
-    tools/check_oracles.py (all 204, same rows+schema+hash compare at
+    tools/check_oracles.py (all 205, same rows+schema+hash compare at
     sf0.01) and ordered hard-SQL-twins-first in case the driver's cap is
     ever higher; the 13 frozen-golden byte-stability gates sit last.
     Subsumption notes for demoted queries are inline below."""
@@ -5042,6 +5067,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pair_metrics": q_pair_metrics,        # duplicate-pair precision/recall/F1 in exact ppm (the dedup family's audit; ranking_metrics is the ANN/search one); twin recomputes both canonical sets + every figure
         "page_directives": q_page_directives,  # <meta name=robots> page-level REP (the robots.txt complement) through the real DOM parse; closed-form boolean twin per class
         "hreflang_bitext": q_hreflang_bitext,  # declared-translation (hreflang) pair mining through the real DOM parse — the explicit complement of align_by_url's guessing; closed-form pair-set twin
+        "stitch_pages": q_stitch_pages,        # rel=next paginated-article reassembly via the pointer-jumping resolver; twin rebuilds chains by group arithmetic — two algorithms, same documents
         "ngram_jaccard": q_ngram_jaccard,        # demoted for phrase_search: driver-green in r3, and the shingle->set->exact-overlap twin mechanism is held by dedup_paragraphs/dedup_substrings slots; the capped in-block quadratic stays repo-gated
         "soft_dedup": q_soft_dedup,              # SoftDeDup/D4 duplicate-aware reweighting (hard micro-unit twin; the dedup family's driver slots hold the detection side)
         "mixture_weights": q_mixture_weights,    # DoReMi-style fixed-loss domain mixture (exact largest-remainder ppm twin; crawl_budget holds the apportionment family's driver slot)
@@ -8882,6 +8908,17 @@ def _handwritten_oracles() -> dict[str, str]:
             WHERE len(text) >= 5
               AND COALESCE(width >= 64, TRUE)
               AND COALESCE(height >= 64, TRUE)
+        """,
+        # stitch_pages twin: chain reassembly by plain group
+        # arithmetic (head = i - i%4) vs the operator's pointer
+        # jumping.
+        "stitch_pages": """
+            SELECT 'http://p.test/' || (doc_id - doc_id % 4) AS head,
+                   COUNT(*)::BIGINT AS n_pages,
+                   string_agg(text, chr(10) || chr(10)
+                              ORDER BY doc_id) AS stitched
+            FROM documents
+            GROUP BY doc_id - doc_id % 4
         """,
         # hreflang_bitext twin: the distinct ordered pair universe per
         # site class (decoys contribute nothing by construction).

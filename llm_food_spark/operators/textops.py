@@ -899,3 +899,60 @@ def script_segments(df, text_col: str = "text", id_col: str = "doc_id"):
         "doc_id", (F.col("seg") - 1).cast("int").alias("seg_idx"),
         "script", "start_tok", "n_tokens", "seg_text",
     )
+
+
+def stitch_paginated(
+    outlinks,
+    docs,
+    max_chain: int = 32,
+    url_col: str = "url",
+    text_col: str = "text",
+):
+    """Paginated-article stitching — reassemble multi-page stories
+    (page 2, page 3, ... of one article) into single documents using
+    the pages' own rel="next" declarations: the extraction-tier
+    companion of canonical consolidation (a 12-page article is ONE
+    training document, not 12 near-duplicates that confuse dedup and
+    truncate context).
+
+    ``outlinks`` is the links-family edge frame (src=url, target, rel);
+    next edges are rel-token 'next' links, collapsed deterministically
+    to the smallest target per page. Chains resolve through
+    resolve_redirects' pointer jumping on the REVERSED edges, so every
+    member finds its chain HEAD (the page nobody points next at) plus
+    its 1-based position = hops; unresolved members (cycles / chains
+    over ``max_chain``) are dropped with the resolver's loud-NULL
+    contract. -> (head, n_pages, stitched): members' texts joined with
+    a blank line in position order; singleton pages (no next links
+    either way) pass through as their own heads.
+
+    Scale shape: ceil(log2(max_chain)) narrow self-joins (the
+    resolver), one join onto docs, and a per-chain
+    sort_array(collect_list(struct)) re-assembly bounded by chain
+    length. No windows over the corpus."""
+    from llm_food_spark.operators.urlops import resolve_redirects
+
+    nxt = (outlinks
+           .where(F.coalesce(F.col("rel"), F.lit(""))
+                  .rlike(r"(^|\s)next(\s|$)"))
+           .groupBy(F.col("src"))
+           .agg(F.min("target").alias("nxt")))
+    # reversed edges: member -> its PREVIOUS page; terminal = chain head
+    rev = nxt.select(F.col("nxt").alias("src"),
+                     F.col("src").alias("dst"))
+    res = resolve_redirects(rev, max_chain=max_chain).where(
+        F.col("resolved")).select(
+        F.col("url").alias("member"), F.col("final_url").alias("head"),
+        F.col("hops").cast("long").alias("pos"))
+    d = docs.select(F.col(url_col).alias("member"),
+                    F.col(text_col).alias("t"))
+    members = d.join(res, "member", "left").select(
+        F.coalesce("head", F.col("member")).alias("head"),
+        F.coalesce("pos", F.lit(0)).alias("pos"), "t")
+    return members.groupBy("head").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pages"),
+        F.array_join(
+            F.transform(F.array_sort(F.collect_list(
+                F.struct("pos", "t"))), lambda s: s["t"]),
+            "\n\n").alias("stitched"),
+    )

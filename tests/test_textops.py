@@ -1103,3 +1103,53 @@ def test_script_segments_partition_invariance(spark):
     a = sorted(map(tuple, script_segments(df).collect()))
     b = sorted(map(tuple, script_segments(df.repartition(7)).collect()))
     assert a == b
+
+
+# --- paginated stitching ----------------------------------------------------
+
+def test_stitch_paginated_chains_and_singletons(spark):
+    from llm_food_spark.operators.textops import stitch_paginated
+
+    docs = spark.createDataFrame(
+        [("a1", "part one"), ("a2", "part two"), ("a3", "part three"),
+         ("solo", "alone")],
+        "url string, text string")
+    links = spark.createDataFrame(
+        [("a1", "a2", "next"), ("a2", "a3", "next"),
+         ("a1", "x", ""), ("solo", "a1", "prev")],
+        "src string, target string, rel string")
+    rows = {r.head: r for r in stitch_paginated(links, docs).collect()}
+    assert rows["a1"].n_pages == 3
+    assert rows["a1"].stitched == "part one\n\npart two\n\npart three"
+    assert rows["solo"].n_pages == 1 and rows["solo"].stitched == "alone"
+
+
+def test_stitch_paginated_cycle_dropped_loudly(spark):
+    from llm_food_spark.operators.textops import stitch_paginated
+
+    docs = spark.createDataFrame(
+        [("c1", "x"), ("c2", "y"), ("ok", "z")],
+        "url string, text string")
+    links = spark.createDataFrame(
+        [("c1", "c2", "next"), ("c2", "c1", "next")],
+        "src string, target string, rel string")
+    rows = {r.head: r for r in stitch_paginated(links, docs).collect()}
+    # cycle members resolve to NULL -> fall back to their own heads
+    assert rows["ok"].n_pages == 1
+    assert "c1" in rows and "c2" in rows
+
+
+def test_stitch_paginated_partition_invariance(spark):
+    from llm_food_spark.operators.textops import stitch_paginated
+
+    docs = spark.createDataFrame(
+        [("p%d" % i, "t%d" % i) for i in range(12)],
+        "url string, text string")
+    links = spark.createDataFrame(
+        [("p%d" % i, "p%d" % (i + 1), "next")
+         for i in range(11) if (i + 1) % 4 != 0],
+        "src string, target string, rel string")
+    a = sorted(map(tuple, stitch_paginated(links, docs).collect()))
+    b = sorted(map(tuple, stitch_paginated(
+        links.repartition(5), docs.repartition(3)).collect()))
+    assert a == b
