@@ -2103,6 +2103,19 @@ def q_caption_pairs(spark, sf_dir):
         _captions_fixture(spark, sf_dir), n_partitions=8))
 
 
+def q_temporal_split(spark, sf_dir):
+    """Embargoed temporal split (operators/split.py::temporal_split)
+    over the events table: cutoff Jan 25 with a 2-day embargo. Hard
+    oracle: DuckDB recomputes every label through the same timestamp
+    arithmetic."""
+    from llm_food_spark.operators.split import temporal_split
+
+    e = _t(spark, sf_dir, "events")
+    return temporal_split(
+        e, "ts", "2024-01-25 00:00:00", embargo_seconds=2 * 86400
+    ).select("event_id", "split")
+
+
 def q_stitch_pages(spark, sf_dir):
     """Paginated-article stitching (operators/textops.py::
     stitch_paginated): 125 four-page chains via rel=next edges (plus
@@ -4954,7 +4967,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     oracles — every family gets at least one driver-visible row, and
     hand-written DuckDB SQL twins win slots over redundant or subsumed
     queries. Everything from slot 51 on is still gated locally by
-    tools/check_oracles.py (all 205, same rows+schema+hash compare at
+    tools/check_oracles.py (all 206, same rows+schema+hash compare at
     sf0.01) and ordered hard-SQL-twins-first in case the driver's cap is
     ever higher; the 13 frozen-golden byte-stability gates sit last.
     Subsumption notes for demoted queries are inline below."""
@@ -5068,6 +5081,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "page_directives": q_page_directives,  # <meta name=robots> page-level REP (the robots.txt complement) through the real DOM parse; closed-form boolean twin per class
         "hreflang_bitext": q_hreflang_bitext,  # declared-translation (hreflang) pair mining through the real DOM parse — the explicit complement of align_by_url's guessing; closed-form pair-set twin
         "stitch_pages": q_stitch_pages,        # rel=next paginated-article reassembly via the pointer-jumping resolver; twin rebuilds chains by group arithmetic — two algorithms, same documents
+        "temporal_split": q_temporal_split,    # embargoed time-ordered train/test split (the purged-split leakage guard); labels, never silent drops; exact timestamp twin
         "ngram_jaccard": q_ngram_jaccard,        # demoted for phrase_search: driver-green in r3, and the shingle->set->exact-overlap twin mechanism is held by dedup_paragraphs/dedup_substrings slots; the capped in-block quadratic stays repo-gated
         "soft_dedup": q_soft_dedup,              # SoftDeDup/D4 duplicate-aware reweighting (hard micro-unit twin; the dedup family's driver slots hold the detection side)
         "mixture_weights": q_mixture_weights,    # DoReMi-style fixed-loss domain mixture (exact largest-remainder ppm twin; crawl_budget holds the apportionment family's driver slot)
@@ -8908,6 +8922,16 @@ def _handwritten_oracles() -> dict[str, str]:
             WHERE len(text) >= 5
               AND COALESCE(width >= 64, TRUE)
               AND COALESCE(height >= 64, TRUE)
+        """,
+        # temporal_split twin: identical timestamp arithmetic.
+        "temporal_split": """
+            SELECT event_id,
+                   CASE WHEN ts < TIMESTAMP '2024-01-25 00:00:00'
+                                  - INTERVAL 2 DAY THEN 'train'
+                        WHEN ts >= TIMESTAMP '2024-01-25 00:00:00'
+                          THEN 'test'
+                        ELSE 'embargo' END AS split
+            FROM events
         """,
         # stitch_pages twin: chain reassembly by plain group
         # arithmetic (head = i - i%4) vs the operator's pointer

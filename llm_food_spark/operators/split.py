@@ -973,3 +973,34 @@ def rendezvous_shards(df: DataFrame, shards, id_col: str = "doc_id"
         F.max(F.struct("score", "shard")).alias("m")
     ).select(id_col, F.col("m.shard").alias("shard"),
              F.col("m.score").alias("score"))
+
+
+def temporal_split(
+    df: DataFrame,
+    ts_col: str,
+    cutoff: str,
+    embargo_seconds: int = 0,
+    split_col: str = "split",
+) -> DataFrame:
+    """Time-ordered train/test split with an embargo gap — the
+    leakage guard hash splits cannot give time-series data (training
+    on events seconds before a test event leaks near-future state;
+    the purged-split discipline from financial ML, public method):
+
+        ts <  cutoff - embargo  -> 'train'
+        ts >= cutoff            -> 'test'
+        otherwise               -> 'embargo'  (excluded from both)
+
+    The embargo rows are LABELED, not dropped — silently shrinking a
+    dataset is how audits get lied to; filter where split != 'embargo'
+    downstream. Pure Catalyst timestamp arithmetic (epoch-micro
+    comparisons), zero shuffle, deterministic."""
+    if embargo_seconds < 0:
+        raise ValueError("embargo_seconds must be >= 0")
+    ts = F.col(ts_col).cast("timestamp")
+    cut = F.lit(cutoff).cast("timestamp")
+    emb = cut - F.expr("INTERVAL %d SECONDS" % int(embargo_seconds))
+    label = (F.when(ts < emb, F.lit("train"))
+              .when(ts >= cut, F.lit("test"))
+              .otherwise(F.lit("embargo")))
+    return df.select("*", label.alias(split_col))

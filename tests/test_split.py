@@ -772,3 +772,33 @@ def test_rendezvous_validation(spark):
         rendezvous_shards(df, [])
     with _pytest.raises(ValueError):
         rendezvous_shards(df, ["a", "a"])
+
+
+# --- temporal split ---------------------------------------------------------
+
+def test_temporal_split_embargo_semantics(spark):
+    from llm_food_spark.operators.split import temporal_split
+
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00"), (2, "2024-01-09 23:59:59"),
+         (3, "2024-01-10 00:00:00"), (4, "2024-01-10 12:00:00"),
+         (5, "2024-01-11 00:00:00"), (6, "2024-01-20 00:00:00")],
+        "event_id long, ts string")
+    out = {r.event_id: r.split for r in temporal_split(
+        df, "ts", "2024-01-11 00:00:00", embargo_seconds=86400
+    ).collect()}
+    assert out[1] == "train" and out[2] == "train"
+    assert out[3] == "embargo" and out[4] == "embargo"
+    assert out[5] == "test" and out[6] == "test"
+
+
+def test_temporal_split_zero_embargo_and_validation(spark):
+    from llm_food_spark.operators.split import temporal_split
+
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00")], "event_id long, ts string")
+    [r] = temporal_split(df, "ts", "2024-01-01 00:00:00").collect()
+    assert r.split == "test"  # boundary goes to test, never both
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        temporal_split(df, "ts", "2024-01-01", embargo_seconds=-1)
