@@ -2103,6 +2103,31 @@ def q_caption_pairs(spark, sf_dir):
         _captions_fixture(spark, sf_dir), n_partitions=8))
 
 
+def q_clean_titles(spark, sf_dir):
+    """Cross-page site-suffix title cleaning (operators/textops.py::
+    clean_titles): 20 hosts whose titles carry ' | SiteN' (or
+    ' - SiteN' on %7 docs — both separators feed the same dominant
+    tail), with %9 docs tail-less. Hard oracle: DuckDB reconstructs
+    every cleaned title and stripped flag closed-form from the class
+    schedule (the dominance election resolves identically by
+    construction)."""
+    from llm_food_spark.operators.textops import clean_titles
+
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    h = i % 20
+    title = (
+        F.when(i % 9 == 0, F.concat(F.lit("Plain "), i))
+         .when(i % 7 == 0, F.concat(F.lit("Note "), i,
+                                    F.lit(" - Site"), h))
+         .otherwise(F.concat(F.lit("Story "), i,
+                             F.lit(" | Site"), h)))
+    meta = d.select(
+        F.concat(F.lit("http://t"), h, F.lit(".test/p"), i).alias("url"),
+        title.alias("title"))
+    return clean_titles(meta)
+
+
 def q_temporal_split(spark, sf_dir):
     """Embargoed temporal split (operators/split.py::temporal_split)
     over the events table: cutoff Jan 25 with a 2-day embargo. Hard
@@ -4967,7 +4992,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     oracles — every family gets at least one driver-visible row, and
     hand-written DuckDB SQL twins win slots over redundant or subsumed
     queries. Everything from slot 51 on is still gated locally by
-    tools/check_oracles.py (all 206, same rows+schema+hash compare at
+    tools/check_oracles.py (all 207, same rows+schema+hash compare at
     sf0.01) and ordered hard-SQL-twins-first in case the driver's cap is
     ever higher; the 13 frozen-golden byte-stability gates sit last.
     Subsumption notes for demoted queries are inline below."""
@@ -5082,6 +5107,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hreflang_bitext": q_hreflang_bitext,  # declared-translation (hreflang) pair mining through the real DOM parse — the explicit complement of align_by_url's guessing; closed-form pair-set twin
         "stitch_pages": q_stitch_pages,        # rel=next paginated-article reassembly via the pointer-jumping resolver; twin rebuilds chains by group arithmetic — two algorithms, same documents
         "temporal_split": q_temporal_split,    # embargoed time-ordered train/test split (the purged-split leakage guard); labels, never silent drops; exact timestamp twin
+        "clean_titles": q_clean_titles,        # cross-page site-suffix title cleaning (dominant-tail election per host, never guessing); closed-form per-class twin
         "ngram_jaccard": q_ngram_jaccard,        # demoted for phrase_search: driver-green in r3, and the shingle->set->exact-overlap twin mechanism is held by dedup_paragraphs/dedup_substrings slots; the capped in-block quadratic stays repo-gated
         "soft_dedup": q_soft_dedup,              # SoftDeDup/D4 duplicate-aware reweighting (hard micro-unit twin; the dedup family's driver slots hold the detection side)
         "mixture_weights": q_mixture_weights,    # DoReMi-style fixed-loss domain mixture (exact largest-remainder ppm twin; crawl_budget holds the apportionment family's driver slot)
@@ -8922,6 +8948,23 @@ def _handwritten_oracles() -> dict[str, str]:
             WHERE len(text) >= 5
               AND COALESCE(width >= 64, TRUE)
               AND COALESCE(height >= 64, TRUE)
+        """,
+        # clean_titles twin: the class schedule decides every verdict
+        # closed-form (the dominant tail is 'SiteN' by construction).
+        "clean_titles": """
+            SELECT 'http://t' || (doc_id % 20) || '.test/p' || doc_id
+                     AS url,
+                   CASE WHEN doc_id % 9 = 0 THEN 'Plain ' || doc_id
+                        WHEN doc_id % 7 = 0
+                          THEN 'Note ' || doc_id || ' - Site'
+                               || (doc_id % 20)
+                        ELSE 'Story ' || doc_id || ' | Site'
+                             || (doc_id % 20) END AS title,
+                   CASE WHEN doc_id % 9 = 0 THEN 'Plain ' || doc_id
+                        WHEN doc_id % 7 = 0 THEN 'Note ' || doc_id
+                        ELSE 'Story ' || doc_id END AS title_clean,
+                   (doc_id % 9 <> 0) AS stripped
+            FROM documents
         """,
         # temporal_split twin: identical timestamp arithmetic.
         "temporal_split": """

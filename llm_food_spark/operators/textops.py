@@ -956,3 +956,66 @@ def stitch_paginated(
                 F.struct("pos", "t"))), lambda s: s["t"]),
             "\n\n").alias("stitched"),
     )
+
+
+# shared with the DuckDB twin: the LAST ' | ' or ' - ' separator splits
+# an article title from a site-name tail
+TITLE_TAIL_RE = r"^(.*) ([|-]) ([^|-]+)$"
+
+
+def clean_titles(
+    meta,
+    url_col: str = "url",
+    title_col: str = "title",
+    min_share_ppm: int = 500_000,
+    min_pages: int = 3,
+):
+    """Site-suffix title cleaning — the metadata polish every search/
+    corpus pipeline applies ('Some Article | Example News' -> 'Some
+    Article') done with CROSS-PAGE evidence instead of guessing: a
+    trailing ' | X' / ' - X' segment is stripped only when X is the
+    host's DOMINANT title tail (>= ``min_share_ppm`` of >=
+    ``min_pages`` pages) — one page titled 'Alpha - Beta' on a host
+    that never repeats 'Beta' keeps its hyphen.
+
+    -> (url, title, title_clean, stripped): host from the url
+    (urlops.host_col), tails from the shared TITLE_TAIL_RE; rows with
+    NULL titles pass through unchanged.
+
+    Scale shape: one flat regexp pass, one map-side (host, tail)
+    count + one per-host max(struct) dominant election (no window),
+    broadcast back to the rows. The host_templates discipline pointed
+    at title text."""
+    from llm_food_spark.operators.urlops import host_col
+
+    if not (0 < min_share_ppm <= 1_000_000) or min_pages < 1:
+        raise ValueError("min_share_ppm in (0, 1e6], min_pages >= 1")
+    t = F.col(title_col)
+    base = meta.select(
+        F.col(url_col).alias("url"), t.alias("title"),
+        host_col(F.col(url_col)).alias("host"),
+        F.regexp_extract(t, TITLE_TAIL_RE, 1).alias("head"),
+        F.regexp_extract(t, TITLE_TAIL_RE, 3).alias("tail"),
+    )
+    hosts = base.groupBy("host").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pages"))
+    tails = (base.where(F.col("tail") != "")
+             .groupBy("host", "tail")
+             .agg(F.count(F.lit(1)).cast("long").alias("n_tail")))
+    dom = tails.groupBy("host").agg(
+        F.max(F.struct("n_tail", "tail")).alias("m")
+    ).select("host", F.col("m.tail").alias("dom_tail"),
+             F.col("m.n_tail").alias("n_tail"))
+    ev = dom.join(hosts, "host").where(
+        (F.col("n_pages") >= int(min_pages))
+        & (F.expr("n_tail * 1000000 div n_pages")
+           >= int(min_share_ppm))
+    ).select("host", "dom_tail")
+    j = base.join(F.broadcast(ev), "host", "left")
+    strip = (F.col("tail") != "") & (F.col("tail") == F.col("dom_tail"))
+    return j.select(
+        "url", "title",
+        F.when(strip, F.col("head")).otherwise(F.col("title"))
+         .alias("title_clean"),
+        F.coalesce(strip, F.lit(False)).alias("stripped"),
+    )

@@ -1153,3 +1153,53 @@ def test_stitch_paginated_partition_invariance(spark):
     b = sorted(map(tuple, stitch_paginated(
         links.repartition(5), docs.repartition(3)).collect()))
     assert a == b
+
+
+# --- title cleaning ---------------------------------------------------------
+
+def test_clean_titles_strips_dominant_suffix_only(spark):
+    from llm_food_spark.operators.textops import clean_titles
+
+    rows = [("http://n.test/%d" % i, "Story %d | Example News" % i)
+            for i in range(5)]
+    rows.append(("http://n.test/9", "Alpha - Beta"))
+    rows.append(("http://other.test/1", "One Off | Example News"))
+    df = spark.createDataFrame(rows, "url string, title string")
+    got = {r.url: r for r in clean_titles(df).collect()}
+    assert got["http://n.test/0"].title_clean == "Story 0"
+    assert got["http://n.test/0"].stripped
+    # the hyphen tail is NOT the host's dominant suffix -> untouched
+    assert got["http://n.test/9"].title_clean == "Alpha - Beta"
+    assert not got["http://n.test/9"].stripped
+    # other.test has 1 page < min_pages -> untouched
+    assert got["http://other.test/1"].title_clean == "One Off | Example News"
+
+
+def test_clean_titles_null_and_tailless(spark):
+    from llm_food_spark.operators.textops import clean_titles
+
+    df = spark.createDataFrame(
+        [("http://h.test/1", None), ("http://h.test/2", "No Separator"),
+         ("http://h.test/3", "A | S"), ("http://h.test/4", "B | S"),
+         ("http://h.test/5", "C | S")],
+        "url string, title string")
+    got = {r.url: r for r in clean_titles(df).collect()}
+    assert got["http://h.test/1"].title_clean is None
+    assert not got["http://h.test/1"].stripped
+    assert got["http://h.test/2"].title_clean == "No Separator"
+    assert got["http://h.test/3"].title_clean == "A"
+
+
+def test_clean_titles_partition_invariance_and_validation(spark):
+    from llm_food_spark.operators.textops import clean_titles
+
+    df = spark.createDataFrame(
+        [("http://h%d.test/%d" % (i % 3, i), "T%d | S%d" % (i, i % 3))
+         for i in range(30)],
+        "url string, title string")
+    a = sorted(map(tuple, clean_titles(df).collect()))
+    b = sorted(map(tuple, clean_titles(df.repartition(7)).collect()))
+    assert a == b
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        clean_titles(df, min_share_ppm=0)
