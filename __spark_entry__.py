@@ -2103,6 +2103,26 @@ def q_caption_pairs(spark, sf_dir):
         _captions_fixture(spark, sf_dir), n_partitions=8))
 
 
+def q_merge_frontiers(spark, sf_dir):
+    """Multi-source frontier merge (operators/snapshot.py::
+    merge_frontiers): three seeded discovery sources with overlapping
+    url universes and deliberate score ties. Hard oracle: DuckDB
+    recomputes the union, every (score, source) winner and agreement
+    count."""
+    from llm_food_spark.operators.snapshot import merge_frontiers
+
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    url = F.concat(F.lit("http://f.test/"), i % 300)
+    links = d.select(url.alias("url"), (i % 97).cast("long").alias("score"))
+    maps = d.where(i % 2 == 0).select(
+        url.alias("url"), (i % 89).cast("long").alias("score"))
+    feeds = d.where(i % 5 == 0).select(
+        url.alias("url"), F.lit(50).cast("long").alias("score"))
+    return merge_frontiers(
+        {"links": links, "sitemaps": maps, "feeds": feeds})
+
+
 def q_clean_titles(spark, sf_dir):
     """Cross-page site-suffix title cleaning (operators/textops.py::
     clean_titles): 20 hosts whose titles carry ' | SiteN' (or
@@ -4992,7 +5012,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     oracles — every family gets at least one driver-visible row, and
     hand-written DuckDB SQL twins win slots over redundant or subsumed
     queries. Everything from slot 51 on is still gated locally by
-    tools/check_oracles.py (all 207, same rows+schema+hash compare at
+    tools/check_oracles.py (all 208, same rows+schema+hash compare at
     sf0.01) and ordered hard-SQL-twins-first in case the driver's cap is
     ever higher; the 13 frozen-golden byte-stability gates sit last.
     Subsumption notes for demoted queries are inline below."""
@@ -5108,6 +5128,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stitch_pages": q_stitch_pages,        # rel=next paginated-article reassembly via the pointer-jumping resolver; twin rebuilds chains by group arithmetic — two algorithms, same documents
         "temporal_split": q_temporal_split,    # embargoed time-ordered train/test split (the purged-split leakage guard); labels, never silent drops; exact timestamp twin
         "clean_titles": q_clean_titles,        # cross-page site-suffix title cleaning (dominant-tail election per host, never guessing); closed-form per-class twin
+        "merge_frontiers": q_merge_frontiers,  # multi-source crawl-frontier merge (winner election + agreement counts, the discovery fan-in); union+argmax twin
         "ngram_jaccard": q_ngram_jaccard,        # demoted for phrase_search: driver-green in r3, and the shingle->set->exact-overlap twin mechanism is held by dedup_paragraphs/dedup_substrings slots; the capped in-block quadratic stays repo-gated
         "soft_dedup": q_soft_dedup,              # SoftDeDup/D4 duplicate-aware reweighting (hard micro-unit twin; the dedup family's driver slots hold the detection side)
         "mixture_weights": q_mixture_weights,    # DoReMi-style fixed-loss domain mixture (exact largest-remainder ppm twin; crawl_budget holds the apportionment family's driver slot)
@@ -8948,6 +8969,34 @@ def _handwritten_oracles() -> dict[str, str]:
             WHERE len(text) >= 5
               AND COALESCE(width >= 64, TRUE)
               AND COALESCE(height >= 64, TRUE)
+        """,
+        # merge_frontiers twin: union + per-url (score, source) argmax
+        # + distinct-source agreement, recomputed.
+        "merge_frontiers": """
+            WITH u AS (
+              SELECT 'http://f.test/' || (doc_id % 300) AS url,
+                     (doc_id % 97)::BIGINT AS score, 'links' AS source
+              FROM documents
+              UNION ALL
+              SELECT 'http://f.test/' || (doc_id % 300),
+                     (doc_id % 89)::BIGINT, 'sitemaps'
+              FROM documents WHERE doc_id % 2 = 0
+              UNION ALL
+              SELECT 'http://f.test/' || (doc_id % 300),
+                     50::BIGINT, 'feeds'
+              FROM documents WHERE doc_id % 5 = 0
+            ), r AS (
+              SELECT url, score, source,
+                     ROW_NUMBER() OVER (PARTITION BY url
+                       ORDER BY score DESC, source DESC) AS rn
+              FROM u
+            ), w AS (SELECT url, score, source FROM r WHERE rn = 1),
+            c AS (
+              SELECT url, COUNT(DISTINCT source)::INT AS n_sources
+              FROM u GROUP BY url
+            )
+            SELECT w.url, w.score, w.source, c.n_sources
+            FROM w JOIN c USING (url)
         """,
         # clean_titles twin: the class schedule decides every verdict
         # closed-form (the dominant tail is 'SiteN' by construction).

@@ -294,3 +294,35 @@ def revisit_schedule(
             % (int(min_interval_s), int(max_interval_s))
         ).alias("revisit_s"),
     )
+
+
+def merge_frontiers(frontiers, url_col: str = "url",
+                    score_col: str = "score") -> DataFrame:
+    """Merge crawl-discovery sources into one frontier — links,
+    sitemaps, feeds and revisit schedules each propose urls with their
+    own scores; the fetcher wants ONE deduplicated list that remembers
+    the best evidence and how many sources agree (multi-source
+    discovery is itself a quality signal).
+
+    ``frontiers``: {source_name: DataFrame(url, score)}. One row per
+    distinct url: (url, score, source, n_sources) — score/source from
+    the winning proposal (max score, ties to the lexicographically
+    larger source name via the struct max), n_sources the distinct
+    proposing sources.
+
+    Scale shape: union + ONE map-side-combining groupBy(url) holding a
+    struct max and a count_distinct — no window, no driver state."""
+    if not frontiers:
+        raise ValueError("frontiers must be non-empty")
+    u = None
+    for name, df in frontiers.items():
+        part = df.select(
+            F.col(url_col).alias("url"),
+            F.col(score_col).cast("long").alias("score"),
+            F.lit(str(name)).alias("source"))
+        u = part if u is None else u.unionAll(part)
+    return u.groupBy("url").agg(
+        F.max(F.struct("score", "source")).alias("m"),
+        F.count_distinct("source").cast("int").alias("n_sources"),
+    ).select("url", F.col("m.score").alias("score"),
+             F.col("m.source").alias("source"), "n_sources")

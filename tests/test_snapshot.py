@@ -220,3 +220,38 @@ def test_revisit_schedule_rates_and_clamps(spark):
         [("f", 0, "a"), ("f", 10, "b"), ("f", 20, "c")],
         "url string, ts long, content_hash string")
     assert revisit_schedule(fast).collect()[0].revisit_s == 3600
+
+
+# --- frontier merge ---------------------------------------------------------
+
+def test_merge_frontiers_winner_and_agreement(spark):
+    from llm_food_spark.operators.snapshot import merge_frontiers
+
+    links = spark.createDataFrame(
+        [("u1", 10), ("u2", 5)], "url string, score long")
+    maps = spark.createDataFrame(
+        [("u1", 10), ("u3", 7)], "url string, score long")
+    got = {r.url: r for r in merge_frontiers(
+        {"links": links, "sitemaps": maps}).collect()}
+    # equal scores: tie to the larger source name
+    assert (got["u1"].score, got["u1"].source, got["u1"].n_sources) == \
+        (10, "sitemaps", 2)
+    assert (got["u2"].source, got["u2"].n_sources) == ("links", 1)
+    assert got["u3"].source == "sitemaps"
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        merge_frontiers({})
+
+
+def test_merge_frontiers_partition_invariance(spark):
+    from llm_food_spark.operators.snapshot import merge_frontiers
+
+    a = spark.createDataFrame(
+        [("u%d" % (i % 9), i) for i in range(40)], "url string, score long")
+    b = spark.createDataFrame(
+        [("u%d" % (i % 7), 100 - i) for i in range(40)],
+        "url string, score long")
+    x = sorted(map(tuple, merge_frontiers({"a": a, "b": b}).collect()))
+    y = sorted(map(tuple, merge_frontiers(
+        {"a": a.repartition(5), "b": b.repartition(3)}).collect()))
+    assert x == y
