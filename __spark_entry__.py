@@ -2103,6 +2103,50 @@ def q_caption_pairs(spark, sf_dir):
         _captions_fixture(spark, sf_dir), n_partitions=8))
 
 
+def q_subtitles(spark, sf_dir):
+    """Subtitle cue parsing (operators/multimodal.py::subtitle_cues)
+    through the REAL SRT/VTT parser: even docs build SRT tracks
+    (comma millis), odd docs WebVTT (header, id lines, dot millis,
+    cue settings); %4 docs prepend a malformed block and %6 docs a
+    reversed-time cue — both must be skipped WITHOUT consuming cue
+    numbers. Hard oracle: DuckDB reconstructs every cue row
+    closed-form from the timing formula."""
+    from llm_food_spark.operators.multimodal import subtitle_cues
+
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    start = "j * 2000 + doc_id % 7 * 10"
+    end = start + " + 1500"
+
+    def ts(ms, sep):
+        return ("concat('00:00:', lpad(cast((" + ms
+                + ") div 1000 as string), 2, '0'), '" + sep
+                + "', lpad(cast((" + ms
+                + ") % 1000 as string), 3, '0'))")
+
+    def cues(sep, idline, setting):
+        return F.expr(
+            "aggregate(transform(sequence(0, cast(doc_id % 3 as int)"
+            " + 2), j -> concat(" + idline + ts(start, sep)
+            + ", ' --> ', " + ts(end, sep) + ", '" + setting
+            + "\\n', 'cue ', doc_id, '-', j, '\\n\\n')), '',"
+            " (a, x) -> concat(a, x))")
+
+    bad = F.when(i % 4 == 0,
+                 F.lit("9\nnot a timestamp\nx\n\n")).otherwise(F.lit(""))
+    rev = F.when(i % 6 == 0, F.lit(
+        "00:00:09,000 --> 00:00:08,000\nskip me\n\n")).otherwise(
+        F.lit(""))
+    srt = F.concat(bad, rev, cues(",", "cast(j + 1 as string), '\\n', ",
+                                  ""))
+    vtt = F.concat(F.lit("WEBVTT\n\nNOTE generated\n\n"), bad, rev,
+                   cues(".", "'c', j, '\\n', ", " align:start"))
+    tracks = d.select(
+        F.concat(F.lit("m"), i).alias("media_id"),
+        F.when(i % 2 == 0, srt).otherwise(vtt).alias("track"))
+    return subtitle_cues(tracks)
+
+
 def q_merge_frontiers(spark, sf_dir):
     """Multi-source frontier merge (operators/snapshot.py::
     merge_frontiers): three seeded discovery sources with overlapping
@@ -5012,7 +5056,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     oracles — every family gets at least one driver-visible row, and
     hand-written DuckDB SQL twins win slots over redundant or subsumed
     queries. Everything from slot 51 on is still gated locally by
-    tools/check_oracles.py (all 208, same rows+schema+hash compare at
+    tools/check_oracles.py (all 209, same rows+schema+hash compare at
     sf0.01) and ordered hard-SQL-twins-first in case the driver's cap is
     ever higher; the 13 frozen-golden byte-stability gates sit last.
     Subsumption notes for demoted queries are inline below."""
@@ -5129,6 +5173,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temporal_split": q_temporal_split,    # embargoed time-ordered train/test split (the purged-split leakage guard); labels, never silent drops; exact timestamp twin
         "clean_titles": q_clean_titles,        # cross-page site-suffix title cleaning (dominant-tail election per host, never guessing); closed-form per-class twin
         "merge_frontiers": q_merge_frontiers,  # multi-source crawl-frontier merge (winner election + agreement counts, the discovery fan-in); union+argmax twin
+        "subtitles": q_subtitles,              # SRT + WebVTT cue parsing through the real tolerant parser (malformed/reversed blocks skipped without consuming numbers); closed-form timing twin
         "ngram_jaccard": q_ngram_jaccard,        # demoted for phrase_search: driver-green in r3, and the shingle->set->exact-overlap twin mechanism is held by dedup_paragraphs/dedup_substrings slots; the capped in-block quadratic stays repo-gated
         "soft_dedup": q_soft_dedup,              # SoftDeDup/D4 duplicate-aware reweighting (hard micro-unit twin; the dedup family's driver slots hold the detection side)
         "mixture_weights": q_mixture_weights,    # DoReMi-style fixed-loss domain mixture (exact largest-remainder ppm twin; crawl_budget holds the apportionment family's driver slot)
@@ -8969,6 +9014,17 @@ def _handwritten_oracles() -> dict[str, str]:
             WHERE len(text) >= 5
               AND COALESCE(width >= 64, TRUE)
               AND COALESCE(height >= 64, TRUE)
+        """,
+        # subtitles twin: every cue row closed-form from the timing
+        # formula (malformed/reversed fixtures contribute nothing).
+        "subtitles": """
+            SELECT 'm' || doc_id AS media_id, u.j::INT AS cue_no,
+                   (u.j * 2000 + doc_id % 7 * 10)::BIGINT AS start_ms,
+                   (u.j * 2000 + doc_id % 7 * 10 + 1500)::BIGINT
+                     AS end_ms,
+                   'cue ' || doc_id || '-' || u.j AS text
+            FROM documents,
+                 LATERAL (SELECT unnest(range(0, doc_id % 3 + 3)) AS j) u
         """,
         # merge_frontiers twin: union + per-url (score, source) argmax
         # + distinct-source agreement, recomputed.

@@ -1,0 +1,64 @@
+"""SRT / WebVTT subtitle parsing — pure Python, no Spark imports.
+
+Subtitle tracks are the text half of speech corpora (the standard
+ASR/AV-alignment source: a cue's [start, end) window pairs its text
+with the audio the VAD segmented). Both public formats are line-based
+cue blocks:
+
+  SRT:  index line, ``HH:MM:SS,mmm --> HH:MM:SS,mmm``, text lines
+  VTT:  ``WEBVTT`` header; cues with optional id lines,
+        ``HH:MM:SS.mmm --> HH:MM:SS.mmm`` (dot, optional hours,
+        optional cue settings after the times)
+
+Tolerant by the extraction discipline: malformed blocks are skipped
+(never raised), timestamps are exact integer milliseconds, cue text is
+whitespace-normalized per line and newline-joined.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import List, Optional, Tuple
+
+_TS = re.compile(
+    r"(?:(\d{1,3}):)?(\d{1,2}):(\d{2})[.,](\d{3})")
+_ARROW = re.compile(
+    r"(?:(\d{1,3}):)?(\d{1,2}):(\d{2})[.,](\d{3})\s*-->\s*"
+    r"(?:(\d{1,3}):)?(\d{1,2}):(\d{2})[.,](\d{3})")
+_WS = re.compile(r"\s+")
+
+
+def _ms(h, m, s, ms) -> int:
+    return ((int(h or 0) * 60 + int(m)) * 60 + int(s)) * 1000 + int(ms)
+
+
+def parse_subtitles(text: str) -> List[Tuple[int, int, int, str]]:
+    """[(cue_no, start_ms, end_ms, text)] in document order, cue_no
+    0-based over the cues that PARSE (dropped blocks do not consume
+    numbers — the img_captions indexing rule). Cues with end <= start
+    are dropped as malformed. Handles both SRT and VTT timestamps,
+    VTT headers/NOTE blocks, id lines, and cue settings."""
+    out: List[Tuple[int, int, int, str]] = []
+    blocks = re.split(r"\r?\n\r?\n+", text)
+    n = 0
+    for block in blocks:
+        lines = [ln for ln in block.split("\n") if ln.strip() != ""]
+        if not lines:
+            continue
+        arrow_idx: Optional[int] = None
+        m = None
+        for i, ln in enumerate(lines[:2]):
+            m = _ARROW.search(ln)
+            if m:
+                arrow_idx = i
+                break
+        if arrow_idx is None or m is None:
+            continue  # header, NOTE, or malformed block
+        start = _ms(*m.groups()[0:4])
+        end = _ms(*m.groups()[4:8])
+        if end <= start:
+            continue
+        body = [_WS.sub(" ", ln).strip() for ln in lines[arrow_idx + 1:]]
+        out.append((n, start, end, "\n".join(b for b in body if b)))
+        n += 1
+    return out

@@ -846,3 +846,36 @@ def dhash_neardup_pairs(
     return cand.select(
         "id_a", "id_b", ham.cast("int").alias("hamming")
     ).where(F.col("hamming") <= max_bits)
+
+
+SUBTITLE_SCHEMA = ("media_id string, cue_no int, start_ms long, "
+                   "end_ms long, text string")
+
+
+def subtitle_cues(tracks: DataFrame, id_col: str = "media_id",
+                  text_col: str = "track") -> DataFrame:
+    """Subtitle tracks (SRT or WebVTT text) -> one row per parsed cue
+    (functions/subs.py): (media_id, cue_no, start_ms, end_ms, text).
+    The text half of AV alignment — join cue windows against
+    audio_vad's speech segments (operators/joins.interval_join) to
+    pair transcript text with its audio. Malformed blocks are skipped
+    without consuming cue numbers; NULL tracks yield no rows. Zero
+    shuffle."""
+    from .util import ensure_min_partitions
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from llm_food_spark.functions.subs import parse_subtitles
+
+        for pdf in it:
+            rows: List[tuple] = []
+            for mid, track in zip(pdf[id_col], pdf[text_col]):
+                if track is None:
+                    continue
+                for no, start, end, txt in parse_subtitles(str(track)):
+                    rows.append((str(mid), no, start, end, txt))
+            yield pd.DataFrame(rows, columns=[
+                "media_id", "cue_no", "start_ms", "end_ms", "text"])
+
+    return ensure_min_partitions(
+        tracks.select(id_col, text_col)
+    ).mapInPandas(run, schema=SUBTITLE_SCHEMA)

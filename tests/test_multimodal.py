@@ -117,3 +117,22 @@ def test_dhash_neardup_validation(spark):
         dhash_neardup_pairs(df, max_bits=4)
     with _pytest.raises(ValueError):
         dhash_neardup_pairs(df, max_block=0)
+
+
+# --- subtitle cues ----------------------------------------------------------
+
+def test_subtitle_cues_operator(spark):
+    from llm_food_spark.operators.multimodal import subtitle_cues
+
+    srt = ("1\n00:00:01,000 --> 00:00:02,000\nfirst\n\n"
+           "junk block\nno times\n\n"
+           "2\n00:00:03,000 --> 00:00:04,000\nsecond\n")
+    vtt = "WEBVTT\n\nc1\n00:00:05.000 --> 00:00:06.000 align:end\nv\n"
+    df = spark.createDataFrame(
+        [("a", srt), ("b", vtt), ("c", None)],
+        "media_id string, track string")
+    rows = sorted(map(tuple, subtitle_cues(df).collect()))
+    assert rows == [
+        ("a", 0, 1000, 2000, "first"),
+        ("a", 1, 3000, 4000, "second"),
+        ("b", 0, 5000, 6000, "v")]

@@ -1,0 +1,39 @@
+"""SRT/WebVTT cue parsing: formats, tolerance, exact millisecond math."""
+
+from llm_food_spark.functions.subs import parse_subtitles
+
+
+def test_srt_blocks():
+    srt = ("1\n00:00:01,500 --> 00:00:03,000\nHello  world\n\n"
+           "2\n00:01:00,000 --> 00:01:02,250\nSecond line\nwraps\n")
+    got = parse_subtitles(srt)
+    assert got == [
+        (0, 1500, 3000, "Hello world"),
+        (1, 60000, 62250, "Second line\nwraps")]
+
+
+def test_vtt_with_header_ids_settings_and_short_times():
+    vtt = ("WEBVTT\n\nNOTE a comment\nspanning lines\n\n"
+           "intro\n00:05.000 --> 00:07.100 align:start\nHi there\n\n"
+           "01:00:00.000 --> 01:00:01.000\nHour mark\n")
+    got = parse_subtitles(vtt)
+    assert got == [
+        (0, 5000, 7100, "Hi there"),
+        (1, 3600000, 3601000, "Hour mark")]
+
+
+def test_malformed_blocks_skipped_without_consuming_numbers():
+    s = ("1\n00:00:01,000 --> 00:00:02,000\nok one\n\n"
+         "2\nnot a timestamp\ngarbage\n\n"
+         "3\n00:00:05,000 --> 00:00:04,000\nreversed dropped\n\n"
+         "4\n00:00:06,000 --> 00:00:07,000\nok two\n")
+    got = parse_subtitles(s)
+    assert [(c, t) for c, _, _, t in got] == [(0, "ok one"), (1, "ok two")]
+
+
+def test_empty_and_hostile_inputs():
+    assert parse_subtitles("") == []
+    assert parse_subtitles("WEBVTT\n") == []
+    assert parse_subtitles("\x00\x01 junk") == []
+    assert parse_subtitles("00:00:01,000 --> 00:00:02,000\n") == [
+        (0, 1000, 2000, "")]
