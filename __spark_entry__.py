@@ -2147,6 +2147,55 @@ def q_subtitles(spark, sf_dir):
     return subtitle_cues(tracks)
 
 
+def q_av_alignment(spark, sf_dir):
+    """AV alignment: subtitle cues joined to VAD-style speech segments
+    by time overlap — subtitle_cues chained into joins.interval_join
+    (the exactly-once bucket meeting), per media_id. Cues come through
+    the REAL SRT parse; segments are closed-form [s*3000, s*3000+1800)
+    windows. Hard oracle: DuckDB rebuilds both universes and every
+    overlapping pair + overlap_ms with a bare inequality join — a
+    different algorithm than the bucketized plan."""
+    from llm_food_spark.operators.joins import interval_join
+    from llm_food_spark.operators.multimodal import subtitle_cues
+
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    start = "j * 2000 + doc_id % 7 * 10"
+    end = start + " + 1500"
+
+    def ts(ms):
+        return ("concat('00:00:', lpad(cast((" + ms
+                + ") div 1000 as string), 2, '0'), ',', lpad(cast(("
+                + ms + ") % 1000 as string), 3, '0'))")
+
+    srt = F.expr(
+        "aggregate(transform(sequence(0, cast(doc_id % 3 as int) + 2),"
+        " j -> concat(cast(j + 1 as string), '\\n', " + ts(start)
+        + ", ' --> ', " + ts(end) + ", '\\n', 'cue ', doc_id, '-', j,"
+        " '\\n\\n')), '', (a, x) -> concat(a, x))")
+    cues = subtitle_cues(d.select(
+        F.concat(F.lit("m"), i).alias("media_id"), srt.alias("track")))
+    segs = d.select(
+        F.concat(F.lit("m"), i).alias("media_id"),
+        F.explode(F.sequence(F.lit(0), (i % 4 + 1).cast("int")))
+         .alias("seg_no"),
+    ).select(
+        "media_id", "seg_no",
+        (F.col("seg_no") * 3000).cast("long").alias("lo"),
+        (F.col("seg_no") * 3000 + 1800).cast("long").alias("hi"))
+    j = interval_join(
+        cues.select("media_id", "cue_no", "text",
+                    F.col("start_ms").alias("lo"),
+                    F.col("end_ms").alias("hi")),
+        segs, on="media_id", bucket_width=2000)
+    return j.select(
+        "media_id", "cue_no", "text",
+        F.col("seg_no_r").alias("seg_no"),
+        (F.least(F.col("hi"), F.col("hi_r"))
+         - F.greatest(F.col("lo"), F.col("lo_r")))
+         .cast("long").alias("overlap_ms"))
+
+
 def q_merge_frontiers(spark, sf_dir):
     """Multi-source frontier merge (operators/snapshot.py::
     merge_frontiers): three seeded discovery sources with overlapping
@@ -5056,7 +5105,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     oracles — every family gets at least one driver-visible row, and
     hand-written DuckDB SQL twins win slots over redundant or subsumed
     queries. Everything from slot 51 on is still gated locally by
-    tools/check_oracles.py (all 209, same rows+schema+hash compare at
+    tools/check_oracles.py (all 210, same rows+schema+hash compare at
     sf0.01) and ordered hard-SQL-twins-first in case the driver's cap is
     ever higher; the 13 frozen-golden byte-stability gates sit last.
     Subsumption notes for demoted queries are inline below."""
@@ -5174,6 +5223,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clean_titles": q_clean_titles,        # cross-page site-suffix title cleaning (dominant-tail election per host, never guessing); closed-form per-class twin
         "merge_frontiers": q_merge_frontiers,  # multi-source crawl-frontier merge (winner election + agreement counts, the discovery fan-in); union+argmax twin
         "subtitles": q_subtitles,              # SRT + WebVTT cue parsing through the real tolerant parser (malformed/reversed blocks skipped without consuming numbers); closed-form timing twin
+        "av_alignment": q_av_alignment,        # subtitle cues x speech segments via the exactly-once interval join, chained THROUGH the real SRT parse; bare-inequality twin — two algorithms, same pairs
         "ngram_jaccard": q_ngram_jaccard,        # demoted for phrase_search: driver-green in r3, and the shingle->set->exact-overlap twin mechanism is held by dedup_paragraphs/dedup_substrings slots; the capped in-block quadratic stays repo-gated
         "soft_dedup": q_soft_dedup,              # SoftDeDup/D4 duplicate-aware reweighting (hard micro-unit twin; the dedup family's driver slots hold the detection side)
         "mixture_weights": q_mixture_weights,    # DoReMi-style fixed-loss domain mixture (exact largest-remainder ppm twin; crawl_budget holds the apportionment family's driver slot)
@@ -9014,6 +9064,33 @@ def _handwritten_oracles() -> dict[str, str]:
             WHERE len(text) >= 5
               AND COALESCE(width >= 64, TRUE)
               AND COALESCE(height >= 64, TRUE)
+        """,
+        # av_alignment twin: both universes closed-form; pairs via the
+        # bare inequality join DuckDB plans natively.
+        "av_alignment": """
+            WITH cues AS (
+              SELECT 'm' || doc_id AS media_id, u.j::INT AS cue_no,
+                     'cue ' || doc_id || '-' || u.j AS text,
+                     (u.j * 2000 + doc_id % 7 * 10)::BIGINT AS lo,
+                     (u.j * 2000 + doc_id % 7 * 10 + 1500)::BIGINT
+                       AS hi
+              FROM documents,
+                   LATERAL (SELECT unnest(range(0, doc_id % 3 + 3))
+                            AS j) u
+            ), segs AS (
+              SELECT 'm' || doc_id AS media_id, u.s::INT AS seg_no,
+                     (u.s * 3000)::BIGINT AS lo_r,
+                     (u.s * 3000 + 1800)::BIGINT AS hi_r
+              FROM documents,
+                   LATERAL (SELECT unnest(range(0, doc_id % 4 + 2))
+                            AS s) u
+            )
+            SELECT c.media_id, c.cue_no, c.text, s.seg_no,
+                   (LEAST(c.hi, s.hi_r)
+                    - GREATEST(c.lo, s.lo_r))::BIGINT AS overlap_ms
+            FROM cues c JOIN segs s
+              ON c.media_id = s.media_id
+             AND c.lo < s.hi_r AND s.lo_r < c.hi
         """,
         # subtitles twin: every cue row closed-form from the timing
         # formula (malformed/reversed fixtures contribute nothing).
