@@ -2147,6 +2147,24 @@ def q_subtitles(spark, sf_dir):
     return subtitle_cues(tracks)
 
 
+def q_cluster_diff(spark, sf_dir):
+    """Clustering-run agreement (operators/evalmetrics.py::
+    clustering_diff): run A = 4-doc clusters (doc_id div 4), run B =
+    8-doc merges with a %31 junk-cluster perturbation. Hard oracle:
+    DuckDB recomputes the contingency table, all three C(n,2) sums and
+    the exact Rand ppm."""
+    from llm_food_spark.operators.evalmetrics import clustering_diff
+
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    a = d.select("doc_id", F.expr("doc_id div 4").alias("cluster"))
+    b = d.select(
+        "doc_id",
+        F.when(i % 31 == 0, F.lit(9999))
+         .otherwise(F.expr("doc_id div 8")).alias("cluster"))
+    return clustering_diff(a, b)
+
+
 def q_av_alignment(spark, sf_dir):
     """AV alignment: subtitle cues joined to VAD-style speech segments
     by time overlap — subtitle_cues chained into joins.interval_join
@@ -5105,7 +5123,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     oracles — every family gets at least one driver-visible row, and
     hand-written DuckDB SQL twins win slots over redundant or subsumed
     queries. Everything from slot 51 on is still gated locally by
-    tools/check_oracles.py (all 210, same rows+schema+hash compare at
+    tools/check_oracles.py (all 211, same rows+schema+hash compare at
     sf0.01) and ordered hard-SQL-twins-first in case the driver's cap is
     ever higher; the 13 frozen-golden byte-stability gates sit last.
     Subsumption notes for demoted queries are inline below."""
@@ -5224,6 +5242,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_frontiers": q_merge_frontiers,  # multi-source crawl-frontier merge (winner election + agreement counts, the discovery fan-in); union+argmax twin
         "subtitles": q_subtitles,              # SRT + WebVTT cue parsing through the real tolerant parser (malformed/reversed blocks skipped without consuming numbers); closed-form timing twin
         "av_alignment": q_av_alignment,        # subtitle cues x speech segments via the exactly-once interval join, chained THROUGH the real SRT parse; bare-inequality twin — two algorithms, same pairs
+        "cluster_diff": q_cluster_diff,        # exact pair-counting Rand agreement between two dedup clusterings (the iteration audit); contingency-table twin
         "ngram_jaccard": q_ngram_jaccard,        # demoted for phrase_search: driver-green in r3, and the shingle->set->exact-overlap twin mechanism is held by dedup_paragraphs/dedup_substrings slots; the capped in-block quadratic stays repo-gated
         "soft_dedup": q_soft_dedup,              # SoftDeDup/D4 duplicate-aware reweighting (hard micro-unit twin; the dedup family's driver slots hold the detection side)
         "mixture_weights": q_mixture_weights,    # DoReMi-style fixed-loss domain mixture (exact largest-remainder ppm twin; crawl_budget holds the apportionment family's driver slot)
@@ -9064,6 +9083,36 @@ def _handwritten_oracles() -> dict[str, str]:
             WHERE len(text) >= 5
               AND COALESCE(width >= 64, TRUE)
               AND COALESCE(height >= 64, TRUE)
+        """,
+        # cluster_diff twin: contingency + margins + C(n,2) sums.
+        "cluster_diff": """
+            WITH j AS (
+              SELECT doc_id, doc_id // 4 AS ca,
+                     CASE WHEN doc_id % 31 = 0 THEN 9999
+                          ELSE doc_id // 8 END AS cb
+              FROM documents
+            ), cont AS (
+              SELECT ca, cb, COUNT(*)::BIGINT AS n
+              FROM j GROUP BY ca, cb
+            ), agg AS (
+              SELECT SUM(n)::BIGINT AS n_ids,
+                     SUM(n * (n - 1) // 2)::BIGINT AS same_both
+              FROM cont
+            ), ma AS (
+              SELECT SUM(n * (n - 1) // 2)::BIGINT AS same_a FROM (
+                SELECT SUM(n) AS n FROM cont GROUP BY ca)
+            ), mb AS (
+              SELECT SUM(n * (n - 1) // 2)::BIGINT AS same_b FROM (
+                SELECT SUM(n) AS n FROM cont GROUP BY cb)
+            )
+            SELECT n_ids,
+                   (n_ids * (n_ids - 1) // 2)::BIGINT AS pairs_total,
+                   same_a, same_b, same_both,
+                   ((same_both + (n_ids * (n_ids - 1) // 2) - same_a
+                     - same_b + same_both) * 1000000
+                    // GREATEST(n_ids * (n_ids - 1) // 2, 1))::BIGINT
+                     AS rand_ppm
+            FROM agg CROSS JOIN ma CROSS JOIN mb
         """,
         # av_alignment twin: both universes closed-form; pairs via the
         # bare inequality join DuckDB plans natively.

@@ -114,3 +114,55 @@ def pair_metrics(
         F.expr("2 * tp * 1000000 div greatest(n_pred + n_truth, 1)")
          .alias("f1_ppm"),
     )
+
+
+def clustering_diff(
+    a: DataFrame,
+    b: DataFrame,
+    id_col: str = "doc_id",
+    cluster_col: str = "cluster",
+) -> DataFrame:
+    """Cluster-assignment agreement between two runs — the dedup
+    ITERATION audit (did the new minhash config split my clusters? did
+    raising the band count merge unrelated docs?), as the exact
+    pair-counting Rand decomposition in pure integer arithmetic:
+
+      same_both  = pairs co-clustered in BOTH runs
+      same_a/b   = pairs co-clustered in each run
+      agree      = same_both + pairs separated in both
+      rand_ppm   = agree * 1e6 div C(n, 2)
+
+    One row out: (n_ids, pairs_total, same_a, same_b, same_both,
+    rand_ppm). Ids must appear in both frames (inner join; audit the
+    id sets separately — silent asymmetry would bias every figure).
+
+    Scale shape: pair counts come from C(n,2) sums over the
+    CONTINGENCY table (one map-side groupBy(ca, cb)) and its two
+    margins — never from materializing pairs; every count is a
+    map-side-combined aggregate."""
+    j = (a.select(F.col(id_col).alias("id"),
+                  F.col(cluster_col).alias("ca"))
+         .join(b.select(F.col(id_col).alias("id"),
+                        F.col(cluster_col).alias("cb")), "id"))
+    cont = j.groupBy("ca", "cb").agg(
+        F.count(F.lit(1)).cast("long").alias("n"))
+    c2 = "sum(n * (n - 1) div 2)"
+    both = cont.agg(F.expr(c2).alias("same_both"),
+                    F.sum("n").cast("long").alias("n_ids"))
+    ma = cont.groupBy("ca").agg(F.sum("n").alias("n")).agg(
+        F.expr(c2).alias("same_a"))
+    mb = cont.groupBy("cb").agg(F.sum("n").alias("n")).agg(
+        F.expr(c2).alias("same_b"))
+    out = both.crossJoin(ma).crossJoin(mb)
+    total = F.expr("n_ids * (n_ids - 1) div 2")
+    return out.select(
+        "n_ids", total.cast("long").alias("pairs_total"),
+        F.col("same_a").cast("long").alias("same_a"),
+        F.col("same_b").cast("long").alias("same_b"),
+        F.col("same_both").cast("long").alias("same_both"),
+        F.expr("({a}) * 1000000 div greatest({t}, 1)".format(
+            a="same_both + (n_ids * (n_ids - 1) div 2) - same_a"
+              " - same_b + same_both",
+            t="n_ids * (n_ids - 1) div 2")).cast("long")
+         .alias("rand_ppm"),
+    )

@@ -61,3 +61,42 @@ def test_pair_metrics_disjoint_and_empty(spark):
     empty = spark.createDataFrame([], "id_a long, id_b long")
     [r2] = pair_metrics(empty, truth).collect()
     assert (r2.n_pred, r2.fn) == (0, 1)
+
+
+# --- clustering diff --------------------------------------------------------
+
+def _rand_reference(la, lb):
+    from itertools import combinations
+    n = len(la)
+    same_a = same_b = same_both = 0
+    for i, j in combinations(range(n), 2):
+        sa, sb = la[i] == la[j], lb[i] == lb[j]
+        same_a += sa
+        same_b += sb
+        same_both += sa and sb
+    total = n * (n - 1) // 2
+    agree = same_both + (total - same_a - same_b + same_both)
+    return same_a, same_b, same_both, agree * 1_000_000 // total
+
+
+def test_clustering_diff_matches_brute_force(spark):
+    from llm_food_spark.operators.evalmetrics import clustering_diff
+
+    la = [0, 0, 0, 1, 1, 2, 2, 2, 3]
+    lb = [0, 0, 5, 1, 1, 2, 9, 9, 3]
+    a = spark.createDataFrame(list(enumerate(la)), "doc_id long, cluster long")
+    b = spark.createDataFrame(list(enumerate(lb)), "doc_id long, cluster long")
+    [r] = clustering_diff(a, b).collect()
+    sa, sb, both, rand = _rand_reference(la, lb)
+    assert (r.n_ids, r.same_a, r.same_b, r.same_both) == (9, sa, sb, both)
+    assert r.rand_ppm == rand
+
+
+def test_clustering_diff_identical_runs(spark):
+    from llm_food_spark.operators.evalmetrics import clustering_diff
+
+    a = spark.createDataFrame(
+        [(i, i // 3) for i in range(12)], "doc_id long, cluster long")
+    [r] = clustering_diff(a, a).collect()
+    assert r.same_a == r.same_b == r.same_both
+    assert r.rand_ppm == 1_000_000
