@@ -2147,6 +2147,42 @@ def q_subtitles(spark, sf_dir):
     return subtitle_cues(tracks)
 
 
+def q_product_offers(spark, sf_dir):
+    """Typed product-offer extraction (operators/sitemap.py::
+    jsonld_products) chained THROUGH the real DOM parse + JSON c14n:
+    every doc embeds a schema.org Product (micro-exact price with a
+    2-digit fraction, cycling currency, availability by class; %6 docs
+    carry no offers -> NULLs). Hard oracle: DuckDB reconstructs every
+    typed column closed-form."""
+    from llm_food_spark.operators.sitemap import (extract_jsonld_items,
+                                                  jsonld_products)
+
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    cur = F.element_at(
+        F.array(F.lit("USD"), F.lit("EUR"), F.lit("GBP")),
+        (i % 3 + 1).cast("int"))
+    offers = F.when(i % 6 != 0, F.concat(
+        F.lit('"offers":{"price":"'), i % 500, F.lit("."),
+        F.lpad((i % 100).cast("string"), 2, "0"),
+        F.lit('","priceCurrency":"'), cur,
+        F.lit('","availability":"https://schema.org/'),
+        F.when(i % 4 != 0, F.lit("InStock")).otherwise(
+            F.lit("OutOfStock")),
+        F.lit('"},'))).otherwise(F.lit(""))
+    block = F.concat(
+        F.lit('<script type="application/ld+json">'
+              '{"@type":"Product",'), offers,
+        F.lit('"name":"Item '), i, F.lit('","sku":"S'),
+        F.lpad(i.cast("string"), 6, "0"), F.lit('"}</script>'))
+    pages = d.select(
+        F.concat(F.lit("http://s.test/"), i).alias("url"),
+        F.encode(F.concat(F.lit("<html><head>"), block,
+                          F.lit("</head><body>x</body></html>")),
+                 "UTF-8").alias("html"))
+    return jsonld_products(extract_jsonld_items(pages))
+
+
 def q_cluster_diff(spark, sf_dir):
     """Clustering-run agreement (operators/evalmetrics.py::
     clustering_diff): run A = 4-doc clusters (doc_id div 4), run B =
@@ -5123,7 +5159,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     oracles — every family gets at least one driver-visible row, and
     hand-written DuckDB SQL twins win slots over redundant or subsumed
     queries. Everything from slot 51 on is still gated locally by
-    tools/check_oracles.py (all 211, same rows+schema+hash compare at
+    tools/check_oracles.py (all 212, same rows+schema+hash compare at
     sf0.01) and ordered hard-SQL-twins-first in case the driver's cap is
     ever higher; the 13 frozen-golden byte-stability gates sit last.
     Subsumption notes for demoted queries are inline below."""
@@ -5243,6 +5279,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "subtitles": q_subtitles,              # SRT + WebVTT cue parsing through the real tolerant parser (malformed/reversed blocks skipped without consuming numbers); closed-form timing twin
         "av_alignment": q_av_alignment,        # subtitle cues x speech segments via the exactly-once interval join, chained THROUGH the real SRT parse; bare-inequality twin — two algorithms, same pairs
         "cluster_diff": q_cluster_diff,        # exact pair-counting Rand agreement between two dedup clusterings (the iteration audit); contingency-table twin
+        "product_offers": q_product_offers,    # WDC-style typed product-offer table from JSON-LD, chained THROUGH the real DOM parse + JSON c14n; micro-exact price twin
         "ngram_jaccard": q_ngram_jaccard,        # demoted for phrase_search: driver-green in r3, and the shingle->set->exact-overlap twin mechanism is held by dedup_paragraphs/dedup_substrings slots; the capped in-block quadratic stays repo-gated
         "soft_dedup": q_soft_dedup,              # SoftDeDup/D4 duplicate-aware reweighting (hard micro-unit twin; the dedup family's driver slots hold the detection side)
         "mixture_weights": q_mixture_weights,    # DoReMi-style fixed-loss domain mixture (exact largest-remainder ppm twin; crawl_budget holds the apportionment family's driver slot)
@@ -9083,6 +9120,26 @@ def _handwritten_oracles() -> dict[str, str]:
             WHERE len(text) >= 5
               AND COALESCE(width >= 64, TRUE)
               AND COALESCE(height >= 64, TRUE)
+        """,
+        # product_offers twin: every typed column closed-form (micro
+        # prices as pure integer arithmetic).
+        "product_offers": """
+            SELECT 'http://s.test/' || doc_id AS url,
+                   0::INT AS block_idx, 0::INT AS item_idx,
+                   'Item ' || doc_id AS name,
+                   'S' || lpad(doc_id::VARCHAR, 6, '0') AS sku,
+                   (CASE WHEN doc_id % 6 <> 0
+                         THEN (doc_id % 500) * 1000000
+                              + (doc_id % 100) * 10000
+                    END)::BIGINT AS price_micro,
+                   CASE WHEN doc_id % 6 <> 0 THEN
+                     CASE doc_id % 3 WHEN 0 THEN 'USD'
+                                     WHEN 1 THEN 'EUR'
+                                     ELSE 'GBP' END
+                   END AS currency,
+                   CASE WHEN doc_id % 6 <> 0 THEN doc_id % 4 <> 0
+                   END AS in_stock
+            FROM documents
         """,
         # cluster_diff twin: contingency + margins + C(n,2) sums.
         "cluster_diff": """

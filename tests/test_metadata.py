@@ -1,0 +1,30 @@
+
+
+# --- jsonld products --------------------------------------------------------
+
+def test_jsonld_products_typed_projection(spark):
+    from llm_food_spark.operators.sitemap import jsonld_products
+
+    items = spark.createDataFrame(
+        [("u1", 0, 0, "Product",
+          '{"@type":"Product","name":"Widget","sku":"W1",'
+          '"offers":{"price":"12.99","priceCurrency":"USD",'
+          '"availability":"https://schema.org/InStock"}}'),
+         ("u2", 0, 0, "Product",
+          '{"@type":"Product","name":"NoOffer"}'),
+         ("u3", 0, 0, "Product",
+          '{"@type":"Product","name":"Whole",'
+          '"offers":{"price":"7","priceCurrency":"EUR",'
+          '"availability":"https://schema.org/OutOfStock"}}'),
+         ("u4", 0, 0, "Article", '{"@type":"Article"}')],
+        "url string, block_idx int, item_idx int, item_type string, "
+        "json string")
+    rows = {r.url: r for r in jsonld_products(items).collect()}
+    assert set(rows) == {"u1", "u2", "u3"}  # Article filtered
+    w = rows["u1"]
+    assert (w.name, w.sku, w.price_micro, w.currency, w.in_stock) == \
+        ("Widget", "W1", 12_990_000, "USD", True)
+    n = rows["u2"]
+    assert (n.price_micro, n.currency, n.in_stock) == (None, None, None)
+    assert rows["u3"].price_micro == 7_000_000
+    assert rows["u3"].in_stock is False
