@@ -2147,6 +2147,34 @@ def q_subtitles(spark, sf_dir):
     return subtitle_cues(tracks)
 
 
+def q_breadcrumbs(spark, sf_dir):
+    """Breadcrumb-trail extraction (operators/sitemap.py::
+    jsonld_breadcrumbs) chained THROUGH the real DOM parse + JSON
+    c14n: depth doc_id%3+2 trails wired in REVERSE position order, so
+    the typed array parse AND the position sort are both under the
+    oracle. DuckDB rebuilds every crumb row and ' > '-joined path
+    closed-form."""
+    from llm_food_spark.operators.sitemap import (extract_jsonld_items,
+                                                  jsonld_breadcrumbs)
+
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    crumbs = F.expr(
+        "array_join(transform(sequence(cast(doc_id % 3 as int) + 2, 1,"
+        " -1), p -> concat('{\"position\":', p, ',\"name\":\"C',"
+        " doc_id, '-', p, '\"}')), ',')")
+    block = F.concat(
+        F.lit('<script type="application/ld+json">'
+              '{"@type":"BreadcrumbList","itemListElement":['),
+        crumbs, F.lit("]}</script>"))
+    pages = d.select(
+        F.concat(F.lit("http://s.test/"), i).alias("url"),
+        F.encode(F.concat(F.lit("<html><head>"), block,
+                          F.lit("</head><body>x</body></html>")),
+                 "UTF-8").alias("html"))
+    return jsonld_breadcrumbs(extract_jsonld_items(pages))
+
+
 def q_product_offers(spark, sf_dir):
     """Typed product-offer extraction (operators/sitemap.py::
     jsonld_products) chained THROUGH the real DOM parse + JSON c14n:
@@ -5159,7 +5187,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     oracles — every family gets at least one driver-visible row, and
     hand-written DuckDB SQL twins win slots over redundant or subsumed
     queries. Everything from slot 51 on is still gated locally by
-    tools/check_oracles.py (all 212, same rows+schema+hash compare at
+    tools/check_oracles.py (all 213, same rows+schema+hash compare at
     sf0.01) and ordered hard-SQL-twins-first in case the driver's cap is
     ever higher; the 13 frozen-golden byte-stability gates sit last.
     Subsumption notes for demoted queries are inline below."""
@@ -5280,6 +5308,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "av_alignment": q_av_alignment,        # subtitle cues x speech segments via the exactly-once interval join, chained THROUGH the real SRT parse; bare-inequality twin — two algorithms, same pairs
         "cluster_diff": q_cluster_diff,        # exact pair-counting Rand agreement between two dedup clusterings (the iteration audit); contingency-table twin
         "product_offers": q_product_offers,    # WDC-style typed product-offer table from JSON-LD, chained THROUGH the real DOM parse + JSON c14n; micro-exact price twin
+        "breadcrumbs": q_breadcrumbs,          # BreadcrumbList trails (the web's declared taxonomy) with reverse-wired positions forcing the typed array parse + sort under the oracle
         "ngram_jaccard": q_ngram_jaccard,        # demoted for phrase_search: driver-green in r3, and the shingle->set->exact-overlap twin mechanism is held by dedup_paragraphs/dedup_substrings slots; the capped in-block quadratic stays repo-gated
         "soft_dedup": q_soft_dedup,              # SoftDeDup/D4 duplicate-aware reweighting (hard micro-unit twin; the dedup family's driver slots hold the detection side)
         "mixture_weights": q_mixture_weights,    # DoReMi-style fixed-loss domain mixture (exact largest-remainder ppm twin; crawl_budget holds the apportionment family's driver slot)
@@ -9120,6 +9149,25 @@ def _handwritten_oracles() -> dict[str, str]:
             WHERE len(text) >= 5
               AND COALESCE(width >= 64, TRUE)
               AND COALESCE(height >= 64, TRUE)
+        """,
+        # breadcrumbs twin: crumb rows + ordered paths closed-form.
+        "breadcrumbs": """
+            WITH d AS (
+              SELECT doc_id AS i, doc_id % 3 + 2 AS dep FROM documents
+            ), p AS (
+              SELECT i, dep, u.p FROM d,
+                   LATERAL (SELECT unnest(range(1, dep + 1)) AS p) u
+            ), paths AS (
+              SELECT i, string_agg('C' || i || '-' || p, ' > '
+                                   ORDER BY p) AS path
+              FROM p GROUP BY i
+            )
+            SELECT 'http://s.test/' || p.i AS url,
+                   0::INT AS block_idx, 0::INT AS item_idx,
+                   p.p::INT AS position,
+                   'C' || p.i || '-' || p.p AS name,
+                   p.dep::INT AS n_crumbs, paths.path
+            FROM p JOIN paths ON paths.i = p.i
         """,
         # product_offers twin: every typed column closed-form (micro
         # prices as pure integer arithmetic).

@@ -236,3 +236,43 @@ def jsonld_products(items: DataFrame) -> DataFrame:
         F.when(avail.isNotNull(), avail.contains("InStock"))
          .alias("in_stock"),
     )
+
+
+_CRUMB_SCHEMA = ("STRUCT<itemListElement: ARRAY<STRUCT<"
+                 "position: INT, name: STRING>>>")
+
+
+def jsonld_breadcrumbs(items: DataFrame) -> DataFrame:
+    """Breadcrumb trails from JSON-LD BreadcrumbList items — the
+    site-hierarchy signal (category paths are free topic labels for
+    corpus curation; schema.org breadcrumbs are the web's declared
+    taxonomy). One row per crumb:
+    (url, block_idx, item_idx, position, name, n_crumbs, path) with
+    ``path`` the full ' > '-joined trail in position order (crumbs on
+    the wire may be unordered — array_sort on (position, name)
+    restores the declared order deterministically).
+
+    Pure Catalyst: from_json with a typed schema + posexplode — the
+    array-structured complement of jsonld_products' scalar
+    projection. Zero shuffle."""
+    b = items.where(F.col("item_type") == "BreadcrumbList").select(
+        "url", "block_idx", "item_idx",
+        F.from_json("json", _CRUMB_SCHEMA)["itemListElement"]
+         .alias("crumbs"))
+    b = b.where(F.col("crumbs").isNotNull()
+                & (F.size("crumbs") > 0))
+    ordered = F.array_sort(F.transform(
+        "crumbs", lambda c: F.struct(c["position"].alias("position"),
+                                     c["name"].alias("name"))))
+    b = b.select(
+        "url", "block_idx", "item_idx", ordered.alias("oc"),
+        F.size("crumbs").cast("int").alias("n_crumbs"),
+        F.array_join(F.transform(ordered, lambda c: c["name"]), " > ")
+         .alias("path"))
+    return b.select(
+        "url", "block_idx", "item_idx",
+        F.explode("oc").alias("c"), "n_crumbs", "path"
+    ).select(
+        "url", "block_idx", "item_idx",
+        F.col("c.position").alias("position"),
+        F.col("c.name").alias("name"), "n_crumbs", "path")

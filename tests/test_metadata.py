@@ -28,3 +28,24 @@ def test_jsonld_products_typed_projection(spark):
     assert (n.price_micro, n.currency, n.in_stock) == (None, None, None)
     assert rows["u3"].price_micro == 7_000_000
     assert rows["u3"].in_stock is False
+
+
+def test_jsonld_breadcrumbs_order_and_path(spark):
+    from llm_food_spark.operators.sitemap import jsonld_breadcrumbs
+
+    items = spark.createDataFrame(
+        [("u1", 0, 0, "BreadcrumbList",
+          '{"@type":"BreadcrumbList","itemListElement":['
+          '{"position":2,"name":"Shoes"},'
+          '{"position":1,"name":"Home"},'
+          '{"position":3,"name":"Running"}]}'),
+         ("u2", 0, 0, "BreadcrumbList", '{"@type":"BreadcrumbList"}'),
+         ("u3", 0, 0, "Product", '{"@type":"Product"}')],
+        "url string, block_idx int, item_idx int, item_type string, "
+        "json string")
+    rows = sorted(jsonld_breadcrumbs(items).collect(),
+                  key=lambda r: r.position)
+    assert [r.name for r in rows] == ["Home", "Shoes", "Running"]
+    assert all(r.path == "Home > Shoes > Running" for r in rows)
+    assert all(r.n_crumbs == 3 for r in rows)
+    assert {r.url for r in rows} == {"u1"}  # u2 empty, u3 filtered
