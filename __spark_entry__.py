@@ -2147,6 +2147,23 @@ def q_subtitles(spark, sf_dir):
     return subtitle_cues(tracks)
 
 
+def q_tables_markdown(spark, sf_dir):
+    """Markdown linearization of extracted tables (operators/tables.
+    py::render_tables_markdown) chained THROUGH extract_html_tables on
+    the shared grid fixture (plain/colspan/rowspan bodies). The twin
+    COMPOSES the html_tables cell twin with the same two-stage
+    string assembly — separator row, grid order, span anchors."""
+    from llm_food_spark.operators.tables import (extract_html_tables,
+                                                 render_tables_markdown)
+
+    pages = _t(spark, sf_dir, "documents").select(
+        F.concat(F.lit("http://t.test/"), F.col("doc_id")).alias("url"),
+        _tables_fixture_html().alias("html"),
+    )
+    return render_tables_markdown(extract_html_tables(pages,
+                                                      n_partitions=8))
+
+
 def q_breadcrumbs(spark, sf_dir):
     """Breadcrumb-trail extraction (operators/sitemap.py::
     jsonld_breadcrumbs) chained THROUGH the real DOM parse + JSON
@@ -5187,7 +5204,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     oracles — every family gets at least one driver-visible row, and
     hand-written DuckDB SQL twins win slots over redundant or subsumed
     queries. Everything from slot 51 on is still gated locally by
-    tools/check_oracles.py (all 213, same rows+schema+hash compare at
+    tools/check_oracles.py (all 214, same rows+schema+hash compare at
     sf0.01) and ordered hard-SQL-twins-first in case the driver's cap is
     ever higher; the 13 frozen-golden byte-stability gates sit last.
     Subsumption notes for demoted queries are inline below."""
@@ -5309,6 +5326,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_diff": q_cluster_diff,        # exact pair-counting Rand agreement between two dedup clusterings (the iteration audit); contingency-table twin
         "product_offers": q_product_offers,    # WDC-style typed product-offer table from JSON-LD, chained THROUGH the real DOM parse + JSON c14n; micro-exact price twin
         "breadcrumbs": q_breadcrumbs,          # BreadcrumbList trails (the web's declared taxonomy) with reverse-wired positions forcing the typed array parse + sort under the oracle
+        "tables_markdown": q_tables_markdown,  # GFM linearization of extracted grids (the tables family's consumption bridge); twin COMPOSES the html_tables cell twin with the same two-stage assembly
         "ngram_jaccard": q_ngram_jaccard,        # demoted for phrase_search: driver-green in r3, and the shingle->set->exact-overlap twin mechanism is held by dedup_paragraphs/dedup_substrings slots; the capped in-block quadratic stays repo-gated
         "soft_dedup": q_soft_dedup,              # SoftDeDup/D4 duplicate-aware reweighting (hard micro-unit twin; the dedup family's driver slots hold the detection side)
         "mixture_weights": q_mixture_weights,    # DoReMi-style fixed-loss domain mixture (exact largest-remainder ppm twin; crawl_budget holds the apportionment family's driver slot)
@@ -7377,6 +7395,32 @@ def oracle_sql() -> dict[str, str]:
     """
     out["table_classify"] = (_tc_tmpl % {"num": NUMERIC_CELL_RE}).replace(
         "{HTML_TABLES_TWIN}", out["html_tables"])
+    # tables_markdown: the cell twin composed with the two-stage GFM
+    # assembly (row lines in col order, tables in row order, '---'
+    # separator after row 0, span anchors render once).
+    out["tables_markdown"] = """
+        WITH cells AS ({HTML_TABLES_TWIN}),
+        rows AS (
+          SELECT url, table_idx, row_idx,
+                 '| ' || string_agg(cell, ' | ' ORDER BY col_idx)
+                 || ' |' AS line,
+                 MAX(col_idx + colspan)::INT AS row_cols
+          FROM cells GROUP BY url, table_idx, row_idx
+        ), dims AS (
+          SELECT url, table_idx, MAX(row_cols)::INT AS n_cols,
+                 (MAX(row_idx) + 1)::INT AS n_rows
+          FROM rows GROUP BY url, table_idx
+        )
+        SELECT r.url, r.table_idx, d.n_rows, d.n_cols,
+               string_agg(
+                 CASE WHEN r.row_idx = 0
+                      THEN r.line || chr(10) || '|'
+                           || repeat('---|', d.n_cols)
+                      ELSE r.line END,
+                 chr(10) ORDER BY r.row_idx) AS markdown
+        FROM rows r JOIN dims d USING (url, table_idx)
+        GROUP BY r.url, r.table_idx, d.n_rows, d.n_cols
+    """.replace("{HTML_TABLES_TWIN}", out["html_tables"])
     # url traps: regexes imported from the operator (RE2-safe — the
     # repeated-segment rule is list arithmetic, not a backreference);
     # the twin rebuilds every URL and recomputes flags + the rollup.

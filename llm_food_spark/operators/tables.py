@@ -115,3 +115,47 @@ def classify_tables(
         F.when(relational, F.lit("relational")).otherwise(
             F.lit("layout")).alias("kind"),
     )
+
+
+def render_tables_markdown(cells: DataFrame) -> DataFrame:
+    """Linearize extracted table grids back to GitHub-flavored markdown
+    — the consumption bridge for the tables family (LLM training/RAG
+    wants '| a | b |' text, not cell rows): each cell renders once at
+    its grid anchor (spans collapse — linearization, not layout), a
+    '---' separator row follows row 0, rows/cells in grid order.
+
+    -> (url, table_idx, n_rows, n_cols, markdown).
+
+    Scale shape: two bounded groupBys — cells -> row lines
+    (string_agg in col order) -> table strings (row order) — each
+    ordered re-assembly via sort_array(collect_list(struct)) over one
+    row's / one table's own elements. No windows, no Python."""
+    rows = cells.groupBy("url", "table_idx", "row_idx").agg(
+        F.concat(
+            F.lit("| "),
+            F.array_join(
+                F.transform(F.array_sort(F.collect_list(
+                    F.struct("col_idx", "cell"))),
+                    lambda s: s["cell"]),
+                " | "),
+            F.lit(" |")).alias("line"),
+        F.max(F.col("col_idx") + F.col("colspan")).cast("int")
+         .alias("row_cols"),
+    )
+    return rows.groupBy("url", "table_idx").agg(
+        (F.max("row_idx") + 1).cast("int").alias("n_rows"),
+        F.max("row_cols").cast("int").alias("n_cols"),
+        F.concat(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct(
+                        "row_idx", "line"))),
+                    lambda s: F.when(
+                        s["row_idx"] == 0,
+                        F.concat(s["line"], F.lit("\n|"),
+                                 F.repeat(F.lit("---|"),
+                                          F.max("row_cols")
+                                           .cast("int")))
+                    ).otherwise(s["line"])),
+                "\n")).alias("markdown"),
+    )

@@ -116,3 +116,36 @@ def test_classify_tables_verdict_routes(spark):
     assert got[1].distinct_ppm == 500_000
     assert got[2].kind == "relational" and got[2].n_header == 0
     assert got[2].n_numeric == 2 and got[2].numeric_ppm == 500_000
+
+
+# --- markdown rendering -----------------------------------------------------
+
+def test_render_tables_markdown(spark):
+    from llm_food_spark.operators.tables import (extract_html_tables,
+                                                 render_tables_markdown)
+
+    pages = spark.createDataFrame(
+        [("u", "<table><tr><th>A</th><th>B</th></tr>"
+               "<tr><td>1</td><td>2</td></tr>"
+               "<tr><td>3</td><td>4</td></tr></table>")],
+        "url string, html string")
+    [r] = render_tables_markdown(
+        extract_html_tables(pages, n_partitions=2)).collect()
+    assert r.markdown == ("| A | B |\n|---|---|\n"
+                          "| 1 | 2 |\n| 3 | 4 |")
+    assert (r.n_rows, r.n_cols) == (3, 2)
+
+
+def test_render_tables_markdown_colspan_collapses(spark):
+    from llm_food_spark.operators.tables import (extract_html_tables,
+                                                 render_tables_markdown)
+
+    pages = spark.createDataFrame(
+        [("u", '<table><tr><td colspan="2">a</td><td>b</td></tr>'
+               "</table>")],
+        "url string, html string")
+    [r] = render_tables_markdown(
+        extract_html_tables(pages, n_partitions=2)).collect()
+    # span renders once at its anchor; n_cols counts the occupancy
+    assert r.markdown == "| a | b |\n|---|---|---|"
+    assert r.n_cols == 3
