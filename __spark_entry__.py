@@ -2147,6 +2147,30 @@ def q_subtitles(spark, sf_dir):
     return subtitle_cues(tracks)
 
 
+def q_path_templates(spark, sf_dir):
+    """URL path-template induction (operators/urlops.py::
+    path_templates): 10 hosts with /p/{n}, /doc/{hex}, /u/{uuid} and
+    static paths by doc class. Hard oracle: DuckDB replays the shared
+    rule chain and every count."""
+    from llm_food_spark.operators.urlops import path_templates
+
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    url = (
+        F.when(i % 4 == 0, F.concat(
+            F.lit("http://w"), i % 10, F.lit(".test/p/"), i))
+         .when(i % 4 == 1, F.concat(
+            F.lit("http://w"), i % 10, F.lit(".test/doc/"),
+            F.lpad(F.lower(F.hex(i * 2654435761)), 16, "0")))
+         .when(i % 4 == 2, F.concat(
+            F.lit("http://w"), i % 10,
+            F.lit(".test/u/123e4567-e89b-12d3-a456-"),
+            F.lpad(i.cast("string"), 12, "0")))
+         .otherwise(F.concat(
+            F.lit("http://w"), i % 10, F.lit(".test/about"))))
+    return path_templates(d.select(url.alias("url")))
+
+
 def q_tables_markdown(spark, sf_dir):
     """Markdown linearization of extracted tables (operators/tables.
     py::render_tables_markdown) chained THROUGH extract_html_tables on
@@ -5204,7 +5228,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     oracles — every family gets at least one driver-visible row, and
     hand-written DuckDB SQL twins win slots over redundant or subsumed
     queries. Everything from slot 51 on is still gated locally by
-    tools/check_oracles.py (all 214, same rows+schema+hash compare at
+    tools/check_oracles.py (all 215, same rows+schema+hash compare at
     sf0.01) and ordered hard-SQL-twins-first in case the driver's cap is
     ever higher; the 13 frozen-golden byte-stability gates sit last.
     Subsumption notes for demoted queries are inline below."""
@@ -5327,6 +5351,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "product_offers": q_product_offers,    # WDC-style typed product-offer table from JSON-LD, chained THROUGH the real DOM parse + JSON c14n; micro-exact price twin
         "breadcrumbs": q_breadcrumbs,          # BreadcrumbList trails (the web's declared taxonomy) with reverse-wired positions forcing the typed array parse + sort under the oracle
         "tables_markdown": q_tables_markdown,  # GFM linearization of extracted grids (the tables family's consumption bridge); twin COMPOSES the html_tables cell twin with the same two-stage assembly
+        "path_templates": q_path_templates,    # per-host URL path-template induction (crawl budgeting per TEMPLATE, generator detection); shared rule-chain twin
         "ngram_jaccard": q_ngram_jaccard,        # demoted for phrase_search: driver-green in r3, and the shingle->set->exact-overlap twin mechanism is held by dedup_paragraphs/dedup_substrings slots; the capped in-block quadratic stays repo-gated
         "soft_dedup": q_soft_dedup,              # SoftDeDup/D4 duplicate-aware reweighting (hard micro-unit twin; the dedup family's driver slots hold the detection side)
         "mixture_weights": q_mixture_weights,    # DoReMi-style fixed-loss domain mixture (exact largest-remainder ppm twin; crawl_budget holds the apportionment family's driver slot)
@@ -9193,6 +9218,23 @@ def _handwritten_oracles() -> dict[str, str]:
             WHERE len(text) >= 5
               AND COALESCE(width >= 64, TRUE)
               AND COALESCE(height >= 64, TRUE)
+        """,
+        # path_templates twin: class -> template mapping closed-form
+        # (the /about singletons drop at the min_urls threshold).
+        "path_templates": """
+            WITH d AS (
+              SELECT doc_id AS i, doc_id % 10 AS h, doc_id % 4 AS cls
+              FROM documents
+            ), g AS (
+              SELECT 'w' || h || '.test' AS host,
+                     CASE cls WHEN 0 THEN '/p/{n}'
+                              WHEN 1 THEN '/doc/{hex}'
+                              ELSE '/u/{uuid}' END AS template,
+                     COUNT(DISTINCT i)::BIGINT AS n_urls,
+                     COUNT(*)::BIGINT AS n_pages
+              FROM d WHERE cls <> 3 GROUP BY 1, 2
+            )
+            SELECT * FROM g WHERE n_urls >= 2
         """,
         # breadcrumbs twin: crumb rows + ordered paths closed-form.
         "breadcrumbs": """

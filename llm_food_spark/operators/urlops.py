@@ -446,3 +446,43 @@ def canonical_consolidate(
         F.when(is_crawled, F.col("target")).otherwise(F.col("min_url"))
          .alias("representative"),
     )
+
+
+# shared with the DuckDB twin, applied in order (UUID before hex
+# before digits — the longer, more specific class first)
+PATH_TEMPLATE_RULES = (
+    ("[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}",
+     "{uuid}"),
+    ("[0-9a-f]{16,}", "{hex}"),
+    ("[0-9]+", "{n}"),
+)
+
+
+def path_templates(
+    df: DataFrame, url_col: str = "url", min_urls: int = 2
+) -> DataFrame:
+    """URL path-template induction — collapse id-bearing paths into
+    their patterns ('/p/{n}', '/doc/{uuid}') per host: the structural
+    map of a site (which templates exist, how many pages each holds)
+    that drives crawl budgeting per TEMPLATE instead of per URL and
+    catches unbounded generators the trap screen's heuristics miss.
+
+    -> (host, template, n_urls, n_pages): n_urls distinct, n_pages
+    total rows; templates seen on fewer than ``min_urls`` distinct
+    urls are dropped (singletons are just urls). Rules apply UUID ->
+    long-hex -> digits, identically in the twin. One flat regexp
+    chain + one map-side groupBy."""
+    if min_urls < 1:
+        raise ValueError("min_urls must be >= 1")
+    path = F.regexp_extract(F.col(url_col), r"^[a-z]+://[^/?#]+([^?#]*)", 1)
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    tmpl = path
+    for pat, token in PATH_TEMPLATE_RULES:
+        tmpl = F.regexp_replace(tmpl, pat, token)
+    return df.select(
+        host_col(F.col(url_col)).alias("host"),
+        F.col(url_col).alias("u"), tmpl.alias("template"),
+    ).groupBy("host", "template").agg(
+        F.count_distinct("u").cast("long").alias("n_urls"),
+        F.count(F.lit(1)).cast("long").alias("n_pages"),
+    ).where(F.col("n_urls") >= int(min_urls))

@@ -255,3 +255,28 @@ def test_canonical_consolidate_partition_invariance(spark):
     b = sorted(map(tuple,
                    canonical_consolidate(meta.repartition(7)).collect()))
     assert a == b
+
+
+# --- path templates ---------------------------------------------------------
+
+def test_path_templates_rules_and_threshold(spark):
+    from llm_food_spark.operators.urlops import path_templates
+
+    urls = (["http://a.test/p/%d" % i for i in range(5)]
+            + ["http://a.test/doc/0123456789abcdef01"]
+            + ["http://a.test/u/123e4567-e89b-12d3-a456-426614174000",
+               "http://a.test/u/123e4567-e89b-12d3-a456-426614174001"]
+            + ["http://a.test/lonely/9", "http://b.test/"])
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    got = {(r.host, r.template): r for r in path_templates(df).collect()}
+    assert got[("a.test", "/p/{n}")].n_urls == 5
+    assert ("a.test", "/u/{uuid}") in got
+    # long hex appeared once -> dropped by min_urls; singleton too
+    assert ("a.test", "/doc/{hex}") not in got
+    assert ("a.test", "/lonely/{n}") not in got
+    # duplicate rows count pages, distinct urls count urls
+    df2 = spark.createDataFrame(
+        [("http://c.test/x/1",), ("http://c.test/x/1",),
+         ("http://c.test/x/2",)], "url string")
+    [r] = path_templates(df2).collect()
+    assert (r.n_urls, r.n_pages) == (2, 3)
