@@ -2147,6 +2147,44 @@ def q_subtitles(spark, sf_dir):
     return subtitle_cues(tracks)
 
 
+def q_social_cards(spark, sf_dir):
+    """Social-card metadata (operators/sitemap.py::social_cards)
+    through the real DOM parse: og:image relative on %2 (urljoin),
+    og:type cycling, twitter fields on %3/%5 schedules, a first-wins
+    duplicate og:image, and a decoy description meta. Hard oracle:
+    closed-form per class."""
+    from llm_food_spark.operators.sitemap import social_cards
+
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    og_img = F.when(i % 2 == 0, F.concat(
+        F.lit('<meta property="og:image" content="/im/'), i,
+        F.lit('.png"><meta property="og:image" content="/dup.png">'))
+    ).otherwise(F.concat(
+        F.lit('<meta property="og:image" content="http://cdn.test/'),
+        i, F.lit('.jpg">')))
+    og_type = F.concat(
+        F.lit('<meta property="og:type" content="'),
+        F.element_at(F.array(F.lit("article"), F.lit("video"),
+                             F.lit("product")), (i % 3 + 1).cast("int")),
+        F.lit('">'))
+    tw = F.when(i % 3 == 0, F.lit(
+        '<meta name="twitter:card" content="summary">')).otherwise(
+        F.lit(""))
+    twi = F.when(i % 5 == 0, F.concat(
+        F.lit('<meta name="twitter:image" content="http://t.test/'),
+        i, F.lit('.png">'))).otherwise(F.lit(""))
+    html = F.concat(
+        F.lit("<html><head>"), og_img, og_type, tw, twi,
+        F.lit('<meta name="description" content="decoy">'
+              "</head><body>x</body></html>"))
+    pages = d.select(
+        F.concat(F.lit("http://h"), i % 9, F.lit(".test/a/p"), i)
+         .alias("url"),
+        F.encode(html, "UTF-8").alias("html"))
+    return social_cards(pages)
+
+
 def q_path_templates(spark, sf_dir):
     """URL path-template induction (operators/urlops.py::
     path_templates): 10 hosts with /p/{n}, /doc/{hex}, /u/{uuid} and
@@ -5228,7 +5266,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     oracles — every family gets at least one driver-visible row, and
     hand-written DuckDB SQL twins win slots over redundant or subsumed
     queries. Everything from slot 51 on is still gated locally by
-    tools/check_oracles.py (all 215, same rows+schema+hash compare at
+    tools/check_oracles.py (all 216, same rows+schema+hash compare at
     sf0.01) and ordered hard-SQL-twins-first in case the driver's cap is
     ever higher; the 13 frozen-golden byte-stability gates sit last.
     Subsumption notes for demoted queries are inline below."""
@@ -5352,6 +5390,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "breadcrumbs": q_breadcrumbs,          # BreadcrumbList trails (the web's declared taxonomy) with reverse-wired positions forcing the typed array parse + sort under the oracle
         "tables_markdown": q_tables_markdown,  # GFM linearization of extracted grids (the tables family's consumption bridge); twin COMPOSES the html_tables cell twin with the same two-stage assembly
         "path_templates": q_path_templates,    # per-host URL path-template induction (crawl budgeting per TEMPLATE, generator detection); shared rule-chain twin
+        "social_cards": q_social_cards,        # og:image/og:type/twitter card metadata through the real DOM parse (the declared-image side of caption sourcing); closed-form per-class twin
         "ngram_jaccard": q_ngram_jaccard,        # demoted for phrase_search: driver-green in r3, and the shingle->set->exact-overlap twin mechanism is held by dedup_paragraphs/dedup_substrings slots; the capped in-block quadratic stays repo-gated
         "soft_dedup": q_soft_dedup,              # SoftDeDup/D4 duplicate-aware reweighting (hard micro-unit twin; the dedup family's driver slots hold the detection side)
         "mixture_weights": q_mixture_weights,    # DoReMi-style fixed-loss domain mixture (exact largest-remainder ppm twin; crawl_budget holds the apportionment family's driver slot)
@@ -9218,6 +9257,26 @@ def _handwritten_oracles() -> dict[str, str]:
             WHERE len(text) >= 5
               AND COALESCE(width >= 64, TRUE)
               AND COALESCE(height >= 64, TRUE)
+        """,
+        # social_cards twin: first-wins og:image (resolved), class
+        # schedules for the other fields.
+        "social_cards": """
+            SELECT 'http://h' || (doc_id % 9) || '.test/a/p' || doc_id
+                     AS url,
+                   CASE WHEN doc_id % 2 = 0
+                        THEN 'http://h' || (doc_id % 9)
+                             || '.test/im/' || doc_id || '.png'
+                        ELSE 'http://cdn.test/' || doc_id || '.jpg'
+                   END AS og_image,
+                   CASE doc_id % 3 WHEN 0 THEN 'article'
+                                   WHEN 1 THEN 'video'
+                                   ELSE 'product' END AS og_type,
+                   CASE WHEN doc_id % 3 = 0 THEN 'summary'
+                   END AS twitter_card,
+                   CASE WHEN doc_id % 5 = 0
+                        THEN 'http://t.test/' || doc_id || '.png'
+                   END AS twitter_image
+            FROM documents
         """,
         # path_templates twin: class -> template mapping closed-form
         # (the /about singletons drop at the min_urls threshold).

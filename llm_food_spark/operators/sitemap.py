@@ -276,3 +276,71 @@ def jsonld_breadcrumbs(items: DataFrame) -> DataFrame:
         "url", "block_idx", "item_idx",
         F.col("c.position").alias("position"),
         F.col("c.name").alias("name"), "n_crumbs", "path")
+
+
+SOCIAL_SCHEMA = ("url string, og_image string, og_type string, "
+                 "twitter_card string, twitter_image string")
+
+
+def social_cards(pages: DataFrame, url_col: str = "url",
+                 html_col: str = "html") -> DataFrame:
+    """Social-card metadata (og:image / og:type / twitter:card /
+    twitter:image) — the image side of caption-pair sourcing
+    (publishers declare THE representative image; img_captions mines
+    in-body pairs, this reads the declared one) plus the content-type
+    hint (og:type article/video/product) routing pipelines use.
+    First occurrence wins per field (the extract_metadata rule);
+    og:image resolves via urljoin. NULL for absent fields; zero
+    shuffle."""
+    from .util import ensure_min_partitions
+
+    def run(it):
+        import pandas as pd
+
+        from urllib.parse import urljoin
+
+        from llm_food_spark.functions.encoding import decode_html
+        from llm_food_spark.functions.html_parser import (find_all,
+                                                          parse_html)
+
+        want_prop = {"og:image": "og_image", "og:type": "og_type"}
+        want_name = {"twitter:card": "twitter_card",
+                     "twitter:image": "twitter_image"}
+        for pdf in it:
+            rows = []
+            for url, payload in zip(pdf[url_col], pdf[html_col]):
+                b = bytes(payload) if payload is not None else b""
+                out = {"og_image": None, "og_type": None,
+                       "twitter_card": None, "twitter_image": None}
+                try:
+                    root = parse_html(decode_html(b))
+                except Exception:
+                    root = None
+                if root is not None:
+                    for meta in find_all(root, "meta"):
+                        key = (want_prop.get(
+                            (meta.attrs.get("property") or "")
+                            .strip().lower())
+                            or want_name.get(
+                            (meta.attrs.get("name") or "")
+                            .strip().lower()))
+                        if not key or out[key] is not None:
+                            continue
+                        val = (meta.attrs.get("content") or "").strip()
+                        if not val:
+                            continue
+                        if key == "og_image":
+                            try:
+                                val = urljoin(str(url), val)
+                            except ValueError:
+                                pass
+                        out[key] = val
+                rows.append((str(url), out["og_image"], out["og_type"],
+                             out["twitter_card"], out["twitter_image"]))
+            yield pd.DataFrame(rows, columns=[
+                "url", "og_image", "og_type", "twitter_card",
+                "twitter_image"])
+
+    return ensure_min_partitions(
+        pages.select(url_col, html_col)
+    ).mapInPandas(run, schema=SOCIAL_SCHEMA)

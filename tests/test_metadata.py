@@ -49,3 +49,26 @@ def test_jsonld_breadcrumbs_order_and_path(spark):
     assert all(r.path == "Home > Shoes > Running" for r in rows)
     assert all(r.n_crumbs == 3 for r in rows)
     assert {r.url for r in rows} == {"u1"}  # u2 empty, u3 filtered
+
+
+def test_social_cards_fields_and_resolution(spark):
+    from llm_food_spark.operators.sitemap import social_cards
+
+    html = ('<meta property="og:image" content="/img/a.png">'
+            '<meta property="og:image" content="/img/b.png">'
+            '<meta property="og:type" content="article">'
+            '<meta name="twitter:card" content="summary_large_image">'
+            '<meta name="twitter:image" content="http://c.test/t.png">'
+            '<meta name="description" content="not a card">')
+    pages = spark.createDataFrame(
+        [("http://h.test/a/p", html.encode()), ("http://h.test/b", b""),
+         ("http://h.test/c", None)],
+        "url string, html binary")
+    rows = {r.url: r for r in social_cards(pages).collect()}
+    a = rows["http://h.test/a/p"]
+    assert a.og_image == "http://h.test/img/a.png"  # first wins, resolved
+    assert a.og_type == "article"
+    assert a.twitter_card == "summary_large_image"
+    assert a.twitter_image == "http://c.test/t.png"
+    assert rows["http://h.test/b"].og_image is None
+    assert rows["http://h.test/c"].og_type is None
