@@ -2147,6 +2147,27 @@ def q_subtitles(spark, sf_dir):
     return subtitle_cues(tracks)
 
 
+def q_code_blocks(spark, sf_dir):
+    """Fenced code extraction (operators/textops.py::
+    extract_code_blocks): %2 docs carry a python fence, %3 docs a bare
+    fence, with block indices shifting by which fences exist. Hard
+    oracle: closed-form per class incl. the index arithmetic."""
+    from llm_food_spark.operators.textops import extract_code_blocks
+
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    md = F.concat(
+        F.lit("# H"), i, F.lit("\n\npara "), i, F.lit("\n\n"),
+        F.when(i % 2 == 0, F.concat(
+            F.lit("```python\nv"), i, F.lit(" = "), i,
+            F.lit("\nw = 2\n```\n\n"))).otherwise(F.lit("")),
+        F.when(i % 3 == 0, F.concat(
+            F.lit("```\nbare "), i, F.lit("\n```\n\n")))
+         .otherwise(F.lit("")),
+        F.lit("tail"))
+    return extract_code_blocks(d.select("doc_id", md.alias("markdown")))
+
+
 def q_social_cards(spark, sf_dir):
     """Social-card metadata (operators/sitemap.py::social_cards)
     through the real DOM parse: og:image relative on %2 (urljoin),
@@ -5266,7 +5287,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     oracles — every family gets at least one driver-visible row, and
     hand-written DuckDB SQL twins win slots over redundant or subsumed
     queries. Everything from slot 51 on is still gated locally by
-    tools/check_oracles.py (all 216, same rows+schema+hash compare at
+    tools/check_oracles.py (all 217, same rows+schema+hash compare at
     sf0.01) and ordered hard-SQL-twins-first in case the driver's cap is
     ever higher; the 13 frozen-golden byte-stability gates sit last.
     Subsumption notes for demoted queries are inline below."""
@@ -5391,6 +5412,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tables_markdown": q_tables_markdown,  # GFM linearization of extracted grids (the tables family's consumption bridge); twin COMPOSES the html_tables cell twin with the same two-stage assembly
         "path_templates": q_path_templates,    # per-host URL path-template induction (crawl budgeting per TEMPLATE, generator detection); shared rule-chain twin
         "social_cards": q_social_cards,        # og:image/og:type/twitter card metadata through the real DOM parse (the declared-image side of caption sourcing); closed-form per-class twin
+        "code_blocks": q_code_blocks,          # fenced code extraction from the markdown dialect (the code-corpus router's input); closed-form twin incl. index arithmetic
         "ngram_jaccard": q_ngram_jaccard,        # demoted for phrase_search: driver-green in r3, and the shingle->set->exact-overlap twin mechanism is held by dedup_paragraphs/dedup_substrings slots; the capped in-block quadratic stays repo-gated
         "soft_dedup": q_soft_dedup,              # SoftDeDup/D4 duplicate-aware reweighting (hard micro-unit twin; the dedup family's driver slots hold the detection side)
         "mixture_weights": q_mixture_weights,    # DoReMi-style fixed-loss domain mixture (exact largest-remainder ppm twin; crawl_budget holds the apportionment family's driver slot)
@@ -9257,6 +9279,19 @@ def _handwritten_oracles() -> dict[str, str]:
             WHERE len(text) >= 5
               AND COALESCE(width >= 64, TRUE)
               AND COALESCE(height >= 64, TRUE)
+        """,
+        # code_blocks twin: per-class rows with shifting block indices.
+        "code_blocks": """
+            SELECT doc_id, 3::INT AS block_idx, 'python' AS lang_hint,
+                   2::INT AS n_lines,
+                   'v' || doc_id || ' = ' || doc_id || chr(10)
+                   || 'w = 2' AS code
+            FROM documents WHERE doc_id % 2 = 0
+            UNION ALL
+            SELECT doc_id,
+                   (CASE WHEN doc_id % 2 = 0 THEN 4 ELSE 3 END)::INT,
+                   '', 1::INT, 'bare ' || doc_id
+            FROM documents WHERE doc_id % 3 = 0
         """,
         # social_cards twin: first-wins og:image (resolved), class
         # schedules for the other fields.

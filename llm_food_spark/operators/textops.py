@@ -1019,3 +1019,33 @@ def clean_titles(
          .alias("title_clean"),
         F.coalesce(strip, F.lit(False)).alias("stripped"),
     )
+
+
+def extract_code_blocks(df, md_col: str = "markdown",
+                        id_col: str = "doc_id"):
+    """Fenced code blocks from the engine's markdown dialect — the
+    code-corpus router's input (The Stack-style pipelines separate
+    code from prose BEFORE quality scoring; fenced blocks inside web
+    markdown are exactly the mixed-content case): one row per fence,
+    (doc_id, block_idx, lang_hint, n_lines, code).
+
+    ``lang_hint`` is the fence info string ('' when bare); ``code``
+    the body between the fences; ``n_lines`` its line count (0 for an
+    empty fence). Blank-line-separated block dialect (markdown_outline's
+    contract). split + posexplode + flat regexps, zero shuffle, no
+    Python."""
+    blocks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.col(md_col), "\n\n")).alias("i", "b"),
+    ).where(F.col("b").startswith("```"))
+    info = F.regexp_extract(F.col("b"), r"^```([^\n]*)", 1)
+    code = F.regexp_replace(
+        F.regexp_replace(F.col("b"), r"^```[^\n]*\n?", ""),
+        r"\n?```\s*$", "")
+    return blocks.select(
+        "doc_id", (F.col("i") + 1).cast("int").alias("block_idx"),
+        F.trim(info).alias("lang_hint"),
+        F.when(code == "", F.lit(0)).otherwise(
+            F.size(F.split(code, "\n"))).cast("int").alias("n_lines"),
+        code.alias("code"),
+    )

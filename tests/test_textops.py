@@ -1203,3 +1203,21 @@ def test_clean_titles_partition_invariance_and_validation(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         clean_titles(df, min_share_ppm=0)
+
+
+# --- fenced code extraction -------------------------------------------------
+
+def test_extract_code_blocks(spark):
+    from llm_food_spark.operators.textops import extract_code_blocks
+
+    md = ("# T\n\npara\n\n```python\nx = 1\ny = 2\n```\n\n"
+          "```\nbare\n```\n\n```sh\n```\n\ntail")
+    df = spark.createDataFrame([(1, md)], "doc_id long, markdown string")
+    rows = sorted(extract_code_blocks(df).collect(),
+                  key=lambda r: r.block_idx)
+    assert [(r.lang_hint, r.n_lines, r.code) for r in rows] == [
+        ("python", 2, "x = 1\ny = 2"),
+        ("", 1, "bare"),
+        ("sh", 0, "")]
+    # block_idx is the 1-based position among ALL blocks
+    assert [r.block_idx for r in rows] == [3, 4, 5]
