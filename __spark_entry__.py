@@ -2147,6 +2147,60 @@ def q_subtitles(spark, sf_dir):
     return subtitle_cues(tracks)
 
 
+def q_webdataset_prep(spark, sf_dir):
+    """Multimodal flagship composite: WebDataset tar shards -> member
+    table (REAL ustar walk) -> per-sample caption/image pivot -> REAL
+    PNG header decode -> LAION-style screen, one chained plan. Caption
+    lengths and PNG dimensions are closed-form in the sample id, so
+    DuckDB reconstructs every sample row — text, width/height, and the
+    kept verdict — arithmetically THROUGH the tar framing and image
+    decode."""
+    import io
+    import struct as _s
+    import tarfile
+    import zlib as _z
+
+    from llm_food_spark.operators.multimodal import decode_image_meta
+    from llm_food_spark.sources.tar import tar_members
+
+    def png(w, h):
+        ihdr = _s.pack(">II", w, h) + b"\x08\x02\x00\x00\x00"
+        chunk = b"IHDR" + ihdr
+        return (b"\x89PNG\r\n\x1a\n" + _s.pack(">I", len(ihdr)) + chunk
+                + _s.pack(">I", _z.crc32(chunk)))
+
+    shards = []
+    for s in range(4):
+        buf = io.BytesIO()
+        with tarfile.open(fileobj=buf, mode="w",
+                          format=tarfile.USTAR_FORMAT) as tf:
+            for j in range(4 + s):
+                did = s * 100 + j
+                cap = ("caption for item %d " % did) + "x" * (did % 30)
+                parts = (("txt", cap.encode()),
+                         ("png", png(64 + did % 30, 48 + did % 20)))
+                for ext, payload in parts:
+                    info = tarfile.TarInfo("k%04d.%s" % (did, ext))
+                    info.size = len(payload)
+                    info.mtime = 0
+                    tf.addfile(info, io.BytesIO(payload))
+        shards.append(("shard-%d.tar" % s, bytearray(buf.getvalue())))
+    df = spark.createDataFrame(shards, "path string, content binary")
+    m = tar_members(df)
+    caps = m.where(F.col("ext") == "txt").select(
+        "shard", "key", F.decode("payload", "UTF-8").alias("caption"))
+    imgs = m.where(F.col("ext") == "png").select(
+        F.col("key").alias("media_id"), F.col("shard").alias("ishard"),
+        "payload")
+    meta = decode_image_meta(imgs).select(
+        F.col("media_id").alias("key"), "width", "height")
+    j = caps.join(meta, "key")
+    return j.select(
+        "shard", "key", "caption", "width", "height",
+        ((F.length("caption") >= 40) & (F.col("width") >= 80))
+         .alias("kept"))
+
+
 def q_code_blocks(spark, sf_dir):
     """Fenced code extraction (operators/textops.py::
     extract_code_blocks): %2 docs carry a python fence, %3 docs a bare
@@ -5287,7 +5341,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     oracles — every family gets at least one driver-visible row, and
     hand-written DuckDB SQL twins win slots over redundant or subsumed
     queries. Everything from slot 51 on is still gated locally by
-    tools/check_oracles.py (all 217, same rows+schema+hash compare at
+    tools/check_oracles.py (all 218, same rows+schema+hash compare at
     sf0.01) and ordered hard-SQL-twins-first in case the driver's cap is
     ever higher; the 13 frozen-golden byte-stability gates sit last.
     Subsumption notes for demoted queries are inline below."""
@@ -5413,6 +5467,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "path_templates": q_path_templates,    # per-host URL path-template induction (crawl budgeting per TEMPLATE, generator detection); shared rule-chain twin
         "social_cards": q_social_cards,        # og:image/og:type/twitter card metadata through the real DOM parse (the declared-image side of caption sourcing); closed-form per-class twin
         "code_blocks": q_code_blocks,          # fenced code extraction from the markdown dialect (the code-corpus router's input); closed-form twin incl. index arithmetic
+        "webdataset_prep": q_webdataset_prep,  # multimodal flagship composite: tar walk -> sample pivot -> REAL PNG decode -> caption/px screen, every verdict reconstructed arithmetically
         "ngram_jaccard": q_ngram_jaccard,        # demoted for phrase_search: driver-green in r3, and the shingle->set->exact-overlap twin mechanism is held by dedup_paragraphs/dedup_substrings slots; the capped in-block quadratic stays repo-gated
         "soft_dedup": q_soft_dedup,              # SoftDeDup/D4 duplicate-aware reweighting (hard micro-unit twin; the dedup family's driver slots hold the detection side)
         "mixture_weights": q_mixture_weights,    # DoReMi-style fixed-loss domain mixture (exact largest-remainder ppm twin; crawl_budget holds the apportionment family's driver slot)
@@ -9279,6 +9334,24 @@ def _handwritten_oracles() -> dict[str, str]:
             WHERE len(text) >= 5
               AND COALESCE(width >= 64, TRUE)
               AND COALESCE(height >= 64, TRUE)
+        """,
+        # webdataset_prep twin: sample universe closed-form in (s, j);
+        # caption strings, PNG dimensions and verdicts all arithmetic.
+        "webdataset_prep": """
+            WITH mem AS (
+              SELECT s, u.j, (s * 100 + u.j) AS id
+              FROM (SELECT t.range AS s FROM range(4) t),
+                   LATERAL (SELECT unnest(range(0, 4 + s)) AS j) u
+            )
+            SELECT 'shard-' || s || '.tar' AS shard,
+                   'k' || lpad(id::VARCHAR, 4, '0') AS key,
+                   'caption for item ' || id || ' '
+                   || repeat('x', id % 30) AS caption,
+                   (64 + id % 30)::INT AS width,
+                   (48 + id % 20)::INT AS height,
+                   (len('caption for item ' || id || ' ') + id % 30
+                    >= 40 AND 64 + id % 30 >= 80) AS kept
+            FROM mem
         """,
         # code_blocks twin: per-class rows with shifting block indices.
         "code_blocks": """
