@@ -5395,7 +5395,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ppl_buckets": q_ppl_buckets,            # subsumes lm_perplexity
         "quality_classifier": q_quality_classifier,
         "bpe_learn": q_bpe_learn,
-        "bpe_encode": q_bpe_encode,
+        "webdataset_prep": q_webdataset_prep,  # session-17 swap: took bpe_encode's slot (bpe_learn holds the tokenizer family's driver slot and its twin re-derives the merge table; tokenizer_fertility re-encodes the corpus repo-gated; the encode form stays repo-gated below). New driver-visible family: multimodal shard prep — REAL ustar walk + REAL PNG decode + caption screen in one chained plan
         "bm25_search": q_bm25_search,
         "extract_diff": q_extract_diff,          # session-11 swap: took phrase_search's slot (bm25_search holds the retrieval family's driver slot; the positional-postings form stays repo-gated below). New driver-visible family: extraction A/B QA — the operational audit of the north rule's byte-identical contract, classified by a DIFFERENT algorithm on each side (sha2 screen vs direct comparison)
 
@@ -5467,7 +5467,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "path_templates": q_path_templates,    # per-host URL path-template induction (crawl budgeting per TEMPLATE, generator detection); shared rule-chain twin
         "social_cards": q_social_cards,        # og:image/og:type/twitter card metadata through the real DOM parse (the declared-image side of caption sourcing); closed-form per-class twin
         "code_blocks": q_code_blocks,          # fenced code extraction from the markdown dialect (the code-corpus router's input); closed-form twin incl. index arithmetic
-        "webdataset_prep": q_webdataset_prep,  # multimodal flagship composite: tar walk -> sample pivot -> REAL PNG decode -> caption/px screen, every verdict reconstructed arithmetically
+        "bpe_encode": q_bpe_encode,            # demoted for webdataset_prep: bpe_learn holds the tokenizer driver slot (its twin re-derives the merge table) and tokenizer_fertility re-encodes the corpus repo-gated; the encode form stays repo-gated
         "ngram_jaccard": q_ngram_jaccard,        # demoted for phrase_search: driver-green in r3, and the shingle->set->exact-overlap twin mechanism is held by dedup_paragraphs/dedup_substrings slots; the capped in-block quadratic stays repo-gated
         "soft_dedup": q_soft_dedup,              # SoftDeDup/D4 duplicate-aware reweighting (hard micro-unit twin; the dedup family's driver slots hold the detection side)
         "mixture_weights": q_mixture_weights,    # DoReMi-style fixed-loss domain mixture (exact largest-remainder ppm twin; crawl_budget holds the apportionment family's driver slot)
