@@ -2147,6 +2147,27 @@ def q_subtitles(spark, sf_dir):
     return subtitle_cues(tracks)
 
 
+def q_align_spans(spark, sf_dir):
+    """Shared-span alignment (operators/dedup.py::align_spans) over
+    even/odd sibling pairs whose texts get an identical planted tail —
+    but the oracle replays the FULL seed-and-chain alignment over the
+    real text too, so an accidental longer in-corpus run must win on
+    both sides. DuckDB rebuilds shingles, first-occurrence anchors,
+    diagonals, gaps-and-islands runs and the tie-broken best."""
+    from llm_food_spark.operators.dedup import align_spans
+
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    docs = d.select(
+        "doc_id",
+        F.concat(F.col("text"),
+                 F.lit(" shared run alpha beta gamma delta p"),
+                 i - i % 2).alias("text"))
+    pairs = d.where(i % 2 == 0).select(
+        i.alias("id_a"), (i + 1).alias("id_b"))
+    return align_spans(pairs, docs)
+
+
 def q_webdataset_prep(spark, sf_dir):
     """Multimodal flagship composite: WebDataset tar shards -> member
     table (REAL ustar walk) -> per-sample caption/image pivot -> REAL
@@ -5341,7 +5362,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     oracles — every family gets at least one driver-visible row, and
     hand-written DuckDB SQL twins win slots over redundant or subsumed
     queries. Everything from slot 51 on is still gated locally by
-    tools/check_oracles.py (all 218, same rows+schema+hash compare at
+    tools/check_oracles.py (all 219, same rows+schema+hash compare at
     sf0.01) and ordered hard-SQL-twins-first in case the driver's cap is
     ever higher; the 13 frozen-golden byte-stability gates sit last.
     Subsumption notes for demoted queries are inline below."""
@@ -5468,6 +5489,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "social_cards": q_social_cards,        # og:image/og:type/twitter card metadata through the real DOM parse (the declared-image side of caption sourcing); closed-form per-class twin
         "code_blocks": q_code_blocks,          # fenced code extraction from the markdown dialect (the code-corpus router's input); closed-form twin incl. index arithmetic
         "bpe_encode": q_bpe_encode,            # demoted for webdataset_prep: bpe_learn holds the tokenizer driver slot (its twin re-derives the merge table) and tokenizer_fertility re-encodes the corpus repo-gated; the encode form stays repo-gated
+        "align_spans": q_align_spans,          # seed-and-chain shared-span location (the WHERE of plagiarism/syndication; containment is the HOW MUCH); full-alignment twin over real text + planted tails
         "ngram_jaccard": q_ngram_jaccard,        # demoted for phrase_search: driver-green in r3, and the shingle->set->exact-overlap twin mechanism is held by dedup_paragraphs/dedup_substrings slots; the capped in-block quadratic stays repo-gated
         "soft_dedup": q_soft_dedup,              # SoftDeDup/D4 duplicate-aware reweighting (hard micro-unit twin; the dedup family's driver slots hold the detection side)
         "mixture_weights": q_mixture_weights,    # DoReMi-style fixed-loss domain mixture (exact largest-remainder ppm twin; crawl_budget holds the apportionment family's driver slot)
@@ -9334,6 +9356,55 @@ def _handwritten_oracles() -> dict[str, str]:
             WHERE len(text) >= 5
               AND COALESCE(width >= 64, TRUE)
               AND COALESCE(height >= 64, TRUE)
+        """,
+        # align_spans twin: the FULL alignment replayed — shingles with
+        # first-occurrence anchors, diagonal islands, tie-broken best.
+        "align_spans": """
+            WITH d AS (
+              SELECT doc_id AS id,
+                     text || ' shared run alpha beta gamma delta p'
+                          || (doc_id - doc_id % 2) AS t
+              FROM documents
+            ), toks AS (
+              SELECT id, list_filter(regexp_split_to_array(t,
+                       '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> '') AS ts
+              FROM d
+            ), sh AS (
+              SELECT id, u.p - 1 AS pos,
+                     array_to_string(ts[u.p : u.p + 2], ' ') AS s
+              FROM toks,
+                   LATERAL (SELECT unnest(range(1, len(ts) - 1))
+                            AS p) u
+            ), fsh AS (
+              SELECT id, s, MIN(pos) AS pos FROM sh GROUP BY id, s
+            ), pr AS (
+              SELECT doc_id AS id_a, doc_id + 1 AS id_b
+              FROM documents WHERE doc_id % 2 = 0
+            ), m AS (
+              SELECT p.id_a, p.id_b, a.pos AS pa, b.pos AS pb
+              FROM pr p
+              JOIN fsh a ON a.id = p.id_a
+              JOIN fsh b ON b.id = p.id_b AND b.s = a.s
+            ), g AS (
+              SELECT *, pa - pb AS diag,
+                     pa - ROW_NUMBER() OVER (
+                       PARTITION BY id_a, id_b, pa - pb
+                       ORDER BY pa) AS grp
+              FROM m
+            ), runs AS (
+              SELECT id_a, id_b, COUNT(*)::BIGINT AS n_sh,
+                     MIN(pa)::BIGINT AS start_a,
+                     MIN(pb)::BIGINT AS start_b
+              FROM g GROUP BY id_a, id_b, diag, grp
+            ), best AS (
+              SELECT *, ROW_NUMBER() OVER (PARTITION BY id_a, id_b
+                          ORDER BY n_sh DESC, start_a ASC,
+                                   start_b ASC) AS rn
+              FROM runs
+            )
+            SELECT id_a, id_b, start_a, start_b,
+                   (n_sh + 2)::BIGINT AS match_len
+            FROM best WHERE rn = 1
         """,
         # webdataset_prep twin: sample universe closed-form in (s, j);
         # caption strings, PNG dimensions and verdicts all arithmetic.

@@ -1212,3 +1212,72 @@ def strip_page_furniture(
     keys = df.select(F.col(doc_col), F.col(page_col), key.alias("_fkey"))
     return keys.join(out, "_fkey").select(
         doc_col, page_col, "clean", "n_lines", "n_removed")
+
+
+def align_spans(
+    pairs: DataFrame,
+    docs: DataFrame,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Locate the longest shared token run for each candidate pair —
+    the SPAN half of the plagiarism/syndication story (containment
+    says HOW MUCH overlaps, this says WHERE): the seed-and-chain idea
+    (BLAST's, public) in relational form. k-token shingles anchor at
+    their FIRST occurrence per doc (repeated boilerplate shingles
+    would otherwise cross-multiply the join); matching shingles land
+    on diagonals d = pos_a - pos_b, and consecutive positions along
+    one diagonal form a run — detected with the gaps-and-islands
+    grouping, no sequential scan.
+
+    -> (id_a, id_b, start_a, start_b, match_len): token offsets of the
+    best run (longest; ties to the smallest start_a then start_b) and
+    its length in TOKENS (shingle count + k - 1); pairs sharing no
+    k-shingle emit no row.
+
+    Scale shape: shingle frames are narrow (id, pos, hash-sized
+    string); the match join is keyed by (pair, shingle); windows are
+    per (pair, diagonal) — bounded by the match length, never the
+    corpus. Candidate pairs come from minhash/containment upstream, so
+    the pair list is already the near-dup minority."""
+    from pyspark.sql import Window
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    toks = docs.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.filter(
+            F.split(F.col(text_col), r"[ \t\n\x0B\f\r]+"),
+            lambda x: x != "")).alias("pos", "tok"))
+    w = Window.partitionBy("id").orderBy("pos") \
+              .rowsBetween(Window.currentRow, k - 1)
+    sh = toks.select(
+        "id", "pos",
+        F.when(F.count(F.lit(1)).over(w) == k,
+               F.array_join(F.collect_list("tok").over(w), " "))
+         .alias("sh")).where(F.col("sh").isNotNull())
+    sh = sh.groupBy("id", "sh").agg(F.min("pos").alias("pos"))
+    a = pairs.join(sh.withColumnRenamed("id", "id_a"), "id_a").select(
+        "id_a", "id_b", F.col("pos").alias("pa"), "sh")
+    b = sh.select(F.col("id").alias("id_b"),
+                  F.col("pos").alias("pb"), "sh")
+    m = a.join(b, ["id_b", "sh"]).select(
+        "id_a", "id_b", "pa", "pb", (F.col("pa") - F.col("pb"))
+        .alias("diag"))
+    rw = Window.partitionBy("id_a", "id_b", "diag").orderBy("pa")
+    m = m.select("*", (F.col("pa") - F.row_number().over(rw))
+                 .alias("grp"))
+    runs = m.groupBy("id_a", "id_b", "diag", "grp").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sh"),
+        F.min("pa").cast("long").alias("start_a"),
+        F.min("pb").cast("long").alias("start_b"))
+    best = runs.groupBy("id_a", "id_b").agg(
+        F.max(F.struct(
+            F.col("n_sh"), (-F.col("start_a")).alias("na"),
+            (-F.col("start_b")).alias("nb"))).alias("m"))
+    return best.select(
+        "id_a", "id_b",
+        (-F.col("m.na")).cast("long").alias("start_a"),
+        (-F.col("m.nb")).cast("long").alias("start_b"),
+        (F.col("m.n_sh") + k - 1).cast("long").alias("match_len"))

@@ -594,3 +594,51 @@ def test_strip_page_furniture(spark):
     assert got[("d1", 2)] == ("body d1 2", 2)
     # d2 has 2 pages < min_pages=3 -> untouched
     assert got[("d2", 1)] == ("ACME Confidential\nbody d2 1\nfooter", 0)
+
+
+# --- span alignment ---------------------------------------------------------
+
+def test_align_spans_basic_and_offset(spark):
+    from llm_food_spark.operators.dedup import align_spans
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g"), (2, "x y c d e f z"),
+         (3, "p q a b c d"), (4, "a b c d r"),
+         (5, "nothing shared here")],
+        "doc_id long, text string")
+    pairs = spark.createDataFrame(
+        [(1, 2), (3, 4), (1, 5)], "id_a long, id_b long")
+    rows = {(r.id_a, r.id_b): r for r in
+            align_spans(pairs, docs).collect()}
+    r12 = rows[(1, 2)]
+    assert (r12.start_a, r12.start_b, r12.match_len) == (2, 2, 4)
+    r34 = rows[(3, 4)]
+    assert (r34.start_a, r34.start_b, r34.match_len) == (2, 0, 4)
+    assert (1, 5) not in rows  # no shared 3-shingle -> no row
+
+
+def test_align_spans_longest_run_wins(spark):
+    from llm_food_spark.operators.dedup import align_spans
+
+    docs = spark.createDataFrame(
+        [(1, "s1 s2 s3 QQ l1 l2 l3 l4 l5"),
+         (2, "s1 s2 s3 ZZ l1 l2 l3 l4 l5")],
+        "doc_id long, text string")
+    pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    [r] = align_spans(pairs, docs).collect()
+    # both docs share 's1 s2 s3' (len 3) and 'l1..l5' (len 5)
+    assert (r.start_a, r.start_b, r.match_len) == (4, 4, 5)
+
+
+def test_align_spans_partition_invariance(spark):
+    from llm_food_spark.operators.dedup import align_spans
+
+    docs = spark.createDataFrame(
+        [(i, "w%d common run of tokens %d" % (i, i)) for i in range(10)],
+        "doc_id long, text string")
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(0, 9, 2)], "id_a long, id_b long")
+    a = sorted(map(tuple, align_spans(pairs, docs).collect()))
+    b = sorted(map(tuple, align_spans(
+        pairs.repartition(3), docs.repartition(5)).collect()))
+    assert a == b
