@@ -2147,6 +2147,36 @@ def q_subtitles(spark, sf_dir):
     return subtitle_cues(tracks)
 
 
+def q_template_prune(spark, sf_dir):
+    """Template subtraction chained end to end (operators/templates.
+    py): page_dom_paths -> host_template_paths -> chrome-path curation
+    (the documented composition) -> prune_template_text, all THROUGH
+    the real DOM parse. Every host's nav (with nested markup) prunes
+    as one maximal subtree, even docs' aside as a second; the article
+    text survives. Hard oracle: closed-form kept_text + prune counts
+    per class."""
+    from llm_food_spark.operators.templates import (host_template_paths,
+                                                    page_dom_paths,
+                                                    prune_template_text)
+
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    html = F.concat(
+        F.lit("<html><body><nav>menu <b>home</b></nav>"),
+        F.when(i % 2 == 0, F.lit("<aside>ads</aside>")).otherwise(
+            F.lit("")),
+        F.lit("<article><p>story "), i,
+        F.lit("</p></article></body></html>"))
+    pages = d.select(
+        F.concat(F.lit("http://g"), i % 20, F.lit(".test/p"), i)
+         .alias("url"),
+        html.alias("html"))
+    tpl = host_template_paths(
+        page_dom_paths(pages, n_partitions=8), min_share_ppm=400_000)
+    tpl = tpl.where(F.col("path").rlike("/(nav|aside)(/|$)"))
+    return prune_template_text(pages, tpl, n_partitions=8)
+
+
 def q_align_spans(spark, sf_dir):
     """Shared-span alignment (operators/dedup.py::align_spans) over
     even/odd sibling pairs whose texts get an identical planted tail —
@@ -5362,7 +5392,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     oracles — every family gets at least one driver-visible row, and
     hand-written DuckDB SQL twins win slots over redundant or subsumed
     queries. Everything from slot 51 on is still gated locally by
-    tools/check_oracles.py (all 219, same rows+schema+hash compare at
+    tools/check_oracles.py (all 220, same rows+schema+hash compare at
     sf0.01) and ordered hard-SQL-twins-first in case the driver's cap is
     ever higher; the 13 frozen-golden byte-stability gates sit last.
     Subsumption notes for demoted queries are inline below."""
@@ -5490,6 +5520,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "code_blocks": q_code_blocks,          # fenced code extraction from the markdown dialect (the code-corpus router's input); closed-form twin incl. index arithmetic
         "bpe_encode": q_bpe_encode,            # demoted for webdataset_prep: bpe_learn holds the tokenizer driver slot (its twin re-derives the merge table) and tokenizer_fertility re-encodes the corpus repo-gated; the encode form stays repo-gated
         "align_spans": q_align_spans,          # seed-and-chain shared-span location (the WHERE of plagiarism/syndication; containment is the HOW MUCH); full-alignment twin over real text + planted tails
+        "template_prune": q_template_prune,    # cross-page template SUBTRACTION chained induce->curate->prune through the real DOM parse (maximal all-template subtrees); closed-form twin
         "ngram_jaccard": q_ngram_jaccard,        # demoted for phrase_search: driver-green in r3, and the shingle->set->exact-overlap twin mechanism is held by dedup_paragraphs/dedup_substrings slots; the capped in-block quadratic stays repo-gated
         "soft_dedup": q_soft_dedup,              # SoftDeDup/D4 duplicate-aware reweighting (hard micro-unit twin; the dedup family's driver slots hold the detection side)
         "mixture_weights": q_mixture_weights,    # DoReMi-style fixed-loss domain mixture (exact largest-remainder ppm twin; crawl_budget holds the apportionment family's driver slot)
@@ -9356,6 +9387,17 @@ def _handwritten_oracles() -> dict[str, str]:
             WHERE len(text) >= 5
               AND COALESCE(width >= 64, TRUE)
               AND COALESCE(height >= 64, TRUE)
+        """,
+        # template_prune twin: the chained induce->curate->prune
+        # outcome closed-form per class.
+        "template_prune": """
+            SELECT 'http://g' || (doc_id % 20) || '.test/p' || doc_id
+                     AS url,
+                   'g' || (doc_id % 20) || '.test' AS host,
+                   'story ' || doc_id AS kept_text,
+                   (CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 1 END)::INT
+                     AS n_pruned
+            FROM documents
         """,
         # align_spans twin: the FULL alignment replayed — shingles with
         # first-occurrence anchors, diagonal islands, tie-broken best.

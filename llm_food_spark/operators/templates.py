@@ -95,3 +95,124 @@ def host_template_paths(
         ((F.col("n_pages") >= int(min_pages))
          & (share >= int(min_share_ppm))).alias("is_template"),
     )
+
+
+def prune_template_text(
+    pages: DataFrame,
+    templates: DataFrame,
+    url_col: str = "url",
+    html_col: str = "html",
+    n_partitions: Optional[int] = None,
+) -> DataFrame:
+    """The consumer of host_template_paths: re-walk each page's DOM
+    with its host's template paths broadcast in, and emit the text of
+    everything OUTSIDE template subtrees — cross-page boilerplate
+    removal as a first-class pass (the per-document density scorer
+    can't see that a nav block repeats on every page of the host; the
+    template set can).
+
+    ``templates``: host_template_paths output (rows where is_template
+    holds are used). A subtree is pruned only when it is MAXIMAL
+    all-template — every path inside it is a template path — because
+    the frequency definition necessarily marks trunk paths (html,
+    html/body) as templates too, and pruning an ancestor of content
+    would delete the page. -> (url, host, kept_text, n_pruned):
+    kept_text is whitespace-normalized text outside pruned subtrees,
+    n_pruned the count of maximal pruned subtrees. A host with no
+    templates passes its pages through untouched.
+
+    Path frequency is TEXT-BLIND: a content scaffold shared by every
+    page (html/body/article) is just as 'template' as the nav bar, so
+    callers curate the table before pruning — restrict to
+    chrome-rooted paths (nav/aside/footer/header) or intersect with a
+    text-variance signal (host_boilerplate's line frequencies). The
+    maximal-subtree rule protects ancestors of kept content either
+    way.
+
+    Scale shape: the template table is hot-paths-per-host sized
+    (broadcastable by the same argument as salt plans); one Arrow pass
+    joins it in via a dict and walks each DOM once."""
+    import pandas as pd
+
+    from .util import ensure_min_partitions
+
+    tdf = (templates.where(F.col("is_template"))
+           .select("host", "path"))
+    tmap: dict = {}
+    for r in tdf.collect():  # hot-paths-per-host: broadcast-sized
+        tmap.setdefault(r["host"], set()).add(r["path"])
+    is_binary = dict(pages.dtypes)[html_col] == "binary"
+
+    def run(it):
+        import re
+
+        from urllib.parse import urlsplit
+
+        from llm_food_spark.functions.encoding import decode_html
+        from llm_food_spark.functions.html_parser import (Element,
+                                                          parse_html)
+        ws = re.compile(r"\s+")
+
+        for pdf in it:
+            rows = []
+            for url, payload in zip(pdf[url_col], pdf[html_col]):
+                if payload is None:
+                    continue
+                text = (decode_html(bytes(payload)) if is_binary
+                        else str(payload))
+                u = str(url)
+                try:
+                    host = (urlsplit(u).hostname or "").lower()
+                except ValueError:
+                    host = ""
+                tset = tmap.get(host, set())
+                root = parse_html(text)
+                n_pruned = [0]
+
+                # recursion is safe: parse_html caps nesting at
+                # MAX_DEPTH (240), far under the interpreter limit
+                def visit(node, path):
+                    """-> (all_template, text_chunks): chunks in
+                    document order with maximal all-template child
+                    subtrees already removed (counted)."""
+                    mine = path in tset
+                    sub_all = True
+                    staged = []
+                    for c in node.children:
+                        if isinstance(c, Element):
+                            ca, ch = visit(c, path + "/" + c.tag)
+                            sub_all = sub_all and ca
+                            staged.append((ca, ch))
+                        else:
+                            staged.append((None, [c.data]))
+                    all_tpl = mine and sub_all
+                    out = []
+                    if not all_tpl:
+                        for ca, ch in staged:
+                            if ca is True:
+                                n_pruned[0] += 1
+                            else:
+                                out.extend(ch)
+                    return all_tpl, out
+
+                parts = []
+                for c in root.children:
+                    if isinstance(c, Element):
+                        ca, ch = visit(c, c.tag)
+                        if ca:
+                            n_pruned[0] += 1
+                        else:
+                            parts.extend(ch)
+                    else:
+                        parts.append(c.data)
+                pruned = n_pruned[0]
+                kept = ws.sub(" ", "".join(parts)).strip()
+                rows.append((u, host, kept, pruned))
+            yield pd.DataFrame(rows, columns=[
+                "url", "host", "kept_text", "n_pruned"])
+
+    return ensure_min_partitions(
+        pages.select(url_col, html_col), n_partitions
+    ).mapInPandas(
+        run, schema="url string, host string, kept_text string, "
+                    "n_pruned int")

@@ -68,3 +68,46 @@ def test_host_template_paths_binary_and_invariance(spark):
     assert a == b
     with pytest.raises(ValueError):
         host_template_paths(page_dom_paths(pages), min_share_ppm=0)
+
+
+# --- template pruning -------------------------------------------------------
+
+def test_prune_template_text_subtracts_cross_page_boilerplate(spark):
+    from llm_food_spark.operators.templates import (host_template_paths,
+                                                    page_dom_paths,
+                                                    prune_template_text)
+
+    def page(n, body):
+        return ("http://a.test/p%d" % n,
+                "<html><body><nav>MENU <b>HOME</b></nav>%s</body></html>"
+                % body)
+
+    pages = spark.createDataFrame(
+        [page(0, "<article>story zero</article>"),
+         page(1, "<article>story one</article>"),
+         page(2, "<article>story two</article>")],
+        "url string, html string")
+    tpl = host_template_paths(page_dom_paths(pages, n_partitions=2))
+    # prune only the nav subtree, not the shared article scaffold
+    tpl = tpl.where(~tpl.path.contains("article"))
+    out = {r.url: r for r in
+           prune_template_text(pages, tpl, n_partitions=2).collect()}
+    assert out["http://a.test/p0"].kept_text == "story zero"
+    assert out["http://a.test/p0"].n_pruned == 1
+    assert out["http://a.test/p1"].kept_text == "story one"
+
+
+def test_prune_template_text_interleaved_order_and_no_templates(spark):
+    from llm_food_spark.operators.templates import prune_template_text
+
+    pages = spark.createDataFrame(
+        [("http://b.test/x",
+          "<html><body>alpha <b>beta</b> gamma <i>delta</i> end"
+          "</body></html>")],
+        "url string, html string")
+    empty = spark.createDataFrame(
+        [], "host string, path string, n_with long, n_pages long, "
+            "share_ppm long, is_template boolean")
+    [r] = prune_template_text(pages, empty).collect()
+    assert r.kept_text == "alpha beta gamma delta end"
+    assert r.n_pruned == 0
