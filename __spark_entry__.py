@@ -2147,6 +2147,33 @@ def q_subtitles(spark, sf_dir):
     return subtitle_cues(tracks)
 
 
+def q_crawl_delays(spark, sf_dir):
+    """Crawl-delay extraction (operators/robots.py::crawl_delays)
+    through the real robots line scan + *-group precedence: even hosts
+    declare integer seconds, odd hosts fractional, %3 hosts add a
+    foreign-agent group whose delay must NOT count, %7 hosts a second
+    applicable group whose larger delay must win. Hard oracle:
+    closed-form millis per class."""
+    from llm_food_spark.operators.robots import crawl_delays
+
+    d = _t(spark, sf_dir, "documents").select(
+        (F.col("doc_id") % 20).alias("h")).distinct()
+    h = F.col("h")
+    delay = F.when(h % 2 == 0, (h % 7).cast("string")).otherwise(
+        F.concat(F.lit("0."), (h % 9 + 1).cast("string")))
+    txt = F.concat(
+        F.lit("User-agent: *\nDisallow: /x\nCrawl-delay: "), delay,
+        F.when(h % 3 == 0, F.lit(
+            "\n\nUser-agent: other\nCrawl-delay: 99")).otherwise(
+            F.lit("")),
+        F.when(h % 7 == 0, F.lit(
+            "\n\nUser-agent: *\nCrawl-delay: 4")).otherwise(F.lit("")))
+    robots = d.select(
+        F.concat(F.lit("r"), h, F.lit(".test")).alias("host"),
+        txt.alias("robots"))
+    return crawl_delays(robots)
+
+
 def q_template_prune(spark, sf_dir):
     """Template subtraction chained end to end (operators/templates.
     py): page_dom_paths -> host_template_paths -> chrome-path curation
@@ -5392,7 +5419,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     oracles — every family gets at least one driver-visible row, and
     hand-written DuckDB SQL twins win slots over redundant or subsumed
     queries. Everything from slot 51 on is still gated locally by
-    tools/check_oracles.py (all 220, same rows+schema+hash compare at
+    tools/check_oracles.py (all 221, same rows+schema+hash compare at
     sf0.01) and ordered hard-SQL-twins-first in case the driver's cap is
     ever higher; the 13 frozen-golden byte-stability gates sit last.
     Subsumption notes for demoted queries are inline below."""
@@ -5521,6 +5548,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_encode": q_bpe_encode,            # demoted for webdataset_prep: bpe_learn holds the tokenizer driver slot (its twin re-derives the merge table) and tokenizer_fertility re-encodes the corpus repo-gated; the encode form stays repo-gated
         "align_spans": q_align_spans,          # seed-and-chain shared-span location (the WHERE of plagiarism/syndication; containment is the HOW MUCH); full-alignment twin over real text + planted tails
         "template_prune": q_template_prune,    # cross-page template SUBTRACTION chained induce->curate->prune through the real DOM parse (maximal all-template subtrees); closed-form twin
+        "crawl_delays": q_crawl_delays,        # crawl-delay politeness extraction through the real robots group scan (foreign groups excluded, max-wins, exact millis); closed-form twin
         "ngram_jaccard": q_ngram_jaccard,        # demoted for phrase_search: driver-green in r3, and the shingle->set->exact-overlap twin mechanism is held by dedup_paragraphs/dedup_substrings slots; the capped in-block quadratic stays repo-gated
         "soft_dedup": q_soft_dedup,              # SoftDeDup/D4 duplicate-aware reweighting (hard micro-unit twin; the dedup family's driver slots hold the detection side)
         "mixture_weights": q_mixture_weights,    # DoReMi-style fixed-loss domain mixture (exact largest-remainder ppm twin; crawl_budget holds the apportionment family's driver slot)
@@ -9387,6 +9415,21 @@ def _handwritten_oracles() -> dict[str, str]:
             WHERE len(text) >= 5
               AND COALESCE(width >= 64, TRUE)
               AND COALESCE(height >= 64, TRUE)
+        """,
+        # crawl_delays twin: per-class millis (foreign 99 never counts;
+        # the %7 hosts' second applicable group wins at 4000 when
+        # larger than their own declared delay).
+        "crawl_delays": """
+            WITH h AS (SELECT DISTINCT doc_id % 20 AS h FROM documents),
+            base AS (
+              SELECT h, CASE WHEN h % 2 = 0 THEN (h % 7) * 1000
+                             ELSE (h % 9 + 1) * 100 END AS own
+              FROM h
+            )
+            SELECT 'r' || h || '.test' AS host,
+                   (CASE WHEN h % 7 = 0 THEN GREATEST(own, 4000)
+                         ELSE own END)::BIGINT AS delay_ms
+            FROM base
         """,
         # template_prune twin: the chained induce->curate->prune
         # outcome closed-form per class.

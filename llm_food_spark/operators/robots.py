@@ -274,3 +274,50 @@ def page_directives(pages: DataFrame, url_col: str = "url",
     return ensure_min_partitions(
         pages.select(url_col, html_col)
     ).mapInPandas(run, schema=PAGE_DIRECTIVES_SCHEMA)
+
+
+def crawl_delays(
+    robots: DataFrame,
+    host_col_name: str = "host",
+    robots_col: str = "robots",
+) -> DataFrame:
+    """Crawl-delay per host — the de-facto politeness directive (not in
+    RFC 9309 but honored by major crawlers; the input crawl_schedule's
+    per-host wave spacing should come from): same line scan and
+    *-group applicability as parse_robots, keeping ``crawl-delay``
+    directives; fractional seconds parse to exact integer millis (the
+    price_micro discipline — float seconds never enter the plan);
+    multiple applicable delays take the MAX (conservative politeness).
+    -> (host, delay_ms); hosts without an applicable numeric delay
+    emit no row — absence IS the no-delay verdict downstream."""
+    lines = robots.select(
+        F.lower(F.col(host_col_name)).alias("host"),
+        F.posexplode(F.split(F.col(robots_col), "\r?\n")).alias(
+            "pos", "raw"),
+    )
+    clean = F.trim(F.regexp_replace(F.col("raw"), "#.*", ""))
+    directive = F.lower(F.regexp_extract(clean, r"^([A-Za-z-]+)\s*:", 1))
+    value = F.trim(F.regexp_extract(clean, r"^[A-Za-z-]+\s*:\s*(.*)$", 1))
+    parsed = lines.select("host", "pos", directive.alias("directive"),
+                          value.alias("value"))
+    seq = Window.partitionBy("host").orderBy("pos")
+    is_ua = F.col("directive") == "user-agent"
+    new_group = is_ua & ~F.lag(is_ua, 1, False).over(seq)
+    grouped = parsed.withColumn(
+        "grp",
+        F.sum(new_group.cast("int")).over(
+            seq.rowsBetween(Window.unboundedPreceding, 0)))
+    applies = F.max(
+        F.when(is_ua & (F.col("value") == "*"), 1).otherwise(0)
+    ).over(Window.partitionBy("host", "grp"))
+    d = grouped.withColumn("applies", applies).where(
+        (F.col("directive") == "crawl-delay")
+        & (F.col("applies") == 1)
+        & F.col("value").rlike(r"^[0-9]+(\.[0-9]+)?$"))
+    whole = F.regexp_extract("value", r"^([0-9]+)", 1).cast("long")
+    frac = F.rpad(F.regexp_extract("value", r"\.([0-9]{1,3})", 1),
+                  3, "0")
+    ms = (whole * 1000
+          + F.when(frac != "", frac.cast("long")).otherwise(F.lit(0)))
+    return d.select("host", ms.alias("delay_ms")).groupBy("host").agg(
+        F.max("delay_ms").cast("long").alias("delay_ms"))

@@ -247,3 +247,23 @@ def test_page_directives_operator(spark):
     assert rows["u1"].noindex and not rows["u1"].nofollow
     assert not rows["u2"].noindex
     assert not rows["u3"].noindex
+
+
+# --- crawl delays -----------------------------------------------------------
+
+def test_crawl_delays_group_scope_and_millis(spark):
+    from llm_food_spark.operators.robots import crawl_delays
+
+    robots = spark.createDataFrame(
+        [("a.test", "User-agent: *\nDisallow: /x\nCrawl-Delay: 2.5\n"
+                    "\nUser-agent: other\nCrawl-delay: 99"),
+         ("b.test", "User-agent: other\nCrawl-delay: 9"),
+         ("c.test", "User-agent: *\nCrawl-delay: nonsense"),
+         ("d.test", "User-agent: *\nCrawl-delay: 1\n"
+                    "User-agent: *\nCrawl-delay: 3")],
+        "host string, robots string")
+    got = {r.host: r.delay_ms for r in crawl_delays(robots).collect()}
+    assert got["a.test"] == 2500  # our group only; 99 ignored
+    assert "b.test" not in got    # no applicable group
+    assert "c.test" not in got    # non-numeric dropped
+    assert got["d.test"] == 3000  # max across applicable groups
