@@ -198,16 +198,26 @@ def q_resume_status(spark, sf_dir):
                 "\x1f", F.col("url"), F.col("content_hash")))).alias("r_ck"),
         )
         j = lin.join(rederived, "partition_id", "full_outer")
+        # null-SAFE invariants: over the full-outer join, a partition whose
+        # results (or lineage) are missing entirely yields NULLs, and plain
+        # `!=` evaluates NULL -> silently not counted — the exact blind spot
+        # that let a STATIC-session resume delete 5 partitions' results while
+        # bad_doc_count still read 0. ~eqNullSafe counts one-sided rows as
+        # violations, and missing_results/missing_lineage name them directly.
         inv = j.agg(
             F.count(F.lit(1)).alias("n_partitions"),
             F.sum((F.col("run_id") == "run1").cast("long")).alias("p_run1"),
             F.sum((F.col("run_id") == "run2").cast("long")).alias("p_run2"),
-            F.sum((F.col("doc_count") != F.col("r_docs")).cast("long")
-                  ).alias("bad_doc_count"),
-            F.sum((F.col("checksum") != F.col("r_ck")).cast("long")
-                  ).alias("bad_checksum"),
-            F.sum((F.col("failed_count") != 0).cast("long")
-                  ).alias("bad_failed"),
+            F.sum((~F.col("doc_count").eqNullSafe(F.col("r_docs"))).cast(
+                "long")).alias("bad_doc_count"),
+            F.sum((~F.col("checksum").eqNullSafe(F.col("r_ck"))).cast(
+                "long")).alias("bad_checksum"),
+            F.sum((~F.col("failed_count").eqNullSafe(F.lit(0).cast("long"))
+                   ).cast("long")).alias("bad_failed"),
+            F.sum(F.col("r_docs").isNull().cast("long")
+                  ).alias("missing_results"),
+            F.sum(F.col("doc_count").isNull().cast("long")
+                  ).alias("missing_lineage"),
             F.sum("doc_count").alias("docs_total"),
             F.sum("ok_count").alias("ok_total"),
             F.sum("bytes_in").alias("bytes_total"),
@@ -8084,6 +8094,8 @@ def _handwritten_oracles() -> dict[str, str]:
                    CAST(0 AS BIGINT) AS bad_doc_count,
                    CAST(0 AS BIGINT) AS bad_checksum,
                    CAST(0 AS BIGINT) AS bad_failed,
+                   CAST(0 AS BIGINT) AS missing_results,
+                   CAST(0 AS BIGINT) AS missing_lineage,
                    COUNT(*)::BIGINT AS docs_total,
                    COUNT(*)::BIGINT AS ok_total,
                    SUM(33 + length(text))::BIGINT AS bytes_total,

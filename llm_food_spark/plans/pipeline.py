@@ -135,9 +135,25 @@ def run_extraction(
 
     results = extract_pages(todo, n_partitions=n_partitions,
                             max_bytes=max_bytes, repartition=repartition)
-    results.write.mode("overwrite").partitionBy("partition_id").parquet(
-        results_path(output_dir)
-    )
+    # The commit protocol REQUIRES dynamic partition overwrite: under the
+    # Spark default (STATIC), overwrite+partitionBy deletes EVERY existing
+    # partition directory — a resume run would destroy all previously
+    # committed partitions' results while their lineage rows survive
+    # (silent data loss under any session that doesn't happen to set the
+    # conf). Force it here, scoped to this write, and restore the caller's
+    # session value afterwards so the protocol is correct under ANY session.
+    _OVERWRITE_MODE_KEY = "spark.sql.sources.partitionOverwriteMode"
+    prior_mode = spark.conf.get(_OVERWRITE_MODE_KEY, None)
+    spark.conf.set(_OVERWRITE_MODE_KEY, "dynamic")
+    try:
+        results.write.mode("overwrite").partitionBy("partition_id").parquet(
+            results_path(output_dir)
+        )
+    finally:
+        if prior_mode is None:
+            spark.conf.unset(_OVERWRITE_MODE_KEY)
+        else:
+            spark.conf.set(_OVERWRITE_MODE_KEY, prior_mode)
 
     # lineage derives from the durably written bytes, then commits by append
     written = spark.read.parquet(results_path(output_dir)).select(
@@ -170,6 +186,58 @@ def run_extraction(
         "partitions_done": stats["partitions"],
         "partitions_skipped": n_skipped,
     }
+
+
+def lineage_audit(
+    spark: SparkSession, output_dir: str,
+    n_partitions: Optional[int] = None,
+) -> DataFrame:
+    """Per-partition commit audit: full-outer join of the lineage table
+    against doc counts / byte totals / checksums re-derived from the durably
+    written results, with NULL-SAFE violation flags.
+
+    Null-safety is the point: over a full-outer join, a partition whose
+    results were deleted (or whose lineage row is absent) yields NULLs on
+    one side, and a plain ``!=`` comparison evaluates NULL — silently not
+    counted. These flags use ``eqNullSafe`` so one-sided rows register as
+    violations, and ``missing_results`` / ``missing_lineage`` name the
+    failure mode directly. A healthy table audits to all-false flags.
+    """
+    lin = read_lineage(spark, output_dir)
+    if lin is None:
+        raise FileNotFoundError("no lineage at %s" % output_dir)
+    lin = lin.where(F.col("status") == LINEAGE_STATUS_COMMITTED)
+    if n_partitions is not None and "n_partitions" in lin.columns:
+        lin = lin.where(F.col("n_partitions") == n_partitions)
+    rederived = (
+        spark.read.parquet(results_path(output_dir))
+        .groupBy("partition_id")
+        .agg(
+            F.count(F.lit(1)).alias("r_docs"),
+            F.sum("bytes_in").alias("r_bytes"),
+            F.bit_xor(
+                F.xxhash64(
+                    F.concat_ws("\x1f", F.col("url"), F.col("content_hash"))
+                )
+            ).alias("r_ck"),
+        )
+    )
+    j = lin.select(
+        "partition_id", "run_id", "doc_count", "failed_count",
+        "bytes_in", "checksum",
+    ).join(rederived, "partition_id", "full_outer")
+    return j.select(
+        "partition_id", "run_id", "doc_count", "r_docs",
+        "bytes_in", "r_bytes", "checksum", "r_ck",
+        (~F.col("doc_count").eqNullSafe(F.col("r_docs"))).alias(
+            "bad_doc_count"),
+        (~F.col("bytes_in").eqNullSafe(F.col("r_bytes"))).alias(
+            "bad_bytes"),
+        (~F.col("checksum").eqNullSafe(F.col("r_ck"))).alias(
+            "bad_checksum"),
+        F.col("r_docs").isNull().alias("missing_results"),
+        F.col("doc_count").isNull().alias("missing_lineage"),
+    )
 
 
 def job_status(spark: SparkSession, output_dir: str) -> DataFrame:

@@ -175,6 +175,78 @@ def test_run_and_resume_idempotent(spark, tmp_path):
     assert total == 200
 
 
+def test_resume_correct_under_static_overwrite_session(spark, tmp_path):
+    """The round-4 driver red row: under a session with the Spark-default
+    STATIC partitionOverwriteMode, a resume run used to DELETE every
+    previously committed partition's results (overwrite+partitionBy wipes
+    the whole table under STATIC). run_extraction must force dynamic mode
+    around its own write — and restore the caller's setting after."""
+    import shutil
+
+    key = "spark.sql.sources.partitionOverwriteMode"
+    prior = spark.conf.get(key, None)
+    spark.conf.set(key, "static")
+    try:
+        out_dir = str(tmp_path / "job_static")
+        pages = pages_to_df(spark, generate_pages(200))
+        run_extraction(spark, pages, out_dir, n_partitions=16, run_id="s1")
+
+        lin = read_lineage(spark, out_dir)
+        kept_rows = lin.where(F.col("partition_id") < 8).collect()
+        shutil.rmtree(out_dir + "/lineage")
+        spark.createDataFrame(kept_rows, schema=lin.schema).write.parquet(
+            out_dir + "/lineage"
+        )
+
+        m2 = run_extraction(spark, pages, out_dir, n_partitions=16,
+                            run_id="s2")
+        assert m2["partitions_skipped"] == 8
+        results = spark.read.parquet(out_dir + "/results")
+        # before the fix this read back only the re-run partitions' rows
+        assert results.count() == 200
+        assert results.select("url").distinct().count() == 200
+        # the caller's session setting survives the scoped override
+        assert spark.conf.get(key) == "static"
+    finally:
+        if prior is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prior)
+
+
+def test_lineage_audit_flags_vanished_partition(spark, tmp_path):
+    """Negative test for the audit's null-safety: delete one committed
+    partition's results directory and the audit must fail LOUDLY for that
+    partition (missing_results + bad_doc_count), not NULL-vacuously pass."""
+    import shutil
+    from pathlib import Path
+
+    from llm_food_spark.plans.pipeline import lineage_audit
+
+    out_dir = str(tmp_path / "job_audit")
+    pages = pages_to_df(spark, generate_pages(120))
+    run_extraction(spark, pages, out_dir, n_partitions=8, run_id="a1")
+
+    audit = lineage_audit(spark, out_dir, n_partitions=8)
+    assert audit.where(
+        F.col("bad_doc_count") | F.col("bad_checksum")
+        | F.col("missing_results") | F.col("missing_lineage")
+    ).count() == 0
+
+    victim = sorted(
+        p for p in Path(out_dir, "results").iterdir()
+        if p.name.startswith("partition_id=")
+    )[0]
+    victim_id = int(victim.name.split("=")[1])
+    shutil.rmtree(victim)
+
+    flagged = lineage_audit(spark, out_dir, n_partitions=8).where(
+        F.col("missing_results")
+    ).collect()
+    assert [r["partition_id"] for r in flagged] == [victim_id]
+    assert flagged[0]["bad_doc_count"] and flagged[0]["bad_checksum"]
+
+
 def test_rerun_everything_committed_is_noop(spark, tmp_path):
     out_dir = str(tmp_path / "job2")
     rows = generate_pages(60)
