@@ -9738,6 +9738,7 @@ def _handwritten_oracles() -> dict[str, str]:
         # jumping.
         "stitch_pages": """
             SELECT 'http://p.test/' || (doc_id - doc_id % 4) AS head,
+                   TRUE AS resolved,
                    COUNT(*)::BIGINT AS n_pages,
                    string_agg(text, chr(10) || chr(10)
                               ORDER BY doc_id) AS stitched

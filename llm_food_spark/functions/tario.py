@@ -60,10 +60,13 @@ def parse_tar(b: bytes) -> List[Tuple[str, int, int, str]]:
 
 def split_member_key(name: str) -> Tuple[str, str]:
     """WebDataset key split: 'dir/000123.seg.txt' ->
-    ('dir/000123.seg', 'txt') — the LAST dot splits key from ext
-    (WebDataset's rule; multi-dot exts like .tar.gz stay with the
-    key's tail). No dot -> ('name', '')."""
-    base, dot, ext = name.rpartition(".")
-    if not dot:
+    ('dir/000123', 'seg.txt') — the FIRST dot of the BASENAME splits
+    key from ext (the public WebDataset grouping rule: key = path up
+    to the first dot after the final '/', ext = everything after it,
+    so multi-dot members like 000123.json.gz and 000123.seg.txt group
+    into ONE sample under key 000123). No dot -> ('name', '')."""
+    slash = name.rfind("/")
+    dot = name.find(".", slash + 1)
+    if dot < 0:
         return name, ""
-    return base, ext
+    return name[:dot], name[dot + 1:]

@@ -95,18 +95,26 @@ def pair_metrics(
     p = canon(pred).withColumn("_p", F.lit(1))
     t = canon(truth).withColumn("_t", F.lit(1))
     j = p.join(t, ["pa", "pb"], "full_outer")
+    # coalesce ALL THREE sums: over empty inputs the join is empty and
+    # F.sum yields NULL — an uncoalesced tp would cascade NULL into
+    # fp/fn and every ppm figure, making the degenerate audit row
+    # (both sides empty = vacuously perfect) unusable downstream
     agg = j.agg(
-        F.sum("_p").cast("long").alias("n_pred"),
-        F.sum("_t").cast("long").alias("n_truth"),
-        F.sum((F.col("_p").isNotNull() & F.col("_t").isNotNull())
-              .cast("long")).cast("long").alias("tp"),
+        F.coalesce(F.sum("_p").cast("long"), F.lit(0).cast("long"))
+         .alias("n_pred"),
+        F.coalesce(F.sum("_t").cast("long"), F.lit(0).cast("long"))
+         .alias("n_truth"),
+        F.coalesce(
+            F.sum((F.col("_p").isNotNull() & F.col("_t").isNotNull())
+                  .cast("long")).cast("long"),
+            F.lit(0).cast("long")).alias("tp"),
     )
     return agg.select(
-        F.coalesce("n_pred", F.lit(0)).alias("n_pred"),
-        F.coalesce("n_truth", F.lit(0)).alias("n_truth"),
+        "n_pred",
+        "n_truth",
         "tp",
-        (F.coalesce("n_pred", F.lit(0)) - F.col("tp")).alias("fp"),
-        (F.coalesce("n_truth", F.lit(0)) - F.col("tp")).alias("fn"),
+        (F.col("n_pred") - F.col("tp")).alias("fp"),
+        (F.col("n_truth") - F.col("tp")).alias("fn"),
         F.expr("tp * 1000000 div greatest(n_pred, 1)")
          .alias("precision_ppm"),
         F.expr("tp * 1000000 div greatest(n_truth, 1)")

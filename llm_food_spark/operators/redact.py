@@ -171,8 +171,12 @@ SECRET_TOKENS = {
     "aws_key": ("<AWSKEY>", r"\bAKIA[0-9A-Z]{16}\b"),
     # Slack bot/user/app tokens
     "slack": ("<SLACKTOKEN>", r"\bxox[baprs]-[A-Za-z0-9-]{10,}\b"),
-    # bare hex secrets at sha1..sha256 lengths (API tokens, leaked keys)
-    "hex_secret": ("<HEXSECRET>", r"\b[0-9a-f]{40,64}\b"),
+    # bare hex secrets of sha1 length and up (API tokens, leaked keys).
+    # Case-insensitive char class: real leaked keys appear in either
+    # case. No upper bound — with one, a >64-char run matches NOTHING
+    # (\b can't fall inside the run), quietly passing the longest
+    # credentials through.
+    "hex_secret": ("<HEXSECRET>", r"\b[0-9a-fA-F]{40,}\b"),
 }
 
 # pem first (self-contained); jwt/aws/slack before the generic hex class

@@ -921,10 +921,15 @@ def stitch_paginated(
     resolve_redirects' pointer jumping on the REVERSED edges, so every
     member finds its chain HEAD (the page nobody points next at) plus
     its 1-based position = hops; unresolved members (cycles / chains
-    over ``max_chain``) are dropped with the resolver's loud-NULL
-    contract. -> (head, n_pages, stitched): members' texts joined with
+    over ``max_chain``) carry the resolver's loud verdict THROUGH: each
+    comes out as its own head row flagged ``resolved = false`` — never
+    silently merged into a stitched article, never silently dropped, so
+    a broken chain can't masquerade as N clean singleton articles (the
+    caller filters or quarantines on the flag).
+    -> (head, resolved, n_pages, stitched): members' texts joined with
     a blank line in position order; singleton pages (no next links
-    either way) pass through as their own heads.
+    either way) pass through as their own heads with
+    ``resolved = true``.
 
     Scale shape: ceil(log2(max_chain)) narrow self-joins (the
     resolver), one join onto docs, and a per-chain
@@ -940,16 +945,21 @@ def stitch_paginated(
     # reversed edges: member -> its PREVIOUS page; terminal = chain head
     rev = nxt.select(F.col("nxt").alias("src"),
                      F.col("src").alias("dst"))
-    res = resolve_redirects(rev, max_chain=max_chain).where(
-        F.col("resolved")).select(
+    res = resolve_redirects(rev, max_chain=max_chain).select(
         F.col("url").alias("member"), F.col("final_url").alias("head"),
-        F.col("hops").cast("long").alias("pos"))
+        F.col("hops").cast("long").alias("pos"), F.col("resolved"))
     d = docs.select(F.col(url_col).alias("member"),
                     F.col(text_col).alias("t"))
+    # unresolved members keep NULL head/pos from the resolver and fall
+    # back to themselves — each a singleton head row flagged false below
+    # (a member of a failed chain can never also be a resolved group's
+    # head: heads have no backward edge, unresolved members always do,
+    # so grouping by (head, resolved) never merges mixed verdicts)
     members = d.join(res, "member", "left").select(
         F.coalesce("head", F.col("member")).alias("head"),
-        F.coalesce("pos", F.lit(0)).alias("pos"), "t")
-    return members.groupBy("head").agg(
+        F.coalesce("pos", F.lit(0)).alias("pos"),
+        F.coalesce("resolved", F.lit(True)).alias("resolved"), "t")
+    return members.groupBy("head", "resolved").agg(
         F.count(F.lit(1)).cast("long").alias("n_pages"),
         F.array_join(
             F.transform(F.array_sort(F.collect_list(

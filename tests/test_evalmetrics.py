@@ -61,6 +61,12 @@ def test_pair_metrics_disjoint_and_empty(spark):
     empty = spark.createDataFrame([], "id_a long, id_b long")
     [r2] = pair_metrics(empty, truth).collect()
     assert (r2.n_pred, r2.fn) == (0, 1)
+    # both sides empty: every figure must be 0, never NULL — the
+    # degenerate audit row stays usable downstream
+    [r3] = pair_metrics(empty, empty).collect()
+    assert (r3.n_pred, r3.n_truth, r3.tp, r3.fp, r3.fn,
+            r3.precision_ppm, r3.recall_ppm, r3.f1_ppm) == (
+        0, 0, 0, 0, 0, 0, 0, 0)
 
 
 # --- clustering diff --------------------------------------------------------

@@ -177,6 +177,21 @@ def test_redact_secrets_negative_guards(spark):
     assert row.redacted == benign
 
 
+def test_redact_secrets_hex_case_and_long_runs(spark):
+    from llm_food_spark.operators.redact import secret_cols
+
+    # uppercase and mixed-case hex credentials must be caught, and a
+    # run longer than 64 chars must match (no upper bound: with one,
+    # \b can't fall inside the run so 70-char secrets matched nothing)
+    text = ("upper " + "ABCDEF0123456789" * 3 + " mixed "
+            + "aBcDeF0123456789" * 4 + " and " + "c" * 70)
+    df = spark.createDataFrame([(text,)], "text string")
+    row = df.select(*[c.alias(k) for k, c in
+                      secret_cols(F.col("text")).items()]).collect()[0]
+    assert row.n_hex_secret == 3
+    assert "ABCDEF" not in row.redacted and "c" * 40 not in row.redacted
+
+
 def test_redact_secrets_hex_never_eats_structured_tokens(spark):
     from llm_food_spark.operators.redact import secret_cols
 

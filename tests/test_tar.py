@@ -63,23 +63,34 @@ def test_parse_tar_truncated_and_garbage():
 
 def test_split_member_key_rules():
     assert split_member_key("d/000123.txt") == ("d/000123", "txt")
-    assert split_member_key("a.b.c") == ("a.b", "c")
+    # first dot of the BASENAME splits: multi-dot members group into
+    # one sample (WebDataset rule — 000123.json.gz + 000123.seg.txt
+    # belong to sample 000123)
+    assert split_member_key("a.b.c") == ("a", "b.c")
+    assert split_member_key("d/000123.json.gz") == ("d/000123", "json.gz")
+    assert split_member_key("d/000123.seg.txt") == ("d/000123", "seg.txt")
+    # dots in DIRECTORY components never split the key
+    assert split_member_key("v1.2/000123.txt") == ("v1.2/000123", "txt")
     assert split_member_key("noext") == ("noext", "")
+    assert split_member_key("dir.v2/noext") == ("dir.v2/noext", "")
 
 
 def test_tar_members_and_samples_spark(spark):
     from llm_food_spark.sources.tar import tar_members, webdataset_samples
 
     shard = _shard([("s/0.txt", b"t0"), ("s/0.json", b"{}"),
-                    ("s/1.txt", b"t1")])
+                    ("s/1.txt", b"t1"),
+                    ("s/2.json.gz", b"gz"), ("s/2.seg.txt", b"seg")])
     df = spark.createDataFrame(
         [("shard-000.tar", bytearray(shard))],
         "path string, content binary")
     m = tar_members(df)
     rows = {r.member: r for r in m.collect()}
-    assert len(rows) == 3
+    assert len(rows) == 5
     assert bytes(rows["s/0.txt"].payload) == b"t0"
     assert rows["s/0.json"].key == "s/0"
     s = {r.key: r for r in webdataset_samples(m).collect()}
     assert s["s/0"].n_parts == 2 and s["s/0"].exts == "json,txt"
     assert s["s/1"].total_bytes == 2
+    # multi-dot members group into ONE sample (first-dot rule)
+    assert s["s/2"].n_parts == 2 and s["s/2"].exts == "json.gz,seg.txt"

@@ -1119,12 +1119,13 @@ def test_stitch_paginated_chains_and_singletons(spark):
          ("a1", "x", ""), ("solo", "a1", "prev")],
         "src string, target string, rel string")
     rows = {r.head: r for r in stitch_paginated(links, docs).collect()}
-    assert rows["a1"].n_pages == 3
+    assert rows["a1"].n_pages == 3 and rows["a1"].resolved
     assert rows["a1"].stitched == "part one\n\npart two\n\npart three"
     assert rows["solo"].n_pages == 1 and rows["solo"].stitched == "alone"
+    assert rows["solo"].resolved
 
 
-def test_stitch_paginated_cycle_dropped_loudly(spark):
+def test_stitch_paginated_cycle_flagged_loudly(spark):
     from llm_food_spark.operators.textops import stitch_paginated
 
     docs = spark.createDataFrame(
@@ -1134,9 +1135,29 @@ def test_stitch_paginated_cycle_dropped_loudly(spark):
         [("c1", "c2", "next"), ("c2", "c1", "next")],
         "src string, target string, rel string")
     rows = {r.head: r for r in stitch_paginated(links, docs).collect()}
-    # cycle members resolve to NULL -> fall back to their own heads
-    assert rows["ok"].n_pages == 1
-    assert "c1" in rows and "c2" in rows
+    # cycle members come out as their own heads FLAGGED resolved=false —
+    # a broken chain must not masquerade as clean singleton articles
+    assert rows["ok"].n_pages == 1 and rows["ok"].resolved
+    assert not rows["c1"].resolved and not rows["c2"].resolved
+
+
+def test_stitch_paginated_overlong_chain_flagged(spark):
+    from llm_food_spark.operators.textops import stitch_paginated
+
+    docs = spark.createDataFrame(
+        [("p%d" % i, "t%d" % i) for i in range(8)],
+        "url string, text string")
+    links = spark.createDataFrame(
+        [("p%d" % i, "p%d" % (i + 1), "next") for i in range(7)],
+        "src string, target string, rel string")
+    rows = {r.head: r for r in stitch_paginated(
+        links, docs, max_chain=4).collect()}
+    # far members can't reach the head within max_chain: flagged, not
+    # silently re-emitted as clean articles
+    assert any(not r.resolved for r in rows.values())
+    for r in rows.values():
+        if not r.resolved:
+            assert r.n_pages == 1
 
 
 def test_stitch_paginated_partition_invariance(spark):
