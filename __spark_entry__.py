@@ -2238,17 +2238,22 @@ def q_align_spans(spark, sf_dir):
 def q_webdataset_prep(spark, sf_dir):
     """Multimodal flagship composite: WebDataset tar shards -> member
     table (REAL ustar walk) -> per-sample caption/image pivot -> REAL
-    PNG header decode -> LAION-style screen, one chained plan. Caption
-    lengths and PNG dimensions are closed-form in the sample id, so
-    DuckDB reconstructs every sample row — text, width/height, and the
-    kept verdict — arithmetically THROUGH the tar framing and image
-    decode."""
+    PNG header decode + REAL baseline-JPEG Huffman+IDCT pixel decode
+    (functions/jpegio.py) -> LAION-style screen, one chained plan.
+    Caption lengths, PNG dimensions, JPEG dimensions AND the JPEG
+    channel mean (flat-gray fixtures decode bit-exactly under all-ones
+    quant: mean_milli = 1000 * gray value) are closed-form in the
+    sample id — DuckDB reconstructs every sample row arithmetically
+    THROUGH the tar framing, the image headers, and the full JPEG
+    entropy decode."""
     import io
     import struct as _s
     import tarfile
     import zlib as _z
 
-    from llm_food_spark.operators.multimodal import decode_image_meta
+    from llm_food_spark.functions.jpegio import make_jpeg
+    from llm_food_spark.operators.multimodal import (
+        decode_image_meta, image_pixel_stats)
     from llm_food_spark.sources.tar import tar_members
 
     def png(w, h):
@@ -2265,8 +2270,13 @@ def q_webdataset_prep(spark, sf_dir):
             for j in range(4 + s):
                 did = s * 100 + j
                 cap = ("caption for item %d " % did) + "x" * (did % 30)
+                jw, jh = 32 + did % 9, 24 + did % 7
+                jv = (did * 11) % 256
+                jpg = make_jpeg(bytes([jv, jv, jv]) * (jw * jh), jw, jh,
+                                subsample="420" if did % 2 else "444")
                 parts = (("txt", cap.encode()),
-                         ("png", png(64 + did % 30, 48 + did % 20)))
+                         ("png", png(64 + did % 30, 48 + did % 20)),
+                         ("jpg", jpg))
                 for ext, payload in parts:
                     info = tarfile.TarInfo("k%04d.%s" % (did, ext))
                     info.size = len(payload)
@@ -2282,11 +2292,68 @@ def q_webdataset_prep(spark, sf_dir):
         "payload")
     meta = decode_image_meta(imgs).select(
         F.col("media_id").alias("key"), "width", "height")
-    j = caps.join(meta, "key")
+    jpgs = m.where(F.col("ext") == "jpg").select(
+        F.col("key").alias("media_id"), "payload")
+    jstats = image_pixel_stats(jpgs).select(
+        F.col("media_id").alias("key"),
+        F.col("width").alias("jpg_width"),
+        F.col("height").alias("jpg_height"),
+        F.col("mean_r_milli").alias("jpg_mean_milli"))
+    j = caps.join(meta, "key").join(jstats, "key")
     return j.select(
         "shard", "key", "caption", "width", "height",
+        "jpg_width", "jpg_height", "jpg_mean_milli",
         ((F.length("caption") >= 40) & (F.col("width") >= 80))
          .alias("kept"))
+
+
+def q_jpeg_pixels(spark, sf_dir):
+    """Corpus-scale baseline-JPEG pixel decode (functions/jpegio.py via
+    operators/multimodal.py::image_pixel_stats): every documents row
+    synthesizes a JPEG INSIDE the executors (mapInPandas — the honest
+    distributed shape) and decodes it back through the full
+    marker/Huffman/IDCT pipeline. Two fixture classes: flat gray at odd
+    non-block-aligned dims alternating 4:4:4 / 4:2:0 (exercises edge
+    cropping + chroma upsampling), and 8-row banded gray at 24x32
+    (DC-only blocks with positive AND negative DC diffs — the DC
+    predictor chain). All-ones quant makes both classes decode
+    bit-exactly, so the DuckDB twin states format, true dimensions and
+    the channel mean in closed form per doc_id."""
+    import pandas as _pd
+
+    from llm_food_spark.operators.multimodal import image_pixel_stats
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(it):
+        from llm_food_spark.functions.jpegio import make_jpeg
+
+        for pdf in it:
+            ids, payloads = [], []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                if i % 2 == 0:
+                    v = (i * 13) % 256
+                    w, h = 17 + i % 15, 11 + i % 13
+                    rgb = bytes([v, v, v]) * (w * h)
+                    payload = make_jpeg(
+                        rgb, w, h,
+                        subsample="420" if i % 4 == 0 else "444")
+                else:
+                    w, h = 24, 32
+                    vals = [(i * 7 + 31 * k) % 256 for k in range(4)]
+                    rgb = b"".join(bytes([v, v, v]) * (w * 8)
+                                   for v in vals)
+                    payload = make_jpeg(rgb, w, h)
+                ids.append(str(i))
+                payloads.append(payload)
+            yield _pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    media = d.mapInPandas(gen, "media_id string, payload binary")
+    return image_pixel_stats(media).select(
+        F.col("media_id").cast("long").alias("doc_id"),
+        "format", "width", "height",
+        "mean_r_milli", "mean_g_milli", "mean_b_milli", "status")
 
 
 def q_code_blocks(spark, sf_dir):
@@ -5556,6 +5623,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "social_cards": q_social_cards,        # og:image/og:type/twitter card metadata through the real DOM parse (the declared-image side of caption sourcing); closed-form per-class twin
         "code_blocks": q_code_blocks,          # fenced code extraction from the markdown dialect (the code-corpus router's input); closed-form twin incl. index arithmetic
         "bpe_encode": q_bpe_encode,            # demoted for webdataset_prep: bpe_learn holds the tokenizer driver slot (its twin re-derives the merge table) and tokenizer_fertility re-encodes the corpus repo-gated; the encode form stays repo-gated
+        "jpeg_pixels": q_jpeg_pixels,          # corpus-scale baseline-JPEG Huffman+IDCT pixel decode (flat 444/420 + banded DC-chain classes, bit-exact under all-ones quant); webdataset_prep holds the multimodal driver slot and now chains the SAME decoder through its shards — this is the wider repo-gated form
         "align_spans": q_align_spans,          # seed-and-chain shared-span location (the WHERE of plagiarism/syndication; containment is the HOW MUCH); full-alignment twin over real text + planted tails
         "template_prune": q_template_prune,    # cross-page template SUBTRACTION chained induce->curate->prune through the real DOM parse (maximal all-template subtrees); closed-form twin
         "crawl_delays": q_crawl_delays,        # crawl-delay politeness extraction through the real robots group scan (foreign groups excluded, max-wins, exact millis); closed-form twin
@@ -9504,7 +9572,10 @@ def _handwritten_oracles() -> dict[str, str]:
             FROM best WHERE rn = 1
         """,
         # webdataset_prep twin: sample universe closed-form in (s, j);
-        # caption strings, PNG dimensions and verdicts all arithmetic.
+        # caption strings, PNG dimensions, verdicts — and the JPEG
+        # columns reconstructed THROUGH the full baseline entropy
+        # decode: flat-gray all-ones-quant fixtures decode bit-exactly,
+        # so jpg_mean_milli is exactly 1000 * ((id*11) % 256).
         "webdataset_prep": """
             WITH mem AS (
               SELECT s, u.j, (s * 100 + u.j) AS id
@@ -9517,6 +9588,9 @@ def _handwritten_oracles() -> dict[str, str]:
                    || repeat('x', id % 30) AS caption,
                    (64 + id % 30)::INT AS width,
                    (48 + id % 20)::INT AS height,
+                   (32 + id % 9)::INT AS jpg_width,
+                   (24 + id % 7)::INT AS jpg_height,
+                   (1000 * ((id * 11) % 256))::BIGINT AS jpg_mean_milli,
                    (len('caption for item ' || id || ' ') + id % 30
                     >= 40 AND 64 + id % 30 >= 80) AS kept
             FROM mem
@@ -9732,6 +9806,40 @@ def _handwritten_oracles() -> dict[str, str]:
                           THEN 'test'
                         ELSE 'embargo' END AS split
             FROM events
+        """,
+        # jpeg_pixels twin: both fixture classes decode bit-exactly
+        # (all-ones quant, flat 8x8 regions -> DC-only blocks), so the
+        # channel mean is pure arithmetic: flat class = the gray value,
+        # banded class = floor(1000 * sum(bands) / 4) = 250 * sum.
+        "jpeg_pixels": """
+            SELECT doc_id, 'jpeg' AS format,
+                   CASE WHEN doc_id % 2 = 0 THEN 17 + doc_id % 15
+                        ELSE 24 END::INT AS width,
+                   CASE WHEN doc_id % 2 = 0 THEN 11 + doc_id % 13
+                        ELSE 32 END::INT AS height,
+                   CASE WHEN doc_id % 2 = 0
+                        THEN 1000 * ((doc_id * 13) % 256)
+                        ELSE 250 * (((doc_id * 7) % 256)
+                                    + ((doc_id * 7 + 31) % 256)
+                                    + ((doc_id * 7 + 62) % 256)
+                                    + ((doc_id * 7 + 93) % 256))
+                   END::BIGINT AS mean_r_milli,
+                   CASE WHEN doc_id % 2 = 0
+                        THEN 1000 * ((doc_id * 13) % 256)
+                        ELSE 250 * (((doc_id * 7) % 256)
+                                    + ((doc_id * 7 + 31) % 256)
+                                    + ((doc_id * 7 + 62) % 256)
+                                    + ((doc_id * 7 + 93) % 256))
+                   END::BIGINT AS mean_g_milli,
+                   CASE WHEN doc_id % 2 = 0
+                        THEN 1000 * ((doc_id * 13) % 256)
+                        ELSE 250 * (((doc_id * 7) % 256)
+                                    + ((doc_id * 7 + 31) % 256)
+                                    + ((doc_id * 7 + 62) % 256)
+                                    + ((doc_id * 7 + 93) % 256))
+                   END::BIGINT AS mean_b_milli,
+                   'decoded' AS status
+            FROM documents
         """,
         # stitch_pages twin: chain reassembly by plain group
         # arithmetic (head = i - i%4) vs the operator's pointer

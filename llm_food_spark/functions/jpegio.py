@@ -1,0 +1,585 @@
+"""Baseline JPEG codec — real Huffman + IDCT decode, deterministic encode.
+
+``jpeg_decode`` handles baseline sequential JFIF (SOF0/SOF1): 1- or
+3-component frames, sampling factors 1-2 per axis (4:4:4, 4:2:2, 4:2:0),
+multiple DQT/DHT segments, 16-bit quant tables, restart intervals (DRI +
+RSTn), and 0xFF00 byte stuffing. Progressive (SOF2) and arithmetic-coded
+frames return None — the operator layer turns that into a loud failed row,
+never a silent wrong decode. ``make_jpeg`` is the fixture half: a
+deterministic baseline encoder (caller-chosen quant tables, 4:4:4 or 4:2:0,
+optional grayscale and restart intervals) so tests and DuckDB twins can
+state expected pixels in closed form (all-ones quant + flat blocks decode
+EXACTLY: DC-only blocks survive the integer pipeline bit-for-bit).
+
+Pure Python + numpy (no Spark imports per repo convention); the Arrow
+vectorization lives in operators/multimodal.py. Reference parity note: the
+reference (llm-food) has no media pipeline — this module serves the task
+brief's multimodal requirements; JPEG is the dominant web image format, so
+a real decoder is what makes the corpus screens honest.
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+# zigzag scan order: scan index -> flattened (row*8+col) offset (T.81 A.3.6)
+ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10,
+    17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+# ITU T.81 Annex K.3 typical Huffman tables: (bits[1..16], values)
+_DC_LUMA = ([0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+            list(range(12)))
+_DC_CHROMA = ([0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+              list(range(12)))
+_AC_LUMA = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+     0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+     0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+     0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+     0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+     0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+     0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+     0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+     0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+     0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+     0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+     0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+     0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+     0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+     0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA],
+)
+_AC_CHROMA = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+     0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+     0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+     0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+     0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+     0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+     0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+     0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+     0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+     0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+     0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+     0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+     0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+     0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+     0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA],
+)
+
+# 8x8 DCT-II basis matrix: A @ x @ A.T is the forward 2-D DCT (T.81 A.3.3)
+_A = np.array(
+    [[(0.35355339059327373 if k == 0 else 0.5)
+      * np.cos((2 * n + 1) * k * np.pi / 16)
+      for n in range(8)] for k in range(8)]
+)
+
+
+def _round_half_up(x: np.ndarray) -> np.ndarray:
+    # floor(x + 0.5): one deterministic rounding rule shared by encoder,
+    # decoder, tests, and the DuckDB twins (banker's rounding would make
+    # the twins dialect-dependent)
+    return np.floor(x + 0.5)
+
+
+# ---------------------------------------------------------------------------
+# Huffman tables
+# ---------------------------------------------------------------------------
+
+def _huff_codes(bits: List[int], values: List[int]) -> Dict[int, Tuple[int, int]]:
+    """(bits, values) -> {symbol: (code, length)} canonical assignment."""
+    out: Dict[int, Tuple[int, int]] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[values[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _huff_decoder(bits: List[int], values: List[int]):
+    """Canonical decode tables: per length, (min_code, max_code, first
+    value index) — O(length) lookup per symbol, no giant dicts."""
+    mins, maxs, firsts = [0] * 17, [-1] * 17, [0] * 17
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        mins[length] = code
+        firsts[length] = k
+        n = bits[length - 1]
+        code += n
+        k += n
+        maxs[length] = code - 1 if n else -1
+        code <<= 1
+    return mins, maxs, firsts, values
+
+
+class _BitReader:
+    """Entropy-segment bit reader: FF00 unstuffing, stops at markers."""
+
+    def __init__(self, b: bytes, pos: int):
+        self.b = b
+        self.pos = pos
+        self.cur = 0
+        self.nbits = 0
+        self.marker: Optional[int] = None  # pending marker (e.g. RST/EOI)
+
+    def _fill(self) -> bool:
+        if self.pos >= len(self.b):
+            return False
+        byte = self.b[self.pos]
+        if byte == 0xFF:
+            if self.pos + 1 >= len(self.b):
+                return False
+            nxt = self.b[self.pos + 1]
+            if nxt == 0x00:
+                self.pos += 2
+            else:
+                self.marker = nxt
+                return False
+        else:
+            self.pos += 1
+        self.cur = (self.cur << 8) | byte
+        self.nbits += 8
+        return True
+
+    def read(self, n: int) -> Optional[int]:
+        while self.nbits < n:
+            if not self._fill():
+                return None
+        self.nbits -= n
+        v = (self.cur >> self.nbits) & ((1 << n) - 1)
+        self.cur &= (1 << self.nbits) - 1
+        return v
+
+    def sync_restart(self) -> bool:
+        """Consume a pending RSTn marker and realign to byte boundary."""
+        self.cur = 0
+        self.nbits = 0
+        if self.marker is not None and 0xD0 <= self.marker <= 0xD7:
+            self.pos += 2  # past FF Dn
+            self.marker = None
+            return True
+        # some encoders only byte-align without the marker visible yet
+        if (self.pos + 1 < len(self.b) and self.b[self.pos] == 0xFF
+                and 0xD0 <= self.b[self.pos + 1] <= 0xD7):
+            self.pos += 2
+            return True
+        return False
+
+
+def _decode_symbol(r: _BitReader, table) -> Optional[int]:
+    mins, maxs, firsts, values = table
+    code = 0
+    for length in range(1, 17):
+        bit = r.read(1)
+        if bit is None:
+            return None
+        code = (code << 1) | bit
+        if maxs[length] >= 0 and mins[length] <= code <= maxs[length]:
+            return values[firsts[length] + code - mins[length]]
+    return None
+
+
+def _extend(v: int, size: int) -> int:
+    """T.81 F.2.2.1 EXTEND: map ``size`` raw bits to a signed value."""
+    if size == 0:
+        return 0
+    return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+
+# ---------------------------------------------------------------------------
+# Decoder
+# ---------------------------------------------------------------------------
+
+def jpeg_decode(b: bytes) -> Optional[Tuple[int, int, bytes]]:
+    """Baseline sequential JPEG -> (width, height, RGB24 bytes), or None
+    for anything this decoder cannot handle EXACTLY (progressive,
+    arithmetic coding, 12-bit, >2 sampling factors, truncated streams).
+    Loud-None, never a best-effort wrong image."""
+    if len(b) < 4 or b[:2] != b"\xff\xd8":
+        return None
+    qt: Dict[int, np.ndarray] = {}
+    huff: Dict[Tuple[int, int], tuple] = {}
+    frame = None  # (h, w, comps) comps: [(cid, hs, vs, tq)]
+    restart_interval = 0
+    i = 2
+    n = len(b)
+    while i + 4 <= n:
+        if b[i] != 0xFF:
+            return None
+        marker = b[i + 1]
+        if marker == 0xD8 or 0xD0 <= marker <= 0xD7 or marker == 0x01:
+            i += 2
+            continue
+        if marker == 0xD9:  # EOI before SOS
+            return None
+        seg_len = struct.unpack(">H", b[i + 2:i + 4])[0]
+        seg = b[i + 4:i + 2 + seg_len]
+        if len(seg) != seg_len - 2:
+            return None
+        if marker == 0xDB:  # DQT (possibly several tables per segment)
+            j = 0
+            while j < len(seg):
+                pq, tq = seg[j] >> 4, seg[j] & 0x0F
+                j += 1
+                if pq == 0:
+                    vals = list(seg[j:j + 64])
+                    j += 64
+                elif pq == 1:
+                    vals = [struct.unpack(">H", seg[j + 2 * k:j + 2 * k + 2])[0]
+                            for k in range(64)]
+                    j += 128
+                else:
+                    return None
+                if len(vals) != 64:
+                    return None
+                t = np.zeros(64)
+                for k, z in enumerate(ZIGZAG):
+                    t[z] = vals[k]
+                qt[tq] = t.reshape(8, 8)
+        elif marker == 0xC4:  # DHT (possibly several tables per segment)
+            j = 0
+            while j + 17 <= len(seg):
+                tc, th = seg[j] >> 4, seg[j] & 0x0F
+                bits = list(seg[j + 1:j + 17])
+                nv = sum(bits)
+                values = list(seg[j + 17:j + 17 + nv])
+                if len(values) != nv:
+                    return None
+                huff[(tc, th)] = _huff_decoder(bits, values)
+                j += 17 + nv
+        elif marker in (0xC0, 0xC1):  # baseline / extended sequential
+            prec, fh, fw, nc = struct.unpack(">BHHB", seg[0:6])
+            if prec != 8 or nc not in (1, 3) or fw == 0 or fh == 0:
+                return None
+            comps = []
+            for c in range(nc):
+                cid, samp, tq = seg[6 + 3 * c:9 + 3 * c]
+                hs, vs = samp >> 4, samp & 0x0F
+                if not (1 <= hs <= 2 and 1 <= vs <= 2):
+                    return None
+                comps.append((cid, hs, vs, tq))
+            frame = (fh, fw, comps)
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            return None  # progressive / arithmetic / hierarchical
+        elif marker == 0xDD:  # DRI
+            restart_interval = struct.unpack(">H", seg[0:2])[0]
+        elif marker == 0xDA:  # SOS — entropy data follows
+            if frame is None:
+                return None
+            ns = seg[0]
+            scan = {}
+            for c in range(ns):
+                cs, tabs = seg[1 + 2 * c:3 + 2 * c]
+                scan[cs] = (tabs >> 4, tabs & 0x0F)
+            return _decode_scan(b, i + 2 + seg_len, frame, scan, qt, huff,
+                                restart_interval)
+        i += 2 + seg_len
+    return None
+
+
+def _decode_scan(b, pos, frame, scan, qt, huff, restart_interval):
+    fh, fw, comps = frame
+    if any(cid not in scan for cid, _, _, _ in comps):
+        return None
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = -(-fw // (8 * hmax))
+    mcuy = -(-fh // (8 * vmax))
+    planes = []
+    for cid, hs, vs, tq in comps:
+        if tq not in qt:
+            return None
+        planes.append(np.zeros((mcuy * vs * 8, mcux * hs * 8)))
+    r = _BitReader(b, pos)
+    pred = [0] * len(comps)
+    At = _A.T
+    mcu_count = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_count and \
+                    mcu_count % restart_interval == 0:
+                if not r.sync_restart():
+                    return None
+                pred = [0] * len(comps)
+            for ci, (cid, hs, vs, tq) in enumerate(comps):
+                dc_t = huff.get((0, scan[cid][0]))
+                ac_t = huff.get((1, scan[cid][1]))
+                if dc_t is None or ac_t is None:
+                    return None
+                for by in range(vs):
+                    for bx in range(hs):
+                        size = _decode_symbol(r, dc_t)
+                        if size is None or size > 11:
+                            return None
+                        bits = r.read(size) if size else 0
+                        if bits is None:
+                            return None
+                        pred[ci] += _extend(bits, size)
+                        coef = np.zeros(64)
+                        coef[0] = pred[ci]
+                        k = 1
+                        while k < 64:
+                            rs = _decode_symbol(r, ac_t)
+                            if rs is None:
+                                return None
+                            run, sz = rs >> 4, rs & 0x0F
+                            if sz == 0:
+                                if run == 15:  # ZRL
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += run
+                            if k > 63:
+                                return None
+                            v = r.read(sz)
+                            if v is None:
+                                return None
+                            coef[ZIGZAG[k]] = _extend(v, sz)
+                            k += 1
+                        block = coef.reshape(8, 8) * qt[tq]
+                        spatial = At @ block @ _A + 128.0
+                        y0 = (my * vs + by) * 8
+                        x0 = (mx * hs + bx) * 8
+                        planes[ci][y0:y0 + 8, x0:x0 + 8] = spatial
+            mcu_count += 1
+    out_planes = []
+    for ci, (cid, hs, vs, tq) in enumerate(comps):
+        p = planes[ci]
+        if hs < hmax:
+            p = np.repeat(p, hmax // hs, axis=1)
+        if vs < vmax:
+            p = np.repeat(p, vmax // vs, axis=0)
+        out_planes.append(p[:fh, :fw])
+    if len(out_planes) == 1:
+        y = np.clip(_round_half_up(out_planes[0]), 0, 255).astype(np.uint8)
+        rgb = np.stack([y, y, y], axis=-1)
+        return fw, fh, rgb.tobytes()
+    y, cb, cr = out_planes
+    cb = cb - 128.0
+    cr = cr - 128.0
+    r_ = y + 1.402 * cr
+    g_ = y - 0.344136 * cb - 0.714136 * cr
+    b_ = y + 1.772 * cb
+    rgb = np.stack(
+        [np.clip(_round_half_up(r_), 0, 255),
+         np.clip(_round_half_up(g_), 0, 255),
+         np.clip(_round_half_up(b_), 0, 255)], axis=-1).astype(np.uint8)
+    return fw, fh, rgb.tobytes()
+
+
+# ---------------------------------------------------------------------------
+# Encoder (fixture half)
+# ---------------------------------------------------------------------------
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.cur = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int):
+        self.cur = (self.cur << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            self.nbits -= 8
+            byte = (self.cur >> self.nbits) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:
+                self.out.append(0x00)  # stuffing
+            self.cur &= (1 << self.nbits) - 1
+
+    def pad_to_byte(self):
+        if self.nbits:
+            self.write((1 << (8 - self.nbits)) - 1, 8 - self.nbits)
+
+
+def _encode_block(w: _BitWriter, coef_zz: List[int], pred: int,
+                  dc_codes, ac_codes) -> int:
+    diff = coef_zz[0] - pred
+    size = diff and int(abs(diff)).bit_length()
+    code, length = dc_codes[size]
+    w.write(code, length)
+    if size:
+        w.write(diff if diff > 0 else diff + (1 << size) - 1, size)
+    run = 0
+    last_nz = max((k for k in range(1, 64) if coef_zz[k]), default=0)
+    for k in range(1, last_nz + 1):
+        v = coef_zz[k]
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            c, ln = ac_codes[0xF0]  # ZRL
+            w.write(c, ln)
+            run -= 16
+        sz = int(abs(v)).bit_length()
+        c, ln = ac_codes[(run << 4) | sz]
+        w.write(c, ln)
+        w.write(v if v > 0 else v + (1 << sz) - 1, sz)
+        run = 0
+    if last_nz < 63:
+        c, ln = ac_codes[0x00]  # EOB
+        w.write(c, ln)
+    return coef_zz[0]
+
+
+def _plane_blocks(plane: np.ndarray, q: np.ndarray) -> List[List[int]]:
+    """Pad to 8x8 grid (edge replication), forward DCT, quantize, zigzag."""
+    h, w = plane.shape
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    p = np.pad(plane, ((0, ph - h), (0, pw - w)), mode="edge") - 128.0
+    out = []
+    for y0 in range(0, ph, 8):
+        for x0 in range(0, pw, 8):
+            block = _A @ p[y0:y0 + 8, x0:x0 + 8] @ _A.T
+            qd = _round_half_up(block / q)
+            qd = np.clip(qd, -1023, 1023)  # keep AC sizes in table range
+            flat = qd.reshape(64)
+            out.append([int(flat[z]) for z in ZIGZAG])
+    return out
+
+
+def _dht_segment(tc: int, th: int, table) -> bytes:
+    bits, values = table
+    body = bytes([(tc << 4) | th]) + bytes(bits) + bytes(values)
+    return b"\xff\xc4" + struct.pack(">H", len(body) + 2) + body
+
+
+def _dqt_segment(tq: int, q: np.ndarray) -> bytes:
+    flat = q.reshape(64)
+    body = bytes([tq]) + bytes(int(flat[z]) for z in ZIGZAG)
+    return b"\xff\xdb" + struct.pack(">H", len(body) + 2) + body
+
+
+def make_jpeg(rgb: bytes, w: int, h: int,
+              quant_luma: Optional[List[int]] = None,
+              quant_chroma: Optional[List[int]] = None,
+              subsample: str = "444",
+              gray: bool = False,
+              restart_interval: int = 0) -> bytes:
+    """Deterministic baseline JFIF encoder. Default quant tables are
+    all-ones (near-lossless: flat 8x8 regions decode bit-exactly, which is
+    what the closed-form twins rely on). ``subsample`` '444' or '420';
+    ``gray`` emits a 1-component frame from the R channel."""
+    if len(rgb) != w * h * 3:
+        raise ValueError("rgb must be w*h*3 bytes")
+    if subsample not in ("444", "420"):
+        raise ValueError("subsample must be '444' or '420'")
+    ql = np.array(quant_luma or [1] * 64, dtype=float).reshape(8, 8)
+    qc = np.array(quant_chroma or [1] * 64, dtype=float).reshape(8, 8)
+    arr = np.frombuffer(rgb, np.uint8).reshape(h, w, 3).astype(float)
+    r_, g_, b_ = arr[..., 0], arr[..., 1], arr[..., 2]
+    yy = np.clip(_round_half_up(0.299 * r_ + 0.587 * g_ + 0.114 * b_),
+                 0, 255)
+    out = bytearray(b"\xff\xd8")
+    out += (b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00"
+            + b"\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += _dqt_segment(0, ql)
+    dc_l = _huff_codes(*_DC_LUMA)
+    ac_l = _huff_codes(*_AC_LUMA)
+    out += _dht_segment(0, 0, _DC_LUMA) + _dht_segment(1, 0, _AC_LUMA)
+    if gray:
+        comps_sof = [(1, 1, 1, 0)]
+        planes = [(yy, ql, dc_l, ac_l, (0, 0))]
+    else:
+        cb = np.clip(_round_half_up(
+            128.0 - 0.168736 * r_ - 0.331264 * g_ + 0.5 * b_), 0, 255)
+        cr = np.clip(_round_half_up(
+            128.0 + 0.5 * r_ - 0.418688 * g_ - 0.081312 * b_), 0, 255)
+        if subsample == "420":
+            # pad odd dims by edge replication, then mean over 2x2
+            ph, pw = -(-h // 2) * 2, -(-w // 2) * 2
+            def half(p):
+                p = np.pad(p, ((0, ph - h), (0, pw - w)), mode="edge")
+                q = (p[0::2, 0::2] + p[0::2, 1::2]
+                     + p[1::2, 0::2] + p[1::2, 1::2]) / 4.0
+                return _round_half_up(q)
+            cb, cr = half(cb), half(cr)
+            samp = (2, 2)
+        else:
+            samp = (1, 1)
+        out += _dqt_segment(1, qc)
+        dc_c = _huff_codes(*_DC_CHROMA)
+        ac_c = _huff_codes(*_AC_CHROMA)
+        out += _dht_segment(0, 1, _DC_CHROMA) + _dht_segment(1, 1, _AC_CHROMA)
+        comps_sof = [(1, samp[0], samp[1], 0), (2, 1, 1, 1), (3, 1, 1, 1)]
+        planes = [(yy, ql, dc_l, ac_l, (0, 0)),
+                  (cb, qc, dc_c, ac_c, (1, 1)),
+                  (cr, qc, dc_c, ac_c, (1, 1))]
+    sof = struct.pack(">BHHB", 8, h, w, len(comps_sof))
+    for cid, hs, vs, tq in comps_sof:
+        sof += bytes([cid, (hs << 4) | vs, tq])
+    out += b"\xff\xc0" + struct.pack(">H", len(sof) + 2) + sof
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">H", 4) + struct.pack(
+            ">H", restart_interval)
+    sos = bytes([len(comps_sof)])
+    for k, (cid, hs, vs, tq) in enumerate(comps_sof):
+        td = 0 if k == 0 else 1
+        sos += bytes([cid, (td << 4) | td])
+    sos += b"\x00\x3f\x00"
+    out += b"\xff\xda" + struct.pack(">H", len(sos) + 2) + sos
+
+    hmax = max(c[1] for c in comps_sof)
+    vmax = max(c[2] for c in comps_sof)
+    # per-component zigzag blocks in raster order of that component's grid
+    comp_blocks = []
+    comp_grid = []
+    for (plane, q, dcc, acc, _), (cid, hs, vs, tq) in zip(planes, comps_sof):
+        # pad each plane to its MCU-aligned block grid (edge replication)
+        mcux = -(-w // (8 * hmax))
+        mcuy = -(-h // (8 * vmax))
+        tw, th = mcux * hs * 8, mcuy * vs * 8
+        p = np.pad(plane,
+                   ((0, th - plane.shape[0]), (0, tw - plane.shape[1])),
+                   mode="edge")
+        blocks = _plane_blocks(p, q)
+        comp_blocks.append(blocks)
+        comp_grid.append((hs, vs, tw // 8))
+    wtr = _BitWriter()
+    pred = [0] * len(planes)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    mcu_count = 0
+    rst = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_count and \
+                    mcu_count % restart_interval == 0:
+                wtr.pad_to_byte()
+                out += wtr.out
+                wtr = _BitWriter()
+                out += bytes([0xFF, 0xD0 + (rst & 7)])
+                rst += 1
+                pred = [0] * len(planes)
+            for ci, ((plane, q, dcc, acc, _),
+                     (hs, vs, stride)) in enumerate(
+                    zip(planes, comp_grid)):
+                for by in range(vs):
+                    for bx in range(hs):
+                        bi = (my * vs + by) * stride + (mx * hs + bx)
+                        pred[ci] = _encode_block(
+                            wtr, comp_blocks[ci][bi], pred[ci], dcc, acc)
+            mcu_count += 1
+    wtr.pad_to_byte()
+    out += wtr.out
+    out += b"\xff\xd9"
+    return bytes(out)

@@ -423,13 +423,15 @@ def resize_image(media: DataFrame, width: int, height: int,
     """media(media_id, payload) -> resized payloads.
 
     REAL for uncompressed 24bpp BMP (numpy nearest-neighbor, re-encoded as
-    BMP) and for PNG (pure-Python zlib inflate + unfilter decode in
+    BMP), for PNG (pure-Python zlib inflate + unfilter decode in
     functions/media.py, nearest-neighbor resize, deterministic filter-0
-    re-encode). GIF stills route through the same RGB24 resize via the LZW
-    frame decoder and come back as PNG. Only JPEG still needs a codec lib:
-    with allow_stub it produces deterministic fake payloads marked
-    status='stubbed' (plumbing testable end-to-end), otherwise failed ROWS
-    (record-and-continue; tasks never die on bad media).
+    re-encode), for GIF stills (LZW frame decoder), and for baseline
+    JPEG (the real Huffman+IDCT decoder in functions/jpegio.py) — GIF
+    and JPEG come back re-encoded as PNG. Only payloads NO decoder here
+    handles (progressive/arithmetic JPEG, corrupt streams) stub: with
+    allow_stub they produce deterministic fake payloads marked
+    status='stubbed' (plumbing testable end-to-end), otherwise failed
+    ROWS (record-and-continue; tasks never die on bad media).
     """
     if width <= 0 or height <= 0:
         raise ValueError("resize dimensions must be positive")
@@ -473,6 +475,19 @@ def resize_image(media: DataFrame, width: int, height: int,
                             rgb_src = ("gif",
                                        np.frombuffer(rgb, np.uint8)
                                        .reshape(h0, w0, 3))
+                        elif b[:2] == b"\xff\xd8":
+                            from llm_food_spark.functions.jpegio import (
+                                jpeg_decode)
+
+                            try:
+                                jpg = jpeg_decode(b)
+                            except (struct.error, IndexError, ValueError):
+                                jpg = None
+                            if jpg is not None:
+                                w0, h0, rgb = jpg
+                                rgb_src = ("jpeg",
+                                           np.frombuffer(rgb, np.uint8)
+                                           .reshape(h0, w0, 3))
                 if arr is not None:
                     out = _bmp_encode(_resize_nearest(arr, width, height))
                     row.update(payload=out, format="bmp", width=width,
@@ -494,8 +509,10 @@ def resize_image(media: DataFrame, width: int, height: int,
                         row.update(payload=dig * 4, format=fmt, width=width,
                                    height=height, status="stubbed")
                     elif fmt == "jpeg":
+                        # baseline decode is real; only progressive/
+                        # arithmetic/corrupt streams land here
                         row.update(format=fmt, error_message=
-                                   "no jpeg codec in this container")
+                                   "non-baseline or corrupt jpeg payload")
                     elif fmt:  # png/gif that the real decoder rejected
                         row.update(format=fmt, error_message=
                                    "corrupt or unsupported %s payload" % fmt)
@@ -656,8 +673,11 @@ DHASH_SCHEMA = T.StructType(
 
 def _decode_rgb(b: bytes):
     """payload -> (format, HxWx3 uint8 RGB array) or None — the shared
-    BMP -> PNG -> GIF probe order resize_image uses, with BMP's stored
-    BGR flipped to RGB (dhash interprets channels; resize does not)."""
+    BMP -> PNG -> GIF -> JPEG probe order the pixel operators use, with
+    BMP's stored BGR flipped to RGB (dhash and pixel stats interpret
+    channels). JPEG is the real baseline Huffman+IDCT decoder in
+    functions/jpegio.py — the dominant web image format decodes for
+    real here, no codec lib and no stub."""
     import numpy as np
 
     from llm_food_spark.functions.media import gif_frames, png_decode
@@ -682,14 +702,86 @@ def _decode_rgb(b: bytes):
     if gif:
         _no, _delay, w0, h0, rgb = gif[0]
         return "gif", np.frombuffer(rgb, np.uint8).reshape(h0, w0, 3)
+    if b[:2] == b"\xff\xd8":
+        from llm_food_spark.functions.jpegio import jpeg_decode
+
+        try:
+            jpg = jpeg_decode(b)
+        except (struct.error, IndexError, ValueError):
+            jpg = None
+        if jpg is not None:
+            w0, h0, rgb = jpg
+            return "jpeg", np.frombuffer(rgb, np.uint8).reshape(h0, w0, 3)
     return None
+
+
+PIXEL_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType()),
+        T.StructField("format", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("mean_r_milli", T.LongType()),
+        T.StructField("mean_g_milli", T.LongType()),
+        T.StructField("mean_b_milli", T.LongType()),
+        T.StructField("status", T.StringType()),
+        T.StructField("error_message", T.StringType()),
+    ]
+)
+
+
+def image_pixel_stats(media: DataFrame) -> DataFrame:
+    """Full-pixel decode audit: (media_id, payload) -> per-image format,
+    true decoded dimensions, and exact per-channel means in milli units
+    (floor(sum * 1000 / n_pixels), pure integer arithmetic so a DuckDB
+    twin can state the expected values in closed form).
+
+    REAL for BMP/PNG/GIF/JPEG via the shared _decode_rgb chain — for
+    JPEG this drives the full baseline Huffman+IDCT pipeline in
+    functions/jpegio.py, making this the corpus-level proof that the
+    dominant web image format decodes correctly at scale (the
+    header-only decode_image_meta can't see past the SOF marker).
+    Undecodable payloads emit status='failed' rows (record-and-continue).
+
+    Scale shape: size-salted repartition so one Arrow batch is ~constant
+    bytes, one MapInPandas, no shuffle after decode."""
+
+    def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            rows: List[dict] = []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(payload) if payload is not None else b""
+                dec = _decode_rgb(b)
+                if dec is None:
+                    rows.append(dict(
+                        media_id=media_id, format=None, width=None,
+                        height=None, mean_r_milli=None, mean_g_milli=None,
+                        mean_b_milli=None, status="failed",
+                        error_message="undecodable image payload"))
+                    continue
+                fmt, rgb = dec
+                h, w, _ = rgb.shape
+                n = h * w
+                sums = rgb.astype(np.int64).sum(axis=(0, 1))
+                rows.append(dict(
+                    media_id=media_id, format=fmt, width=int(w),
+                    height=int(h),
+                    mean_r_milli=int(sums[0]) * 1000 // n,
+                    mean_g_milli=int(sums[1]) * 1000 // n,
+                    mean_b_milli=int(sums[2]) * 1000 // n,
+                    status="decoded", error_message=None))
+            yield pd.DataFrame(rows)
+
+    return _size_salted(media).mapInPandas(fn, schema=PIXEL_STATS_SCHEMA)
 
 
 def image_dhash(media: DataFrame, hash_size: int = 8) -> DataFrame:
     """Perceptual difference hash (dHash, the imagehash/LAION-dedup
     gradient hash) -> (media_id, dhash, width, height, status).
 
-    REAL for BMP/PNG/GIF (the repo's pure-Python decoders): integer luma
+    REAL for BMP/PNG/GIF/JPEG (the repo's own decoders): integer luma
     gray = (299r + 587g + 114b) // 1000, nearest-neighbor sample to
     (hash_size+1) x hash_size using resize_image's index map
     (src = dst*src_dim // dst_dim), bit(y,x) = gray[y][x] > gray[y][x+1]

@@ -1,0 +1,186 @@
+"""Baseline JPEG codec: exact flat decode, roundtrip tolerance, marker
+edge cases, loud-None refusals, and the Spark pixel-stats/resize paths."""
+
+import struct
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from llm_food_spark.functions.jpegio import jpeg_decode, make_jpeg
+
+
+def _flat(v, w, h):
+    return bytes([v, v, v]) * (w * h)
+
+
+def test_flat_gray_decodes_exactly_all_modes():
+    for v in (0, 1, 127, 128, 200, 255):
+        for w, h in ((8, 8), (21, 13), (16, 9)):
+            for sub in ("444", "420"):
+                out = jpeg_decode(make_jpeg(_flat(v, w, h), w, h,
+                                            subsample=sub))
+                assert out is not None
+                W, H, px = out
+                assert (W, H) == (w, h)
+                a = np.frombuffer(px, np.uint8)
+                assert (a == v).all(), (v, w, h, sub)
+
+
+def test_banded_gray_blocks_decode_exactly():
+    # 8-row flat bands aligned to the block grid: DC-only blocks with
+    # nonzero (and negative) DC diffs — exact through all-ones quant
+    w, h = 24, 32
+    vals = [200, 13, 255, 77]
+    rgb = b"".join(_flat(v, w, 8) for v in vals)
+    W, H, px = jpeg_decode(make_jpeg(rgb, w, h))
+    a = np.frombuffer(px, np.uint8).reshape(h, w, 3)
+    for k, v in enumerate(vals):
+        assert (a[8 * k:8 * k + 8] == v).all(), k
+
+
+def test_gradient_and_noise_roundtrip_tolerance():
+    w, h = 40, 24
+    arr = np.zeros((h, w, 3), np.uint8)
+    for y in range(h):
+        for x in range(w):
+            arr[y, x] = ((x * 255) // w, (y * 255) // h,
+                         ((x + y) * 255) // (w + h))
+    W, H, px = jpeg_decode(make_jpeg(arr.tobytes(), w, h))
+    got = np.frombuffer(px, np.uint8).astype(int).reshape(h, w, 3)
+    assert np.abs(got - arr.astype(int)).max() <= 3
+
+    rng = np.random.RandomState(7)
+    noise = rng.randint(0, 256, (17, 31, 3), np.uint8)
+    W, H, px = jpeg_decode(make_jpeg(noise.tobytes(), 31, 17))
+    got = np.frombuffer(px, np.uint8).astype(int).reshape(17, 31, 3)
+    assert np.abs(got - noise.astype(int)).max() <= 4
+
+
+def test_grayscale_single_component():
+    out = jpeg_decode(make_jpeg(_flat(77, 9, 11), 9, 11, gray=True))
+    assert out is not None
+    W, H, px = out
+    assert (W, H) == (9, 11)
+    assert (np.frombuffer(px, np.uint8) == 77).all()
+
+
+def test_restart_intervals_roundtrip():
+    w, h = 40, 24
+    rng = np.random.RandomState(3)
+    arr = rng.randint(0, 256, (h, w, 3), np.uint8)
+    j = make_jpeg(arr.tobytes(), w, h, restart_interval=2)
+    assert b"\xff\xdd" in j and b"\xff\xd0" in j
+    W, H, px = jpeg_decode(j)
+    got = np.frombuffer(px, np.uint8).astype(int).reshape(h, w, 3)
+    assert np.abs(got - arr.astype(int)).max() <= 4
+
+
+def test_nontrivial_quant_tables_roundtrip():
+    w, h = 24, 16
+    arr = np.zeros((h, w, 3), np.uint8)
+    arr[:, :, 0] = 90
+    arr[:, :, 1] = 140
+    arr[:, :, 2] = 60
+    j = make_jpeg(arr.tobytes(), w, h, quant_luma=[16] * 64,
+                  quant_chroma=[17] * 64)
+    W, H, px = jpeg_decode(j)
+    got = np.frombuffer(px, np.uint8).astype(int).reshape(h, w, 3)
+    # flat color quantized at 16/17: DC rounding error <= q/2 per coeff
+    assert np.abs(got - arr.astype(int)).max() <= 3
+
+
+def test_entropy_bytes_pinned_to_spec_for_flat_128():
+    # 8x8 flat v=128: every DC diff is 0 and every block is EOB-only.
+    # Hand-assembled from Annex K canonical codes: luma DC cat0 = '00',
+    # luma EOB = '1010', chroma DC cat0 = '00', chroma EOB = '00'
+    # -> '00 1010 00 00 00 00' + 1-padding = 0x28 0x03, then EOI.
+    j = make_jpeg(_flat(128, 8, 8), 8, 8)
+    assert j.endswith(b"\x28\x03\xff\xd9")
+
+
+def test_sixteen_bit_dqt_segment():
+    # rewrite the encoder's 8-bit DQT into the 16-bit (pq=1) form; the
+    # decoder must read it identically
+    j = make_jpeg(_flat(93, 10, 10), 10, 10)
+    i = j.index(b"\xff\xdb")
+    seg_len = struct.unpack(">H", j[i + 2:i + 4])[0]
+    body = j[i + 4:i + 2 + seg_len]
+    tq, vals = body[0], body[1:65]
+    wide = bytes([0x10 | tq]) + b"".join(
+        struct.pack(">H", v) for v in vals)
+    patched = (j[:i] + b"\xff\xdb" + struct.pack(">H", len(wide) + 2)
+               + wide + j[i + 2 + seg_len:])
+    out = jpeg_decode(patched)
+    assert out is not None
+    assert (np.frombuffer(out[2], np.uint8) == 93).all()
+
+
+def test_loud_none_on_unsupported_and_corrupt():
+    j = make_jpeg(_flat(50, 16, 16), 16, 16)
+    # progressive SOF2 -> None (never a wrong best-effort decode)
+    prog = j.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    assert jpeg_decode(prog) is None
+    assert jpeg_decode(b"") is None
+    assert jpeg_decode(b"\xff\xd8") is None
+    assert jpeg_decode(j[:len(j) // 2]) is None
+    assert jpeg_decode(b"junk" * 10) is None
+    # 12-bit precision refused
+    i = j.index(b"\xff\xc0")
+    twelve = j[:i + 4] + b"\x0c" + j[i + 5:]
+    assert jpeg_decode(twelve) is None
+
+
+# --- Spark surfaces ---------------------------------------------------------
+
+def test_image_pixel_stats_jpeg_spark(spark):
+    from llm_food_spark.operators.multimodal import image_pixel_stats
+
+    rows = []
+    for k, v in enumerate((5, 130, 251)):
+        rows.append(("m%d" % k,
+                     bytearray(make_jpeg(_flat(v, 20 + k, 10 + k),
+                                         20 + k, 10 + k))))
+    rows.append(("bad", bytearray(b"\xff\xd8\xff\xc2nope")))
+    df = spark.createDataFrame(rows, "media_id string, payload binary")
+    got = {r.media_id: r for r in image_pixel_stats(df).collect()}
+    for k, v in enumerate((5, 130, 251)):
+        r = got["m%d" % k]
+        assert r.format == "jpeg" and r.status == "decoded"
+        assert (r.width, r.height) == (20 + k, 10 + k)
+        assert (r.mean_r_milli, r.mean_g_milli, r.mean_b_milli) == (
+            v * 1000, v * 1000, v * 1000)
+    assert got["bad"].status == "failed"
+
+
+def test_resize_image_jpeg_real_no_stub(spark):
+    from llm_food_spark.functions.media import png_decode
+    from llm_food_spark.operators.multimodal import resize_image
+
+    df = spark.createDataFrame(
+        [("j1", bytearray(make_jpeg(_flat(99, 32, 16), 32, 16)))],
+        "media_id string, payload binary")
+    [r] = resize_image(df, 8, 8).collect()
+    # the real path: decoded, resized, re-encoded as PNG — not stubbed
+    assert r.status == "resized" and r.format == "jpeg"
+    w, h, rgb = png_decode(bytes(r.payload))
+    assert (w, h) == (8, 8)
+    assert (np.frombuffer(rgb, np.uint8) == 99).all()
+
+
+def test_image_dhash_jpeg_matches_png(spark):
+    from llm_food_spark.functions.media import make_png
+    from llm_food_spark.operators.multimodal import image_dhash
+
+    # the same gradient through PNG and (all-ones-quant) JPEG must land
+    # on the same perceptual hash — that's the point of dHash
+    w, h = 18, 10
+    arr = np.zeros((h, w, 3), np.uint8)
+    for x in range(w):
+        arr[:, x] = (x * 255) // w
+    df = spark.createDataFrame(
+        [("png", bytearray(make_png(arr.tobytes(), w, h))),
+         ("jpg", bytearray(make_jpeg(arr.tobytes(), w, h)))],
+        "media_id string, payload binary")
+    got = {r.media_id: r.dhash for r in image_dhash(df).collect()}
+    assert got["png"] == got["jpg"]
