@@ -236,6 +236,65 @@ def q_resume_status(spark, sf_dir):
         shutil.rmtree(out_dir, ignore_errors=True)
 
 
+def q_stream_first_seen(spark, sf_dir):
+    """Stateful streaming exact dedup (streaming/dedup.py::
+    first_seen_stream — applyInPandasWithState keyed-state sets) under
+    the driver gate: documents become two crawl WAVES of a parquet
+    file-source stream. Wave 1 (doc_id % 3 != 2, urls s1://) drains as
+    an availableNow run; wave 2 (ALL docs re-crawled under s2:// urls)
+    lands afterwards and drains against the SAME checkpoint — i.e.
+    against RESTORED state-store state, the semantics a batch query
+    cannot fake. A payload hash emitted in wave 1 is suppressed across
+    the restart; only the %3==2 payloads (absent from wave 1) surface
+    with wave-2 urls. Payload bytes are closed-form in doc_id
+    ('doc-<id>'), so DuckDB re-derives the exact surviving
+    (url, content_hash) set by static arithmetic — two-drain streaming
+    vs a closed-form twin. Reference analogue: none (the reference is
+    request/response only); this covers the task brief's stateful
+    streaming requirement driver-visibly."""
+    import shutil
+    import tempfile
+
+    from llm_food_spark.streaming.dedup import first_seen_stream
+    from llm_food_spark.streaming.ingest import stream_pages
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    i = F.col("doc_id")
+    base = tempfile.mkdtemp(prefix="llm_food_stream_")
+    in_dir, ckpt, out_dir = (base + "/in", base + "/ckpt", base + "/out")
+
+    def pages(prefix, frame):
+        return frame.select(
+            F.concat(F.lit(prefix), i.cast("string")).alias("url"),
+            F.to_timestamp(F.lit("2025-01-01 00:00:00")).alias("warc_ts"),
+            F.concat(F.lit("doc-"), i.cast("string")).cast("binary")
+             .alias("html"),
+            F.lit("").alias("text"),
+            F.lit("en").alias("lang"),
+        )
+
+    def drain():
+        q = (
+            first_seen_stream(stream_pages(spark, in_dir), n_buckets=8)
+            .writeStream.format("parquet").option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+
+    try:
+        pages("s1://", d.where(i % 3 != 2)).write.mode("append").parquet(
+            in_dir)
+        drain()
+        pages("s2://", d).write.mode("append").parquet(in_dir)
+        drain()
+        res = spark.read.parquet(out_dir).select("url", "content_hash")
+        # materialize before the temp dir disappears
+        return spark.createDataFrame(res.collect(), schema=res.schema)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def q_snapshot_log(spark, sf_dir):
     """Iceberg-style commit log over the lineage table
     (plans/pipeline.py::snapshot_log): documents become pages, a full run
@@ -5558,11 +5617,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unimax_sample": q_unimax_sample,        # epoch-capped budget waterfill; recomputes split_assign's MINSTD membership arithmetic plus the whole allocation
         "mine_bitext": q_mine_bitext,            # margin-based bitext mining, full-matrix twin
         "web_prep_full": q_web_prep_full,        # subsumes web_prep
-        "kn_perplexity": q_kn_perplexity,        # Kneser-Ney full model retrain
+        "stream_first_seen": q_stream_first_seen,  # round-5 swap: took kn_perplexity's slot (ppl_buckets holds the LM family's driver slot; the KN full retrain stays repo-gated below). New driver-visible family: STATEFUL STREAMING — two availableNow drains of one checkpoint, the second against restored applyInPandasWithState state; twin re-derives the surviving first-seen set by static arithmetic
         # multimodal
         "img_captions": q_img_captions,          # session-11 swap: took image_resize's slot (the media family keeps one driver slot, now held by the stronger member: image-text pair mining through the REAL DOM walk — figure/figcaption scoping, urljoin, dimension parse — vs analytic resize arithmetic, which stays repo-gated below)
         # ---- slot 51+ : repo-gated only (tools/check_oracles.py) --------
         # hard SQL twins added after the round-4 slot allocation
+        "kn_perplexity": q_kn_perplexity,        # demoted for stream_first_seen: ppl_buckets holds the LM family's driver slot (bigram retrain + CCNet buckets); the Kneser-Ney full model retrain stays repo-gated
         "corpus_rollup": q_corpus_rollup,        # one-pass CUBE drill-down (Expand + single hash agg), native-CUBE twin
         "wet_export": q_wet_export,              # WET conversion records chained THROUGH WARC parse + extraction (cc_prep holds the chained-WARC driver slot; the record framing stays repo-gated)
         "wat_export": q_wat_export,              # WAT metadata records chained THROUGH WARC parse + DOM/link extraction (same chained-WARC family as wet_export)
@@ -9806,6 +9866,20 @@ def _handwritten_oracles() -> dict[str, str]:
                           THEN 'test'
                         ELSE 'embargo' END AS split
             FROM events
+        """,
+        # stream_first_seen twin: the two-drain suppression re-derived
+        # statically — wave-1 rows always survive (distinct payloads);
+        # a wave-2 row survives iff its payload class was absent from
+        # wave 1. sha256 in both engines over the same closed-form
+        # payload bytes.
+        "stream_first_seen": """
+            SELECT 's1://' || doc_id AS url,
+                   sha256('doc-' || doc_id) AS content_hash
+            FROM documents WHERE doc_id % 3 != 2
+            UNION ALL
+            SELECT 's2://' || doc_id AS url,
+                   sha256('doc-' || doc_id) AS content_hash
+            FROM documents WHERE doc_id % 3 = 2
         """,
         # jpeg_pixels twin: both fixture classes decode bit-exactly
         # (all-ones quant, flat 8x8 regions -> DC-only blocks), so the

@@ -1,0 +1,72 @@
+"""Iceberg integration — executable the day a runtime jar appears.
+
+The input_hint names an Iceberg table; this sandbox has no
+iceberg-spark-runtime jar, so storage is parquet + the explicit commit
+protocol in plans/pipeline.py (the documented swap, call sites isolated).
+These tests make that swap EXECUTABLE rather than aspirational: they probe
+the classpath for the Iceberg SparkCatalog class and run the real
+write/read/time-travel roundtrip when it exists — in this sandbox they
+skip (never fail), and on a cluster with the jar they become the gate
+that the format-string change actually works.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from llm_food_spark.operators.extract import extract_pages
+from llm_food_spark.sources.fixtures import generate_pages
+from llm_food_spark.sources.pages import pages_to_df
+
+ICEBERG_CATALOG_CLASS = "org.apache.iceberg.spark.SparkCatalog"
+
+
+def _iceberg_on_classpath(spark) -> bool:
+    try:
+        spark.sparkContext._jvm.java.lang.Class.forName(
+            ICEBERG_CATALOG_CLASS)
+        return True
+    except Exception:
+        return False
+
+
+def _require_iceberg(spark, tmp_path):
+    if not _iceberg_on_classpath(spark):
+        pytest.skip(
+            "iceberg runtime jar absent (documented swap: parquet + "
+            "explicit commit protocol in plans/pipeline.py)")
+    # v2 catalog plugins resolve lazily, so runtime conf is sufficient
+    spark.conf.set("spark.sql.catalog.ice_test", ICEBERG_CATALOG_CLASS)
+    spark.conf.set("spark.sql.catalog.ice_test.type", "hadoop")
+    spark.conf.set("spark.sql.catalog.ice_test.warehouse",
+                   str(tmp_path / "warehouse"))
+
+
+def test_iceberg_results_table_roundtrip(spark, tmp_path):
+    """Extraction results land in an Iceberg table and read back whole —
+    the exact write the pipeline's results_path parquet write swaps to."""
+    _require_iceberg(spark, tmp_path)
+    pages = pages_to_df(spark, generate_pages(40))
+    results = extract_pages(pages, n_partitions=8)
+    results.writeTo("ice_test.db.results").using("iceberg").createOrReplace()
+    back = spark.read.table("ice_test.db.results")
+    assert back.count() == 40
+    assert back.select("url").distinct().count() == 40
+
+
+def test_iceberg_snapshot_time_travel(spark, tmp_path):
+    """Two commits -> two snapshots; VERSION AS OF reads the first —
+    the native form of plans/pipeline.py::snapshot_log/as_of_partitions."""
+    _require_iceberg(spark, tmp_path)
+    pages = pages_to_df(spark, generate_pages(30))
+    results = extract_pages(pages, n_partitions=8)
+    results.writeTo("ice_test.db.tt").using("iceberg").createOrReplace()
+    results.limit(5).writeTo("ice_test.db.tt").append()
+    snaps = spark.sql(
+        "SELECT snapshot_id FROM ice_test.db.tt.snapshots "
+        "ORDER BY committed_at").collect()
+    assert len(snaps) >= 2
+    first = spark.sql(
+        "SELECT COUNT(*) AS n FROM ice_test.db.tt VERSION AS OF %d"
+        % snaps[0]["snapshot_id"]).collect()[0]["n"]
+    assert first == 30
+    assert spark.read.table("ice_test.db.tt").count() == 35
