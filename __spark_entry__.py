@@ -2375,9 +2375,12 @@ def q_jpeg_pixels(spark, sf_dir):
     non-block-aligned dims alternating 4:4:4 / 4:2:0 (exercises edge
     cropping + chroma upsampling), and 8-row banded gray at 24x32
     (DC-only blocks with positive AND negative DC diffs — the DC
-    predictor chain). All-ones quant makes both classes decode
-    bit-exactly, so the DuckDB twin states format, true dimensions and
-    the channel mean in closed form per doc_id."""
+    predictor chain). Every 8th row of each class is encoded
+    PROGRESSIVE (SOF2 multi-scan: DC first/refine + per-component AC
+    first/refine with EOB runs), driving the successive-approximation
+    decoder under the same oracle. All-ones quant makes every class
+    decode bit-exactly, so the DuckDB twin states format, true
+    dimensions and the channel mean in closed form per doc_id."""
     import pandas as _pd
 
     from llm_food_spark.operators.multimodal import image_pixel_stats
@@ -2391,19 +2394,21 @@ def q_jpeg_pixels(spark, sf_dir):
             ids, payloads = [], []
             for i in pdf["doc_id"]:
                 i = int(i)
+                prog = i % 8 in (4, 1)  # one sub-class per parity
                 if i % 2 == 0:
                     v = (i * 13) % 256
                     w, h = 17 + i % 15, 11 + i % 13
                     rgb = bytes([v, v, v]) * (w * h)
                     payload = make_jpeg(
                         rgb, w, h,
-                        subsample="420" if i % 4 == 0 else "444")
+                        subsample="420" if i % 4 == 0 else "444",
+                        progressive=prog)
                 else:
                     w, h = 24, 32
                     vals = [(i * 7 + 31 * k) % 256 for k in range(4)]
                     rgb = b"".join(bytes([v, v, v]) * (w * 8)
                                    for v in vals)
-                    payload = make_jpeg(rgb, w, h)
+                    payload = make_jpeg(rgb, w, h, progressive=prog)
                 ids.append(str(i))
                 payloads.append(payload)
             yield _pd.DataFrame({"media_id": ids, "payload": payloads})

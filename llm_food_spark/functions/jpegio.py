@@ -207,11 +207,91 @@ def _extend(v: int, size: int) -> int:
 # Decoder
 # ---------------------------------------------------------------------------
 
+def _parse_dqt(seg: bytes, qt: Dict[int, np.ndarray]) -> bool:
+    j = 0
+    while j < len(seg):
+        pq, tq = seg[j] >> 4, seg[j] & 0x0F
+        j += 1
+        if pq == 0:
+            vals = list(seg[j:j + 64])
+            j += 64
+        elif pq == 1:
+            vals = [struct.unpack(">H", seg[j + 2 * k:j + 2 * k + 2])[0]
+                    for k in range(64)]
+            j += 128
+        else:
+            return False
+        if len(vals) != 64:
+            return False
+        t = np.zeros(64)
+        for k, z in enumerate(ZIGZAG):
+            t[z] = vals[k]
+        qt[tq] = t.reshape(8, 8)
+    return True
+
+
+def _parse_dht(seg: bytes, huff: Dict[Tuple[int, int], tuple]) -> bool:
+    j = 0
+    while j + 17 <= len(seg):
+        tc, th = seg[j] >> 4, seg[j] & 0x0F
+        bits = list(seg[j + 1:j + 17])
+        nv = sum(bits)
+        values = list(seg[j + 17:j + 17 + nv])
+        if len(values) != nv:
+            return False
+        huff[(tc, th)] = _huff_decoder(bits, values)
+        j += 17 + nv
+    return True
+
+
+def _parse_sof(seg: bytes):
+    prec, fh, fw, nc = struct.unpack(">BHHB", seg[0:6])
+    if prec != 8 or nc not in (1, 3) or fw == 0 or fh == 0:
+        return None
+    comps = []
+    for c in range(nc):
+        cid, samp, tq = seg[6 + 3 * c:9 + 3 * c]
+        hs, vs = samp >> 4, samp & 0x0F
+        if not (1 <= hs <= 2 and 1 <= vs <= 2):
+            return None
+        comps.append((cid, hs, vs, tq))
+    return (fh, fw, comps)
+
+
+def _finalize_planes(planes, comps, fh, fw, hmax, vmax):
+    out_planes = []
+    for ci, (cid, hs, vs, tq) in enumerate(comps):
+        p = planes[ci]
+        if hs < hmax:
+            p = np.repeat(p, hmax // hs, axis=1)
+        if vs < vmax:
+            p = np.repeat(p, vmax // vs, axis=0)
+        out_planes.append(p[:fh, :fw])
+    if len(out_planes) == 1:
+        y = np.clip(_round_half_up(out_planes[0]), 0, 255).astype(np.uint8)
+        rgb = np.stack([y, y, y], axis=-1)
+        return fw, fh, rgb.tobytes()
+    y, cb, cr = out_planes
+    cb = cb - 128.0
+    cr = cr - 128.0
+    r_ = y + 1.402 * cr
+    g_ = y - 0.344136 * cb - 0.714136 * cr
+    b_ = y + 1.772 * cb
+    rgb = np.stack(
+        [np.clip(_round_half_up(r_), 0, 255),
+         np.clip(_round_half_up(g_), 0, 255),
+         np.clip(_round_half_up(b_), 0, 255)], axis=-1).astype(np.uint8)
+    return fw, fh, rgb.tobytes()
+
+
 def jpeg_decode(b: bytes) -> Optional[Tuple[int, int, bytes]]:
-    """Baseline sequential JPEG -> (width, height, RGB24 bytes), or None
-    for anything this decoder cannot handle EXACTLY (progressive,
-    arithmetic coding, 12-bit, >2 sampling factors, truncated streams).
-    Loud-None, never a best-effort wrong image."""
+    """JPEG -> (width, height, RGB24 bytes): baseline sequential
+    (SOF0/SOF1) via the single-scan fast path, progressive (SOF2 —
+    spectral selection + successive approximation, EOB runs) via the
+    multi-scan coefficient accumulator. None for anything this decoder
+    cannot handle EXACTLY (arithmetic coding, hierarchical, 12-bit,
+    >2 sampling factors, truncated streams). Loud-None, never a
+    best-effort wrong image."""
     if len(b) < 4 or b[:2] != b"\xff\xd8":
         return None
     qt: Dict[int, np.ndarray] = {}
@@ -233,52 +313,21 @@ def jpeg_decode(b: bytes) -> Optional[Tuple[int, int, bytes]]:
         seg = b[i + 4:i + 2 + seg_len]
         if len(seg) != seg_len - 2:
             return None
-        if marker == 0xDB:  # DQT (possibly several tables per segment)
-            j = 0
-            while j < len(seg):
-                pq, tq = seg[j] >> 4, seg[j] & 0x0F
-                j += 1
-                if pq == 0:
-                    vals = list(seg[j:j + 64])
-                    j += 64
-                elif pq == 1:
-                    vals = [struct.unpack(">H", seg[j + 2 * k:j + 2 * k + 2])[0]
-                            for k in range(64)]
-                    j += 128
-                else:
-                    return None
-                if len(vals) != 64:
-                    return None
-                t = np.zeros(64)
-                for k, z in enumerate(ZIGZAG):
-                    t[z] = vals[k]
-                qt[tq] = t.reshape(8, 8)
-        elif marker == 0xC4:  # DHT (possibly several tables per segment)
-            j = 0
-            while j + 17 <= len(seg):
-                tc, th = seg[j] >> 4, seg[j] & 0x0F
-                bits = list(seg[j + 1:j + 17])
-                nv = sum(bits)
-                values = list(seg[j + 17:j + 17 + nv])
-                if len(values) != nv:
-                    return None
-                huff[(tc, th)] = _huff_decoder(bits, values)
-                j += 17 + nv
-        elif marker in (0xC0, 0xC1):  # baseline / extended sequential
-            prec, fh, fw, nc = struct.unpack(">BHHB", seg[0:6])
-            if prec != 8 or nc not in (1, 3) or fw == 0 or fh == 0:
+        if marker == 0xDB:
+            if not _parse_dqt(seg, qt):
                 return None
-            comps = []
-            for c in range(nc):
-                cid, samp, tq = seg[6 + 3 * c:9 + 3 * c]
-                hs, vs = samp >> 4, samp & 0x0F
-                if not (1 <= hs <= 2 and 1 <= vs <= 2):
-                    return None
-                comps.append((cid, hs, vs, tq))
-            frame = (fh, fw, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+        elif marker == 0xC4:
+            if not _parse_dht(seg, huff):
+                return None
+        elif marker in (0xC0, 0xC1):  # baseline / extended sequential
+            frame = _parse_sof(seg)
+            if frame is None:
+                return None
+        elif marker == 0xC2:  # progressive: multi-scan coefficient path
+            return _decode_progressive(b)
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
-            return None  # progressive / arithmetic / hierarchical
+            return None  # lossless / arithmetic / hierarchical
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack(">H", seg[0:2])[0]
         elif marker == 0xDA:  # SOS — entropy data follows
@@ -360,29 +409,293 @@ def _decode_scan(b, pos, frame, scan, qt, huff, restart_interval):
                         x0 = (mx * hs + bx) * 8
                         planes[ci][y0:y0 + 8, x0:x0 + 8] = spatial
             mcu_count += 1
-    out_planes = []
+    return _finalize_planes(planes, comps, fh, fw, hmax, vmax)
+
+
+# ---------------------------------------------------------------------------
+# Progressive decoder (T.81 G.2): coefficient accumulation across scans
+# ---------------------------------------------------------------------------
+
+def _decode_progressive(b: bytes) -> Optional[Tuple[int, int, bytes]]:
+    """SOF2 progressive decode: every scan (DC/AC x first/refinement,
+    spectral selection bands, EOB runs, successive approximation) updates
+    per-block zigzag-order coefficient arrays; dequant + IDCT happen once
+    at EOI. Algorithm per T.81 G.1.2 (the classic libjpeg structure,
+    re-implemented from the spec)."""
+    qt: Dict[int, np.ndarray] = {}
+    huff: Dict[Tuple[int, int], tuple] = {}
+    frame = None
+    restart_interval = 0
+    coefs = None       # per comp: (bh_full, bw_full, 64) int zigzag-order
+    geom = None        # per comp: (bw_full, bh_full, bw, bh)
+    i = 2
+    n = len(b)
+    while i + 2 <= n:
+        if b[i] != 0xFF:
+            return None
+        marker = b[i + 1]
+        if marker == 0xD8 or 0xD0 <= marker <= 0xD7 or marker == 0x01:
+            i += 2
+            continue
+        if marker == 0xD9:  # EOI — finalize
+            break
+        if i + 4 > n:
+            return None
+        seg_len = struct.unpack(">H", b[i + 2:i + 4])[0]
+        seg = b[i + 4:i + 2 + seg_len]
+        if len(seg) != seg_len - 2:
+            return None
+        if marker == 0xDB:
+            if not _parse_dqt(seg, qt):
+                return None
+        elif marker == 0xC4:
+            if not _parse_dht(seg, huff):
+                return None
+        elif marker == 0xC2:
+            frame = _parse_sof(seg)
+            if frame is None:
+                return None
+            fh, fw, comps = frame
+            hmax = max(c[1] for c in comps)
+            vmax = max(c[2] for c in comps)
+            mcux = -(-fw // (8 * hmax))
+            mcuy = -(-fh // (8 * vmax))
+            coefs, geom = [], []
+            for cid, hs, vs, tq in comps:
+                bw_full, bh_full = mcux * hs, mcuy * vs
+                cw = -(-fw * hs // hmax)
+                ch = -(-fh * vs // vmax)
+                geom.append((bw_full, bh_full, -(-cw // 8), -(-ch // 8)))
+                coefs.append(
+                    [[[0] * 64 for _ in range(bw_full)]
+                     for _ in range(bh_full)])
+        elif marker in (0xC0, 0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                        0xCB, 0xCD, 0xCE, 0xCF):
+            return None
+        elif marker == 0xDD:
+            restart_interval = struct.unpack(">H", seg[0:2])[0]
+        elif marker == 0xDA:
+            if frame is None:
+                return None
+            nxt = _prog_scan(b, i + 2 + seg_len, seg, frame, geom, coefs,
+                             huff, restart_interval)
+            if nxt is None:
+                return None
+            i = nxt
+            continue
+        i += 2 + seg_len
+    if frame is None or coefs is None:
+        return None
+    fh, fw, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    At = _A.T
+    planes = []
     for ci, (cid, hs, vs, tq) in enumerate(comps):
-        p = planes[ci]
-        if hs < hmax:
-            p = np.repeat(p, hmax // hs, axis=1)
-        if vs < vmax:
-            p = np.repeat(p, vmax // vs, axis=0)
-        out_planes.append(p[:fh, :fw])
-    if len(out_planes) == 1:
-        y = np.clip(_round_half_up(out_planes[0]), 0, 255).astype(np.uint8)
-        rgb = np.stack([y, y, y], axis=-1)
-        return fw, fh, rgb.tobytes()
-    y, cb, cr = out_planes
-    cb = cb - 128.0
-    cr = cr - 128.0
-    r_ = y + 1.402 * cr
-    g_ = y - 0.344136 * cb - 0.714136 * cr
-    b_ = y + 1.772 * cb
-    rgb = np.stack(
-        [np.clip(_round_half_up(r_), 0, 255),
-         np.clip(_round_half_up(g_), 0, 255),
-         np.clip(_round_half_up(b_), 0, 255)], axis=-1).astype(np.uint8)
-    return fw, fh, rgb.tobytes()
+        if tq not in qt:
+            return None
+        bw_full, bh_full, _, _ = geom[ci]
+        zz = np.array(coefs[ci], dtype=np.float64)  # (bh, bw, 64) zigzag
+        nat = np.zeros_like(zz)
+        nat[:, :, ZIGZAG] = zz                      # zigzag -> natural
+        blocks = nat.reshape(bh_full, bw_full, 8, 8) * qt[tq]
+        spatial = np.einsum("ij,xyjk,kl->xyil", At, blocks, _A) + 128.0
+        planes.append(
+            spatial.transpose(0, 2, 1, 3).reshape(bh_full * 8, bw_full * 8))
+    return _finalize_planes(planes, comps, fh, fw, hmax, vmax)
+
+
+def _prog_scan(b, pos, seg, frame, geom, coefs, huff, restart_interval):
+    """Decode one progressive scan's entropy data into the coefficient
+    store; returns the byte offset of the next marker, or None on error."""
+    fh, fw, comps = frame
+    ns = seg[0]
+    scan_comps = []  # (ci, td, ta)
+    cid_index = {c[0]: k for k, c in enumerate(comps)}
+    for c in range(ns):
+        cs, tabs = seg[1 + 2 * c:3 + 2 * c]
+        if cs not in cid_index:
+            return None
+        scan_comps.append((cid_index[cs], tabs >> 4, tabs & 0x0F))
+    ss, se, ahal = seg[1 + 2 * ns:4 + 2 * ns]
+    ah, al = ahal >> 4, ahal & 0x0F
+    if not (0 <= ss <= se <= 63) or al > 13:
+        return None
+    dc_scan = ss == 0
+    if dc_scan and se != 0:
+        return None  # progressive DC scans carry only coefficient 0
+    if not dc_scan and ns != 1:
+        return None  # AC scans are single-component (T.81 G.1.1.1.1)
+
+    r = _BitReader(b, pos)
+    state = {"eob_run": 0}
+    pred = [0] * len(comps)
+
+    def refine_nonzero(blk, k, p1, m1):
+        if r.read(1):
+            if (blk[k] & p1) == 0:
+                blk[k] += p1 if blk[k] >= 0 else m1
+        return True
+
+    def decode_block(ci, by, bx, td, ta):
+        blk = coefs[ci][by][bx]
+        if dc_scan:
+            if ah == 0:
+                table = huff.get((0, td))
+                if table is None:
+                    return False
+                size = _decode_symbol(r, table)
+                if size is None or size > 11:
+                    return False
+                bits = r.read(size) if size else 0
+                if bits is None:
+                    return False
+                pred[ci] += _extend(bits, size)
+                blk[0] = pred[ci] << al
+            else:
+                bit = r.read(1)
+                if bit is None:
+                    return False
+                if bit:
+                    blk[0] |= 1 << al
+            return True
+        # AC scan
+        table = huff.get((1, ta))
+        if table is None:
+            return False
+        p1, m1 = 1 << al, -(1 << al)
+        if ah == 0:  # first pass for this band
+            if state["eob_run"] > 0:
+                state["eob_run"] -= 1
+                return True
+            k = ss
+            while k <= se:
+                rs = _decode_symbol(r, table)
+                if rs is None:
+                    return False
+                run, sz = rs >> 4, rs & 0x0F
+                if sz == 0:
+                    if run == 15:
+                        k += 16
+                        continue
+                    eob = 1 << run
+                    if run:
+                        ext = r.read(run)
+                        if ext is None:
+                            return False
+                        eob += ext
+                    state["eob_run"] = eob - 1  # current block counted
+                    break
+                k += run
+                if k > se:
+                    return False
+                v = r.read(sz)
+                if v is None:
+                    return False
+                blk[k] = _extend(v, sz) * p1
+                k += 1
+            return True
+        # refinement pass (T.81 G.1.2.3)
+        k = ss
+        if state["eob_run"] == 0:
+            while k <= se:
+                rs = _decode_symbol(r, table)
+                if rs is None:
+                    return False
+                run, sz = rs >> 4, rs & 0x0F
+                newval = 0
+                if sz == 0:
+                    if run != 15:
+                        eob = 1 << run
+                        if run:
+                            ext = r.read(run)
+                            if ext is None:
+                                return False
+                            eob += ext
+                        state["eob_run"] = eob
+                        break
+                    # ZRL: pass 16 zero-history coefficients
+                else:
+                    if sz != 1:
+                        return False
+                    bit = r.read(1)
+                    if bit is None:
+                        return False
+                    newval = p1 if bit else m1
+                while k <= se:
+                    if blk[k] != 0:
+                        if not refine_nonzero(blk, k, p1, m1):
+                            return False
+                    else:
+                        if run == 0:
+                            break
+                        run -= 1
+                    k += 1
+                if newval:
+                    if k > se:
+                        return False
+                    blk[k] = newval
+                k += 1
+        if state["eob_run"] > 0:
+            while k <= se:
+                if blk[k] != 0:
+                    if not refine_nonzero(blk, k, p1, m1):
+                        return False
+                k += 1
+            state["eob_run"] -= 1
+        return True
+
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = -(-fw // (8 * hmax))
+    mcuy = -(-fh // (8 * vmax))
+
+    def maybe_restart(count):
+        if restart_interval and count and count % restart_interval == 0:
+            if not r.sync_restart():
+                return False
+            state["eob_run"] = 0
+            for ci in range(len(pred)):
+                pred[ci] = 0
+        return True
+
+    if dc_scan and ns > 1:
+        if ns != len(comps):
+            return None  # partial interleaves unsupported (loud)
+        count = 0
+        for my in range(mcuy):
+            for mx in range(mcux):
+                if not maybe_restart(count):
+                    return None
+                for (ci, td, ta) in scan_comps:
+                    _, hs, vs, _ = comps[ci]
+                    for by in range(vs):
+                        for bx in range(hs):
+                            if not decode_block(ci, my * vs + by,
+                                                mx * hs + bx, td, ta):
+                                return None
+                count += 1
+    else:
+        ci, td, ta = scan_comps[0]
+        _, _, bw, bh = geom[ci]
+        count = 0
+        for by in range(bh):
+            for bx in range(bw):
+                if not maybe_restart(count):
+                    return None
+                if not decode_block(ci, by, bx, td, ta):
+                    return None
+                count += 1
+
+    # advance to the next marker: the reader stopped inside the entropy
+    # data; scan forward from its position to the next non-RST marker
+    p = r.pos
+    while p + 1 < len(b):
+        if b[p] == 0xFF and b[p + 1] not in (0x00,) and not (
+                0xD0 <= b[p + 1] <= 0xD7):
+            return p
+        p += 1
+    return p
 
 
 # ---------------------------------------------------------------------------
@@ -469,20 +782,135 @@ def _dqt_segment(tq: int, q: np.ndarray) -> bytes:
     return b"\xff\xdb" + struct.pack(">H", len(body) + 2) + body
 
 
+# Progressive AC scans need EOBn run-length symbols, which the Annex K
+# sequential tables don't carry. This FLAT canonical table encodes every
+# 8-bit symbol (255 codes at length 8 + one at length 9 — the all-ones
+# 8-bit code stays unused per the canonical construction), trading
+# compression for total symbol coverage; fixtures don't care about size.
+_AC_FLAT = ([0, 0, 0, 0, 0, 0, 0, 255, 1, 0, 0, 0, 0, 0, 0, 0],
+            list(range(256)))
+
+
+def _emit_dc(wtr: "_BitWriter", diff: int, codes) -> None:
+    size = diff and int(abs(diff)).bit_length()
+    c, ln = codes[size]
+    wtr.write(c, ln)
+    if size:
+        wtr.write(diff if diff > 0 else diff + (1 << size) - 1, size)
+
+
+def _flush_eobrun(wtr: "_BitWriter", ac_codes, st: dict) -> None:
+    """Emit the pending EOB-run symbol (EOBn = run-category nibble) plus
+    any correction bits buffered during the run (refinement passes)."""
+    if st["eob_run"] > 0:
+        e = st["eob_run"]
+        nb = e.bit_length() - 1
+        c, ln = ac_codes[nb << 4]
+        wtr.write(c, ln)
+        if nb:
+            wtr.write(e & ((1 << nb) - 1), nb)
+        st["eob_run"] = 0
+    for bit in st["pending"]:
+        wtr.write(bit, 1)
+    st["pending"] = []
+
+
+def _ac_first_block(wtr, blk, al, ac_codes, st):
+    """Progressive AC first pass (T.81 G.1.2.2): magnitudes >> al with
+    EOB-run accumulation across blocks."""
+    run = 0
+    for k in range(1, 64):
+        v = blk[k]
+        m = (-v if v < 0 else v) >> al
+        if m == 0:
+            run += 1
+            continue
+        _flush_eobrun(wtr, ac_codes, st)
+        while run > 15:
+            c, ln = ac_codes[0xF0]
+            wtr.write(c, ln)
+            run -= 16
+        sz = m.bit_length()
+        c, ln = ac_codes[(run << 4) | sz]
+        wtr.write(c, ln)
+        wtr.write(m if v > 0 else m ^ ((1 << sz) - 1), sz)
+        run = 0
+    if run > 0:
+        st["eob_run"] += 1
+        if st["eob_run"] == 0x7FFF:
+            _flush_eobrun(wtr, ac_codes, st)
+
+
+def _ac_refine_block(wtr, blk, al, ac_codes, st):
+    """Progressive AC refinement pass (T.81 G.1.2.3): transmit bit ``al``
+    of already-significant coefficients as buffered correction bits,
+    newly-significant ones as (run,1) symbols + sign."""
+    absv = [0] * 64
+    eobpos = 0
+    for k in range(1, 64):
+        v = blk[k]
+        m = (-v if v < 0 else v) >> al
+        absv[k] = m
+        if m == 1:
+            eobpos = k
+    run = 0
+    br: List[int] = []
+    for k in range(1, 64):
+        m = absv[k]
+        if m == 0:
+            run += 1
+            continue
+        while run > 15 and k <= eobpos:
+            _flush_eobrun(wtr, ac_codes, st)
+            c, ln = ac_codes[0xF0]
+            wtr.write(c, ln)
+            run -= 16
+            for bit in br:
+                wtr.write(bit, 1)
+            br = []
+        if m > 1:
+            br.append(m & 1)
+            continue
+        _flush_eobrun(wtr, ac_codes, st)
+        c, ln = ac_codes[(run << 4) | 1]
+        wtr.write(c, ln)
+        wtr.write(1 if blk[k] > 0 else 0, 1)
+        for bit in br:
+            wtr.write(bit, 1)
+        br = []
+        run = 0
+    if run > 0 or br:
+        st["eob_run"] += 1
+        st["pending"].extend(br)
+        if st["eob_run"] == 0x7FFF:
+            _flush_eobrun(wtr, ac_codes, st)
+
+
 def make_jpeg(rgb: bytes, w: int, h: int,
               quant_luma: Optional[List[int]] = None,
               quant_chroma: Optional[List[int]] = None,
               subsample: str = "444",
               gray: bool = False,
-              restart_interval: int = 0) -> bytes:
-    """Deterministic baseline JFIF encoder. Default quant tables are
-    all-ones (near-lossless: flat 8x8 regions decode bit-exactly, which is
-    what the closed-form twins rely on). ``subsample`` '444' or '420';
-    ``gray`` emits a 1-component frame from the R channel."""
+              restart_interval: int = 0,
+              progressive: bool = False) -> bytes:
+    """Deterministic JFIF encoder — baseline sequential by default, full
+    progressive (SOF2) with ``progressive=True``: DC spectral scan at
+    Al=1 + DC refinement, then per-component AC first (Al=1, EOB runs)
+    + AC refinement scans, so EVERY progressive decode path is exercised
+    by fixtures. The progressive coefficient stream reconstructs the
+    identical coefficients as the baseline stream, so both decode to the
+    same pixels — the cross-mode equivalence the tests pin. Default
+    quant tables are all-ones (near-lossless: flat 8x8 regions decode
+    bit-exactly, which is what the closed-form twins rely on).
+    ``subsample`` '444' or '420'; ``gray`` emits a 1-component frame
+    from the R channel."""
     if len(rgb) != w * h * 3:
         raise ValueError("rgb must be w*h*3 bytes")
     if subsample not in ("444", "420"):
         raise ValueError("subsample must be '444' or '420'")
+    if progressive and restart_interval:
+        raise ValueError("restart intervals unsupported in the "
+                         "progressive fixture encoder")
     ql = np.array(quant_luma or [1] * 64, dtype=float).reshape(8, 8)
     qc = np.array(quant_chroma or [1] * 64, dtype=float).reshape(8, 8)
     arr = np.frombuffer(rgb, np.uint8).reshape(h, w, 3).astype(float)
@@ -527,26 +955,18 @@ def make_jpeg(rgb: bytes, w: int, h: int,
     sof = struct.pack(">BHHB", 8, h, w, len(comps_sof))
     for cid, hs, vs, tq in comps_sof:
         sof += bytes([cid, (hs << 4) | vs, tq])
-    out += b"\xff\xc0" + struct.pack(">H", len(sof) + 2) + sof
-    if restart_interval:
-        out += b"\xff\xdd" + struct.pack(">H", 4) + struct.pack(
-            ">H", restart_interval)
-    sos = bytes([len(comps_sof)])
-    for k, (cid, hs, vs, tq) in enumerate(comps_sof):
-        td = 0 if k == 0 else 1
-        sos += bytes([cid, (td << 4) | td])
-    sos += b"\x00\x3f\x00"
-    out += b"\xff\xda" + struct.pack(">H", len(sos) + 2) + sos
 
     hmax = max(c[1] for c in comps_sof)
     vmax = max(c[2] for c in comps_sof)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
     # per-component zigzag blocks in raster order of that component's grid
     comp_blocks = []
     comp_grid = []
+    comp_geom = []  # (bw, bh) of the NON-interleaved block grid
     for (plane, q, dcc, acc, _), (cid, hs, vs, tq) in zip(planes, comps_sof):
+        comp_geom.append((-(-plane.shape[1] // 8), -(-plane.shape[0] // 8)))
         # pad each plane to its MCU-aligned block grid (edge replication)
-        mcux = -(-w // (8 * hmax))
-        mcuy = -(-h // (8 * vmax))
         tw, th = mcux * hs * 8, mcuy * vs * 8
         p = np.pad(plane,
                    ((0, th - plane.shape[0]), (0, tw - plane.shape[1])),
@@ -554,32 +974,116 @@ def make_jpeg(rgb: bytes, w: int, h: int,
         blocks = _plane_blocks(p, q)
         comp_blocks.append(blocks)
         comp_grid.append((hs, vs, tw // 8))
+
+    if not progressive:
+        out += b"\xff\xc0" + struct.pack(">H", len(sof) + 2) + sof
+        if restart_interval:
+            out += b"\xff\xdd" + struct.pack(">H", 4) + struct.pack(
+                ">H", restart_interval)
+        sos = bytes([len(comps_sof)])
+        for k, (cid, hs, vs, tq) in enumerate(comps_sof):
+            td = 0 if k == 0 else 1
+            sos += bytes([cid, (td << 4) | td])
+        sos += b"\x00\x3f\x00"
+        out += b"\xff\xda" + struct.pack(">H", len(sos) + 2) + sos
+
+        wtr = _BitWriter()
+        pred = [0] * len(planes)
+        mcu_count = 0
+        rst = 0
+        for my in range(mcuy):
+            for mx in range(mcux):
+                if restart_interval and mcu_count and \
+                        mcu_count % restart_interval == 0:
+                    wtr.pad_to_byte()
+                    out += wtr.out
+                    wtr = _BitWriter()
+                    out += bytes([0xFF, 0xD0 + (rst & 7)])
+                    rst += 1
+                    pred = [0] * len(planes)
+                for ci, ((plane, q, dcc, acc, _),
+                         (hs, vs, stride)) in enumerate(
+                        zip(planes, comp_grid)):
+                    for by in range(vs):
+                        for bx in range(hs):
+                            bi = (my * vs + by) * stride + (mx * hs + bx)
+                            pred[ci] = _encode_block(
+                                wtr, comp_blocks[ci][bi], pred[ci], dcc, acc)
+                mcu_count += 1
+        wtr.pad_to_byte()
+        out += wtr.out
+        out += b"\xff\xd9"
+        return bytes(out)
+
+    # ---- progressive emission (SOF2 + four-stage scan script) ----
+    out += b"\xff\xc2" + struct.pack(">H", len(sof) + 2) + sof
+    out += _dht_segment(1, 2, _AC_FLAT)  # EOBn-capable AC table, id 2
+    flat = _huff_codes(*_AC_FLAT)
+    al = 1  # successive-approximation split: scans at Al=1, refine to 0
+
+    def sos_segment(comp_list, ss, se, ah, al_):
+        body = bytes([len(comp_list)])
+        for cid_, td_, ta_ in comp_list:
+            body += bytes([cid_, (td_ << 4) | ta_])
+        body += bytes([ss, se, (ah << 4) | al_])
+        return b"\xff\xda" + struct.pack(">H", len(body) + 2) + body
+
+    dc_list = [(comps_sof[k][0], 0 if k == 0 else 1, 0)
+               for k in range(len(comps_sof))]
+    # scan 1: DC first (interleaved over all components)
+    out += sos_segment(dc_list, 0, 0, 0, al)
     wtr = _BitWriter()
     pred = [0] * len(planes)
-    mcux = -(-w // (8 * hmax))
-    mcuy = -(-h // (8 * vmax))
-    mcu_count = 0
-    rst = 0
     for my in range(mcuy):
         for mx in range(mcux):
-            if restart_interval and mcu_count and \
-                    mcu_count % restart_interval == 0:
-                wtr.pad_to_byte()
-                out += wtr.out
-                wtr = _BitWriter()
-                out += bytes([0xFF, 0xD0 + (rst & 7)])
-                rst += 1
-                pred = [0] * len(planes)
-            for ci, ((plane, q, dcc, acc, _),
-                     (hs, vs, stride)) in enumerate(
-                    zip(planes, comp_grid)):
+            for ci, ((plane, q, dcc, acc, _), (hs, vs, stride)) in \
+                    enumerate(zip(planes, comp_grid)):
                 for by in range(vs):
                     for bx in range(hs):
                         bi = (my * vs + by) * stride + (mx * hs + bx)
-                        pred[ci] = _encode_block(
-                            wtr, comp_blocks[ci][bi], pred[ci], dcc, acc)
-            mcu_count += 1
+                        dc = comp_blocks[ci][bi][0] >> al
+                        _emit_dc(wtr, dc - pred[ci], dcc)
+                        pred[ci] = dc
     wtr.pad_to_byte()
     out += wtr.out
+    # scan 2: DC refinement (raw bit Al-1..0 = bit 0 here)
+    out += sos_segment(dc_list, 0, 0, al, 0)
+    wtr = _BitWriter()
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci, (hs, vs, stride) in enumerate(comp_grid):
+                for by in range(vs):
+                    for bx in range(hs):
+                        bi = (my * vs + by) * stride + (mx * hs + bx)
+                        wtr.write(comp_blocks[ci][bi][0] & 1, 1)
+    wtr.pad_to_byte()
+    out += wtr.out
+    # scans 3..: AC first then AC refinement, one component per scan
+    for ci, (cid, hs, vs, tq) in enumerate(comps_sof):
+        bw, bh = comp_geom[ci]
+        stride = comp_grid[ci][2]
+        out += sos_segment([(cid, 0, 2)], 1, 63, 0, al)
+        wtr = _BitWriter()
+        st = {"eob_run": 0, "pending": []}
+        for by in range(bh):
+            for bx in range(bw):
+                _ac_first_block(wtr, comp_blocks[ci][by * stride + bx],
+                                al, flat, st)
+        _flush_eobrun(wtr, flat, st)
+        wtr.pad_to_byte()
+        out += wtr.out
+    for ci, (cid, hs, vs, tq) in enumerate(comps_sof):
+        bw, bh = comp_geom[ci]
+        stride = comp_grid[ci][2]
+        out += sos_segment([(cid, 0, 2)], 1, 63, al, 0)
+        wtr = _BitWriter()
+        st = {"eob_run": 0, "pending": []}
+        for by in range(bh):
+            for bx in range(bw):
+                _ac_refine_block(wtr, comp_blocks[ci][by * stride + bx],
+                                 0, flat, st)
+        _flush_eobrun(wtr, flat, st)
+        wtr.pad_to_byte()
+        out += wtr.out
     out += b"\xff\xd9"
     return bytes(out)

@@ -4,13 +4,16 @@ Image/audio/video are opaque ``binary`` columns with a metadata struct; the
 Spark-side plumbing (schemas, batch shapes, mapInPandas signatures,
 partition-by-size balancing) is real and tested. What this container CAN
 decode without codec libraries is decoded for REAL, pure Python/numpy:
-header metadata for PNG/GIF/JPEG/BMP/WAV/MP3/FLAC/Ogg/MP4/WebM, PNG pixel
-decode (zlib inflate + unfilter) and resize, BMP nearest-neighbor resize,
+header metadata for PNG/GIF/JPEG/BMP/WebP/WAV/MP3/FLAC/Ogg/MP4/WebM, PNG
+pixel decode (zlib inflate + unfilter) and resize, JPEG pixel decode —
+BASELINE AND PROGRESSIVE (functions/jpegio.py: Huffman + IDCT, spectral
+selection, successive approximation — the dominant web image format
+decodes for real in both its wire forms), BMP nearest-neighbor resize,
 animated-GIF frame decode (LZW) and resize, uncompressed Y4M frame
 sampling, PCM WAV chunking. Only the remaining compressed-codec steps
-(JPEG pixels, MP4/WebM frames, MP3 samples) are STUBBED behind a
-clearly-marked flag, so swapping in Pillow/ffmpeg later is a function-body
-change, not a pipeline change.
+(arithmetic-coded JPEG, WebP/MP4/WebM pixels, MP3 samples) are STUBBED
+behind a clearly-marked flag, so swapping in Pillow/ffmpeg later is a
+function-body change, not a pipeline change.
 """
 
 from __future__ import annotations
@@ -87,6 +90,34 @@ def _bmp_size(b: bytes) -> Optional[Tuple[int, int]]:
         w, h = struct.unpack("<ii", b[18:26])
         if w > 0:
             return w, abs(h)  # negative height = top-down row order
+    return None
+
+
+def _webp_size(b: bytes) -> Optional[Tuple[int, int]]:
+    """WebP canvas dimensions from the RIFF chunk walk — all three frame
+    formats: VP8X extended (24-bit LE canvas-1), VP8L lossless (14-bit
+    packed size-1 after the 0x2F signature), VP8 lossy (sync-coded
+    14-bit sizes). Header parse only; VP8 pixel decode needs a codec."""
+    if len(b) < 16 or b[:4] != b"RIFF" or b[8:12] != b"WEBP":
+        return None
+    i = 12
+    while i + 8 <= len(b):
+        cid = b[i:i + 4]
+        clen = struct.unpack("<I", b[i + 4:i + 8])[0]
+        p = i + 8
+        if cid == b"VP8X" and p + 10 <= len(b):
+            w = 1 + int.from_bytes(b[p + 4:p + 7], "little")
+            h = 1 + int.from_bytes(b[p + 7:p + 10], "little")
+            return w, h
+        if cid == b"VP8L" and p + 5 <= len(b) and b[p] == 0x2F:
+            bits = int.from_bytes(b[p + 1:p + 5], "little")
+            return 1 + (bits & 0x3FFF), 1 + ((bits >> 14) & 0x3FFF)
+        if cid == b"VP8 " and p + 10 <= len(b):
+            if b[p + 3:p + 6] == b"\x9d\x01\x2a":
+                w, h = struct.unpack("<HH", b[p + 6:p + 10])
+                return w & 0x3FFF, h & 0x3FFF
+            return None
+        i = p + clen + (clen & 1)
     return None
 
 
@@ -257,7 +288,8 @@ def decode_media_meta_batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame
                        duration_ms=None, bytes=len(b), status="decoded",
                        error_message=None)
             for name, probe in (("png", _png_size), ("gif", _gif_size),
-                                ("jpeg", _jpeg_size), ("bmp", _bmp_size)):
+                                ("jpeg", _jpeg_size), ("bmp", _bmp_size),
+                                ("webp", _webp_size)):
                 s = probe(b)
                 if s:
                     row.update(kind="image", format=name,
@@ -294,7 +326,8 @@ def decode_image_meta_batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame
             b = bytes(payload) if payload is not None else b""
             fmt, size, status, err = "unknown", None, "decoded", None
             for name, probe in (("png", _png_size), ("gif", _gif_size),
-                                ("jpeg", _jpeg_size), ("bmp", _bmp_size)):
+                                ("jpeg", _jpeg_size), ("bmp", _bmp_size),
+                                ("webp", _webp_size)):
                 s = probe(b)
                 if s:
                     fmt, size = name, s
@@ -425,10 +458,11 @@ def resize_image(media: DataFrame, width: int, height: int,
     REAL for uncompressed 24bpp BMP (numpy nearest-neighbor, re-encoded as
     BMP), for PNG (pure-Python zlib inflate + unfilter decode in
     functions/media.py, nearest-neighbor resize, deterministic filter-0
-    re-encode), for GIF stills (LZW frame decoder), and for baseline
-    JPEG (the real Huffman+IDCT decoder in functions/jpegio.py) — GIF
-    and JPEG come back re-encoded as PNG. Only payloads NO decoder here
-    handles (progressive/arithmetic JPEG, corrupt streams) stub: with
+    re-encode), for GIF stills (LZW frame decoder), and for JPEG in
+    both wire forms — baseline AND progressive (the real Huffman+IDCT
+    decoder in functions/jpegio.py) — GIF and JPEG come back re-encoded
+    as PNG. Only payloads NO decoder here handles
+    (arithmetic-coded JPEG, corrupt streams) stub: with
     allow_stub they produce deterministic fake payloads marked
     status='stubbed' (plumbing testable end-to-end), otherwise failed
     ROWS (record-and-continue; tasks never die on bad media).
@@ -509,10 +543,10 @@ def resize_image(media: DataFrame, width: int, height: int,
                         row.update(payload=dig * 4, format=fmt, width=width,
                                    height=height, status="stubbed")
                     elif fmt == "jpeg":
-                        # baseline decode is real; only progressive/
-                        # arithmetic/corrupt streams land here
+                        # baseline AND progressive decode are real; only
+                        # arithmetic-coded/lossless/corrupt streams land here
                         row.update(format=fmt, error_message=
-                                   "non-baseline or corrupt jpeg payload")
+                                   "corrupt or arithmetic-coded jpeg payload")
                     elif fmt:  # png/gif that the real decoder rejected
                         row.update(format=fmt, error_message=
                                    "corrupt or unsupported %s payload" % fmt)

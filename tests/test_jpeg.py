@@ -118,7 +118,8 @@ def test_sixteen_bit_dqt_segment():
 
 def test_loud_none_on_unsupported_and_corrupt():
     j = make_jpeg(_flat(50, 16, 16), 16, 16)
-    # progressive SOF2 -> None (never a wrong best-effort decode)
+    # a SOF2 frame carrying a baseline-style full-band scan is MALFORMED
+    # progressive (DC scans may only carry coefficient 0) -> None
     prog = j.replace(b"\xff\xc0", b"\xff\xc2", 1)
     assert jpeg_decode(prog) is None
     assert jpeg_decode(b"") is None
@@ -129,6 +130,78 @@ def test_loud_none_on_unsupported_and_corrupt():
     i = j.index(b"\xff\xc0")
     twelve = j[:i + 4] + b"\x0c" + j[i + 5:]
     assert jpeg_decode(twelve) is None
+
+
+# --- progressive (SOF2) -----------------------------------------------------
+
+def _gradient(w, h):
+    arr = np.zeros((h, w, 3), np.uint8)
+    for y in range(h):
+        for x in range(w):
+            arr[y, x] = ((x * 255) // w, (y * 255) // h,
+                         ((x + y) * 255) // (w + h))
+    return arr
+
+
+def test_progressive_equals_baseline_exactly():
+    """The equivalence pin: the progressive scan script reconstructs the
+    IDENTICAL quantized coefficients as the baseline stream, so both
+    decode to byte-identical pixels — every progressive path (DC
+    first/refine, AC first with EOB runs + ZRL, AC refinement with
+    buffered correction bits and newly-significant placement) must agree
+    with the independently-tested baseline decoder."""
+    rng = np.random.RandomState(0)
+    sparse = np.full((48, 64, 3), 100, np.uint8)
+    sparse[5, 5] = (200, 10, 30)      # isolated AC energy -> long EOB runs
+    sparse[40, 60] = (0, 255, 0)
+    cases = [
+        (np.full((13, 21, 3), 7, np.uint8), {}),
+        (_gradient(40, 24), {}),
+        (_gradient(40, 24), {"subsample": "420"}),
+        (rng.randint(0, 256, (17, 31, 3), np.uint8), {}),
+        (rng.randint(0, 256, (22, 30, 3), np.uint8), {"subsample": "420"}),
+        (np.full((11, 9, 3), 77, np.uint8), {"gray": True}),
+        (sparse, {}),
+        (_gradient(40, 24), {"quant_luma": [16] * 64,
+                             "quant_chroma": [17] * 64}),
+    ]
+    for arr, kw in cases:
+        h, w = arr.shape[:2]
+        base = jpeg_decode(make_jpeg(arr.tobytes(), w, h, **kw))
+        pj = make_jpeg(arr.tobytes(), w, h, progressive=True, **kw)
+        assert b"\xff\xc2" in pj
+        prog = jpeg_decode(pj)
+        assert prog is not None, kw
+        assert prog[:2] == base[:2]
+        assert prog[2] == base[2], kw
+
+
+def test_progressive_flat_gray_exact():
+    for v in (0, 128, 255):
+        out = jpeg_decode(make_jpeg(_flat(v, 21, 13), 21, 13,
+                                    progressive=True))
+        assert out is not None
+        assert (np.frombuffer(out[2], np.uint8) == v).all()
+
+
+def test_progressive_truncated_is_loud():
+    pj = make_jpeg(_gradient(24, 16).tobytes(), 24, 16, progressive=True)
+    assert jpeg_decode(pj[:len(pj) * 2 // 3]) is None
+
+
+def test_progressive_resize_and_stats_spark(spark):
+    from llm_food_spark.operators.multimodal import (
+        image_pixel_stats, resize_image)
+
+    pj = make_jpeg(_flat(83, 32, 16), 32, 16, progressive=True)
+    df = spark.createDataFrame(
+        [("p1", bytearray(pj))], "media_id string, payload binary")
+    [s] = image_pixel_stats(df).collect()
+    assert (s.format, s.status, s.width, s.height) == (
+        "jpeg", "decoded", 32, 16)
+    assert s.mean_r_milli == 83000
+    [r] = resize_image(df, 8, 8).collect()
+    assert r.status == "resized" and r.format == "jpeg"
 
 
 # --- Spark surfaces ---------------------------------------------------------

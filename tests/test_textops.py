@@ -125,11 +125,34 @@ def _png(w, h):
             + struct.pack(">I", zlib.crc32(chunk)))
 
 
+def _webp_lossy(w, h):
+    vp8 = b"\x00\x00\x00" + b"\x9d\x01\x2a" + struct.pack("<HH", w, h)
+    return (b"RIFF" + struct.pack("<I", 4 + 8 + len(vp8)) + b"WEBP"
+            + b"VP8 " + struct.pack("<I", len(vp8)) + vp8)
+
+
+def _webp_lossless(w, h):
+    bits = (w - 1) | ((h - 1) << 14)
+    vp8l = b"\x2f" + struct.pack("<I", bits)
+    return (b"RIFF" + struct.pack("<I", 4 + 8 + len(vp8l)) + b"WEBP"
+            + b"VP8L" + struct.pack("<I", len(vp8l)) + vp8l)
+
+
+def _webp_extended(w, h):
+    vp8x = (b"\x00\x00\x00\x00"
+            + (w - 1).to_bytes(3, "little") + (h - 1).to_bytes(3, "little"))
+    return (b"RIFF" + struct.pack("<I", 4 + 8 + len(vp8x)) + b"WEBP"
+            + b"VP8X" + struct.pack("<I", len(vp8x)) + vp8x)
+
+
 def test_decode_image_meta(spark):
     rows = [
         ("a", "image", _png(640, 480), None),
         ("b", "image", b"GIF89a" + struct.pack("<HH", 10, 20) + b"\x00" * 10, None),
         ("c", "image", b"not an image", None),
+        ("w1", "image", _webp_lossy(320, 240), None),
+        ("w2", "image", _webp_lossless(15, 9), None),
+        ("w3", "image", _webp_extended(1920, 1080), None),
     ]
     df = spark.createDataFrame(
         rows, "media_id string, kind string, payload binary, meta map<string,string>"
@@ -138,6 +161,9 @@ def test_decode_image_meta(spark):
     assert (got["a"]["format"], got["a"]["width"], got["a"]["height"]) == ("png", 640, 480)
     assert (got["b"]["format"], got["b"]["width"], got["b"]["height"]) == ("gif", 10, 20)
     assert got["c"]["status"] == "failed"
+    for mid, w, h in (("w1", 320, 240), ("w2", 15, 9), ("w3", 1920, 1080)):
+        assert (got[mid]["format"], got[mid]["width"],
+                got[mid]["height"]) == ("webp", w, h), mid
 
 
 def _wav(channels=2, rate=44100, seconds=3):
@@ -291,8 +317,11 @@ def test_resize_png_real(spark):
     want = gif_rgb[(np.arange(3) * 6) // 3][:, (np.arange(5) * 10) // 5]
     assert dec == want.tobytes()
 
+    # a bare SOF0 with no entropy data is corrupt: the REAL decoder
+    # rejects it loudly (valid JPEGs resize for real now —
+    # tests/test_jpeg.py::test_resize_image_jpeg_real_no_stub)
     assert got["jpg"]["status"] == "failed"
-    assert "no jpeg codec" in got["jpg"]["error_message"]
+    assert "jpeg" in got["jpg"]["error_message"]
 
 
 def test_frame_sample_y4m_real(spark):
