@@ -2420,6 +2420,45 @@ def q_jpeg_pixels(spark, sf_dir):
         "mean_r_milli", "mean_g_milli", "mean_b_milli", "status")
 
 
+def q_exif_meta(spark, sf_dir):
+    """EXIF extraction (operators/multimodal.py::exif_meta — APP1/TIFF
+    IFD walk): every documents row synthesizes a JPEG in-executor; %3!=2
+    rows carry an Exif segment with orientation cycling 1-8, a make
+    whose length forces the out-of-line ASCII path on %2, and a
+    datetime; %3==2 rows carry NO Exif and must come back
+    has_exif=false, not failed. Closed-form twin per doc_id."""
+    import pandas as _pd
+
+    from llm_food_spark.operators.multimodal import exif_meta
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(it):
+        from llm_food_spark.functions.jpegio import make_jpeg
+
+        for pdf in it:
+            ids, payloads = [], []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                rgb = bytes([i % 256] * 3) * 64
+                if i % 3 == 2:
+                    payload = make_jpeg(rgb, 8, 8)
+                else:
+                    payload = make_jpeg(rgb, 8, 8, exif=dict(
+                        orientation=1 + i % 8,
+                        make=("M%d" % i) if i % 2 else ("Maker-%08d" % i),
+                        model="Cam%d" % (i % 5),
+                        datetime="2024:01:%02d 00:00:00" % (1 + i % 28)))
+                ids.append(str(i))
+                payloads.append(payload)
+            yield _pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    media = d.mapInPandas(gen, "media_id string, payload binary")
+    return exif_meta(media).select(
+        F.col("media_id").cast("long").alias("doc_id"),
+        "orientation", "make", "model", "datetime", "has_exif")
+
+
 def q_code_blocks(spark, sf_dir):
     """Fenced code extraction (operators/textops.py::
     extract_code_blocks): %2 docs carry a python fence, %3 docs a bare
@@ -5689,6 +5728,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "code_blocks": q_code_blocks,          # fenced code extraction from the markdown dialect (the code-corpus router's input); closed-form twin incl. index arithmetic
         "bpe_encode": q_bpe_encode,            # demoted for webdataset_prep: bpe_learn holds the tokenizer driver slot (its twin re-derives the merge table) and tokenizer_fertility re-encodes the corpus repo-gated; the encode form stays repo-gated
         "jpeg_pixels": q_jpeg_pixels,          # corpus-scale baseline-JPEG Huffman+IDCT pixel decode (flat 444/420 + banded DC-chain classes, bit-exact under all-ones quant); webdataset_prep holds the multimodal driver slot and now chains the SAME decoder through its shards — this is the wider repo-gated form
+        "exif_meta": q_exif_meta,              # APP1/TIFF EXIF walk (orientation 1-8 cycling, out-of-line + inline ASCII paths, Exif-less rows flagged not failed); closed-form twin per doc_id
         "align_spans": q_align_spans,          # seed-and-chain shared-span location (the WHERE of plagiarism/syndication; containment is the HOW MUCH); full-alignment twin over real text + planted tails
         "template_prune": q_template_prune,    # cross-page template SUBTRACTION chained induce->curate->prune through the real DOM parse (maximal all-template subtrees); closed-form twin
         "crawl_delays": q_crawl_delays,        # crawl-delay politeness extraction through the real robots group scan (foreign groups excluded, max-wins, exact millis); closed-form twin
@@ -9885,6 +9925,25 @@ def _handwritten_oracles() -> dict[str, str]:
             SELECT 's2://' || doc_id AS url,
                    sha256('doc-' || doc_id) AS content_hash
             FROM documents WHERE doc_id % 3 = 2
+        """,
+        # exif_meta twin: tag universe closed-form per doc_id; %3==2
+        # rows have no Exif segment -> NULL fields + has_exif=false.
+        "exif_meta": """
+            SELECT doc_id,
+                   CASE WHEN doc_id % 3 = 2 THEN NULL
+                        ELSE (1 + doc_id % 8) END::INT AS orientation,
+                   CASE WHEN doc_id % 3 = 2 THEN NULL
+                        WHEN doc_id % 2 = 1 THEN 'M' || doc_id
+                        ELSE 'Maker-' || lpad(doc_id::VARCHAR, 8, '0')
+                   END AS make,
+                   CASE WHEN doc_id % 3 = 2 THEN NULL
+                        ELSE 'Cam' || (doc_id % 5) END AS model,
+                   CASE WHEN doc_id % 3 = 2 THEN NULL
+                        ELSE '2024:01:' || lpad((1 + doc_id % 28)::VARCHAR,
+                                                2, '0') || ' 00:00:00'
+                   END AS datetime,
+                   (doc_id % 3 != 2) AS has_exif
+            FROM documents
         """,
         # jpeg_pixels twin: both fixture classes decode bit-exactly
         # (all-ones quant, flat 8x8 regions -> DC-only blocks), so the

@@ -699,6 +699,122 @@ def _prog_scan(b, pos, seg, frame, geom, coefs, huff, restart_interval):
 
 
 # ---------------------------------------------------------------------------
+# EXIF (APP1/TIFF IFD walk) — orientation is the load-bearing field:
+# phone cameras store pixels unrotated and declare the turn here, so a
+# pixel pipeline that ignores it trains on sideways images.
+# ---------------------------------------------------------------------------
+
+_EXIF_TAGS = {
+    0x0112: "orientation",
+    0x010F: "make",
+    0x0110: "model",
+    0x0132: "datetime",
+}
+_EXIF_SUB_TAGS = {
+    0x9003: "datetime_original",
+    0xA002: "pixel_x",
+    0xA003: "pixel_y",
+}
+
+
+def _ifd_entries(t: bytes, off: int, e: str, out: dict, tags: dict) -> int:
+    """Walk one IFD at ``off``; returns the ExifIFD pointer (0 if none)."""
+    if off + 2 > len(t):
+        return 0
+    n = struct.unpack(e + "H", t[off:off + 2])[0]
+    sub = 0
+    for k in range(n):
+        p = off + 2 + 12 * k
+        if p + 12 > len(t):
+            break
+        tag, typ, cnt = struct.unpack(e + "HHI", t[p:p + 8])
+        raw = t[p + 8:p + 12]
+        if tag == 0x8769 and typ == 4:
+            sub = struct.unpack(e + "I", raw)[0]
+            continue
+        name = tags.get(tag)
+        if name is None:
+            continue
+        if typ == 3 and cnt == 1:  # SHORT
+            out[name] = struct.unpack(e + "H", raw[:2])[0]
+        elif typ == 4 and cnt == 1:  # LONG
+            out[name] = struct.unpack(e + "I", raw)[0]
+        elif typ == 2:  # ASCII (NUL-terminated)
+            if cnt <= 4:
+                s = raw[:cnt]
+            else:
+                voff = struct.unpack(e + "I", raw)[0]
+                s = t[voff:voff + cnt]
+            out[name] = s.split(b"\0", 1)[0].decode("ascii", "replace")
+    return sub
+
+
+def parse_exif(b: bytes) -> Optional[dict]:
+    """JPEG bytes -> EXIF dict (orientation, make, model, datetime,
+    datetime_original, pixel_x, pixel_y — whichever are present), or
+    None when there is no APP1 Exif segment. Tolerant: a malformed TIFF
+    body yields whatever fields parsed cleanly before the damage."""
+    if len(b) < 4 or b[:2] != b"\xff\xd8":
+        return None
+    i = 2
+    n = len(b)
+    while i + 4 <= n and b[i] == 0xFF:
+        marker = b[i + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            i += 2
+            continue
+        if marker in (0xDA, 0xD9):
+            return None  # entropy data / end: no Exif segment found
+        seg_len = struct.unpack(">H", b[i + 2:i + 4])[0]
+        seg = b[i + 4:i + 2 + seg_len]
+        if marker == 0xE1 and seg[:6] == b"Exif\x00\x00":
+            t = seg[6:]
+            if len(t) < 8 or t[:2] not in (b"II", b"MM"):
+                return None
+            e = "<" if t[:2] == b"II" else ">"
+            if struct.unpack(e + "H", t[2:4])[0] != 42:
+                return None
+            ifd0 = struct.unpack(e + "I", t[4:8])[0]
+            out: dict = {}
+            sub = _ifd_entries(t, ifd0, e, out, _EXIF_TAGS)
+            if sub:
+                _ifd_entries(t, sub, e, out, _EXIF_SUB_TAGS)
+            return out or None
+        i += 2 + seg_len
+    return None
+
+
+def make_exif_app1(orientation: int = 1, make: str = "",
+                   model: str = "", datetime: str = "") -> bytes:
+    """Deterministic little-endian APP1 Exif segment for fixtures."""
+    entries = [(0x0112, 3, 1, struct.pack("<H", orientation) + b"\0\0")]
+    tail = b""
+
+    def ascii_entry(tag, s, data_off):
+        v = s.encode("ascii") + b"\0"
+        if len(v) <= 4:
+            return (tag, 2, len(v), v.ljust(4, b"\0")), b""
+        return (tag, 2, len(v), struct.pack("<I", data_off)), v
+
+    n_entries = 1 + sum(1 for s in (make, model, datetime) if s)
+    data_off = 8 + 2 + 12 * n_entries + 4
+    for tag, s in ((0x010F, make), (0x0110, model), (0x0132, datetime)):
+        if not s:
+            continue
+        ent, extra = ascii_entry(tag, s, data_off)
+        entries.append(ent)
+        tail += extra
+        data_off += len(extra)
+    tiff = b"II" + struct.pack("<HI", 42, 8)
+    tiff += struct.pack("<H", len(entries))
+    for tag, typ, cnt, raw in entries:
+        tiff += struct.pack("<HHI", tag, typ, cnt) + raw
+    tiff += struct.pack("<I", 0) + tail  # next-IFD pointer then data area
+    body = b"Exif\x00\x00" + tiff
+    return b"\xff\xe1" + struct.pack(">H", len(body) + 2) + body
+
+
+# ---------------------------------------------------------------------------
 # Encoder (fixture half)
 # ---------------------------------------------------------------------------
 
@@ -892,7 +1008,8 @@ def make_jpeg(rgb: bytes, w: int, h: int,
               subsample: str = "444",
               gray: bool = False,
               restart_interval: int = 0,
-              progressive: bool = False) -> bytes:
+              progressive: bool = False,
+              exif: Optional[dict] = None) -> bytes:
     """Deterministic JFIF encoder — baseline sequential by default, full
     progressive (SOF2) with ``progressive=True``: DC spectral scan at
     Al=1 + DC refinement, then per-component AC first (Al=1, EOB runs)
@@ -920,6 +1037,8 @@ def make_jpeg(rgb: bytes, w: int, h: int,
     out = bytearray(b"\xff\xd8")
     out += (b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00"
             + b"\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    if exif:
+        out += make_exif_app1(**exif)
     out += _dqt_segment(0, ql)
     dc_l = _huff_codes(*_DC_LUMA)
     ac_l = _huff_codes(*_AC_LUMA)

@@ -121,6 +121,56 @@ def _webp_size(b: bytes) -> Optional[Tuple[int, int]]:
     return None
 
 
+def _ico_size(b: bytes) -> Optional[Tuple[int, int]]:
+    """ICO (favicon) dimensions: largest-area directory entry; a stored
+    0 means 256 per the format."""
+    if len(b) < 6 or b[:4] != b"\x00\x00\x01\x00":
+        return None
+    count = struct.unpack("<H", b[4:6])[0]
+    if count == 0 or len(b) < 6 + 16 * count:
+        return None
+    best = None
+    for k in range(count):
+        w, h = b[6 + 16 * k], b[7 + 16 * k]
+        w, h = w or 256, h or 256
+        if best is None or w * h > best[0] * best[1]:
+            best = (w, h)
+    return best
+
+
+def _tiff_size(b: bytes) -> Optional[Tuple[int, int]]:
+    """TIFF dimensions from IFD0 (ImageWidth 0x0100 / ImageLength 0x0101,
+    SHORT or LONG, either endianness)."""
+    if len(b) < 8 or b[:2] not in (b"II", b"MM"):
+        return None
+    e = "<" if b[:2] == b"II" else ">"
+    if struct.unpack(e + "H", b[2:4])[0] != 42:
+        return None
+    off = struct.unpack(e + "I", b[4:8])[0]
+    if off + 2 > len(b):
+        return None
+    n = struct.unpack(e + "H", b[off:off + 2])[0]
+    w = h = None
+    for k in range(n):
+        p = off + 2 + 12 * k
+        if p + 12 > len(b):
+            break
+        tag, typ = struct.unpack(e + "HH", b[p:p + 4])
+        raw = b[p + 8:p + 12]
+        if tag in (0x0100, 0x0101):
+            if typ == 3:
+                v = struct.unpack(e + "H", raw[:2])[0]
+            elif typ == 4:
+                v = struct.unpack(e + "I", raw)[0]
+            else:
+                continue
+            if tag == 0x0100:
+                w = v
+            else:
+                h = v
+    return (w, h) if w and h else None
+
+
 def _jpeg_size(b: bytes) -> Optional[Tuple[int, int]]:
     if len(b) < 4 or b[:2] != b"\xff\xd8":
         return None
@@ -289,7 +339,8 @@ def decode_media_meta_batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame
                        error_message=None)
             for name, probe in (("png", _png_size), ("gif", _gif_size),
                                 ("jpeg", _jpeg_size), ("bmp", _bmp_size),
-                                ("webp", _webp_size)):
+                                ("webp", _webp_size),
+                                ("ico", _ico_size), ("tiff", _tiff_size)):
                 s = probe(b)
                 if s:
                     row.update(kind="image", format=name,
@@ -327,7 +378,8 @@ def decode_image_meta_batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame
             fmt, size, status, err = "unknown", None, "decoded", None
             for name, probe in (("png", _png_size), ("gif", _gif_size),
                                 ("jpeg", _jpeg_size), ("bmp", _bmp_size),
-                                ("webp", _webp_size)):
+                                ("webp", _webp_size),
+                                ("ico", _ico_size), ("tiff", _tiff_size)):
                 s = probe(b)
                 if s:
                     fmt, size = name, s
@@ -747,6 +799,62 @@ def _decode_rgb(b: bytes):
             w0, h0, rgb = jpg
             return "jpeg", np.frombuffer(rgb, np.uint8).reshape(h0, w0, 3)
     return None
+
+
+EXIF_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType()),
+        T.StructField("orientation", T.IntegerType()),
+        T.StructField("make", T.StringType()),
+        T.StructField("model", T.StringType()),
+        T.StructField("datetime", T.StringType()),
+        T.StructField("datetime_original", T.StringType()),
+        T.StructField("pixel_x", T.IntegerType()),
+        T.StructField("pixel_y", T.IntegerType()),
+        T.StructField("has_exif", T.BooleanType()),
+    ]
+)
+
+
+def exif_meta(media: DataFrame) -> DataFrame:
+    """JPEG EXIF metadata (APP1/TIFF IFD walk in functions/jpegio.py):
+    (media_id, orientation, make, model, datetime, datetime_original,
+    pixel_x, pixel_y, has_exif). Orientation is the load-bearing field —
+    phone cameras store pixels unrotated and declare the turn here
+    (values 1-8: rotations + mirrorings), so a training pipeline that
+    drops it learns from sideways images; compose this with
+    resize_image/image_pixel_stats and rotate on orientation > 1.
+    Non-JPEG and Exif-less payloads emit has_exif=false rows, never
+    failures (metadata absence is data, not an error).
+
+    Scale shape: size-salted, one MapInPandas, header-only reads."""
+
+    def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from llm_food_spark.functions.jpegio import parse_exif
+
+        for pdf in it:
+            rows: List[dict] = []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(payload) if payload is not None else b""
+                try:
+                    meta = parse_exif(b)
+                except (struct.error, IndexError, ValueError):
+                    meta = None
+                meta = meta or {}
+                rows.append(dict(
+                    media_id=media_id,
+                    orientation=meta.get("orientation"),
+                    make=meta.get("make"),
+                    model=meta.get("model"),
+                    datetime=meta.get("datetime"),
+                    datetime_original=meta.get("datetime_original"),
+                    pixel_x=meta.get("pixel_x"),
+                    pixel_y=meta.get("pixel_y"),
+                    has_exif=bool(meta),
+                ))
+            yield pd.DataFrame(rows)
+
+    return _size_salted(media).mapInPandas(fn, schema=EXIF_SCHEMA)
 
 
 PIXEL_STATS_SCHEMA = T.StructType(

@@ -204,6 +204,53 @@ def test_progressive_resize_and_stats_spark(spark):
     assert r.status == "resized" and r.format == "jpeg"
 
 
+# --- EXIF -------------------------------------------------------------------
+
+def test_exif_roundtrip_and_endianness():
+    from llm_food_spark.functions.jpegio import parse_exif
+
+    j = make_jpeg(_flat(9, 16, 8), 16, 8,
+                  exif=dict(orientation=6, make="ACME",
+                            model="Cam 3000 Ultra",
+                            datetime="2024:05:01 12:00:00"))
+    got = parse_exif(j)
+    assert got == {"orientation": 6, "make": "ACME",
+                   "model": "Cam 3000 Ultra",
+                   "datetime": "2024:05:01 12:00:00"}
+    # EXIF presence never disturbs pixel decode
+    out = jpeg_decode(j)
+    assert out is not None and (np.frombuffer(out[2], np.uint8) == 9).all()
+    # big-endian (MM) TIFF body, hand-built
+    tiff = (b"MM" + struct.pack(">HI", 42, 8) + struct.pack(">H", 1)
+            + struct.pack(">HHI", 0x0112, 3, 1) + struct.pack(">H", 8)
+            + b"\0\0" + struct.pack(">I", 0))
+    body = b"Exif\x00\x00" + tiff
+    app1 = b"\xff\xe1" + struct.pack(">H", len(body) + 2) + body
+    assert parse_exif(j[:2] + app1 + j[2:]) == {"orientation": 8}
+    # absence and garbage are None, not errors
+    assert parse_exif(make_jpeg(_flat(9, 8, 8), 8, 8)) is None
+    assert parse_exif(b"nope") is None
+    assert parse_exif(b"\xff\xd8\xff\xe1\x00\x08Exif\x00\x00") is None
+
+
+def test_exif_meta_operator_spark(spark):
+    from llm_food_spark.operators.multimodal import exif_meta
+
+    rows = [
+        ("a", bytearray(make_jpeg(_flat(5, 8, 8), 8, 8,
+                                  exif=dict(orientation=3, make="Mk",
+                                            model="Mod")))),
+        ("b", bytearray(make_jpeg(_flat(5, 8, 8), 8, 8))),  # no exif
+        ("c", bytearray(b"\x89PNG\r\n\x1a\n")),             # not a jpeg
+    ]
+    df = spark.createDataFrame(rows, "media_id string, payload binary")
+    got = {r.media_id: r for r in exif_meta(df).collect()}
+    assert got["a"].orientation == 3 and got["a"].make == "Mk"
+    assert got["a"].has_exif
+    assert not got["b"].has_exif and got["b"].orientation is None
+    assert not got["c"].has_exif
+
+
 # --- Spark surfaces ---------------------------------------------------------
 
 def test_image_pixel_stats_jpeg_spark(spark):

@@ -153,6 +153,16 @@ def test_decode_image_meta(spark):
         ("w1", "image", _webp_lossy(320, 240), None),
         ("w2", "image", _webp_lossless(15, 9), None),
         ("w3", "image", _webp_extended(1920, 1080), None),
+        # favicon ICO: two entries, largest (0 = 256) wins
+        ("i1", "image", b"\x00\x00\x01\x00\x02\x00"
+         + bytes([16, 16]) + b"\x00" * 14
+         + bytes([0, 0]) + b"\x00" * 14, None),
+        # little-endian TIFF with SHORT width / LONG height
+        ("t1", "image", b"II" + struct.pack("<HI", 42, 8)
+         + struct.pack("<H", 2)
+         + struct.pack("<HHI", 0x0100, 3, 1) + struct.pack("<H", 640) + b"\x00\x00"
+         + struct.pack("<HHI", 0x0101, 4, 1) + struct.pack("<I", 480)
+         + struct.pack("<I", 0), None),
     ]
     df = spark.createDataFrame(
         rows, "media_id string, kind string, payload binary, meta map<string,string>"
@@ -164,6 +174,10 @@ def test_decode_image_meta(spark):
     for mid, w, h in (("w1", 320, 240), ("w2", 15, 9), ("w3", 1920, 1080)):
         assert (got[mid]["format"], got[mid]["width"],
                 got[mid]["height"]) == ("webp", w, h), mid
+    assert (got["i1"]["format"], got["i1"]["width"],
+            got["i1"]["height"]) == ("ico", 256, 256)
+    assert (got["t1"]["format"], got["t1"]["width"],
+            got["t1"]["height"]) == ("tiff", 640, 480)
 
 
 def _wav(channels=2, rate=44100, seconds=3):
