@@ -2459,6 +2459,57 @@ def q_exif_meta(spark, sf_dir):
         "orientation", "make", "model", "datetime", "has_exif")
 
 
+def q_orient_pixels(spark, sf_dir):
+    """EXIF-orientation normalization chained THROUGH three real pixel
+    passes (multimodal.py::orient_image -> resize_image -> ...
+    image_pixel_stats): each doc synthesizes a 16x16 JPEG of four flat
+    8x8 gray quadrants [[a,b],[c,d]] tagged orientation 1+i%8; after
+    uprighting, a 1x1 nearest-neighbor resize picks exactly the
+    top-left pixel, and WHICH stored quadrant lands there is a pure
+    function of the orientation (the dihedral action on corners:
+    1,5->a; 2,8->b; 4,6->c; 3,7->d). Flat blocks + all-ones quant
+    decode bit-exactly, so the twin states the surviving corner in
+    closed form — a POSITIONAL proof the rotation actually happened,
+    not just that dimensions moved."""
+    import pandas as _pd
+
+    from llm_food_spark.operators.multimodal import (
+        image_pixel_stats, orient_image, resize_image)
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(it):
+        from llm_food_spark.functions.jpegio import make_jpeg
+
+        for pdf in it:
+            ids, payloads = [], []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                a, bq = (i * 3) % 251, (i * 5 + 7) % 251
+                c, dq = (i * 7 + 11) % 251, (i * 11 + 13) % 251
+                row_t = (bytes([a] * 3) * 8 + bytes([bq] * 3) * 8)
+                row_b = (bytes([c] * 3) * 8 + bytes([dq] * 3) * 8)
+                rgb = row_t * 8 + row_b * 8
+                payloads.append(make_jpeg(
+                    rgb, 16, 16, exif=dict(orientation=1 + i % 8)))
+                ids.append(str(i))
+            yield _pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    media = d.mapInPandas(gen, "media_id string, payload binary")
+    up = orient_image(media)
+    corner = resize_image(up.select("media_id", "payload"), 1, 1)
+    stats = image_pixel_stats(corner.select("media_id", "payload"))
+    return (
+        up.select("media_id", "orientation",
+                  F.col("width").alias("ow"), F.col("height").alias("oh"))
+        .join(stats.select("media_id",
+                           F.col("mean_r_milli").alias("corner_milli"),
+                           "status"), "media_id")
+        .select(F.col("media_id").cast("long").alias("doc_id"),
+                "orientation", "ow", "oh", "corner_milli", "status")
+    )
+
+
 def q_code_blocks(spark, sf_dir):
     """Fenced code extraction (operators/textops.py::
     extract_code_blocks): %2 docs carry a python fence, %3 docs a bare
@@ -5729,6 +5780,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_encode": q_bpe_encode,            # demoted for webdataset_prep: bpe_learn holds the tokenizer driver slot (its twin re-derives the merge table) and tokenizer_fertility re-encodes the corpus repo-gated; the encode form stays repo-gated
         "jpeg_pixels": q_jpeg_pixels,          # corpus-scale baseline-JPEG Huffman+IDCT pixel decode (flat 444/420 + banded DC-chain classes, bit-exact under all-ones quant); webdataset_prep holds the multimodal driver slot and now chains the SAME decoder through its shards — this is the wider repo-gated form
         "exif_meta": q_exif_meta,              # APP1/TIFF EXIF walk (orientation 1-8 cycling, out-of-line + inline ASCII paths, Exif-less rows flagged not failed); closed-form twin per doc_id
+        "orient_pixels": q_orient_pixels,      # EXIF-orientation normalization chained orient->1x1-resize->stats: the dihedral corner election is closed-form per orientation — a positional proof the rotation happened
         "align_spans": q_align_spans,          # seed-and-chain shared-span location (the WHERE of plagiarism/syndication; containment is the HOW MUCH); full-alignment twin over real text + planted tails
         "template_prune": q_template_prune,    # cross-page template SUBTRACTION chained induce->curate->prune through the real DOM parse (maximal all-template subtrees); closed-form twin
         "crawl_delays": q_crawl_delays,        # crawl-delay politeness extraction through the real robots group scan (foreign groups excluded, max-wins, exact millis); closed-form twin
@@ -9943,6 +9995,26 @@ def _handwritten_oracles() -> dict[str, str]:
                                                 2, '0') || ' 00:00:00'
                    END AS datetime,
                    (doc_id % 3 != 2) AS has_exif
+            FROM documents
+        """,
+        # orient_pixels twin: the dihedral corner election in closed
+        # form — after uprighting, the 1x1 nearest-neighbor resize
+        # keeps stored quadrant a for orientations 1/5, b for 2/8,
+        # c for 4/6, d for 3/7.
+        "orient_pixels": """
+            SELECT doc_id, (1 + doc_id % 8)::INT AS orientation,
+                   16::INT AS ow, 16::INT AS oh,
+                   (1000 * CASE (1 + doc_id % 8)
+                     WHEN 1 THEN (doc_id * 3) % 251
+                     WHEN 5 THEN (doc_id * 3) % 251
+                     WHEN 2 THEN (doc_id * 5 + 7) % 251
+                     WHEN 8 THEN (doc_id * 5 + 7) % 251
+                     WHEN 4 THEN (doc_id * 7 + 11) % 251
+                     WHEN 6 THEN (doc_id * 7 + 11) % 251
+                     WHEN 3 THEN (doc_id * 11 + 13) % 251
+                     ELSE (doc_id * 11 + 13) % 251
+                   END)::BIGINT AS corner_milli,
+                   'decoded' AS status
             FROM documents
         """,
         # jpeg_pixels twin: both fixture classes decode bit-exactly

@@ -857,6 +857,94 @@ def exif_meta(media: DataFrame) -> DataFrame:
     return _size_salted(media).mapInPandas(fn, schema=EXIF_SCHEMA)
 
 
+ORIENTED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType()),
+        T.StructField("format", T.StringType()),
+        T.StructField("orientation", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("status", T.StringType()),
+    ]
+)
+
+
+def _upright(a, orientation: int):
+    """Stored pixels + EXIF orientation -> upright array (the PIL
+    exif_transpose table: 2 mirror, 3 rot180, 4 vflip, 5 transpose,
+    6 rot90 CW, 7 transverse, 8 rot90 CCW)."""
+    import numpy as np
+
+    if orientation == 2:
+        return a[:, ::-1]
+    if orientation == 3:
+        return np.rot90(a, 2)
+    if orientation == 4:
+        return a[::-1]
+    if orientation == 5:
+        return a.swapaxes(0, 1)
+    if orientation == 6:
+        return np.rot90(a, 3)
+    if orientation == 7:
+        return a.swapaxes(0, 1)[::-1, ::-1]
+    if orientation == 8:
+        return np.rot90(a, 1)
+    return a
+
+
+def orient_image(media: DataFrame) -> DataFrame:
+    """EXIF-orientation normalization — the consumer of ``exif_meta``:
+    decode pixels (the shared BMP/PNG/GIF/JPEG chain), read the JPEG
+    APP1 orientation tag, emit the UPRIGHT image re-encoded as PNG with
+    the true post-rotation dimensions. Orientations 5-8 swap width and
+    height; a pipeline that feeds stored pixels straight to training
+    sees ~half of phone photos sideways. Non-JPEG formats and untagged
+    JPEGs pass through as orientation 1 (re-encoded PNG, so the output
+    column is uniformly consumable). Undecodable payloads are failed
+    ROWS (record-and-continue).
+
+    Scale shape: size-salted, one MapInPandas, no shuffle after."""
+
+    def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from llm_food_spark.functions.jpegio import parse_exif
+        from llm_food_spark.functions.media import make_png
+
+        for pdf in it:
+            rows: List[dict] = []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(payload) if payload is not None else b""
+                dec = _decode_rgb(b)
+                if dec is None:
+                    rows.append(dict(
+                        media_id=media_id, format=None, orientation=None,
+                        width=None, height=None, payload=None,
+                        status="failed"))
+                    continue
+                fmt, rgb = dec
+                orientation = 1
+                if fmt == "jpeg":
+                    try:
+                        exif = parse_exif(b) or {}
+                    except (struct.error, IndexError, ValueError):
+                        exif = {}
+                    o = exif.get("orientation")
+                    if isinstance(o, int) and 1 <= o <= 8:
+                        orientation = o
+                up = np.ascontiguousarray(_upright(rgb, orientation))
+                h, w = up.shape[:2]
+                rows.append(dict(
+                    media_id=media_id, format=fmt,
+                    orientation=orientation, width=int(w), height=int(h),
+                    payload=make_png(up.tobytes(), w, h),
+                    status="oriented"))
+            yield pd.DataFrame(rows)
+
+    return _size_salted(media).mapInPandas(fn, schema=ORIENTED_SCHEMA)
+
+
 PIXEL_STATS_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.StringType()),

@@ -251,6 +251,55 @@ def test_exif_meta_operator_spark(spark):
     assert not got["c"].has_exif
 
 
+def test_upright_table_is_dihedral_inverse():
+    """_upright inverts the storage transform for every orientation:
+    applying the tagged transform to inverse-stored pixels recovers the
+    original (rotations pair 6<->8; flips/transposes are involutions)."""
+    from llm_food_spark.operators.multimodal import _upright
+
+    upright = np.arange(6 * 4 * 3, dtype=np.uint8).reshape(4, 6, 3)
+    inverse = {1: 1, 2: 2, 3: 3, 4: 4, 5: 5, 6: 8, 7: 7, 8: 6}
+    seen = set()
+    for o in range(1, 9):
+        stored = np.ascontiguousarray(_upright(upright, inverse[o]))
+        assert (_upright(stored, o) == upright).all(), o
+        seen.add(stored.tobytes())
+    assert len(seen) == 8  # all eight storage layouts are distinct
+
+
+def test_orient_image_all_orientations(spark):
+    """orient_image applies the tagged transform to the decoded pixels:
+    for every orientation the output equals _upright(decode(payload), o)
+    (codec loss cancels out of the comparison), dims swap on 5-8, and
+    untagged / undecodable rows behave."""
+    from llm_food_spark.functions.media import png_decode
+    from llm_food_spark.operators.multimodal import _upright, orient_image
+
+    base = np.arange(6 * 4 * 3, dtype=np.uint8).reshape(4, 6, 3)
+    rows = [("o%d" % o, bytearray(make_jpeg(
+        base.tobytes(), 6, 4, exif=dict(orientation=o))))
+        for o in range(1, 9)]
+    rows.append(("untagged", bytearray(make_jpeg(base.tobytes(), 6, 4))))
+    rows.append(("bad", bytearray(b"nope")))
+    df = spark.createDataFrame(rows, "media_id string, payload binary")
+    got = {r.media_id: r for r in orient_image(df).collect()}
+
+    w0, h0, dec = jpeg_decode(make_jpeg(base.tobytes(), 6, 4,
+                                        exif=dict(orientation=3)))
+    decoded = np.frombuffer(dec, np.uint8).reshape(4, 6, 3)
+    for o in range(1, 9):
+        r = got["o%d" % o]
+        assert r.status == "oriented" and r.orientation == o, o
+        want = np.ascontiguousarray(_upright(decoded, o))
+        assert (r.width, r.height) == (want.shape[1], want.shape[0]), o
+        if o >= 5:
+            assert (r.width, r.height) == (4, 6), o  # dims swapped
+        w2, h2, rgb = png_decode(bytes(r.payload))
+        assert rgb == want.tobytes(), o
+    assert got["untagged"].orientation == 1
+    assert got["bad"].status == "failed"
+
+
 # --- Spark surfaces ---------------------------------------------------------
 
 def test_image_pixel_stats_jpeg_spark(spark):
