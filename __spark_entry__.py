@@ -2510,6 +2510,45 @@ def q_orient_pixels(spark, sf_dir):
     )
 
 
+def q_g711_vad(spark, sf_dir):
+    """G.711 telephony audio through the real decode + VAD chain
+    (functions/media.py::wav_transcode_g711 -> wav_vad_segments via
+    operators/multimodal.py::audio_vad): each doc synthesizes a 40 ms
+    mono 8 kHz G.711 WAV — A-law (format 6) on odd doc_ids, mu-law
+    (format 7) on even — whose companded bytes are closed-form in
+    doc_id. The twin re-derives EVERY expanded PCM16 sample through the
+    CCITT expansion formulas in SQL (complement/XOR, segment shifts)
+    and recomputes the exact frame energies, so the decode tables are
+    value-checked sample-by-sample, not spot-checked."""
+    import pandas as _pd
+    import struct as _s
+
+    from llm_food_spark.operators.multimodal import audio_vad
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(it):
+        for pdf in it:
+            ids, payloads = [], []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                fmt_code = 6 if i % 2 else 7
+                data = bytes((i * 13 + j * 7) % 256 for j in range(320))
+                fmt = _s.pack("<HHIIHH", fmt_code, 1, 8000, 8000, 1, 8)
+                hdr = (b"fmt " + _s.pack("<I", 16) + fmt
+                       + b"data" + _s.pack("<I", len(data)))
+                wav = (b"RIFF" + _s.pack("<I", 4 + len(hdr) + len(data))
+                       + b"WAVE" + hdr + data)
+                ids.append(str(i))
+                payloads.append(wav)
+            yield _pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    media = d.mapInPandas(gen, "media_id string, payload binary")
+    return audio_vad(media, frame_ms=20, thresh_msq=0).select(
+        F.col("media_id").cast("long").alias("doc_id"),
+        "seg_no", "start_ms", "dur_ms", "n_frames", "energy", "status")
+
+
 def q_code_blocks(spark, sf_dir):
     """Fenced code extraction (operators/textops.py::
     extract_code_blocks): %2 docs carry a python fence, %3 docs a bare
@@ -5781,6 +5820,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jpeg_pixels": q_jpeg_pixels,          # corpus-scale baseline-JPEG Huffman+IDCT pixel decode (flat 444/420 + banded DC-chain classes, bit-exact under all-ones quant); webdataset_prep holds the multimodal driver slot and now chains the SAME decoder through its shards — this is the wider repo-gated form
         "exif_meta": q_exif_meta,              # APP1/TIFF EXIF walk (orientation 1-8 cycling, out-of-line + inline ASCII paths, Exif-less rows flagged not failed); closed-form twin per doc_id
         "orient_pixels": q_orient_pixels,      # EXIF-orientation normalization chained orient->1x1-resize->stats: the dihedral corner election is closed-form per orientation — a positional proof the rotation happened
+        "g711_vad": q_g711_vad,                # G.711 mu-law/A-law telephony decode chained through VAD; twin re-derives every CCITT-expanded sample + frame energy in SQL
         "align_spans": q_align_spans,          # seed-and-chain shared-span location (the WHERE of plagiarism/syndication; containment is the HOW MUCH); full-alignment twin over real text + planted tails
         "template_prune": q_template_prune,    # cross-page template SUBTRACTION chained induce->curate->prune through the real DOM parse (maximal all-template subtrees); closed-form twin
         "crawl_delays": q_crawl_delays,        # crawl-delay politeness extraction through the real robots group scan (foreign groups excluded, max-wins, exact millis); closed-form twin
@@ -9996,6 +10036,48 @@ def _handwritten_oracles() -> dict[str, str]:
                    END AS datetime,
                    (doc_id % 3 != 2) AS has_exif
             FROM documents
+        """,
+        # g711_vad twin: every CCITT-expanded sample re-derived in SQL
+        # (mu-law: complement + segment shift; A-law: XOR 0x55 +
+        # segment shift) and the exact 2-frame energy summed.
+        "g711_vad": """
+            WITH s AS (
+              SELECT doc_id, u.j,
+                     (doc_id * 13 + u.j * 7) % 256 AS byte
+              FROM documents,
+                   LATERAL (SELECT unnest(range(0, 320)) AS j) u
+            ), px AS (
+              SELECT doc_id, j,
+                CASE WHEN doc_id % 2 = 0 THEN
+                  CASE WHEN (255 - byte) >= 128
+                       THEN -((((255 - byte) % 16) * 8 + 132)
+                              * (1 << (((255 - byte) // 16) % 8)) - 132)
+                       ELSE ((((255 - byte) % 16) * 8 + 132)
+                             * (1 << (((255 - byte) // 16) % 8)) - 132)
+                  END
+                ELSE
+                  CASE WHEN xor(byte, 85) >= 128 THEN
+                    CASE (xor(byte, 85) // 16) % 8
+                      WHEN 0 THEN (xor(byte, 85) % 16) * 16 + 8
+                      WHEN 1 THEN (xor(byte, 85) % 16) * 16 + 264
+                      ELSE ((xor(byte, 85) % 16) * 16 + 264)
+                           * (1 << (((xor(byte, 85) // 16) % 8) - 1))
+                    END
+                  ELSE
+                    -(CASE (xor(byte, 85) // 16) % 8
+                      WHEN 0 THEN (xor(byte, 85) % 16) * 16 + 8
+                      WHEN 1 THEN (xor(byte, 85) % 16) * 16 + 264
+                      ELSE ((xor(byte, 85) % 16) * 16 + 264)
+                           * (1 << (((xor(byte, 85) // 16) % 8) - 1))
+                    END)
+                  END
+                END AS v
+              FROM s
+            )
+            SELECT doc_id, 0::INT AS seg_no, 0::INT AS start_ms,
+                   40::INT AS dur_ms, 2::INT AS n_frames,
+                   SUM(v * v)::BIGINT AS energy, 'speech' AS status
+            FROM px GROUP BY doc_id
         """,
         # orient_pixels twin: the dihedral corner election in closed
         # form — after uprighting, the 1x1 nearest-neighbor resize

@@ -443,6 +443,73 @@ def y4m_frames(
 
 
 # ---------------------------------------------------------------------------
+# G.711 mu-law / A-law -> PCM16 (telephony + legacy web audio)
+# ---------------------------------------------------------------------------
+
+def _ulaw_expand(u: int) -> int:
+    """G.711 mu-law byte -> linear PCM16 (CCITT expansion formula)."""
+    u = ~u & 0xFF
+    sign = u & 0x80
+    exp = (u >> 4) & 0x07
+    mant = u & 0x0F
+    sample = (((mant << 3) + 0x84) << exp) - 0x84
+    return -sample if sign else sample
+
+
+def _alaw_expand(a: int) -> int:
+    """G.711 A-law byte -> linear PCM16 (CCITT expansion formula)."""
+    a ^= 0x55
+    sign = a & 0x80
+    seg = (a >> 4) & 0x07
+    t = (a & 0x0F) << 4
+    if seg == 0:
+        t += 8
+    elif seg == 1:
+        t += 0x108
+    else:
+        t = (t + 0x108) << (seg - 1)
+    return t if sign else -t
+
+
+_ULAW_TABLE = [_ulaw_expand(u) for u in range(256)]
+_ALAW_TABLE = [_alaw_expand(a) for a in range(256)]
+
+
+def wav_transcode_g711(b: bytes) -> Optional[bytes]:
+    """G.711 WAV (format 6 = A-law, 7 = mu-law) -> 16-bit PCM WAV via the
+    CCITT expansion tables; None for anything else. The transparent
+    front half of wav_pcm_chunks / wav_vad_segments, so telephony-coded
+    speech rides the same chunking/VAD path as linear PCM."""
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return None
+    fmt_raw = data = None
+    i = 12
+    while i + 8 <= len(b):
+        cid = b[i : i + 4]
+        clen = struct.unpack("<I", b[i + 4 : i + 8])[0]
+        body = b[i + 8 : i + 8 + clen]
+        if cid == b"fmt ":
+            fmt_raw = body
+        elif cid == b"data":
+            data = body
+        i += 8 + clen + (clen & 1)
+    if fmt_raw is None or data is None or len(fmt_raw) < 16:
+        return None
+    audio_fmt, ch, sr, _br, _ba, bits = struct.unpack("<HHIIHH", fmt_raw[:16])
+    if audio_fmt not in (6, 7) or bits != 8 or not ch or not sr:
+        return None
+    table = _ALAW_TABLE if audio_fmt == 6 else _ULAW_TABLE
+    pcm = b"".join(struct.pack("<h", table[byte]) for byte in data)
+    block_align = ch * 2
+    fmt16 = struct.pack("<HHIIHH", 1, ch, sr, sr * block_align,
+                        block_align, 16)
+    hdr = (b"fmt " + struct.pack("<I", 16) + fmt16
+           + b"data" + struct.pack("<I", len(pcm)))
+    return (b"RIFF" + struct.pack("<I", 4 + len(hdr) + len(pcm))
+            + b"WAVE" + hdr + pcm)
+
+
+# ---------------------------------------------------------------------------
 # WAV PCM chunking
 # ---------------------------------------------------------------------------
 
@@ -452,9 +519,13 @@ def wav_pcm_chunks(
 ) -> Optional[List[Tuple[int, int, int, bytes]]]:
     """Slice a PCM WAV into fixed-duration windows, each re-emitted as a
     standalone valid WAV: [(chunk_no, start_ms, dur_ms, wav_bytes)].
-    None for non-WAV / non-PCM payloads."""
+    G.711 mu-law/A-law payloads transparently transcode to PCM16 first.
+    None for non-WAV / otherwise-non-PCM payloads."""
     if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
         return None
+    g711 = wav_transcode_g711(b)
+    if g711 is not None:
+        b = g711
     fmt_raw = data = None
     i = 12
     while i + 8 <= len(b):
@@ -518,6 +589,9 @@ def wav_vad_segments(
         raise ValueError("frame_ms must be >= 1 and thresh_msq >= 0")
     if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
         return None
+    g711 = wav_transcode_g711(b)
+    if g711 is not None:  # telephony-coded speech rides the same path
+        b = g711
     fmt_raw = data = None
     i = 12
     while i + 8 <= len(b):

@@ -53,6 +53,58 @@ def test_wav_vad_rejects_non_pcm16():
     assert wav_vad_segments(b8, 20, 100) is None
 
 
+def _g711_wav(fmt_code, data, sr=8000):
+    import struct as s
+
+    fmt = s.pack("<HHIIHH", fmt_code, 1, sr, sr, 1, 8)
+    body = (b"fmt " + s.pack("<I", 16) + fmt
+            + b"data" + s.pack("<I", len(data)) + data)
+    return b"RIFF" + s.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+
+def test_g711_tables_match_stdlib_audioop():
+    """Cross-validation against an INDEPENDENT implementation: the
+    CPython audioop codec (present in 3.11; deprecated later, which is
+    why the repo ships its own tables) must expand every byte to the
+    same PCM16 value."""
+    import struct as s
+
+    import pytest
+
+    audioop = pytest.importorskip("audioop")
+    from llm_food_spark.functions.media import _ALAW_TABLE, _ULAW_TABLE
+
+    raw = bytes(range(256))
+    ref_u = s.unpack("<256h", audioop.ulaw2lin(raw, 2))
+    ref_a = s.unpack("<256h", audioop.alaw2lin(raw, 2))
+    assert list(ref_u) == _ULAW_TABLE
+    assert list(ref_a) == _ALAW_TABLE
+
+
+def test_g711_transcode_and_vad_chain():
+    import struct as s
+
+    from llm_food_spark.functions.media import (
+        _ULAW_TABLE, wav_pcm_chunks, wav_transcode_g711, wav_vad_segments)
+
+    data = bytes((7 * j) % 256 for j in range(320))
+    mu = _g711_wav(7, data)
+    pcm = wav_transcode_g711(mu)
+    assert pcm is not None
+    samples = s.unpack("<320h", pcm[-640:])
+    assert list(samples) == [_ULAW_TABLE[b] for b in data]
+    # VAD and chunking accept the telephony coding transparently
+    segs = wav_vad_segments(mu, 20, 0)
+    assert segs is not None and len(segs) == 1
+    assert segs[0][3] == 2  # both 20ms frames active in one run
+    assert segs[0][4] == sum(v * v for v in samples)
+    chunks = wav_pcm_chunks(mu, 20)
+    assert chunks is not None and len(chunks) == 2
+    # non-G.711 passes through untouched
+    assert wav_transcode_g711(_wav(8000, [0] * 10)) is None
+    assert wav_transcode_g711(b"junk") is None
+
+
 def test_audio_vad_operator_statuses(spark):
     from llm_food_spark.operators.multimodal import audio_vad
 
