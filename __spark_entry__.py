@@ -2549,6 +2549,63 @@ def q_g711_vad(spark, sf_dir):
         "seg_no", "start_ms", "dur_ms", "n_frames", "energy", "status")
 
 
+def q_pdf_images(spark, sf_dir):
+    """PDF embedded-image extraction chained THROUGH the real PDF object
+    walk AND the real image decoders (multimodal.py::pdf_images ->
+    image_pixel_stats): each doc synthesizes a PDF embedding three
+    XObjects — a flat-gray /DCTDecode JPEG (decoded by the repo's own
+    Huffman+IDCT), a flat-color Flate /DeviceRGB raw image, and a flat
+    /DeviceGray image — all with doc_id-closed-form dims and values.
+    The twin re-derives every extracted row's geometry, routed format,
+    and the chained CHANNEL MEANS through the decode, proving the
+    filter routing (prefix-filters-then-JPEG vs inflate-then-PNG)
+    produced the right pixels, not just the right byte counts."""
+    import pandas as _pd
+
+    from llm_food_spark.operators.multimodal import (
+        image_pixel_stats, pdf_images)
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(it):
+        from llm_food_spark.functions.jpegio import make_jpeg
+        from llm_food_spark.functions.pdf_writer import build_image_pdf
+
+        for pdf in it:
+            ids, payloads = [], []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                jv = (i * 17) % 256
+                jw, jh = 16 + i % 9, 8 + i % 7
+                jpg = make_jpeg(bytes([jv] * 3) * (jw * jh), jw, jh)
+                r, g, bb = (i * 3) % 256, (i * 5 + 1) % 256, (i * 7 + 2) % 256
+                rgb = bytes([r, g, bb]) * 12  # 4x3
+                gray = bytes([(i * 11 + 4) % 256]) * 10  # 5x2
+                payloads.append(build_image_pdf(
+                    [("jpeg", jw, jh, jpg), ("rgb", 4, 3, rgb),
+                     ("gray", 5, 2, gray)],
+                    runs=[(72.0, 720.0, 12.0, "figure page %d" % i)]))
+                ids.append(str(i))
+            yield _pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    media = d.mapInPandas(gen, "media_id string, payload binary")
+    imgs = pdf_images(media)
+    stats = image_pixel_stats(
+        imgs.select(
+            F.concat_ws("#", "media_id", F.col("obj_num").cast("string"))
+             .alias("media_id"),
+            "payload"))
+    keyed = imgs.select(
+        F.concat_ws("#", "media_id", F.col("obj_num").cast("string"))
+         .alias("k"),
+        F.col("media_id").cast("long").alias("doc_id"),
+        "obj_num", "width", "height", "colorspace", "img_format", "status")
+    return keyed.join(
+        stats.select(F.col("media_id").alias("k"),
+                     "mean_r_milli", "mean_g_milli", "mean_b_milli"), "k"
+    ).drop("k")
+
+
 def q_code_blocks(spark, sf_dir):
     """Fenced code extraction (operators/textops.py::
     extract_code_blocks): %2 docs carry a python fence, %3 docs a bare
@@ -5821,6 +5878,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exif_meta": q_exif_meta,              # APP1/TIFF EXIF walk (orientation 1-8 cycling, out-of-line + inline ASCII paths, Exif-less rows flagged not failed); closed-form twin per doc_id
         "orient_pixels": q_orient_pixels,      # EXIF-orientation normalization chained orient->1x1-resize->stats: the dihedral corner election is closed-form per orientation — a positional proof the rotation happened
         "g711_vad": q_g711_vad,                # G.711 mu-law/A-law telephony decode chained through VAD; twin re-derives every CCITT-expanded sample + frame energy in SQL
+        "pdf_images": q_pdf_images,            # embedded-image extraction through the real PDF object walk + real JPEG/PNG decode chain; twin states geometry, routing AND channel means closed-form
         "align_spans": q_align_spans,          # seed-and-chain shared-span location (the WHERE of plagiarism/syndication; containment is the HOW MUCH); full-alignment twin over real text + planted tails
         "template_prune": q_template_prune,    # cross-page template SUBTRACTION chained induce->curate->prune through the real DOM parse (maximal all-template subtrees); closed-form twin
         "crawl_delays": q_crawl_delays,        # crawl-delay politeness extraction through the real robots group scan (foreign groups excluded, max-wins, exact millis); closed-form twin
@@ -10035,6 +10093,35 @@ def _handwritten_oracles() -> dict[str, str]:
                                                 2, '0') || ' 00:00:00'
                    END AS datetime,
                    (doc_id % 3 != 2) AS has_exif
+            FROM documents
+        """,
+        # pdf_images twin: three rows per doc — obj numbering is fixed
+        # by the builder (6 jpeg, 7 rgb, 8 gray), dims and channel
+        # means closed-form (flat fixtures decode bit-exactly; gray
+        # replicates to all three channels).
+        "pdf_images": """
+            SELECT doc_id, 6::INT AS obj_num,
+                   (16 + doc_id % 9)::INT AS width,
+                   (8 + doc_id % 7)::INT AS height,
+                   'DeviceRGB' AS colorspace, 'jpeg' AS img_format,
+                   'extracted' AS status,
+                   (1000 * ((doc_id * 17) % 256))::BIGINT AS mean_r_milli,
+                   (1000 * ((doc_id * 17) % 256))::BIGINT AS mean_g_milli,
+                   (1000 * ((doc_id * 17) % 256))::BIGINT AS mean_b_milli
+            FROM documents
+            UNION ALL
+            SELECT doc_id, 7::INT, 4::INT, 3::INT,
+                   'DeviceRGB', 'png', 'extracted',
+                   (1000 * ((doc_id * 3) % 256))::BIGINT,
+                   (1000 * ((doc_id * 5 + 1) % 256))::BIGINT,
+                   (1000 * ((doc_id * 7 + 2) % 256))::BIGINT
+            FROM documents
+            UNION ALL
+            SELECT doc_id, 8::INT, 5::INT, 2::INT,
+                   'DeviceGray', 'png', 'extracted',
+                   (1000 * ((doc_id * 11 + 4) % 256))::BIGINT,
+                   (1000 * ((doc_id * 11 + 4) % 256))::BIGINT,
+                   (1000 * ((doc_id * 11 + 4) % 256))::BIGINT
             FROM documents
         """,
         # g711_vad twin: every CCITT-expanded sample re-derived in SQL

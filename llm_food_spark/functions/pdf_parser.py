@@ -824,6 +824,72 @@ class PdfDocument:
                 out.append(text)
         return "\n\n".join(out)
 
+    def extract_images(self) -> List[Dict[str, Any]]:
+        """All image XObjects in the document, payloads routed to the
+        repo's own decoders: a trailing /DCTDecode filter means the
+        stream (after any prefix filters) IS a finished JPEG — emitted
+        verbatim for functions/jpegio.py; Flate/LZW-decoded raw 8-bit
+        /DeviceRGB or /DeviceGray samples re-encode as PNG
+        (functions/media.py::make_png). Everything else is reported
+        with format 'unsupported' and payload None — visible, never
+        silently dropped. Rows: {obj_num, width, height, bpc,
+        colorspace, filter, format, payload}."""
+        from llm_food_spark.functions.media import make_png
+
+        out: List[Dict[str, Any]] = []
+        for num in sorted(self.objects):
+            obj = self.objects[num]
+            if not isinstance(obj, Stream):
+                continue
+            try:
+                d = {k: self.resolve(v) for k, v in obj.dict.items()}
+            except PdfError:
+                continue
+            if d.get("Subtype") != "Image":
+                continue
+            w = int(d.get("Width") or 0)
+            h = int(d.get("Height") or 0)
+            bpc = int(d.get("BitsPerComponent") or 0)
+            cs = d.get("ColorSpace")
+            if isinstance(cs, list) and cs:
+                cs = cs[0] if isinstance(cs[0], str) else None
+            if not isinstance(cs, str):
+                cs = None
+            filt = d.get("Filter")
+            filters = filt if isinstance(filt, list) else (
+                [filt] if filt else [])
+            row: Dict[str, Any] = dict(
+                obj_num=num, width=w, height=h, bpc=bpc, colorspace=cs,
+                filter="+".join(filters) if filters else "none",
+                format="unsupported", payload=None)
+            try:
+                if filters and filters[-1] in ("DCTDecode", "DCT"):
+                    # decode through the PREFIX filters only: what is
+                    # left is a standalone JPEG
+                    prefix = filters[:-1]
+                    parms = d.get("DecodeParms", d.get("DP"))
+                    parms_l = parms if isinstance(parms, list) else (
+                        [parms] * len(filters))
+                    sub = dict(obj.dict)
+                    sub["Filter"] = prefix
+                    sub["DecodeParms"] = list(parms_l)[:len(prefix)]
+                    row.update(format="jpeg",
+                               payload=Stream(sub, obj.raw).data())
+                elif bpc == 8 and cs in ("DeviceRGB", "DeviceGray"):
+                    data = obj.data()
+                    n_ch = 3 if cs == "DeviceRGB" else 1
+                    if len(data) >= w * h * n_ch > 0:
+                        raw = data[:w * h * n_ch]
+                        if n_ch == 1:
+                            raw = bytes(
+                                v for g in raw for v in (g, g, g))
+                        row.update(format="png",
+                                   payload=make_png(raw, w, h))
+            except (PdfError, ValueError):
+                pass  # stays an 'unsupported' row with the geometry
+            out.append(row)
+        return out
+
 
 class _Line:
     __slots__ = ("x", "y", "size", "text")

@@ -232,6 +232,80 @@ def build_pdf(
     return bytes(out)
 
 
+def build_image_pdf(
+    images: Sequence[Tuple[str, int, int, bytes]],
+    runs: Sequence[Run] = (),
+) -> bytes:
+    """One-page PDF embedding image XObjects — the fixture half of
+    pdf_parser.extract_images. ``images``: (kind, width, height, payload)
+    with kind 'jpeg' (payload = finished JPEG bytes, stored under
+    /DCTDecode), 'rgb' (payload = w*h*3 raw samples, Flate-compressed
+    /DeviceRGB 8-bit) or 'gray' (w*h samples, /DeviceGray). Each image
+    is drawn with a cm/Do pair so the page is a legitimate consumer,
+    not just a dangling object."""
+    objects: List[bytes] = []
+    objects.append(b"<< /Type /Catalog /Pages 2 0 R >>")
+    objects.append(b"<< /Type /Pages /Kids [4 0 R] /Count 1 >>")
+    objects.append(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+    n_img = len(images)
+    # object numbering: 1 catalog, 2 pages, 3 font, 4 page, 5 content,
+    # then 6..5+n images
+    xnames = " ".join("/Im%d %d 0 R" % (k, 6 + k) for k in range(n_img))
+    objects.append((
+        "<< /Type /Page /Parent 2 0 R /MediaBox [0 0 %d %d] "
+        "/Resources << /Font << /F1 3 0 R >> /XObject << %s >> >> "
+        "/Contents 5 0 R >>" % (PAGE_WIDTH, PAGE_HEIGHT, xnames)
+    ).encode())
+    draw = []
+    for k, (kind, w, h, payload) in enumerate(images):
+        draw.append("q %d 0 0 %d %d %d cm /Im%d Do Q"
+                    % (w, h, 40 + 80 * k, 600, k))
+    content = ("\n".join(draw)).encode("latin-1")
+    if runs:
+        content += b"\n" + content_stream(runs)
+    cdata = zlib.compress(content, 9)
+    objects.append(b"<< /Length %d /Filter /FlateDecode >>\nstream\n"
+                   % len(cdata) + cdata + b"\nendstream")
+    for kind, w, h, payload in images:
+        if kind == "jpeg":
+            frag = b"/Filter /DCTDecode /ColorSpace /DeviceRGB"
+            data = payload
+        elif kind == "rgb":
+            if len(payload) != w * h * 3:
+                raise ValueError("rgb payload must be w*h*3 bytes")
+            frag = b"/Filter /FlateDecode /ColorSpace /DeviceRGB"
+            data = zlib.compress(payload, 9)
+        elif kind == "gray":
+            if len(payload) != w * h:
+                raise ValueError("gray payload must be w*h bytes")
+            frag = b"/Filter /FlateDecode /ColorSpace /DeviceGray"
+            data = zlib.compress(payload, 9)
+        else:
+            raise ValueError("kind must be jpeg/rgb/gray")
+        objects.append(
+            b"<< /Type /XObject /Subtype /Image /Width %d /Height %d "
+            b"/BitsPerComponent 8 %s /Length %d >>\nstream\n"
+            % (w, h, frag, len(data)) + data + b"\nendstream")
+
+    out = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
+    offsets = [0]
+    for num, body in enumerate(objects, start=1):
+        offsets.append(len(out))
+        out += b"%d 0 obj\n" % num
+        out += body
+        out += b"\nendobj\n"
+    xref_pos = len(out)
+    out += b"xref\n0 %d\n" % (len(objects) + 1)
+    out += b"0000000000 65535 f \n"
+    for off in offsets[1:]:
+        out += b"%010d 00000 n \n" % off
+    out += (
+        b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+        % (len(objects) + 1, xref_pos)
+    )
+    return bytes(out)
+
+
 def paragraph_runs(
     x: float,
     y_top: float,

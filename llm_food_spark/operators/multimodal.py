@@ -801,6 +801,64 @@ def _decode_rgb(b: bytes):
     return None
 
 
+PDF_IMAGE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType()),
+        T.StructField("obj_num", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("colorspace", T.StringType()),
+        T.StructField("img_format", T.StringType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("status", T.StringType()),
+    ]
+)
+
+
+def pdf_images(media: DataFrame) -> DataFrame:
+    """Embedded-image extraction from PDFs — the extraction-tier half of
+    the multimodal bridge (functions/pdf_parser.py::extract_images):
+    one row per image XObject with the payload routed to the repo's own
+    decoders (trailing /DCTDecode streams ARE JPEGs, emitted verbatim
+    for jpegio; Flate/LZW raw DeviceRGB/DeviceGray re-encodes as PNG).
+    Chain the output straight into decode_image_meta /
+    image_pixel_stats / image_dhash — PDF figures join the image-dedup
+    and caption pipelines instead of being dropped with the layout.
+    Unsupported encodings emit payload-less 'unsupported' rows (the
+    geometry still counts); non-PDF payloads one 'failed' row.
+
+    Scale shape: size-salted, one MapInPandas, no shuffle after."""
+
+    def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from llm_food_spark.functions.pdf_parser import (
+            PdfDocument, PdfError)
+
+        for pdf in it:
+            rows: List[dict] = []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(payload) if payload is not None else b""
+                try:
+                    doc = PdfDocument(b)
+                    imgs = doc.extract_images()
+                except (PdfError, ValueError, IndexError, struct.error):
+                    rows.append(dict(
+                        media_id=media_id, obj_num=None, width=None,
+                        height=None, colorspace=None, img_format=None,
+                        payload=None, status="failed"))
+                    continue
+                for r in imgs:
+                    rows.append(dict(
+                        media_id=media_id, obj_num=int(r["obj_num"]),
+                        width=int(r["width"]), height=int(r["height"]),
+                        colorspace=r["colorspace"],
+                        img_format=r["format"], payload=r["payload"],
+                        status="extracted" if r["payload"] is not None
+                        else "unsupported"))
+            yield pd.DataFrame(rows)
+
+    return _size_salted(media).mapInPandas(fn, schema=PDF_IMAGE_SCHEMA)
+
+
 EXIF_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.StringType()),

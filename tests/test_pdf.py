@@ -176,3 +176,89 @@ def test_asciihex_filter():
     )
     doc = PdfDocument(pdf)
     assert doc.extract_text(0) == "hex filtered"
+
+
+# --- embedded images --------------------------------------------------------
+
+def test_extract_images_routes_formats():
+    from llm_food_spark.functions.jpegio import jpeg_decode, make_jpeg
+    from llm_food_spark.functions.media import png_decode
+    from llm_food_spark.functions.pdf_writer import build_image_pdf
+
+    jpg = make_jpeg(bytes([200] * 3) * (12 * 10), 12, 10)
+    rgb = bytes([10, 20, 30]) * 12
+    gray = bytes([77]) * 10
+    pdf = build_image_pdf(
+        [("jpeg", 12, 10, jpg), ("rgb", 4, 3, rgb), ("gray", 5, 2, gray)],
+        runs=[(72.0, 720.0, 12.0, "figure page")])
+    doc = PdfDocument(pdf)
+    imgs = {r["obj_num"]: r for r in doc.extract_images()}
+    assert len(imgs) == 3
+    j = imgs[6]
+    assert j["format"] == "jpeg" and (j["width"], j["height"]) == (12, 10)
+    w, h, px = jpeg_decode(j["payload"])
+    assert (w, h) == (12, 10) and set(px) == {200}
+    r = imgs[7]
+    assert r["format"] == "png" and png_decode(r["payload"])[2] == rgb
+    g = imgs[8]
+    assert g["format"] == "png"
+    assert set(png_decode(g["payload"])[2]) == {77}
+    # the page itself still extracts text (images don't perturb layout)
+    assert doc.extract_text(0) == "figure page"
+
+
+def test_extract_images_prefix_filter_chain_and_unsupported():
+    import zlib
+
+    from llm_food_spark.functions.jpegio import jpeg_decode, make_jpeg
+    from llm_food_spark.functions.pdf_writer import build_image_pdf
+
+    jpg = make_jpeg(bytes([50] * 3) * 64, 8, 8)
+    pdf = build_image_pdf([("jpeg", 8, 8, jpg)])
+    # rewrite the jpeg XObject to [ASCIIHexDecode DCTDecode]: the
+    # extractor must apply the PREFIX filter then emit the JPEG
+    i = pdf.index(b"/Filter /DCTDecode")
+    start = pdf.index(b"stream\n", i) + 7
+    end = pdf.index(b"\nendstream", start)
+    hexed = jpg.hex().encode() + b">"
+    patched = (pdf[:i]
+               + b"/Filter [/ASCIIHexDecode /DCTDecode] /ColorSpace /DeviceRGB"
+               + pdf[pdf.index(b" /Length", i):start]
+               + hexed + pdf[end:])
+    patched = patched.replace(b"/Length %d" % len(jpg),
+                              b"/Length %d" % len(hexed))
+    imgs = PdfDocument(patched).extract_images()
+    [r] = imgs
+    assert r["format"] == "jpeg" and r["filter"] == "ASCIIHexDecode+DCTDecode"
+    assert jpeg_decode(r["payload"])[:2] == (8, 8)
+
+    # CMYK (unsupported colorspace) is reported, payload-less
+    pdf2 = build_image_pdf([("rgb", 4, 3, bytes(36))])
+    patched2 = pdf2.replace(b"/ColorSpace /DeviceRGB",
+                            b"/ColorSpace /DeviceCMYK", 1)
+    [r2] = PdfDocument(patched2).extract_images()
+    assert r2["format"] == "unsupported" and r2["payload"] is None
+    assert (r2["width"], r2["height"]) == (4, 3)
+
+
+def test_pdf_images_operator_spark(spark):
+    from pyspark.sql import functions as F
+
+    from llm_food_spark.functions.jpegio import make_jpeg
+    from llm_food_spark.functions.pdf_writer import build_image_pdf
+    from llm_food_spark.operators.multimodal import (
+        image_dhash, pdf_images)
+
+    jpg = make_jpeg(bytes([120] * 3) * (16 * 16), 16, 16)
+    pdf = build_image_pdf([("jpeg", 16, 16, jpg)])
+    df = spark.createDataFrame(
+        [("d1", bytearray(pdf)), ("bad", bytearray(b"not a pdf"))],
+        "media_id string, payload binary")
+    rows = {r.media_id: r for r in pdf_images(df).collect()}
+    assert rows["d1"].img_format == "jpeg" and rows["d1"].status == "extracted"
+    assert rows["bad"].status == "failed"
+    # the bridge: extracted PDF figures ride the image-dedup front end
+    hashes = image_dhash(
+        pdf_images(df).where(F.col("payload").isNotNull())
+        .select("media_id", "payload")).collect()
+    assert len(hashes) == 1 and hashes[0].status == "ok"
