@@ -2606,6 +2606,44 @@ def q_pdf_images(spark, sf_dir):
     ).drop("k")
 
 
+def q_srcset(spark, sf_dir):
+    """Responsive-image candidates through the real DOM parse
+    (operators/captions.py::extract_srcset — the srcset complement of
+    img_captions' src-only mining): every doc plants an <img> with
+    480w/800w candidates (plus a 2x on %2 and a malformed '3q'
+    descriptor on %5, kept visible with kind '') and, on %3==0, a
+    <picture><source> with 1.5x/default-1x candidates. The in-walk
+    best election (largest w beats densest x; default = 1x) and the
+    urljoin resolution are all closed-form per doc_id."""
+    from llm_food_spark.operators.captions import extract_srcset
+
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    s = i.cast("string")
+    url = F.concat(F.lit("http://rs.test/d/"), s)
+    img = F.concat(
+        F.lit('<img src="/f'), s, F.lit('.png" srcset="/a'), s,
+        F.lit(".png 480w, /b"), s, F.lit(".png 800w"),
+        F.when(i % 2 == 0, F.concat(F.lit(", /c"), s, F.lit(".png 2x")))
+         .otherwise(F.lit("")),
+        F.when(i % 5 == 0, F.concat(F.lit(", /m"), s, F.lit(".png 3q")))
+         .otherwise(F.lit("")),
+        F.lit('">'))
+    pic = F.when(i % 3 == 0, F.concat(
+        F.lit('<picture><source srcset="/s'), s,
+        F.lit(".webp 1.5x, /t"), s, F.lit('.webp"><img src="/pp.png">'
+                                          "</picture>"))).otherwise(
+        F.lit(""))
+    pages = d.select(
+        url.alias("url"),
+        F.concat(F.lit("<html><body>"), img, pic,
+                 F.lit("</body></html>")).alias("html"))
+    return extract_srcset(pages, n_partitions=8).select(
+        F.regexp_extract("url", "([0-9]+)$", 1).cast("long")
+         .alias("doc_id"),
+        "el_idx", "tag", "src", "candidate", "kind", "value", "best")
+
+
 def q_code_blocks(spark, sf_dir):
     """Fenced code extraction (operators/textops.py::
     extract_code_blocks): %2 docs carry a python fence, %3 docs a bare
@@ -5879,6 +5917,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orient_pixels": q_orient_pixels,      # EXIF-orientation normalization chained orient->1x1-resize->stats: the dihedral corner election is closed-form per orientation — a positional proof the rotation happened
         "g711_vad": q_g711_vad,                # G.711 mu-law/A-law telephony decode chained through VAD; twin re-derives every CCITT-expanded sample + frame energy in SQL
         "pdf_images": q_pdf_images,            # embedded-image extraction through the real PDF object walk + real JPEG/PNG decode chain; twin states geometry, routing AND channel means closed-form
+        "srcset": q_srcset,                    # WHATWG responsive-image candidates through the real DOM parse (w/x/malformed descriptors, in-walk best election, urljoin); closed-form twin per doc class
         "align_spans": q_align_spans,          # seed-and-chain shared-span location (the WHERE of plagiarism/syndication; containment is the HOW MUCH); full-alignment twin over real text + planted tails
         "template_prune": q_template_prune,    # cross-page template SUBTRACTION chained induce->curate->prune through the real DOM parse (maximal all-template subtrees); closed-form twin
         "crawl_delays": q_crawl_delays,        # crawl-delay politeness extraction through the real robots group scan (foreign groups excluded, max-wins, exact millis); closed-form twin
@@ -10094,6 +10133,45 @@ def _handwritten_oracles() -> dict[str, str]:
                    END AS datetime,
                    (doc_id % 3 != 2) AS has_exif
             FROM documents
+        """,
+        # srcset twin: the candidate universe per doc class, with the
+        # in-walk election stated directly (800w beats 2x; 1.5x beats
+        # the bare-url default 1x) and the malformed '3q' kept with
+        # kind '' / NULL value.
+        "srcset": """
+            SELECT doc_id, 0::INT AS el_idx, 'img' AS tag,
+                   'http://rs.test/f' || doc_id || '.png' AS src,
+                   'http://rs.test/a' || doc_id || '.png' AS candidate,
+                   'w' AS kind, 480::BIGINT AS value, FALSE AS best
+            FROM documents
+            UNION ALL
+            SELECT doc_id, 0, 'img',
+                   'http://rs.test/f' || doc_id || '.png',
+                   'http://rs.test/b' || doc_id || '.png',
+                   'w', 800, TRUE
+            FROM documents
+            UNION ALL
+            SELECT doc_id, 0, 'img',
+                   'http://rs.test/f' || doc_id || '.png',
+                   'http://rs.test/c' || doc_id || '.png',
+                   'x', 2000, FALSE
+            FROM documents WHERE doc_id % 2 = 0
+            UNION ALL
+            SELECT doc_id, 0, 'img',
+                   'http://rs.test/f' || doc_id || '.png',
+                   'http://rs.test/m' || doc_id || '.png',
+                   '', NULL::BIGINT, FALSE
+            FROM documents WHERE doc_id % 5 = 0
+            UNION ALL
+            SELECT doc_id, 1, 'source', '',
+                   'http://rs.test/s' || doc_id || '.webp',
+                   'x', 1500, TRUE
+            FROM documents WHERE doc_id % 3 = 0
+            UNION ALL
+            SELECT doc_id, 1, 'source', '',
+                   'http://rs.test/t' || doc_id || '.webp',
+                   'x', 1000, FALSE
+            FROM documents WHERE doc_id % 3 = 0
         """,
         # pdf_images twin: three rows per doc — obj numbering is fixed
         # by the builder (6 jpeg, 7 rgb, 8 gray), dims and channel

@@ -98,3 +98,90 @@ def extract_image_captions(
 
     walk(root, "", False)
     return out
+
+
+_DESC_W = re.compile(r"^([0-9]+)w$")
+_DESC_X = re.compile(r"^([0-9]+(?:\.[0-9]+)?)x$")
+
+
+def parse_srcset(srcset: str) -> List[Tuple[str, str, Optional[int]]]:
+    """WHATWG srcset value -> [(url, kind, value)] in source order:
+    kind 'w' with the integer width descriptor, 'x' with the density in
+    MILLI (2x -> 2000 — exact integers, no float drift), or '' for a
+    malformed descriptor (the candidate is kept, never silently
+    dropped). A bare URL defaults to 1x per the spec. Entries with no
+    URL are skipped."""
+    out: List[Tuple[str, str, Optional[int]]] = []
+    for entry in srcset.split(","):
+        parts = entry.split()
+        if not parts:
+            continue
+        url = parts[0]
+        if not url or url.lower().startswith(_SKIP_PREFIXES):
+            continue
+        if len(parts) == 1:
+            out.append((url, "x", 1000))
+            continue
+        desc = parts[1]
+        m = _DESC_W.match(desc)
+        if m:
+            out.append((url, "w", int(m.group(1))))
+            continue
+        m = _DESC_X.match(desc)
+        if m:
+            out.append((url, "x", int(round(float(m.group(1)) * 1000))))
+            continue
+        out.append((url, "", None))
+    return out
+
+
+def extract_srcset_candidates(
+    html_text: str, base_url: str
+) -> List[Tuple[int, str, str, str, str, Optional[int], bool]]:
+    """Responsive-image candidate URLs from <img srcset> and
+    <picture><source srcset>: (el_idx, tag, fallback_src, candidate_url,
+    kind, value, best) in document order, urls urljoin-resolved against
+    ``base_url``. A crawler that reads only ``src`` fetches the
+    low-density fallback; the srcset carries the high-resolution
+    variants a multimodal corpus actually wants, so ``best`` marks each
+    element's fetch choice — the largest 'w' descriptor (explicit width
+    beats density), else the densest 'x', candidate url as the
+    deterministic tie-break. ``el_idx`` is the 0-based index among the
+    page's srcset-bearing elements; fallback_src is the element's
+    resolved ``src`` ('' for <source>, which has none). The election
+    happens here, per element, so the Spark operator stays
+    shuffle-free."""
+    root = parse_html(html_text)
+    out: List[Tuple[int, str, str, str, str, Optional[int], bool]] = []
+    el_idx = 0
+    for el in root.iter():
+        if el.tag not in ("img", "source"):
+            continue
+        srcset = (el.attrs.get("srcset") or "").strip()
+        if not srcset:
+            continue
+        fallback = (el.attrs.get("src") or "").strip()
+        if fallback and not fallback.lower().startswith(_SKIP_PREFIXES):
+            try:
+                fallback = urljoin(base_url, fallback)
+            except ValueError:
+                fallback = ""
+        else:
+            fallback = ""
+        cands = []
+        for url, kind, value in parse_srcset(srcset):
+            try:
+                resolved = urljoin(base_url, url)
+            except ValueError:
+                continue
+            cands.append((resolved, kind, value))
+        if not cands:
+            continue
+        win = max(cands, key=lambda c: (c[1] == "w",
+                                        c[2] if c[2] is not None else -1,
+                                        c[0]))
+        for resolved, kind, value in cands:
+            out.append((el_idx, el.tag, fallback, resolved, kind, value,
+                        (resolved, kind, value) == win))
+        el_idx += 1
+    return out

@@ -70,6 +70,56 @@ def extract_img_captions(
     ).mapInPandas(run, schema=_SCHEMA)
 
 
+_SRCSET_SCHEMA = ("url string, el_idx int, tag string, src string, "
+                  "candidate string, kind string, value long, best boolean")
+
+
+def extract_srcset(
+    pages: DataFrame,
+    url_col: str = "url",
+    html_col: str = "html",
+    n_partitions: Optional[int] = None,
+) -> DataFrame:
+    """(url, html) -> one row per responsive-image candidate
+    (functions/captions.py::extract_srcset_candidates): (url, el_idx,
+    tag, src, candidate, kind, value, best). ``kind``/``value`` carry
+    the WHATWG descriptor ('w' widths as-is, 'x' densities in exact
+    milli, '' for malformed — kept visible, never silently dropped).
+    ``best`` marks each element's fetch choice — largest 'w' (explicit
+    width beats density), else densest 'x' — elected INSIDE the DOM
+    walk per element, so the whole operator is scan -> mapInPandas with
+    no shuffle (a per-(url,element) winner join would shuffle the
+    corpus for a decision each element already has locally). A crawler
+    that fetches only ``src`` gets the low-res fallback; ``best`` is
+    the high-resolution variant a multimodal corpus wants."""
+    is_binary = dict(pages.dtypes)[html_col] == "binary"
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from llm_food_spark.functions.captions import (
+            extract_srcset_candidates)
+        from llm_food_spark.functions.encoding import decode_html
+
+        for pdf in it:
+            rows = []
+            for url, payload in zip(pdf[url_col], pdf[html_col]):
+                if payload is None:
+                    continue
+                text = (decode_html(bytes(payload)) if is_binary
+                        else str(payload))
+                u = str(url)
+                for cand in extract_srcset_candidates(text, u):
+                    rows.append((u,) + cand)
+            df = pd.DataFrame(rows, columns=[
+                "url", "el_idx", "tag", "src", "candidate", "kind",
+                "value", "best"])
+            df["value"] = df["value"].astype("Int64")
+            yield df
+
+    return ensure_min_partitions(
+        pages.select(url_col, html_col), n_partitions
+    ).mapInPandas(run, schema=_SRCSET_SCHEMA)
+
+
 def filter_caption_pairs(
     pairs: DataFrame,
     min_text_chars: int = 5,

@@ -106,3 +106,60 @@ def test_spark_operator_and_screen(spark):
     # binary payloads go through charset detection
     bin_pages = pages.select("url", F.encode("html", "UTF-8").alias("html"))
     assert extract_img_captions(bin_pages, n_partitions=2).count() == 3
+
+
+# --- srcset -----------------------------------------------------------------
+
+def test_parse_srcset_descriptors():
+    from llm_food_spark.functions.captions import parse_srcset
+
+    got = parse_srcset("/a.png 480w, /b.png 2x, /c.png 1.5x, /d.png, "
+                       "/e.png 3q, data:xx 2x")
+    assert got == [("/a.png", "w", 480), ("/b.png", "x", 2000),
+                   ("/c.png", "x", 1500), ("/d.png", "x", 1000),
+                   ("/e.png", "", None)]
+    assert parse_srcset("") == []
+    assert parse_srcset(" ,  , ") == []
+
+
+def test_extract_srcset_candidates_election_and_resolution():
+    from llm_food_spark.functions.captions import extract_srcset_candidates
+
+    html = ('<img src="/fall.png" srcset="/a.png 480w, /b.png 800w, '
+            '/c.png 2x">'
+            '<picture><source srcset="/s.webp 1.5x, /t.webp">'
+            '<img src="/p.png"></picture>')
+    got = extract_srcset_candidates(html, "http://h.test/d/page")
+    by_el = {}
+    for row in got:
+        by_el.setdefault(row[0], []).append(row)
+    # element 0: the img — largest w wins over the denser x
+    e0 = by_el[0]
+    assert all(r[1] == "img" and r[2] == "http://h.test/fall.png"
+               for r in e0)
+    best0 = [r for r in e0 if r[6]]
+    assert [(r[3], r[4], r[5]) for r in best0] == [
+        ("http://h.test/b.png", "w", 800)]
+    # element 1: the source — densest x wins; no fallback src
+    e1 = by_el[1]
+    assert all(r[1] == "source" and r[2] == "" for r in e1)
+    best1 = [r for r in e1 if r[6]]
+    assert [(r[3], r[4], r[5]) for r in best1] == [
+        ("http://h.test/s.webp", "x", 1500)]
+    # the plain <img src> with no srcset contributes nothing
+    assert set(by_el) == {0, 1}
+
+
+def test_extract_srcset_operator_spark(spark):
+    from llm_food_spark.operators.captions import extract_srcset
+
+    pages = spark.createDataFrame(
+        [("http://h.test/1",
+          '<img src="/f.png" srcset="/lo.png 1x, /hi.png 2x">'),
+         ("http://h.test/2", "<p>no images</p>")],
+        "url string, html string")
+    rows = extract_srcset(pages, n_partitions=2).collect()
+    assert len(rows) == 2
+    best = {r.candidate: r.best for r in rows}
+    assert best == {"http://h.test/lo.png": False,
+                    "http://h.test/hi.png": True}
