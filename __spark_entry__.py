@@ -2644,6 +2644,64 @@ def q_srcset(spark, sf_dir):
         "el_idx", "tag", "src", "candidate", "kind", "value", "best")
 
 
+def q_data_uris(spark, sf_dir):
+    """Inline data:-URI image mining chained THROUGH the DOM walk, the
+    RFC 2397 decode AND the pixel decoders (operators/captions.py::
+    extract_data_uris -> multimodal.py::image_pixel_stats): every doc
+    plants a base64 PNG in <img src>, a base64 JPEG inside a srcset
+    candidate list (whose embedded comma must NOT shear the candidate
+    grammar), and a non-image text/plain decoy that must be dropped.
+    Dims and flat-color channel means are closed-form per doc_id."""
+    import pandas as _pd
+
+    from llm_food_spark.operators.captions import extract_data_uris
+    from llm_food_spark.operators.multimodal import image_pixel_stats
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(it):
+        import base64
+
+        from llm_food_spark.functions.jpegio import make_jpeg
+        from llm_food_spark.functions.media import make_png
+
+        for pdf in it:
+            urls, htmls = [], []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                pv = (i * 7) % 256
+                pw, ph = 3 + i % 4, 2 + i % 3
+                png = make_png(bytes([pv] * 3) * (pw * ph), pw, ph)
+                jv = (i * 19 + 5) % 256
+                jpg = make_jpeg(bytes([jv] * 3) * 64, 8, 8)
+                html = (
+                    '<html><body><img src="data:image/png;base64,%s">'
+                    '<img srcset="data:image/jpeg;base64,%s 2x, '
+                    '/cdn%d.png 1x">'
+                    '<img src="data:text/plain;base64,aGk=">'
+                    "</body></html>" % (
+                        base64.b64encode(png).decode(),
+                        base64.b64encode(jpg).decode(), i))
+                urls.append("http://du.test/%d" % i)
+                htmls.append(html)
+            yield _pd.DataFrame({"url": urls, "html": htmls})
+
+    pages = d.mapInPandas(gen, "url string, html string")
+    uris = extract_data_uris(pages, n_partitions=8)
+    stats = image_pixel_stats(
+        uris.select(
+            F.concat_ws("#", "url", F.col("el_idx").cast("string"))
+             .alias("media_id"), "payload"))
+    keyed = uris.select(
+        F.concat_ws("#", "url", F.col("el_idx").cast("string")).alias("k"),
+        F.regexp_extract("url", "([0-9]+)$", 1).cast("long")
+         .alias("doc_id"),
+        "el_idx", "tag", "mime")
+    return keyed.join(
+        stats.select(F.col("media_id").alias("k"), "format", "width",
+                     "height", "mean_r_milli"), "k").drop("k")
+
+
 def q_code_blocks(spark, sf_dir):
     """Fenced code extraction (operators/textops.py::
     extract_code_blocks): %2 docs carry a python fence, %3 docs a bare
@@ -5918,6 +5976,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g711_vad": q_g711_vad,                # G.711 mu-law/A-law telephony decode chained through VAD; twin re-derives every CCITT-expanded sample + frame energy in SQL
         "pdf_images": q_pdf_images,            # embedded-image extraction through the real PDF object walk + real JPEG/PNG decode chain; twin states geometry, routing AND channel means closed-form
         "srcset": q_srcset,                    # WHATWG responsive-image candidates through the real DOM parse (w/x/malformed descriptors, in-walk best election, urljoin); closed-form twin per doc class
+        "data_uris": q_data_uris,              # inline data:-URI images chained DOM walk -> RFC 2397 decode -> pixel stats (srcset-embedded comma handled); closed-form dims+means twin
         "align_spans": q_align_spans,          # seed-and-chain shared-span location (the WHERE of plagiarism/syndication; containment is the HOW MUCH); full-alignment twin over real text + planted tails
         "template_prune": q_template_prune,    # cross-page template SUBTRACTION chained induce->curate->prune through the real DOM parse (maximal all-template subtrees); closed-form twin
         "crawl_delays": q_crawl_delays,        # crawl-delay politeness extraction through the real robots group scan (foreign groups excluded, max-wins, exact millis); closed-form twin
@@ -10132,6 +10191,21 @@ def _handwritten_oracles() -> dict[str, str]:
                                                 2, '0') || ' 00:00:00'
                    END AS datetime,
                    (doc_id % 3 != 2) AS has_exif
+            FROM documents
+        """,
+        # data_uris twin: two kept rows per doc (the text/plain decoy
+        # dropped), dims and flat means closed-form through the decode.
+        "data_uris": """
+            SELECT doc_id, 0::INT AS el_idx, 'img' AS tag,
+                   'image/png' AS mime, 'png' AS format,
+                   (3 + doc_id % 4)::INT AS width,
+                   (2 + doc_id % 3)::INT AS height,
+                   (1000 * ((doc_id * 7) % 256))::BIGINT AS mean_r_milli
+            FROM documents
+            UNION ALL
+            SELECT doc_id, 1::INT, 'img', 'image/jpeg', 'jpeg',
+                   8::INT, 8::INT,
+                   (1000 * ((doc_id * 19 + 5) % 256))::BIGINT
             FROM documents
         """,
         # srcset twin: the candidate universe per doc class, with the

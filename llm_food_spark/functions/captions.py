@@ -100,6 +100,77 @@ def extract_image_captions(
     return out
 
 
+_DATA_URI = re.compile(
+    r"^data:([a-zA-Z0-9][a-zA-Z0-9.+-]*/[a-zA-Z0-9][a-zA-Z0-9.+-]*)?"
+    r"((?:;[a-zA-Z0-9-]+=[^;,]*)*)(;base64)?,(.*)$", re.DOTALL)
+
+
+def parse_data_uri(uri: str) -> Optional[Tuple[str, bytes]]:
+    """RFC 2397 data: URI -> (mime, payload bytes), or None when it
+    does not parse (malformed base64 is a None, never an exception —
+    the loud-skip contract). Default mime per the RFC is
+    text/plain."""
+    m = _DATA_URI.match(uri.strip())
+    if not m:
+        return None
+    mime = (m.group(1) or "text/plain").lower()
+    body = m.group(4)
+    if m.group(3):  # ;base64
+        import base64
+        import binascii
+
+        b64 = re.sub(r"\s+", "", body)
+        pad = (-len(b64)) % 4
+        try:
+            return mime, base64.b64decode(b64 + "=" * pad, validate=True)
+        except (binascii.Error, ValueError):
+            return None
+    from urllib.parse import unquote_to_bytes
+
+    return mime, unquote_to_bytes(body)
+
+
+def extract_data_uri_images(
+    html_text: str,
+) -> List[Tuple[int, str, str, bytes]]:
+    """Inline images embedded as data: URIs in <img>/<source> src and
+    srcset attributes -> (el_idx, tag, mime, payload) in document
+    order. The caption/srcset miners deliberately SKIP data: urls (they
+    are not fetchable candidates); this is the complementary extractor
+    that actually decodes them — small icons, tracking pixels, and
+    (increasingly) real content images inlined by bundlers all live
+    here, and the payloads chain straight into decode_image_meta /
+    image_pixel_stats like any fetched image. Only image/* mimes with a
+    non-empty decodable payload are kept — el_idx numbers the kept
+    inventory."""
+    root = parse_html(html_text)
+    out: List[Tuple[int, str, str, bytes]] = []
+    idx = 0
+    for el in root.iter():
+        if el.tag not in ("img", "source"):
+            continue
+        uris: List[str] = []
+        src = (el.attrs.get("src") or "").strip()
+        if src.lower().startswith("data:"):
+            uris.append(src)
+        # srcset: a data: URI CONTAINS a comma (";base64,"), so the
+        # candidate-grammar comma split would sever it — scan
+        # whitespace tokens instead (URLs cannot contain whitespace)
+        for tok in (el.attrs.get("srcset") or "").split():
+            if tok.lower().startswith("data:"):
+                uris.append(tok.rstrip(","))
+        for uri in uris:
+            parsed = parse_data_uri(uri)
+            if parsed is None:
+                continue
+            mime, payload = parsed
+            if not mime.startswith("image/") or not payload:
+                continue
+            out.append((idx, el.tag, mime, payload))
+            idx += 1
+    return out
+
+
 _DESC_W = re.compile(r"^([0-9]+)w$")
 _DESC_X = re.compile(r"^([0-9]+(?:\.[0-9]+)?)x$")
 
@@ -112,6 +183,12 @@ def parse_srcset(srcset: str) -> List[Tuple[str, str, Optional[int]]]:
     dropped). A bare URL defaults to 1x per the spec. Entries with no
     URL are skipped."""
     out: List[Tuple[str, str, Optional[int]]] = []
+    # a data: URI embeds a comma (";base64,"), which would shear the
+    # comma split into a bogus prefix plus an orphan payload fragment
+    # masquerading as a URL — drop them whole before splitting (they
+    # are not fetchable candidates; extract_data_uri_images decodes
+    # them separately)
+    srcset = re.sub(r"(?i)(^|,)\s*data:\S+(\s+[^,\s]+)?", r"\1", srcset)
     for entry in srcset.split(","):
         parts = entry.split()
         if not parts:

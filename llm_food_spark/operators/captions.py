@@ -120,6 +120,47 @@ def extract_srcset(
     ).mapInPandas(run, schema=_SRCSET_SCHEMA)
 
 
+_DATA_URI_SCHEMA = ("url string, el_idx int, tag string, mime string, "
+                    "payload binary")
+
+
+def extract_data_uris(
+    pages: DataFrame,
+    url_col: str = "url",
+    html_col: str = "html",
+    n_partitions: Optional[int] = None,
+) -> DataFrame:
+    """(url, html) -> one row per inline data:-URI image
+    (functions/captions.py::extract_data_uri_images): (url, el_idx,
+    tag, mime, payload). The decoded payloads are ordinary image bytes
+    — chain into decode_image_meta / image_pixel_stats / image_dhash
+    exactly like fetched media. Same shuffle-free scan -> mapInPandas
+    shape as the caption miner."""
+    is_binary = dict(pages.dtypes)[html_col] == "binary"
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from llm_food_spark.functions.captions import (
+            extract_data_uri_images)
+        from llm_food_spark.functions.encoding import decode_html
+
+        for pdf in it:
+            rows = []
+            for url, payload in zip(pdf[url_col], pdf[html_col]):
+                if payload is None:
+                    continue
+                text = (decode_html(bytes(payload)) if is_binary
+                        else str(payload))
+                u = str(url)
+                for row in extract_data_uri_images(text):
+                    rows.append((u,) + row)
+            yield pd.DataFrame(rows, columns=[
+                "url", "el_idx", "tag", "mime", "payload"])
+
+    return ensure_min_partitions(
+        pages.select(url_col, html_col), n_partitions
+    ).mapInPandas(run, schema=_DATA_URI_SCHEMA)
+
+
 def filter_caption_pairs(
     pairs: DataFrame,
     min_text_chars: int = 5,

@@ -163,3 +163,61 @@ def test_extract_srcset_operator_spark(spark):
     best = {r.candidate: r.best for r in rows}
     assert best == {"http://h.test/lo.png": False,
                     "http://h.test/hi.png": True}
+
+
+# --- data: URIs -------------------------------------------------------------
+
+def test_parse_data_uri_forms():
+    from llm_food_spark.functions.captions import parse_data_uri
+
+    import base64
+    png = b"\x89PNG\r\n\x1a\nfakebody"
+    b64 = base64.b64encode(png).decode()
+    assert parse_data_uri("data:image/png;base64," + b64) == (
+        "image/png", png)
+    # unpadded base64 tolerated; whitespace stripped
+    assert parse_data_uri(
+        "data:image/png;base64," + b64.rstrip("=").replace("R", "R\n")
+    )[1] == png
+    # percent-encoded non-base64 form; default mime text/plain
+    assert parse_data_uri("data:,hi%20there") == (
+        "text/plain", b"hi there")
+    assert parse_data_uri("data:image/svg+xml,<svg/>") == (
+        "image/svg+xml", b"<svg/>")
+    # malformed base64 -> None, never an exception
+    assert parse_data_uri("data:image/png;base64,!!!") is None
+    assert parse_data_uri("http://x/") is None
+
+
+def test_extract_data_uri_images_decodes_into_pixel_chain(spark):
+    import base64
+
+    from pyspark.sql import functions as F
+
+    from llm_food_spark.functions.jpegio import make_jpeg
+    from llm_food_spark.functions.media import make_png
+    from llm_food_spark.operators.captions import extract_data_uris
+    from llm_food_spark.operators.multimodal import image_pixel_stats
+
+    png = make_png(bytes([9, 8, 7]) * 6, 3, 2)
+    jpg = make_jpeg(bytes([50] * 3) * 64, 8, 8)
+    html = ('<img src="data:image/png;base64,%s">'
+            '<img srcset="data:image/jpeg;base64,%s 2x, /cdn.png 1x">'
+            '<img src="data:text/plain;base64,aGk=">'  # non-image: dropped
+            '<img src="/normal.png">') % (
+        base64.b64encode(png).decode(), base64.b64encode(jpg).decode())
+    pages = spark.createDataFrame(
+        [("http://d.test/1", html)], "url string, html string")
+    rows = sorted(extract_data_uris(pages, n_partitions=2).collect(),
+                  key=lambda r: r.el_idx)
+    assert [(r.el_idx, r.tag, r.mime) for r in rows] == [
+        (0, "img", "image/png"), (1, "img", "image/jpeg")]
+    assert bytes(rows[0].payload) == png
+    # the decoded payloads ride the standard pixel chain
+    stats = {r.media_id: r for r in image_pixel_stats(
+        extract_data_uris(pages).select(
+            F.col("el_idx").cast("string").alias("media_id"), "payload")
+    ).collect()}
+    assert (stats["0"].format, stats["0"].width, stats["0"].height) == (
+        "png", 3, 2)
+    assert (stats["1"].format, stats["1"].mean_r_milli) == ("jpeg", 50000)
