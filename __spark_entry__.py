@@ -2702,6 +2702,38 @@ def q_data_uris(spark, sf_dir):
                      "height", "mean_r_milli"), "k").drop("k")
 
 
+def q_css_urls(spark, sf_dir):
+    """CSS-referenced resources through the real DOM parse (operators/
+    links.py::extract_css_resources): every doc plants a <style> block
+    with a root-relative url(), a double-quoted absolute url(), an
+    @import string, and a data: url() that must be dropped, plus an
+    inline style attribute with a single-quoted relative url on %2.
+    All urls closed-form per doc_id; urljoin against the page url."""
+    from llm_food_spark.operators.links import extract_css_resources
+
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    s = i.cast("string")
+    url = F.concat(F.lit("http://css.test/d/"), s)
+    style = F.concat(
+        F.lit("<style>a{background:url(/bg"), s,
+        F.lit('.png)} @import "th'), s,
+        F.lit('.css"; b{background:url("http://cdn.test/c'), s,
+        F.lit('.jpg")} c{list-style:url(data:image/png;base64,AA==)}'
+              "</style>"))
+    attr = F.when(i % 2 == 0, F.concat(
+        F.lit("<div style=\"background:url('rel"), s,
+        F.lit(".png')\">x</div>"))).otherwise(F.lit(""))
+    pages = d.select(
+        url.alias("url"),
+        F.concat(F.lit("<html><body>"), style, attr,
+                 F.lit("</body></html>")).alias("html"))
+    return extract_css_resources(pages).select(
+        F.regexp_extract("url", "([0-9]+)$", 1).cast("long")
+         .alias("doc_id"),
+        "origin", "raw", "target")
+
+
 def q_code_blocks(spark, sf_dir):
     """Fenced code extraction (operators/textops.py::
     extract_code_blocks): %2 docs carry a python fence, %3 docs a bare
@@ -5977,6 +6009,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pdf_images": q_pdf_images,            # embedded-image extraction through the real PDF object walk + real JPEG/PNG decode chain; twin states geometry, routing AND channel means closed-form
         "srcset": q_srcset,                    # WHATWG responsive-image candidates through the real DOM parse (w/x/malformed descriptors, in-walk best election, urljoin); closed-form twin per doc class
         "data_uris": q_data_uris,              # inline data:-URI images chained DOM walk -> RFC 2397 decode -> pixel stats (srcset-embedded comma handled); closed-form dims+means twin
+        "css_urls": q_css_urls,                # CSS url()/@import resource discovery through the real DOM parse (3 quote forms, data: dropped, style elements + attrs); closed-form twin
         "align_spans": q_align_spans,          # seed-and-chain shared-span location (the WHERE of plagiarism/syndication; containment is the HOW MUCH); full-alignment twin over real text + planted tails
         "template_prune": q_template_prune,    # cross-page template SUBTRACTION chained induce->curate->prune through the real DOM parse (maximal all-template subtrees); closed-form twin
         "crawl_delays": q_crawl_delays,        # crawl-delay politeness extraction through the real robots group scan (foreign groups excluded, max-wins, exact millis); closed-form twin
@@ -10192,6 +10225,27 @@ def _handwritten_oracles() -> dict[str, str]:
                    END AS datetime,
                    (doc_id % 3 != 2) AS has_exif
             FROM documents
+        """,
+        # css_urls twin: the resource universe per doc class (the
+        # data: url() dropped), urljoin stated directly.
+        "css_urls": """
+            SELECT doc_id, 'style-element' AS origin,
+                   '/bg' || doc_id || '.png' AS raw,
+                   'http://css.test/bg' || doc_id || '.png' AS target
+            FROM documents
+            UNION ALL
+            SELECT doc_id, 'style-element',
+                   'http://cdn.test/c' || doc_id || '.jpg',
+                   'http://cdn.test/c' || doc_id || '.jpg'
+            FROM documents
+            UNION ALL
+            SELECT doc_id, 'style-element', 'th' || doc_id || '.css',
+                   'http://css.test/d/th' || doc_id || '.css'
+            FROM documents
+            UNION ALL
+            SELECT doc_id, 'style-attr', 'rel' || doc_id || '.png',
+                   'http://css.test/d/rel' || doc_id || '.png'
+            FROM documents WHERE doc_id % 2 = 0
         """,
         # data_uris twin: two kept rows per doc (the text/plain decoy
         # dropped), dims and flat means closed-form through the decode.

@@ -82,3 +82,48 @@ def extract_hreflang(html_text: str, base_url: str) -> List[Tuple[str, str]]:
             continue
         out.append((hl, target))
     return out
+
+
+_CSS_URL = re.compile(
+    r"""url\(\s*(?:"([^"]*)"|'([^']*)'|([^'")\s][^)\s]*))\s*\)""",
+    re.IGNORECASE)
+_CSS_IMPORT = re.compile(
+    r"""@import\s+(?:"([^"]+)"|'([^']+)')""", re.IGNORECASE)
+
+
+def extract_css_urls(
+    html_text: str, base_url: str
+) -> List[Tuple[str, str, str]]:
+    """Resource URLs referenced from CSS — (origin, raw, target) in
+    document order, where origin is 'style-element' for <style> blocks
+    or 'style-attr' for inline style attributes. Covers ``url(...)``
+    in all three quoting forms plus bare ``@import "..."``. These are
+    the background images, web fonts and imported sheets an href-only
+    link walk never sees — crawl-frontier and media-discovery input.
+    data:/javascript:/about: and empty urls are dropped; resolution is
+    the same urljoin as every other link family. Never raises."""
+    root = parse_html(html_text)
+    out: List[Tuple[str, str, str]] = []
+    skip = ("data:", "javascript:", "about:")
+
+    def harvest(origin: str, css: str) -> None:
+        raws = [next(g for g in m.groups() if g is not None)
+                for m in _CSS_URL.finditer(css)]
+        raws += [m.group(1) or m.group(2)
+                 for m in _CSS_IMPORT.finditer(css)]
+        for raw in raws:
+            raw = raw.strip()
+            if not raw or raw.lower().startswith(skip):
+                continue
+            try:
+                out.append((origin, raw, urljoin(base_url, raw)))
+            except ValueError:
+                continue
+
+    for el in root.iter():
+        if el.tag == "style":
+            harvest("style-element", el.text_content())
+        style = el.attrs.get("style")
+        if style:
+            harvest("style-attr", style)
+    return out

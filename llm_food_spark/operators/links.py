@@ -65,6 +65,42 @@ def extract_outlinks(
     ).mapInPandas(run, schema=OUTLINKS_SCHEMA)
 
 
+_CSS_SCHEMA = "url string, origin string, raw string, target string"
+
+
+def extract_css_resources(
+    pages: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """(url, origin, raw, target) — one row per CSS-referenced resource
+    (functions/links.py::extract_css_urls): url(...) in <style> blocks
+    and inline style attributes plus bare @import strings. The
+    background images, fonts and imported sheets the <a>/<img> walks
+    never see — union with extract_outlinks for the full crawl
+    frontier, or screen targets by extension for media discovery.
+    Same shuffle-free scan -> mapInPandas shape as the link walk."""
+    is_binary = dict(pages.dtypes)[html_col] == "binary"
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from llm_food_spark.functions.encoding import decode_html
+        from llm_food_spark.functions.links import extract_css_urls
+
+        for pdf in it:
+            rows = []
+            for url, payload in zip(pdf[url_col], pdf[html_col]):
+                if payload is None:
+                    continue
+                text = (decode_html(bytes(payload)) if is_binary
+                        else str(payload))
+                for origin, raw, target in extract_css_urls(text, url):
+                    rows.append((url, origin, raw, target))
+            yield pd.DataFrame(rows, columns=[
+                "url", "origin", "raw", "target"])
+
+    return ensure_min_partitions(
+        pages.select(url_col, html_col)
+    ).mapInPandas(run, schema=_CSS_SCHEMA)
+
+
 def host_graph(
     outlinks: DataFrame,
     include_nofollow: bool = False,

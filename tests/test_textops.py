@@ -1285,3 +1285,38 @@ def test_extract_code_blocks(spark):
         ("sh", 0, "")]
     # block_idx is the 1-based position among ALL blocks
     assert [r.block_idx for r in rows] == [3, 4, 5]
+
+
+# --- CSS resource urls ------------------------------------------------------
+
+def test_extract_css_urls_forms_and_skips():
+    from llm_food_spark.functions.links import extract_css_urls
+
+    h = ("<style>a{background:url(/bg.png)} @import \"t.css\"; "
+         "b{background-image:url('http://cdn.test/x.jpg')} "
+         "c{cursor:url(\"cur.cur\")} d{list-style:url(data:image/png;base64,AA==)}"
+         "</style>"
+         "<div style=\"background: url( img/rel.png ) no-repeat\">x</div>")
+    got = extract_css_urls(h, "http://s.test/d/p")
+    assert ("style-element", "/bg.png", "http://s.test/bg.png") in got
+    assert ("style-element", "t.css", "http://s.test/d/t.css") in got
+    assert ("style-element", "http://cdn.test/x.jpg",
+            "http://cdn.test/x.jpg") in got
+    assert ("style-element", "cur.cur", "http://s.test/d/cur.cur") in got
+    assert ("style-attr", "img/rel.png",
+            "http://s.test/d/img/rel.png") in got
+    assert not any("data:" in r[1] for r in got)
+    # hostile input never raises
+    extract_css_urls("<style>" + "url(" * 2000, "http://s.test/")
+
+
+def test_extract_css_resources_operator(spark):
+    from llm_food_spark.operators.links import extract_css_resources
+
+    pages = spark.createDataFrame(
+        [("http://s.test/1", "<style>x{background:url(/a.png)}</style>"),
+         ("http://s.test/2", "<p>no css</p>")],
+        "url string, html string")
+    rows = extract_css_resources(pages).collect()
+    assert [(r.url, r.origin, r.target) for r in rows] == [
+        ("http://s.test/1", "style-element", "http://s.test/a.png")]
