@@ -30,7 +30,11 @@ from .markdown import serialize
 _DROP_TAGS = frozenset(
     "script style noscript template iframe svg canvas object embed form "
     "button input select option textarea nav aside header footer menu "
-    "dialog".split()
+    "dialog "
+    # ruby annotations: rt is the pronunciation gloss, rp the fallback
+    # parenthesis — serializing them inline corrupts CJK text
+    # (漢字<rt>かんじ</rt> must extract as 漢字, not 漢字かんじ)
+    "rt rp".split()
 )
 
 # readability-style negative class/id signal

@@ -34,7 +34,9 @@ _HEADINGS = {"h1": 1, "h2": 2, "h3": 3, "h4": 4, "h5": 5, "h6": 6}
 _SKIP = frozenset(
     "script style noscript template iframe svg canvas object embed "
     "img picture video audio source track map area input button select "
-    "option textarea label meta link base".split()
+    # rt/rp: ruby pronunciation gloss + fallback parens — annotation,
+    # not content (CJK text corrupts if serialized inline)
+    "option textarea label meta link base rt rp".split()
 )
 _BLOCKISH = frozenset(
     "p div section article main body header footer nav aside blockquote "

@@ -138,6 +138,13 @@ def html_fixture_families() -> Dict[str, bytes]:
         "<p>Plain prose with “curly quotes” and an em—dash, "
         "no charset declaration anywhere.</p></article></body></html>"
     ).encode("cp1252")
+    fam["ruby_annotations"] = page(
+        # rt (pronunciation gloss) and rp (fallback parens) are
+        # annotations, not content: the gloss must NOT serialize inline
+        "<article><h1>ルビ</h1><p><ruby>漢字<rt>かんじ</rt><rp>(</rp>"
+        "<rp>)</rp></ruby>と<ruby>東京<rp>(</rp><rt>とうきょう</rt>"
+        "<rp>)</rp></ruby>の本文です。</p></article>"
+    )
     fam["empty_extract"] = page(
         '<nav><a href="/a">a</a> <a href="/b">b</a> <a href="/c">c</a></nav>'
         '<footer><a href="/p">privacy</a></footer>'

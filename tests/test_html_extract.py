@@ -103,3 +103,14 @@ def test_serializer_table_pipe_escaping_and_details():
         b"<details><summary>click to expand</summary>"
         b"<p>hidden body</p></details><p>after</p></article></body></html>")
     assert md2 == "intro\n\nclick to expand\n\nhidden body\n\nafter"
+
+
+def test_ruby_annotations_gloss_dropped():
+    """rt (pronunciation gloss) and rp (fallback parens) are annotation,
+    not content: CJK body text must extract WITHOUT the inline gloss."""
+    from llm_food_spark.functions.html_extract import extract_html_markdown
+
+    h = ("<html><body><article><h1>T</h1><p><ruby>漢字<rt>かんじ</rt>"
+         "<rp>(</rp><rp>)</rp></ruby>の<ruby>東京<rt>とうきょう</rt>"
+         "</ruby>行きです。</p></article></body></html>").encode()
+    assert extract_html_markdown(h) == "# T\n\n漢字の東京行きです。"
