@@ -47,6 +47,11 @@ _BLOCKISH = frozenset(
 
 
 def _collapse(s: str) -> str:
+    # soft hyphens (U+00AD, &shy;) are rendering hints, not content:
+    # left in, they shear words for tokenizers and dedup hashing
+    # ("hy\xadphen" != "hyphen"). Strip before collapsing whitespace.
+    if "­" in s:
+        s = s.replace("­", "")
     return _WS_RE.sub(" ", s) if _WS_NEEDS_RE.search(s) else s
 
 

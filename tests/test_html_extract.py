@@ -114,3 +114,13 @@ def test_ruby_annotations_gloss_dropped():
          "<rp>(</rp><rp>)</rp></ruby>の<ruby>東京<rt>とうきょう</rt>"
          "</ruby>行きです。</p></article></body></html>").encode()
     assert extract_html_markdown(h) == "# T\n\n漢字の東京行きです。"
+
+
+def test_soft_hyphens_stripped_outside_pre():
+    """U+00AD is a rendering hint: left in, it shears words for
+    tokenizers and dedup hashing. Stripped in prose."""
+    from llm_food_spark.functions.html_extract import extract_html_markdown
+
+    h = ("<html><body><article><p>hy&shy;phen&#173;ated "
+         "text</p></article></body></html>").encode()
+    assert extract_html_markdown(h) == "hyphenated text"
