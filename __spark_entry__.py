@@ -2734,6 +2734,37 @@ def q_css_urls(spark, sf_dir):
         "origin", "raw", "target")
 
 
+def q_page_math(spark, sf_dir):
+    """MathML extraction through the real DOM parse (operators/
+    sitemap.py::extract_math — the OpenWebMath-style math-corpus front
+    end): every doc plants an inline <math> whose TeX annotation must
+    be PREFERRED over (and deduplicated against) the presentation text,
+    plus, on %2, an annotation-less display-block <math> keeping only
+    the presentation linearization. All fields closed-form per
+    doc_id."""
+    from llm_food_spark.operators.sitemap import extract_math
+
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    s = i.cast("string")
+    url = F.concat(F.lit("http://m.test/"), s)
+    inline = F.concat(
+        F.lit("<p>eq <math><semantics><mrow><mi>x</mi></mrow>"
+              '<annotation encoding="application/x-tex">a_{'), s,
+        F.lit("}+b</annotation></semantics></math> end</p>"))
+    block = F.when(i % 2 == 0, F.concat(
+        F.lit('<math display="block"><mrow><mi>c</mi><mo>=</mo><mn>'),
+        s, F.lit("</mn></mrow></math>"))).otherwise(F.lit(""))
+    pages = d.select(
+        url.alias("url"),
+        F.encode(F.concat(F.lit("<html><body>"), inline, block,
+                          F.lit("</body></html>")), "UTF-8").alias("html"))
+    return extract_math(pages).select(
+        F.regexp_extract("url", "([0-9]+)$", 1).cast("long")
+         .alias("doc_id"),
+        "math_idx", "display", "has_tex", "tex", "text")
+
+
 def q_code_blocks(spark, sf_dir):
     """Fenced code extraction (operators/textops.py::
     extract_code_blocks): %2 docs carry a python fence, %3 docs a bare
@@ -6010,6 +6041,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "srcset": q_srcset,                    # WHATWG responsive-image candidates through the real DOM parse (w/x/malformed descriptors, in-walk best election, urljoin); closed-form twin per doc class
         "data_uris": q_data_uris,              # inline data:-URI images chained DOM walk -> RFC 2397 decode -> pixel stats (srcset-embedded comma handled); closed-form dims+means twin
         "css_urls": q_css_urls,                # CSS url()/@import resource discovery through the real DOM parse (3 quote forms, data: dropped, style elements + attrs); closed-form twin
+        "page_math": q_page_math,              # MathML extraction (TeX annotation preferred + deduplicated vs presentation text, display routing); closed-form twin
         "align_spans": q_align_spans,          # seed-and-chain shared-span location (the WHERE of plagiarism/syndication; containment is the HOW MUCH); full-alignment twin over real text + planted tails
         "template_prune": q_template_prune,    # cross-page template SUBTRACTION chained induce->curate->prune through the real DOM parse (maximal all-template subtrees); closed-form twin
         "crawl_delays": q_crawl_delays,        # crawl-delay politeness extraction through the real robots group scan (foreign groups excluded, max-wins, exact millis); closed-form twin
@@ -10225,6 +10257,20 @@ def _handwritten_oracles() -> dict[str, str]:
                    END AS datetime,
                    (doc_id % 3 != 2) AS has_exif
             FROM documents
+        """,
+        # page_math twin: the math-element universe per doc class —
+        # TeX annotation rows plus the annotation-less presentation
+        # rows on the %2 schedule.
+        "page_math": """
+            SELECT doc_id, 0::INT AS math_idx, 'inline' AS display,
+                   TRUE AS has_tex,
+                   'a_{' || doc_id || '}+b' AS tex,
+                   'x' AS text
+            FROM documents
+            UNION ALL
+            SELECT doc_id, 1::INT, 'block', FALSE, '',
+                   'c=' || doc_id
+            FROM documents WHERE doc_id % 2 = 0
         """,
         # css_urls twin: the resource universe per doc class (the
         # data: url() dropped), urljoin stated directly.

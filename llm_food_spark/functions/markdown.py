@@ -68,6 +68,39 @@ for _t in ("code", "kbd", "samp", "tt"):
 del _t
 
 
+def _math_tex(node: Element):
+    """First TeX annotation of a <math> element
+    (<annotation encoding="application/x-tex"> or TeX-ish variants),
+    or None."""
+    for el in node.iter():
+        if el.tag == "annotation" and "tex" in (
+                el.attrs.get("encoding") or "").lower():
+            return el.text_content().strip()
+    return None
+
+
+def _render_math(node: Element) -> str:
+    """<math> -> $tex$ / $$tex$$ when a TeX annotation exists (the
+    MathJax/Wikipedia/StackExchange convention), else the PRESENTATION
+    text only — never both, which is what naive text_content() yields
+    (the annotation text duplicated against the <mrow> symbols)."""
+    tex = _math_tex(node)
+    block = (node.attrs.get("display") or "").strip().lower() == "block"
+    if tex:
+        return " $$%s$$ " % tex if block else " $%s$ " % tex
+    parts = []
+    for c in node.children:
+        if c.__class__ is Text:
+            parts.append(c.data)
+        elif c.tag not in ("annotation", "annotation-xml"):
+            parts.append("".join(
+                e.text_content() for e in ([c] if c.tag != "semantics"
+                                           else c.children)
+                if not (hasattr(e, "tag")
+                        and e.tag in ("annotation", "annotation-xml"))))
+    return _collapse(" %s " % "".join(parts))
+
+
 def _inline(node: Union[Element, Text]) -> str:
     """Render a node in inline context."""
     if node.__class__ is Text:
@@ -75,6 +108,8 @@ def _inline(node: Union[Element, Text]) -> str:
     tag = node.tag
     if tag in _SKIP:
         return ""
+    if tag == "math":
+        return _render_math(node)
     if tag == "br":
         return "\n"
     children = node.children

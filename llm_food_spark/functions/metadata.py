@@ -176,3 +176,37 @@ def extract_robots_directives(content: bytes) -> dict:
             if d in tokens:
                 out[d] = True
     return out
+
+
+def extract_math_elements(content: bytes):
+    """MathML <math> elements -> [(idx, display, has_tex, tex, text)] in
+    document order — the OpenWebMath-style front end for scientific
+    corpora. ``tex`` is the first TeX annotation's text
+    (<annotation encoding~="tex">, the MathJax/Wikipedia convention);
+    ``text`` is the presentation linearization EXCLUDING annotations
+    (naive text_content() emits both concatenated — the duplication the
+    markdown serializer also avoids). ``display`` is 'block' when
+    declared, else 'inline'."""
+    from llm_food_spark.functions.encoding import decode_html
+    from llm_food_spark.functions.markdown import _math_tex
+
+    root = parse_html(decode_html(content))
+    out = []
+    idx = 0
+    for el in root.iter():
+        if el.tag != "math":
+            continue
+        tex = _math_tex(el)
+        parts = []
+        for sub in el.iter():
+            if sub.tag in ("annotation", "annotation-xml"):
+                continue
+            for c in sub.children:
+                if not hasattr(c, "tag"):
+                    parts.append(c.data)
+        text = _WS_RE.sub(" ", "".join(parts)).strip()
+        display = ("block" if (el.attrs.get("display") or "")
+                   .strip().lower() == "block" else "inline")
+        out.append((idx, display, tex is not None, tex or "", text))
+        idx += 1
+    return out

@@ -344,3 +344,39 @@ def social_cards(pages: DataFrame, url_col: str = "url",
     return ensure_min_partitions(
         pages.select(url_col, html_col)
     ).mapInPandas(run, schema=SOCIAL_SCHEMA)
+
+
+MATH_SCHEMA = T.StructType([
+    T.StructField("url", T.StringType()),
+    T.StructField("math_idx", T.IntegerType()),
+    T.StructField("display", T.StringType()),
+    T.StructField("has_tex", T.BooleanType()),
+    T.StructField("tex", T.StringType()),
+    T.StructField("text", T.StringType()),
+])
+
+
+def _math_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from ..functions.metadata import extract_math_elements
+
+    for pdf in batches:
+        rows = []
+        for url, payload in zip(pdf["url"], pdf["html"]):
+            content = bytes(payload) if payload is not None else b""
+            for idx, display, has_tex, tex, text in \
+                    extract_math_elements(content):
+                rows.append((str(url), idx, display, has_tex, tex, text))
+        yield pd.DataFrame(rows, columns=[f.name for f in MATH_SCHEMA])
+
+
+def extract_math(df: DataFrame, url_col: str = "url",
+                 html_col: str = "html") -> DataFrame:
+    """(url, html:binary) -> one row per MathML <math> element:
+    (url, math_idx, display, has_tex, tex, text) — the OpenWebMath-style
+    math-corpus front end (functions/metadata.py::extract_math_elements
+    holds the semantics: TeX annotation preferred, presentation text
+    deduplicated against it, display block/inline). One Arrow pass;
+    pages without math contribute zero rows."""
+    src = ensure_min_partitions(
+        df.select(F.col(url_col).alias("url"), F.col(html_col).alias("html")))
+    return src.mapInPandas(_math_batches, schema=MATH_SCHEMA)

@@ -145,6 +145,18 @@ def html_fixture_families() -> Dict[str, bytes]:
         "<rp>)</rp></ruby>と<ruby>東京<rp>(</rp><rt>とうきょう</rt>"
         "<rp>)</rp></ruby>の本文です。</p></article>"
     )
+    fam["mathml"] = page(
+        # TeX annotation preferred ($...$/$$...$$), presentation text
+        # deduplicated against it; annotation-less math keeps only the
+        # presentation linearization
+        "<article><h1>Math</h1><p>Euler: <math><semantics>"
+        "<mrow><mi>e</mi></mrow><annotation encoding=\"application/x-tex\">"
+        "e^{i\\pi}+1=0</annotation></semantics></math> holds.</p>"
+        "<math display=\"block\"><annotation encoding=\"TeX\">"
+        "\\int_0^1 x\\,dx = \\tfrac12</annotation></math>"
+        "<p>Sum <math><mrow><mi>a</mi><mo>+</mo><mi>b</mi></mrow></math>"
+        " done.</p></article>"
+    )
     fam["empty_extract"] = page(
         '<nav><a href="/a">a</a> <a href="/b">b</a> <a href="/c">c</a></nav>'
         '<footer><a href="/p">privacy</a></footer>'

@@ -124,3 +124,33 @@ def test_soft_hyphens_stripped_outside_pre():
     h = ("<html><body><article><p>hy&shy;phen&#173;ated "
          "text</p></article></body></html>").encode()
     assert extract_html_markdown(h) == "hyphenated text"
+
+
+def test_mathml_tex_annotation_preferred():
+    """<math> renders the TeX annotation as $...$/$$...$$ and never
+    duplicates it against the presentation text; annotation-less math
+    keeps only the presentation linearization."""
+    from llm_food_spark.functions.html_extract import extract_html_markdown
+
+    h = ('<html><body><article><p>Euler: <math><semantics><mrow><mi>e'
+         "</mi></mrow>"
+         '<annotation encoding="application/x-tex">e^2</annotation>'
+         "</semantics></math> inline and "
+         '<math display="block"><annotation encoding="TeX">\\int x'
+         "</annotation></math> plus "
+         "<math><mrow><mi>a</mi><mo>+</mo><mi>b</mi></mrow></math>."
+         "</p></article></body></html>").encode()
+    assert extract_html_markdown(h) == (
+        "Euler: $e^2$ inline and $$\\int x$$ plus a+b.")
+
+
+def test_extract_math_elements_fields():
+    from llm_food_spark.functions.metadata import extract_math_elements
+
+    h = ("<html><body><math><semantics><mrow><mi>a</mi></mrow>"
+         '<annotation encoding="application/x-tex">a</annotation>'
+         "</semantics></math>"
+         '<math display="block"><mi>c</mi></math></body></html>').encode()
+    assert extract_math_elements(h) == [
+        (0, "inline", True, "a", "a"),
+        (1, "block", False, "", "c")]
