@@ -5946,7 +5946,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans": q_kmeans,                      # UNSEEDED integer-space Lloyd: the oracle re-runs the whole training loop unrolled
         # sketches (constant-state distinct/frequency at corpus scale)
         "hll_sketch": q_hll_sketch,                # HyperLogLog registers + estimate, full DuckDB re-derivation
-        "ngram_novelty": q_ngram_novelty,          # exact per-doc distinct-3-gram novelty (Self-BLEU-style diversity audit)
+        "pdf_images": q_pdf_images,                # round-5 swap: took ngram_novelty's slot (hll_sketch holds the distinct-count family; the exact per-doc distinct-3-gram form stays repo-gated below). New driver-visible family: the extraction->multimodal BRIDGE — embedded PDF figures through the real object walk, prefix-filter routing, and the repo's own JPEG/PNG decoders, with channel means value-checked
         "count_anomalies": q_count_anomalies,      # hourly spike z-test in cross-multiplied integer space
         # web / crawl
         "robots_screen": q_robots_screen,
@@ -6037,7 +6037,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exif_meta": q_exif_meta,              # APP1/TIFF EXIF walk (orientation 1-8 cycling, out-of-line + inline ASCII paths, Exif-less rows flagged not failed); closed-form twin per doc_id
         "orient_pixels": q_orient_pixels,      # EXIF-orientation normalization chained orient->1x1-resize->stats: the dihedral corner election is closed-form per orientation — a positional proof the rotation happened
         "g711_vad": q_g711_vad,                # G.711 mu-law/A-law telephony decode chained through VAD; twin re-derives every CCITT-expanded sample + frame energy in SQL
-        "pdf_images": q_pdf_images,            # embedded-image extraction through the real PDF object walk + real JPEG/PNG decode chain; twin states geometry, routing AND channel means closed-form
+        "ngram_novelty": q_ngram_novelty,      # demoted for pdf_images: hll_sketch holds the distinct-count family's driver slot; the exact per-doc distinct-3-gram diversity audit stays repo-gated
         "srcset": q_srcset,                    # WHATWG responsive-image candidates through the real DOM parse (w/x/malformed descriptors, in-walk best election, urljoin); closed-form twin per doc class
         "data_uris": q_data_uris,              # inline data:-URI images chained DOM walk -> RFC 2397 decode -> pixel stats (srcset-embedded comma handled); closed-form dims+means twin
         "css_urls": q_css_urls,                # CSS url()/@import resource discovery through the real DOM parse (3 quote forms, data: dropped, style elements + attrs); closed-form twin
