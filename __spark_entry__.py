@@ -5434,6 +5434,22 @@ def q_image_meta(spark, sf_dir):
                 + _s.pack(">I", _z.crc32(chunk)))
 
     rows = [("m%04d" % i, "image", png(64 + i, 48 + i), None) for i in range(64)]
+    # round-5 header formats: WebP lossless, favicon ICO, LE TIFF
+    for i in range(8):
+        bits = (10 + i - 1) | ((5 + i - 1) << 14)
+        vp8l = b"\x2f" + _s.pack("<I", bits)
+        rows.append(("w%04d" % i, "image",
+                     b"RIFF" + _s.pack("<I", 4 + 8 + len(vp8l)) + b"WEBP"
+                     + b"VP8L" + _s.pack("<I", len(vp8l)) + vp8l, None))
+        ent = bytes([16 * (1 + i % 3), 16 * (1 + i % 3)]) + b"\x00" * 14
+        rows.append(("i%04d" % i, "image",
+                     b"\x00\x00\x01\x00\x01\x00" + ent, None))
+        tif = (b"II" + _s.pack("<HI", 42, 8) + _s.pack("<H", 2)
+               + _s.pack("<HHI", 0x0100, 3, 1)
+               + _s.pack("<H", 100 + i) + b"\x00\x00"
+               + _s.pack("<HHI", 0x0101, 4, 1) + _s.pack("<I", 50 + i)
+               + _s.pack("<I", 0))
+        rows.append(("t%04d" % i, "image", tif, None))
     rows.append(("bad", "image", b"not an image", None))
     schema = T.StructType([
         T.StructField("media_id", T.StringType()),
@@ -7411,6 +7427,21 @@ _IMAGE_META_SQL = """
            CAST(48 + i AS INT) AS height, CAST(33 AS BIGINT) AS bytes,
            'decoded' AS status, CAST(NULL AS VARCHAR) AS error_message
     FROM (SELECT unnest(range(0, 64)) AS i)
+    UNION ALL
+    SELECT 'w' || lpad(CAST(i AS VARCHAR), 4, '0'), 'webp',
+           CAST(10 + i AS INT), CAST(5 + i AS INT), CAST(25 AS BIGINT),
+           'decoded', CAST(NULL AS VARCHAR)
+    FROM (SELECT unnest(range(0, 8)) AS i)
+    UNION ALL
+    SELECT 'i' || lpad(CAST(i AS VARCHAR), 4, '0'), 'ico',
+           CAST(16 * (1 + i % 3) AS INT), CAST(16 * (1 + i % 3) AS INT),
+           CAST(22 AS BIGINT), 'decoded', CAST(NULL AS VARCHAR)
+    FROM (SELECT unnest(range(0, 8)) AS i)
+    UNION ALL
+    SELECT 't' || lpad(CAST(i AS VARCHAR), 4, '0'), 'tiff',
+           CAST(100 + i AS INT), CAST(50 + i AS INT), CAST(38 AS BIGINT),
+           'decoded', CAST(NULL AS VARCHAR)
+    FROM (SELECT unnest(range(0, 8)) AS i)
     UNION ALL
     SELECT 'bad', 'unknown', CAST(NULL AS INT), CAST(NULL AS INT),
            CAST(12 AS BIGINT), 'failed', 'unrecognized image payload'
