@@ -5450,6 +5450,15 @@ def q_image_meta(spark, sf_dir):
                + _s.pack("<HHI", 0x0101, 4, 1) + _s.pack("<I", 50 + i)
                + _s.pack("<I", 0))
         rows.append(("t%04d" % i, "image", tif, None))
+        brand = b"avif" if i % 2 == 0 else b"heic"
+        ftyp = _s.pack(">I", 20) + b"ftyp" + brand + _s.pack(">I", 0) + brand
+        ispe = (_s.pack(">I", 20) + b"ispe" + b"\x00\x00\x00\x00"
+                + _s.pack(">II", 200 + i, 150 + i))
+        ipco = _s.pack(">I", 8 + len(ispe)) + b"ipco" + ispe
+        iprp = _s.pack(">I", 8 + len(ipco)) + b"iprp" + ipco
+        meta = (_s.pack(">I", 12 + len(iprp)) + b"meta"
+                + b"\x00\x00\x00\x00" + iprp)
+        rows.append(("a%04d" % i, "image", ftyp + meta, None))
     rows.append(("bad", "image", b"not an image", None))
     schema = T.StructType([
         T.StructField("media_id", T.StringType()),
@@ -7440,6 +7449,12 @@ _IMAGE_META_SQL = """
     UNION ALL
     SELECT 't' || lpad(CAST(i AS VARCHAR), 4, '0'), 'tiff',
            CAST(100 + i AS INT), CAST(50 + i AS INT), CAST(38 AS BIGINT),
+           'decoded', CAST(NULL AS VARCHAR)
+    FROM (SELECT unnest(range(0, 8)) AS i)
+    UNION ALL
+    SELECT 'a' || lpad(CAST(i AS VARCHAR), 4, '0'),
+           CASE WHEN i % 2 = 0 THEN 'avif' ELSE 'heic' END,
+           CAST(200 + i AS INT), CAST(150 + i AS INT), CAST(68 AS BIGINT),
            'decoded', CAST(NULL AS VARCHAR)
     FROM (SELECT unnest(range(0, 8)) AS i)
     UNION ALL

@@ -4,7 +4,8 @@ Image/audio/video are opaque ``binary`` columns with a metadata struct; the
 Spark-side plumbing (schemas, batch shapes, mapInPandas signatures,
 partition-by-size balancing) is real and tested. What this container CAN
 decode without codec libraries is decoded for REAL, pure Python/numpy:
-header metadata for PNG/GIF/JPEG/BMP/WebP/WAV/MP3/FLAC/Ogg/MP4/WebM, PNG
+header metadata for PNG/GIF/JPEG/BMP/WebP/ICO/TIFF/AVIF/HEIC/WAV/MP3/
+FLAC/Ogg/MP4/WebM, PNG
 pixel decode (zlib inflate + unfilter) and resize, JPEG pixel decode —
 BASELINE AND PROGRESSIVE (functions/jpegio.py: Huffman + IDCT, spectral
 selection, successive approximation — the dominant web image format
@@ -169,6 +170,60 @@ def _tiff_size(b: bytes) -> Optional[Tuple[int, int]]:
             else:
                 h = v
     return (w, h) if w and h else None
+
+
+def _avif_size(b: bytes) -> Optional[Tuple[str, int, int]]:
+    """AVIF/HEIC dimensions: ISO-BMFF box walk to the first 'ispe'
+    (image spatial extents) property. Returns (format, w, h) — format
+    from the ftyp major/compatible brands ('avif' or 'heic')."""
+    if len(b) < 16 or b[4:8] != b"ftyp":
+        return None
+    ftyp_len = struct.unpack(">I", b[0:4])[0]
+    if not (16 <= ftyp_len <= len(b)):
+        return None
+    brands = [b[8:12]] + [b[k:k + 4] for k in range(16, ftyp_len, 4)]
+    fmt = None
+    for br in brands:
+        if br in (b"avif", b"avis"):
+            fmt = "avif"
+            break
+        if br in (b"heic", b"heix", b"mif1"):
+            fmt = fmt or "heic"
+    if fmt is None:
+        return None
+
+    def find_ispe(lo: int, hi: int, depth: int) -> Optional[Tuple[int, int]]:
+        i = lo
+        while i + 8 <= hi and depth < 8:
+            size = struct.unpack(">I", b[i:i + 4])[0]
+            typ = b[i + 4:i + 8]
+            body = i + 8
+            if typ == b"meta":
+                body += 4  # fullbox version/flags
+            if size < 8 or i + size > hi:
+                return None
+            if typ == b"ispe" and body + 12 <= i + size:
+                w, h = struct.unpack(">II", b[body + 4:body + 12])
+                return w, h
+            if typ in (b"meta", b"iprp", b"ipco"):
+                got = find_ispe(body, i + size, depth + 1)
+                if got:
+                    return got
+            i += size
+        return None
+
+    got = find_ispe(ftyp_len, len(b), 0)
+    return (fmt, got[0], got[1]) if got else None
+
+
+def _avif_probe(b: bytes) -> Optional[Tuple[int, int]]:
+    r = _avif_size(b)
+    return (r[1], r[2]) if r is not None and r[0] == "avif" else None
+
+
+def _heic_probe(b: bytes) -> Optional[Tuple[int, int]]:
+    r = _avif_size(b)
+    return (r[1], r[2]) if r is not None and r[0] == "heic" else None
 
 
 def _jpeg_size(b: bytes) -> Optional[Tuple[int, int]]:
@@ -340,7 +395,8 @@ def decode_media_meta_batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame
             for name, probe in (("png", _png_size), ("gif", _gif_size),
                                 ("jpeg", _jpeg_size), ("bmp", _bmp_size),
                                 ("webp", _webp_size),
-                                ("ico", _ico_size), ("tiff", _tiff_size)):
+                                ("ico", _ico_size), ("tiff", _tiff_size),
+                                ("avif", _avif_probe), ("heic", _heic_probe)):
                 s = probe(b)
                 if s:
                     row.update(kind="image", format=name,
@@ -379,7 +435,8 @@ def decode_image_meta_batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame
             for name, probe in (("png", _png_size), ("gif", _gif_size),
                                 ("jpeg", _jpeg_size), ("bmp", _bmp_size),
                                 ("webp", _webp_size),
-                                ("ico", _ico_size), ("tiff", _tiff_size)):
+                                ("ico", _ico_size), ("tiff", _tiff_size),
+                                ("avif", _avif_probe), ("heic", _heic_probe)):
                 s = probe(b)
                 if s:
                     fmt, size = name, s

@@ -188,3 +188,42 @@ def test_subtitle_cues_operator(spark):
         ("a", 0, 1000, 2000, "first"),
         ("a", 1, 3000, 4000, "second"),
         ("b", 0, 5000, 6000, "v")]
+
+
+def _avif(w, h, brand=b"avif"):
+    import struct as s
+
+    ftyp = s.pack(">I", 20) + b"ftyp" + brand + s.pack(">I", 0) + brand
+    ispe = (s.pack(">I", 20) + b"ispe" + b"\x00\x00\x00\x00"
+            + s.pack(">II", w, h))
+    ipco = s.pack(">I", 8 + len(ispe)) + b"ipco" + ispe
+    iprp = s.pack(">I", 8 + len(ipco)) + b"iprp" + ipco
+    meta = (s.pack(">I", 12 + len(iprp)) + b"meta"
+            + b"\x00\x00\x00\x00" + iprp)
+    return ftyp + meta
+
+
+def test_avif_heic_header_probe(spark):
+    from llm_food_spark.operators.multimodal import (
+        _avif_size, decode_image_meta)
+
+    assert _avif_size(_avif(800, 600)) == ("avif", 800, 600)
+    assert _avif_size(_avif(64, 32, b"heic")) == ("heic", 64, 32)
+    # non-image ISO-BMFF (plain mp4) and garbage refused
+    import struct as s
+    mp4 = s.pack(">I", 20) + b"ftypmp42" + s.pack(">I", 0) + b"mp42"
+    assert _avif_size(mp4) is None
+    assert _avif_size(b"junk") is None
+    assert _avif_size(_avif(1, 1)[:30]) is None  # truncated meta
+
+    rows = [("a", "image", bytearray(_avif(800, 600)), None),
+            ("h", "image", bytearray(_avif(10, 20, b"heic")), None)]
+    df = spark.createDataFrame(
+        rows,
+        "media_id string, kind string, payload binary, "
+        "meta map<string,string>")
+    got = {r.media_id: r for r in decode_image_meta(df).collect()}
+    assert (got["a"].format, got["a"].width, got["a"].height) == (
+        "avif", 800, 600)
+    assert (got["h"].format, got["h"].width, got["h"].height) == (
+        "heic", 10, 20)
