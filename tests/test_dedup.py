@@ -642,3 +642,39 @@ def test_align_spans_partition_invariance(spark):
     b = sorted(map(tuple, align_spans(
         pairs.repartition(3), docs.repartition(5)).collect()))
     assert a == b
+
+
+def test_simhash64_batch_matches_per_doc_reference(spark):
+    """The batched simhash64 body (digest memo + unpackbits + reduceat)
+    must be bit-identical to the straightforward per-document form it
+    replaced (round-6 optimization)."""
+    import hashlib
+
+    import numpy as np
+
+    def reference(t):
+        words = [w for w in (t or "").lower().split() if w]
+        if not words:
+            return 0
+        hs = np.frombuffer(
+            b"".join(hashlib.blake2b(w.encode("utf-8"), digest_size=8).digest()
+                     for w in words), dtype=">u8")
+        bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(np.int32)
+        votes = bits.sum(axis=0) * 2 - len(words)
+        sig = int(((votes > 0).astype(np.uint64)
+                   << np.arange(64, dtype=np.uint64)).sum())
+        return sig - (1 << 64) if sig >= (1 << 63) else sig
+
+    rng = random.Random(11)
+    texts = [_doc(rng, n=rng.randrange(0, 120)) for _ in range(200)]
+    texts += ["", "   ", "x", "x x x", "Mixed CASE tokens", None,
+              "é café CAFÉ  nbsp", "word " * 500]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    from llm_food_spark.operators.dedup import simhash64
+
+    got = {r["doc_id"]: r["sig"]
+           for r in df.select("doc_id", simhash64(F.col("text")).alias("sig")
+                              ).collect()}
+    want = {i: reference(t) for i, t in enumerate(texts)}
+    assert got == want
