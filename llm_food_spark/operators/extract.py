@@ -97,8 +97,24 @@ def extract_pages(
 
     ``partition_mode``:
 
-    - ``"hash"`` (default): hash-repartition on the salted partition_id —
-      maximum balance, batches mix timestamps.
+    - ``"hash"`` (default): hash-repartition on the full url — maximum
+      balance (url is unique, so rows spread evenly at any physical
+      partition count), batches mix timestamps. The PHYSICAL exchange
+      count comes from ``spark.sql.shuffle.partitions`` + AQE coalescing
+      (scale-adaptive: sized to the session's cluster, not to the caller's
+      salt modulus) — ``n_partitions`` only fixes the partition_id COLUMN
+      modulus, which stays a pure data function for resume idempotency.
+      Round-6 measurement: the old ``repartition(n_partitions,
+      "partition_id")`` ran the Python stage in n_partitions waves of
+      tasks (128 tasks on 32 cores = 4 waves, each paying Arrow stream
+      setup + pipeline-fill latency) for the same work; conf-derived
+      physical partitioning measured ~0.9s faster on the sf0.1 corpus
+      with byte-identical results.
+    - ``"group"``: hash-repartition on partition_id into exactly
+      ``n_partitions`` physical partitions — co-locates every row of one
+      partition_id so a downstream ``partitionBy("partition_id")`` write
+      emits one file per partition dir (plans/pipeline.py, streaming
+      ingest). This is the pre-round-6 default physical layout.
     - ``"range_ts"``: ``repartitionByRange(warc_ts, partition_id)`` — the
       north_rule's time-range layout: tasks stay time-local (so an output
       table partitioned by warc_ts day/hour writes few files per task and
@@ -106,7 +122,7 @@ def extract_pages(
       a single hot timestamp range across tasks. Balance relies on range
       sampling; skewed ranges are AQE-split at runtime.
 
-    Results are identical under either mode (and under no repartition at
+    Results are identical under every mode (and under no repartition at
     all) — partition_id is a function of the data.
     """
     spark = pages.sparkSession
@@ -120,9 +136,12 @@ def extract_pages(
         if partition_mode == "range_ts":
             df = df.repartitionByRange(n_partitions, "warc_ts", "partition_id")
         elif partition_mode == "hash":
+            df = df.repartition(F.col("url"))
+        elif partition_mode == "group":
             df = df.repartition(n_partitions, "partition_id")
         else:
-            raise ValueError("partition_mode must be 'hash' or 'range_ts'")
+            raise ValueError(
+                "partition_mode must be 'hash', 'group' or 'range_ts'")
     # derived columns AFTER the exchange: content_hash is 64 ASCII chars —
     # roughly a third of an average page row — and both are deterministic
     # functions of html, so hashing post-shuffle cuts shuffled bytes ~20%

@@ -133,8 +133,13 @@ def run_extraction(
             ).drop("partition_id")
             n_skipped = committed.count()
 
+    # "group" mode: the partitionBy("partition_id") write below needs every
+    # row of one partition_id co-located so each partition dir gets ONE
+    # file; the balance-first default would scatter a partition_id across
+    # tasks and multiply output files (round-6 mode split)
     results = extract_pages(todo, n_partitions=n_partitions,
-                            max_bytes=max_bytes, repartition=repartition)
+                            max_bytes=max_bytes, repartition=repartition,
+                            partition_mode="group")
     # The commit protocol REQUIRES dynamic partition overwrite: under the
     # Spark default (STATIC), overwrite+partitionBy deletes EVERY existing
     # partition directory — a resume run would destroy all previously

@@ -61,8 +61,10 @@ def run_streaming_extraction(
 
         run_id = "epoch-%d" % epoch_id
         sess = batch_df.sparkSession
+        # "group": the partitionBy write below needs partition_id rows
+        # co-located (one file per partition dir; round-6 mode split)
         results = extract_pages(batch_df, n_partitions=n_partitions,
-                                max_bytes=max_bytes)
+                                max_bytes=max_bytes, partition_mode="group")
         results.withColumn("run_id", F.lit(run_id)).write.mode(
             "overwrite"
         ).partitionBy("run_id", "partition_id").parquet(

@@ -528,3 +528,35 @@ def test_zone_map_audit_partition_invariance(spark):
     b = sorted(map(tuple, zone_map_audit(
         df.repartition(7), preds, "k").collect()))
     assert a == b
+
+
+def test_partition_mode_group_identical_and_colocated(spark):
+    """Round-6 mode split: 'group' must produce identical results to every
+    other mode AND co-locate all rows of a partition_id in one task (the
+    layout the pipeline's partitionBy write depends on); the default
+    'hash' mode only promises identical RESULTS (its physical count comes
+    from conf/AQE, not from n_partitions)."""
+    from pyspark.sql import functions as F
+
+    rows = generate_pages(150)
+    df = pages_to_df(spark, rows)
+
+    def run(**kw):
+        res = (
+            extract_pages(df, n_partitions=8, **kw)
+            .select("url", "content_hash", "markdown", "status", "partition_id")
+            .orderBy("url")
+            .collect()
+        )
+        return [tuple(r) for r in res]
+
+    assert run(partition_mode="group") == run(partition_mode="hash")
+
+    grouped = extract_pages(df, n_partitions=8, partition_mode="group")
+    placement = (
+        grouped.withColumn("task", F.spark_partition_id())
+        .groupBy("partition_id")
+        .agg(F.countDistinct("task").alias("n_tasks"))
+        .collect()
+    )
+    assert all(r["n_tasks"] == 1 for r in placement)
