@@ -1,0 +1,177 @@
+#!/usr/bin/env python
+"""Round-6 optimization harness (bench.py is FROZEN; extra measurement
+lives here per the optimization brief).
+
+Modes:
+  python bench_extra.py plans [out_dir]     # .explain("formatted") for every
+                                            # bench-timed leg -> out_dir/<q>.txt
+  python bench_extra.py time [names...]     # noop-sink isolation timings,
+                                            # best-of-N (BENCH_EXTRA_REPS, =3)
+                                            # for the named legs (default all)
+
+Legs covered: the 9 operator queries bench.py times, plus the three
+corpus legs (extract_pipeline / extract_bucketed / minhash_corpus)
+re-created with the same inputs bench.py uses (the /tmp corpus cache).
+Timings here use the SAME methodology as bench.py (warm pass, then
+best-of-reps with a noop sink / parquet write identical to the frozen
+harness) so before/after deltas are comparable, but nothing here is read
+by the driver.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+OPERATOR_QUERIES = [
+    "join_agg", "topk_per_group", "token_count", "quality", "chunk_token",
+    "minhash_lsh", "simhash", "cosine_topk", "ann_lsh",
+]
+
+
+def get_env():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    m = re.search(r"sf([\d.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else 0.1
+    return sf_dir, cpus, sf
+
+
+def get_session(cpus):
+    from llm_food_spark.session import get_spark
+
+    return get_spark("bench_extra", master="local[%d]" % cpus,
+                     shuffle_partitions=cpus,
+                     extra_conf={"spark.ui.showConsoleProgress": "false"})
+
+
+def corpus_frames(spark, sf, cpus):
+    """The same corpus inputs bench.py uses (requires a prior bench.py run
+    to have populated the /tmp caches; extract output is recreated)."""
+    from pyspark.sql import functions as F
+    from llm_food_spark.operators.extract import extract_pages
+
+    corpus_path = "/tmp/spark_graft_bench_pages_sf%s" % sf
+    bucketed_path = corpus_path + "_bucketed%d" % (cpus * 4)
+    pages = spark.read.parquet(corpus_path)
+    bucketed = (spark.read.parquet(bucketed_path)
+                if os.path.exists(os.path.join(bucketed_path, "_SUCCESS"))
+                else None)
+    out_path = "/tmp/spark_graft_bench_results"
+    if not os.path.exists(os.path.join(out_path, "_SUCCESS")):
+        import shutil
+
+        shutil.rmtree(out_path, ignore_errors=True)
+        extract_pages(pages, n_partitions=cpus * 4).write.mode(
+            "overwrite").parquet(out_path)
+    results = spark.read.parquet(out_path).select(
+        F.xxhash64("url").alias("doc_id"), F.col("markdown").alias("text")
+    ).where((F.length("text") > 0)
+            & (F.pmod(F.xxhash64("doc_id"), F.lit(4)) == 0))
+    return pages, bucketed, results
+
+
+def leg_frames(spark, sf_dir, sf, cpus, names):
+    """name -> zero-arg builder returning the DataFrame to force."""
+    import __spark_entry__ as entrymod
+    from llm_food_spark.operators.dedup import minhash_lsh_pairs
+    from llm_food_spark.operators.extract import extract_pages
+
+    qs = entrymod.queries()
+    legs = {}
+    for n in OPERATOR_QUERIES:
+        legs[n] = (lambda n=n: qs[n](spark, sf_dir))
+    if any(n.startswith(("extract_", "minhash_corpus")) for n in names):
+        pages, bucketed, results = corpus_frames(spark, sf, cpus)
+        legs["extract_pipeline"] = (
+            lambda: extract_pages(pages, n_partitions=cpus * 4))
+        if bucketed is not None:
+            legs["extract_bucketed"] = (
+                lambda: extract_pages(bucketed, n_partitions=cpus * 4,
+                                      repartition=False))
+        legs["minhash_corpus"] = (
+            lambda: minhash_lsh_pairs(results, threshold=0.5))
+    return legs
+
+
+def mode_plans(out_dir: str) -> int:
+    sf_dir, cpus, sf = get_env()
+    spark = get_session(cpus)
+    os.makedirs(out_dir, exist_ok=True)
+    names = OPERATOR_QUERIES + ["extract_pipeline", "extract_bucketed",
+                                "minhash_corpus"]
+    legs = leg_frames(spark, sf_dir, sf, cpus, names)
+    for name in names:
+        if name not in legs:
+            continue
+        df = legs[name]()
+        import contextlib
+        import io
+
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        plan = buf.getvalue()
+        path = os.path.join(out_dir, "%s.txt" % name)
+        with open(path, "w") as f:
+            f.write(plan)
+        log("wrote %s (%d bytes)" % (path, len(plan)))
+    return 0
+
+
+def mode_time(names) -> int:
+    sf_dir, cpus, sf = get_env()
+    reps = int(os.environ.get("BENCH_EXTRA_REPS", "3"))
+    spark = get_session(cpus)
+    names = names or (OPERATOR_QUERIES
+                      + ["extract_pipeline", "extract_bucketed",
+                         "minhash_corpus"])
+    legs = leg_frames(spark, sf_dir, sf, cpus, names)
+
+    # same worker warm-up as bench.py
+    warm = spark.range(cpus * 4).repartition(cpus)
+    warm.mapInPandas(lambda it: it, schema="id long").write.format(
+        "noop").mode("overwrite").save()
+
+    def force(df):
+        df.write.format("noop").mode("overwrite").save()
+
+    out = {}
+    for name in names:
+        if name not in legs:
+            log("skip %s (no corpus cache?)" % name)
+            continue
+        spark.sparkContext.setJobDescription("bench_extra: %s" % name)
+        force(legs[name]())  # warm (codegen, parquet footers, UDF import)
+        times = []
+        for _ in range(max(reps, 1)):
+            t0 = time.time()
+            force(legs[name]())
+            times.append(time.time() - t0)
+        out[name] = {"best": round(min(times), 3),
+                     "all": [round(t, 3) for t in times]}
+        log("%-18s best %6.2fs  %s" % (name, out[name]["best"],
+                                       out[name]["all"]))
+    print(json.dumps(out))
+    return 0
+
+
+def main() -> int:
+    if len(sys.argv) > 1 and sys.argv[1] == "plans":
+        return mode_plans(sys.argv[2] if len(sys.argv) > 2 else "plans/r06")
+    if len(sys.argv) > 1 and sys.argv[1] == "time":
+        return mode_time(sys.argv[2:])
+    log("usage: bench_extra.py plans [out_dir] | time [names...]")
+    return 2
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

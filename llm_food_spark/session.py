@@ -61,6 +61,14 @@ def get_spark(
         )
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
         .config("spark.sql.parquet.compression.codec", "zstd")
+        # zstd level 1 (parquet-java default is 3): extraction outputs are
+        # pipeline intermediates written once and re-read by downstream
+        # operators; level 1 halves the compression CPU in every write
+        # stage for ~8% larger files (measured on the sf0.1 results table:
+        # 66 -> 71 MB, write leg ~0.2s faster). Read speed is unchanged.
+        # Override via SPARK_GRAFT_ZSTD_LEVEL for archival outputs.
+        .config("parquet.compression.codec.zstd.level",
+                os.environ.get("SPARK_GRAFT_ZSTD_LEVEL", "1"))
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
     )
