@@ -28,6 +28,25 @@ from pyspark.sql import DataFrame, Window, functions as F
 from ..operators.chunk import chunk_table
 from ..operators.dedup import minhash_lsh_pairs
 from ..operators.extract import extract_pages
+
+# Frames persisted by prepare_training_data, released on the NEXT call (the
+# call -> consume -> call pattern operators/dedup.py established) or
+# explicitly. Bounded at one frame per call.
+_PREP_PERSISTED: list = []
+
+
+def release_prep_persisted() -> int:
+    """Unpersist frames pinned by earlier prepare_training_data calls.
+    Safe once the previous call's returned chunks have been consumed."""
+    n = 0
+    while _PREP_PERSISTED:
+        frame = _PREP_PERSISTED.pop()
+        try:
+            frame.unpersist()
+            n += 1
+        except Exception:
+            pass  # session already stopped
+    return n
 from ..operators.quality import gopher_line_cols
 from ..operators.redact import redact_pii
 from ..operators.textops import quality_score, token_count
@@ -90,6 +109,19 @@ def prepare_training_data(
         .where(F.col("_rn") == 1)
         .drop("_rn")
     )
+    # `exact` fans out into FOUR plan branches (the MinHash signature pass,
+    # the verify stage's two text join-backs, and the anti-join left side
+    # feeding the chunk pass). Without a persist, every branch re-executes
+    # the whole upstream — extraction included — so the composite ran the
+    # Arrow extraction pass 3-4x when collect_stats=False (round-6 audit:
+    # the collect_stats=True path cached `results` and masked this).
+    # Persisting the POST-gate, POST-exact-dedup frame (the narrowest
+    # reused boundary) makes extraction execute exactly once in both
+    # modes; lifecycle mirrors operators/dedup.py's registry (released on
+    # the next prepare_training_data call or via release_prep_persisted).
+    release_prep_persisted()
+    exact = exact.persist()
+    _PREP_PERSISTED.append(exact)
 
     # near-dup dedup: drop the greater url of every verified LSH pair.
     # (Cluster-transitive survivors: dropping every pair's max keeps at

@@ -145,3 +145,45 @@ def test_page_clean_chains_the_three_stages(spark):
     # the duplicated kept line collapses exactly once
     assert got[2]["n_removed"] == 1 and got[2]["keep"] is True
     assert got[3]["keep"] is False  # brace page rule fires post-repair
+
+
+def test_prep_no_stats_runs_extraction_once(spark, tmp_path):
+    """collect_stats=False must ALSO run extraction exactly once (round-6
+    fix: the exact-dedup frame fans out into the MinHash pass, the verify
+    join-backs and the chunk pass; without the persist the upstream
+    re-executed per branch)."""
+    import os
+    import uuid
+
+    probe_dir = str(tmp_path)
+
+    def probed(it):
+        marked = False
+        for pdf in it:
+            if not marked and len(pdf):
+                with open(os.path.join(probe_dir, uuid.uuid4().hex), "w"):
+                    pass
+                marked = True
+            yield pdf
+
+    pages = pages_to_df(spark, list(generate_pages(40))).repartition(4)
+    pages = pages.mapInPandas(probed, pages.schema)
+
+    chunks, stats = prepare_training_data(
+        pages, min_quality=0.0, min_tokens=1, neardup_threshold=0.9,
+        chunk_strategy="token", chunk_size=64, chunk_overlap=16,
+        n_partitions=None, collect_stats=False,
+    )
+    assert stats is None
+    n = chunks.count()
+    assert n > 0
+    n_markers = len(os.listdir(probe_dir))
+    # one pass fills the exact-dedup cache; the chunk action and the
+    # MinHash branches all read it (4 partitions -> at most 4 markers,
+    # plus slack for a speculative re-list)
+    assert n_markers <= 4, "extraction ran %d times over 4 partitions" % (
+        n_markers // 4)
+
+    from llm_food_spark.plans.prep import release_prep_persisted
+
+    assert release_prep_persisted() >= 1
