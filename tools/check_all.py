@@ -1,0 +1,49 @@
+#!/usr/bin/env python
+"""Run every CLAUDE.md gate in sequence; exit non-zero on the first failure.
+
+Rounds 4 and 5 each shipped with exactly one hygiene miss (a stale golden,
+a red driver row) because the four gates were run by hand. This is the
+one-command round-end check:
+
+    python tools/check_all.py            # all four gates (~35-45 min)
+    python tools/check_all.py --fast     # skip pytest (the slow one)
+"""
+
+from __future__ import annotations
+
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+
+GATES = [
+    ("pytest", [sys.executable, "-m", "pytest", "tests/", "-x", "-q"]),
+    ("goldens", [sys.executable, "tools/freeze_goldens.py", "--check"]),
+    ("oracles", [sys.executable, "tools/check_oracles.py"]),
+    ("query-goldens", [sys.executable, "tools/freeze_query_goldens.py",
+                       "--check"]),
+]
+
+
+def main() -> int:
+    fast = "--fast" in sys.argv[1:]
+    for name, cmd in GATES:
+        if fast and name == "pytest":
+            print("== %-14s SKIPPED (--fast)" % name, flush=True)
+            continue
+        t0 = time.time()
+        print("== %-14s %s" % (name, " ".join(cmd[1:])), flush=True)
+        rc = subprocess.run(cmd, cwd=str(REPO)).returncode
+        print("== %-14s %s in %.0fs" % (
+            name, "OK" if rc == 0 else "FAILED (rc=%d)" % rc,
+            time.time() - t0), flush=True)
+        if rc != 0:
+            return rc
+    print("== all gates green")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
